@@ -1,0 +1,251 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** Relational core (SURVEY.md §2.A scans, §2.B projections/filters,
+  * §2.F sorts/limits/top-k, §2.G set ops).
+  *
+  * Scale notes:
+  *  - All filters are column-vs-literal → pushed into the parquet scan
+  *    (row-group + page-index pruning at 100 TB).
+  *  - Projections select narrow early → parquet column pruning.
+  *  - `q_limit_topn` lowers to TakeOrderedAndProject (per-partition heap
+  *    + driver merge of k rows — no global sort at any scale).
+  *  - `q_topk_pergroup` is a single window over a shuffle by group key;
+  *    at 100 TB the rank filter happens stream-wise per group, never
+  *    materializing more than one group's run per task.
+  *  - Set ops shuffle on the full row hash — acceptable because inputs
+  *    are pre-projected to narrow key columns first.
+  */
+object Relational {
+
+  /** §2.A full parquet scan (the "load sheet" path of the reference). */
+  def qScanParquet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    nation(s, dir).orderBy($"n_nationkey")
+  }
+
+  /** §2.B select / derive / rename (reference: column access + computed cells). */
+  def qProject(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    part(s, dir)
+      .select(
+        $"p_partkey",
+        concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+        upper($"p_name").as("name_uc"),
+        round($"p_retailprice" * lit(0.9), 4).as("sale_price"),
+        ($"p_size" + lit(1)).as("size_plus"))
+      .orderBy($"p_partkey")
+  }
+
+  /** §2.B key lookup (reference: row by primary key). */
+  def qFilterPoint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .filter($"o_orderkey" === lit(42L))
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        dstr($"o_orderdate").as("o_date"))
+  }
+
+  /** §2.B compound predicate algebra. */
+  def qFilterCompound(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .filter($"l_quantity".between(10, 20) &&
+        $"l_discount" > lit(0.03) &&
+        $"l_returnflag".isin("A", "R") &&
+        $"l_tax".isNotNull &&
+        !($"l_linestatus" <=> lit("X")))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount",
+        $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount",
+        $"l_returnflag")
+  }
+
+  /** §2.B pattern predicates (LIKE / prefix / suffix / regex). */
+  def qFilterLike(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    part(s, dir)
+      .filter($"p_name".like("%red%") ||
+        ($"p_type".startsWith("PRO") && $"p_brand".endsWith("3")))
+      .select($"p_partkey", $"p_name", $"p_type", $"p_brand",
+        $"p_name".rlike("^(red|blue)").as("re_primary"))
+      .orderBy($"p_partkey")
+  }
+
+  /** §2.B IN-subquery as a left-semi join (what Catalyst lowers IN to). */
+  def qFilterInSubquery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val building = customer(s, dir)
+      .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    orders(s, dir)
+      .join(broadcast(building), $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** §2.F global total-order sort (reference: sheet sort). */
+  def qSortGlobal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        dstr($"o_orderdate").as("o_date"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+  }
+
+  /** §2.F top-N → TakeOrderedAndProject (no global sort at scale). */
+  def qLimitTopn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  /** §2.F top-k per group via ranked window (QUALIFY pattern). */
+  def qTopkPergroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** §2.G bag union (reference: append rows/sheets), name-resolved. */
+  def qSetUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, dir)
+    val open = o.filter($"o_orderstatus" === "O")
+      .select($"o_orderkey", $"o_totalprice", lit("open").as("bucket"))
+    val done = o.filter($"o_orderstatus" === "F")
+      .select($"o_orderkey", $"o_totalprice", lit("done").as("bucket"))
+    open.unionByName(done).orderBy($"o_orderkey")
+  }
+
+  /** §2.G set intersection (distinct semantics both engines). */
+  def qSetIntersect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, dir)
+    val y1995 = o.filter($"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    val y2000 = o.filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select($"o_custkey")
+    y1995.intersect(y2000).orderBy($"o_custkey")
+  }
+
+  /** §2.G set minus: customers that never placed a finished order. */
+  def qSetExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, dir)
+    o.select($"o_custkey")
+      .except(o.filter($"o_orderstatus" === "F").select($"o_custkey"))
+      .orderBy($"o_custkey")
+  }
+
+  /** §2.G row dedup (reference + NS exact-dedup primitive). */
+  def qDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .select($"c_nationkey", $"c_mktsegment")
+      .distinct()
+      .orderBy($"c_nationkey", $"c_mktsegment")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet" -> qScanParquet _,
+    "q_project" -> qProject _,
+    "q_filter_point" -> qFilterPoint _,
+    "q_filter_compound" -> qFilterCompound _,
+    "q_filter_like" -> qFilterLike _,
+    "q_filter_in_subquery" -> qFilterInSubquery _,
+    "q_sort_global" -> qSortGlobal _,
+    "q_limit_topn" -> qLimitTopn _,
+    "q_topk_pergroup" -> qTopkPergroup _,
+    "q_set_union" -> qSetUnion _,
+    "q_set_intersect" -> qSetIntersect _,
+    "q_set_except" -> qSetExcept _,
+    "q_distinct" -> qDistinct _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_project" ->
+      """SELECT p_partkey,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  upper(p_name) AS name_uc,
+        |  round(p_retailprice * 0.9, 4) AS sale_price,
+        |  p_size + 1 AS size_plus
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_filter_point" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+    "q_filter_compound" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_discount > 0.03
+        |  AND l_returnflag IN ('A', 'R')
+        |  AND l_tax IS NOT NULL
+        |  AND NOT (l_linestatus IS NOT DISTINCT FROM 'X')
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag""".stripMargin,
+    "q_filter_like" ->
+      """SELECT p_partkey, p_name, p_type, p_brand,
+        |  regexp_matches(p_name, '^(red|blue)') AS re_primary
+        |FROM part
+        |WHERE p_name LIKE '%red%'
+        |   OR (p_type LIKE 'PRO%' AND p_brand LIKE '%3')
+        |ORDER BY p_partkey""".stripMargin,
+    "q_filter_in_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sort_global" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_date
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q_limit_topn" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_topk_pergroup" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER
+        |    (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |FROM orders
+        |QUALIFY rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q_set_union" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, o_totalprice, 'open' AS bucket
+        |  FROM orders WHERE o_orderstatus = 'O'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, 'done' AS bucket
+        |  FROM orders WHERE o_orderstatus = 'F'
+        |) ORDER BY o_orderkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT o_custkey FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |INTERSECT
+        |SELECT o_custkey FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_set_except" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT c_nationkey, c_mktsegment
+        |FROM customer ORDER BY c_nationkey, c_mktsegment""".stripMargin
+  )
+}
