@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** Join operators (SURVEY.md §2.C).
+  *
+  * Scale notes:
+  *  - Physical join choice is Catalyst's (broadcast-hash / sort-merge /
+  *    shuffled-hash); we steer with `broadcast()` for dimension tables
+  *    (region/nation/supplier/part/customer all ≪ 10 MB even at sf100).
+  *  - The as-of join is the union-tag + running-`last` window form: ONE
+  *    shuffle on the key, sort by time within partitions — the canonical
+  *    distributed as-of; never a per-row lookup.
+  *  - The interval join keeps an equi key (user_id) so it lowers to a
+  *    keyed join + range filter, not a cartesian; at 100 TB skewed users
+  *    are handled by AQE skew-join splitting.
+  *  - The theta join (no equi key) broadcasts the small side explicitly —
+  *    a BroadcastNestedLoopJoin over a ~KB dimension is cluster-safe;
+  *    output collapses immediately into an aggregate.
+  */
+object Joins {
+
+  /** §2.C equi inner join (reference: cross-sheet key lookup). */
+  def qJoinInner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .join(customer(s, dir), $"o_custkey" === $"c_custkey", "inner")
+      .select($"o_orderkey", $"c_custkey", $"c_name", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  /** §2.C left outer: every customer, orders only in a date window. */
+  def qJoinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o96 = orders(s, dir)
+      .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1995-07-01").cast("timestamp"))
+    customer(s, dir)
+      .join(o96, $"c_custkey" === $"o_custkey", "left_outer")
+      .select($"c_custkey", $"c_name", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_custkey", $"o_orderkey")
+  }
+
+  /** §2.C right outer (mirror of left; exercises the other null side). */
+  def qJoinRight(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bigOrders = orders(s, dir).filter($"o_totalprice" > 450.0)
+    bigOrders
+      .join(customer(s, dir), $"o_custkey" === $"c_custkey", "right_outer")
+      .select($"c_custkey", $"c_mktsegment", $"o_orderkey", $"o_totalprice")
+      .orderBy($"c_custkey", $"o_orderkey")
+  }
+
+  /** §2.C full outer join on partial key overlap. */
+  def qJoinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val lo = orders(s, dir).filter($"o_custkey" < 300).groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"))
+    val hi = customer(s, dir).filter($"c_custkey" >= 200 && $"c_custkey" < 500)
+      .select($"c_custkey", $"c_acctbal")
+    lo.join(hi, $"o_custkey" === $"c_custkey", "full_outer")
+      .select($"o_custkey", $"n_orders", $"c_custkey", $"c_acctbal")
+      .orderBy($"o_custkey".asc_nulls_last, $"c_custkey".asc_nulls_last)
+  }
+
+  /** §2.C left-semi: customers having at least one high-value order. */
+  def qJoinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = orders(s, dir).filter($"o_totalprice" > 400.0)
+    customer(s, dir)
+      .join(big, $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  /** §2.C left-anti: customers with no open ('O') order. */
+  def qJoinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val open = orders(s, dir).filter($"o_orderstatus" === "O")
+    customer(s, dir)
+      .join(open, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** §2.C broadcast dim join: revenue by part type (plan asserts
+    * BroadcastHashJoin in the unit test). */
+  def qJoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .join(broadcast(part(s, dir)), $"l_partkey" === $"p_partkey")
+      .groupBy($"p_type")
+      .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"p_type")
+  }
+
+  /** §2.C theta (non-equi, no key): per supplier, how many customers
+    * out-balance it. Broadcast the tiny side → BNLJ, then aggregate. */
+  def qJoinTheta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = supplier(s, dir).select($"s_suppkey", $"s_acctbal")
+    val cust = customer(s, dir).select($"c_acctbal")
+    cust.join(broadcast(sup), $"c_acctbal" > $"s_acctbal")
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_richer_cust"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** §2.C cartesian (tiny dims only). */
+  def qJoinCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    region(s, dir).crossJoin(nation(s, dir))
+      .select($"r_regionkey", $"r_name", $"n_nationkey", $"n_name")
+      .orderBy($"r_regionkey", $"n_nationkey")
+  }
+
+  /** §2.C as-of join: for each purchase event, the latest click event of
+    * the same user at-or-before it. Union-tag + running `last` window —
+    * one shuffle on user_id, DuckDB's native ASOF JOIN as the oracle. */
+  def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val tagged = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"), lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"))
+      .unionByName(
+        e.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
+            lit(1).as("tag"), $"event_id".as("purchase_id")))
+    // clicks sort before purchases at equal ts => "at-or-before" semantics
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"purchase_id", $"user_id", tstr($"ts").as("purchase_ts"),
+        $"last_click_id")
+      .orderBy($"purchase_id")
+  }
+
+  /** §2.C interval join: events of the same user within 1 hour after each
+    * signup. Equi key (user_id) + range predicate → keyed join, not a
+    * cartesian. */
+  def qJoinInterval(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val signups = e.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id".as("su_user"), $"ts".as("su_ts"))
+    val follow = e.select($"user_id", $"ts", $"event_id")
+    signups
+      .join(follow,
+        $"su_user" === $"user_id" &&
+          $"ts" > $"su_ts" &&
+          $"ts" <= $"su_ts" + expr("INTERVAL 1 HOUR"))
+      .groupBy($"signup_id")
+      .agg(count(lit(1)).as("n_follow"), min($"event_id").as("first_follow_id"))
+      .orderBy($"signup_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> qJoinInner _,
+    "q_join_left" -> qJoinLeft _,
+    "q_join_right" -> qJoinRight _,
+    "q_join_full" -> qJoinFull _,
+    "q_join_semi" -> qJoinSemi _,
+    "q_join_anti" -> qJoinAnti _,
+    "q_join_broadcast" -> qJoinBroadcast _,
+    "q_join_theta" -> qJoinTheta _,
+    "q_join_cross" -> qJoinCross _,
+    "q_join_asof" -> qJoinAsof _,
+    "q_join_interval" -> qJoinInterval _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (
+        |  SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1995-07-01') o
+        |ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 450.0) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    "q_join_full" ->
+      """SELECT o_custkey, n_orders, c_custkey, c_acctbal
+        |FROM (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |      WHERE o_custkey < 300 GROUP BY o_custkey) lo
+        |FULL OUTER JOIN (SELECT c_custkey, c_acctbal FROM customer
+        |      WHERE c_custkey >= 200 AND c_custkey < 500) hi
+        |ON o_custkey = c_custkey
+        |ORDER BY o_custkey NULLS LAST, c_custkey NULLS LAST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_broadcast" ->
+      """SELECT p_type,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type ORDER BY p_type""".stripMargin,
+    "q_join_theta" ->
+      """SELECT s_suppkey, count(*) AS n_richer_cust
+        |FROM customer JOIN supplier ON c_acctbal > s_acctbal
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_join_cross" ->
+      """SELECT r_regionkey, r_name, n_nationkey, n_name
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  c.event_id AS last_click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q_join_interval" ->
+      """SELECT s.event_id AS signup_id, count(*) AS n_follow,
+        |  min(e.event_id) AS first_follow_id
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |JOIN events e
+        |  ON e.user_id = s.user_id
+        | AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.event_id
+        |ORDER BY signup_id""".stripMargin
+  )
+}

@@ -24,7 +24,16 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+    * ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long via the legacy conf
+    * and convert to a µs TimestampType. `DIV 1000` (integer division) is
+    * required — double division loses precision on ~1.7e18 ns values.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 }
