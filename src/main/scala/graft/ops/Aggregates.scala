@@ -1,17 +1,22 @@
 package graft.ops
 
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.CentroidAgg
 import graft.util.Tables._
 import graft.util.Determinism._
 
 /** Aggregation operators (SURVEY.md §2.D) — hash aggregation, distinct,
-  * rollup/cube/grouping-sets, pivot, stats moments, collected lists.
+  * rollup/cube/grouping-sets, pivot, stats moments, collected lists,
+  * sketches, and a typed UDAF.
   *
-  * Scale: every query here is a partial→final HashAggregate — map-side
-  * combine happens before the shuffle, so shuffle volume is O(groups),
-  * not O(rows). Group-by keys are low-cardinality (flags, dates, types),
-  * so the final stage is tiny even at 100 TB.
+  * Scale: every query is a partial→final HashAggregate — map-side combine
+  * before the shuffle, so shuffle volume is O(groups), not O(rows).
+  * Group keys are low-cardinality (flags, types, labels). `collect_list`
+  * is only ever applied per low-cardinality group (bounded list size);
+  * the sketches (HLL, approx percentile) are the 100 TB path for
+  * distinct/quantile — mergeable, constant memory.
   */
 object Aggregates {
 
@@ -31,8 +36,168 @@ object Aggregates {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** §2.D ungrouped (global) aggregates — single-row output. */
+  def qAggGlobal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      r4(sum($"l_extendedprice")).as("sum_price"),
+      r4(avg($"l_quantity")).as("avg_qty"),
+      r4(min($"l_extendedprice")).as("min_price"),
+      r4(max($"l_extendedprice")).as("max_price"),
+      dstr(min($"l_shipdate")).as("min_ship"),
+      dstr(max($"l_shipdate")).as("max_ship"))
+  }
+
+  /** §2.D distinct aggregates. */
+  def qAggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("nd_part"),
+        countDistinct($"l_suppkey").as("nd_supp"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** §2.D sketches: HLL distinct + approx percentile — the 100 TB path
+    * for distinct counts/quantiles (mergeable, constant memory). No
+    * oracle: sketch internals are engine-specific; the rows-only check
+    * plus the ScalaTest 5%-of-exact bound cover it. */
+  def qAggApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("and_part"),
+        percentile_approx($"l_quantity", lit(0.5), lit(1000)).as("ap_qty_p50"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** §2.D exact interpolated percentiles (matches DuckDB quantile_cont). */
+  def qAggPercentile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        r4(expr("percentile(l_quantity, 0.25)")).as("qty_p25"),
+        r4(expr("percentile(l_quantity, 0.5)")).as("qty_p50"),
+        r4(expr("percentile(l_quantity, 0.75)")).as("qty_p75"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** §2.D statistical moments. Spark's skewness/kurtosis are population
+    * moments (m3/m2^1.5, m4/m2²−3); the oracle reproduces those with
+    * explicit moment arithmetic since DuckDB's builtins are
+    * sample-corrected. */
+  def qAggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        r6(stddev_samp($"l_quantity")).as("sd_qty"),
+        r6(var_samp($"l_quantity")).as("var_qty"),
+        r6(corr($"l_quantity", $"l_extendedprice")).as("corr_qp"),
+        r6(covar_samp($"l_quantity", $"l_extendedprice")).as("cov_qp"),
+        r6(skewness($"l_quantity")).as("skew_qty"),
+        r6(kurtosis($"l_quantity")).as("kurt_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** §2.D list/set aggregation (reference: "column as array"); arrays
+    * sorted for determinism. */
+  def qAggCollect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .groupBy($"c_nationkey")
+      .agg(
+        sort_array(collect_set($"c_mktsegment")).as("segments"),
+        count(lit(1)).as("n_cust"))
+      .orderBy($"c_nationkey")
+  }
+
+  /** §2.D rollup with grouping id; subtotal keys coalesced to 'ALL'. */
+  def qAggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(grouping_id().as("gid"),
+        r4(sum($"l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"gid", $"sum_qty", $"n")
+      .orderBy($"flag", $"status")
+  }
+
+  /** §2.D cube. */
+  def qAggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(grouping_id().as("gid"),
+        r4(sum($"o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"gid", $"sum_price", $"n")
+      .orderBy($"status", $"priority")
+  }
+
+  /** §2.D grouping sets: by status and by priority, one pass. */
+  def qAggGsets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority")),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(r4(sum($"o_totalprice")).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"sum_price", $"n")
+      .orderBy($"status", $"priority")
+  }
+
+  /** §2.D pivot with an explicit value list (one pass at any scale —
+    * no extra job to discover pivot values). */
+  def qAggPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(r4(sum($"value")))
+      .orderBy($"user_id")
+  }
+
+  /** §2.D typed UDAF: per-label embedding centroid via Aggregator
+    * (graft.functions.CentroidAgg), exploded to long form (label, dim,
+    * val) so the oracle stays trivially SQL-expressible. */
+  def qAggCustomCentroid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val centroid = udaf(CentroidAgg, ExpressionEncoder[Seq[Float]]())
+    embeddings(s, dir)
+      .groupBy($"label")
+      .agg(centroid($"embedding").as("centroid"))
+      .select($"label", posexplode($"centroid").as(Seq("dim", "v")))
+      .select($"label", $"dim", r6($"v").as("cval"))
+      .orderBy($"label", $"dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_agg_group" -> qAggGroup _
+    "q_agg_group" -> qAggGroup _,
+    "q_agg_global" -> qAggGlobal _,
+    "q_agg_distinct" -> qAggDistinct _,
+    "q_agg_approx_distinct" -> qAggApproxDistinct _,
+    "q_agg_percentile" -> qAggPercentile _,
+    "q_agg_stats" -> qAggStats _,
+    "q_agg_collect" -> qAggCollect _,
+    "q_agg_rollup" -> qAggRollup _,
+    "q_agg_cube" -> qAggCube _,
+    "q_agg_gsets" -> qAggGsets _,
+    "q_agg_pivot" -> qAggPivot _,
+    "q_agg_custom_centroid" -> qAggCustomCentroid _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -47,6 +212,87 @@ object Aggregates {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_global" ->
+      """SELECT count(*) AS n_rows,
+        |  round(sum(l_extendedprice), 4) AS sum_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price,
+        |  strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+        |  strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship
+        |FROM lineitem""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS qty_p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 6) AS cov_qp,
+        |  round(avg(pow(l_quantity - m_qty, 3))
+        |        / pow(avg(pow(l_quantity - m_qty, 2)), 1.5), 6) AS skew_qty,
+        |  round(avg(pow(l_quantity - m_qty, 4))
+        |        / pow(avg(pow(l_quantity - m_qty, 2)), 2) - 3, 6) AS kurt_qty
+        |FROM (SELECT l_returnflag, l_quantity, l_extendedprice,
+        |        avg(l_quantity) OVER (PARTITION BY l_returnflag) AS m_qty
+        |      FROM lineitem)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT c_nationkey,
+        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  count(*) AS n_cust
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  grouping(l_returnflag, l_linestatus) AS gid,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  grouping(o_orderstatus, o_orderpriority) AS gid,
+        |  round(sum(o_totalprice), 4) AS sum_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  round(sum(o_totalprice), 4) AS sum_price,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, priority""".stripMargin,
+    "q_agg_pivot" ->
+      """SELECT user_id,
+        |  round(sum(value) FILTER (event_type = 'click'), 4) AS click,
+        |  round(sum(value) FILTER (event_type = 'view'), 4) AS view,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 4) AS purchase,
+        |  round(sum(value) FILTER (event_type = 'signup'), 4) AS signup,
+        |  round(sum(value) FILTER (event_type = 'error'), 4) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_agg_custom_centroid" ->
+      """SELECT label, dim, round(avg(v), 6) AS cval
+        |FROM (SELECT label,
+        |        generate_subscripts(embedding, 1) - 1 AS dim,
+        |        unnest(embedding) AS v
+        |      FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin
   )
 }
