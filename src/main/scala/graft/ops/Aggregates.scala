@@ -181,7 +181,7 @@ object Aggregates {
       .groupBy($"label")
       .agg(centroid($"embedding").as("centroid"))
       .select($"label", posexplode($"centroid").as(Seq("dim", "v")))
-      .select($"label", $"dim", r6($"v").as("cval"))
+      .select($"label", $"dim".cast("long").as("dim"), r6($"v").as("cval"))
       .orderBy($"label", $"dim")
   }
 

@@ -112,7 +112,7 @@ object Relational {
     val w = Window.partitionBy($"o_custkey")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
     orders(s, dir)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter($"rn" <= 3)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
       .orderBy($"o_custkey", $"rn")

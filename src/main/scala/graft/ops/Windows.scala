@@ -22,11 +22,11 @@ object Windows {
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     orders(s, dir)
       .select($"o_custkey", $"o_orderkey",
-        row_number().over(w).as("rn"),
-        rank().over(w).as("rk"),
-        dense_rank().over(w).as("drk"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rk"),
+        dense_rank().over(w).cast("long").as("drk"),
         r6(percent_rank().over(w)).as("prk"),
-        ntile(4).over(w).as("quartile"),
+        ntile(4).over(w).cast("long").as("quartile"),
         r6(cume_dist().over(w)).as("cd"))
       .orderBy($"o_custkey", $"rn")
   }

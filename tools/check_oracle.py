@@ -7,13 +7,16 @@ Usage:
 
 For each query in oracle_sql.json: run the SQL in DuckDB over the fixture
 parquet tables, read the Spark parquet dump, sort columns by name, and
-compare row-by-row (row ORDER matters — every query must emit a total
-order). Exit 1 on any mismatch.
+compare (a) arrow-level column TYPES (the driver's hash may be
+type-sensitive: Spark int32 vs DuckDB int64 on derived columns is a real
+hazard) and (b) values row-by-row in emitted order (queries must emit a
+total order). Exit 1 on any mismatch.
 """
 import duckdb
 import json
 import math
 import sys
+from datetime import datetime, date
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -26,20 +29,32 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # values are pre-rounded by the queries; format to kill last-ulp noise
-        return f"{v:.6g}" if v == 0 else f"{v:.10g}"
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return f"{v:.10g}"
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{norm(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
     return repr(v)
 
 
-def rows_of(cur):
-    cols = [d[0] for d in cur.description]
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = cur.fetchall()
-    return [cols[i] for i in order], [tuple(norm(r[i]) for i in order) for r in data]
+def table_of(con, sql):
+    t = con.execute(sql).arrow()
+    names = sorted(t.column_names)
+    schema = [(n, str(t.schema.field(n).type)) for n in names]
+    rows = [tuple(norm(row[n]) for n in names) for row in t.to_pylist()]
+    return schema, rows
+
+
+# Type pairs we accept as equivalent (parquet logical nuances).
+def type_eq(a, b):
+    if a == b:
+        return True
+    eq = {frozenset({"timestamp[us]", "timestamp[ms]"}),
+          frozenset({"timestamp[us, tz=UTC]", "timestamp[us]"}),
+          frozenset({"large_string", "string"})}
+    return frozenset({a, b}) in eq
 
 
 def main():
@@ -53,19 +68,24 @@ def main():
     n_pass, fails = 0, []
     for name in sorted(oracle):
         try:
-            ocols, orows = rows_of(con.execute(oracle[name]))
-            scols, srows = rows_of(con.execute(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')"))
+            oschema, orows = table_of(con, oracle[name])
+            sschema, srows = table_of(
+                con, f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         except Exception as e:
             fails.append((name, f"EXEC ERROR: {e}"))
             continue
-        if ocols != scols:
-            fails.append((name, f"SCHEMA: oracle={ocols} spark={scols}"))
+        if [c for c, _ in oschema] != [c for c, _ in sschema]:
+            fails.append((name, f"COLUMNS: oracle={oschema} spark={sschema}"))
+            continue
+        tbad = [(o, s_) for o, s_ in zip(oschema, sschema)
+                if not type_eq(o[1], s_[1])]
+        if tbad:
+            fails.append((name, f"TYPES: {tbad} (oracle vs spark)"))
             continue
         if len(orows) != len(srows):
             fails.append((name, f"ROWCOUNT: oracle={len(orows)} spark={len(srows)}"))
             continue
-        bad = [(i, o, s) for i, (o, s) in enumerate(zip(orows, srows)) if o != s]
+        bad = [(i, o, s_) for i, (o, s_) in enumerate(zip(orows, srows)) if o != s_]
         if bad:
             i, o, s_ = bad[0]
             fails.append((name, f"VALUES: {len(bad)}/{len(orows)} rows differ; "
