@@ -17,11 +17,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ Relational.queries ++ Joins.queries ++
-      Windows.queries ++ Scalars.queries
+      Windows.queries ++ Scalars.queries ++ LlmOps.queries ++
+      TextOps.queries ++ Multimodal.queries ++ DedupAdvanced.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Aggregates.oracleSql ++ Relational.oracleSql ++ Joins.oracleSql ++
-      Windows.oracleSql ++ Scalars.oracleSql
+      Windows.oracleSql ++ Scalars.oracleSql ++ LlmOps.oracleSql ++
+      TextOps.oracleSql ++ Multimodal.oracleSql ++ DedupAdvanced.oracleSql ++
+      graft.streaming.StreamingOps.oracleSql
 }

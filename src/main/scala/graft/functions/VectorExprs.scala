@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression: dot product of two ArrayType(DoubleType)
+  * columns (SURVEY.md §7.4 stretch, triggered: the higher-order-function
+  * cosine — aggregate(zip_with(...)) — is interpreted, not codegen'd,
+  * and measured ~25µs/pair; this expression generates a tight primitive
+  * loop inside whole-stage codegen instead).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs must be ArrayType(DoubleType); enforced by the single
+  // registration site (AbstractDataType/ExpectsInputTypes are
+  // private[sql] in Spark 4, so no declarative type check here)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Register `dot_product` in the session's function registry so plans
+    * can use it via expr("dot_product(a, b)"). Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_product",
+      { args: Seq[Expression] =>
+        require(args.length == 2, "dot_product(a, b) takes two arguments")
+        DotProduct(args.head, args(1))
+      },
+      "scala_udf")
+}

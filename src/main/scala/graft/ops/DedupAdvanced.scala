@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** Approximate dedup at scale (SURVEY.md §2.J): MinHash-LSH and SimHash.
+  * No DuckDB oracle — both are hash-model-dependent (pinned seeds make
+  * them deterministic run-to-run); ScalaTest checks planted near-dups
+  * are found and precision holds vs exact Jaccard.
+  *
+  * Scale: these ARE the scale paths for near-dup detection. MinHash-LSH
+  * candidate generation is an equi-join on (band, bucket) keys — shuffle
+  * O(docs × bands), never all-pairs. SimHash banding likewise turns
+  * Hamming-radius search into 8 equi-joins on 8-bit band keys.
+  */
+object DedupAdvanced {
+
+  /** Word-3-gram shingle SETS per doc (the discriminative unit on this
+    * corpus: raw word sets are saturated — most doc pairs share most
+    * vocabulary). Built from the codegen'd tokenizer, collected only for
+    * the HashingTF array interface. */
+  private def shingled(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
+      .groupBy($"doc_id").agg(collect_list($"shingle").as("shingles"))
+  }
+
+  /** §2.J MinHash-LSH near-dup pairs via spark.ml (seeded, jaccard
+    * distance ≤ 0.7 on binary shingle-set vectors). */
+  def qDedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    // cached: approxSimilarityJoin self-joins this subtree (both sides)
+    val fdf = tf.transform(shingled(s, dir)).cache()
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(2).setSeed(42L)
+    val model = mh.fit(fdf)
+    model.approxSimilarityJoin(fdf, fdf, 0.7, "jacc_dist")
+      .select(
+        col("datasetA.doc_id").as("a_id"),
+        col("datasetB.doc_id").as("b_id"),
+        r6(col("jacc_dist")).as("jacc_dist"))
+      .filter($"a_id" < $"b_id")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** 63-bit SimHash fingerprints: classic formulation — ONE xxhash64 per
+    * shingle, bit b of the fingerprint = sign of Σ(±1) votes from bit b
+    * of each shingle hash. Shaped as explode → hash → single
+    * HashAggregate with 63 codegen'd conditional sums → Horner packing
+    * (63 bits keeps the long positive: no ANSI overflow). The earlier
+    * nested higher-order-function version was NOT codegen-able
+    * (interpreted lambdas) and was ~100× slower at sf0.1.
+    * Hamming distance downstream is one XOR + bit_count. */
+  private def fingerprints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
+      .withColumn("h", xxhash64($"shingle"))
+    val votes = (0 until 63).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b"))
+    val voted = tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 63).foldLeft(lit(0L)) { (acc, b) =>
+      acc * 2 + when(col(s"b$b") > 0, 1L).otherwise(0L)
+    }
+    voted.select($"doc_id", fp.as("fp"))
+  }
+
+  /** §2.J SimHash fingerprints over shingles (long + display bit string). */
+  def qDedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    fingerprints(s, dir)
+      .join(documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+      .select($"doc_id", $"lang", $"fp",
+        lpad(bin($"fp"), 64, "0").as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  /** §2.J SimHash banding: candidate pairs share one of 8 8-bit bands
+    * (two hex chars of the fingerprint — the Hamming-space LSH);
+    * confirmed at bit_count(xor) ≤ 16. Word-soup fingerprints are
+    * correlated, so raw 8-bit buckets skew huge; the band key also
+    * carries a shingle-count bucket (near-dups have near-equal length)
+    * which splits the hot buckets without hurting recall. */
+  def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // cached: the banding self-join reads this subtree from both sides
+    val lens = graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
+      .groupBy($"doc_id").agg((count(lit(1)) / 64).cast("int").as("lenb"))
+    val fp = fingerprints(s, dir).join(lens, "doc_id").cache()
+    // each doc emits every bit-band under BOTH adjacent length buckets so
+    // near-dups straddling a /64 boundary still collide
+    val banded = fp.select($"doc_id", $"fp",
+      explode(transform(sequence(lit(0), lit(15)),
+        k => concat(pmod(k, lit(8)).cast("string"), lit(":"),
+          ($"lenb" + when(k >= 8, 1).otherwise(0)).cast("string"), lit(":"),
+          hex($"fp").substr(pmod(k, lit(8)) * 2 + 1, lit(2))))).as("band"))
+    banded.as("a")
+      .join(banded.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.fp").as("a_fp"), col("b.fp").as("b_fp"))
+      .distinct()
+      .withColumn("hamming",
+        expr("bit_count(a_fp ^ b_fp)").cast("long"))
+      .filter($"hamming" <= 16)
+      .select($"a_id", $"b_id", $"hamming")
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_simhash" -> qDedupSimhash _,
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairs _
+  )
+
+  /** Intentionally empty: hash-model-dependent ops get the driver's
+    * rows-only check (SparkEntry.scala contract) + ScalaTest coverage. */
+  val oracleSql: Map[String, String] = Map()
+}

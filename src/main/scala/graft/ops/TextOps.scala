@@ -1,0 +1,217 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** Text-analysis operators (SURVEY.md §2.J): token statistics, n-grams,
+  * TF-IDF, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * Scale: tokenization is per-row codegen; the explode → groupBy(word)
+  * aggregations do map-side combine so shuffle volume is O(vocabulary),
+  * not O(tokens). TF-IDF is two hash aggregations + one broadcast of the
+  * (tiny) doc-frequency table per term — no driver-side collection.
+  */
+object TextOps {
+
+  /** §2.J token stats: top-5 words per lang by frequency. */
+  def qTextStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy($"n".desc, $"word")
+    documents(s, dir)
+      .select($"lang", explode(split(lower($"text"), " ")).as("word"))
+      .filter(length($"word") > 0)
+      .groupBy($"lang", $"word")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 5)
+      .select($"lang", $"word", $"n", $"rn")
+      .orderBy($"lang", $"rn")
+  }
+
+  /** §2.J n-grams: top-20 word bigrams, pure SQL (no ml.feature.NGram —
+    * this form is optimizer-transparent and oracle-checkable). */
+  def qTextNgram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.util.Shingles.tok(s, documents(s, dir), 2, includeShort = false)
+      .groupBy($"shingle")
+      .agg(count(lit(1)).as("n"))
+      .withColumnRenamed("shingle", "bigram")
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+
+  /** §2.J TF-IDF: top-3 terms per document (ln(N/df) idf). */
+  def qTextTfidf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val tokens = docs.select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+      .filter(length($"word") > 0)
+    val tf = tokens.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tokens.select($"doc_id", $"word").distinct()
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"word")
+    tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", r6($"tf" * log($"n_docs".cast("double") / $"df")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"doc_id", $"word", $"tf", $"df", $"tfidf", $"rn")
+      .orderBy($"doc_id", $"rn")
+  }
+
+  /** §2.J language-ID heuristic: score fixed marker-token profiles by
+    * occurrence count, argmax with deterministic tie-break. (A real
+    * system would use char-trigram profiles; the *shape* — per-row
+    * scoring against broadcast-constant profiles — is the same.) */
+  def qTextLangid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def occ(pat: String) =
+      ((length($"padded") - length(expr(s"replace(padded, ' $pat ', '')")))
+        / (pat.length + 2)).cast("long")
+    documents(s, dir)
+      .withColumn("padded", concat(lit(" "), lower($"text"), lit(" ")))
+      .withColumn("score_en", occ("the") + occ("a") + occ("of"))
+      .withColumn("score_de", occ("der") + occ("und") + occ("die"))
+      .withColumn("score_fr", occ("le") + occ("et") + occ("la"))
+      .withColumn("pred_lang",
+        when($"score_en" >= $"score_de" && $"score_en" >= $"score_fr", "en")
+          .when($"score_de" >= $"score_fr", "de")
+          .otherwise("fr"))
+      .select($"doc_id", $"lang", $"pred_lang",
+        $"score_en", $"score_de", $"score_fr")
+      .orderBy($"doc_id")
+  }
+
+  /** §2.J quality scoring: token count, word-length stats, stopword
+    * ratio, metadata-consistency ratio → boolean gate. */
+  def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = split(lower($"text"), " ")
+    val stop = Seq("the", "a", "of", "and", "or", "is", "in")
+    documents(s, dir)
+      .withColumn("n_tokens", size(words).cast("long"))
+      .withColumn("n_stop",
+        size(filter(words, w => w.isin(stop.map(lit(_)): _*))).cast("long"))
+      .withColumn("stop_ratio", r6($"n_stop".cast("double") / $"n_tokens"))
+      .withColumn("avg_word_len",
+        r6(($"n_chars" - $"n_tokens" + lit(1)).cast("double") / $"n_tokens"))
+      .withColumn("len_ratio", r6(length($"text").cast("double") / $"n_chars"))
+      .withColumn("quality_ok",
+        $"n_tokens".between(5, 1000) && $"stop_ratio" < 0.5 && $"len_ratio" > 0.1)
+      .select($"doc_id", $"lang", $"n_tokens", $"n_stop", $"stop_ratio",
+        $"avg_word_len", $"len_ratio", $"quality_ok")
+      .orderBy($"doc_id")
+  }
+
+  /** §2.J document fingerprint: min-of-shingle-hashes (a 1-permutation
+    * MinHash — the winnowing-style content signature). Docs sharing a
+    * fingerprint are near-dup candidates at any scale via equi-join. */
+  def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.util.Shingles.tok(s, documents(s, dir), 3)
+      .groupBy($"doc_id")
+      .agg(min(md5($"shingle".cast("binary"))).as("fp"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> qTextStats _,
+    "q_text_ngram" -> qTextNgram _,
+    "q_text_tfidf" -> qTextTfidf _,
+    "q_text_langid" -> qTextLangid _,
+    "q_text_quality" -> qTextQuality _,
+    "q_text_fingerprint" -> qTextFingerprint _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, word, n, rn FROM (
+        |  SELECT lang, word, count(*) AS n,
+        |    row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, word) AS rn
+        |  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+        |        FROM documents)
+        |  WHERE length(word) > 0
+        |  GROUP BY lang, word)
+        |WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "q_text_ngram" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(CASE WHEN len(w) >= 2 THEN
+        |    list_transform(generate_series(1, len(w) - 1),
+        |                   i -> w[i] || ' ' || w[i+1])
+        |    ELSE [] END) AS bigram
+        |  FROM (SELECT string_split(lower(text), ' ') AS w FROM documents))
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "q_text_tfidf" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tokens
+        |       WHERE length(word) > 0 GROUP BY doc_id, word),
+        |df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tokens
+        |       WHERE length(word) > 0 GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, word, tf, df, tfidf, rn FROM (
+        |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC,
+        |               tf.word) AS rn
+        |  FROM tf JOIN df USING (word) CROSS JOIN n)
+        |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_text_langid" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST((length(padded) - length(replace(padded, ' the ', ''))) / 5
+        |       + (length(padded) - length(replace(padded, ' a ', ''))) / 3
+        |       + (length(padded) - length(replace(padded, ' of ', ''))) / 4 AS BIGINT) AS score_en,
+        |    CAST((length(padded) - length(replace(padded, ' der ', ''))) / 5
+        |       + (length(padded) - length(replace(padded, ' und ', ''))) / 5
+        |       + (length(padded) - length(replace(padded, ' die ', ''))) / 5 AS BIGINT) AS score_de,
+        |    CAST((length(padded) - length(replace(padded, ' le ', ''))) / 4
+        |       + (length(padded) - length(replace(padded, ' et ', ''))) / 4
+        |       + (length(padded) - length(replace(padded, ' la ', ''))) / 4 AS BIGINT) AS score_fr
+        |  FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded
+        |        FROM documents))
+        |SELECT doc_id, lang,
+        |  CASE WHEN score_en >= score_de AND score_en >= score_fr THEN 'en'
+        |       WHEN score_de >= score_fr THEN 'de'
+        |       ELSE 'fr' END AS pred_lang,
+        |  score_en, score_de, score_fr
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, lang,
+        |  len(w) AS n_tokens,
+        |  len(list_filter(w, x -> x IN ('the','a','of','and','or','is','in'))) AS n_stop,
+        |  round(len(list_filter(w, x -> x IN ('the','a','of','and','or','is','in')))
+        |        / CAST(len(w) AS DOUBLE), 6) AS stop_ratio,
+        |  round((n_chars - len(w) + 1) / CAST(len(w) AS DOUBLE), 6) AS avg_word_len,
+        |  round(length(text) / CAST(n_chars AS DOUBLE), 6) AS len_ratio,
+        |  (len(w) BETWEEN 5 AND 1000)
+        |    AND (len(list_filter(w, x -> x IN ('the','a','of','and','or','is','in')))
+        |         / CAST(len(w) AS DOUBLE) < 0.5)
+        |    AND (length(text) / CAST(n_chars AS DOUBLE) > 0.1) AS quality_ok
+        |FROM (SELECT doc_id, lang, text, n_chars,
+        |        string_split(lower(text), ' ') AS w
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        |  list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fp,
+        |  len(sh) AS n_shingles
+        |FROM (SELECT doc_id, text,
+        |        CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+        |          list_transform(
+        |            generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |            i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |                 string_split(lower(text), ' ')[i+1] || ' ' ||
+        |                 string_split(lower(text), ' ')[i+2])
+        |        ELSE [text] END AS sh
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin
+  )
+}

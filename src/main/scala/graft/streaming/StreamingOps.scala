@@ -1,0 +1,109 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** One event as fed to streaming graphs (mirrors the events table). */
+case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Per-user running state for the stateful graph. */
+case class UserSpend(user_id: Long, total: Double, n: Long)
+
+/** Structured Streaming operators (SURVEY.md §2.I). The graph builders
+  * take any streaming (or batch) events DataFrame so tests can drive
+  * them with MemoryStream and deterministic replays of events.parquet.
+  *
+  * Scale: each stateful op keys state by a real partition key (window ×
+  * type, user_id) so state shards with the shuffle; watermarks bound
+  * state size. In production the RocksDB state store provider
+  * (spark.sql.streaming.stateStore.providerClass) keeps per-partition
+  * state off-heap; tests flip it on.
+  */
+object StreamingOps {
+
+  /** Tumbling 10-minute window counts per event type (append mode). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .count()
+      .select(col("window.start").as("bucket"), col("event_type"), col("count").as("n"))
+
+  /** Sliding 10-minute window every 5 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .count()
+      .select(col("window.start").as("bucket"), col("event_type"), col("count").as("n"))
+
+  /** Session windows (30-minute gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .count()
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("count").as("n"))
+
+  /** Streaming dedup by event_id within the watermark (NS dedup op). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom state: per-user running spend with processing-time timeout —
+    * flatMapGroupsWithState (the stable Spark 4 custom-state API). */
+  def runningSpend(s: SparkSession, events: Dataset[EventRow]): Dataset[UserSpend] = {
+    import s.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserSpend]) => {
+          val prev = state.getOption.getOrElse(UserSpend(uid, 0.0, 0L))
+          var total = prev.total
+          var n = prev.n
+          rows.foreach { e => total += e.value; n += 1 }
+          val next = UserSpend(uid, total, n)
+          state.update(next)
+          Iterator(next)
+        })
+  }
+
+  /** Stream–static enrichment: events joined to the customer dim. */
+  def enrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(broadcast(customers),
+      events("user_id") === customers("c_custkey"), "left_outer")
+      .select(events("event_id"), events("user_id"), events("value"),
+        customers("c_mktsegment"))
+
+  /** §2.I batch twin (oracle-checked): same tumbling-window aggregation
+    * over the batch events table — proves the window semantics that the
+    * streaming tests replay. */
+  def qBatchTumbling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+      .select(tstr($"window.start").as("bucket"), $"event_type", $"n", $"sum_value")
+      .orderBy($"bucket", $"event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_batch_tumbling" -> qBatchTumbling _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_batch_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin
+  )
+}

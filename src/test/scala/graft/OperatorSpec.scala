@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Per-operator behavior checks on sf0.001 (the oracle gate covers
+  * value-parity at sf0.01; these lock in SEMANTICS and plan shape). */
+class OperatorSpec extends SparkSpec {
+
+  test("every registered query runs and is non-degenerate on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed to execute")
+      assert(df.columns.nonEmpty, s"$name has no columns")
+    }
+  }
+
+  test("entry returns rows > 0 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query key") {
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without query: $dangling")
+  }
+
+  test("broadcast join plan uses BroadcastHashJoin") {
+    val plan = Joins.qJoinBroadcast(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("top-n lowers to TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.qLimitTopn(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("filters are pushed to the parquet scan") {
+    val plan = Relational.qFilterCompound(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull") &&
+      plan.contains("GreaterThanOrEqual(l_quantity"), plan)
+  }
+
+  test("projection prunes parquet columns (ReadSchema is narrow)") {
+    val plan = Aggregates.qAggGroup(spark, sfDir).queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_suppkey") && !readSchema.contains("l_partkey"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("dedup is idempotent") {
+    val once = Relational.qDistinct(spark, sfDir)
+    assert(once.distinct().count() == once.count())
+  }
+
+  test("exact dedup keeps min doc_id per content hash") {
+    val kept = LlmOps.qDedupExact(spark, sfDir)
+    val total = kept.agg(sum("n_copies")).head.getLong(0)
+    val docs = graft.util.Tables.documents(spark, sfDir).count()
+    assert(total == docs, s"n_copies must partition the corpus: $total != $docs")
+  }
+
+  test("cosine is in [-1,1] and cos(v,v)≈1") {
+    val topk = LlmOps.qSimCosineTopk(spark, sfDir).collect()
+    assert(topk.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0))
+    val self = LlmOps.qSimPairwiseStats(spark, sfDir).collect()
+    assert(self.forall(r => math.abs(r.getAs[Double]("mean_cos")) <= 1.0))
+  }
+
+  test("ANN IVF result overlaps brute-force top-k (recall > 0)") {
+    val bf = LlmOps.qSimCosineTopk(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val ivf = LlmOps.qSimAnnIvf(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((bf & ivf).nonEmpty, s"IVF found nothing from brute-force top-k: $ivf vs $bf")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    import spark.implicits._
+    val joined = Aggregates.qAggApproxDistinct(spark, sfDir)
+      .join(Aggregates.qAggDistinct(spark, sfDir), "l_returnflag")
+    joined.select($"and_part", $"nd_part").collect().foreach { r =>
+      val (approx, exact) = (r.getLong(0), r.getLong(1))
+      assert(math.abs(approx - exact).toDouble / exact < 0.05,
+        s"HLL error too big: $approx vs $exact")
+    }
+  }
+
+  test("simhash: planted near-dups (shingle jaccard >= 0.9) get close fingerprints") {
+    import spark.implicits._
+    val fps = DedupAdvanced.qDedupSimhash(spark, sfDir)
+      .select("doc_id", "simhash").as[(Long, String)].collect().toMap
+    // ground truth from the oracle-checked exact shingle-jaccard op
+    val gt = LlmOps.qDedupNgramJaccard(spark, sfDir)
+      .filter($"jaccard" >= 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(gt.nonEmpty, "fixture should contain planted shingle-level near-dups")
+    val hams = gt.map { case (x, y) =>
+      fps(x).zip(fps(y)).count { case (c1, c2) => c1 != c2 }
+    }
+    val mean = hams.sum.toDouble / hams.length
+    assert(mean <= 12.0, s"mean hamming of near-dups too high: $mean")
+  }
+
+  test("minhash finds the planted near-dups the exact jaccard op finds") {
+    import spark.implicits._
+    val exact = LlmOps.qDedupNgramJaccard(spark, sfDir)
+      .filter($"jaccard" >= 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = DedupAdvanced.qDedupMinhash(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"minhash recall too low: $recall")
+  }
+
+  test("multimodal feature extraction is deterministic and batch-shaped") {
+    val f1 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
+    val f2 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
+    assert(f1.length == f2.length && f1.length > 0)
+    val m1 = f1.map(r => r.doc_id -> r.features.toSeq).toMap
+    f2.foreach(r => assert(m1(r.doc_id) == r.features.toSeq, s"nondeterministic features for ${r.doc_id}"))
+    assert(f1.forall(_.features.length == 8))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming._
+
+/** Structured Streaming tests (SURVEY.md §2.I): MemoryStream-driven
+  * graphs with deterministic input, RocksDB state store, late-data
+  * drop assertions, and batch/stream agreement. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  private def startQuery(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode) = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+      .start()
+  }
+
+  test("tumbling window counts + late row dropped in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = startQuery(StreamingOps.tumblingCounts(in.toDF()), "tumbling",
+      OutputMode.Append())
+    // two full 10-min buckets, then advance watermark far ahead
+    in.addData(EventRow(1, ts(1), 1, "click", 1.0),
+      EventRow(2, ts(2), 1, "click", 1.0),
+      EventRow(3, ts(11), 2, "view", 1.0))
+    q.processAllAvailable()
+    in.addData(EventRow(4, ts(59), 1, "click", 1.0)) // watermark -> 00:49
+    q.processAllAvailable()
+    // late event for the long-closed first bucket: must be DROPPED
+    in.addData(EventRow(5, ts(1), 9, "click", 99.0))
+    q.processAllAvailable()
+    in.addData(EventRow(6, ts(59), 1, "click", 1.0)) // nudge another batch
+    q.processAllAvailable()
+    val out = spark.table("tumbling").collect()
+      .map(r => (r.getAs[Timestamp]("bucket").toString, r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    q.stop()
+    assert(out.contains(("2024-01-01 00:00:00.0", "click", 2L)),
+      s"first bucket wrong: ${out.mkString(",")}")
+    assert(!out.exists(_._3 == 3L), s"late row was not dropped: ${out.mkString(",")}")
+  }
+
+  test("session windows merge events within the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = startQuery(StreamingOps.sessionCounts(in.toDF()), "sessions",
+      OutputMode.Complete())
+    in.addData(EventRow(1, ts(0), 7, "click", 1.0),
+      EventRow(2, ts(10), 7, "click", 1.0),  // same session (gap < 30m)
+      EventRow(3, ts(55), 7, "click", 1.0))  // new session
+    q.processAllAvailable()
+    val out = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n")))
+    q.stop()
+    assert(out.toSet == Set((7L, 2L), (7L, 1L)), s"got ${out.mkString(",")}")
+  }
+
+  test("streaming dedup drops in-watermark duplicate event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = startQuery(StreamingOps.dedupStream(in.toDF()), "dedup",
+      OutputMode.Append())
+    in.addData(EventRow(1, ts(1), 1, "click", 1.0),
+      EventRow(1, ts(2), 1, "click", 1.0),  // dup id
+      EventRow(2, ts(3), 1, "view", 1.0))
+    q.processAllAvailable()
+    val n = spark.table("dedup").count()
+    q.stop()
+    assert(n == 2, s"expected 2 rows after dedup, got $n")
+  }
+
+  test("stateful running spend accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.runningSpend(spark, in.toDS()).writeStream
+      .format("memory").queryName("spend").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_spend").toString)
+      .start()
+    in.addData(EventRow(1, ts(1), 5, "buy", 10.0))
+    q.processAllAvailable()
+    in.addData(EventRow(2, ts(2), 5, "buy", 2.5))
+    q.processAllAvailable()
+    val last = spark.table("spend").collect()
+      .filter(_.getAs[Long]("user_id") == 5L)
+      .map(r => (r.getAs[Double]("total"), r.getAs[Long]("n"))).last
+    q.stop()
+    assert(last == (12.5, 2L), s"got $last")
+  }
+
+  test("stream-static enrich joins the customer dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = startQuery(
+      StreamingOps.enrich(in.toDF(), graft.util.Tables.customer(spark, sfDir)),
+      "enrich", OutputMode.Append())
+    in.addData(EventRow(1, ts(1), 3, "click", 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("enrich").collect()
+    q.stop()
+    assert(rows.length == 1 && rows.head.getAs[String]("c_mktsegment") != null)
+  }
+
+  test("batch twin agrees with a foreachBatch streaming replay") {
+    import spark.implicits._
+    // batch result on sf0.001
+    val batch = StreamingOps.qBatchTumbling(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // stream the same parquet through the same window graph
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = startQuery(
+      graft.streaming.StreamingOps.tumblingCounts(in.toDF()), "twin",
+      OutputMode.Complete())
+    val evs = graft.util.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[EventRow].collect()
+    in.addData(evs.toIndexedSeq)
+    q.processAllAvailable()
+    val stream = spark.table("twin").collect()
+      .map(r => (r.getAs[Timestamp]("bucket").toString.stripSuffix(".0"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    q.stop()
+    val batchNorm = batch.map { case (b, t, n) => (b.stripSuffix(".0"), t, n) }
+    assert(stream == batchNorm,
+      s"stream/batch disagree: only-stream=${stream -- batchNorm} only-batch=${batchNorm -- stream}")
+  }
+}
