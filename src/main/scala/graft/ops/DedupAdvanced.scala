@@ -62,12 +62,12 @@ object DedupAdvanced {
       .withColumn("h", xxhash64($"shingle"))
     val votes = (0 until 63).map(b =>
       sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$b"))
+        .otherwise(-1L)).as(s"b$b")) :+ count(lit(1)).as("n_sh")
     val voted = tok.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
     val fp = (0 until 63).foldLeft(lit(0L)) { (acc, b) =>
       acc * 2 + when(col(s"b$b") > 0, 1L).otherwise(0L)
     }
-    voted.select($"doc_id", fp.as("fp"))
+    voted.select($"doc_id", fp.as("fp"), $"n_sh")
   }
 
   /** §2.J SimHash fingerprints over shingles (long + display bit string). */
@@ -89,9 +89,8 @@ object DedupAdvanced {
   def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cached: the banding self-join reads this subtree from both sides
-    val lens = graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
-      .groupBy($"doc_id").agg((count(lit(1)) / 64).cast("int").as("lenb"))
-    val fp = fingerprints(s, dir).join(lens, "doc_id").cache()
+    val fp = fingerprints(s, dir)
+      .withColumn("lenb", ($"n_sh" / 16).cast("int")).cache()
     // each doc emits every bit-band under BOTH adjacent length buckets so
     // near-dups straddling a /64 boundary still collide
     val banded = fp.select($"doc_id", $"fp",

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.H functions deliberately excluded from the DuckDB oracle
+  * (engine-divergent or absent there): soundex, banker's rounding,
+  * fractional months_between. Pinned here so the surface stays covered. */
+class ScalarEdgeSpec extends SparkSpec {
+
+  test("soundex") {
+    import spark.implicits._
+    val r = Seq("Robert", "Rupert", "Ashcraft").toDF("s")
+      .select(soundex($"s")).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("R163", "R163", "A261"))
+  }
+
+  test("bround is banker's rounding (round-half-even)") {
+    import spark.implicits._
+    val r = Seq(2.5, 3.5, -2.5).toDF("x")
+      .select(bround($"x")).collect().map(_.getDouble(0))
+    assert(r.toSeq == Seq(2.0, 4.0, -2.0)) // vs round(): 3, 4, -3
+  }
+
+  test("months_between is fractional on partial months") {
+    import spark.implicits._
+    val r = Seq(1).toDF("i").select(
+      months_between(lit("2020-03-15").cast("timestamp"),
+        lit("2020-01-15").cast("timestamp")).as("full"),
+      round(months_between(lit("2020-03-31").cast("timestamp"),
+        lit("2020-02-01").cast("timestamp")), 4).as("frac"))
+      .head()
+    assert(r.getAs[Double]("full") == 2.0)
+    assert(r.getAs[Double]("frac") == 1.9677) // 30/31 of a month, 31-day basis
+  }
+
+  test("date_sub / add_months / next_day family") {
+    import spark.implicits._
+    val r = Seq(1).toDF("i").select(
+      date_format(date_sub(lit("2020-03-15").cast("date"), 20), "yyyy-MM-dd").as("sub"),
+      date_format(add_months(lit("2020-01-31").cast("date"), 1), "yyyy-MM-dd").as("am"),
+      date_format(next_day(lit("2020-03-15").cast("date"), "Mon"), "yyyy-MM-dd").as("nd"))
+      .head()
+    assert(r.getAs[String]("sub") == "2020-02-24")
+    assert(r.getAs[String]("am") == "2020-02-29")
+    assert(r.getAs[String]("nd") == "2020-03-16")
+  }
+}
