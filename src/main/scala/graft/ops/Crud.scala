@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** The reference's CRUD verbs (SURVEY.md §1.1 mapping), re-expressed as
+  * immutable copy-on-write transforms — update = conditional
+  * recompute, delete = negative filter, upsert = keyed precedence
+  * merge. The "save workbook" half is the parquet write that `Verify`
+  * performs on every query's result.
+  *
+  * Scale: all three are narrow per-row transforms or a single keyed
+  * window — no driver round-trip, no read-modify-write race; at 100 TB
+  * the upsert is the standard shuffle-on-key merge (or a MERGE INTO on
+  * a table format; the plan shape is identical).
+  */
+object Crud {
+
+  /** UPDATE ... SET price = price*1.1 WHERE status = 'O' (reference:
+    * mutate matching cells), emitted as old/new/changed audit rows. */
+  def qCrudUpdate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select(
+        $"o_orderkey",
+        $"o_totalprice".as("old_price"),
+        r4(when($"o_orderstatus" === "O", $"o_totalprice" * 1.1)
+          .otherwise($"o_totalprice")).as("new_price"),
+        ($"o_orderstatus" === "O").as("changed"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** DELETE WHERE status = 'F' (reference: remove rows) — the
+    * surviving relation. */
+  def qCrudDelete(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .filter(!($"o_orderstatus" === "F"))
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  /** UPSERT (reference: insert-or-update by key): a deterministic
+    * updates set — modified balances for custkey < 100 plus brand-new
+    * keys ≥ 100000 — merged over the base table, updates winning. */
+  def qCrudUpsert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = customer(s, dir)
+      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"),
+        lit(0).as("is_update"))
+    val updates = customer(s, dir)
+      .filter($"c_custkey" < 100)
+      .select($"c_custkey", $"c_name", r4($"c_acctbal" + 500.0).as("c_acctbal"),
+        lit(1).as("is_update"))
+      .unionByName(
+        customer(s, dir).filter($"c_custkey" < 5)
+          .select(($"c_custkey" + 100000).as("c_custkey"),
+            concat(lit("New#"), $"c_custkey").as("c_name"),
+            r4(lit(0.0)).as("c_acctbal"), lit(1).as("is_update")))
+    val w = Window.partitionBy($"c_custkey").orderBy($"is_update".desc)
+    base.unionByName(updates)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"c_custkey", $"c_name", $"c_acctbal",
+        ($"is_update" === 1).as("was_upserted"))
+      .orderBy($"c_custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_crud_update" -> qCrudUpdate _,
+    "q_crud_delete" -> qCrudDelete _,
+    "q_crud_upsert" -> qCrudUpsert _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_crud_update" ->
+      """SELECT o_orderkey,
+        |  o_totalprice AS old_price,
+        |  round(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 1.1
+        |        ELSE o_totalprice END, 4) AS new_price,
+        |  o_orderstatus = 'O' AS changed
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_crud_delete" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders WHERE NOT (o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_crud_upsert" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+        |    0 AS is_update
+        |  FROM customer),
+        |updates AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal + 500.0, 4) AS c_acctbal,
+        |    1 AS is_update
+        |  FROM customer WHERE c_custkey < 100
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 'New#' || c_custkey, round(0.0, 4),
+        |    1 AS is_update
+        |  FROM customer WHERE c_custkey < 5)
+        |SELECT c_custkey, c_name, c_acctbal, is_update = 1 AS was_upserted
+        |FROM (SELECT *, row_number() OVER
+        |        (PARTITION BY c_custkey ORDER BY is_update DESC) AS rn
+        |      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
+        |WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin
+  )
+}

@@ -115,6 +115,17 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.8, s"minhash recall too low: $recall")
   }
 
+  test("LSH knn join recovers most of the exact knn pairs") {
+    import spark.implicits._
+    val exact = LlmOps.qSimKnnJoin(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = LlmOps.qSimKnnLsh(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH knn recall too low: $recall")
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val f1 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
     val f2 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
