@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev profiler for the simhash-pairs pipeline: times each stage and
+  * prints candidate-set sizes, to locate where the seconds go at a
+  * given SF. Usage: sbt "runMain graft.tools.ProfileSimhash /root/testdata/sf0.1" */
+object ProfileSimhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-34s ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+
+    spark.range(1).count() // session warmup
+
+    val tok = graft.util.Shingles.tokDistinct(spark,
+      graft.util.Tables.documents(spark, sfDir), 3)
+    t("tok count")(println("  rows=" + tok.count()))
+
+    val tok2 = tok.withColumn("h", xxhash64($"shingle"))
+    val votes = (0 until 63).map(b =>
+      sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b")) :+ count(lit(1)).as("n_sh")
+    val voted = tok2.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    t("fingerprint agg")(println("  docs=" + voted.count()))
+
+    val fpExpr = (0 until 63).foldLeft(lit(0L)) { (acc, b) =>
+      acc * 2 + when(col(s"b$b") > 0, 1L).otherwise(0L)
+    }
+    val fp = voted.select($"doc_id", fpExpr.as("fp"), $"n_sh")
+      .withColumn("lenb", ($"n_sh" / 16).cast("int")).cache()
+    t("fp cache materialize")(fp.count())
+
+    val banded = fp.select($"doc_id", $"fp",
+      explode(transform(sequence(lit(0), lit(15)),
+        k => concat(pmod(k, lit(8)).cast("string"), lit(":"),
+          ($"lenb" + when(k >= 8, 1).otherwise(0)).cast("string"), lit(":"),
+          hex($"fp").substr(pmod(k, lit(8)) * 2 + 1, lit(2))))).as("band"))
+    t("banded count")(println("  bands=" + banded.count()))
+
+    val joined = banded.as("a").join(banded.as("b"), Seq("band"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        col("a.fp").as("a_fp"), col("b.fp").as("b_fp"))
+    t("raw candidates")(println("  cand=" + joined.count()))
+
+    val dist = joined.distinct()
+    t("distinct candidates")(println("  dcand=" + dist.count()))
+
+    val out = dist
+      .withColumn("hamming", expr("bit_count(a_fp ^ b_fp)").cast("long"))
+      .filter($"hamming" <= 16)
+    t("hamming+filter")(println("  pairs=" + out.count()))
+
+    spark.stop()
+  }
+}

@@ -38,7 +38,10 @@ object Shingles {
   }
 
   /** Distinct (doc_id, shingle) — the set form used by Jaccard/MinHash/
-    * SimHash. */
+    * SimHash. Cached: four registry queries build this exact plan, and
+    * Spark's CacheManager matches canonicalized plans, so the first
+    * query materializes it (~250k rows ≈ 30 MB at sf0.1) and the rest
+    * reuse it. */
   def tokDistinct(s: SparkSession, docs: DataFrame, n: Int): DataFrame =
-    tok(s, docs, n).distinct()
+    tok(s, docs, n).distinct().cache()
 }
