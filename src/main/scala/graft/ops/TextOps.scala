@@ -107,6 +107,26 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** §2.J token counting two ways: whitespace tokens and a BPE-ish
+    * regex segmentation (word pieces / punctuation / non-space symbols —
+    * the GPT-2 pretokenizer shape), plus chars-per-token, the standard
+    * LLM-corpus budgeting metric. */
+  def qTextTokens(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // backslash-free pattern (identical literal in Spark SQL + DuckDB):
+    // word pieces | digit runs | any other non-space symbol
+    val bpeish = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    documents(s, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("long").as("ws_tokens"),
+        size(expr(s"regexp_extract_all(text, '$bpeish', 0)")).cast("long")
+          .as("bpe_tokens"),
+        length($"text").cast("long").as("n_chars_text"))
+      .withColumn("chars_per_tok",
+        r6($"n_chars_text".cast("double") / $"bpe_tokens"))
+      .orderBy($"doc_id")
+  }
+
   /** §2.J document fingerprint: min-of-shingle-hashes (a 1-permutation
     * MinHash — the winnowing-style content signature). Docs sharing a
     * fingerprint are near-dup candidates at any scale via equi-join. */
@@ -125,6 +145,7 @@ object TextOps {
     "q_text_tfidf" -> qTextTfidf _,
     "q_text_langid" -> qTextLangid _,
     "q_text_quality" -> qTextQuality _,
+    "q_text_tokens" -> qTextTokens _,
     "q_text_fingerprint" -> qTextFingerprint _
   )
 
@@ -199,6 +220,16 @@ object TextOps {
         |        string_split(lower(text), ' ') AS w
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))
+        |    AS bpe_tokens,
+        |  length(text) AS n_chars_text,
+        |  round(length(text) /
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))
+        |         AS DOUBLE), 6) AS chars_per_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fp,

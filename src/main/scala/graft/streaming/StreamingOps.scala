@@ -74,6 +74,38 @@ object StreamingOps {
         })
   }
 
+  /** Spark 4 `transformWithState` processor: per-user running spend via
+    * an explicit ValueState handle — the modern custom-state API (state
+    * lives in the per-partition store, sharded by the groupBy key). */
+  class SpendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, UserSpend] {
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[UserSpend] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserSpend]("spend",
+        Encoders.product[UserSpend], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[UserSpend] = {
+      val prev = Option(state.get()).getOrElse(UserSpend(key, 0.0, 0L))
+      var total = prev.total
+      var n = prev.n
+      rows.foreach { e => total += e.value; n += 1 }
+      val next = UserSpend(key, total, n)
+      state.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** Per-user running spend on the Spark 4 transformWithState API. */
+  def runningSpendTws(s: SparkSession, events: Dataset[EventRow]): Dataset[UserSpend] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendProcessor, TimeMode.None(), OM.Update())
+  }
+
   /** Stream–static enrichment: events joined to the customer dim. */
   def enrich(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(broadcast(customers),

@@ -101,6 +101,26 @@ class StreamingSpec extends SparkSpec {
     assert(last == (12.5, 2L), s"got $last")
   }
 
+  test("transformWithState running spend accumulates (Spark 4 API)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = StreamingOps.runningSpendTws(spark, in.toDS()).writeStream
+      .format("memory").queryName("spend_tws").outputMode("update")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ckpt_tws").toString)
+      .start()
+    in.addData(EventRow(1, ts(1), 9, "buy", 4.0))
+    q.processAllAvailable()
+    in.addData(EventRow(2, ts(2), 9, "buy", 6.0))
+    q.processAllAvailable()
+    val last = spark.table("spend_tws").collect()
+      .filter(_.getAs[Long]("user_id") == 9L)
+      .map(r => (r.getAs[Double]("total"), r.getAs[Long]("n"))).last
+    q.stop()
+    assert(last == (10.0, 2L), s"got $last")
+  }
+
   test("stream-static enrich joins the customer dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
