@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-posture checks (SURVEY.md §4/§7.5): bucketed co-located joins
+  * eliminate the shuffle, salting restores parallelism on hot keys, and
+  * the session extension makes the native expressions SQL-visible. */
+class ScaleSpec extends SparkSpec {
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    graft.util.Tables.orders(spark, sfDir)
+      .write.bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    graft.util.Tables.customer(spark, sfDir)
+      .write.bucketBy(4, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    // disable broadcast so the join would OTHERWISE shuffle both sides
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(j.count() == graft.util.Tables.orders(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join on skewed data") {
+    import spark.implicits._
+    // hot key: 90% of rows share key 1
+    val big = (1 to 2000).map(i => (if (i % 10 == 0) i.toLong else 1L, i))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (20L, "cold"), (30L, "cold")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).agg(count(lit(1)), sum($"v")).head()
+    val salted = graft.util.Skew.saltedJoin(big, small, "k", 8)
+      .agg(count(lit(1)), sum($"v")).head()
+    assert(plain == salted, s"salted join diverged: $plain vs $salted")
+  }
+
+  test("dot_product is SQL-visible via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(r == 11.0)
+  }
+
+  test("dot_product participates in whole-stage codegen") {
+    import spark.implicits._
+    val df = graft.util.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .selectExpr("vec_id", "dot_product(e, e) AS n2")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"no codegen span around dot_product:\n$plan")
+  }
+}
