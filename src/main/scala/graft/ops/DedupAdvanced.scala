@@ -56,7 +56,7 @@ object DedupAdvanced {
     * nested higher-order-function version was NOT codegen-able
     * (interpreted lambdas) and was ~100× slower at sf0.1.
     * Hamming distance downstream is one XOR + bit_count. */
-  private def fingerprints(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def fingerprints(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tok = graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
       .withColumn("h", xxhash64($"shingle"))
@@ -80,24 +80,31 @@ object DedupAdvanced {
       .orderBy($"doc_id")
   }
 
+  /** The 16 band keys per doc: 8 8-bit bands (two chars of the
+    * ZERO-PADDED 16-char hex fingerprint — unpadded hex() drops leading
+    * zeros and misaligns every band) × both adjacent length buckets so
+    * near-dups straddling a bucket boundary still collide. Shared with
+    * the profiler so production and measurement can't drift. */
+  private[graft] def bandKeys(fpHex: org.apache.spark.sql.Column,
+      lenb: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), lit(15)),
+      k => concat(pmod(k, lit(8)).cast("string"), lit(":"),
+        (lenb + when(k >= 8, 1).otherwise(0)).cast("string"), lit(":"),
+        fpHex.substr(pmod(k, lit(8)) * 2 + 1, lit(2))))
+
   /** §2.J SimHash banding: candidate pairs share one of 8 8-bit bands
-    * (two hex chars of the fingerprint — the Hamming-space LSH);
-    * confirmed at bit_count(xor) ≤ 16. Word-soup fingerprints are
-    * correlated, so raw 8-bit buckets skew huge; the band key also
-    * carries a shingle-count bucket (near-dups have near-equal length)
-    * which splits the hot buckets without hurting recall. */
+    * (the Hamming-space LSH); confirmed at bit_count(xor) ≤ 16.
+    * Word-soup fingerprints are correlated, so raw 8-bit buckets skew
+    * huge; the band key also carries a shingle-count bucket (near-dups
+    * have near-equal length) which splits the hot buckets without
+    * hurting recall. */
   def qDedupSimhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // cached: the banding self-join reads this subtree from both sides
     val fp = fingerprints(s, dir)
       .withColumn("lenb", ($"n_sh" / 16).cast("int")).cache()
-    // each doc emits every bit-band under BOTH adjacent length buckets so
-    // near-dups straddling a /64 boundary still collide
     val banded = fp.select($"doc_id", $"fp",
-      explode(transform(sequence(lit(0), lit(15)),
-        k => concat(pmod(k, lit(8)).cast("string"), lit(":"),
-          ($"lenb" + when(k >= 8, 1).otherwise(0)).cast("string"), lit(":"),
-          hex($"fp").substr(pmod(k, lit(8)) * 2 + 1, lit(2))))).as("band"))
+      explode(bandKeys(lpad(hex($"fp"), 16, "0"), $"lenb")).as("band"))
     banded.as("a")
       .join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))

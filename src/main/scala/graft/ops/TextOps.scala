@@ -96,12 +96,17 @@ object TextOps {
       .withColumn("n_tokens", size(words).cast("long"))
       .withColumn("n_stop",
         size(filter(words, w => w.isin(stop.map(lit(_)): _*))).cast("long"))
-      .withColumn("stop_ratio", r6($"n_stop".cast("double") / $"n_tokens"))
+      // gate compares the UNROUNDED ratios (the oracle does too; the
+      // rounded display columns would flip the boolean near thresholds)
+      .withColumn("raw_stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+      .withColumn("raw_len_ratio", length($"text").cast("double") / $"n_chars")
+      .withColumn("stop_ratio", r6($"raw_stop_ratio"))
       .withColumn("avg_word_len",
         r6(($"n_chars" - $"n_tokens" + lit(1)).cast("double") / $"n_tokens"))
-      .withColumn("len_ratio", r6(length($"text").cast("double") / $"n_chars"))
+      .withColumn("len_ratio", r6($"raw_len_ratio"))
       .withColumn("quality_ok",
-        $"n_tokens".between(5, 1000) && $"stop_ratio" < 0.5 && $"len_ratio" > 0.1)
+        $"n_tokens".between(5, 1000) && $"raw_stop_ratio" < 0.5 &&
+          $"raw_len_ratio" > 0.1)
       .select($"doc_id", $"lang", $"n_tokens", $"n_stop", $"stop_ratio",
         $"avg_word_len", $"len_ratio", $"quality_ok")
       .orderBy($"doc_id")
@@ -241,7 +246,7 @@ object TextOps {
         |            i -> string_split(lower(text), ' ')[i] || ' ' ||
         |                 string_split(lower(text), ' ')[i+1] || ' ' ||
         |                 string_split(lower(text), ' ')[i+2])
-        |        ELSE [text] END AS sh
+        |        ELSE [lower(text)] END AS sh
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin
   )

@@ -125,8 +125,33 @@ object StreamingOps {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** §2.I batch sessionization (the batch twin of `session_window`):
+    * a session boundary is a gap > 30 minutes since the user's previous
+    * event; session id = running count of boundaries. One shuffle on
+    * user_id; the lag + cumulative-sum window pair is the canonical
+    * distributed sessionizer at any scale. */
+  def qSessionizeBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, dir)
+      .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      .withColumn("boundary",
+        when($"prev_ts".isNull ||
+          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"boundary").over(run))
+      .groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        tstr(min($"ts")).as("session_start"),
+        r4(sum($"value")).as("session_value"))
+      .orderBy($"user_id", $"session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_batch_tumbling" -> qBatchTumbling _
+    "q_batch_tumbling" -> qBatchTumbling _,
+    "q_sessionize_batch" -> qSessionizeBatch _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -136,6 +161,27 @@ object StreamingOps {
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events
         |GROUP BY bucket, event_type
-        |ORDER BY bucket, event_type""".stripMargin
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q_sessionize_batch" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  round(sum(value), 4) AS session_value
+        |FROM sessions
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }

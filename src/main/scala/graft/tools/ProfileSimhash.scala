@@ -31,25 +31,17 @@ object ProfileSimhash {
       graft.util.Tables.documents(spark, sfDir), 3)
     t("tok count")(println("  rows=" + tok.count()))
 
-    val tok2 = tok.withColumn("h", xxhash64($"shingle"))
-    val votes = (0 until 63).map(b =>
-      sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"b$b")) :+ count(lit(1)).as("n_sh")
-    val voted = tok2.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
-    t("fingerprint agg")(println("  docs=" + voted.count()))
+    // the PRODUCTION fingerprint pipeline (no copy — measurement and
+    // production must not drift)
+    val fpBase = graft.ops.DedupAdvanced.fingerprints(spark, sfDir)
+    t("fingerprint agg")(println("  docs=" + fpBase.count()))
 
-    val fpExpr = (0 until 63).foldLeft(lit(0L)) { (acc, b) =>
-      acc * 2 + when(col(s"b$b") > 0, 1L).otherwise(0L)
-    }
-    val fp = voted.select($"doc_id", fpExpr.as("fp"), $"n_sh")
-      .withColumn("lenb", ($"n_sh" / 16).cast("int")).cache()
+    val fp = fpBase.withColumn("lenb", ($"n_sh" / 16).cast("int")).cache()
     t("fp cache materialize")(fp.count())
 
     val banded = fp.select($"doc_id", $"fp",
-      explode(transform(sequence(lit(0), lit(15)),
-        k => concat(pmod(k, lit(8)).cast("string"), lit(":"),
-          ($"lenb" + when(k >= 8, 1).otherwise(0)).cast("string"), lit(":"),
-          hex($"fp").substr(pmod(k, lit(8)) * 2 + 1, lit(2))))).as("band"))
+      explode(graft.ops.DedupAdvanced.bandKeys(
+        lpad(hex($"fp"), 16, "0"), $"lenb")).as("band"))
     t("banded count")(println("  bands=" + banded.count()))
 
     val joined = banded.as("a").join(banded.as("b"), Seq("band"))

@@ -21,6 +21,12 @@ object Skew {
     * exploded to all salt values. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int,
       joinType: String = "inner"): DataFrame = {
+    // outer-preserving the SMALL side is unsound here: its rows are
+    // replicated `salts` ways, so right/full outer would emit each
+    // unmatched small row `salts` times
+    require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      s"saltedJoin supports inner/left/semi/anti join types, got $joinType")
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)))
     val smallSalted = small.withColumn("__salt",

@@ -7,11 +7,11 @@ import graft.ops._
   * value-parity at sf0.01; these lock in SEMANTICS and plan shape). */
 class OperatorSpec extends SparkSpec {
 
-  test("every registered query runs and is non-degenerate on sf0.001") {
+  test("every registered query runs and returns rows on sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val n = df.count()
-      assert(n >= 0, s"$name failed to execute")
+      assert(n > 0, s"$name returned an empty result — degenerate query")
       assert(df.columns.nonEmpty, s"$name has no columns")
     }
   }

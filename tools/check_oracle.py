@@ -29,7 +29,11 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # FULL precision: the r4/r6 discipline must make both engines
+        # produce bit-identical doubles; 10 sig digits would mask exactly
+        # the 4th-decimal drift on ~1e8-magnitude aggregates that this
+        # tool exists to catch
+        return f"{v:.17g}"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm(x) for x in v) + "]"
     if isinstance(v, dict):
