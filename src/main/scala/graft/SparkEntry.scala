@@ -19,7 +19,8 @@ object SparkEntry {
     Aggregates.queries ++ Relational.queries ++ Joins.queries ++
       Windows.queries ++ Scalars.queries ++ LlmOps.queries ++
       TextOps.queries ++ Multimodal.queries ++ DedupAdvanced.queries ++
-      graft.streaming.StreamingOps.queries ++ Crud.queries
+      graft.streaming.StreamingOps.queries ++ Crud.queries ++
+      Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     Aggregates.oracleSql ++ Relational.oracleSql ++ Joins.oracleSql ++
       Windows.oracleSql ++ Scalars.oracleSql ++ LlmOps.oracleSql ++
       TextOps.oracleSql ++ Multimodal.oracleSql ++ DedupAdvanced.oracleSql ++
-      graft.streaming.StreamingOps.oracleSql ++ Crud.oracleSql
+      graft.streaming.StreamingOps.oracleSql ++ Crud.oracleSql ++
+      Pipeline.oracleSql
 }

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** Composition queries: whole pipelines built from the engine's own
+  * operators — the "a user runs their entire prep pipeline on this"
+  * demonstrators.
+  *
+  * Scale: both queries are chains of the already-scale-audited pieces
+  * (hash dedup, quality gate, broadcast/keyed joins, windows); nothing
+  * new shuffles. The training-set builder's joins key on doc_id/vec_id
+  * so the whole chain co-partitions after the first shuffle.
+  */
+object Pipeline {
+
+  /** LLM training-set builder: documents → exact-dedup winners →
+    * quality gate → language allowlist → attach embeddings → emit
+    * training rows with token counts and labels. */
+  def qPipelineTrainset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    // exact-dedup winners (min doc_id per content hash)
+    val winners = docs
+      .withColumn("h", sha2(lower(trim($"text")), 256))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"h").orderBy($"doc_id")))
+      .filter($"rn" === 1)
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    // quality gate + language allowlist
+    val words = split(lower($"text"), " ")
+    val kept = winners
+      .withColumn("n_tokens", size(words).cast("long"))
+      .filter($"n_tokens".between(5, 1000) &&
+        length($"text").cast("double") / $"n_chars" > 0.1 &&
+        $"lang".isin("en", "fr", "es"))
+    // attach embeddings (doc_id = vec_id in the fixtures)
+    kept
+      .join(embeddings(s, dir), kept("doc_id") === col("vec_id"), "inner")
+      .select($"doc_id", $"lang", $"n_tokens", $"label",
+        r6(element_at($"embedding".cast("array<double>"), 1)).as("e0"))
+      .orderBy($"doc_id")
+  }
+
+  /** Conversion funnel: per user, clicks followed by a purchase within
+    * two hours (event-sequence analysis over the interval-join shape). */
+  def qPipelineFunnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
+        $"ts".as("p_ts"))
+    val conv = clicks.join(purchases,
+      $"user_id" === $"p_user" &&
+        $"p_ts" > $"click_ts" &&
+        $"p_ts" <= $"click_ts" + expr("INTERVAL 2 HOURS"))
+      .groupBy($"user_id")
+      .agg(countDistinct($"purchase_id").as("n_conversions"))
+    e.groupBy($"user_id")
+      .agg(
+        count(when($"event_type" === "click", 1)).as("n_clicks"),
+        count(when($"event_type" === "purchase", 1)).as("n_purchases"))
+      .join(conv, Seq("user_id"), "left_outer")
+      .select($"user_id", $"n_clicks", $"n_purchases",
+        coalesce($"n_conversions", lit(0L)).as("n_conversions"),
+        (coalesce($"n_conversions", lit(0L)) > 0).as("converted"))
+      .orderBy($"user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_trainset" -> qPipelineTrainset _,
+    "q_pipeline_funnel" -> qPipelineFunnel _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pipeline_trainset" ->
+      """WITH winners AS (
+        |  SELECT doc_id, text, lang, n_chars FROM (
+        |    SELECT doc_id, text, lang, n_chars,
+        |      row_number() OVER (PARTITION BY sha256(lower(trim(text)))
+        |                         ORDER BY doc_id) AS rn
+        |    FROM documents)
+        |  WHERE rn = 1),
+        |kept AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(lower(text), ' ')) AS n_tokens
+        |  FROM winners
+        |  WHERE len(string_split(lower(text), ' ')) BETWEEN 5 AND 1000
+        |    AND length(text) / CAST(n_chars AS DOUBLE) > 0.1
+        |    AND lang IN ('en', 'fr', 'es'))
+        |SELECT k.doc_id, k.lang, k.n_tokens, e.label,
+        |  round(CAST(e.embedding[1] AS DOUBLE), 6) AS e0
+        |FROM kept k JOIN embeddings e ON k.doc_id = e.vec_id
+        |ORDER BY k.doc_id""".stripMargin,
+    "q_pipeline_funnel" ->
+      """WITH conv AS (
+        |  SELECT c.user_id, count(DISTINCT p.event_id) AS n_conversions
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |  JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |    ON p.user_id = c.user_id
+        |   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 2 HOUR
+        |  GROUP BY c.user_id),
+        |totals AS (
+        |  SELECT user_id,
+        |    count(*) FILTER (event_type = 'click') AS n_clicks,
+        |    count(*) FILTER (event_type = 'purchase') AS n_purchases
+        |  FROM events GROUP BY user_id)
+        |SELECT t.user_id, t.n_clicks, t.n_purchases,
+        |  coalesce(conv.n_conversions, 0) AS n_conversions,
+        |  coalesce(conv.n_conversions, 0) > 0 AS converted
+        |FROM totals t LEFT JOIN conv ON t.user_id = conv.user_id
+        |ORDER BY t.user_id""".stripMargin
+  )
+}

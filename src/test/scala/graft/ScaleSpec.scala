@@ -44,6 +44,16 @@ class ScaleSpec extends SparkSpec {
     assert(plain == salted, s"salted join diverged: $plain vs $salted")
   }
 
+  test("saltedJoin rejects outer types that would replicate the small side") {
+    import spark.implicits._
+    val big = Seq((1L, 1)).toDF("k", "v")
+    val small = Seq((1L, "x")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      graft.util.Skew.saltedJoin(big, small, "k", 4, "right_outer")
+    }
+    assert(e.getMessage.contains("saltedJoin supports"))
+  }
+
   test("dot_product is SQL-visible via GraftExtensions") {
     val r = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
