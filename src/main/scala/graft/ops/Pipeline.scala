@@ -72,9 +72,30 @@ object Pipeline {
       .orderBy($"user_id")
   }
 
+  /** The SQL entry point (SURVEY.md §3.2 E2) exercised end-to-end: the
+    * reference's "workbook = named collection of sheets" becomes temp
+    * views in the session catalog, queried with multi-join ANSI SQL.
+    * Same Catalyst pipeline from analysis onward as the DSL queries. */
+  def qSqlRevenue(s: SparkSession, dir: String): DataFrame = {
+    Seq("orders", "customer", "nation", "region")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(s"v_$n"))
+    s.sql(
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  round(sum(o.o_totalprice), 4) AS revenue,
+        |  count(*) AS n_orders
+        |FROM v_orders o
+        |JOIN v_customer c ON o.o_custkey = c.c_custkey
+        |JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY region, nation""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_trainset" -> qPipelineTrainset _,
-    "q_pipeline_funnel" -> qPipelineFunnel _
+    "q_pipeline_funnel" -> qPipelineFunnel _,
+    "q_sql_revenue" -> qSqlRevenue _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -114,6 +135,17 @@ object Pipeline {
         |  coalesce(conv.n_conversions, 0) AS n_conversions,
         |  coalesce(conv.n_conversions, 0) > 0 AS converted
         |FROM totals t LEFT JOIN conv ON t.user_id = conv.user_id
-        |ORDER BY t.user_id""".stripMargin
+        |ORDER BY t.user_id""".stripMargin,
+    "q_sql_revenue" ->
+      """SELECT r.r_name AS region, n.n_name AS nation,
+        |  round(sum(o.o_totalprice), 4) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY r.r_name, n.n_name
+        |ORDER BY region, nation""".stripMargin
   )
 }

@@ -33,6 +33,27 @@ class ScalarEdgeSpec extends SparkSpec {
     assert(r.getAs[Double]("frac") == 1.9677) // 30/31 of a month, 31-day basis
   }
 
+  test("map_concat / map_from_entries (no DuckDB equivalents)") {
+    import spark.implicits._
+    val r = Seq(1).toDF("i").select(
+      map_concat(map(lit("a"), lit(1)), map(lit("b"), lit(2))).as("m"),
+      map_from_entries(array(struct(lit("k1"), lit(10)),
+        struct(lit("k2"), lit(20)))).as("me"))
+      .head()
+    assert(r.getAs[Map[String, Int]]("m") == Map("a" -> 1, "b" -> 2))
+    assert(r.getAs[Map[String, Int]]("me") == Map("k1" -> 10, "k2" -> 20))
+  }
+
+  test("json_tuple and schema_of_json") {
+    import spark.implicits._
+    val jt = Seq("""{"k": 7, "t": "x"}""").toDF("js")
+      .select(json_tuple($"js", "k", "t")).head()
+    assert(jt.getString(0) == "7" && jt.getString(1) == "x")
+    val sch = Seq(1).toDF("i")
+      .select(schema_of_json(lit("""{"k": 7}"""))).head().getString(0)
+    assert(sch.contains("k") && sch.toUpperCase.contains("BIGINT"), sch)
+  }
+
   test("date_sub / add_months / next_day family") {
     import spark.implicits._
     val r = Seq(1).toDF("i").select(
