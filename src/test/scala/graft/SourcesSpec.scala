@@ -48,6 +48,17 @@ class SourcesSpec extends SparkSpec {
     assert(df.select(col("m.k")).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L))
   }
 
+  test("orc roundtrip preserves schema and values") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("orc_rt").toString
+    val nation = graft.util.Tables.nation(spark, sfDir)
+    nation.write.mode("overwrite").orc(s"$tmp/nation")
+    val back = spark.read.orc(s"$tmp/nation")
+    assert(back.schema == nation.schema)
+    assert(back.orderBy($"n_nationkey").collect().map(_.toSeq).toSeq ==
+      nation.orderBy($"n_nationkey").collect().map(_.toSeq).toSeq)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("part_w").toString
