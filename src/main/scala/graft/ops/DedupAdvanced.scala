@@ -80,17 +80,20 @@ object DedupAdvanced {
       .orderBy($"doc_id")
   }
 
-  /** The 16 band keys per doc: 8 8-bit bands (two chars of the
-    * ZERO-PADDED 16-char hex fingerprint — unpadded hex() drops leading
-    * zeros and misaligns every band) × both adjacent length buckets so
+  /** The 16 band keys per doc from the RAW fingerprint long: 8 8-bit
+    * bands (two chars of the hex form, zero-padded HERE — unpadded
+    * hex() drops leading zeros and misaligns every band, the exact bug
+    * this helper's extraction fixed) × both adjacent length buckets so
     * near-dups straddling a bucket boundary still collide. Shared with
     * the profiler so production and measurement can't drift. */
-  private[graft] def bandKeys(fpHex: org.apache.spark.sql.Column,
-      lenb: org.apache.spark.sql.Column) =
+  private[graft] def bandKeys(fp: org.apache.spark.sql.Column,
+      lenb: org.apache.spark.sql.Column) = {
+    val fpHex = lpad(hex(fp), 16, "0")
     transform(sequence(lit(0), lit(15)),
       k => concat(pmod(k, lit(8)).cast("string"), lit(":"),
         (lenb + when(k >= 8, 1).otherwise(0)).cast("string"), lit(":"),
         fpHex.substr(pmod(k, lit(8)) * 2 + 1, lit(2))))
+  }
 
   /** §2.J SimHash banding: candidate pairs share one of 8 8-bit bands
     * (the Hamming-space LSH); confirmed at bit_count(xor) ≤ 16.
@@ -104,7 +107,7 @@ object DedupAdvanced {
     val fp = fingerprints(s, dir)
       .withColumn("lenb", ($"n_sh" / 16).cast("int")).cache()
     val banded = fp.select($"doc_id", $"fp",
-      explode(bandKeys(lpad(hex($"fp"), 16, "0"), $"lenb")).as("band"))
+      explode(bandKeys($"fp", $"lenb")).as("band"))
     banded.as("a")
       .join(banded.as("b"), Seq("band"))
       .filter(col("a.doc_id") < col("b.doc_id"))

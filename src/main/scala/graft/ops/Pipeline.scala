@@ -22,20 +22,14 @@ object Pipeline {
     * training rows with token counts and labels. */
   def qPipelineTrainset(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = documents(s, dir)
-    // exact-dedup winners (min doc_id per content hash)
-    val winners = docs
-      .withColumn("h", sha2(lower(trim($"text")), 256))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"h").orderBy($"doc_id")))
+    // exact-dedup winners (SHARED core with q_dedup_exact) → the SHARED
+    // quality gate (same thresholds as q_text_quality) → lang allowlist
+    val winners = LlmOps.withDedupRank(documents(s, dir))
       .filter($"rn" === 1)
       .select($"doc_id", $"text", $"lang", $"n_chars")
-    // quality gate + language allowlist
-    val words = split(lower($"text"), " ")
     val kept = winners
-      .withColumn("n_tokens", size(words).cast("long"))
-      .filter($"n_tokens".between(5, 1000) &&
-        length($"text").cast("double") / $"n_chars" > 0.1 &&
+      .withColumn("n_tokens", size(split(lower($"text"), " ")).cast("long"))
+      .filter(TextOps.qualityOk($"text", $"n_chars") &&
         $"lang".isin("en", "fr", "es"))
     // attach embeddings (doc_id = vec_id in the fixtures)
     kept
@@ -51,7 +45,7 @@ object Pipeline {
     import s.implicits._
     val e = events(s, dir)
     val clicks = e.filter($"event_type" === "click")
-      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+      .select($"user_id", $"ts".as("click_ts"))
     val purchases = e.filter($"event_type" === "purchase")
       .select($"user_id".as("p_user"), $"event_id".as("purchase_id"),
         $"ts".as("p_ts"))
@@ -112,6 +106,9 @@ object Pipeline {
         |    len(string_split(lower(text), ' ')) AS n_tokens
         |  FROM winners
         |  WHERE len(string_split(lower(text), ' ')) BETWEEN 5 AND 1000
+        |    AND len(list_filter(string_split(lower(text), ' '),
+        |          x -> x IN ('the','a','of','and','or','is','in')))
+        |        / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) < 0.5
         |    AND length(text) / CAST(n_chars AS DOUBLE) > 0.1
         |    AND lang IN ('en', 'fr', 'es'))
         |SELECT k.doc_id, k.lang, k.n_tokens, e.label,

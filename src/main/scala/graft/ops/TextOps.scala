@@ -86,12 +86,28 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  private[graft] val stopwords = Seq("the", "a", "of", "and", "or", "is", "in")
+
+  /** The quality gate as a single boolean Column — shared with the
+    * pipeline composition so thresholds can't drift. Conditions:
+    * 5–1000 tokens, stopword ratio < 0.5, text/metadata length ratio
+    * > 0.1 (all on UNROUNDED values). */
+  private[graft] def qualityOk(text: org.apache.spark.sql.Column,
+      nChars: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val w = split(lower(text), " ")
+    val nTokens = size(w)
+    val nStop = size(filter(w, x => x.isin(stopwords.map(lit(_)): _*)))
+    nTokens.between(5, 1000) &&
+      nStop.cast("double") / nTokens < 0.5 &&
+      length(text).cast("double") / nChars > 0.1
+  }
+
   /** §2.J quality scoring: token count, word-length stats, stopword
     * ratio, metadata-consistency ratio → boolean gate. */
   def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = split(lower($"text"), " ")
-    val stop = Seq("the", "a", "of", "and", "or", "is", "in")
+    val stop = stopwords
     documents(s, dir)
       .withColumn("n_tokens", size(words).cast("long"))
       .withColumn("n_stop",
@@ -104,9 +120,7 @@ object TextOps {
       .withColumn("avg_word_len",
         r6(($"n_chars" - $"n_tokens" + lit(1)).cast("double") / $"n_tokens"))
       .withColumn("len_ratio", r6($"raw_len_ratio"))
-      .withColumn("quality_ok",
-        $"n_tokens".between(5, 1000) && $"raw_stop_ratio" < 0.5 &&
-          $"raw_len_ratio" > 0.1)
+      .withColumn("quality_ok", qualityOk($"text", $"n_chars"))
       .select($"doc_id", $"lang", $"n_tokens", $"n_stop", $"stop_ratio",
         $"avg_word_len", $"len_ratio", $"quality_ok")
       .orderBy($"doc_id")

@@ -137,9 +137,11 @@ object StreamingOps {
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, dir)
       .withColumn("prev_ts", lag($"ts", 1).over(byUser))
+      // direct timestamp comparison — exact at each engine's precision;
+      // truncating to whole seconds would misclassify gaps in (30m, 30m1s)
       .withColumn("boundary",
         when($"prev_ts".isNull ||
-          unix_timestamp($"ts") - unix_timestamp($"prev_ts") > 1800, 1L)
+          $"ts" > $"prev_ts" + expr("INTERVAL 30 MINUTES"), 1L)
           .otherwise(0L))
       .withColumn("session_id", sum($"boundary").over(run))
       .groupBy($"user_id", $"session_id")
@@ -166,8 +168,7 @@ object StreamingOps {
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS boundary
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

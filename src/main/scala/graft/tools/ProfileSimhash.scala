@@ -40,8 +40,7 @@ object ProfileSimhash {
     t("fp cache materialize")(fp.count())
 
     val banded = fp.select($"doc_id", $"fp",
-      explode(graft.ops.DedupAdvanced.bandKeys(
-        lpad(hex($"fp"), 16, "0"), $"lenb")).as("band"))
+      explode(graft.ops.DedupAdvanced.bandKeys($"fp", $"lenb")).as("band"))
     t("banded count")(println("  bands=" + banded.count()))
 
     val joined = banded.as("a").join(banded.as("b"), Seq("band"))

@@ -25,7 +25,8 @@ object Skew {
     // replicated `salts` ways, so right/full outer would emit each
     // unmatched small row `salts` times
     require(Set("inner", "left", "left_outer", "leftouter", "left_semi",
-      "leftsemi", "left_anti", "leftanti").contains(joinType.toLowerCase),
+      "leftsemi", "semi", "left_anti", "leftanti", "anti")
+      .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/semi/anti join types, got $joinType")
     val bigSalted = big.withColumn("__salt",
       pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)))
