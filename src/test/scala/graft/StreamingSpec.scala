@@ -50,6 +50,22 @@ class StreamingSpec extends SparkSpec {
     assert(!out.exists(_._3 == 3L), s"late row was not dropped: ${out.mkString(",")}")
   }
 
+  test("sliding windows assign each event to overlapping buckets") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    val q = startQuery(StreamingOps.slidingCounts(in.toDF()), "sliding",
+      OutputMode.Complete())
+    // 00:07 lands in windows [00:00,00:10) and [00:05,00:15)
+    in.addData(EventRow(1, ts(7), 1, "click", 1.0))
+    q.processAllAvailable()
+    val buckets = spark.table("sliding").collect()
+      .map(_.getAs[Timestamp]("bucket").toString).sorted
+    q.stop()
+    assert(buckets.toSeq == Seq("2024-01-01 00:00:00.0", "2024-01-01 00:05:00.0"),
+      s"got ${buckets.mkString(",")}")
+  }
+
   test("session windows merge events within the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
