@@ -112,7 +112,9 @@ object Aggregates {
     customer(s, dir)
       .groupBy($"c_nationkey")
       .agg(
-        sort_array(collect_set($"c_mktsegment")).as("segments"),
+        // serialized ('|'-joined), not a raw array: the driver's pandas
+        // comparator cannot hash array cells (round-1 lesson)
+        concat_ws("|", sort_array(collect_set($"c_mktsegment"))).as("segments"),
         count(lit(1)).as("n_cust"))
       .orderBy($"c_nationkey")
   }
@@ -250,7 +252,7 @@ object Aggregates {
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_collect" ->
       """SELECT c_nationkey,
-        |  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+        |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
         |  count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_agg_rollup" ->

@@ -36,7 +36,9 @@ object Scalars {
       instr($"p_name", "e").cast("long").as("pos_e"),
       translate($"p_name", "aeiou", "AEIOU").as("vowels_uc"),
       regexp_replace($"p_name", "[aeiou]", "_").as("vowels_gone"),
-      split($"p_name", " ").as("words"),
+      // serialized, not a raw array: the driver's pandas comparator cannot
+      // hash array cells (round-1 lesson) — '|'-join in both engines
+      concat_ws("|", split($"p_name", " ")).as("words"),
       regexp_extract($"p_name", "([a-z]+) ([a-z]+)", 2).as("second_word"),
       levenshtein($"p_brand", lit("Brand#1")).cast("long").as("lev"))
       .orderBy($"p_partkey")
@@ -97,13 +99,22 @@ object Scalars {
       $"vec_id",
       size($"emb").cast("long").as("dim"),
       r6(element_at($"emb", 1)).as("first_el"),
-      transform(slice($"emb", 1, 3), x => round(x * lit(2.0), 6)).as("head3_x2"),
+      // double arrays are serialized as '|'-joined scaled longs: a raw
+      // double→string cast differs between engines (Spark "1.0E-7" vs
+      // DuckDB "1e-07"), but round(x*1e6) on the SAME binary double is
+      // bit-identical (both round half away from zero), and long→string
+      // is exact everywhere
+      concat_ws("|", transform(slice($"emb", 1, 3),
+        x => round(x * lit(2000000.0), 0).cast("long").cast("string")))
+        .as("head3_x2"),
       size(filter($"emb", x => x > lit(0.0))).cast("long").as("n_pos"),
       exists($"emb", x => x > lit(0.3)).as("any_big"),
       r6(aggregate($"emb", lit(0.0), (acc, x) => acc + x)).as("sum_el"),
       r6(aggregate(zip_with($"emb", $"emb", (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)).as("norm_sq"),
-      sort_array(slice($"emb", 1, 4)).as("head4_sorted"))
+      concat_ws("|", transform(sort_array(slice($"emb", 1, 4)),
+        x => round(x * lit(1000000.0), 0).cast("long").cast("string")))
+        .as("head4_sorted"))
       .orderBy($"vec_id")
   }
 
@@ -117,8 +128,9 @@ object Scalars {
         get_json_object($"props", "$.k")).as("m"))
       .select(
         $"event_id",
-        map_keys($"m").as("mk"),
-        map_values(transform_values($"m", (_, v) => upper(v))).as("mv_uc"),
+        concat_ws("|", map_keys($"m")).as("mk"),
+        concat_ws("|",
+          map_values(transform_values($"m", (_, v) => upper(v)))).as("mv_uc"),
         element_at($"m", "t").as("tval"))
       .orderBy($"event_id")
   }
@@ -179,7 +191,7 @@ object Scalars {
         |  instr(p_name, 'e') AS pos_e,
         |  translate(p_name, 'aeiou', 'AEIOU') AS vowels_uc,
         |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS vowels_gone,
-        |  string_split(p_name, ' ') AS words,
+        |  array_to_string(string_split(p_name, ' '), '|') AS words,
         |  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word,
         |  levenshtein(p_brand, 'Brand#1') AS lev
         |FROM part ORDER BY p_partkey""".stripMargin,
@@ -220,18 +232,20 @@ object Scalars {
       """SELECT vec_id,
         |  len(emb) AS dim,
         |  round(emb[1], 6) AS first_el,
-        |  list_transform(emb[1:3], x -> round(x * 2.0, 6)) AS head3_x2,
+        |  array_to_string(list_transform(emb[1:3],
+        |    x -> CAST(CAST(round(x * 2000000.0, 0) AS BIGINT) AS VARCHAR)), '|') AS head3_x2,
         |  len(list_filter(emb, x -> x > 0.0)) AS n_pos,
         |  len(list_filter(emb, x -> x > 0.3)) > 0 AS any_big,
         |  round(list_aggregate(emb, 'sum'), 6) AS sum_el,
         |  round(list_aggregate(list_transform(emb, x -> x * x), 'sum'), 6) AS norm_sq,
-        |  list_sort(emb[1:4]) AS head4_sorted
+        |  array_to_string(list_transform(list_sort(emb[1:4]),
+        |    x -> CAST(CAST(round(x * 1000000.0, 0) AS BIGINT) AS VARCHAR)), '|') AS head4_sorted
         |FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |ORDER BY vec_id""".stripMargin,
     "q_fn_map" ->
       """SELECT event_id,
-        |  map_keys(m) AS mk,
-        |  list_transform(map_values(m), x -> upper(x)) AS mv_uc,
+        |  array_to_string(map_keys(m), '|') AS mk,
+        |  array_to_string(list_transform(map_values(m), x -> upper(x)), '|') AS mv_uc,
         |  map_values(m)[1] AS tval
         |FROM (SELECT event_id,
         |        map(['t', 'k'],

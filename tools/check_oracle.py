@@ -51,6 +51,16 @@ def table_of(con, sql):
     return schema, rows
 
 
+def nonscalar_cols(schema):
+    """Top-level list/struct/map columns. The DRIVER's comparator (pandas
+    sort_values) crashes on these ('unhashable type: numpy.ndarray' —
+    round-1 lesson), so the local gate must reject them even though our
+    own norm() could handle them."""
+    return [n for n, t in schema
+            if t.startswith(("list", "large_list", "fixed_size_list",
+                             "struct", "map"))]
+
+
 # Type pairs we accept as equivalent (parquet logical nuances).
 def type_eq(a, b):
     if a == b:
@@ -78,6 +88,12 @@ def main():
         except Exception as e:
             fails.append((name, f"EXEC ERROR: {e}"))
             continue
+        ns = nonscalar_cols(oschema) + nonscalar_cols(sschema)
+        if ns:
+            fails.append((name, f"NON-SCALAR OUTPUT COLUMNS {sorted(set(ns))}: "
+                                "driver comparator cannot hash arrays — "
+                                "serialize with concat_ws/to_json"))
+            continue
         if [c for c, _ in oschema] != [c for c, _ in sschema]:
             fails.append((name, f"COLUMNS: oracle={oschema} spark={sschema}"))
             continue
@@ -98,16 +114,32 @@ def main():
         n_pass += 1
         print(f"  PASS {name} ({len(orows)} rows)")
     # rows-only check for no-oracle queries (mimics the driver's weaker
-    # gate): the dump must exist and be readable
+    # gate): the dump must exist, be readable, and be non-empty. Iterate
+    # the MANIFEST (queries.json, written by Verify) rather than the dump
+    # dirs that happen to exist: a no-oracle query that crashed inside
+    # Verify leaves no dump and would otherwise vanish from the check.
     import os
     dumped = {d for d in os.listdir(outdir)
               if os.path.isdir(os.path.join(outdir, d))}
+    manifest_path = os.path.join(outdir, "queries.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            expected = set(json.load(f))
+        for name in sorted(expected - dumped):
+            fails.append((name, "MISSING DUMP: query in SparkEntry.queries "
+                                "but no parquet written (crashed in Verify?)"))
+    else:
+        fails.append(("queries.json", "MANIFEST MISSING: Verify should write "
+                                      "the full query-name list"))
     for name in sorted(dumped - set(oracle)):
         try:
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')"
             ).fetchone()[0]
-            print(f"  ROWS {name} ({n} rows, no oracle)")
+            if n == 0:
+                fails.append((name, "ROWS-ONLY: dump is EMPTY (0 rows)"))
+            else:
+                print(f"  ROWS {name} ({n} rows, no oracle)")
         except Exception as e:
             fails.append((name, f"ROWS-ONLY READ FAILED: {e}"))
     for name, msg in fails:
