@@ -18,9 +18,10 @@ import graft.util.Determinism._
   *  - The interval join keeps an equi key (user_id) so it lowers to a
   *    keyed join + range filter, not a cartesian; at 100 TB skewed users
   *    are handled by AQE skew-join splitting.
-  *  - The theta join (no equi key) broadcasts the small side explicitly —
-  *    a BroadcastNestedLoopJoin over a ~KB dimension is cluster-safe;
-  *    output collapses immediately into an aggregate.
+  *  - The theta join (no equi key) is range-bucketed: per-bucket
+  *    pre-aggregation + suffix sums for strictly-higher buckets, an
+  *    equi-join only for the supplier's own bucket — no
+  *    BroadcastNestedLoopJoin anywhere.
   */
 object Joins {
 
@@ -100,14 +101,45 @@ object Joins {
   }
 
   /** §2.C theta (non-equi, no key): per supplier, how many customers
-    * out-balance it. Broadcast the tiny side → BNLJ, then aggregate. */
+    * out-balance it. RANGE-BUCKETED, not BNLJ: bucket acctbal on both
+    * sides (fixed width), pre-aggregate customers per bucket, take the
+    * suffix-sum for strictly-higher buckets, and resolve only the
+    * supplier's OWN bucket with an equi-join compare. Compare count goes
+    * from O(|cust|·|supp|) to O(|supp|·cust-per-bucket) + a
+    * constant-size bucket table; every join is equi/broadcast (the unit
+    * test asserts no BNLJ/CartesianProduct in the plan). Correct on
+    * boundaries: a customer in a strictly higher bucket has
+    * c ≥ (sb+1)·w > s, and floor handles negatives. */
   def qJoinTheta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sup = supplier(s, dir).select($"s_suppkey", $"s_acctbal")
-    val cust = customer(s, dir).select($"c_acctbal")
-    cust.join(broadcast(sup), $"c_acctbal" > $"s_acctbal")
-      .groupBy($"s_suppkey")
-      .agg(count(lit(1)).as("n_richer_cust"))
+    val w = 50.0 // bucket width; bucket count stays O(range/w) — constant
+    val cust = customer(s, dir).select($"c_acctbal",
+      floor($"c_acctbal" / w).as("cb"))
+    val sup = supplier(s, dir).select($"s_suppkey", $"s_acctbal",
+      floor($"s_acctbal" / w).as("sb"))
+    val perB = cust.groupBy($"cb").agg(count(lit(1)).as("cnt"))
+    // densify over the full bucket range of BOTH sides so every supplier
+    // bucket hits the suffix-sum table by equi-join (no gaps)
+    val dense = cust.select($"cb").unionByName(sup.select($"sb".as("cb")))
+      .agg(min($"cb").as("lo"), max($"cb").as("hi"))
+      .select(explode(sequence($"lo", $"hi")).as("cb"))
+    // suffix sum = customers in strictly higher buckets; the window is
+    // over the tiny dense bucket table (constant rows), not the data
+    val wCum = Window.orderBy($"cb".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = dense.join(perB, Seq("cb"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("above", coalesce(sum($"cnt").over(wCum), lit(0L)))
+      .select($"cb", $"above")
+    // same-bucket residual: equi-join on the bucket + in-bucket compare
+    val same = sup.join(cust,
+        $"sb" === $"cb" && $"c_acctbal" > $"s_acctbal")
+      .groupBy($"s_suppkey").agg(count(lit(1)).as("n_same"))
+    sup.join(broadcast(cum), $"sb" === $"cb")
+      .join(same, Seq("s_suppkey"), "left")
+      .select($"s_suppkey",
+        ($"above" + coalesce($"n_same", lit(0L))).as("n_richer_cust"))
+      .filter($"n_richer_cust" > 0) // inner-join semantics of the oracle
       .orderBy($"s_suppkey")
   }
 

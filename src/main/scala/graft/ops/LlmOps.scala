@@ -69,25 +69,35 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
-  /** §2.J n-gram Jaccard near-dup via an INVERTED INDEX: explode
-    * shingles, equi-join on the shingle, count common shingles per pair,
-    * then Jaccard = common / (|a| + |b| − common). No all-pairs scan, no
-    * per-pair array intersection: candidate pairs are exactly those
-    * sharing ≥1 shingle, generated by a keyed shuffle. At 100 TB: cap
-    * stop-shingles (df ≫ corpus share) before the self-join to bound
-    * skew; AQE splits whatever remains. */
-  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Inverted-index Jaccard core, parameterized so the stop-shingle cap
+    * is unit-testable. `dfCapFrac` drops shingles whose document
+    * frequency exceeds max(2, ceil(dfCapFrac·N)) from CANDIDATE
+    * GENERATION only (sizes — the Jaccard denominator — stay exact): a
+    * shingle present in a large share of the corpus discriminates
+    * nothing but produces O(df²) pairs on one join key. `dfCapFrac = 1`
+    * disables the cap (df ≤ N always). */
+  private[graft] def jaccardPairs(s: SparkSession, docs: DataFrame, n: Int,
+      minJac: Double, dfCapFrac: Double): DataFrame = {
     import s.implicits._
     // join key is the 64-bit shingle hash (longs shuffle/sort ~10× cheaper
     // than 20-char strings); string equality is re-checked post-join so a
     // hash collision cannot corrupt the count. Cached: both join sides
     // share this subtree — without cache Spark computes it twice.
-    val tok = graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
+    val tok = graft.util.Shingles.tokDistinct(s, docs, n)
       .withColumn("hk", xxhash64($"shingle"))
       .cache()
     val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-    val common = tok.as("a")
-      .join(tok.as("b"),
+    // the stop-shingle (hot-key) set is small by construction → anti-join
+    // against a broadcast; at 100 TB this is the skew bound that keeps
+    // the self-join's worst key at O(cap²) instead of O(corpus²)
+    val hot = tok.groupBy($"hk").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .filter($"df" > greatest(lit(2L),
+        ceil($"n_docs" * lit(dfCapFrac)).cast("long")))
+      .select($"hk")
+    val tokJ = tok.join(broadcast(hot), Seq("hk"), "left_anti")
+    val common = tokJ.as("a")
+      .join(tokJ.as("b"),
         col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
       .filter(col("a.shingle") === col("b.shingle"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -97,10 +107,19 @@ object LlmOps {
       .join(sizes.as("sb"), $"b_id" === col("sb.doc_id"))
       .withColumn("jac",
         $"common" / (col("sa.sz") + col("sb.sz") - $"common"))
-      .filter($"jac" >= 0.3)
+      .filter($"jac" >= minJac)
       .select($"a_id", $"b_id", r6($"jac").as("jaccard"))
       .orderBy($"a_id", $"b_id")
   }
+
+  /** §2.J n-gram Jaccard near-dup via an INVERTED INDEX: explode
+    * shingles, equi-join on the shingle, count common shingles per pair,
+    * then Jaccard = common / (|a| + |b| − common). No all-pairs scan, no
+    * per-pair array intersection: candidate pairs are exactly those
+    * sharing ≥1 NON-STOP shingle (df ≤ 10% of corpus; mirrored in the
+    * oracle SQL), generated by a keyed shuffle. */
+  def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, documents(s, dir), 3, 0.3, 0.1)
 
   /** §2.J embedding-cosine near-dup pairs (label-blocked all-pairs;
     * scale path is LSH/IVF bucketing, the blocked form is the oracle). */
@@ -149,17 +168,56 @@ object LlmOps {
       .orderBy($"a_id", $"rn")
   }
 
-  /** §2.J intra- vs inter-label mean similarity over all pairs. */
+  /** §2.J intra- vs inter-label mean similarity over all pairs —
+    * computed WITHOUT materializing pairs. For unit vectors,
+    * Σ_{i<j} cos(i,j) = (‖Σv‖² − Σ‖v‖²)/2 = (‖Σv‖² − n)/2, so per-label
+    * sum vectors (O(n·d) one aggregation) give the intra-label pair-sum
+    * exactly, and the global sum vector gives the all-pairs sum; the
+    * inter-label sum is their difference. Algebraically identical to the
+    * all-pairs oracle; the plan is two hash aggregations over exploded
+    * (label, dim, v) rows — no CartesianProduct/BNLJ anywhere (unit
+    * test asserts this), and it survives 100 TB where the former
+    * label-blocked cross join could not. n_pairs stays exact while
+    * counts fit a long (n < ~4.3e9 — same bound the oracle's count(*)
+    * has). */
   def qSimPairwiseStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embD(s, dir)
-    val a = e.select($"vec_id".as("a_id"), $"label".as("a_label"), $"emb".as("a_emb"))
-    val b = e.select($"vec_id".as("b_id"), $"label".as("b_label"), $"emb".as("b_emb"))
-    a.crossJoin(b)
-      .filter($"a_id" < $"b_id")
-      .groupBy(($"a_label" === $"b_label").as("same_label"))
-      .agg(r6(avg(cosine($"a_emb", $"b_emb"))).as("mean_cos"),
-        count(lit(1)).as("n_pairs"))
+    // per-(label, dim) component sums — ONE map-side-combined shuffle
+    val byDim = e.select($"label", posexplode($"emb").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim").agg(sum($"v").as("sv"))
+    // per-dim global sum + Σ_L sv², then collapse:
+    // ss_all = ‖Σ_all v‖², ss_same = Σ_L ‖Σ_L v‖²
+    val vecMoments = byDim.groupBy($"dim")
+      .agg(sum($"sv").as("gv"), sum($"sv" * $"sv").as("ssd"))
+      .agg(sum($"gv" * $"gv").as("ss_all"), sum($"ssd").as("ss_same"))
+    // label cardinalities → exact pair counts
+    val cnts = e.groupBy($"label").agg(count(lit(1)).as("nl"))
+      .agg((sum($"nl" * ($"nl" - lit(1L))) / lit(2.0)).cast("long").as("p_same"),
+        sum($"nl").as("n"))
+    // combine the two single-row aggregates WITHOUT a join (a 1×1
+    // crossJoin would plan as BNLJ and trip the pair-free plan test):
+    // pad to a common schema, union, collapse with max over one row each
+    val one = vecMoments
+      .select($"ss_all", $"ss_same",
+        lit(null).cast("long").as("p_same"), lit(null).cast("long").as("n"))
+      .unionByName(cnts.select(
+        lit(null).cast("double").as("ss_all"),
+        lit(null).cast("double").as("ss_same"), $"p_same", $"n"))
+      .agg(max($"ss_all").as("ss_all"), max($"ss_same").as("ss_same"),
+        max($"p_same").as("p_same"), max($"n").as("n"))
+      .select(
+        (($"ss_same" - $"n") / lit(2.0)).as("s_same"),
+        (($"ss_all" - $"n") / lit(2.0)).as("s_all"),
+        $"p_same",
+        ($"n" * ($"n" - lit(1L)) / lit(2.0)).cast("long").as("p_all"))
+      .cache() // 1 row; referenced by both output branches
+    one.select(lit(false).as("same_label"),
+        r6(($"s_all" - $"s_same") / ($"p_all" - $"p_same")).as("mean_cos"),
+        ($"p_all" - $"p_same").as("n_pairs"))
+      .unionByName(one.select(lit(true).as("same_label"),
+        r6($"s_same" / $"p_same").as("mean_cos"),
+        $"p_same".as("n_pairs")))
       .orderBy($"same_label")
   }
 
@@ -261,9 +319,14 @@ object LlmOps {
         |d2 AS (SELECT doc_id, sh FROM docs WHERE len(sh) > 0),
         |sizes AS (SELECT doc_id, len(sh) AS sz FROM d2),
         |tok AS (SELECT doc_id, unnest(sh) AS shingle FROM d2),
+        |hot AS (SELECT shingle FROM tok GROUP BY shingle
+        |        HAVING count(*) > greatest(2, CAST(ceil(
+        |          0.1 * (SELECT count(*) FROM documents)) AS BIGINT))),
+        |tokc AS (SELECT * FROM tok
+        |         WHERE shingle NOT IN (SELECT shingle FROM hot)),
         |common AS (
         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
-        |  FROM tok a JOIN tok b
+        |  FROM tokc a JOIN tokc b
         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT a_id, b_id,

@@ -30,6 +30,22 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("pairwise stats plan is pair-free (no cartesian/BNLJ)") {
+    val qe = LlmOps.qSimPairwiseStats(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"moment-based pairwise stats must not materialize pairs:\n$plan")
+  }
+
+  test("theta join plan is range-bucketed (no cartesian/BNLJ)") {
+    val qe = Joins.qJoinTheta(spark, sfDir).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"theta join must stay bucketed/equi:\n$plan")
+  }
+
   test("top-n lowers to TakeOrderedAndProject (no global sort)") {
     val plan = Relational.qLimitTopn(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)

@@ -54,6 +54,21 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.contains("saltedJoin supports"))
   }
 
+  test("stop-shingle cap prunes hot-key candidate pairs") {
+    import spark.implicits._
+    // 30 docs sharing ONE universal 3-gram ("common alpha beta") plus
+    // unique tails: uncapped, that single hot shingle generates all
+    // C(30,2)=435 candidate pairs; with the 10% df cap it is dropped and
+    // no candidates remain. This is the skew bound for the 100 TB path.
+    val docs = (1 to 30)
+      .map(i => (i.toLong, s"common alpha beta u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val uncapped = ops.LlmOps.jaccardPairs(spark, docs, 3, 0.0, 1.0).count()
+    val capped = ops.LlmOps.jaccardPairs(spark, docs, 3, 0.0, 0.1).count()
+    assert(uncapped == 435L, s"expected 435 hot-key pairs, got $uncapped")
+    assert(capped == 0L, s"cap failed to prune hot shingle: $capped pairs")
+  }
+
   test("dot_product is SQL-visible via GraftExtensions") {
     val r = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
