@@ -12,17 +12,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/parquet-footer warmup so the first timed query isn't
-    // charged ~3s of one-time session cost (order of the map is
-    // arbitrary, so without this an arbitrary query eats the warmup).
+    // charged ~3s of one-time session cost.
     SparkEntry.entry(spark).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic (sorted) order + time the SECOND of two runs per
+    // query: round-1 showed trivial single-shuffle queries absorbing
+    // ~3s of residual JIT/session warmup purely by map-iteration
+    // position, masking real plan regressions round-over-round.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

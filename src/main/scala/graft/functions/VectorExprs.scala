@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression: dot product of two ArrayType(DoubleType)
   * columns (SURVEY.md §7.4 stretch, triggered: the higher-order-function
@@ -14,11 +15,23 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
-  // inputs must be ArrayType(DoubleType); enforced by the single
-  // registration site (AbstractDataType/ExpectsInputTypes are
-  // private[sql] in Spark 4, so no declarative type check here)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+
+  // ExpectsInputTypes is private[sql], but checkInputDataTypes is not:
+  // without this, a SQL call like dot_product(array(1,2), array(3,4))
+  // (int arrays) would have ArrayData.getDouble reinterpret 4-byte
+  // elements as doubles and return silently wrong numbers
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires two array<double> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

@@ -153,7 +153,14 @@ object Joins {
 
   /** §2.C as-of join: for each purchase event, the latest click event of
     * the same user at-or-before it. Union-tag + running `last` window —
-    * one shuffle on user_id, DuckDB's native ASOF JOIN as the oracle. */
+    * one shuffle on user_id, DuckDB's native ASOF JOIN as the oracle.
+    *
+    * Precondition for oracle parity: (user_id, ts) is unique among
+    * clicks (holds in every fixture scale). DuckDB ASOF picks an
+    * ARBITRARY click on a ts tie, so no Spark-side tie-break can
+    * reconcile duplicates; the trailing click_id sort key below only
+    * makes OUR output deterministic (max click_id wins) if a refreshed
+    * fixture ever violates the precondition. */
   def qJoinAsof(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = events(s, dir)
@@ -165,7 +172,8 @@ object Joins {
           .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
             lit(1).as("tag"), $"event_id".as("purchase_id")))
     // clicks sort before purchases at equal ts => "at-or-before" semantics
-    val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"click_id".asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))

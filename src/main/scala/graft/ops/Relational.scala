@@ -28,6 +28,22 @@ object Relational {
     nation(s, dir).orderBy($"n_nationkey")
   }
 
+  /** §2.A CSV scan (the reference's conceptual load path): materialize
+    * a CSV copy of region inside the query, read it back with
+    * header + schema inference; the oracle checks the roundtripped
+    * values against the parquet original. Region is a 5-row dimension —
+    * the coalesce(1) is a fixture convenience, not a scan pattern. */
+  def qScanCsv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_csv_region").toString
+    region(s, dir).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    s.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .select($"r_regionkey".cast("int").as("r_regionkey"), $"r_name")
+      .orderBy($"r_regionkey")
+  }
+
   /** §2.B select / derive / rename (reference: column access + computed cells). */
   def qProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -160,6 +176,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> qScanParquet _,
+    "q_scan_csv" -> qScanCsv _,
     "q_project" -> qProject _,
     "q_filter_point" -> qFilterPoint _,
     "q_filter_compound" -> qFilterCompound _,
@@ -177,6 +194,9 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_scan_parquet" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_csv" ->
+      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
     "q_project" ->
       """SELECT p_partkey,
         |  concat_ws('/', p_brand, p_type) AS brand_type,

@@ -85,7 +85,10 @@ object Scalars {
       greatest($"l_quantity", $"l_discount" * lit(100.0)).as("gr"),
       least($"l_quantity", $"l_discount" * lit(100.0)).as("ls"),
       pmod($"l_orderkey" - lit(7L), lit(5L)).as("pm"))
-      .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      // (l_orderkey, l_linenumber) is NOT unique in the fixtures; order
+      // by every source column the output derives from for a total order
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice",
+        $"l_quantity", $"l_discount")
   }
 
   /** §2.H array family incl. higher-order functions, on the embedding
@@ -227,7 +230,8 @@ object Scalars {
         |  least(l_quantity, l_discount * 100.0) AS ls,
         |  ((l_orderkey - 7) % 5 + 5) % 5 AS pm
         |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, l_extendedprice""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice,
+        |         l_quantity, l_discount""".stripMargin,
     "q_fn_array" ->
       """SELECT vec_id,
         |  len(emb) AS dim,

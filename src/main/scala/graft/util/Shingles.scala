@@ -41,7 +41,10 @@ object Shingles {
     * SimHash. Cached: four registry queries build this exact plan, and
     * Spark's CacheManager matches canonicalized plans, so the first
     * query materializes it (~250k rows ≈ 30 MB at sf0.1) and the rest
-    * reuse it. */
+    * reuse it. Cache lifecycle contract (applies to every `.cache()` in
+    * the query registry): sessions are short-lived mains (Verify/Bench/
+    * tests) and caches die with them; a long-lived embedding service
+    * should wrap queries with explicit `unpersist()` hooks instead. */
   def tokDistinct(s: SparkSession, docs: DataFrame, n: Int): DataFrame =
     tok(s, docs, n).distinct().cache()
 }

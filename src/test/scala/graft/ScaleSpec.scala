@@ -76,6 +76,15 @@ class ScaleSpec extends SparkSpec {
     assert(r == 11.0)
   }
 
+  test("dot_product rejects non-double arrays at analysis time") {
+    // without checkInputDataTypes, int arrays would be silently
+    // reinterpreted by ArrayData.getDouble and return garbage
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT dot_product(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<double>"), e.getMessage)
+  }
+
   test("dot_product participates in whole-stage codegen") {
     import spark.implicits._
     val df = graft.util.Tables.embeddings(spark, sfDir)
