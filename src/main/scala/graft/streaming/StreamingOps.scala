@@ -125,6 +125,47 @@ object StreamingOps {
       .orderBy($"bucket", $"event_type")
   }
 
+  /** §2.I streaming replay, ORACLE-CHECKED: the same tumbling-window
+    * aggregation as qBatchTumbling executed as a real Structured
+    * Streaming query — parquet file source → AvailableNow trigger →
+    * complete-mode memory sink — then returned as a batch DataFrame for
+    * the DuckDB compare. Proves the source→transform→sink wiring and
+    * replay semantics end-to-end, not just via MemoryStream tests.
+    * Complete mode (not append) because a bounded replay's watermark
+    * never passes the final windows — append would withhold them and
+    * diverge from the batch oracle. The memory sink holds only the
+    * final (window × type) aggregate — bounded state; a production job
+    * writes this graph to a file/Kafka sink with a durable checkpoint
+    * (see StreamingSpec's foreachBatch tests). Fresh checkpoint per
+    * call: AvailableNow against a reused checkpoint would treat the
+    * input as already-processed and emit nothing. */
+  def qStreamTumblingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.option("pathGlobFilter", "events.parquet")
+      .parquet(dir).schema
+    val src = s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val agg = src
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+      .select(tstr($"window.start").as("bucket"), $"event_type", $"n",
+        $"sum_value")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    val name = "graft_stream_tumbling_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy($"bucket", $"event_type")
+  }
+
   /** §2.I batch sessionization (the batch twin of `session_window`):
     * a session boundary is a gap > 30 minutes since the user's previous
     * event; session id = running count of boundaries. One shuffle on
@@ -153,11 +194,19 @@ object StreamingOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_batch_tumbling" -> qBatchTumbling _,
+    "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
     "q_sessionize_batch" -> qSessionizeBatch _
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_batch_tumbling" ->
+      """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
+        |    '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+    "q_stream_tumbling_replay" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
         |    '%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
