@@ -44,6 +44,50 @@ object Relational {
       .orderBy($"r_regionkey")
   }
 
+  /** §2.A ORC roundtrip: write nation as ORC, scan it back. ORC keeps
+    * exact types, so no casts are needed; the oracle checks the
+    * roundtripped values against the parquet original. */
+  def qScanOrc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_orc_nation").toString
+    nation(s, dir).write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy($"n_nationkey")
+  }
+
+  /** §2.A JSON-lines roundtrip: write region as JSONL, scan it back
+    * with schema inference (integers infer as long — pinned in the
+    * oracle with a CAST). */
+  def qScanJsonl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_jsonl_region").toString
+    region(s, dir).write.mode("overwrite").json(out)
+    s.read.json(out)
+      .select($"r_regionkey".cast("long").as("r_regionkey"), $"r_name")
+      .orderBy($"r_regionkey")
+  }
+
+  /** §2.A partitioned sink + partition-pruned scan: write orders
+    * partitioned by o_orderstatus (the 100 TB posture for any big
+    * sink), read ONE partition back via the partition column — the
+    * filter resolves at file-listing time, touching only that
+    * directory — and aggregate it. */
+  def qSinkPartitioned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_part_orders").toString
+    orders(s, dir).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    s.read.parquet(out)
+      .filter($"o_orderstatus" === "F")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("sum_price"))
+      .select($"o_orderstatus".cast("string").as("o_orderstatus"),
+        $"n", $"sum_price")
+      .orderBy($"o_orderstatus")
+  }
+
   /** §2.B select / derive / rename (reference: column access + computed cells). */
   def qProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -177,6 +221,9 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> qScanParquet _,
     "q_scan_csv" -> qScanCsv _,
+    "q_scan_orc" -> qScanOrc _,
+    "q_scan_jsonl" -> qScanJsonl _,
+    "q_sink_partitioned" -> qSinkPartitioned _,
     "q_project" -> qProject _,
     "q_filter_point" -> qFilterPoint _,
     "q_filter_compound" -> qFilterCompound _,
@@ -197,6 +244,16 @@ object Relational {
     "q_scan_csv" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_scan_orc" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_jsonl" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_sink_partitioned" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_project" ->
       """SELECT p_partkey,
         |  concat_ws('/', p_brand, p_type) AS brand_type,

@@ -46,6 +46,15 @@ class OperatorSpec extends SparkSpec {
       s"theta join must stay bucketed/equi:\n$plan")
   }
 
+  test("partitioned sink read-back prunes partitions at file listing") {
+    val df = Relational.qSinkPartitioned(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("(o_orderstatus"),
+      s"status filter must resolve as a partition filter, not a scan:\n$plan")
+  }
+
   test("top-n lowers to TakeOrderedAndProject (no global sort)") {
     val plan = Relational.qLimitTopn(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
