@@ -68,6 +68,25 @@ object Relational {
       .orderBy($"r_regionkey")
   }
 
+  /** §2.A text-source scan: write region as '|'-delimited text lines,
+    * read back with spark.read.text and parse with split — the
+    * schema-on-read path for raw logs. (spark-avro is not in
+    * /opt/spark/jars, so Avro joins Excel as environment-impossible;
+    * parquet/CSV/JSONL/ORC/text are all oracle-covered.) */
+  def qScanText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_text_region").toString
+    region(s, dir)
+      .select(concat_ws("|", $"r_regionkey", $"r_name").as("value"))
+      .write.mode("overwrite").text(out)
+    s.read.text(out)
+      .select(split($"value", "\\|").as("f"))
+      .select($"f".getItem(0).cast("int").as("r_regionkey"),
+        $"f".getItem(1).as("r_name"))
+      .orderBy($"r_regionkey")
+  }
+
   /** §2.A partitioned sink + partition-pruned scan: write orders
     * partitioned by o_orderstatus (the 100 TB posture for any big
     * sink), read ONE partition back via the partition column — the
@@ -223,6 +242,7 @@ object Relational {
     "q_scan_csv" -> qScanCsv _,
     "q_scan_orc" -> qScanOrc _,
     "q_scan_jsonl" -> qScanJsonl _,
+    "q_scan_text" -> qScanText _,
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_project" -> qProject _,
     "q_filter_point" -> qFilterPoint _,
@@ -248,6 +268,9 @@ object Relational {
       "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_jsonl" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_scan_text" ->
+      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n,
