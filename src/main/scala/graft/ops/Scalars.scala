@@ -151,6 +151,34 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** §2.H bitwise family on integer keys. Output columns derive only
+    * from (l_orderkey, l_linenumber), so duplicate key pairs produce
+    * identical rows and the emitted order stays total for compare. */
+  def qFnBitwise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir).select(
+      $"l_orderkey", $"l_linenumber",
+      $"l_orderkey".bitwiseAND(lit(255L)).as("band"),
+      $"l_orderkey".bitwiseOR(lit(16L)).as("bor"),
+      $"l_orderkey".bitwiseXOR($"l_linenumber".cast("long")).as("bxor"),
+      shiftleft($"l_linenumber", 3).cast("long").as("shl"),
+      shiftright($"l_orderkey", 2).as("shr"),
+      bit_count($"l_orderkey").cast("long").as("bits"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  /** §2.H cryptographic-hash family (md5 / sha2-256 — the two with
+    * cross-engine twins; xxhash64/crc32 are Spark-only and covered as
+    * join-key compaction in the dedup ops). */
+  def qFnHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    part(s, dir).select(
+      $"p_partkey",
+      md5($"p_name").as("h_md5"),
+      sha2($"p_name", 256).as("h_sha256"))
+      .orderBy($"p_partkey")
+  }
+
   /** §2.H conditionals. */
   def qFnCond(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -172,7 +200,9 @@ object Scalars {
     "q_fn_array" -> qFnArray _,
     "q_fn_map" -> qFnMap _,
     "q_fn_json" -> qFnJson _,
-    "q_fn_cond" -> qFnCond _
+    "q_fn_cond" -> qFnCond _,
+    "q_fn_bitwise" -> qFnBitwise _,
+    "q_fn_hash" -> qFnHash _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -263,6 +293,20 @@ object Scalars {
         |  CAST(to_json(struct_pack(t := event_type,
         |    k := CAST(json_extract_string(props, '$.k') AS INT))) AS VARCHAR) AS j
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_orderkey & 255) AS band,
+        |  (l_orderkey | 16) AS bor,
+        |  xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS bxor,
+        |  CAST(l_linenumber << 3 AS BIGINT) AS shl,
+        |  (l_orderkey >> 2) AS shr,
+        |  CAST(bit_count(l_orderkey) AS BIGINT) AS bits
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_fn_hash" ->
+      """SELECT p_partkey,
+        |  md5(p_name) AS h_md5,
+        |  sha256(p_name) AS h_sha256
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_fn_cond" ->
       """SELECT o_orderkey,
         |  CASE WHEN o_orderstatus = 'F' THEN 'finished'

@@ -139,31 +139,62 @@ object StreamingOps {
     * (see StreamingSpec's foreachBatch tests). Fresh checkpoint per
     * call: AvailableNow against a reused checkpoint would treat the
     * input as already-processed and emit nothing. */
-  def qStreamTumblingReplay(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The streaming events source for replay queries: the same nanos→µs
+    * ts conversion as Tables.events, but via readStream. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.option("pathGlobFilter", "events.parquet")
       .parquet(dir).schema
-    val src = s.readStream.schema(rawSchema)
+    s.readStream.schema(rawSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    val agg = src
-      .groupBy(window($"ts", "10 minutes"), $"event_type")
-      .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
-      .select(tstr($"window.start").as("bucket"), $"event_type", $"n",
-        $"sum_value")
+  }
+
+  /** Run a streaming graph to completion (AvailableNow) into a memory
+    * sink and return the sink as a batch DataFrame. Fresh checkpoint
+    * per call: AvailableNow against a reused checkpoint would treat the
+    * input as already-processed and emit nothing. */
+  private def replayToTable(s: SparkSession, agg: DataFrame,
+      mode: String): DataFrame = {
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_stream_ckpt").toString
-    val name = "graft_stream_tumbling_" +
+    val name = "graft_stream_replay_" +
       java.util.UUID.randomUUID().toString.take(8)
     val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy($"bucket", $"event_type")
+    s.table(name)
+  }
+
+  def qStreamTumblingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .groupBy(window($"ts", "10 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+      .select(tstr($"window.start").as("bucket"), $"event_type", $"n",
+        $"sum_value")
+    replayToTable(s, agg, "complete").orderBy($"bucket", $"event_type")
+  }
+
+  /** §2.I streaming SESSION-window replay, oracle-checked: real
+    * streaming `session_window` (30-minute gap) counts per user,
+    * replayed to completion and compared against DuckDB's gap-boundary
+    * formulation. Session merge is STRICT overlap — an event exactly
+    * gap after the previous one starts a NEW session — so the oracle
+    * boundary condition is `ts >= prev_ts + 30 min`, unlike
+    * q_sessionize_batch's `>` convention. */
+  def qStreamSessionReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select(tstr($"session_window.start").as("session_start"),
+        $"user_id", $"n")
+    replayToTable(s, agg, "complete").orderBy($"user_id", $"session_start")
   }
 
   /** §2.I batch sessionization (the batch twin of `session_window`):
@@ -195,6 +226,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_batch_tumbling" -> qBatchTumbling _,
     "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
+    "q_stream_session_replay" -> qStreamSessionReplay _,
     "q_sessionize_batch" -> qSessionizeBatch _
   )
 
@@ -213,6 +245,24 @@ object StreamingOps {
         |FROM events
         |GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
+    "q_stream_session_replay" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  user_id, count(*) AS n
+        |FROM sessions
+        |GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_sessionize_batch" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,
