@@ -197,6 +197,16 @@ object StreamingOps {
     replayToTable(s, agg, "complete").orderBy($"user_id", $"session_start")
   }
 
+  /** §2.I stream–static join replay, oracle-checked: the enrich()
+    * graph (stream events ⋈ broadcast customer dim) run as a real
+    * append-mode streaming query — joins without aggregation stream
+    * through row-by-row, so append needs no watermark here. */
+  def qStreamEnrichReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val enriched = enrich(eventsStream(s, dir), customer(s, dir))
+    replayToTable(s, enriched, "append").orderBy($"event_id")
+  }
+
   /** §2.I batch sessionization (the batch twin of `session_window`):
     * a session boundary is a gap > 30 minutes since the user's previous
     * event; session id = running count of boundaries. One shuffle on
@@ -227,6 +237,7 @@ object StreamingOps {
     "q_batch_tumbling" -> qBatchTumbling _,
     "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
     "q_stream_session_replay" -> qStreamSessionReplay _,
+    "q_stream_enrich_replay" -> qStreamEnrichReplay _,
     "q_sessionize_batch" -> qSessionizeBatch _
   )
 
@@ -263,6 +274,10 @@ object StreamingOps {
         |FROM sessions
         |GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_stream_enrich_replay" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin,
     "q_sessionize_batch" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, ts, value,
