@@ -119,6 +119,23 @@ object Aggregates {
       .orderBy($"c_nationkey")
   }
 
+  /** §2.D conditional aggregation family: count_if / bool_and /
+    * bool_or / filtered sum — the FILTER-clause semantics of ANSI SQL,
+    * all map-side-combinable. */
+  def qAggConditional(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        count_if($"l_discount" > 0.05).as("n_disc"),
+        bool_and($"l_quantity" > 0.0).as("all_pos_qty"),
+        bool_or($"l_tax" > 0.07).as("any_hi_tax"),
+        r4(coalesce(sum(when($"l_linestatus" === "F", $"l_extendedprice")),
+          lit(0.0))).as("price_f"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** §2.D rollup with grouping id; subtotal keys coalesced to 'ALL'. */
   def qAggRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -195,6 +212,7 @@ object Aggregates {
     "q_agg_percentile" -> qAggPercentile _,
     "q_agg_stats" -> qAggStats _,
     "q_agg_collect" -> qAggCollect _,
+    "q_agg_conditional" -> qAggConditional _,
     "q_agg_rollup" -> qAggRollup _,
     "q_agg_cube" -> qAggCube _,
     "q_agg_gsets" -> qAggGsets _,
@@ -255,6 +273,15 @@ object Aggregates {
         |  array_to_string(list_sort(list(DISTINCT c_mktsegment)), '|') AS segments,
         |  count(*) AS n_cust
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q_agg_conditional" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_discount > 0.05) AS n_disc,
+        |  bool_and(l_quantity > 0.0) AS all_pos_qty,
+        |  bool_or(l_tax > 0.07) AS any_hi_tax,
+        |  round(coalesce(sum(l_extendedprice) FILTER (l_linestatus = 'F'),
+        |    0.0), 4) AS price_f,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,
