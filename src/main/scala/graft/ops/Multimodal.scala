@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
+import graft.util.Determinism._
 
 /** One row of the multimodal table: an opaque binary payload plus typed
   * metadata — the 100 TB layout for image/audio/video corpora (payload
@@ -100,8 +101,66 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
+  /** §2.J feature extraction as a registry op (rows-only gate: the
+    * decode stub is not expressible in DuckDB). Features serialized as
+    * scaled longs — the repo-wide no-raw-arrays discipline. */
+  def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(s, dir).toDF()
+      .select($"doc_id", $"media_type", $"n_bytes",
+        concat_ws("|", transform($"features",
+          x => round(x.cast("double") * lit(1000000.0), 0)
+            .cast("long").cast("string"))).as("features_q"))
+      .orderBy($"doc_id")
+  }
+
+  /** §2.J video frame sampling (every 4th synthetic 256-byte "frame"):
+    * frame count and byte extents derive from the blob length, so the
+    * SAMPLING arithmetic is fully oracle-checked via octet_length;
+    * the frame bytes themselves stay Spark-side (binary substr), as a
+    * real codec would consume them. Generator-based — one output row
+    * per sampled frame, no driver involvement. */
+  def qMediaFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fsize = 256L
+    val stride = 4L
+    mediaTable(s, dir)
+      .filter($"media_type" === "video")
+      .withColumn("blob_len", octet_length($"blob").cast("long"))
+      .filter($"blob_len" > 0)
+      .withColumn("n_frames",
+        ceil($"blob_len" / lit(fsize.toDouble)).cast("long"))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0L), $"n_frames" - 1, lit(stride))))
+      .select($"doc_id", $"blob_len", $"n_frames", $"frame_idx",
+        least(lit(fsize), $"blob_len" - $"frame_idx" * fsize)
+          .as("frame_bytes"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  /** §2.J image resize planning (fit into 224×224, preserve aspect):
+    * pure metadata arithmetic — exactly the part that is
+    * oracle-checkable; pixel resampling would live in the decode stub. */
+  def qMediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val target = 224.0
+    mediaTable(s, dir)
+      .filter($"media_type" === "image")
+      .withColumn("scale",
+        least(lit(target) / $"width", lit(target) / $"height"))
+      .select($"doc_id",
+        $"width".cast("long").as("w"), $"height".cast("long").as("h"),
+        floor($"width" * $"scale").cast("long").as("out_w"),
+        floor($"height" * $"scale").cast("long").as("out_h"),
+        r6($"scale").as("scale"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal" -> qMultimodal _
+    "q_multimodal" -> qMultimodal _,
+    "q_media_features" -> qMediaFeatures _,
+    "q_media_frame_sample" -> qMediaFrameSample _,
+    "q_media_resize" -> qMediaResize _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -114,6 +173,28 @@ object Multimodal {
         |  CAST(doc_id % 48 * 16 + 48 AS BIGINT) AS h,
         |  (doc_id % 64 * 16 + 64) * (doc_id % 48 * 16 + 48) >= 64 * 48 AS size_ok,
         |  lang
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_media_frame_sample" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_len
+        |  FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+        |f AS (SELECT doc_id, blob_len,
+        |        CAST(ceil(blob_len / 256.0) AS BIGINT) AS n_frames FROM v)
+        |SELECT doc_id, blob_len, n_frames,
+        |  unnest(range(0, n_frames, 4)) AS frame_idx,
+        |  least(256, blob_len - unnest(range(0, n_frames, 4)) * 256) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_resize" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 64 * 16 + 64 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 * 16 + 48 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |sc AS (SELECT doc_id, w, h, least(224.0 / w, 224.0 / h) AS scale FROM img)
+        |SELECT doc_id, w, h,
+        |  CAST(floor(w * scale) AS BIGINT) AS out_w,
+        |  CAST(floor(h * scale) AS BIGINT) AS out_h,
+        |  round(scale, 6) AS scale
+        |FROM sc ORDER BY doc_id""".stripMargin
   )
 }
