@@ -200,7 +200,10 @@ object StreamingOps {
   /** §2.I stream–static join replay, oracle-checked: the enrich()
     * graph (stream events ⋈ broadcast customer dim) run as a real
     * append-mode streaming query — joins without aggregation stream
-    * through row-by-row, so append needs no watermark here. */
+    * through row-by-row, so append needs no watermark here. NOTE: the
+    * memory sink materializes the full enriched stream on the driver —
+    * strictly a fixture-scale oracle harness; a production enrich
+    * writes the same graph to a file/Kafka sink. */
   def qStreamEnrichReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val enriched = enrich(eventsStream(s, dir), customer(s, dir))
