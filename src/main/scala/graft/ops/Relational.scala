@@ -107,6 +107,23 @@ object Relational {
       .orderBy($"o_orderstatus")
   }
 
+  /** §2.A workbook introspection (reference PK: sheet list + header
+    * rows): every fixture table's name, column count, and '|'-joined
+    * header, from Spark's schema metadata (no data scan, no collect) —
+    * cross-checked against DuckDB's information_schema view of the SAME
+    * tables, so loader-vs-oracle schema drift fails the gate. */
+  def qCatalogTables(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = graft.util.Tables.all.map { n =>
+      val sch = (n match {
+        case "events" => events(s, dir)
+        case other    => graft.util.Tables.t(s, dir, other)
+      }).schema
+      (n, sch.length.toLong, sch.map(_.name).mkString("|"))
+    }
+    rows.toDF("table_name", "n_cols", "cols").orderBy($"table_name")
+  }
+
   /** §2.B select / derive / rename (reference: column access + computed cells). */
   def qProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -244,6 +261,7 @@ object Relational {
     "q_scan_jsonl" -> qScanJsonl _,
     "q_scan_text" -> qScanText _,
     "q_sink_partitioned" -> qSinkPartitioned _,
+    "q_catalog_tables" -> qCatalogTables _,
     "q_project" -> qProject _,
     "q_filter_point" -> qFilterPoint _,
     "q_filter_compound" -> qFilterCompound _,
@@ -272,6 +290,13 @@ object Relational {
     "q_scan_text" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_catalog_tables" ->
+      """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,
+        |  string_agg(column_name, '|' ORDER BY ordinal_position) AS cols
+        |FROM information_schema.columns
+        |WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+        |  'part', 'orders', 'lineitem', 'events', 'documents', 'embeddings')
+        |GROUP BY table_name ORDER BY table_name""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 4) AS sum_price
