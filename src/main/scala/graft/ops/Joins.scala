@@ -112,10 +112,21 @@ object Joins {
     * c ≥ (sb+1)·w > s, and floor handles negatives. */
   def qJoinTheta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    thetaCore(s, customer(s, dir).select($"c_acctbal"),
+      supplier(s, dir).select($"s_suppkey", $"s_acctbal"))
+  }
+
+  /** Bucketed theta core over any (c_acctbal) / (s_suppkey, s_acctbal)
+    * frames; factored out so tests can hammer bucket-boundary values
+    * (exact multiples of the width, ties, negatives) against a naive
+    * cross-join reference. */
+  private[graft] def thetaCore(s: SparkSession, cust0: DataFrame,
+      sup0: DataFrame): DataFrame = {
+    import s.implicits._
     val w = 50.0 // bucket width; bucket count stays O(range/w) — constant
-    val cust = customer(s, dir).select($"c_acctbal",
+    val cust = cust0.select($"c_acctbal",
       floor($"c_acctbal" / w).as("cb"))
-    val sup = supplier(s, dir).select($"s_suppkey", $"s_acctbal",
+    val sup = sup0.select($"s_suppkey", $"s_acctbal",
       floor($"s_acctbal" / w).as("sb"))
     val perB = cust.groupBy($"cb").agg(count(lit(1)).as("cnt"))
     // densify over the full bucket range of BOTH sides so every supplier

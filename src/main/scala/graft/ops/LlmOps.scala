@@ -180,9 +180,14 @@ object LlmOps {
     * label-blocked cross join could not. n_pairs stays exact while
     * counts fit a long (n < ~4.3e9 — same bound the oracle's count(*)
     * has). */
-  def qSimPairwiseStats(s: SparkSession, dir: String): DataFrame = {
+  def qSimPairwiseStats(s: SparkSession, dir: String): DataFrame =
+    pairwiseStatsCore(s, embD(s, dir))
+
+  /** Moment core over any (label, emb) frame with UNIT-NORM vectors;
+    * factored out so tests can compare it against brute force on
+    * synthetic inputs. */
+  private[graft] def pairwiseStatsCore(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
-    val e = embD(s, dir)
     // per-(label, dim) component sums — ONE map-side-combined shuffle
     val byDim = e.select($"label", posexplode($"emb").as(Seq("dim", "v")))
       .groupBy($"label", $"dim").agg(sum($"v").as("sv"))

@@ -59,6 +59,58 @@ class PropertySpec extends SparkSpec {
     assert(pairs.distinct.length == pairs.length)
   }
 
+  test("moment-form pairwise stats equals brute force on random vectors") {
+    import spark.implicits._
+    // 60 random 8-dim vectors, 3 labels, normalized to unit length —
+    // the algebraic identity Σ_{i<j}cos = (‖Σv‖²−n)/2 must reproduce
+    // the brute-force pair means to well under the r6 rounding step
+    val gen = Gen.listOfN(60 * 8, Gen.chooseNum(-1000, 1000))
+    samples(gen, 3).zipWithIndex.foreach { case (flat, trial) =>
+      val vecs = flat.map(_ / 997.0).grouped(8).toSeq.map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v.map(_ => 1.0 / math.sqrt(8.0)) else v.map(_ / n)
+      }
+      val rows = vecs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, (i % 3).toLong, v.toArray)
+      }
+      val df = rows.toDF("vec_id", "label", "emb")
+      val got = ops.LlmOps.pairwiseStatsCore(spark, df)
+        .collect()
+        .map(r => r.getBoolean(0) -> (r.getDouble(1), r.getLong(2))).toMap
+      // brute force locally
+      var sSame = 0.0; var nSame = 0L; var sDiff = 0.0; var nDiff = 0L
+      for (i <- vecs.indices; j <- vecs.indices if i < j) {
+        val c = vecs(i).zip(vecs(j)).map { case (a, b) => a * b }.sum
+        if (i % 3 == j % 3) { sSame += c; nSame += 1 }
+        else { sDiff += c; nDiff += 1 }
+      }
+      assert(got(true)._2 == nSame && got(false)._2 == nDiff,
+        s"trial $trial: pair counts diverged")
+      assert(math.abs(got(true)._1 - sSame / nSame) < 1e-6 &&
+        math.abs(got(false)._1 - sDiff / nDiff) < 1e-6,
+        s"trial $trial: means diverged: $got vs ${sSame / nSame}, ${sDiff / nDiff}")
+    }
+  }
+
+  test("bucketed theta join equals naive count on boundary-adversarial data") {
+    import spark.implicits._
+    // exact multiples of the 50.0 bucket width, ties, negatives, and
+    // suppliers in customer-free buckets — every edge of the
+    // suffix-sum + same-bucket-residual logic
+    val custVals = Seq(-100.0, -50.0, -0.01, 0.0, 49.99, 50.0, 50.0,
+      100.0, 149.99, 150.0, 151.0, 250.0, 250.0, 1000.0)
+    val supVals = Seq(1L -> -50.0, 2L -> 0.0, 3L -> 50.0, 4L -> 99.0,
+      5L -> 150.0, 6L -> 250.0, 7L -> 500.0, 8L -> 1000.0, 9L -> -200.0)
+    val cust = custVals.toDF("c_acctbal")
+    val sup = supVals.toDF("s_suppkey", "s_acctbal")
+    val got = ops.Joins.thetaCore(spark, cust, sup)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = supVals.map { case (k, sv) =>
+      k -> custVals.count(_ > sv).toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == want, s"got $got, want $want")
+  }
+
   test("rounding helper is idempotent on generated doubles") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.chooseNum(-1e6, 1e6)), 5).foreach { xs =>
