@@ -93,6 +93,16 @@ class OperatorSpec extends SparkSpec {
     assert(self.forall(r => math.abs(r.getAs[Double]("mean_cos")) <= 1.0))
   }
 
+  test("media feature stub: 8 stripes, bounded, length-consistent") {
+    val f = ops.Multimodal.extractFeatures(spark, sfDir).collect()
+    assert(f.nonEmpty)
+    // each stripe mean is a byte-average scaled by k → in [0, k]
+    assert(f.forall(r => r.features.length == 8 &&
+      r.features.forall(x => x >= 0.0f && x <= 8.0001f)))
+    val docs = graft.util.Tables.documents(spark, sfDir).count()
+    assert(f.length == docs && f.forall(_.n_bytes > 0))
+  }
+
   test("ANN IVF result overlaps brute-force top-k (recall > 0)") {
     val bf = LlmOps.qSimCosineTopk(spark, sfDir).select("vec_id")
       .collect().map(_.getLong(0)).toSet
