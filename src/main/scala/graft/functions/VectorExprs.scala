@@ -17,6 +17,14 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_product"
+  // a NULL array element makes the whole product NULL (SQL semantics),
+  // so the result can be null even for non-null array inputs
+  override def nullable: Boolean = true
+
+  private def mayHaveNullElems: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => true
+  })
 
   // ExpectsInputTypes is private[sql], but checkInputDataTypes is not:
   // without this, a SQL call like dot_product(array(1,2), array(3,4))
@@ -39,7 +47,14 @@ case class DotProduct(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    if (mayHaveNullElems) {
+      while (i < n) {
+        if (x.isNullAt(i) || y.isNullAt(i)) return null
+        acc += x.getDouble(i) * y.getDouble(i); i += 1
+      }
+    } else {
+      while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    }
     acc
   }
 
@@ -47,13 +62,19 @@ case class DotProduct(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      // emit the per-element null check only when the static type allows
+      // null elements — the common all-doubles case keeps the tight loop
+      val guard = if (mayHaveNullElems)
+        s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $guard
          |  ${ev.value}Acc += $x.getDouble($i) * $y.getDouble($i);
          |}
-         |${ev.value} = ${ev.value}Acc;
+         |if (!${ev.isNull}) { ${ev.value} = ${ev.value}Acc; }
        """.stripMargin
     })
 

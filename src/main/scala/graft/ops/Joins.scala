@@ -129,17 +129,17 @@ object Joins {
     val sup = sup0.select($"s_suppkey", $"s_acctbal",
       floor($"s_acctbal" / w).as("sb"))
     val perB = cust.groupBy($"cb").agg(count(lit(1)).as("cnt"))
-    // densify over the full bucket range of BOTH sides so every supplier
-    // bucket hits the suffix-sum table by equi-join (no gaps)
-    val dense = cust.select($"cb").unionByName(sup.select($"sb".as("cb")))
-      .agg(min($"cb").as("lo"), max($"cb").as("hi"))
-      .select(explode(sequence($"lo", $"hi")).as("cb"))
-    // suffix sum = customers in strictly higher buckets; the window is
-    // over the tiny dense bucket table (constant rows), not the data
+    // suffix-sum over OBSERVED buckets only (customer buckets ∪ supplier
+    // buckets — unobserved buckets hold no customers, so skipping them
+    // changes nothing), never a densified range: a single outlier
+    // acctbal must not materialize a giant sequence(). The window runs
+    // over this small distinct-bucket table, not the data.
+    val allB = perB.select($"cb", $"cnt").unionByName(
+      sup.select($"sb".as("cb"), lit(0L).as("cnt")))
+      .groupBy($"cb").agg(sum($"cnt").as("cnt"))
     val wCum = Window.orderBy($"cb".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = dense.join(perB, Seq("cb"), "left")
-      .na.fill(0L, Seq("cnt"))
+    val cum = allB
       .withColumn("above", coalesce(sum($"cnt").over(wCum), lit(0L)))
       .select($"cb", $"above")
     // same-bucket residual: equi-join on the bucket + in-bucket compare

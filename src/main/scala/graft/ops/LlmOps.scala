@@ -89,13 +89,16 @@ object LlmOps {
     val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     // the stop-shingle (hot-key) set is small by construction → anti-join
     // against a broadcast; at 100 TB this is the skew bound that keeps
-    // the self-join's worst key at O(cap²) instead of O(corpus²)
-    val hot = tok.groupBy($"hk").agg(count(lit(1)).as("df"))
+    // the self-join's worst key at O(cap²) instead of O(corpus²).
+    // df groups on the shingle STRING (one-off, tiny result) so an
+    // hk collision can't merge two shingles' df and over-drop — keeps
+    // the cap exactly equal to the string-based oracle mirror
+    val hot = tok.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
       .filter($"df" > greatest(lit(2L),
         ceil($"n_docs" * lit(dfCapFrac)).cast("long")))
-      .select($"hk")
-    val tokJ = tok.join(broadcast(hot), Seq("hk"), "left_anti")
+      .select($"shingle")
+    val tokJ = tok.join(broadcast(hot), Seq("shingle"), "left_anti")
     val common = tokJ.as("a")
       .join(tokJ.as("b"),
         col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
@@ -178,8 +181,8 @@ object LlmOps {
     * (label, dim, v) rows — no CartesianProduct/BNLJ anywhere (unit
     * test asserts this), and it survives 100 TB where the former
     * label-blocked cross join could not. n_pairs stays exact while
-    * counts fit a long (n < ~4.3e9 — same bound the oracle's count(*)
-    * has). */
+    * n·(n−1) fits a long (n < ~3.0e9; any exact pair COUNT — the
+    * oracle's included — saturates around there too). */
   def qSimPairwiseStats(s: SparkSession, dir: String): DataFrame =
     pairwiseStatsCore(s, embD(s, dir))
 
@@ -223,6 +226,10 @@ object LlmOps {
       .unionByName(one.select(lit(true).as("same_label"),
         r6($"s_same" / $"p_same").as("mean_cos"),
         $"p_same".as("n_pairs")))
+      // degenerate distributions (all-singleton labels, single label)
+      // have zero pairs on one side; the all-pairs oracle emits no such
+      // group, so neither do we
+      .filter($"n_pairs" > 0)
       .orderBy($"same_label")
   }
 

@@ -22,6 +22,13 @@ import graft.util.Determinism._
   */
 object Relational {
 
+  /** Per-JVM scratch dir for roundtrip scan/sink queries — pid-suffixed
+    * so a concurrently running test JVM and Bench JVM can't clobber
+    * each other's overwrites mid-read. */
+  private def scratch(name: String): String =
+    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${ProcessHandle.current().pid()}").toString
+
   /** §2.A full parquet scan (the "load sheet" path of the reference). */
   def qScanParquet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -35,8 +42,7 @@ object Relational {
     * the coalesce(1) is a fixture convenience, not a scan pattern. */
   def qScanCsv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_csv_region").toString
+    val out = scratch("csv_region")
     region(s, dir).coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(out)
     s.read.option("header", "true").option("inferSchema", "true").csv(out)
@@ -49,8 +55,7 @@ object Relational {
     * roundtripped values against the parquet original. */
   def qScanOrc(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_orc_nation").toString
+    val out = scratch("orc_nation")
     nation(s, dir).write.mode("overwrite").orc(out)
     s.read.orc(out).orderBy($"n_nationkey")
   }
@@ -60,8 +65,7 @@ object Relational {
     * oracle with a CAST). */
   def qScanJsonl(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_jsonl_region").toString
+    val out = scratch("jsonl_region")
     region(s, dir).write.mode("overwrite").json(out)
     s.read.json(out)
       .select($"r_regionkey".cast("long").as("r_regionkey"), $"r_name")
@@ -75,8 +79,7 @@ object Relational {
     * parquet/CSV/JSONL/ORC/text are all oracle-covered.) */
   def qScanText(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_text_region").toString
+    val out = scratch("text_region")
     region(s, dir)
       .select(concat_ws("|", $"r_regionkey", $"r_name").as("value"))
       .write.mode("overwrite").text(out)
@@ -94,8 +97,7 @@ object Relational {
     * directory — and aggregate it. */
   def qSinkPartitioned(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_part_orders").toString
+    val out = scratch("part_orders")
     orders(s, dir).write.mode("overwrite")
       .partitionBy("o_orderstatus").parquet(out)
     s.read.parquet(out)

@@ -85,6 +85,14 @@ class ScaleSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("array<double>"), e.getMessage)
   }
 
+  test("dot_product is NULL when an array element is NULL") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, cast(null as double)), array(2.0d, 2.0d)) AS d")
+      .head()
+    assert(r.isNullAt(0),
+      "NULL element must poison the product, not read as 0/garbage")
+  }
+
   test("dot_product participates in whole-stage codegen") {
     import spark.implicits._
     val df = graft.util.Tables.embeddings(spark, sfDir)
