@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{DotProduct, FreqSketch}
 
 /** Session extensions (SURVEY.md §2.K): installs the engine's native
   * expressions into every session built with
@@ -20,6 +20,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 2, "dot_product(a, b) takes two arguments")
         DotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "freq_sketch(col, k) takes a column and a literal k")
+        val k = args(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"freq_sketch k must be an integer literal, got $other")
+        }
+        FreqSketch(args.head, k)
       }))
   }
 }

@@ -136,6 +136,22 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** §2.K TypedImperativeAggregate: Misra–Gries heavy hitters per
+    * returnflag over event/status values. k=16 exceeds the column's
+    * distinct count, so the sketch is provably EXACT here and the
+    * oracle is a plain GROUP BY re-serialized to the same
+    * "item:count|…" string; the approximation + merge behavior under
+    * k < distinct is locked in by ScalaTests. */
+  def qAggFreqSketch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.FreqSketch.register(s)
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(call_function("freq_sketch", $"l_linestatus", lit(16))
+        .as("status_counts"))
+      .orderBy($"l_returnflag")
+  }
+
   /** §2.D rollup with grouping id; subtotal keys coalesced to 'ALL'. */
   def qAggRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -213,6 +229,7 @@ object Aggregates {
     "q_agg_stats" -> qAggStats _,
     "q_agg_collect" -> qAggCollect _,
     "q_agg_conditional" -> qAggConditional _,
+    "q_agg_freq_sketch" -> qAggFreqSketch _,
     "q_agg_rollup" -> qAggRollup _,
     "q_agg_cube" -> qAggCube _,
     "q_agg_gsets" -> qAggGsets _,
@@ -282,6 +299,13 @@ object Aggregates {
         |    0.0), 4) AS price_f,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_freq_sketch" ->
+      """SELECT l_returnflag,
+        |  string_agg(l_linestatus || ':' || cnt, '|' ORDER BY l_linestatus)
+        |    AS status_counts
+        |FROM (SELECT l_returnflag, l_linestatus, count(*) AS cnt
+        |      FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |  coalesce(l_linestatus, 'ALL') AS status,

@@ -69,6 +69,40 @@ class ScaleSpec extends SparkSpec {
     assert(capped == 0L, s"cap failed to prune hot shingle: $capped pairs")
   }
 
+  test("freq_sketch is exact when distinct values fit in k") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"v${i % 7}").toDF("x")
+      .repartition(8) // force partial buffers + merge path
+    val got = df.agg(call_function("freq_sketch", $"x", lit(16)))
+      .head().getString(0)
+    val want = (0 until 7).map { v =>
+      s"v$v:${(1 to 1000).count(_ % 7 == v)}"
+    }.sorted.mkString("|")
+    assert(got == want, s"exact regime diverged: $got vs $want")
+  }
+
+  test("freq_sketch keeps heavy hitters within the MG error bound") {
+    import spark.implicits._
+    // 10_000 rows: one item holds 50%, the rest spread over 500 keys;
+    // with k=8 the heavy item must survive with count >= true - n/(k+1)
+    val n = 10000
+    val rows = (1 to n).map { i =>
+      if (i % 2 == 0) "heavy" else s"tail${i % 500}"
+    }
+    val got = rows.toDF("x").repartition(8)
+      .agg(call_function("freq_sketch", $"x", lit(8)))
+      .head().getString(0)
+    val entries = got.split('|').filter(_.nonEmpty)
+      .map { e => val Array(k, v) = e.split(':'); k -> v.toLong }.toMap
+    assert(entries.size <= 8, s"state exceeded k: $got")
+    val trueHeavy = n / 2
+    assert(entries.contains("heavy"),
+      s"50% item evicted from the sketch: $got")
+    assert(entries("heavy") <= trueHeavy &&
+      entries("heavy") >= trueHeavy - n / 9 - 1,
+      s"heavy count ${entries("heavy")} outside MG bound vs $trueHeavy")
+  }
+
   test("dot_product is SQL-visible via GraftExtensions") {
     val r = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
