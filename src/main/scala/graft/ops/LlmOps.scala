@@ -98,7 +98,7 @@ object LlmOps {
       .filter($"df" > greatest(lit(2L),
         ceil($"n_docs" * lit(dfCapFrac)).cast("long")))
       .select($"shingle")
-    val tokJ = tok.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val tokJ = tok.join(broadcast(hot), Seq("shingle"), "left_anti").cache()
     val common = tokJ.as("a")
       .join(tokJ.as("b"),
         col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
