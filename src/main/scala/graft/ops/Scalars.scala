@@ -8,10 +8,14 @@ import graft.util.Determinism._
 /** Scalar function families (SURVEY.md §2.H) — one packed query per
   * family so the oracle checks many functions at once.
   *
-  * Scale: all pure per-row expressions inside whole-stage codegen; no
-  * UDFs, no shuffles beyond the final presentation sort. Transcendental
-  * results are rounded to 6 dp (Java Math vs C libm can differ in the
-  * last ulp).
+  * Scale: pure per-row expressions, no UDFs, no shuffles beyond the
+  * final presentation sort; everything runs in whole-stage codegen
+  * EXCEPT the higher-order lambdas in the array/map families, which
+  * Catalyst interprets — those two queries are API-coverage
+  * demonstrations, not hot-path patterns (the hot paths — cosine,
+  * shingles — use codegen formulations instead; see LlmOps/Shingles).
+  * Transcendental results are rounded to 6 dp (Java Math vs C libm can
+  * differ in the last ulp).
   */
 object Scalars {
 
