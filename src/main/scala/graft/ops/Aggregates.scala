@@ -152,6 +152,35 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** §2.D binned (histogram) aggregation: fixed-width value buckets —
+    * one map-side-combined shuffle at any scale (the spreadsheet
+    * histogram op). */
+  def qAggHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy(floor($"l_extendedprice" / lit(100.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), r4(avg($"l_quantity")).as("avg_qty"))
+      .orderBy($"bucket")
+  }
+
+  /** §2.D ordered string aggregation (ANSI LISTAGG ... WITHIN GROUP;
+    * Spark 4 syntax) — multiset concatenation, unlike q_agg_collect's
+    * DISTINCT set form. */
+  def qAggListagg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    customer(s, dir)
+      .filter($"c_custkey" <= 200) // keep the concatenated row bounded
+      .createOrReplaceTempView("graft_listagg_cust")
+    s.sql("""
+      SELECT c_nationkey,
+        listagg(c_mktsegment, '|') WITHIN GROUP (ORDER BY c_mktsegment)
+          AS segs,
+        count(*) AS n
+      FROM graft_listagg_cust
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")
+  }
+
   /** §2.D rollup with grouping id; subtotal keys coalesced to 'ALL'. */
   def qAggRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -230,6 +259,8 @@ object Aggregates {
     "q_agg_collect" -> qAggCollect _,
     "q_agg_conditional" -> qAggConditional _,
     "q_agg_freq_sketch" -> qAggFreqSketch _,
+    "q_agg_histogram" -> qAggHistogram _,
+    "q_agg_listagg" -> qAggListagg _,
     "q_agg_rollup" -> qAggRollup _,
     "q_agg_cube" -> qAggCube _,
     "q_agg_gsets" -> qAggGsets _,
@@ -299,6 +330,16 @@ object Aggregates {
         |    0.0), 4) AS price_f,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_histogram" ->
+      """SELECT CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_agg_listagg" ->
+      """SELECT c_nationkey,
+        |  string_agg(c_mktsegment, '|' ORDER BY c_mktsegment) AS segs,
+        |  count(*) AS n
+        |FROM customer WHERE c_custkey <= 200
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_agg_freq_sketch" ->
       """SELECT l_returnflag,
         |  string_agg(l_linestatus || ':' || cnt, '|' ORDER BY l_linestatus)
