@@ -139,6 +139,22 @@ object LlmOps {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** §2.J deterministic corpus sampling: content-addressed ~10% sample
+    * via an md5-prefix threshold (hex uniform ⇒ prefix < '1a' ≈
+    * 26/256). Reproducible across runs, engines, and cluster sizes —
+    * the standard way a 100 TB corpus subsamples without an RNG — and
+    * exactly mirrorable in the oracle (string compare on the same
+    * md5), unlike seeded `sample()`, whose output depends on
+    * partitioning. */
+  def qSampleHash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .withColumn("hpfx", substring(md5(concat_ws("#", $"doc_id", $"text")), 1, 2))
+      .filter($"hpfx" < "1a")
+      .select($"doc_id", $"lang", $"hpfx")
+      .orderBy($"doc_id")
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** §2.J similarity search: brute-force cosine top-k for one probe
@@ -302,6 +318,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard _,
     "q_dedup_embcos" -> qDedupEmbcos _,
+    "q_sample_hash" -> qSampleHash _,
     "q_sim_cosine_topk" -> qSimCosineTopk _,
     "q_sim_knn_join" -> qSimKnnJoin _,
     "q_sim_pairwise_stats" -> qSimPairwiseStats _,
@@ -348,6 +365,12 @@ object LlmOps {
         |JOIN sizes sb ON b_id = sb.doc_id
         |WHERE c / (sa.sz + sb.sz - c) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, hpfx FROM (
+        |  SELECT doc_id, lang,
+        |    substring(md5(concat_ws('#', doc_id, text)), 1, 2) AS hpfx
+        |  FROM documents)
+        |WHERE hpfx < '1a' ORDER BY doc_id""".stripMargin,
     "q_dedup_embcos" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings)
