@@ -155,6 +155,21 @@ object Scalars {
       .orderBy($"event_id")
   }
 
+  /** §2.H regex family (match / count / extract-all / split-count);
+    * array results '|'-serialized per the no-raw-arrays discipline. */
+  def qFnRegex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    part(s, dir).select(
+      $"p_partkey",
+      $"p_name".rlike("^[a-z]+ ").as("starts_word"),
+      size(regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0)))
+        .cast("long").as("n_vowel_runs"),
+      concat_ws("|", regexp_extract_all($"p_name", lit("[a-z]{4,}"), lit(0)))
+        .as("long_words"),
+      regexp_replace($"p_type", "[AEIOU]", "*").as("type_masked"))
+      .orderBy($"p_partkey")
+  }
+
   /** §2.H bitwise family on integer keys. Output columns derive only
     * from (l_orderkey, l_linenumber), so duplicate key pairs produce
     * identical rows and the emitted order stays total for compare. */
@@ -205,6 +220,7 @@ object Scalars {
     "q_fn_map" -> qFnMap _,
     "q_fn_json" -> qFnJson _,
     "q_fn_cond" -> qFnCond _,
+    "q_fn_regex" -> qFnRegex _,
     "q_fn_bitwise" -> qFnBitwise _,
     "q_fn_hash" -> qFnHash _
   )
@@ -297,6 +313,15 @@ object Scalars {
         |  CAST(to_json(struct_pack(t := event_type,
         |    k := CAST(json_extract_string(props, '$.k') AS INT))) AS VARCHAR) AS j
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_fn_regex" ->
+      """SELECT p_partkey,
+        |  regexp_matches(p_name, '^[a-z]+ ') AS starts_word,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+        |    AS n_vowel_runs,
+        |  coalesce(array_to_string(regexp_extract_all(p_name, '[a-z]{4,}'),
+        |    '|'), '') AS long_words,
+        |  regexp_replace(p_type, '[AEIOU]', '*', 'g') AS type_masked
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_fn_bitwise" ->
       """SELECT l_orderkey, l_linenumber,
         |  (l_orderkey & 255) AS band,
