@@ -25,6 +25,17 @@ class OperatorSpec extends SparkSpec {
     assert(dangling.isEmpty, s"oracle SQL without query: $dangling")
   }
 
+  test("no-oracle set is exactly the documented hash-model/stub queries") {
+    // tripwire: silently losing an oracleSql entry would demote a query
+    // to the weaker rows-only gate without anyone noticing
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val expected = Set("q_agg_approx_distinct", "q_dedup_minhash",
+      "q_dedup_simhash", "q_dedup_simhash_pairs", "q_sim_knn_lsh",
+      "q_media_features")
+    assert(noOracle == expected,
+      s"no-oracle drift: unexpected=${noOracle -- expected} missing=${expected -- noOracle}")
+  }
+
   test("broadcast join plan uses BroadcastHashJoin") {
     val plan = Joins.qJoinBroadcast(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
