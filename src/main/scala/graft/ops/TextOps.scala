@@ -49,9 +49,20 @@ object TextOps {
     val docs = documents(s, dir)
     val tokens = docs.select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
       .filter(length($"word") > 0)
+    // Cached: df is derived FROM tf below (tf already has exactly one
+    // row per (doc_id, word)), so without the cache the tokenize
+    // subtree — the dominant cost at 100 TB — would execute once per
+    // branch (ReuseExchange can't dedup them: column pruning strips the
+    // count from the df branch, de-canonicalizing the exchanges).
+    // Released via graft.util.Caches.clear.
     val tf = tokens.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-    val df = tokens.select($"doc_id", $"word").distinct()
-      .groupBy($"word").agg(count(lit(1)).as("df"))
+      .cache()
+    // one row per (doc_id, word) → plain count IS document frequency;
+    // the old separate explode+distinct pass and its shuffle are gone,
+    // and the groupBy keeps map-side combine (a window-count over word
+    // would put every occurrence of a hot word in one partition — skew
+    // at 100 TB).
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"word")
     tf.join(broadcast(df), Seq("word"))
@@ -148,10 +159,15 @@ object TextOps {
 
   /** §2.J document fingerprint: min-of-shingle-hashes (a 1-permutation
     * MinHash — the winnowing-style content signature). Docs sharing a
-    * fingerprint are near-dup candidates at any scale via equi-join. */
+    * fingerprint are near-dup candidates at any scale via equi-join.
+    * Built on the DISTINCT shingle set: min(md5) is identical over the
+    * distinct set, and the distinct form is the `tokDistinct` cache that
+    * four other registry queries share — one explode+window
+    * materialization instead of a private re-tokenize (n_shingles is
+    * accordingly the distinct count, mirrored in the oracle). */
   def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.util.Shingles.tok(s, documents(s, dir), 3)
+    graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
       .groupBy($"doc_id")
       .agg(min(md5($"shingle".cast("binary"))).as("fp"),
         count(lit(1)).as("n_shingles"))
@@ -251,8 +267,8 @@ object TextOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
-        |  list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS fp,
-        |  len(sh) AS n_shingles
+        |  list_aggregate(list_transform(list_distinct(sh), x -> md5(x)), 'min') AS fp,
+        |  len(list_distinct(sh)) AS n_shingles
         |FROM (SELECT doc_id, text,
         |        CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
         |          list_transform(

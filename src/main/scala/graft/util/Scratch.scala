@@ -1,0 +1,38 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Scratch-directory management for the roundtrip scan/sink queries and
+  * streaming-replay checkpoints. Dirs are pid-suffixed (a concurrently
+  * running test JVM and Bench JVM can't clobber each other's overwrites
+  * mid-read) and deleted on JVM exit, so repeated Verify/Bench/test runs
+  * don't accumulate unbounded temp data and a reused pid can't resurrect
+  * a stale dir in a later session.
+  */
+object Scratch {
+
+  private val hooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** tmpdir path for roundtrip scratch data, deleted on JVM exit. The
+    * returned DataFrames of the roundtrip queries read from it lazily,
+    * so deletion must not happen before the JVM is done — an exit hook
+    * (not an eager delete) is the correct lifetime. */
+  def dir(name: String): String = {
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${ProcessHandle.current().pid()}")
+    if (hooked.add(p.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteRecursively(p) catch { case _: Throwable => () }))
+    p.toString
+  }
+
+  /** Best-effort recursive delete (files before parents). */
+  def deleteRecursively(p: Path): Unit = {
+    if (!Files.exists(p)) return
+    val walk = Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
+}

@@ -31,7 +31,7 @@ class OperatorSpec extends SparkSpec {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("q_agg_approx_distinct", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_simhash_pairs", "q_sim_knn_lsh",
-      "q_media_features")
+      "q_media_features", "q_dedup_embcos_lsh")
     assert(noOracle == expected,
       s"no-oracle drift: unexpected=${noOracle -- expected} missing=${expected -- noOracle}")
   }
@@ -159,6 +159,30 @@ class OperatorSpec extends SparkSpec {
     assert(exact.nonEmpty)
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"minhash recall too low: $recall")
+  }
+
+  test("embcos LSH twin recovers >= 0.9 of the exact embcos pairs at sf0.01") {
+    import spark.implicits._
+    // sf0.01 per the round-2 verdict contract for this recall bound;
+    // the exact query is label-blocked, the LSH twin is unblocked, so
+    // the exact pair set is a subset universe — containment is the
+    // right recall measure.
+    val dir01 = "/root/testdata/sf0.01"
+    val exact = LlmOps.qDedupEmbcos(spark, dir01)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val approx = LlmOps.qDedupEmbcosLsh(spark, dir01)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"embcos LSH recall too low: $recall")
+  }
+
+  test("embcos LSH plan is banded (no cartesian/BNLJ)") {
+    val plan = LlmOps.qDedupEmbcosLsh(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded LSH must not materialize all pairs:\n$plan")
   }
 
   test("LSH knn join recovers most of the exact knn pairs") {

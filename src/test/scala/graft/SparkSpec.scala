@@ -19,8 +19,13 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh").toString)
+      .config("spark.sql.warehouse.dir", {
+        val wh = java.nio.file.Files.createTempDirectory("graft_wh")
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          try graft.util.Scratch.deleteRecursively(wh)
+          catch { case _: Throwable => () }))
+        wh.toString
+      })
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
