@@ -157,6 +157,34 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** §2.J repetition filter (the Gopher-rules shape adapted to this
+    * corpus): per doc, the duplicate word-bigram fraction and the
+    * top-word dominance ratio, with a boolean gate on the UNROUNDED
+    * values (like q_text_quality). Removing template/boilerplate-
+    * repetitive docs is a standard LLM-corpus gate; both metrics are
+    * two map-side-combined hash aggregations — no pairs, no windows
+    * over the full corpus, safe at any scale. */
+  def qTextRepetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, dir)
+    val wordStats = docs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), max($"c").as("top_c"))
+    val bgStats = graft.util.Shingles.tok(s, docs, 2, includeShort = false)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bg"), countDistinct($"shingle").as("n_bg_d"))
+    wordStats.join(bgStats, Seq("doc_id"))
+      .withColumn("raw_dup", lit(1.0) - $"n_bg_d" / $"n_bg".cast("double"))
+      .withColumn("raw_top", $"top_c" / $"n_tokens".cast("double"))
+      .select($"doc_id", $"n_tokens",
+        r6($"raw_dup").as("dup_bigram_ratio"),
+        r6($"raw_top").as("top_word_ratio"),
+        ($"raw_dup" > 0.1 || $"raw_top" > 0.2).as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
   /** §2.J document fingerprint: min-of-shingle-hashes (a 1-permutation
     * MinHash — the winnowing-style content signature). Docs sharing a
     * fingerprint are near-dup candidates at any scale via equi-join.
@@ -181,6 +209,7 @@ object TextOps {
     "q_text_langid" -> qTextLangid _,
     "q_text_quality" -> qTextQuality _,
     "q_text_tokens" -> qTextTokens _,
+    "q_text_repetition" -> qTextRepetition _,
     "q_text_fingerprint" -> qTextFingerprint _
   )
 
@@ -265,6 +294,31 @@ object TextOps {
         |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0))
         |         AS DOUBLE), 6) AS chars_per_tok
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |           FROM documents),
+        |wc AS (SELECT doc_id, max(c) AS top_c,
+        |         CAST(sum(c) AS BIGINT) AS n_tokens
+        |       FROM (SELECT doc_id, word, count(*) AS c
+        |             FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+        |             GROUP BY doc_id, word)
+        |       GROUP BY doc_id),
+        |bg AS (SELECT doc_id,
+        |         CASE WHEN len(ws) >= 2 THEN
+        |           list_transform(generate_series(1, len(ws) - 1),
+        |                          i -> ws[i] || ' ' || ws[i+1])
+        |         ELSE [] END AS b
+        |       FROM w),
+        |bgs AS (SELECT doc_id, len(b) AS n_bg,
+        |          len(list_distinct(b)) AS n_bg_d
+        |        FROM bg WHERE len(b) > 0)
+        |SELECT wc.doc_id, n_tokens,
+        |  round(1 - n_bg_d / CAST(n_bg AS DOUBLE), 6) AS dup_bigram_ratio,
+        |  round(top_c / CAST(n_tokens AS DOUBLE), 6) AS top_word_ratio,
+        |  ((1 - n_bg_d / CAST(n_bg AS DOUBLE)) > 0.1
+        |    OR (top_c / CAST(n_tokens AS DOUBLE)) > 0.2) AS repetitive
+        |FROM wc JOIN bgs ON wc.doc_id = bgs.doc_id
+        |ORDER BY wc.doc_id""".stripMargin,
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_aggregate(list_transform(list_distinct(sh), x -> md5(x)), 'min') AS fp,
