@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final stdout line as JSON. By default sbt
+// routes forked-run output through its logger ("[info] {json}") and
+// appends a "[success] Total time..." line — both defeat a per-line
+// json parse (BENCH_r01..r04 all show parsed:null). StdoutOutput
+// passes child stdout through raw; showSuccess drops the trailer, so
+// the summary JSON is the genuinely last line sbt emits.
+run / outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
+// showSuccess is read by sbt's command engine, not by a task — lint
+// can't see that
+Global / excludeLintKeys += showSuccess
 // Suites share one SparkSession (SparkSpec.session) and two of them
 // mutate session-global state (Caches.clear, the replay-scoped
 // shuffle-partition override) — run suites sequentially; Spark itself

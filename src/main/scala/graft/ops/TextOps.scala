@@ -195,10 +195,22 @@ object TextOps {
     * accordingly the distinct count, mirrored in the oracle). */
   def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
+    val docs = documents(s, dir)
+    // Total shingle count restored alongside the distinct count (the
+    // r3 cache-sharing change narrowed the output to distinct-only;
+    // consumers of the original total-count contract get both now).
+    // The total needs no second tokenize pass: for word-n-gram
+    // shingling with the short-doc fallback it is exactly
+    // max(n_words - 2, 1) — pure per-row arithmetic on the source.
+    val totals = docs.select($"doc_id",
+      greatest(size(split(lower($"text"), " ")) - 2, lit(1))
+        .cast("long").as("n_shingles"))
+    graft.util.Shingles.tokDistinct(s, docs, 3)
       .groupBy($"doc_id")
       .agg(min(md5($"shingle".cast("binary"))).as("fp"),
-        count(lit(1)).as("n_shingles"))
+        count(lit(1)).as("n_shingles_distinct"))
+      .join(totals, Seq("doc_id"))
+      .select($"doc_id", $"fp", $"n_shingles", $"n_shingles_distinct")
       .orderBy($"doc_id")
   }
 
@@ -322,7 +334,8 @@ object TextOps {
     "q_text_fingerprint" ->
       """SELECT doc_id,
         |  list_aggregate(list_transform(list_distinct(sh), x -> md5(x)), 'min') AS fp,
-        |  len(list_distinct(sh)) AS n_shingles
+        |  greatest(len(string_split(lower(text), ' ')) - 2, 1) AS n_shingles,
+        |  len(list_distinct(sh)) AS n_shingles_distinct
         |FROM (SELECT doc_id, text,
         |        CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
         |          list_transform(

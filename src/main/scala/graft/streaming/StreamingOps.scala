@@ -168,47 +168,50 @@ object StreamingOps {
     * sink and return the sink as a batch DataFrame. Fresh checkpoint
     * per call: AvailableNow against a reused checkpoint would treat the
     * input as already-processed and emit nothing. */
-  private def replayToTable(s: SparkSession, agg: DataFrame,
-      mode: String): DataFrame = {
+  private def replayToTable(s: SparkSession, mode: String)
+      (build: SparkSession => DataFrame): DataFrame = {
     val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "q").toString
     val name = "graft_stream_replay_" +
       java.util.UUID.randomUUID().toString.take(8)
-    // Replay-scoped shuffle-partition override, restored in `finally` so
-    // batch queries keep the session default. Measured at sf0.1: the
-    // replay cost is dominated by fixed micro-batch machinery (start,
-    // incremental planning, offset/commit log), not data — 1/4/8/32
-    // partitions time within ~15% of each other; 8 is the sweet spot
-    // (fewer state-store instances than 32, parallelism kept vs 1).
-    // RocksDB state store was ALSO measured here and is ~5% slower at
-    // fixture scale (native store init outweighs tiny-state benefit),
-    // so replays keep the default provider; the RocksDB posture for
-    // real 100 TB state stays exercised in StreamingSpec.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
+    // The replay runs on a CHILD session (shared SparkContext, shared
+    // cache/catalog state, same extensions; separate SQLConf and
+    // temp-view namespace) so the replay-scoped shuffle-partition
+    // override below cannot leak into a batch query that a long-lived
+    // application plans concurrently on the caller's session — the
+    // graph itself is built against the child via `build`.
+    // Partition choice, measured at sf0.1: replay cost is dominated by
+    // fixed micro-batch machinery (start, incremental planning,
+    // offset/commit log), not data — 1/4/8/32 partitions time within
+    // ~15% of each other; 8 is the sweet spot (fewer state-store
+    // instances than 32, parallelism kept vs 1). RocksDB state store
+    // was ALSO measured here and is ~5% slower at fixture scale
+    // (native store init outweighs tiny-state benefit), so replays
+    // keep the default provider; the RocksDB posture for real 100 TB
+    // state stays exercised in StreamingSpec.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = build(s2).writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
     // replay is done and the memory sink holds the (bounded) result —
     // the checkpoint is dead weight from here
     graft.util.Scratch.deleteRecursively(java.nio.file.Paths.get(ckpt))
-    s.table(name)
+    // the sink's temp view lives in the child's namespace
+    s2.table(name)
   }
 
   def qStreamTumblingReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val agg = eventsStream(s, dir)
-      .groupBy(window($"ts", "10 minutes"), $"event_type")
-      .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
-      .select(tstr($"window.start").as("bucket"), $"event_type", $"n",
-        $"sum_value")
-    replayToTable(s, agg, "complete").orderBy($"bucket", $"event_type")
+    replayToTable(s, "complete") { s2 =>
+      eventsStream(s2, dir)
+        .groupBy(window($"ts", "10 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+        .select(tstr($"window.start").as("bucket"), $"event_type", $"n",
+          $"sum_value")
+    }.orderBy($"bucket", $"event_type")
   }
 
   /** §2.I streaming SESSION-window replay, oracle-checked: real
@@ -220,12 +223,13 @@ object StreamingOps {
     * q_sessionize_batch's `>` convention. */
   def qStreamSessionReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val agg = eventsStream(s, dir)
-      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
-      .agg(count(lit(1)).as("n"))
-      .select(tstr($"session_window.start").as("session_start"),
-        $"user_id", $"n")
-    replayToTable(s, agg, "complete").orderBy($"user_id", $"session_start")
+    replayToTable(s, "complete") { s2 =>
+      eventsStream(s2, dir)
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"))
+        .select(tstr($"session_window.start").as("session_start"),
+          $"user_id", $"n")
+    }.orderBy($"user_id", $"session_start")
   }
 
   /** §2.I stream–static join replay, oracle-checked: the enrich()
@@ -237,8 +241,9 @@ object StreamingOps {
     * writes the same graph to a file/Kafka sink. */
   def qStreamEnrichReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val enriched = enrich(eventsStream(s, dir), customer(s, dir))
-    replayToTable(s, enriched, "append").orderBy($"event_id")
+    replayToTable(s, "append") { s2 =>
+      enrich(eventsStream(s2, dir), customer(s2, dir))
+    }.orderBy($"event_id")
   }
 
   /** §2.I batch sessionization (the batch twin of `session_window`):
