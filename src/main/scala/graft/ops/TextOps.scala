@@ -191,8 +191,9 @@ object TextOps {
     * Built on the DISTINCT shingle set: min(md5) is identical over the
     * distinct set, and the distinct form is the `tokDistinct` cache that
     * four other registry queries share — one explode+window
-    * materialization instead of a private re-tokenize (n_shingles is
-    * accordingly the distinct count, mirrored in the oracle). */
+    * materialization instead of a private re-tokenize. Emits BOTH
+    * n_shingles (total, arithmetic — no extra tokenize pass) and
+    * n_shingles_distinct, mirrored in the oracle. */
   def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = documents(s, dir)
