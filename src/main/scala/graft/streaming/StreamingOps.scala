@@ -106,6 +106,27 @@ object StreamingOps {
       .transformWithState(new SpendProcessor, TimeMode.None(), OM.Update())
   }
 
+  /** Stream–stream interval join: each click attributed to the same
+    * user's impression it followed within 10 minutes. Both sides carry
+    * watermarks AND the join condition bounds event time on both sides,
+    * so Spark can expire join state: an impression leaves state once
+    * the click watermark passes imp_ts + 10 min — bounded state at any
+    * scale, keyed by user_id so it shards with the shuffle. */
+  def attachClicks(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.select(col("event_id").as("imp_id"),
+        col("user_id"), col("ts").as("imp_ts"))
+      .withWatermark("imp_ts", "20 minutes")
+    val clk = clicks.select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "20 minutes")
+    imp.join(clk,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr("INTERVAL 10 MINUTES"))
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** Stream–static enrichment: events joined to the customer dim. */
   def enrich(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(broadcast(customers),

@@ -185,6 +185,35 @@ class OperatorSpec extends SparkSpec {
       s"banded LSH must not materialize all pairs:\n$plan")
   }
 
+  test("embcos LSH hyperplane count follows the embedding width") {
+    import spark.implicits._
+    // 100-dim input (not the fixture's 64): a planted identical pair
+    // whose signal lives ENTIRELY in components >= 64, plus its
+    // anti-aligned foil. Exercises the data-derived plane count — a
+    // plane table clamped at 64 dims would project all three vectors
+    // to the same all-zero fingerprint here.
+    val dim = 100
+    def vec(sign: Double): Seq[Double] = {
+      val v = Seq.tabulate(dim)(i => if (i < 64) 0.0 else sign)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val e = Seq((1L, vec(1.0)), (2L, vec(1.0)), (3L, vec(-1.0)))
+      .toDF("vec_id", "emb")
+    graft.functions.VectorExprs.register(spark)
+    val pairs = LlmOps.embcosLshPairs(spark, e,
+      nBits = 64, bandBits = 4, minCos = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)),
+      s"expected exactly the planted duplicate pair, got $pairs")
+    // widths beyond the plane-seed stride must fail loudly, not
+    // silently truncate
+    val wide = Seq((1L, Seq.fill(2000)(1.0))).toDF("vec_id", "emb")
+    assertThrows[IllegalArgumentException] {
+      LlmOps.embcosLshPairs(spark, wide, 64, 4, 0.9).collect()
+    }
+  }
+
   test("LSH knn join recovers most of the exact knn pairs") {
     import spark.implicits._
     val exact = LlmOps.qSimKnnJoin(spark, sfDir)

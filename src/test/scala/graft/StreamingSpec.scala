@@ -137,6 +137,32 @@ class StreamingSpec extends SparkSpec {
     assert(last == (10.0, 2L), s"got $last")
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[EventRow]
+    val clks = MemoryStream[EventRow]
+    val q = startQuery(StreamingOps.attachClicks(imps.toDF(), clks.toDF()),
+      "attrib", OutputMode.Append())
+    imps.addData(EventRow(10, ts(1), 1, "view", 1.0),
+      EventRow(11, ts(2), 2, "view", 1.0))
+    clks.addData(
+      EventRow(20, ts(5), 1, "click", 1.0),   // 4 min after imp 10: match
+      EventRow(21, ts(30), 2, "click", 1.0),  // 28 min after imp 11: outside
+      EventRow(22, ts(3), 7, "click", 1.0))   // no impression for user 7
+    q.processAllAvailable()
+    // advance both watermarks so matched rows are emitted in append mode
+    imps.addData(EventRow(12, ts(59), 9, "view", 1.0))
+    clks.addData(EventRow(23, ts(59), 9, "click", 99.0))
+    q.processAllAvailable()
+    val out = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("click_id"))).toSet
+    q.stop()
+    assert(out.contains((10L, 20L)), s"missing attributed pair: $out")
+    assert(!out.contains((11L, 21L)), s"out-of-window click joined: $out")
+    assert(!out.exists(_._2 == 22L), s"userless click joined: $out")
+  }
+
   test("stream-static enrich joins the customer dim") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
