@@ -105,6 +105,24 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** §2.D linear-regression aggregates (ANSI regr_* family): slope /
+    * intercept / r² / point count of extendedprice over quantity per
+    * return flag. Single-pass moment accumulators — map-side
+    * combinable, O(1) state per group at any scale. Slope/intercept
+    * magnitudes are ~1e3–1e4, so they round at 4 dp (the r4 discipline
+    * for large aggregates); r² ∈ [0,1] rounds at 6. */
+  def qAggRegr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        r4(regr_slope($"l_extendedprice", $"l_quantity")).as("slope"),
+        r4(regr_intercept($"l_extendedprice", $"l_quantity")).as("icept"),
+        r6(regr_r2($"l_extendedprice", $"l_quantity")).as("r2"),
+        regr_count($"l_extendedprice", $"l_quantity").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** §2.D list/set aggregation (reference: "column as array"); arrays
     * sorted for determinism. */
   def qAggCollect(s: SparkSession, dir: String): DataFrame = {
@@ -256,6 +274,7 @@ object Aggregates {
     "q_agg_approx_distinct" -> qAggApproxDistinct _,
     "q_agg_percentile" -> qAggPercentile _,
     "q_agg_stats" -> qAggStats _,
+    "q_agg_regr" -> qAggRegr _,
     "q_agg_collect" -> qAggCollect _,
     "q_agg_conditional" -> qAggConditional _,
     "q_agg_freq_sketch" -> qAggFreqSketch _,
@@ -302,6 +321,14 @@ object Aggregates {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
         |  round(quantile_cont(l_quantity, 0.75), 4) AS qty_p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 6) AS sd_qty,
