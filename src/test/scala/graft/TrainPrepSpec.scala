@@ -59,6 +59,23 @@ class TrainPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("train-prep plans: no all-pairs joins; packing is window-only") {
+    // decontamination must stay an inverted-index equi-join (broadcast
+    // eval shingle set), never doc×doc
+    val decon = ops.TrainPrep.qDecontaminate(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!decon.contains("CartesianProduct") &&
+      !decon.contains("BroadcastNestedLoopJoin"),
+      s"decontaminate must not materialize all pairs:\n$decon")
+    assert(decon.contains("BroadcastHashJoin"),
+      "eval shingle set should broadcast at fixture scale")
+    // greedy packing is one window pass — no join of any kind
+    val pack = ops.TrainPrep.qPackGreedy(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!pack.contains("Join"), s"packing plan grew a join:\n$pack")
+    assert(pack.contains("Window"), "packing should be a window plan")
+  }
+
   test("mix weights: shares sum to 1 and weights invert the shares") {
     val out = ops.TrainPrep.qMixWeights(spark, dir).cache()
     val ncells = out.count()
