@@ -194,6 +194,37 @@ object Joins {
       .orderBy($"purchase_id")
   }
 
+  /** §2.C as-of join with TOLERANCE: each purchase attributed to the
+    * user's last click at-or-before it, but only when that click is
+    * within 30 minutes — stale matches null out (the standard
+    * attribution-window semantics). Same union-tag + running-last core
+    * as qJoinAsof (one shuffle on user_id, no join at all), carrying
+    * the matched click's timestamp so the tolerance is a post-window
+    * filter, not a second pass. */
+  def qJoinAsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val tagged = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"), lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"))
+      .unionByName(
+        e.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
+            lit(1).as("tag"), $"event_id".as("purchase_id")))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"click_id".asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click_id", last($"click_id", ignoreNulls = true).over(w))
+      .withColumn("last_click_ts",
+        last(when($"tag" === 0, $"ts"), ignoreNulls = true).over(w))
+      .filter($"tag" === 1)
+      .select($"purchase_id", $"user_id", tstr($"ts").as("purchase_ts"),
+        when($"last_click_ts" >= $"ts" - expr("INTERVAL 30 MINUTES"),
+          $"last_click_id").as("attributed_click_id"))
+      .orderBy($"purchase_id")
+  }
+
   /** §2.C interval join: events of the same user within 1 hour after each
     * signup. Equi key (user_id) + range predicate → keyed join, not a
     * cartesian. */
@@ -224,6 +255,7 @@ object Joins {
     "q_join_theta" -> qJoinTheta _,
     "q_join_cross" -> qJoinCross _,
     "q_join_asof" -> qJoinAsof _,
+    "q_join_asof_tolerance" -> qJoinAsofTolerance _,
     "q_join_interval" -> qJoinInterval _
   )
 
@@ -283,6 +315,15 @@ object Joins {
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
         |  c.event_id AS last_click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q_join_asof_tolerance" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  CASE WHEN c.ts >= p.ts - INTERVAL 30 MINUTE
+        |       THEN c.event_id END AS attributed_click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts

@@ -201,6 +201,20 @@ object Relational {
       .limit(20)
   }
 
+  /** §2.F pagination: rows 101–150 of the price-ranked orders.
+    * Spark plans offset+limit as a single GlobalLimitAndOffset over the
+    * sort — executors keep only the first offset+limit rows per
+    * partition, so pagination never materializes the full sort. The
+    * final orderBy re-asserts the emitted total order for the dump. */
+  def qLimitOffset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    orders(s, dir)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .offset(100).limit(50)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+  }
+
   /** §2.F top-k per group via ranked window (QUALIFY pattern). */
   def qTopkPergroup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -269,6 +283,7 @@ object Relational {
     "q_filter_in_subquery" -> qFilterInSubquery _,
     "q_sort_global" -> qSortGlobal _,
     "q_limit_topn" -> qLimitTopn _,
+    "q_limit_offset" -> qLimitOffset _,
     "q_topk_pergroup" -> qTopkPergroup _,
     "q_set_union" -> qSetUnion _,
     "q_set_intersect" -> qSetIntersect _,
@@ -342,6 +357,10 @@ object Relational {
     "q_limit_topn" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 50 OFFSET 100""".stripMargin,
     "q_topk_pergroup" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |  row_number() OVER
