@@ -21,6 +21,27 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("greedy packing window formula matches a sequential packer") {
+    import spark.implicits._
+    // random token counts -> the distributed cumsum/div formula must
+    // agree with the obvious single-threaded fold over the same order
+    val toks = samples(Gen.chooseNum(1L, 3000L), 400)
+    val cap = 2048L
+    val expected = toks.scanLeft(0L)(_ + _).zip(toks).map {
+      case (before, _) => before / cap
+    }
+    val df = toks.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "n_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val got = df.withColumn("cum", sum($"n_tokens").over(w))
+      .select($"doc_id", (($"cum" - $"n_tokens") / cap).cast("long").as("bin"))
+      .orderBy($"doc_id").collect().map(_.getLong(1)).toSeq
+    assert(got == expected)
+  }
+
   test("unionByName cardinality = sum of parts") {
     import spark.implicits._
     val o = graft.util.Tables.orders(spark, sfDir)
