@@ -181,7 +181,7 @@ object LlmOps {
     // components >= 64 of wider embeddings — degraded recall with no
     // error. The 1024 stride in the mix seed keeps fixture-dim (64)
     // fingerprints bit-identical to earlier rounds for dims <= 1024.
-    val dims = e.select(size(col("emb"))).head.getInt(0)
+    val dims = e.select(size(col("emb"))).head().getInt(0)
     require(dims <= 1024, s"embedding dim $dims exceeds plane seed stride")
     val planes = for { b <- 0 until nBits; d <- 0 until dims } yield
       (b, d, if ((mix(b.toLong * 1024 + d) & 1L) == 1L) 1.0 else -1.0)

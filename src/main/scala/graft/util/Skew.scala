@@ -29,7 +29,8 @@ object Skew {
       .contains(joinType.toLowerCase),
       s"saltedJoin supports inner/left/semi/anti join types, got $joinType")
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)),
+        lit(salts.toLong)))
     val smallSalted = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     bigSalted.join(smallSalted,

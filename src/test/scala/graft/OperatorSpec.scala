@@ -92,7 +92,7 @@ class OperatorSpec extends SparkSpec {
 
   test("exact dedup keeps min doc_id per content hash") {
     val kept = LlmOps.qDedupExact(spark, sfDir)
-    val total = kept.agg(sum("n_copies")).head.getLong(0)
+    val total = kept.agg(sum("n_copies")).head().getLong(0)
     val docs = graft.util.Tables.documents(spark, sfDir).count()
     assert(total == docs, s"n_copies must partition the corpus: $total != $docs")
   }

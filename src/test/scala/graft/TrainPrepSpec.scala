@@ -79,7 +79,7 @@ class TrainPrepSpec extends SparkSpec {
   test("mix weights: shares sum to 1 and weights invert the shares") {
     val out = ops.TrainPrep.qMixWeights(spark, dir).cache()
     val ncells = out.count()
-    val shareSum = out.agg(sum("share")).head.getDouble(0)
+    val shareSum = out.agg(sum("share")).head().getDouble(0)
     assert(math.abs(shareSum - 1.0) < 1e-3)
     // weight ~ (1/ncells) / share for every cell
     val bad = out.filter(
