@@ -16,10 +16,11 @@ import graft.util.Determinism._
   *    never doc×doc: the eval pool's distinct shingle set is tiny
   *    relative to the corpus (benchmarks are MBs, corpora are TBs), so
   *    it broadcasts and the train side streams map-side.
-  *  - Packing windows partition by a bounded key (lang here; (domain,
-  *    date-shard) in production) so no single window sees unbounded
-  *    rows; within a partition the cumulative sum is the one
-  *    sort+window pass any packer needs.
+  *  - Packing never windows over an unbounded key: the per-language
+  *    running sum is sharded — shard-local window sums over
+  *    (lang, shard = doc_id div shardSize) plus broadcast per-shard
+  *    offsets — so the largest window partition is shardSize rows no
+  *    matter how big one language's slice of the corpus gets.
   *  - Mixture weighting is two hash aggregations and a broadcast of a
   *    one-row total — O(corpus) scan, O(domains) state.
   */
@@ -75,23 +76,59 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** Sharded cumulative-sum packing core: the language-wide running
+    * token count is decomposed into shard-local window sums plus a
+    * per-shard offset, so NO window partition ever exceeds `shardSize`
+    * rows. A plain `Window.partitionBy(lang)` puts an entire language's
+    * cumulative sum on ONE task — terabytes through a single executor
+    * at corpus scale. Here:
+    *   1. shard = doc_id div shardSize — bounded, order-preserving
+    *      (doc_id order within a lang is shard-major, then local);
+    *   2. shard-local running sums window over (lang, shard);
+    *   3. per-shard totals (one row per (lang, shard) — corpus/shardSize
+    *      rows, tiny) get exclusive running offsets via a window over
+    *      that TINY frame, then broadcast-join back.
+    * Output is bit-identical to the single-window definition — the
+    * oracle keeps the straightforward form, so the driver gate itself
+    * proves the sharded plan output-equivalent. */
+  private[graft] def packBins(s: SparkSession, toks: DataFrame,
+      capacity: Long, shardSize: Long): DataFrame = {
+    import s.implicits._
+    val sharded = toks.withColumn("shard",
+      floor($"doc_id" / shardSize).cast("long"))
+    val wLocal = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // offsets frame: one row per (lang, shard); its lang-partitioned
+    // window sees corpus/shardSize rows, not corpus rows
+    val wOff = Window.partitionBy($"lang").orderBy($"shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = sharded.groupBy($"lang", $"shard")
+      .agg(sum($"n_tokens").as("shard_tot"))
+      .withColumn("offset", coalesce(sum($"shard_tot").over(wOff), lit(0L)))
+      .select($"lang", $"shard", $"offset")
+    sharded.withColumn("cum_local", sum($"n_tokens").over(wLocal))
+      .join(broadcast(offsets), Seq("lang", "shard"))
+      // capacity is a power of two, so the double division is exact for
+      // any cumulative count below 2^53 (a 100 TB corpus sums ~1e13)
+      .select($"doc_id", $"lang", $"n_tokens",
+        (($"offset" + $"cum_local" - $"n_tokens") / capacity)
+          .cast("long").as("bin"))
+  }
+
   /** §2.J greedy sequence packing: assign documents to fixed-capacity
     * token bins (capacity 2048) in arrival (doc_id) order within each
     * language — the contiguous-fill approximation of batch packing,
     * where a bin is the cumulative token count before the doc divided
-    * by capacity. One sort+window pass per partition key; no shuffle
-    * beyond the window's. */
+    * by capacity. Runs through the sharded core: shardSize 128 gives 4
+    * shards at fixture scale (doc_id 0–499) so the multi-shard path is
+    * what the correctness gate checks; production wants ~100k-row
+    * shards (or a (domain, date-bucket) key) — same plan shape. */
   def qPackGreedy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val capacity = 2048L
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    documents(s, dir)
+    val toks = documents(s, dir)
       .select($"doc_id", $"lang",
         size(split($"text", " ")).cast("long").as("n_tokens"))
-      .withColumn("cum", sum($"n_tokens").over(w))
-      .select($"doc_id", $"lang", $"n_tokens",
-        (($"cum" - $"n_tokens") / capacity).cast("long").as("bin"))
+    packBins(s, toks, capacity = 2048L, shardSize = 128L)
       .orderBy($"doc_id")
   }
 

@@ -42,6 +42,31 @@ class PropertySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("sharded packing core matches a sequential per-lang packer") {
+    import spark.implicits._
+    // random token counts over 3 langs; the sharded distributed plan
+    // (shard-local cumsums + broadcast offsets) must agree with the
+    // obvious single-threaded per-lang fold for ANY shard size
+    val toks = samples(Gen.chooseNum(1L, 3000L), 300)
+    val rows = toks.zipWithIndex.map { case (t, i) =>
+      (i.toLong, s"L${i % 3}", t)
+    }
+    val cap = 2048L
+    val expected = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      val sorted = rs.sortBy(_._1)
+      sorted.map(_._3).scanLeft(0L)(_ + _).zip(sorted).map {
+        case (before, (id, _, _)) => id -> before / cap
+      }
+    }.toMap
+    val df = rows.toDF("doc_id", "lang", "n_tokens")
+    for (sz <- Seq(1L, 13L, 100L, 1L << 40)) {
+      val got = ops.TrainPrep.packBins(spark, df, cap, sz)
+        .select($"doc_id", $"bin").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"shardSize=$sz diverged")
+    }
+  }
+
   test("unionByName cardinality = sum of parts") {
     import spark.implicits._
     val o = graft.util.Tables.orders(spark, sfDir)

@@ -59,7 +59,7 @@ class TrainPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("train-prep plans: no all-pairs joins; packing is window-only") {
+  test("train-prep plans: no all-pairs joins; packing windows are sharded") {
     // decontamination must stay an inverted-index equi-join (broadcast
     // eval shingle set), never doc×doc
     val decon = ops.TrainPrep.qDecontaminate(spark, dir)
@@ -69,11 +69,39 @@ class TrainPrepSpec extends SparkSpec {
       s"decontaminate must not materialize all pairs:\n$decon")
     assert(decon.contains("BroadcastHashJoin"),
       "eval shingle set should broadcast at fixture scale")
-    // greedy packing is one window pass — no join of any kind
+    // greedy packing: the doc-scale window (the one ordering by doc_id)
+    // must partition by BOTH lang and shard — a lang-only partition puts
+    // an entire language's running sum on one task at corpus scale
     val pack = ops.TrainPrep.qPackGreedy(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(!pack.contains("Join"), s"packing plan grew a join:\n$pack")
-    assert(pack.contains("Window"), "packing should be a window plan")
+    val docWindow =
+      """windowspecdefinition\(lang#\d+, shard#\d+L?, doc_id#\d+L? ASC""".r
+    assert(docWindow.findFirstIn(pack).isDefined,
+      s"doc-scale window must partition by (lang, shard):\n$pack")
+    // the offset join must broadcast the tiny per-shard frame, never
+    // shuffle the doc side or go nested-loop
+    assert(pack.contains("BroadcastHashJoin"),
+      s"shard offsets should broadcast:\n$pack")
+    assert(!pack.contains("SortMergeJoin") &&
+      !pack.contains("CartesianProduct") &&
+      !pack.contains("BroadcastNestedLoopJoin"),
+      s"packing must not shuffle-join the doc side:\n$pack")
+  }
+
+  test("pack greedy: sharded core is shard-size-invariant") {
+    import spark.implicits._
+    val toks = util.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // shardSize larger than any doc_id = the unsharded single-window
+    // definition; tiny and odd shard sizes must agree with it exactly
+    val want = ops.TrainPrep.packBins(spark, toks, 2048L, 1L << 40)
+      .orderBy("doc_id").collect().toSeq
+    for (sz <- Seq(1L, 7L, 128L)) {
+      val got = ops.TrainPrep.packBins(spark, toks, 2048L, sz)
+        .orderBy("doc_id").collect().toSeq
+      assert(got == want, s"shardSize=$sz diverged from single-window")
+    }
   }
 
   test("mix weights: shares sum to 1 and weights invert the shares") {
