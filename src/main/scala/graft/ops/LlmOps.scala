@@ -176,19 +176,25 @@ object LlmOps {
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^ (z >>> 31)
     }
-    // Hyperplane width follows the DATA (one-row peek at plan-build
-    // time), not a constant: a hardcoded 64 would silently ignore
-    // components >= 64 of wider embeddings — degraded recall with no
-    // error. The 1024 stride in the mix seed keeps fixture-dim (64)
-    // fingerprints bit-identical to earlier rounds for dims <= 1024.
-    val dims = e.select(size(col("emb"))).head().getInt(0)
-    require(dims <= 1024, s"embedding dim $dims exceeds plane seed stride")
-    val planes = for { b <- 0 until nBits; d <- 0 until dims } yield
-      (b, d, if ((mix(b.toLong * 1024 + d) & 1L) == 1L) 1.0 else -1.0)
+    // Hyperplanes cover every dim < the seed stride (1024) up front, so
+    // building the plan never peeks at the data — zero Spark jobs at
+    // plan-construction time. The equi-join on `dim` restricts the
+    // projection to the dims actually present (a hardcoded 64 would
+    // silently ignore components >= 64 of wider embeddings — degraded
+    // recall with no error), and fingerprints for any dims <= 1024 stay
+    // bit-identical to earlier rounds. Embeddings wider than the stride
+    // fail loudly via the in-plan guard below, not by truncation.
+    val stride = 1024
+    val planes = for { b <- 0 until nBits; d <- 0 until stride } yield
+      (b, d, if ((mix(b.toLong * stride + d) & 1L) == 1L) 1.0 else -1.0)
     val planesDf = planes.toDF("bit", "dim", "sgn")
+    val guarded = e.withColumn("emb",
+      when(size($"emb") <= stride, $"emb").otherwise(raise_error(concat(
+        lit("embedding dim "), size($"emb"),
+        lit(s" exceeds plane seed stride $stride")))))
     // per-(vec, bit) signed projection: explode + broadcast join + one
     // map-side-combined hash agg — O(n·d·bits) work, no pairs anywhere
-    val proj = e.select($"vec_id", posexplode($"emb").as(Seq("dim", "v")))
+    val proj = guarded.select($"vec_id", posexplode($"emb").as(Seq("dim", "v")))
       .join(broadcast(planesDf), "dim")
       .groupBy($"vec_id", $"bit")
       .agg(sum($"v" * $"sgn").as("s"))
