@@ -46,8 +46,9 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fs,"total_cold":$totalCold,"sf":"$sfDir"}""")
     // Final, short, self-contained line: even if the line above ever
     // outgrows the 4 KB tail again, this one survives truncation and
-    // carries the gate number.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"total_cold":$totalCold,"sf":"$sfDir"}""")
+    // carries the gate number. Distinct metric name so a parser keying
+    // on "metric" can never confuse the two lines.
+    println(s"""{"metric":"total_summary","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failures.size},"total_cold":$totalCold,"sf":"$sfDir"}""")
     graft.util.Caches.clear(spark)
     spark.stop()
   }

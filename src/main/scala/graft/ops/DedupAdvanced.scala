@@ -56,9 +56,13 @@ object DedupAdvanced {
     * nested higher-order-function version was NOT codegen-able
     * (interpreted lambdas) and was ~100× slower at sf0.1.
     * Hamming distance downstream is one XOR + bit_count. */
-  private[graft] def fingerprints(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def fingerprints(s: SparkSession, dir: String): DataFrame =
+    fingerprintsOf(s, documents(s, dir))
+
+  /** Same, over any (doc_id, text) frame — the scale-canary entry point. */
+  private[graft] def fingerprintsOf(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val tok = graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
+    val tok = graft.util.Shingles.tokDistinct(s, docs, 3)
       .withColumn("h", xxhash64($"shingle"))
     val votes = (0 until 63).map(b =>
       sum(when(shiftright($"h", b).bitwiseAND(lit(1L)) === 1L, 1L)

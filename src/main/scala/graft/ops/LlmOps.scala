@@ -213,9 +213,12 @@ object LlmOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    // exact cosine recheck on the surviving candidates only
-    val ea = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"))
-    val eb = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"))
+    // exact cosine recheck on the surviving candidates only — reading
+    // the GUARDED frame, not the raw input, so the width guard covers
+    // the recheck path even if the candidate path is ever restructured
+    // (the raw `e` here would silently admit over-stride embeddings).
+    val ea = guarded.select($"vec_id".as("a_id"), $"emb".as("a_emb"))
+    val eb = guarded.select($"vec_id".as("b_id"), $"emb".as("b_emb"))
     cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
       .withColumn("cos", cosine($"a_emb", $"b_emb"))
       .filter($"cos" >= minCos)

@@ -94,8 +94,13 @@ object TrainPrep {
   private[graft] def packBins(s: SparkSession, toks: DataFrame,
       capacity: Long, shardSize: Long): DataFrame = {
     import s.implicits._
+    require(capacity > 0, s"packBins capacity must be positive: $capacity")
+    // cached: both the offsets branch and the cumsum branch read this
+    // frame, and the groupBy shuffle vs window shuffle are not identical
+    // subplans (no exchange reuse) — without the cache the full token
+    // scan runs twice. Released via graft.util.Caches.clear.
     val sharded = toks.withColumn("shard",
-      floor($"doc_id" / shardSize).cast("long"))
+      floor($"doc_id" / shardSize).cast("long")).cache()
     val wLocal = Window.partitionBy($"lang", $"shard").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // offsets frame: one row per (lang, shard); its lang-partitioned
@@ -108,11 +113,12 @@ object TrainPrep {
       .select($"lang", $"shard", $"offset")
     sharded.withColumn("cum_local", sum($"n_tokens").over(wLocal))
       .join(broadcast(offsets), Seq("lang", "shard"))
-      // capacity is a power of two, so the double division is exact for
-      // any cumulative count below 2^53 (a 100 TB corpus sums ~1e13)
+      // integral `div`: exact for ANY capacity (double `/` is exact only
+      // for power-of-two capacities below 2^53) and matches the DuckDB
+      // `//` oracle bit-for-bit on the non-negative cumulative sums
+      .withColumn("start_tok", $"offset" + $"cum_local" - $"n_tokens")
       .select($"doc_id", $"lang", $"n_tokens",
-        (($"offset" + $"cum_local" - $"n_tokens") / capacity)
-          .cast("long").as("bin"))
+        expr(s"start_tok div ${capacity}L").as("bin"))
   }
 
   /** §2.J greedy sequence packing: assign documents to fixed-capacity

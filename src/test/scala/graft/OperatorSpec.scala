@@ -207,11 +207,18 @@ class OperatorSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L)),
       s"expected exactly the planted duplicate pair, got $pairs")
     // widths beyond the plane-seed stride must fail loudly, not
-    // silently truncate
+    // silently truncate. The guard is IN the plan (raise_error), so it
+    // surfaces at execution as a SparkRuntimeException — possibly
+    // wrapped in a stage-failure SparkException — not at plan build.
     val wide = Seq((1L, Seq.fill(2000)(1.0))).toDF("vec_id", "emb")
-    assertThrows[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       LlmOps.embcosLshPairs(spark, wide, 64, 4, 0.9).collect()
     }
+    val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("exceeds plane seed stride"),
+      s"expected the in-plan stride guard to fire, got: $chain")
   }
 
   test("LSH knn join recovers most of the exact knn pairs") {
