@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The user-facing workbook surface (SURVEY.md §1.1): the reference's
+  * spreadsheet-as-database verbs — load a directory of sheets, read a
+  * sheet, insert / update / remove / upsert rows, introspect headers,
+  * save — as one thin facade over the same plans the query registry
+  * exercises (`ops.Crud` for the CRUD shapes, `ops.Relational`'s
+  * catalog query for introspection). A user of the reference switches
+  * engines by swapping `Workbook.load(path)` for this class; everything
+  * downstream is an ordinary immutable `DataFrame`.
+  *
+  * Semantics are copy-on-write, matching the CRUD registry queries: no
+  * verb mutates storage. A `Workbook` is an immutable map of named
+  * lazy frames; every verb returns a NEW workbook holding the derived
+  * plans, and nothing touches disk until `save`. That is also the
+  * 100 TB posture — each sheet is a plan, not a materialized table, so
+  * a load → filter → upsert → save pipeline runs as one distributed
+  * job per sheet with full pushdown/pruning, never a driver-side copy.
+  */
+final class Workbook private (
+    val spark: SparkSession,
+    private val sheets: Map[String, DataFrame]) {
+
+  def sheetNames: Seq[String] = sheets.keys.toSeq.sorted
+
+  def sheet(name: String): DataFrame =
+    sheets.getOrElse(name, throw new NoSuchElementException(
+      s"no sheet '$name'; workbook has: ${sheetNames.mkString(", ")}"))
+
+  /** Sheet list + header rows (the reference's workbook introspection;
+    * same shape as the oracle-checked `q_catalog_tables`): name, column
+    * count, '|'-joined header — from schema metadata, no data scan. */
+  def introspect: DataFrame = {
+    import spark.implicits._
+    sheetNames
+      .map { n =>
+        val sch = sheet(n).schema
+        (n, sch.length.toLong, sch.map(_.name).mkString("|"))
+      }
+      .toDF("table_name", "n_cols", "cols")
+      .orderBy($"table_name")
+  }
+
+  /** Add or replace a sheet wholesale (the primitive every verb below
+    * derives from). */
+  def withSheet(name: String, df: DataFrame): Workbook =
+    new Workbook(spark, sheets + (name -> df))
+
+  def dropSheet(name: String): Workbook = {
+    sheet(name) // fail fast on unknown names
+    new Workbook(spark, sheets - name)
+  }
+
+  /** INSERT: append rows (matched by column name, so caller column
+    * order is free). */
+  def insert(name: String, rows: DataFrame): Workbook =
+    withSheet(name, sheet(name).unionByName(rows))
+
+  /** UPDATE ... SET ... WHERE: conditional recompute (`ops.Crud`'s
+    * update shape). All assignments evaluate against the PRE-update
+    * row simultaneously — one select, so a swap like
+    * `Map("a" -> col("b"), "b" -> col("a"))` is well-defined — and
+    * unmatched rows pass through unchanged. */
+  def update(name: String, condition: Column,
+      set: Map[String, Column]): Workbook = {
+    val df = sheet(name)
+    val unknown = set.keySet -- df.columns.toSet
+    require(unknown.isEmpty,
+      s"update targets unknown column(s) ${unknown.mkString(", ")} on '$name'")
+    val cols = df.columns.toSeq.map { c =>
+      set.get(c)
+        .map(v => when(condition, v).otherwise(col(c)).as(c))
+        .getOrElse(col(c))
+    }
+    withSheet(name, df.select(cols: _*))
+  }
+
+  /** DELETE WHERE: the surviving relation (negative filter; NULL
+    * predicate rows survive, matching SQL DELETE semantics where only
+    * TRUE-matching rows are removed). */
+  def remove(name: String, condition: Column): Workbook =
+    withSheet(name, sheet(name).filter(!coalesce(condition, lit(false))))
+
+  /** UPSERT: insert-or-update by key — updates win over base rows on
+    * key collision (`ops.Crud`'s keyed precedence-window merge; at
+    * 100 TB this is the standard shuffle-on-key merge, identical in
+    * shape to MERGE INTO on a table format). Within `updates`,
+    * duplicate keys are resolved arbitrarily — deduplicate upstream if
+    * the update set can carry conflicts. */
+  def upsert(name: String, updates: DataFrame, keys: Seq[String]): Workbook = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val base = sheet(name).withColumn("__is_update", lit(0))
+    val ups = updates.withColumn("__is_update", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__is_update").desc)
+    val merged = base.unionByName(ups)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__is_update", "__rn")
+    withSheet(name, merged)
+  }
+
+  /** Register every sheet as a (global-conflict-free, session-local)
+    * temp view so `spark.sql` — and therefore the whole SQL surface of
+    * the engine — works over workbook sheets by name. */
+  def createViews(prefix: String = ""): Seq[String] =
+    sheetNames.map { n =>
+      sheet(n).createOrReplaceTempView(prefix + n)
+      prefix + n
+    }
+
+  /** SQL over the workbook's sheets (views registered on the fly). */
+  def sql(query: String): DataFrame = {
+    createViews()
+    spark.sql(query)
+  }
+
+  /** Save every sheet as `dir/<name>.parquet` (the same layout `load`
+    * reads, so save → load roundtrips). `partitionCols` opts individual
+    * sheets into a partitioned layout — the 100 TB posture for any big
+    * sheet, giving partition-pruned scans on reload. Do NOT save onto a
+    * directory a lazy sheet of THIS workbook was loaded from: frames
+    * are lazy, and overwrite-while-reading is undefined in any engine. */
+  def save(dir: String,
+      partitionCols: Map[String, Seq[String]] = Map.empty): Unit =
+    sheetNames.foreach { n =>
+      val w = sheet(n).write.mode("overwrite")
+      partitionCols.get(n).filter(_.nonEmpty)
+        .fold(w)(cs => w.partitionBy(cs: _*))
+        .parquet(s"$dir/$n.parquet")
+    }
+}
+
+object Workbook {
+
+  /** An in-memory workbook over existing frames (the programmatic
+    * entry; `load` is the storage entry). */
+  def apply(spark: SparkSession, sheets: Map[String, DataFrame]): Workbook =
+    new Workbook(spark, sheets)
+
+  /** Load a directory of sheets: every `<name>.parquet` entry (file or
+    * partitioned directory — `spark.read.parquet` handles both) becomes
+    * sheet `<name>`. Listing uses the Hadoop FS of the path, so `dir`
+    * may live on any configured filesystem (local, HDFS, object store),
+    * and only footers are read — no data scan at load time. */
+  def load(spark: SparkSession, dir: String): Workbook = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(path), s"workbook dir does not exist: $dir")
+    val names = fs.listStatus(path).toSeq
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .map(_.stripSuffix(".parquet"))
+      .sorted
+    require(names.nonEmpty, s"no *.parquet sheets under: $dir")
+    new Workbook(spark,
+      names.map(n => n -> spark.read.parquet(s"$dir/$n.parquet")).toMap)
+  }
+}

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The user-facing facade (SURVEY.md §1.1): load a directory of sheets,
+  * CRUD them copy-on-write, introspect, SQL over views, save, reload —
+  * the reference's workbook surface end to end on real fixture data. */
+class WorkbookSpec extends SparkSpec {
+
+  private def fixtureWb: Workbook = Workbook(spark, Map(
+    "customer" -> graft.util.Tables.customer(spark, sfDir),
+    "nation" -> graft.util.Tables.nation(spark, sfDir)))
+
+  test("save -> load roundtrips sheets bit-for-bit") {
+    val dir = graft.util.Scratch.dir("wb_roundtrip")
+    fixtureWb.save(dir)
+    val wb = Workbook.load(spark, dir)
+    assert(wb.sheetNames == Seq("customer", "nation"))
+    val orig = fixtureWb.sheet("customer")
+      .orderBy("c_custkey").collect().toSeq
+    val loaded = wb.sheet("customer")
+      .orderBy("c_custkey").collect().toSeq
+    assert(loaded == orig)
+  }
+
+  test("introspect lists every sheet with its header") {
+    val rows = fixtureWb.introspect.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("customer", "nation"))
+    val nat = rows.find(_.getString(0) == "nation").get
+    assert(nat.getLong(1) == 3L)
+    assert(nat.getString(2) == "n_nationkey|n_name|n_regionkey")
+  }
+
+  test("update recomputes matching cells simultaneously from old values") {
+    import spark.implicits._
+    val wb = fixtureWb.update("customer",
+      $"c_custkey" < 10,
+      Map("c_acctbal" -> ($"c_acctbal" + 500.0),
+        "c_name" -> concat(lit("bal:"), $"c_acctbal".cast("string"))))
+    val before = fixtureWb.sheet("customer")
+      .filter($"c_custkey" < 10)
+      .select($"c_custkey", $"c_acctbal").as[(Long, Double)]
+      .collect().toMap
+    val after = wb.sheet("customer").filter($"c_custkey" < 10)
+      .select($"c_custkey", $"c_acctbal", $"c_name")
+      .collect()
+    assert(after.nonEmpty)
+    after.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getDouble(1) == before(k) + 500.0)
+      // the comment assignment saw the PRE-update balance
+      assert(r.getString(2) == s"bal:${before(k)}")
+    }
+    // unmatched rows untouched
+    val untouchedBefore = fixtureWb.sheet("customer")
+      .filter($"c_custkey" >= 10).orderBy("c_custkey").collect().toSeq
+    val untouchedAfter = wb.sheet("customer")
+      .filter($"c_custkey" >= 10).orderBy("c_custkey").collect().toSeq
+    assert(untouchedAfter == untouchedBefore)
+  }
+
+  test("update rejects unknown target columns") {
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      fixtureWb.update("customer", lit(true), Map("no_such" -> lit(1)))
+    }
+    assert(e.getMessage.contains("no_such"))
+  }
+
+  test("remove deletes exactly the matching rows") {
+    import spark.implicits._
+    val n0 = fixtureWb.sheet("customer").count()
+    val nDel = fixtureWb.sheet("customer")
+      .filter($"c_mktsegment" === "BUILDING").count()
+    assert(nDel > 0)
+    val wb = fixtureWb.remove("customer", $"c_mktsegment" === "BUILDING")
+    assert(wb.sheet("customer").count() == n0 - nDel)
+    assert(wb.sheet("customer")
+      .filter($"c_mktsegment" === "BUILDING").count() == 0)
+  }
+
+  test("insert appends rows matched by name regardless of column order") {
+    import spark.implicits._
+    val extra = Seq((900001L, "ZED", 9L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+      .select("n_name", "n_regionkey", "n_nationkey")
+    val wb = fixtureWb.insert("nation", extra)
+    assert(wb.sheet("nation").count() ==
+      fixtureWb.sheet("nation").count() + 1)
+    val r = wb.sheet("nation").filter($"n_nationkey" === 900001L).head()
+    assert(r.getAs[String]("n_name") == "ZED" &&
+      r.getAs[Long]("n_regionkey") == 9L)
+  }
+
+  test("upsert: updates win on key collision, new keys append") {
+    import spark.implicits._
+    val base = fixtureWb.sheet("nation")
+    val ups = base.filter($"n_nationkey" < 3)
+      .withColumn("n_name", lit("UPDATED"))
+      .unionByName(Seq((800001L, "NEWLAND", 0L))
+        .toDF("n_nationkey", "n_name", "n_regionkey"))
+    val wb = fixtureWb.upsert("nation", ups, Seq("n_nationkey"))
+    val out = wb.sheet("nation")
+    assert(out.count() == base.count() + 1)
+    assert(out.filter($"n_nationkey" < 3 && $"n_name" === "UPDATED")
+      .count() == 3)
+    assert(out.filter($"n_nationkey" === 800001L).count() == 1)
+    // columns unchanged by the merge machinery (no __is_update leak)
+    assert(out.columns.toSeq == base.columns.toSeq)
+  }
+
+  test("sql queries sheets through on-the-fly views") {
+    val n = fixtureWb
+      .sql("SELECT count(*) AS n FROM nation WHERE n_regionkey = 0")
+      .head().getLong(0)
+    import spark.implicits._
+    val direct = fixtureWb.sheet("nation")
+      .filter($"n_regionkey" === 0).count()
+    assert(n == direct && n > 0)
+  }
+
+  test("full verb-chain pipeline survives a save/reload cycle") {
+    import spark.implicits._
+    val d1 = graft.util.Scratch.dir("wb_chain_a")
+    val d2 = graft.util.Scratch.dir("wb_chain_b")
+    fixtureWb.save(d1)
+    val wb = Workbook.load(spark, d1)
+      .update("customer", $"c_custkey" === 1L,
+        Map("c_acctbal" -> lit(1234.5)))
+      .remove("customer", $"c_custkey" === 2L)
+      .insert("nation", Seq((700001L, "XANADU", 1L))
+        .toDF("n_nationkey", "n_name", "n_regionkey"))
+    wb.save(d2, partitionCols = Map("customer" -> Seq("c_mktsegment")))
+    val back = Workbook.load(spark, d2)
+    assert(back.sheet("customer").filter($"c_custkey" === 1L)
+      .head().getAs[Double]("c_acctbal") == 1234.5)
+    assert(back.sheet("customer").filter($"c_custkey" === 2L).count() == 0)
+    assert(back.sheet("nation").filter($"n_nationkey" === 700001L)
+      .count() == 1)
+    // the partitioned sheet reloads with the same row set (column order
+    // differs — partition column moves last — so compare by-name maps)
+    val want = wb.sheet("customer").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getValuesMap[Any](r.schema.fieldNames))
+      .toMap
+    val got = back.sheet("customer").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getValuesMap[Any](r.schema.fieldNames))
+      .toMap
+    assert(got == want)
+  }
+
+  test("unknown sheet access fails fast with the available names") {
+    val e = intercept[NoSuchElementException] { fixtureWb.sheet("ghost") }
+    assert(e.getMessage.contains("customer"))
+  }
+}
