@@ -69,6 +69,44 @@ class ScaleSpec extends SparkSpec {
     assert(capped == 0L, s"cap failed to prune hot shingle: $capped pairs")
   }
 
+  test("dedup family stays near-linear on a synthetic corpus ~300x the bench scale") {
+    import spark.implicits._
+    // 1.5M synthetic docs (~300x the sf0.1 documents table, ~3000x the
+    // sf0.001 fixture the other tests use), generated distributed and
+    // never collected. The point is the CANARY, not the assertions: an
+    // all-pairs join, an unbounded window, or a hot-key candidate
+    // blowup reintroduced into jaccardPairs / fingerprints / packBins
+    // turns this from ~a minute into hours — the sf0.1 bench can't see
+    // that class of regression, this test bounds it.
+    val n = 1500000L
+    // mostly-unique 8-word texts; every 1000th doc duplicates its
+    // neighbor so the near-dup output is non-empty (a silently-empty
+    // candidate stage would otherwise pass a pure wall-clock check)
+    val base = when($"doc_id" % 1000 === 1, $"doc_id" - 1)
+      .otherwise($"doc_id")
+    val words = (0 until 8).map(j => concat(lit("w"), hex(base * 8 + j)))
+    val docs = spark.range(n).select($"id".as("doc_id"))
+      .withColumn("text", concat_ws(" ", words: _*))
+      .withColumn("lang", concat(lit("l"), ($"doc_id" % 4).cast("string")))
+    val t0 = System.nanoTime()
+    val pairs = ops.LlmOps.jaccardPairs(spark, docs, 3, 0.9, 0.001).count()
+    assert(pairs == n / 1000,
+      s"expected ${n / 1000} planted duplicate pairs, got $pairs")
+    val fps = ops.DedupAdvanced.fingerprintsOf(spark, docs).count()
+    assert(fps == n, s"fingerprint per doc: expected $n, got $fps")
+    val toks = docs.select($"doc_id", $"lang", lit(8L).as("n_tokens"))
+    val binned = ops.TrainPrep.packBins(spark, toks,
+      capacity = 2048L, shardSize = 100000L).count()
+    assert(binned == n, s"packBins row-preserving: expected $n, got $binned")
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // ~60s on local[4] when linear; an O(n^2) plan would take hours
+    assert(elapsed < 300.0,
+      f"dedup canary took $elapsed%.0fs — a superlinear plan regression")
+    // these ops cache shared subtrees sized for query scale, not 1.5M
+    // docs — release them so later suites aren't memory-squeezed
+    graft.util.Caches.clear(spark)
+  }
+
   test("freq_sketch is exact when distinct values fit in k") {
     import spark.implicits._
     val df = (1 to 1000).map(i => s"v${i % 7}").toDF("x")
