@@ -107,6 +107,50 @@ class ScaleSpec extends SparkSpec {
     graft.util.Caches.clear(spark)
   }
 
+  test("plan construction launches zero Spark jobs across the registry") {
+    // Generalizes the round-6 embcos fix (a .head() data peek at plan
+    // build): building a registry DataFrame must not run Spark jobs —
+    // at 100 TB a plan-build job is a hidden full-scan serialization
+    // point before the real query even starts. Queries that EXECUTE in
+    // the body by design are exempt, each for a stated reason.
+    val exempt = Map(
+      // roundtrip scans write their own scratch fixture first (the
+      // fixtures ship no CSV/ORC/JSONL/text files)
+      "q_scan_csv" -> "writes scratch csv", "q_scan_orc" -> "writes scratch orc",
+      "q_scan_jsonl" -> "writes scratch jsonl", "q_scan_text" -> "writes scratch text",
+      "q_sink_partitioned" -> "the partitioned write IS the operator",
+      // the replays run a real streaming query to completion
+      "q_stream_tumbling_replay" -> "runs a streaming query",
+      "q_stream_session_replay" -> "runs a streaming query",
+      "q_stream_enrich_replay" -> "runs a streaming query",
+      // MLlib fit() is an action by contract
+      "q_dedup_minhash" -> "MinHashLSH.fit", "q_sim_knn_lsh" -> "BRP-LSH fit")
+    // `spark.read.parquet` itself runs a small footer/schema-inference
+    // job per call in Spark 4 — that is source LOADING (bounded, one
+    // task, no data scan), not a plan-build data peek; anything else
+    // (a .head() probe, a scratch write, a fit) has a different stage
+    // callsite and fails the assert.
+    val allowedStage = "parquet at Tables.scala"
+    val sc = spark.sparkContext
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => exempt.contains(q._1))
+      .foreach { case (name, fn) =>
+        val group = s"planbuild_$name"
+        sc.setJobGroup(group, name, interruptOnCancel = false)
+        try fn(spark, sfDir) finally sc.clearJobGroup()
+        val stageNames = sc.statusTracker.getJobIdsForGroup(group)
+          .flatMap(id => sc.statusTracker.getJobInfo(id).toList)
+          .flatMap(_.stageIds.toSeq)
+          .flatMap(id => sc.statusTracker.getStageInfo(id).toList)
+          .map(_.name)
+        val offending = stageNames.filterNot(_.contains(allowedStage))
+        assert(offending.isEmpty,
+          s"$name ran non-source-load work at plan construction: " +
+            offending.mkString("; "))
+      }
+    graft.util.Caches.clear(spark)
+  }
+
   test("freq_sketch is exact when distinct values fit in k") {
     import spark.implicits._
     val df = (1 to 1000).map(i => s"v${i % 7}").toDF("x")
