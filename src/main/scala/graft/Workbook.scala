@@ -122,17 +122,25 @@ final class Workbook private (
   /** Save every sheet as `dir/<name>.parquet` (the same layout `load`
     * reads, so save → load roundtrips). `partitionCols` opts individual
     * sheets into a partitioned layout — the 100 TB posture for any big
-    * sheet, giving partition-pruned scans on reload. Do NOT save onto a
-    * directory a lazy sheet of THIS workbook was loaded from: frames
-    * are lazy, and overwrite-while-reading is undefined in any engine. */
+    * sheet, giving partition-pruned scans on reload. `format` may be
+    * "csv" for the reference's interchange format (header row written;
+    * parquet remains the scale path — csv has no pushdown, stats, or
+    * column pruning). Do NOT save onto a directory a lazy sheet of THIS
+    * workbook was loaded from: frames are lazy, and
+    * overwrite-while-reading is undefined in any engine. */
   def save(dir: String,
-      partitionCols: Map[String, Seq[String]] = Map.empty): Unit =
+      partitionCols: Map[String, Seq[String]] = Map.empty,
+      format: String = "parquet"): Unit = {
+    require(format == "parquet" || format == "csv",
+      s"unsupported workbook format: $format")
     sheetNames.foreach { n =>
-      val w = sheet(n).write.mode("overwrite")
-      partitionCols.get(n).filter(_.nonEmpty)
-        .fold(w)(cs => w.partitionBy(cs: _*))
-        .parquet(s"$dir/$n.parquet")
+      val w0 = sheet(n).write.mode("overwrite")
+      val w = partitionCols.get(n).filter(_.nonEmpty)
+        .fold(w0)(cs => w0.partitionBy(cs: _*))
+      if (format == "csv") w.option("header", "true").csv(s"$dir/$n.csv")
+      else w.parquet(s"$dir/$n.parquet")
     }
+  }
 }
 
 object Workbook {
@@ -142,22 +150,28 @@ object Workbook {
   def apply(spark: SparkSession, sheets: Map[String, DataFrame]): Workbook =
     new Workbook(spark, sheets)
 
-  /** Load a directory of sheets: every `<name>.parquet` entry (file or
-    * partitioned directory — `spark.read.parquet` handles both) becomes
-    * sheet `<name>`. Listing uses the Hadoop FS of the path, so `dir`
-    * may live on any configured filesystem (local, HDFS, object store),
-    * and only footers are read — no data scan at load time. */
+  /** Load a directory of sheets: every `<name>.parquet` and
+    * `<name>.csv` entry (file or partitioned directory — the readers
+    * handle both) becomes sheet `<name>`; on a name collision the
+    * parquet sheet wins (it is the save format's primary). CSV sheets
+    * — the reference's interchange format — read with a header row and
+    * schema inference (inference is a one-off data scan; convert big
+    * sheets to parquet via `save` for footer-only loads and pushdown).
+    * Listing uses the Hadoop FS of the path, so `dir` may live on any
+    * configured filesystem (local, HDFS, object store). */
   def load(spark: SparkSession, dir: String): Workbook = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(path), s"workbook dir does not exist: $dir")
-    val names = fs.listStatus(path).toSeq
-      .map(_.getPath.getName)
-      .filter(_.endsWith(".parquet"))
-      .map(_.stripSuffix(".parquet"))
-      .sorted
-    require(names.nonEmpty, s"no *.parquet sheets under: $dir")
-    new Workbook(spark,
-      names.map(n => n -> spark.read.parquet(s"$dir/$n.parquet")).toMap)
+    val entries = fs.listStatus(path).toSeq.map(_.getPath.getName)
+    def sheets(suffix: String, read: String => DataFrame) = entries
+      .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix))
+      .map(n => n -> read(s"$dir/$n$suffix")).toMap
+    val csv = sheets(".csv", p => spark.read
+      .option("header", "true").option("inferSchema", "true").csv(p))
+    val parquet = sheets(".parquet", spark.read.parquet(_))
+    require(csv.nonEmpty || parquet.nonEmpty,
+      s"no *.parquet or *.csv sheets under: $dir")
+    new Workbook(spark, csv ++ parquet)
   }
 }

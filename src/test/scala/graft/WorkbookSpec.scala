@@ -148,6 +148,30 @@ class WorkbookSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("csv sheets load with header + inferred schema and mix with parquet") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("wb_csv")
+    // nation as csv, customer as parquet — one workbook, two formats
+    Workbook(spark, Map("nation" -> fixtureWb.sheet("nation")))
+      .save(dir, format = "csv")
+    Workbook(spark, Map("customer" -> fixtureWb.sheet("customer")))
+      .save(dir)
+    val wb = Workbook.load(spark, dir)
+    assert(wb.sheetNames == Seq("customer", "nation"))
+    val nat = wb.sheet("nation")
+    assert(nat.columns.toSeq == Seq("n_nationkey", "n_name", "n_regionkey"))
+    assert(nat.count() == fixtureWb.sheet("nation").count())
+    // inferred schema is numeric (not all-strings), so predicates work
+    assert(nat.schema("n_nationkey").dataType.typeName != "string")
+    val want = fixtureWb.sheet("nation")
+      .select($"n_nationkey".cast("long"), $"n_name").orderBy("n_nationkey")
+      .collect().toSeq
+    val got = nat
+      .select($"n_nationkey".cast("long"), $"n_name").orderBy("n_nationkey")
+      .collect().toSeq
+    assert(got == want)
+  }
+
   test("unknown sheet access fails fast with the available names") {
     val e = intercept[NoSuchElementException] { fixtureWb.sheet("ghost") }
     assert(e.getMessage.contains("customer"))
