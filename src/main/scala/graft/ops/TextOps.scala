@@ -215,7 +215,40 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** §2.J PII scrubbing: redact email addresses and phone-shaped tokens
+    * and count the matches per document — the standard pre-training
+    * privacy pass. The fixture corpus is synthetic word soup with no
+    * PII, so the query first injects deterministic doc_id-derived
+    * contact strings (one email + one phone per doc, a second email on
+    * even ids; the injection is mirrored verbatim in the oracle), then
+    * the redaction does real work the hash gate can check. Pure per-row
+    * codegen regex projection — no shuffle until the output order; at
+    * 100 TB this runs at scan speed. */
+  def qTextPii(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    documents(s, dir)
+      .withColumn("raw", concat(
+        $"text",
+        lit(" contact user"), $"doc_id".cast("string"),
+        lit("@example.com or 555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0"),
+        when(pmod($"doc_id", lit(2)) === 0,
+          concat(lit(" alt"), $"doc_id".cast("string"), lit("@mail.org")))
+          .otherwise(lit(""))))
+      .select($"doc_id",
+        size(regexp_extract_all($"raw", lit(emailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all($"raw", lit(phoneRe), lit(0)))
+          .cast("long").as("n_phones"),
+        regexp_replace(regexp_replace($"raw", emailRe, "<EMAIL>"),
+          phoneRe, "<PHONE>").as("redacted"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pii" -> qTextPii _,
     "q_text_stats" -> qTextStats _,
     "q_text_ngram" -> qTextNgram _,
     "q_text_tfidf" -> qTextTfidf _,
@@ -227,6 +260,26 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_pii" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || CASE WHEN doc_id % 2 = 0
+        |           THEN ' alt' || CAST(doc_id AS VARCHAR) || '@mail.org'
+        |           ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0)) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{4}', 0)) AS BIGINT)
+        |    AS n_phones,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM raw ORDER BY doc_id""".stripMargin,
     "q_text_stats" ->
       """SELECT lang, word, n, rn FROM (
         |  SELECT lang, word, count(*) AS n,

@@ -232,6 +232,21 @@ class OperatorSpec extends SparkSpec {
     assert(recall >= 0.5, s"LSH knn recall too low: $recall")
   }
 
+  test("pii redaction leaves nothing matchable and counts every injection") {
+    import org.apache.spark.sql.functions.col
+    val out = ops.TextOps.qTextPii(spark, sfDir)
+    val n = out.count()
+    assert(n > 0)
+    // nothing email- or phone-shaped survives redaction
+    assert(out.filter(col("redacted")
+      .rlike("@|[0-9]{3}-[0-9]{4}")).count() == 0)
+    // every doc got its injected email+phone counted; even ids got two
+    assert(out.filter(col("n_phones") === 1).count() == n)
+    assert(out.filter(col("n_emails") ===
+      org.apache.spark.sql.functions.when(col("doc_id") % 2 === 0, 2L)
+        .otherwise(1L)).count() == n)
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val f1 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
     val f2 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
