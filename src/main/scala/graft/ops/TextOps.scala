@@ -247,7 +247,36 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** §2.J document chunking: fixed-size sliding token windows (32
+    * tokens, stride 24 → 8-token overlap) — the step between "clean
+    * corpus" and "training sequences", complementing `q_pack_greedy`
+    * (packing fills bins with whole docs; chunking splits docs that
+    * exceed the sequence length). Chunk starts are stride multiples
+    * below the doc's token count, so chunk_id = start div stride needs
+    * no window function: explode + per-row `slice` arithmetic, one
+    * shuffle only for the output order. At 100 TB this is scan-speed,
+    * embarrassingly parallel, and the (doc_id, chunk_id) key is stable
+    * under any partitioning. */
+  def qTextChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val chunkSz = 32
+    val stride = 24
+    documents(s, dir)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .withColumn("n", size($"w"))
+      .select($"doc_id", $"w", $"n",
+        explode(sequence(lit(0), $"n" - 1, lit(stride))).as("start"))
+      .withColumn("cw", slice($"w", $"start" + 1, lit(chunkSz)))
+      .select($"doc_id",
+        expr(s"start div $stride").cast("long").as("chunk_id"),
+        $"start".cast("long").as("start_tok"),
+        size($"cw").cast("long").as("n_tok"),
+        array_join($"cw", " ").as("chunk"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_chunks" -> qTextChunks _,
     "q_text_pii" -> qTextPii _,
     "q_text_stats" -> qTextStats _,
     "q_text_ngram" -> qTextNgram _,
@@ -260,6 +289,20 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, n, unnest(range(0, n, 24)) AS start FROM w)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - start) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(w, start + 1, least(start + 32, n)), ' ')
+        |    AS chunk
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
     "q_text_pii" ->
       """WITH raw AS (
         |  SELECT doc_id,

@@ -247,6 +247,31 @@ class OperatorSpec extends SparkSpec {
         .otherwise(1L)).count() == n)
   }
 
+  test("text chunks tile each document: exact slices, stride starts, full coverage") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val byDoc = ops.TextOps.qTextChunks(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.foreach { case (id, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val words = docs(id).split(" ", -1)
+      sorted.foreach { r =>
+        val start = r.getLong(2).toInt
+        val ntok = r.getLong(3).toInt
+        assert(r.getString(4) == words.slice(start, start + ntok).mkString(" "),
+          s"doc $id chunk ${r.getLong(1)} is not the exact token slice")
+        assert(ntok == math.min(32, words.length - start))
+      }
+      assert(sorted.map(_.getLong(2)).toSeq ==
+        sorted.indices.map(_ * 24L), s"doc $id starts are not stride multiples")
+      val last = sorted.last
+      assert(last.getLong(2) + last.getLong(3) == words.length,
+        s"doc $id chunks do not reach the last token")
+    }
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val f1 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
     val f2 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
