@@ -48,6 +48,66 @@ object DedupAdvanced {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** §2.J MinHash near-dup, SQL-native codegen twin of `q_dedup_minhash`:
+    * the same banded-LSH shape with zero MLlib overhead (no sparse
+    * vectors, no model fit, no plan-build jobs). k=16 signature slots —
+    * slot j is min(xxhash64(j, shingle)) over the doc's distinct
+    * shingles, all 16 mins in ONE map-side-combined hash aggregate —
+    * banded 8×2; candidates share a band value (equi-join, never
+    * all-pairs); then an EXACT Jaccard recheck on candidates only via
+    * `array_intersect` of the per-doc sorted shingle-hash sets, so
+    * precision is exact and banding is purely a recall knob (pairs with
+    * true Jaccard ≥ 0.3 emitted; recall-vs-exact test in ScaleSpec).
+    *
+    * Scale: the signature agg is O(docs·shingles·k) scan-side work with
+    * O(docs) shuffle; band self-join shuffles O(docs·bands) keys; the
+    * recheck touches candidate pairs only, and its per-doc hash arrays
+    * are bounded by document length. No model broadcast, no fit action:
+    * plan construction launches zero jobs (pinned by the registry-wide
+    * plan-hygiene test, which the MLlib twin must be exempted from). */
+  def qDedupMinhashNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val k = 16
+    val rowsPerBand = 2
+    val nBands = k / rowsPerBand
+    val tok = graft.util.Shingles.tokDistinct(s, documents(s, dir), 3)
+      .withColumn("hk", xxhash64($"shingle"))
+    val sigCols = (0 until k)
+      .map(j => min(xxhash64(lit(j), $"shingle")).as(s"h$j"))
+    val sig = tok.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bandVals = (0 until nBands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(j => col(s"h$j")): _*)
+    }
+    // cached: the banding self-join reads this subtree from both sides
+    val banded = sig.select($"doc_id",
+      posexplode(array(bandVals: _*)).as(Seq("band", "bv"))).cache()
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    // exact recheck on the surviving candidates only: per-doc sorted
+    // shingle-hash sets (tokDistinct ⇒ hk sets; xxhash64 collisions at
+    // doc scale are negligible for a near-dup *measure*, and both sides
+    // of the intersection use the same hashes)
+    val sets = tok.groupBy($"doc_id")
+      .agg(sort_array(collect_list($"hk")).as("hks"),
+        count(lit(1)).as("sz"))
+    cand
+      .join(sets.select($"doc_id".as("a_id"), $"hks".as("a_hks"),
+        $"sz".as("a_sz")), Seq("a_id"))
+      .join(sets.select($"doc_id".as("b_id"), $"hks".as("b_hks"),
+        $"sz".as("b_sz")), Seq("b_id"))
+      .withColumn("common",
+        size(array_intersect($"a_hks", $"b_hks")).cast("long"))
+      .withColumn("jac", $"common" / ($"a_sz" + $"b_sz" - $"common"))
+      .filter($"jac" >= 0.3)
+      .select($"a_id", $"b_id", r6($"jac").as("jaccard"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** 63-bit SimHash fingerprints: classic formulation — ONE xxhash64 per
     * shingle, bit b of the fingerprint = sign of Σ(±1) votes from bit b
     * of each shingle hash. Shaped as explode → hash → single
@@ -127,6 +187,7 @@ object DedupAdvanced {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> qDedupMinhash _,
+    "q_dedup_minhash_native" -> qDedupMinhashNative _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs _
   )

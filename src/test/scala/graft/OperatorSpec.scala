@@ -30,8 +30,8 @@ class OperatorSpec extends SparkSpec {
     // to the weaker rows-only gate without anyone noticing
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val expected = Set("q_agg_approx_distinct", "q_dedup_minhash",
-      "q_dedup_simhash", "q_dedup_simhash_pairs", "q_sim_knn_lsh",
-      "q_media_features", "q_dedup_embcos_lsh")
+      "q_dedup_minhash_native", "q_dedup_simhash", "q_dedup_simhash_pairs",
+      "q_sim_knn_lsh", "q_media_features", "q_dedup_embcos_lsh")
     assert(noOracle == expected,
       s"no-oracle drift: unexpected=${noOracle -- expected} missing=${expected -- noOracle}")
   }

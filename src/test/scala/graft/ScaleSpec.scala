@@ -151,6 +151,34 @@ class ScaleSpec extends SparkSpec {
     graft.util.Caches.clear(spark)
   }
 
+  test("native minhash: exact precision, high recall on strong pairs, equi-join plan") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+    // ground truth: uncapped inverted-index Jaccard at the same threshold
+    val exact = ops.LlmOps.jaccardPairs(spark, docs, 3, 0.3, 1.0)
+      .select($"a_id", $"b_id", $"jaccard").as[(Long, Long, Double)]
+      .collect().map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(exact.nonEmpty)
+    val native = ops.DedupAdvanced.qDedupMinhashNative(spark, sfDir)
+    val got = native.select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    // the exact-Jaccard recheck makes precision exact: every emitted
+    // pair is a true >= 0.3 pair
+    assert(got.subsetOf(exact.keySet),
+      s"false positives survived the recheck: ${got -- exact.keySet}")
+    // 8 bands x 2 rows: P(candidate) ~ 1-(1-j^2)^8 -> ~0.97 at j=0.6;
+    // borderline ~0.3 pairs are the tunable tail, strong pairs must hit
+    val strong = exact.filter(_._2 >= 0.6).keySet
+    assert(strong.nonEmpty)
+    val recall = (strong & got).size.toDouble / strong.size
+    assert(recall >= 0.8, s"native minhash recall on strong pairs: $recall")
+    // banding is an equi-join: no all-pairs operator anywhere
+    val plan = native.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"native minhash plan degraded to all-pairs:\n$plan")
+    graft.util.Caches.clear(spark)
+  }
+
   test("freq_sketch is exact when distinct values fit in k") {
     import spark.implicits._
     val df = (1 to 1000).map(i => s"v${i % 7}").toDF("x")
