@@ -104,6 +104,32 @@ final class Workbook private (
     withSheet(name, merged)
   }
 
+  /** ADD COLUMN: a computed column appended to the sheet (the
+    * spreadsheet "new column from a formula" verb; `value` may
+    * reference any existing columns). */
+  def addColumn(name: String, column: String, value: Column): Workbook = {
+    val df = sheet(name)
+    require(!df.columns.contains(column),
+      s"sheet '$name' already has column '$column'")
+    withSheet(name, df.withColumn(column, value))
+  }
+
+  /** RENAME COLUMN (header edit; fails on unknown source column). */
+  def renameColumn(name: String, from: String, to: String): Workbook = {
+    val df = sheet(name)
+    require(df.columns.contains(from),
+      s"no column '$from' on sheet '$name' (has: ${df.columns.mkString(", ")})")
+    withSheet(name, df.withColumnRenamed(from, to))
+  }
+
+  /** DROP COLUMN (fails on unknown column — silent drops hide typos). */
+  def dropColumn(name: String, column: String): Workbook = {
+    val df = sheet(name)
+    require(df.columns.contains(column),
+      s"no column '$column' on sheet '$name' (has: ${df.columns.mkString(", ")})")
+    withSheet(name, df.drop(column))
+  }
+
   /** Register every sheet as a (global-conflict-free, session-local)
     * temp view so `spark.sql` — and therefore the whole SQL surface of
     * the engine — works over workbook sheets by name. */

@@ -172,6 +172,35 @@ class WorkbookSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("column verbs: add computes, rename preserves data, drop removes") {
+    import spark.implicits._
+    val wb = fixtureWb
+      .addColumn("customer", "bal_tier",
+        when($"c_acctbal" >= 0, "pos").otherwise("neg"))
+      .renameColumn("nation", "n_name", "nation_name")
+      .dropColumn("customer", "c_mktsegment")
+    val cust = wb.sheet("customer")
+    assert(cust.columns.contains("bal_tier") &&
+      !cust.columns.contains("c_mktsegment"))
+    assert(cust.filter($"bal_tier" === "pos").count() ==
+      fixtureWb.sheet("customer").filter($"c_acctbal" >= 0).count())
+    val nat = wb.sheet("nation")
+    assert(nat.columns.toSeq ==
+      Seq("n_nationkey", "nation_name", "n_regionkey"))
+    assert(nat.select("nation_name").orderBy("nation_name").collect().toSeq ==
+      fixtureWb.sheet("nation").select("n_name").orderBy("n_name").collect().toSeq)
+    // all three fail fast on bad column names
+    intercept[IllegalArgumentException] {
+      wb.addColumn("customer", "bal_tier", lit(1))
+    }
+    intercept[IllegalArgumentException] {
+      wb.renameColumn("nation", "ghost", "x")
+    }
+    intercept[IllegalArgumentException] {
+      wb.dropColumn("customer", "ghost")
+    }
+  }
+
   test("unknown sheet access fails fast with the available names") {
     val e = intercept[NoSuchElementException] { fixtureWb.sheet("ghost") }
     assert(e.getMessage.contains("customer"))
