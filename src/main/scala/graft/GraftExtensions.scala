@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, FreqSketch}
+import graft.functions.{DotProduct, FreqSketch, SrpFingerprint}
 
 /** Session extensions (SURVEY.md §2.K): installs the engine's native
   * expressions into every session built with
@@ -20,6 +20,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       { args: Seq[Expression] =>
         require(args.length == 2, "dot_product(a, b) takes two arguments")
         DotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("srp_fingerprint"),
+      new ExpressionInfo(classOf[SrpFingerprint].getName, "srp_fingerprint"),
+      { args: Seq[Expression] =>
+        require(args.length == 2,
+          "srp_fingerprint(vec, nBits) takes two arguments")
+        SrpFingerprint(args.head, args(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("freq_sketch"),

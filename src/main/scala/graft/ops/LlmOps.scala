@@ -165,47 +165,34 @@ object LlmOps {
     embcosLshPairs(s, embD(s, dir), nBits = 64, bandBits = 4, minCos = 0.35)
 
   /** SRP-SimHash banded near-dup core over any (vec_id, emb) frame with
-    * UNIT-NORM vectors; factored out so tests can vary the knobs. */
+    * UNIT-NORM vectors; factored out so tests can vary the knobs.
+    *
+    * The fingerprint is ONE codegen expression per row
+    * (`graft.functions.SrpFingerprint`: bit b = sign of ⟨v, r_b⟩ for the
+    * deterministic splitmix64 ±1 hyperplane r_b) — fingerprinting runs
+    * at scan speed with zero shuffles, replacing the earlier explode →
+    * broadcast-plane-join → two-aggregate pipeline that pushed
+    * O(n·d·bits) rows through a shuffle. The seed ((bit << 32) | dim)
+    * is collision-free for any embedding width, so the former 1024-dim
+    * stride cap (and its in-plan raise_error guard) is gone: any width
+    * fingerprints correctly. Zero Spark jobs at plan construction
+    * (pinned by the registry-wide plan-hygiene test). */
   private[graft] def embcosLshPairs(s: SparkSession, e: DataFrame,
       nBits: Int, bandBits: Int, minCos: Double): DataFrame = {
     import s.implicits._
-    // deterministic ±1 hyperplanes, splitmix64 parity of (bit, dim)
-    def mix(x0: Long): Long = {
-      var z = x0 + 0x9E3779B97F4A7C15L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
-    }
-    // Hyperplanes cover every dim < the seed stride (1024) up front, so
-    // building the plan never peeks at the data — zero Spark jobs at
-    // plan-construction time. The equi-join on `dim` restricts the
-    // projection to the dims actually present (a hardcoded 64 would
-    // silently ignore components >= 64 of wider embeddings — degraded
-    // recall with no error), and fingerprints for any dims <= 1024 stay
-    // bit-identical to earlier rounds. Embeddings wider than the stride
-    // fail loudly via the in-plan guard below, not by truncation.
-    val stride = 1024
-    val planes = for { b <- 0 until nBits; d <- 0 until stride } yield
-      (b, d, if ((mix(b.toLong * stride + d) & 1L) == 1L) 1.0 else -1.0)
-    val planesDf = planes.toDF("bit", "dim", "sgn")
-    val guarded = e.withColumn("emb",
-      when(size($"emb") <= stride, $"emb").otherwise(raise_error(concat(
-        lit("embedding dim "), size($"emb"),
-        lit(s" exceeds plane seed stride $stride")))))
-    // per-(vec, bit) signed projection: explode + broadcast join + one
-    // map-side-combined hash agg — O(n·d·bits) work, no pairs anywhere
-    val proj = guarded.select($"vec_id", posexplode($"emb").as(Seq("dim", "v")))
-      .join(broadcast(planesDf), "dim")
-      .groupBy($"vec_id", $"bit")
-      .agg(sum($"v" * $"sgn").as("s"))
-    // pack each band's bits into its value; a band collides iff all its
-    // bits agree. Cached: the banding self-join reads this from both
-    // sides (released via graft.util.Caches.clear).
-    val banded = proj
-      .groupBy($"vec_id", ($"bit" / bandBits).cast("int").as("band"))
-      .agg(sum(when($"s" > 0,
-        pow(lit(2.0), pmod($"bit", lit(bandBits)).cast("double")).cast("long"))
-        .otherwise(0L)).as("bandv"))
+    graft.functions.VectorExprs.register(s)
+    val fped = e.select($"vec_id",
+      call_function("srp_fingerprint", $"emb", lit(nBits)).as("fp"))
+    // band b's value = bits [b·bandBits, (b+1)·bandBits) of the
+    // fingerprint; a band collides iff all its bits agree. Cached: the
+    // banding self-join reads this from both sides (released via
+    // graft.util.Caches.clear).
+    val nBands = nBits / bandBits
+    val banded = fped.select($"vec_id",
+      posexplode(array((0 until nBands).map(b =>
+        shiftright($"fp", b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1))): _*))
+        .as(Seq("band", "bandv")))
       .cache()
     val cand = banded.as("a")
       .join(banded.as("b"),
@@ -213,12 +200,9 @@ object LlmOps {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
-    // exact cosine recheck on the surviving candidates only — reading
-    // the GUARDED frame, not the raw input, so the width guard covers
-    // the recheck path even if the candidate path is ever restructured
-    // (the raw `e` here would silently admit over-stride embeddings).
-    val ea = guarded.select($"vec_id".as("a_id"), $"emb".as("a_emb"))
-    val eb = guarded.select($"vec_id".as("b_id"), $"emb".as("b_emb"))
+    // exact cosine recheck on the surviving candidates only
+    val ea = e.select($"vec_id".as("a_id"), $"emb".as("a_emb"))
+    val eb = e.select($"vec_id".as("b_id"), $"emb".as("b_emb"))
     cand.join(ea, Seq("a_id")).join(eb, Seq("b_id"))
       .withColumn("cos", cosine($"a_emb", $"b_emb"))
       .filter($"cos" >= minCos)

@@ -237,6 +237,51 @@ class ScaleSpec extends SparkSpec {
       "NULL element must poison the product, not read as 0/garbage")
   }
 
+  test("srp_fingerprint codegen matches the interpreted reference bit-for-bit") {
+    import spark.implicits._
+    // reference fingerprint computed in plain Scala from the companion's
+    // sign() — the single source of truth the generated Java mirrors
+    def ref(v: Seq[Double], bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (fp, b) =>
+        val s = v.zipWithIndex.map { case (x, d) =>
+          x * (if (graft.functions.SrpFingerprint.sign(b, d)) 1.0 else -1.0)
+        }.sum
+        if (s > 0) fp | (1L << b) else fp
+      }
+    val vecs = Seq(
+      Seq(0.3, -0.7, 0.64, 0.1),
+      Seq.tabulate(100)(i => math.sin(i + 1.0)),
+      Seq(1.0))
+    // repartition blocks ConvertToLocalRelation from constant-folding
+    // the projection at plan time — the fingerprint must run in the
+    // GENERATED code path, which is what this test pins against eval
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v").repartition(1)
+      .selectExpr("id", "srp_fingerprint(v, 63) AS fp")
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) == ref(v, 63),
+        s"codegen/interpreted divergence on vector $i")
+    }
+    // codegen participation: the projection runs inside a WSCG span
+    assert("\\*\\(\\d+\\)".r.findFirstIn(
+      df.queryExecution.executedPlan.toString).isDefined)
+  }
+
+  test("srp_fingerprint rejects bad types and poisons on NULL elements") {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT srp_fingerprint(array(1, 2), 8)").collect()
+    }
+    assert(e.getMessage.contains("array<double>"), e.getMessage)
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT srp_fingerprint(array(1.0d), 65)").collect()
+    }
+    assert(e2.getMessage.contains("[1, 64]"), e2.getMessage)
+    val r = spark.sql(
+      "SELECT srp_fingerprint(array(1.0d, cast(null as double)), 8)").head()
+    assert(r.isNullAt(0), "NULL element must poison the fingerprint")
+  }
+
   test("dot_product participates in whole-stage codegen") {
     import spark.implicits._
     val df = graft.util.Tables.embeddings(spark, sfDir)
