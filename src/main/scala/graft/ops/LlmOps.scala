@@ -145,14 +145,15 @@ object LlmOps {
 
   /** §2.J embedding near-dup, LSH-bucketed scale path (the in-registry
     * twin closing the loop on `q_dedup_embcos`'s all-pairs oracle):
-    * sign-random-projection SimHash of the embedding — bit b is the
-    * sign of ⟨v, r_b⟩ for a DETERMINISTIC ±1 hyperplane r_b (splitmix64
-    * parity of (b, dim); RNG-free, so fingerprints are reproducible
-    * across runs, engines, and cluster sizes) — banded into 16 4-bit
-    * band keys; candidate pairs share a (band, value) key — an
-    * equi-join, never all-pairs — then pass an exact-cosine recheck, so
-    * precision is exact and recall is the banding knob (measured 0.96
-    * vs the exact pairs at sf0.01; recall test in OperatorSpec).
+    * sign-random-projection SimHash of the embedding — one codegen
+    * `srp_fingerprint` per row (bit b = sign of ⟨v, r_b⟩ for a
+    * DETERMINISTIC splitmix64 ±1 hyperplane; RNG-free, so fingerprints
+    * are reproducible across runs, engines, cluster sizes, and any
+    * embedding width) — banded into 16 4-bit band keys; candidate
+    * pairs share a (band, value) key — an equi-join, never all-pairs —
+    * then pass an exact-cosine recheck, so precision is exact and
+    * recall is the banding knob (≥ 0.9 vs the exact pairs at sf0.01,
+    * pinned by the recall test in OperatorSpec).
     *
     * Scale honesty: the fixture threshold (cos ≥ 0.35, against a
     * background pair p99 of ~0.29) is adversarial for SRP-LSH — bands
