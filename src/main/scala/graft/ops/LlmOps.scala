@@ -177,7 +177,16 @@ object LlmOps {
     * is collision-free for any embedding width, so the former 1024-dim
     * stride cap (and its in-plan raise_error guard) is gone: any width
     * fingerprints correctly. Zero Spark jobs at plan construction
-    * (pinned by the registry-wide plan-hygiene test). */
+    * (pinned by the registry-wide plan-hygiene test).
+    *
+    * Sizing `bandBits` at corpus scale: an unstructured corpus spreads
+    * band values ~uniformly, so the expected (band, value) bucket holds
+    * ~n / 2^bandBits vectors and the self-join does O(bucket²) work per
+    * bucket. The fixture's 4-bit bands are a small-n knob; at n = 10⁹
+    * use bandBits ≈ log2(n / 10³) ≈ 20 (and correspondingly more
+    * fingerprint bits, or multiple independent fingerprints) to keep
+    * buckets ~10³. The plan SHAPE is unchanged — banding is always an
+    * equi-join — only the key width grows. */
   private[graft] def embcosLshPairs(s: SparkSession, e: DataFrame,
       nBits: Int, bandBits: Int, minCos: Double): DataFrame = {
     import s.implicits._
