@@ -157,6 +157,29 @@ class PropertySpec extends SparkSpec {
     assert(got == want, s"got $got, want $want")
   }
 
+  test("srp fingerprint is invariant to zero-padding and positive scaling") {
+    import spark.implicits._
+    // bit b is the sign of a weighted sum: appending zero dims adds
+    // zero terms, and scaling by c > 0 scales the sum without moving
+    // its sign — both must leave the fingerprint bit-identical. (These
+    // are the properties that make SRP banding stable when a corpus
+    // mixes embedding widths or unnormalized magnitudes.)
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-5.0, 5.0))
+      .map(_.take(80))
+    val vecs = samples(vecGen, 60).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    def fps(rows: Seq[(Long, Seq[Double])]): Map[Long, Long] =
+      rows.toDF("id", "v")
+        .selectExpr("id", "srp_fingerprint(v, 64) AS fp")
+        .as[(Long, Long)].collect().toMap
+    graft.functions.VectorExprs.register(spark)
+    val base = fps(vecs.map { case (i, v) => (i, v: Seq[Double]) })
+    val padded = fps(vecs.map { case (i, v) => (i, v ++ Seq.fill(17)(0.0)) })
+    val scaled = fps(vecs.map { case (i, v) => (i, v.map(_ * 1e-3)) })
+    assert(padded == base, "zero-padding changed a fingerprint")
+    assert(scaled == base, "positive scaling changed a fingerprint")
+  }
+
   test("rounding helper is idempotent on generated doubles") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.chooseNum(-1e6, 1e6)), 5).foreach { xs =>
