@@ -128,6 +128,87 @@ object LlmOps {
   def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, documents(s, dir), 3, 0.3, 0.1)
 
+  /** Connected components over an undirected (a_id, b_id) pair frame:
+    * min-label propagation with pointer jumping, unrolled to a FIXED
+    * `rounds` so plan construction stays job-free (no driver-side
+    * convergence loop). Each round (a) relaxes — every node absorbs the
+    * min label over itself and its neighbors (one hop) — then (b)
+    * pointer-jumps — label := label(label) — which at least doubles the
+    * resolved distance, so `rounds` r covers component diameters up to
+    * ~2^r (r=6 → 126). The unroll is CHECKED, not assumed: an in-plan
+    * guard joins the final labels back onto the edge list and
+    * `raise_error`s if any edge still crosses two labels, so an
+    * undersized unroll fails loudly instead of emitting split clusters.
+    *
+    * Scale: per round, one hash-aggregate and two equi-joins on the
+    * label table — O(nodes-in-pairs), which for near-dup clustering is
+    * the (small) duplicated subset of the corpus, never the corpus
+    * itself; real near-dup clusters are shallow (dups of a common
+    * source), so 6 rounds is generous.
+    *
+    * Plan-size discipline: each round references its input twice (the
+    * relax union and the pointer-jump self-join), so a naive unroll
+    * makes Catalyst TRAVERSE the upstream pair subtree 4^rounds times —
+    * analysis wall-time explodes long before execution starts. The
+    * standard fix for iterative DataFrame algorithms (GraphFrames does
+    * the same for its connected components) is a lineage cut per round:
+    * `createDataFrame(df.rdd, schema)` swaps the round's result for a
+    * LogicalRDD leaf — still fully lazy, zero jobs — so every round's
+    * plan is O(round body), not O(history). */
+  private[graft] def clustersFromPairs(s: SparkSession, pairs: DataFrame,
+      rounds: Int): DataFrame = {
+    // symmetric edge list; cached — every unrolled round and the final
+    // guard re-read it
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .cache()
+    def cut(df: DataFrame): DataFrame =
+      s.createDataFrame(df.rdd, df.schema)
+    val init = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
+    val fin = (1 to rounds).foldLeft(init) { (lab0, _) =>
+      val lab = cut(lab0)
+      val relaxed = cut(lab
+        .unionAll(edges.join(lab, col("u") === col("node"))
+          .select(col("v").as("node"), col("label")))
+        .groupBy(col("node")).agg(min(col("label")).as("label")))
+      // label values are themselves node ids, so the lookup is total
+      relaxed
+        .join(relaxed.select(col("node").as("pn"), col("label").as("pl")),
+          col("label") === col("pn"))
+        .select(col("node"), col("pl").as("label"))
+    }.cache()
+    val viol = edges
+      .join(fin.select(col("node").as("u"), col("label").as("lu")), "u")
+      .join(fin.select(col("node").as("v"), col("label").as("lv")), "v")
+      .filter(col("lu") =!= col("lv"))
+      .agg(count(lit(1)).as("n_bad"))
+    val csize = fin.groupBy(col("label"))
+      .agg(count(lit(1)).as("cluster_size"))
+    fin.join(csize, "label")
+      .crossJoin(broadcast(viol))
+      .select(col("node").as("doc_id"),
+        when(col("n_bad") > 0, raise_error(concat(
+          lit(s"dup-cluster propagation not converged in $rounds rounds: "),
+          col("n_bad").cast("string"), lit(" inconsistent edges"))))
+          .otherwise(col("label")).as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** §2.J near-dup CLUSTER RESOLUTION — the stage after pair
+    * generation in a dedup pipeline: connected components over the
+    * oracle-checked n-gram-Jaccard pair set, labeling every involved
+    * doc with the min doc_id of its component (the canonical survivor)
+    * plus the component size. Exactly SQL-expressible, so unlike the
+    * hash-model-dependent ops this one is oracle-checked end-to-end
+    * against a DuckDB recursive CTE over the same pair definition. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(s,
+      jaccardPairs(s, documents(s, dir), 3, 0.3, 0.1)
+        .select(col("a_id"), col("b_id")),
+      rounds = 6)
+
   /** §2.J embedding-cosine near-dup pairs (label-blocked all-pairs;
     * scale path is LSH/IVF bucketing, the blocked form is the oracle). */
   def qDedupEmbcos(s: SparkSession, dir: String): DataFrame = {
@@ -398,6 +479,7 @@ object LlmOps {
     "q_sim_knn_lsh" -> qSimKnnLsh _,
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard _,
+    "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_embcos_lsh" -> qDedupEmbcosLsh _,
     "q_sample_hash" -> qSampleHash _,
@@ -447,6 +529,49 @@ object LlmOps {
         |JOIN sizes sb ON b_id = sb.doc_id
         |WHERE c / (sa.sz + sb.sz - c) >= 0.3
         |ORDER BY a_id, b_id""".stripMargin,
+    // connected components over the same pair definition: a recursive
+    // CTE floods every node's id across its component; min(received)
+    // is the component's min doc_id — the cluster label
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+        |      list_distinct(list_transform(
+        |        generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |        i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |             string_split(lower(text), ' ')[i+1] || ' ' ||
+        |             string_split(lower(text), ' ')[i+2]))
+        |    ELSE [lower(text)] END AS sh
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, sh FROM docs WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM d2),
+        |tok AS (SELECT doc_id, unnest(sh) AS shingle FROM d2),
+        |hot AS (SELECT shingle FROM tok GROUP BY shingle
+        |        HAVING count(*) > greatest(2, CAST(ceil(
+        |          0.1 * (SELECT count(*) FROM documents)) AS BIGINT))),
+        |tokc AS (SELECT * FROM tok
+        |         WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM tokc a JOIN tokc b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM common
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id
+        |  WHERE c / (sa.sz + sb.sz - c) >= 0.3),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |cc AS (
+        |  SELECT u AS node, u AS label FROM edges
+        |  UNION
+        |  SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+        |fin AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
+        |SELECT f.node AS doc_id, f.cluster_id, s.cluster_size
+        |FROM fin f JOIN (SELECT cluster_id, count(*) AS cluster_size
+        |                 FROM fin GROUP BY cluster_id) s USING (cluster_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, hpfx FROM (
         |  SELECT doc_id, lang,

@@ -270,4 +270,31 @@ class OperatorSpec extends SparkSpec {
     f2.foreach(r => assert(m1(r.doc_id) == r.features.toSeq, s"nondeterministic features for ${r.doc_id}"))
     assert(f1.forall(_.features.length == 8))
   }
+
+  test("dup clusters: components get the min-id label and exact sizes") {
+    import spark.implicits._
+    // a 100-node path (diameter 99, within the 2^6 unroll reach) plus a
+    // disjoint 2-node component; all path nodes must land on label 0
+    val pairs = ((0L until 99L).map(i => (i, i + 1)) ++
+      Seq((200L, 201L))).toDF("a_id", "b_id")
+    val out = LlmOps.clustersFromPairs(spark, pairs, rounds = 6)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.size == 102)
+    assert(out == out.sortBy(_._1), "output must be doc_id-ordered")
+    assert(out.filter(_._1 < 200L).forall(r => r._2 == 0L && r._3 == 100L),
+      "path component must collapse to cluster 0 of size 100")
+    assert(out.filter(_._1 >= 200L).forall(r => r._2 == 200L && r._3 == 2L))
+  }
+
+  test("dup clusters: an undersized unroll fails loudly, never splits") {
+    import spark.implicits._
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val e = intercept[Exception] {
+      LlmOps.clustersFromPairs(spark, chain, rounds = 1).collect()
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("not converged"),
+      s"expected the in-plan convergence guard, got: $msgs")
+  }
 }
