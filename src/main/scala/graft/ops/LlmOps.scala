@@ -129,52 +129,58 @@ object LlmOps {
     jaccardPairs(s, documents(s, dir), 3, 0.3, 0.1)
 
   /** Connected components over an undirected (a_id, b_id) pair frame:
-    * min-label propagation with pointer jumping, unrolled to a FIXED
-    * `rounds` so plan construction stays job-free (no driver-side
-    * convergence loop). Each round (a) relaxes — every node absorbs the
-    * min label over itself and its neighbors (one hop) — then (b)
-    * pointer-jumps — label := label(label) — which at least doubles the
-    * resolved distance, so `rounds` r covers component diameters up to
-    * ~2^r (r=6 → 126). The unroll is CHECKED, not assumed: an in-plan
+    * min-label propagation, unrolled to a FIXED `rounds` so plan
+    * construction stays job-free (no driver-side convergence loop).
+    * Each relax round every node absorbs the min label over itself and
+    * its neighbors (one hop, via self-loop edges), then two final
+    * pointer-jump passes (label := label(label)) amplify the resolved
+    * distance ~4×, so `rounds` r covers component diameters up to ~4r
+    * (r=6 → ~24). The unroll is CHECKED, not assumed: an in-plan
     * guard joins the final labels back onto the edge list and
-    * `raise_error`s if any edge still crosses two labels, so an
-    * undersized unroll fails loudly instead of emitting split clusters.
+    * `raise_error`s if any edge still crosses two labels — labels are
+    * always node ids of the component and the component's min node can
+    * never lose its own label, so edge-consistent labels ARE the exact
+    * min-id labeling; an undersized unroll fails loudly instead of
+    * emitting split clusters.
     *
-    * Scale: per round, one hash-aggregate and two equi-joins on the
+    * Scale: per relax round, ONE equi-join + hash-aggregate on the
     * label table — O(nodes-in-pairs), which for near-dup clustering is
     * the (small) duplicated subset of the corpus, never the corpus
     * itself; real near-dup clusters are shallow (dups of a common
-    * source), so 6 rounds is generous.
+    * source), so the default reach is generous.
     *
-    * Plan-size discipline: each round references its input twice (the
-    * relax union and the pointer-jump self-join), so a naive unroll
-    * makes Catalyst TRAVERSE the upstream pair subtree 4^rounds times —
-    * analysis wall-time explodes long before execution starts. The
-    * standard fix for iterative DataFrame algorithms (GraphFrames does
-    * the same for its connected components) is a lineage cut per round:
-    * `createDataFrame(df.rdd, schema)` swaps the round's result for a
-    * LogicalRDD leaf — still fully lazy, zero jobs — so every round's
-    * plan is O(round body), not O(history). */
-  private[graft] def clustersFromPairs(s: SparkSession, pairs: DataFrame,
+    * Plan-size discipline (why the relax references its input ONCE): a
+    * relax written as `lab ∪ (edges ⋈ lab)` references `lab` twice, so
+    * an unroll makes Catalyst TRAVERSE the upstream pair subtree
+    * 2^rounds (4^rounds with a per-round jump) times — analysis
+    * wall-time explodes long before execution starts. Adding SELF-LOOP
+    * edges folds the "keep my own label" branch into the same join, so
+    * every relax is one reference and the unrolled tree grows LINEARLY
+    * in rounds. (An RDD-boundary lineage cut is NOT a fix here: with
+    * AQE, `df.rdd` materializes every intermediate shuffle stage, i.e.
+    * executes the query at plan-construction time — the plan-hygiene
+    * test catches exactly that.) Only the two FINAL pointer-jump
+    * passes reference their input twice (×4 total), amplifying reach
+    * ~4× for a constant plan-size factor. */
+  private[graft] def clustersFromPairs(pairs: DataFrame,
       rounds: Int): DataFrame = {
-    // symmetric edge list; cached — every unrolled round and the final
-    // guard re-read it
+    // symmetric edge list + self-loops; cached — every unrolled round
+    // and the final guard re-read it
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .cache()
-    def cut(df: DataFrame): DataFrame =
-      s.createDataFrame(df.rdd, df.schema)
-    val init = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
-    val fin = (1 to rounds).foldLeft(init) { (lab0, _) =>
-      val lab = cut(lab0)
-      val relaxed = cut(lab
-        .unionAll(edges.join(lab, col("u") === col("node"))
-          .select(col("v").as("node"), col("label")))
-        .groupBy(col("node")).agg(min(col("label")).as("label")))
-      // label values are themselves node ids, so the lookup is total
-      relaxed
-        .join(relaxed.select(col("node").as("pn"), col("label").as("pl")),
+    val loops = edges.select(col("u")).distinct()
+      .select(col("u"), col("u").as("v"))
+    val edgesPlus = edges.unionAll(loops).cache()
+    val init = loops.select(col("u").as("node"), col("u").as("label"))
+    val relaxed = (1 to rounds).foldLeft(init) { (lab, _) =>
+      edgesPlus.join(lab, col("u") === col("node"))
+        .select(col("v").as("node"), col("label"))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+    }
+    // label values are themselves node ids, so the jump lookup is total
+    val fin = (1 to 2).foldLeft(relaxed) { (lab, _) =>
+      lab.join(lab.select(col("node").as("pn"), col("label").as("pl")),
           col("label") === col("pn"))
         .select(col("node"), col("pl").as("label"))
     }.cache()
@@ -204,7 +210,7 @@ object LlmOps {
     * hash-model-dependent ops this one is oracle-checked end-to-end
     * against a DuckDB recursive CTE over the same pair definition. */
   def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(s,
+    clustersFromPairs(
       jaccardPairs(s, documents(s, dir), 3, 0.3, 0.1)
         .select(col("a_id"), col("b_id")),
       rounds = 6)

@@ -273,16 +273,18 @@ class OperatorSpec extends SparkSpec {
 
   test("dup clusters: components get the min-id label and exact sizes") {
     import spark.implicits._
-    // a 100-node path (diameter 99, within the 2^6 unroll reach) plus a
-    // disjoint 2-node component; all path nodes must land on label 0
-    val pairs = ((0L until 99L).map(i => (i, i + 1)) ++
+    // a 21-node path (diameter 20, within the rounds=6 → ~24 reach)
+    // plus a disjoint 2-node component; all path nodes must land on
+    // label 0. Ids shuffled into the pair frame in a_id-descending
+    // order so convergence can't ride on input ordering.
+    val pairs = ((0L until 20L).map(i => (i, i + 1)).reverse ++
       Seq((200L, 201L))).toDF("a_id", "b_id")
-    val out = LlmOps.clustersFromPairs(spark, pairs, rounds = 6)
+    val out = LlmOps.clustersFromPairs(pairs, rounds = 6)
       .as[(Long, Long, Long)].collect().toSeq
-    assert(out.size == 102)
+    assert(out.size == 23)
     assert(out == out.sortBy(_._1), "output must be doc_id-ordered")
-    assert(out.filter(_._1 < 200L).forall(r => r._2 == 0L && r._3 == 100L),
-      "path component must collapse to cluster 0 of size 100")
+    assert(out.filter(_._1 < 200L).forall(r => r._2 == 0L && r._3 == 21L),
+      "path component must collapse to cluster 0 of size 21")
     assert(out.filter(_._1 >= 200L).forall(r => r._2 == 200L && r._3 == 2L))
   }
 
@@ -290,7 +292,7 @@ class OperatorSpec extends SparkSpec {
     import spark.implicits._
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val e = intercept[Exception] {
-      LlmOps.clustersFromPairs(spark, chain, rounds = 1).collect()
+      LlmOps.clustersFromPairs(chain, rounds = 1).collect()
     }
     val msgs = Iterator.iterate[Throwable](e)(_.getCause)
       .takeWhile(_ != null).map(_.getMessage).mkString("\n")
