@@ -323,6 +323,36 @@ object LlmOps {
       .orderBy($"doc_id")
   }
 
+  /** §2.J embedding int8 QUANTIZATION — the standard storage/serving
+    * compression for embedding corpora (4× smaller than float32, 8×
+    * smaller than the double working form; recall loss at int8 is
+    * negligible for retrieval). Per-vector SYMMETRIC scheme: scale =
+    * max|x|/127, q_i = round-half-up(x_i/scale) ∈ [-127, 127] — no
+    * zero-point, so dequantization is one multiply and dot products
+    * distribute over the scale. Rounding is written as floor(x/s + 0.5)
+    * — floor is exact on IEEE doubles in BOTH engines, whereas the
+    * engines' round() builtins disagree on half-to-even vs
+    * half-away-from-zero ties. The quantized vector serializes to a
+    * CSV string (like every array-typed oracle output — the driver's
+    * comparator can't hash array cells).
+    *
+    * Scale: embarrassingly parallel scan-side arithmetic (two codegen'd
+    * array lambdas per row), zero shuffles before the output sort; at
+    * 100 TB this runs at parquet read speed and is the op you run ONCE
+    * to re-encode a corpus. */
+  def qEmbQuantize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    embeddings(s, dir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .withColumn("scale", array_max(transform($"e", x => abs(x))) / 127.0)
+      .withColumn("q8", when($"scale" === 0.0,
+          array_join(transform($"e", _ => lit("0")), ","))
+        .otherwise(array_join(transform($"e",
+          x => floor(x / $"scale" + 0.5).cast("long").cast("string")), ",")))
+      .select($"vec_id", r6($"scale").as("scale"), $"q8")
+      .orderBy($"vec_id")
+  }
+
   // ----------------------------------------------------------- similarity
 
   /** §2.J similarity search: brute-force cosine top-k for one probe
@@ -489,6 +519,7 @@ object LlmOps {
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_embcos_lsh" -> qDedupEmbcosLsh _,
     "q_sample_hash" -> qSampleHash _,
+    "q_emb_quantize" -> qEmbQuantize _,
     "q_sim_cosine_topk" -> qSimCosineTopk _,
     "q_sim_knn_join" -> qSimKnnJoin _,
     "q_sim_pairwise_stats" -> qSimPairwiseStats _,
@@ -578,6 +609,21 @@ object LlmOps {
         |FROM fin f JOIN (SELECT cluster_id, count(*) AS cluster_size
         |                 FROM fin GROUP BY cluster_id) s USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    // floor(x/s + 0.5) on doubles is the tie-stable round shared with
+    // the Spark side; list_aggregate 'max' = Spark array_max
+    "q_emb_quantize" ->
+      """SELECT vec_id, round(s, 6) AS scale,
+        |  CASE WHEN s = 0 THEN
+        |    array_to_string(list_transform(e, x -> '0'), ',')
+        |  ELSE array_to_string(list_transform(e,
+        |    x -> CAST(CAST(floor(x / s + 0.5) AS BIGINT) AS VARCHAR)), ',')
+        |  END AS q8
+        |FROM (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> abs(x)), 'max') / 127.0 AS s
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
     "q_sample_hash" ->
       """SELECT doc_id, lang, hpfx FROM (
         |  SELECT doc_id, lang,

@@ -288,6 +288,27 @@ class OperatorSpec extends SparkSpec {
     assert(out.filter(_._1 >= 200L).forall(r => r._2 == 200L && r._3 == 2L))
   }
 
+  test("int8 quantization: bounded codes, half-step dequant error") {
+    import spark.implicits._
+    val raw = graft.util.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val out = LlmOps.qEmbQuantize(spark, sfDir)
+      .as[(Long, Double, String)].collect()
+    assert(out.length == raw.size)
+    out.foreach { case (id, scale, q8) =>
+      val q = q8.split(",").map(_.toLong)
+      val x = raw(id)
+      assert(q.length == x.length)
+      assert(q.forall(v => v >= -127 && v <= 127), s"vec $id code out of range")
+      // scale in the dump is r6-rounded; half-step bound plus that slack
+      val maxErr = q.zip(x).map { case (qi, xi) =>
+        math.abs(xi - qi * scale) }.max
+      assert(maxErr <= scale / 2 + 1e-4,
+        s"vec $id dequant error $maxErr exceeds half a step ($scale)")
+    }
+  }
+
   test("dup clusters: an undersized unroll fails loudly, never splits") {
     import spark.implicits._
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a_id", "b_id")
