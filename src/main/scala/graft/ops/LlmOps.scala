@@ -132,16 +132,15 @@ object LlmOps {
     * min-label propagation, unrolled to a FIXED `rounds` so plan
     * construction stays job-free (no driver-side convergence loop).
     * Each relax round every node absorbs the min label over itself and
-    * its neighbors (one hop, via self-loop edges), then two final
-    * pointer-jump passes (label := label(label)) amplify the resolved
-    * distance ~4×, so `rounds` r covers component diameters up to ~4r
-    * (r=6 → ~24). The unroll is CHECKED, not assumed: an in-plan
-    * guard joins the final labels back onto the edge list and
-    * `raise_error`s if any edge still crosses two labels — labels are
-    * always node ids of the component and the component's min node can
-    * never lose its own label, so edge-consistent labels ARE the exact
-    * min-id labeling; an undersized unroll fails loudly instead of
-    * emitting split clusters.
+    * its neighbors (one hop, via self-loop edges), so `rounds` r
+    * covers component diameters up to r. The unroll is CHECKED, not
+    * assumed: an in-plan guard joins the final labels back onto the
+    * edge list and `raise_error`s if any edge still crosses two
+    * labels — labels are always node ids of the component and the
+    * component's min node can never lose its own label, so
+    * edge-consistent labels ARE the exact min-id labeling; an
+    * undersized unroll fails loudly instead of emitting split
+    * clusters.
     *
     * Scale: per relax round, ONE equi-join + hash-aggregate on the
     * label table — O(nodes-in-pairs), which for near-dup clustering is
@@ -149,42 +148,43 @@ object LlmOps {
     * itself; real near-dup clusters are shallow (dups of a common
     * source), so the default reach is generous.
     *
-    * Plan-size discipline (why the relax references its input ONCE): a
-    * relax written as `lab ∪ (edges ⋈ lab)` references `lab` twice, so
-    * an unroll makes Catalyst TRAVERSE the upstream pair subtree
-    * 2^rounds (4^rounds with a per-round jump) times — analysis
-    * wall-time explodes long before execution starts. Adding SELF-LOOP
-    * edges folds the "keep my own label" branch into the same join, so
-    * every relax is one reference and the unrolled tree grows LINEARLY
-    * in rounds. (An RDD-boundary lineage cut is NOT a fix here: with
-    * AQE, `df.rdd` materializes every intermediate shuffle stage, i.e.
-    * executes the query at plan-construction time — the plan-hygiene
-    * test catches exactly that.) Only the two FINAL pointer-jump
-    * passes reference their input twice (×4 total), amplifying reach
-    * ~4× for a constant plan-size factor. */
+    * Plan-size discipline — every frame here references `pairs` at
+    * most ONCE, and nothing references its own input twice: the unroll
+    * embeds these subtrees repeatedly, and every planning-side pass
+    * (optimizer rules, canonicalization, the CacheManager's per-node
+    * cached-plan matching) re-traverses the tree-EXPANDED plan, so an
+    * extra self-reference multiplies that cost 2^rounds-fold (measured
+    * as seconds per stage). Hence: (a) the symmetric+self-loop edge
+    * multiset is ONE explode — self-loops fold the "keep my own label"
+    * branch into the relax join, duplicate self-loop rows are harmless
+    * under min-aggregation, and skipping their dedup saves a shuffle
+    * and a second `pairs` reference; (b) no pointer-jump passes (a
+    * jump must reference its input twice, doubling the tree per pass);
+    * (c) the guard reuses the same edge frame (a self-loop can never
+    * cross two labels, so the loops are inert there too). An RDD
+    * lineage cut is NOT a usable alternative: `df.rdd` eagerly
+    * materializes every broadcast exchange below it (and with AQE
+    * every shuffle stage), i.e. runs the pair pipeline at plan
+    * construction — the registry-wide plan-hygiene test catches
+    * exactly that. */
   private[graft] def clustersFromPairs(pairs: DataFrame,
       rounds: Int): DataFrame = {
-    // symmetric edge list + self-loops; cached — every unrolled round
-    // and the final guard re-read it
-    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+    val a = col("a_id"); val b = col("b_id")
+    // cached: every unrolled round and the final guard re-read this
+    val edgesPlus = pairs.select(explode(array(
+        struct(a.as("u"), b.as("v")), struct(b.as("u"), a.as("v")),
+        struct(a.as("u"), a.as("v")), struct(b.as("u"), b.as("v"))))
+        .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .cache()
-    val loops = edges.select(col("u")).distinct()
-      .select(col("u"), col("u").as("v"))
-    val edgesPlus = edges.unionAll(loops).cache()
-    val init = loops.select(col("u").as("node"), col("u").as("label"))
-    val relaxed = (1 to rounds).foldLeft(init) { (lab, _) =>
+    val init = pairs.select(explode(array(a, b)).as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    val fin = (1 to rounds).foldLeft(init) { (lab, _) =>
       edgesPlus.join(lab, col("u") === col("node"))
         .select(col("v").as("node"), col("label"))
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-    }
-    // label values are themselves node ids, so the jump lookup is total
-    val fin = (1 to 2).foldLeft(relaxed) { (lab, _) =>
-      lab.join(lab.select(col("node").as("pn"), col("label").as("pl")),
-          col("label") === col("pn"))
-        .select(col("node"), col("pl").as("label"))
     }.cache()
-    val viol = edges
+    val viol = edgesPlus
       .join(fin.select(col("node").as("u"), col("label").as("lu")), "u")
       .join(fin.select(col("node").as("v"), col("label").as("lv")), "v")
       .filter(col("lu") =!= col("lv"))
@@ -208,12 +208,26 @@ object LlmOps {
     * doc with the min doc_id of its component (the canonical survivor)
     * plus the component size. Exactly SQL-expressible, so unlike the
     * hash-model-dependent ops this one is oracle-checked end-to-end
-    * against a DuckDB recursive CTE over the same pair definition. */
-  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    * against a DuckDB recursive CTE over the same pair definition.
+    *
+    * Runs on a CHILD session with AQE off (the streaming replays' conf
+    * isolation pattern, so nothing leaks): AQE re-plans after every
+    * materialized stage, and on this intentionally many-stage iterative
+    * plan that replanning dominates wall time (~2 s per query stage —
+    * measured 90 s with AQE vs 7 s without, on identical 477-row
+    * output). AQE's value is runtime stats for SIZE-SENSITIVE choices
+    * (join strategy, coalescing, skew splits); every post-pair stage
+    * here is a label table bounded by the duplicated subset, so static
+    * planning loses nothing. At 100 TB, materialize the pair table
+    * with AQE ON first, then run the iteration with AQE off. */
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
     clustersFromPairs(
-      jaccardPairs(s, documents(s, dir), 3, 0.3, 0.1)
+      jaccardPairs(s2, documents(s2, dir), 3, 0.3, 0.1)
         .select(col("a_id"), col("b_id")),
-      rounds = 6)
+      rounds = 8)
+  }
 
   /** §2.J embedding-cosine near-dup pairs (label-blocked all-pairs;
     * scale path is LSH/IVF bucketing, the blocked form is the oracle). */

@@ -273,13 +273,13 @@ class OperatorSpec extends SparkSpec {
 
   test("dup clusters: components get the min-id label and exact sizes") {
     import spark.implicits._
-    // a 21-node path (diameter 20, within the rounds=6 → ~24 reach)
-    // plus a disjoint 2-node component; all path nodes must land on
-    // label 0. Ids shuffled into the pair frame in a_id-descending
-    // order so convergence can't ride on input ordering.
+    // a 21-node path (diameter 20, exactly the rounds=20 reach) plus a
+    // disjoint 2-node component; all path nodes must land on label 0.
+    // Ids fed in a_id-descending order so convergence can't ride on
+    // input ordering.
     val pairs = ((0L until 20L).map(i => (i, i + 1)).reverse ++
       Seq((200L, 201L))).toDF("a_id", "b_id")
-    val out = LlmOps.clustersFromPairs(pairs, rounds = 6)
+    val out = LlmOps.clustersFromPairs(pairs, rounds = 20)
       .as[(Long, Long, Long)].collect().toSeq
     assert(out.size == 23)
     assert(out == out.sortBy(_._1), "output must be doc_id-ordered")
