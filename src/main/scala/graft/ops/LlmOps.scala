@@ -220,13 +220,40 @@ object LlmOps {
     * here is a label table bounded by the duplicated subset, so static
     * planning loses nothing. At 100 TB, materialize the pair table
     * with AQE ON first, then run the iteration with AQE off. */
-  def qDedupClusters(s: SparkSession, dir: String): DataFrame = {
+  /** AQE-off child session (see the plan-size scaladoc above) + the
+    * cluster plan over the registry's pair definition — shared by the
+    * cluster and prune queries so their semantics can't drift. */
+  private def clustersCore(s: SparkSession, dir: String): (SparkSession, DataFrame) = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.adaptive.enabled", "false")
-    clustersFromPairs(
+    (s2, clustersFromPairs(
       jaccardPairs(s2, documents(s2, dir), 3, 0.3, 0.1)
         .select(col("a_id"), col("b_id")),
-      rounds = 8)
+      rounds = 8))
+  }
+
+  def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersCore(s, dir)._2
+
+  /** §2.J near-dup PRUNE — the consuming stage of cluster resolution:
+    * the corpus with every non-canonical near-dup removed (keep a doc
+    * iff it is not in a dup cluster, or it is its cluster's min-id
+    * canonical). This is the composition a training pipeline actually
+    * ships: pairs → components → one survivor per component.
+    *
+    * Scale: the loser set is bounded by the duplicated subset; the
+    * anti-join broadcasts it when small and degrades to a shuffled
+    * anti-join when not — either way one pass over the corpus. */
+  def qDedupPrune(s: SparkSession, dir: String): DataFrame = {
+    val (s2, clusters) = clustersCore(s, dir)
+    val losers = clusters
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    documents(s2, dir)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   /** §2.J embedding-cosine near-dup pairs (label-blocked all-pairs;
@@ -530,6 +557,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExact _,
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard _,
     "q_dedup_clusters" -> qDedupClusters _,
+    "q_dedup_prune" -> qDedupPrune _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_embcos_lsh" -> qDedupEmbcosLsh _,
     "q_sample_hash" -> qSampleHash _,
@@ -623,6 +651,47 @@ object LlmOps {
         |FROM fin f JOIN (SELECT cluster_id, count(*) AS cluster_size
         |                 FROM fin GROUP BY cluster_id) s USING (cluster_id)
         |ORDER BY doc_id""".stripMargin,
+    // same component flood; keep a doc iff it is not a cluster loser
+    "q_dedup_prune" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(string_split(lower(text), ' ')) >= 3 THEN
+        |      list_distinct(list_transform(
+        |        generate_series(1, len(string_split(lower(text), ' ')) - 2),
+        |        i -> string_split(lower(text), ' ')[i] || ' ' ||
+        |             string_split(lower(text), ' ')[i+1] || ' ' ||
+        |             string_split(lower(text), ' ')[i+2]))
+        |    ELSE [lower(text)] END AS sh
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, sh FROM docs WHERE len(sh) > 0),
+        |sizes AS (SELECT doc_id, len(sh) AS sz FROM d2),
+        |tok AS (SELECT doc_id, unnest(sh) AS shingle FROM d2),
+        |hot AS (SELECT shingle FROM tok GROUP BY shingle
+        |        HAVING count(*) > greatest(2, CAST(ceil(
+        |          0.1 * (SELECT count(*) FROM documents)) AS BIGINT))),
+        |tokc AS (SELECT * FROM tok
+        |         WHERE shingle NOT IN (SELECT shingle FROM hot)),
+        |common AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS c
+        |  FROM tokc a JOIN tokc b
+        |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT a_id, b_id FROM common
+        |  JOIN sizes sa ON a_id = sa.doc_id
+        |  JOIN sizes sb ON b_id = sb.doc_id
+        |  WHERE c / (sa.sz + sb.sz - c) >= 0.3),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |cc AS (
+        |  SELECT u AS node, u AS label FROM edges
+        |  UNION
+        |  SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+        |fin AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY node)
+        |SELECT d.doc_id, d.lang, length(d.text) AS n_chars
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT node FROM fin WHERE node <> cluster_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // floor(x/s + 0.5) on doubles is the tie-stable round shared with
     // the Spark side; list_aggregate 'max' = Spark array_max
     "q_emb_quantize" ->

@@ -309,6 +309,21 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("near-dup prune keeps exactly the cluster survivors") {
+    import spark.implicits._
+    val clusters = LlmOps.qDedupClusters(spark, sfDir)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+    val losers = clusters.filter(r => r._1 != r._2).map(_._1).toSet
+    assert(losers.nonEmpty, "fixture should contain near-dup losers")
+    val docs = graft.util.Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val kept = LlmOps.qDedupPrune(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == docs -- losers, "prune must drop exactly the losers")
+    assert(clusters.map(_._2).toSet.subsetOf(kept),
+      "every cluster canonical must survive the prune")
+  }
+
   test("dup clusters: an undersized unroll fails loudly, never splits") {
     import spark.implicits._
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a_id", "b_id")
