@@ -267,6 +267,24 @@ object StreamingOps {
     }.orderBy($"event_id")
   }
 
+  /** §2.I streaming DEDUP replay, oracle-checked: the `dedupStream`
+    * graph (`dropDuplicatesWithinWatermark` on event_id) run as a real
+    * streaming query over a DOUBLED source — the events stream unioned
+    * with a second reader of the same files — so every event_id
+    * arrives twice and the per-key dedup state provably suppresses the
+    * copy (over the raw unique-id fixture, dedup would be a vacuous
+    * pass-through). Output is the surviving (event_id, event_type,
+    * user_id) projection: both copies of a row are identical, so WHICH
+    * copy survives cannot affect parity. Oracle: the plain events
+    * projection — exactly one row per id. */
+  def qStreamDedupReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replayToTable(s, "append") { s2 =>
+      dedupStream(eventsStream(s2, dir).unionByName(eventsStream(s2, dir)))
+        .select($"event_id", $"event_type", $"user_id")
+    }.orderBy($"event_id")
+  }
+
   /** §2.I batch sessionization (the batch twin of `session_window`):
     * a session boundary is a gap > 30 minutes since the user's previous
     * event; session id = running count of boundaries. One shuffle on
@@ -298,6 +316,7 @@ object StreamingOps {
     "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
     "q_stream_session_replay" -> qStreamSessionReplay _,
     "q_stream_enrich_replay" -> qStreamEnrichReplay _,
+    "q_stream_dedup_replay" -> qStreamDedupReplay _,
     "q_sessionize_batch" -> qSessionizeBatch _
   )
 
@@ -316,6 +335,11 @@ object StreamingOps {
         |FROM events
         |GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
+    // the streaming query doubles its source then dedups; one row per
+    // event_id is exactly the raw projection
+    "q_stream_dedup_replay" ->
+      """SELECT event_id, event_type, user_id FROM events
+        |ORDER BY event_id""".stripMargin,
     "q_stream_session_replay" ->
       """WITH marked AS (
         |  SELECT user_id, ts, event_id,

@@ -92,6 +92,20 @@ class ScaleSpec extends SparkSpec {
     val pairs = ops.LlmOps.jaccardPairs(spark, docs, 3, 0.9, 0.001).count()
     assert(pairs == n / 1000,
       s"expected ${n / 1000} planted duplicate pairs, got $pairs")
+    // component resolution over the planted pairs: every component is
+    // one (i, i+1) duplicate pair, so exactly 2 nodes per cluster and
+    // the even id is canonical; the in-plan guard doubles as the
+    // convergence assert
+    val clusters = ops.LlmOps.clustersFromPairs(
+      ops.LlmOps.jaccardPairs(spark, docs, 3, 0.9, 0.001)
+        .select($"a_id", $"b_id"), rounds = 8)
+      .agg(count(lit(1)).as("rows"),
+        sum(when($"cluster_size" === 2, 0L).otherwise(1L)).as("bad_size"),
+        sum(when($"cluster_id" % 1000 === 0, 0L).otherwise(1L)).as("bad_min"))
+      .head()
+    assert(clusters.getLong(0) == 2 * n / 1000 &&
+      clusters.getLong(1) == 0 && clusters.getLong(2) == 0,
+      s"cluster canary mismatch: $clusters")
     val fps = ops.DedupAdvanced.fingerprintsOf(spark, docs).count()
     assert(fps == n, s"fingerprint per doc: expected $n, got $fps")
     val toks = docs.select($"doc_id", $"lang", lit(8L).as("n_tokens"))
@@ -123,6 +137,7 @@ class ScaleSpec extends SparkSpec {
       "q_stream_tumbling_replay" -> "runs a streaming query",
       "q_stream_session_replay" -> "runs a streaming query",
       "q_stream_enrich_replay" -> "runs a streaming query",
+      "q_stream_dedup_replay" -> "runs a streaming query",
       // MLlib fit() is an action by contract
       "q_dedup_minhash" -> "MinHashLSH.fit", "q_sim_knn_lsh" -> "BRP-LSH fit")
     // `spark.read.parquet` itself runs a small footer/schema-inference
