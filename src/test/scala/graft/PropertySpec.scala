@@ -180,6 +180,41 @@ class PropertySpec extends SparkSpec {
     assert(scaled == base, "positive scaling changed a fingerprint")
   }
 
+  test("cluster resolution matches a driver-side union-find on random graphs") {
+    import spark.implicits._
+    // random edge sets over a small id space (dense enough to force
+    // multi-edge components, merges, and singleton-free output);
+    // the distributed min-label plan must agree with the obvious
+    // sequential union-find on component membership AND labels
+    val edgeGen = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+      .map(_.filter { case (a, b) => a != b })
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { edges =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = nodes.map(v => v -> find(v)).toMap
+      val sizes = expected.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val got = ops.LlmOps.clustersFromPairs(
+          edges.toDF("a_id", "b_id"), rounds = 25)
+        .as[(Long, Long, Long)].collect()
+      assert(got.map(_._1).toSet == nodes.toSet)
+      got.foreach { case (v, label, size) =>
+        assert(label == expected(v),
+          s"node $v: got label $label, union-find says ${expected(v)}")
+        assert(size == sizes(expected(v)),
+          s"node $v: got size $size, union-find says ${sizes(expected(v))}")
+      }
+    }
+  }
+
   test("rounding helper is idempotent on generated doubles") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.chooseNum(-1e6, 1e6)), 5).foreach { xs =>
