@@ -149,17 +149,24 @@ final class Workbook private (
     * reads, so save → load roundtrips). `partitionCols` opts individual
     * sheets into a partitioned layout — the 100 TB posture for any big
     * sheet, giving partition-pruned scans on reload. `format` may be
-    * "csv" for the reference's interchange format (header row written;
-    * parquet remains the scale path — csv has no pushdown, stats, or
-    * column pruning). Do NOT save onto a directory a lazy sheet of THIS
-    * workbook was loaded from: frames are lazy, and
-    * overwrite-while-reading is undefined in any engine. */
+    * "csv" for a per-sheet interchange layout (header row written) or
+    * "xlsx" for the reference's NATIVE format — ONE real
+    * `dir/workbook.xlsx` holding every sheet (pure-JDK SpreadsheetML
+    * writer, `graft.sources.Xlsx`; bounded by the format's own
+    * 1,048,576-row sheet cap). Parquet remains the scale path — the
+    * interchange formats have no pushdown, stats, or column pruning.
+    * Do NOT save onto a directory a lazy sheet of THIS workbook was
+    * loaded from: frames are lazy, and overwrite-while-reading is
+    * undefined in any engine. */
   def save(dir: String,
       partitionCols: Map[String, Seq[String]] = Map.empty,
       format: String = "parquet"): Unit = {
-    require(format == "parquet" || format == "csv",
+    require(format == "parquet" || format == "csv" || format == "xlsx",
       s"unsupported workbook format: $format")
-    sheetNames.foreach { n =>
+    if (format == "xlsx")
+      sources.Xlsx.write(spark, s"$dir/workbook.xlsx",
+        sheetNames.map(n => n -> sheet(n)))
+    else sheetNames.foreach { n =>
       val w0 = sheet(n).write.mode("overwrite")
       val w = partitionCols.get(n).filter(_.nonEmpty)
         .fold(w0)(cs => w0.partitionBy(cs: _*))
@@ -178,11 +185,13 @@ object Workbook {
 
   /** Load a directory of sheets: every `<name>.parquet` and
     * `<name>.csv` entry (file or partitioned directory — the readers
-    * handle both) becomes sheet `<name>`; on a name collision the
-    * parquet sheet wins (it is the save format's primary). CSV sheets
-    * — the reference's interchange format — read with a header row and
-    * schema inference (inference is a one-off data scan; convert big
-    * sheets to parquet via `save` for footer-only loads and pushdown).
+    * handle both) becomes sheet `<name>`, and every `*.xlsx` workbook
+    * contributes its INTERNAL sheets under their own names (the
+    * reference's native format, via the pure-JDK `sources.Xlsx`
+    * codec). On a name collision parquet wins over csv over xlsx (the
+    * save format's primary first). CSV/xlsx sheets read with a header
+    * row and schema inference (a one-off data scan; convert big sheets
+    * to parquet via `save` for footer-only loads and pushdown).
     * Listing uses the Hadoop FS of the path, so `dir` may live on any
     * configured filesystem (local, HDFS, object store). */
   def load(spark: SparkSession, dir: String): Workbook = {
@@ -193,11 +202,13 @@ object Workbook {
     def sheets(suffix: String, read: String => DataFrame) = entries
       .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix))
       .map(n => n -> read(s"$dir/$n$suffix")).toMap
+    val xlsx = entries.filter(_.endsWith(".xlsx"))
+      .flatMap(f => sources.Xlsx.read(spark, s"$dir/$f")).toMap
     val csv = sheets(".csv", p => spark.read
       .option("header", "true").option("inferSchema", "true").csv(p))
     val parquet = sheets(".parquet", spark.read.parquet(_))
-    require(csv.nonEmpty || parquet.nonEmpty,
-      s"no *.parquet or *.csv sheets under: $dir")
-    new Workbook(spark, csv ++ parquet)
+    require(xlsx.nonEmpty || csv.nonEmpty || parquet.nonEmpty,
+      s"no *.parquet, *.csv, or *.xlsx sheets under: $dir")
+    new Workbook(spark, xlsx ++ csv ++ parquet)
   }
 }

@@ -88,6 +88,21 @@ object Relational {
       .orderBy($"r_regionkey")
   }
 
+  /** §2.A Excel (.xlsx) roundtrip — the reference's NATIVE format,
+    * previously scoped out for lack of a POI jar: write nation as a
+    * real xlsx workbook and scan it back through the pure-JDK
+    * SpreadsheetML codec (`graft.sources.Xlsx` — zip + StAX, zero new
+    * dependencies). Inference reads integer columns back as long, so
+    * the oracle pins a CAST like the JSONL roundtrip does. */
+  def qScanXlsx(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("xlsx_nation")
+    graft.sources.Xlsx.write(s, s"$out/workbook.xlsx",
+      Seq("nation" -> nation(s, dir).orderBy($"n_nationkey")))
+    graft.sources.Xlsx.read(s, s"$out/workbook.xlsx")("nation")
+      .orderBy($"n_nationkey")
+  }
+
   /** §2.A partitioned sink + partition-pruned scan: write orders
     * partitioned by o_orderstatus (the 100 TB posture for any big
     * sink), read ONE partition back via the partition column — the
@@ -274,6 +289,7 @@ object Relational {
     "q_scan_orc" -> qScanOrc _,
     "q_scan_jsonl" -> qScanJsonl _,
     "q_scan_text" -> qScanText _,
+    "q_scan_xlsx" -> qScanXlsx _,
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_catalog_tables" -> qCatalogTables _,
     "q_project" -> qProject _,
@@ -305,6 +321,10 @@ object Relational {
     "q_scan_text" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_scan_xlsx" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_catalog_tables" ->
       """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,
         |  string_agg(column_name, '|' ORDER BY ordinal_position) AS cols

@@ -1,0 +1,363 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, InputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal self-contained XLSX (SpreadsheetML / ECMA-376) codec — reads
+  * and writes real .xlsx workbooks with nothing beyond `java.util.zip`
+  * and the JDK's StAX parser, closing the one §2.A row the survey had
+  * scoped out for lack of a POI/spark-excel jar. An .xlsx file is a zip
+  * of XML parts: `xl/workbook.xml` names the sheets, per-sheet
+  * `xl/worksheets/sheetN.xml` holds rows of cells, and strings either
+  * sit inline (`t="inlineStr"`) or index into `xl/sharedStrings.xml`
+  * (`t="s"`). The writer emits inline strings (single-pass, no string
+  * table to accumulate); the reader handles BOTH forms plus boolean
+  * (`t="b"`), formula-cached-string (`t="str"`), and plain numeric
+  * cells, so workbooks produced by mainstream tools load too.
+  *
+  * Scale honesty: XLSX is an INTERCHANGE format, hard-capped by its own
+  * spec at 1,048,576 rows per sheet — per-sheet driver materialization
+  * is therefore bounded by the format, not by this code. Reading stays
+  * scalable the Spark way: `readDistributed` lists many workbooks via
+  * the binaryFile source and parses them ON EXECUTORS (one task per
+  * file), which is exactly how a 100 TB ingest of spreadsheet drops
+  * works — thousands of small workbooks in parallel, landed to parquet
+  * once (`Workbook.save`) and scanned columnar thereafter.
+  */
+object Xlsx {
+
+  // ------------------------------------------------------------- write
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => () // illegal in XML 1.0
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** 0-based column index → A1-style letters (0→A, 25→Z, 26→AA). */
+  private[graft] def colLetters(i: Int): String = {
+    var n = i + 1; val b = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; b.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    b.toString
+  }
+
+  /** A1-style ref → 0-based column index ("BC23" → 54). */
+  private[graft] def refToCol(ref: String): Int = {
+    var n = 0; var i = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      n = n * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    n - 1
+  }
+
+  private def cellXml(ref: String, dt: DataType, v: Any): String = v match {
+    case null => ""
+    case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+    case _ => dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DecimalType =>
+        s"""<c r="$ref"><v>$v</v></c>"""
+      case _ =>
+        s"""<c r="$ref" t="inlineStr"><is><t>${esc(v.toString)}</t></is></c>"""
+    }
+  }
+
+  private def sheetXml(df: DataFrame): String = {
+    val schema = df.schema
+    val b = new StringBuilder
+    b.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    b.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    b.append("<row r=\"1\">")
+    schema.fields.zipWithIndex.foreach { case (f, c) =>
+      b.append(s"""<c r="${colLetters(c)}1" t="inlineStr"><is><t>${esc(f.name)}</t></is></c>""")
+    }
+    b.append("</row>")
+    // bounded by the format's own 1,048,576-row sheet cap (scaladoc)
+    df.collect().zipWithIndex.foreach { case (row, i) =>
+      val r = i + 2
+      b.append(s"""<row r="$r">""")
+      schema.fields.zipWithIndex.foreach { case (f, c) =>
+        b.append(cellXml(s"${colLetters(c)}$r", f.dataType, row.get(c)))
+      }
+      b.append("</row>")
+    }
+    b.append("</sheetData></worksheet>")
+    b.toString
+  }
+
+  /** Write sheets as ONE workbook file at `path` (any Hadoop-visible
+    * filesystem — local, HDFS, object store). */
+  def write(s: SparkSession, path: String,
+      sheets: Seq[(String, DataFrame)]): Unit = {
+    require(sheets.nonEmpty, "xlsx workbook needs at least one sheet")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val out = new ZipOutputStream(fs.create(p, true))
+    def entry(name: String, content: String): Unit = {
+      out.putNextEntry(new ZipEntry(name))
+      out.write(content.getBytes("UTF-8"))
+      out.closeEntry()
+    }
+    try {
+      val n = sheets.size
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        (1 to n).map(i =>
+          s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+          .mkString + "</Types>")
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""")
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+        sheets.zipWithIndex.map { case ((name, _), i) =>
+          s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+        }.mkString + "</sheets></workbook>")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        (1 to n).map(i =>
+          s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+          .mkString + "</Relationships>")
+      sheets.zipWithIndex.foreach { case ((_, df), i) =>
+        entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+      }
+    } finally out.close()
+  }
+
+  // -------------------------------------------------------------- read
+
+  private def zipEntries(bytes: Array[Byte]): Map[String, Array[Byte]] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    val m = mutable.Map[String, Array[Byte]]()
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (!e.isDirectory) m(e.getName.stripPrefix("/")) = zin.readAllBytes()
+      e = zin.getNextEntry
+    }
+    m.toMap
+  }
+
+  private def stax(in: InputStream) = {
+    val f = XMLInputFactory.newInstance()
+    // not expected in OOXML, but never resolve external entities
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(in)
+  }
+
+  /** Sheet names in workbook order. */
+  def sheetNames(bytes: Array[Byte]): Seq[String] = {
+    val r = stax(new ByteArrayInputStream(zipEntries(bytes)("xl/workbook.xml")))
+    val names = mutable.ArrayBuffer[String]()
+    while (r.hasNext) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "sheet")
+        names += r.getAttributeValue(null, "name")
+    }
+    names.toSeq
+  }
+
+  private def sheetTargets(entries: Map[String, Array[Byte]]): Map[String, String] = {
+    // sheet name -> r:id (workbook.xml), r:id -> part path (rels)
+    val wb = stax(new ByteArrayInputStream(entries("xl/workbook.xml")))
+    val nameToRid = mutable.LinkedHashMap[String, String]()
+    while (wb.hasNext) {
+      if (wb.next() == XMLStreamConstants.START_ELEMENT &&
+          wb.getLocalName == "sheet") {
+        var rid: String = null
+        (0 until wb.getAttributeCount).foreach { i =>
+          if (wb.getAttributeLocalName(i) == "id") rid = wb.getAttributeValue(i)
+        }
+        nameToRid(wb.getAttributeValue(null, "name")) = rid
+      }
+    }
+    val rels = stax(new ByteArrayInputStream(entries("xl/_rels/workbook.xml.rels")))
+    val ridToTarget = mutable.Map[String, String]()
+    while (rels.hasNext) {
+      if (rels.next() == XMLStreamConstants.START_ELEMENT &&
+          rels.getLocalName == "Relationship")
+        ridToTarget(rels.getAttributeValue(null, "Id")) =
+          rels.getAttributeValue(null, "Target")
+    }
+    nameToRid.map { case (name, rid) =>
+      val t = ridToTarget(rid)
+      val part = if (t.startsWith("/")) t.stripPrefix("/") else s"xl/$t"
+      name -> part
+    }.toMap
+  }
+
+  private def sharedStrings(entries: Map[String, Array[Byte]]): IndexedSeq[String] =
+    entries.get("xl/sharedStrings.xml").fold(IndexedSeq.empty[String]) { b =>
+      val r = stax(new ByteArrayInputStream(b))
+      val out = mutable.ArrayBuffer[String]()
+      val cur = new StringBuilder
+      var inSi = false; var inT = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; cur.clear()
+            case "t" if inSi => inT = true
+            case _ => ()
+          }
+        case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA if inT =>
+          cur.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => inSi = false; out += cur.toString
+            case _ => ()
+          }
+        case _ => ()
+      }
+      out.toIndexedSeq
+    }
+
+  /** Parse one sheet to (header, rows of nullable cell strings). Row 1
+    * is the header (spreadsheet-as-database contract: header row is the
+    * schema); later rows are padded/truncated to the header width. */
+  def readSheet(bytes: Array[Byte], sheet: String): (Array[String], Seq[Array[String]]) = {
+    val entries = zipEntries(bytes)
+    val part = sheetTargets(entries).getOrElse(sheet,
+      throw new NoSuchElementException(
+        s"no sheet '$sheet'; workbook has: ${sheetNames(bytes).mkString(", ")}"))
+    val sst = sharedStrings(entries)
+    val r = stax(new ByteArrayInputStream(entries(part)))
+    val rows = mutable.ArrayBuffer[mutable.Map[Int, String]]()
+    var row: mutable.Map[Int, String] = null
+    var col = -1; var cellType = "n"; var inV = false; var inIsT = false
+    val text = new StringBuilder
+    while (r.hasNext) r.next() match {
+      case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" => row = mutable.Map[Int, String]()
+        case "c" if row != null =>
+          val ref = r.getAttributeValue(null, "r")
+          col = if (ref != null) refToCol(ref) else col + 1
+          cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+          text.clear()
+        case "v" => inV = true
+        case "t" if cellType == "inlineStr" => inIsT = true
+        case _ => ()
+      }
+      case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA
+        if inV || inIsT => text.append(r.getText)
+      case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+        case "v" => inV = false
+        case "t" => inIsT = false
+        case "c" if row != null && col >= 0 =>
+          val raw = text.toString
+          val value = cellType match {
+            case "s" => sst(raw.trim.toInt)
+            case "b" => if (raw.trim == "1") "true" else "false"
+            case "inlineStr" | "str" => raw
+            case _ => if (raw.isEmpty) null else raw
+          }
+          if (value != null) row(col) = value
+          col = -1
+        case "row" => rows += row; row = null
+        case _ => ()
+      }
+      case _ => ()
+    }
+    require(rows.nonEmpty, s"sheet '$sheet' has no header row")
+    val width = (rows.head.keys ++ Seq(-1)).max + 1
+    val header = (0 until width).map(c =>
+      rows.head.getOrElse(c, s"_c$c")).toArray
+    val data = rows.tail.map { m =>
+      (0 until width).map(c => m.getOrElse(c, null: String)).toArray
+    }.toSeq
+    (header, data)
+  }
+
+  private val longRe = "^-?\\d{1,18}$".r
+  private val doubleRe = "^-?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$".r
+
+  /** Column type inference over cell strings (all-long → long, all
+    * numeric → double, all true/false → boolean, else string — the
+    * same ladder CSV inference walks, deterministic by construction). */
+  private[graft] def inferType(vals: Seq[String]): DataType = {
+    val nn = vals.filter(_ != null)
+    if (nn.isEmpty) StringType
+    else if (nn.forall(v => longRe.matches(v.trim))) LongType
+    else if (nn.forall(v => doubleRe.matches(v.trim))) DoubleType
+    else if (nn.forall(v => v == "true" || v == "false")) BooleanType
+    else StringType
+  }
+
+  private def cast(v: String, dt: DataType): Any =
+    if (v == null) null
+    else dt match {
+      case LongType => v.trim.toLong
+      case DoubleType => v.trim.toDouble
+      case BooleanType => v == "true"
+      case _ => v
+    }
+
+  /** One sheet as a typed DataFrame (header row = schema). */
+  def toDataFrame(s: SparkSession, bytes: Array[Byte], sheet: String): DataFrame = {
+    val (header, data) = readSheet(bytes, sheet)
+    val types = header.indices.map(c => inferType(data.map(_(c))))
+    val schema = StructType(header.zip(types).map {
+      case (n, t) => StructField(n, t, nullable = true)
+    })
+    val rows = data.map(r => Row.fromSeq(header.indices.map(c => cast(r(c), types(c)))))
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Read every sheet of the workbook at `path` (driver-side parse of
+    * ONE workbook — bounded by the format's sheet cap; for fleets of
+    * workbooks use `readDistributed`). */
+  def read(s: SparkSession, path: String): Map[String, DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val bytes = try in.readAllBytes() finally in.close()
+    sheetNames(bytes).map(n => n -> toDataFrame(s, bytes, n)).toMap
+  }
+
+  /** Distributed ingest of MANY workbooks: list them with the
+    * binaryFile source (one task per file) and parse the named sheet on
+    * EXECUTORS; the schema comes from one driver-side peek at the first
+    * workbook (they must share a header). This is the 100 TB shape for
+    * spreadsheet drops: parallel parse → land to parquet once. */
+  def readDistributed(s: SparkSession, glob: String, sheet: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val files = s.read.format("binaryFile").load(glob)
+      .select(col("path"), col("content"))
+    val first = files.select(col("content")).head()
+    val bytes = first.getAs[Array[Byte]](0)
+    val (header, data) = readSheet(bytes, sheet)
+    val types = header.indices.map(c => inferType(data.map(_(c))))
+    val schema = StructType(header.zip(types).map {
+      case (n, t) => StructField(n, t, nullable = true)
+    })
+    val rowRdd = files.select(col("content")).rdd.flatMap { r =>
+      val (h, rows) = readSheet(r.getAs[Array[Byte]](0), sheet)
+      require(h.sameElements(header),
+        s"workbook header mismatch: ${h.mkString(",")} vs ${header.mkString(",")}")
+      rows.map(cells => Row.fromSeq(
+        header.indices.map(c => cast(cells(c), types(c)))))
+    }
+    s.createDataFrame(rowRdd, schema)
+  }
+}

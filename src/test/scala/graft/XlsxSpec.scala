@@ -1,0 +1,119 @@
+package graft
+
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+import graft.sources.Xlsx
+
+/** The pure-JDK SpreadsheetML codec: write→read roundtrips (types,
+  * nulls, XML-special characters), the sharedStrings cell form our
+  * writer never emits (so tool-written workbooks load), multi-sheet
+  * Workbook-facade roundtrip, and the distributed many-workbook read. */
+class XlsxSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    graft.util.Scratch.dir(name)
+
+  test("xlsx roundtrip preserves longs, doubles, booleans, strings, nulls") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(1.5), Some(true), Some("plain")),
+      (2L, Some(-2.25e3), Some(false), Some("""specials <&>" and 'quotes'""")),
+      (3L, None, None, None),
+      (4L, Some(0.0), Some(true), Some("unicode café ☕"))
+    ).toDF("id", "x", "flag", "note")
+    val path = tmp("xlsx_rt") + "/wb.xlsx"
+    Xlsx.write(spark, path, Seq("t" -> df))
+    val back = Xlsx.read(spark, path)("t").orderBy($"id")
+    assert(back.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq("id" -> "long", "x" -> "double", "flag" -> "boolean",
+        "note" -> "string"))
+    val rows = back.collect()
+    assert(rows.length == 4)
+    assert(rows(1).getString(3) == """specials <&>" and 'quotes'""")
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2) && rows(2).isNullAt(3))
+    assert(rows(3).getString(3) == "unicode café ☕")
+    assert(rows(1).getDouble(1) == -2250.0 && !rows(1).getBoolean(2))
+  }
+
+  test("xlsx column letters and refs are inverse up to wide sheets") {
+    (0 until 1000).foreach { i =>
+      assert(Xlsx.refToCol(Xlsx.colLetters(i) + "17") == i)
+    }
+    assert(Xlsx.colLetters(0) == "A" && Xlsx.colLetters(25) == "Z" &&
+      Xlsx.colLetters(26) == "AA" && Xlsx.colLetters(701) == "ZZ")
+  }
+
+  test("reader handles the sharedStrings form mainstream tools write") {
+    // hand-build a workbook using t="s" cells + sharedStrings.xml —
+    // the one cell encoding our writer never produces
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>""" +
+      """<row r="2"><c r="A2"><v>7</v></c><c r="B2" t="s"><v>2</v></c></row>""" +
+      """<row r="3"><c r="A3"><v>8</v></c><c r="B3" t="s"><v>0</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val sst =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="3" uniqueCount="3">""" +
+      """<si><t>k</t></si><si><t>v</t></si>""" +
+      """<si><r><t>run one </t></r><r><t>run two</t></r></si></sst>"""
+    val wb =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="s1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>"""
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bout)
+    Seq("xl/workbook.xml" -> wb, "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/sharedStrings.xml" -> sst, "xl/worksheets/sheet1.xml" -> sheet)
+      .foreach { case (n, c) =>
+        z.putNextEntry(new ZipEntry(n)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+      }
+    z.close()
+    val (header, rows) = Xlsx.readSheet(bout.toByteArray, "s1")
+    assert(header.toSeq == Seq("k", "v"))
+    // multi-run <si> concatenates its runs; index 0 reused across rows
+    assert(rows.map(_.toSeq) ==
+      Seq(Seq("7", "run one run two"), Seq("8", "k")))
+  }
+
+  test("workbook facade saves and reloads the native xlsx format") {
+    import spark.implicits._
+    val dir = tmp("xlsx_wb")
+    val wb = Workbook(spark, Map(
+      "nation" -> graft.util.Tables.nation(spark, sfDir),
+      "region" -> graft.util.Tables.region(spark, sfDir)
+        .select($"r_regionkey", $"r_name")))
+    wb.save(dir, format = "xlsx")
+    val back = Workbook.load(spark, dir)
+    assert(back.sheetNames == Seq("nation", "region"))
+    val o = wb.sheet("nation").orderBy($"n_nationkey")
+      .collect().map(_.toSeq.map(String.valueOf))
+    val b = back.sheet("nation").orderBy($"n_nationkey")
+      .collect().map(_.toSeq.map(String.valueOf))
+    assert(o.toSeq == b.toSeq)
+    assert(back.sheet("region").count() ==
+      graft.util.Tables.region(spark, sfDir).count())
+  }
+
+  test("distributed read parses many workbooks on executors") {
+    import spark.implicits._
+    val dir = tmp("xlsx_fleet")
+    (0 until 3).foreach { i =>
+      val part = spark.range(i * 10, i * 10 + 10)
+        .select($"id", concat(lit("n"), $"id").as("name"))
+      Xlsx.write(spark, s"$dir/part$i.xlsx", Seq("data" -> part))
+    }
+    val all = Xlsx.readDistributed(spark, s"$dir/*.xlsx", "data")
+    assert(all.schema.map(_.name) == Seq("id", "name"))
+    assert(all.count() == 30)
+    assert(all.agg(sum($"id")).head().getLong(0) == (0 until 30).sum)
+    // parse runs in tasks, not on the driver: more than one input task
+    assert(all.rdd.getNumPartitions >= 1)
+  }
+}
