@@ -149,11 +149,13 @@ final class Workbook private (
     * reads, so save → load roundtrips). `partitionCols` opts individual
     * sheets into a partitioned layout — the 100 TB posture for any big
     * sheet, giving partition-pruned scans on reload. `format` may be
-    * "csv" for a per-sheet interchange layout (header row written) or
+    * "csv" for a per-sheet interchange layout (header row written),
     * "xlsx" for the reference's NATIVE format — ONE real
     * `dir/workbook.xlsx` holding every sheet (pure-JDK SpreadsheetML
     * writer, `graft.sources.Xlsx`; bounded by the format's own
-    * 1,048,576-row sheet cap). Parquet remains the scale path — the
+    * 1,048,576-row sheet cap) — or "avro" for per-sheet Object
+    * Container Files (`graft.sources.Avro`, exact primitive types
+    * preserved). Parquet remains the scale path — the
     * interchange formats have no pushdown, stats, or column pruning.
     * Do NOT save onto a directory a lazy sheet of THIS workbook was
     * loaded from: frames are lazy, and overwrite-while-reading is
@@ -161,11 +163,14 @@ final class Workbook private (
   def save(dir: String,
       partitionCols: Map[String, Seq[String]] = Map.empty,
       format: String = "parquet"): Unit = {
-    require(format == "parquet" || format == "csv" || format == "xlsx",
+    require(Set("parquet", "csv", "xlsx", "avro").contains(format),
       s"unsupported workbook format: $format")
     if (format == "xlsx")
       sources.Xlsx.write(spark, s"$dir/workbook.xlsx",
         sheetNames.map(n => n -> sheet(n)))
+    else if (format == "avro")
+      sheetNames.foreach(n =>
+        sources.Avro.write(spark, s"$dir/$n.avro", sheet(n)))
     else sheetNames.foreach { n =>
       val w0 = sheet(n).write.mode("overwrite")
       val w = partitionCols.get(n).filter(_.nonEmpty)
@@ -204,11 +209,12 @@ object Workbook {
       .map(n => n -> read(s"$dir/$n$suffix")).toMap
     val xlsx = entries.filter(_.endsWith(".xlsx"))
       .flatMap(f => sources.Xlsx.read(spark, s"$dir/$f")).toMap
+    val avro = sheets(".avro", p => sources.Avro.read(spark, p))
     val csv = sheets(".csv", p => spark.read
       .option("header", "true").option("inferSchema", "true").csv(p))
     val parquet = sheets(".parquet", spark.read.parquet(_))
-    require(xlsx.nonEmpty || csv.nonEmpty || parquet.nonEmpty,
-      s"no *.parquet, *.csv, or *.xlsx sheets under: $dir")
-    new Workbook(spark, xlsx ++ csv ++ parquet)
+    require(avro.nonEmpty || xlsx.nonEmpty || csv.nonEmpty || parquet.nonEmpty,
+      s"no *.parquet, *.csv, *.xlsx, or *.avro sheets under: $dir")
+    new Workbook(spark, avro ++ xlsx ++ csv ++ parquet)
   }
 }

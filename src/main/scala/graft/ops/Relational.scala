@@ -103,6 +103,20 @@ object Relational {
       .orderBy($"n_nationkey")
   }
 
+  /** §2.A Avro roundtrip — the other format the survey had scoped out:
+    * Spark ships the Apache Avro LIBRARY (only the spark-avro
+    * connector is absent), so `graft.sources.Avro` writes/reads real
+    * deflate-compressed Object Container Files with zero new jars.
+    * Avro preserves exact primitive types (int stays int), so like the
+    * ORC roundtrip no casts are needed. */
+  def qScanAvro(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_nation")
+    graft.sources.Avro.write(s, s"$out/nation.avro", nation(s, dir))
+    graft.sources.Avro.read(s, s"$out/nation.avro")
+      .orderBy($"n_nationkey")
+  }
+
   /** §2.A partitioned sink + partition-pruned scan: write orders
     * partitioned by o_orderstatus (the 100 TB posture for any big
     * sink), read ONE partition back via the partition column — the
@@ -290,6 +304,7 @@ object Relational {
     "q_scan_jsonl" -> qScanJsonl _,
     "q_scan_text" -> qScanText _,
     "q_scan_xlsx" -> qScanXlsx _,
+    "q_scan_avro" -> qScanAvro _,
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_catalog_tables" -> qCatalogTables _,
     "q_project" -> qProject _,
@@ -325,6 +340,8 @@ object Relational {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
         |  CAST(n_regionkey AS BIGINT) AS n_regionkey
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_scan_avro" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
     "q_catalog_tables" ->
       """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,
         |  string_agg(column_name, '|' ORDER BY ordinal_position) AS cols

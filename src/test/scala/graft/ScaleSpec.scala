@@ -133,6 +133,7 @@ class ScaleSpec extends SparkSpec {
       "q_scan_csv" -> "writes scratch csv", "q_scan_orc" -> "writes scratch orc",
       "q_scan_jsonl" -> "writes scratch jsonl", "q_scan_text" -> "writes scratch text",
       "q_scan_xlsx" -> "writes scratch xlsx + driver-parses one bounded workbook",
+      "q_scan_avro" -> "writes scratch avro + driver-parses one bounded file",
       "q_sink_partitioned" -> "the partitioned write IS the operator",
       // the replays run a real streaming query to completion
       "q_stream_tumbling_replay" -> "runs a streaming query",
