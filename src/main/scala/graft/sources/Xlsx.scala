@@ -85,9 +85,15 @@ object Xlsx {
       b.append(s"""<c r="${colLetters(c)}1" t="inlineStr"><is><t>${esc(f.name)}</t></is></c>""")
     }
     b.append("</row>")
-    // bounded by the format's own 1,048,576-row sheet cap (scaladoc)
-    df.collect().zipWithIndex.foreach { case (row, i) =>
-      val r = i + 2
+    // streamed, not collected — driver memory is O(row); the format's
+    // own sheet cap is ENFORCED, not assumed (an out-of-spec file
+    // would silently lose rows in consuming tools)
+    var r = 1
+    df.toLocalIterator().forEachRemaining { row =>
+      r += 1
+      require(r <= 1048576,
+        "xlsx sheet cap (1,048,576 rows incl. header) exceeded — " +
+          "xlsx is an interchange format; save big sheets as parquet")
       b.append(s"""<row r="$r">""")
       schema.fields.zipWithIndex.foreach { case (f, c) =>
         b.append(cellXml(s"${colLetters(c)}$r", f.dataType, row.get(c)))
