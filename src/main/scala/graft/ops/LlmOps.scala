@@ -256,6 +256,50 @@ object LlmOps {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.J VERBATIM-OVERLAP detection — long exact substring sharing,
+    * the complement of set-similarity dedup: two docs that copy the
+    * same 20-word span (a quote, license boilerplate, templated
+    * paragraph) surface here even when their overall shingle Jaccard
+    * is far below any near-dup threshold. Same inverted-index shape as
+    * `jaccardPairs` at window 20: distinct 20-grams per doc, equi-join
+    * on the gram hash (string-rechecked), count shared spans per pair.
+    * Docs shorter than the window are correctly absent (they cannot
+    * share a 20-word verbatim span; no includeShort fallback here).
+    *
+    * Scale: candidate pairs are generated ONLY from grams with
+    * 2 ≤ df ≤ 10 (a keyed shuffle, never all-pairs). The upper cap is
+    * not a hack but the op's semantics at scale: a 20-gram in MORE
+    * than a handful of docs is corpus-wide boilerplate — at 100 TB its
+    * df² pair explosion belongs in a boilerplate-REMOVAL list (one
+    * groupBy emitting the gram + its df), not in a pairwise report.
+    * The cap is mirrored verbatim in the oracle. */
+  def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 20
+    // distinct grams per doc; hash join key (longs shuffle ~10× cheaper
+    // than 20-word strings), string equality rechecked post-join.
+    // Cached: the df filter and both join sides read this subtree.
+    val tok = graft.util.Shingles.tok(s, documents(s, dir), n,
+        includeShort = false)
+      .select($"doc_id", $"shingle").distinct()
+      .withColumn("hk", xxhash64($"shingle"))
+      .cache()
+    // df bounds on the gram STRING (hk collisions must not merge dfs);
+    // the keep-set can be corpus-sized, so this is a shuffled semi
+    // join, NOT a broadcast
+    val keep = tok.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2 && $"df" <= 10)
+      .select($"shingle")
+    val gk = tok.join(keep, Seq("shingle"), "left_semi")
+    gk.as("a")
+      .join(gk.as("b"),
+        col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.shingle") === col("b.shingle"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy($"a_id", $"b_id")
+  }
+
   /** §2.J embedding-cosine near-dup pairs (label-blocked all-pairs;
     * scale path is LSH/IVF bucketing, the blocked form is the oracle). */
   def qDedupEmbcos(s: SparkSession, dir: String): DataFrame = {
@@ -558,6 +602,7 @@ object LlmOps {
     "q_dedup_ngram_jaccard" -> qDedupNgramJaccard _,
     "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_prune" -> qDedupPrune _,
+    "q_dedup_substring" -> qDedupSubstring _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_embcos_lsh" -> qDedupEmbcosLsh _,
     "q_sample_hash" -> qSampleHash _,
@@ -607,6 +652,24 @@ object LlmOps {
         |JOIN sizes sa ON a_id = sa.doc_id
         |JOIN sizes sb ON b_id = sb.doc_id
         |WHERE c / (sa.sz + sb.sz - c) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(w) - 19),
+        |    i -> array_to_string(list_slice(w, i, i + 19), ' ')))) AS g
+        |  FROM docs WHERE len(w) >= 20),
+        |keep AS (SELECT g FROM grams GROUP BY g
+        |         HAVING count(*) BETWEEN 2 AND 10),
+        |gk AS (SELECT doc_id, g FROM grams
+        |       WHERE g IN (SELECT g FROM keep))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  count(*) AS n_shared
+        |FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY a.doc_id, b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
     // connected components over the same pair definition: a recursive
     // CTE floods every node's id across its component; min(received)

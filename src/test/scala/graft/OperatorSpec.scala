@@ -324,6 +324,32 @@ class OperatorSpec extends SparkSpec {
       "every cluster canonical must survive the prune")
   }
 
+  test("substring overlap matches a driver-side brute force") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val grams = docs.map { case (id, text) =>
+      id -> text.toLowerCase.split(" ", -1).toSeq.sliding(20)
+        .filter(_.size == 20).map(_.mkString(" ")).toSet
+    }.toMap
+    val df = grams.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val kept = grams.view.mapValues(_.filter(g =>
+      df(g) >= 2 && df(g) <= 10)).toMap
+    val ids = docs.map(_._1).sorted
+    val expected = (for {
+      (a, i) <- ids.zipWithIndex; b <- ids.drop(i + 1)
+      shared = (kept(a) & kept(b)).size if shared > 0
+    } yield (a, b) -> shared.toLong).toMap
+    val got = LlmOps.qDedupSubstring(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == expected,
+      s"mismatch: extra=${got.keySet -- expected.keySet} " +
+        s"missing=${expected.keySet -- got.keySet}")
+    assert(expected.nonEmpty, "fixture should contain verbatim overlaps")
+  }
+
   test("dup clusters: an undersized unroll fails loudly, never splits") {
     import spark.implicits._
     val chain = (0L until 99L).map(i => (i, i + 1)).toDF("a_id", "b_id")
