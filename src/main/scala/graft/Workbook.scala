@@ -132,11 +132,17 @@ final class Workbook private (
 
   /** Register every sheet as a (global-conflict-free, session-local)
     * temp view so `spark.sql` — and therefore the whole SQL surface of
-    * the engine — works over workbook sheets by name. */
+    * the engine — works over workbook sheets by name. Sheet names come
+    * from FILE names, which need not be SQL identifiers ("sales-2024");
+    * non-identifier characters are sanitized to '_' so one oddly-named
+    * sheet cannot break queries that never touch it. The returned list
+    * is the ACTUAL view names, in sheet order. */
   def createViews(prefix: String = ""): Seq[String] =
     sheetNames.map { n =>
-      sheet(n).createOrReplaceTempView(prefix + n)
-      prefix + n
+      val view = prefix + n.map(c =>
+        if (c.isLetterOrDigit || c == '_') c else '_')
+      sheet(n).createOrReplaceTempView(view)
+      view
     }
 
   /** SQL over the workbook's sheets (views registered on the fly). */
@@ -165,6 +171,10 @@ final class Workbook private (
       format: String = "parquet"): Unit = {
     require(Set("parquet", "csv", "xlsx", "avro").contains(format),
       s"unsupported workbook format: $format")
+    require(partitionCols.isEmpty || format == "parquet" || format == "csv",
+      s"partitionCols is not supported for the $format interchange " +
+        "format — silently ignoring it would hide the loss of " +
+        "partition-pruned reloads")
     if (format == "xlsx")
       sources.Xlsx.write(spark, s"$dir/workbook.xlsx",
         sheetNames.map(n => n -> sheet(n)))
@@ -207,8 +217,18 @@ object Workbook {
     def sheets(suffix: String, read: String => DataFrame) = entries
       .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix))
       .map(n => n -> read(s"$dir/$n$suffix")).toMap
-    val xlsx = entries.filter(_.endsWith(".xlsx"))
-      .flatMap(f => sources.Xlsx.read(spark, s"$dir/$f")).toMap
+    val xlsxSheets = entries.filter(_.endsWith(".xlsx")).sorted
+      .flatMap(f => sources.Xlsx.read(spark, s"$dir/$f").toSeq
+        .map { case (n, df) => (f, n, df) })
+    // a name colliding ACROSS workbook files would silently last-win in
+    // a toMap — fail fast instead (same stance as dropColumn: silent
+    // drops hide mistakes)
+    val dupXlsx = xlsxSheets.groupBy(_._2).filter(_._2.size > 1)
+    require(dupXlsx.isEmpty,
+      s"sheet name(s) appear in multiple .xlsx workbooks: " +
+        dupXlsx.map { case (n, fs) =>
+          s"'$n' in ${fs.map(_._1).mkString(", ")}" }.mkString("; "))
+    val xlsx = xlsxSheets.map { case (_, n, df) => n -> df }.toMap
     val avro = sheets(".avro", p => sources.Avro.read(spark, p))
     val csv = sheets(".csv", p => spark.read
       .option("header", "true").option("inferSchema", "true").csv(p))

@@ -66,6 +66,17 @@ object Xlsx {
   private def cellXml(ref: String, dt: DataType, v: Any): String = v match {
     case null => ""
     case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+    case d: Double if d.isNaN || d.isInfinite =>
+      // xlsx has NO numeric NaN/Infinity representation; a raw
+      // <v>NaN</v> is a corrupt part to Excel and silently demotes the
+      // whole column to string in our own reader. Fail loudly.
+      throw new IllegalArgumentException(
+        s"xlsx cannot represent non-finite double $d (cell $ref) — " +
+          "null or stringify non-finite values upstream")
+    case f: Float if f.isNaN || f.isInfinite =>
+      throw new IllegalArgumentException(
+        s"xlsx cannot represent non-finite float $f (cell $ref) — " +
+          "null or stringify non-finite values upstream")
     case _ => dt match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
            _: FloatType | _: DoubleType | _: DecimalType =>
@@ -75,33 +86,36 @@ object Xlsx {
     }
   }
 
-  private def sheetXml(df: DataFrame): String = {
+  /** Stream one sheet's XML straight to the zip entry — rows come via
+    * toLocalIterator and each row's bytes are written immediately, so
+    * driver memory really is O(row) (a whole-sheet StringBuilder would
+    * hold the uncompressed sheet and overflow near the row cap). The
+    * format's own sheet cap is ENFORCED, not assumed — an out-of-spec
+    * file would silently lose rows in consuming tools. */
+  private def writeSheetXml(out: ZipOutputStream, df: DataFrame): Unit = {
     val schema = df.schema
-    val b = new StringBuilder
-    b.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    b.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-    b.append("<row r=\"1\">")
+    def emit(s: String): Unit = out.write(s.getBytes("UTF-8"))
+    emit("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    emit("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    emit("<row r=\"1\">")
     schema.fields.zipWithIndex.foreach { case (f, c) =>
-      b.append(s"""<c r="${colLetters(c)}1" t="inlineStr"><is><t>${esc(f.name)}</t></is></c>""")
+      emit(s"""<c r="${colLetters(c)}1" t="inlineStr"><is><t>${esc(f.name)}</t></is></c>""")
     }
-    b.append("</row>")
-    // streamed, not collected — driver memory is O(row); the format's
-    // own sheet cap is ENFORCED, not assumed (an out-of-spec file
-    // would silently lose rows in consuming tools)
+    emit("</row>")
     var r = 1
     df.toLocalIterator().forEachRemaining { row =>
       r += 1
       require(r <= 1048576,
         "xlsx sheet cap (1,048,576 rows incl. header) exceeded — " +
           "xlsx is an interchange format; save big sheets as parquet")
-      b.append(s"""<row r="$r">""")
+      val b = new StringBuilder(s"""<row r="$r">""")
       schema.fields.zipWithIndex.foreach { case (f, c) =>
         b.append(cellXml(s"${colLetters(c)}$r", f.dataType, row.get(c)))
       }
       b.append("</row>")
+      emit(b.toString)
     }
-    b.append("</sheetData></worksheet>")
-    b.toString
+    emit("</sheetData></worksheet>")
   }
 
   /** Write sheets as ONE workbook file at `path` (any Hadoop-visible
@@ -146,7 +160,9 @@ object Xlsx {
           s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
           .mkString + "</Relationships>")
       sheets.zipWithIndex.foreach { case ((_, df), i) =>
-        entry(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df))
+        out.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+        writeSheetXml(out, df)
+        out.closeEntry()
       }
     } finally out.close()
   }
@@ -239,23 +255,41 @@ object Xlsx {
       out.toIndexedSeq
     }
 
+  /** One fully-parsed workbook: zip entries, sheet-name→part map, and
+    * shared strings, decoded ONCE so multi-sheet reads don't
+    * re-decompress the archive per sheet. */
+  private final class Parts(bytes: Array[Byte]) {
+    val entries: Map[String, Array[Byte]] = zipEntries(bytes)
+    val targets: Map[String, String] = sheetTargets(entries)
+    val sst: IndexedSeq[String] = sharedStrings(entries)
+
+    def sheet(name: String): (Array[String], Seq[Array[String]]) = {
+      val part = targets.getOrElse(name,
+        throw new NoSuchElementException(
+          s"no sheet '$name'; workbook has: ${targets.keys.toSeq.sorted.mkString(", ")}"))
+      parseSheetPart(entries(part), sst, name)
+    }
+  }
+
   /** Parse one sheet to (header, rows of nullable cell strings). Row 1
     * is the header (spreadsheet-as-database contract: header row is the
     * schema); later rows are padded/truncated to the header width. */
-  def readSheet(bytes: Array[Byte], sheet: String): (Array[String], Seq[Array[String]]) = {
-    val entries = zipEntries(bytes)
-    val part = sheetTargets(entries).getOrElse(sheet,
-      throw new NoSuchElementException(
-        s"no sheet '$sheet'; workbook has: ${sheetNames(bytes).mkString(", ")}"))
-    val sst = sharedStrings(entries)
-    val r = stax(new ByteArrayInputStream(entries(part)))
+  def readSheet(bytes: Array[Byte], sheet: String): (Array[String], Seq[Array[String]]) =
+    new Parts(bytes).sheet(sheet)
+
+  private def parseSheetPart(part: Array[Byte], sst: IndexedSeq[String],
+      sheet: String): (Array[String], Seq[Array[String]]) = {
+    val r = stax(new ByteArrayInputStream(part))
     val rows = mutable.ArrayBuffer[mutable.Map[Int, String]]()
     var row: mutable.Map[Int, String] = null
+    // col advances PER ROW: reset at row start, so ref-less cells
+    // (legal SpreadsheetML, written by several streaming tools) land on
+    // consecutive columns instead of collapsing onto column 0
     var col = -1; var cellType = "n"; var inV = false; var inIsT = false
     val text = new StringBuilder
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
-        case "row" => row = mutable.Map[Int, String]()
+        case "row" => row = mutable.Map[Int, String](); col = -1
         case "c" if row != null =>
           val ref = r.getAttributeValue(null, "r")
           col = if (ref != null) refToCol(ref) else col + 1
@@ -279,7 +313,6 @@ object Xlsx {
             case _ => if (raw.isEmpty) null else raw
           }
           if (value != null) row(col) = value
-          col = -1
         case "row" => rows += row; row = null
         case _ => ()
       }
@@ -319,9 +352,8 @@ object Xlsx {
       case _ => v
     }
 
-  /** One sheet as a typed DataFrame (header row = schema). */
-  def toDataFrame(s: SparkSession, bytes: Array[Byte], sheet: String): DataFrame = {
-    val (header, data) = readSheet(bytes, sheet)
+  private def frameFrom(s: SparkSession, header: Array[String],
+      data: Seq[Array[String]]): DataFrame = {
     val types = header.indices.map(c => inferType(data.map(_(c))))
     val schema = StructType(header.zip(types).map {
       case (n, t) => StructField(n, t, nullable = true)
@@ -330,39 +362,63 @@ object Xlsx {
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** One sheet as a typed DataFrame (header row = schema). */
+  def toDataFrame(s: SparkSession, bytes: Array[Byte], sheet: String): DataFrame = {
+    val (header, data) = readSheet(bytes, sheet)
+    frameFrom(s, header, data)
+  }
+
   /** Read every sheet of the workbook at `path` (driver-side parse of
     * ONE workbook — bounded by the format's sheet cap; for fleets of
-    * workbooks use `readDistributed`). */
+    * workbooks use `readDistributed`). The archive, rels, and shared
+    * strings are decoded ONCE for all sheets. */
   def read(s: SparkSession, path: String): Map[String, DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
-    sheetNames(bytes).map(n => n -> toDataFrame(s, bytes, n)).toMap
+    val parts = new Parts(bytes)
+    sheetNames(bytes).map { n =>
+      val (header, data) = parts.sheet(n)
+      n -> frameFrom(s, header, data)
+    }.toMap
   }
 
   /** Distributed ingest of MANY workbooks: list them with the
     * binaryFile source (one task per file) and parse the named sheet on
-    * EXECUTORS; the schema comes from one driver-side peek at the first
-    * workbook (they must share a header). This is the 100 TB shape for
-    * spreadsheet drops: parallel parse → land to parquet once. */
+    * EXECUTORS. The schema — header AND inferred types — comes from one
+    * driver-side peek at the FIRST listed workbook, so all files must
+    * share the header and every file's cells must fit the first file's
+    * inferred types (a type that only widens in a later file, e.g. a
+    * stray string in a numeric column, fails that file's task with a
+    * per-file error naming the column; pass data through an all-string
+    * header sheet or land via per-file `read` if the fleet's types are
+    * dirty). This is the 100 TB shape for spreadsheet drops: parallel
+    * parse → land to parquet once. */
   def readDistributed(s: SparkSession, glob: String, sheet: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val files = s.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
-    val first = files.select(col("content")).head()
-    val bytes = first.getAs[Array[Byte]](0)
+    val bytes = files.select(col("content")).head().getAs[Array[Byte]](0)
     val (header, data) = readSheet(bytes, sheet)
     val types = header.indices.map(c => inferType(data.map(_(c))))
     val schema = StructType(header.zip(types).map {
       case (n, t) => StructField(n, t, nullable = true)
     })
-    val rowRdd = files.select(col("content")).rdd.flatMap { r =>
-      val (h, rows) = readSheet(r.getAs[Array[Byte]](0), sheet)
+    val rowRdd = files.rdd.flatMap { r =>
+      val path = r.getString(0)
+      val (h, rows) = readSheet(r.getAs[Array[Byte]](1), sheet)
       require(h.sameElements(header),
-        s"workbook header mismatch: ${h.mkString(",")} vs ${header.mkString(",")}")
-      rows.map(cells => Row.fromSeq(
-        header.indices.map(c => cast(cells(c), types(c)))))
+        s"workbook header mismatch in $path: ${h.mkString(",")} vs ${header.mkString(",")}")
+      rows.map(cells => Row.fromSeq(header.indices.map { c =>
+        try cast(cells(c), types(c))
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"$path sheet '$sheet' column '${header(c)}': value " +
+              s"'${cells(c)}' does not fit inferred type ${types(c)} " +
+              "(types are pinned from the first listed workbook)", e)
+        }
+      }))
     }
     s.createDataFrame(rowRdd, schema)
   }

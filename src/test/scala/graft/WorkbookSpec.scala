@@ -205,4 +205,40 @@ class WorkbookSpec extends SparkSpec {
     val e = intercept[NoSuchElementException] { fixtureWb.sheet("ghost") }
     assert(e.getMessage.contains("customer"))
   }
+
+  test("sql works when a sheet name is not a SQL identifier") {
+    import org.apache.spark.sql.functions.lit
+    val wb = Workbook(spark, Map(
+      "sales-2024" -> graft.util.Tables.region(spark, sfDir),
+      "nation" -> graft.util.Tables.nation(spark, sfDir)))
+    // the oddly-named sheet must not break a query that ignores it...
+    assert(wb.sql("SELECT count(*) AS n FROM nation").head().getLong(0) ==
+      graft.util.Tables.nation(spark, sfDir).count())
+    // ...and is itself queryable under its sanitized view name
+    val views = wb.createViews()
+    assert(views.contains("sales_2024"), views.mkString(", "))
+    assert(wb.sql("SELECT count(*) AS n FROM sales_2024").head().getLong(0) ==
+      graft.util.Tables.region(spark, sfDir).count())
+  }
+
+  test("save rejects partitionCols for interchange formats") {
+    val wb = Workbook(spark, Map(
+      "nation" -> graft.util.Tables.nation(spark, sfDir)))
+    val e = intercept[IllegalArgumentException] {
+      wb.save(graft.util.Scratch.dir("wb_badpart"),
+        partitionCols = Map("nation" -> Seq("n_regionkey")),
+        format = "avro")
+    }
+    assert(e.getMessage.contains("partitionCols"))
+  }
+
+  test("load fails fast when two xlsx workbooks collide on a sheet name") {
+    val dir = graft.util.Scratch.dir("wb_dupxlsx")
+    val n = graft.util.Tables.nation(spark, sfDir)
+    graft.sources.Xlsx.write(spark, s"$dir/a.xlsx", Seq("data" -> n))
+    graft.sources.Xlsx.write(spark, s"$dir/b.xlsx", Seq("data" -> n))
+    val e = intercept[IllegalArgumentException] { Workbook.load(spark, dir) }
+    assert(e.getMessage.contains("multiple .xlsx workbooks") &&
+      e.getMessage.contains("a.xlsx") && e.getMessage.contains("b.xlsx"))
+  }
 }

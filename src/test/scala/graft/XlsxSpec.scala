@@ -82,6 +82,49 @@ class XlsxSpec extends SparkSpec {
       Seq(Seq("7", "run one run two"), Seq("8", "k")))
   }
 
+  test("reader advances ref-less cells across columns, not onto column 0") {
+    // cells without the optional r attribute are legal SpreadsheetML
+    // (several streaming writers omit it); they must land on
+    // consecutive columns per row
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row><c t="inlineStr"><is><t>a</t></is></c><c t="inlineStr"><is><t>b</t></is></c><c t="inlineStr"><is><t>c</t></is></c></row>""" +
+      """<row><c><v>1</v></c><c><v>2</v></c><c><v>3</v></c></row>""" +
+      """<row><c><v>4</v></c><c><v>5</v></c><c><v>6</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val wb =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="s1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>"""
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bout)
+    Seq("xl/workbook.xml" -> wb, "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> sheet).foreach { case (n, c) =>
+      z.putNextEntry(new ZipEntry(n)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close()
+    val (header, rows) = Xlsx.readSheet(bout.toByteArray, "s1")
+    assert(header.toSeq == Seq("a", "b", "c"))
+    assert(rows.map(_.toSeq) == Seq(Seq("1", "2", "3"), Seq("4", "5", "6")))
+  }
+
+  test("writer rejects non-finite doubles loudly") {
+    import spark.implicits._
+    val df = Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "x")
+    val e = intercept[Exception] {
+      Xlsx.write(spark, tmp("xlsx_nan") + "/wb.xlsx", Seq("t" -> df))
+    }
+    val msgs = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString("\n")
+    assert(msgs.contains("non-finite"),
+      s"expected the non-finite guard, got: $msgs")
+  }
+
   test("workbook facade saves and reloads the native xlsx format") {
     import spark.implicits._
     val dir = tmp("xlsx_wb")
