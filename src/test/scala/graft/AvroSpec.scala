@@ -58,6 +58,21 @@ class AvroSpec extends SparkSpec {
     assert(o == b)
   }
 
+  test("empty frame roundtrips with its exact schema") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val path = tmp("avro_empty") + "/t.avro"
+    Avro.write(spark, path, empty)
+    val back = Avro.read(spark, path)
+    // avro carries the schema in the file header, so unlike xlsx the
+    // types survive even with zero rows (columns come back nullable —
+    // every field is written as a ["null", T] union by design)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      empty.schema.map(f => (f.name, f.dataType)))
+    assert(back.schema.forall(_.nullable))
+    assert(back.count() == 0)
+  }
+
   test("distributed read decodes many container files on executors") {
     import spark.implicits._
     val dir = tmp("avro_fleet")

@@ -144,6 +144,19 @@ class XlsxSpec extends SparkSpec {
       graft.util.Tables.region(spark, sfDir).count())
   }
 
+  test("header-only sheet roundtrips as an empty all-string frame") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    val path = tmp("xlsx_empty") + "/wb.xlsx"
+    Xlsx.write(spark, path, Seq("t" -> empty))
+    val back = Xlsx.read(spark, path)("t")
+    assert(back.columns.toSeq == Seq("id", "name"))
+    assert(back.count() == 0)
+    // no data rows -> nothing to infer from -> string columns (the
+    // CSV-inference convention for empty input)
+    assert(back.schema.forall(_.dataType.typeName == "string"))
+  }
+
   test("distributed read parses many workbooks on executors") {
     import spark.implicits._
     val dir = tmp("xlsx_fleet")
