@@ -232,6 +232,24 @@ class WorkbookSpec extends SparkSpec {
     assert(e.getMessage.contains("partitionCols"))
   }
 
+  test("load precedence on a name collision: parquet > csv > xlsx > avro") {
+    import org.apache.spark.sql.functions.lit
+    val dir = graft.util.Scratch.dir("wb_prec")
+    def tagged(tag: String) = graft.util.Tables.region(spark, sfDir)
+      .select(lit(tag).as("src"))
+    tagged("parquet").write.mode("overwrite").parquet(s"$dir/t.parquet")
+    tagged("csv").write.mode("overwrite")
+      .option("header", "true").csv(s"$dir/t.csv")
+    graft.sources.Xlsx.write(spark, s"$dir/wb.xlsx",
+      Seq("t" -> tagged("xlsx"), "only_xlsx" -> tagged("xlsx")))
+    graft.sources.Avro.write(spark, s"$dir/t.avro", tagged("avro"))
+    val wb = Workbook.load(spark, dir)
+    assert(wb.sheet("t").head().getString(0) == "parquet",
+      "primary format must win the collision")
+    assert(wb.sheet("only_xlsx").head().getString(0) == "xlsx",
+      "non-colliding sheets from lower-precedence formats must load")
+  }
+
   test("load fails fast when two xlsx workbooks collide on a sheet name") {
     val dir = graft.util.Scratch.dir("wb_dupxlsx")
     val n = graft.util.Tables.nation(spark, sfDir)

@@ -144,6 +144,22 @@ class XlsxSpec extends SparkSpec {
       graft.util.Tables.region(spark, sfDir).count())
   }
 
+  test("wide sheets roundtrip through double-letter column refs") {
+    import spark.implicits._
+    // 30 columns crosses the Z -> AA boundary, pinning writer and
+    // reader column addressing against each other end-to-end
+    val cols = (0 until 30).map(i => s"c$i")
+    val df = spark.range(5).select(
+      cols.zipWithIndex.map { case (n, i) => ($"id" * 30 + i).as(n) }: _*)
+    val path = tmp("xlsx_wide") + "/wb.xlsx"
+    Xlsx.write(spark, path, Seq("w" -> df))
+    val back = Xlsx.read(spark, path)("w")
+    assert(back.columns.toSeq == cols)
+    val got = back.orderBy($"c0").collect().map(_.toSeq)
+    val want = df.orderBy($"c0").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("header-only sheet roundtrips as an empty all-string frame") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
