@@ -135,6 +135,11 @@ class ScaleSpec extends SparkSpec {
       "q_scan_xlsx" -> "writes scratch xlsx + driver-parses one bounded workbook",
       "q_scan_avro" -> "writes scratch avro + driver-parses one bounded file",
       "q_sink_partitioned" -> "the partitioned write IS the operator",
+      // two-phase by design: pair generation materializes to scratch
+      // parquet ONCE per JVM (AQE on) so the AQE-off 8-round unroll
+      // iterates over a flat scan instead of a tree-expanded subtree
+      "q_dedup_clusters" -> "materializes the pair table (once per JVM)",
+      "q_dedup_prune" -> "materializes the pair table (once per JVM)",
       // the replays run a real streaming query to completion
       "q_stream_tumbling_replay" -> "runs a streaming query",
       "q_stream_session_replay" -> "runs a streaming query",
