@@ -161,7 +161,9 @@ final class Workbook private (
     * writer, `graft.sources.Xlsx`; bounded by the format's own
     * 1,048,576-row sheet cap) — or "avro" for per-sheet Object
     * Container Files (`graft.sources.Avro`, exact primitive types
-    * preserved). Parquet remains the scale path — the
+    * preserved; multi-partition sheets land as a DIRECTORY of
+    * per-partition OCFs written on executors, which `load` reads back
+    * transparently). Parquet remains the scale path — the
     * interchange formats have no pushdown, stats, or column pruning.
     * Do NOT save onto a directory a lazy sheet of THIS workbook was
     * loaded from: frames are lazy, and overwrite-while-reading is
@@ -179,8 +181,17 @@ final class Workbook private (
       sources.Xlsx.write(spark, s"$dir/workbook.xlsx",
         sheetNames.map(n => n -> sheet(n)))
     else if (format == "avro")
-      sheetNames.foreach(n =>
-        sources.Avro.write(spark, s"$dir/$n.avro", sheet(n)))
+      sheetNames.foreach { n =>
+        val df = sheet(n)
+        // multi-partition sheets take the executor-side per-partition
+        // sink (no driver bottleneck — avro has no format row cap to
+        // bound a driver-streamed write); single-partition sheets stay
+        // one interchange file. Dataset.rdd is a lazy val, so this
+        // partition probe and the distributed write plan ONCE.
+        if (df.rdd.getNumPartitions > 1)
+          sources.Avro.writeDistributed(spark, s"$dir/$n.avro", df)
+        else sources.Avro.write(spark, s"$dir/$n.avro", df)
+      }
     else sheetNames.foreach { n =>
       val w0 = sheet(n).write.mode("overwrite")
       val w = partitionCols.get(n).filter(_.nonEmpty)

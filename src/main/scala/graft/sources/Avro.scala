@@ -26,9 +26,10 @@ import org.apache.spark.sql.types._
   * first (the registry discipline stringifies them for the oracle
   * anyway).
   *
-  * Scale: one container file per `write` (driver-streamed — the sink
-  * twin of a coalesce(1) interchange drop; block-compressed, so the
-  * driver never holds more than one row in Avro form), and
+  * Scale: `writeDistributed` is the real sink — one container file
+  * per partition, encoded on EXECUTORS (no driver bottleneck; Avro,
+  * unlike xlsx, has no format-imposed row cap, so the driver-streamed
+  * single-file `write` is reserved for small interchange drops) — and
   * `readDistributed` parses MANY container files on executors via the
   * binaryFile source, one task per file — the same
   * fleet-of-small-files ingest shape as `Xlsx.readDistributed`, landed
@@ -95,9 +96,56 @@ object Avro {
     case other => other
   }
 
+  /** Write `df` as a DIRECTORY of Avro Object Container Files at
+    * `dir` — one deflate-compressed OCF per partition, encoded on the
+    * EXECUTORS (the Avro schema travels as its JSON string, exactly
+    * like `readDistributed`'s task side). This is the scale-safe sink:
+    * unlike `write` there is no driver serialization point, and
+    * throughput scales with the cluster. Empty partitions write no
+    * file EXCEPT partition 0, so an all-empty frame still leaves one
+    * schema-bearing OCF and the directory roundtrips through
+    * `read`/`readDistributed`. Task retries overwrite their own
+    * deterministic part file, so a rerun cannot duplicate data.
+    *
+    * (Executors resolve the filesystem from a default Hadoop conf —
+    * correct for local/HDFS-default deployments; an object-store
+    * deployment with session-only conf should land to its
+    * cluster-default filesystem instead.) */
+  def writeDistributed(s: SparkSession, dir: String, df: DataFrame): Unit = {
+    val schemaJson = toAvroSchema(df.schema).toString
+    val names = df.schema.fieldNames
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      if (it.hasNext || pid == 0) {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val p = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.avro")
+        val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+          .setCodec(CodecFactory.deflateCodec(6))
+          .create(schema, pfs.create(p, true))
+        try it.foreach { row =>
+          val rec = new GenericData.Record(schema)
+          names.indices.foreach(i => rec.put(names(i), toAvroValue(row.get(i))))
+          w.append(rec)
+        } finally w.close()
+      }
+    }
+    // an empty LOCAL relation plans to zero tasks, so even the
+    // partition-0-always-writes rule never fires — leave one
+    // schema-bearing OCF from the driver so the directory roundtrips
+    if (fs.listStatus(dirPath).isEmpty)
+      write(s, f"$dir/part-00000.avro", df)
+  }
+
   /** Write `df` as ONE Avro Object Container File at `path` (any
     * Hadoop-visible filesystem), deflate-compressed. Streams row by
-    * row through the block writer — driver memory is O(block). */
+    * row through the block writer — driver memory is O(block), but the
+    * driver IS the single writer: use `writeDistributed` for anything
+    * bigger than an interchange drop. */
   def write(s: SparkSession, path: String, df: DataFrame): Unit = {
     val avroSchema = toAvroSchema(df.schema)
     val p = new org.apache.hadoop.fs.Path(path)
@@ -130,11 +178,14 @@ object Avro {
     } finally in.close()
   }
 
-  /** Read one container file as a typed DataFrame (driver-side parse
-    * of ONE interchange file; for fleets use `readDistributed`). */
+  /** Read one container file — or a `writeDistributed` DIRECTORY of
+    * them — as a typed DataFrame. A single file is a driver-side parse
+    * (ONE interchange file); a directory delegates to
+    * `readDistributed`, so `Workbook.load` handles both layouts. */
   def read(s: SparkSession, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.getFileStatus(p).isDirectory) return readDistributed(s, path)
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
     val (schema, rows) = parseAll(bytes)
@@ -143,17 +194,42 @@ object Avro {
       toSparkSchema(schema))
   }
 
+  /** HEADER-ONLY schema peek for `readDistributed`: resolve the glob
+    * (or list the directory) via the Hadoop FS, pick the
+    * lexicographically FIRST file — deterministic across runs, unlike
+    * a binaryFile `head()`, whose listing order is no contract — and
+    * read just the OCF header (magic + metadata block): DataFileStream
+    * parses the schema at construction and we never iterate rows, so
+    * the driver pulls O(header) bytes, never the whole file. */
+  private def peekSchema(s: SparkSession, glob: String): Schema = {
+    val p = new org.apache.hadoop.fs.Path(glob)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = matched.flatMap {
+      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+      case f => Seq(f)
+    }
+    require(files.nonEmpty, s"no avro files match: $glob")
+    val first = files.map(_.getPath).minBy(_.toString)
+    val in = fs.open(first)
+    try {
+      val header = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+      try header.getSchema finally header.close()
+    } finally { try in.close() catch { case _: java.io.IOException => () } }
+  }
+
   /** Distributed ingest of MANY container files: binaryFile source
-    * (one task per file), Avro-decoded on EXECUTORS. Schema from one
-    * driver-side peek at the first file; all files must share it. */
+    * (one task per file), Avro-decoded on EXECUTORS. Schema is pinned
+    * by a deterministic header-only driver peek (`peekSchema`); every
+    * task re-checks its own file against it, so a mixed-schema fleet
+    * fails loudly instead of mis-decoding. */
   def readDistributed(s: SparkSession, glob: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val files = s.read.format("binaryFile").load(glob)
-      .select(col("content"))
-    val firstBytes = files.head().getAs[Array[Byte]](0)
-    val (schema, _) = parseAll(firstBytes)
+    val schema = peekSchema(s, glob)
     val schemaJson = schema.toString // avro Schema is not serializable
     val sparkSchema = toSparkSchema(schema)
+    val files = s.read.format("binaryFile").load(glob)
+      .select(col("content"))
     val rowRdd = files.rdd.flatMap { r =>
       val expected = new Schema.Parser().parse(schemaJson)
       val (got, rows) = parseAll(r.getAs[Array[Byte]](0))

@@ -387,19 +387,38 @@ object Xlsx {
   /** Distributed ingest of MANY workbooks: list them with the
     * binaryFile source (one task per file) and parse the named sheet on
     * EXECUTORS. The schema — header AND inferred types — comes from one
-    * driver-side peek at the FIRST listed workbook, so all files must
-    * share the header and every file's cells must fit the first file's
-    * inferred types (a type that only widens in a later file, e.g. a
-    * stray string in a numeric column, fails that file's task with a
-    * per-file error naming the column; pass data through an all-string
-    * header sheet or land via per-file `read` if the fleet's types are
-    * dirty). This is the 100 TB shape for spreadsheet drops: parallel
-    * parse → land to parquet once. */
+    * driver-side peek at the lexicographically FIRST workbook —
+    * deterministic across runs (a binaryFile `head()`'s listing order
+    * is no contract) — so all files must share the header and every
+    * file's cells must fit that file's inferred types (a type that
+    * only widens in a later file, e.g. a stray string in a numeric
+    * column, fails that file's task with a per-file error naming the
+    * column; pass data through an all-string header sheet or land via
+    * per-file `read` if the fleet's types are dirty). Type inference
+    * needs the sheet's DATA, so unlike Avro's header-only peek the
+    * whole first workbook is read on the driver — bounded in practice
+    * by the format's 1,048,576-row sheet cap and guarded here
+    * explicitly. This is the 100 TB shape for spreadsheet drops:
+    * parallel parse → land to parquet once. */
   def readDistributed(s: SparkSession, glob: String, sheet: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val gp = new org.apache.hadoop.fs.Path(glob)
+    val fs = gp.getFileSystem(s.sessionState.newHadoopConf())
+    val matched = Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
+    val candidates = matched.flatMap {
+      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+      case f => Seq(f)
+    }
+    require(candidates.nonEmpty, s"no workbooks match: $glob")
+    val first = candidates.minBy(_.getPath.toString)
+    require(first.getLen <= 512L * 1024 * 1024,
+      s"schema peek reads the whole first workbook on the driver; " +
+        s"${first.getPath} is ${first.getLen} bytes (> 512 MiB) — not " +
+        "an interchange-sized .xlsx")
     val files = s.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
-    val bytes = files.select(col("content")).head().getAs[Array[Byte]](0)
+    val in = fs.open(first.getPath)
+    val bytes = try in.readAllBytes() finally in.close()
     val (header, data) = readSheet(bytes, sheet)
     val types = header.indices.map(c => inferType(data.map(_(c))))
     val schema = StructType(header.zip(types).map {

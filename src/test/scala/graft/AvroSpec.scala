@@ -73,6 +73,54 @@ class AvroSpec extends SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("distributed write lands one OCF per partition, reads back bit-identically") {
+    import spark.implicits._
+    val dir = tmp("avro_dist") + "/t.avro"
+    val df = spark.range(0, 1000, 1, 8)
+      .select($"id", ($"id" * 2.5).as("v"),
+        concat(lit("row"), $"id").as("name"))
+    Avro.writeDistributed(spark, dir, df)
+    // one file per non-empty partition, written on executors
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 8, s"expected 8 part files, got ${files.length}")
+    val back = Avro.readDistributed(spark, s"$dir/*.avro")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val o = df.orderBy($"id").collect().toSeq
+    val b = back.orderBy($"id").collect().toSeq
+    assert(o == b)
+    // single-path read() transparently handles the directory layout
+    assert(Avro.read(spark, dir).count() == 1000)
+  }
+
+  test("distributed write of an empty frame keeps one schema-bearing file") {
+    import spark.implicits._
+    val dir = tmp("avro_dist_empty") + "/t.avro"
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    Avro.writeDistributed(spark, dir, empty)
+    val back = Avro.read(spark, dir)
+    assert(back.schema.map(_.name) == Seq("id", "name"))
+    assert(back.count() == 0)
+  }
+
+  test("workbook avro save takes the distributed sink for multi-partition sheets") {
+    import spark.implicits._
+    val dir = tmp("avro_wb_dist")
+    val big = spark.range(0, 500, 1, 4).select($"id", ($"id" % 7).as("m"))
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "s").coalesce(1)
+    Workbook(spark, Map("big" -> big, "small" -> small))
+      .save(dir, format = "avro")
+    // multi-partition sheet → directory of part files; single → one file
+    assert(new java.io.File(s"$dir/big.avro").isDirectory)
+    assert(new java.io.File(s"$dir/small.avro").isFile)
+    val back = Workbook.load(spark, dir)
+    assert(back.sheetNames == Seq("big", "small"))
+    assert(back.sheet("big").agg(sum($"id")).head().getLong(0) ==
+      (0L until 500L).sum)
+    assert(back.sheet("small").orderBy($"k").collect().toSeq ==
+      small.orderBy($"k").collect().toSeq)
+  }
+
   test("distributed read decodes many container files on executors") {
     import spark.implicits._
     val dir = tmp("avro_fleet")
