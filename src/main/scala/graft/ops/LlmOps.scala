@@ -303,9 +303,9 @@ object LlmOps {
     * 2 ≤ df ≤ 10 (a keyed shuffle, never all-pairs). The upper cap is
     * not a hack but the op's semantics at scale: a 20-gram in MORE
     * than a handful of docs is corpus-wide boilerplate — at 100 TB its
-    * df² pair explosion belongs in a boilerplate-REMOVAL list (one
-    * groupBy emitting the gram + its df), not in a pairwise report.
-    * The cap is mirrored verbatim in the oracle. */
+    * df² pair explosion belongs in the boilerplate-REMOVAL list
+    * (`qDedupBoilerplate`), not in a pairwise report. The cap is
+    * mirrored verbatim in the oracle. */
   def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 20
@@ -331,6 +331,38 @@ object LlmOps {
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy($"a_id", $"b_id")
+  }
+
+  /** §2.J BOILERPLATE removal list — the other half of verbatim
+    * hygiene (`qDedupSubstring` caps pairwise reporting at df ≤ 10
+    * precisely because hotter grams belong HERE): every word n-gram
+    * shared by at least `minDf` documents, with its document frequency
+    * and total span count. This is the table a strip pass broadcasts
+    * to remove templated headers/footers/license text before training.
+    *
+    * The registry entry runs 3-grams at minDf = 5 (the fixture corpus
+    * has no hot 20-grams; at 100 TB the knobs are per-corpus — window
+    * up, threshold to a df FRACTION). Scale: one map-side-combined
+    * aggregation on the shingle (count_distinct plans two-phase, so
+    * per-doc repeats collapse before the shuffle); output is tiny by
+    * construction (boilerplate ≪ vocab) — the natural broadcast side
+    * of the downstream strip join. */
+  def qDedupBoilerplate(s: SparkSession, dir: String): DataFrame =
+    boilerplateGrams(s, documents(s, dir), 3, 5)
+
+  /** Removal-list core over any documents frame; factored out so tests
+    * can plant boilerplate with known df/span counts. Gram definition
+    * matches `Shingles.tok` (short docs contribute their whole text),
+    * so thresholds compose with the Jaccard family's. */
+  private[graft] def boilerplateGrams(s: SparkSession, docs: DataFrame,
+      n: Int, minDf: Long): DataFrame = {
+    import s.implicits._
+    graft.util.Shingles.tok(s, docs, n)
+      .groupBy($"shingle")
+      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("n_spans"))
+      .filter($"df" >= minDf)
+      .select($"shingle".as("gram"), $"df", $"n_spans")
+      .orderBy($"gram")
   }
 
   /** §2.J embedding-cosine near-dup pairs (label-blocked all-pairs;
@@ -636,6 +668,7 @@ object LlmOps {
     "q_dedup_clusters" -> qDedupClusters _,
     "q_dedup_prune" -> qDedupPrune _,
     "q_dedup_substring" -> qDedupSubstring _,
+    "q_dedup_boilerplate" -> qDedupBoilerplate _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_embcos_lsh" -> qDedupEmbcosLsh _,
     "q_sample_hash" -> qSampleHash _,
@@ -704,6 +737,25 @@ object LlmOps {
         |FROM gk a JOIN gk b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY a.doc_id, b.doc_id
         |ORDER BY a_id, b_id""".stripMargin,
+    // removal list: n-grams WITH repeats (no list_distinct), df =
+    // distinct docs, spans = total occurrences — mirrors Shingles.tok
+    // incl. the whole-text shingle for docs shorter than the window
+    "q_dedup_boilerplate" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+        |      list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [lt] END) AS g
+        |  FROM docs)
+        |SELECT g AS gram, count(DISTINCT doc_id) AS df,
+        |  count(*) AS n_spans
+        |FROM grams GROUP BY g
+        |HAVING count(DISTINCT doc_id) >= 5
+        |ORDER BY gram""".stripMargin,
     // connected components over the same pair definition: a recursive
     // CTE floods every node's id across its component; min(received)
     // is the component's min doc_id — the cluster label

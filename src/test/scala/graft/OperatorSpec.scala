@@ -288,6 +288,27 @@ class OperatorSpec extends SparkSpec {
     assert(out.filter(_._1 >= 200L).forall(r => r._2 == 200L && r._3 == 2L))
   }
 
+  test("boilerplate list: planted hot gram surfaces with exact df and spans") {
+    import spark.implicits._
+    // 6 docs share the template gram (one doc repeats it), 3 docs of
+    // unique text, 1 short doc (< window) — unique and short must NOT
+    // surface at minDf 5; the template must, with df=6 and 7 spans
+    val docs = (
+      (0L until 5L).map(i => (i, s"begin legal boiler plate end u$i")) ++
+      Seq((5L, "legal boiler plate and again legal boiler plate")) ++
+      (6L until 9L).map(i => (i, s"wholly distinct text number $i here")) ++
+      Seq((9L, "tiny doc"))
+    ).toDF("doc_id", "text")
+    val out = LlmOps.boilerplateGrams(spark, docs, 3, 5)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == out.map(_._1).sorted, "gram-ordered output")
+    assert(out.contains(("legal boiler plate", 6L, 7L)),
+      s"expected the planted gram with df=6, spans=7; got $out")
+    assert(out.forall(_._2 >= 5L))
+    assert(!out.exists(_._1.contains("distinct")), "unique text leaked in")
+    assert(!out.exists(_._1 == "tiny doc"), "short doc leaked in")
+  }
+
   test("int8 quantization: bounded codes, half-step dequant error") {
     import spark.implicits._
     val raw = graft.util.Tables.embeddings(spark, sfDir)
