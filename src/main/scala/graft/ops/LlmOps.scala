@@ -597,16 +597,51 @@ object LlmOps {
       .orderBy($"same_label")
   }
 
-  /** §2.J ANN, IVF-style: assign every vector to its nearest of 8 seed
-    * "centroids" (vec_id < 8, deterministic stand-ins for k-means
-    * centroids); the probe searches only its nprobe=2 nearest clusters.
-    * Scale: the index pass is one broadcast join + window; a probe
-    * touches |corpus| * nprobe/k vectors instead of the whole corpus. */
+  /** §2.J ANN, IVF-style, with a REAL index build: deterministic
+    * spherical k-means at k=8 — seeds are the first 8 vectors, then 2
+    * Lloyd iterations as pure DataFrame aggregations (assign every
+    * vector to its max-cos centroid, take the per-cluster per-dim
+    * MEAN, renormalize to unit length). The probe then searches only
+    * its nprobe=2 nearest clusters. Lloyd rounds are FIXED, not
+    * converged-on — the bounded index-build recipe at 100 TB, where
+    * each round is one pass over the corpus.
+    *
+    * Cross-engine parity: assignments rank on r6-ROUNDED cos (no ulp
+    * flips), and each iteration's centroid components are r6-rounded
+    * after renormalization, so the oracle's sequential mean summation
+    * and Spark's partition-order summation collapse to identical
+    * centroids. Because a rounded centroid is no longer exactly
+    * unit-norm, BOTH engines score against it with a plain dot
+    * product (never a renormalizing cosine — that 1e-6-scale norm
+    * difference would shear the 6th decimal).
+    *
+    * Scale: each Lloyd round is one broadcast-seed join + window +
+    * two map-side-combined aggregations — O(n·k·d), never all-pairs;
+    * the index pass is the same shape, and a probe touches
+    * |corpus| · nprobe/k vectors instead of the whole corpus. */
   def qSimAnnIvf(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val e = embD(s, dir)
-    val seeds = e.filter($"vec_id" < 8L)
+    val seeds0 = e.filter($"vec_id" < 8L)
       .select($"vec_id".as("seed_id"), $"emb".as("seed_emb"))
+    val seeds = (1 to 2).foldLeft(seeds0) { (sds, _) =>
+      val wA = Window.partitionBy($"vec_id").orderBy($"scos".desc, $"seed_id")
+      val assigned = e.crossJoin(broadcast(sds))
+        .withColumn("scos", r6(cosine($"emb", $"seed_emb")))
+        .withColumn("arn", row_number().over(wA))
+        .filter($"arn" === 1)
+      val means = assigned
+        .select($"seed_id", posexplode($"emb").as(Seq("dim", "v")))
+        .groupBy($"seed_id", $"dim").agg(avg($"v").as("m"))
+      // re-pack dim-ordered (array_sort on (dim, m) structs sorts by
+      // dim first), renormalize, round — empty clusters simply vanish
+      means.groupBy($"seed_id")
+        .agg(array_sort(collect_list(struct($"dim", $"m"))).as("dm"))
+        .select($"seed_id", transform($"dm", x => x("m")).as("c0"))
+        .withColumn("cnrm",
+          sqrt(aggregate($"c0", lit(0.0), (acc, x) => acc + x * x)))
+        .select($"seed_id", transform($"c0", x => r6(x / $"cnrm")).as("seed_emb"))
+    }
     // index: nearest seed per vector (rank on rounded cos → no ulp flips)
     val wAssign = Window.partitionBy($"vec_id").orderBy($"scos".desc, $"seed_id")
     val assigned = e.crossJoin(broadcast(seeds))
@@ -898,16 +933,54 @@ object LlmOps {
         |  count(*) AS n_pairs
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |GROUP BY same_label ORDER BY same_label""".stripMargin,
+    // mirrors the 2-round Lloyd build: unit-normalize once, then per
+    // round assign on round(dot, 6) / per-dim mean / renormalize with
+    // r6-rounded components; all scoring is PLAIN dot product (rounded
+    // centroids are not exactly unit, a renormalizing cosine would
+    // shear the 6th decimal — see the Spark scaladoc)
     "q_sim_ann_ivf" ->
-      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
-        |           FROM embeddings),
-        |  seeds AS (SELECT vec_id AS seed_id, emb AS seed_emb FROM e
-        |            WHERE vec_id < 8),
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings),
+        |  e AS (SELECT vec_id, label, list_transform(emb,
+        |          x -> x / sqrt(list_dot_product(emb, emb))) AS emb
+        |        FROM e0),
+        |  seeds0 AS (SELECT vec_id AS seed_id, emb AS seed_emb FROM e
+        |             WHERE vec_id < 8),
+        |  a1 AS (SELECT vec_id, emb, seed_id FROM (
+        |      SELECT e.vec_id, e.emb, s.seed_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
+        |                   s.seed_id) AS rn
+        |      FROM e CROSS JOIN seeds0 s) WHERE rn = 1),
+        |  m1 AS (SELECT seed_id, unnest(generate_series(1, len(emb))) AS dim,
+        |           unnest(emb) AS v FROM a1),
+        |  g1 AS (SELECT seed_id, dim, avg(v) AS m FROM m1
+        |         GROUP BY seed_id, dim),
+        |  c1 AS (SELECT seed_id, list(m ORDER BY dim) AS c0 FROM g1
+        |         GROUP BY seed_id),
+        |  seeds1 AS (SELECT seed_id, list_transform(c0,
+        |      x -> round(x / sqrt(list_dot_product(c0, c0)), 6)) AS seed_emb
+        |    FROM c1),
+        |  a2 AS (SELECT vec_id, emb, seed_id FROM (
+        |      SELECT e.vec_id, e.emb, s.seed_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
+        |                   s.seed_id) AS rn
+        |      FROM e CROSS JOIN seeds1 s) WHERE rn = 1),
+        |  m2 AS (SELECT seed_id, unnest(generate_series(1, len(emb))) AS dim,
+        |           unnest(emb) AS v FROM a2),
+        |  g2 AS (SELECT seed_id, dim, avg(v) AS m FROM m2
+        |         GROUP BY seed_id, dim),
+        |  c2 AS (SELECT seed_id, list(m ORDER BY dim) AS c0 FROM g2
+        |         GROUP BY seed_id),
+        |  seeds AS (SELECT seed_id, list_transform(c0,
+        |      x -> round(x / sqrt(list_dot_product(c0, c0)), 6)) AS seed_emb
+        |    FROM c2),
         |  assigned AS (
         |    SELECT vec_id, label, emb, seed_id AS cluster_id FROM (
         |      SELECT e.vec_id, e.label, e.emb, s.seed_id,
         |        row_number() OVER (PARTITION BY e.vec_id
-        |          ORDER BY round(list_cosine_similarity(e.emb, s.seed_emb), 6) DESC,
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
         |                   s.seed_id) AS arn
         |      FROM e CROSS JOIN seeds s)
         |    WHERE arn = 1),
@@ -916,12 +989,12 @@ object LlmOps {
         |    SELECT seed_id AS cluster_id FROM (
         |      SELECT s.seed_id,
         |        row_number() OVER (
-        |          ORDER BY round(list_cosine_similarity(s.seed_emb, p.probe_emb), 6) DESC,
+        |          ORDER BY round(list_dot_product(s.seed_emb, p.probe_emb), 6) DESC,
         |                   s.seed_id) AS prn
         |      FROM seeds s CROSS JOIN p)
         |    WHERE prn <= 2)
         |SELECT a.vec_id, a.cluster_id,
-        |  round(list_cosine_similarity(a.emb, p.probe_emb), 6) AS cos
+        |  round(list_dot_product(a.emb, p.probe_emb), 6) AS cos
         |FROM assigned a
         |JOIN top_clusters t ON a.cluster_id = t.cluster_id
         |CROSS JOIN p

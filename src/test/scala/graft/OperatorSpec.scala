@@ -114,12 +114,17 @@ class OperatorSpec extends SparkSpec {
     assert(f.length == docs && f.forall(_.n_bytes > 0))
   }
 
-  test("ANN IVF result overlaps brute-force top-k (recall > 0)") {
+  test("ANN IVF recall@10 >= 0.8 vs brute-force top-k") {
     val bf = LlmOps.qSimCosineTopk(spark, sfDir).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     val ivf = LlmOps.qSimAnnIvf(spark, sfDir).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    assert((bf & ivf).nonEmpty, s"IVF found nothing from brute-force top-k: $ivf vs $bf")
+    // a REAL k-means index admits bounded misses: a true neighbor
+    // assigned to a non-probed cluster is the honest nprobe/k recall
+    // trade (measured 9/10 at sf0.01, nprobe 2 of k=8 — the former
+    // 10/10 was an artifact of raw-vector seed "centroids")
+    assert((bf & ivf).size >= 8,
+      s"IVF recall@10 below 0.8: got ${(bf & ivf).size}/10 ($ivf vs $bf)")
   }
 
   test("approx_count_distinct within 5% of exact") {
