@@ -235,6 +235,25 @@ object StreamingOps {
     }.orderBy($"bucket", $"event_type")
   }
 
+  /** §2.I streaming SLIDING-window replay, oracle-checked: 10-minute
+    * windows sliding every 5 — each event lands in exactly TWO
+    * overlapping windows — run as a real complete-mode AvailableNow
+    * replay (the `slidingCounts` graph shape, plus the value sum).
+    * Oracle: an event's window starts are floor₅(ts) and
+    * floor₅(ts) − 5 min, unnested per event in DuckDB. Closes the
+    * last batch↔replay asymmetry (tumbling/session/enrich/dedup all
+    * have oracle-checked replays). */
+  def qStreamSlidingReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replayToTable(s, "complete") { s2 =>
+      eventsStream(s2, dir)
+        .groupBy(window($"ts", "10 minutes", "5 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+        .select(tstr($"window.start").as("bucket"), $"event_type", $"n",
+          $"sum_value")
+    }.orderBy($"bucket", $"event_type")
+  }
+
   /** §2.I streaming SESSION-window replay, oracle-checked: real
     * streaming `session_window` (30-minute gap) counts per user,
     * replayed to completion and compared against DuckDB's gap-boundary
@@ -314,6 +333,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_batch_tumbling" -> qBatchTumbling _,
     "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
+    "q_stream_sliding_replay" -> qStreamSlidingReplay _,
     "q_stream_session_replay" -> qStreamSessionReplay _,
     "q_stream_enrich_replay" -> qStreamEnrichReplay _,
     "q_stream_dedup_replay" -> qStreamDedupReplay _,
@@ -333,6 +353,19 @@ object StreamingOps {
         |    '%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events
+        |GROUP BY bucket, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+    // each event unnests into its two overlapping 5-min-slide buckets
+    "q_stream_sliding_replay" ->
+      """WITH slid AS (
+        |  SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |      time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+        |      AS bucket_ts,
+        |    event_type, value
+        |  FROM events)
+        |SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM slid
         |GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
     // the streaming query doubles its source then dedups; one row per
