@@ -137,13 +137,27 @@ final class Workbook private (
     * non-identifier characters are sanitized to '_' so one oddly-named
     * sheet cannot break queries that never touch it. The returned list
     * is the ACTUAL view names, in sheet order. */
-  def createViews(prefix: String = ""): Seq[String] =
-    sheetNames.map { n =>
-      val view = prefix + n.map(c =>
-        if (c.isLetterOrDigit || c == '_') c else '_')
+  def createViews(prefix: String = ""): Seq[String] = {
+    val views = sheetNames.map { n =>
+      n -> (prefix + n.map(c =>
+        if (c.isLetterOrDigit || c == '_') c else '_'))
+    }
+    // distinct sheet names can collapse onto one sanitized view name
+    // ('sales-2024' and 'sales 2024'); createOrReplaceTempView would
+    // silently clobber the first and later sql() reads the WRONG
+    // sheet — fail fast instead (same stance as the xlsx dup check).
+    // View names are case-insensitive in Spark, so compare folded.
+    val collide = views.groupBy(_._2.toLowerCase).filter(_._2.size > 1)
+    require(collide.isEmpty,
+      "sheet names collide after view-name sanitization: " +
+        collide.map { case (v, ss) =>
+          ss.map("'" + _._1 + "'").mkString(", ") + s" -> $v"
+        }.mkString("; ") + " — rename the sheets to distinct SQL-safe names")
+    views.map { case (n, view) =>
       sheet(n).createOrReplaceTempView(view)
       view
     }
+  }
 
   /** SQL over the workbook's sheets (views registered on the fly). */
   def sql(query: String): DataFrame = {

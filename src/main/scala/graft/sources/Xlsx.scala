@@ -34,15 +34,47 @@ object Xlsx {
 
   // ------------------------------------------------------------- write
 
+  /** True iff `s(i)` starts a literal `_xHHHH_` 7-char sequence. */
+  private def isXEscape(s: String, i: Int): Boolean =
+    i + 6 < s.length && s.charAt(i) == '_' && s.charAt(i + 1) == 'x' &&
+      s.charAt(i + 6) == '_' &&
+      (2 to 5).forall(j => Character.digit(s.charAt(i + j), 16) >= 0)
+
   private def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
-    s.foreach {
-      case '&' => b.append("&amp;")
-      case '<' => b.append("&lt;")
-      case '>' => b.append("&gt;")
-      case '"' => b.append("&quot;")
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => () // illegal in XML 1.0
-      case c => b.append(c)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '&' => b.append("&amp;")
+        case '<' => b.append("&lt;")
+        case '>' => b.append("&gt;")
+        case '"' => b.append("&quot;")
+        // control chars are illegal as XML 1.0 character data — encode
+        // via OOXML's _xHHHH_ convention (what POI emits) so the value
+        // SURVIVES a roundtrip instead of being silently dropped
+        case _ if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+          b.append(f"_x${c.toInt}%04X_")
+        // a literal substring that LOOKS like an escape must have its
+        // underscore escaped, or decode would eat it
+        case '_' if isXEscape(s, i) => b.append("_x005F_")
+        case _ => b.append(c)
+      }
+      i += 1
+    }
+    b.toString
+  }
+
+  /** Decode OOXML `_xHHHH_` escapes (ours and other writers'). */
+  private[graft] def decodeXEscapes(s: String): String = {
+    if (!s.contains("_x")) return s
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (isXEscape(s, i)) {
+        b.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+        i += 7
+      } else { b.append(s.charAt(i)); i += 1 }
     }
     b.toString
   }
@@ -123,6 +155,22 @@ object Xlsx {
   def write(s: SparkSession, path: String,
       sheets: Seq[(String, DataFrame)]): Unit = {
     require(sheets.nonEmpty, "xlsx workbook needs at least one sheet")
+    // enforce the format's sheet-name rules UP FRONT: our own reader
+    // would accept looser names, but Excel rejects the workbook —
+    // undercutting the interchange claim — so fail with the rule
+    sheets.foreach { case (name, _) =>
+      require(name.nonEmpty && name.length <= 31,
+        s"xlsx sheet name must be 1-31 characters: '$name'")
+      val bad = name.filter(c => "[]:*?/\\".contains(c) || c < ' ')
+      require(bad.isEmpty,
+        s"xlsx sheet name '$name' contains character(s) Excel rejects: " +
+          bad.map(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
+            .mkString(", "))
+    }
+    val dupSheets = sheets.groupBy(_._1.toLowerCase).filter(_._2.size > 1)
+    require(dupSheets.isEmpty,
+      "xlsx sheet names must be unique case-insensitively; duplicates: " +
+        dupSheets.values.map(_.map(_._1).mkString(" vs ")).mkString("; "))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val out = new ZipOutputStream(fs.create(p, true))
@@ -247,7 +295,7 @@ object Xlsx {
         case XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "t" => inT = false
-            case "si" => inSi = false; out += cur.toString
+            case "si" => inSi = false; out += decodeXEscapes(cur.toString)
             case _ => ()
           }
         case _ => ()
@@ -309,7 +357,7 @@ object Xlsx {
           val value = cellType match {
             case "s" => sst(raw.trim.toInt)
             case "b" => if (raw.trim == "1") "true" else "false"
-            case "inlineStr" | "str" => raw
+            case "inlineStr" | "str" => decodeXEscapes(raw)
             case _ => if (raw.isEmpty) null else raw
           }
           if (value != null) row(col) = value
@@ -322,7 +370,14 @@ object Xlsx {
     val width = (rows.head.keys ++ Seq(-1)).max + 1
     val header = (0 until width).map(c =>
       rows.head.getOrElse(c, s"_c$c")).toArray
-    val data = rows.tail.map { m =>
+    val data = rows.tail.zipWithIndex.map { case (m, ri) =>
+      // silent truncation hides data loss (repo stance) — a data row
+      // wider than the header means a malformed sheet, not extra nulls
+      val maxc = (m.keys ++ Seq(-1)).max
+      require(maxc < width,
+        s"sheet '$sheet' row ${ri + 2} has a populated cell at column " +
+          s"${colLetters(maxc)}, beyond the $width-column header row — " +
+          "widen the header or fix the stray cell")
       (0 until width).map(c => m.getOrElse(c, null: String)).toArray
     }.toSeq
     (header, data)

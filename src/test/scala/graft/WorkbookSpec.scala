@@ -221,6 +221,18 @@ class WorkbookSpec extends SparkSpec {
       graft.util.Tables.region(spark, sfDir).count())
   }
 
+  test("sql fails fast when sanitized view names collide") {
+    val wb = Workbook(spark, Map(
+      "sales-2024" -> graft.util.Tables.region(spark, sfDir),
+      "sales 2024" -> graft.util.Tables.nation(spark, sfDir)))
+    val e = intercept[IllegalArgumentException] {
+      wb.sql("SELECT 1 AS one")
+    }
+    assert(e.getMessage.contains("sales_2024"), e.getMessage)
+    assert(e.getMessage.contains("sales-2024") &&
+      e.getMessage.contains("sales 2024"), e.getMessage)
+  }
+
   test("save rejects partitionCols for interchange formats") {
     val wb = Workbook(spark, Map(
       "nation" -> graft.util.Tables.nation(spark, sfDir)))

@@ -113,6 +113,79 @@ class XlsxSpec extends SparkSpec {
     assert(rows.map(_.toSeq) == Seq(Seq("1", "2", "3"), Seq("4", "5", "6")))
   }
 
+  test("control characters in strings survive the roundtrip via _xHHHH_") {
+    import spark.implicits._
+    // a vertical tab (0x0B, illegal in XML 1.0), a literal string that
+    // LOOKS like an escape, and plain whitespace-bearing text
+    val df = Seq(
+      (1L, "bellandvt"),
+      (2L, "literal _x0041_ stays"),
+      (3L, "tab\tand\nnewline ok")
+    ).toDF("id", "s")
+    val path = tmp("xlsx_ctrl") + "/wb.xlsx"
+    Xlsx.write(spark, path, Seq("data" -> df))
+    val back = Xlsx.read(spark, path)("data").orderBy($"id")
+      .as[(Long, String)].collect().toSeq
+    assert(back == Seq(
+      (1L, "bellandvt"),
+      (2L, "literal _x0041_ stays"),
+      (3L, "tab\tand\nnewline ok")), back.toString)
+  }
+
+  test("writer rejects sheet names Excel would reject") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val dir = tmp("xlsx_names")
+    val tooLong = intercept[IllegalArgumentException] {
+      Xlsx.write(spark, s"$dir/a.xlsx", Seq(("s" * 32) -> df))
+    }
+    assert(tooLong.getMessage.contains("1-31"))
+    val badChar = intercept[IllegalArgumentException] {
+      Xlsx.write(spark, s"$dir/b.xlsx", Seq("q1/q2" -> df))
+    }
+    assert(badChar.getMessage.contains("rejects"))
+    val ciDup = intercept[IllegalArgumentException] {
+      Xlsx.write(spark, s"$dir/c.xlsx",
+        Seq("Data" -> df, "data" -> df))
+    }
+    assert(ciDup.getMessage.contains("case-insensitively"))
+  }
+
+  test("reader fails loudly on data rows wider than the header") {
+    import spark.implicits._
+    // hand-build a sheet whose row 2 has a cell in column C beyond the
+    // 2-column header — the reader must name the offending cell, not
+    // silently drop it
+    val sheetXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+      """<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>""" +
+      """<c r="B1" t="inlineStr"><is><t>b</t></is></c></row>""" +
+      """<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c>""" +
+      """<c r="C2"><v>3</v></c></row>""" +
+      """</sheetData></worksheet>"""
+    val wbXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+      """<sheets><sheet name="s1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    val rels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+      """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+      """<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/></Relationships>"""
+    val bout = new java.io.ByteArrayOutputStream()
+    val z = new ZipOutputStream(bout)
+    Seq("xl/workbook.xml" -> wbXml, "xl/_rels/workbook.xml.rels" -> rels,
+      "xl/worksheets/sheet1.xml" -> sheetXml).foreach { case (n, c) =>
+      z.putNextEntry(new ZipEntry(n)); z.write(c.getBytes("UTF-8")); z.closeEntry()
+    }
+    z.close()
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.readSheet(bout.toByteArray, "s1")
+    }
+    assert(e.getMessage.contains("row 2") && e.getMessage.contains("C"),
+      e.getMessage)
+  }
+
   test("writer rejects non-finite doubles loudly") {
     import spark.implicits._
     val df = Seq((1L, 1.0), (2L, Double.NaN)).toDF("id", "x")
