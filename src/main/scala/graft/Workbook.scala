@@ -173,7 +173,10 @@ final class Workbook private (
     * "xlsx" for the reference's NATIVE format — ONE real
     * `dir/workbook.xlsx` holding every sheet (pure-JDK SpreadsheetML
     * writer, `graft.sources.Xlsx`; bounded by the format's own
-    * 1,048,576-row sheet cap) — or "avro" for per-sheet Object
+    * 1,048,576-row sheet cap; date/timestamp columns are written as
+    * ISO STRINGS, not Excel date serials, and read back as string —
+    * `date_format` upstream to control the form) — or "avro" for
+    * per-sheet Object
     * Container Files (`graft.sources.Avro`, exact primitive types
     * preserved; multi-partition sheets land as a DIRECTORY of
     * per-partition OCFs written on executors, which `load` reads back

@@ -72,9 +72,7 @@ object Relational {
 
   /** §2.A text-source scan: write region as '|'-delimited text lines,
     * read back with spark.read.text and parse with split — the
-    * schema-on-read path for raw logs. (spark-avro is not in
-    * /opt/spark/jars, so Avro joins Excel as environment-impossible;
-    * parquet/CSV/JSONL/ORC/text are all oracle-covered.) */
+    * schema-on-read path for raw logs. */
   def qScanText(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = scratch("text_region")

@@ -114,6 +114,14 @@ object Xlsx {
            _: FloatType | _: DoubleType | _: DecimalType =>
         s"""<c r="$ref"><v>$v</v></c>"""
       case _ =>
+        // incl. DateType/TimestampType: xlsx has no typed date cell —
+        // real dates are day serials + a numFmt style, which a
+        // style-blind reader reads as bare doubles. We write ISO
+        // STRINGS instead (readback infers string): lossless and
+        // readable everywhere, at the cost of not being date-typed in
+        // Excel. Contract documented at Workbook.save and pinned by a
+        // WorkbookSpec roundtrip; format dates upstream (date_format)
+        // if a specific string form is needed.
         s"""<c r="$ref" t="inlineStr"><is><t>${esc(v.toString)}</t></is></c>"""
     }
   }

@@ -221,6 +221,24 @@ class WorkbookSpec extends SparkSpec {
       graft.util.Tables.region(spark, sfDir).count())
   }
 
+  test("xlsx save demotes date/timestamp columns to ISO strings (pinned contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("2024-01-15", "2024-12-31").toDF("ds")
+      .select($"ds", to_date($"ds").as("d"),
+        to_timestamp(concat($"ds", lit(" 10:30:00"))).as("ts"))
+    val dir = graft.util.Scratch.dir("wb_dates")
+    Workbook(spark, Map("t" -> df)).save(dir, format = "xlsx")
+    val back = Workbook.load(spark, dir).sheet("t").orderBy($"ds")
+    // xlsx has no typed date cell we emit — the documented contract is
+    // ISO strings in, strings back (format upstream to control them)
+    assert(back.schema("d").dataType.typeName == "string")
+    assert(back.schema("ts").dataType.typeName == "string")
+    val r = back.collect()
+    assert(r(0).getString(1) == "2024-01-15", r(0).toString)
+    assert(r(0).getString(2).startsWith("2024-01-15 10:30:00"), r(0).toString)
+  }
+
   test("sql fails fast when sanitized view names collide") {
     val wb = Workbook(spark, Map(
       "sales-2024" -> graft.util.Tables.region(spark, sfDir),
