@@ -365,6 +365,63 @@ object LlmOps {
       .orderBy($"gram")
   }
 
+  /** §2.J boilerplate STRIP — the consumer of `qDedupBoilerplate`'s
+    * removal list: the corpus with every hot-gram span removed. A word
+    * position is stripped iff some hot n-gram occurrence covers it;
+    * surviving words rejoin in order (lowercased — the gram
+    * definition's case, documented). Docs shorter than the window
+    * strip entirely iff their whole text IS a hot entry (the
+    * includeShort rule, so the two ops compose exactly).
+    *
+    * Scale: the hot list is tiny by construction → broadcast semi-join
+    * at scan speed; covered positions are bounded by boilerplate
+    * occurrences; reassembly is one groupBy on doc_id, co-partitioned
+    * with the tokenization window's shuffle. */
+  def qDedupStrip(s: SparkSession, dir: String): DataFrame =
+    stripBoilerplate(s, documents(s, dir), 3, 5)
+
+  private[graft] def stripBoilerplate(s: SparkSession, docs: DataFrame,
+      n: Int, minDf: Long): DataFrame = {
+    import s.implicits._
+    val hot = boilerplateGrams(s, docs, n, minDf).select($"gram")
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val words = docs.select($"doc_id",
+      posexplode(split(lower($"text"), " ")).as(Seq("pos", "w0")))
+    val withGram = (1 until n).foldLeft(words) { (df, i) =>
+      df.withColumn(s"w$i", lead($"w0", i).over(w))
+    }
+    // hot-gram occurrence starts → every position in the window
+    val starts = withGram.filter(col(s"w${n - 1}").isNotNull)
+      .withColumn("gram", concat_ws(" ", (0 until n).map(i => col(s"w$i")): _*))
+      .join(broadcast(hot), Seq("gram"), "left_semi")
+      .select($"doc_id", explode(sequence($"pos", $"pos" + lit(n - 1))).as("cpos"))
+    // a short doc whose WHOLE text is a hot entry strips entirely
+    val shortCovered = docs
+      .select($"doc_id", lower($"text").as("gram"),
+        size(split(lower($"text"), " ")).as("nw"))
+      .filter($"nw" < n)
+      .join(broadcast(hot), Seq("gram"), "left_semi")
+      .select($"doc_id", explode(sequence(lit(0), $"nw" - 1)).as("cpos"))
+    // renamed join keys: covered DERIVES from words, so column-object
+    // equality would resolve as an ambiguous (trivially-true) self-join
+    val covered = starts.unionByName(shortCovered).distinct()
+      .withColumnRenamed("doc_id", "c_doc_id").cache()
+    val kept = words.join(covered,
+      $"doc_id" === $"c_doc_id" && $"pos" === $"cpos", "left_anti")
+    val reassembled = kept.groupBy($"doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct($"pos", $"w0"))), x => x("w0")), " ")
+        .as("text_clean"))
+    val counts = covered.groupBy($"c_doc_id".as("doc_id"))
+      .agg(count(lit(1)).as("n_stripped"))
+    docs.select($"doc_id")
+      .join(reassembled, Seq("doc_id"), "left_outer")
+      .join(counts, Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"text_clean", lit("")).as("text_clean"),
+        coalesce($"n_stripped", lit(0L)).as("n_stripped"))
+      .orderBy($"doc_id")
+  }
+
   /** §2.J embedding-cosine near-dup pairs (label-blocked all-pairs;
     * scale path is LSH/IVF bucketing, the blocked form is the oracle). */
   def qDedupEmbcos(s: SparkSession, dir: String): DataFrame = {
@@ -704,6 +761,7 @@ object LlmOps {
     "q_dedup_prune" -> qDedupPrune _,
     "q_dedup_substring" -> qDedupSubstring _,
     "q_dedup_boilerplate" -> qDedupBoilerplate _,
+    "q_dedup_strip" -> qDedupStrip _,
     "q_dedup_embcos" -> qDedupEmbcos _,
     "q_dedup_embcos_lsh" -> qDedupEmbcosLsh _,
     "q_sample_hash" -> qSampleHash _,
@@ -791,6 +849,57 @@ object LlmOps {
         |FROM grams GROUP BY g
         |HAVING count(DISTINCT doc_id) >= 5
         |ORDER BY gram""".stripMargin,
+    // strip = remove every word position covered by a hot-gram
+    // occurrence; positions are 1-based here vs 0-based in Spark —
+    // only used within each engine, so parity is unaffected
+    "q_dedup_strip" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(text) AS lt,
+        |    string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |allg AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN
+        |      list_transform(generate_series(1, len(w) - 2),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+        |    ELSE [lt] END) AS g
+        |  FROM docs),
+        |hot AS (SELECT g FROM allg GROUP BY g
+        |        HAVING count(DISTINCT doc_id) >= 5),
+        |words AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(w))) AS pos,
+        |    unnest(w) AS word
+        |  FROM docs),
+        |starts AS (
+        |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS s
+        |  FROM docs WHERE len(w) >= 3),
+        |hits AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s, w[s] || ' ' || w[s+1] || ' ' || w[s+2] AS g
+        |    FROM starts)
+        |  WHERE g IN (SELECT g FROM hot)),
+        |covered AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(generate_series(s, s + 2)) AS pos
+        |    FROM hits
+        |    UNION ALL
+        |    SELECT doc_id, unnest(generate_series(1, len(w))) AS pos
+        |    FROM docs WHERE len(w) < 3 AND lt IN (SELECT g FROM hot))),
+        |kept AS (
+        |  SELECT wo.doc_id, wo.pos, wo.word FROM words wo
+        |  WHERE NOT EXISTS (SELECT 1 FROM covered c
+        |    WHERE c.doc_id = wo.doc_id AND c.pos = wo.pos)),
+        |agg AS (
+        |  SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text_clean
+        |  FROM kept GROUP BY doc_id),
+        |cnt AS (
+        |  SELECT doc_id, count(*) AS n_stripped FROM covered
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+        |  coalesce(c.n_stripped, 0) AS n_stripped
+        |FROM docs d
+        |LEFT JOIN agg a USING (doc_id)
+        |LEFT JOIN cnt c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // connected components over the same pair definition: a recursive
     // CTE floods every node's id across its component; min(received)
     // is the component's min doc_id — the cluster label

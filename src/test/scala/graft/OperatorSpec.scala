@@ -314,6 +314,44 @@ class OperatorSpec extends SparkSpec {
     assert(!out.exists(_._1 == "tiny doc"), "short doc leaked in")
   }
 
+  test("boilerplate strip removes exactly the hot spans, keeps the rest") {
+    import spark.implicits._
+    // same planted corpus as the list test: "legal boiler plate" is hot
+    // (df=6); overlapping occurrences in doc 5 must merge their covered
+    // positions, unique docs must pass through untouched (lowercased)
+    val docs = (
+      (0L until 5L).map(i => (i, s"begin legal boiler plate end u$i")) ++
+      Seq((5L, "legal boiler plate and again legal boiler plate")) ++
+      (6L until 9L).map(i => (i, s"Wholly distinct TEXT number $i here")) ++
+      Seq((9L, "tiny doc"))
+    ).toDF("doc_id", "text")
+    val out = LlmOps.stripBoilerplate(spark, docs, 3, 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.size == 10 && out.map(_._1) == (0L until 10L))
+    // template docs lose the WHOLE shared prefix: every 3-gram of
+    // "begin legal boiler plate end" reaches df=5, so their covered
+    // spans union to positions 0..4 and only the unique tail survives
+    (0 until 5).foreach { i =>
+      assert(out(i)._2 == s"u$i" && out(i)._3 == 5L, out(i).toString)
+    }
+    // both occurrences in doc 5 strip; the connective words survive
+    assert(out(5)._2 == "and again" && out(5)._3 == 6L, out(5).toString)
+    // unique docs: zero stripped, text intact modulo lowercasing
+    (6 until 9).foreach { i =>
+      assert(out(i)._2 == s"wholly distinct text number $i here" &&
+        out(i)._3 == 0L, out(i).toString)
+    }
+    assert(out(9)._2 == "tiny doc" && out(9)._3 == 0L)
+    // a hot SHORT doc strips entirely (includeShort composition rule)
+    val shortHot = ((0L until 5L).map(i => (i, "copy me")) ++
+      Seq((9L, "other words here")))
+      .toDF("doc_id", "text")
+    val so = LlmOps.stripBoilerplate(spark, shortHot, 3, 5)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(so.take(5).forall(r => r._2 == "" && r._3 == 2L), so.toString)
+    assert(so(5)._2 == "other words here" && so(5)._3 == 0L)
+  }
+
   test("int8 quantization: bounded codes, half-step dequant error") {
     import spark.implicits._
     val raw = graft.util.Tables.embeddings(spark, sfDir)
