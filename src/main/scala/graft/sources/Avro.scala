@@ -5,7 +5,7 @@ import java.io.ByteArrayInputStream
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
-import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
 import org.apache.avro.file.{CodecFactory, DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.avro.util.Utf8
@@ -22,9 +22,10 @@ import org.apache.spark.sql.types._
   * Schema mapping is the flat-record subset the fixture tables (and
   * the reference's sheet model) need: long/int/double/float/boolean/
   * string/binary, each as a `["null", T]` union so Spark nullability
-  * roundtrips; date/timestamp columns are stringified by the caller
-  * first (the registry discipline stringifies them for the oracle
-  * anyway).
+  * roundtrips, plus date (`date` logical int) and timestamp
+  * (`timestamp-micros` logical long) — avro is the one interchange
+  * format here that carries temporals EXACTLY typed (xlsx demotes
+  * them to ISO strings by documented contract).
   *
   * Scale: `writeDistributed` is the real sink — one container file
   * per partition, encoded on EXECUTORS (no driver bottleneck; Avro,
@@ -45,9 +46,16 @@ object Avro {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case StringType => Schema.create(Schema.Type.STRING)
     case BinaryType => Schema.create(Schema.Type.BYTES)
+    // the standard Avro logical types — unlike xlsx, avro can carry
+    // dates/timestamps EXACTLY (day serial / µs instant), so the sheet
+    // model's temporal columns roundtrip typed through this format
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
     case other => throw new IllegalArgumentException(
       s"avro sink supports flat primitive columns; got $other " +
-        "(stringify dates/timestamps/arrays upstream, per the oracle discipline)")
+        "(stringify arrays/maps/structs upstream, per the oracle discipline)")
   }
 
   private[graft] def toAvroSchema(schema: StructType): Schema = {
@@ -60,6 +68,11 @@ object Avro {
   }
 
   private def sparkType(s: Schema): DataType = s.getType match {
+    case Schema.Type.INT if s.getLogicalType.isInstanceOf[LogicalTypes.Date] =>
+      DateType
+    case Schema.Type.LONG
+        if s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros] =>
+      TimestampType
     case Schema.Type.LONG => LongType
     case Schema.Type.INT => IntegerType
     case Schema.Type.DOUBLE => DoubleType
@@ -85,14 +98,39 @@ object Avro {
     case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
     case s: Short => Int.box(s.toInt)
     case b: Byte => Int.box(b.toInt)
+    // temporal values → their logical-type carriers (day / µs instant)
+    case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+    case ld: java.time.LocalDate => Int.box(ld.toEpochDay.toInt)
+    case t: java.sql.Timestamp =>
+      Long.box(t.getTime * 1000L + (t.getNanos % 1000000) / 1000)
+    case i: java.time.Instant =>
+      Long.box(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong))
     case other => other.asInstanceOf[AnyRef]
   }
 
-  private def fromAvroValue(v: AnyRef): Any = v match {
+  /** The non-null branch of the `["null", T]` unions this codec emits. */
+  private def nonNullBranch(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  private def fromAvroValue(v: AnyRef, fieldSchema: Schema): Any = v match {
     case null => null
     case u: Utf8 => u.toString
     case bb: java.nio.ByteBuffer =>
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case i: Integer
+        if nonNullBranch(fieldSchema).getLogicalType
+          .isInstanceOf[LogicalTypes.Date] =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case l: java.lang.Long
+        if nonNullBranch(fieldSchema).getLogicalType
+          .isInstanceOf[LogicalTypes.TimestampMicros] =>
+      val micros = l.longValue()
+      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      t
     case other => other
   }
 
@@ -168,11 +206,12 @@ object Avro {
       new GenericDatumReader[GenericRecord]())
     try {
       val schema = in.getSchema
-      val fields = schema.getFields.asScala.toSeq.map(_.name())
+      val fields = schema.getFields.asScala.toSeq
+        .map(f => (f.name(), f.schema()))
       val rows = mutable.ArrayBuffer[Seq[Any]]()
       while (in.hasNext) {
         val rec = in.next()
-        rows += fields.map(f => fromAvroValue(rec.get(f)))
+        rows += fields.map { case (f, fs) => fromAvroValue(rec.get(f), fs) }
       }
       (schema, rows.toSeq)
     } finally in.close()

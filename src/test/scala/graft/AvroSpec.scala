@@ -73,6 +73,27 @@ class AvroSpec extends SparkSpec {
     assert(back.count() == 0)
   }
 
+  test("date and timestamp columns roundtrip exactly via avro logical types") {
+    import spark.implicits._
+    val df = Seq("2024-01-15", "1969-12-31", "2024-06-30").toDF("ds")
+      .select($"ds", to_date($"ds").as("d"),
+        to_timestamp(concat($"ds", lit(" 10:30:00.123456"))).as("ts"))
+    val path = tmp("avro_temporal") + "/t.avro"
+    Avro.write(spark, path, df)
+    val back = Avro.read(spark, path).orderBy($"ds")
+    // types survive (xlsx demotes temporals to strings; avro must not)
+    assert(back.schema("d").dataType.typeName == "date")
+    assert(back.schema("ts").dataType.typeName == "timestamp")
+    assert(back.collect().toSeq == df.orderBy($"ds").collect().toSeq)
+    // the distributed sink/reader preserves them identically
+    val dDir = tmp("avro_temporal_dist") + "/t.avro"
+    Avro.writeDistributed(spark, dDir, df.repartition(2))
+    val dBack = Avro.readDistributed(spark, s"$dDir/*.avro").orderBy($"ds")
+    assert(dBack.schema("d").dataType.typeName == "date")
+    assert(dBack.schema("ts").dataType.typeName == "timestamp")
+    assert(dBack.collect().toSeq == df.orderBy($"ds").collect().toSeq)
+  }
+
   test("distributed write lands one OCF per partition, reads back bit-identically") {
     import spark.implicits._
     val dir = tmp("avro_dist") + "/t.avro"
