@@ -115,6 +115,25 @@ object Relational {
       .orderBy($"n_nationkey")
   }
 
+  /** §2.A DISTRIBUTED Avro roundtrip over a TEMPORAL table: the
+    * events frame (timestamp column carried as the `timestamp-micros`
+    * logical type) lands via `Avro.writeDistributed` — one
+    * executor-encoded OCF per partition, the scale-safe sink — and
+    * reads back through the directory-aware reader. Gates BOTH r8
+    * avro additions (distributed sink, typed temporals) in
+    * CORRECTNESS, not just in specs. Timestamps compare at second
+    * grain (`tstr`), the registry's cross-engine form. */
+  def qScanAvroDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    graft.sources.Avro.writeDistributed(s, s"$out/events.avro", ev)
+    graft.sources.Avro.read(s, s"$out/events.avro")
+      .select($"event_id", tstr($"ts").as("ts_s"), $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   /** §2.A partitioned sink + partition-pruned scan: write orders
     * partitioned by o_orderstatus (the 100 TB posture for any big
     * sink), read ONE partition back via the partition column — the
@@ -303,6 +322,7 @@ object Relational {
     "q_scan_text" -> qScanText _,
     "q_scan_xlsx" -> qScanXlsx _,
     "q_scan_avro" -> qScanAvro _,
+    "q_scan_avro_dist" -> qScanAvroDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_catalog_tables" -> qCatalogTables _,
     "q_project" -> qProject _,
@@ -340,6 +360,10 @@ object Relational {
         |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_scan_avro" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_avro_dist" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_catalog_tables" ->
       """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,
         |  string_agg(column_name, '|' ORDER BY ordinal_position) AS cols
