@@ -162,6 +162,28 @@ object Joins {
       .orderBy($"r_regionkey", $"n_nationkey")
   }
 
+  /** §4 skew posture, oracle-gated: the salted join (`util/Skew`) run
+    * as a registry query — orders salted 8 ways against the replicated
+    * customer dim, then the revenue-per-segment aggregate. Salting is
+    * SEMANTICS-PRESERVING (the oracle is the plain join), which is
+    * exactly what this entry proves; the ScaleSpec equality test
+    * already pins it against the unsalted join, this pins it against
+    * an independent engine. At 100 TB this is the shape for a
+    * pathologically hot key that AQE's sort-merge skew split can't
+    * help (single hot hash partition): big side salted by a
+    * deterministic row hash, small side exploded `salts` ways. */
+  def qJoinSkewSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = orders(s, dir).select($"o_custkey".as("custkey"), $"o_totalprice")
+    val small = customer(s, dir)
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    graft.util.Skew.saltedJoin(big, small, "custkey", 8)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("sum_price"))
+      .select($"c_mktsegment".cast("string").as("c_mktsegment"), $"n", $"sum_price")
+      .orderBy($"c_mktsegment")
+  }
+
   /** §2.C as-of join: for each purchase event, the latest click event of
     * the same user at-or-before it. Union-tag + running `last` window —
     * one shuffle on user_id, DuckDB's native ASOF JOIN as the oracle.
@@ -254,6 +276,7 @@ object Joins {
     "q_join_broadcast" -> qJoinBroadcast _,
     "q_join_theta" -> qJoinTheta _,
     "q_join_cross" -> qJoinCross _,
+    "q_join_skew_salted" -> qJoinSkewSalted _,
     "q_join_asof" -> qJoinAsof _,
     "q_join_asof_tolerance" -> qJoinAsofTolerance _,
     "q_join_interval" -> qJoinInterval _
@@ -311,6 +334,12 @@ object Joins {
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation
         |ORDER BY r_regionkey, n_nationkey""".stripMargin,
+    // salting is semantics-preserving: the oracle is the PLAIN join
+    "q_join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id AS purchase_id, p.user_id,
         |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
