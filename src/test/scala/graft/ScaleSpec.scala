@@ -106,6 +106,19 @@ class ScaleSpec extends SparkSpec {
     assert(clusters.getLong(0) == 2 * n / 1000 &&
       clusters.getLong(1) == 0 && clusters.getLong(2) == 0,
       s"cluster canary mismatch: $clusters")
+    // boilerplate list + strip at corpus scale: each planted pair's 6
+    // 3-grams reach df=2, so minDf=2 lists exactly 6·(n/1000) grams and
+    // the strip removes all 8 words of BOTH pair members, nothing else
+    val boiler = ops.LlmOps.boilerplateGrams(spark, docs, 3, 2).count()
+    assert(boiler == 6 * n / 1000,
+      s"expected ${6 * n / 1000} hot grams, got $boiler")
+    val stripped = ops.LlmOps.stripBoilerplate(spark, docs, 3, 2)
+      .agg(count(lit(1)).as("rows"), sum($"n_stripped").as("tot"),
+        sum(when($"text_clean" === "", 1L).otherwise(0L)).as("empty"))
+      .head()
+    assert(stripped.getLong(0) == n && stripped.getLong(1) == 16 * n / 1000 &&
+      stripped.getLong(2) == 2 * n / 1000,
+      s"strip canary mismatch: $stripped")
     val fps = ops.DedupAdvanced.fingerprintsOf(spark, docs).count()
     assert(fps == n, s"fingerprint per doc: expected $n, got $fps")
     val toks = docs.select($"doc_id", $"lang", lit(8L).as("n_tokens"))
