@@ -304,6 +304,29 @@ object StreamingOps {
     }.orderBy($"event_id")
   }
 
+  /** §2.I STREAM–STREAM interval-join replay, oracle-checked: the
+    * `attachClicks` graph (watermarked both sides, event-time-bounded
+    * join, state expires once the click watermark passes
+    * imp_ts + 10 min) run as a real append-mode replay — each click
+    * attributed to every same-user "view" within the 10 minutes
+    * before it. A bounded AvailableNow replay is EXACT here: the
+    * single parquet file lands in one micro-batch, watermarks only
+    * advance after it, so no join state evicts before matching and
+    * append emits precisely the batch join's matches — which is what
+    * the DuckDB oracle computes. Closes the last §2.I asymmetry: every
+    * streaming graph family (tumbling/sliding/session/enrich/dedup/
+    * stream-stream join) now has an oracle-checked replay. */
+  def qStreamJoinReplay(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replayToTable(s, "append") { s2 =>
+      val ev = eventsStream(s2, dir)
+      attachClicks(ev.filter($"event_type" === "view"),
+        ev.filter($"event_type" === "click"))
+        .select($"imp_id", $"click_id", $"user_id",
+          tstr($"imp_ts").as("imp_ts"), tstr($"click_ts").as("click_ts"))
+    }.orderBy($"imp_id", $"click_id")
+  }
+
   /** §2.I batch sessionization (the batch twin of `session_window`):
     * a session boundary is a gap > 30 minutes since the user's previous
     * event; session id = running count of boundaries. One shuffle on
@@ -334,6 +357,7 @@ object StreamingOps {
     "q_batch_tumbling" -> qBatchTumbling _,
     "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
     "q_stream_sliding_replay" -> qStreamSlidingReplay _,
+    "q_stream_join_replay" -> qStreamJoinReplay _,
     "q_stream_session_replay" -> qStreamSessionReplay _,
     "q_stream_enrich_replay" -> qStreamEnrichReplay _,
     "q_stream_dedup_replay" -> qStreamDedupReplay _,
@@ -368,6 +392,17 @@ object StreamingOps {
         |FROM slid
         |GROUP BY bucket, event_type
         |ORDER BY bucket, event_type""".stripMargin,
+    // the bounded replay's single micro-batch evicts no join state
+    // before matching, so append emits exactly the batch join
+    "q_stream_join_replay" ->
+      """SELECT v.event_id AS imp_id, c.event_id AS click_id, v.user_id,
+        |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS imp_ts,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND c.ts >= v.ts
+        |  AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |ORDER BY imp_id, click_id""".stripMargin,
     // the streaming query doubles its source then dedups; one row per
     // event_id is exactly the raw projection
     "q_stream_dedup_replay" ->

@@ -157,6 +157,7 @@ class ScaleSpec extends SparkSpec {
       // the replays run a real streaming query to completion
       "q_stream_tumbling_replay" -> "runs a streaming query",
       "q_stream_sliding_replay" -> "runs a streaming query",
+      "q_stream_join_replay" -> "runs a streaming query",
       "q_stream_session_replay" -> "runs a streaming query",
       "q_stream_enrich_replay" -> "runs a streaming query",
       "q_stream_dedup_replay" -> "runs a streaming query",
