@@ -87,6 +87,26 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** §2.D approximate percentile — the SKETCH twin of qAggPercentile:
+    * `percentile_approx` (Greenwald–Khanna QuantileSummaries; bounded
+    * O(accuracy) state per group, map-side combinable) at accuracy
+    * 10000. At 100 TB this is the percentile you can actually run —
+    * the exact form materializes and sorts every group's values, the
+    * sketch streams them. Returns an actual element (no
+    * interpolation), and the summary layout is engine-specific → no
+    * oracle (the HLL pattern); OperatorSpec bounds every reported
+    * quantile against the exact percentile instead. */
+  def qAggPercentileApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        r4(percentile_approx($"l_quantity", lit(0.25), lit(10000))).as("qty_p25"),
+        r4(percentile_approx($"l_quantity", lit(0.5), lit(10000))).as("qty_p50"),
+        r4(percentile_approx($"l_quantity", lit(0.75), lit(10000))).as("qty_p75"))
+      .orderBy($"l_returnflag")
+  }
+
   /** §2.D statistical moments. Spark's skewness/kurtosis are population
     * moments (m3/m2^1.5, m4/m2²−3); the oracle reproduces those with
     * explicit moment arithmetic since DuckDB's builtins are
@@ -273,6 +293,7 @@ object Aggregates {
     "q_agg_distinct" -> qAggDistinct _,
     "q_agg_approx_distinct" -> qAggApproxDistinct _,
     "q_agg_percentile" -> qAggPercentile _,
+    "q_agg_percentile_approx" -> qAggPercentileApprox _,
     "q_agg_stats" -> qAggStats _,
     "q_agg_regr" -> qAggRegr _,
     "q_agg_collect" -> qAggCollect _,

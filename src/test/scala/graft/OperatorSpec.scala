@@ -29,7 +29,8 @@ class OperatorSpec extends SparkSpec {
     // tripwire: silently losing an oracleSql entry would demote a query
     // to the weaker rows-only gate without anyone noticing
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val expected = Set("q_agg_approx_distinct", "q_dedup_minhash",
+    val expected = Set("q_agg_approx_distinct", "q_agg_percentile_approx",
+      "q_dedup_minhash",
       "q_dedup_minhash_native", "q_dedup_simhash", "q_dedup_simhash_pairs",
       "q_sim_knn_lsh", "q_media_features", "q_dedup_embcos_lsh")
     assert(noOracle == expected,
@@ -125,6 +126,23 @@ class OperatorSpec extends SparkSpec {
     // 10/10 was an artifact of raw-vector seed "centroids")
     assert((bf & ivf).size >= 8,
       s"IVF recall@10 below 0.8: got ${(bf & ivf).size}/10 ($ivf vs $bf)")
+  }
+
+  test("approx percentile tracks exact within one quantity step") {
+    val exact = Aggregates.qAggPercentile(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = Aggregates.qAggPercentileApprox(spark, sfDir).collect()
+    assert(approx.length == exact.size && approx.nonEmpty)
+    approx.foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      // quantities are an integer grid; the sketch returns an actual
+      // element while exact interpolates — one step is the max gap at
+      // accuracy 10000 over this cardinality
+      assert(math.abs(r.getDouble(1) - e25) <= 1.0, s"p25: $r vs $e25")
+      assert(math.abs(r.getDouble(2) - e50) <= 1.0, s"p50: $r vs $e50")
+      assert(math.abs(r.getDouble(3) - e75) <= 1.0, s"p75: $r vs $e75")
+    }
   }
 
   test("approx_count_distinct within 5% of exact") {
