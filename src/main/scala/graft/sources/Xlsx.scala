@@ -40,7 +40,7 @@ object Xlsx {
       s.charAt(i + 6) == '_' &&
       (2 to 5).forall(j => Character.digit(s.charAt(i + j), 16) >= 0)
 
-  private def esc(s: String): String = {
+  private[graft] def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     var i = 0
     while (i < s.length) {

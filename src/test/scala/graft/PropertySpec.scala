@@ -215,6 +215,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("xlsx escape convention roundtrips arbitrary strings (incl. control chars)") {
+    import graft.sources.Xlsx
+    // inverse of the XML entity layer the StAX reader applies, so
+    // decode(unescapeXml(esc(s))) must equal s for ANY string —
+    // control chars, literal _xHHHH_ lookalikes, entities, unicode
+    def unescapeXml(s: String): String = s
+      .replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&amp;", "&")
+    val charGen = Gen.frequency(
+      (4, Gen.alphaNumChar),
+      (2, Gen.oneOf(' ', '<', '>', '&', '"', '_', 'x', '０', 'é')),
+      (2, Gen.chooseNum(0, 31).map(_.toChar)),
+      (1, Gen.oneOf("_x0041_", "_x005F_", "_xZZZZ_", "_x00", "x_")
+        .flatMap(str => Gen.const(str.charAt(0)))))
+    val strGen = for {
+      parts <- Gen.listOfN(24, Gen.oneOf(
+        Gen.listOfN(3, charGen).map(_.mkString),
+        Gen.oneOf("_x0041_", "_x005F_x0041_", "_x000B_", "", "_x", "x_")))
+      s <- parts
+    } yield s
+    samples(Gen.listOfN(12, strGen).map(_.mkString), 40).foreach { s =>
+      val enc = Xlsx.esc(s)
+      // XML 1.0 validity: nothing below 0x20 except tab/LF/CR survives
+      assert(enc.forall(c => c >= ' ' || c == '\t' || c == '\n' || c == '\r'),
+        s"esc left an illegal control char in: ${enc.toList}")
+      val back = Xlsx.decodeXEscapes(unescapeXml(enc))
+      assert(back == s,
+        s"roundtrip mismatch for ${s.toList}: got ${back.toList}")
+    }
+  }
+
   test("rounding helper is idempotent on generated doubles") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.chooseNum(-1e6, 1e6)), 5).foreach { xs =>
