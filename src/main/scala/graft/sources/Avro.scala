@@ -142,41 +142,90 @@ object Avro {
     * throughput scales with the cluster. Empty partitions write no
     * file EXCEPT partition 0, so an all-empty frame still leaves one
     * schema-bearing OCF and the directory roundtrips through
-    * `read`/`readDistributed`. Task retries overwrite their own
-    * deterministic part file, so a rerun cannot duplicate data.
+    * `read`/`readDistributed`.
     *
-    * (Executors resolve the filesystem from a default Hadoop conf —
-    * correct for local/HDFS-default deployments; an object-store
-    * deployment with session-only conf should land to its
-    * cluster-default filesystem instead.) */
+    * Cluster robustness (the classic file-sink commit protocol): each
+    * task writes to an ATTEMPT-SUFFIXED hidden temp file
+    * (`.part-NNNNN-attempt-A.avro.tmp`) and renames it to the final
+    * part name only on task success — so a task that dies mid-stream
+    * leaves a hidden temp, never a truncated OCF at a final path, and
+    * two SPECULATIVE attempts of one task write distinct temps (the
+    * globally-unique task-attempt id) and race only on the final
+    * atomic rename, where either winner carries identical complete
+    * data. After the job succeeds the driver writes a `_SUCCESS`
+    * marker; the readers REQUIRE it on any directory of `part-*.avro`
+    * files, so a directory from a killed job reads as "uncommitted
+    * output", not silently as partial data. Executors resolve the
+    * filesystem from a BROADCAST serialized session Hadoop conf
+    * (`util.SerializableHadoopConf`), so object-store credentials and
+    * `fs.defaultFS` overrides travel with the job. */
   def writeDistributed(s: SparkSession, dir: String, df: DataFrame): Unit = {
     val schemaJson = toAvroSchema(df.schema).toString
     val names = df.schema.fieldNames
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+    val hadoopConf = s.sessionState.newHadoopConf()
+    val fs = dirPath.getFileSystem(hadoopConf)
     if (fs.exists(dirPath)) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
+    val confB = s.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(hadoopConf))
     df.foreachPartition { (it: Iterator[Row]) =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      if (it.hasNext || pid == 0) {
-        val schema = new Schema.Parser().parse(schemaJson)
-        val p = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.avro")
-        val pfs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-          .setCodec(CodecFactory.deflateCodec(6))
-          .create(schema, pfs.create(p, true))
-        try it.foreach { row =>
-          val rec = new GenericData.Record(schema)
-          names.indices.foreach(i => rec.put(names(i), toAvroValue(row.get(i))))
-          w.append(rec)
-        } finally w.close()
-      }
+      val tc = org.apache.spark.TaskContext.get()
+      if (it.hasNext || tc.partitionId() == 0)
+        writePartitionFile(schemaJson, names, dir, tc.partitionId(),
+          tc.taskAttemptId(), confB.value.value, it)
     }
     // an empty LOCAL relation plans to zero tasks, so even the
     // partition-0-always-writes rule never fires — leave one
     // schema-bearing OCF from the driver so the directory roundtrips
-    if (fs.listStatus(dirPath).isEmpty)
+    if (fs.listStatus(dirPath, dataFileFilter).isEmpty)
       write(s, f"$dir/part-00000.avro", df)
+    // commit marker: written LAST, so its presence certifies that every
+    // task committed and the driver saw the job succeed
+    fs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
+  }
+
+  /** Hidden-file filter for sink-directory listings: attempt temps
+    * (`.part-...avro.tmp`) and markers (`_SUCCESS`) are not data. Same
+    * convention Spark's own file sources apply when listing. */
+  private val dataFileFilter = new org.apache.hadoop.fs.PathFilter {
+    def accept(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName
+      !n.startsWith(".") && !n.startsWith("_")
+    }
+  }
+
+  /** One task attempt's write-then-commit (factored out so the failure
+    * and duplicate-attempt paths are directly testable): stream the
+    * partition to `.part-NNNNN-attempt-A.avro.tmp`, then commit by
+    * renaming onto the final part name. The rename is idempotent
+    * across retries (delete-if-exists first) and tolerant of a
+    * concurrent duplicate attempt: if OUR rename loses the race but
+    * the final file exists, the twin attempt committed the identical
+    * partition and this attempt just discards its temp. */
+  private[graft] def writePartitionFile(schemaJson: String,
+      names: Array[String], dir: String, pid: Int, attemptId: Long,
+      conf: org.apache.hadoop.conf.Configuration, it: Iterator[Row]): Unit = {
+    val schema = new Schema.Parser().parse(schemaJson)
+    val finalPath = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.avro")
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      f"$dir/.part-$pid%05d-attempt-$attemptId.avro.tmp")
+    val fs = finalPath.getFileSystem(conf)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      .setCodec(CodecFactory.deflateCodec(6))
+      .create(schema, fs.create(tmpPath, true))
+    try it.foreach { row =>
+      val rec = new GenericData.Record(schema)
+      names.indices.foreach(i => rec.put(names(i), toAvroValue(row.get(i))))
+      w.append(rec)
+    } finally w.close()
+    if (fs.exists(finalPath)) fs.delete(finalPath, false)
+    if (!fs.rename(tmpPath, finalPath)) {
+      val twinCommitted = fs.exists(finalPath)
+      fs.delete(tmpPath, false)
+      if (!twinCommitted) throw new java.io.IOException(
+        s"failed to commit $tmpPath -> $finalPath")
+    }
   }
 
   /** Write `df` as ONE Avro Object Container File at `path` (any
@@ -201,37 +250,91 @@ object Avro {
     } finally w.close()
   }
 
-  private[graft] def parseAll(bytes: Array[Byte]): (Schema, Seq[Seq[Any]]) = {
-    val in = new DataFileStream(new ByteArrayInputStream(bytes),
-      new GenericDatumReader[GenericRecord]())
+  /** The ingest paths hold a WHOLE container file in memory (driver
+    * for `read`, one executor task for `readDistributed` — binaryFile
+    * is one task per file, and an OCF fleet is only parallel ACROSS
+    * files). A single huge OCF from an external producer is therefore
+    * a straggler/OOM, not a scan — fail loudly at this documented
+    * bound (the `Xlsx` peek's pattern) instead. Avro's sync-marker
+    * splittability is real but needs a splitting input format; the
+    * supported shape here is a fleet of partition-sized files (what
+    * `writeDistributed` emits), landed to parquet for the scale path. */
+  private[graft] val MaxIngestFileBytes: Long = 512L * 1024 * 1024
+
+  /** Reader-schema projection: the same record name/namespace with
+    * only `columns`, in the REQUESTED order. Avro schema resolution
+    * then SKIP-decodes every unprojected writer field on read (strings
+    * and bytes are skipped by length, never materialized) — decode-side
+    * column pruning for the row-major interchange format. */
+  private def prunedSchema(full: Schema, columns: Seq[String]): Schema = {
+    val byName = full.getFields.asScala.map(f => f.name() -> f).toMap
+    val missing = columns.filterNot(byName.contains)
+    require(missing.isEmpty,
+      s"columns not in avro schema: ${missing.mkString(", ")} " +
+        s"(schema has: ${full.getFields.asScala.map(_.name()).mkString(", ")})")
+    val b = SchemaBuilder.record(full.getName).namespace(full.getNamespace)
+      .fields()
+    columns.foreach(c => b.name(c).`type`(byName(c).schema()).withDefault(null))
+    b.endRecord()
+  }
+
+  /** Decode a container file; with `columns` non-empty, decode ONLY
+    * those fields (reader-schema resolution skips the rest) in the
+    * requested order. Returns the file's WRITER schema (for fleet
+    * mismatch checks) alongside the — possibly pruned — rows. */
+  private[graft] def parseAll(bytes: Array[Byte],
+      columns: Seq[String] = Nil): (Schema, Seq[Seq[Any]]) = {
+    val datumReader = new GenericDatumReader[GenericRecord]()
+    val in = new DataFileStream(new ByteArrayInputStream(bytes), datumReader)
     try {
-      val schema = in.getSchema
-      val fields = schema.getFields.asScala.toSeq
+      val writerSchema = in.getSchema
+      val effective =
+        if (columns.isEmpty) writerSchema
+        else { val p = prunedSchema(writerSchema, columns)
+               datumReader.setExpected(p); p }
+      val fields = effective.getFields.asScala.toSeq
         .map(f => (f.name(), f.schema()))
       val rows = mutable.ArrayBuffer[Seq[Any]]()
       while (in.hasNext) {
         val rec = in.next()
         rows += fields.map { case (f, fs) => fromAvroValue(rec.get(f), fs) }
       }
-      (schema, rows.toSeq)
+      (writerSchema, rows.toSeq)
     } finally in.close()
   }
 
   /** Read one container file — or a `writeDistributed` DIRECTORY of
     * them — as a typed DataFrame. A single file is a driver-side parse
     * (ONE interchange file); a directory delegates to
-    * `readDistributed`, so `Workbook.load` handles both layouts. */
-  def read(s: SparkSession, path: String): DataFrame = {
+    * `readDistributed`, so `Workbook.load` handles both layouts.
+    * `columns` (optional) prunes the decode to those fields, in that
+    * order; `maxFileBytes` is the single-file ingest bound (see
+    * `MaxIngestFileBytes`). */
+  def read(s: SparkSession, path: String, columns: Seq[String] = Nil,
+      maxFileBytes: Long = MaxIngestFileBytes): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    if (fs.getFileStatus(p).isDirectory) return readDistributed(s, path)
+    val status = fs.getFileStatus(p)
+    if (status.isDirectory) return readDistributed(s, path, columns, maxFileBytes)
+    requireIngestSized(status, maxFileBytes)
     val in = fs.open(p)
     val bytes = try in.readAllBytes() finally in.close()
-    val (schema, rows) = parseAll(bytes)
+    val (schema, rows) = parseAll(bytes, columns)
+    val outSchema =
+      if (columns.isEmpty) schema else prunedSchema(schema, columns)
     s.createDataFrame(
       s.sparkContext.parallelize(rows.map(Row.fromSeq), 1),
-      toSparkSchema(schema))
+      toSparkSchema(outSchema))
   }
+
+  private def requireIngestSized(st: org.apache.hadoop.fs.FileStatus,
+      maxFileBytes: Long): Unit =
+    require(st.getLen <= maxFileBytes,
+      s"avro ingest holds a whole container file in one JVM task; " +
+        s"${st.getPath} is ${st.getLen} bytes (> $maxFileBytes) — split " +
+        "the producer's output into partition-sized files (what " +
+        "writeDistributed emits) or convert to parquet for a splittable " +
+        "columnar scan")
 
   /** HEADER-ONLY schema peek for `readDistributed`: resolve the glob
     * (or list the directory) via the Hadoop FS, pick the
@@ -240,15 +343,32 @@ object Avro {
     * read just the OCF header (magic + metadata block): DataFileStream
     * parses the schema at construction and we never iterate rows, so
     * the driver pulls O(header) bytes, never the whole file. */
-  private def peekSchema(s: SparkSession, glob: String): Schema = {
+  private def peekSchema(s: SparkSession, glob: String,
+      maxFileBytes: Long): Schema = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val files = matched.flatMap {
-      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+      case d if d.isDirectory =>
+        val all = fs.listStatus(d.getPath).toSeq
+        val data = all.filter(st => st.isFile && dataFileFilter.accept(st.getPath))
+        // a directory of sink-patterned part files without the commit
+        // marker is a killed/in-flight writeDistributed job — reading
+        // it as if complete is silent data loss, the one failure mode
+        // a marker exists to prevent
+        if (data.exists(_.getPath.getName.matches("part-\\d{5}\\.avro")))
+          require(all.exists(_.getPath.getName == "_SUCCESS"),
+            s"${d.getPath} holds part-*.avro files but no _SUCCESS " +
+              "marker — uncommitted or partial writeDistributed output; " +
+              "re-run the write (or add a _SUCCESS marker if this " +
+              "directory was produced complete by another tool)")
+        data
       case f => Seq(f)
     }
     require(files.nonEmpty, s"no avro files match: $glob")
+    // the binaryFile ingest is one whole-file task per file — bound
+    // every file up front, from the listing we already have
+    files.foreach(requireIngestSized(_, maxFileBytes))
     val first = files.map(_.getPath).minBy(_.toString)
     val in = fs.open(first)
     try {
@@ -261,17 +381,23 @@ object Avro {
     * (one task per file), Avro-decoded on EXECUTORS. Schema is pinned
     * by a deterministic header-only driver peek (`peekSchema`); every
     * task re-checks its own file against it, so a mixed-schema fleet
-    * fails loudly instead of mis-decoding. */
-  def readDistributed(s: SparkSession, glob: String): DataFrame = {
+    * fails loudly instead of mis-decoding. `columns` (optional) prunes
+    * the EXECUTOR-side decode to those fields via Avro reader-schema
+    * resolution — a 2-of-40-column read of a wide fleet skips the
+    * other 38 at the byte level instead of materializing them. */
+  def readDistributed(s: SparkSession, glob: String,
+      columns: Seq[String] = Nil,
+      maxFileBytes: Long = MaxIngestFileBytes): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val schema = peekSchema(s, glob)
+    val schema = peekSchema(s, glob, maxFileBytes)
     val schemaJson = schema.toString // avro Schema is not serializable
-    val sparkSchema = toSparkSchema(schema)
+    val sparkSchema = toSparkSchema(
+      if (columns.isEmpty) schema else prunedSchema(schema, columns))
     val files = s.read.format("binaryFile").load(glob)
       .select(col("content"))
     val rowRdd = files.rdd.flatMap { r =>
       val expected = new Schema.Parser().parse(schemaJson)
-      val (got, rows) = parseAll(r.getAs[Array[Byte]](0))
+      val (got, rows) = parseAll(r.getAs[Array[Byte]](0), columns)
       require(got == expected,
         s"avro schema mismatch across files: $got vs $expected")
       rows.map(Row.fromSeq)

@@ -142,6 +142,100 @@ class AvroSpec extends SparkSpec {
       small.orderBy($"k").collect().toSeq)
   }
 
+  test("distributed write commits via attempt temps and a _SUCCESS marker") {
+    import spark.implicits._
+    val dir = tmp("avro_commit") + "/t.avro"
+    val df = spark.range(0, 100, 1, 4).select($"id", ($"id" * 2).as("v"))
+    Avro.writeDistributed(spark, dir, df)
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("_SUCCESS"), s"no commit marker in $names")
+    assert(!names.exists(_.endsWith(".tmp")), s"leftover attempt temp in $names")
+    // a dead attempt's temp (hidden dotfile) and stray metadata must be
+    // invisible to both the listing peek and the binaryFile ingest
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, ".part-00000-attempt-99.avro.tmp"),
+      Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_stray_marker"), Array[Byte](9))
+    assert(Avro.read(spark, dir).agg(sum($"id")).head().getLong(0) ==
+      (0L until 100L).sum)
+    // without the marker, a directory of part files is an UNCOMMITTED
+    // write — reading it as complete would be silent data loss
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    val e = intercept[IllegalArgumentException] { Avro.read(spark, dir) }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+  }
+
+  test("a retried or duplicate task attempt leaves one complete part file") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = tmp("avro_attempts") + "/t.avro"
+    new java.io.File(dir).mkdirs()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val schemaJson = Avro.toAvroSchema(df.schema).toString
+    val names = df.schema.fieldNames
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = Seq(Row(1L, "a"), Row(2L, "b"))
+    // attempt 1 commits, then a late duplicate/speculative attempt 2 of
+    // the SAME partition replays identical data: the final file must be
+    // exactly one complete OCF and no temp may survive either attempt
+    Avro.writePartitionFile(schemaJson, names, dir, 3, 1L, conf, rows.iterator)
+    Avro.writePartitionFile(schemaJson, names, dir, 3, 2L, conf, rows.iterator)
+    // the local ChecksumFileSystem adds hidden .crc sidecars — readers
+    // ignore dotfiles, so only the VISIBLE listing is the contract
+    val files = new java.io.File(dir).listFiles().map(_.getName).toSeq
+      .filterNot(_.startsWith("."))
+    assert(files.sorted == Seq("part-00003.avro"), files.toString)
+    assert(!files.exists(_.endsWith(".tmp")), files.toString)
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00003.avro"))
+    assert(Avro.parseAll(bytes)._2 == Seq(Seq(1L, "a"), Seq(2L, "b")))
+  }
+
+  test("pruned read decodes only the requested columns, in request order") {
+    import spark.implicits._
+    val dir = tmp("avro_prune") + "/t.avro"
+    val wide = spark.range(0, 60, 1, 3).select(
+      $"id", ($"id" * 1.5).as("c1"), concat(lit("s"), $"id").as("c2"),
+      ($"id" % 2 === 0).as("c3"), ($"id" + 7).as("c4"),
+      concat(lit("t"), $"id").as("c5"))
+    Avro.writeDistributed(spark, dir, wide)
+    // the emitted Row schema IS the observable pruning contract: only
+    // the requested fields, in the requested order
+    val pruned = Avro.readDistributed(spark, dir, columns = Seq("c5", "id"))
+    assert(pruned.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq("c5" -> "string", "id" -> "long"))
+    assert(pruned.orderBy($"id").collect().toSeq ==
+      wide.select($"c5", $"id").orderBy($"id").collect().toSeq)
+    // the single-file driver path prunes identically
+    val one = tmp("avro_prune_one") + "/t.avro"
+    Avro.write(spark, one, wide)
+    val p1 = Avro.read(spark, one, columns = Seq("c3", "c1"))
+    assert(p1.schema.map(_.name) == Seq("c3", "c1"))
+    assert(p1.count() == 60)
+    // unknown columns fail loudly, naming what the schema has
+    val e = intercept[IllegalArgumentException] {
+      Avro.read(spark, one, columns = Seq("nope")).collect()
+    }
+    assert(e.getMessage.contains("nope") && e.getMessage.contains("c4"),
+      e.getMessage)
+  }
+
+  test("ingest rejects over-bound container files with an actionable error") {
+    import spark.implicits._
+    val path = tmp("avro_bound") + "/t.avro"
+    Avro.write(spark, path, Seq((1L, "x")).toDF("id", "s"))
+    val e = intercept[IllegalArgumentException] {
+      Avro.read(spark, path, maxFileBytes = 10L)
+    }
+    assert(e.getMessage.contains("writeDistributed") &&
+      e.getMessage.contains("parquet"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Avro.readDistributed(spark, path, maxFileBytes = 10L)
+    }
+    assert(e2.getMessage.contains("parquet"), e2.getMessage)
+  }
+
   test("distributed read decodes many container files on executors") {
     import spark.implicits._
     val dir = tmp("avro_fleet")
