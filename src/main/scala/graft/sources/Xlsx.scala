@@ -52,8 +52,12 @@ object Xlsx {
         case '"' => b.append("&quot;")
         // control chars are illegal as XML 1.0 character data — encode
         // via OOXML's _xHHHH_ convention (what POI emits) so the value
-        // SURVIVES a roundtrip instead of being silently dropped
-        case _ if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+        // SURVIVES a roundtrip instead of being silently dropped. '\r'
+        // is escaped too even though it IS legal XML: §2.11 requires
+        // parsers to normalize CR/CRLF to LF, so a literal '\r' would
+        // silently read back as '\n'. '\t'/'\n' are legal AND
+        // normalization-stable in element content, so they stay literal.
+        case _ if c < ' ' && c != '\t' && c != '\n' =>
           b.append(f"_x${c.toInt}%04X_")
         // a literal substring that LOOKS like an escape must have its
         // underscore escaped, or decode would eat it
@@ -463,7 +467,8 @@ object Xlsx {
     * by the format's 1,048,576-row sheet cap and guarded here
     * explicitly. This is the 100 TB shape for spreadsheet drops:
     * parallel parse → land to parquet once. */
-  def readDistributed(s: SparkSession, glob: String, sheet: String): DataFrame = {
+  def readDistributed(s: SparkSession, glob: String, sheet: String,
+      columns: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.col
     val gp = new org.apache.hadoop.fs.Path(glob)
     val fs = gp.getFileSystem(s.sessionState.newHadoopConf())
@@ -483,8 +488,23 @@ object Xlsx {
     val in = fs.open(first.getPath)
     val bytes = try in.readAllBytes() finally in.close()
     val (header, data) = readSheet(bytes, sheet)
-    val types = header.indices.map(c => inferType(data.map(_(c))))
-    val schema = StructType(header.zip(types).map {
+    // `columns` prunes the EXECUTOR-side materialization to those
+    // header columns, in the requested order: only they are
+    // type-inferred, cast, and packed into Rows. (The sheet XML itself
+    // is still scanned per file — SpreadsheetML is row-major with no
+    // column substructure to seek past, so decode-skip is the honest
+    // floor here, unlike Avro's byte-level field skipping.)
+    val selected: IndexedSeq[Int] =
+      if (columns.isEmpty) header.indices
+      else columns.map { c =>
+        val i = header.indexOf(c)
+        require(i >= 0, s"column '$c' not in sheet '$sheet' header " +
+          s"(has: ${header.mkString(", ")})")
+        i
+      }.toIndexedSeq
+    val outHeader = selected.map(header(_))
+    val types = selected.map(c => inferType(data.map(_(c))))
+    val schema = StructType(outHeader.zip(types).map {
       case (n, t) => StructField(n, t, nullable = true)
     })
     val rowRdd = files.rdd.flatMap { r =>
@@ -492,12 +512,12 @@ object Xlsx {
       val (h, rows) = readSheet(r.getAs[Array[Byte]](1), sheet)
       require(h.sameElements(header),
         s"workbook header mismatch in $path: ${h.mkString(",")} vs ${header.mkString(",")}")
-      rows.map(cells => Row.fromSeq(header.indices.map { c =>
-        try cast(cells(c), types(c))
+      rows.map(cells => Row.fromSeq(selected.indices.map { i =>
+        try cast(cells(selected(i)), types(i))
         catch {
           case e: Exception => throw new IllegalArgumentException(
-            s"$path sheet '$sheet' column '${header(c)}': value " +
-              s"'${cells(c)}' does not fit inferred type ${types(c)} " +
+            s"$path sheet '$sheet' column '${outHeader(i)}': value " +
+              s"'${cells(selected(i))}' does not fit inferred type ${types(i)} " +
               "(types are pinned from the first listed workbook)", e)
         }
       }))

@@ -217,10 +217,16 @@ class PropertySpec extends SparkSpec {
 
   test("xlsx escape convention roundtrips arbitrary strings (incl. control chars)") {
     import graft.sources.Xlsx
-    // inverse of the XML entity layer the StAX reader applies, so
+    // inverse of the XML layer the StAX reader applies, so
     // decode(unescapeXml(esc(s))) must equal s for ANY string —
-    // control chars, literal _xHHHH_ lookalikes, entities, unicode
+    // control chars, literal _xHHHH_ lookalikes, entities, unicode.
+    // Models the parser faithfully: XML 1.0 §2.11 line-ending
+    // normalization (CR/CRLF → LF, applied to the raw input before
+    // entity expansion) FIRST, then the entity layer — so an esc that
+    // let a literal '\r' through would fail this roundtrip, exactly as
+    // it would corrupt a real read-back.
     def unescapeXml(s: String): String = s
+      .replace("\r\n", "\n").replace("\r", "\n")
       .replace("&lt;", "<").replace("&gt;", ">")
       .replace("&quot;", "\"").replace("&amp;", "&")
     val charGen = Gen.frequency(
@@ -237,9 +243,11 @@ class PropertySpec extends SparkSpec {
     } yield s
     samples(Gen.listOfN(12, strGen).map(_.mkString), 40).foreach { s =>
       val enc = Xlsx.esc(s)
-      // XML 1.0 validity: nothing below 0x20 except tab/LF/CR survives
-      assert(enc.forall(c => c >= ' ' || c == '\t' || c == '\n' || c == '\r'),
-        s"esc left an illegal control char in: ${enc.toList}")
+      // XML 1.0 validity + normalization-stability: nothing below 0x20
+      // except tab/LF survives — a literal CR would be LEGAL but reads
+      // back as LF after §2.11 normalization, so esc must encode it
+      assert(enc.forall(c => c >= ' ' || c == '\t' || c == '\n'),
+        s"esc left an illegal/normalization-unstable control char in: ${enc.toList}")
       val back = Xlsx.decodeXEscapes(unescapeXml(enc))
       assert(back == s,
         s"roundtrip mismatch for ${s.toList}: got ${back.toList}")

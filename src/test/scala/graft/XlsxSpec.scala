@@ -120,7 +120,10 @@ class XlsxSpec extends SparkSpec {
     val df = Seq(
       (1L, "bellandvt"),
       (2L, "literal _x0041_ stays"),
-      (3L, "tab\tand\nnewline ok")
+      (3L, "tab\tand\nnewline ok"),
+      // '\r' is LEGAL XML but parsers normalize CR/CRLF→LF (§2.11), so
+      // it must travel as _x000D_ or it silently reads back as '\n'
+      (4L, "cr\rand crlf\r\nmust survive")
     ).toDF("id", "s")
     val path = tmp("xlsx_ctrl") + "/wb.xlsx"
     Xlsx.write(spark, path, Seq("data" -> df))
@@ -129,7 +132,8 @@ class XlsxSpec extends SparkSpec {
     assert(back == Seq(
       (1L, "bellandvt"),
       (2L, "literal _x0041_ stays"),
-      (3L, "tab\tand\nnewline ok")), back.toString)
+      (3L, "tab\tand\nnewline ok"),
+      (4L, "cr\rand crlf\r\nmust survive")), back.toString)
   }
 
   test("writer rejects sheet names Excel would reject") {
@@ -260,5 +264,30 @@ class XlsxSpec extends SparkSpec {
     assert(all.agg(sum($"id")).head().getLong(0) == (0 until 30).sum)
     // parse runs in tasks, not on the driver: more than one input task
     assert(all.rdd.getNumPartitions >= 1)
+  }
+
+  test("distributed read prunes to requested columns, in request order") {
+    import spark.implicits._
+    val dir = tmp("xlsx_fleet_prune")
+    (0 until 2).foreach { i =>
+      val part = spark.range(i * 5, i * 5 + 5)
+        .select($"id", ($"id" * 2.5).as("v"),
+          concat(lit("n"), $"id").as("name"), ($"id" % 2 === 0).as("even"))
+      Xlsx.write(spark, s"$dir/part$i.xlsx", Seq("data" -> part))
+    }
+    // the emitted Row schema is the observable pruning contract: only
+    // the requested columns are inferred, cast, and materialized
+    val pruned = Xlsx.readDistributed(spark, s"$dir/*.xlsx", "data",
+      columns = Seq("name", "id"))
+    assert(pruned.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq("name" -> "string", "id" -> "long"))
+    assert(pruned.orderBy($"id").as[(String, Long)].collect().toSeq ==
+      (0L until 10L).map(i => (s"n$i", i)))
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.readDistributed(spark, s"$dir/*.xlsx", "data",
+        columns = Seq("absent"))
+    }
+    assert(e.getMessage.contains("absent") && e.getMessage.contains("name"),
+      e.getMessage)
   }
 }
