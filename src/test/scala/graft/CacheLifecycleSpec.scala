@@ -32,4 +32,25 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(!spark.sharedState.cacheManager.isEmpty,
       "query should have re-registered its shared cache")
   }
+
+  test("repeated stripBoilerplate calls retire the previous covered cache") {
+    import spark.implicits._
+    graft.util.Caches.clear(spark)
+    // distinct corpora per call → distinct covered plans; without the
+    // slot swap each call would leak one storage entry until a full
+    // clear (the round-8 verdict's long-lived-session leak)
+    def corpus(tag: String) = (0 until 40).map(i =>
+      (i.toLong, s"$tag shared boiler plate header $i body words here"))
+      .toDF("doc_id", "text")
+    def cachedNow = spark.sparkContext.getRDDStorageInfo.count(_.isCached)
+    val sizes = (0 until 3).map { k =>
+      ops.LlmOps.stripBoilerplate(spark, corpus(s"v$k"), 3, 5).count()
+      // unpersist is async — poll briefly before judging
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (cachedNow > 1 && System.nanoTime() < deadline) Thread.sleep(100)
+      cachedNow
+    }
+    assert(sizes.forall(_ <= 1), s"covered caches accumulated: $sizes")
+    graft.util.Caches.clear(spark)
+  }
 }

@@ -154,6 +154,10 @@ class ScaleSpec extends SparkSpec {
       // iterates over a flat scan instead of a tree-expanded subtree
       "q_dedup_clusters" -> "materializes the pair table (once per JVM)",
       "q_dedup_prune" -> "materializes the pair table (once per JVM)",
+      // build-once/query-many: the k-means index build lands centroids
+      // + cluster-partitioned inverted lists in scratch parquet on the
+      // first call; probes read the flat, partition-pruned index
+      "q_sim_ann_ivf" -> "materializes the IVF index (once per JVM)",
       // the replays run a real streaming query to completion
       "q_stream_tumbling_replay" -> "runs a streaming query",
       "q_stream_sliding_replay" -> "runs a streaming query",
