@@ -177,6 +177,100 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[String]("c_mktsegment") != null)
   }
 
+  /** One single-part parquet file per micro-batch: write via Spark,
+    * move the part file to `dir/name`, pin mtime so the file source's
+    * (timestamp, path) ordering is deterministic. */
+  private def writeSplitFile(rows: Seq[EventRow], dir: java.nio.file.Path,
+      name: String, mtime: Long): Unit = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ss_split_tmp")
+    rows.toDF().coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .get
+    java.nio.file.Files.copy(part.toPath, dir.resolve(name))
+    assert(dir.resolve(name).toFile.setLastModified(mtime))
+    graft.util.Scratch.deleteRecursively(tmp)
+  }
+
+  private def runSplitJoin(srcDir: java.nio.file.Path,
+      name: String): (Set[(Long, Long)], Int) = {
+    import spark.implicits._
+    val schema = Seq.empty[EventRow].toDF().schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = StreamingOps.attachClicks(src.filter($"event_type" === "view"),
+        src.filter($"event_type" === "click"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    (spark.table(name).select($"imp_id", $"click_id")
+      .as[(Long, Long)].collect().toSet, batches)
+  }
+
+  test("stream-stream join is exact across multiple micro-batches (in-order)") {
+    // The hard part the single-file replay can't stress: ≥2 real
+    // micro-batches (split source + maxFilesPerTrigger=1) with a
+    // watermark advance between them and a CROSS-BATCH match — a
+    // file-2 click attributed to a file-1 impression whose state
+    // survived eviction. With in-order arrivals inside the 20-minute
+    // watermark delay, append must emit exactly the batch join.
+    val srcDir = java.nio.file.Files.createTempDirectory("ss_join_ordered")
+    writeSplitFile(Seq(
+      EventRow(1, ts(1), 1, "view", 0), EventRow(2, ts(5), 1, "click", 0),
+      EventRow(3, ts(20), 2, "view", 0), EventRow(4, ts(29), 2, "click", 0)),
+      srcDir, "f1.parquet", 1000000L)
+    // batch 2: click 5 @00:25 is a CROSS-BATCH match for view 3 @00:20
+    // (click watermark after batch 1 = 00:29 − 20 min = 00:09, so
+    // neither the click is late nor view 3's state evicted)
+    writeSplitFile(Seq(
+      EventRow(5, ts(25), 2, "click", 0),
+      EventRow(6, ts(31), 1, "view", 0), EventRow(7, ts(35), 1, "click", 0)),
+      srcDir, "f2.parquet", 2000000L)
+    val (got, batches) = runSplitJoin(srcDir, "ss_multi_ordered")
+    assert(batches >= 2, s"expected a multi-batch run, got $batches batches")
+    // the full batch join of the union — including the cross-batch pair
+    assert(got == Set((1L, 2L), (3L, 4L), (3L, 5L), (6L, 7L)), got.toString)
+  }
+
+  test("stream-stream join drops exactly the watermark-late rows (documented)") {
+    // The legitimate divergence from the batch oracle, pinned — with
+    // the two semantics this test empirically forced us to document:
+    // (1) the GLOBAL watermark is the MIN across all watermarked
+    // sources (multipleWatermarkPolicy default), so BOTH sides need a
+    // batch-1 driver event to advance it; (2) join state is evicted at
+    // END of a batch after the watermark passes it, so a late row in
+    // the IMMEDIATELY-next batch can still match (Spark's guarantee is
+    // no-false-DROPS, not guaranteed drops) — the guaranteed-drop
+    // regime needs an intervening batch whose cleanup ran. Earlier
+    // versions of this test missing either ingredient saw the "late"
+    // pair emitted.
+    val srcDir = java.nio.file.Files.createTempDirectory("ss_join_late")
+    writeSplitFile(Seq(
+      EventRow(1, ts(1), 1, "view", 0),
+      EventRow(2, ts(59), 8, "view", 0),   // imp watermark → 00:39
+      EventRow(3, ts(59), 9, "click", 0)), // click watermark → 00:39
+      srcDir, "f1.parquet", 1000000L)
+    // batch 2 runs with watermark 00:39 and its end-of-batch cleanup
+    // evicts view 1 (retained only to imp_ts + 10 min = 00:11)
+    writeSplitFile(Seq(EventRow(4, ts(58), 7, "view", 0)),
+      srcDir, "f2.parquet", 2000000L)
+    // batch 3: click 5 @00:05 would match view 1 in the batch join,
+    // but its impression's state is gone and the row is below the
+    // watermark — the replay legitimately emits nothing
+    writeSplitFile(Seq(EventRow(5, ts(5), 1, "click", 0)),
+      srcDir, "f3.parquet", 3000000L)
+    val (got, batches) = runSplitJoin(srcDir, "ss_multi_late")
+    assert(batches >= 3, s"expected a 3-batch run, got $batches batches")
+    // batch join would be {(1,5)}; the replay legitimately emits nothing
+    assert(got == Set.empty[(Long, Long)],
+      s"late click should have been dropped by the watermark: $got")
+  }
+
   test("batch twin agrees with a foreachBatch streaming replay") {
     import spark.implicits._
     // batch result on sf0.001
