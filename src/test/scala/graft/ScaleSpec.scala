@@ -324,6 +324,19 @@ class ScaleSpec extends SparkSpec {
     assert(r.isNullAt(0), "NULL element must poison the fingerprint")
   }
 
+  test("IVF probe partition-prunes the persisted inverted lists") {
+    // the build-once index's scale claim: the probe joins the lists on
+    // their PARTITION column through a broadcast of the nprobe winning
+    // clusters, so Spark must plan DYNAMIC partition pruning on the
+    // lists scan — without it every probe re-reads all k inverted
+    // lists and the index buys nothing at 100 TB
+    val df = ops.LlmOps.qSimAnnIvf(spark, sfDir)
+    df.collect() // finalize the AQE plan (DPP subquery is runtime-planned)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(cluster_id"),
+      s"no dynamic partition pruning on the inverted-lists scan:\n$plan")
+  }
+
   test("dot_product participates in whole-stage codegen") {
     import spark.implicits._
     val df = graft.util.Tables.embeddings(spark, sfDir)
