@@ -232,14 +232,19 @@ object Avro {
     * Hadoop-visible filesystem), deflate-compressed. Streams row by
     * row through the block writer — driver memory is O(block), but the
     * driver IS the single writer: use `writeDistributed` for anything
-    * bigger than an interchange drop. */
+    * bigger than an interchange drop. Same commit shape as the
+    * distributed sink: the stream lands in a hidden `.tmp` sibling and
+    * is renamed into place only after a clean close, so a driver crash
+    * mid-write cannot leave a truncated OCF at the final path. */
   def write(s: SparkSession, path: String, df: DataFrame): Unit = {
     val avroSchema = toAvroSchema(df.schema)
     val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, "." + p.getName + ".tmp")
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
       .setCodec(CodecFactory.deflateCodec(6))
-      .create(avroSchema, fs.create(p, true))
+      .create(avroSchema, fs.create(tmp, true))
     try {
       val names = df.schema.fieldNames
       df.toLocalIterator().asScala.foreach { row =>
@@ -248,6 +253,11 @@ object Avro {
         w.append(rec)
       }
     } finally w.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"failed to commit $tmp -> $p")
+    }
   }
 
   /** The ingest paths hold a WHOLE container file in memory (driver

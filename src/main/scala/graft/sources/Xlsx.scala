@@ -483,6 +483,13 @@ object Xlsx {
       s"schema peek reads the whole first workbook on the driver; " +
         s"${first.getPath} is ${first.getLen} bytes (> 512 MiB) — not " +
         "an interchange-sized .xlsx")
+    // every workbook is one whole-file executor task (binaryFile) —
+    // bound the rest of the fleet too, from the listing we already
+    // have, so one huge drop fails loudly instead of straggling/OOMing
+    candidates.foreach(st => require(st.getLen <= 512L * 1024 * 1024,
+      s"xlsx ingest holds a whole workbook in one task; ${st.getPath} " +
+        s"is ${st.getLen} bytes (> 512 MiB) — split the workbook or " +
+        "land it to parquet"))
     val files = s.read.format("binaryFile").load(glob)
       .select(col("path"), col("content"))
     val in = fs.open(first.getPath)

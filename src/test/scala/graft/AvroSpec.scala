@@ -192,6 +192,20 @@ class AvroSpec extends SparkSpec {
     assert(Avro.parseAll(bytes)._2 == Seq(Seq(1L, "a"), Seq(2L, "b")))
   }
 
+  test("single-file write commits via a hidden temp (no partial finals)") {
+    import spark.implicits._
+    val dir = tmp("avro_single_commit")
+    val path = s"$dir/t.avro"
+    Avro.write(spark, path, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val names = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(names.contains("t.avro"), names.toString)
+    assert(!names.exists(_.endsWith(".tmp")), names.toString)
+    assert(Avro.read(spark, path).count() == 2)
+    // overwrite commits cleanly too (delete-then-rename path)
+    Avro.write(spark, path, Seq((9L, "z")).toDF("id", "s"))
+    assert(Avro.read(spark, path).count() == 1)
+  }
+
   test("pruned read decodes only the requested columns, in request order") {
     import spark.implicits._
     val dir = tmp("avro_prune") + "/t.avro"
