@@ -20,20 +20,31 @@ import org.apache.spark.sql.functions._
   * 100 TB posture — each sheet is a plan, not a materialized table, so
   * a load → filter → upsert → save pipeline runs as one distributed
   * job per sheet with full pushdown/pruning, never a driver-side copy.
+  * Laziness extends to the interchange formats: `load` defers each
+  * avro/xlsx sheet's parse to first access (memoized, shared across
+  * the copy-on-write lineage), so loading a wide directory costs only
+  * the sheets actually touched.
   */
 final class Workbook private (
     val spark: SparkSession,
-    private val sheets: Map[String, DataFrame]) {
+    private val sheets: Map[String, () => DataFrame]) {
 
   def sheetNames: Seq[String] = sheets.keys.toSeq.sorted
 
+  /** The sheet's frame. Interchange sheets (avro/xlsx) loaded via
+    * `load` parse LAZILY on first access — memoized once per loaded
+    * file and SHARED across workbooks derived with the verbs below, so
+    * a 50-sheet directory costs only the sheets a pipeline touches. */
   def sheet(name: String): DataFrame =
     sheets.getOrElse(name, throw new NoSuchElementException(
-      s"no sheet '$name'; workbook has: ${sheetNames.mkString(", ")}"))
+      s"no sheet '$name'; workbook has: ${sheetNames.mkString(", ")}"))()
 
   /** Sheet list + header rows (the reference's workbook introspection;
     * same shape as the oracle-checked `q_catalog_tables`): name, column
-    * count, '|'-joined header — from schema metadata, no data scan. */
+    * count, '|'-joined header — from schema metadata, no data scan.
+    * (Interchange sheets must be PARSED for their schema — xlsx infers
+    * types from cells — so introspecting a lazily-loaded workbook
+    * forces every sheet's one-time parse.) */
   def introspect: DataFrame = {
     import spark.implicits._
     sheetNames
@@ -48,10 +59,13 @@ final class Workbook private (
   /** Add or replace a sheet wholesale (the primitive every verb below
     * derives from). */
   def withSheet(name: String, df: DataFrame): Workbook =
-    new Workbook(spark, sheets + (name -> df))
+    new Workbook(spark, sheets + (name -> (() => df)))
 
   def dropSheet(name: String): Workbook = {
-    sheet(name) // fail fast on unknown names
+    // fail fast on unknown names — a key check, not a force: dropping
+    // a lazy sheet must not parse it first
+    require(sheets.contains(name),
+      s"no sheet '$name'; workbook has: ${sheetNames.mkString(", ")}")
     new Workbook(spark, sheets - name)
   }
 
@@ -224,7 +238,14 @@ object Workbook {
   /** An in-memory workbook over existing frames (the programmatic
     * entry; `load` is the storage entry). */
   def apply(spark: SparkSession, sheets: Map[String, DataFrame]): Workbook =
-    new Workbook(spark, sheets)
+    new Workbook(spark, sheets.map { case (n, df) => n -> (() => df) })
+
+  /** Memoize a sheet thunk: the underlying parse runs at most once,
+    * and — because derived workbooks share the closure — at most once
+    * across the whole copy-on-write lineage. */
+  private def memo(f: () => DataFrame): () => DataFrame = {
+    lazy val v = f(); () => v
+  }
 
   /** Load a directory of sheets: every `<name>.parquet` and
     * `<name>.csv` entry (file or partitioned directory — the readers
@@ -236,7 +257,15 @@ object Workbook {
     * row and schema inference (a one-off data scan; convert big sheets
     * to parquet via `save` for footer-only loads and pushdown).
     * Listing uses the Hadoop FS of the path, so `dir` may live on any
-    * configured filesystem (local, HDFS, object store). */
+    * configured filesystem (local, HDFS, object store).
+    *
+    * Load is LAZY about sheet CONTENT: listing, xlsx sheet-name
+    * discovery, and the cross-workbook collision check run here, but
+    * the per-sheet parse/scan is deferred to first access and memoized
+    * once per loaded file (all sheets of one workbook share its single
+    * parse). A directory of 50 interchange sheets costs only the
+    * sheets a pipeline touches — the price is that a CORRUPT sheet
+    * file surfaces at first access, not at load. */
   def load(spark: SparkSession, dir: String): Workbook = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -244,19 +273,31 @@ object Workbook {
     val entries = fs.listStatus(path).toSeq.map(_.getPath.getName)
     def sheets(suffix: String, read: String => DataFrame) = entries
       .filter(_.endsWith(suffix)).map(_.stripSuffix(suffix))
-      .map(n => n -> read(s"$dir/$n$suffix")).toMap
-    val xlsxSheets = entries.filter(_.endsWith(".xlsx")).sorted
-      .flatMap(f => sources.Xlsx.read(spark, s"$dir/$f").toSeq
-        .map { case (n, df) => (f, n, df) })
+      .map(n => n -> memo(() => read(s"$dir/$n$suffix"))).toMap
+    // xlsx sheet NAMES are read structurally at load (workbook.xml
+    // only — needed for the sheet map and the collision check); the
+    // cell parse is deferred, one memoized parse per FILE shared by
+    // every sheet in it
+    val xlsxFiles = entries.filter(_.endsWith(".xlsx")).sorted
+    val xlsxPairs = xlsxFiles.flatMap { f =>
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/$f"))
+      val bytes = try in.readAllBytes() finally in.close()
+      sources.Xlsx.sheetNames(bytes).map(n => (f, n))
+    }
     // a name colliding ACROSS workbook files would silently last-win in
     // a toMap — fail fast instead (same stance as dropColumn: silent
     // drops hide mistakes)
-    val dupXlsx = xlsxSheets.groupBy(_._2).filter(_._2.size > 1)
+    val dupXlsx = xlsxPairs.groupBy(_._2).filter(_._2.size > 1)
     require(dupXlsx.isEmpty,
       s"sheet name(s) appear in multiple .xlsx workbooks: " +
         dupXlsx.map { case (n, fs) =>
           s"'$n' in ${fs.map(_._1).mkString(", ")}" }.mkString("; "))
-    val xlsx = xlsxSheets.map { case (_, n, df) => n -> df }.toMap
+    val parseFile: Map[String, () => Map[String, DataFrame]] =
+      xlsxFiles.map { f =>
+        f -> { lazy val m = sources.Xlsx.read(spark, s"$dir/$f"); () => m }
+      }.toMap
+    val xlsx = xlsxPairs
+      .map { case (f, n) => n -> (() => parseFile(f)()(n)) }.toMap
     val avro = sheets(".avro", p => sources.Avro.read(spark, p))
     val csv = sheets(".csv", p => spark.read
       .option("header", "true").option("inferSchema", "true").csv(p))

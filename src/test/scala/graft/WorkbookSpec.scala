@@ -289,4 +289,27 @@ class WorkbookSpec extends SparkSpec {
     assert(e.getMessage.contains("multiple .xlsx workbooks") &&
       e.getMessage.contains("a.xlsx") && e.getMessage.contains("b.xlsx"))
   }
+
+  test("interchange sheets parse lazily and memoize across the lineage") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("wb_lazy")
+    graft.sources.Avro.write(spark, s"$dir/nation.avro",
+      graft.util.Tables.nation(spark, sfDir))
+    // a corrupt sibling: with EAGER loading this load would throw; the
+    // lazy contract is load-succeeds, corrupt-sheet-fails-on-ACCESS
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "bad.avro"),
+      Array[Byte](1, 2, 3, 4))
+    val wb = Workbook.load(spark, dir)
+    assert(wb.sheetNames == Seq("bad", "nation"))
+    val n = wb.sheet("nation").count()
+    assert(n > 0)
+    intercept[Exception] { wb.sheet("bad").count() }
+    // memoized + shared across derived workbooks: delete the backing
+    // file after the first force — a re-parse anywhere in the lineage
+    // would now fail, so surviving proves the single-parse contract
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "nation.avro"))
+    val wb2 = wb.dropSheet("bad")
+      .addColumn("nation", "tag", lit("x"))
+    assert(wb2.sheet("nation").count() == n)
+  }
 }
