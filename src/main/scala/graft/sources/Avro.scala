@@ -293,15 +293,26 @@ object Avro {
     * requested order. Returns the file's WRITER schema (for fleet
     * mismatch checks) alongside the — possibly pruned — rows. */
   private[graft] def parseAll(bytes: Array[Byte],
-      columns: Seq[String] = Nil): (Schema, Seq[Seq[Any]]) = {
+      columns: Seq[String] = Nil): (Schema, Seq[Seq[Any]]) =
+    parseAllPruned(bytes, if (columns.isEmpty) None else Some(columns))
+
+  /** Like `parseAll`, but `Some(Nil)` means a genuinely EMPTY
+    * projection (a `count(*)` over the fleet): every field is
+    * skip-decoded and each row comes back zero-width, preserving only
+    * the row count — the shape Catalyst's column pruning hands the V2
+    * connector. `None` means no pruning. */
+  private[graft] def parseAllPruned(bytes: Array[Byte],
+      columns: Option[Seq[String]]): (Schema, Seq[Seq[Any]]) = {
     val datumReader = new GenericDatumReader[GenericRecord]()
     val in = new DataFileStream(new ByteArrayInputStream(bytes), datumReader)
     try {
       val writerSchema = in.getSchema
-      val effective =
-        if (columns.isEmpty) writerSchema
-        else { val p = prunedSchema(writerSchema, columns)
-               datumReader.setExpected(p); p }
+      val effective = columns match {
+        case None => writerSchema
+        case Some(cols) =>
+          val p = prunedSchema(writerSchema, cols)
+          datumReader.setExpected(p); p
+      }
       val fields = effective.getFields.asScala.toSeq
         .map(f => (f.name(), f.schema()))
       val rows = mutable.ArrayBuffer[Seq[Any]]()
@@ -353,8 +364,13 @@ object Avro {
     * read just the OCF header (magic + metadata block): DataFileStream
     * parses the schema at construction and we never iterate rows, so
     * the driver pulls O(header) bytes, never the whole file. */
-  private def peekSchema(s: SparkSession, glob: String,
-      maxFileBytes: Long): Schema = {
+  /** Resolve a glob (or directory) to its DATA files: hidden temps and
+    * markers filtered, the `_SUCCESS` commit contract enforced on any
+    * part-file directory, and every file bounded (each becomes one
+    * whole-file task). Shared by the RDD reader, the schema peek, and
+    * the DataSource V2 fleet connector so the three can never drift. */
+  private[graft] def listFleet(s: SparkSession, glob: String,
+      maxFileBytes: Long): Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -376,10 +392,15 @@ object Avro {
       case f => Seq(f)
     }
     require(files.nonEmpty, s"no avro files match: $glob")
-    // the binaryFile ingest is one whole-file task per file — bound
-    // every file up front, from the listing we already have
     files.foreach(requireIngestSized(_, maxFileBytes))
+    files
+  }
+
+  private[graft] def peekSchema(s: SparkSession, glob: String,
+      maxFileBytes: Long): Schema = {
+    val files = listFleet(s, glob, maxFileBytes)
     val first = files.map(_.getPath).minBy(_.toString)
+    val fs = first.getFileSystem(s.sessionState.newHadoopConf())
     val in = fs.open(first)
     try {
       val header = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
@@ -387,31 +408,24 @@ object Avro {
     } finally { try in.close() catch { case _: java.io.IOException => () } }
   }
 
-  /** Distributed ingest of MANY container files: binaryFile source
-    * (one task per file), Avro-decoded on EXECUTORS. Schema is pinned
-    * by a deterministic header-only driver peek (`peekSchema`); every
-    * task re-checks its own file against it, so a mixed-schema fleet
-    * fails loudly instead of mis-decoding. `columns` (optional) prunes
-    * the EXECUTOR-side decode to those fields via Avro reader-schema
-    * resolution — a 2-of-40-column read of a wide fleet skips the
-    * other 38 at the byte level instead of materializing them. */
+  /** Distributed ingest of MANY container files — a thin veneer over
+    * the `graft-avro` DataSource V2 connector (`AvroFleetSource`): one
+    * task per file, Avro-decoded on EXECUTORS, schema pinned by a
+    * deterministic header-only driver peek and re-checked per file, so
+    * a mixed-schema fleet fails loudly instead of mis-decoding.
+    * Because the connector implements `SupportsPushDownRequiredColumns`,
+    * ANY downstream projection — not just the explicit `columns`
+    * parameter, which is kept as a convenience for callers that know
+    * their subset up front — reaches executors as an Avro
+    * reader-schema that skip-decodes unprojected fields at the byte
+    * level. */
   def readDistributed(s: SparkSession, glob: String,
       columns: Seq[String] = Nil,
       maxFileBytes: Long = MaxIngestFileBytes): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val schema = peekSchema(s, glob, maxFileBytes)
-    val schemaJson = schema.toString // avro Schema is not serializable
-    val sparkSchema = toSparkSchema(
-      if (columns.isEmpty) schema else prunedSchema(schema, columns))
-    val files = s.read.format("binaryFile").load(glob)
-      .select(col("content"))
-    val rowRdd = files.rdd.flatMap { r =>
-      val expected = new Schema.Parser().parse(schemaJson)
-      val (got, rows) = parseAll(r.getAs[Array[Byte]](0), columns)
-      require(got == expected,
-        s"avro schema mismatch across files: $got vs $expected")
-      rows.map(Row.fromSeq)
-    }
-    s.createDataFrame(rowRdd, sparkSchema)
+    val df = s.read.format("graft-avro")
+      .option("maxFileBytes", maxFileBytes.toString)
+      .load(glob)
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
   }
 }

@@ -1,0 +1,178 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.Schema
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.util.SerializableHadoopConf
+
+/** DataSource V2 connector for the Avro fleet codec
+  * (`spark.read.format("graft-avro").load(dirOrGlob)`): the same
+  * listing contract as `Avro.listFleet` (hidden temps/markers
+  * filtered, `_SUCCESS` required on part-file directories, per-file
+  * size bound), one `InputPartition` per container file, and — the
+  * point of going through Catalyst instead of an RDD — REAL column
+  * pruning: the connector implements `SupportsPushDownRequiredColumns`,
+  * so ANY downstream projection reaches the executors as an Avro
+  * reader-schema that skip-decodes unprojected fields at the byte
+  * level. A user never passes a column list; `df.select(a, b)` over a
+  * 40-column fleet decodes 2 columns, visible in the plan's BatchScan
+  * ReadSchema. `Avro.readDistributed` delegates here, so the
+  * `Workbook` avro path inherits the pruning transparently.
+  *
+  * Scale: the schema is pinned by one driver-side header peek
+  * (bounded, like a parquet footer read); every task re-checks its own
+  * file's writer schema against it, so a mixed-schema fleet fails
+  * loudly per file instead of mis-decoding. Executors resolve their
+  * filesystem from a serialized session Hadoop conf carried by the
+  * reader factory — never a bare default `Configuration`.
+  */
+class AvroFleetSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-avro"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-avro needs a single load path (directory, file, or glob)")
+    p
+  }
+
+  private def maxBytesOf(options: CaseInsensitiveStringMap): Long =
+    Option(options.get("maxFileBytes")).map(_.toLong)
+      .getOrElse(Avro.MaxIngestFileBytes)
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Avro.toSparkSchema(Avro.peekSchema(SparkSession.active,
+      pathOf(options), maxBytesOf(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts))
+  }
+}
+
+private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
+    maxFileBytes: Long) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-avro `$path`"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroFleetScanBuilder(tableSchema, path, maxFileBytes)
+}
+
+private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
+    path: String, maxFileBytes: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  // Catalyst hands us the projected subset; empty projections (pure
+  // count(*)) arrive as an empty struct — decode zero fields, keep rows
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new AvroFleetScan(fullSchema, required, path, maxFileBytes)
+}
+
+private[sources] class AvroFleetScan(fullSchema: StructType,
+    required: StructType, path: String, maxFileBytes: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-avro $path ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val s = SparkSession.active
+    // deterministic partition order (listing order is no contract)
+    Avro.listFleet(s, path, maxFileBytes)
+      .map(_.getPath.toString).sorted
+      .map(AvroFilePartition(_)).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = SparkSession.active
+    val expectedJson = Avro.toAvroSchema(fullSchema).toString
+    new AvroFleetReaderFactory(expectedJson, required.fieldNames,
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+  }
+}
+
+private[sources] case class AvroFilePartition(file: String)
+    extends InputPartition
+
+/** Serialized per task; carries the session Hadoop conf so executor
+  * filesystem resolution honors `spark.hadoop.*` settings. */
+private[sources] class AvroFleetReaderFactory(expectedSchemaJson: String,
+    columns: Array[String], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[AvroFilePartition].file
+    new PartitionReader[InternalRow] {
+      private var it: Iterator[Seq[Any]] = _
+      private var row: Seq[Any] = _
+
+      private def ensureOpen(): Unit = if (it == null) {
+        val path = new org.apache.hadoop.fs.Path(file)
+        val fs = path.getFileSystem(conf.value)
+        val in = fs.open(path)
+        val bytes = try in.readAllBytes() finally in.close()
+        // Some(Nil) on an empty projection: zero-width rows, row count
+        // preserved — exactly what a pruned-to-nothing count(*) needs
+        val (writer, rows) =
+          Avro.parseAllPruned(bytes, Some(columns.toIndexedSeq))
+        val expected = new Schema.Parser().parse(expectedSchemaJson)
+        require(writer == expected,
+          s"avro schema mismatch in $file: $writer vs $expected")
+        it = rows.iterator
+      }
+
+      override def next(): Boolean = {
+        ensureOpen()
+        if (it.hasNext) { row = it.next(); true } else false
+      }
+
+      override def get(): InternalRow =
+        new GenericInternalRow(row.map(AvroFleetReaderFactory.toCatalyst).toArray)
+
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] object AvroFleetReaderFactory {
+  /** External → catalyst value for the flat types the codec carries
+    * (same temporal math as the writer's `toAvroValue`). */
+  def toCatalyst(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    case other => other
+  }
+}

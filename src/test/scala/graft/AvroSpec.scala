@@ -235,6 +235,35 @@ class AvroSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("graft-avro V2 connector prunes decode from any downstream projection") {
+    import spark.implicits._
+    val dir = tmp("avro_v2") + "/t.avro"
+    val wide = spark.range(0, 40, 1, 2).select(
+      $"id", ($"id" * 1.5).as("c1"), concat(lit("s"), $"id").as("c2"),
+      to_date(lit("2024-01-15")).as("d"))
+    Avro.writeDistributed(spark, dir, wide)
+    // no explicit column list anywhere: Catalyst pushes the projection
+    // into the scan via SupportsPushDownRequiredColumns, and the
+    // BatchScan's ReadSchema (surfaced in the scan description) proves
+    // the executors decode exactly the selected fields
+    val df = spark.read.format("graft-avro").load(dir).select($"c2", $"id")
+    assert(df.orderBy($"id").collect().toSeq ==
+      wide.select($"c2", $"id").orderBy($"id").collect().toSeq)
+    // Catalyst keeps the scan in ORIGINAL field order and reorders via
+    // a Project above it — the scan itself carries only the 2 fields
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan)
+    assert(plan.contains("ReadSchema: struct<id:bigint,c2:string>"), plan)
+    // empty projection (count(*)): zero fields decoded, count preserved
+    assert(spark.read.format("graft-avro").load(dir).count() == 40)
+    // readDistributed is now a veneer over the connector — a plain
+    // select through it prunes identically
+    val viaApi = Avro.readDistributed(spark, dir).select($"d", $"id")
+    val apiPlan = viaApi.queryExecution.executedPlan.toString
+    assert(apiPlan.contains("ReadSchema: struct<id:bigint,d:date>"), apiPlan)
+    assert(viaApi.count() == 40)
+  }
+
   test("ingest rejects over-bound container files with an actionable error") {
     import spark.implicits._
     val path = tmp("avro_bound") + "/t.avro"
