@@ -217,9 +217,12 @@ final class Workbook private (
         // multi-partition sheets take the executor-side per-partition
         // sink (no driver bottleneck — avro has no format row cap to
         // bound a driver-streamed write); single-partition sheets stay
-        // one interchange file. Dataset.rdd is a lazy val, so this
-        // partition probe and the distributed write plan ONCE.
-        if (df.rdd.getNumPartitions > 1)
+        // one interchange file. Probe partitioning via the INTERNAL
+        // row RDD: `Dataset.rdd` would wrap the plan in an extra
+        // deserializer stage just to count partitions, while
+        // queryExecution.toRdd reuses the already-planned physical
+        // query (cached lazy val — the write plans once either way).
+        if (df.queryExecution.toRdd.getNumPartitions > 1)
           sources.Avro.writeDistributed(spark, s"$dir/$n.avro", df)
         else sources.Avro.write(spark, s"$dir/$n.avro", df)
       }

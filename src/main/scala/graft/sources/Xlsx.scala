@@ -410,7 +410,7 @@ object Xlsx {
     else StringType
   }
 
-  private def cast(v: String, dt: DataType): Any =
+  private[sources] def cast(v: String, dt: DataType): Any =
     if (v == null) null
     else dt match {
       case LongType => v.trim.toLong
@@ -451,25 +451,12 @@ object Xlsx {
     }.toMap
   }
 
-  /** Distributed ingest of MANY workbooks: list them with the
-    * binaryFile source (one task per file) and parse the named sheet on
-    * EXECUTORS. The schema — header AND inferred types — comes from one
-    * driver-side peek at the lexicographically FIRST workbook —
-    * deterministic across runs (a binaryFile `head()`'s listing order
-    * is no contract) — so all files must share the header and every
-    * file's cells must fit that file's inferred types (a type that
-    * only widens in a later file, e.g. a stray string in a numeric
-    * column, fails that file's task with a per-file error naming the
-    * column; pass data through an all-string header sheet or land via
-    * per-file `read` if the fleet's types are dirty). Type inference
-    * needs the sheet's DATA, so unlike Avro's header-only peek the
-    * whole first workbook is read on the driver — bounded in practice
-    * by the format's 1,048,576-row sheet cap and guarded here
-    * explicitly. This is the 100 TB shape for spreadsheet drops:
-    * parallel parse → land to parquet once. */
-  def readDistributed(s: SparkSession, glob: String, sheet: String,
-      columns: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.col
+  /** Resolve a glob (or directory) to the fleet's workbook files, each
+    * bounded: every workbook is one whole-file executor task, so one
+    * huge drop must fail loudly instead of straggling/OOMing. Shared
+    * by the schema peek and the `graft-xlsx` V2 connector. */
+  private[sources] def listWorkbooks(s: SparkSession,
+      glob: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val gp = new org.apache.hadoop.fs.Path(glob)
     val fs = gp.getFileSystem(s.sessionState.newHadoopConf())
     val matched = Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
@@ -478,57 +465,47 @@ object Xlsx {
       case f => Seq(f)
     }
     require(candidates.nonEmpty, s"no workbooks match: $glob")
-    val first = candidates.minBy(_.getPath.toString)
-    require(first.getLen <= 512L * 1024 * 1024,
-      s"schema peek reads the whole first workbook on the driver; " +
-        s"${first.getPath} is ${first.getLen} bytes (> 512 MiB) — not " +
-        "an interchange-sized .xlsx")
-    // every workbook is one whole-file executor task (binaryFile) —
-    // bound the rest of the fleet too, from the listing we already
-    // have, so one huge drop fails loudly instead of straggling/OOMing
     candidates.foreach(st => require(st.getLen <= 512L * 1024 * 1024,
       s"xlsx ingest holds a whole workbook in one task; ${st.getPath} " +
         s"is ${st.getLen} bytes (> 512 MiB) — split the workbook or " +
         "land it to parquet"))
-    val files = s.read.format("binaryFile").load(glob)
-      .select(col("path"), col("content"))
+    candidates
+  }
+
+  /** Fleet schema peek: header + inferred types from the
+    * lexicographically FIRST workbook (deterministic; type inference
+    * needs the sheet's DATA, so unlike Avro's header-only peek the
+    * whole first workbook is read on the driver — bounded by
+    * `listWorkbooks`' per-file guard). */
+  private[sources] def peekFleetSchema(s: SparkSession, glob: String,
+      sheet: String): (Array[String], IndexedSeq[DataType]) = {
+    val first = listWorkbooks(s, glob).minBy(_.getPath.toString)
+    val fs = first.getPath.getFileSystem(s.sessionState.newHadoopConf())
     val in = fs.open(first.getPath)
     val bytes = try in.readAllBytes() finally in.close()
     val (header, data) = readSheet(bytes, sheet)
-    // `columns` prunes the EXECUTOR-side materialization to those
-    // header columns, in the requested order: only they are
-    // type-inferred, cast, and packed into Rows. (The sheet XML itself
-    // is still scanned per file — SpreadsheetML is row-major with no
-    // column substructure to seek past, so decode-skip is the honest
-    // floor here, unlike Avro's byte-level field skipping.)
-    val selected: IndexedSeq[Int] =
-      if (columns.isEmpty) header.indices
-      else columns.map { c =>
-        val i = header.indexOf(c)
-        require(i >= 0, s"column '$c' not in sheet '$sheet' header " +
-          s"(has: ${header.mkString(", ")})")
-        i
-      }.toIndexedSeq
-    val outHeader = selected.map(header(_))
-    val types = selected.map(c => inferType(data.map(_(c))))
-    val schema = StructType(outHeader.zip(types).map {
-      case (n, t) => StructField(n, t, nullable = true)
-    })
-    val rowRdd = files.rdd.flatMap { r =>
-      val path = r.getString(0)
-      val (h, rows) = readSheet(r.getAs[Array[Byte]](1), sheet)
-      require(h.sameElements(header),
-        s"workbook header mismatch in $path: ${h.mkString(",")} vs ${header.mkString(",")}")
-      rows.map(cells => Row.fromSeq(selected.indices.map { i =>
-        try cast(cells(selected(i)), types(i))
-        catch {
-          case e: Exception => throw new IllegalArgumentException(
-            s"$path sheet '$sheet' column '${outHeader(i)}': value " +
-              s"'${cells(selected(i))}' does not fit inferred type ${types(i)} " +
-              "(types are pinned from the first listed workbook)", e)
-        }
-      }))
-    }
-    s.createDataFrame(rowRdd, schema)
+    (header, header.indices.map(c => inferType(data.map(_(c)))))
+  }
+
+  /** Distributed ingest of MANY workbooks — a thin veneer over the
+    * `graft-xlsx` DataSource V2 connector (`XlsxFleetSource`): one
+    * task per file, the named sheet parsed on EXECUTORS, schema pinned
+    * by the deterministic first-workbook peek (`peekFleetSchema`) and
+    * the header re-checked per file (a type that only widens in a
+    * later file fails that file's task with a per-file error naming
+    * the column; land via per-file `read` if the fleet's types are
+    * dirty). Catalyst pushes ANY downstream projection into the scan —
+    * only projected columns are cast and materialized; the sheet XML
+    * itself is still scanned per file (SpreadsheetML is row-major with
+    * no column substructure to seek past — the honest floor, unlike
+    * Avro's byte-level field skipping). `columns` stays as a
+    * convenience for callers that know their subset up front. This is
+    * the 100 TB shape for spreadsheet drops: parallel parse → land to
+    * parquet once. */
+  def readDistributed(s: SparkSession, glob: String, sheet: String,
+      columns: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val df = s.read.format("graft-xlsx").option("sheet", sheet).load(glob)
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
   }
 }

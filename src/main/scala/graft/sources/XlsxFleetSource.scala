@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.util.SerializableHadoopConf
+
+/** DataSource V2 connector for xlsx workbook fleets
+  * (`spark.read.format("graft-xlsx").option("sheet", name).load(glob)`)
+  * — the `AvroFleetSource` pattern applied to the spreadsheet codec:
+  * one `InputPartition` per workbook, the shared `listWorkbooks`
+  * bound, schema (header + inferred types) pinned by the deterministic
+  * first-workbook peek, header re-checked per file, and
+  * `SupportsPushDownRequiredColumns` so any downstream projection
+  * reaches executors as a column-index subset — only projected cells
+  * are cast and materialized into rows. The XML parse per file is
+  * unavoidable (SpreadsheetML is row-major, nothing to seek past), so
+  * unlike avro the pruning here saves materialization, not bytes:
+  * documented floor, visible in the BatchScan ReadSchema either way.
+  */
+class XlsxFleetSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-xlsx"
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-xlsx needs a single load path (directory, file, or glob)")
+    p
+  }
+
+  private def sheetOf(options: CaseInsensitiveStringMap): String = {
+    val sh = options.get("sheet")
+    require(sh != null && sh.nonEmpty,
+      "graft-xlsx needs a 'sheet' option naming the sheet to read")
+    sh
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (header, types) = Xlsx.peekFleetSchema(SparkSession.active,
+      pathOf(options), sheetOf(options))
+    StructType(header.zip(types).map {
+      case (n, t) => StructField(n, t, nullable = true)
+    })
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new XlsxFleetTable(schema, pathOf(opts), sheetOf(opts))
+  }
+}
+
+private[sources] class XlsxFleetTable(tableSchema: StructType, path: String,
+    sheet: String) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-xlsx `$path` sheet `$sheet`"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new XlsxFleetScanBuilder(tableSchema, path, sheet)
+}
+
+private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
+    path: String, sheet: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new XlsxFleetScan(fullSchema, required, path, sheet)
+}
+
+private[sources] class XlsxFleetScan(fullSchema: StructType,
+    required: StructType, path: String, sheet: String)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-xlsx $path sheet=$sheet ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Xlsx.listWorkbooks(SparkSession.active, path)
+      .map(_.getPath.toString).sorted
+      .map(XlsxFilePartition(_)).toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = SparkSession.active
+    new XlsxFleetReaderFactory(sheet, fullSchema.fieldNames,
+      required.fields.map(f => (f.name, f.dataType)),
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+  }
+}
+
+private[sources] case class XlsxFilePartition(file: String)
+    extends InputPartition
+
+/** Serialized per task: sheet name, the pinned full header (for the
+  * per-file mismatch check), the projected (name, type) pairs in scan
+  * order, and the session Hadoop conf. */
+private[sources] class XlsxFleetReaderFactory(sheet: String,
+    fullHeader: Array[String], projected: Array[(String, DataType)],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val file = p.asInstanceOf[XlsxFilePartition].file
+    new PartitionReader[InternalRow] {
+      private var it: Iterator[Array[String]] = _
+      private var indices: Array[Int] = _
+      private var cells: Array[String] = _
+
+      private def ensureOpen(): Unit = if (it == null) {
+        val path = new org.apache.hadoop.fs.Path(file)
+        val fs = path.getFileSystem(conf.value)
+        val in = fs.open(path)
+        val bytes = try in.readAllBytes() finally in.close()
+        val (h, rows) = Xlsx.readSheet(bytes, sheet)
+        require(h.sameElements(fullHeader),
+          s"workbook header mismatch in $file: ${h.mkString(",")} vs " +
+            fullHeader.mkString(","))
+        indices = projected.map { case (n, _) => fullHeader.indexOf(n) }
+        it = rows.iterator
+      }
+
+      override def next(): Boolean = {
+        ensureOpen()
+        if (it.hasNext) { cells = it.next(); true } else false
+      }
+
+      override def get(): InternalRow = {
+        val vals = new Array[Any](projected.length)
+        var i = 0
+        while (i < projected.length) {
+          val (name, dt) = projected(i)
+          val raw = cells(indices(i))
+          vals(i) =
+            try XlsxFleetReaderFactory.toCatalyst(Xlsx.cast(raw, dt))
+            catch {
+              case e: Exception => throw new IllegalArgumentException(
+                s"$file sheet '$sheet' column '$name': value '$raw' does " +
+                  s"not fit inferred type $dt (types are pinned from the " +
+                  "first listed workbook)", e)
+            }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] object XlsxFleetReaderFactory {
+  /** External → catalyst for the cell types the inference ladder can
+    * produce (long/double/boolean/string). */
+  def toCatalyst(v: Any): Any = v match {
+    case null => null
+    case s: String => UTF8String.fromString(s)
+    case other => other
+  }
+}

@@ -275,19 +275,35 @@ class XlsxSpec extends SparkSpec {
           concat(lit("n"), $"id").as("name"), ($"id" % 2 === 0).as("even"))
       Xlsx.write(spark, s"$dir/part$i.xlsx", Seq("data" -> part))
     }
-    // the emitted Row schema is the observable pruning contract: only
-    // the requested columns are inferred, cast, and materialized
+    // the scan's ReadSchema is the observable pruning contract: the
+    // graft-xlsx V2 connector receives the projection from Catalyst
+    // and only those columns are cast and materialized
     val pruned = Xlsx.readDistributed(spark, s"$dir/*.xlsx", "data",
       columns = Seq("name", "id"))
     assert(pruned.schema.map(f => (f.name, f.dataType.typeName)) ==
       Seq("name" -> "string", "id" -> "long"))
     assert(pruned.orderBy($"id").as[(String, Long)].collect().toSeq ==
       (0L until 10L).map(i => (s"n$i", i)))
-    val e = intercept[IllegalArgumentException] {
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan"), plan)
+    // scan keeps ORIGINAL header order; the select above reorders
+    assert(plan.contains("ReadSchema: struct<id:bigint,name:string>"), plan)
+    // pruning holds WITHOUT an explicit column list too — any
+    // downstream projection is pushed into the scan
+    val auto = spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(s"$dir/*.xlsx").select($"v")
+    assert(auto.queryExecution.executedPlan.toString
+      .contains("ReadSchema: struct<v:double>"))
+    assert(auto.agg(sum($"v")).head().getDouble(0) ==
+      (0 until 10).map(_ * 2.5).sum)
+    // empty projection (count(*)): zero columns cast, count preserved
+    assert(spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(s"$dir/*.xlsx").count() == 10)
+    // unknown columns fail at analysis, naming the column
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       Xlsx.readDistributed(spark, s"$dir/*.xlsx", "data",
         columns = Seq("absent"))
     }
-    assert(e.getMessage.contains("absent") && e.getMessage.contains("name"),
-      e.getMessage)
+    assert(e.getMessage.contains("absent"), e.getMessage)
   }
 }
