@@ -300,9 +300,12 @@ object Avro {
     * projection (a `count(*)` over the fleet): every field is
     * skip-decoded and each row comes back zero-width, preserving only
     * the row count — the shape Catalyst's column pruning hands the V2
-    * connector. `None` means no pruning. */
+    * connector. `None` means no pruning. `limit` stops DECODE after
+    * that many records (the connector's partial limit pushdown — a
+    * head() over a fleet must not decode whole files). */
   private[graft] def parseAllPruned(bytes: Array[Byte],
-      columns: Option[Seq[String]]): (Schema, Seq[Seq[Any]]) = {
+      columns: Option[Seq[String]],
+      limit: Option[Int] = None): (Schema, Seq[Seq[Any]]) = {
     val datumReader = new GenericDatumReader[GenericRecord]()
     val in = new DataFileStream(new ByteArrayInputStream(bytes), datumReader)
     try {
@@ -315,8 +318,9 @@ object Avro {
       }
       val fields = effective.getFields.asScala.toSeq
         .map(f => (f.name(), f.schema()))
+      val cap = limit.getOrElse(Int.MaxValue)
       val rows = mutable.ArrayBuffer[Seq[Any]]()
-      while (in.hasNext) {
+      while (in.hasNext && rows.size < cap) {
         val rec = in.next()
         rows += fields.map { case (f, fs) => fromAvroValue(rec.get(f), fs) }
       }

@@ -81,27 +81,36 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
 
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
 
   // Catalyst hands us the projected subset; empty projections (pure
   // count(*)) arrive as an empty struct — decode zero fields, keep rows
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // PARTIAL limit pushdown (the default isPartiallyPushed contract):
+  // each file stops DECODING after `limit` records — a head()/show()
+  // over a fleet costs O(limit) per file, not a full decode — and
+  // Spark's own Limit on top enforces the global count
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
   override def build(): Scan =
-    new AvroFleetScan(fullSchema, required, path, maxFileBytes)
+    new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit)
 }
 
 private[sources] class AvroFleetScan(fullSchema: StructType,
-    required: StructType, path: String, maxFileBytes: Long)
-    extends Scan with Batch {
+    required: StructType, path: String, maxFileBytes: Long,
+    limit: Option[Int]) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-avro $path ReadSchema: ${required.catalogString}"
+    s"graft-avro $path ReadSchema: ${required.catalogString}" +
+      limit.map(l => s", PushedLimit: $l").getOrElse("")
 
   override def toBatch: Batch = this
 
@@ -117,7 +126,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     val s = SparkSession.active
     val expectedJson = Avro.toAvroSchema(fullSchema).toString
     new AvroFleetReaderFactory(expectedJson, required.fieldNames,
-      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+      limit, new SerializableHadoopConf(s.sessionState.newHadoopConf()))
   }
 }
 
@@ -127,8 +136,8 @@ private[sources] case class AvroFilePartition(file: String)
 /** Serialized per task; carries the session Hadoop conf so executor
   * filesystem resolution honors `spark.hadoop.*` settings. */
 private[sources] class AvroFleetReaderFactory(expectedSchemaJson: String,
-    columns: Array[String], conf: SerializableHadoopConf)
-    extends PartitionReaderFactory {
+    columns: Array[String], limit: Option[Int],
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[AvroFilePartition].file
@@ -144,7 +153,7 @@ private[sources] class AvroFleetReaderFactory(expectedSchemaJson: String,
         // Some(Nil) on an empty projection: zero-width rows, row count
         // preserved — exactly what a pruned-to-nothing count(*) needs
         val (writer, rows) =
-          Avro.parseAllPruned(bytes, Some(columns.toIndexedSeq))
+          Avro.parseAllPruned(bytes, Some(columns.toIndexedSeq), limit)
         val expected = new Schema.Parser().parse(expectedSchemaJson)
         require(writer == expected,
           s"avro schema mismatch in $file: $writer vs $expected")

@@ -256,6 +256,13 @@ class AvroSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<id:bigint,c2:string>"), plan)
     // empty projection (count(*)): zero fields decoded, count preserved
     assert(spark.read.format("graft-avro").load(dir).count() == 40)
+    // partial LIMIT pushdown: each file stops decoding at the limit
+    // (visible in the scan description); Spark's Limit on top still
+    // enforces the exact global count
+    val lim = spark.read.format("graft-avro").load(dir).limit(3)
+    assert(lim.count() == 3)
+    assert(lim.queryExecution.executedPlan.toString
+      .contains("PushedLimit: 3"), lim.queryExecution.executedPlan.toString)
     // readDistributed is now a veneer over the connector — a plain
     // select through it prunes identically
     val viaApi = Avro.readDistributed(spark, dir).select($"d", $"id")
