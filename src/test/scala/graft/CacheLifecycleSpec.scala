@@ -53,4 +53,29 @@ class CacheLifecycleSpec extends SparkSpec {
     assert(sizes.forall(_ <= 1), s"covered caches accumulated: $sizes")
     graft.util.Caches.clear(spark)
   }
+
+  test("swapPersist keeps the live cache on a same-plan repeat") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    graft.util.Caches.clear(spark)
+    val df = (1 to 10).toDF("x").filter($"x" > 3)
+    graft.util.Caches.swapPersist("spec.slot", df).count()
+    assert(df.storageLevel != StorageLevel.NONE)
+    // the SAME canonical plan swapped again must NOT unpersist itself
+    // (the sameResult guard — without it, re-registering an identical
+    // plan would silently drop its own just-reused cache)
+    val again = (1 to 10).toDF("x").filter($"x" > 3)
+    graft.util.Caches.swapPersist("spec.slot", again)
+    assert(again.storageLevel != StorageLevel.NONE,
+      "same-plan swap dropped the live cache")
+    // a DIFFERENT plan retires the old entry
+    val other = (1 to 20).toDF("x").filter($"x" > 5)
+    graft.util.Caches.swapPersist("spec.slot", other)
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (df.storageLevel != StorageLevel.NONE &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+    assert(df.storageLevel == StorageLevel.NONE,
+      "different-plan swap failed to retire the previous cache")
+    graft.util.Caches.clear(spark)
+  }
 }
