@@ -115,7 +115,7 @@ object Avro {
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
     else s
 
-  private def fromAvroValue(v: AnyRef, fieldSchema: Schema): Any = v match {
+  private[sources] def fromAvroValue(v: AnyRef, fieldSchema: Schema): Any = v match {
     case null => null
     case u: Utf8 => u.toString
     case bb: java.nio.ByteBuffer =>
@@ -276,7 +276,7 @@ object Avro {
     * then SKIP-decodes every unprojected writer field on read (strings
     * and bytes are skipped by length, never materialized) — decode-side
     * column pruning for the row-major interchange format. */
-  private def prunedSchema(full: Schema, columns: Seq[String]): Schema = {
+  private[sources] def prunedSchema(full: Schema, columns: Seq[String]): Schema = {
     val byName = full.getFields.asScala.map(f => f.name() -> f).toMap
     val missing = columns.filterNot(byName.contains)
     require(missing.isEmpty,

@@ -142,33 +142,54 @@ private[sources] class AvroFleetReaderFactory(expectedSchemaJson: String,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[AvroFilePartition].file
     new PartitionReader[InternalRow] {
-      private var it: Iterator[Seq[Any]] = _
-      private var row: Seq[Any] = _
+      // STREAMING decode, straight off the Hadoop input stream: task
+      // memory is O(one OCF block), never O(file) — the whole-file
+      // byte[] + materialized row list of the RDD-era reader is gone.
+      // The listFleet size bound remains as the straggler guard (one
+      // file is still one task).
+      private var in: java.io.InputStream = _
+      private var stream: org.apache.avro.file.DataFileStream[
+        org.apache.avro.generic.GenericRecord] = _
+      private var fields: Seq[(String, Schema)] = _
+      private var emitted = 0
+      private var rec: org.apache.avro.generic.GenericRecord = _
 
-      private def ensureOpen(): Unit = if (it == null) {
+      private def ensureOpen(): Unit = if (stream == null) {
         val path = new org.apache.hadoop.fs.Path(file)
         val fs = path.getFileSystem(conf.value)
-        val in = fs.open(path)
-        val bytes = try in.readAllBytes() finally in.close()
-        // Some(Nil) on an empty projection: zero-width rows, row count
-        // preserved — exactly what a pruned-to-nothing count(*) needs
-        val (writer, rows) =
-          Avro.parseAllPruned(bytes, Some(columns.toIndexedSeq), limit)
+        in = fs.open(path)
+        val datumReader =
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]()
+        stream = new org.apache.avro.file.DataFileStream(in, datumReader)
+        val writer = stream.getSchema
         val expected = new Schema.Parser().parse(expectedSchemaJson)
         require(writer == expected,
           s"avro schema mismatch in $file: $writer vs $expected")
-        it = rows.iterator
+        // reader-schema projection: unprojected fields skip-decode at
+        // the byte level; an empty projection decodes zero fields
+        val effective = Avro.prunedSchema(writer, columns.toIndexedSeq)
+        datumReader.setExpected(effective)
+        fields = effective.getFields.asScala.toSeq
+          .map(f => (f.name(), f.schema()))
       }
 
       override def next(): Boolean = {
         ensureOpen()
-        if (it.hasNext) { row = it.next(); true } else false
+        if (limit.exists(emitted >= _) || !stream.hasNext) false
+        else { rec = stream.next(); emitted += 1; true }
       }
 
       override def get(): InternalRow =
-        new GenericInternalRow(row.map(AvroFleetReaderFactory.toCatalyst).toArray)
+        new GenericInternalRow(fields.map { case (f, fs) =>
+          AvroFleetReaderFactory.toCatalyst(
+            Avro.fromAvroValue(rec.get(f), fs))
+        }.toArray)
 
-      override def close(): Unit = ()
+      override def close(): Unit = {
+        if (stream != null) stream.close()
+        else if (in != null) in.close()
+      }
     }
   }
 }
