@@ -134,6 +134,44 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A PRUNED fleet scan through the `graft-avro` DataSource V2
+    * connector: the events fleet written distributed, read back with a
+    * 2-of-4-column projection — Catalyst pushes the projection into
+    * the BatchScan (`SupportsPushDownRequiredColumns`), so executors
+    * skip-decode the other fields at the byte level. Gates the V2
+    * pruning path in CORRECTNESS, not just in specs. */
+  def qScanAvroPruned(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_events_pruned")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    graft.sources.Avro.writeDistributed(s, s"$out/events.avro", ev)
+    graft.sources.Avro.readDistributed(s, s"$out/events.avro")
+      .select($"event_id", $"event_type")
+      .orderBy($"event_id")
+  }
+
+  /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
+    * connector: nation sliced across three workbooks (the
+    * many-small-drops shape the distributed reader exists for), the
+    * shared sheet parsed on executors with the schema pinned from the
+    * first workbook, and a projection pushed into the scan — only the
+    * projected cells are cast and materialized. Gates the fleet reader
+    * AND its pruning in CORRECTNESS. */
+  def qScanXlsxFleet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("xlsx_fleet_nation")
+    val n = nation(s, dir)
+    (0 until 3).foreach { i =>
+      graft.sources.Xlsx.write(s, s"$out/part$i.xlsx",
+        Seq("nation" -> n.filter($"n_nationkey" % 3 === i)
+          .orderBy($"n_nationkey")))
+    }
+    graft.sources.Xlsx.readDistributed(s, s"$out/*.xlsx", "nation")
+      .select($"n_nationkey", $"n_name")
+      .orderBy($"n_nationkey")
+  }
+
   /** §2.A partitioned sink + partition-pruned scan: write orders
     * partitioned by o_orderstatus (the 100 TB posture for any big
     * sink), read ONE partition back via the partition column — the
@@ -323,6 +361,8 @@ object Relational {
     "q_scan_xlsx" -> qScanXlsx _,
     "q_scan_avro" -> qScanAvro _,
     "q_scan_avro_dist" -> qScanAvroDist _,
+    "q_scan_avro_pruned" -> qScanAvroPruned _,
+    "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_catalog_tables" -> qCatalogTables _,
     "q_project" -> qProject _,
@@ -364,6 +404,14 @@ object Relational {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_scan_avro_pruned" ->
+      """SELECT event_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
+    // xlsx inference reads integer columns back as long (the
+    // q_scan_xlsx convention)
+    "q_scan_xlsx_fleet" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "q_catalog_tables" ->
       """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,
         |  string_agg(column_name, '|' ORDER BY ordinal_position) AS cols

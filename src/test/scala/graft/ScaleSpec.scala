@@ -148,6 +148,8 @@ class ScaleSpec extends SparkSpec {
       "q_scan_xlsx" -> "writes scratch xlsx + driver-parses one bounded workbook",
       "q_scan_avro" -> "writes scratch avro + driver-parses one bounded file",
       "q_scan_avro_dist" -> "writes scratch avro distributed (the sink IS the operator)",
+      "q_scan_avro_pruned" -> "writes scratch avro distributed (the sink IS the operator)",
+      "q_scan_xlsx_fleet" -> "writes a scratch workbook fleet (the sink IS the operator)",
       "q_sink_partitioned" -> "the partitioned write IS the operator",
       // two-phase by design: pair generation materializes to scratch
       // parquet ONCE per JVM (AQE on) so the AQE-off 8-round unroll
