@@ -151,8 +151,11 @@ object Avro {
     * leaves a hidden temp, never a truncated OCF at a final path, and
     * two SPECULATIVE attempts of one task write distinct temps (the
     * globally-unique task-attempt id) and race only on the final
-    * atomic rename, where either winner carries identical complete
-    * data. After the job succeeds the driver writes a `_SUCCESS`
+    * rename, which commits ONLY IF ABSENT: a final part file can only
+    * ever have appeared via a successful rename of a fully-written
+    * temp, so an existing final is complete by construction and a late
+    * duplicate attempt discards its temp rather than touching it.
+    * After the job succeeds the driver writes a `_SUCCESS`
     * marker; the readers REQUIRE it on any directory of `part-*.avro`
     * files, so a directory from a killed job reads as "uncommitted
     * output", not silently as partial data. Executors resolve the
@@ -198,19 +201,25 @@ object Avro {
   /** One task attempt's write-then-commit (factored out so the failure
     * and duplicate-attempt paths are directly testable): stream the
     * partition to `.part-NNNNN-attempt-A.avro.tmp`, then commit by
-    * renaming onto the final part name. The rename is idempotent
-    * across retries (delete-if-exists first) and tolerant of a
-    * concurrent duplicate attempt: if OUR rename loses the race but
-    * the final file exists, the twin attempt committed the identical
-    * partition and this attempt just discards its temp. */
+    * renaming onto the final part name ONLY IF ABSENT. A final part
+    * file can only appear through this rename of a fully-written temp,
+    * so an existing final is complete by construction — a late
+    * duplicate/speculative or zombie attempt must NEVER delete it
+    * (delete-then-rename would let an attempt that dies between the
+    * two calls erase its twin's committed data, possibly after the
+    * driver already wrote `_SUCCESS`). If the final exists up front
+    * the attempt skips the write entirely; if it appears between our
+    * write and our rename, the failed rename + exists-check classifies
+    * it as a twin commit and this attempt just discards its temp. */
   private[graft] def writePartitionFile(schemaJson: String,
       names: Array[String], dir: String, pid: Int, attemptId: Long,
       conf: org.apache.hadoop.conf.Configuration, it: Iterator[Row]): Unit = {
     val schema = new Schema.Parser().parse(schemaJson)
     val finalPath = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.avro")
+    val fs = finalPath.getFileSystem(conf)
+    if (fs.exists(finalPath)) return // twin committed; finals are complete
     val tmpPath = new org.apache.hadoop.fs.Path(
       f"$dir/.part-$pid%05d-attempt-$attemptId.avro.tmp")
-    val fs = finalPath.getFileSystem(conf)
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       .setCodec(CodecFactory.deflateCodec(6))
       .create(schema, fs.create(tmpPath, true))
@@ -219,7 +228,6 @@ object Avro {
       names.indices.foreach(i => rec.put(names(i), toAvroValue(row.get(i))))
       w.append(rec)
     } finally w.close()
-    if (fs.exists(finalPath)) fs.delete(finalPath, false)
     if (!fs.rename(tmpPath, finalPath)) {
       val twinCommitted = fs.exists(finalPath)
       fs.delete(tmpPath, false)
@@ -275,7 +283,11 @@ object Avro {
     * only `columns`, in the REQUESTED order. Avro schema resolution
     * then SKIP-decodes every unprojected writer field on read (strings
     * and bytes are skipped by length, never materialized) — decode-side
-    * column pruning for the row-major interchange format. */
+    * column pruning for the row-major interchange format. Fields carry
+    * NO default: defaults only matter for reader-only fields, which the
+    * `require` below already excludes, and a `null` default is invalid
+    * against a non-nullable writer field schema (an external producer's
+    * plain `long`) — Avro rejects it at schema-build time. */
   private[sources] def prunedSchema(full: Schema, columns: Seq[String]): Schema = {
     val byName = full.getFields.asScala.map(f => f.name() -> f).toMap
     val missing = columns.filterNot(byName.contains)
@@ -284,7 +296,7 @@ object Avro {
         s"(schema has: ${full.getFields.asScala.map(_.name()).mkString(", ")})")
     val b = SchemaBuilder.record(full.getName).namespace(full.getNamespace)
       .fields()
-    columns.foreach(c => b.name(c).`type`(byName(c).schema()).withDefault(null))
+    columns.foreach(c => b.name(c).`type`(byName(c).schema()).noDefault())
     b.endRecord()
   }
 

@@ -124,8 +124,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
-    val expectedJson = Avro.toAvroSchema(fullSchema).toString
-    new AvroFleetReaderFactory(expectedJson, required.fieldNames,
+    new AvroFleetReaderFactory(fullSchema, required.fieldNames,
       limit, new SerializableHadoopConf(s.sessionState.newHadoopConf()))
   }
 }
@@ -135,7 +134,7 @@ private[sources] case class AvroFilePartition(file: String)
 
 /** Serialized per task; carries the session Hadoop conf so executor
   * filesystem resolution honors `spark.hadoop.*` settings. */
-private[sources] class AvroFleetReaderFactory(expectedSchemaJson: String,
+private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     columns: Array[String], limit: Option[Int],
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
@@ -163,9 +162,17 @@ private[sources] class AvroFleetReaderFactory(expectedSchemaJson: String,
             org.apache.avro.generic.GenericRecord]()
         stream = new org.apache.avro.file.DataFileStream(in, datumReader)
         val writer = stream.getSchema
-        val expected = new Schema.Parser().parse(expectedSchemaJson)
-        require(writer == expected,
-          s"avro schema mismatch in $file: $writer vs $expected")
+        // mixed-fleet guard at the SPARK-type level: each file must map
+        // to the pinned table schema, but its avro spelling is its own —
+        // an external producer's record name/namespace, non-nullable
+        // fields, or doc/props differ from the graft-written canonical
+        // form while decoding identically (values resolve against the
+        // file's OWN writer schema below, never the canonical one)
+        val writerSpark = Avro.toSparkSchema(writer)
+        require(writerSpark.map(f => (f.name, f.dataType)) ==
+            tableSchema.map(f => (f.name, f.dataType)),
+          s"avro schema mismatch in $file: ${writerSpark.catalogString} " +
+            s"vs table ${tableSchema.catalogString}")
         // reader-schema projection: unprojected fields skip-decode at
         // the byte level; an empty projection decodes zero fields
         val effective = Avro.prunedSchema(writer, columns.toIndexedSeq)

@@ -299,4 +299,58 @@ class AvroSpec extends SparkSpec {
     assert(all.count() == 30)
     assert(all.agg(sum($"id")).head().getLong(0) == (0 until 30).sum)
   }
+
+  test("external-producer avro spelling reads through fleet and pruned paths") {
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = tmp("avro_ext")
+    new java.io.File(dir).mkdirs()
+    // an external tool's spelling: own record name/namespace, a doc
+    // string, NON-nullable fields — maps to the same Spark schema as a
+    // graft-written fleet but is byte-for-byte a different avro schema
+    val ext = org.apache.avro.SchemaBuilder.record("Thing").namespace("ext.tool")
+      .doc("externally produced").fields()
+      .requiredLong("id").requiredString("name").requiredDouble("score")
+      .endRecord()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](ext))
+    w.create(ext, new java.io.File(dir, "ext-0.avro"))
+    (1 to 3).foreach { i =>
+      val r = new GenericData.Record(ext)
+      r.put("id", i.toLong); r.put("name", s"n$i"); r.put("score", i * 0.5)
+      w.append(r)
+    }
+    w.close()
+    // V2 connector: the mixed-fleet guard compares SPARK types, so the
+    // file's own avro spelling must decode, not fail "schema mismatch"
+    val df = spark.read.format("graft-avro").load(dir).select("name", "id")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted ==
+      Seq(("n1", 1L), ("n2", 2L), ("n3", 3L)))
+    // pruned driver read: building the reader schema from plain
+    // (non-nullable) writer fields must not attach an invalid null default
+    val pruned = Avro.read(spark, s"$dir/ext-0.avro", Seq("score"))
+    assert(pruned.columns.toSeq == Seq("score"))
+    assert(pruned.collect().map(_.getDouble(0)).toSeq.sorted == Seq(0.5, 1.0, 1.5))
+  }
+
+  test("a late attempt never touches a committed final part file") {
+    import spark.implicits._
+    import org.apache.spark.sql.Row
+    val dir = tmp("avro_no_delete") + "/t.avro"
+    new java.io.File(dir).mkdirs()
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val schemaJson = Avro.toAvroSchema(df.schema).toString
+    val names = df.schema.fieldNames
+    val conf = spark.sessionState.newHadoopConf()
+    Avro.writePartitionFile(schemaJson, names, dir, 7, 1L, conf,
+      Seq(Row(1L, "a")).iterator)
+    val path = java.nio.file.Paths.get(dir, "part-00007.avro")
+    val committed = java.nio.file.Files.readAllBytes(path)
+    // a zombie attempt replaying different bytes must SKIP: with a
+    // delete-then-rename protocol, dying between the two calls would
+    // erase the twin's committed file (possibly after _SUCCESS)
+    Avro.writePartitionFile(schemaJson, names, dir, 7, 2L, conf,
+      Seq(Row(99L, "z")).iterator)
+    assert(java.nio.file.Files.readAllBytes(path).toSeq == committed.toSeq)
+    assert(!new java.io.File(dir).list().exists(_.endsWith(".tmp")))
+  }
 }
