@@ -65,7 +65,14 @@ object TextOps {
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"word")
-    tf.join(broadcast(df), Seq("word"))
+    // NO broadcast hint on df: the vocabulary is unbounded at corpus
+    // scale (garbage tokens grow with the data), so forcing it past
+    // Catalyst's size check is a driver OOM at 100×, not a slow plan.
+    // AQE still broadcasts the df side at runtime when it measures
+    // small; when it doesn't, tf is already hash-partitioned compatibly
+    // from its own groupBy, so the fallback is a single-shuffle SMJ of
+    // pre-aggregated (already-reduced) rows, not a raw-token shuffle.
+    tf.join(df, Seq("word"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf", r6($"tf" * log($"n_docs".cast("double") / $"df")))
       .withColumn("rn", row_number().over(w).cast("long"))

@@ -104,7 +104,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
 
 private[sources] class AvroFleetScan(fullSchema: StructType,
     required: StructType, path: String, maxFileBytes: Long,
-    limit: Option[Int]) extends Scan with Batch {
+    limit: Option[Int]) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -114,13 +115,37 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val s = SparkSession.active
-    // deterministic partition order (listing order is no contract)
-    Avro.listFleet(s, path, maxFileBytes)
-      .map(_.getPath.toString).sorted
-      .map(AvroFilePartition(_)).toArray[InputPartition]
+  // one driver-side listing shared by stats + partition planning
+  private lazy val fleet = Avro.listFleet(SparkSession.active, path,
+    maxFileBytes)
+
+  /** Planner-grade size estimate: without it DSv2 falls back to
+    * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and a 2 MB
+    * dimension fleet NEVER auto-broadcasts in a join. The estimate is
+    * the fleet's on-disk bytes scaled by the projected-column fraction
+    * (reader-schema pruning skip-decodes the rest, so pruned bytes are
+    * genuinely never materialized), floored at one column so a
+    * count(*) scan can't report size 0. Deflated avro understates
+    * in-memory row width the same way parquet's file-size estimate
+    * does — fine for the broadcast-threshold decision this feeds. */
+  override def estimateStatistics(): Statistics = {
+    val totalBytes = fleet.map(_.getLen).sum
+    val frac =
+      if (fullSchema.isEmpty) 1.0
+      else math.max(required.size, 1).toDouble / fullSchema.size
+    val size = math.max(1L, math.ceil(totalBytes * frac).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    // deterministic partition order (listing order is no contract)
+    fleet.map(_.getPath.toString).sorted
+      .map(AvroFilePartition(_)).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active

@@ -90,7 +90,7 @@ private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
 
 private[sources] class XlsxFleetScan(fullSchema: StructType,
     required: StructType, path: String, sheet: String)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
@@ -99,9 +99,31 @@ private[sources] class XlsxFleetScan(fullSchema: StructType,
 
   override def toBatch: Batch = this
 
+  // one driver-side listing shared by stats + partition planning
+  private lazy val workbooks = Xlsx.listWorkbooks(SparkSession.active, path)
+
+  /** Same planner contract as `AvroFleetScan.estimateStatistics`:
+    * fleet on-disk bytes scaled by the projected-column fraction,
+    * floored at one column — so a small workbook fleet auto-broadcasts
+    * instead of inheriting `defaultSizeInBytes` = Long.MaxValue. The
+    * zip-deflated SpreadsheetML bytes are a rough proxy for row width,
+    * which is all the broadcast-threshold decision needs. */
+  override def estimateStatistics(): Statistics = {
+    val totalBytes = workbooks.map(_.getLen).sum
+    val frac =
+      if (fullSchema.isEmpty) 1.0
+      else math.max(required.size, 1).toDouble / fullSchema.size
+    val size = math.max(1L, math.ceil(totalBytes * frac).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
-    Xlsx.listWorkbooks(SparkSession.active, path)
-      .map(_.getPath.toString).sorted
+    workbooks.map(_.getPath.toString).sorted
       .map(XlsxFilePartition(_)).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -349,4 +349,61 @@ class ScaleSpec extends SparkSpec {
     assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
       s"no codegen span around dot_product:\n$plan")
   }
+
+  test("small V2 fleet dims auto-broadcast in unhinted joins") {
+    import spark.implicits._
+    // a small graft-avro dimension fleet joined to a fact table: the
+    // scan's SupportsReportStatistics must put its real byte size in
+    // the plan so Catalyst picks BroadcastHashJoin on its own — without
+    // stats, DSv2 reports defaultSizeInBytes (Long.MaxValue) and the
+    // user gets a sort-merge join unless they hand-hint broadcast()
+    val dir = graft.util.Scratch.dir("avro_stats_dim")
+    graft.sources.Avro.writeDistributed(spark, s"$dir/nation.avro",
+      graft.util.Tables.nation(spark, sfDir)
+        .select($"n_nationkey", $"n_name"))
+    val dim = spark.read.format("graft-avro").load(s"$dir/nation.avro")
+    val fact = graft.util.Tables.customer(spark, sfDir)
+    val j = fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small avro fleet did not auto-broadcast:\n$plan")
+    assert(j.count() == fact.count())
+
+    // same contract for the xlsx connector
+    val xdir = graft.util.Scratch.dir("xlsx_stats_dim")
+    graft.sources.Xlsx.write(spark, s"$xdir/r0.xlsx", Seq("region" ->
+      graft.util.Tables.region(spark, sfDir)
+        .select($"r_regionkey", $"r_name")))
+    val xdim = spark.read.format("graft-xlsx").option("sheet", "region")
+      .load(s"$xdir/*.xlsx")
+    val xj = graft.util.Tables.nation(spark, sfDir)
+      .join(xdim, col("n_regionkey") === col("r_regionkey"))
+    val xplan = xj.queryExecution.executedPlan.toString
+    assert(xplan.contains("BroadcastHashJoin"),
+      s"small xlsx fleet did not auto-broadcast:\n$xplan")
+    assert(xj.count() == graft.util.Tables.nation(spark, sfDir).count())
+  }
+
+  test("V2 fleet stats scale with the projected-column fraction") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("avro_stats_frac")
+    graft.sources.Avro.writeDistributed(spark, s"$dir/n.avro",
+      graft.util.Tables.nation(spark, sfDir)
+        .select($"n_nationkey", $"n_name", $"n_regionkey",
+          concat($"n_name", lit(" comment")).as("n_comment")))
+    def scanStats(df: org.apache.spark.sql.DataFrame): BigInt = {
+      val o = df.queryExecution.optimizedPlan
+      o.collectFirst {
+        case s: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          s.stats.sizeInBytes
+      }.getOrElse(fail(s"no V2 scan relation in:\n$o"))
+    }
+    val full = spark.read.format("graft-avro").load(s"$dir/n.avro")
+    val all = scanStats(full.filter($"n_nationkey" >= 0))
+    val two = scanStats(full.select($"n_nationkey", $"n_name"))
+    assert(all > 0 && all < Long.MaxValue / 4, s"stats not reported: $all")
+    // 2 of 4 projected columns → roughly half the bytes (exactly, by
+    // the fraction formula), and strictly less than the full scan
+    assert(two * 2 == all, s"fraction scaling off: two=$two all=$all")
+  }
 }
