@@ -228,6 +228,18 @@ object Avro {
       names.indices.foreach(i => rec.put(names(i), toAvroValue(row.get(i))))
       w.append(rec)
     } finally w.close()
+    commitPart(fs, tmpPath, finalPath)
+  }
+
+  /** The rename-if-absent task commit shared by `writePartitionFile`
+    * and the `graft-avro` V2 writer: a final part file only ever
+    * appears through this rename of a fully-written temp, so an
+    * existing final is complete by construction and is NEVER deleted.
+    * A losing racer just discards its temp. */
+  private[graft] def commitPart(fs: org.apache.hadoop.fs.FileSystem,
+      tmpPath: org.apache.hadoop.fs.Path,
+      finalPath: org.apache.hadoop.fs.Path): Unit = {
+    if (fs.exists(finalPath)) { fs.delete(tmpPath, false); return }
     if (!fs.rename(tmpPath, finalPath)) {
       val twinCommitted = fs.exists(finalPath)
       fs.delete(tmpPath, false)
@@ -398,7 +410,9 @@ object Avro {
         // marker is a killed/in-flight writeDistributed job — reading
         // it as if complete is silent data loss, the one failure mode
         // a marker exists to prevent
-        if (data.exists(_.getPath.getName.matches("part-\\d{5}\\.avro")))
+        // both sink spellings: writeDistributed's part-NNNNN.avro and
+        // the V2 writer's job-tagged part-NNNNN-tag.avro
+        if (data.exists(_.getPath.getName.matches("part-\\d{5}(-[0-9a-f]+)?\\.avro")))
           require(all.exists(_.getPath.getName == "_SUCCESS"),
             s"${d.getPath} holds part-*.avro files but no _SUCCESS " +
               "marker — uncommitted or partial writeDistributed output; " +

@@ -6,11 +6,12 @@ import org.apache.avro.Schema
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -66,18 +67,191 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
-    maxFileBytes: Long) extends Table with SupportsRead {
+    maxFileBytes: Long) extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-avro `$path`"
 
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroFleetScanBuilder(tableSchema, path, maxFileBytes)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new AvroFleetWriteBuilder(info, path)
 }
+
+/** V2 write path (`df.write.format("graft-avro").mode(...).save(dir)`)
+  * over the same attempt-temp → rename-if-absent → `_SUCCESS` commit
+  * machinery as `Avro.writeDistributed`, but with task commits
+  * arbitrated by Spark's OutputCommitCoordinator (the default
+  * `BatchWrite.useCommitCoordinator`), which centrally resolves
+  * speculative-attempt races instead of leaving them to the
+  * filesystem rename. Each job writes `part-NNNNN-<jobTag>.avro`
+  * (jobTag = a hash of the V2 queryId), so `mode("append")` lands
+  * alongside existing fleets with no name collisions and an aborted
+  * job can roll back exactly its own files. `mode("overwrite")`
+  * (SupportsTruncate) drops the previous fleet's data files before
+  * tasks launch — non-atomic across the job, same as Hadoop
+  * FileOutputCommitter overwrite; the `_SUCCESS`-required read
+  * contract is what certifies completeness either way. */
+private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
+    dir: String) extends WriteBuilder with SupportsTruncate {
+
+  private var truncateFleet = false
+
+  override def truncate(): WriteBuilder = { truncateFleet = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      // driver-side, plan-time: reject non-flat schemas with the
+      // sink's actionable error before any task launches
+      val schemaJson = Avro.toAvroSchema(info.schema()).toString
+      val jobTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(info.queryId().getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      new AvroFleetBatchWrite(schemaJson, info.schema(), dir, jobTag,
+        truncateFleet)
+    }
+  }
+}
+
+private[sources] class AvroFleetBatchWrite(schemaJson: String,
+    schema: StructType, dir: String, jobTag: String, truncate: Boolean)
+    extends BatchWrite {
+
+  private def fs(conf: org.apache.hadoop.conf.Configuration) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val f = fs(conf)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (truncate && f.exists(p)) f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n == "_SUCCESS" || n.endsWith(".avro") || n.endsWith(".avro.tmp"))
+        f.delete(st.getPath, false)
+    }
+    f.mkdirs(p)
+    new AvroFleetWriterFactory(schemaJson, schema.fields.map(_.name),
+      schema.fields.map(_.dataType), dir, jobTag,
+      new SerializableHadoopConf(conf))
+  }
+
+  // written LAST: its presence certifies every task committed and the
+  // driver saw the job succeed — the marker the fleet readers REQUIRE
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    fs(conf).create(
+      new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+  }
+
+  // roll back exactly THIS job's files (tag-matched finals + temps);
+  // a failed append leaves the pre-existing committed fleet intact
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val f = fs(conf)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (f.exists(p)) f.listStatus(p).foreach { st =>
+      if (st.getPath.getName.contains(s"-$jobTag"))
+        f.delete(st.getPath, false)
+    }
+  }
+}
+
+private[graft] class AvroFleetWriterFactory(schemaJson: String,
+    names: Array[String], types: Array[DataType], dir: String,
+    jobTag: String, conf: SerializableHadoopConf)
+    extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new AvroFleetDataWriter(schemaJson, names, types, dir, partitionId,
+      taskId, jobTag, conf)
+}
+
+/** One task attempt: stream rows to a hidden attempt temp, commit via
+  * the shared rename-if-absent (`Avro.commitPart`). `commit()` only
+  * runs once the commit coordinator authorizes this attempt; an
+  * unauthorized or failed attempt `abort()`s its temp and the final
+  * name is never touched. Empty partitions still commit a
+  * schema-bearing OCF, matching `writeDistributed` layout. */
+private[graft] class AvroFleetDataWriter(schemaJson: String,
+    names: Array[String], types: Array[DataType], dir: String, pid: Int,
+    taskId: Long, jobTag: String, conf: SerializableHadoopConf)
+    extends DataWriter[InternalRow] {
+
+  import org.apache.avro.file.{CodecFactory, DataFileWriter}
+  import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+  private val schema = new Schema.Parser().parse(schemaJson)
+  private val finalPath = new org.apache.hadoop.fs.Path(
+    f"$dir/part-$pid%05d-$jobTag.avro")
+  private val tmpPath = new org.apache.hadoop.fs.Path(
+    f"$dir/.part-$pid%05d-$jobTag-attempt-$taskId.avro.tmp")
+  private val fs = finalPath.getFileSystem(conf.value)
+  // internal-row accessors resolved once per task, not per cell; the
+  // avro value spelling matches toAvroValue (days / µs / ByteBuffer)
+  private val getters: Array[InternalRow => AnyRef] =
+    types.zipWithIndex.map { case (dt, i) => AvroFleetDataWriter.getter(dt, i) }
+  private var w: DataFileWriter[GenericRecord] = _
+
+  private def ensureOpen(): Unit = if (w == null)
+    w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      .setCodec(CodecFactory.deflateCodec(6))
+      .create(schema, fs.create(tmpPath, true))
+
+  override def write(row: InternalRow): Unit = {
+    ensureOpen()
+    val rec = new GenericData.Record(schema)
+    var i = 0
+    while (i < names.length) {
+      rec.put(names(i), if (row.isNullAt(i)) null else getters(i)(row))
+      i += 1
+    }
+    w.append(rec)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    ensureOpen() // empty partition → schema-bearing empty OCF
+    w.close(); w = null
+    Avro.commitPart(fs, tmpPath, finalPath)
+    AvroFleetCommitMessage(finalPath.toString)
+  }
+
+  override def abort(): Unit = {
+    if (w != null) { w.close(); w = null }
+    fs.delete(tmpPath, false); ()
+  }
+
+  override def close(): Unit = if (w != null) { w.close(); w = null }
+}
+
+private[graft] object AvroFleetDataWriter {
+  /** Catalyst internal value → the avro carrier for that Spark type
+    * (dates stay epoch-day ints, timestamps stay µs longs — exactly
+    * the logical-type spelling `Avro.toAvroSchema` declares). */
+  def getter(dt: DataType, i: Int): InternalRow => AnyRef = dt match {
+    case StringType => r => r.getUTF8String(i).toString
+    case LongType | TimestampType => r => Long.box(r.getLong(i))
+    case IntegerType | DateType => r => Int.box(r.getInt(i))
+    case ShortType => r => Int.box(r.getShort(i).toInt)
+    case ByteType => r => Int.box(r.getByte(i).toInt)
+    case DoubleType => r => Double.box(r.getDouble(i))
+    case FloatType => r => Float.box(r.getFloat(i))
+    case BooleanType => r => Boolean.box(r.getBoolean(i))
+    case BinaryType => r => java.nio.ByteBuffer.wrap(r.getBinary(i))
+    case other => throw new IllegalArgumentException(
+      s"unreachable: toAvroSchema admits no $other") // validated at plan time
+  }
+}
+
+private[graft] case class AvroFleetCommitMessage(file: String)
+    extends WriterCommitMessage
 
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long)

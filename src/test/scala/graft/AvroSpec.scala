@@ -332,6 +332,79 @@ class AvroSpec extends SparkSpec {
     assert(pruned.collect().map(_.getDouble(0)).toSeq.sorted == Seq(0.5, 1.0, 1.5))
   }
 
+  test("V2 writer roundtrips with append and overwrite through save()") {
+    import spark.implicits._
+    val dir = tmp("avro_v2_write") + "/t.avro"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s")
+    df.repartition(2).write.format("graft-avro").mode("append").save(dir)
+    // committed layout: job-tagged part files + the _SUCCESS marker
+    val names = new java.io.File(dir).list().toSeq.filterNot(_.startsWith("."))
+    assert(names.contains("_SUCCESS"), names.toString)
+    assert(names.count(_.matches("part-\\d{5}-[0-9a-f]{8}\\.avro")) == 2,
+      names.toString)
+    assert(!names.exists(_.endsWith(".tmp")), names.toString)
+    val back = spark.read.format("graft-avro").load(dir)
+    assert(back.orderBy($"id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // append: a second job lands alongside with no name collisions
+    Seq((4L, "d")).toDF("id", "s").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 4)
+    // overwrite truncates the previous fleet before writing
+    Seq((9L, "z")).toDF("id", "s").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val after = spark.read.format("graft-avro").load(dir)
+    assert(after.as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // typed columns survive the V2 writer exactly (date/timestamp/binary)
+    val typed = Seq(
+      (1L, java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"),
+        Array[Byte](7, 8))
+    ).toDF("id", "d", "ts", "bin")
+    val tdir = tmp("avro_v2_typed") + "/t.avro"
+    typed.write.format("graft-avro").mode("overwrite").save(tdir)
+    val tback = spark.read.format("graft-avro").load(tdir).collect()(0)
+    assert(tback.getAs[java.sql.Date]("d") == java.sql.Date.valueOf("2024-02-29"))
+    assert(tback.getAs[java.sql.Timestamp]("ts") ==
+      java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789"))
+    assert(tback.getAs[Array[Byte]]("bin").toSeq == Seq[Byte](7, 8))
+  }
+
+  test("V2 writer duplicate attempts commit one complete final per partition") {
+    import spark.implicits._
+    val dir = tmp("avro_v2_dup") + "/t.avro"
+    new java.io.File(dir).mkdirs()
+    val schemaJson = Avro.toAvroSchema(
+      Seq((1L, "a")).toDF("id", "s").schema).toString
+    val conf = new graft.util.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val types: Array[org.apache.spark.sql.types.DataType] =
+      Array(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.StringType)
+    val factory = new graft.sources.AvroFleetWriterFactory(schemaJson,
+      Array("id", "s"), types, dir, "deadbeef", conf)
+    def internalRow(id: Long, s: String) =
+      org.apache.spark.sql.catalyst.InternalRow(id,
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    // two attempts of partition 0 (speculation): both write temps, both
+    // "commit" — the second must discard its temp, never clobber
+    val w1 = factory.createWriter(0, 100L)
+    w1.write(internalRow(1L, "a")); w1.commit(); w1.close()
+    val committed = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00000-deadbeef.avro"))
+    val w2 = factory.createWriter(0, 101L)
+    w2.write(internalRow(99L, "x")); w2.commit(); w2.close()
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part-00000-deadbeef.avro")).toSeq ==
+      committed.toSeq)
+    // an aborted attempt leaves no temp behind
+    val w3 = factory.createWriter(1, 102L)
+    w3.write(internalRow(2L, "b")); w3.abort(); w3.close()
+    val leftovers = new java.io.File(dir).list().toSeq
+    assert(!leftovers.exists(_.endsWith(".tmp")), leftovers.toString)
+    assert(!leftovers.contains("part-00001-deadbeef.avro"), leftovers.toString)
+  }
+
   test("a late attempt never touches a committed final part file") {
     import spark.implicits._
     import org.apache.spark.sql.Row
