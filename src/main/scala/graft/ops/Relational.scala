@@ -151,6 +151,29 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A V2 WRITER roundtrip: supplier written through
+    * `df.write.format("graft-avro")` — the commit-coordinator-
+    * arbitrated write path (attempt temps, rename-if-absent,
+    * job-tagged part names, `_SUCCESS` last) — then appended to and
+    * read back through the same connector. Gates the V2 write path in
+    * CORRECTNESS: the oracle is the supplier table itself, so a
+    * dropped partition, a double-committed file, or an overwrite that
+    * missed stale parts all hash-mismatch. */
+  def qScanAvroV2Write(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_v2_supplier")
+    val sup = supplier(s, dir)
+      .select($"s_suppkey", $"s_name", $"s_nationkey", r4($"s_acctbal").as("s_acctbal"))
+    val (lo, hi) = (sup.filter($"s_suppkey" % 2 === 0),
+      sup.filter($"s_suppkey" % 2 === 1))
+    lo.repartition(2).write.format("graft-avro")
+      .mode("overwrite").save(s"$out/supplier.avro")
+    hi.repartition(2).write.format("graft-avro")
+      .mode("append").save(s"$out/supplier.avro")
+    s.read.format("graft-avro").load(s"$out/supplier.avro")
+      .orderBy($"s_suppkey")
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -362,6 +385,7 @@ object Relational {
     "q_scan_avro" -> qScanAvro _,
     "q_scan_avro_dist" -> qScanAvroDist _,
     "q_scan_avro_pruned" -> qScanAvroPruned _,
+    "q_scan_avro_v2write" -> qScanAvroV2Write _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_catalog_tables" -> qCatalogTables _,
@@ -407,6 +431,10 @@ object Relational {
     "q_scan_avro_pruned" ->
       """SELECT event_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_scan_avro_v2write" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |  round(s_acctbal, 4) AS s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
     // xlsx inference reads integer columns back as long (the
     // q_scan_xlsx convention)
     "q_scan_xlsx_fleet" ->
