@@ -323,22 +323,25 @@ object Xlsx {
     val targets: Map[String, String] = sheetTargets(entries)
     val sst: IndexedSeq[String] = sharedStrings(entries)
 
-    def sheet(name: String): (Array[String], Seq[Array[String]]) = {
+    def sheet(name: String, maxDataRows: Int = Int.MaxValue)
+        : (Array[String], Seq[Array[String]]) = {
       val part = targets.getOrElse(name,
         throw new NoSuchElementException(
           s"no sheet '$name'; workbook has: ${targets.keys.toSeq.sorted.mkString(", ")}"))
-      parseSheetPart(entries(part), sst, name)
+      parseSheetPart(entries(part), sst, name, maxDataRows)
     }
   }
 
   /** Parse one sheet to (header, rows of nullable cell strings). Row 1
     * is the header (spreadsheet-as-database contract: header row is the
     * schema); later rows are padded/truncated to the header width. */
-  def readSheet(bytes: Array[Byte], sheet: String): (Array[String], Seq[Array[String]]) =
-    new Parts(bytes).sheet(sheet)
+  def readSheet(bytes: Array[Byte], sheet: String,
+      maxDataRows: Int = Int.MaxValue): (Array[String], Seq[Array[String]]) =
+    new Parts(bytes).sheet(sheet, maxDataRows)
 
   private def parseSheetPart(part: Array[Byte], sst: IndexedSeq[String],
-      sheet: String): (Array[String], Seq[Array[String]]) = {
+      sheet: String, maxDataRows: Int = Int.MaxValue)
+      : (Array[String], Seq[Array[String]]) = {
     val r = stax(new ByteArrayInputStream(part))
     val rows = mutable.ArrayBuffer[mutable.Map[Int, String]]()
     var row: mutable.Map[Int, String] = null
@@ -346,8 +349,9 @@ object Xlsx {
     // (legal SpreadsheetML, written by several streaming tools) land on
     // consecutive columns instead of collapsing onto column 0
     var col = -1; var cellType = "n"; var inV = false; var inIsT = false
+    var done = false
     val text = new StringBuilder
-    while (r.hasNext) r.next() match {
+    while (!done && r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
         case "row" => row = mutable.Map[Int, String](); col = -1
         case "c" if row != null =>
@@ -373,7 +377,12 @@ object Xlsx {
             case _ => if (raw.isEmpty) null else raw
           }
           if (value != null) row(col) = value
-        case "row" => rows += row; row = null
+        case "row" =>
+          rows += row; row = null
+          // limit-pushdown bound: header + maxDataRows rows parsed,
+          // the StAX cursor stops cold — a head(5) over a fleet of
+          // million-row workbooks costs O(limit) per file
+          if (rows.size > maxDataRows) done = true
         case _ => ()
       }
       case _ => ()

@@ -77,25 +77,35 @@ private[sources] class XlsxFleetTable(tableSchema: StructType, path: String,
 
 private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
     path: String, sheet: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // PARTIAL limit pushdown (same contract as the avro fleet): the
+  // StAX parse stops after `limit` data rows per workbook, so a
+  // head()/show() over a fleet costs O(limit) per file instead of a
+  // full-sheet parse; Spark's own Limit enforces the global count
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
   override def build(): Scan =
-    new XlsxFleetScan(fullSchema, required, path, sheet)
+    new XlsxFleetScan(fullSchema, required, path, sheet, limit)
 }
 
 private[sources] class XlsxFleetScan(fullSchema: StructType,
-    required: StructType, path: String, sheet: String)
-    extends Scan with Batch with SupportsReportStatistics {
+    required: StructType, path: String, sheet: String,
+    limit: Option[Int]) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
-    s"graft-xlsx $path sheet=$sheet ReadSchema: ${required.catalogString}"
+    s"graft-xlsx $path sheet=$sheet ReadSchema: ${required.catalogString}" +
+      limit.map(l => s", PushedLimit: $l").getOrElse("")
 
   override def toBatch: Batch = this
 
@@ -129,7 +139,7 @@ private[sources] class XlsxFleetScan(fullSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
     new XlsxFleetReaderFactory(sheet, fullSchema.fieldNames,
-      required.fields.map(f => (f.name, f.dataType)),
+      required.fields.map(f => (f.name, f.dataType)), limit,
       new SerializableHadoopConf(s.sessionState.newHadoopConf()))
   }
 }
@@ -142,7 +152,8 @@ private[sources] case class XlsxFilePartition(file: String)
   * order, and the session Hadoop conf. */
 private[sources] class XlsxFleetReaderFactory(sheet: String,
     fullHeader: Array[String], projected: Array[(String, DataType)],
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    limit: Option[Int], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[XlsxFilePartition].file
@@ -156,7 +167,8 @@ private[sources] class XlsxFleetReaderFactory(sheet: String,
         val fs = path.getFileSystem(conf.value)
         val in = fs.open(path)
         val bytes = try in.readAllBytes() finally in.close()
-        val (h, rows) = Xlsx.readSheet(bytes, sheet)
+        val (h, rows) = Xlsx.readSheet(bytes, sheet,
+          limit.getOrElse(Int.MaxValue))
         require(h.sameElements(fullHeader),
           s"workbook header mismatch in $file: ${h.mkString(",")} vs " +
             fullHeader.mkString(","))

@@ -306,4 +306,32 @@ class XlsxSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("absent"), e.getMessage)
   }
+
+  test("limit pushdown stops the StAX parse after N data rows per file") {
+    import spark.implicits._
+    val dir = tmp("xlsx_fleet_limit")
+    (0 until 2).foreach { i =>
+      val part = spark.range(i * 100, i * 100 + 100)
+        .select($"id", concat(lit("n"), $"id").as("name"))
+      Xlsx.write(spark, s"$dir/part$i.xlsx", Seq("data" -> part))
+    }
+    // the parse-time bound itself: a 100-row sheet parsed with
+    // maxDataRows=5 materializes exactly 5 data rows — the cursor
+    // stops cold, it does not parse-then-truncate
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "part0.xlsx"))
+    val (h, rows) = Xlsx.readSheet(bytes, "data", maxDataRows = 5)
+    assert(h.toSeq == Seq("id", "name"))
+    assert(rows.size == 5, s"parsed ${rows.size} rows")
+    assert(rows.map(_(0)).toSeq == (0 until 5).map(_.toString))
+    // and the V2 plumbing: head(5) pushes the bound into the scan —
+    // visible as PushedLimit — and still returns correct rows
+    val fleet = spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(s"$dir/*.xlsx")
+    val limited = fleet.orderBy($"id").limit(5)
+    assert(limited.as[(Long, String)].collect().toSeq ==
+      (0L until 5L).map(i => (i, s"n$i")))
+    val plan = fleet.limit(5).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 5"), plan)
+  }
 }
