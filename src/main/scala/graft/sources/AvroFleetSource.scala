@@ -256,7 +256,7 @@ private[graft] case class AvroFleetCommitMessage(file: String)
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
@@ -272,20 +272,116 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   // Spark's own Limit on top enforces the global count
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  // FULL pushdown for the comparisons the record-level evaluator
+  // handles faithfully (AvroFleetFilters.supported); accepted filters
+  // are absorbed — matching rows alone reach Catalyst — and the rest
+  // stay residual for Spark to re-evaluate
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, rest) =
+      filters.partition(AvroFleetFilters.supported(fullSchema, _))
+    pushed = ok
+    rest
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
   override def build(): Scan =
-    new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit)
+    new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
+      pushed)
+}
+
+/** Record-level evaluation of pushed V1 filters for the avro fleet
+  * scan: rows failing a pushed predicate are dropped BEFORE the
+  * InternalRow is built, so they never enter Catalyst at all.
+  *
+  * Scope is deliberately narrow so semantics stay exact:
+  *  - comparisons/IN on integral, floating, string, and boolean
+  *    columns (date/timestamp/binary stay residual — their literal
+  *    spellings vary with session confs, Catalyst keeps them);
+  *  - IsNull/IsNotNull on any column;
+  *  - And/Or compositions of the above. NOT is rejected: the
+  *    evaluator collapses SQL UNKNOWN to false at the leaves, which
+  *    is sound under the monotone And/Or but NOT under negation. */
+private[graft] object AvroFleetFilters {
+  import org.apache.spark.sql.sources._
+
+  private def evaluable(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | BooleanType => true
+      case _ => false
+    })
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(c, v) => v != null && evaluable(schema, c)
+    case GreaterThan(c, v) => v != null && evaluable(schema, c)
+    case GreaterThanOrEqual(c, v) => v != null && evaluable(schema, c)
+    case LessThan(c, v) => v != null && evaluable(schema, c)
+    case LessThanOrEqual(c, v) => v != null && evaluable(schema, c)
+    case In(c, vs) =>
+      vs != null && vs.nonEmpty && vs.forall(_ != null) &&
+        evaluable(schema, c)
+    case IsNull(c) => schema.exists(_.name == c)
+    case IsNotNull(c) => schema.exists(_.name == c)
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case Or(l, r) => supported(schema, l) && supported(schema, r)
+    case _ => false
+  }
+
+  private def integral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
+  private def cmp(x: Any, v: Any): Int = (x, v) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
+    case (a: Number, b: Number) =>
+      if (integral(a) && integral(b))
+        java.lang.Long.compare(a.longValue(), b.longValue())
+      else java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case _ => throw new IllegalStateException(
+      s"unpushable comparison: ${x.getClass} vs ${v.getClass}")
+  }
+
+  /** SQL semantics with UNKNOWN collapsed to false (sound for the
+    * accepted monotone filter algebra — see scaladoc above). */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(c, v) => val x = get(c); x != null && cmp(x, v) == 0
+    case GreaterThan(c, v) => val x = get(c); x != null && cmp(x, v) > 0
+    case GreaterThanOrEqual(c, v) =>
+      val x = get(c); x != null && cmp(x, v) >= 0
+    case LessThan(c, v) => val x = get(c); x != null && cmp(x, v) < 0
+    case LessThanOrEqual(c, v) =>
+      val x = get(c); x != null && cmp(x, v) <= 0
+    case In(c, vs) => val x = get(c); x != null && vs.exists(cmp(x, _) == 0)
+    case IsNull(c) => get(c) == null
+    case IsNotNull(c) => get(c) != null
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r) => eval(l, get) || eval(r, get)
+    case other => throw new IllegalStateException(s"unpushed filter: $other")
+  }
 }
 
 private[sources] class AvroFleetScan(fullSchema: StructType,
     required: StructType, path: String, maxFileBytes: Long,
-    limit: Option[Int]) extends Scan with Batch
-    with SupportsReportStatistics {
+    limit: Option[Int],
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-avro $path ReadSchema: ${required.catalogString}" +
-      limit.map(l => s", PushedLimit: $l").getOrElse("")
+      limit.map(l => s", PushedLimit: $l").getOrElse("") +
+      (if (pushedFilters.isEmpty) ""
+       else s", PushedFilters: [${pushedFilters.mkString(", ")}]")
 
   override def toBatch: Batch = this
 
@@ -324,7 +420,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
     new AvroFleetReaderFactory(fullSchema, required.fieldNames,
-      limit, new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+      limit, pushedFilters,
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
   }
 }
 
@@ -335,6 +432,7 @@ private[sources] case class AvroFilePartition(file: String)
   * filesystem resolution honors `spark.hadoop.*` settings. */
 private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     columns: Array[String], limit: Option[Int],
+    filters: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -349,6 +447,7 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
       private var stream: org.apache.avro.file.DataFileStream[
         org.apache.avro.generic.GenericRecord] = _
       private var fields: Seq[(String, Schema)] = _
+      private var filterSchemaByName: Map[String, Schema] = _
       private var emitted = 0
       private var rec: org.apache.avro.generic.GenericRecord = _
 
@@ -372,18 +471,40 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
             tableSchema.map(f => (f.name, f.dataType)),
           s"avro schema mismatch in $file: ${writerSpark.catalogString} " +
             s"vs table ${tableSchema.catalogString}")
-        // reader-schema projection: unprojected fields skip-decode at
-        // the byte level; an empty projection decodes zero fields
-        val effective = Avro.prunedSchema(writer, columns.toIndexedSeq)
+        // reader-schema projection: decode the projected columns PLUS
+        // any column a fully-pushed filter references (it may have
+        // been pruned from the output — e.g. filter on a, select b);
+        // everything else skip-decodes at the byte level
+        val filterCols = filters.flatMap(_.references).distinct
+        val decodeCols =
+          (columns ++ filterCols.filterNot(columns.contains)).toIndexedSeq
+        val effective = Avro.prunedSchema(writer, decodeCols)
         datumReader.setExpected(effective)
-        fields = effective.getFields.asScala.toSeq
+        val all = effective.getFields.asScala.toSeq
           .map(f => (f.name(), f.schema()))
+        val byName = all.toMap
+        // output row = projected columns only, in projection order
+        fields = columns.toSeq.map(c => (c, byName(c)))
+        filterSchemaByName = byName
+      }
+
+      private def passes: Boolean = {
+        if (filters.isEmpty) return true
+        val get = (c: String) =>
+          Avro.fromAvroValue(rec.get(c), filterSchemaByName(c))
+        filters.forall(AvroFleetFilters.eval(_, get))
       }
 
       override def next(): Boolean = {
         ensureOpen()
-        if (limit.exists(emitted >= _) || !stream.hasNext) false
-        else { rec = stream.next(); emitted += 1; true }
+        // the pushed limit counts EMITTED (post-filter) rows: Spark
+        // only pushes a limit when every filter is pushed too, so the
+        // global Limit on top sees already-filtered rows
+        while (!limit.exists(emitted >= _) && stream.hasNext) {
+          rec = stream.next()
+          if (passes) { emitted += 1; return true }
+        }
+        false
       }
 
       override def get(): InternalRow =

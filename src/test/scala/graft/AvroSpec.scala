@@ -332,6 +332,50 @@ class AvroSpec extends SparkSpec {
     assert(pruned.collect().map(_.getDouble(0)).toSeq.sorted == Seq(0.5, 1.0, 1.5))
   }
 
+  test("pushed filters drop rows before Catalyst and match the residual plan") {
+    import spark.implicits._
+    val dir = tmp("avro_filter_push") + "/t.avro"
+    val df = spark.range(0, 1000)
+      .select($"id", ($"id" % 7).cast("double").as("v"),
+        concat(lit("g"), $"id" % 5).as("grp"),
+        when($"id" % 10 === 0, null).otherwise($"id" * 2).as("maybe"))
+    df.repartition(3).write.format("graft-avro").mode("overwrite").save(dir)
+    val fleet = spark.read.format("graft-avro").load(dir)
+
+    // comparison + IN + null-test compositions, incl. a filter column
+    // (id) pruned from the output — the reader decodes it for the
+    // predicate but never materializes it into the row
+    val q = fleet.filter($"id" >= 100 && $"id" < 200 &&
+        $"grp".isin("g1", "g3") && $"maybe".isNotNull)
+      .select($"v", $"grp")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan)
+    // every conjunct is absorbed: no residual FilterExec above the scan
+    assert(!plan.contains("Filter ("), plan)
+    val expected = df.filter($"id" >= 100 && $"id" < 200 &&
+        $"grp".isin("g1", "g3") && $"maybe".isNotNull)
+      .select($"v", $"grp")
+    assert(q.orderBy($"grp", $"v").collect().toSeq ==
+      expected.orderBy($"grp", $"v").collect().toSeq)
+
+    // UNKNOWN handling on Or: null maybe-values must not leak through
+    val orQ = fleet.filter($"maybe" > 1900 || $"grp" === "g0")
+    val orE = df.filter($"maybe" > 1900 || $"grp" === "g0")
+    assert(orQ.count() == orE.count())
+    assert(orQ.agg(sum($"id")).head().getLong(0) ==
+      orE.agg(sum($"id")).head().getLong(0))
+
+    // NOT stays residual (rejected by the evaluator), still correct
+    val notQ = fleet.filter(!($"grp" === "g0"))
+    assert(notQ.count() == df.filter(!($"grp" === "g0")).count())
+
+    // pushed limit composes with pushed filters: limit counts
+    // post-filter rows, so head(k) returns k MATCHING rows
+    assert(fleet.filter($"grp" === "g2").limit(7).collect()
+      .forall(_.getAs[String]("grp") == "g2"))
+    assert(fleet.filter($"grp" === "g2").limit(7).count() == 7)
+  }
+
   test("V2 writer roundtrips with append and overwrite through save()") {
     import spark.implicits._
     val dir = tmp("avro_v2_write") + "/t.avro"
