@@ -398,7 +398,8 @@ object Avro {
     * whole-file task). Shared by the RDD reader, the schema peek, and
     * the DataSource V2 fleet connector so the three can never drift. */
   private[graft] def listFleet(s: SparkSession, glob: String,
-      maxFileBytes: Long): Seq[org.apache.hadoop.fs.FileStatus] = {
+      maxFileBytes: Long, enforceBound: Boolean = true)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -422,13 +423,18 @@ object Avro {
       case f => Seq(f)
     }
     require(files.nonEmpty, s"no avro files match: $glob")
-    files.foreach(requireIngestSized(_, maxFileBytes))
+    // the V2 fleet scan passes enforceBound=false: it SPLITS oversized
+    // container files on sync markers instead (maxFileBytes becomes
+    // the per-split guard); the whole-file driver parse keeps the hard
+    // bound because it holds one file in one JVM
+    if (enforceBound) files.foreach(requireIngestSized(_, maxFileBytes))
     files
   }
 
   private[graft] def peekSchema(s: SparkSession, glob: String,
       maxFileBytes: Long): Schema = {
-    val files = listFleet(s, glob, maxFileBytes)
+    // header-only read: the per-file bound is irrelevant here
+    val files = listFleet(s, glob, maxFileBytes, enforceBound = false)
     val first = files.map(_.getPath).minBy(_.toString)
     val fs = first.getFileSystem(s.sessionState.newHadoopConf())
     val in = fs.open(first)

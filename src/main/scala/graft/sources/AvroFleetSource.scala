@@ -385,9 +385,10 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
 
   override def toBatch: Batch = this
 
-  // one driver-side listing shared by stats + partition planning
+  // one driver-side listing shared by stats + partition planning;
+  // oversized files are not rejected here — they are SPLIT below
   private lazy val fleet = Avro.listFleet(SparkSession.active, path,
-    maxFileBytes)
+    maxFileBytes, enforceBound = false)
 
   /** Planner-grade size estimate: without it DSv2 falls back to
     * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and a 2 MB
@@ -413,9 +414,19 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    // deterministic partition order (listing order is no contract)
-    fleet.map(_.getPath.toString).sorted
-      .map(AvroFilePartition(_)).toArray[InputPartition]
+    // deterministic partition order (listing order is no contract);
+    // files over maxFileBytes become MULTIPLE byte-range splits — the
+    // reader aligns each range to avro sync markers, so one oversized
+    // external container file fans out across tasks instead of either
+    // failing the ingest bound or straggling as one giant task
+    fleet.sortBy(_.getPath.toString).flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, math.ceil(len.toDouble / maxFileBytes).toLong)
+      (0L until n).map { i =>
+        AvroFilePartition(st.getPath.toString, i * maxFileBytes,
+          if (i == n - 1) len else (i + 1) * maxFileBytes)
+      }
+    }.toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
@@ -425,8 +436,13 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   }
 }
 
-private[sources] case class AvroFilePartition(file: String)
-    extends InputPartition
+/** One byte range of one container file. Whole small files are a
+  * single `[0, len)` range; ranges align to sync markers at read time
+  * (`DataFileReader.sync(start)` / `pastSync(end)` — the standard
+  * avro split convention: a block belongs to the range containing its
+  * first byte, so contiguous ranges partition the blocks exactly). */
+private[sources] case class AvroFilePartition(file: String, start: Long,
+    end: Long) extends InputPartition
 
 /** Serialized per task; carries the session Hadoop conf so executor
   * filesystem resolution honors `spark.hadoop.*` settings. */
@@ -436,15 +452,16 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[AvroFilePartition].file
+    val part = p.asInstanceOf[AvroFilePartition]
+    val file = part.file
     new PartitionReader[InternalRow] {
-      // STREAMING decode, straight off the Hadoop input stream: task
-      // memory is O(one OCF block), never O(file) — the whole-file
-      // byte[] + materialized row list of the RDD-era reader is gone.
-      // The listFleet size bound remains as the straggler guard (one
-      // file is still one task).
-      private var in: java.io.InputStream = _
-      private var stream: org.apache.avro.file.DataFileStream[
+      // STREAMING decode over a SEEKABLE input: task memory is O(one
+      // OCF block), never O(file), and the reader serves one byte
+      // RANGE of the file — `sync(start)` aligns to the first block
+      // at/after the range start, `pastSync(end)` stops after the last
+      // block starting inside it, so splits of one oversized container
+      // file partition its blocks exactly (the avro-mapred convention).
+      private var stream: org.apache.avro.file.DataFileReader[
         org.apache.avro.generic.GenericRecord] = _
       private var fields: Seq[(String, Schema)] = _
       private var filterSchemaByName: Map[String, Schema] = _
@@ -454,11 +471,12 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
       private def ensureOpen(): Unit = if (stream == null) {
         val path = new org.apache.hadoop.fs.Path(file)
         val fs = path.getFileSystem(conf.value)
-        in = fs.open(path)
         val datumReader =
           new org.apache.avro.generic.GenericDatumReader[
             org.apache.avro.generic.GenericRecord]()
-        stream = new org.apache.avro.file.DataFileStream(in, datumReader)
+        stream = new org.apache.avro.file.DataFileReader(
+          new HadoopSeekableInput(fs.open(path),
+            fs.getFileStatus(path).getLen), datumReader)
         val writer = stream.getSchema
         // mixed-fleet guard at the SPARK-type level: each file must map
         // to the pinned table schema, but its avro spelling is its own —
@@ -486,6 +504,7 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
         // output row = projected columns only, in projection order
         fields = columns.toSeq.map(c => (c, byName(c)))
         filterSchemaByName = byName
+        stream.sync(part.start)
       }
 
       private def passes: Boolean = {
@@ -500,7 +519,8 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
         // the pushed limit counts EMITTED (post-filter) rows: Spark
         // only pushes a limit when every filter is pushed too, so the
         // global Limit on top sees already-filtered rows
-        while (!limit.exists(emitted >= _) && stream.hasNext) {
+        while (!limit.exists(emitted >= _) && stream.hasNext &&
+            !stream.pastSync(part.end)) {
           rec = stream.next()
           if (passes) { emitted += 1; return true }
         }
@@ -513,12 +533,23 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
             Avro.fromAvroValue(rec.get(f), fs))
         }.toArray)
 
-      override def close(): Unit = {
-        if (stream != null) stream.close()
-        else if (in != null) in.close()
-      }
+      override def close(): Unit = if (stream != null) stream.close()
     }
   }
+}
+
+/** `SeekableInput` over a Hadoop `FSDataInputStream` — what
+  * `DataFileReader` needs to serve sync-aligned byte ranges of one
+  * container file (the bundled avro jar has no hadoop bridge). */
+private[sources] class HadoopSeekableInput(
+    in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+    extends org.apache.avro.file.SeekableInput {
+  override def seek(p: Long): Unit = in.seek(p)
+  override def tell(): Long = in.getPos
+  override def length(): Long = len
+  override def read(b: Array[Byte], off: Int, n: Int): Int =
+    in.read(b, off, n)
+  override def close(): Unit = in.close()
 }
 
 private[sources] object AvroFleetReaderFactory {

@@ -275,15 +275,40 @@ class AvroSpec extends SparkSpec {
     import spark.implicits._
     val path = tmp("avro_bound") + "/t.avro"
     Avro.write(spark, path, Seq((1L, "x")).toDF("id", "s"))
+    // the whole-file DRIVER parse keeps the hard bound (one file in
+    // one JVM); the distributed path splits instead — see the
+    // sync-marker split test
     val e = intercept[IllegalArgumentException] {
       Avro.read(spark, path, maxFileBytes = 10L)
     }
     assert(e.getMessage.contains("writeDistributed") &&
       e.getMessage.contains("parquet"), e.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      Avro.readDistributed(spark, path, maxFileBytes = 10L)
-    }
-    assert(e2.getMessage.contains("parquet"), e2.getMessage)
+  }
+
+  test("oversized container files split on sync markers across tasks") {
+    import spark.implicits._
+    val path = tmp("avro_split") + "/big.avro"
+    // one ~1 MB OCF with many 64 KiB-ish blocks (DataFileWriter's
+    // default sync interval), well over the tiny bound below
+    val df = spark.range(0, 60000)
+      .select($"id", concat(lit("name-"), $"id").as("name"))
+    Avro.write(spark, path, df.coalesce(1))
+    val len = new java.io.File(path).length()
+    val bound = 60000L
+    assert(len > 2 * bound, s"fixture too small: $len")
+    val fleet = spark.read.format("graft-avro")
+      .option("maxFileBytes", bound.toString).load(path)
+    // the single file fans out across byte-range partitions...
+    assert(fleet.rdd.getNumPartitions >= 2, fleet.rdd.getNumPartitions)
+    // ...and the ranges partition the blocks exactly: no loss, no dup
+    assert(fleet.count() == 60000L)
+    assert(fleet.agg(sum($"id")).head().getLong(0) ==
+      (0L until 60000L).sum)
+    assert(fleet.select($"name").filter($"id" === 59999L).head()
+      .getString(0) == "name-59999")
+    // readDistributed inherits splitting (it delegates to the V2 scan)
+    assert(Avro.readDistributed(spark, path, maxFileBytes = bound)
+      .count() == 60000L)
   }
 
   test("distributed read decodes many container files on executors") {
