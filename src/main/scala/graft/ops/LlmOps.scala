@@ -732,10 +732,28 @@ object LlmOps {
     * build work. Rounding parity survives persistence exactly: seed
     * components are r6-rounded doubles and `emb` is carried verbatim,
     * both bit-exact through parquet. */
+  /** Data fingerprint of the corpus's embeddings table (file count +
+    * total bytes + newest mtime): part of the index cache key, so an
+    * in-place rewrite of the fixture within one JVM rebuilds the
+    * index instead of serving a stale one. At 100 TB this is the
+    * standard listing-level staleness check — O(listing), no data
+    * read, same signal Spark's own file-index caches key on. */
+  private def embFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val root = fs.getFileStatus(p)
+    val files =
+      if (root.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
+      else Seq(root)
+    s"${files.size}_${files.map(_.getLen).sum}_" +
+      s"${files.map(_.getModificationTime).max}"
+  }
+
   private[graft] def buildIvfIndex(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val (cPath, cSchema, aPath, aSchema) = ivfIndexes.computeIfAbsent(dir, _ => {
+    val cacheKey = s"$dir@${embFingerprint(s, dir)}"
+    val (cPath, cSchema, aPath, aSchema) = ivfIndexes.computeIfAbsent(cacheKey, _ => {
       val e = embD(s, dir)
       val seeds0 = e.filter($"vec_id" < 8L)
         .select($"vec_id".as("seed_id"), $"emb".as("seed_emb"))
@@ -766,9 +784,12 @@ object LlmOps {
         .withColumn("arn", row_number().over(wAssign))
         .filter($"arn" === 1)
         .select($"vec_id", $"label", $"emb", $"seed_id".as("cluster_id"))
+      // scratch key = md5 of the FULL cache key (dir + fingerprint),
+      // so a rebuilt index lands in fresh scratch dirs instead of
+      // overwriting files a live plan may still be reading
       val key = dir.replaceAll("[^A-Za-z0-9._-]", "-").takeRight(32) + "_" +
         java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
       val cOut = graft.util.Scratch.dir(s"ivf_centroids_$key")
       val aOut = graft.util.Scratch.dir(s"ivf_lists_$key")
       seeds.write.mode("overwrite").parquet(cOut)

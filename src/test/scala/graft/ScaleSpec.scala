@@ -339,6 +339,29 @@ class ScaleSpec extends SparkSpec {
       s"no dynamic partition pruning on the inverted-lists scan:\n$plan")
   }
 
+  test("rewriting the embeddings fixture invalidates the cached IVF index") {
+    import spark.implicits._
+    // a private corpus dir this test owns: the index cache key carries
+    // the embeddings data fingerprint, so an IN-PLACE rewrite within
+    // one JVM must rebuild, not serve the stale index
+    val corpus = graft.util.Scratch.dir("ivf_stale_corpus")
+    def plant(n: Int): Unit = {
+      graft.util.Tables.embeddings(spark, sfDir)
+        .filter($"vec_id" < n).coalesce(1)
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+      // the standard Spark contract after an in-place rewrite: drop
+      // cached plans over the path (embD caches the normalized scan)
+      spark.catalog.refreshByPath(s"$corpus/embeddings.parquet")
+    }
+    plant(64)
+    val (_, lists1) = ops.LlmOps.buildIvfIndex(spark, corpus)
+    assert(lists1.count() == 64)
+    plant(32)
+    val (_, lists2) = ops.LlmOps.buildIvfIndex(spark, corpus)
+    assert(lists2.count() == 32,
+      "stale IVF index served after the fixture was rewritten")
+  }
+
   test("dot_product participates in whole-stage codegen") {
     import spark.implicits._
     val df = graft.util.Tables.embeddings(spark, sfDir)
