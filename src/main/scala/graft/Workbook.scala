@@ -208,9 +208,21 @@ final class Workbook private (
       s"partitionCols is not supported for the $format interchange " +
         "format — silently ignoring it would hide the loss of " +
         "partition-pruned reloads")
-    if (format == "xlsx")
-      sources.Xlsx.write(spark, s"$dir/workbook.xlsx",
-        sheetNames.map(n => n -> sheet(n)))
+    if (format == "xlsx") {
+      // single-partition sheets share ONE workbook file (the
+      // interchange-friendly layout); multi-partition sheets shard to
+      // a per-sheet FLEET directory of part workbooks written on
+      // executors — the same single-vs-distributed split as the avro
+      // path, so a big sheet neither bottlenecks on the driver stream
+      // nor trips the format's single-sheet row cap
+      val (fleet, single) = sheetNames.partition(n =>
+        sheet(n).queryExecution.toRdd.getNumPartitions > 1)
+      fleet.foreach(n =>
+        sources.Xlsx.writeDistributed(spark, s"$dir/$n.xlsx", n, sheet(n)))
+      if (single.nonEmpty || fleet.isEmpty)
+        sources.Xlsx.write(spark, s"$dir/workbook.xlsx",
+          single.map(n => n -> sheet(n)))
+    }
     else if (format == "avro")
       sheetNames.foreach { n =>
         val df = sheet(n)
@@ -281,7 +293,18 @@ object Workbook {
     // only — needed for the sheet map and the collision check); the
     // cell parse is deferred, one memoized parse per FILE shared by
     // every sheet in it
-    val xlsxFiles = entries.filter(_.endsWith(".xlsx")).sorted
+    val allStatus = fs.listStatus(path).toSeq
+    // a *.xlsx DIRECTORY is a writeDistributed sheet fleet: sheet name
+    // = entry name, parsed on executors via the distributed reader
+    val xlsxFleets = allStatus
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith(".xlsx"))
+      .map(_.getPath.getName.stripSuffix(".xlsx"))
+    val fleetSheets = xlsxFleets.map(n =>
+      n -> memo(() =>
+        sources.Xlsx.readDistributed(spark, s"$dir/$n.xlsx", n))).toMap
+    val xlsxFiles = entries.filter(_.endsWith(".xlsx"))
+      .filter(f => allStatus.exists(st =>
+        st.getPath.getName == f && st.isFile)).sorted
     val xlsxPairs = xlsxFiles.flatMap { f =>
       val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/$f"))
       val bytes = try in.readAllBytes() finally in.close()
@@ -301,12 +324,18 @@ object Workbook {
       }.toMap
     val xlsx = xlsxPairs
       .map { case (f, n) => n -> (() => parseFile(f)()(n)) }.toMap
+    val dupFleet = xlsxFleets.toSet
+      .intersect(xlsxPairs.map(_._2).toSet)
+    require(dupFleet.isEmpty,
+      s"sheet name(s) appear both as a fleet directory and inside a " +
+        s"workbook file: ${dupFleet.mkString(", ")}")
     val avro = sheets(".avro", p => sources.Avro.read(spark, p))
     val csv = sheets(".csv", p => spark.read
       .option("header", "true").option("inferSchema", "true").csv(p))
     val parquet = sheets(".parquet", spark.read.parquet(_))
-    require(avro.nonEmpty || xlsx.nonEmpty || csv.nonEmpty || parquet.nonEmpty,
+    require(avro.nonEmpty || xlsx.nonEmpty || fleetSheets.nonEmpty ||
+      csv.nonEmpty || parquet.nonEmpty,
       s"no *.parquet, *.csv, *.xlsx, or *.avro sheets under: $dir")
-    new Workbook(spark, avro ++ xlsx ++ csv ++ parquet)
+    new Workbook(spark, avro ++ xlsx ++ fleetSheets ++ csv ++ parquet)
   }
 }

@@ -136,8 +136,14 @@ object Xlsx {
     * hold the uncompressed sheet and overflow near the row cap). The
     * format's own sheet cap is ENFORCED, not assumed — an out-of-spec
     * file would silently lose rows in consuming tools. */
-  private def writeSheetXml(out: ZipOutputStream, df: DataFrame): Unit = {
-    val schema = df.schema
+  private def writeSheetXml(out: ZipOutputStream, df: DataFrame): Unit =
+    writeSheetXml(out, df.schema, null, df)
+
+  /** Iterator form, shared by the driver path (`rows = null`, streams
+    * via toLocalIterator) and the executor-side fleet writer (a
+    * partition iterator). */
+  private def writeSheetXml(out: ZipOutputStream, schema: StructType,
+      rows: Iterator[Row], df: DataFrame): Unit = {
     def emit(s: String): Unit = out.write(s.getBytes("UTF-8"))
     emit("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
     emit("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
@@ -147,11 +153,12 @@ object Xlsx {
     }
     emit("</row>")
     var r = 1
-    df.toLocalIterator().forEachRemaining { row =>
+    def one(row: Row): Unit = {
       r += 1
       require(r <= 1048576,
         "xlsx sheet cap (1,048,576 rows incl. header) exceeded — " +
-          "xlsx is an interchange format; save big sheets as parquet")
+          "xlsx is an interchange format; save big sheets as parquet " +
+          "(the distributed fleet writer caps PER PART file)")
       val b = new StringBuilder(s"""<row r="$r">""")
       schema.fields.zipWithIndex.foreach { case (f, c) =>
         b.append(cellXml(s"${colLetters(c)}$r", f.dataType, row.get(c)))
@@ -159,7 +166,101 @@ object Xlsx {
       b.append("</row>")
       emit(b.toString)
     }
+    if (rows != null) rows.foreach(one)
+    else df.toLocalIterator().forEachRemaining(one(_))
     emit("</sheetData></worksheet>")
+  }
+
+  /** One single-sheet workbook zip streamed to `out` — the executor
+    * task body of `writeDistributed` (also exercised directly by the
+    * driver fallback for empty frames). */
+  private[sources] def writeSingleSheetWorkbook(out: java.io.OutputStream,
+      sheet: String, schema: StructType, rows: Iterator[Row]): Unit = {
+    val z = new ZipOutputStream(out)
+    def entry(name: String, content: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    try {
+      entry("[Content_Types].xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+        """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+        """<Default Extension="xml" ContentType="application/xml"/>""" +
+        """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+        """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+        "</Types>")
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+        """</Relationships>""")
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+        s"""<sheet name="${esc(sheet)}" sheetId="1" r:id="rId1"/>""" +
+        "</sheets></workbook>")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+        """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+        """</Relationships>""")
+      z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+      writeSheetXml(z, schema, rows, null)
+      z.closeEntry()
+    } finally z.close()
+  }
+
+  /** Write `df` as a DIRECTORY of single-sheet part workbooks at
+    * `dir` — the xlsx twin of `Avro.writeDistributed`, sharing its
+    * commit protocol verbatim (attempt-suffixed hidden temps,
+    * rename-if-absent via `Avro.commitPart`, `_SUCCESS` written last
+    * and REQUIRED by `listWorkbooks` on part-patterned directories).
+    * Each part stays under the format's 1,048,576-row sheet cap
+    * individually, so sheets beyond the single-file cap become a
+    * fleet instead of failing — `readDistributed`/`Workbook.load`
+    * reassemble them transparently. */
+  def writeDistributed(s: SparkSession, dir: String, sheet: String,
+      df: DataFrame): Unit = {
+    val schema = df.schema
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val hadoopConf = s.sessionState.newHadoopConf()
+    val fs = dirPath.getFileSystem(hadoopConf)
+    if (fs.exists(dirPath)) fs.delete(dirPath, true)
+    fs.mkdirs(dirPath)
+    val confB = s.sparkContext.broadcast(
+      new graft.util.SerializableHadoopConf(hadoopConf))
+    df.foreachPartition { (it: Iterator[Row]) =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (it.hasNext || tc.partitionId() == 0) {
+        val pid = tc.partitionId()
+        val conf = confB.value.value
+        val finalPath = new org.apache.hadoop.fs.Path(
+          f"$dir/part-$pid%05d.xlsx")
+        val taskFs = finalPath.getFileSystem(conf)
+        if (!taskFs.exists(finalPath)) {
+          val tmpPath = new org.apache.hadoop.fs.Path(
+            f"$dir/.part-$pid%05d-attempt-${tc.taskAttemptId()}.xlsx.tmp")
+          val out = taskFs.create(tmpPath, true)
+          try writeSingleSheetWorkbook(out, sheet, schema, it)
+          finally out.close()
+          Avro.commitPart(taskFs, tmpPath, finalPath)
+        }
+      }
+    }
+    // empty LOCAL relations plan zero tasks — leave one schema-bearing
+    // part so the directory roundtrips (same rule as the avro sink)
+    if (Option(fs.listStatus(dirPath)).exists(
+        _.forall(st => st.getPath.getName.startsWith(".") ||
+          st.getPath.getName.startsWith("_")))) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$dir/part-00000.xlsx"), true)
+      try writeSingleSheetWorkbook(out, sheet, schema, Iterator.empty)
+      finally out.close()
+    }
+    fs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true)
+      .close()
   }
 
   /** Write sheets as ONE workbook file at `path` (any Hadoop-visible
@@ -470,7 +571,21 @@ object Xlsx {
     val fs = gp.getFileSystem(s.sessionState.newHadoopConf())
     val matched = Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
     val candidates = matched.flatMap {
-      case d if d.isDirectory => fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+      case d if d.isDirectory =>
+        val all = fs.listStatus(d.getPath).toSeq
+        val data = all.filter(st => st.isFile &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_"))
+        // same commit contract as the avro fleet: a directory of
+        // sink-patterned part workbooks without the marker is a
+        // killed/in-flight writeDistributed job
+        if (data.exists(_.getPath.getName.matches("part-\\d{5}\\.xlsx")))
+          require(all.exists(_.getPath.getName == "_SUCCESS"),
+            s"${d.getPath} holds part-*.xlsx files but no _SUCCESS " +
+              "marker — uncommitted or partial writeDistributed output; " +
+              "re-run the write (or add a _SUCCESS marker if this " +
+              "directory was produced complete by another tool)")
+        data
       case f => Seq(f)
     }
     require(candidates.nonEmpty, s"no workbooks match: $glob")

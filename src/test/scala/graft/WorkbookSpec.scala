@@ -312,4 +312,27 @@ class WorkbookSpec extends SparkSpec {
       .addColumn("nation", "tag", lit("x"))
     assert(wb2.sheet("nation").count() == n)
   }
+
+  test("xlsx save shards multi-partition sheets to a workbook fleet") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("wb_xlsx_fleet")
+    val big = spark.range(0, 400, 1, 4)
+      .select($"id", concat(lit("n"), $"id").as("name"))
+    val small = Seq((1L, "x"), (2L, "y")).toDF("k", "s").coalesce(1)
+    Workbook(spark, Map("big" -> big, "small" -> small))
+      .save(dir, format = "xlsx")
+    // multi-partition sheet → fleet DIRECTORY of part workbooks
+    // (executor-written, _SUCCESS-committed); single-partition sheets
+    // stay in the one interchange workbook file
+    assert(new java.io.File(s"$dir/big.xlsx").isDirectory)
+    assert(new java.io.File(s"$dir/big.xlsx/_SUCCESS").isFile)
+    assert(new java.io.File(s"$dir/workbook.xlsx").isFile)
+    val back = Workbook.load(spark, dir)
+    assert(back.sheetNames == Seq("big", "small"))
+    assert(back.sheet("big").count() == 400)
+    assert(back.sheet("big").agg(sum($"id")).head().getLong(0) ==
+      (0L until 400L).sum)
+    assert(back.sheet("small").orderBy($"k").collect().map(_.getString(1))
+      .toSeq == Seq("x", "y"))
+  }
 }

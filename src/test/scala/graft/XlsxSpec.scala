@@ -307,6 +307,37 @@ class XlsxSpec extends SparkSpec {
     assert(e.getMessage.contains("absent"), e.getMessage)
   }
 
+  test("distributed write shards a sheet into committed part workbooks") {
+    import spark.implicits._
+    val dir = tmp("xlsx_dist_write") + "/big.xlsx"
+    val df = spark.range(0, 1000, 1, 4)
+      .select($"id", ($"id" % 9).cast("double").as("v"),
+        concat(lit("r"), $"id").as("name"))
+    Xlsx.writeDistributed(spark, dir, "big", df)
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.contains("_SUCCESS"), names.toString)
+    assert(names.count(_.matches("part-\\d{5}\\.xlsx")) == 4, names.toString)
+    assert(!names.exists(_.endsWith(".tmp")), names.toString)
+    // reassembles through the fleet reader (inference: long/double/str)
+    val back = Xlsx.readDistributed(spark, dir, "big")
+    assert(back.count() == 1000)
+    assert(back.agg(sum($"id")).head().getLong(0) == (0L until 1000L).sum)
+    assert(back.filter($"id" === 999L).head().getString(2) == "r999")
+    // without the marker the directory reads as uncommitted output
+    java.nio.file.Files.delete(java.nio.file.Paths.get(dir, "_SUCCESS"))
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.readDistributed(spark, dir, "big").collect()
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+    // empty frames still leave one schema-bearing part
+    val edir = tmp("xlsx_dist_empty") + "/e.xlsx"
+    Xlsx.writeDistributed(spark, edir, "e",
+      Seq.empty[(Long, String)].toDF("id", "s"))
+    val eback = Xlsx.readDistributed(spark, edir, "e")
+    assert(eback.columns.toSeq == Seq("id", "s"))
+    assert(eback.count() == 0)
+  }
+
   test("limit pushdown stops the StAX parse after N data rows per file") {
     import spark.implicits._
     val dir = tmp("xlsx_fleet_limit")
