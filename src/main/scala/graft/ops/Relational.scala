@@ -195,6 +195,25 @@ object Relational {
       .orderBy($"n_nationkey")
   }
 
+  /** §2.A DISTRIBUTED xlsx roundtrip: customer sharded through
+    * `Xlsx.writeDistributed` — executor-written part workbooks with
+    * the avro sink's commit protocol — and reassembled through the
+    * fleet reader. Gates the distributed xlsx writer in CORRECTNESS:
+    * a dropped part, duplicate commit, or header drift across parts
+    * all hash-mismatch against the customer oracle. (xlsx inference
+    * reads integer columns back as long; doubles roundtrip via the
+    * repr-exact cell writer.) */
+  def qScanXlsxDist(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("xlsx_dist_customer")
+    val c = customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_nationkey", r4($"c_acctbal").as("c_acctbal"))
+    graft.sources.Xlsx.writeDistributed(s, s"$out/customer.xlsx",
+      "customer", c.repartition(3))
+    graft.sources.Xlsx.readDistributed(s, s"$out/customer.xlsx", "customer")
+      .orderBy($"c_custkey")
+  }
+
   /** §2.A partitioned sink + partition-pruned scan: write orders
     * partitioned by o_orderstatus (the 100 TB posture for any big
     * sink), read ONE partition back via the partition column — the
@@ -387,6 +406,7 @@ object Relational {
     "q_scan_avro_pruned" -> qScanAvroPruned _,
     "q_scan_avro_v2write" -> qScanAvroV2Write _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
+    "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_catalog_tables" -> qCatalogTables _,
     "q_project" -> qProject _,
@@ -440,6 +460,11 @@ object Relational {
     "q_scan_xlsx_fleet" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_scan_xlsx_dist" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  round(c_acctbal, 4) AS c_acctbal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_catalog_tables" ->
       """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,
         |  string_agg(column_name, '|' ORDER BY ordinal_position) AS cols

@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** Record-level evaluation of pushed V1 filters for the fleet
+  * connectors (graft-avro, graft-xlsx): rows failing a pushed predicate are dropped BEFORE the
+  * InternalRow is built, so they never enter Catalyst at all.
+  *
+  * Scope is deliberately narrow so semantics stay exact:
+  *  - comparisons/IN on integral, floating, string, and boolean
+  *    columns (date/timestamp/binary stay residual — their literal
+  *    spellings vary with session confs, Catalyst keeps them);
+  *  - IsNull/IsNotNull on any column;
+  *  - And/Or compositions of the above. NOT is rejected: the
+  *    evaluator collapses SQL UNKNOWN to false at the leaves, which
+  *    is sound under the monotone And/Or but NOT under negation. */
+private[graft] object FleetFilters {
+  import org.apache.spark.sql.sources._
+
+  private def evaluable(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(_.dataType match {
+      case LongType | IntegerType | ShortType | ByteType | DoubleType |
+           FloatType | StringType | BooleanType => true
+      case _ => false
+    })
+
+  def supported(schema: StructType, f: Filter): Boolean = f match {
+    case EqualTo(c, v) => v != null && evaluable(schema, c)
+    case GreaterThan(c, v) => v != null && evaluable(schema, c)
+    case GreaterThanOrEqual(c, v) => v != null && evaluable(schema, c)
+    case LessThan(c, v) => v != null && evaluable(schema, c)
+    case LessThanOrEqual(c, v) => v != null && evaluable(schema, c)
+    case In(c, vs) =>
+      vs != null && vs.nonEmpty && vs.forall(_ != null) &&
+        evaluable(schema, c)
+    case IsNull(c) => schema.exists(_.name == c)
+    case IsNotNull(c) => schema.exists(_.name == c)
+    case And(l, r) => supported(schema, l) && supported(schema, r)
+    case Or(l, r) => supported(schema, l) && supported(schema, r)
+    case _ => false
+  }
+
+  private def integral(n: Number): Boolean = n match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => true
+    case _ => false
+  }
+
+  private def cmp(x: Any, v: Any): Int = (x, v) match {
+    case (a: String, b: String) => a.compareTo(b)
+    case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
+    case (a: Number, b: Number) =>
+      if (integral(a) && integral(b))
+        java.lang.Long.compare(a.longValue(), b.longValue())
+      else java.lang.Double.compare(a.doubleValue(), b.doubleValue())
+    case _ => throw new IllegalStateException(
+      s"unpushable comparison: ${x.getClass} vs ${v.getClass}")
+  }
+
+  /** SQL semantics with UNKNOWN collapsed to false (sound for the
+    * accepted monotone filter algebra — see scaladoc above). */
+  def eval(f: Filter, get: String => Any): Boolean = f match {
+    case EqualTo(c, v) => val x = get(c); x != null && cmp(x, v) == 0
+    case GreaterThan(c, v) => val x = get(c); x != null && cmp(x, v) > 0
+    case GreaterThanOrEqual(c, v) =>
+      val x = get(c); x != null && cmp(x, v) >= 0
+    case LessThan(c, v) => val x = get(c); x != null && cmp(x, v) < 0
+    case LessThanOrEqual(c, v) =>
+      val x = get(c); x != null && cmp(x, v) <= 0
+    case In(c, vs) => val x = get(c); x != null && vs.exists(cmp(x, _) == 0)
+    case IsNull(c) => get(c) == null
+    case IsNotNull(c) => get(c) != null
+    case And(l, r) => eval(l, get) && eval(r, get)
+    case Or(l, r) => eval(l, get) || eval(r, get)
+    case other => throw new IllegalStateException(s"unpushed filter: $other")
+  }
+}
+

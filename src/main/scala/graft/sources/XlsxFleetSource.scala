@@ -78,10 +78,13 @@ private[sources] class XlsxFleetTable(tableSchema: StructType, path: String,
 private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
     path: String, sheet: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var pushed: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -92,20 +95,36 @@ private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
   // full-sheet parse; Spark's own Limit enforces the global count
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
 
+  // same shared evaluator as the avro fleet (FleetFilters): accepted
+  // filters are absorbed, rows failing them never materialize into
+  // InternalRows; the rest stay residual for Spark
+  override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.sources.Filter] = {
+    val (ok, rest) = filters.partition(FleetFilters.supported(fullSchema, _))
+    pushed = ok
+    rest
+  }
+
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+    pushed
+
   override def build(): Scan =
-    new XlsxFleetScan(fullSchema, required, path, sheet, limit)
+    new XlsxFleetScan(fullSchema, required, path, sheet, limit, pushed)
 }
 
 private[sources] class XlsxFleetScan(fullSchema: StructType,
     required: StructType, path: String, sheet: String,
-    limit: Option[Int]) extends Scan with Batch
-    with SupportsReportStatistics {
+    limit: Option[Int],
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter])
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-xlsx $path sheet=$sheet ReadSchema: ${required.catalogString}" +
-      limit.map(l => s", PushedLimit: $l").getOrElse("")
+      limit.map(l => s", PushedLimit: $l").getOrElse("") +
+      (if (pushedFilters.isEmpty) ""
+       else s", PushedFilters: [${pushedFilters.mkString(", ")}]")
 
   override def toBatch: Batch = this
 
@@ -139,7 +158,9 @@ private[sources] class XlsxFleetScan(fullSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
     new XlsxFleetReaderFactory(sheet, fullSchema.fieldNames,
-      required.fields.map(f => (f.name, f.dataType)), limit,
+      required.fields.map(f => (f.name, f.dataType)),
+      fullSchema.fields.map(f => (f.name, f.dataType)), limit,
+      pushedFilters,
       new SerializableHadoopConf(s.sessionState.newHadoopConf()))
   }
 }
@@ -152,7 +173,9 @@ private[sources] case class XlsxFilePartition(file: String)
   * order, and the session Hadoop conf. */
 private[sources] class XlsxFleetReaderFactory(sheet: String,
     fullHeader: Array[String], projected: Array[(String, DataType)],
-    limit: Option[Int], conf: SerializableHadoopConf)
+    fullTypes: Array[(String, DataType)], limit: Option[Int],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -161,14 +184,22 @@ private[sources] class XlsxFleetReaderFactory(sheet: String,
       private var it: Iterator[Array[String]] = _
       private var indices: Array[Int] = _
       private var cells: Array[String] = _
+      private var emitted = 0
+      private val typeByName = fullTypes.toMap
+      private val colIdx = fullHeader.zipWithIndex.toMap
 
       private def ensureOpen(): Unit = if (it == null) {
         val path = new org.apache.hadoop.fs.Path(file)
         val fs = path.getFileSystem(conf.value)
         val in = fs.open(path)
         val bytes = try in.readAllBytes() finally in.close()
-        val (h, rows) = Xlsx.readSheet(bytes, sheet,
-          limit.getOrElse(Int.MaxValue))
+        // with pushed filters the limit counts EMITTED (post-filter)
+        // rows, so the parse itself can only stop early when no
+        // filter could drop a parsed row
+        val parseBound =
+          if (filters.isEmpty) limit.getOrElse(Int.MaxValue)
+          else Int.MaxValue
+        val (h, rows) = Xlsx.readSheet(bytes, sheet, parseBound)
         require(h.sameElements(fullHeader),
           s"workbook header mismatch in $file: ${h.mkString(",")} vs " +
             fullHeader.mkString(","))
@@ -176,9 +207,24 @@ private[sources] class XlsxFleetReaderFactory(sheet: String,
         it = rows.iterator
       }
 
+      // typed view of the current row for the filter evaluator: cells
+      // cast with the same ladder the projection uses, so a pushed
+      // predicate sees exactly the values Catalyst would have
+      private def passes: Boolean = filters.isEmpty || {
+        val get = (c: String) => {
+          val raw = cells(colIdx(c))
+          if (raw == null) null else Xlsx.cast(raw, typeByName(c))
+        }
+        filters.forall(FleetFilters.eval(_, get))
+      }
+
       override def next(): Boolean = {
         ensureOpen()
-        if (it.hasNext) { cells = it.next(); true } else false
+        while (!limit.exists(emitted >= _) && it.hasNext) {
+          cells = it.next()
+          if (passes) { emitted += 1; return true }
+        }
+        false
       }
 
       override def get(): InternalRow = {

@@ -338,6 +338,32 @@ class XlsxSpec extends SparkSpec {
     assert(eback.count() == 0)
   }
 
+  test("pushed filters drop xlsx rows before materialization") {
+    import spark.implicits._
+    val dir = tmp("xlsx_filter_push")
+    (0 until 2).foreach { i =>
+      val part = spark.range(i * 50, i * 50 + 50)
+        .select($"id", ($"id" % 3).cast("double").as("v"),
+          concat(lit("g"), $"id" % 4).as("grp"))
+      Xlsx.write(spark, s"$dir/part$i.xlsx", Seq("data" -> part))
+    }
+    val fleet = spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(s"$dir/*.xlsx")
+    val q = fleet.filter($"id" >= 20 && $"grp".isin("g1", "g2"))
+      .select($"v", $"grp")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(!plan.contains("Filter ("), plan)
+    val ids = (20L until 100L).filter(i => i % 4 == 1 || i % 4 == 2)
+    assert(q.count() == ids.size)
+    assert(q.agg(sum($"v")).head().getDouble(0) ==
+      ids.map(_ % 3).sum.toDouble)
+    // filter + limit: k MATCHING rows
+    assert(fleet.filter($"grp" === "g3").limit(5).collect()
+      .forall(_.getAs[String]("grp") == "g3"))
+    assert(fleet.filter($"grp" === "g3").limit(5).count() == 5)
+  }
+
   test("limit pushdown stops the StAX parse after N data rows per file") {
     import spark.implicits._
     val dir = tmp("xlsx_fleet_limit")
