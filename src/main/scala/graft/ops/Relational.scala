@@ -174,6 +174,25 @@ object Relational {
       .orderBy($"s_suppkey")
   }
 
+  /** §2.A pushed COUNT(*) over an avro fleet: the `graft-avro` scan
+    * builder accepts an ungrouped, unfiltered count
+    * (`SupportsPushDownAggregates`, partial) and answers it from the
+    * OCF BLOCK HEADERS — each task walks its split's block-count
+    * varints and skips the raw bytes still compressed, so no record is
+    * ever decoded; Spark sums the per-split partials. Gates the
+    * aggregate pushdown in CORRECTNESS: a split double-counting a
+    * block (or missing one) shifts the total against the oracle. */
+  def qScanAvroCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_count_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    graft.sources.Avro.writeDistributed(s, s"$out/events.avro",
+      ev.repartition(4))
+    s.read.format("graft-avro").load(s"$out/events.avro")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -405,6 +424,7 @@ object Relational {
     "q_scan_avro_dist" -> qScanAvroDist _,
     "q_scan_avro_pruned" -> qScanAvroPruned _,
     "q_scan_avro_v2write" -> qScanAvroV2Write _,
+    "q_scan_avro_count" -> qScanAvroCount _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
@@ -455,6 +475,8 @@ object Relational {
       """SELECT s_suppkey, s_name, s_nationkey,
         |  round(s_acctbal, 4) AS s_acctbal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "q_scan_avro_count" ->
+      "SELECT count(*) AS n FROM events",
     // xlsx inference reads integer columns back as long (the
     // q_scan_xlsx convention)
     "q_scan_xlsx_fleet" ->

@@ -256,10 +256,12 @@ private[graft] case class AvroFleetCommitMessage(file: String)
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit with SupportsPushDownFilters {
+    with SupportsPushDownLimit with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
+  private var countStars: Int = 0
 
   // Catalyst hands us the projected subset; empty projections (pure
   // count(*)) arrive as an empty struct — decode zero fields, keep rows
@@ -290,9 +292,33 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
+  /** PARTIAL COUNT(*) pushdown (the default `supportCompletePushDown =
+    * false` contract): an ungrouped, unfiltered count never decodes a
+    * record — every OCF block header already carries its record count
+    * as a varint, so each task reads headers and raw (still-compressed)
+    * block bytes only, emits ONE partial-count row per split, and
+    * Spark's final aggregate sums the per-split partials. Declined
+    * whenever filters were pushed (counting then requires decoding the
+    * filter columns — the regular row path handles that) or a group-by
+    * is present (grouping needs the key column decoded). Kept partial
+    * rather than complete so the count stays DISTRIBUTED — one task per
+    * split, no driver-side fleet walk. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    if (ok) countStars = agg.aggregateExpressions.length
+    ok
+  }
+
   override def build(): Scan =
-    new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
-      pushed)
+    if (countStars > 0)
+      new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
+    else
+      new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
+        pushed)
 }
 
 
@@ -341,11 +367,24 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    // deterministic partition order (listing order is no contract);
-    // files over maxFileBytes become MULTIPLE byte-range splits — the
-    // reader aligns each range to avro sync markers, so one oversized
-    // external container file fans out across tasks instead of either
-    // failing the ingest bound or straggling as one giant task
+    AvroFleetScan.planSplits(fleet, maxFileBytes)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = SparkSession.active
+    new AvroFleetReaderFactory(fullSchema, required.fieldNames,
+      limit, pushedFilters,
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+  }
+}
+
+private[sources] object AvroFleetScan {
+  /** Deterministic partition order (listing order is no contract);
+    * files over maxFileBytes become MULTIPLE byte-range splits — the
+    * reader aligns each range to avro sync markers, so one oversized
+    * external container file fans out across tasks instead of either
+    * failing the ingest bound or straggling as one giant task. */
+  def planSplits(fleet: Seq[org.apache.hadoop.fs.FileStatus],
+      maxFileBytes: Long): Array[InputPartition] =
     fleet.sortBy(_.getPath.toString).flatMap { st =>
       val len = st.getLen
       val n = math.max(1L, math.ceil(len.toDouble / maxFileBytes).toLong)
@@ -354,12 +393,97 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
           if (i == n - 1) len else (i + 1) * maxFileBytes)
       }
     }.toArray[InputPartition]
+}
+
+/** Count-mode scan for a pushed ungrouped COUNT(*): same fleet listing
+  * and sync-marker splits as the row scan, but each task emits ONE row
+  * of per-split partial counts read from the OCF BLOCK HEADERS — the
+  * raw block bytes are skipped still-compressed, no record is ever
+  * decoded. Spark's rewritten final aggregate sums the partials, so
+  * `fleet.count()` costs one header walk per split at any fleet size. */
+private[sources] class AvroFleetCountScan(tableSchema: StructType,
+    path: String, maxFileBytes: Long, countStars: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  // one LongType partial per pushed COUNT(*) (names are free — Spark
+  // zips this positionally with the translated aggregate expressions)
+  override def readSchema(): StructType =
+    StructType((0 until countStars).map(i =>
+      StructField(s"count_star_$i", LongType, nullable = false)))
+
+  override def description(): String =
+    s"graft-avro $path PushedAggregation: [COUNT(*)]"
+
+  override def toBatch: Batch = this
+
+  private lazy val fleet = Avro.listFleet(SparkSession.active, path,
+    maxFileBytes, enforceBound = false)
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(8L * countStars *
+        math.max(1, fleet.size))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1, fleet.size).toLong)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroFleetScan.planSplits(fleet, maxFileBytes)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
-    new AvroFleetReaderFactory(fullSchema, required.fieldNames,
-      limit, pushedFilters,
+    new AvroFleetCountReaderFactory(tableSchema, countStars,
       new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+  }
+}
+
+private[sources] class AvroFleetCountReaderFactory(
+    tableSchema: StructType, countStars: Int,
+    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val part = p.asInstanceOf[AvroFilePartition]
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private var count = 0L
+
+      override def next(): Boolean = {
+        if (done) return false
+        val path = new org.apache.hadoop.fs.Path(part.file)
+        val fs = path.getFileSystem(conf.value)
+        val stream = new org.apache.avro.file.DataFileReader(
+          new HadoopSeekableInput(fs.open(path),
+            fs.getFileStatus(path).getLen),
+          new org.apache.avro.generic.GenericDatumReader[
+            org.apache.avro.generic.GenericRecord]())
+        try {
+          // same mixed-fleet guard as the row reader: a count over a
+          // fleet whose files disagree with the pinned table schema
+          // fails loudly instead of silently tallying foreign rows
+          val writerSpark = Avro.toSparkSchema(stream.getSchema)
+          require(writerSpark.map(f => (f.name, f.dataType)) ==
+              tableSchema.map(f => (f.name, f.dataType)),
+            s"avro schema mismatch in ${part.file}: " +
+              s"${writerSpark.catalogString} vs table " +
+              tableSchema.catalogString)
+          stream.sync(part.start)
+          // block-header walk: hasNext loads the next block's count
+          // varint; nextBlock skips its (compressed) bytes undecoded
+          while (stream.hasNext && !stream.pastSync(part.end)) {
+            count += stream.getBlockCount
+            stream.nextBlock()
+          }
+        } finally stream.close()
+        done = true
+        true
+      }
+
+      override def get(): InternalRow =
+        new GenericInternalRow(
+          Array.fill[Any](countStars)(count))
+
+      override def close(): Unit = ()
+    }
   }
 }
 

@@ -401,6 +401,52 @@ class AvroSpec extends SparkSpec {
     assert(fleet.filter($"grp" === "g2").limit(7).count() == 7)
   }
 
+  test("ungrouped count pushes to block headers, never decoding a record") {
+    import spark.implicits._
+    val dir = tmp("avro_count_push") + "/t.avro"
+    val df = spark.range(0, 5000)
+      .select($"id", concat(lit("v"), $"id").as("s"),
+        when($"id" % 10 === 0, null).otherwise($"id").as("maybe"))
+    df.repartition(3).write.format("graft-avro").mode("overwrite").save(dir)
+    val fleet = spark.read.format("graft-avro").load(dir)
+
+    val agg = fleet.groupBy().count()
+    val plan = agg.queryExecution.executedPlan
+    assert(plan.toString.contains("PushedAggregation: [COUNT(*)]"),
+      plan.toString)
+    // the scan emits PARTIAL COUNTS ONLY — its read schema is one long
+    // column, so no record column can have been decoded into the rows
+    // Spark aggregates; the final agg above sums the per-split partials
+    val scanSchema = agg.queryExecution.optimizedPlan.collectFirst {
+      case s: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => s.scan.readSchema()
+    }.getOrElse(fail(s"no V2 scan relation in:\n$plan"))
+    assert(scanSchema.fields.map(_.dataType).toSeq ==
+      Seq(org.apache.spark.sql.types.LongType), scanSchema.catalogString)
+    assert(agg.head().getLong(0) == 5000)
+    assert(fleet.count() == 5000)
+
+    // several COUNT(*) in one aggregate: one partial column each
+    val multi = fleet.selectExpr("count(*) as a", "count(*) as b").head()
+    assert(multi.getLong(0) == 5000 && multi.getLong(1) == 5000)
+
+    // sync-marker splits keep the block partition exact: shrinking the
+    // split bound fans each file across ranges, partials still total
+    val tiny = spark.read.format("graft-avro")
+      .option("maxFileBytes", 4096).load(dir)
+    assert(tiny.count() == 5000)
+
+    // declined cases fall back to the row path and stay correct:
+    // a filtered count must decode the filter column, a grouped count
+    // the key, count(col) needs per-record null checks
+    assert(fleet.filter($"id" < 100).count() == 100)
+    val grouped = fleet.groupBy(($"id" % 2).as("m")).count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(grouped.count() == 2)
+    assert(fleet.agg(count($"maybe")).head().getLong(0) == 4500)
+  }
+
   test("V2 writer roundtrips with append and overwrite through save()") {
     import spark.implicits._
     val dir = tmp("avro_v2_write") + "/t.avro"
