@@ -172,17 +172,28 @@ object Avro {
     fs.mkdirs(dirPath)
     val confB = s.sparkContext.broadcast(
       new graft.util.SerializableHadoopConf(hadoopConf))
+    // per-file min/max/null stats ride back on an accumulator (tiny:
+    // one entry per part file); duplicate adds from speculative or
+    // re-run attempts collapse in the toMap — stats are deterministic
+    // per partition, so last-wins merge is exact
+    val statsAcc = s.sparkContext.collectionAccumulator[
+      (String, FleetStats.PartStats)]("graft.fleetStats")
     df.foreachPartition { (it: Iterator[Row]) =>
       val tc = org.apache.spark.TaskContext.get()
       if (it.hasNext || tc.partitionId() == 0)
         writePartitionFile(schemaJson, names, dir, tc.partitionId(),
-          tc.taskAttemptId(), confB.value.value, it)
+          tc.taskAttemptId(), confB.value.value, it).foreach(statsAcc.add)
     }
     // an empty LOCAL relation plans to zero tasks, so even the
     // partition-0-always-writes rule never fires — leave one
     // schema-bearing OCF from the driver so the directory roundtrips
     if (fs.listStatus(dirPath, dataFileFilter).isEmpty)
       write(s, f"$dir/part-00000.avro", df)
+    // data-skipping sidecar BEFORE the marker: readers only trust
+    // stats for files whose committed length matches, so a torn or
+    // missing sidecar degrades to "no skipping", never to wrong rows
+    val statEntries = statsAcc.value.asScala.toMap
+    if (statEntries.nonEmpty) FleetStats.write(fs, dirPath, statEntries)
     // commit marker: written LAST, so its presence certifies that every
     // task committed and the driver saw the job succeed
     fs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true).close()
@@ -213,22 +224,33 @@ object Avro {
     * it as a twin commit and this attempt just discards its temp. */
   private[graft] def writePartitionFile(schemaJson: String,
       names: Array[String], dir: String, pid: Int, attemptId: Long,
-      conf: org.apache.hadoop.conf.Configuration, it: Iterator[Row]): Unit = {
+      conf: org.apache.hadoop.conf.Configuration, it: Iterator[Row])
+      : Option[(String, FleetStats.PartStats)] = {
     val schema = new Schema.Parser().parse(schemaJson)
     val finalPath = new org.apache.hadoop.fs.Path(f"$dir/part-$pid%05d.avro")
     val fs = finalPath.getFileSystem(conf)
-    if (fs.exists(finalPath)) return // twin committed; finals are complete
+    if (fs.exists(finalPath)) return None // twin committed; finals are complete
     val tmpPath = new org.apache.hadoop.fs.Path(
       f"$dir/.part-$pid%05d-attempt-$attemptId.avro.tmp")
+    // fold per-column min/max/nulls as values stream past — the rows
+    // already pass through this task, so the stats are free
+    val stats = new FleetStats.Collector(toSparkSchema(schema))
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       .setCodec(CodecFactory.deflateCodec(6))
       .create(schema, fs.create(tmpPath, true))
     try it.foreach { row =>
+      stats.startRow()
       val rec = new GenericData.Record(schema)
-      names.indices.foreach(i => rec.put(names(i), toAvroValue(row.get(i))))
+      names.indices.foreach { i =>
+        val v = toAvroValue(row.get(i))
+        stats.observe(i, v)
+        rec.put(names(i), v)
+      }
       w.append(rec)
     } finally w.close()
     commitPart(fs, tmpPath, finalPath)
+    Some(finalPath.getName ->
+      stats.result(fs.getFileStatus(finalPath).getLen))
   }
 
   /** The rename-if-absent task commit shared by `writePartitionFile`

@@ -133,7 +133,8 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     val p = new org.apache.hadoop.fs.Path(dir)
     if (truncate && f.exists(p)) f.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      if (n == "_SUCCESS" || n.endsWith(".avro") || n.endsWith(".avro.tmp"))
+      if (n == "_SUCCESS" || n == FleetStats.FileName ||
+          n.endsWith(".avro") || n.endsWith(".avro.tmp"))
         f.delete(st.getPath, false)
     }
     f.mkdirs(p)
@@ -142,11 +143,20 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
       new SerializableHadoopConf(conf))
   }
 
-  // written LAST: its presence certifies every task committed and the
-  // driver saw the job succeed — the marker the fleet readers REQUIRE
+  // sidecar first, marker LAST: the tasks' per-file min/max/null
+  // stats (carried on the commit messages) land in `_stats.json`
+  // BEFORE `_SUCCESS` certifies the job — so a fleet is never marked
+  // complete with its data-skipping profile still in flight
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    fs(conf).create(
+    val f = fs(conf)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val stats = messages.collect {
+      case AvroFleetCommitMessage(file, Some(ps)) =>
+        new org.apache.hadoop.fs.Path(file).getName -> ps
+    }.toMap
+    if (stats.nonEmpty) FleetStats.write(f, p, stats)
+    f.create(
       new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
   }
 
@@ -189,6 +199,8 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
   import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
 
   private val schema = new Schema.Parser().parse(schemaJson)
+  private val stats = new FleetStats.Collector(
+    StructType(names.zip(types).map { case (n, t) => StructField(n, t) }))
   private val finalPath = new org.apache.hadoop.fs.Path(
     f"$dir/part-$pid%05d-$jobTag.avro")
   private val tmpPath = new org.apache.hadoop.fs.Path(
@@ -208,9 +220,12 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
   override def write(row: InternalRow): Unit = {
     ensureOpen()
     val rec = new GenericData.Record(schema)
+    stats.startRow()
     var i = 0
     while (i < names.length) {
-      rec.put(names(i), if (row.isNullAt(i)) null else getters(i)(row))
+      val v = if (row.isNullAt(i)) null else getters(i)(row)
+      stats.observe(i, v)
+      rec.put(names(i), v)
       i += 1
     }
     w.append(rec)
@@ -220,7 +235,8 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
     ensureOpen() // empty partition → schema-bearing empty OCF
     w.close(); w = null
     Avro.commitPart(fs, tmpPath, finalPath)
-    AvroFleetCommitMessage(finalPath.toString)
+    AvroFleetCommitMessage(finalPath.toString,
+      Some(stats.result(fs.getFileStatus(finalPath).getLen)))
   }
 
   override def abort(): Unit = {
@@ -250,7 +266,8 @@ private[graft] object AvroFleetDataWriter {
   }
 }
 
-private[graft] case class AvroFleetCommitMessage(file: String)
+private[graft] case class AvroFleetCommitMessage(file: String,
+    stats: Option[FleetStats.PartStats] = None)
     extends WriterCommitMessage
 
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
@@ -366,8 +383,30 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     }
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroFleetScan.planSplits(fleet, maxFileBytes)
+  /** Planning-time data skipping: when filters were pushed, consult
+    * each fleet directory's `_stats.json` sidecar (written by the
+    * graft sinks) and drop every part file whose recorded min/max/null
+    * profile PROVES a pushed conjunct can never match — the file gets
+    * no task, no open, no header read, which at fleet scale turns a
+    * selective filter from "evaluated at decode speed in every task"
+    * into "most of the fleet never scheduled". Sound because the skip
+    * evaluator shares `FleetFilters`' comparator with the row-level
+    * path, entries apply only while the file length matches the
+    * committed one, and files without stats are always read. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val survivors =
+      if (pushedFilters.isEmpty) fleet
+      else {
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+          SparkSession.active.sessionState.newHadoopConf())
+        val stats = FleetStats.forFleet(fs, fleet)
+        fleet.filterNot { st =>
+          stats.get(st.getPath.toString).exists(ps =>
+            pushedFilters.exists(FleetStats.neverMatches(_, ps)))
+        }
+      }
+    AvroFleetScan.planSplits(survivors, maxFileBytes)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active

@@ -46,7 +46,9 @@ private[graft] object FleetFilters {
     case _ => false
   }
 
-  private def cmp(x: Any, v: Any): Int = (x, v) match {
+  // shared with FleetStats so the planning-time skip decision and the
+  // record-level filter decision can never use different orderings
+  private[sources] def cmp(x: Any, v: Any): Int = (x, v) match {
     case (a: String, b: String) => a.compareTo(b)
     case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
     case (a: Number, b: Number) =>

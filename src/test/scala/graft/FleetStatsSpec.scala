@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+import graft.sources.{Avro, FleetStats}
+
+/** Per-file min/max/null stats for avro fleets: collector semantics,
+  * the planning-time skip evaluator, sidecar IO degradation, and the
+  * end-to-end file-skipping path through both sinks. */
+class FleetStatsSpec extends SparkSpec {
+
+  private def tmp(name: String): String = graft.util.Scratch.dir(name)
+
+  private def localFs =
+    new Path(System.getProperty("java.io.tmpdir"))
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  // planned (post-skip) input partitions of the ONE V2 scan in `df`
+  private def plannedParts(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case s: DataSourceV2ScanRelation => s.scan
+    }.getOrElse(fail(s"no V2 scan in:\n${df.queryExecution.optimizedPlan}"))
+      .toBatch.planInputPartitions().length
+
+  test("collector folds min/max/nulls; NaN drops a column; all-null kept") {
+    val schema = StructType(Seq(
+      StructField("l", LongType), StructField("d", DoubleType),
+      StructField("s", StringType), StructField("nan", DoubleType),
+      StructField("allnull", StringType), StructField("bin", BinaryType)))
+    val c = new FleetStats.Collector(schema)
+    Seq(
+      Seq[Any](5L, 1.5, "m", 0.0, null, Array[Byte](1)),
+      Seq[Any](-3L, null, "a", Double.NaN, null, null),
+      Seq[Any](9L, 2.5, "z", 1.0, null, null)
+    ).foreach { row =>
+      c.startRow()
+      row.zipWithIndex.foreach { case (v, i) => c.observe(i, v) }
+    }
+    val ps = c.result(123L)
+    assert(ps.len == 123L && ps.rows == 3L)
+    assert(ps.cols("l") == FleetStats.ColStat(Some(-3L), Some(9L), 0L))
+    assert(ps.cols("d") == FleetStats.ColStat(Some(1.5), Some(2.5), 1L))
+    assert(ps.cols("s") == FleetStats.ColStat(Some("a"), Some("z"), 0L))
+    // NaN poisons ordering → the column carries NO stats at all
+    assert(!ps.cols.contains("nan"))
+    // all-null column: entry with no bounds — IsNotNull can skip on it
+    assert(ps.cols("allnull") == FleetStats.ColStat(None, None, 3L))
+    // untracked type (binary): never collected
+    assert(!ps.cols.contains("bin"))
+  }
+
+  test("neverMatches proves only impossible predicates, conservatively") {
+    val st = FleetStats.PartStats(1L, 10L, Map(
+      "k" -> FleetStats.ColStat(Some(10L), Some(20L), 0L),
+      "n" -> FleetStats.ColStat(Some(1.0), Some(2.0), 3L),
+      "dead" -> FleetStats.ColStat(None, None, 10L)))
+    def never(f: Filter) = FleetStats.neverMatches(f, st)
+    // ranges
+    assert(never(EqualTo("k", 9L)) && never(EqualTo("k", 21L)))
+    assert(!never(EqualTo("k", 10L)) && !never(EqualTo("k", 15L)))
+    assert(never(GreaterThan("k", 20L)) && !never(GreaterThan("k", 19L)))
+    assert(never(GreaterThanOrEqual("k", 21L)) &&
+      !never(GreaterThanOrEqual("k", 20L)))
+    assert(never(LessThan("k", 10L)) && !never(LessThan("k", 11L)))
+    assert(never(LessThanOrEqual("k", 9L)) &&
+      !never(LessThanOrEqual("k", 10L)))
+    assert(never(In("k", Array(1L, 5L, 25L))) &&
+      !never(In("k", Array(1L, 12L))))
+    // cross-width numeric literals share the integral ordering
+    assert(never(GreaterThan("k", 20)) && !never(LessThan("k", 11)))
+    // nulls
+    assert(never(IsNull("k")) && !never(IsNull("n")))
+    assert(never(IsNotNull("dead")) && !never(IsNotNull("n")))
+    // an all-null column can satisfy no range predicate either
+    assert(never(EqualTo("dead", 1L)) && never(GreaterThan("dead", 0L)))
+    // composition: And skips if either side proves, Or needs both
+    assert(never(And(EqualTo("k", 15L), IsNull("k"))))
+    assert(!never(Or(EqualTo("k", 15L), IsNull("k"))))
+    assert(never(Or(EqualTo("k", 9L), IsNull("k"))))
+    // absent column / unknown filter shape → always read
+    assert(!never(EqualTo("missing", 1L)))
+    assert(!never(StringContains("k", "x")))
+  }
+
+  test("sidecar roundtrips, merges, and degrades to advisory on damage") {
+    val fs = localFs
+    val dir = new Path(tmp("stats_io"))
+    fs.mkdirs(dir)
+    val a = FleetStats.PartStats(10L, 2L, Map(
+      "x" -> FleetStats.ColStat(Some(1L), Some(5L), 1L),
+      "s" -> FleetStats.ColStat(Some("a"), Some("b"), 0L),
+      "b" -> FleetStats.ColStat(Some(false), Some(true), 0L),
+      "f" -> FleetStats.ColStat(Some(0.5), Some(2.5), 0L)))
+    FleetStats.write(fs, dir, Map("p1.avro" -> a))
+    assert(FleetStats.read(fs, dir) == Map("p1.avro" -> a))
+    // merge keeps prior entries (append-mode jobs)
+    val b = FleetStats.PartStats(20L, 4L, Map.empty)
+    FleetStats.write(fs, dir, Map("p2.avro" -> b))
+    assert(FleetStats.read(fs, dir) == Map("p1.avro" -> a, "p2.avro" -> b))
+    // forFleet keys by full path and drops length-mismatched entries
+    val f1 = fs.create(new Path(dir, "p1.avro"), true)
+    f1.write(Array.fill[Byte](10)(0)); f1.close()
+    val f2 = fs.create(new Path(dir, "p2.avro"), true)
+    f2.write(Array.fill[Byte](99)(0)); f2.close() // len 99 != recorded 20
+    val fleet = Seq(fs.getFileStatus(new Path(dir, "p1.avro")),
+      fs.getFileStatus(new Path(dir, "p2.avro")))
+    val byPath = FleetStats.forFleet(fs, fleet)
+    assert(byPath.keySet ==
+      Set(fs.getFileStatus(new Path(dir, "p1.avro")).getPath.toString))
+    // a torn/garbage sidecar reads as NO stats, never an error
+    val out = fs.create(new Path(dir, FleetStats.FileName), true)
+    out.write("{not json".getBytes("UTF-8")); out.close()
+    assert(FleetStats.read(fs, dir).isEmpty)
+  }
+
+  test("V2 writer emits stats; filtered scans skip whole files") {
+    import spark.implicits._
+    val dir = tmp("stats_v2") + "/t.avro"
+    spark.range(0, 100).select($"id",
+        concat(lit("doc"), $"id").as("s"),
+        when($"id" < 50, $"id" * 0.5).as("half"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val fs = localFs
+    // sidecar written at job commit, alongside the _SUCCESS marker
+    assert(fs.exists(new Path(dir, FleetStats.FileName)))
+    assert(FleetStats.read(fs, new Path(dir)).size == 4)
+
+    val fleet = spark.read.format("graft-avro").load(dir)
+    // no filter → all 4 files planned
+    assert(plannedParts(fleet.select($"id")) == 4)
+    // range filter over the range-partitioned key → one file survives
+    val hi = fleet.filter($"id" > 90)
+    assert(plannedParts(hi) == 1)
+    assert(hi.select($"id").as[Long].collect().sorted.toSeq ==
+      (91L to 99L))
+    // equality: one file; impossible value: zero files, zero rows
+    assert(plannedParts(fleet.filter($"id" === 42)) == 1)
+    assert(fleet.filter($"id" === 42).count() == 1)
+    val none = fleet.filter($"id" === 1000)
+    assert(plannedParts(none) == 0 && none.count() == 0)
+    // string bounds skip too
+    val s = fleet.filter($"s" === "zzz")
+    assert(plannedParts(s) == 0 && s.count() == 0)
+    // IsNotNull on a column null in some files only skips all-null
+    // ones — the top range (ids ≥ ~75) is certainly all-null, so at
+    // least one file drops (range boundaries are sampled, not exact)
+    val nn = fleet.filter($"half".isNotNull)
+    assert(nn.count() == 50)
+    assert(plannedParts(nn) < 4)
+    // deleting the sidecar degrades to scanning everything, same rows
+    fs.delete(new Path(dir, FleetStats.FileName), false)
+    val unskipped = spark.read.format("graft-avro").load(dir)
+      .filter($"id" > 90)
+    assert(plannedParts(unskipped) == 4)
+    assert(unskipped.count() == 9)
+  }
+
+  test("writeDistributed emits stats through the accumulator path") {
+    import spark.implicits._
+    val dir = tmp("stats_dist") + "/t.avro"
+    val df = spark.range(0, 60).select($"id",
+        ($"id" % 3 === 0).as("fizz"))
+      .repartitionByRange(3, $"id")
+    Avro.writeDistributed(spark, dir, df.toDF())
+    val fs = localFs
+    assert(FleetStats.read(fs, new Path(dir)).size == 3)
+    val fleet = spark.read.format("graft-avro").load(dir)
+    val lo = fleet.filter($"id" < 10)
+    assert(plannedParts(lo) == 1)
+    assert(lo.count() == 10)
+    // boolean stats: a file holding both values never skips on either
+    assert(fleet.filter($"fizz" === true).count() == 20)
+  }
+}
