@@ -193,6 +193,30 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** §2.A STATS-SKIPPED fleet scan: events land as a RANGE-partitioned
+    * fleet through the V2 writer, so each part file's `_stats.json`
+    * sidecar records a disjoint `event_id` interval; the range filter
+    * on the read side is fully pushed, and the scan's planning-time
+    * skip drops every file whose recorded [min, max] proves the filter
+    * can't match — most of the fleet is never scheduled (the avro twin
+    * of parquet row-group pruning). Gates data skipping in
+    * CORRECTNESS: a skip decision that drops a matching file loses
+    * rows against the oracle, one that mis-prices a boundary value
+    * shifts the hash. */
+  def qScanAvroSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_skip_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartitionByRange(6, $"event_id")
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$out/events.avro")
+    s.read.format("graft-avro").load(s"$out/events.avro")
+      .filter($"event_id".between(100, 600))
+      .select($"event_id", tstr($"ts").as("ts_s"), $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -425,6 +449,7 @@ object Relational {
     "q_scan_avro_pruned" -> qScanAvroPruned _,
     "q_scan_avro_v2write" -> qScanAvroV2Write _,
     "q_scan_avro_count" -> qScanAvroCount _,
+    "q_scan_avro_skip" -> qScanAvroSkip _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
@@ -477,6 +502,11 @@ object Relational {
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "q_scan_avro_count" ->
       "SELECT count(*) AS n FROM events",
+    "q_scan_avro_skip" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, value
+        |FROM events WHERE event_id BETWEEN 100 AND 600
+        |ORDER BY event_id""".stripMargin,
     // xlsx inference reads integer columns back as long (the
     // q_scan_xlsx convention)
     "q_scan_xlsx_fleet" ->

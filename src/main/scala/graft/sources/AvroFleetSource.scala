@@ -360,53 +360,65 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   private lazy val fleet = Avro.listFleet(SparkSession.active, path,
     maxFileBytes, enforceBound = false)
 
+  // per-file stats from the fleet's `_stats.json` sidecars (one small
+  // driver-side read per directory; empty where no sidecar exists)
+  private lazy val fleetStats = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    FleetStats.forFleet(fs, fleet)
+  }
+
+  /** Planning-time data skipping: when filters were pushed, every part
+    * file whose recorded min/max/null profile PROVES a pushed conjunct
+    * can never match is dropped here — no task, no open, no header
+    * read — which at fleet scale turns a selective filter from
+    * "evaluated at decode speed in every task" into "most of the fleet
+    * never scheduled". Sound because the skip evaluator shares
+    * `FleetFilters`' comparator with the row-level path, entries apply
+    * only while the file length matches the committed one, and files
+    * without stats are always read. Shared by the size estimate and
+    * partition planning so the planner prices the scan it will run. */
+  private lazy val survivors =
+    if (pushedFilters.isEmpty) fleet
+    else fleet.filterNot { st =>
+      fleetStats.get(st.getPath.toString).exists(ps =>
+        pushedFilters.exists(FleetStats.neverMatches(_, ps)))
+    }
+
   /** Planner-grade size estimate: without it DSv2 falls back to
     * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and a 2 MB
     * dimension fleet NEVER auto-broadcasts in a join. The estimate is
-    * the fleet's on-disk bytes scaled by the projected-column fraction
-    * (reader-schema pruning skip-decodes the rest, so pruned bytes are
-    * genuinely never materialized), floored at one column so a
-    * count(*) scan can't report size 0. Deflated avro understates
-    * in-memory row width the same way parquet's file-size estimate
-    * does — fine for the broadcast-threshold decision this feeds. */
+    * the POST-SKIP fleet's on-disk bytes scaled by the
+    * projected-column fraction (reader-schema pruning skip-decodes the
+    * rest, so pruned bytes are genuinely never materialized), floored
+    * at one column so a count(*) scan can't report size 0 — so a
+    * selective filter over range-partitioned parts shrinks the scan in
+    * the planner's eyes too, exactly like parquet partition pruning.
+    * Deflated avro understates in-memory row width the same way
+    * parquet's file-size estimate does — fine for the
+    * broadcast-threshold decision this feeds. `numRows` is the
+    * surviving files' recorded row total when every one carries stats
+    * (an upper bound under pushed filters, exact without them). */
   override def estimateStatistics(): Statistics = {
-    val totalBytes = fleet.map(_.getLen).sum
+    val totalBytes = survivors.map(_.getLen).sum
     val frac =
       if (fullSchema.isEmpty) 1.0
       else math.max(required.size, 1).toDouble / fullSchema.size
     val size = math.max(1L, math.ceil(totalBytes * frac).toLong)
+    val rows =
+      if (survivors.forall(st => fleetStats.contains(st.getPath.toString)))
+        java.util.OptionalLong.of(
+          survivors.map(st => fleetStats(st.getPath.toString).rows).sum)
+      else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
 
-  /** Planning-time data skipping: when filters were pushed, consult
-    * each fleet directory's `_stats.json` sidecar (written by the
-    * graft sinks) and drop every part file whose recorded min/max/null
-    * profile PROVES a pushed conjunct can never match — the file gets
-    * no task, no open, no header read, which at fleet scale turns a
-    * selective filter from "evaluated at decode speed in every task"
-    * into "most of the fleet never scheduled". Sound because the skip
-    * evaluator shares `FleetFilters`' comparator with the row-level
-    * path, entries apply only while the file length matches the
-    * committed one, and files without stats are always read. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val survivors =
-      if (pushedFilters.isEmpty) fleet
-      else {
-        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-          SparkSession.active.sessionState.newHadoopConf())
-        val stats = FleetStats.forFleet(fs, fleet)
-        fleet.filterNot { st =>
-          stats.get(st.getPath.toString).exists(ps =>
-            pushedFilters.exists(FleetStats.neverMatches(_, ps)))
-        }
-      }
+  override def planInputPartitions(): Array[InputPartition] =
     AvroFleetScan.planSplits(survivors, maxFileBytes)
-  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
