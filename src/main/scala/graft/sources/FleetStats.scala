@@ -53,17 +53,27 @@ private[graft] object FleetStats {
   final case class PartStats(len: Long, rows: Long,
       cols: Map[String, ColStat])
 
+  /** The types whose write-time carrier is ordered identically to the
+    * value the scan reproduces on read — the precondition for a skip
+    * decision to be sound. */
+  def trackableType(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | DoubleType |
+         FloatType | StringType | BooleanType => true
+    case _ => false
+  }
+
   /** Streaming min/max/null folder for one task's part file. Values
     * must arrive in the carrier spelling the fleet writers produce
     * (post-`toAvroValue` / post-getter): boxed numerics, String,
-    * Boolean. Columns of any other Spark type are ignored. */
-  final class Collector(schema: StructType) extends Serializable {
+    * Boolean. Columns of any other Spark type are ignored; a writer
+    * whose codec narrows the roundtrip further (xlsx: floats reread as
+    * the cell string's nearest DOUBLE, not the original float) masks
+    * the unsound types via `track`. */
+  final class Collector(schema: StructType,
+      track: DataType => Boolean = trackableType) extends Serializable {
     private val n = schema.fields.length
-    private val tracked: Array[Boolean] = schema.fields.map(_.dataType match {
-      case LongType | IntegerType | ShortType | ByteType | DoubleType |
-           FloatType | StringType | BooleanType => true
-      case _ => false
-    })
+    private val tracked: Array[Boolean] =
+      schema.fields.map(f => track(f.dataType))
     private val mins = new Array[Any](n)
     private val maxs = new Array[Any](n)
     private val nulls = new Array[Long](n)
@@ -101,7 +111,11 @@ private[graft] object FleetStats {
 
   /** True iff `f` can match NO row of a file with stats `st` — the
     * planning-time twin of `FleetFilters.eval`, sharing its comparator.
-    * Conservative everywhere stats are absent. */
+    * Conservative everywhere stats are absent, and wherever the
+    * recorded carrier and the filter literal are from different
+    * families (possible when a scan's INFERRED type diverges from the
+    * write-time type, e.g. an xlsx string column of digits read back
+    * as long): such a column never proves a skip, it just gets read. */
   def neverMatches(f: Filter, st: PartStats): Boolean = f match {
     case And(l, r) => neverMatches(l, st) || neverMatches(r, st)
     case Or(l, r) => neverMatches(l, st) && neverMatches(r, st)
@@ -110,32 +124,45 @@ private[graft] object FleetStats {
       st.cols.get(c).exists(cs => cs.min.isEmpty && cs.nulls == st.rows)
     case EqualTo(c, v) => outside(st, c, v)
     case In(c, vs) => st.cols.get(c).exists(cs =>
-      cs.min.isEmpty || vs.forall(v => FleetFilters.cmp(v, cs.min.get) < 0 ||
-        FleetFilters.cmp(v, cs.max.get) > 0))
-    case GreaterThan(c, v) => bound(st, c)(mx =>
+      cs.min.isEmpty || vs.forall(v => comparable(v, cs.min.get) &&
+        (FleetFilters.cmp(v, cs.min.get) < 0 ||
+          FleetFilters.cmp(v, cs.max.get) > 0)))
+    case GreaterThan(c, v) => bound(st, c, v)(mx =>
       FleetFilters.cmp(mx, v) <= 0)
-    case GreaterThanOrEqual(c, v) => bound(st, c)(mx =>
+    case GreaterThanOrEqual(c, v) => bound(st, c, v)(mx =>
       FleetFilters.cmp(mx, v) < 0)
-    case LessThan(c, v) => lower(st, c)(mn => FleetFilters.cmp(mn, v) >= 0)
-    case LessThanOrEqual(c, v) => lower(st, c)(mn =>
+    case LessThan(c, v) => lower(st, c, v)(mn =>
+      FleetFilters.cmp(mn, v) >= 0)
+    case LessThanOrEqual(c, v) => lower(st, c, v)(mn =>
       FleetFilters.cmp(mn, v) > 0)
+    case _ => false
+  }
+
+  // same families FleetFilters.cmp orders; a mismatch is never proof
+  private def comparable(a: Any, b: Any): Boolean = (a, b) match {
+    case (_: String, _: String) => true
+    case (_: java.lang.Boolean, _: java.lang.Boolean) => true
+    case (_: Number, _: Number) => true
     case _ => false
   }
 
   private def outside(st: PartStats, c: String, v: Any): Boolean =
     st.cols.get(c).exists(cs => cs.min.isEmpty ||
-      FleetFilters.cmp(v, cs.min.get) < 0 ||
-      FleetFilters.cmp(v, cs.max.get) > 0)
+      (comparable(v, cs.min.get) &&
+        (FleetFilters.cmp(v, cs.min.get) < 0 ||
+          FleetFilters.cmp(v, cs.max.get) > 0)))
 
   // null-rejecting range predicates: an all-null column (min absent)
   // can never satisfy them either
-  private def bound(st: PartStats, c: String)(noRow: Any => Boolean)
-      : Boolean =
-    st.cols.get(c).exists(cs => cs.max.isEmpty || noRow(cs.max.get))
+  private def bound(st: PartStats, c: String, v: Any)
+      (noRow: Any => Boolean): Boolean =
+    st.cols.get(c).exists(cs => cs.max.isEmpty ||
+      (comparable(cs.max.get, v) && noRow(cs.max.get)))
 
-  private def lower(st: PartStats, c: String)(noRow: Any => Boolean)
-      : Boolean =
-    st.cols.get(c).exists(cs => cs.min.isEmpty || noRow(cs.min.get))
+  private def lower(st: PartStats, c: String, v: Any)
+      (noRow: Any => Boolean): Boolean =
+    st.cols.get(c).exists(cs => cs.min.isEmpty ||
+      (comparable(cs.min.get, v) && noRow(cs.min.get)))
 
   // ---- sidecar IO ----------------------------------------------------
 

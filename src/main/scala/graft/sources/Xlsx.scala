@@ -231,6 +231,14 @@ object Xlsx {
     fs.mkdirs(dirPath)
     val confB = s.sparkContext.broadcast(
       new graft.util.SerializableHadoopConf(hadoopConf))
+    // per-part min/max/null stats for the fleet scan's planning-time
+    // file skipping, folded from the PRE-escape row values (exactly
+    // what `Xlsx.cast` reproduces on read) and carried back on an
+    // accumulator; duplicate adds from re-run attempts collapse in the
+    // driver-side toMap. Temporal columns are demoted to ISO strings
+    // by the codec, so they are untracked — conservative, never wrong.
+    val statsAcc = s.sparkContext.collectionAccumulator[
+      (String, FleetStats.PartStats)]("graft.fleetStats")
     df.foreachPartition { (it: Iterator[Row]) =>
       val tc = org.apache.spark.TaskContext.get()
       if (it.hasNext || tc.partitionId() == 0) {
@@ -242,10 +250,27 @@ object Xlsx {
         if (!taskFs.exists(finalPath)) {
           val tmpPath = new org.apache.hadoop.fs.Path(
             f"$dir/.part-$pid%05d-attempt-${tc.taskAttemptId()}.xlsx.tmp")
+          // floats are masked: the cell carries Float.toString and the
+          // read side casts it to the string's nearest DOUBLE, which
+          // can land outside the float's own double widening — bounds
+          // from the write-time floats could then wrongly skip
+          val stats = new FleetStats.Collector(schema,
+            dt => FleetStats.trackableType(dt) &&
+              dt != org.apache.spark.sql.types.FloatType)
+          val observed = it.map { row =>
+            stats.startRow()
+            var i = 0
+            while (i < schema.length) {
+              stats.observe(i, row.get(i)); i += 1
+            }
+            row
+          }
           val out = taskFs.create(tmpPath, true)
-          try writeSingleSheetWorkbook(out, sheet, schema, it)
+          try writeSingleSheetWorkbook(out, sheet, schema, observed)
           finally out.close()
           Avro.commitPart(taskFs, tmpPath, finalPath)
+          statsAcc.add(finalPath.getName ->
+            stats.result(taskFs.getFileStatus(finalPath).getLen))
         }
       }
     }
@@ -259,6 +284,13 @@ object Xlsx {
       try writeSingleSheetWorkbook(out, sheet, schema, Iterator.empty)
       finally out.close()
     }
+    // data-skipping sidecar BEFORE the marker (same order as the avro
+    // sinks): a fleet is never certified complete with its stats
+    // profile still in flight
+    val statEntries =
+      scala.jdk.CollectionConverters.ListHasAsScala(statsAcc.value)
+        .asScala.toMap
+    if (statEntries.nonEmpty) FleetStats.write(fs, dirPath, statEntries)
     fs.create(new org.apache.hadoop.fs.Path(dirPath, "_SUCCESS"), true)
       .close()
   }

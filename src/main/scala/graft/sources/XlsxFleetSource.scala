@@ -131,28 +131,56 @@ private[sources] class XlsxFleetScan(fullSchema: StructType,
   // one driver-side listing shared by stats + partition planning
   private lazy val workbooks = Xlsx.listWorkbooks(SparkSession.active, path)
 
+  // per-workbook stats from `_stats.json` sidecars written by the
+  // fleet sink (one small driver-side read per directory)
+  private lazy val fleetStats = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    FleetStats.forFleet(fs, workbooks)
+  }
+
+  /** Planning-time file skipping, same contract as `AvroFleetScan`:
+    * a workbook whose sidecar profile proves a pushed conjunct can
+    * never match is never scheduled — for this codec that skips the
+    * one cost pruning can't touch, the full per-file XML parse. The
+    * skip evaluator is carrier-family-guarded, so a column whose
+    * INFERRED read type diverged from its write type (digit strings
+    * read back as long) just gets read, never mis-skipped. */
+  private lazy val survivors =
+    if (pushedFilters.isEmpty) workbooks
+    else workbooks.filterNot { st =>
+      fleetStats.get(st.getPath.toString).exists(ps =>
+        pushedFilters.exists(FleetStats.neverMatches(_, ps)))
+    }
+
   /** Same planner contract as `AvroFleetScan.estimateStatistics`:
-    * fleet on-disk bytes scaled by the projected-column fraction,
-    * floored at one column — so a small workbook fleet auto-broadcasts
-    * instead of inheriting `defaultSizeInBytes` = Long.MaxValue. The
-    * zip-deflated SpreadsheetML bytes are a rough proxy for row width,
-    * which is all the broadcast-threshold decision needs. */
+    * POST-skip fleet on-disk bytes scaled by the projected-column
+    * fraction, floored at one column — so a small workbook fleet
+    * auto-broadcasts instead of inheriting `defaultSizeInBytes` =
+    * Long.MaxValue. The zip-deflated SpreadsheetML bytes are a rough
+    * proxy for row width, which is all the broadcast-threshold
+    * decision needs; `numRows` is the surviving workbooks' recorded
+    * row total when every one carries sidecar stats. */
   override def estimateStatistics(): Statistics = {
-    val totalBytes = workbooks.map(_.getLen).sum
+    val totalBytes = survivors.map(_.getLen).sum
     val frac =
       if (fullSchema.isEmpty) 1.0
       else math.max(required.size, 1).toDouble / fullSchema.size
     val size = math.max(1L, math.ceil(totalBytes * frac).toLong)
+    val rows =
+      if (survivors.forall(st => fleetStats.contains(st.getPath.toString)))
+        java.util.OptionalLong.of(
+          survivors.map(st => fleetStats(st.getPath.toString).rows).sum)
+      else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    workbooks.map(_.getPath.toString).sorted
+    survivors.map(_.getPath.toString).sorted
       .map(XlsxFilePartition(_)).toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory = {

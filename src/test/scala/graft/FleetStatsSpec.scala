@@ -160,6 +160,37 @@ class FleetStatsSpec extends SparkSpec {
     assert(unskipped.count() == 9)
   }
 
+  test("xlsx fleet skips workbooks; inferred-type divergence never skips") {
+    import spark.implicits._
+    val dir = tmp("stats_xlsx") + "/fleet.xlsx"
+    // `code` holds DIGIT STRINGS: written as string cells, the fleet
+    // schema INFERS them back as long — the recorded string bounds and
+    // the long filter literal are different carrier families, so the
+    // family guard must refuse to skip (and must not throw)
+    val df = spark.range(0, 90).select($"id",
+        concat(lit("n"), $"id").as("name"),
+        format_string("%03d", $"id").as("code"))
+      .repartitionByRange(3, $"id")
+    graft.sources.Xlsx.writeDistributed(spark, dir, "data", df.toDF())
+    val fs = localFs
+    assert(FleetStats.read(fs, new Path(dir)).size == 3)
+    val fleet = spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(dir)
+    // the parse is the cost here: a skipped workbook is never unzipped
+    val lo = fleet.filter($"id" < 30)
+    assert(plannedParts(lo) < 3)
+    assert(lo.count() == 30)
+    val none = fleet.filter($"name" === "zzz")
+    assert(plannedParts(none) == 0 && none.count() == 0)
+    // code inferred long; stats carry strings → read everything, right
+    // answer (would throw at planning without the family guard)
+    assert(fleet.schema("code").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val diverged = fleet.filter($"code" === 7)
+    assert(plannedParts(diverged) == 3)
+    assert(diverged.count() == 1)
+  }
+
   test("writeDistributed emits stats through the accumulator path") {
     import spark.implicits._
     val dir = tmp("stats_dist") + "/t.avro"
