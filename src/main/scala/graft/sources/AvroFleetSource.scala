@@ -309,33 +309,198 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
-  /** PARTIAL COUNT(*) pushdown (the default `supportCompletePushDown =
-    * false` contract): an ungrouped, unfiltered count never decodes a
-    * record — every OCF block header already carries its record count
-    * as a varint, so each task reads headers and raw (still-compressed)
-    * block bytes only, emits ONE partial-count row per split, and
-    * Spark's final aggregate sums the per-split partials. Declined
-    * whenever filters were pushed (counting then requires decoding the
-    * filter columns — the regular row path handles that) or a group-by
-    * is present (grouping needs the key column decoded). Kept partial
-    * rather than complete so the count stays DISTRIBUTED — one task per
-    * split, no driver-side fleet walk. */
+  /** Aggregate pushdown, two tiers (the avro twin of Spark's parquet
+    * footer-aggregate pushdown):
+    *
+    * 1. METADATA tier — ungrouped, unfiltered MIN / MAX / COUNT(col) /
+    *    COUNT(*) where EVERY fleet file carries a valid `_stats.json`
+    *    entry (length-matched) covering every referenced column: the
+    *    whole aggregate is answered from the sidecars at plan time —
+    *    zero tasks open zero files. A column that dropped its stats
+    *    (NaN) or a file without a sidecar disqualifies the tier, and
+    *    the aggregate falls through.
+    * 2. BLOCK-HEADER tier — all-COUNT(*) aggregates without stats
+    *    coverage: each task walks its split's OCF block-count varints
+    *    and skips the raw bytes still compressed (never decoding a
+    *    record); Spark sums the per-split partials, so the count stays
+    *    DISTRIBUTED over arbitrarily large fleets.
+    *
+    * Both decline when filters were pushed (aggregating then requires
+    * decoding the filter columns — the row path handles that) or a
+    * group-by is present (grouping needs the key decoded). */
   override def pushAggregation(agg: org.apache.spark.sql.connector
       .expressions.aggregate.Aggregation): Boolean = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    val ok = pushed.isEmpty && agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.nonEmpty &&
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty) return false
+
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0)).filter(c => fullSchema.exists(_.name == c))
+      case _ => None
+    }
+    val specs: Seq[Option[MetaAggSpec]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(MetaAggSpec.CountStar)
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).map(MetaAggSpec.CountCol)
+        case m: Min => colOf(m.column).map(MetaAggSpec.MinCol)
+        case m: Max => colOf(m.column).map(MetaAggSpec.MaxCol)
+        case _ => None
+      }
+
+    if (specs.forall(_.isDefined)) {
+      val flat = specs.flatten
+      val s = SparkSession.active
+      val fleet = Avro.listFleet(s, path, maxFileBytes,
+        enforceBound = false)
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sessionState.newHadoopConf())
+      val stats = FleetStats.forFleet(fs, fleet)
+      val entries = fleet.map(f => stats.get(f.getPath.toString))
+      val cols = flat.collect {
+        case MetaAggSpec.CountCol(c) => c
+        case MetaAggSpec.MinCol(c) => c
+        case MetaAggSpec.MaxCol(c) => c
+      }.distinct
+      val covered = entries.forall(_.isDefined) &&
+        entries.flatten.forall(e => cols.forall(e.cols.contains))
+      if (covered) {
+        metaAgg = Some((flat, entries.flatten))
+        return true
+      }
+    }
+    // block-header tier: counts need no stats, only OCF framing
+    val allCounts =
       agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-    if (ok) countStars = agg.aggregateExpressions.length
-    ok
+    if (allCounts) countStars = agg.aggregateExpressions.length
+    allCounts
   }
 
-  override def build(): Scan =
-    if (countStars > 0)
+  private var metaAgg
+      : Option[(Seq[MetaAggSpec], Seq[FleetStats.PartStats])] = None
+
+  override def build(): Scan = metaAgg match {
+    case Some((specs, entries)) =>
+      new AvroFleetMetaAggScan(fullSchema, path, specs, entries)
+    case None if countStars > 0 =>
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
-    else
+    case None =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
         pushed)
+  }
+}
+
+/** The ungrouped aggregate shapes the sidecar stats can answer. */
+private[sources] sealed trait MetaAggSpec
+private[sources] object MetaAggSpec {
+  case object CountStar extends MetaAggSpec
+  final case class CountCol(col: String) extends MetaAggSpec
+  final case class MinCol(col: String) extends MetaAggSpec
+  final case class MaxCol(col: String) extends MetaAggSpec
+}
+
+/** Metadata-tier aggregate scan: the values were already resolved from
+  * the `_stats.json` sidecars at pushdown time, so the "scan" is one
+  * partition emitting one exact row — no file is ever opened. The row
+  * is handed to Spark through the standard partial-aggregate contract
+  * (final MIN-of-min / MAX-of-max / SUM-of-count over a single row is
+  * the identity), so plan shape stays the documented pushdown form. */
+private[sources] class AvroFleetMetaAggScan(tableSchema: StructType,
+    path: String, specs: Seq[MetaAggSpec],
+    entries: Seq[FleetStats.PartStats]) extends Scan with Batch {
+
+  import MetaAggSpec._
+
+  override def readSchema(): StructType = StructType(specs.zipWithIndex.map {
+    case (CountStar, i) =>
+      StructField(s"count_star_$i", LongType, nullable = false)
+    case (CountCol(c), i) =>
+      StructField(s"count_${c}_$i", LongType, nullable = false)
+    case (MinCol(c), i) =>
+      StructField(s"min_${c}_$i",
+        tableSchema(tableSchema.fieldIndex(c)).dataType)
+    case (MaxCol(c), i) =>
+      StructField(s"max_${c}_$i",
+        tableSchema(tableSchema.fieldIndex(c)).dataType)
+  })
+
+  override def description(): String =
+    s"graft-avro $path PushedAggregation(metadata): [" + specs.map {
+      case CountStar => "COUNT(*)"
+      case CountCol(c) => s"COUNT($c)"
+      case MinCol(c) => s"MIN($c)"
+      case MaxCol(c) => s"MAX($c)"
+    }.mkString(", ") + "]"
+
+  override def toBatch: Batch = this
+
+  // resolved driver-side; min/max fold with the shared comparator over
+  // each file's recorded bounds (all-null files contribute nothing)
+  private def value(spec: MetaAggSpec): Any = spec match {
+    case CountStar => Long.box(entries.map(_.rows).sum)
+    case CountCol(c) =>
+      Long.box(entries.map(e => e.rows - e.cols(c).nulls).sum)
+    case MinCol(c) =>
+      entries.flatMap(_.cols(c).min)
+        .reduceOption((a, b) => if (FleetFilters.cmp(a, b) <= 0) a else b)
+        .orNull
+    case MaxCol(c) =>
+      entries.flatMap(_.cols(c).max)
+        .reduceOption((a, b) => if (FleetFilters.cmp(a, b) >= 0) a else b)
+        .orNull
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetaAggPartition(specs.zipWithIndex.map { case (sp, i) =>
+      AvroFleetMetaAggScan.toCatalystAs(value(sp),
+        readSchema().fields(i).dataType)
+    }.toArray))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val vals = p.asInstanceOf[MetaAggPartition].values
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow = new GenericInternalRow(vals)
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+/** The one meta-agg row, already in catalyst spelling. */
+private[sources] case class MetaAggPartition(values: Array[Any])
+    extends InputPartition
+
+private[sources] object AvroFleetMetaAggScan {
+  /** Sidecar JSON carrier (Long/Double/Boolean/String after parse) →
+    * the catalyst-internal value of the column's Spark type. Numeric
+    * narrowing is exact: the JSON widening (int-family → Long,
+    * float-family → Double) is lossless, so narrowing back inverts it. */
+  def toCatalystAs(v: Any, dt: DataType): Any = v match {
+    case null => null
+    case n: Number => dt match {
+      case LongType => Long.box(n.longValue())
+      case IntegerType => Int.box(n.intValue())
+      case ShortType => Short.box(n.shortValue())
+      case ByteType => Byte.box(n.byteValue())
+      case DoubleType => Double.box(n.doubleValue())
+      case FloatType => Float.box(n.floatValue())
+      case other => throw new IllegalStateException(
+        s"numeric stat for non-numeric column type $other")
+    }
+    case s: String => UTF8String.fromString(s)
+    case b: java.lang.Boolean => b
+    case other => throw new IllegalStateException(
+      s"untracked stat carrier: ${other.getClass}")
+  }
 }
 
 

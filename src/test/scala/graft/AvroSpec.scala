@@ -408,6 +408,12 @@ class AvroSpec extends SparkSpec {
       .select($"id", concat(lit("v"), $"id").as("s"),
         when($"id" % 10 === 0, null).otherwise($"id").as("maybe"))
     df.repartition(3).write.format("graft-avro").mode("overwrite").save(dir)
+    // this test pins the BLOCK-HEADER tier: drop the stats sidecar so
+    // the metadata tier (own test in FleetStatsSpec) can't answer
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir,
+      graft.sources.FleetStats.FileName), false)
     val fleet = spark.read.format("graft-avro").load(dir)
 
     val agg = fleet.groupBy().count()
