@@ -508,7 +508,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     required: StructType, path: String, maxFileBytes: Long,
     limit: Option[Int],
     pushedFilters: Array[org.apache.spark.sql.sources.Filter])
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
 
@@ -543,12 +544,40 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     * only while the file length matches the committed one, and files
     * without stats are always read. Shared by the size estimate and
     * partition planning so the planner prices the scan it will run. */
-  private lazy val survivors =
-    if (pushedFilters.isEmpty) fleet
+  private def surviving(
+      filters: Seq[org.apache.spark.sql.sources.Filter]) =
+    if (filters.isEmpty) fleet
     else fleet.filterNot { st =>
       fleetStats.get(st.getPath.toString).exists(ps =>
-        pushedFilters.exists(FleetStats.neverMatches(_, ps)))
+        filters.exists(FleetStats.neverMatches(_, ps)))
     }
+
+  private lazy val survivors = surviving(pushedFilters.toSeq)
+
+  /** DPP for fleets (`SupportsRuntimeFiltering`): a join against a
+    * filtered dimension hands this scan the build side's key set at
+    * RUNTIME as an `In` filter; files whose sidecar bounds exclude
+    * every key are dropped before tasks launch — the DSv2 analogue of
+    * dynamic partition pruning, except the "partitions" are part
+    * files. Runtime filters only SKIP files (rows are not re-filtered:
+    * the join itself discards non-matching rows, and a huge runtime
+    * key set evaluated per row would cost more than it saves). Only
+    * PROJECTED columns are advertised — Spark resolves these refs
+    * against the scan's pruned output (a join key is always projected,
+    * so nothing is lost). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    required.fields.filter(f => FleetStats.trackableType(f.dataType))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions
+        .column(f.name))
+
+  private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtimeFilters =
+      filters.filter(FleetFilters.supported(fullSchema, _))
 
   /** Planner-grade size estimate: without it DSv2 falls back to
     * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and a 2 MB
@@ -583,7 +612,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    AvroFleetScan.planSplits(survivors, maxFileBytes)
+    AvroFleetScan.planSplits(
+      surviving(pushedFilters.toSeq ++ runtimeFilters), maxFileBytes)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active

@@ -243,6 +243,30 @@ class FleetStatsSpec extends SparkSpec {
     assert(mm2.getLong(0) == 0L && mm2.getLong(1) == 999L)
   }
 
+  test("runtime (DPP-style) filters skip files without re-filtering rows") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import spark.implicits._
+    val dir = tmp("stats_dpp") + "/t.avro"
+    spark.range(0, 100).select($"id", ($"id" * 2).as("v"))
+      .repartitionByRange(4, $"id")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val df = spark.read.format("graft-avro").load(dir)
+    val scan = df.queryExecution.optimizedPlan.collectFirst {
+      case s: DataSourceV2ScanRelation => s.scan
+    }.get
+    val rf = scan.asInstanceOf[SupportsRuntimeFiltering]
+    // id is trackable → advertised for runtime filtering
+    assert(rf.filterAttributes().map(_.fieldNames().head).contains("id"))
+    assert(scan.toBatch.planInputPartitions().length == 4)
+    // the join build side's key set arrives as an In filter at runtime:
+    // only the files whose sidecar range holds a key stay scheduled
+    rf.filter(Array[Filter](In("id", Array(3L, 7L))))
+    assert(scan.toBatch.planInputPartitions().length == 1)
+    // unsupported runtime filter shapes are ignored, never unsound
+    rf.filter(Array[Filter](StringContains("id", "x")))
+    assert(scan.toBatch.planInputPartitions().length == 4)
+  }
+
   test("writeDistributed emits stats through the accumulator path") {
     import spark.implicits._
     val dir = tmp("stats_dist") + "/t.avro"
