@@ -216,7 +216,7 @@ final class Workbook private (
       // path, so a big sheet neither bottlenecks on the driver stream
       // nor trips the format's single-sheet row cap
       val (fleet, single) = sheetNames.partition(n =>
-        sheet(n).queryExecution.toRdd.getNumPartitions > 1)
+        Workbook.staticNumPartitions(sheet(n)) > 1)
       fleet.foreach(n =>
         sources.Xlsx.writeDistributed(spark, s"$dir/$n.xlsx", n, sheet(n)))
       if (single.nonEmpty || fleet.isEmpty)
@@ -229,12 +229,9 @@ final class Workbook private (
         // multi-partition sheets take the executor-side per-partition
         // sink (no driver bottleneck — avro has no format row cap to
         // bound a driver-streamed write); single-partition sheets stay
-        // one interchange file. Probe partitioning via the INTERNAL
-        // row RDD: `Dataset.rdd` would wrap the plan in an extra
-        // deserializer stage just to count partitions, while
-        // queryExecution.toRdd reuses the already-planned physical
-        // query (cached lazy val — the write plans once either way).
-        if (df.queryExecution.toRdd.getNumPartitions > 1)
+        // one interchange file. Probe via staticNumPartitions — see
+        // its scaladoc for why NOT queryExecution.toRdd here.
+        if (Workbook.staticNumPartitions(df) > 1)
           sources.Avro.writeDistributed(spark, s"$dir/$n.avro", df)
         else sources.Avro.write(spark, s"$dir/$n.avro", df)
       }
@@ -249,6 +246,22 @@ final class Workbook private (
 }
 
 object Workbook {
+
+  /** Partition count of the NON-adaptive physical plan, computed
+    * without running any job. `queryExecution.toRdd` would hand back
+    * AQE's final RDD, and AdaptiveSparkPlanExec materializes every
+    * upstream query stage EAGERLY just to finalize the plan — the save
+    * path would then execute the sheet's shuffles twice (once for this
+    * count, once for the write, which plans its own execution).
+    * `sparkPlan` is the planner output before the adaptive wrapper, so
+    * `.execute()` only builds the lazy RDD lineage; its count is exact
+    * for scan/coalesce-shaped sheets and conservatively equals the
+    * static shuffle-partition number for exchange-topped ones — which
+    * only ever flips a would-be-coalesced sheet to the DISTRIBUTED
+    * writer, the scale-safe side of the fork. */
+  private[graft] def staticNumPartitions(df: DataFrame): Int =
+    df.queryExecution.sparkPlan.execute().getNumPartitions
+
 
   /** An in-memory workbook over existing frames (the programmatic
     * entry; `load` is the storage entry). */

@@ -46,10 +46,26 @@ private[graft] object FleetFilters {
     case _ => false
   }
 
+  // Catalyst orders strings by unsigned UTF-8 bytes (UTF8String.compareTo),
+  // which is Unicode CODE-POINT order; java.lang.String.compareTo is UTF-16
+  // code-unit order and disagrees whenever exactly one side starts a
+  // supplementary-plane char (its surrogates 0xD800..0xDBFF sort BELOW
+  // U+E000..U+FFFF, code points sort ABOVE). Compare by code point so
+  // absorbed range predicates select exactly the rows Spark would.
+  private[graft] def compareByCodePoint(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   // shared with FleetStats so the planning-time skip decision and the
   // record-level filter decision can never use different orderings
-  private[sources] def cmp(x: Any, v: Any): Int = (x, v) match {
-    case (a: String, b: String) => a.compareTo(b)
+  private[graft] def cmp(x: Any, v: Any): Int = (x, v) match {
+    case (a: String, b: String) => compareByCodePoint(a, b)
     case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
     case (a: Number, b: Number) =>
       if (integral(a) && integral(b))

@@ -119,7 +119,17 @@ private[graft] object FleetStats {
   def neverMatches(f: Filter, st: PartStats): Boolean = f match {
     case And(l, r) => neverMatches(l, st) || neverMatches(r, st)
     case Or(l, r) => neverMatches(l, st) && neverMatches(r, st)
-    case IsNull(c) => st.cols.get(c).exists(_.nulls == 0)
+    // The ""-guard is defense-in-depth: the xlsx reader PRESERVES empty
+    // strings (inlineStr roundtrip, pinned by FleetStatsSpec's
+    // empty-string probe), so nulls==0 is truthful today — but if a
+    // reader ever narrowed ""→null, a skip proven on a file whose min
+    // is "" would silently lose those rows. "" is always the min when
+    // present (code-point order), so one Option check covers it. Note
+    // the inverse "fix" (collector counting "" as null) would be WRONG:
+    // it would let IsNotNull prove-skip a file of ""s that read back
+    // non-null.
+    case IsNull(c) => st.cols.get(c).exists(cs =>
+      cs.nulls == 0 && !cs.min.contains(""))
     case IsNotNull(c) =>
       st.cols.get(c).exists(cs => cs.min.isEmpty && cs.nulls == st.rows)
     case EqualTo(c, v) => outside(st, c, v)
@@ -229,20 +239,32 @@ private[graft] object FleetStats {
     }.toMap
   }
 
+  // serializes the read-merge-write below per sidecar path within this
+  // JVM — two same-session jobs committing into one fleet dir (the
+  // local-mode reality: one driver) can no longer interleave the merge
+  // and drop each other's entries. Cross-JVM writers remain unlocked
+  // by design: the worst interleaving loses sidecar ENTRIES, never
+  // data — readers degrade to scanning unskipped files (advisory).
+  private val writeLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Merge `fresh` entries into any existing sidecar at `dir` and
     * (re)write it — called from the job commit, BEFORE `_SUCCESS`.
     * Written via temp + rename so a racing reader sees the old sidecar
     * or none, never a torn one. */
   def write(fs: FileSystem, dir: Path,
       fresh: Map[String, PartStats]): Unit = {
-    val existing = read(fs, dir)
-    val merged = existing ++ fresh
-    val tmp = new Path(dir, s".$FileName.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(render(merged).getBytes("UTF-8")) finally out.close()
-    val dest = new Path(dir, FileName)
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+    val key = fs.makeQualified(dir).toString
+    writeLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      val existing = read(fs, dir)
+      val merged = existing ++ fresh
+      val tmp = new Path(dir, s".$FileName.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(render(merged).getBytes("UTF-8")) finally out.close()
+      val dest = new Path(dir, FileName)
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+    }
   }
 
   /** Existing sidecar entries of one fleet directory; empty on any

@@ -160,16 +160,19 @@ object StreamingOps {
     * (see StreamingSpec's foreachBatch tests). Fresh checkpoint per
     * call: AvailableNow against a reused checkpoint would treat the
     * input as already-processed and emit nothing. */
-  /** The streaming events source for replay queries: the same nanos→µs
-    * ts conversion as Tables.events, but via readStream. */
+  /** The streaming events source for replay queries: the same schema-adaptive
+    * ts normalization as Tables.events ([[graft.util.Tables.normalizeEventsTs]]),
+    * but via readStream — the batch read supplies the on-disk schema, the
+    * shared dispatch handles ns-long / NTZ / timestamp fixtures identically
+    * in both paths. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.option("pathGlobFilter", "events.parquet")
       .parquet(dir).schema
-    s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    graft.util.Tables.normalizeEventsTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** One checkpoint temp-root per JVM; per-call subdirs are deleted as

@@ -24,15 +24,39 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * ([PARQUET_TYPE_ILLEGAL]); read it as a nanos long via the legacy conf
-    * and convert to a µs TimestampType. `DIV 1000` (integer division) is
-    * required — double division loses precision on ~1.7e18 ns values.
+  /** Normalize `events.ts` to a µs `TimestampType` regardless of the
+    * fixture's on-disk shape — the driver has regenerated the table across
+    * rounds (TIMESTAMP(NANOS) through r10, timestamp[us]/TIMESTAMP_NTZ since
+    * r11), so dispatch on the *read* schema rather than hard-coding one:
+    *   - `LongType`: legacy-nanos read (`nanosAsLong=true`); convert with
+    *     `timestamp_micros(ts DIV 1000)` — integer division is required,
+    *     double division loses precision on ~1.7e18 ns values.
+    *   - `TimestampNTZType`: cast to `TimestampType`. The session timezone
+    *     is pinned UTC, so the cast is value-exact.
+    *   - `TimestampType`: already the shape every op and oracle expects.
+    * Shared by the batch loader and StreamingOps.eventsStream so the two
+    * paths cannot drift.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet-read type $other; extend Tables.normalizeEventsTs")
+    }
+  }
+
+  /** `events.ts` fixture shape has drifted between rounds; keep
+    * `nanosAsLong=true` (harmless on µs files, required to read ns files at
+    * all — Spark 4 otherwise throws [PARQUET_TYPE_ILLEGAL]) and let
+    * [[normalizeEventsTs]] dispatch on whatever schema comes back.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    normalizeEventsTs(t(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

@@ -283,4 +283,58 @@ class FleetStatsSpec extends SparkSpec {
     // boolean stats: a file holding both values never skips on either
     assert(fleet.filter($"fizz" === true).count() == 20)
   }
+
+  test("xlsx empty-string cells: pushed IsNull/IsNotNull never lose rows") {
+    import spark.implicits._
+    val dir = tmp("stats_xlsx_empty") + "/fleet.xlsx"
+    // g partitions the fleet so one part file holds ONLY empty-string
+    // cells (write-time nulls=0 in its sidecar entry), one only nulls,
+    // one only real values — the layout where a reader/collector null
+    // disagreement would turn a pushed IsNull into silent row loss
+    val df = spark.range(0, 30).select($"id", ($"id" / 10).cast("long").as("g"),
+        when($"id" < 10, lit("")).when($"id" < 20, lit(null))
+          .otherwise(lit("x")).as("s"))
+      .repartitionByRange(3, $"g")
+    graft.sources.Xlsx.writeDistributed(spark, dir, "data", df.toDF())
+    val fleet = spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(dir)
+    assert(fleet.count() == 30)
+    // semantic truth: "" is NOT null — both the pushed path and the
+    // sidecar skip decision must agree with what the cells read back as
+    assert(fleet.filter($"s".isNull).count() ==
+      fleet.collect().count(_.isNullAt(2)))
+    assert(fleet.filter($"s".isNotNull).count() ==
+      fleet.collect().count(!_.isNullAt(2)))
+    assert(fleet.filter($"s".isNull).count() +
+      fleet.filter($"s".isNotNull).count() == 30)
+  }
+
+  test("string comparator is code-point ordered, matching Catalyst UTF-8") {
+    import graft.sources.FleetFilters
+    import spark.implicits._
+    // U+1F600 (supplementary, UTF-16 surrogates D83D DE00) vs U+E000
+    // (BMP private use): UTF-16 code-unit order puts the surrogate pair
+    // BELOW U+E000, Catalyst's UTF-8 byte order puts it ABOVE
+    val smiley = new String(Character.toChars(0x1F600))
+    val pua = new String(Character.toChars(0xE000))
+    assert(FleetFilters.cmp(smiley, pua) > 0)
+    assert(FleetFilters.cmp(pua, smiley) < 0)
+    assert(FleetFilters.cmp(smiley, smiley) == 0)
+    // prefix rule unaffected
+    assert(FleetFilters.cmp("ab", "abc") < 0)
+    assert(FleetFilters.cmp(smiley + "a", smiley) > 0)
+    // end-to-end: a pushed range filter over a fleet whose files split
+    // exactly on the disputed boundary returns what Spark itself would
+    val dir = tmp("stats_utf8") + "/t.avro"
+    Seq((1L, pua), (2L, smiley)).toDF("id", "s")
+      .repartitionByRange(2, $"id")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val fleet = spark.read.format("graft-avro").load(dir)
+    val pushed = fleet.filter($"s" > pua)
+    // UTF-16 ordering would prove-skip the smiley file (max "<" pua)
+    assert(plannedParts(pushed) == 1)
+    assert(pushed.collect().map(_.getString(1)).toSeq == Seq(smiley))
+    val below = fleet.filter($"s" < pua)
+    assert(plannedParts(below) == 0 && below.count() == 0)
+  }
 }
