@@ -310,30 +310,44 @@ object LlmOps {
     * than a handful of docs is corpus-wide boilerplate — at 100 TB its
     * df² pair explosion belongs in the boilerplate-REMOVAL list
     * (`qDedupBoilerplate`), not in a pairwise report. The cap is
-    * mirrored verbatim in the oracle. */
+    * mirrored verbatim in the oracle.
+    *
+    * Pair generation is a bounded in-group expansion, NOT a self-join:
+    * after the df semi-join every surviving gram has ≤ 10 holders, so
+    * one groupBy collects the (sorted) holder list and explodes its
+    * ≤ 45 ordered pairs in-plan. That is one shuffle of the bounded
+    * gram corpus where the hk-equi-join form shuffled it twice and
+    * carried a join build; it also removes the self-join's hot-key
+    * exposure (a skewed join key replicates, a ≤10-element
+    * collect_list cannot) and the hash-collision recheck (groups key
+    * on the full gram string). */
   def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 20
-    // distinct grams per doc; hash join key (longs shuffle ~10× cheaper
-    // than 20-word strings), string equality rechecked post-join.
-    // Cached: the df filter and both join sides read this subtree.
+    // distinct grams per doc. Cached: the df filter and the pair
+    // branch both read this subtree.
     val tok = graft.util.Shingles.tok(s, documents(s, dir), n,
         includeShort = false)
       .select($"doc_id", $"shingle").distinct()
-      .withColumn("hk", xxhash64($"shingle"))
       .cache()
-    // df bounds on the gram STRING (hk collisions must not merge dfs);
-    // the keep-set can be corpus-sized, so this is a shuffled semi
-    // join, NOT a broadcast
+    // df bounds on the gram STRING (count-only partial agg — hot-key
+    // safe even for corpus-wide boilerplate grams); the keep-set can
+    // be corpus-sized, so this is a shuffled semi join, NOT a
+    // broadcast
     val keep = tok.groupBy($"shingle").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2 && $"df" <= 10)
       .select($"shingle")
-    val gk = tok.join(keep, Seq("shingle"), "left_semi")
-    gk.as("a")
-      .join(gk.as("b"),
-        col("a.hk") === col("b.hk") && col("a.doc_id") < col("b.doc_id"))
-      .filter(col("a.shingle") === col("b.shingle"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    tok.join(keep, Seq("shingle"), "left_semi")
+      // collect AFTER the df cap: the list is provably ≤ 10 long, so
+      // the ObjectHashAggregate state and the explode fan-out are both
+      // bounded at any corpus size
+      .groupBy($"shingle")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), " +
+          "b -> struct(a AS a_id, b AS b_id))))")).as("p"))
+      .groupBy($"p.a_id".as("a_id"), $"p.b_id".as("b_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy($"a_id", $"b_id")
   }
