@@ -321,12 +321,18 @@ object LlmOps {
     * exposure (a skewed join key replicates, a ≤10-element
     * collect_list cannot) and the hash-collision recheck (groups key
     * on the full gram string). */
-  def qDedupSubstring(s: SparkSession, dir: String): DataFrame = {
+  def qDedupSubstring(s: SparkSession, dir: String): DataFrame =
+    substringPairs(s, documents(s, dir), 20)
+
+  /** Core of [[qDedupSubstring]] over any documents frame; factored out
+    * so the ScaleSpec canary can drive the pair-expansion shape at
+    * ~300× bench scale with a window its synthetic texts satisfy. */
+  private[graft] def substringPairs(s: SparkSession, docs: DataFrame,
+      n: Int): DataFrame = {
     import s.implicits._
-    val n = 20
     // distinct grams per doc. Cached: the df filter and the pair
     // branch both read this subtree.
-    val tok = graft.util.Shingles.tok(s, documents(s, dir), n,
+    val tok = graft.util.Shingles.tok(s, docs, n,
         includeShort = false)
       .select($"doc_id", $"shingle").distinct()
       .cache()

@@ -119,6 +119,18 @@ class ScaleSpec extends SparkSpec {
     assert(stripped.getLong(0) == n && stripped.getLong(1) == 16 * n / 1000 &&
       stripped.getLong(2) == 2 * n / 1000,
       s"strip canary mismatch: $stripped")
+    // verbatim-overlap pairs at corpus scale: the planted duplicates
+    // share all 6 of their 3-grams (df=2, inside the 2..10 cap); every
+    // other gram is unique (df=1, dropped) — exactly n/1000 pairs, all
+    // with n_shared=6. Guards the bounded collect+explode pair shape
+    // (a regression to an uncapped expansion or a skew-prone self-join
+    // shows up in the wall-clock bound below)
+    val sub = ops.LlmOps.substringPairs(spark, docs, 3)
+      .agg(count(lit(1)).as("rows"),
+        sum(when($"n_shared" === 6, 0L).otherwise(1L)).as("bad"))
+      .head()
+    assert(sub.getLong(0) == n / 1000 && sub.getLong(1) == 0,
+      s"substring canary mismatch: $sub")
     val fps = ops.DedupAdvanced.fingerprintsOf(spark, docs).count()
     assert(fps == n, s"fingerprint per doc: expected $n, got $fps")
     val toks = docs.select($"doc_id", $"lang", lit(8L).as("n_tokens"))
