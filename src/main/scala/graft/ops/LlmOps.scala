@@ -367,9 +367,10 @@ object LlmOps {
     *
     * The registry entry runs 3-grams at minDf = 5 (the fixture corpus
     * has no hot 20-grams; at 100 TB the knobs are per-corpus — window
-    * up, threshold to a df FRACTION). Scale: one map-side-combined
-    * aggregation on the shingle (count_distinct plans two-phase, so
-    * per-doc repeats collapse before the shuffle); output is tiny by
+    * up, threshold to a df FRACTION). Scale: a TWO-LEVEL map-side-
+    * combined aggregation — (shingle, doc_id) first, then shingle —
+    * so the hottest gram spreads across its holder docs instead of
+    * landing on one reducer (see boilerplateGrams); output is tiny by
     * construction (boilerplate ≪ vocab) — the natural broadcast side
     * of the downstream strip join. */
   def qDedupBoilerplate(s: SparkSession, dir: String): DataFrame =
@@ -382,9 +383,18 @@ object LlmOps {
   private[graft] def boilerplateGrams(s: SparkSession, docs: DataFrame,
       n: Int, minDf: Long): DataFrame = {
     import s.implicits._
+    // two-level aggregation instead of countDistinct: Catalyst plans
+    // count_distinct alongside count via Expand (every span row
+    // duplicated ×2) shuffled on the bare shingle — the hottest key is
+    // by definition the boilerplate this op hunts. Level 1 keys on
+    // (shingle, doc_id), which spreads a hot gram across its holders
+    // and collapses per-doc repeats map-side; level 2 then counts
+    // holders and sums spans over the already-tiny per-doc table.
     graft.util.Shingles.tok(s, docs, n)
+      .groupBy($"shingle", $"doc_id")
+      .agg(count(lit(1)).as("spans_in_doc"))
       .groupBy($"shingle")
-      .agg(countDistinct($"doc_id").as("df"), count(lit(1)).as("n_spans"))
+      .agg(count(lit(1)).as("df"), sum($"spans_in_doc").as("n_spans"))
       .filter($"df" >= minDf)
       .select($"shingle".as("gram"), $"df", $"n_spans")
       .orderBy($"gram")
