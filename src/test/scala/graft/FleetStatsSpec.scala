@@ -74,6 +74,14 @@ class FleetStatsSpec extends SparkSpec {
     assert(never(GreaterThan("k", 20)) && !never(LessThan("k", 11)))
     // nulls
     assert(never(IsNull("k")) && !never(IsNull("n")))
+    // an empty-string min refuses the IsNull skip-proof (defense in
+    // depth against a reader ever narrowing "" to null); a non-empty
+    // string min with zero nulls still proves it
+    val stE = FleetStats.PartStats(1L, 5L, Map(
+      "e" -> FleetStats.ColStat(Some(""), Some("z"), 0L),
+      "s" -> FleetStats.ColStat(Some("a"), Some("z"), 0L)))
+    assert(!FleetStats.neverMatches(IsNull("e"), stE))
+    assert(FleetStats.neverMatches(IsNull("s"), stE))
     assert(never(IsNotNull("dead")) && !never(IsNotNull("n")))
     // an all-null column can satisfy no range predicate either
     assert(never(EqualTo("dead", 1L)) && never(GreaterThan("dead", 0L)))
