@@ -42,6 +42,33 @@ class FixtureSchemaSpec extends SparkSpec {
     assert(dt(e, "value") == DoubleType)
   }
 
+  test("normalizeEventsTs yields identical instants from all three shapes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the same three instants spelled as legacy nanos-longs, NTZ, and
+    // TimestampType — the shapes the fixture has shipped or could ship.
+    // The ns-long branch is DEAD against the current µs fixtures, so
+    // only this test keeps it from rotting until the driver flips back.
+    val micros = Seq(1704067200000000L, 1704067260123456L, 1704070000999999L)
+    val asLong = micros.map(_ * 1000L).toDF("ts") // nanos
+    val asTs = micros.toDF("us")
+      .select(timestamp_micros($"us").as("ts"))
+    val asNtz = asTs.select($"ts".cast(TimestampNTZType).as("ts"))
+    def instants(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val out = Tables.normalizeEventsTs(df)
+      assert(out.schema("ts").dataType == TimestampType)
+      out.select(unix_micros($"ts")).as[Long].collect().toSeq.sorted
+    }
+    assert(instants(asLong) == micros)
+    assert(instants(asNtz) == micros)   // value-exact: session TZ is UTC
+    assert(instants(asTs) == micros)
+    // an unsupported shape fails loudly with the extension pointer
+    val err = intercept[IllegalStateException] {
+      Tables.normalizeEventsTs(Seq("2024-01-01").toDF("ts"))
+    }
+    assert(err.getMessage.contains("normalizeEventsTs"))
+  }
+
   test("documents carries the text-pipeline columns") {
     val d = Tables.documents(spark, dir)
     assert(dt(d, "doc_id") == LongType)
