@@ -253,14 +253,34 @@ object Workbook {
     * upstream query stage EAGERLY just to finalize the plan — the save
     * path would then execute the sheet's shuffles twice (once for this
     * count, once for the write, which plans its own execution).
-    * `sparkPlan` is the planner output before the adaptive wrapper, so
-    * `.execute()` only builds the lazy RDD lineage; its count is exact
-    * for scan/coalesce-shaped sheets and conservatively equals the
-    * static shuffle-partition number for exchange-topped ones — which
-    * only ever flips a would-be-coalesced sheet to the DISTRIBUTED
-    * writer, the scale-safe side of the fork. */
-  private[graft] def staticNumPartitions(df: DataFrame): Int =
-    df.queryExecution.sparkPlan.execute().getNumPartitions
+    *
+    * `sparkPlan` is the planner output BEFORE `QueryExecution
+    * .preparations` (no EnsureRequirements, no PlanSubqueries, no
+    * columnar transitions), so `.execute()` on it is only legal for
+    * plan shapes that need none of those: scans, per-row narrow ops,
+    * and explicit coalesce/repartition. Join/aggregate/sort shapes
+    * would throw (a broadcast build side that is not yet a
+    * BroadcastExchange, or an SMJ zipping children with unequal
+    * partition counts) — those are probed STRUCTURALLY as
+    * multi-partition, which only ever flips a sheet to the
+    * DISTRIBUTED writer, the scale-safe side of the fork. Any
+    * surprise during the safe-shape probe falls back the same way. */
+  private[graft] def staticNumPartitions(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = df.queryExecution.sparkPlan
+    val probeSafe = plan.collect { case p => p }.forall {
+      case _: LeafExecNode => true
+      case _: ProjectExec | _: FilterExec | _: CoalesceExec => true
+      case _: SerializeFromObjectExec | _: DeserializeToObjectExec => true
+      case _: MapPartitionsExec | _: MapElementsExec => true
+      case _: ShuffleExchangeExec => true // repartition(n): static count
+      case _ => false
+    }
+    if (!probeSafe) Int.MaxValue
+    else scala.util.Try(plan.execute().getNumPartitions)
+      .getOrElse(Int.MaxValue)
+  }
 
 
   /** An in-memory workbook over existing frames (the programmatic

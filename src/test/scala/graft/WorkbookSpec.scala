@@ -335,4 +335,32 @@ class WorkbookSpec extends SparkSpec {
     assert(back.sheet("small").orderBy($"k").collect().map(_.getString(1))
       .toSeq == Seq("x", "y"))
   }
+
+  test("save handles join/aggregate-shaped sheets in every format") {
+    // Regression: staticNumPartitions used to .execute() the
+    // UNPREPARED sparkPlan — a broadcast-join sheet threw (build side
+    // not yet a BroadcastExchange) and an SMJ sheet threw on zipping
+    // children with unequal partition counts. The probe is now
+    // structural: join/agg shapes route to the distributed writer
+    // without touching execute().
+    import spark.implicits._
+    val cust = graft.util.Tables.customer(spark, sfDir)
+    val nat = graft.util.Tables.nation(spark, sfDir)
+    val bcastJoin = cust.join(broadcast(nat),
+        $"c_nationkey" === $"n_nationkey")
+      .select($"c_custkey", $"n_name")
+    val smj = cust.repartition(4, $"c_nationkey")
+      .join(nat.repartition(2, $"n_nationkey")
+          .withColumnRenamed("n_nationkey", "k"),
+        $"c_nationkey" === $"k")
+      .groupBy($"n_name").agg(count("*").as("cnt"))
+    for (fmt <- Seq("xlsx", "avro", "parquet", "csv")) {
+      val dir = graft.util.Scratch.dir(s"wb_joinsave_$fmt")
+      Workbook(spark, Map("bc" -> bcastJoin, "sm" -> smj))
+        .save(dir, format = fmt)
+      val back = Workbook.load(spark, dir)
+      assert(back.sheet("bc").count() == cust.count(), fmt)
+      assert(back.sheet("sm").count() == nat.count(), fmt)
+    }
+  }
 }
