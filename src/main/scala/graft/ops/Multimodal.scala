@@ -12,25 +12,107 @@ import graft.util.Determinism._
 case class MediaRow(doc_id: Long, media_type: String, blob: Array[Byte],
     width: Int, height: Int, lang: String)
 
-/** Extracted features for one media row. */
-case class MediaFeatures(doc_id: Long, media_type: String, n_bytes: Long,
-    features: Array[Float])
+/** Extracted features for one decoded image: true codec-reported
+  * dimensions plus EXACT per-channel pixel sums (integers, so the
+  * oracle compare has no float hazard). */
+case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
+    height: Int, sum_r: Long, sum_g: Long, sum_b: Long)
 
 /** Multimodal-column operators (SURVEY.md §2.J).
   *
   * Design: media = `binary` column + typed metadata struct. The fixture
-  * has no real image bytes (and this container has no codec libraries),
-  * so `mediaTable` synthesizes blobs from document text bytes — the
-  * SPARK-SIDE PLUMBING (schema, binary handling, partitioned typed
-  * mapPartitions decode, batch shape) is real and tested; only the codec
-  * call inside `decodeStub` is a deterministic fake.
+  * ships no image bytes, so `imageTable` PLANTS real PNGs — encoded
+  * with the pure-JDK `javax.imageio` codec from a checkerboard pattern
+  * derived arithmetically from `doc_id` — and `extractFeatures` decodes
+  * them back with the same codec. Both halves are REAL image I/O; the
+  * planted pattern exists so DuckDB can recompute the decoded
+  * width/height/channel sums in closed form (see `oracleSql`), making
+  * the decode itself hash-checkable.
   *
-  * Scale: decode runs via `mapPartitions` so any per-partition init
-  * (a real codec context) happens once per partition, not per row;
-  * metadata-only queries never deserialize blobs (parquet column
-  * pruning drops the binary column at scan time).
+  * Scale: decode runs via `mapPartitions` so per-partition codec init
+  * (`ImageIO.setUseCache(false)` here; a JNI context for exotic codecs)
+  * happens once per partition, not per row; the blobs stream through a
+  * lazy iterator with no driver collection; metadata-only queries never
+  * deserialize blobs (parquet column pruning drops the binary column at
+  * scan time). In production the encode half disappears — blobs arrive
+  * from storage — and the decode half is unchanged.
   */
 object Multimodal {
+
+  /** Planted-image parameters for doc `d` — the single source of truth
+    * shared by the Spark encoder and the DuckDB oracle. Checkerboard of
+    * two doc-derived colors: pixel (x,y) gets `colorA` when (x+y) is
+    * even, else `colorB`. Dims stay small (≤ 23×19) so planting is
+    * cheap at any SF. */
+  private[graft] def plantedDims(d: Long): (Int, Int) =
+    ((d % 16 + 8).toInt, (d % 12 + 8).toInt)
+  private[graft] def plantedColorA(d: Long): (Int, Int, Int) =
+    (((d * 31 + 7) % 256).toInt, ((d * 57 + 13) % 256).toInt,
+      ((d * 89 + 19) % 256).toInt)
+  private[graft] def plantedColorB(d: Long): (Int, Int, Int) =
+    (((d * 101 + 23) % 256).toInt, ((d * 67 + 29) % 256).toInt,
+      ((d * 43 + 37) % 256).toInt)
+
+  /** Encode doc `d`'s planted checkerboard as a REAL PNG via
+    * `javax.imageio` (pure JDK, lossless — decode recovers the exact
+    * pixel values the oracle predicts). */
+  private[ops] def encodePng(d: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val (w, h) = plantedDims(d)
+    val (ra, ga, ba) = plantedColorA(d)
+    val (rb, gb, bb) = plantedColorB(d)
+    val rgbA = (ra << 16) | (ga << 8) | ba
+    val rgbB = (rb << 16) | (gb << 8) | bb
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (((x + y) & 1) == 0) rgbA else rgbB)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode one PNG blob and reduce it to exact features: codec-reported
+    * dims + per-channel pixel sums. This is the production decode —
+    * nothing about it knows the blob was planted. */
+  private[ops] def decodeImage(blob: Array[Byte]): (Int, Int, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    require(img != null, "undecodable image blob")
+    val (w, h) = (img.getWidth, img.getHeight)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, sr, sg, sb)
+  }
+
+  /** The planted-image corpus: one real PNG per image-typed doc
+    * (`doc_id % 3 == 0`, matching `mediaTable`'s media_type cycle).
+    * Executor-side generation, no driver involvement. */
+  def imageTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id").as[Long]
+      .mapPartitions { ids =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        ids.map(d => (d, encodePng(d)))
+      }
+      .toDF("doc_id", "blob")
+  }
 
   /** Synthesize the multimodal table from `documents` (deterministic). */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
@@ -45,39 +127,19 @@ object Multimodal {
       $"lang")
   }
 
-  /** STUB — stands in for a real image/audio decode (codec libs absent
-    * in this container). Deterministic: 8 pseudo-features from byte
-    * sums over 8 stripes of the blob. A real implementation swaps ONLY
-    * this function body for e.g. a JNI codec call; the surrounding
-    * partition-wise pipeline is production-shaped. */
-  private[ops] def decodeStub(blob: Array[Byte]): Array[Float] = {
-    val k = 8
-    val out = new Array[Float](k)
-    if (blob.nonEmpty) {
-      var i = 0
-      while (i < blob.length) {
-        out(i % k) += (blob(i) & 0xff) / 255.0f
-        i += 1
-      }
-      var j = 0
-      while (j < k) { out(j) = out(j) / blob.length * k; j += 1 }
-    }
-    out
-  }
-
-  /** Feature-extraction pipeline: typed mapPartitions over the media
-    * table — the real decode shape (per-partition codec init, streaming
-    * iterator, no driver collection). Used by tests and `entry`-level
-    * smoke; not oracle-checkable (DuckDB can't run the stub). */
+  /** Feature-extraction pipeline: typed mapPartitions over the planted
+    * image corpus, REAL `javax.imageio` decode per blob (per-partition
+    * codec init, streaming iterator, no driver collection). */
   def extractFeatures(s: SparkSession, dir: String): Dataset[MediaFeatures] = {
     import s.implicits._
-    mediaTable(s, dir)
-      .select($"doc_id", $"media_type", $"blob")
-      .as[(Long, String, Array[Byte])]
+    imageTable(s, dir)
+      .select($"doc_id", $"blob")
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: init codec context here, once per partition
-        rows.map { case (id, mt, blob) =>
-          MediaFeatures(id, mt, blob.length.toLong, decodeStub(blob))
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { case (id, blob) =>
+          val (w, h, sr, sg, sb) = decodeImage(blob)
+          MediaFeatures(id, blob.length.toLong, w, h, sr, sg, sb)
         }
       }
   }
@@ -101,16 +163,18 @@ object Multimodal {
       .orderBy($"doc_id")
   }
 
-  /** §2.J feature extraction as a registry op (rows-only gate: the
-    * decode stub is not expressible in DuckDB). Features serialized as
-    * scaled longs — the repo-wide no-raw-arrays discipline. */
+  /** §2.J feature extraction as a registry op — REAL codec round trip,
+    * fully oracle-checked: every projected column is an exact integer
+    * DuckDB recomputes from the planted-pattern arithmetic (PNG is
+    * lossless, so decoded sums match the closed form bit-for-bit).
+    * `n_bytes` stays out of the projection: the PNG container size is
+    * encoder-internal, not part of the decode contract. */
   def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     extractFeatures(s, dir).toDF()
-      .select($"doc_id", $"media_type", $"n_bytes",
-        concat_ws("|", transform($"features",
-          x => round(x.cast("double") * lit(1000000.0), 0)
-            .cast("long").cast("string"))).as("features_q"))
+      .select($"doc_id",
+        $"width".cast("long").as("w"), $"height".cast("long").as("h"),
+        $"sum_r", $"sum_g", $"sum_b")
       .orderBy($"doc_id")
   }
 
@@ -174,6 +238,25 @@ object Multimodal {
         |  (doc_id % 64 * 16 + 64) * (doc_id % 48 * 16 + 48) >= 64 * 48 AS size_ok,
         |  lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Closed-form twin of the codec round trip: a w×h checkerboard has
+    // ceil(w/2)*ceil(h/2) + floor(w/2)*floor(h/2) cells with (x+y)
+    // even (colorA), the rest colorB — channel sums follow exactly.
+    "q_media_features" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 16 + 8 AS BIGINT) AS w,
+        |    CAST(doc_id % 12 + 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |cnt AS (
+        |  SELECT doc_id, w, h,
+        |    ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2) AS n_even,
+        |    w * h - (((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2)) AS n_odd
+        |  FROM img)
+        |SELECT doc_id, w, h,
+        |  n_even * ((doc_id * 31 + 7) % 256) + n_odd * ((doc_id * 101 + 23) % 256) AS sum_r,
+        |  n_even * ((doc_id * 57 + 13) % 256) + n_odd * ((doc_id * 67 + 29) % 256) AS sum_g,
+        |  n_even * ((doc_id * 89 + 19) % 256) + n_odd * ((doc_id * 43 + 37) % 256) AS sum_b
+        |FROM cnt ORDER BY doc_id""".stripMargin,
     "q_media_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_len

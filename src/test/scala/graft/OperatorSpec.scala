@@ -32,7 +32,7 @@ class OperatorSpec extends SparkSpec {
     val expected = Set("q_agg_approx_distinct", "q_agg_percentile_approx",
       "q_dedup_minhash",
       "q_dedup_minhash_native", "q_dedup_simhash", "q_dedup_simhash_pairs",
-      "q_sim_knn_lsh", "q_media_features", "q_dedup_embcos_lsh")
+      "q_sim_knn_lsh", "q_dedup_embcos_lsh")
     assert(noOracle == expected,
       s"no-oracle drift: unexpected=${noOracle -- expected} missing=${expected -- noOracle}")
   }
@@ -105,14 +105,25 @@ class OperatorSpec extends SparkSpec {
     assert(self.forall(r => math.abs(r.getAs[Double]("mean_cos")) <= 1.0))
   }
 
-  test("media feature stub: 8 stripes, bounded, length-consistent") {
+  test("media decode: real PNG round trip recovers planted pixels exactly") {
     val f = ops.Multimodal.extractFeatures(spark, sfDir).collect()
     assert(f.nonEmpty)
-    // each stripe mean is a byte-average scaled by k → in [0, k]
-    assert(f.forall(r => r.features.length == 8 &&
-      r.features.forall(x => x >= 0.0f && x <= 8.0001f)))
-    val docs = graft.util.Tables.documents(spark, sfDir).count()
-    assert(f.length == docs && f.forall(_.n_bytes > 0))
+    val imageDocs = graft.util.Tables.documents(spark, sfDir)
+      .filter("doc_id % 3 = 0").count()
+    assert(f.length == imageDocs)
+    f.foreach { r =>
+      val (w, h) = ops.Multimodal.plantedDims(r.doc_id)
+      assert(r.width == w && r.height == h,
+        s"doc ${r.doc_id}: codec dims ${r.width}x${r.height} != planted ${w}x$h")
+      assert(r.n_bytes > 0) // a real PNG container, not an empty blob
+      val (ra, ga, ba) = ops.Multimodal.plantedColorA(r.doc_id)
+      val (rb, gb, bb) = ops.Multimodal.plantedColorB(r.doc_id)
+      val nEven = ((w + 1) / 2) * ((h + 1) / 2) + (w / 2) * (h / 2)
+      val nOdd = w * h - nEven
+      assert(r.sum_r == nEven.toLong * ra + nOdd.toLong * rb, s"doc ${r.doc_id} R")
+      assert(r.sum_g == nEven.toLong * ga + nOdd.toLong * gb, s"doc ${r.doc_id} G")
+      assert(r.sum_b == nEven.toLong * ba + nOdd.toLong * bb, s"doc ${r.doc_id} B")
+    }
   }
 
   test("ANN IVF recall@10 >= 0.8 vs brute-force top-k") {
@@ -289,9 +300,13 @@ class OperatorSpec extends SparkSpec {
     val f1 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
     val f2 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
     assert(f1.length == f2.length && f1.length > 0)
-    val m1 = f1.map(r => r.doc_id -> r.features.toSeq).toMap
-    f2.foreach(r => assert(m1(r.doc_id) == r.features.toSeq, s"nondeterministic features for ${r.doc_id}"))
-    assert(f1.forall(_.features.length == 8))
+    val m1 = f1.map(r => r.doc_id -> r).toMap
+    f2.foreach { r =>
+      val a = m1(r.doc_id)
+      assert((a.width, a.height, a.sum_r, a.sum_g, a.sum_b) ==
+        (r.width, r.height, r.sum_r, r.sum_g, r.sum_b),
+        s"nondeterministic features for ${r.doc_id}")
+    }
   }
 
   test("dup clusters: components get the min-id label and exact sizes") {
