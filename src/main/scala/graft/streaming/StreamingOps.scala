@@ -166,7 +166,8 @@ object StreamingOps {
     * shared dispatch handles ns-long / NTZ / timestamp fixtures identically
     * in both paths. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is pinned at session build (GraftSession.defaults) —
+    // no conf side-effects in the loader path.
     val rawSchema = s.read.option("pathGlobFilter", "events.parquet")
       .parquet(dir).schema
     graft.util.Tables.normalizeEventsTs(

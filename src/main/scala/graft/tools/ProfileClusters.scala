@@ -7,11 +7,9 @@ import org.apache.spark.sql.functions._
 object ProfileClusters {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
+    val spark = graft.util.GraftSession.defaults(SparkSession.builder()
       .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", 32))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def time[T](tag: String)(f: => T): T = {

@@ -1,0 +1,24 @@
+package graft.util
+
+import org.apache.spark.sql.SparkSession
+
+/** The session conf every graft entry point (Verify/Bench/tools/tests)
+  * pins at BUILD time — one source of truth so loaders stay pure.
+  *
+  *  - `session.timeZone=UTC`: the fixture contract; `Tables
+  *    .normalizeEventsTs` asserts it before its NTZ→Timestamp cast.
+  *  - `legacy.parquet.nanosAsLong=true`: the events fixture has shipped
+  *    as TIMESTAMP(NANOS) in some rounds; Spark 4 refuses to read that
+  *    type at all ([PARQUET_TYPE_ILLEGAL]) unless this flag is on. It is
+  *    a no-op for µs/NTZ files. Set HERE, not inside a loader: a loader
+  *    that flips session-wide conf as a read side-effect would silently
+  *    coerce every OTHER ns-typed parquet the session touches.
+  *  - `graft.GraftExtensions`: the library's Catalyst extensions.
+  */
+object GraftSession {
+  def defaults(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.ui.enabled", "false")
+}

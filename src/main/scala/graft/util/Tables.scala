@@ -42,21 +42,42 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // NTZ carries no instant; the cast reinterprets the wall-clock
+        // fields in the SESSION zone. Value-exact only under UTC — fail
+        // loudly rather than silently shift every instant.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"events.ts is TIMESTAMP_NTZ and its cast to TimestampType is " +
+            s"value-exact only under UTC, but spark.sql.session.timeZone " +
+            s"is '$tz' — build the session via GraftSession.defaults")
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => df
       case other => throw new IllegalStateException(
         s"events.ts has unsupported parquet-read type $other; extend Tables.normalizeEventsTs")
     }
   }
 
-  /** `events.ts` fixture shape has drifted between rounds; keep
-    * `nanosAsLong=true` (harmless on µs files, required to read ns files at
-    * all — Spark 4 otherwise throws [PARQUET_TYPE_ILLEGAL]) and let
-    * [[normalizeEventsTs]] dispatch on whatever schema comes back.
+  /** `events.ts` fixture shape has drifted between rounds;
+    * [[normalizeEventsTs]] dispatches on whatever schema comes back.
+    * PURE: reading ns-typed fixtures needs `nanosAsLong=true` pinned at
+    * session BUILD ([[GraftSession.defaults]]) — this loader no longer
+    * flips session conf as a side-effect; it only upgrades the error
+    * when the flag is missing.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeEventsTs(t(spark, dir, "events"))
+    val raw =
+      try t(spark, dir, "events")
+      catch {
+        case e: Throwable
+            if String.valueOf(e.getMessage).contains("NANOS") ||
+              String.valueOf(e.getMessage).contains("nanosAsLong") =>
+          throw new IllegalStateException(
+            "events.parquet is TIMESTAMP(NANOS) and " +
+              "spark.sql.legacy.parquet.nanosAsLong is not set — build " +
+              "the session via GraftSession.defaults", e)
+      }
+    normalizeEventsTs(raw)
   }
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")

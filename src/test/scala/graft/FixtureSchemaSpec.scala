@@ -67,6 +67,15 @@ class FixtureSchemaSpec extends SparkSpec {
       Tables.normalizeEventsTs(Seq("2024-01-01").toDF("ts"))
     }
     assert(err.getMessage.contains("normalizeEventsTs"))
+    // the NTZ cast reinterprets wall-clock fields in the session zone —
+    // a non-UTC session must fail loudly, not silently shift instants
+    val tzKey = "spark.sql.session.timeZone"
+    spark.conf.set(tzKey, "America/New_York")
+    try {
+      val tzErr = intercept[IllegalArgumentException](instants(asNtz))
+      assert(tzErr.getMessage.contains("UTC"))
+    } finally spark.conf.set(tzKey, "UTC")
+    assert(instants(asNtz) == micros) // restored session still exact
   }
 
   test("documents carries the text-pipeline columns") {

@@ -13,20 +13,17 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    val s = graft.util.GraftSession.defaults(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.warehouse.dir", {
         val wh = java.nio.file.Files.createTempDirectory("graft_wh")
         Runtime.getRuntime.addShutdownHook(new Thread(() =>
           try graft.util.Scratch.deleteRecursively(wh)
           catch { case _: Throwable => () }))
         wh.toString
-      })
-      .config("spark.ui.enabled", "false")
+      }))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
