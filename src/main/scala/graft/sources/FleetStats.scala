@@ -242,11 +242,14 @@ private[graft] object FleetStats {
   // serializes the read-merge-write below per sidecar path within this
   // JVM — two same-session jobs committing into one fleet dir (the
   // local-mode reality: one driver) can no longer interleave the merge
-  // and drop each other's entries. Cross-JVM writers remain unlocked
-  // by design: the worst interleaving loses sidecar ENTRIES, never
-  // data — readers degrade to scanning unskipped files (advisory).
-  private val writeLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // and drop each other's entries. Lock STRIPES, not a per-path map: a
+  // long-lived driver writing many distinct directories would grow an
+  // unbounded path→lock map forever, while a stripe collision merely
+  // serializes two unrelated commits (advisory metadata — correctness
+  // unaffected). Cross-JVM writers remain unlocked by design: the worst
+  // interleaving loses sidecar ENTRIES, never data — readers degrade to
+  // scanning unskipped files.
+  private val writeLockStripes = Array.fill(64)(new Object)
 
   /** Merge `fresh` entries into any existing sidecar at `dir` and
     * (re)write it — called from the job commit, BEFORE `_SUCCESS`.
@@ -255,7 +258,8 @@ private[graft] object FleetStats {
   def write(fs: FileSystem, dir: Path,
       fresh: Map[String, PartStats]): Unit = {
     val key = fs.makeQualified(dir).toString
-    writeLocks.computeIfAbsent(key, _ => new Object).synchronized {
+    writeLockStripes(math.floorMod(key.hashCode, writeLockStripes.length))
+      .synchronized {
       val existing = read(fs, dir)
       val merged = existing ++ fresh
       val tmp = new Path(dir, s".$FileName.tmp")
