@@ -217,6 +217,33 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A TEMPORAL stats-skipping over a TIME-partitioned fleet — the
+    * single most common 100 TB scan pattern (events laid down in time
+    * order; every query carries a ts range). The V2 writer records each
+    * part's ts bounds as zone-free epoch-µs carrier integers in the
+    * sidecar; the read-side range predicate's `Timestamp` literals are
+    * normalized to the same µs frame (`FleetFilters.temporalLong`), so
+    * the ts conjuncts are ABSORBED (no residual FilterExec) and
+    * planning-time skipping drops every file whose recorded window
+    * can't overlap the query's — the fleet twin of parquet
+    * partition-pruning on a date column. Gates temporal pushdown in
+    * CORRECTNESS: a µs-vs-ms slip or a zone-shifted literal loses or
+    * duplicates boundary rows against the oracle. */
+  def qScanAvroSkipTs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_skip_ts_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartitionByRange(6, $"ts")
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$out/events.avro")
+    s.read.format("graft-avro").load(s"$out/events.avro")
+      .filter($"ts" >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select($"event_id", tstr($"ts").as("ts_s"), $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -450,6 +477,7 @@ object Relational {
     "q_scan_avro_v2write" -> qScanAvroV2Write _,
     "q_scan_avro_count" -> qScanAvroCount _,
     "q_scan_avro_skip" -> qScanAvroSkip _,
+    "q_scan_avro_skip_ts" -> qScanAvroSkipTs _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
@@ -506,6 +534,13 @@ object Relational {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  event_type, value
         |FROM events WHERE event_id BETWEEN 100 AND 600
+        |ORDER BY event_id""".stripMargin,
+    "q_scan_avro_skip_ts" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY event_id""".stripMargin,
     // xlsx inference reads integer columns back as long (the
     // q_scan_xlsx convention)

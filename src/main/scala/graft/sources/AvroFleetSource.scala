@@ -493,6 +493,10 @@ private[sources] object AvroFleetMetaAggScan {
       case ByteType => Byte.box(n.byteValue())
       case DoubleType => Double.box(n.doubleValue())
       case FloatType => Float.box(n.floatValue())
+      // temporal stats are carrier integers, which ARE the catalyst
+      // internal spellings (µs long / day int) — identity re-box
+      case TimestampType => Long.box(n.longValue())
+      case DateType => Int.box(n.intValue())
       case other => throw new IllegalStateException(
         s"numeric stat for non-numeric column type $other")
     }

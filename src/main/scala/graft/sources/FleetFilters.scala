@@ -7,9 +7,13 @@ import org.apache.spark.sql.types._
   * InternalRow is built, so they never enter Catalyst at all.
   *
   * Scope is deliberately narrow so semantics stay exact:
-  *  - comparisons/IN on integral, floating, string, and boolean
-  *    columns (date/timestamp/binary stay residual — their literal
-  *    spellings vary with session confs, Catalyst keeps them);
+  *  - comparisons/IN on integral, floating, string, boolean, timestamp,
+  *    and date columns (binary stays residual). Temporal literals
+  *    arrive as instant-carrying objects (`java.sql.Timestamp`/
+  *    `Instant`, `java.sql.Date`/`LocalDate`) and are normalized to
+  *    the SAME epoch-µs / epoch-day integers the fleet writers record
+  *    (`Avro.toAvroValue`'s logical-type carriers) — zone-free on both
+  *    sides, so the comparison is exact under any session conf;
   *  - IsNull/IsNotNull on any column;
   *  - And/Or compositions of the above. NOT is rejected: the
   *    evaluator collapses SQL UNKNOWN to false at the leaves, which
@@ -20,7 +24,8 @@ private[graft] object FleetFilters {
   private def evaluable(schema: StructType, col: String): Boolean =
     schema.find(_.name == col).exists(_.dataType match {
       case LongType | IntegerType | ShortType | ByteType | DoubleType |
-           FloatType | StringType | BooleanType => true
+           FloatType | StringType | BooleanType | TimestampType |
+           DateType => true
       case _ => false
     })
 
@@ -62,11 +67,41 @@ private[graft] object FleetFilters {
     Integer.compare(a.length - i, b.length - j)
   }
 
+  // Temporal values normalize to the logical-type carrier integers the
+  // fleet writers record: timestamps → epoch-µs (the exact formula of
+  // Avro.toAvroValue / AvroFleetReaderFactory.toCatalyst — instant
+  // math, zone-free), dates → epoch-day. A bare integral Number is the
+  // carrier itself (sidecar JSON reads stats back as Long). Units can
+  // never mix: both sides of one comparison come from one column.
+  private[graft] def temporalLong(x: Any): Option[Long] = x match {
+    case t: java.sql.Timestamp =>
+      Some(t.getTime * 1000L + (t.getNanos % 1000000) / 1000)
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        (i.getNano / 1000).toLong))
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case ld: java.time.LocalDate => Some(ld.toEpochDay)
+    case n: Number if integral(n) => Some(n.longValue())
+    case _ => None
+  }
+
+  private def isTemporal(x: Any): Boolean = x match {
+    case _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.sql.Date | _: java.time.LocalDate => true
+    case _ => false
+  }
+
   // shared with FleetStats so the planning-time skip decision and the
   // record-level filter decision can never use different orderings
   private[graft] def cmp(x: Any, v: Any): Int = (x, v) match {
     case (a: String, b: String) => compareByCodePoint(a, b)
     case (a: java.lang.Boolean, b: java.lang.Boolean) => a.compareTo(b)
+    case (a, b) if isTemporal(a) || isTemporal(b) =>
+      (temporalLong(a), temporalLong(b)) match {
+        case (Some(ta), Some(tb)) => java.lang.Long.compare(ta, tb)
+        case _ => throw new IllegalStateException(
+          s"unpushable temporal comparison: ${x.getClass} vs ${v.getClass}")
+      }
     case (a: Number, b: Number) =>
       if (integral(a) && integral(b))
         java.lang.Long.compare(a.longValue(), b.longValue())

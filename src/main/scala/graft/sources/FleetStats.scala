@@ -59,6 +59,12 @@ private[graft] object FleetStats {
   def trackableType(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | DoubleType |
          FloatType | StringType | BooleanType => true
+    // temporal columns track via their zone-free logical-type carriers
+    // (µs-long / day-int) — the avro writers observe post-toAvroValue
+    // values, so the recorded bounds are already those integers. A
+    // writer whose carrier is NOT the integer form (xlsx: ISO strings)
+    // must mask these via `track`, same as its float mask.
+    case TimestampType | DateType => true
     case _ => false
   }
 
@@ -148,11 +154,24 @@ private[graft] object FleetStats {
     case _ => false
   }
 
-  // same families FleetFilters.cmp orders; a mismatch is never proof
+  // same families FleetFilters.cmp orders; a mismatch is never proof.
+  // A temporal literal proves against integral stats only: the sidecar
+  // records temporal columns as their carrier integers, so the pair
+  // (Timestamp literal, Long µs stat) is one family — while a temporal
+  // literal against Double stats (an inferred-type divergence) is not.
   private def comparable(a: Any, b: Any): Boolean = (a, b) match {
     case (_: String, _: String) => true
     case (_: java.lang.Boolean, _: java.lang.Boolean) => true
+    case (x, y) if temporalish(x) || temporalish(y) =>
+      FleetFilters.temporalLong(a).isDefined &&
+        FleetFilters.temporalLong(b).isDefined
     case (_: Number, _: Number) => true
+    case _ => false
+  }
+
+  private def temporalish(x: Any): Boolean = x match {
+    case _: java.sql.Timestamp | _: java.time.Instant |
+         _: java.sql.Date | _: java.time.LocalDate => true
     case _ => false
   }
 

@@ -253,10 +253,16 @@ object Xlsx {
           // floats are masked: the cell carries Float.toString and the
           // read side casts it to the string's nearest DOUBLE, which
           // can land outside the float's own double widening — bounds
-          // from the write-time floats could then wrongly skip
+          // from the write-time floats could then wrongly skip.
+          // temporal types are masked too: this collector observes raw
+          // EXTERNAL row values (Timestamp/Date objects, not the avro
+          // writers' carrier integers), and the xlsx cell demotes them
+          // to ISO strings that read back as StringType anyway
           val stats = new FleetStats.Collector(schema,
             dt => FleetStats.trackableType(dt) &&
-              dt != org.apache.spark.sql.types.FloatType)
+              dt != org.apache.spark.sql.types.FloatType &&
+              dt != org.apache.spark.sql.types.TimestampType &&
+              dt != org.apache.spark.sql.types.DateType)
           val observed = it.map { row =>
             stats.startRow()
             var i = 0

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
-import graft.sources.{Avro, FleetStats}
+import graft.sources.{Avro, FleetFilters, FleetStats}
 
 /** Per-file min/max/null stats for avro fleets: collector semantics,
   * the planning-time skip evaluator, sidecar IO degradation, and the
@@ -166,6 +166,72 @@ class FleetStatsSpec extends SparkSpec {
       .filter($"id" > 90)
     assert(plannedParts(unskipped) == 4)
     assert(unskipped.count() == 9)
+  }
+
+  test("temporal range predicates absorb, skip files, and keep boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FilterExec
+    val dir = tmp("stats_ts") + "/e.avro"
+    // 96 hourly events across 4 days + one null-ts row and one null-d row
+    val base = spark.range(0, 96).select(
+      $"id".as("event_id"),
+      to_timestamp(lit("2024-03-01 00:00:00")).as("base"),
+      $"id".cast("int").as("hrs"))
+      .select($"event_id",
+        timestamp_seconds(unix_timestamp($"base") + $"hrs" * 3600L).as("ts"),
+        to_date(timestamp_seconds(unix_timestamp($"base") + $"hrs" * 3600L))
+          .as("d"))
+    val withNulls = base.unionByName(
+      Seq((960L, null, null)).toDF("event_id", "ts_s", "d_s")
+        .select($"event_id",
+          $"ts_s".cast("timestamp").as("ts"), $"d_s".cast("date").as("d")))
+    withNulls.repartitionByRange(4, $"ts")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    assert(FleetStats.read(localFs, new Path(dir)).size == 4)
+
+    val fleet = spark.read.format("graft-avro").load(dir)
+    // one day of four → a strict subset of files planned; the ts
+    // conjuncts are ABSORBED (no FilterExec anywhere in the plan)
+    val day2 = fleet.filter(
+      $"ts" >= lit("2024-03-02 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-03-03 00:00:00").cast("timestamp"))
+    assert(plannedParts(day2) < 4)
+    assert(day2.queryExecution.executedPlan.collect {
+      case f: FilterExec => f }.isEmpty,
+      "ts range should be fully absorbed, not residual")
+    // boundary exactness: 00:00:00 included, next midnight excluded
+    assert(day2.select($"event_id").as[Long].collect().sorted.toSeq ==
+      (24L to 47L))
+    // equality on an instant inside a skipped file's window
+    val one = fleet.filter($"ts" === lit("2024-03-04 23:00:00").cast("timestamp"))
+    assert(plannedParts(one) < 4 && one.count() == 1)
+    // impossible window: zero files, zero rows
+    val never = fleet.filter($"ts" >= lit("2030-01-01").cast("timestamp"))
+    assert(plannedParts(never) == 0 && never.count() == 0)
+    // DATE range absorbs and prunes the same way (day-int carriers)
+    val dday = fleet.filter($"d" === lit("2024-03-03").cast("date"))
+    assert(dday.count() == 24)
+    assert(dday.queryExecution.executedPlan.collect {
+      case f: FilterExec => f }.isEmpty)
+    // null-ts row: range predicates never return it, IsNull finds it
+    assert(fleet.filter($"ts".isNull).count() == 1)
+    assert(fleet.filter($"ts".isNotNull).count() == 96)
+  }
+
+  test("temporal comparator: instants and carriers agree across spellings") {
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
+    val micros = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
+    assert(FleetFilters.cmp(ts, java.lang.Long.valueOf(micros)) == 0)
+    assert(FleetFilters.cmp(java.lang.Long.valueOf(micros - 1), ts) < 0)
+    val inst = ts.toInstant
+    assert(FleetFilters.cmp(inst, java.lang.Long.valueOf(micros)) == 0)
+    val d = java.sql.Date.valueOf("2024-03-01")
+    val days = d.toLocalDate.toEpochDay
+    assert(FleetFilters.cmp(d, java.lang.Long.valueOf(days)) == 0)
+    assert(FleetFilters.cmp(java.time.LocalDate.parse("2024-03-02"),
+      java.lang.Long.valueOf(days)) > 0)
+    // a temporal against a non-carrier (Double stats) is NOT comparable
+    intercept[IllegalStateException](FleetFilters.cmp(ts, Double.box(1.0)))
   }
 
   test("xlsx fleet skips workbooks; inferred-type divergence never skips") {
