@@ -746,6 +746,40 @@ object LlmOps {
       .limit(10)
   }
 
+  /** §2.J BATCHED ANN probes over the same persisted IVF index — the
+    * production shape: a real pipeline serves thousands of queries, not
+    * one. The probe SET (every 100th vector — scale-proportional) ranks
+    * the k centroids per probe in one broadcast cross (|probes|·k rows),
+    * keeps nprobe=2 clusters each, and joins the union of winning
+    * clusters against the cluster_id-PARTITIONED inverted lists in ONE
+    * pass — dynamic partition pruning drops every list no probe wants
+    * (plan-asserted in ScaleSpec), and each surviving list row is scored
+    * only against the probes that chose its cluster (the equi-join key
+    * carries the pairing, so fan-out is |list|·probes-per-cluster, never
+    * |list|·|probes|). Top-3 per probe via one hash-partitioned window
+    * on probe_id. Same r6/dot-product parity discipline as the
+    * single-probe query; fully oracle-checked. */
+  def qSimAnnIvfBatch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (seeds, assigned) = buildIvfIndex(s, dir)
+    val probes = embD(s, dir).filter(pmod($"vec_id", lit(100)) === 0)
+      .select($"vec_id".as("probe_id"), $"emb".as("probe_emb"))
+    val wP = Window.partitionBy($"probe_id").orderBy($"pcos".desc, $"seed_id")
+    val probeClusters = probes.crossJoin(broadcast(seeds))
+      .withColumn("pcos", r6(cosine($"seed_emb", $"probe_emb")))
+      .withColumn("prn", row_number().over(wP))
+      .filter($"prn" <= 2)
+      .select($"probe_id", $"probe_emb", $"seed_id".as("cluster_id"))
+    val wK = Window.partitionBy($"probe_id").orderBy($"cos".desc, $"vec_id")
+    assigned.join(broadcast(probeClusters), Seq("cluster_id"))
+      .filter($"vec_id" =!= $"probe_id")
+      .withColumn("cos", r6(cosine($"emb", $"probe_emb")))
+      .withColumn("rn", row_number().over(wK).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"probe_id", $"vec_id", $"cluster_id", $"cos", $"rn")
+      .orderBy($"probe_id", $"rn")
+  }
+
   /** Persisted IVF indexes, one per corpus dir (the `pairTables`
     * lifecycle): (centroids path, centroids schema, inverted-lists
     * path, lists schema). */
@@ -877,7 +911,8 @@ object LlmOps {
     "q_sim_cosine_topk" -> qSimCosineTopk _,
     "q_sim_knn_join" -> qSimKnnJoin _,
     "q_sim_pairwise_stats" -> qSimPairwiseStats _,
-    "q_sim_ann_ivf" -> qSimAnnIvf _
+    "q_sim_ann_ivf" -> qSimAnnIvf _,
+    "q_sim_ann_ivf_batch" -> qSimAnnIvfBatch _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1216,6 +1251,73 @@ object LlmOps {
         |JOIN top_clusters t ON a.cluster_id = t.cluster_id
         |CROSS JOIN p
         |WHERE a.vec_id <> 0
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_sim_ann_ivf_batch" ->
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings),
+        |  e AS (SELECT vec_id, label, list_transform(emb,
+        |          x -> x / sqrt(list_dot_product(emb, emb))) AS emb
+        |        FROM e0),
+        |  seeds0 AS (SELECT vec_id AS seed_id, emb AS seed_emb FROM e
+        |             WHERE vec_id < 8),
+        |  a1 AS (SELECT vec_id, emb, seed_id FROM (
+        |      SELECT e.vec_id, e.emb, s.seed_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
+        |                   s.seed_id) AS rn
+        |      FROM e CROSS JOIN seeds0 s) WHERE rn = 1),
+        |  m1 AS (SELECT seed_id, unnest(generate_series(1, len(emb))) AS dim,
+        |           unnest(emb) AS v FROM a1),
+        |  g1 AS (SELECT seed_id, dim, avg(v) AS m FROM m1
+        |         GROUP BY seed_id, dim),
+        |  c1 AS (SELECT seed_id, list(m ORDER BY dim) AS c0 FROM g1
+        |         GROUP BY seed_id),
+        |  seeds1 AS (SELECT seed_id, list_transform(c0,
+        |      x -> round(x / sqrt(list_dot_product(c0, c0)), 6)) AS seed_emb
+        |    FROM c1),
+        |  a2 AS (SELECT vec_id, emb, seed_id FROM (
+        |      SELECT e.vec_id, e.emb, s.seed_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
+        |                   s.seed_id) AS rn
+        |      FROM e CROSS JOIN seeds1 s) WHERE rn = 1),
+        |  m2 AS (SELECT seed_id, unnest(generate_series(1, len(emb))) AS dim,
+        |           unnest(emb) AS v FROM a2),
+        |  g2 AS (SELECT seed_id, dim, avg(v) AS m FROM m2
+        |         GROUP BY seed_id, dim),
+        |  c2 AS (SELECT seed_id, list(m ORDER BY dim) AS c0 FROM g2
+        |         GROUP BY seed_id),
+        |  seeds AS (SELECT seed_id, list_transform(c0,
+        |      x -> round(x / sqrt(list_dot_product(c0, c0)), 6)) AS seed_emb
+        |    FROM c2),
+        |  assigned AS (
+        |    SELECT vec_id, label, emb, seed_id AS cluster_id FROM (
+        |      SELECT e.vec_id, e.label, e.emb, s.seed_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
+        |                   s.seed_id) AS arn
+        |      FROM e CROSS JOIN seeds s)
+        |    WHERE arn = 1),
+        |  p AS (SELECT vec_id AS probe_id, emb AS probe_emb FROM e
+        |        WHERE vec_id % 100 = 0),
+        |  top_clusters AS (
+        |    SELECT probe_id, probe_emb, cluster_id FROM (
+        |      SELECT p.probe_id, p.probe_emb, s.seed_id AS cluster_id,
+        |        row_number() OVER (PARTITION BY p.probe_id
+        |          ORDER BY round(list_dot_product(s.seed_emb, p.probe_emb), 6) DESC,
+        |                   s.seed_id) AS prn
+        |      FROM seeds s CROSS JOIN p)
+        |    WHERE prn <= 2),
+        |  scored AS (
+        |    SELECT t.probe_id, a.vec_id, a.cluster_id,
+        |      round(list_dot_product(a.emb, t.probe_emb), 6) AS cos
+        |    FROM assigned a
+        |    JOIN top_clusters t ON a.cluster_id = t.cluster_id
+        |    WHERE a.vec_id <> t.probe_id)
+        |SELECT probe_id, vec_id, cluster_id, cos, rn FROM (
+        |  SELECT scored.*, CAST(row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+        |  FROM scored)
+        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
   )
 }

@@ -355,6 +355,29 @@ class ScaleSpec extends SparkSpec {
       s"no dynamic partition pruning on the inverted-lists scan:\n$plan")
   }
 
+  test("batched IVF probes still partition-prune; fan-out stays per-cluster") {
+    import spark.implicits._
+    // many probes, ONE pass: the union of winning clusters must reach
+    // the lists scan as a dynamic partition filter (not a full read),
+    // and each probe's results must match running that probe alone
+    val df = ops.LlmOps.qSimAnnIvfBatch(spark, sfDir)
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression(cluster_id"),
+      s"no dynamic partition pruning on the batched lists scan:\n$plan")
+    val probeIds = rows.map(_.getLong(0)).distinct.sorted
+    val expectedProbes = graft.util.Tables.embeddings(spark, sfDir)
+      .filter($"vec_id" % 100 === 0).select($"vec_id")
+      .as[Long].collect().sorted
+    assert(probeIds.toSeq == expectedProbes.toSeq,
+      "every probe in the batch must produce results")
+    // per-probe: exactly 3 neighbors, ranked 1..3, never the probe itself
+    rows.groupBy(_.getLong(0)).foreach { case (pid, rs) =>
+      assert(rs.map(_.getLong(4)).sorted.toSeq == Seq(1L, 2L, 3L), s"probe $pid")
+      assert(rs.forall(_.getLong(1) != pid), s"probe $pid returned itself")
+    }
+  }
+
   test("rewriting the embeddings fixture invalidates the cached IVF index") {
     import spark.implicits._
     // a private corpus dir this test owns: the index cache key carries
