@@ -244,6 +244,35 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A GROUPED aggregate pushdown over an avro fleet: the scan
+    * builder accepts group-by + COUNT/MIN/MAX (partial pushdown) — each
+    * task aggregates its split DURING the decode and ships one row per
+    * group, and any file whose sidecar proves a single group (the
+    * range-partitioned layout makes most files so) answers from
+    * metadata without being opened. The fleet here is range-partitioned
+    * by the group key, so the plan mixes both tiers; Spark's final
+    * aggregate merges the partials. Gates grouped pushdown in
+    * CORRECTNESS: a split double-counted, a group split across tiers
+    * and merged wrong, or a carrier/instant slip in min/max all
+    * mismatch the oracle. */
+  def qScanAvroGroupAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_groupagg_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartitionByRange(6, $"event_type")
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$out/events.avro")
+    s.read.format("graft-avro").load(s"$out/events.avro")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), count($"value").as("n_val"),
+        min($"value").as("min_v"), max($"value").as("max_v"),
+        min($"ts").as("min_ts"), max($"ts").as("max_ts"))
+      .select($"event_type", $"n", $"n_val", $"min_v", $"max_v",
+        tstr($"min_ts").as("min_ts_s"), tstr($"max_ts").as("max_ts_s"))
+      .orderBy($"event_type")
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -478,6 +507,7 @@ object Relational {
     "q_scan_avro_count" -> qScanAvroCount _,
     "q_scan_avro_skip" -> qScanAvroSkip _,
     "q_scan_avro_skip_ts" -> qScanAvroSkipTs _,
+    "q_scan_avro_groupagg" -> qScanAvroGroupAgg _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
@@ -542,6 +572,12 @@ object Relational {
         |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |ORDER BY event_id""".stripMargin,
+    "q_scan_avro_groupagg" ->
+      """SELECT event_type, count(*) AS n, count(value) AS n_val,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts_s,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // xlsx inference reads integer columns back as long (the
     // q_scan_xlsx convention)
     "q_scan_xlsx_fleet" ->

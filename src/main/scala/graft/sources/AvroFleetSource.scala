@@ -332,8 +332,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       .expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
-        agg.aggregateExpressions.isEmpty) return false
+    if (pushed.nonEmpty || agg.aggregateExpressions.isEmpty) return false
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -350,6 +349,32 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         case m: Max => colOf(m.column).map(MetaAggSpec.MaxCol)
         case _ => None
       }
+
+    if (agg.groupByExpressions.nonEmpty) {
+      // GROUPED tier (partial pushdown): every task aggregates its
+      // split during the decode and emits one row per group — raw rows
+      // never enter Catalyst — and a file whose sidecar PROVES it holds
+      // a single group (every group column min==max, or all-null)
+      // answers from metadata without being opened. Spark's rewritten
+      // final aggregate merges the per-split partials (min-of-min /
+      // max-of-max / sum-of-count), so semantics are exact for any
+      // fleet; a group-PARTITIONED fleet (the common layout) hits the
+      // metadata path for every file.
+      val ordered = (c: String) => FleetStats.trackableType(
+        fullSchema(fullSchema.fieldIndex(c)).dataType)
+      val groupCols = agg.groupByExpressions.toSeq.map(colOf)
+      val aggColsOk = specs.flatten.forall {
+        case MetaAggSpec.MinCol(c) => ordered(c)
+        case MetaAggSpec.MaxCol(c) => ordered(c)
+        case _ => true
+      }
+      if (specs.forall(_.isDefined) && aggColsOk &&
+          groupCols.forall(_.exists(ordered))) {
+        groupAgg = Some((groupCols.flatten, specs.flatten))
+        return true
+      }
+      return false
+    }
 
     if (specs.forall(_.isDefined)) {
       val flat = specs.flatten
@@ -381,13 +406,17 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
 
   private var metaAgg
       : Option[(Seq[MetaAggSpec], Seq[FleetStats.PartStats])] = None
+  private var groupAgg: Option[(Seq[String], Seq[MetaAggSpec])] = None
 
-  override def build(): Scan = metaAgg match {
-    case Some((specs, entries)) =>
+  override def build(): Scan = (groupAgg, metaAgg) match {
+    case (Some((gcols, specs)), _) =>
+      new AvroFleetGroupAggScan(fullSchema, path, maxFileBytes, gcols,
+        specs)
+    case (_, Some((specs, entries))) =>
       new AvroFleetMetaAggScan(fullSchema, path, specs, entries)
-    case None if countStars > 0 =>
+    case _ if countStars > 0 =>
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
-    case None =>
+    case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
         pushed)
   }
@@ -734,6 +763,224 @@ private[sources] class AvroFleetCountReaderFactory(
 
       override def close(): Unit = ()
     }
+  }
+}
+
+/** Grouped-aggregate scan (partial pushdown): output schema is the
+  * group columns followed by one column per aggregate, and Spark's
+  * rewritten final aggregate merges the partials. Two partition kinds:
+  *
+  *  - `GroupMetaPartition` — the file's sidecar PROVES a single group
+  *    (every group column min==max with zero nulls, or all-null) and
+  *    covers every aggregate column: its one partial row is resolved
+  *    driver-side from the stats; the file is never opened. On a fleet
+  *    laid down partitioned by the group key — the common 100 TB
+  *    layout — EVERY file takes this path and the whole grouped rollup
+  *    is a metadata read.
+  *  - `AvroFilePartition` — everything else decodes, but aggregates
+  *    DURING the decode into a per-split hash (reader-schema pruning
+  *    still skips unreferenced columns), emitting one row per group
+  *    per split instead of shipping raw rows into Catalyst. */
+private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
+    path: String, maxFileBytes: Long, groupCols: Seq[String],
+    specs: Seq[MetaAggSpec]) extends Scan with Batch
+    with SupportsReportStatistics {
+
+  import MetaAggSpec._
+
+  override def readSchema(): StructType = StructType(
+    groupCols.map(c => tableSchema(tableSchema.fieldIndex(c))
+      .copy(nullable = true)) ++
+      specs.zipWithIndex.map {
+        case (CountStar, i) =>
+          StructField(s"count_star_$i", LongType, nullable = false)
+        case (CountCol(c), i) =>
+          StructField(s"count_${c}_$i", LongType, nullable = false)
+        case (MinCol(c), i) => StructField(s"min_${c}_$i",
+          tableSchema(tableSchema.fieldIndex(c)).dataType)
+        case (MaxCol(c), i) => StructField(s"max_${c}_$i",
+          tableSchema(tableSchema.fieldIndex(c)).dataType)
+      })
+
+  override def description(): String =
+    s"graft-avro $path PushedAggregation(grouped): [" + specs.map {
+      case CountStar => "COUNT(*)"
+      case CountCol(c) => s"COUNT($c)"
+      case MinCol(c) => s"MIN($c)"
+      case MaxCol(c) => s"MAX($c)"
+    }.mkString(", ") + s"] GroupBy: [${groupCols.mkString(", ")}]"
+
+  override def toBatch: Batch = this
+
+  private lazy val fleet = Avro.listFleet(SparkSession.active, path,
+    maxFileBytes, enforceBound = false)
+
+  private lazy val fleetStats = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    FleetStats.forFleet(fs, fleet)
+  }
+
+  /** The sidecar single-group proof for one file, and the partial-row
+    * values if it holds. `min==max` uses the shared comparator so the
+    * proof and the row path can never disagree on ordering. */
+  private def metaRow(ps: FleetStats.PartStats): Option[Array[Any]] = {
+    if (ps.rows == 0L) return Some(null) // no rows → no partial at all
+    val singleGroup = groupCols.forall(c => ps.cols.get(c).exists(cs =>
+      (cs.nulls == 0L && cs.min.isDefined && cs.max.isDefined &&
+        FleetFilters.cmp(cs.min.get, cs.max.get) == 0) ||
+        (cs.min.isEmpty && cs.nulls == ps.rows)))
+    val covered = specs.forall {
+      case CountStar => true
+      case CountCol(c) => ps.cols.contains(c)
+      case MinCol(c) => ps.cols.contains(c)
+      case MaxCol(c) => ps.cols.contains(c)
+    }
+    if (!singleGroup || !covered) return None
+    val out = readSchema()
+    Some((groupCols.map(c => ps.cols(c).min.orNull) ++ specs.map {
+      case CountStar => Long.box(ps.rows)
+      case CountCol(c) => Long.box(ps.rows - ps.cols(c).nulls)
+      case MinCol(c) => ps.cols(c).min.orNull
+      case MaxCol(c) => ps.cols(c).max.orNull
+    }).zipWithIndex.map { case (v, i) =>
+      AvroFleetMetaAggScan.toCatalystAs(v, out.fields(i).dataType)
+    }.toArray)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (meta, decode) = fleet.sortBy(_.getPath.toString).partition(st =>
+      fleetStats.get(st.getPath.toString).exists(ps =>
+        metaRow(ps).isDefined))
+    val metaParts = meta.flatMap { st =>
+      Option(metaRow(fleetStats(st.getPath.toString)).get) // null = empty
+        .map(GroupMetaPartition)
+    }
+    metaParts.toArray[InputPartition] ++
+      AvroFleetScan.planSplits(decode, maxFileBytes)
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, fleet.map(_.getLen).sum *
+        math.max(1, groupCols.size + specs.size) /
+        math.max(1, tableSchema.size)))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val s = SparkSession.active
+    new AvroFleetGroupAggReaderFactory(tableSchema, groupCols, specs,
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+  }
+}
+
+/** One precomputed partial row (catalyst spelling) for a
+  * sidecar-proven single-group file. */
+private[sources] case class GroupMetaPartition(values: Array[Any])
+    extends InputPartition
+
+private[sources] class AvroFleetGroupAggReaderFactory(
+    tableSchema: StructType, groupCols: Seq[String],
+    specs: Seq[MetaAggSpec], conf: SerializableHadoopConf)
+    extends PartitionReaderFactory {
+
+  import MetaAggSpec._
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case GroupMetaPartition(values) =>
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow = new GenericInternalRow(values)
+          override def close(): Unit = ()
+        }
+      case part: AvroFilePartition => decodeReader(part)
+    }
+
+  /** Streaming decode of the split with an in-task hash aggregate:
+    * reader-schema pruning decodes only group+aggregate columns, and
+    * the task emits one partial row per group — memory is O(groups in
+    * split), the partial-aggregate contract. */
+  private def decodeReader(part: AvroFilePartition)
+      : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+    private val aggCols = specs.collect {
+      case CountCol(c) => c; case MinCol(c) => c; case MaxCol(c) => c
+    }
+    private val decodeCols = (groupCols ++ aggCols).distinct.toIndexedSeq
+    private var out: Iterator[InternalRow] = _
+
+    private def aggregate(): Iterator[InternalRow] = {
+      val path = new org.apache.hadoop.fs.Path(part.file)
+      val fs = path.getFileSystem(conf.value)
+      val datumReader = new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]()
+      val stream = new org.apache.avro.file.DataFileReader(
+        new HadoopSeekableInput(fs.open(path),
+          fs.getFileStatus(path).getLen), datumReader)
+      try {
+        val writerSpark = Avro.toSparkSchema(stream.getSchema)
+        require(writerSpark.map(f => (f.name, f.dataType)) ==
+            tableSchema.map(f => (f.name, f.dataType)),
+          s"avro schema mismatch in ${part.file}: " +
+            s"${writerSpark.catalogString} vs table " +
+            tableSchema.catalogString)
+        val effective = Avro.prunedSchema(stream.getSchema, decodeCols)
+        datumReader.setExpected(effective)
+        val byName = effective.getFields.asScala.toSeq
+          .map(f => (f.name(), f.schema())).toMap
+        // insertion-ordered so partial-row order is deterministic
+        val groups = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+        stream.sync(part.start)
+        while (stream.hasNext && !stream.pastSync(part.end)) {
+          val rec = stream.next()
+          def v(c: String): Any = Avro.fromAvroValue(rec.get(c), byName(c))
+          val key = groupCols.map(v)
+          var buf = groups.get(key)
+          if (buf == null) {
+            buf = new Array[Any](specs.length)
+            specs.indices.foreach(i => buf(i) = specs(i) match {
+              case CountStar | _: CountCol => Long.box(0L)
+              case _ => null
+            })
+            groups.put(key, buf)
+          }
+          specs.indices.foreach { i =>
+            specs(i) match {
+              case CountStar =>
+                buf(i) = Long.box(buf(i).asInstanceOf[Long] + 1L)
+              case CountCol(c) => if (v(c) != null)
+                buf(i) = Long.box(buf(i).asInstanceOf[Long] + 1L)
+              case MinCol(c) =>
+                val x = v(c)
+                if (x != null && (buf(i) == null ||
+                    FleetFilters.cmp(x, buf(i)) < 0)) buf(i) = x
+              case MaxCol(c) =>
+                val x = v(c)
+                if (x != null && (buf(i) == null ||
+                    FleetFilters.cmp(x, buf(i)) > 0)) buf(i) = x
+            }
+          }
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          groups.entrySet().iterator()).asScala.map { e =>
+          new GenericInternalRow(
+            (e.getKey.map(AvroFleetReaderFactory.toCatalyst) ++
+              e.getValue.toSeq.map(AvroFleetReaderFactory.toCatalyst))
+              .toArray)
+        }.toVector.iterator
+      } finally stream.close()
+    }
+
+    override def next(): Boolean = {
+      if (out == null) out = aggregate()
+      out.hasNext
+    }
+    override def get(): InternalRow = out.next()
+    override def close(): Unit = ()
   }
 }
 

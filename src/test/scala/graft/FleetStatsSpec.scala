@@ -218,6 +218,65 @@ class FleetStatsSpec extends SparkSpec {
     assert(fleet.filter($"ts".isNotNull).count() == 96)
   }
 
+  test("grouped aggregates push down; single-group files answer from metadata") {
+    import spark.implicits._
+    val dir = tmp("stats_groupagg") + "/g.avro"
+    val df = spark.range(0, 90).select(
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        (pmod($"id", lit(3)) + 1).cast("int")).as("g"),
+      $"id".as("v"),
+      when($"id" % 9 === 0, lit(null).cast("double"))
+        .otherwise($"id" * 1.5).as("d"))
+    // one append per group → every part file provably single-group
+    Seq("a", "b", "c").foreach { t =>
+      df.filter($"g" === t).coalesce(1)
+        .write.format("graft-avro").mode("append").save(dir)
+    }
+    val fleet = spark.read.format("graft-avro").load(dir)
+    val agg = fleet.groupBy($"g")
+      .agg(count(lit(1)).as("n"), count($"d").as("nd"),
+        min($"v").as("mn"), max($"v").as("mx"))
+      .orderBy($"g")
+    // pushed: the scan advertises the grouped form
+    val scan = agg.queryExecution.optimizedPlan.collectFirst {
+      case s: DataSourceV2ScanRelation => s.scan }.get
+    assert(scan.description().contains("PushedAggregation(grouped)"),
+      scan.description())
+    // every partition is a metadata row — no file opened at all
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.nonEmpty && parts.forall(
+      _.getClass.getSimpleName == "GroupMetaPartition"),
+      parts.map(_.getClass.getSimpleName).mkString(","))
+    // values match the unpushed twin exactly
+    val expected = df.groupBy($"g")
+      .agg(count(lit(1)).as("n"), count($"d").as("nd"),
+        min($"v").as("mn"), max($"v").as("mx"))
+      .orderBy($"g").collect().toSeq
+    assert(agg.collect().toSeq == expected)
+
+    // a mixed fleet (no single-group proof) takes the decode-aggregate
+    // tier: still pushed, still exact, groups merged across splits
+    val dir2 = tmp("stats_groupagg_mixed") + "/g.avro"
+    df.repartition(4).write.format("graft-avro").mode("overwrite").save(dir2)
+    val agg2 = spark.read.format("graft-avro").load(dir2)
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), count($"d").as("nd"),
+        min($"v").as("mn"), max($"v").as("mx"))
+      .orderBy($"g")
+    val scan2 = agg2.queryExecution.optimizedPlan.collectFirst {
+      case s: DataSourceV2ScanRelation => s.scan }.get
+    assert(scan2.description().contains("PushedAggregation(grouped)"))
+    assert(agg2.collect().toSeq == expected)
+    // null group keys form their own group through the decode tier
+    val dirN = tmp("stats_groupagg_null") + "/g.avro"
+    df.withColumn("g", when($"v" < 30, lit(null).cast("string"))
+        .otherwise($"g"))
+      .repartition(2).write.format("graft-avro").mode("overwrite").save(dirN)
+    val aggN = spark.read.format("graft-avro").load(dirN)
+      .groupBy($"g").agg(count(lit(1)).as("n")).orderBy($"g")
+    assert(aggN.filter($"g".isNull).head().getLong(1) == 30L)
+  }
+
   test("temporal comparator: instants and carriers agree across spellings") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
     val micros = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
