@@ -164,6 +164,8 @@ class ScaleSpec extends SparkSpec {
       "q_scan_avro_v2write" -> "writes scratch avro via the V2 writer (the sink IS the operator)",
       "q_scan_avro_count" -> "writes scratch avro distributed (the sink IS the operator)",
       "q_scan_avro_skip" -> "writes scratch avro via the V2 writer (the sink IS the operator)",
+      "q_scan_avro_skip_ts" -> "writes scratch avro via the V2 writer (the sink IS the operator)",
+      "q_scan_avro_groupagg" -> "writes scratch avro via the V2 writer (the sink IS the operator)",
       "q_scan_xlsx_fleet" -> "writes a scratch workbook fleet (the sink IS the operator)",
       "q_scan_xlsx_dist" -> "writes a scratch workbook fleet distributed (the sink IS the operator)",
       "q_sink_partitioned" -> "the partitioned write IS the operator",
@@ -176,6 +178,7 @@ class ScaleSpec extends SparkSpec {
       // + cluster-partitioned inverted lists in scratch parquet on the
       // first call; probes read the flat, partition-pruned index
       "q_sim_ann_ivf" -> "materializes the IVF index (once per JVM)",
+      "q_sim_ann_ivf_batch" -> "materializes the IVF index (once per JVM)",
       // the replays run a real streaming query to completion
       "q_stream_tumbling_replay" -> "runs a streaming query",
       "q_stream_sliding_replay" -> "runs a streaming query",
