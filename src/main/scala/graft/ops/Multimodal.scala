@@ -114,6 +114,89 @@ object Multimodal {
       .toDF("doc_id", "blob")
   }
 
+  /** Planted-audio parameters for doc `d` — PCM16 mono at 8 kHz, 20-69
+    * samples following a closed-form ramp the DuckDB oracle mirrors. */
+  private[graft] def plantedSamples(d: Long): Array[Short] = {
+    val n = (d % 50 + 20).toInt
+    Array.tabulate(n)(i => ((d * 7 + i.toLong * 13) % 2001 - 1000).toShort)
+  }
+
+  /** Encode doc `d`'s planted samples as a REAL WAV container via
+    * `javax.sound.sampled` (pure JDK — the audio twin of `encodePng`).
+    * PCM is lossless, so decode recovers the exact sample values. */
+  private[ops] def encodeWav(d: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val samples = plantedSamples(d)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) { // little-endian PCM16
+      bytes(2 * i) = (samples(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode one WAV blob to exact features: (samples, rate, sum, min,
+    * max). Nothing about it knows the blob was planted; it reads the
+    * container's own declared format. */
+  private[ops] def decodeWav(blob: Array[Byte])
+      : (Long, Long, Long, Long, Long) = {
+    import javax.sound.sampled._
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian && fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED,
+      s"unsupported audio format: $fmt")
+    val raw = ais.readAllBytes()
+    val n = raw.length / 2
+    var (sum, mn, mx) = (0L, Long.MaxValue, Long.MinValue)
+    var i = 0
+    while (i < n) {
+      val s = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i) & 0xff))
+      sum += s; if (s < mn) mn = s; if (s > mx) mx = s
+      i += 1
+    }
+    (n.toLong, fmt.getSampleRate.toLong, sum,
+      if (n == 0) 0L else mn, if (n == 0) 0L else mx)
+  }
+
+  /** The planted-audio corpus: one real WAV per audio-typed doc
+    * (`doc_id % 3 == 1`, matching `mediaTable`'s media_type cycle). */
+  def audioTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    documents(s, dir)
+      .filter(pmod($"doc_id", lit(3)) === 1)
+      .select($"doc_id").as[Long]
+      .mapPartitions(ids => ids.map(d => (d, encodeWav(d))))
+      .toDF("doc_id", "blob")
+  }
+
+  /** §2.J audio feature extraction — REAL codec round trip, fully
+    * oracle-checked exactly like `qMediaFeatures`: every column is an
+    * exact integer DuckDB recomputes from the planted-sample closed
+    * form (PCM is lossless). */
+  def qMediaAudio(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioTable(s, dir)
+      .select($"doc_id", $"blob")
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, blob) =>
+          val (n, rate, sum, mn, mx) = decodeWav(blob)
+          (id, n, rate, sum, mn, mx)
+        }
+      }
+      .toDF("doc_id", "n_samples", "sample_rate", "sum_s", "min_s", "max_s")
+      .orderBy($"doc_id")
+  }
+
   /** Synthesize the multimodal table from `documents` (deterministic). */
   def mediaTable(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -223,6 +306,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal" -> qMultimodal _,
     "q_media_features" -> qMediaFeatures _,
+    "q_media_audio" -> qMediaAudio _,
     "q_media_frame_sample" -> qMediaFrameSample _,
     "q_media_resize" -> qMediaResize _
   )
@@ -257,6 +341,20 @@ object Multimodal {
         |  n_even * ((doc_id * 57 + 13) % 256) + n_odd * ((doc_id * 67 + 29) % 256) AS sum_g,
         |  n_even * ((doc_id * 89 + 19) % 256) + n_odd * ((doc_id * 43 + 37) % 256) AS sum_b
         |FROM cnt ORDER BY doc_id""".stripMargin,
+    // Closed-form twin of the WAV round trip: sample i of doc d is
+    // (d*7 + i*13) % 2001 - 1000 over n = d%50+20 samples at 8 kHz.
+    "q_media_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, CAST(doc_id % 50 + 20 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM a),
+        |v AS (SELECT doc_id, n,
+        |        (doc_id * 7 + i * 13) % 2001 - 1000 AS smp FROM s)
+        |SELECT doc_id, n AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(sum(smp) AS BIGINT) AS sum_s,
+        |  CAST(min(smp) AS BIGINT) AS min_s,
+        |  CAST(max(smp) AS BIGINT) AS max_s
+        |FROM v GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
     "q_media_frame_sample" ->
       """WITH v AS (
         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blob_len

@@ -296,6 +296,22 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("audio decode: real WAV round trip recovers planted samples exactly") {
+    val rows = ops.Multimodal.qMediaAudio(spark, sfDir).collect()
+    val audioDocs = graft.util.Tables.documents(spark, sfDir)
+      .filter("doc_id % 3 = 1").count()
+    assert(rows.length == audioDocs && rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val planted = ops.Multimodal.plantedSamples(d).map(_.toLong)
+      assert(r.getLong(1) == planted.length, s"doc $d sample count")
+      assert(r.getLong(2) == 8000L, s"doc $d rate")
+      assert(r.getLong(3) == planted.sum, s"doc $d sum")
+      assert(r.getLong(4) == planted.min, s"doc $d min")
+      assert(r.getLong(5) == planted.max, s"doc $d max")
+    }
+  }
+
   test("multimodal feature extraction is deterministic and batch-shaped") {
     val f1 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
     val f2 = ops.Multimodal.extractFeatures(spark, sfDir).collect()
