@@ -273,6 +273,34 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** §2.A FILTERED grouped pushdown — the production rollup shape: a
+    * ts-range predicate AND a group-by pushed into ONE fleet scan.
+    * Spark absorbs the range into the scan (no residual FilterExec),
+    * the scan's skip tier drops every file whose sidecar ts-window
+    * misses the range, boundary files decode WITH the filter evaluated
+    * before aggregation, and a file both single-group and provably
+    * all-inside the range would resolve from metadata alone
+    * (`FleetStats.alwaysMatches`). Gates the filter×aggregate
+    * composition in CORRECTNESS: a tier disagreement on a boundary
+    * instant double-counts or loses rows against the oracle. */
+  def qScanAvroFilterAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_filteragg_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartitionByRange(6, $"ts")
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$out/events.avro")
+    s.read.format("graft-avro").load(s"$out/events.avro")
+      .filter($"ts" >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+        $"ts" < lit("2024-01-22 00:00:00").cast("timestamp"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"value").as("min_v"),
+        max($"ts").as("max_ts"))
+      .select($"event_type", $"n", $"min_v", tstr($"max_ts").as("max_ts_s"))
+      .orderBy($"event_type")
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -508,6 +536,7 @@ object Relational {
     "q_scan_avro_skip" -> qScanAvroSkip _,
     "q_scan_avro_skip_ts" -> qScanAvroSkipTs _,
     "q_scan_avro_groupagg" -> qScanAvroGroupAgg _,
+    "q_scan_avro_filteragg" -> qScanAvroFilterAgg _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
@@ -578,6 +607,13 @@ object Relational {
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts_s,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_scan_avro_filteragg" ->
+      """SELECT event_type, count(*) AS n, min(value) AS min_v,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts_s
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // xlsx inference reads integer columns back as long (the
     // q_scan_xlsx convention)
     "q_scan_xlsx_fleet" ->

@@ -332,7 +332,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       .expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (pushed.nonEmpty || agg.aggregateExpressions.isEmpty) return false
+    if (agg.aggregateExpressions.isEmpty) return false
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -359,7 +359,14 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       // final aggregate merges the per-split partials (min-of-min /
       // max-of-max / sum-of-count), so semantics are exact for any
       // fleet; a group-PARTITIONED fleet (the common layout) hits the
-      // metadata path for every file.
+      // metadata path for every file. ABSORBED filters compose: Spark
+      // only attempts aggregate pushdown when no residual filter
+      // remains, and the grouped scan honors the pushed set — skip-
+      // proofs drop excluded files, `alwaysMatches` keeps the metadata
+      // tier only where the filter can't reject a row, and the decode
+      // tier evaluates the filter per record before aggregating (the
+      // ts-range-rollup shape: most files skip or resolve from
+      // sidecars, boundary files decode).
       val ordered = (c: String) => FleetStats.trackableType(
         fullSchema(fullSchema.fieldIndex(c)).dataType)
       val groupCols = agg.groupByExpressions.toSeq.map(colOf)
@@ -375,6 +382,12 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       }
       return false
     }
+
+    // the ungrouped tiers answer from sidecars / block headers alone —
+    // neither can honor a filter, so they require an unfiltered scan
+    // (a filtered ungrouped aggregate takes the absorbed-filter row
+    // path and aggregates above it)
+    if (pushed.nonEmpty) return false
 
     if (specs.forall(_.isDefined)) {
       val flat = specs.flatten
@@ -411,7 +424,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   override def build(): Scan = (groupAgg, metaAgg) match {
     case (Some((gcols, specs)), _) =>
       new AvroFleetGroupAggScan(fullSchema, path, maxFileBytes, gcols,
-        specs)
+        specs, pushed)
     case (_, Some((specs, entries))) =>
       new AvroFleetMetaAggScan(fullSchema, path, specs, entries)
     case _ if countStars > 0 =>
@@ -783,8 +796,9 @@ private[sources] class AvroFleetCountReaderFactory(
   *    per split instead of shipping raw rows into Catalyst. */
 private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
     path: String, maxFileBytes: Long, groupCols: Seq[String],
-    specs: Seq[MetaAggSpec]) extends Scan with Batch
-    with SupportsReportStatistics {
+    specs: Seq[MetaAggSpec],
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends Scan with Batch with SupportsReportStatistics {
 
   import MetaAggSpec._
 
@@ -808,7 +822,9 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
       case CountCol(c) => s"COUNT($c)"
       case MinCol(c) => s"MIN($c)"
       case MaxCol(c) => s"MAX($c)"
-    }.mkString(", ") + s"] GroupBy: [${groupCols.mkString(", ")}]"
+    }.mkString(", ") + s"] GroupBy: [${groupCols.mkString(", ")}]" +
+      (if (filters.isEmpty) ""
+       else s", PushedFilters: [${filters.mkString(", ")}]")
 
   override def toBatch: Batch = this
 
@@ -823,7 +839,11 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
 
   /** The sidecar single-group proof for one file, and the partial-row
     * values if it holds. `min==max` uses the shared comparator so the
-    * proof and the row path can never disagree on ordering. */
+    * proof and the row path can never disagree on ordering. Under
+    * pushed filters the proof additionally requires `alwaysMatches`
+    * for every conjunct — the stats row may only stand in for the file
+    * when the filter provably rejects none of its rows (files the
+    * filter provably rejects entirely were already skip-dropped). */
   private def metaRow(ps: FleetStats.PartStats): Option[Array[Any]] = {
     if (ps.rows == 0L) return Some(null) // no rows → no partial at all
     val singleGroup = groupCols.forall(c => ps.cols.get(c).exists(cs =>
@@ -836,7 +856,9 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
       case MinCol(c) => ps.cols.contains(c)
       case MaxCol(c) => ps.cols.contains(c)
     }
-    if (!singleGroup || !covered) return None
+    val filterTotal =
+      filters.forall(FleetStats.alwaysMatches(_, ps))
+    if (!singleGroup || !covered || !filterTotal) return None
     val out = readSchema()
     Some((groupCols.map(c => ps.cols(c).min.orNull) ++ specs.map {
       case CountStar => Long.box(ps.rows)
@@ -849,7 +871,13 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (meta, decode) = fleet.sortBy(_.getPath.toString).partition(st =>
+    // skip tier first: a file the filter provably can't match
+    // contributes no partial row and is never scheduled
+    val surviving = fleet.sortBy(_.getPath.toString).filterNot(st =>
+      filters.nonEmpty &&
+        fleetStats.get(st.getPath.toString).exists(ps =>
+          filters.exists(FleetStats.neverMatches(_, ps))))
+    val (meta, decode) = surviving.partition(st =>
       fleetStats.get(st.getPath.toString).exists(ps =>
         metaRow(ps).isDefined))
     val metaParts = meta.flatMap { st =>
@@ -872,7 +900,7 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
     new AvroFleetGroupAggReaderFactory(tableSchema, groupCols, specs,
-      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+      filters, new SerializableHadoopConf(s.sessionState.newHadoopConf()))
   }
 }
 
@@ -883,7 +911,9 @@ private[sources] case class GroupMetaPartition(values: Array[Any])
 
 private[sources] class AvroFleetGroupAggReaderFactory(
     tableSchema: StructType, groupCols: Seq[String],
-    specs: Seq[MetaAggSpec], conf: SerializableHadoopConf)
+    specs: Seq[MetaAggSpec],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
 
   import MetaAggSpec._
@@ -910,7 +940,9 @@ private[sources] class AvroFleetGroupAggReaderFactory(
     private val aggCols = specs.collect {
       case CountCol(c) => c; case MinCol(c) => c; case MaxCol(c) => c
     }
-    private val decodeCols = (groupCols ++ aggCols).distinct.toIndexedSeq
+    private val decodeCols =
+      (groupCols ++ aggCols ++ filters.toSeq.flatMap(_.references.toSeq))
+        .distinct.toIndexedSeq
     private var out: Iterator[InternalRow] = _
 
     private def aggregate(): Iterator[InternalRow] = {
@@ -938,6 +970,9 @@ private[sources] class AvroFleetGroupAggReaderFactory(
         while (stream.hasNext && !stream.pastSync(part.end)) {
           val rec = stream.next()
           def v(c: String): Any = Avro.fromAvroValue(rec.get(c), byName(c))
+          // absorbed filters gate the aggregation — same evaluator as
+          // the row path, so tier choice can never change results
+          if (filters.isEmpty || filters.forall(FleetFilters.eval(_, v))) {
           val key = groupCols.map(v)
           var buf = groups.get(key)
           if (buf == null) {
@@ -964,6 +999,7 @@ private[sources] class AvroFleetGroupAggReaderFactory(
                     FleetFilters.cmp(x, buf(i)) > 0)) buf(i) = x
             }
           }
+          } // filter gate
         }
         scala.jdk.CollectionConverters.IteratorHasAsScala(
           groups.entrySet().iterator()).asScala.map { e =>

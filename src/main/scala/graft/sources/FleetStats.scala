@@ -154,6 +154,56 @@ private[graft] object FleetStats {
     case _ => false
   }
 
+  /** True iff `f` provably matches EVERY row of a file with stats
+    * `st` — the dual of [[neverMatches]], used by the grouped-aggregate
+    * pushdown's metadata tier: a sidecar row may stand in for a file
+    * under a pushed filter only when the filter can't reject any of the
+    * file's rows. Conservative (false) wherever stats are absent or
+    * families diverge; sound for the monotone And/Or algebra the
+    * connectors push (NOT is never pushed). Note the asymmetry with
+    * `neverMatches`'s ""-guard: HERE an empty-string min needs no
+    * special case, because proofs only FIRE on `nulls == 0` bounds
+    * (IsNull aside) and `""` is an ordinary orderable value. */
+  def alwaysMatches(f: Filter, st: PartStats): Boolean = f match {
+    case And(l, r) => alwaysMatches(l, st) && alwaysMatches(r, st)
+    case Or(l, r) => alwaysMatches(l, st) || alwaysMatches(r, st)
+    case IsNotNull(c) => st.cols.get(c).exists(_.nulls == 0L)
+    case IsNull(c) => st.cols.get(c).exists(cs =>
+      cs.min.isEmpty && cs.nulls == st.rows)
+    case EqualTo(c, v) => st.cols.get(c).exists(cs =>
+      cs.nulls == 0L && cs.min.isDefined && cs.max.isDefined &&
+        comparable(v, cs.min.get) &&
+        FleetFilters.cmp(cs.min.get, v) == 0 &&
+        FleetFilters.cmp(cs.max.get, v) == 0)
+    case In(c, vs) => vs != null && vs.nonEmpty &&
+      vs.forall(_ != null) && st.cols.get(c).exists(cs =>
+        cs.nulls == 0L && cs.min.isDefined && cs.max.isDefined &&
+          comparable(vs.head, cs.min.get) &&
+          FleetFilters.cmp(cs.min.get, cs.max.get) == 0 &&
+          vs.exists(FleetFilters.cmp(cs.min.get, _) == 0))
+    case GreaterThan(c, v) => lowerAll(st, c, v)(mn =>
+      FleetFilters.cmp(mn, v) > 0)
+    case GreaterThanOrEqual(c, v) => lowerAll(st, c, v)(mn =>
+      FleetFilters.cmp(mn, v) >= 0)
+    case LessThan(c, v) => upperAll(st, c, v)(mx =>
+      FleetFilters.cmp(mx, v) < 0)
+    case LessThanOrEqual(c, v) => upperAll(st, c, v)(mx =>
+      FleetFilters.cmp(mx, v) <= 0)
+    case _ => false
+  }
+
+  // null-rejecting range predicates prove "all rows" only on columns
+  // with zero nulls and a provable bound of the right family
+  private def lowerAll(st: PartStats, c: String, v: Any)
+      (p: Any => Boolean): Boolean =
+    st.cols.get(c).exists(cs => cs.nulls == 0L &&
+      cs.min.exists(mn => comparable(v, mn) && p(mn)))
+
+  private def upperAll(st: PartStats, c: String, v: Any)
+      (p: Any => Boolean): Boolean =
+    st.cols.get(c).exists(cs => cs.nulls == 0L &&
+      cs.max.exists(mx => comparable(v, mx) && p(mx)))
+
   // same families FleetFilters.cmp orders; a mismatch is never proof.
   // A temporal literal proves against integral stats only: the sidecar
   // records temporal columns as their carrier integers, so the pair

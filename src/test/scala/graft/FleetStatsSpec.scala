@@ -277,6 +277,86 @@ class FleetStatsSpec extends SparkSpec {
     assert(aggN.filter($"g".isNull).head().getLong(1) == 30L)
   }
 
+  test("filters compose with grouped pushdown across all three tiers") {
+    import spark.implicits._
+    val dir = tmp("stats_filteragg") + "/g.avro"
+    val df = spark.range(0, 90).select(
+      element_at(array(lit("a"), lit("b"), lit("c")),
+        (pmod($"id", lit(3)) + 1).cast("int")).as("g"),
+      $"id".as("v"))
+    Seq("a", "b", "c").foreach { t => // single-group files
+      df.filter($"g" === t).coalesce(1)
+        .write.format("graft-avro").mode("append").save(dir)
+    }
+    val fleet = spark.read.format("graft-avro").load(dir)
+    def scanOf(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.collectFirst {
+        case s: DataSourceV2ScanRelation => s.scan }.get
+    def partKinds(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      scanOf(d).toBatch.planInputPartitions()
+        .map(_.getClass.getSimpleName).toSeq
+
+    // filter provably matches every row → metadata tier survives
+    val total = fleet.filter($"v" >= 0)
+      .groupBy($"g").agg(count(lit(1)).as("n")).orderBy($"g")
+    assert(scanOf(total).description()
+      .contains("PushedAggregation(grouped)"))
+    assert(partKinds(total).forall(_ == "GroupMetaPartition"),
+      partKinds(total).mkString(","))
+    assert(total.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 30L), ("b", 30L), ("c", 30L)))
+
+    // filter excludes two groups entirely → their files SKIP; the
+    // surviving file still answers from metadata (EqualTo always-match)
+    val onlyA = fleet.filter($"g" === "a")
+      .groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(partKinds(onlyA) == Seq("GroupMetaPartition"),
+      partKinds(onlyA).mkString(","))
+    assert(onlyA.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 30L)))
+
+    // filter rejects SOME rows of every file → decode tier, evaluated
+    // per record before aggregation (v < 45 keeps ids 0..44)
+    val low = fleet.filter($"v" < 45)
+      .groupBy($"g").agg(count(lit(1)).as("n"), max($"v").as("mx"))
+      .orderBy($"g")
+    assert(partKinds(low).forall(_ == "AvroFilePartition"),
+      partKinds(low).mkString(","))
+    val expected = df.filter($"v" < 45).groupBy($"g")
+      .agg(count(lit(1)).as("n"), max($"v").as("mx"))
+      .orderBy($"g").collect().toSeq
+    assert(low.collect().toSeq == expected)
+
+    // impossible filter → every file skipped, empty result
+    val none = fleet.filter($"v" > 1000)
+      .groupBy($"g").agg(count(lit(1)).as("n"))
+    assert(partKinds(none).isEmpty && none.collect().isEmpty)
+  }
+
+  test("alwaysMatches proves only total predicates, conservatively") {
+    val st = FleetStats.PartStats(1L, 10L, Map(
+      "k" -> FleetStats.ColStat(Some(10L), Some(20L), 0L),
+      "s" -> FleetStats.ColStat(Some("m"), Some("m"), 0L),
+      "n" -> FleetStats.ColStat(Some(1L), Some(5L), 3L),
+      "z" -> FleetStats.ColStat(None, None, 10L)))
+    def am(f: Filter) = FleetStats.alwaysMatches(f, st)
+    assert(am(GreaterThanOrEqual("k", 10L)) && am(LessThanOrEqual("k", 20L)))
+    assert(am(GreaterThan("k", 9L)) && am(LessThan("k", 21L)))
+    assert(!am(GreaterThan("k", 10L)) && !am(LessThan("k", 20L)))
+    assert(am(EqualTo("s", "m")) && !am(EqualTo("k", 10L)))
+    assert(am(In("s", Array("x", "m"))) && !am(In("k", Array(10L))))
+    assert(am(IsNotNull("k")) && !am(IsNotNull("n")))
+    assert(am(IsNull("z")) && !am(IsNull("n")))
+    // nulls poison range proofs (a null row fails the predicate)
+    assert(!am(GreaterThanOrEqual("n", 0L)))
+    // absent stats prove nothing; family divergence proves nothing
+    assert(!am(GreaterThan("missing", 0L)))
+    assert(!am(GreaterThanOrEqual("s", 0L)))
+    assert(am(And(GreaterThanOrEqual("k", 10L), LessThanOrEqual("k", 20L))))
+    assert(!am(And(GreaterThanOrEqual("k", 10L), GreaterThan("k", 15L))))
+    assert(am(Or(GreaterThan("k", 15L), GreaterThanOrEqual("k", 10L))))
+  }
+
   test("temporal comparator: instants and carriers agree across spellings") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
     val micros = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
