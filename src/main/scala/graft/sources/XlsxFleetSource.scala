@@ -79,12 +79,14 @@ private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
     path: String, sheet: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
+  private var countRows: Option[(Int, Long)] = None // (#aggs, total)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -108,9 +110,79 @@ private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
 
-  override def build(): Scan =
-    new XlsxFleetScan(fullSchema, required, path, sheet, limit, pushed)
+  /** Ungrouped, unfiltered COUNT(*) answered ENTIRELY from the
+    * `_stats.json` sidecars the fleet sink writes — a count over a
+    * workbook fleet then never unzips a single workbook, which for
+    * this codec skips its one real cost (the full per-file XML parse;
+    * avro has block headers to fall back on, SpreadsheetML has
+    * nothing). Declines unless EVERY workbook carries a length-matched
+    * sidecar entry — a foreign or rewritten workbook would make the
+    * metadata total silently wrong. */
+  override def pushAggregation(agg: org.apache.spark.sql.connector
+      .expressions.aggregate.Aggregation): Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    if (pushed.nonEmpty || agg.groupByExpressions.nonEmpty ||
+        agg.aggregateExpressions.isEmpty ||
+        !agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]))
+      return false
+    val s = SparkSession.active
+    val workbooks = Xlsx.listWorkbooks(s, path)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      s.sessionState.newHadoopConf())
+    val stats = FleetStats.forFleet(fs, workbooks)
+    if (!workbooks.forall(st => stats.contains(st.getPath.toString)))
+      return false
+    countRows = Some((agg.aggregateExpressions.length,
+      workbooks.map(st => stats(st.getPath.toString).rows).sum))
+    true
+  }
+
+  override def build(): Scan = countRows match {
+    case Some((n, total)) => new XlsxFleetCountScan(path, sheet, n, total)
+    case None =>
+      new XlsxFleetScan(fullSchema, required, path, sheet, limit, pushed)
+  }
 }
+
+/** The sidecar-resolved COUNT(*): one partition, one row, zero
+  * workbooks opened (values fixed at pushdown time; Spark's rewritten
+  * final aggregate sums the single partial — the identity). */
+private[sources] class XlsxFleetCountScan(path: String, sheet: String,
+    countStars: Int, total: Long) extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(
+    (0 until countStars).map(i => StructField(s"count_star_$i",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override def description(): String =
+    s"graft-xlsx $path sheet=$sheet PushedAggregation(metadata): [COUNT(*)]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(XlsxCountPartition(total))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val width = countStars // don't capture the (non-serializable) scan
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val n = p.asInstanceOf[XlsxCountPartition].total
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array.fill[Any](width)(n))
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}
+
+private[sources] case class XlsxCountPartition(total: Long)
+    extends InputPartition
 
 private[sources] class XlsxFleetScan(fullSchema: StructType,
     required: StructType, path: String, sheet: String,

@@ -373,6 +373,33 @@ class FleetStatsSpec extends SparkSpec {
     intercept[IllegalStateException](FleetFilters.cmp(ts, Double.box(1.0)))
   }
 
+  test("xlsx COUNT(*) answers from sidecars without unzipping a workbook") {
+    import spark.implicits._
+    val dir = tmp("xlsx_count") + "/fleet.xlsx"
+    val df = spark.range(0, 37).select($"id",
+      concat(lit("r"), $"id").as("s"))
+    graft.sources.Xlsx.writeDistributed(spark, dir, "data",
+      df.repartition(3))
+    val fleet = spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(s"$dir/part-*.xlsx")
+    val cnt = fleet.agg(count(lit(1)).as("n"))
+    val scan = cnt.queryExecution.optimizedPlan.collectFirst {
+      case s: DataSourceV2ScanRelation => s.scan }.get
+    assert(scan.description().contains("PushedAggregation(metadata)"),
+      scan.description())
+    assert(scan.toBatch.planInputPartitions().length == 1)
+    assert(cnt.head().getLong(0) == 37L)
+    // deleting the sidecar demotes to the parse path — same count
+    val fs = localFs
+    fs.delete(new Path(dir, FleetStats.FileName), false)
+    val cnt2 = spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(s"$dir/part-*.xlsx").agg(count(lit(1)).as("n"))
+    val scan2 = cnt2.queryExecution.optimizedPlan.collectFirst {
+      case s: DataSourceV2ScanRelation => s.scan }.get
+    assert(!scan2.description().contains("PushedAggregation"))
+    assert(cnt2.head().getLong(0) == 37L)
+  }
+
   test("xlsx fleet skips workbooks; inferred-type divergence never skips") {
     import spark.implicits._
     val dir = tmp("stats_xlsx") + "/fleet.xlsx"
