@@ -301,6 +301,27 @@ object Relational {
       .orderBy($"event_type")
   }
 
+  /** §2.F/§2.A TopN pushdown over an avro fleet: `ORDER BY value DESC,
+    * event_id LIMIT 20` pushes into the scan (`SupportsPushDownTopN`,
+    * partial) — each split folds its decoded rows through a bounded
+    * 20-row heap and ships 20 rows, so the driver-side final sort
+    * merges |splits|·20 rows instead of the fleet. Gates the heap's
+    * ordering (direction, tie-break, catalyst-identical comparator) in
+    * CORRECTNESS against the oracle's total order. */
+  def qScanAvroTopn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_topn_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartition(4)
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$out/events.avro")
+    s.read.format("graft-avro").load(s"$out/events.avro")
+      .select($"event_id", $"value")
+      .orderBy($"value".desc, $"event_id")
+      .limit(20)
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -537,6 +558,7 @@ object Relational {
     "q_scan_avro_skip_ts" -> qScanAvroSkipTs _,
     "q_scan_avro_groupagg" -> qScanAvroGroupAgg _,
     "q_scan_avro_filteragg" -> qScanAvroFilterAgg _,
+    "q_scan_avro_topn" -> qScanAvroTopn _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
@@ -614,6 +636,9 @@ object Relational {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-22 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_scan_avro_topn" ->
+      """SELECT event_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 20""".stripMargin,
     // xlsx inference reads integer columns back as long (the
     // q_scan_xlsx convention)
     "q_scan_xlsx_fleet" ->

@@ -274,11 +274,12 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var countStars: Int = 0
+  private var topN: Option[(Seq[TopNOrder], Int)] = None
 
   // Catalyst hands us the projected subset; empty projections (pure
   // count(*)) arrive as an empty struct — decode zero fields, keep rows
@@ -290,6 +291,36 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   // over a fleet costs O(limit) per file, not a full decode — and
   // Spark's own Limit on top enforces the global count
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** PARTIAL TopN pushdown — the `ORDER BY k LIMIT n` shape at fleet
+    * scale: each split folds its decoded (post-filter) rows through a
+    * BOUNDED n-row heap honoring direction and null ordering, so a
+    * task ships n rows instead of its whole split and Spark's final
+    * sort merges |splits|·n rows instead of the fleet. Accepted only
+    * when every sort key is a plain orderable column — expression
+    * keys stay with Spark. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    val parsed = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            fullSchema.exists(f => f.name == nr.fieldNames()(0) &&
+              FleetStats.trackableType(f.dataType)) =>
+          Some(TopNOrder(nr.fieldNames()(0),
+            so.direction() == SortDirection.ASCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (l > 0 && parsed.nonEmpty && parsed.forall(_.isDefined)) {
+      topN = Some((parsed.flatten, l))
+      true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   // FULL pushdown for the comparisons the record-level evaluator
   // handles faithfully (FleetFilters.supported); accepted filters
@@ -431,9 +462,13 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
-        pushed)
+        pushed, topN)
   }
 }
+
+/** One pushed sort key: column, ascending?, nulls-first?. */
+private[sources] case class TopNOrder(col: String, asc: Boolean,
+    nullsFirst: Boolean)
 
 /** The ungrouped aggregate shapes the sidecar stats can answer. */
 private[sources] sealed trait MetaAggSpec
@@ -553,7 +588,8 @@ private[sources] object AvroFleetMetaAggScan {
 private[sources] class AvroFleetScan(fullSchema: StructType,
     required: StructType, path: String, maxFileBytes: Long,
     limit: Option[Int],
-    pushedFilters: Array[org.apache.spark.sql.sources.Filter])
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter],
+    topN: Option[(Seq[TopNOrder], Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -562,6 +598,10 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   override def description(): String =
     s"graft-avro $path ReadSchema: ${required.catalogString}" +
       limit.map(l => s", PushedLimit: $l").getOrElse("") +
+      topN.map { case (os, l) => s", PushedTopN: [" +
+        os.map(o => s"${o.col} ${if (o.asc) "ASC" else "DESC"} " +
+          s"NULLS ${if (o.nullsFirst) "FIRST" else "LAST"}")
+          .mkString(", ") + s"] LIMIT $l" }.getOrElse("") +
       (if (pushedFilters.isEmpty) ""
        else s", PushedFilters: [${pushedFilters.mkString(", ")}]")
 
@@ -665,7 +705,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     val s = SparkSession.active
     new AvroFleetReaderFactory(fullSchema, required.fieldNames,
       limit, pushedFilters,
-      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()), topN)
   }
 }
 
@@ -1033,93 +1073,191 @@ private[sources] case class AvroFilePartition(file: String, start: Long,
 private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     columns: Array[String], limit: Option[Int],
     filters: Array[org.apache.spark.sql.sources.Filter],
-    conf: SerializableHadoopConf) extends PartitionReaderFactory {
+    conf: SerializableHadoopConf,
+    topN: Option[(Seq[TopNOrder], Int)] = None)
+    extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val part = p.asInstanceOf[AvroFilePartition]
-    val file = part.file
-    new PartitionReader[InternalRow] {
-      // STREAMING decode over a SEEKABLE input: task memory is O(one
-      // OCF block), never O(file), and the reader serves one byte
-      // RANGE of the file — `sync(start)` aligns to the first block
-      // at/after the range start, `pastSync(end)` stops after the last
-      // block starting inside it, so splits of one oversized container
-      // file partition its blocks exactly (the avro-mapred convention).
-      private var stream: org.apache.avro.file.DataFileReader[
-        org.apache.avro.generic.GenericRecord] = _
-      private var fields: Seq[(String, Schema)] = _
-      private var filterSchemaByName: Map[String, Schema] = _
-      private var emitted = 0
-      private var rec: org.apache.avro.generic.GenericRecord = _
-
-      private def ensureOpen(): Unit = if (stream == null) {
-        val path = new org.apache.hadoop.fs.Path(file)
-        val fs = path.getFileSystem(conf.value)
-        val datumReader =
-          new org.apache.avro.generic.GenericDatumReader[
-            org.apache.avro.generic.GenericRecord]()
-        stream = new org.apache.avro.file.DataFileReader(
-          new HadoopSeekableInput(fs.open(path),
-            fs.getFileStatus(path).getLen), datumReader)
-        val writer = stream.getSchema
-        // mixed-fleet guard at the SPARK-type level: each file must map
-        // to the pinned table schema, but its avro spelling is its own —
-        // an external producer's record name/namespace, non-nullable
-        // fields, or doc/props differ from the graft-written canonical
-        // form while decoding identically (values resolve against the
-        // file's OWN writer schema below, never the canonical one)
-        val writerSpark = Avro.toSparkSchema(writer)
-        require(writerSpark.map(f => (f.name, f.dataType)) ==
-            tableSchema.map(f => (f.name, f.dataType)),
-          s"avro schema mismatch in $file: ${writerSpark.catalogString} " +
-            s"vs table ${tableSchema.catalogString}")
-        // reader-schema projection: decode the projected columns PLUS
-        // any column a fully-pushed filter references (it may have
-        // been pruned from the output — e.g. filter on a, select b);
-        // everything else skip-decodes at the byte level
-        val filterCols = filters.flatMap(_.references).distinct
-        val decodeCols =
-          (columns ++ filterCols.filterNot(columns.contains)).toIndexedSeq
-        val effective = Avro.prunedSchema(writer, decodeCols)
-        datumReader.setExpected(effective)
-        val all = effective.getFields.asScala.toSeq
-          .map(f => (f.name(), f.schema()))
-        val byName = all.toMap
-        // output row = projected columns only, in projection order
-        fields = columns.toSeq.map(c => (c, byName(c)))
-        filterSchemaByName = byName
-        stream.sync(part.start)
-      }
-
-      private def passes: Boolean = {
-        if (filters.isEmpty) return true
-        val get = (c: String) =>
-          Avro.fromAvroValue(rec.get(c), filterSchemaByName(c))
-        filters.forall(FleetFilters.eval(_, get))
-      }
-
-      override def next(): Boolean = {
-        ensureOpen()
-        // the pushed limit counts EMITTED (post-filter) rows: Spark
-        // only pushes a limit when every filter is pushed too, so the
-        // global Limit on top sees already-filtered rows
-        while (!limit.exists(emitted >= _) && stream.hasNext &&
-            !stream.pastSync(part.end)) {
-          rec = stream.next()
-          if (passes) { emitted += 1; return true }
-        }
-        false
-      }
-
-      override def get(): InternalRow =
-        new GenericInternalRow(fields.map { case (f, fs) =>
-          AvroFleetReaderFactory.toCatalyst(
-            Avro.fromAvroValue(rec.get(f), fs))
-        }.toArray)
-
-      override def close(): Unit = if (stream != null) stream.close()
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    topN match {
+      case Some((orders, n)) =>
+        topNReader(p.asInstanceOf[AvroFilePartition], orders, n)
+      case None => rowReader(p.asInstanceOf[AvroFilePartition])
     }
+
+  /** Bounded-heap TopN over one split: decode (with pushed filters),
+    * keep the n best rows under the pushed ordering, emit them at end.
+    * Task memory and output are O(n) regardless of split size; the
+    * comparator mirrors Catalyst ordering via `FleetFilters.cmp` plus
+    * explicit null placement, so the final merge sort upstream sees
+    * exactly the rows it would have chosen itself. */
+  private def topNReader(part: AvroFilePartition, orders: Seq[TopNOrder],
+      n: Int): PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+
+    // "a sorts before b" under the pushed ordering — smaller == better
+    private def beats(a: Array[Any], b: Array[Any]): Boolean = cmpKeys(a, b) < 0
+    private def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+      var i = 0
+      while (i < orders.length) {
+        val o = orders(i)
+        val (x, y) = (a(i), b(i))
+        val c =
+          if (x == null && y == null) 0
+          else if (x == null) { if (o.nullsFirst) -1 else 1 }
+          else if (y == null) { if (o.nullsFirst) 1 else -1 }
+          else {
+            val base = FleetFilters.cmp(x, y)
+            if (o.asc) base else -base
+          }
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+
+    private var out: Iterator[InternalRow] = _
+
+    private def run(): Iterator[InternalRow] = {
+      val inner = rowReader(part, decodeExtra = orders.map(_.col))
+      // max-heap on the ordering: root = worst kept row, evicted first
+      val heap = new java.util.PriorityQueue[(Array[Any], Array[Any])](
+        math.max(1, n),
+        (p1: (Array[Any], Array[Any]), p2: (Array[Any], Array[Any])) =>
+          -cmpKeys(p1._1, p2._1))
+      try {
+        while (inner.next()) {
+          val keys = inner.currentSortKeys(orders.map(_.col))
+          val row = inner.currentProjectedValues()
+          if (heap.size < n) heap.add((keys, row))
+          else if (beats(keys, heap.peek()._1)) {
+            heap.poll(); heap.add((keys, row))
+          }
+        }
+      } finally inner.close()
+      val kept = new scala.collection.mutable.ArrayBuffer[
+        (Array[Any], Array[Any])](heap.size)
+      while (!heap.isEmpty) kept += heap.poll()
+      kept.iterator.map { case (_, vals) =>
+        new GenericInternalRow(
+          vals.map(AvroFleetReaderFactory.toCatalyst))
+      }
+    }
+
+    override def next(): Boolean = {
+      if (out == null) out = run()
+      out.hasNext
+    }
+    override def get(): InternalRow = out.next()
+    override def close(): Unit = ()
   }
+
+  private def rowReader(part: AvroFilePartition,
+      decodeExtra: Seq[String] = Nil): AvroFleetRowReader =
+    new AvroFleetRowReader(part, decodeExtra, tableSchema, columns,
+      limit, filters, conf)
+}
+
+/** The streaming row reader for one split — named (not anonymous) so
+  * the TopN path can reuse the decode/filter machinery and read the
+  * current record's sort keys without re-materializing rows. */
+private[sources] class AvroFleetRowReader(part: AvroFilePartition,
+    decodeExtra: Seq[String], tableSchema: StructType,
+    columns: Array[String], limit: Option[Int],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+
+  private val file = part.file
+  // STREAMING decode over a SEEKABLE input: task memory is O(one
+  // OCF block), never O(file), and the reader serves one byte
+  // RANGE of the file — `sync(start)` aligns to the first block
+  // at/after the range start, `pastSync(end)` stops after the last
+  // block starting inside it, so splits of one oversized container
+  // file partition its blocks exactly (the avro-mapred convention).
+  private var stream: org.apache.avro.file.DataFileReader[
+    org.apache.avro.generic.GenericRecord] = _
+  private var fields: Seq[(String, Schema)] = _
+  private var filterSchemaByName: Map[String, Schema] = _
+  private var emitted = 0
+  private var rec: org.apache.avro.generic.GenericRecord = _
+
+  private def ensureOpen(): Unit = if (stream == null) {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(conf.value)
+    val datumReader =
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]()
+    stream = new org.apache.avro.file.DataFileReader(
+      new HadoopSeekableInput(fs.open(path),
+        fs.getFileStatus(path).getLen), datumReader)
+    val writer = stream.getSchema
+    // mixed-fleet guard at the SPARK-type level: each file must map
+    // to the pinned table schema, but its avro spelling is its own —
+    // an external producer's record name/namespace, non-nullable
+    // fields, or doc/props differ from the graft-written canonical
+    // form while decoding identically (values resolve against the
+    // file's OWN writer schema below, never the canonical one)
+    val writerSpark = Avro.toSparkSchema(writer)
+    require(writerSpark.map(f => (f.name, f.dataType)) ==
+        tableSchema.map(f => (f.name, f.dataType)),
+      s"avro schema mismatch in $file: ${writerSpark.catalogString} " +
+        s"vs table ${tableSchema.catalogString}")
+    // reader-schema projection: decode the projected columns PLUS
+    // any column a fully-pushed filter (or pushed sort) references —
+    // it may have been pruned from the output (filter on a, select
+    // b); everything else skip-decodes at the byte level
+    val filterCols = filters.flatMap(_.references).distinct
+    val decodeCols =
+      (columns ++ (filterCols ++ decodeExtra).filterNot(columns.contains))
+        .distinct.toIndexedSeq
+    val effective = Avro.prunedSchema(writer, decodeCols)
+    datumReader.setExpected(effective)
+    val all = effective.getFields.asScala.toSeq
+      .map(f => (f.name(), f.schema()))
+    val byName = all.toMap
+    // output row = projected columns only, in projection order
+    fields = columns.toSeq.map(c => (c, byName(c)))
+    filterSchemaByName = byName
+    stream.sync(part.start)
+  }
+
+  private def passes: Boolean = {
+    if (filters.isEmpty) return true
+    val get = (c: String) =>
+      Avro.fromAvroValue(rec.get(c), filterSchemaByName(c))
+    filters.forall(FleetFilters.eval(_, get))
+  }
+
+  override def next(): Boolean = {
+    ensureOpen()
+    // the pushed limit counts EMITTED (post-filter) rows: Spark
+    // only pushes a limit when every filter is pushed too, so the
+    // global Limit on top sees already-filtered rows
+    while (!limit.exists(emitted >= _) && stream.hasNext &&
+        !stream.pastSync(part.end)) {
+      rec = stream.next()
+      if (passes) { emitted += 1; return true }
+    }
+    false
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(fields.map { case (f, fs) =>
+      AvroFleetReaderFactory.toCatalyst(
+        Avro.fromAvroValue(rec.get(f), fs))
+    }.toArray)
+
+  /** Current record's values for `cols`, in carrier spelling — the
+    * TopN heap's sort keys. Only valid right after a true `next()`. */
+  def currentSortKeys(cols: Seq[String]): Array[Any] =
+    cols.map(c => Avro.fromAvroValue(rec.get(c),
+      filterSchemaByName(c))).toArray
+
+  /** Current record's projected values in carrier spelling (catalyst
+    * conversion deferred until emit, so heap evictions never pay it). */
+  def currentProjectedValues(): Array[Any] =
+    fields.map { case (f, fs) => Avro.fromAvroValue(rec.get(f), fs) }
+      .toArray
+
+  override def close(): Unit = if (stream != null) stream.close()
 }
 
 /** `SeekableInput` over a Hadoop `FSDataInputStream` — what

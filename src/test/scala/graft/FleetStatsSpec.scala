@@ -357,6 +357,49 @@ class FleetStatsSpec extends SparkSpec {
     assert(am(Or(GreaterThan("k", 15L), GreaterThanOrEqual("k", 10L))))
   }
 
+  test("TopN pushes into the fleet scan and matches the unpushed ordering") {
+    import spark.implicits._
+    val dir = tmp("stats_topn") + "/t.avro"
+    val df = spark.range(0, 200).select(
+      $"id",
+      (pmod($"id", lit(7)) * 1.5).as("v"), // duplicate keys → tie-break
+      when($"id" % 11 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("s"), pmod($"id", lit(13)))).as("s"))
+    df.repartition(4).write.format("graft-avro").mode("overwrite").save(dir)
+    val fleet = spark.read.format("graft-avro").load(dir)
+    def scanDesc(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.optimizedPlan.collectFirst {
+        case s: DataSourceV2ScanRelation => s.scan }.get.description()
+
+    // desc with tie-break: exact agreement with the unpushed twin
+    val top = fleet.orderBy($"v".desc, $"id").limit(9)
+    assert(scanDesc(top).contains("PushedTopN"), scanDesc(top))
+    assert(top.collect().toSeq ==
+      df.orderBy($"v".desc, $"id").limit(9).collect().toSeq)
+
+    // null ordering both ways on a string key
+    val nf = fleet.orderBy($"s".asc_nulls_first, $"id").limit(25)
+    assert(scanDesc(nf).contains("NULLS FIRST"))
+    assert(nf.collect().toSeq ==
+      df.orderBy($"s".asc_nulls_first, $"id").limit(25).collect().toSeq)
+    val nl = fleet.orderBy($"s".desc_nulls_last, $"id").limit(25)
+    assert(scanDesc(nl).contains("NULLS LAST"))
+    assert(nl.collect().toSeq ==
+      df.orderBy($"s".desc_nulls_last, $"id").limit(25).collect().toSeq)
+
+    // composes with an absorbed filter: heap only sees passing rows
+    val filtered = fleet.filter($"v" > 3.0).orderBy($"v".asc, $"id").limit(7)
+    assert(scanDesc(filtered).contains("PushedTopN") &&
+      scanDesc(filtered).contains("PushedFilters"))
+    assert(filtered.collect().toSeq ==
+      df.filter($"v" > 3.0).orderBy($"v".asc, $"id").limit(7)
+        .collect().toSeq)
+
+    // limit larger than the fleet: everything comes back, still exact
+    val all = fleet.orderBy($"id".asc).limit(1000)
+    assert(all.collect().toSeq == df.orderBy($"id".asc).collect().toSeq)
+  }
+
   test("temporal comparator: instants and carriers agree across spellings") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
     val micros = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
