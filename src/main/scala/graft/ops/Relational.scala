@@ -313,7 +313,9 @@ object Relational {
     val out = scratch("avro_topn_events")
     val ev = events(s, dir)
       .select($"event_id", $"ts", $"event_type", $"value")
-    ev.repartition(4)
+    // range-partitioned on the sort key: the sidecar TopN prune then
+    // opens only the top file(s) — the time-series top-n layout
+    ev.repartitionByRange(4, $"value")
       .write.format("graft-avro").mode("overwrite")
       .save(s"$out/events.avro")
     s.read.format("graft-avro").load(s"$out/events.avro")

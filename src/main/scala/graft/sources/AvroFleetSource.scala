@@ -697,9 +697,56 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     }
   }
 
+  /** Sidecar-assisted TopN file pruning: file F never reaches the top
+    * n when OTHER stats-covered files already hold ≥ n rows that each
+    * provably sort before EVERY row of F — for the leading sort key,
+    * a file G whose worst bound (min under DESC, max under ASC) is
+    * strictly better than F's best bound beats F row-for-row, and
+    * under NULLS FIRST G's null rows beat F's non-nulls too. Strict
+    * bound comparison makes tie-break keys irrelevant; F with nulls is
+    * undroppable under NULLS FIRST (its nulls are top candidates);
+    * files without stats neither drop nor count (conservative). On a
+    * fleet laid down in key order — the time-series layout — a top-n
+    * by ts opens only the newest file(s). */
+  private def topNPrune(base: Seq[org.apache.hadoop.fs.FileStatus])
+      : Seq[org.apache.hadoop.fs.FileStatus] = topN match {
+    case Some((orders, n))
+        if pushedFilters.isEmpty && runtimeFilters.isEmpty =>
+      val o = orders.head
+      def entry(st: org.apache.hadoop.fs.FileStatus) =
+        fleetStats.get(st.getPath.toString)
+          .flatMap(ps => ps.cols.get(o.col).map(ps -> _))
+      base.filterNot { st =>
+        entry(st) match {
+          case Some((_, csF)) =>
+            val fBest = if (o.asc) csF.min else csF.max
+            val nullsBlock = o.nullsFirst && csF.nulls > 0
+            fBest match {
+              case Some(fb) if !nullsBlock =>
+                val beating = base.iterator.filter(_ ne st)
+                  .flatMap(entry(_)).map { case (psG, csG) =>
+                    val gWorst = if (o.asc) csG.max else csG.min
+                    val nonNull = psG.rows - csG.nulls
+                    val beatsAll = gWorst.exists(gw =>
+                      FleetStats.comparable(gw, fb) &&
+                        (if (o.asc) FleetFilters.cmp(gw, fb) < 0
+                         else FleetFilters.cmp(gw, fb) > 0))
+                    (if (beatsAll) nonNull else 0L) +
+                      (if (o.nullsFirst) csG.nulls else 0L)
+                  }.sum
+                beating >= n
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+    case _ => base
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     AvroFleetScan.planSplits(
-      surviving(pushedFilters.toSeq ++ runtimeFilters), maxFileBytes)
+      topNPrune(surviving(pushedFilters.toSeq ++ runtimeFilters)),
+      maxFileBytes)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active

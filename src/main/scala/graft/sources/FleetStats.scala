@@ -209,7 +209,7 @@ private[graft] object FleetStats {
   // records temporal columns as their carrier integers, so the pair
   // (Timestamp literal, Long µs stat) is one family — while a temporal
   // literal against Double stats (an inferred-type divergence) is not.
-  private def comparable(a: Any, b: Any): Boolean = (a, b) match {
+  private[sources] def comparable(a: Any, b: Any): Boolean = (a, b) match {
     case (_: String, _: String) => true
     case (_: java.lang.Boolean, _: java.lang.Boolean) => true
     case (x, y) if temporalish(x) || temporalish(y) =>

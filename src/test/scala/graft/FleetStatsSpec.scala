@@ -400,6 +400,40 @@ class FleetStatsSpec extends SparkSpec {
     assert(all.collect().toSeq == df.orderBy($"id".asc).collect().toSeq)
   }
 
+  test("TopN prunes files whose bounds provably miss the top n") {
+    import spark.implicits._
+    val dir = tmp("stats_topn_prune") + "/t.avro"
+    val df = spark.range(0, 200).select($"id",
+      when($"id" < 3, lit(null).cast("long")).otherwise($"id").as("k"))
+    df.repartitionByRange(4, $"id")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val fleet = spark.read.format("graft-avro").load(dir)
+    // top-5 by k desc (nulls last): only the top range file can
+    // contribute — the other three never open
+    val top = fleet.orderBy($"k".desc, $"id").limit(5)
+    assert(plannedParts(top) == 1, s"expected 1 file, ${plannedParts(top)}")
+    assert(top.collect().toSeq ==
+      df.orderBy($"k".desc, $"id").limit(5).collect().toSeq)
+    // asc nulls FIRST: the null-holding bottom file is a top candidate
+    // and must stay; bound-beaten files still drop
+    val ascNf = fleet.orderBy($"k".asc_nulls_first, $"id").limit(5)
+    assert(plannedParts(ascNf) < 4 && plannedParts(ascNf) >= 1)
+    assert(ascNf.collect().toSeq ==
+      df.orderBy($"k".asc_nulls_first, $"id").limit(5).collect().toSeq)
+    // a limit spanning multiple files keeps exactly the files needed
+    val wide = fleet.orderBy($"k".desc, $"id").limit(60)
+    assert(plannedParts(wide) >= 2 && plannedParts(wide) <= 4)
+    assert(wide.collect().toSeq ==
+      df.orderBy($"k".desc, $"id").limit(60).collect().toSeq)
+    // deleting the sidecar degrades to reading everything, same rows
+    localFs.delete(new Path(dir, FleetStats.FileName), false)
+    val un = spark.read.format("graft-avro").load(dir)
+      .orderBy($"k".desc, $"id").limit(5)
+    assert(plannedParts(un) == 4)
+    assert(un.collect().toSeq ==
+      df.orderBy($"k".desc, $"id").limit(5).collect().toSeq)
+  }
+
   test("temporal comparator: instants and carriers agree across spellings") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
     val micros = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
