@@ -324,6 +324,26 @@ object Relational {
       .limit(20)
   }
 
+  /** §2.A PREFIX-predicate skipping: `LIKE 'cl%'` lowers to
+    * `StringStartsWith`, which the fleet connectors now absorb (exact
+    * UTF-8/code-point agreement with Catalyst; ill-formed patterns stay
+    * residual) and prove skips for via the prefix range [p, succ(p)) —
+    * over this event_type-partitioned fleet only the 'click' file(s)
+    * open. Gates the string-predicate family in CORRECTNESS. */
+  def qScanAvroSkipPrefix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_skip_prefix_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartitionByRange(5, $"event_type")
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$out/events.avro")
+    s.read.format("graft-avro").load(s"$out/events.avro")
+      .filter($"event_type".like("cl%"))
+      .select($"event_id", $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -561,6 +581,7 @@ object Relational {
     "q_scan_avro_groupagg" -> qScanAvroGroupAgg _,
     "q_scan_avro_filteragg" -> qScanAvroFilterAgg _,
     "q_scan_avro_topn" -> qScanAvroTopn _,
+    "q_scan_avro_skip_prefix" -> qScanAvroSkipPrefix _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
@@ -641,6 +662,9 @@ object Relational {
     "q_scan_avro_topn" ->
       """SELECT event_id, value FROM events
         |ORDER BY value DESC, event_id LIMIT 20""".stripMargin,
+    "q_scan_avro_skip_prefix" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type LIKE 'cl%' ORDER BY event_id""".stripMargin,
     // xlsx inference reads integer columns back as long (the
     // q_scan_xlsx convention)
     "q_scan_xlsx_fleet" ->

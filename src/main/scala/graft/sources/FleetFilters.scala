@@ -29,6 +29,30 @@ private[graft] object FleetFilters {
       case _ => false
     })
 
+  private def stringCol(schema: StructType, col: String): Boolean =
+    schema.find(_.name == col).exists(_.dataType == StringType)
+
+  // Catalyst matches string predicates on UTF-8 BYTES; the evaluator
+  // uses java.lang.String on the DECODED value. For well-formed
+  // strings the two agree (UTF-8 is self-synchronizing, so byte-level
+  // prefix/suffix/substring occurrences align to code points); a row
+  // value is always well-formed (it came from a UTF-8 decode), so only
+  // the LITERAL needs the guard — an unpaired surrogate in the pattern
+  // stays residual for Spark.
+  private def wellFormed(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1)))
+          return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
+  }
+
   def supported(schema: StructType, f: Filter): Boolean = f match {
     case EqualTo(c, v) => v != null && evaluable(schema, c)
     case GreaterThan(c, v) => v != null && evaluable(schema, c)
@@ -38,11 +62,34 @@ private[graft] object FleetFilters {
     case In(c, vs) =>
       vs != null && vs.nonEmpty && vs.forall(_ != null) &&
         evaluable(schema, c)
+    case StringStartsWith(c, p) =>
+      p != null && wellFormed(p) && stringCol(schema, c)
+    case StringEndsWith(c, p) =>
+      p != null && wellFormed(p) && stringCol(schema, c)
+    case StringContains(c, p) =>
+      p != null && wellFormed(p) && stringCol(schema, c)
     case IsNull(c) => schema.exists(_.name == c)
     case IsNotNull(c) => schema.exists(_.name == c)
     case And(l, r) => supported(schema, l) && supported(schema, r)
     case Or(l, r) => supported(schema, l) && supported(schema, r)
     case _ => false
+  }
+
+  /** The exact code-point successor of prefix `p`: every string
+    * starting with `p` lies in `[p, prefixSuccessor(p))` under
+    * code-point order — the standard prefix-range trick the StartsWith
+    * skip/always proofs use. None when the last code point has no
+    * successor (U+10FFFF) or `p` is empty. */
+  private[graft] def prefixSuccessor(p: String): Option[String] = {
+    if (p.isEmpty) return None
+    val lastStart =
+      if (p.length >= 2 && Character.isLowSurrogate(p.charAt(p.length - 1)) &&
+          Character.isHighSurrogate(p.charAt(p.length - 2))) p.length - 2
+      else p.length - 1
+    val cp = p.codePointAt(lastStart)
+    if (cp >= Character.MAX_CODE_POINT) None
+    else Some(p.substring(0, lastStart) +
+      new String(Character.toChars(cp + 1)))
   }
 
   private def integral(n: Number): Boolean = n match {
@@ -121,6 +168,12 @@ private[graft] object FleetFilters {
     case LessThanOrEqual(c, v) =>
       val x = get(c); x != null && cmp(x, v) <= 0
     case In(c, vs) => val x = get(c); x != null && vs.exists(cmp(x, _) == 0)
+    case StringStartsWith(c, p) => get(c) match {
+      case s: String => s.startsWith(p); case _ => false }
+    case StringEndsWith(c, p) => get(c) match {
+      case s: String => s.endsWith(p); case _ => false }
+    case StringContains(c, p) => get(c) match {
+      case s: String => s.contains(p); case _ => false }
     case IsNull(c) => get(c) == null
     case IsNotNull(c) => get(c) != null
     case And(l, r) => eval(l, get) && eval(r, get)

@@ -151,6 +151,15 @@ private[graft] object FleetStats {
       FleetFilters.cmp(mn, v) >= 0)
     case LessThanOrEqual(c, v) => lower(st, c, v)(mn =>
       FleetFilters.cmp(mn, v) > 0)
+    // prefix range: matches of `p%` lie in [p, succ(p)) — no match
+    // when the whole file sits below p or at/above succ(p). Suffix/
+    // substring predicates have no bound proof and just read.
+    case StringStartsWith(c, p) => st.cols.get(c).exists(cs =>
+      (cs.max.exists(mx => comparable(mx, p) &&
+        FleetFilters.cmp(mx, p) < 0)) ||
+        FleetFilters.prefixSuccessor(p).exists(nxt =>
+          cs.min.exists(mn => comparable(mn, nxt) &&
+            FleetFilters.cmp(mn, nxt) >= 0)))
     case _ => false
   }
 
@@ -189,6 +198,15 @@ private[graft] object FleetStats {
       FleetFilters.cmp(mx, v) < 0)
     case LessThanOrEqual(c, v) => upperAll(st, c, v)(mx =>
       FleetFilters.cmp(mx, v) <= 0)
+    // every row starts with `p` when the whole (null-free) file sits
+    // inside the prefix range [p, succ(p))
+    case StringStartsWith(c, p) => st.cols.get(c).exists(cs =>
+      cs.nulls == 0L &&
+        cs.min.exists(mn => comparable(mn, p) &&
+          FleetFilters.cmp(mn, p) >= 0) &&
+        FleetFilters.prefixSuccessor(p).exists(nxt =>
+          cs.max.exists(mx => comparable(mx, nxt) &&
+            FleetFilters.cmp(mx, nxt) < 0)))
     case _ => false
   }
 

@@ -434,6 +434,53 @@ class FleetStatsSpec extends SparkSpec {
       df.orderBy($"k".desc, $"id").limit(5).collect().toSeq)
   }
 
+  test("string predicates absorb: prefix proofs skip, suffix/substring read") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FilterExec
+    // unit proofs first: the prefix range [p, succ(p))
+    assert(FleetFilters.prefixSuccessor("cl").contains("cm"))
+    assert(FleetFilters.prefixSuccessor("z😀") // U+1F600
+      .contains("z😁"))
+    assert(FleetFilters.prefixSuccessor("").isEmpty)
+    val st = FleetStats.PartStats(1L, 10L, Map(
+      "s" -> FleetStats.ColStat(Some("click"), Some("error"), 0L)))
+    def nm(f: Filter) = FleetStats.neverMatches(f, st)
+    def am(f: Filter) = FleetStats.alwaysMatches(f, st)
+    assert(nm(StringStartsWith("s", "x")), "file below prefix")
+    assert(nm(StringStartsWith("s", "a")), "file above prefix range")
+    assert(!nm(StringStartsWith("s", "cl")) && !nm(StringStartsWith("s", "e")))
+    assert(am(StringStartsWith("s", "c")) === false) // max 'error' outside
+    val single = FleetStats.PartStats(1L, 5L, Map(
+      "s" -> FleetStats.ColStat(Some("click"), Some("club"), 0L)))
+    assert(FleetStats.alwaysMatches(StringStartsWith("s", "cl"), single))
+
+    // e2e: event_type-partitioned fleet, LIKE 'cl%' absorbed + skipped
+    val dir = tmp("stats_prefix") + "/e.avro"
+    val df = spark.range(0, 100).select($"id",
+      element_at(array(lit("click"), lit("error"), lit("purchase"),
+        lit("signup"), lit("view")),
+        (pmod($"id", lit(5)) + 1).cast("int")).as("et"))
+    Seq("click", "error", "purchase", "signup", "view").foreach { t =>
+      df.filter($"et" === t).coalesce(1)
+        .write.format("graft-avro").mode("append").save(dir)
+    }
+    val fleet = spark.read.format("graft-avro").load(dir)
+    val pre = fleet.filter($"et".like("cl%"))
+    assert(pre.queryExecution.executedPlan.collect {
+      case f: FilterExec => f }.isEmpty, "prefix should absorb")
+    assert(plannedParts(pre) == 1, s"${plannedParts(pre)} files")
+    assert(pre.count() == 20)
+    // suffix + substring: absorbed (no residual), correct, no skip proof
+    val suf = fleet.filter($"et".endsWith("up"))
+    assert(suf.queryExecution.executedPlan.collect {
+      case f: FilterExec => f }.isEmpty)
+    assert(suf.count() == 20) // signup
+    val sub = fleet.filter($"et".contains("rch"))
+    assert(sub.count() == 20) // purchase
+    // mixed with other conjuncts
+    assert(fleet.filter($"et".like("cl%") && $"id" < 50).count() == 10)
+  }
+
   test("temporal comparator: instants and carriers agree across spellings") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
     val micros = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
