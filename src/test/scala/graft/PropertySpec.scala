@@ -254,6 +254,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix successor bounds exactly the startsWith set (generated)") {
+    // soundness core of the StartsWith skip/always proofs: for any
+    // well-formed p and s, s.startsWith(p) ⟺ p ≤ s < succ(p) in the
+    // CODE-POINT order the skip comparator uses — generated over a
+    // surrogate-adversarial alphabet (BMP, PUA, supplementary plane)
+    import graft.sources.FleetFilters
+    val cpGen = Gen.oneOf(
+      Gen.chooseNum('a'.toInt, 'z'.toInt),
+      Gen.oneOf(0x20.toInt, 0xE000, 0xFFFD, 0x1F600, 0x10FFFF))
+    val strGen = for {
+      n <- Gen.chooseNum(0, 6)
+      cps <- Gen.listOfN(n, cpGen)
+    } yield cps.map(cp => new String(Character.toChars(cp))).mkString
+    val strs = samples(strGen, 300)
+    val prefixes = samples(strGen, 60).filter(_.nonEmpty)
+    for (p <- prefixes; s <- strs) {
+      FleetFilters.prefixSuccessor(p) match {
+        case Some(nxt) =>
+          val inRange = FleetFilters.compareByCodePoint(s, p) >= 0 &&
+            FleetFilters.compareByCodePoint(s, nxt) < 0
+          assert(inRange == s.startsWith(p),
+            s"p=${p.codePoints().toArray.toSeq} s=${s.codePoints().toArray.toSeq}")
+        case None => // U+10FFFF-terminated prefix: no proof, no claim
+          assert(p.codePointBefore(p.length) == Character.MAX_CODE_POINT)
+      }
+    }
+  }
+
+  test("temporal carrier normalization is order-isomorphic (generated)") {
+    // cmp over any spelling mix (Timestamp/Instant/µs-long) must agree
+    // with the µs values themselves — incl. negative (pre-1970) micros
+    import graft.sources.FleetFilters
+    val microsGen = Gen.chooseNum(-4102444800000000L, 4102444800000000L)
+    val ms = samples(microsGen, 200)
+    def spellings(us: Long): Seq[Any] = {
+      val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      Seq(t, java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L),
+        java.lang.Long.valueOf(us))
+    }
+    for (a <- ms; b <- ms.take(20)) {
+      val expect = java.lang.Long.compare(a, b)
+      for (sa <- spellings(a); sb <- spellings(b))
+        assert(Integer.signum(FleetFilters.cmp(sa, sb)) ==
+          Integer.signum(expect), s"$a vs $b via ${sa.getClass}/${sb.getClass}")
+    }
+  }
+
   test("rounding helper is idempotent on generated doubles") {
     import spark.implicits._
     samples(Gen.listOfN(20, Gen.chooseNum(-1e6, 1e6)), 5).foreach { xs =>
