@@ -1132,61 +1132,27 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     }
 
   /** Bounded-heap TopN over one split: decode (with pushed filters),
-    * keep the n best rows under the pushed ordering, emit them at end.
-    * Task memory and output are O(n) regardless of split size; the
-    * comparator mirrors Catalyst ordering via `FleetFilters.cmp` plus
-    * explicit null placement, so the final merge sort upstream sees
-    * exactly the rows it would have chosen itself. */
+    * keep the n best rows under the pushed ordering (`TopNHeap` — the
+    * machinery shared with the xlsx connector), emit them at end. Task
+    * memory and output are O(n) regardless of split size, and the
+    * comparator mirrors Catalyst ordering, so the final merge sort
+    * upstream sees exactly the rows it would have chosen itself. */
   private def topNReader(part: AvroFilePartition, orders: Seq[TopNOrder],
       n: Int): PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
-
-    // "a sorts before b" under the pushed ordering — smaller == better
-    private def beats(a: Array[Any], b: Array[Any]): Boolean = cmpKeys(a, b) < 0
-    private def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
-      var i = 0
-      while (i < orders.length) {
-        val o = orders(i)
-        val (x, y) = (a(i), b(i))
-        val c =
-          if (x == null && y == null) 0
-          else if (x == null) { if (o.nullsFirst) -1 else 1 }
-          else if (y == null) { if (o.nullsFirst) 1 else -1 }
-          else {
-            val base = FleetFilters.cmp(x, y)
-            if (o.asc) base else -base
-          }
-        if (c != 0) return c
-        i += 1
-      }
-      0
-    }
 
     private var out: Iterator[InternalRow] = _
 
     private def run(): Iterator[InternalRow] = {
       val inner = rowReader(part, decodeExtra = orders.map(_.col))
-      // max-heap on the ordering: root = worst kept row, evicted first
-      val heap = new java.util.PriorityQueue[(Array[Any], Array[Any])](
-        math.max(1, n),
-        (p1: (Array[Any], Array[Any]), p2: (Array[Any], Array[Any])) =>
-          -cmpKeys(p1._1, p2._1))
+      val heap = new TopNHeap.Bounded(orders, n)
       try {
-        while (inner.next()) {
-          val keys = inner.currentSortKeys(orders.map(_.col))
-          val row = inner.currentProjectedValues()
-          if (heap.size < n) heap.add((keys, row))
-          else if (beats(keys, heap.peek()._1)) {
-            heap.poll(); heap.add((keys, row))
-          }
-        }
+        while (inner.next())
+          heap.offer(inner.currentSortKeys(orders.map(_.col)),
+            inner.currentProjectedValues())
       } finally inner.close()
-      val kept = new scala.collection.mutable.ArrayBuffer[
-        (Array[Any], Array[Any])](heap.size)
-      while (!heap.isEmpty) kept += heap.poll()
-      kept.iterator.map { case (_, vals) =>
+      heap.drain().map(vals =>
         new GenericInternalRow(
-          vals.map(AvroFleetReaderFactory.toCatalyst))
-      }
+          vals.map(AvroFleetReaderFactory.toCatalyst)))
     }
 
     override def next(): Boolean = {

@@ -80,13 +80,15 @@ private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var pushed: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
   private var countRows: Option[(Int, Long)] = None // (#aggs, total)
+  private var topN: Option[(Seq[TopNOrder], Int)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -109,6 +111,33 @@ private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
 
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
     pushed
+
+  /** PARTIAL TopN (the avro fleet's contract, shared `TopNHeap`): the
+    * sheet parse is unavoidable, but each workbook ships its n best
+    * (post-filter) rows instead of the whole sheet — the saving here
+    * is materialization and shuffle width, not parse bytes. */
+  override def pushTopN(orders: Array[
+      org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, NullOrdering}
+    val parsed = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames.length == 1 &&
+            fullSchema.exists(f => f.name == nr.fieldNames()(0) &&
+              FleetStats.trackableType(f.dataType)) =>
+          Some(TopNOrder(nr.fieldNames()(0),
+            so.direction() == SortDirection.ASCENDING,
+            so.nullOrdering() == NullOrdering.NULLS_FIRST))
+        case _ => None
+      }
+    }
+    if (l > 0 && parsed.nonEmpty && parsed.forall(_.isDefined)) {
+      topN = Some((parsed.flatten, l))
+      true
+    } else false
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   /** Ungrouped, unfiltered COUNT(*) answered ENTIRELY from the
     * `_stats.json` sidecars the fleet sink writes — a count over a
@@ -140,7 +169,8 @@ private[sources] class XlsxFleetScanBuilder(fullSchema: StructType,
   override def build(): Scan = countRows match {
     case Some((n, total)) => new XlsxFleetCountScan(path, sheet, n, total)
     case None =>
-      new XlsxFleetScan(fullSchema, required, path, sheet, limit, pushed)
+      new XlsxFleetScan(fullSchema, required, path, sheet, limit, pushed,
+        topN)
   }
 }
 
@@ -187,7 +217,8 @@ private[sources] case class XlsxCountPartition(total: Long)
 private[sources] class XlsxFleetScan(fullSchema: StructType,
     required: StructType, path: String, sheet: String,
     limit: Option[Int],
-    pushedFilters: Array[org.apache.spark.sql.sources.Filter])
+    pushedFilters: Array[org.apache.spark.sql.sources.Filter],
+    topN: Option[(Seq[TopNOrder], Int)] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
@@ -195,6 +226,10 @@ private[sources] class XlsxFleetScan(fullSchema: StructType,
   override def description(): String =
     s"graft-xlsx $path sheet=$sheet ReadSchema: ${required.catalogString}" +
       limit.map(l => s", PushedLimit: $l").getOrElse("") +
+      topN.map { case (os, l) => s", PushedTopN: [" +
+        os.map(o => s"${o.col} ${if (o.asc) "ASC" else "DESC"} " +
+          s"NULLS ${if (o.nullsFirst) "FIRST" else "LAST"}")
+          .mkString(", ") + s"] LIMIT $l" }.getOrElse("") +
       (if (pushedFilters.isEmpty) ""
        else s", PushedFilters: [${pushedFilters.mkString(", ")}]")
 
@@ -261,7 +296,7 @@ private[sources] class XlsxFleetScan(fullSchema: StructType,
       required.fields.map(f => (f.name, f.dataType)),
       fullSchema.fields.map(f => (f.name, f.dataType)), limit,
       pushedFilters,
-      new SerializableHadoopConf(s.sessionState.newHadoopConf()))
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()), topN)
   }
 }
 
@@ -275,80 +310,127 @@ private[sources] class XlsxFleetReaderFactory(sheet: String,
     fullHeader: Array[String], projected: Array[(String, DataType)],
     fullTypes: Array[(String, DataType)], limit: Option[Int],
     filters: Array[org.apache.spark.sql.sources.Filter],
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf,
+    topN: Option[(Seq[TopNOrder], Int)] = None)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val file = p.asInstanceOf[XlsxFilePartition].file
-    new PartitionReader[InternalRow] {
-      private var it: Iterator[Array[String]] = _
-      private var indices: Array[Int] = _
-      private var cells: Array[String] = _
-      private var emitted = 0
-      private val typeByName = fullTypes.toMap
-      private val colIdx = fullHeader.zipWithIndex.toMap
-
-      private def ensureOpen(): Unit = if (it == null) {
-        val path = new org.apache.hadoop.fs.Path(file)
-        val fs = path.getFileSystem(conf.value)
-        val in = fs.open(path)
-        val bytes = try in.readAllBytes() finally in.close()
-        // with pushed filters the limit counts EMITTED (post-filter)
-        // rows, so the parse itself can only stop early when no
-        // filter could drop a parsed row
-        val parseBound =
-          if (filters.isEmpty) limit.getOrElse(Int.MaxValue)
-          else Int.MaxValue
-        val (h, rows) = Xlsx.readSheet(bytes, sheet, parseBound)
-        require(h.sameElements(fullHeader),
-          s"workbook header mismatch in $file: ${h.mkString(",")} vs " +
-            fullHeader.mkString(","))
-        indices = projected.map { case (n, _) => fullHeader.indexOf(n) }
-        it = rows.iterator
-      }
-
-      // typed view of the current row for the filter evaluator: cells
-      // cast with the same ladder the projection uses, so a pushed
-      // predicate sees exactly the values Catalyst would have
-      private def passes: Boolean = filters.isEmpty || {
-        val get = (c: String) => {
-          val raw = cells(colIdx(c))
-          if (raw == null) null else Xlsx.cast(raw, typeByName(c))
+    val inner = new XlsxFleetRowReader(file, sheet, fullHeader, projected,
+      fullTypes, limit, filters, conf)
+    topN match {
+      case None => inner
+      case Some((orders, n)) => new PartitionReader[InternalRow] {
+        // bounded-heap TopN per workbook (shared TopNHeap machinery):
+        // the sheet parse is unavoidable, but only the n best rows
+        // materialize into catalyst values and leave the task
+        private var out: Iterator[InternalRow] = _
+        private def run(): Iterator[InternalRow] = {
+          val heap = new TopNHeap.Bounded(orders, n)
+          try {
+            while (inner.next())
+              heap.offer(inner.currentSortKeys(orders.map(_.col)),
+                inner.currentCatalystValues())
+          } finally inner.close()
+          heap.drain().map(new GenericInternalRow(_))
         }
-        filters.forall(FleetFilters.eval(_, get))
-      }
-
-      override def next(): Boolean = {
-        ensureOpen()
-        while (!limit.exists(emitted >= _) && it.hasNext) {
-          cells = it.next()
-          if (passes) { emitted += 1; return true }
+        override def next(): Boolean = {
+          if (out == null) out = run()
+          out.hasNext
         }
-        false
+        override def get(): InternalRow = out.next()
+        override def close(): Unit = ()
       }
-
-      override def get(): InternalRow = {
-        val vals = new Array[Any](projected.length)
-        var i = 0
-        while (i < projected.length) {
-          val (name, dt) = projected(i)
-          val raw = cells(indices(i))
-          vals(i) =
-            try XlsxFleetReaderFactory.toCatalyst(Xlsx.cast(raw, dt))
-            catch {
-              case e: Exception => throw new IllegalArgumentException(
-                s"$file sheet '$sheet' column '$name': value '$raw' does " +
-                  s"not fit inferred type $dt (types are pinned from the " +
-                  "first listed workbook)", e)
-            }
-          i += 1
-        }
-        new GenericInternalRow(vals)
-      }
-
-      override def close(): Unit = ()
     }
   }
+}
+
+/** The per-workbook row reader — named so the TopN wrapper can read
+  * the current row's sort keys in carrier spelling. */
+private[sources] class XlsxFleetRowReader(file: String, sheet: String,
+    fullHeader: Array[String], projected: Array[(String, DataType)],
+    fullTypes: Array[(String, DataType)], limit: Option[Int],
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+
+  private var it: Iterator[Array[String]] = _
+  private var indices: Array[Int] = _
+  private var cells: Array[String] = _
+  private var emitted = 0
+  private val typeByName = fullTypes.toMap
+  private val colIdx = fullHeader.zipWithIndex.toMap
+
+  private def ensureOpen(): Unit = if (it == null) {
+    val path = new org.apache.hadoop.fs.Path(file)
+    val fs = path.getFileSystem(conf.value)
+    val in = fs.open(path)
+    val bytes = try in.readAllBytes() finally in.close()
+    // with pushed filters the limit counts EMITTED (post-filter)
+    // rows, so the parse itself can only stop early when no
+    // filter could drop a parsed row
+    val parseBound =
+      if (filters.isEmpty) limit.getOrElse(Int.MaxValue)
+      else Int.MaxValue
+    val (h, rows) = Xlsx.readSheet(bytes, sheet, parseBound)
+    require(h.sameElements(fullHeader),
+      s"workbook header mismatch in $file: ${h.mkString(",")} vs " +
+        fullHeader.mkString(","))
+    indices = projected.map { case (n, _) => fullHeader.indexOf(n) }
+    it = rows.iterator
+  }
+
+  // typed view of the current row for the filter evaluator: cells
+  // cast with the same ladder the projection uses, so a pushed
+  // predicate sees exactly the values Catalyst would have
+  private def passes: Boolean = filters.isEmpty || {
+    val get = (c: String) => {
+      val raw = cells(colIdx(c))
+      if (raw == null) null else Xlsx.cast(raw, typeByName(c))
+    }
+    filters.forall(FleetFilters.eval(_, get))
+  }
+
+  override def next(): Boolean = {
+    ensureOpen()
+    while (!limit.exists(emitted >= _) && it.hasNext) {
+      cells = it.next()
+      if (passes) { emitted += 1; return true }
+    }
+    false
+  }
+
+  /** Current row's sort-key values in carrier spelling (the cast
+    * ladder's output — what `FleetFilters.cmp` orders). */
+  def currentSortKeys(cols: Seq[String]): Array[Any] =
+    cols.map { c =>
+      val raw = cells(colIdx(c))
+      if (raw == null) null else Xlsx.cast(raw, typeByName(c))
+    }.toArray
+
+  /** Current row's projected values in catalyst spelling. */
+  def currentCatalystValues(): Array[Any] = {
+    val vals = new Array[Any](projected.length)
+    var i = 0
+    while (i < projected.length) {
+      val (name, dt) = projected(i)
+      val raw = cells(indices(i))
+      vals(i) =
+        try XlsxFleetReaderFactory.toCatalyst(Xlsx.cast(raw, dt))
+        catch {
+          case e: Exception => throw new IllegalArgumentException(
+            s"$file sheet '$sheet' column '$name': value '$raw' does " +
+              s"not fit inferred type $dt (types are pinned from the " +
+              "first listed workbook)", e)
+        }
+      i += 1
+    }
+    vals
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(currentCatalystValues())
+
+  override def close(): Unit = ()
 }
 
 private[sources] object XlsxFleetReaderFactory {

@@ -481,6 +481,42 @@ class FleetStatsSpec extends SparkSpec {
     assert(fleet.filter($"et".like("cl%") && $"id" < 50).count() == 10)
   }
 
+  test("xlsx TopN and prefix predicates push through the shared layer") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FilterExec
+    val parent = tmp("xlsx_topn")
+    val df = spark.range(0, 60).select($"id",
+      element_at(array(lit("click"), lit("error"), lit("view")),
+        (pmod($"id", lit(3)) + 1).cast("int")).as("et"),
+      ($"id" % 7 * 1.25).as("v"))
+    Seq("click", "error", "view").foreach { t =>
+      graft.sources.Xlsx.writeDistributed(spark, s"$parent/$t.xlsx",
+        "data", df.filter($"et" === t).coalesce(1))
+    }
+    val fleet = spark.read.format("graft-xlsx").option("sheet", "data")
+      .load(s"$parent/*.xlsx/part-*.xlsx")
+    def scanDesc(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.optimizedPlan.collectFirst {
+        case s: DataSourceV2ScanRelation => s.scan }.get.description()
+    // TopN: plan-asserted, exact against the unpushed twin (ties + ids)
+    val top = fleet.orderBy($"v".desc, $"id").limit(8)
+    assert(scanDesc(top).contains("PushedTopN"), scanDesc(top))
+    assert(top.collect().toSeq ==
+      df.orderBy($"v".desc, $"id").limit(8).collect().toSeq)
+    // prefix predicate: absorbed AND whole workbooks skipped
+    val pre = fleet.filter($"et".like("cl%"))
+    assert(pre.queryExecution.executedPlan.collect {
+      case f: FilterExec => f }.isEmpty, "prefix should absorb")
+    assert(plannedParts(pre) == 1, s"${plannedParts(pre)} workbooks")
+    assert(pre.count() == 20)
+    // TopN composes with the absorbed (and skipping) filter
+    val both = fleet.filter($"et".like("cl%"))
+      .orderBy($"v".asc, $"id").limit(5)
+    assert(both.collect().toSeq ==
+      df.filter($"et" === "click").orderBy($"v".asc, $"id").limit(5)
+        .collect().toSeq)
+  }
+
   test("temporal comparator: instants and carriers agree across spellings") {
     val ts = java.sql.Timestamp.valueOf("2024-03-01 12:30:45.123456")
     val micros = ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000
