@@ -266,8 +266,45 @@ object Joins {
       .orderBy($"signup_id")
   }
 
+  /** §2.C bucketed (storage-co-located) join: both sides land as
+    * bucketed tables on the join key — the 100 TB posture for a fact
+    * table repeatedly joined on the same dimension key. Each side is
+    * `bucketBy(8, custkey)` + `sortBy`, pre-`repartition`ed on the key
+    * so every bucket is ONE file; the scans then report
+    * `HashPartitioning(custkey, 8)` and the merge-hinted join plans as
+    * a sort-merge join with ZERO shuffle exchanges, and the follow-on
+    * `GROUP BY c_custkey` reuses the same partitioning (SMJ exposes
+    * both sides' partitionings, so the aggregate is exchange-free
+    * too). The only exchange in the whole plan is the presentation
+    * `ORDER BY` — plan-asserted in OperatorSpec. At scale this is the
+    * "pay the shuffle once at ingest, never again" pattern: the
+    * bucketed layout amortizes across every subsequent join/agg on
+    * the key. Results are layout-independent, so the oracle is the
+    * plain join. */
+  def qJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.util.Scratch.dir("bucketed_join")
+    orders(s, dir).select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .repartition(8, $"o_custkey")
+      .write.mode("overwrite").option("path", s"$out/orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_bkt_orders")
+    customer(s, dir).select($"c_custkey", $"c_name")
+      .repartition(8, $"c_custkey")
+      .write.mode("overwrite").option("path", s"$out/customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_bkt_customer")
+    s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count(lit(1)).as("n_orders"),
+        r4(sum($"o_totalprice")).as("sum_price"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_join_inner" -> qJoinInner _,
+    "q_join_bucketed" -> qJoinBucketed _,
     "q_join_left" -> qJoinLeft _,
     "q_join_right" -> qJoinRight _,
     "q_join_full" -> qJoinFull _,
@@ -287,6 +324,13 @@ object Joins {
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+    // bucketing is a physical layout; the oracle is the plain join
+    "q_join_bucketed" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 4) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
     "q_join_left" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice
         |FROM customer LEFT JOIN (

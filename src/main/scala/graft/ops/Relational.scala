@@ -344,6 +344,31 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A fleet COMPACTION (the 100 TB small-file maintenance pass):
+    * events land first as 32 tiny shards — the shape a streaming sink
+    * or frequent appends leave behind — then `FleetCompact.compact`
+    * rewrites them into ~64 KiB range-clustered files through the same
+    * arbitrated V2 commit, regenerating disjoint-interval `_stats.json`
+    * sidecars as it goes (append-order fleets interleave keys, so
+    * their min/max skip-proofs are useless; compaction restores them).
+    * The read-back is oracle-checked against the events table itself,
+    * so a dropped shard, a double-committed file, or a row lost in the
+    * range shuffle all hash-mismatch. FleetStatsSpec asserts the
+    * file-count collapse and the recovered skipping. */
+  def qFleetCompact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("fleet_compact_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    ev.repartition(32).write.format("graft-avro").mode("overwrite")
+      .save(s"$out/small")
+    graft.sources.FleetCompact.compact(s, s"$out/small", s"$out/compacted",
+      targetBytes = 64 * 1024, clusterBy = "event_id")
+    s.read.format("graft-avro").load(s"$out/compacted")
+      .select($"event_id", tstr($"ts").as("ts_s"), $"event_type", $"value")
+      .orderBy($"event_id")
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -582,6 +607,7 @@ object Relational {
     "q_scan_avro_filteragg" -> qScanAvroFilterAgg _,
     "q_scan_avro_topn" -> qScanAvroTopn _,
     "q_scan_avro_skip_prefix" -> qScanAvroSkipPrefix _,
+    "q_fleet_compact" -> qFleetCompact _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
@@ -622,6 +648,11 @@ object Relational {
     "q_scan_avro" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
     "q_scan_avro_dist" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // compaction is a physical rewrite; the oracle is the table itself
+    "q_fleet_compact" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+/** Fleet compaction — the small-file maintenance pass every long-lived
+  * 100 TB fleet needs (SURVEY.md §2.A). Streaming sinks and frequent
+  * appends leave a directory of many small object-container files;
+  * each costs a task, a file-open, and a sidecar entry, so scan
+  * parallelism degrades into scheduling overhead. Compaction rewrites
+  * the fleet into ~`targetBytes` files RANGE-CLUSTERED on a key, which
+  * does two things at once:
+  *
+  *  - restores scan granularity (ceil(total/target) right-sized files
+  *    instead of thousands of shards), and
+  *  - re-establishes skipping power: range partitioning gives every
+  *    output file a disjoint `clusterBy` interval, so the sidecar
+  *    `_stats.json` written by the V2 commit proves point/range
+  *    predicates against whole files again (append-order fleets
+  *    interleave keys and their min/max proofs go useless).
+  *
+  * The rewrite is an immutable copy to `out` (never in-place): at
+  * scale the old fleet stays readable until the swap, and a failed
+  * compaction leaves nothing half-rewritten. The plan is one range
+  * shuffle (`repartitionByRange` samples the key, the scale-standard
+  * way to get equal-sized sorted shards) + a per-partition sort, then
+  * the normal arbitrated V2 commit (attempt temps, rename-if-absent,
+  * sidecar merge, `_SUCCESS` last).
+  */
+object FleetCompact {
+
+  /** Compact the `graft-avro` fleet at `in` into `out`. Returns the
+    * number of output shards chosen (= ceil(input data bytes /
+    * `targetBytes`), floor 1). */
+  def compact(s: SparkSession, in: String, out: String,
+      targetBytes: Long, clusterBy: String): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val inPath = new Path(in)
+    val fs = inPath.getFileSystem(s.sessionState.newHadoopConf())
+    val totalBytes = fs.listStatus(inPath).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getLen).sum
+    val shards = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .toInt
+    s.read.format("graft-avro").load(in)
+      .repartitionByRange(shards, col(clusterBy))
+      .sortWithinPartitions(clusterBy)
+      .write.format("graft-avro").mode("overwrite").save(out)
+    shards
+  }
+}

@@ -14,11 +14,15 @@ import org.apache.spark.sql.SparkSession
   *    that flips session-wide conf as a read side-effect would silently
   *    coerce every OTHER ns-typed parquet the session touches.
   *  - `graft.GraftExtensions`: the library's Catalyst extensions.
+  *  - `warehouse.dir`: a pid-scoped tmpdir (deleted on exit), so
+  *    `saveAsTable` queries (the bucketed-join layout) never litter
+  *    the invoking process's cwd with a `spark-warehouse/` dir.
   */
 object GraftSession {
   def defaults(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
+    .config("spark.sql.warehouse.dir", Scratch.dir("warehouse"))
     .config("spark.ui.enabled", "false")
 }

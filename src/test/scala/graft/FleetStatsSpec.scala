@@ -168,6 +168,40 @@ class FleetStatsSpec extends SparkSpec {
     assert(unskipped.count() == 9)
   }
 
+  test("compaction collapses a small-file fleet and restores skipping") {
+    import spark.implicits._
+    val root = tmp("compact_spec")
+    val df = (0 until 2000).map(i => (i.toLong, s"k$i", i * 1.5))
+      .toDF("id", "name", "v")
+    df.repartition(16).write.format("graft-avro").mode("overwrite")
+      .save(s"$root/small")
+    val fs = localFs
+    def dataFiles(p: String) = fs.listStatus(new Path(p)).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    assert(dataFiles(s"$root/small").length == 16)
+    // round-robin shards interleave ids across the whole range, so the
+    // min/max proofs are useless: a low-range read opens (almost) all
+    val before = plannedParts(spark.read.format("graft-avro")
+      .load(s"$root/small").filter($"id" < 100))
+    assert(before >= 12, s"interleaved fleet should barely skip: $before")
+    val smallBytes = dataFiles(s"$root/small").map(_.getLen).sum
+    val shards = graft.sources.FleetCompact.compact(spark,
+      s"$root/small", s"$root/compacted", smallBytes / 4, "id")
+    val out = dataFiles(s"$root/compacted")
+    assert(out.length == shards && shards >= 3,
+      s"expected ~4-5 compacted shards, got $shards / ${out.length}")
+    // content survives the rewrite bit-for-bit
+    val back = spark.read.format("graft-avro").load(s"$root/compacted")
+    assert(back.count() == 2000)
+    assert(back.exceptAll(df).count() == 0 && df.exceptAll(back).count() == 0)
+    // range clustering → disjoint id intervals per file → the same
+    // low-range read now opens a single shard
+    val after = plannedParts(back.filter($"id" < 100))
+    assert(after == 1, s"compacted fleet should skip to 1 shard: $after")
+  }
+
   test("temporal range predicates absorb, skip files, and keep boundaries") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FilterExec

@@ -42,6 +42,20 @@ class OperatorSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("bucketed join pays no key shuffle and re-runs idempotently") {
+    val df = Joins.qJoinBucketed(spark, sfDir)
+    val n = df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"merge hint must hold on the bucketed sides:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed layout must satisfy join AND agg distribution " +
+        s"without reshuffling:\n$plan")
+    // Bench runs every query cold+warm in one session: the overwrite
+    // saveAsTable must be re-runnable without duplicating rows
+    assert(Joins.qJoinBucketed(spark, sfDir).count() == n)
+  }
+
   test("pairwise stats plan is pair-free (no cartesian/BNLJ)") {
     val qe = LlmOps.qSimPairwiseStats(spark, sfDir).queryExecution
     val plan = qe.executedPlan.toString

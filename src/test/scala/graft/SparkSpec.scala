@@ -16,14 +16,7 @@ object SparkSpec {
     val s = graft.util.GraftSession.defaults(SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", {
-        val wh = java.nio.file.Files.createTempDirectory("graft_wh")
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
-          try graft.util.Scratch.deleteRecursively(wh)
-          catch { case _: Throwable => () }))
-        wh.toString
-      }))
+      .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
