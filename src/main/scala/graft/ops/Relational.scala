@@ -344,6 +344,37 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A fleet SCHEMA EVOLUTION (`mergeSchema=true`, mirroring the
+    * parquet reader's option): a long-lived fleet is never one schema —
+    * generation 1 here records a FLOAT measure and predates the `ts`
+    * column; generation 2 widened the measure to double and added the
+    * column. With the option set, the table schema is the merge of
+    * every file's header (distributed header peeks past 64 files) and
+    * each file decodes against its own generation: gen-1 rows widen
+    * float→double exactly and read NULL for `ts`; lossy promotions and
+    * real conflicts fail loudly (SchemaEvolution scaladoc). The oracle
+    * recomputes both generations in closed form, so a mis-widened
+    * value or a null landing on the wrong generation hash-mismatches. */
+  def qScanAvroEvolve(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_evolve_events")
+    val ev = events(s, dir)
+      .select($"event_id", $"event_type", $"value", $"ts")
+    ev.filter($"event_id" % 2 === 0)
+      .select($"event_id", $"event_type",
+        $"value".cast("float").as("value"))
+      .repartition(2).write.format("graft-avro").mode("overwrite")
+      .save(s"$out/fleet/gen1")
+    ev.filter($"event_id" % 2 === 1)
+      .repartition(2).write.format("graft-avro").mode("overwrite")
+      .save(s"$out/fleet/gen2")
+    s.read.format("graft-avro").option("mergeSchema", "true")
+      .load(s"$out/fleet/gen*")
+      .select($"event_id", $"event_type", $"value",
+        tstr($"ts").as("ts_s"))
+      .orderBy($"event_id")
+  }
+
   /** §2.A fleet COMPACTION (the 100 TB small-file maintenance pass):
     * events land first as 32 tiny shards — the shape a streaming sink
     * or frequent appends leave behind — then `FleetCompact.compact`
@@ -607,6 +638,7 @@ object Relational {
     "q_scan_avro_filteragg" -> qScanAvroFilterAgg _,
     "q_scan_avro_topn" -> qScanAvroTopn _,
     "q_scan_avro_skip_prefix" -> qScanAvroSkipPrefix _,
+    "q_scan_avro_evolve" -> qScanAvroEvolve _,
     "q_fleet_compact" -> qFleetCompact _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
@@ -651,6 +683,18 @@ object Relational {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // gen-1 rows went through a float cast and predate ts; DuckDB
+    // recomputes both generations in closed form
+    "q_scan_avro_evolve" ->
+      """SELECT event_id, event_type,
+        |  CAST(CAST(value AS REAL) AS DOUBLE) AS value,
+        |  CAST(NULL AS VARCHAR) AS ts_s
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin,
     // compaction is a physical rewrite; the oracle is the table itself
     "q_fleet_compact" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,

@@ -466,6 +466,41 @@ object Avro {
     } finally { try in.close() catch { case _: java.io.IOException => () } }
   }
 
+  /** All DISTINCT writer schemas across a fleet, via bounded
+    * header-only reads (an OCF header is a few KB, like a parquet
+    * footer). Small fleets peek on the driver; past 64 files the
+    * peeks run as a Spark job over the path list — the same move
+    * Spark's parquet `mergeSchema` makes, so a million-file fleet
+    * costs one distributed pass, not a driver loop. Schemas travel
+    * as JSON strings (Avro `Schema` is not serializable-stable) and
+    * dedupe before parsing. */
+  private[graft] def peekAllSchemas(s: SparkSession, glob: String,
+      maxFileBytes: Long): Seq[Schema] = {
+    val files = listFleet(s, glob, maxFileBytes, enforceBound = false)
+      .map(_.getPath.toString).sorted
+    def peekOne(conf: org.apache.hadoop.conf.Configuration)(
+        p: String): String = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val in = path.getFileSystem(conf).open(path)
+      try {
+        val header =
+          new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+        try header.getSchema.toString finally header.close()
+      } finally { try in.close() catch { case _: java.io.IOException => () } }
+    }
+    val jsons =
+      if (files.length <= 64) {
+        val conf = s.sessionState.newHadoopConf()
+        files.map(peekOne(conf)).distinct
+      } else {
+        val conf =
+          new graft.util.SerializableHadoopConf(s.sessionState.newHadoopConf())
+        s.sparkContext.parallelize(files, math.min(files.length, 256))
+          .map(p => peekOne(conf.value)(p)).distinct().collect().toSeq.sorted
+      }
+    jsons.map(j => new Schema.Parser().parse(j))
+  }
+
   /** Distributed ingest of MANY container files — a thin veneer over
     * the `graft-avro` DataSource V2 connector (`AvroFleetSource`): one
     * task per file, Avro-decoded on EXECUTORS, schema pinned by a

@@ -55,19 +55,28 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
     Option(options.get("maxFileBytes")).map(_.toLong)
       .getOrElse(Avro.MaxIngestFileBytes)
 
+  private def evolveOf(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("mergeSchema", false)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Avro.toSparkSchema(Avro.peekSchema(SparkSession.active,
-      pathOf(options), maxBytesOf(options)))
+    if (evolveOf(options))
+      SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
+        pathOf(options), maxBytesOf(options)).map(Avro.toSparkSchema))
+    else
+      Avro.toSparkSchema(Avro.peekSchema(SparkSession.active,
+        pathOf(options), maxBytesOf(options)))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts))
+    new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
+      evolveOf(opts))
   }
 }
 
 private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
-    maxFileBytes: Long) extends Table with SupportsRead with SupportsWrite {
+    maxFileBytes: Long, evolve: Boolean = false)
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-avro `$path`"
 
@@ -78,7 +87,7 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroFleetScanBuilder(tableSchema, path, maxFileBytes)
+    new AvroFleetScanBuilder(tableSchema, path, maxFileBytes, evolve)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroFleetWriteBuilder(info, path)
@@ -271,7 +280,7 @@ private[graft] case class AvroFleetCommitMessage(file: String,
     extends WriterCommitMessage
 
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
-    path: String, maxFileBytes: Long)
+    path: String, maxFileBytes: Long, evolve: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -364,6 +373,12 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (agg.aggregateExpressions.isEmpty) return false
+    // every aggregate tier emits values in per-file carrier spelling
+    // (sidecar stats, block counts, decode-time hashes) typed by a
+    // SINGLE pinned schema; an evolved fleet mixes carriers across
+    // generations, so aggregates stay with Spark over the row path —
+    // which already null-fills and widens per file
+    if (evolve) return false
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -462,7 +477,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
-        pushed, topN)
+        pushed, topN, evolve)
   }
 }
 
@@ -589,7 +604,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     required: StructType, path: String, maxFileBytes: Long,
     limit: Option[Int],
     pushedFilters: Array[org.apache.spark.sql.sources.Filter],
-    topN: Option[(Seq[TopNOrder], Int)] = None)
+    topN: Option[(Seq[TopNOrder], Int)] = None,
+    evolve: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
 
@@ -752,7 +768,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     val s = SparkSession.active
     new AvroFleetReaderFactory(fullSchema, required.fieldNames,
       limit, pushedFilters,
-      new SerializableHadoopConf(s.sessionState.newHadoopConf()), topN)
+      new SerializableHadoopConf(s.sessionState.newHadoopConf()), topN,
+      evolve)
   }
 }
 
@@ -1121,7 +1138,8 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     columns: Array[String], limit: Option[Int],
     filters: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf,
-    topN: Option[(Seq[TopNOrder], Int)] = None)
+    topN: Option[(Seq[TopNOrder], Int)] = None,
+    evolve: Boolean = false)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -1166,7 +1184,7 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
   private def rowReader(part: AvroFilePartition,
       decodeExtra: Seq[String] = Nil): AvroFleetRowReader =
     new AvroFleetRowReader(part, decodeExtra, tableSchema, columns,
-      limit, filters, conf)
+      limit, filters, conf, evolve)
 }
 
 /** The streaming row reader for one split — named (not anonymous) so
@@ -1176,7 +1194,8 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
     decodeExtra: Seq[String], tableSchema: StructType,
     columns: Array[String], limit: Option[Int],
     filters: Array[org.apache.spark.sql.sources.Filter],
-    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+    conf: SerializableHadoopConf, evolve: Boolean = false)
+    extends PartitionReader[InternalRow] {
 
   private val file = part.file
   // STREAMING decode over a SEEKABLE input: task memory is O(one
@@ -1187,8 +1206,12 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
   // file partition its blocks exactly (the avro-mapred convention).
   private var stream: org.apache.avro.file.DataFileReader[
     org.apache.avro.generic.GenericRecord] = _
-  private var fields: Seq[(String, Schema)] = _
-  private var filterSchemaByName: Map[String, Schema] = _
+  // per-column decoders to CARRIER-spelling values: decode the file's
+  // own field and (in evolve mode) widen to the table type, or emit
+  // null for a column newer than the file
+  private type Decode = org.apache.avro.generic.GenericRecord => Any
+  private var fields: Seq[(String, Decode)] = _
+  private var decodeByName: Map[String, Decode] = _
   private var emitted = 0
   private var rec: org.apache.avro.generic.GenericRecord = _
 
@@ -1207,12 +1230,21 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
     // an external producer's record name/namespace, non-nullable
     // fields, or doc/props differ from the graft-written canonical
     // form while decoding identically (values resolve against the
-    // file's OWN writer schema below, never the canonical one)
+    // file's OWN writer schema below, never the canonical one).
+    // Evolve mode (mergeSchema=true) relaxes equality to per-field
+    // compatibility: absent columns null-fill, narrower columns widen
+    // through the exact promotions (SchemaEvolution scaladoc)
     val writerSpark = Avro.toSparkSchema(writer)
-    require(writerSpark.map(f => (f.name, f.dataType)) ==
-        tableSchema.map(f => (f.name, f.dataType)),
-      s"avro schema mismatch in $file: ${writerSpark.catalogString} " +
-        s"vs table ${tableSchema.catalogString}")
+    if (evolve)
+      require(SchemaEvolution.compatible(writerSpark, tableSchema),
+        s"avro schema in $file cannot evolve to the merged table " +
+          s"schema: ${writerSpark.catalogString} vs table " +
+          tableSchema.catalogString)
+    else
+      require(writerSpark.map(f => (f.name, f.dataType)) ==
+          tableSchema.map(f => (f.name, f.dataType)),
+        s"avro schema mismatch in $file: ${writerSpark.catalogString} " +
+          s"vs table ${tableSchema.catalogString}")
     // reader-schema projection: decode the projected columns PLUS
     // any column a fully-pushed filter (or pushed sort) references —
     // it may have been pruned from the output (filter on a, select
@@ -1221,22 +1253,31 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
     val decodeCols =
       (columns ++ (filterCols ++ decodeExtra).filterNot(columns.contains))
         .distinct.toIndexedSeq
-    val effective = Avro.prunedSchema(writer, decodeCols)
+    val writerTypes = writerSpark.map(f => f.name -> f.dataType).toMap
+    val tableTypes = tableSchema.map(f => f.name -> f.dataType).toMap
+    val present = decodeCols.filter(writerTypes.contains)
+    val effective = Avro.prunedSchema(writer, present)
     datumReader.setExpected(effective)
-    val all = effective.getFields.asScala.toSeq
-      .map(f => (f.name(), f.schema()))
-    val byName = all.toMap
+    val avroByName = effective.getFields.asScala
+      .map(f => f.name() -> f.schema()).toMap
+    decodeByName = decodeCols.map { c =>
+      c -> (avroByName.get(c) match {
+        case Some(fs) =>
+          val promote = SchemaEvolution.promoter(writerTypes(c),
+            tableTypes.getOrElse(c, writerTypes(c)))
+          ((r: org.apache.avro.generic.GenericRecord) =>
+            promote(Avro.fromAvroValue(r.get(c), fs))): Decode
+        case None => ((_: Any) => null): Decode
+      })
+    }.toMap
     // output row = projected columns only, in projection order
-    fields = columns.toSeq.map(c => (c, byName(c)))
-    filterSchemaByName = byName
+    fields = columns.toSeq.map(c => (c, decodeByName(c)))
     stream.sync(part.start)
   }
 
   private def passes: Boolean = {
     if (filters.isEmpty) return true
-    val get = (c: String) =>
-      Avro.fromAvroValue(rec.get(c), filterSchemaByName(c))
-    filters.forall(FleetFilters.eval(_, get))
+    filters.forall(FleetFilters.eval(_, c => decodeByName(c)(rec)))
   }
 
   override def next(): Boolean = {
@@ -1253,22 +1294,19 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
   }
 
   override def get(): InternalRow =
-    new GenericInternalRow(fields.map { case (f, fs) =>
-      AvroFleetReaderFactory.toCatalyst(
-        Avro.fromAvroValue(rec.get(f), fs))
+    new GenericInternalRow(fields.map { case (_, d) =>
+      AvroFleetReaderFactory.toCatalyst(d(rec))
     }.toArray)
 
   /** Current record's values for `cols`, in carrier spelling — the
     * TopN heap's sort keys. Only valid right after a true `next()`. */
   def currentSortKeys(cols: Seq[String]): Array[Any] =
-    cols.map(c => Avro.fromAvroValue(rec.get(c),
-      filterSchemaByName(c))).toArray
+    cols.map(c => decodeByName(c)(rec)).toArray
 
   /** Current record's projected values in carrier spelling (catalyst
     * conversion deferred until emit, so heap evictions never pay it). */
   def currentProjectedValues(): Array[Any] =
-    fields.map { case (f, fs) => Avro.fromAvroValue(rec.get(f), fs) }
-      .toArray
+    fields.map { case (_, d) => d(rec) }.toArray
 
   override def close(): Unit = if (stream != null) stream.close()
 }

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.types._
+
+/** Schema evolution for avro fleets (`mergeSchema=true` on the
+  * `graft-avro` reader — the option name mirrors Spark's parquet
+  * reader). A long-lived 100 TB fleet is never one schema: columns get
+  * added, measures get widened, and the files already on disk are
+  * immutable. With the option set, the table schema is the MERGE of
+  * every file's writer schema and each file decodes against its own
+  * generation:
+  *
+  *  - a column a file predates reads as NULL for its rows;
+  *  - a column a file recorded narrower is widened at decode through
+  *    the EXACT promotions only (int→long, float→double — the
+  *    value-preserving half of Avro's resolution lattice; long→double
+  *    style lossy promotions are refused so two generations can never
+  *    disagree about a value);
+  *  - any other same-name type conflict fails loudly at merge time.
+  *
+  * Without the option the connector keeps its strict posture: a
+  * mixed-schema fleet fails per file instead of mis-decoding
+  * (AvroFleetSource scaladoc). Pushed filters and sidecar skip-proofs
+  * stay sound across generations because `FleetFilters.cmp` already
+  * widens mixed numeric carriers the same way the decode does. */
+private[sources] object SchemaEvolution {
+
+  /** Exact, value-preserving widenings the decode path applies. */
+  def promotes(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (IntegerType, LongType)  => true
+    case (FloatType, DoubleType)  => true
+    case _                        => false
+  }
+
+  private def widen(a: DataType, b: DataType): Option[DataType] =
+    if (a == b) Some(a)
+    else if (promotes(a, b)) Some(b)
+    else if (promotes(b, a)) Some(a)
+    else None
+
+  /** Merge writer schemas by field NAME: first-seen field order (the
+    * stable choice for a fleet listed in path order), types widened
+    * through the exact lattice, anything else a loud failure naming
+    * the column. Every merged field is nullable — an added column is
+    * null for every pre-existing file. */
+  def merge(schemas: Seq[StructType]): StructType = {
+    require(schemas.nonEmpty, "cannot merge zero schemas")
+    val order = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    schemas.foreach(_.foreach { f =>
+      order.get(f.name) match {
+        case None => order.update(f.name, f.dataType)
+        case Some(t) => order.update(f.name, widen(t, f.dataType).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot merge fleet schemas: column ${f.name} is " +
+              s"${t.catalogString} in one generation and " +
+              s"${f.dataType.catalogString} in another (only exact " +
+              "int->bigint / float->double widenings are supported)")))
+      }
+    })
+    StructType(order.iterator.map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    }.toSeq)
+  }
+
+  /** Can `writer` decode under `table`? Every writer field must be
+    * absent from the table (ignored), identical, or exactly
+    * promotable. Called per file by the row reader in evolve mode. */
+  def compatible(writer: StructType, table: StructType): Boolean = {
+    val tableByName = table.map(f => f.name -> f.dataType).toMap
+    writer.forall(wf => tableByName.get(wf.name).forall(tt =>
+      wf.dataType == tt || promotes(wf.dataType, tt)))
+  }
+
+  /** Post-decode widener from a writer type to the table type
+    * (identity when they already agree). */
+  def promoter(from: DataType, to: DataType): Any => Any =
+    (from, to) match {
+      case (f, t) if f == t => identity
+      case (IntegerType, LongType) => {
+        case v: Int => v.toLong
+        case v => v
+      }
+      case (FloatType, DoubleType) => {
+        case v: Float => v.toDouble
+        case v => v
+      }
+      case _ => throw new IllegalStateException(
+        s"no exact promotion ${from.catalogString} -> ${to.catalogString}")
+    }
+}

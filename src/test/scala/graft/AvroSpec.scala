@@ -357,6 +357,60 @@ class AvroSpec extends SparkSpec {
     assert(pruned.collect().map(_.getDouble(0)).toSeq.sorted == Seq(0.5, 1.0, 1.5))
   }
 
+  test("mergeSchema evolves a multi-generation fleet; strict mode refuses") {
+    import spark.implicits._
+    val root = tmp("avro_evolve")
+    // gen1: narrow measure, no `extra` column yet
+    Seq((1L, 10, "a"), (2L, 20, "b")).toDF("id", "v", "name")
+      .coalesce(1).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/gen1")
+    // gen2: v widened int->long, a new double column appeared
+    Seq((3L, 30L, "c", 1.5), (4L, 40L, "d", 2.5))
+      .toDF("id", "v", "name", "extra")
+      .coalesce(1).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/gen2")
+
+    // strict (default) posture: the fleet is mixed-schema -> loud fail
+    val strict = intercept[Exception] {
+      spark.read.format("graft-avro").load(s"$root/gen*").collect()
+    }
+    assert(strict.getMessage.contains("schema mismatch") ||
+      Option(strict.getCause).exists(_.getMessage.contains("schema mismatch")))
+
+    val df = spark.read.format("graft-avro")
+      .option("mergeSchema", "true").load(s"$root/gen*")
+    // merged schema: first-seen order, v widened, extra nullable
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("id", "long"), ("v", "long"), ("name", "string"),
+        ("extra", "double")))
+    val rows = df.orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.toSeq == Seq((1L, 10L, "a", None), (2L, 20L, "b", None),
+      (3L, 30L, "c", Some(1.5)), (4L, 40L, "d", Some(2.5))))
+    // pushed filters evaluate across generations: the widened column
+    // compares as long everywhere; a column a file predates is null
+    // there, so IsNotNull keeps only the newer generation
+    assert(spark.read.format("graft-avro").option("mergeSchema", "true")
+      .load(s"$root/gen*").filter($"v" > 15).count() == 3)
+    assert(spark.read.format("graft-avro").option("mergeSchema", "true")
+      .load(s"$root/gen*").filter($"extra".isNotNull)
+      .select($"id").as[Long].collect().sorted.toSeq == Seq(3L, 4L))
+    // aggregates decline pushdown in evolve mode but stay correct
+    assert(spark.read.format("graft-avro").option("mergeSchema", "true")
+      .load(s"$root/gen*").count() == 4)
+
+    // a real conflict (string vs long) fails loudly at merge time
+    Seq((9L, "oops")).toDF("id", "v").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(s"$root/gen3")
+    val conflict = intercept[Exception] {
+      spark.read.format("graft-avro").option("mergeSchema", "true")
+        .load(s"$root/gen*").collect()
+    }
+    assert(conflict.getMessage.contains("cannot merge") ||
+      Option(conflict.getCause).exists(_.getMessage.contains("cannot merge")))
+  }
+
   test("pushed filters drop rows before Catalyst and match the residual plan") {
     import spark.implicits._
     val dir = tmp("avro_filter_push") + "/t.avro"
