@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProduct, FreqSketch, SrpFingerprint}
+import graft.functions.{ChunkSpans, DotProduct, FreqSketch, SrpFingerprint}
 
 /** Session extensions (SURVEY.md §2.K): installs the engine's native
   * expressions into every session built with
@@ -28,6 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "srp_fingerprint(vec, nBits) takes two arguments")
         SrpFingerprint(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("chunk_spans"),
+      new ExpressionInfo(classOf[ChunkSpans].getName, "chunk_spans"),
+      { args: Seq[Expression] =>
+        require(args.length == 3,
+          "chunk_spans(text, chunkTokens, stride) takes three arguments")
+        ChunkSpans(args.head, args(1), args(2))
       }))
     ext.injectFunction((
       FunctionIdentifier("freq_sketch"),

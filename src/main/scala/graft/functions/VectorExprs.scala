@@ -218,5 +218,13 @@ object VectorExprs {
         SrpFingerprint(args.head, args(1))
       },
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "chunk_spans",
+      { args: Seq[Expression] =>
+        require(args.length == 3,
+          "chunk_spans(text, chunkTokens, stride) takes three arguments")
+        ChunkSpans(args.head, args(1), args(2))
+      },
+      "scala_udf")
   }
 }

@@ -866,6 +866,34 @@ object LlmOps {
       s.read.schema(aSchema).parquet(aPath))
   }
 
+  /** §2.J SEMANTIC dedup — the cluster-then-prune shape of SemDeDup
+    * (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings with
+    * the SAME deterministic 2-round spherical k-means that backs the
+    * IVF index (`buildIvfIndex` — build-once scratch parquet, lists
+    * cluster_id-partitioned), then score pairs ONLY within a cluster
+    * and drop every member that has a higher-similarity twin with a
+    * lower vec_id (keep-lowest, fully deterministic). The within-
+    * cluster equi-join is the scale story: pair work is bounded by
+    * cluster granularity (k grows with the corpus), never all-pairs,
+    * and the join key is the partition column of the persisted lists
+    * so co-located list files join without a wide shuffle of the
+    * corpus. Oracle: the Lloyd CTE shared with `q_sim_ann_ivf`
+    * extended by the same pair prune. */
+  def qDedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (_, lists) = buildIvfIndex(s, dir)
+    val a = lists.select($"cluster_id", $"vec_id".as("a_id"),
+      $"emb".as("a_emb"))
+    val b = lists.select($"cluster_id", $"vec_id".as("b_id"),
+      $"emb".as("b_emb"))
+    val dups = a.join(b, Seq("cluster_id"))
+      .filter($"a_id" < $"b_id" && cosine($"a_emb", $"b_emb") > 0.35)
+      .select($"b_id".as("vec_id")).distinct()
+    lists.join(dups, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cluster_id")
+      .orderBy($"vec_id")
+  }
+
   /** §2.J k-NN join, LSH-bucketed scale path: on unit vectors,
     * euclidean distance and cosine are monotonically equivalent
     * (‖a−b‖² = 2−2cos), so BucketedRandomProjectionLSH approximates the
@@ -912,7 +940,8 @@ object LlmOps {
     "q_sim_knn_join" -> qSimKnnJoin _,
     "q_sim_pairwise_stats" -> qSimPairwiseStats _,
     "q_sim_ann_ivf" -> qSimAnnIvf _,
-    "q_sim_ann_ivf_batch" -> qSimAnnIvfBatch _
+    "q_sim_ann_ivf_batch" -> qSimAnnIvfBatch _,
+    "q_dedup_semantic" -> qDedupSemantic _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1318,6 +1347,61 @@ object LlmOps {
         |  SELECT scored.*, CAST(row_number() OVER (PARTITION BY probe_id
         |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
         |  FROM scored)
-        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin
+        |WHERE rn <= 3 ORDER BY probe_id, rn""".stripMargin,
+    // the shared Lloyd CTE (see q_sim_ann_ivf) extended by SemDeDup's
+    // within-cluster prune: drop members with a >τ twin of lower id
+    "q_dedup_semantic" ->
+      """WITH e0 AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |            FROM embeddings),
+        |  e AS (SELECT vec_id, label, list_transform(emb,
+        |          x -> x / sqrt(list_dot_product(emb, emb))) AS emb
+        |        FROM e0),
+        |  seeds0 AS (SELECT vec_id AS seed_id, emb AS seed_emb FROM e
+        |             WHERE vec_id < 8),
+        |  a1 AS (SELECT vec_id, emb, seed_id FROM (
+        |      SELECT e.vec_id, e.emb, s.seed_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
+        |                   s.seed_id) AS rn
+        |      FROM e CROSS JOIN seeds0 s) WHERE rn = 1),
+        |  m1 AS (SELECT seed_id, unnest(generate_series(1, len(emb))) AS dim,
+        |           unnest(emb) AS v FROM a1),
+        |  g1 AS (SELECT seed_id, dim, avg(v) AS m FROM m1
+        |         GROUP BY seed_id, dim),
+        |  c1 AS (SELECT seed_id, list(m ORDER BY dim) AS c0 FROM g1
+        |         GROUP BY seed_id),
+        |  seeds1 AS (SELECT seed_id, list_transform(c0,
+        |      x -> round(x / sqrt(list_dot_product(c0, c0)), 6)) AS seed_emb
+        |    FROM c1),
+        |  a2 AS (SELECT vec_id, emb, seed_id FROM (
+        |      SELECT e.vec_id, e.emb, s.seed_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
+        |                   s.seed_id) AS rn
+        |      FROM e CROSS JOIN seeds1 s) WHERE rn = 1),
+        |  m2 AS (SELECT seed_id, unnest(generate_series(1, len(emb))) AS dim,
+        |           unnest(emb) AS v FROM a2),
+        |  g2 AS (SELECT seed_id, dim, avg(v) AS m FROM m2
+        |         GROUP BY seed_id, dim),
+        |  c2 AS (SELECT seed_id, list(m ORDER BY dim) AS c0 FROM g2
+        |         GROUP BY seed_id),
+        |  seeds AS (SELECT seed_id, list_transform(c0,
+        |      x -> round(x / sqrt(list_dot_product(c0, c0)), 6)) AS seed_emb
+        |    FROM c2),
+        |  assigned AS (
+        |    SELECT vec_id, label, emb, seed_id AS cluster_id FROM (
+        |      SELECT e.vec_id, e.label, e.emb, s.seed_id,
+        |        row_number() OVER (PARTITION BY e.vec_id
+        |          ORDER BY round(list_dot_product(e.emb, s.seed_emb), 6) DESC,
+        |                   s.seed_id) AS arn
+        |      FROM e CROSS JOIN seeds s)
+        |    WHERE arn = 1),
+        |  dup AS (SELECT DISTINCT b.vec_id
+        |    FROM assigned a JOIN assigned b
+        |      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        |    WHERE list_dot_product(a.emb, b.emb) > 0.35)
+        |SELECT vec_id, cluster_id FROM assigned
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY vec_id""".stripMargin
   )
 }

@@ -282,8 +282,26 @@ object TextOps {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** §2.K true-UDTF twin of `q_text_chunks`: the SAME chunk semantics
+    * through the native Catalyst `Generator` `chunk_spans`
+    * (functions/ChunkSpans.scala) instead of explode+slice — one byte
+    * scan and one byte-range slice per chunk where the composed plan
+    * materializes three document-sized arrays. Shares the composed
+    * form's oracle verbatim, so the generator's boundary arithmetic is
+    * hash-checked against DuckDB row-for-row; it is also registered in
+    * SQL (`SELECT chunk_spans(text, 32, 24) FROM ...`) via
+    * GraftExtensions. */
+  def qTextChunksGen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorExprs.register(s)
+    documents(s, dir)
+      .select($"doc_id", expr("chunk_spans(text, 32, 24)"))
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_chunks" -> qTextChunks _,
+    "q_text_chunks_gen" -> qTextChunksGen _,
     "q_text_pii" -> qTextPii _,
     "q_text_stats" -> qTextStats _,
     "q_text_ngram" -> qTextNgram _,
@@ -297,6 +315,21 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_text_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, n, unnest(range(0, n, 24)) AS start FROM w)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  CAST(start AS BIGINT) AS start_tok,
+        |  CAST(least(32, n - start) AS BIGINT) AS n_tok,
+        |  array_to_string(list_slice(w, start + 1, least(start + 32, n)), ' ')
+        |    AS chunk
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    // the Generator twin shares the composed form's oracle verbatim
+    "q_text_chunks_gen" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w,
         |    len(string_split(text, ' ')) AS n

@@ -7,6 +7,36 @@ import org.apache.spark.sql.functions._
   * fractional months_between. Pinned here so the surface stays covered. */
 class ScalarEdgeSpec extends SparkSpec {
 
+  test("chunk_spans generator matches explode+slice on edge shapes") {
+    import spark.implicits._
+    graft.functions.VectorExprs.register(spark)
+    // consecutive spaces (empty tokens), multi-byte UTF-8 (é, 😀),
+    // single token, and empty text — the split-on-" " contract
+    val docs = Seq((1L, "a  b c"), (2L, "héllo 😀 wörld x y"),
+      (3L, "one"), (4L, "")).toDF("doc_id", "text")
+    def composed = docs
+      .select($"doc_id", split($"text", " ").as("w"))
+      .withColumn("n", size($"w"))
+      .select($"doc_id", $"w", $"n",
+        explode(sequence(lit(0), $"n" - 1, lit(2))).as("start"))
+      .select($"doc_id",
+        expr("start div 2").cast("long").as("chunk_id"),
+        $"start".cast("long").as("start_tok"),
+        size(slice($"w", $"start" + 1, lit(3))).cast("long").as("n_tok"),
+        array_join(slice($"w", $"start" + 1, lit(3)), " ").as("chunk"))
+    val gen = docs.select($"doc_id", expr("chunk_spans(text, 3, 2)"))
+    assert(gen.columns.toSeq ==
+      Seq("doc_id", "chunk_id", "start_tok", "n_tok", "chunk"))
+    val l = gen.orderBy($"doc_id", $"chunk_id").collect().map(_.toSeq)
+    val r = composed.orderBy($"doc_id", $"chunk_id").collect().map(_.toSeq)
+    assert(l.toSeq == r.toSeq)
+    // SQL registration via GraftExtensions
+    docs.createOrReplaceTempView("cs_docs")
+    assert(spark.sql(
+      "SELECT chunk_spans(text, 3, 2) FROM cs_docs WHERE doc_id = 2")
+      .count() == 3)
+  }
+
   test("soundex") {
     import spark.implicits._
     val r = Seq("Robert", "Rupert", "Ashcraft").toDF("s")
