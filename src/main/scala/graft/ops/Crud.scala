@@ -69,10 +69,53 @@ object Crud {
       .orderBy($"c_custkey")
   }
 
+  /** SCD TYPE-2 apply (the warehouse-maintenance verb one step past
+    * upsert): replay a change feed over a dimension and emit the full
+    * version history — one row per (key, version) with
+    * `[valid_from, valid_to)` validity and a current flag. The feed is
+    * derived deterministically from the fixtures: each order of a
+    * custkey<100 customer is an update event stamping the customer's
+    * tracked value to the order price at the order date; an 'F'-status
+    * order is a DELETE event and opens a NULL-value tombstone version
+    * (the key's history keeps flowing if later events arrive, exactly
+    * how a CDC consumer sees a delete+reinsert). The seed version comes
+    * from the dimension row itself at a fixed epoch.
+    *
+    * Scale: the whole rebuild is ONE shuffle on the dimension key + a
+    * per-key sort — the same plan shape at 100 TB, where the feed join
+    * keys would also prune to only the keys present in the batch (an
+    * incremental run anti-joins unchanged keys out before the window).
+    * Ties inside a day are broken by the feed's own sequence column
+    * (orderkey), so the history is total-ordered and deterministic. */
+  def qCdcScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val seed = customer(s, dir)
+      .filter($"c_custkey" < 100)
+      .select($"c_custkey".as("k"), r4($"c_acctbal").as("val"),
+        lit("1992-01-01 00:00:00").cast("timestamp").as("vts"),
+        lit(-1L).as("seq"))
+    val feed = orders(s, dir)
+      .filter($"o_custkey" < 100)
+      .select($"o_custkey".as("k"),
+        when($"o_orderstatus" === "F", lit(null).cast("double"))
+          .otherwise(r4($"o_totalprice")).as("val"),
+        $"o_orderdate".as("vts"), $"o_orderkey".as("seq"))
+    val w = Window.partitionBy($"k").orderBy($"vts", $"seq")
+    seed.unionByName(feed)
+      .select($"k".as("c_custkey"),
+        row_number().over(w).cast("long").as("version"),
+        $"val",
+        dstr($"vts").as("valid_from"),
+        dstr(lead($"vts", 1).over(w)).as("valid_to"),
+        lead($"vts", 1).over(w).isNull.as("is_current"))
+      .orderBy($"c_custkey", $"version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
-    "q_crud_upsert" -> qCrudUpsert _
+    "q_crud_upsert" -> qCrudUpsert _,
+    "q_cdc_scd2" -> qCdcScd2 _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -105,6 +148,26 @@ object Crud {
         |        (PARTITION BY c_custkey ORDER BY is_update DESC) AS rn
         |      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
         |WHERE rn = 1
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+    "q_cdc_scd2" ->
+      """WITH ch AS (
+        |  SELECT c_custkey AS k, round(c_acctbal, 4) AS val,
+        |    TIMESTAMP '1992-01-01 00:00:00' AS vts, CAST(-1 AS BIGINT) AS seq
+        |  FROM customer WHERE c_custkey < 100
+        |  UNION ALL
+        |  SELECT o_custkey,
+        |    CASE WHEN o_orderstatus = 'F' THEN NULL
+        |         ELSE round(o_totalprice, 4) END,
+        |    o_orderdate, o_orderkey
+        |  FROM orders WHERE o_custkey < 100)
+        |SELECT k AS c_custkey,
+        |  row_number() OVER w AS version,
+        |  val,
+        |  strftime(vts, '%Y-%m-%d') AS valid_from,
+        |  strftime(lead(vts, 1) OVER w, '%Y-%m-%d') AS valid_to,
+        |  lead(vts, 1) OVER w IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY k ORDER BY vts, seq)
+        |ORDER BY c_custkey, version""".stripMargin
   )
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+import graft.util.Determinism._
+
+/** Data-layout management (SURVEY.md §2 extension): Z-order clustering,
+  * the standard multi-dimensional file-clustering technique for big
+  * scan-heavy tables (Delta/Iceberg expose the same verb as `OPTIMIZE
+  * ... ZORDER BY`). A table range-partitioned and sorted on ONE key
+  * skips beautifully on that key and not at all on any other; sorting
+  * on the interleaved-bit Morton code of TWO (or more) normalized keys
+  * gives every participating dimension locality, so parquet min/max
+  * row-group pruning and file skipping work for predicates on EITHER
+  * column — the 100 TB answer to "we filter this table by customer AND
+  * by date".
+  *
+  * Everything here is plain column algebra (shift/and/or — whole-stage
+  * codegen'd, no UDF), one scalar-aggregate job for the normalization
+  * bounds (broadcast back, never collected to literals inside the plan
+  * builder — the bounds frame is 1 row), one range-shuffle write. The
+  * rewrite reads each row once and writes it once, the same cost shape
+  * as a compaction pass; at 100 TB it would run per-partition
+  * incrementally, but the per-file z-locality property proven by the
+  * spec is scale-invariant.
+  */
+object Layout {
+
+  /** Morton code: interleave the low 16 bits of `x` (even positions)
+    * and `y` (odd positions) into one 32-bit z-value. Pure bitwise
+    * column algebra — stays inside whole-stage codegen. */
+  private[graft] def interleave16(x: Column, y: Column): Column =
+    (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Scale a long column into [0, 65535] given broadcast min/max
+    * columns (`greatest(..,1)` guards the constant-column case). */
+  private def norm16(c: Column, lo: Column, hi: Column): Column =
+    ((c - lo) * lit(65535L) / greatest(hi - lo, lit(1L))).cast("long")
+
+  /** Rewrite `lineitem` Z-ordered on (l_orderkey, l_partkey): compute
+    * per-column bounds (one tiny scalar agg, broadcast), normalize both
+    * keys to 16 bits, Morton-interleave, range-partition + sort on the
+    * z-value, write parquet. Returns the rewritten table so callers can
+    * scan it; the registered query reads it back through a 2-D box
+    * predicate — at scale that scan opens only the files whose z-range
+    * intersects the box (parquet min/max prunes the rest), which the
+    * LayoutSpec quantifies (per-file extent of BOTH dims shrinks vs the
+    * incoming layout). */
+  def zorderLineitem(s: SparkSession, dir: String, out: String): DataFrame = {
+    import s.implicits._
+    val li = lineitem(s, dir)
+    val cols = li.columns.toSeq
+    val bounds = li.agg(
+      min($"l_orderkey").as("ok_lo"), max($"l_orderkey").as("ok_hi"),
+      min($"l_partkey").as("pk_lo"), max($"l_partkey").as("pk_hi"))
+    val z = li.crossJoin(broadcast(bounds))
+      .withColumn("zval", interleave16(
+        norm16($"l_orderkey", $"ok_lo", $"ok_hi"),
+        norm16($"l_partkey", $"pk_lo", $"pk_hi")))
+    z.repartitionByRange(8, $"zval")
+      .sortWithinPartitions($"zval")
+      .select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+  }
+
+  /** §2-extension Z-ORDER rewrite + 2-D box scan: cluster lineitem on
+    * (l_orderkey, l_partkey), then aggregate a box predicate on the
+    * clustered copy. Result-identical to the same query on the base
+    * table (layout is invisible to semantics — that is the point, and
+    * the oracle pins it); the win is that on the clustered copy the box
+    * touches a handful of files instead of all of them. */
+  def qLayoutZorder(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = graft.util.Scratch.dir("zorder_lineitem")
+    zorderLineitem(s, dir, out)
+      .filter($"l_orderkey".between(100L, 1200L) &&
+        $"l_partkey".between(10L, 120L))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        r4(sum($"l_extendedprice")).as("sum_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_layout_zorder" -> qLayoutZorder _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 4) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 1200
+        |  AND l_partkey BETWEEN 10 AND 120
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin
+  )
+}

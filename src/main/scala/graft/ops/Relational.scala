@@ -476,6 +476,55 @@ object Relational {
     rows.toDF("table_name", "n_cols", "cols").orderBy($"table_name")
   }
 
+  /** §2-extension table profiling (the ANALYZE/data-quality verb a
+    * reference user runs before trusting a sheet): per-column row
+    * count, null count, exact distinct count, and min/max — for a
+    * representative column set of lineitem — in ONE scan. All measures
+    * ride a single `agg` (Catalyst plans the multi-countDistinct via
+    * one Expand: 4 streams over one pass, map-side partials, no
+    * per-column jobs) and the wide row is unpivoted with `stack`, so
+    * the plan is scan → partial agg → final agg → generate — two
+    * shuffle-free stages plus one exchange.
+    *
+    * Scale: exact distinct is kept here because the DuckDB oracle must
+    * agree bit-for-bit; the 100 TB variant swaps `countDistinct` for
+    * `approx_count_distinct` (HLL partials, no Expand blow-up) — the
+    * sketch path is exercised by `q_agg_approx_distinct`. min/max are
+    * emitted as strings only for fixed-format types (ints, flags,
+    * dates) — doubles are excluded since engines disagree on shortest
+    * decimal rendering. */
+  def qProfileTable(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"l_orderkey").as("ok_nn"),
+        countDistinct($"l_orderkey").as("ok_nd"),
+        min($"l_orderkey").cast("string").as("ok_min"),
+        max($"l_orderkey").cast("string").as("ok_max"),
+        count($"l_linenumber").as("ln_nn"),
+        countDistinct($"l_linenumber").as("ln_nd"),
+        min($"l_linenumber").cast("string").as("ln_min"),
+        max($"l_linenumber").cast("string").as("ln_max"),
+        count($"l_returnflag").as("rf_nn"),
+        countDistinct($"l_returnflag").as("rf_nd"),
+        min($"l_returnflag").as("rf_min"),
+        max($"l_returnflag").as("rf_max"),
+        count($"l_shipdate").as("sd_nn"),
+        countDistinct(dstr($"l_shipdate")).as("sd_nd"),
+        min(dstr($"l_shipdate")).as("sd_min"),
+        max(dstr($"l_shipdate")).as("sd_max"))
+      .selectExpr(
+        """stack(4,
+          |  'l_orderkey',   n_rows, n_rows - ok_nn, ok_nd, ok_min, ok_max,
+          |  'l_linenumber', n_rows, n_rows - ln_nn, ln_nd, ln_min, ln_max,
+          |  'l_returnflag', n_rows, n_rows - rf_nn, rf_nd, rf_min, rf_max,
+          |  'l_shipdate',   n_rows, n_rows - sd_nn, sd_nd, sd_min, sd_max
+          |) AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)
+          |""".stripMargin)
+      .orderBy($"col_name")
+  }
+
   /** §2.B select / derive / rename (reference: column access + computed cells). */
   def qProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -644,6 +693,7 @@ object Relational {
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_catalog_tables" -> qCatalogTables _,
+    "q_profile_table" -> qProfileTable _,
     "q_project" -> qProject _,
     "q_filter_point" -> qFilterPoint _,
     "q_filter_compound" -> qFilterCompound _,
@@ -700,6 +750,83 @@ object Relational {
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_scan_avro_pruned" -> qScanAvroPruned _,
+    "q_scan_avro_v2write" -> qScanAvroV2Write _,
+    "q_scan_avro_count" -> qScanAvroCount _,
+    "q_scan_avro_skip" -> qScanAvroSkip _,
+    "q_scan_avro_skip_ts" -> qScanAvroSkipTs _,
+    "q_scan_avro_groupagg" -> qScanAvroGroupAgg _,
+    "q_scan_avro_filteragg" -> qScanAvroFilterAgg _,
+    "q_scan_avro_topn" -> qScanAvroTopn _,
+    "q_scan_avro_skip_prefix" -> qScanAvroSkipPrefix _,
+    "q_scan_avro_evolve" -> qScanAvroEvolve _,
+    "q_fleet_compact" -> qFleetCompact _,
+    "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
+    "q_scan_xlsx_dist" -> qScanXlsxDist _,
+    "q_sink_partitioned" -> qSinkPartitioned _,
+    "q_catalog_tables" -> qCatalogTables _,
+    "q_profile_table" -> qProfileTable _,
+    "q_project" -> qProject _,
+    "q_filter_point" -> qFilterPoint _,
+    "q_filter_compound" -> qFilterCompound _,
+    "q_filter_like" -> qFilterLike _,
+    "q_filter_in_subquery" -> qFilterInSubquery _,
+    "q_sort_global" -> qSortGlobal _,
+    "q_limit_topn" -> qLimitTopn _,
+    "q_limit_offset" -> qLimitOffset _,
+    "q_topk_pergroup" -> qTopkPergroup _,
+    "q_set_union" -> qSetUnion _,
+    "q_set_intersect" -> qSetIntersect _,
+    "q_set_except" -> qSetExcept _,
+    "q_distinct" -> qDistinct _
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan_parquet" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_csv" ->
+      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_scan_orc" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_jsonl" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_scan_text" ->
+      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
+        |FROM region ORDER BY r_regionkey""".stripMargin,
+    "q_scan_xlsx" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "q_scan_avro" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_avro_dist" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // gen-1 rows went through a float cast and predate ts; DuckDB
+    // recomputes both generations in closed form
+    "q_scan_avro_evolve" ->
+      """SELECT event_id, event_type,
+        |  CAST(CAST(value AS REAL) AS DOUBLE) AS value,
+        |  CAST(NULL AS VARCHAR) AS ts_s
+        |FROM events WHERE event_id % 2 = 0
+        |UNION ALL
+        |SELECT event_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events WHERE event_id % 2 = 1
+        |ORDER BY event_id""".stripMargin,
+    // compaction is a physical rewrite; the oracle is the table itself
+    "q_fleet_compact" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_scan_avro_bloom" ->
+      """SELECT event_id, event_type, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM events WHERE event_id IN (7, 123, 911)
+        |ORDER BY event_id""".stripMargin,
     "q_scan_avro_pruned" ->
       """SELECT event_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
@@ -757,6 +884,40 @@ object Relational {
         |WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
         |  'part', 'orders', 'lineitem', 'events', 'documents', 'embeddings')
         |GROUP BY table_name ORDER BY table_name""".stripMargin,
+    "q_profile_table" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(l_orderkey) AS ok_nn,
+        |    count(DISTINCT l_orderkey) AS ok_nd,
+        |    CAST(min(l_orderkey) AS VARCHAR) AS ok_min,
+        |    CAST(max(l_orderkey) AS VARCHAR) AS ok_max,
+        |    count(l_linenumber) AS ln_nn,
+        |    count(DISTINCT l_linenumber) AS ln_nd,
+        |    CAST(min(l_linenumber) AS VARCHAR) AS ln_min,
+        |    CAST(max(l_linenumber) AS VARCHAR) AS ln_max,
+        |    count(l_returnflag) AS rf_nn,
+        |    count(DISTINCT l_returnflag) AS rf_nd,
+        |    min(l_returnflag) AS rf_min,
+        |    max(l_returnflag) AS rf_max,
+        |    count(l_shipdate) AS sd_nn,
+        |    count(DISTINCT strftime(l_shipdate, '%Y-%m-%d')) AS sd_nd,
+        |    min(strftime(l_shipdate, '%Y-%m-%d')) AS sd_min,
+        |    max(strftime(l_shipdate, '%Y-%m-%d')) AS sd_max
+        |  FROM lineitem)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val
+        |FROM (
+        |  SELECT 'l_orderkey' AS col_name, n_rows, n_rows - ok_nn AS n_nulls,
+        |    ok_nd AS n_distinct, ok_min AS min_val, ok_max AS max_val FROM a
+        |  UNION ALL
+        |  SELECT 'l_linenumber', n_rows, n_rows - ln_nn, ln_nd, ln_min, ln_max
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_returnflag', n_rows, n_rows - rf_nn, rf_nd, rf_min, rf_max
+        |  FROM a
+        |  UNION ALL
+        |  SELECT 'l_shipdate', n_rows, n_rows - sd_nn, sd_nd, sd_min, sd_max
+        |  FROM a)
+        |ORDER BY col_name""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 4) AS sum_price

@@ -82,8 +82,44 @@ object Windows {
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
+  /** §2.K typed sorted-group processing — the SECONDARY-SORT primitive
+    * (`KeyValueGroupedDataset.flatMapSortedGroups`): per-user event
+    * gaps computed by an imperative iterator over each user's events
+    * in timestamp order. Same answer as a `lag` window (the oracle IS
+    * the lag formulation), but a different — and at scale, sometimes
+    * the only viable — physical shape: the sort rides the shuffle
+    * (sort-based aggregation within partitions, no window buffer), and
+    * the group handler holds O(1) state regardless of group size, so
+    * arbitrarily long per-key histories stream through without
+    * materializing a window frame. This is the Spark-4 idiom replacing
+    * the RDD-era `repartitionAndSortWithinPartitions` secondary sort;
+    * use it when the per-group logic is genuinely imperative (session
+    * stitching, legacy parser state machines) — for anything
+    * SQL-expressible the declarative window twin (`q_win_lag`) keeps
+    * codegen. Gaps are whole seconds (events are minutes apart; the
+    * sort key is the same truncated-second + event_id pair the oracle
+    * orders by, so the orders agree exactly). */
+  def qWinSortedGroups(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    events(s, dir)
+      .select($"user_id", $"event_id", unix_timestamp($"ts").as("ts_s"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"ts_s", $"event_id") { (uid, it) =>
+        var prev = Long.MinValue
+        it.map { case (_, eid, tsS) =>
+          val gap = if (prev == Long.MinValue) -1L else tsS - prev
+          prev = tsS
+          (uid, eid, gap)
+        }
+      }
+      .toDF("user_id", "event_id", "gap_s")
+      .orderBy($"user_id", $"event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_win_rank" -> qWinRank _,
+    "q_win_sorted_groups" -> qWinSortedGroups _,
     "q_win_lag" -> qWinLag _,
     "q_win_running" -> qWinRunning _,
     "q_win_sliding" -> qWinSliding _,
@@ -91,6 +127,16 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_win_sorted_groups" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  coalesce(ts_s - lag(ts_s, 1) OVER w, -1) AS gap_s
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_win_rank" ->
       """SELECT o_custkey, o_orderkey,
         |  row_number() OVER w AS rn,

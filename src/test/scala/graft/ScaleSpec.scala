@@ -182,6 +182,12 @@ class ScaleSpec extends SparkSpec {
       // first call; probes read the flat, partition-pruned index
       "q_sim_ann_ivf" -> "materializes the IVF index (once per JVM)",
       "q_sim_ann_ivf_batch" -> "materializes the IVF index (once per JVM)",
+      "q_dedup_semantic" -> "materializes the IVF index (once per JVM)",
+      // layout/maintenance passes: the rewrite IS the operator
+      "q_fleet_compact" -> "writes + compacts a scratch fleet (the rewrite IS the operator)",
+      "q_scan_avro_evolve" -> "writes a two-generation scratch fleet (the sink IS the operator)",
+      "q_join_bucketed" -> "saveAsTable bucketed staging (the layout IS the operator)",
+      "q_layout_zorder" -> "writes the z-ordered scratch copy (the rewrite IS the operator)",
       // the replays run a real streaming query to completion
       "q_stream_tumbling_replay" -> "runs a streaming query",
       "q_stream_sliding_replay" -> "runs a streaming query",
