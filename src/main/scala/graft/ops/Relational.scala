@@ -400,6 +400,32 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A BLOOM data skipping — the point-lookup tier: events HASH-
+    * distributed on `event_id` into 32 shards (the layout a shuffled
+    * sink or bucketed write leaves behind), so every file spans
+    * ~the whole id range and min/max bounds can prove nothing for an
+    * equality — then a 3-key `IN` lookup. The sidecar blooms
+    * (`FleetBloom`, written by the same V2 commit that records the
+    * bounds) prove the keys absent from ~29 of the 32 files at
+    * PLANNING time; only the holder shards are scheduled. At 100 TB
+    * this is the needle-in-haystack path: a key lookup over a hashed
+    * fleet costs a sidecar read plus a handful of file opens, not a
+    * full-fleet decode. FleetStatsSpec pins the pruning counts and the
+    * false-positive-only error direction; here the oracle pins that
+    * skipping never loses a row. */
+  def qScanAvroBloom(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("avro_bloom_events")
+    events(s, dir)
+      .select($"event_id", $"event_type", $"value", $"ts")
+      .repartition(32, $"event_id")
+      .write.format("graft-avro").mode("overwrite").save(s"$out/fleet")
+    s.read.format("graft-avro").load(s"$out/fleet")
+      .filter($"event_id".isin(7L, 123L, 911L))
+      .select($"event_id", $"event_type", $"value", tstr($"ts").as("ts_s"))
+      .orderBy($"event_id")
+  }
+
   /** §2.A xlsx FLEET scan through the `graft-xlsx` DataSource V2
     * connector: nation sliced across three workbooks (the
     * many-small-drops shape the distributed reader exists for), the
@@ -689,78 +715,7 @@ object Relational {
     "q_scan_avro_skip_prefix" -> qScanAvroSkipPrefix _,
     "q_scan_avro_evolve" -> qScanAvroEvolve _,
     "q_fleet_compact" -> qFleetCompact _,
-    "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
-    "q_scan_xlsx_dist" -> qScanXlsxDist _,
-    "q_sink_partitioned" -> qSinkPartitioned _,
-    "q_catalog_tables" -> qCatalogTables _,
-    "q_profile_table" -> qProfileTable _,
-    "q_project" -> qProject _,
-    "q_filter_point" -> qFilterPoint _,
-    "q_filter_compound" -> qFilterCompound _,
-    "q_filter_like" -> qFilterLike _,
-    "q_filter_in_subquery" -> qFilterInSubquery _,
-    "q_sort_global" -> qSortGlobal _,
-    "q_limit_topn" -> qLimitTopn _,
-    "q_limit_offset" -> qLimitOffset _,
-    "q_topk_pergroup" -> qTopkPergroup _,
-    "q_set_union" -> qSetUnion _,
-    "q_set_intersect" -> qSetIntersect _,
-    "q_set_except" -> qSetExcept _,
-    "q_distinct" -> qDistinct _
-  )
-
-  val oracleSql: Map[String, String] = Map(
-    "q_scan_parquet" ->
-      "SELECT * FROM nation ORDER BY n_nationkey",
-    "q_scan_csv" ->
-      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
-        |FROM region ORDER BY r_regionkey""".stripMargin,
-    "q_scan_orc" ->
-      "SELECT * FROM nation ORDER BY n_nationkey",
-    "q_scan_jsonl" ->
-      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
-        |FROM region ORDER BY r_regionkey""".stripMargin,
-    "q_scan_text" ->
-      """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
-        |FROM region ORDER BY r_regionkey""".stripMargin,
-    "q_scan_xlsx" ->
-      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
-        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
-        |FROM nation ORDER BY n_nationkey""".stripMargin,
-    "q_scan_avro" ->
-      "SELECT * FROM nation ORDER BY n_nationkey",
-    "q_scan_avro_dist" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-        |  event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
-    // gen-1 rows went through a float cast and predate ts; DuckDB
-    // recomputes both generations in closed form
-    "q_scan_avro_evolve" ->
-      """SELECT event_id, event_type,
-        |  CAST(CAST(value AS REAL) AS DOUBLE) AS value,
-        |  CAST(NULL AS VARCHAR) AS ts_s
-        |FROM events WHERE event_id % 2 = 0
-        |UNION ALL
-        |SELECT event_id, event_type, value,
-        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
-        |FROM events WHERE event_id % 2 = 1
-        |ORDER BY event_id""".stripMargin,
-    // compaction is a physical rewrite; the oracle is the table itself
-    "q_fleet_compact" ->
-      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-        |  event_type, value
-        |FROM events ORDER BY event_id""".stripMargin,
-    "q_scan_avro_pruned" -> qScanAvroPruned _,
-    "q_scan_avro_v2write" -> qScanAvroV2Write _,
-    "q_scan_avro_count" -> qScanAvroCount _,
-    "q_scan_avro_skip" -> qScanAvroSkip _,
-    "q_scan_avro_skip_ts" -> qScanAvroSkipTs _,
-    "q_scan_avro_groupagg" -> qScanAvroGroupAgg _,
-    "q_scan_avro_filteragg" -> qScanAvroFilterAgg _,
-    "q_scan_avro_topn" -> qScanAvroTopn _,
-    "q_scan_avro_skip_prefix" -> qScanAvroSkipPrefix _,
-    "q_scan_avro_evolve" -> qScanAvroEvolve _,
-    "q_fleet_compact" -> qFleetCompact _,
+    "q_scan_avro_bloom" -> qScanAvroBloom _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
     "q_sink_partitioned" -> qSinkPartitioned _,

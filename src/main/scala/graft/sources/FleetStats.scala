@@ -44,9 +44,12 @@ private[graft] object FleetStats {
 
   /** One column's profile within one part file. `min`/`max` are in the
     * writer's carrier spelling (boxed primitive or String); both absent
-    * means the column held ONLY nulls in this file. */
+    * means the column held ONLY nulls in this file. `bloom`, when
+    * present, covers EVERY non-null value of the column in this file
+    * (see [[FleetBloom]]'s soundness contract) and serves the point-
+    * lookup proofs min/max bounds cannot. */
   final case class ColStat(min: Option[Any], max: Option[Any],
-      nulls: Long)
+      nulls: Long, bloom: Option[FleetBloom] = None)
 
   /** One part file's profile: committed byte length, row count, and
     * per-column stats (columns with dropped stats are simply absent). */
@@ -84,6 +87,7 @@ private[graft] object FleetStats {
     private val maxs = new Array[Any](n)
     private val nulls = new Array[Long](n)
     private val dropped = new Array[Boolean](n)
+    private val blooms = Array.fill(n)(new FleetBloom.Builder)
     private var rows = 0L
 
     def startRow(): Unit = rows += 1
@@ -102,6 +106,7 @@ private[graft] object FleetStats {
       }
       if (mins(i) == null || FleetFilters.cmp(v, mins(i)) < 0) mins(i) = v
       if (maxs(i) == null || FleetFilters.cmp(v, maxs(i)) > 0) maxs(i) = v
+      blooms(i).observe(v)
     }
 
     def result(len: Long): PartStats = {
@@ -109,7 +114,7 @@ private[graft] object FleetStats {
         case (f, i) =>
           if (!tracked(i) || dropped(i)) None
           else Some(f.name -> ColStat(Option(mins(i)), Option(maxs(i)),
-            nulls(i)))
+            nulls(i), blooms(i).result()))
       }.toMap
       PartStats(len, rows, cols)
     }
@@ -138,11 +143,13 @@ private[graft] object FleetStats {
       cs.nulls == 0 && !cs.min.contains(""))
     case IsNotNull(c) =>
       st.cols.get(c).exists(cs => cs.min.isEmpty && cs.nulls == st.rows)
-    case EqualTo(c, v) => outside(st, c, v)
+    case EqualTo(c, v) => outside(st, c, v) || bloomAbsent(st, c, v)
     case In(c, vs) => st.cols.get(c).exists(cs =>
       cs.min.isEmpty || vs.forall(v => comparable(v, cs.min.get) &&
         (FleetFilters.cmp(v, cs.min.get) < 0 ||
-          FleetFilters.cmp(v, cs.max.get) > 0)))
+          FleetFilters.cmp(v, cs.max.get) > 0))) ||
+      (vs != null && vs.nonEmpty &&
+        vs.forall(v => bloomAbsent(st, c, v)))
     case GreaterThan(c, v) => bound(st, c, v)(mx =>
       FleetFilters.cmp(mx, v) <= 0)
     case GreaterThanOrEqual(c, v) => bound(st, c, v)(mx =>
@@ -243,6 +250,17 @@ private[graft] object FleetStats {
     case _ => false
   }
 
+  /** Point-lookup proof: the column's bloom exists (⇒ covers every
+    * non-null value of the file), the literal's family matches the
+    * recorded one, and its canonical hash is absent. Null literals and
+    * unhashable families prove nothing. Equality predicates never
+    * match null rows, so null counts are irrelevant here. */
+  private def bloomAbsent(st: PartStats, c: String, v: Any): Boolean =
+    v != null && st.cols.get(c).exists(_.bloom.exists(b =>
+      FleetBloom.canonicalHash(v).exists { case (t, h1, h2) =>
+        t == b.tag && !b.mightContain(h1, h2)
+      }))
+
   private def outside(st: PartStats, c: String, v: Any): Boolean =
     st.cols.get(c).exists(cs => cs.min.isEmpty ||
       (comparable(v, cs.min.get) &&
@@ -297,7 +315,11 @@ private[graft] object FleetStats {
                   List("min" -> toJson(mn), "max" -> toJson(mx))
                 case _ => Nil
               }
-              c -> JObject(mm ++ base: _*)
+              val bl = cs.bloom.toList.map(b => "bloom" -> JObject(
+                "tag" -> JString(b.tag.toString),
+                "k" -> JLong(b.k.toLong),
+                "b64" -> JString(FleetBloom.encode(b))))
+              c -> JObject(mm ++ base ++ bl: _*)
           }: _*))
     }: _*))
     JsonMethods.compact(JsonMethods.render(obj))
@@ -316,9 +338,23 @@ private[graft] object FleetStats {
       val cols = f.get("cols") match {
         case Some(JObject(cs)) => cs.map { case (c, cj) =>
           val m = cj.asInstanceOf[JObject].obj.toMap
+          val bloom = m.get("bloom").flatMap {
+            case JObject(bf) =>
+              val bm = bf.toMap
+              (bm.get("tag"), bm.get("k"), bm.get("b64")) match {
+                case (Some(JString(t)), Some(k: JValue),
+                    Some(JString(b64))) =>
+                  val kk = fromJson(k) match {
+                    case l: java.lang.Long => l.intValue(); case _ => -1
+                  }
+                  FleetBloom.decode(t, kk, b64)
+                case _ => None
+              }
+            case _ => None
+          }
           c -> ColStat(m.get("min").map(fromJson),
             m.get("max").map(fromJson),
-            fromJson(m("nulls")).asInstanceOf[Long])
+            fromJson(m("nulls")).asInstanceOf[Long], bloom)
         }.toMap
         case _ => Map.empty[String, ColStat]
       }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 
-import graft.sources.{Avro, FleetFilters, FleetStats}
+import graft.sources.{Avro, FleetBloom, FleetFilters, FleetStats}
 
 /** Per-file min/max/null stats for avro fleets: collector semantics,
   * the planning-time skip evaluator, sidecar IO degradation, and the
@@ -42,13 +42,26 @@ class FleetStatsSpec extends SparkSpec {
     }
     val ps = c.result(123L)
     assert(ps.len == 123L && ps.rows == 3L)
-    assert(ps.cols("l") == FleetStats.ColStat(Some(-3L), Some(9L), 0L))
-    assert(ps.cols("d") == FleetStats.ColStat(Some(1.5), Some(2.5), 1L))
-    assert(ps.cols("s") == FleetStats.ColStat(Some("a"), Some("z"), 0L))
+    // blooms ride the same entries now — compare the bound/null core,
+    // then sanity-check the blooms cover the observed values
+    assert(ps.cols("l").copy(bloom = None) ==
+      FleetStats.ColStat(Some(-3L), Some(9L), 0L))
+    assert(ps.cols("d").copy(bloom = None) ==
+      FleetStats.ColStat(Some(1.5), Some(2.5), 1L))
+    assert(ps.cols("s").copy(bloom = None) ==
+      FleetStats.ColStat(Some("a"), Some("z"), 0L))
+    for ((c, v) <- Seq(("l", 5L), ("d", 1.5), ("s", "m"))) {
+      val b = ps.cols(c).bloom.get
+      val Some((t, h1, h2)) = FleetBloom.canonicalHash(v): @unchecked
+      assert(t == b.tag && b.mightContain(h1, h2), s"bloom lost $c=$v")
+    }
     // NaN poisons ordering → the column carries NO stats at all
     assert(!ps.cols.contains("nan"))
     // all-null column: entry with no bounds — IsNotNull can skip on it
     assert(ps.cols("allnull") == FleetStats.ColStat(None, None, 3L))
+    // NaN also poisons the bloom with the column — and an all-null
+    // column has nothing to bloom
+    assert(ps.cols("allnull").bloom.isEmpty)
     // untracked type (binary): never collected
     assert(!ps.cols.contains("bin"))
   }
@@ -166,6 +179,87 @@ class FleetStatsSpec extends SparkSpec {
       .filter($"id" > 90)
     assert(plannedParts(unskipped) == 4)
     assert(unskipped.count() == 9)
+  }
+
+  test("bloom hashes equate exactly the values cmp equates") {
+    // cross-family integral equality: 5L == 5.0 == 5.0f under cmp,
+    // so they MUST share one canonical hash
+    val l = FleetBloom.canonicalHash(5L)
+    assert(l == FleetBloom.canonicalHash(5.0))
+    assert(l == FleetBloom.canonicalHash(5.0f))
+    assert(l == FleetBloom.canonicalHash(java.lang.Integer.valueOf(5)))
+    // non-integral floats are cmp-distinct from every long
+    assert(FleetBloom.canonicalHash(5.5) != l && FleetBloom.canonicalHash(5.5).isDefined)
+    // temporal carriers: a Timestamp literal hashes as its µs long
+    val ts = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:30Z"))
+    val micros = 1704067230000000L
+    assert(FleetBloom.canonicalHash(ts) == FleetBloom.canonicalHash(micros))
+    // beyond 2^53, cmp's double comparison conflates neighbors — the
+    // hash must refuse rather than disagree
+    assert(FleetBloom.canonicalHash((1L << 53) + 1L).isEmpty)
+    assert(FleetBloom.canonicalHash(Double.NaN).isEmpty)
+    // strings only equal themselves
+    assert(FleetBloom.canonicalHash("a") != FleetBloom.canonicalHash("b"))
+    assert(FleetBloom.canonicalHash("a").get._1 == 's')
+  }
+
+  test("bloom builder poisons on cap overflow and unhashable values") {
+    val b = new FleetBloom.Builder
+    (0 until FleetBloom.MaxDistinct).foreach(i => b.observe(i.toLong))
+    assert(b.result().isDefined)
+    b.observe(999999L) // cap + 1 distinct → whole bloom dropped
+    assert(b.result().isEmpty)
+    val huge = new FleetBloom.Builder
+    huge.observe(1L)
+    huge.observe((1L << 60)) // unrepresentable → poison
+    assert(huge.result().isEmpty)
+    // duplicates do not count against the cap
+    val dup = new FleetBloom.Builder
+    (0 until 100000).foreach(i => dup.observe((i % 10).toLong))
+    val bf = dup.result()
+    assert(bf.isDefined)
+    (0 until 10).foreach { i =>
+      val Some((t, h1, h2)) = FleetBloom.canonicalHash(i.toLong): @unchecked
+      assert(bf.get.mightContain(h1, h2))
+    }
+  }
+
+  test("bloom sidecars prune point lookups min/max cannot") {
+    import spark.implicits._
+    val dir = tmp("bloom_v2") + "/t.avro"
+    // hash-distribute EVEN ids: every file spans ~the full id range,
+    // so bounds prove nothing inside it
+    spark.range(0, 2000).select(($"id" * 2).as("id"),
+        concat(lit("k"), $"id" * 2).as("s"))
+      .repartition(8, $"id")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val fleet = spark.read.format("graft-avro").load(dir)
+    assert(plannedParts(fleet.select($"id")) == 8)
+    // a PRESENT id: the bloom keeps the holder file (false positives
+    // may keep a couple more), and the row survives
+    val one = fleet.filter($"id" === 1234L)
+    assert(plannedParts(one) <= 3, "present-key lookup should plan few files")
+    assert(one.count() == 1)
+    // an id INSIDE [min,max] but absent (odd): bounds cannot skip —
+    // only the blooms can prove absence
+    val absent = fleet.filter($"id" === 1001L)
+    assert(plannedParts(absent) <= 1, "bloom must prune an in-range absent key")
+    assert(absent.count() == 0)
+    // same for strings inside the lexical range
+    val sAbsent = fleet.filter($"s" === "k1234x")
+    assert(plannedParts(sAbsent) <= 1)
+    assert(sAbsent.count() == 0)
+    // IN lookups: all-absent prunes everything; mixed keeps holders
+    val inAbsent = fleet.filter($"id".isin(1001L, 2003L))
+    assert(plannedParts(inAbsent) <= 2)
+    assert(inAbsent.count() == 0)
+    val inMixed = fleet.filter($"id".isin(8L, 1001L))
+    assert(inMixed.count() == 1)
+    // deleting the sidecar degrades to reading everything, same rows
+    localFs.delete(new Path(dir, FleetStats.FileName), false)
+    val un = spark.read.format("graft-avro").load(dir).filter($"id" === 1001L)
+    assert(plannedParts(un) == 8 && un.count() == 0)
   }
 
   test("compaction collapses a small-file fleet and restores skipping") {

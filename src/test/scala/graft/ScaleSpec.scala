@@ -169,6 +169,7 @@ class ScaleSpec extends SparkSpec {
       "q_scan_avro_filteragg" -> "writes scratch avro via the V2 writer (the sink IS the operator)",
       "q_scan_avro_topn" -> "writes scratch avro via the V2 writer (the sink IS the operator)",
       "q_scan_avro_skip_prefix" -> "writes scratch avro via the V2 writer (the sink IS the operator)",
+      "q_scan_avro_bloom" -> "writes scratch avro via the V2 writer (the sink IS the operator)",
       "q_scan_xlsx_fleet" -> "writes a scratch workbook fleet (the sink IS the operator)",
       "q_scan_xlsx_dist" -> "writes a scratch workbook fleet distributed (the sink IS the operator)",
       "q_sink_partitioned" -> "the partitioned write IS the operator",
