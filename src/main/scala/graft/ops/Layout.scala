@@ -19,7 +19,7 @@ import graft.util.Determinism._
   * Everything here is plain column algebra (shift/and/or — whole-stage
   * codegen'd, no UDF), one scalar-aggregate job for the normalization
   * bounds (broadcast back, never collected to literals inside the plan
-  * builder — the bounds frame is 1 row), one range-shuffle write. The
+  * builder — the bounds frame is 1 row), one bucketed-shuffle write. The
   * rewrite reads each row once and writes it once, the same cost shape
   * as a compaction pass; at 100 TB it would run per-partition
   * incrementally, but the per-file z-locality property proven by the
@@ -62,11 +62,19 @@ object Layout {
       .withColumn("zval", interleave16(
         norm16($"l_orderkey", $"ok_lo", $"ok_hi"),
         norm16($"l_partkey", $"pk_lo", $"pk_hi")))
-    z.repartitionByRange(8, $"zval")
-      .sortWithinPartitions($"zval")
-      .select(cols.map(col): _*)
-      .write.mode("overwrite").parquet(out)
-    s.read.parquet(out)
+      // bucket on the TOP 3 z-bits rather than repartitionByRange(zval):
+      // range boundaries are SAMPLED (seeded by RDD id — run-dependent)
+      // and land anywhere in z-space, so a file could straddle a
+      // dimension's bit boundary and cover both halves of that dim.
+      // Bit-aligned buckets make every file's extent provably bounded
+      // by its bucket's z-box (bits 31/30/29 = pk₁₅, ok₁₅, pk₁₄ → pk
+      // extent ≤ ¼ range, ok ≤ ½), deterministically on every run.
+      .withColumn("zbucket", shiftright($"zval", 29))
+    z.repartition(8, $"zbucket")
+      .sortWithinPartitions($"zbucket", $"zval")
+      .select((cols :+ "zbucket").map(col): _*)
+      .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+    s.read.parquet(out).select(cols.map(col): _*)
   }
 
   /** §2-extension Z-ORDER rewrite + 2-D box scan: cluster lineitem on
