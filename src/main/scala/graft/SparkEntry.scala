@@ -20,7 +20,8 @@ object SparkEntry {
       Windows.queries ++ Scalars.queries ++ LlmOps.queries ++
       TextOps.queries ++ Multimodal.queries ++ DedupAdvanced.queries ++
       graft.streaming.StreamingOps.queries ++ Crud.queries ++
-      Pipeline.queries ++ TrainPrep.queries ++ Layout.queries
+      Pipeline.queries ++ TrainPrep.queries ++ Layout.queries ++
+      GraphOps.queries ++ IncrementalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       Windows.oracleSql ++ Scalars.oracleSql ++ LlmOps.oracleSql ++
       TextOps.oracleSql ++ Multimodal.oracleSql ++ DedupAdvanced.oracleSql ++
       graft.streaming.StreamingOps.oracleSql ++ Crud.oracleSql ++
-      Pipeline.oracleSql ++ TrainPrep.oracleSql ++ Layout.oracleSql
+      Pipeline.oracleSql ++ TrainPrep.oracleSql ++ Layout.oracleSql ++
+      GraphOps.oracleSql ++ IncrementalOps.oracleSql
 }

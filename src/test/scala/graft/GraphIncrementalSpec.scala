@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Aggregates, GraphOps, IncrementalOps, Relational}
+
+/** Specs for the round-13 additions: graph analytics, incremental
+  * dedup against the persisted fingerprint store, the single-pass
+  * constraint suite, and the two-phase salted aggregation. */
+class GraphIncrementalSpec extends SparkSpec {
+
+  test("pagerank conserves rank mass and spreads on the irregular graph") {
+    import spark.implicits._
+    val pr = GraphOps.qGraphPagerank(spark, sfDir)
+    // EXACT mass conservation in the integer formulation: Σ rank = 1
+    // per iteration ⇒ Σ rank_scaled = N·120³ precisely — any
+    // contribution loss or double-count breaks the equality
+    val n = graft.util.Tables.documents(spark, sfDir).count()
+    val total = pr.agg(sum($"rank_scaled")).collect()(0).getLong(0)
+    assert(total == n * 1728000L,
+      s"rank mass $total != ${n * 1728000L} — contribution loss or double-count")
+    // ranks spread: the graph's in-degrees are irregular, so ranks
+    // must differ across nodes (a degenerate all-equal result means
+    // contributions never flowed)
+    assert(pr.select($"rank_scaled").distinct().count() > 1)
+  }
+
+  test("triangle census satisfies the handshake bounds") {
+    val row = GraphOps.qGraphTriangles(spark, sfDir).collect()(0)
+    val (nodes, edges, wedges, tris) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(edges > 0 && edges <= 3 * nodes, "out-degree 3 bounds edges")
+    assert(tris <= wedges, "every triangle closes a wedge")
+    val clustering = row.getDouble(4)
+    assert(clustering >= 0.0 && clustering <= 3.0)
+  }
+
+  test("incremental dedup admits exactly the store-absent batch winners") {
+    import spark.implicits._
+    val admitted = IncrementalOps.qDedupIncremental(spark, sfDir)
+    // admitted docs are all from the new batch
+    assert(admitted.filter(pmod($"doc_id", lit(4)) =!= 0).count() == 0)
+    // no two admitted docs share a hash (in-batch winner-pick held)
+    assert(admitted.groupBy($"content_hash").count()
+      .filter($"count" > 1).count() == 0)
+    // nothing admitted exists in the store (anti-join held)
+    val store = IncrementalOps.fingerprintStore(spark, sfDir)
+    assert(admitted.join(store, Seq("content_hash"), "left_semi").count() == 0)
+  }
+
+  test("fingerprint store materializes once per fixture generation") {
+    val p1 = IncrementalOps.fingerprintStore(spark, sfDir)
+      .inputFiles.toSeq.sorted
+    val p2 = IncrementalOps.fingerprintStore(spark, sfDir)
+      .inputFiles.toSeq.sorted
+    assert(p1.nonEmpty && p1 == p2,
+      "second call must serve the same persisted store files")
+  }
+
+  test("constraint suite reports the fixture's real pass/fail pattern") {
+    import spark.implicits._
+    val res = Relational.qQualityConstraints(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(res.size == 6)
+    // the fixture genuinely satisfies these five...
+    for (c <- Seq("completeness_l_shipdate", "domain_l_returnflag",
+        "range_l_discount", "range_l_quantity", "size_min_1000"))
+      assert(res(c)._2, s"$c unexpectedly failed: ${res(c)}")
+    // ...and genuinely VIOLATES key uniqueness (duplicate
+    // (l_orderkey, l_linenumber) pairs exist by construction) — the
+    // suite must report the failure, not paper over it
+    val (ratio, passed) = res("unique_l_orderkey_l_linenumber")
+    assert(!passed && ratio < 1.0,
+      s"uniqueness should fail on this fixture, got ratio=$ratio")
+  }
+
+  test("two-phase salted agg equals the direct groupBy and carries two exchanges") {
+    import spark.implicits._
+    val salted = Aggregates.qAggSkewTwophase(spark, sfDir)
+    val direct = graft.util.Tables.lineitem(spark, sfDir)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 4).as("sum_qty"),
+        count(lit(1)).as("n_rows"),
+        round(sum($"l_quantity") / count(lit(1)), 4).as("avg_qty"),
+        round(min($"l_extendedprice"), 4).as("min_price"),
+        round(max($"l_extendedprice"), 4).as("max_price"))
+      .orderBy($"l_returnflag")
+    assert(salted.collect().toSeq == direct.collect().toSeq,
+      "salting must not change the aggregate result")
+    // string-match the AQE initial plan (AdaptiveSparkPlanExec holds
+    // its input plan as a field, not a child — collect{} can't descend)
+    val plan = salted.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges >= 2,
+      s"two-phase agg must shuffle on (key, salt) then on key:\n$plan")
+  }
+}
