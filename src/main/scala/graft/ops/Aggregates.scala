@@ -36,6 +36,40 @@ object Aggregates {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** §2.D two-phase SALTED aggregation — the hand-rolled skew escape
+    * hatch for when one group key carries a disproportionate share of a
+    * 100 TB table (here `l_returnflag`: 3 values over 600k rows at
+    * sf0.1, a genuinely hot key). Phase 1 groups by (key, salt) so the
+    * hot key's rows spread across 16 reducers; phase 2 re-groups by key
+    * to combine the decomposable partials (sum/count/min/max combine
+    * losslessly; avg is derived as sum/count at the END — averaging
+    * partial averages would be wrong under uneven salt buckets). The
+    * result is bit-identical to the direct groupBy under the r4
+    * rounding discipline, which is exactly the point: the oracle IS the
+    * unsalted formulation. Spark's own map-side partial aggregation
+    * already gives much of this for free — the explicit salt matters
+    * when partial aggregation is defeated (high-cardinality composite
+    * aggregates, `collect_list`, exact distinct), and AQE skew handling
+    * only covers joins, not aggregations. */
+  def qAggSkewTwophase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .groupBy($"l_returnflag", pmod($"l_orderkey", lit(16)).as("salt"))
+      .agg(
+        sum($"l_quantity").as("p_qty"),
+        count(lit(1)).as("p_n"),
+        min($"l_extendedprice").as("p_min"),
+        max($"l_extendedprice").as("p_max"))
+      .groupBy($"l_returnflag")
+      .agg(
+        r4(sum($"p_qty")).as("sum_qty"),
+        sum($"p_n").as("n_rows"),
+        r4(sum($"p_qty") / sum($"p_n")).as("avg_qty"),
+        r4(min($"p_min")).as("min_price"),
+        r4(max($"p_max")).as("max_price"))
+      .orderBy($"l_returnflag")
+  }
+
   /** §2.D ungrouped (global) aggregates — single-row output. */
   def qAggGlobal(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -289,6 +323,7 @@ object Aggregates {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> qAggGroup _,
+    "q_agg_skew_twophase" -> qAggSkewTwophase _,
     "q_agg_global" -> qAggGlobal _,
     "q_agg_distinct" -> qAggDistinct _,
     "q_agg_approx_distinct" -> qAggApproxDistinct _,
@@ -321,6 +356,16 @@ object Aggregates {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_skew_twophase" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  count(*) AS n_rows,
+        |  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+        |  round(min(l_extendedprice), 4) AS min_price,
+        |  round(max(l_extendedprice), 4) AS max_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_agg_global" ->
       """SELECT count(*) AS n_rows,
         |  round(sum(l_extendedprice), 4) AS sum_price,

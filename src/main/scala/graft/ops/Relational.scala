@@ -551,6 +551,38 @@ object Relational {
       .orderBy($"col_name")
   }
 
+  /** §1.1 data-quality constraint suite (Deequ-style validation — the
+    * gate a 100 TB ingest runs before publishing a snapshot): declared
+    * expectations (minimum size, completeness, key uniqueness, numeric
+    * ranges, value domain) evaluated in ONE aggregate over ONE scan —
+    * violations are counted with conditional sums inside the same
+    * aggregation, never one pass per constraint, so checking 6 or 60
+    * constraints costs a single job. The uniqueness check is the only
+    * exact-distinct (Expand) participant; swap it for
+    * `approx_count_distinct` when an HLL bound suffices. Output is one
+    * row per constraint: (constraint_name, metric, passed). */
+  def qQualityConstraints(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    lineitem(s, dir)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count($"l_shipdate").as("sd_nn"),
+        countDistinct(struct($"l_orderkey", $"l_linenumber")).as("key_nd"),
+        sum(when($"l_quantity".between(1, 50), 0).otherwise(1)).as("qty_bad"),
+        sum(when($"l_discount".between(0.0, 0.1), 0).otherwise(1)).as("disc_bad"),
+        sum(when($"l_returnflag".isin("A", "N", "R"), 0).otherwise(1)).as("rf_bad"))
+      .select(expr(
+        """stack(6,
+          |  'completeness_l_shipdate', round(sd_nn / CAST(n_rows AS DOUBLE), 6), sd_nn = n_rows,
+          |  'domain_l_returnflag',     CAST(rf_bad AS DOUBLE),                   rf_bad = 0,
+          |  'range_l_discount',        CAST(disc_bad AS DOUBLE),                 disc_bad = 0,
+          |  'range_l_quantity',        CAST(qty_bad AS DOUBLE),                  qty_bad = 0,
+          |  'size_min_1000',           CAST(n_rows AS DOUBLE),                   n_rows >= 1000,
+          |  'unique_l_orderkey_l_linenumber', round(key_nd / CAST(n_rows AS DOUBLE), 6), key_nd = n_rows
+          |) AS (constraint_name, metric, passed)""".stripMargin))
+      .orderBy($"constraint_name")
+  }
+
   /** §2.B select / derive / rename (reference: column access + computed cells). */
   def qProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -721,6 +753,7 @@ object Relational {
     "q_sink_partitioned" -> qSinkPartitioned _,
     "q_catalog_tables" -> qCatalogTables _,
     "q_profile_table" -> qProfileTable _,
+    "q_quality_constraints" -> qQualityConstraints _,
     "q_project" -> qProject _,
     "q_filter_point" -> qFilterPoint _,
     "q_filter_compound" -> qFilterCompound _,
@@ -873,6 +906,31 @@ object Relational {
         |  SELECT 'l_shipdate', n_rows, n_rows - sd_nn, sd_nd, sd_min, sd_max
         |  FROM a)
         |ORDER BY col_name""".stripMargin,
+    "q_quality_constraints" ->
+      """WITH a AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(l_shipdate) AS sd_nn,
+        |    count(DISTINCT (l_orderkey, l_linenumber)) AS key_nd,
+        |    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS qty_bad,
+        |    sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END) AS disc_bad,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS rf_bad
+        |  FROM lineitem)
+        |SELECT constraint_name, metric, passed FROM (
+        |  SELECT 'completeness_l_shipdate' AS constraint_name,
+        |    round(sd_nn / CAST(n_rows AS DOUBLE), 6) AS metric,
+        |    sd_nn = n_rows AS passed FROM a
+        |  UNION ALL
+        |  SELECT 'domain_l_returnflag', CAST(rf_bad AS DOUBLE), rf_bad = 0 FROM a
+        |  UNION ALL
+        |  SELECT 'range_l_discount', CAST(disc_bad AS DOUBLE), disc_bad = 0 FROM a
+        |  UNION ALL
+        |  SELECT 'range_l_quantity', CAST(qty_bad AS DOUBLE), qty_bad = 0 FROM a
+        |  UNION ALL
+        |  SELECT 'size_min_1000', CAST(n_rows AS DOUBLE), n_rows >= 1000 FROM a
+        |  UNION ALL
+        |  SELECT 'unique_l_orderkey_l_linenumber',
+        |    round(key_nd / CAST(n_rows AS DOUBLE), 6), key_nd = n_rows FROM a)
+        |ORDER BY constraint_name""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 4) AS sum_price

@@ -184,6 +184,7 @@ class ScaleSpec extends SparkSpec {
       "q_sim_ann_ivf" -> "materializes the IVF index (once per JVM)",
       "q_sim_ann_ivf_batch" -> "materializes the IVF index (once per JVM)",
       "q_dedup_semantic" -> "materializes the IVF index (once per JVM)",
+      "q_dedup_incremental" -> "materializes the fingerprint store (once per JVM)",
       // layout/maintenance passes: the rewrite IS the operator
       "q_fleet_compact" -> "writes + compacts a scratch fleet (the rewrite IS the operator)",
       "q_scan_avro_evolve" -> "writes a two-generation scratch fleet (the sink IS the operator)",
@@ -196,6 +197,7 @@ class ScaleSpec extends SparkSpec {
       "q_stream_session_replay" -> "runs a streaming query",
       "q_stream_enrich_replay" -> "runs a streaming query",
       "q_stream_dedup_replay" -> "runs a streaming query",
+      "q_stream_fleet_sink" -> "runs a streaming query (the fleet sink IS the operator)",
       // MLlib fit() is an action by contract
       "q_dedup_minhash" -> "MinHashLSH.fit", "q_sim_knn_lsh" -> "BRP-LSH fit")
     // `spark.read.parquet` itself runs a small footer/schema-inference
