@@ -390,8 +390,61 @@ object StreamingOps {
       .orderBy($"user_id", $"session_id")
   }
 
+  /** §2.I streaming SINK into an avro fleet — the production landing
+    * path: a stream's micro-batches appended to a table-like fleet
+    * directory with EXACTLY-ONCE semantics. Each micro-batch writes via
+    * `foreachBatch` + the V2 `graft-avro` writer in `overwrite` mode
+    * into a batchId-derived subdirectory, so a batch REPLAYED after a
+    * crash (same batchId — Spark's offset-log contract) overwrites its
+    * own output instead of duplicating rows: idempotence via
+    * deterministic placement, the same recipe Delta/Iceberg sinks use
+    * with (appId, batchId) txn markers. The read-back aggregates the
+    * whole fleet and the oracle is the same aggregate over the SOURCE
+    * table — a dropped batch, duplicated batch, or partial-batch commit
+    * all hash-mismatch.
+    *
+    * Scale: each micro-batch write is a normal distributed V2 commit
+    * (attempt temps, rename-if-absent, `_SUCCESS` last) and the sink
+    * accumulates subdirectories per batch — at 100 TB the follow-up is
+    * the existing `q_fleet_compact` pass folding small batch dirs into
+    * right-sized files; nothing here serializes through the driver. */
+  def qStreamFleetSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("stream_fleet_sink")
+    // deterministic re-runs within one JVM: clear prior batch dirs so a
+    // bench warm lap can't read a stale batch count (the idempotent
+    // REPLAY-overwrite path is pinned separately in StreamingSpec)
+    graft.util.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "q").toString
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = eventsStream(s2, dir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.write.format("graft-avro").mode("overwrite")
+          .save(s"$root/batch_$batchId.avro")
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.util.Scratch.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .filter(_.isDirectory).map(_.getPath.toString).sorted
+    batchDirs.map(p => s.read.format("graft-avro").load(p))
+      .reduce(_ unionByName _)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_batch_tumbling" -> qBatchTumbling _,
+    "q_stream_fleet_sink" -> qStreamFleetSink _,
     "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
     "q_stream_sliding_replay" -> qStreamSlidingReplay _,
     "q_stream_join_replay" -> qStreamJoinReplay _,
@@ -402,6 +455,9 @@ object StreamingOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_stream_fleet_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_batch_tumbling" ->
       """SELECT strftime(time_bucket(INTERVAL '10 minutes', ts),
         |    '%Y-%m-%d %H:%M:%S') AS bucket,

@@ -295,4 +295,21 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batchNorm,
       s"stream/batch disagree: only-stream=${stream -- batchNorm} only-batch=${batchNorm -- stream}")
   }
+
+  test("fleet sink replays idempotently: a re-written batchId does not duplicate") {
+    import spark.implicits._
+    // the exactly-once recipe under a simulated post-crash replay: the
+    // SAME micro-batch written twice to its batchId-derived dir (what a
+    // restarted query does after committing offsets but before marking
+    // the batch done) must leave exactly one copy
+    val root = graft.util.Scratch.dir("fleet_sink_replay_spec")
+    val batch = graft.util.Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"event_type", $"value")
+    val n = batch.count()
+    batch.write.format("graft-avro").mode("overwrite").save(s"$root/batch_7.avro")
+    batch.write.format("graft-avro").mode("overwrite").save(s"$root/batch_7.avro")
+    val got = spark.read.format("graft-avro").load(s"$root/batch_7.avro")
+    assert(got.count() == n, "replayed batch must overwrite, not append")
+    assert(got.select("event_id").distinct().count() == n)
+  }
 }
