@@ -247,6 +247,54 @@ object Joins {
       .orderBy($"purchase_id")
   }
 
+  /** §2.C NEAREST-direction as-of join: each purchase attributed to the
+    * user's click closest in time in EITHER direction (tie → the
+    * earlier, at-or-before click). Completes the as-of family
+    * (backward = `q_join_asof`, backward+tolerance =
+    * `q_join_asof_tolerance`). Same union-tag core, ONE shuffle on
+    * user_id: the backward candidate rides the running-last frame and
+    * the forward candidate the mirrored first-following frame — both
+    * windows share the single (ts, tag, click_id) partition sort, so
+    * adding the second direction costs no extra exchange. Clicks sort
+    * before purchases at equal ts, which puts an equal-ts click in the
+    * BACKWARD frame only — distance 0, always wins, matching the
+    * oracle's tie CASE. Same (user_id, ts)-uniqueness precondition as
+    * `q_join_asof` (DuckDB ASOF breaks exact-ts ties arbitrarily). */
+  def qJoinAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = events(s, dir)
+    val tagged = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"), lit(0).as("tag"),
+        lit(null).cast("long").as("purchase_id"))
+      .unionByName(
+        e.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", lit(null).cast("long").as("click_id"),
+            lit(1).as("tag"), $"event_id".as("purchase_id")))
+    val ord = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"tag", $"click_id".asc_nulls_last)
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // distances in exact MICROSECONDS (events carry sub-second ts;
+    // second-floored arithmetic mis-ranks the two directions and
+    // drifts ±1 s against the oracle's epoch math)
+    val tsUs = unix_micros($"ts")
+    tagged
+      .withColumn("b_id", last($"click_id", ignoreNulls = true).over(wB))
+      .withColumn("b_us",
+        last(when($"tag" === 0, tsUs), ignoreNulls = true).over(wB))
+      .withColumn("f_id", first($"click_id", ignoreNulls = true).over(wF))
+      .withColumn("f_us",
+        first(when($"tag" === 0, tsUs), ignoreNulls = true).over(wF))
+      .filter($"tag" === 1)
+      .withColumn("pick_b",
+        $"f_id".isNull ||
+          ($"b_id".isNotNull && (tsUs - $"b_us") <= ($"f_us" - tsUs)))
+      .select($"purchase_id", $"user_id", tstr($"ts").as("purchase_ts"),
+        when($"pick_b", $"b_id").otherwise($"f_id").as("nearest_click_id"),
+        when($"pick_b", tsUs - $"b_us").otherwise($"f_us" - tsUs).as("dist_us"))
+      .orderBy($"purchase_id")
+  }
+
   /** §2.C interval join: events of the same user within 1 hour after each
     * signup. Equi key (user_id) + range predicate → keyed join, not a
     * cartesian. */
@@ -316,6 +364,7 @@ object Joins {
     "q_join_skew_salted" -> qJoinSkewSalted _,
     "q_join_asof" -> qJoinAsof _,
     "q_join_asof_tolerance" -> qJoinAsofTolerance _,
+    "q_join_asof_nearest" -> qJoinAsofNearest _,
     "q_join_interval" -> qJoinInterval _
   )
 
@@ -400,6 +449,33 @@ object Joins {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
+    // backward via ASOF >=, forward via ASOF <=; the CASE mirrors the
+    // Spark tie-break (equal distance → the at-or-before click)
+    "q_join_asof_nearest" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |b AS (SELECT p.event_id AS pid, p.user_id, p.ts AS pts,
+        |        c.event_id AS bid, c.ts AS bts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.event_id AS pid, c.event_id AS fid, c.ts AS fts
+        |      FROM p ASOF LEFT JOIN c
+        |        ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.pid AS purchase_id, b.user_id,
+        |  strftime(b.pts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  CASE WHEN f.fid IS NULL THEN b.bid
+        |       WHEN b.bid IS NOT NULL
+        |            AND epoch_us(b.pts) - epoch_us(b.bts)
+        |                <= epoch_us(f.fts) - epoch_us(b.pts) THEN b.bid
+        |       ELSE f.fid END AS nearest_click_id,
+        |  CASE WHEN f.fid IS NULL THEN epoch_us(b.pts) - epoch_us(b.bts)
+        |       WHEN b.bid IS NOT NULL
+        |            AND epoch_us(b.pts) - epoch_us(b.bts)
+        |                <= epoch_us(f.fts) - epoch_us(b.pts)
+        |       THEN epoch_us(b.pts) - epoch_us(b.bts)
+        |       ELSE epoch_us(f.fts) - epoch_us(b.pts) END AS dist_us
+        |FROM b JOIN f ON b.pid = f.pid
         |ORDER BY purchase_id""".stripMargin,
     "q_join_interval" ->
       """SELECT s.event_id AS signup_id, count(*) AS n_follow,

@@ -86,10 +86,40 @@ object Pipeline {
         |ORDER BY region, nation""".stripMargin)
   }
 
+  /** TPC-H Q3-shaped shipping-priority pipeline in the DSL (the SQL
+    * twin of this shape is `q_sql_revenue`): a selective dimension
+    * filter (one market segment ≈ 1/5 of customers), two date windows,
+    * a 3-table join, revenue aggregation per order, top-10. The
+    * Catalyst showcase: both filters reach their parquet scans
+    * (PushedFilters), the customer side joins broadcast (post-filter
+    * it is small), join reorder keys off the selective dimension, and
+    * the top-10 lowers to TakeOrderedAndProject — no global sort of
+    * the aggregate. */
+  def qSqlShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cutoff = lit("1998-06-15").cast("timestamp")
+    val cust = customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ords = orders(s, dir).filter($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = lineitem(s, dir).filter($"l_shipdate" > cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ords, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(r4(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+        .as("revenue"))
+      .select($"o_orderkey", $"revenue", dstr($"o_orderdate").as("order_date"),
+        $"o_orderpriority")
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pipeline_trainset" -> qPipelineTrainset _,
     "q_pipeline_funnel" -> qPipelineFunnel _,
-    "q_sql_revenue" -> qSqlRevenue _
+    "q_sql_revenue" -> qSqlRevenue _,
+    "q_sql_shipping_priority" -> qSqlShippingPriority _
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -133,6 +163,20 @@ object Pipeline {
         |  coalesce(conv.n_conversions, 0) > 0 AS converted
         |FROM totals t LEFT JOIN conv ON t.user_id = conv.user_id
         |ORDER BY t.user_id""".stripMargin,
+    "q_sql_shipping_priority" ->
+      """SELECT l.l_orderkey AS o_orderkey,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o.o_orderpriority
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-15'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-15'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
     "q_sql_revenue" ->
       """SELECT r.r_name AS region, n.n_name AS nation,
         |  round(sum(o.o_totalprice), 4) AS revenue,

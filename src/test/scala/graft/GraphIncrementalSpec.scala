@@ -73,6 +73,40 @@ class GraphIncrementalSpec extends SparkSpec {
       s"uniqueness should fail on this fixture, got ratio=$ratio")
   }
 
+  test("nearest as-of picks the minimum-distance direction with backward ties") {
+    import spark.implicits._
+    val near = graft.ops.Joins.qJoinAsofNearest(spark, sfDir)
+    // reconstruct both directional candidates independently and verify
+    // minimality: dist_us must equal min(backward, forward) per purchase
+    val e = graft.util.Tables.events(spark, sfDir)
+    val p = e.filter($"event_type" === "purchase")
+      .select($"event_id".as("pid"), $"user_id".as("pu"),
+        unix_micros($"ts").as("pus"))
+    val c = e.filter($"event_type" === "click")
+      .select($"user_id".as("cu"), unix_micros($"ts").as("cus"))
+    val best = p.join(c, $"pu" === $"cu", "left")
+      .groupBy($"pid")
+      .agg(min(abs($"cus" - $"pus")).as("best_dist"))
+    val bad = near.join(best, $"purchase_id" === $"pid")
+      .filter($"dist_us" =!= $"best_dist" ||
+        ($"dist_us".isNull =!= $"best_dist".isNull))
+      .count()
+    assert(bad == 0, s"$bad purchases picked a non-minimal click")
+  }
+
+  test("shipping-priority plan pushes filters, broadcasts the dim, and TakeOrders the top-10") {
+    val df = graft.ops.Pipeline.qSqlShippingPriority(spark, sfDir)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must not globally sort:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the filtered customer dim must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)")
+      || plan.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"the segment filter must reach the customer scan:\n$plan")
+  }
+
   test("two-phase salted agg equals the direct groupBy and carries two exchanges") {
     import spark.implicits._
     val salted = Aggregates.qAggSkewTwophase(spark, sfDir)
