@@ -111,10 +111,60 @@ object Crud {
       .orderBy($"c_custkey", $"version")
   }
 
+  /** Multi-clause MERGE (the Delta/Iceberg `MERGE INTO` workhorse, one
+    * step past upsert): a single source feed carrying per-row ops is
+    * applied to the base in ONE pass —
+    *   WHEN MATCHED AND op='D'  → delete
+    *   WHEN MATCHED AND op='U'  → update
+    *   WHEN NOT MATCHED AND op='I' → insert
+    * (unmatched U/D feed rows are no-ops, matching SQL MERGE). The
+    * dataflow is one full-outer join on the key plus a row-level CASE —
+    * exactly what a transactional table format executes logically
+    * before rewriting touched files; at 100 TB both sides shuffle on
+    * the key once (or co-locate via the bucketed layout, see
+    * `q_join_bucketed`), never a per-clause pass. The feed is derived
+    * deterministically from the fixture with disjoint key ranges so
+    * each key sees at most one op. */
+  def qCrudMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = customer(s, dir)
+      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
+    val cust = customer(s, dir)
+    val feed = cust.filter($"c_custkey" < 50)
+      .select($"c_custkey".as("k"), lit("D").as("op"),
+        lit(null).cast("string").as("new_name"),
+        lit(null).cast("double").as("new_bal"))
+      .unionByName(cust.filter($"c_custkey" >= 50 && $"c_custkey" < 150)
+        .select($"c_custkey".as("k"), lit("U").as("op"),
+          $"c_name".as("new_name"), r4($"c_acctbal" * 2.0).as("new_bal")))
+      .unionByName(cust.filter($"c_custkey" < 20)
+        .select(($"c_custkey" + 200000).as("k"), lit("I").as("op"),
+          concat(lit("Merged#"), $"c_custkey").as("new_name"),
+          r4(lit(10.0)).as("new_bal")))
+    base.join(feed, $"c_custkey" === $"k", "full_outer")
+      // matched delete — 3VL-safe: a base row with NO feed match has
+      // op = NULL, and !(true && NULL) = NULL would silently drop it
+      .filter($"c_custkey".isNull || $"op".isNull || $"op" =!= "D")
+      .filter($"c_custkey".isNotNull || $"op" === "I") // unmatched U/D no-op
+      .select(
+        coalesce($"c_custkey", $"k").as("c_custkey"),
+        when($"c_custkey".isNotNull && $"op" === "U", $"new_name")
+          .when($"c_custkey".isNull, $"new_name")
+          .otherwise($"c_name").as("c_name"),
+        when($"c_custkey".isNotNull && $"op" === "U", $"new_bal")
+          .when($"c_custkey".isNull, $"new_bal")
+          .otherwise($"c_acctbal").as("c_acctbal"),
+        when($"c_custkey".isNull, lit("inserted"))
+          .when($"op" === "U", lit("updated"))
+          .otherwise(lit("kept")).as("action"))
+      .orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
     "q_crud_upsert" -> qCrudUpsert _,
+    "q_crud_merge" -> qCrudMerge _,
     "q_cdc_scd2" -> qCdcScd2 _
   )
 
@@ -148,6 +198,34 @@ object Crud {
         |        (PARTITION BY c_custkey ORDER BY is_update DESC) AS rn
         |      FROM (SELECT * FROM base UNION ALL SELECT * FROM updates))
         |WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+    "q_crud_merge" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |  FROM customer),
+        |feed AS (
+        |  SELECT c_custkey AS k, 'D' AS op,
+        |    CAST(NULL AS VARCHAR) AS new_name, CAST(NULL AS DOUBLE) AS new_bal
+        |  FROM customer WHERE c_custkey < 50
+        |  UNION ALL
+        |  SELECT c_custkey, 'U', c_name, round(c_acctbal * 2.0, 4)
+        |  FROM customer WHERE c_custkey >= 50 AND c_custkey < 150
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, 'I', 'Merged#' || c_custkey, round(10.0, 4)
+        |  FROM customer WHERE c_custkey < 20)
+        |SELECT coalesce(b.c_custkey, f.k) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NOT NULL AND f.op = 'U' THEN f.new_name
+        |       WHEN b.c_custkey IS NULL THEN f.new_name
+        |       ELSE b.c_name END AS c_name,
+        |  CASE WHEN b.c_custkey IS NOT NULL AND f.op = 'U' THEN f.new_bal
+        |       WHEN b.c_custkey IS NULL THEN f.new_bal
+        |       ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN b.c_custkey IS NULL THEN 'inserted'
+        |       WHEN f.op = 'U' THEN 'updated'
+        |       ELSE 'kept' END AS action
+        |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.k
+        |WHERE (b.c_custkey IS NULL OR f.op IS NULL OR f.op <> 'D')
+        |  AND (b.c_custkey IS NOT NULL OR f.op = 'I')
         |ORDER BY c_custkey""".stripMargin,
     "q_cdc_scd2" ->
       """WITH ch AS (

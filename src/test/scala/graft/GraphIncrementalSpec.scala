@@ -73,6 +73,31 @@ class GraphIncrementalSpec extends SparkSpec {
       s"uniqueness should fail on this fixture, got ratio=$ratio")
   }
 
+  test("merge applies delete/update/insert clauses with unmatched no-ops") {
+    import spark.implicits._
+    val merged = graft.ops.Crud.qCrudMerge(spark, sfDir).cache()
+    val base = graft.util.Tables.customer(spark, sfDir)
+    // matched deletes: no key < 50 survives
+    assert(merged.filter($"c_custkey" < 50).count() == 0)
+    // matched updates: every surviving 50..149 key is doubled
+    val upd = merged.filter($"c_custkey" >= 50 && $"c_custkey" < 150)
+      .join(base, Seq("c_custkey"))
+    assert(upd.filter(merged("action") =!= "updated").count() == 0)
+    assert(upd.filter(
+      merged("c_acctbal") =!= round(base("c_acctbal") * 2.0, 4)).count() == 0)
+    // inserts land under fresh keys with the feed's values
+    val ins = merged.filter($"c_custkey" >= 200000)
+    assert(ins.count() == base.filter($"c_custkey" < 20).count())
+    assert(ins.filter($"action" =!= "inserted" || $"c_acctbal" =!= 10.0)
+      .count() == 0)
+    // everything else is untouched
+    assert(merged.filter($"action" === "kept")
+      .join(base, Seq("c_custkey"))
+      .filter(merged("c_acctbal") =!= round(base("c_acctbal"), 4))
+      .count() == 0)
+    merged.unpersist()
+  }
+
   test("nearest as-of picks the minimum-distance direction with backward ties") {
     import spark.implicits._
     val near = graft.ops.Joins.qJoinAsofNearest(spark, sfDir)
