@@ -185,14 +185,63 @@ object DedupAdvanced {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** §2.J FUZZY (edit-distance) entity matching — the name-resolution
+    * step of record linkage, built the way it scales: (1) collapse rows
+    * to the DISTINCT-NAME DICTIONARY first (a fuzzy join over raw rows
+    * squares duplicate-heavy data — this fixture has ~600 copies of
+    * some part names, 3.1M within-block row pairs at sf0.1 vs a few
+    * hundred dictionary pairs); (2) block dictionary entries on a
+    * cheap deterministic key (the name's last word) so candidate
+    * generation is an equi-join, never a cartesian; (3) score only
+    * within blocks with codegen'd `levenshtein`. Output: matched name
+    * pairs with their row multiplicities — what an MDM pipeline feeds
+    * to a reviewer or a cluster resolver (`q_dedup_clusters` downstream
+    * if transitive closure is wanted). Exact same semantics in DuckDB
+    * (its levenshtein agrees on these ASCII names), so fully
+    * oracle-checked. */
+  def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = part(s, dir)
+      .groupBy($"p_name").agg(
+        count(lit(1)).as("n_rows"),
+        min($"p_partkey").as("repr_key"))
+      .withColumn("noun", element_at(split($"p_name", " "), -1))
+    val a = names.select($"p_name".as("name_a"), $"n_rows".as("n_a"),
+      $"repr_key".as("key_a"), $"noun")
+    val b = names.select($"p_name".as("name_b"), $"n_rows".as("n_b"),
+      $"repr_key".as("key_b"), $"noun".as("noun_b"))
+    a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b")
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 3)
+      .select($"name_a", $"name_b", $"n_a", $"n_b", $"key_a", $"key_b",
+        $"dist".cast("long").as("dist"))
+      .orderBy($"name_a", $"name_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_minhash_native" -> qDedupMinhashNative _,
     "q_dedup_simhash" -> qDedupSimhash _,
-    "q_dedup_simhash_pairs" -> qDedupSimhashPairs _
+    "q_dedup_simhash_pairs" -> qDedupSimhashPairs _,
+    "q_dedup_fuzzy" -> qDedupFuzzy _
   )
 
-  /** Intentionally empty: hash-model-dependent ops get the driver's
-    * rows-only check (SparkEntry.scala contract) + ScalaTest coverage. */
-  val oracleSql: Map[String, String] = Map()
+  /** Hash-model-dependent ops get the driver's rows-only check
+    * (SparkEntry.scala contract) + ScalaTest coverage; the fuzzy
+    * matcher is engine-neutral and carries a full oracle. */
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_fuzzy" ->
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_rows, min(p_partkey) AS repr_key,
+        |    split_part(p_name, ' ', -1) AS noun
+        |  FROM part GROUP BY p_name)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  a.n_rows AS n_a, b.n_rows AS n_b,
+        |  a.repr_key AS key_a, b.repr_key AS key_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin
+  )
 }

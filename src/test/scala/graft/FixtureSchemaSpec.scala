@@ -120,5 +120,15 @@ class FixtureSchemaSpec extends SparkSpec {
       "nation keys are int32; join keys cast explicitly where mixed")
     assert(dt(Tables.nation(spark, dir), "n_nationkey") == IntegerType)
     assert(dt(Tables.region(spark, dir), "r_regionkey") == IntegerType)
+    // r13 second-wave reliances: the shipping-priority pipeline filters
+    // on c_mktsegment and groups by o_orderpriority; the fuzzy matcher
+    // blocks on p_name's last word (multi-word names)
+    assert(dt(c, "c_mktsegment") == StringType)
+    assert(dt(o, "o_orderpriority") == StringType)
+    val p = Tables.part(spark, dir)
+    assert(dt(p, "p_name") == StringType)
+    import org.apache.spark.sql.functions._
+    assert(p.filter(size(split(col("p_name"), " ")) < 2).count() == 0,
+      "p_name must stay multi-word (fuzzy blocking keys off the last word)")
   }
 }
