@@ -132,6 +132,42 @@ class GraphIncrementalSpec extends SparkSpec {
       s"the segment filter must reach the customer scan:\n$plan")
   }
 
+  test("Catalyst injects a runtime bloom filter on a selective shuffle join") {
+    import spark.implicits._
+    // the 100 TB posture for fact-to-filtered-dim SHUFFLE joins (when
+    // the dim outgrows broadcast): InjectRuntimeFilter builds a bloom
+    // of the filtered creation side and semi-filters the fact scan
+    // before the shuffle. Thresholds are sized for clusters, so pin
+    // them down to fixture scale for the assertion.
+    val keep = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val dim = graft.util.Tables.orders(spark, sfDir)
+        .filter($"o_totalprice" < 1000.0).select($"o_orderkey")
+      val fact = graft.util.Tables.lineitem(spark, sfDir)
+        .select($"l_orderkey", $"l_quantity")
+      val joined = fact.join(dim, $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") || plan.contains("BloomFilter"),
+        s"expected an injected runtime bloom filter:\n$plan")
+      // and it must not change results vs the un-filtered plan
+      assert(joined.count() ==
+        fact.join(dim.hint("broadcast"), $"l_orderkey" === $"o_orderkey").count())
+    } finally keep.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("two-phase salted agg equals the direct groupBy and carries two exchanges") {
     import spark.implicits._
     val salted = Aggregates.qAggSkewTwophase(spark, sfDir)
