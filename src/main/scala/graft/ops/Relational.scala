@@ -600,6 +600,40 @@ object Relational {
       .orderBy($"constraint_name")
   }
 
+  /** §2-extension time-spine densification (gap filling): a dense
+    * (customer × month) grid over the orders table's full month range,
+    * zero-filled where a customer had no orders — the standard
+    * pre-processing for time-series models and month-over-month
+    * reports, which silently break on sparse group-by output. The
+    * spine is generated IN-PLAN (`sequence` over a broadcast 1-row
+    * min/max agg — no driver-side date math, no hard-coded range) and
+    * cross-joined against the dimension slice; the fact side then
+    * LEFT-joins in. Scale: the spine is |months| rows (tiny, always
+    * broadcast); the cross product is |dim|×|months| — the op's
+    * intrinsic output size — and the fact join is a plain keyed join;
+    * nothing here is quadratic in the fact table. */
+  def qTimeSpineFill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = orders(s, dir)
+    val monthly = o.filter($"o_custkey" < 100)
+      .groupBy($"o_custkey",
+        date_trunc("month", $"o_orderdate").as("m_month"))
+      .agg(count(lit(1)).as("n"), r4(sum($"o_totalprice")).as("spend"))
+    val spine = o
+      .agg(date_trunc("month", min($"o_orderdate")).as("lo"),
+        date_trunc("month", max($"o_orderdate")).as("hi"))
+      .select(explode(sequence($"lo", $"hi", expr("interval 1 month")))
+        .as("month"))
+    customer(s, dir).filter($"c_custkey" < 100).select($"c_custkey")
+      .crossJoin(broadcast(spine))
+      .join(monthly,
+        $"c_custkey" === $"o_custkey" && $"month" === $"m_month", "left")
+      .select($"c_custkey", dstr($"month").as("month"),
+        coalesce($"n", lit(0L)).as("n_orders"),
+        r4(coalesce($"spend", lit(0.0))).as("spend"))
+      .orderBy($"c_custkey", $"month")
+  }
+
   /** §2.B select / derive / rename (reference: column access + computed cells). */
   def qProject(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -771,6 +805,7 @@ object Relational {
     "q_catalog_tables" -> qCatalogTables _,
     "q_profile_table" -> qProfileTable _,
     "q_quality_constraints" -> qQualityConstraints _,
+    "q_time_spine_fill" -> qTimeSpineFill _,
     "q_project" -> qProject _,
     "q_filter_point" -> qFilterPoint _,
     "q_filter_compound" -> qFilterCompound _,
@@ -948,6 +983,24 @@ object Relational {
         |  SELECT 'unique_l_orderkey_l_linenumber',
         |    round(key_nd / CAST(n_rows AS DOUBLE), 6), key_nd = n_rows FROM a)
         |ORDER BY constraint_name""".stripMargin,
+    "q_time_spine_fill" ->
+      """WITH b AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |    date_trunc('month', max(o_orderdate)) AS hi
+        |  FROM orders),
+        |sp AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+        |       FROM b),
+        |cu AS (SELECT c_custkey FROM customer WHERE c_custkey < 100),
+        |m AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS m_month,
+        |        count(*) AS n, round(sum(o_totalprice), 4) AS spend
+        |      FROM orders WHERE o_custkey < 100
+        |      GROUP BY o_custkey, date_trunc('month', o_orderdate))
+        |SELECT cu.c_custkey, strftime(sp.month, '%Y-%m-%d') AS month,
+        |  coalesce(m.n, 0) AS n_orders,
+        |  round(coalesce(m.spend, 0), 4) AS spend
+        |FROM cu CROSS JOIN sp
+        |LEFT JOIN m ON cu.c_custkey = m.o_custkey AND sp.month = m.m_month
+        |ORDER BY cu.c_custkey, month""".stripMargin,
     "q_sink_partitioned" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 4) AS sum_price
