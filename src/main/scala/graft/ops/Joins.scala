@@ -295,6 +295,42 @@ object Joins {
       .orderBy($"purchase_id")
   }
 
+  /** §2.C STORAGE-PARTITIONED join: both sides land as `clusterBy`
+    * fleets through the V2 writer — one shard value per file, proven
+    * by each file's sidecar min==max — so the scans report
+    * `KeyGroupedPartitioning` and the join on the shard key runs with
+    * ZERO exchanges (SpjSpec asserts it in the final adaptive plan).
+    * This is the 100 TB fact-to-fact posture one step past bucketed
+    * tables (`q_join_bucketed`): no metastore, the co-location proof
+    * travels in the data's own sidecars, and an unprovable layout
+    * lapses to a plain shuffled join rather than mis-grouping. The
+    * `merge` hint keeps the tiny fixture-side dim from broadcasting so
+    * the exchange-free path is what actually executes. Semantics are
+    * layout-invariant — the oracle is the plain join. */
+  def qJoinSpj(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("spj_join")
+    val ev = events(s, dir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    val perUser = ev.groupBy($"shard", $"user_id")
+      .agg(r4(sum($"value")).as("user_spend"))
+    val perShard = ev.groupBy($"shard")
+      .agg(r4(sum($"value")).as("shard_total"))
+    perUser.repartition(4, $"shard").write.format("graft-avro")
+      .option("clusterBy", "shard").mode("overwrite").save(s"$root/user.avro")
+    perShard.repartition(2, $"shard").write.format("graft-avro")
+      .option("clusterBy", "shard").mode("overwrite").save(s"$root/shard.avro")
+    val a = s.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/user.avro")
+    val b = s.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/shard.avro")
+    a.join(b.hint("merge"), Seq("shard"))
+      .select($"shard", $"user_id", $"user_spend", $"shard_total",
+        r6($"user_spend" / $"shard_total").as("share"))
+      .orderBy($"shard", $"user_id")
+  }
+
   /** §2.C interval join: events of the same user within 1 hour after each
     * signup. Equi key (user_id) + range predicate → keyed join, not a
     * cartesian. */
@@ -365,6 +401,7 @@ object Joins {
     "q_join_asof" -> qJoinAsof _,
     "q_join_asof_tolerance" -> qJoinAsofTolerance _,
     "q_join_asof_nearest" -> qJoinAsofNearest _,
+    "q_join_spj" -> qJoinSpj _,
     "q_join_interval" -> qJoinInterval _
   )
 
@@ -477,6 +514,18 @@ object Joins {
         |       ELSE epoch_us(f.fts) - epoch_us(b.pts) END AS dist_us
         |FROM b JOIN f ON b.pid = f.pid
         |ORDER BY purchase_id""".stripMargin,
+    // layout is invisible to semantics: the oracle is the plain join
+    "q_join_spj" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, user_id % 8 AS shard FROM events),
+        |pu AS (SELECT shard, user_id, round(sum(value), 4) AS user_spend
+        |       FROM ev GROUP BY shard, user_id),
+        |ps AS (SELECT shard, round(sum(value), 4) AS shard_total
+        |       FROM ev GROUP BY shard)
+        |SELECT pu.shard, pu.user_id, pu.user_spend, ps.shard_total,
+        |  round(pu.user_spend / ps.shard_total, 6) AS share
+        |FROM pu JOIN ps ON pu.shard = ps.shard
+        |ORDER BY pu.shard, pu.user_id""".stripMargin,
     "q_join_interval" ->
       """SELECT s.event_id AS signup_id, count(*) AS n_follow,
         |  min(e.event_id) AS first_follow_id

@@ -87,7 +87,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroFleetScanBuilder(tableSchema, path, maxFileBytes, evolve)
+    new AvroFleetScanBuilder(tableSchema, path, maxFileBytes, evolve,
+      Option(options.get("clusterBy")))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroFleetWriteBuilder(info, path)
@@ -122,14 +123,28 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
       val jobTag = java.security.MessageDigest.getInstance("MD5")
         .digest(info.queryId().getBytes("UTF-8"))
         .take(4).map(b => f"$b%02x").mkString
+      // clusterBy: lay the fleet out ONE KEY VALUE PER FILE (each task
+      // routes rows into one open container per distinct value), which
+      // is what lets the read side report KeyGroupedPartitioning and a
+      // join on the key run exchange-free (storage-partitioned join).
+      // Validated at plan time: the column must exist and be a
+      // stats-trackable scalar (the sidecar min==max IS the key proof).
+      val clusterIdx = Option(info.options.get("clusterBy")).map { c =>
+        val i = info.schema().fieldIndex(c) // throws with a field list
+        require(FleetStats.trackableType(info.schema()(i).dataType),
+          s"clusterBy column '$c' has untrackable type " +
+            s"${info.schema()(i).dataType.simpleString}")
+        i
+      }
       new AvroFleetBatchWrite(schemaJson, info.schema(), dir, jobTag,
-        truncateFleet)
+        truncateFleet, clusterIdx)
     }
   }
 }
 
 private[sources] class AvroFleetBatchWrite(schemaJson: String,
-    schema: StructType, dir: String, jobTag: String, truncate: Boolean)
+    schema: StructType, dir: String, jobTag: String, truncate: Boolean,
+    clusterIdx: Option[Int] = None)
     extends BatchWrite {
 
   private def fs(conf: org.apache.hadoop.conf.Configuration) =
@@ -149,7 +164,7 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     f.mkdirs(p)
     new AvroFleetWriterFactory(schemaJson, schema.fields.map(_.name),
       schema.fields.map(_.dataType), dir, jobTag,
-      new SerializableHadoopConf(conf))
+      new SerializableHadoopConf(conf), clusterIdx)
   }
 
   // sidecar first, marker LAST: the tasks' per-file min/max/null
@@ -161,9 +176,11 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     val f = fs(conf)
     val p = new org.apache.hadoop.fs.Path(dir)
     val stats = messages.collect {
-      case AvroFleetCommitMessage(file, Some(ps)) =>
-        new org.apache.hadoop.fs.Path(file).getName -> ps
-    }.toMap
+      case AvroFleetCommitMessage(parts) =>
+        parts.collect { case (file, Some(ps)) =>
+          new org.apache.hadoop.fs.Path(file).getName -> ps
+        }
+    }.flatten.toMap
     if (stats.nonEmpty) FleetStats.write(f, p, stats)
     f.create(
       new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
@@ -184,13 +201,17 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
 
 private[graft] class AvroFleetWriterFactory(schemaJson: String,
     names: Array[String], types: Array[DataType], dir: String,
-    jobTag: String, conf: SerializableHadoopConf)
+    jobTag: String, conf: SerializableHadoopConf,
+    clusterIdx: Option[Int] = None)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
-      taskId: Long): DataWriter[InternalRow] =
-    new AvroFleetDataWriter(schemaJson, names, types, dir, partitionId,
-      taskId, jobTag, conf)
+      taskId: Long): DataWriter[InternalRow] = clusterIdx match {
+    case Some(i) => new AvroFleetClusteredWriter(schemaJson, names, types,
+      dir, partitionId, taskId, jobTag, conf, i)
+    case None => new AvroFleetDataWriter(schemaJson, names, types, dir,
+      partitionId, taskId, jobTag, conf)
+  }
 }
 
 /** One task attempt: stream rows to a hidden attempt temp, commit via
@@ -244,8 +265,8 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
     ensureOpen() // empty partition → schema-bearing empty OCF
     w.close(); w = null
     Avro.commitPart(fs, tmpPath, finalPath)
-    AvroFleetCommitMessage(finalPath.toString,
-      Some(stats.result(fs.getFileStatus(finalPath).getLen)))
+    AvroFleetCommitMessage(Seq(finalPath.toString ->
+      Some(stats.result(fs.getFileStatus(finalPath).getLen))))
   }
 
   override def abort(): Unit = {
@@ -254,6 +275,98 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
   }
 
   override def close(): Unit = if (w != null) { w.close(); w = null }
+}
+
+/** Clustered task writer (`option("clusterBy", col)`): routes each row
+  * into one open container per distinct cluster-key value, so every
+  * committed file holds EXACTLY ONE key value — the layout invariant
+  * the read side turns into `KeyGroupedPartitioning` (its proof is the
+  * file's sidecar min==max, which this writer produces by
+  * construction). Same attempt-temp → rename commit per file; one
+  * commit message carries all of the task's (file, stats) pairs.
+  *
+  * Scale: open-container count = distinct keys seen BY THIS TASK —
+  * callers co-locate first (`df.repartition(n, $col)`) so each task
+  * sees few keys; the cap below turns an accidental high-cardinality
+  * key into an actionable error instead of an executor OOM. */
+private[graft] class AvroFleetClusteredWriter(schemaJson: String,
+    names: Array[String], types: Array[DataType], dir: String, pid: Int,
+    taskId: Long, jobTag: String, conf: SerializableHadoopConf,
+    clusterIdx: Int)
+    extends DataWriter[InternalRow] {
+
+  import org.apache.avro.file.{CodecFactory, DataFileWriter}
+  import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+
+  private val MaxOpenKeys = 256
+
+  private val schema = new Schema.Parser().parse(schemaJson)
+  private val fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(conf.value)
+  private val getters: Array[InternalRow => AnyRef] =
+    types.zipWithIndex.map { case (dt, i) => AvroFleetDataWriter.getter(dt, i) }
+
+  private final class Sink(idx: Int) {
+    val finalPath = new org.apache.hadoop.fs.Path(
+      f"$dir/part-$pid%05d-g$idx%04d-$jobTag.avro")
+    val tmpPath = new org.apache.hadoop.fs.Path(
+      f"$dir/.part-$pid%05d-g$idx%04d-$jobTag-attempt-$taskId.avro.tmp")
+    val stats = new FleetStats.Collector(
+      StructType(names.zip(types).map { case (n, t) => StructField(n, t) }))
+    val w: DataFileWriter[GenericRecord] =
+      new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        .setCodec(CodecFactory.deflateCodec(6))
+        .create(schema, fs.create(tmpPath, true))
+  }
+
+  // key = the cluster column's avro-carrier value (null allowed: a
+  // null-keyed file groups under the null partition key)
+  private val sinks = scala.collection.mutable.LinkedHashMap[Any, Sink]()
+
+  override def write(row: InternalRow): Unit = {
+    val key: Any =
+      if (row.isNullAt(clusterIdx)) null else getters(clusterIdx)(row)
+    val sink = sinks.getOrElseUpdate(key, {
+      require(sinks.size < MaxOpenKeys,
+        s"clusterBy key exceeded $MaxOpenKeys distinct values in one " +
+          "task — repartition by the cluster column first " +
+          "(df.repartition(n, col)) or pick a lower-cardinality key")
+      new Sink(sinks.size)
+    })
+    val rec = new GenericData.Record(schema)
+    sink.stats.startRow()
+    var i = 0
+    while (i < names.length) {
+      val v = if (row.isNullAt(i)) null else getters(i)(row)
+      sink.stats.observe(i, v)
+      rec.put(names(i), v)
+      i += 1
+    }
+    sink.w.append(rec)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val parts = sinks.values.toSeq.map { s =>
+      s.w.close()
+      Avro.commitPart(fs, s.tmpPath, s.finalPath)
+      s.finalPath.toString ->
+        Some(s.stats.result(fs.getFileStatus(s.finalPath).getLen))
+    }
+    sinks.clear()
+    AvroFleetCommitMessage(parts)
+  }
+
+  override def abort(): Unit = {
+    sinks.values.foreach { s =>
+      try s.w.close() catch { case _: Throwable => () }
+      fs.delete(s.tmpPath, false)
+    }
+    sinks.clear()
+  }
+
+  override def close(): Unit = {
+    sinks.values.foreach(s => try s.w.close() catch { case _: Throwable => () })
+  }
 }
 
 private[graft] object AvroFleetDataWriter {
@@ -275,12 +388,16 @@ private[graft] object AvroFleetDataWriter {
   }
 }
 
-private[graft] case class AvroFleetCommitMessage(file: String,
-    stats: Option[FleetStats.PartStats] = None)
+/** A task's committed files with their sidecar stats (one entry for
+  * the plain writer, one per cluster-key value for the clustered
+  * writer). */
+private[graft] case class AvroFleetCommitMessage(
+    parts: Seq[(String, Option[FleetStats.PartStats])])
     extends WriterCommitMessage
 
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
-    path: String, maxFileBytes: Long, evolve: Boolean = false)
+    path: String, maxFileBytes: Long, evolve: Boolean = false,
+    clusterBy: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -477,7 +594,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
-        pushed, topN, evolve)
+        pushed, topN, evolve, clusterBy)
   }
 }
 
@@ -605,9 +722,11 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     limit: Option[Int],
     pushedFilters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[(Seq[TopNOrder], Int)] = None,
-    evolve: Boolean = false)
+    evolve: Boolean = false,
+    clusterBy: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
 
@@ -759,10 +878,77 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     case _ => base
   }
 
+  /** Storage-partitioned-join support: when the caller declares
+    * `option("clusterBy", col)` and every surviving non-empty file
+    * PROVES it holds exactly one value of `col` (sidecar min==max with
+    * zero nulls, or all-null ⇒ the null key — the invariant the
+    * clustered writer produces by construction), the scan groups files
+    * by key and reports `KeyGroupedPartitioning`. Two fleets laid out
+    * this way join on the key with NO exchange — the DSv2 analogue of
+    * Hive-bucketed co-location, except the proof travels in the data's
+    * own sidecars instead of metastore bucket specs. Any file that
+    * cannot prove its key (no sidecar, min≠max, stale length) makes
+    * the WHOLE grouping lapse to Unknown — a silent wrong grouping
+    * would mis-join; a lapsed one only re-shuffles. */
+  private lazy val clusterGroups
+      : Option[Seq[(Any, Seq[org.apache.hadoop.fs.FileStatus])]] =
+    clusterBy.flatMap { col =>
+      if (evolve || !fullSchema.fieldNames.contains(col)) None
+      else {
+        val nonEmpty = survivors.filter { st =>
+          fleetStats.get(st.getPath.toString).forall(_.rows > 0)
+        }
+        val keyed = nonEmpty.map { st =>
+          fleetStats.get(st.getPath.toString).flatMap { ps =>
+            ps.cols.get(col).flatMap { cs =>
+              if (cs.nulls == ps.rows) Some(null.asInstanceOf[Any] -> st)
+              else if (cs.nulls == 0 && cs.min.isDefined &&
+                  cs.min == cs.max) Some(cs.min.get -> st)
+              else None
+            }
+          }
+        }
+        if (keyed.exists(_.isEmpty)) None
+        else Some(keyed.flatten
+          .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+          .sortBy { case (k, _) => String.valueOf(k) })
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    clusterGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(clusterBy.get)),
+            groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
   override def planInputPartitions(): Array[InputPartition] =
-    AvroFleetScan.planSplits(
-      topNPrune(surviving(pushedFilters.toSeq ++ runtimeFilters)),
-      maxFileBytes)
+    clusterGroups match {
+      case Some(groups) =>
+        // grouped mode: one partition per key holding ALL of the key's
+        // splits. Runtime-filter/topN file pruning is bypassed — it
+        // could drop a whole key and contradict the partitioning
+        // already reported to the planner; pushed-filter skipping
+        // (already inside `survivors`) ran before grouping, so the
+        // report and the plan agree.
+        val dt = fullSchema(fullSchema.fieldIndex(clusterBy.get)).dataType
+        groups.map { case (k, files) =>
+          AvroClusterPartition(k, dt,
+            AvroFleetScan.planSplits(files, maxFileBytes)
+              .map(_.asInstanceOf[AvroFilePartition]))
+        }.toArray[InputPartition]
+      case None =>
+        AvroFleetScan.planSplits(
+          topNPrune(surviving(pushedFilters.toSeq ++ runtimeFilters)),
+          maxFileBytes)
+    }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
@@ -1132,6 +1318,20 @@ private[sources] class AvroFleetGroupAggReaderFactory(
 private[sources] case class AvroFilePartition(file: String, start: Long,
     end: Long) extends InputPartition
 
+/** One cluster-key group: every split of every file proven to hold
+  * exactly `key` (sidecar carrier spelling; null = the all-null key).
+  * `partitionKey` re-boxes the carrier into the catalyst-internal row
+  * Spark's key-grouped planner compares on the driver. */
+private[sources] case class AvroClusterPartition(key: Any, dt: DataType,
+    splits: Seq[AvroFilePartition]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        if (key == null) null
+        else AvroFleetMetaAggScan.toCatalystAs(key, dt)))
+}
+
 /** Serialized per task; carries the session Hadoop conf so executor
   * filesystem resolution honors `spark.hadoop.*` settings. */
 private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
@@ -1143,11 +1343,38 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    topN match {
-      case Some((orders, n)) =>
-        topNReader(p.asInstanceOf[AvroFilePartition], orders, n)
-      case None => rowReader(p.asInstanceOf[AvroFilePartition])
+    p match {
+      case c: AvroClusterPartition => chainedReader(c.splits)
+      case f: AvroFilePartition => topN match {
+        case Some((orders, n)) => topNReader(f, orders, n)
+        case None => rowReader(f)
+      }
     }
+
+  /** Sequential chain over one cluster group's splits — a key's whole
+    * file set reads as ONE task so the partition really contains every
+    * row of its key (the KeyGroupedPartitioning contract). */
+  private def chainedReader(splits: Seq[AvroFilePartition])
+      : PartitionReader[InternalRow] = new PartitionReader[InternalRow] {
+    private val rest = splits.iterator
+    private var cur: PartitionReader[InternalRow] = _
+
+    override def next(): Boolean = {
+      while (true) {
+        if (cur == null) {
+          if (!rest.hasNext) return false
+          cur = rowReader(rest.next())
+        }
+        if (cur.next()) return true
+        cur.close(); cur = null
+      }
+      false
+    }
+
+    override def get(): InternalRow = cur.get()
+
+    override def close(): Unit = if (cur != null) { cur.close(); cur = null }
+  }
 
   /** Bounded-heap TopN over one split: decode (with pushed filters),
     * keep the n best rows under the pushed ordering (`TopNHeap` — the

@@ -17,6 +17,11 @@ import org.apache.spark.sql.SparkSession
   *  - `warehouse.dir`: a pid-scoped tmpdir (deleted on exit), so
   *    `saveAsTable` queries (the bucketed-join layout) never litter
   *    the invoking process's cwd with a `spark-warehouse/` dir.
+  *  - `v2.bucketing.enabled=true`: lets a DSv2 scan's reported
+  *    `KeyGroupedPartitioning` satisfy a join's distribution so two
+  *    clusterBy-laid-out fleets join with NO exchange (the
+  *    storage-partitioned join path); has no effect on scans that
+  *    report Unknown partitioning.
   */
 object GraftSession {
   def defaults(b: SparkSession.Builder): SparkSession.Builder = b
@@ -24,5 +29,6 @@ object GraftSession {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.warehouse.dir", Scratch.dir("warehouse"))
+    .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.ui.enabled", "false")
 }

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Storage-partitioned join through the graft-avro connector: a fleet
+  * written with `clusterBy` holds one key value per file (sidecar
+  * min==max proves it), the scan reports KeyGroupedPartitioning, and
+  * two such fleets join on the key with NO shuffle exchange. */
+class SpjSpec extends SparkSpec {
+
+  /** Count shuffle exchanges in the FINAL adaptive plan. AQE wraps
+    * materialized exchanges in QueryStageExec nodes whose plan is a
+    * field, not a child — a naive children-walk under-counts (to
+    * zero), which would false-pass the zero-exchange assertion. */
+  private def allExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // finalize AQE
+    def count(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case a: AdaptiveSparkPlanExec => count(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          count(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          count(r.child)
+        case e: ShuffleExchangeExec => 1 + e.children.map(count).sum
+        case other => other.children.map(count).sum
+      })
+    count(df.queryExecution.executedPlan)
+  }
+
+  private def writeClustered(df: org.apache.spark.sql.DataFrame,
+      out: String): Unit =
+    df.repartition(4, col("shard")).write.format("graft-avro")
+      .option("clusterBy", "shard").mode("overwrite").save(out)
+
+  test("clusterBy write + read joins with zero shuffle exchanges") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("spj_spec")
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    val perUser = ev.groupBy($"shard", $"user_id")
+      .agg(round(sum($"value"), 4).as("user_spend"))
+    val perShard = ev.groupBy($"shard")
+      .agg(round(sum($"value"), 4).as("shard_total"))
+    writeClustered(perUser, s"$root/user.avro")
+    writeClustered(perShard, s"$root/shard.avro")
+
+    val a = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/user.avro")
+    val b = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/shard.avro")
+    val joined = a.join(b.hint("merge"), Seq("shard"))
+      .select($"shard", $"user_id", $"user_spend", $"shard_total")
+
+    assert(allExchanges(joined) == 0,
+      s"SPJ must run exchange-free:\n${joined.queryExecution.executedPlan}")
+    // results equal the direct (non-fleet) computation
+    val direct = perUser.join(perShard, Seq("shard"))
+      .select($"shard", $"user_id", $"user_spend", $"shard_total")
+      .collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet == direct)
+  }
+
+  test("every clustered file proves exactly one key in its sidecar") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("spj_sidecar_spec")
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    writeClustered(ev, s"$root/ev.avro")
+    val p = new org.apache.hadoop.fs.Path(s"$root/ev.avro")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fleet = graft.sources.Avro.listFleet(spark, s"$root/ev.avro",
+      Long.MaxValue, enforceBound = false)
+    val stats = graft.sources.FleetStats.forFleet(fs, fleet)
+    assert(fleet.nonEmpty)
+    fleet.foreach { st =>
+      val ps = stats(st.getPath.toString)
+      val cs = ps.cols("shard")
+      assert(cs.nulls == 0 && cs.min.isDefined && cs.min == cs.max,
+        s"${st.getPath.getName} spans shard range ${cs.min}..${cs.max}")
+    }
+  }
+
+  test("a plain (unclustered) fleet lapses to Unknown partitioning and still joins correctly") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("spj_fallback_spec")
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    val perUser = ev.groupBy($"shard", $"user_id")
+      .agg(round(sum($"value"), 4).as("user_spend"))
+    val perShard = ev.groupBy($"shard")
+      .agg(round(sum($"value"), 4).as("shard_total"))
+    // plain write: multiple shards per file -> grouping must LAPSE
+    perUser.repartition(4).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/user.avro")
+    writeClustered(perShard, s"$root/shard.avro")
+    val a = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/user.avro")
+    val b = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/shard.avro")
+    val joined = a.join(b.hint("merge"), Seq("shard"))
+    assert(allExchanges(joined) > 0,
+      "an unprovable layout must fall back to shuffling, not mis-group")
+    val direct = perUser.join(perShard, Seq("shard")).collect()
+      .map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet == direct)
+  }
+}
