@@ -726,7 +726,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     clusterBy: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = required
 
@@ -927,6 +928,22 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
+    }
+
+  /** With key-grouping active, every row of a partition carries the
+    * SAME cluster-key value, so the data is trivially sorted on the
+    * key in any row order — reporting that ordering lets the planner
+    * drop the SortExec under a merge join too, leaving the SPJ plan
+    * with neither exchange nor sort on the key side. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterGroups match {
+      case Some(_) =>
+        Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(clusterBy.get),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      case None => Array.empty
     }
 
   override def planInputPartitions(): Array[InputPartition] =

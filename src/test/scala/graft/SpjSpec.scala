@@ -56,6 +56,21 @@ class SpjSpec extends SparkSpec {
 
     assert(allExchanges(joined) == 0,
       s"SPJ must run exchange-free:\n${joined.queryExecution.executedPlan}")
+    // and SORT-free: each grouped partition holds one key value, so the
+    // reported per-partition ordering satisfies the merge join's
+    // requirement with no SortExec on either scan leg
+    def sorts(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case a: AdaptiveSparkPlanExec => sorts(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          sorts(q.plan)
+        case s: org.apache.spark.sql.execution.SortExec =>
+          1 + s.children.map(sorts).sum
+        case other => other.children.map(sorts).sum
+      })
+    assert(sorts(joined.queryExecution.executedPlan) == 0,
+      s"reported ordering should drop the merge-join sorts:\n" +
+        s"${joined.queryExecution.executedPlan}")
     // results equal the direct (non-fleet) computation
     val direct = perUser.join(perShard, Seq("shard"))
       .select($"shard", $"user_id", $"user_spend", $"shard_total")
