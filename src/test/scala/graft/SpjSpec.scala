@@ -78,6 +78,25 @@ class SpjSpec extends SparkSpec {
     assert(joined.collect().map(_.toSeq).toSet == direct)
   }
 
+  test("aggregation on the cluster key runs without a shuffle") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("spj_agg_spec")
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    writeClustered(ev, s"$root/ev.avro")
+    val grouped = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/ev.avro")
+      .groupBy($"shard").agg(round(sum($"value"), 4).as("total"))
+    assert(allExchanges(grouped) == 0,
+      s"group-by on the cluster key should reuse the reported " +
+        s"partitioning:\n${grouped.queryExecution.executedPlan}")
+    val direct = ev.groupBy($"shard")
+      .agg(round(sum($"value"), 4).as("total"))
+      .collect().map(_.toSeq).toSet
+    assert(grouped.collect().map(_.toSeq).toSet == direct)
+  }
+
   test("every clustered file proves exactly one key in its sidecar") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("spj_sidecar_spec")
