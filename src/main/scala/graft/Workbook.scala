@@ -118,6 +118,41 @@ final class Workbook private (
     withSheet(name, merged)
   }
 
+  /** MERGE: apply a change feed carrying a per-row op column in ONE
+    * pass (`ops.Crud.qCrudMerge`'s dataflow — the MERGE INTO verb):
+    * matched `D` deletes, matched `U` updates every non-key column
+    * from the feed, unmatched `I` inserts, unmatched `U`/`D` are
+    * no-ops, and base rows without a feed match pass through. The feed
+    * must carry the key columns, `opCol`, and every base column
+    * (update/insert need full rows). One full-outer join on the keys —
+    * the same shuffle shape a transactional table format executes.
+    * Duplicate keys within the feed are rejected nowhere — resolve
+    * upstream, same caveat as `upsert`. */
+  def merge(name: String, feed: DataFrame, keys: Seq[String],
+      opCol: String = "op"): Workbook = {
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val base = sheet(name)
+    val missing = (base.columns.toSet + opCol) -- feed.columns.toSet
+    require(missing.isEmpty,
+      s"merge feed is missing columns: ${missing.toSeq.sorted.mkString(", ")}")
+    val f = feed.columns.foldLeft(feed)((d, c) => d.withColumnRenamed(c, s"__f_$c"))
+    val cond = keys.map(k => base(k) === f(s"__f_$k")).reduce(_ && _)
+    val joined = base.join(f, cond, "full_outer")
+    val matched = keys.map(k => base(k).isNotNull).reduce(_ && _)
+    val op = f(s"__f_$opCol")
+    val merged = joined
+      .filter(!matched || op.isNull || op =!= "D") // matched delete (3VL-safe)
+      .filter(matched || op === "I") // unmatched U/D no-op
+      .select(base.columns.map { c =>
+        val fc = f(s"__f_$c")
+        if (keys.contains(c)) coalesce(base(c), fc).as(c)
+        else when(matched && op === "U", fc)
+          .when(!matched, fc)
+          .otherwise(base(c)).as(c)
+      }.toSeq: _*)
+    withSheet(name, merged)
+  }
+
   /** ADD COLUMN: a computed column appended to the sheet (the
     * spreadsheet "new column from a formula" verb; `value` may
     * reference any existing columns). */

@@ -109,6 +109,42 @@ class WorkbookSpec extends SparkSpec {
     assert(out.columns.toSeq == base.columns.toSeq)
   }
 
+  test("merge applies D/U/I clauses and passes untouched rows through") {
+    import spark.implicits._
+    val base = fixtureWb.sheet("nation")
+    val feed = base.filter($"n_nationkey" < 3)
+      .withColumn("op", lit("D"))
+      .unionByName(base.filter($"n_nationkey" >= 3 && $"n_nationkey" < 6)
+        .withColumn("n_name", lit("MERGED")).withColumn("op", lit("U")))
+      .unionByName(Seq((900001L, "INSERTLAND", 0L, "I"))
+        .toDF("n_nationkey", "n_name", "n_regionkey", "op"))
+      .unionByName(Seq((900002L, "IGNORED", 0L, "U"))
+        .toDF("n_nationkey", "n_name", "n_regionkey", "op")) // unmatched U
+    val out = fixtureWb.merge("nation", feed, Seq("n_nationkey"))
+      .sheet("nation")
+    assert(out.filter($"n_nationkey" < 3).count() == 0) // deleted
+    assert(out.filter($"n_nationkey" >= 3 && $"n_nationkey" < 6 &&
+      $"n_name" =!= "MERGED").count() == 0) // updated
+    assert(out.filter($"n_nationkey" === 900001L).count() == 1) // inserted
+    assert(out.filter($"n_nationkey" === 900002L).count() == 0) // no-op
+    assert(out.count() == base.count() - 3 + 1)
+    // untouched rows identical, schema unchanged (no op/rename leak)
+    assert(out.columns.toSeq == base.columns.toSeq)
+    val untouchedIn = base.filter($"n_nationkey" >= 6).collect().toSet
+    val untouchedOut = out.filter($"n_nationkey" >= 6 &&
+      $"n_nationkey" < 900000L).collect().toSet
+    assert(untouchedIn == untouchedOut)
+  }
+
+  test("merge rejects a feed missing base columns") {
+    import spark.implicits._
+    val feed = Seq((1L, "X")).toDF("n_nationkey", "op")
+    val e = intercept[IllegalArgumentException] {
+      fixtureWb.merge("nation", feed, Seq("n_nationkey"))
+    }
+    assert(e.getMessage.contains("n_name"))
+  }
+
   test("sql queries sheets through on-the-fly views") {
     val n = fixtureWb
       .sql("SELECT count(*) AS n FROM nation WHERE n_regionkey = 0")
