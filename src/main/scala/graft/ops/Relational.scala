@@ -70,6 +70,46 @@ object Relational {
       .orderBy($"r_regionkey")
   }
 
+  /** §2.A MALFORMED-INPUT resilience: a JSONL fleet with planted
+    * corrupt lines (every n_nationkey ≡ 0 mod 5 nation serialized as
+    * broken JSON) scanned in PERMISSIVE mode with an explicit
+    * `_corrupt_record` column — the posture a 100 TB raw-log ingest
+    * needs, where one bad line must neither kill the job (FAILFAST)
+    * nor vanish silently (DROPMALFORMED): valid rows parse, corrupt
+    * lines are counted and quarantined. Output = the surviving rows
+    * plus the corpus-wide corrupt tally (broadcast 1-row agg); the
+    * oracle recomputes both from the planted closed form. */
+  def qScanJsonlCorrupt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val out = scratch("jsonl_corrupt_nation")
+    nation(s, dir)
+      .select(when(pmod($"n_nationkey", lit(5)) === 0,
+          concat(lit("{\"oops\" broken "), $"n_nationkey"))
+        .otherwise(to_json(struct($"n_nationkey", $"n_name")))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_nationkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val parsed = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(out)
+    // counted via the data column's null-ness (a corrupt line nulls
+    // every data field): Spark disallows queries whose referenced
+    // columns are ONLY the internal corrupt column
+    val nBad = parsed.agg(
+      count(when($"n_nationkey".isNull, 1)).as("n_corrupt"))
+    parsed.filter($"_corrupt_record".isNull)
+      .crossJoin(broadcast(nBad))
+      .select($"n_nationkey", $"n_name", $"n_corrupt")
+      .orderBy($"n_nationkey")
+  }
+
   /** §2.A text-source scan: write region as '|'-delimited text lines,
     * read back with spark.read.text and parse with split — the
     * schema-on-read path for raw logs. */
@@ -805,6 +845,7 @@ object Relational {
     "q_catalog_tables" -> qCatalogTables _,
     "q_profile_table" -> qProfileTable _,
     "q_quality_constraints" -> qQualityConstraints _,
+    "q_scan_jsonl_corrupt" -> qScanJsonlCorrupt _,
     "q_time_spine_fill" -> qTimeSpineFill _,
     "q_project" -> qProject _,
     "q_filter_point" -> qFilterPoint _,
@@ -983,6 +1024,12 @@ object Relational {
         |  SELECT 'unique_l_orderkey_l_linenumber',
         |    round(key_nd / CAST(n_rows AS DOUBLE), 6), key_nd = n_rows FROM a)
         |ORDER BY constraint_name""".stripMargin,
+    "q_scan_jsonl_corrupt" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  (SELECT count(*) FROM nation WHERE n_nationkey % 5 = 0)
+        |    AS n_corrupt
+        |FROM nation WHERE n_nationkey % 5 <> 0
+        |ORDER BY n_nationkey""".stripMargin,
     "q_time_spine_fill" ->
       """WITH b AS (
         |  SELECT date_trunc('month', min(o_orderdate)) AS lo,

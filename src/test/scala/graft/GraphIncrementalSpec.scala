@@ -47,6 +47,22 @@ class GraphIncrementalSpec extends SparkSpec {
     assert(admitted.join(store, Seq("content_hash"), "left_semi").count() == 0)
   }
 
+  test("admitting a batch and appending its hashes makes re-admission empty") {
+    import spark.implicits._
+    // the production ingest cycle's second half: after admitting, the
+    // new hashes are APPENDED to the store — replaying the same batch
+    // against the updated store must admit nothing (idempotent ingest)
+    val admitted = IncrementalOps.qDedupIncremental(spark, sfDir)
+    val updated = IncrementalOps.fingerprintStore(spark, sfDir)
+      .unionByName(admitted.select($"content_hash"))
+    val replay = graft.util.Tables.documents(spark, sfDir)
+      .filter(pmod($"doc_id", lit(4)) === 0)
+      .select(sha2(lower(trim($"text")), 256).as("content_hash"))
+      .join(updated, Seq("content_hash"), "left_anti")
+    assert(replay.count() == 0,
+      "replayed batch must admit nothing against the updated store")
+  }
+
   test("fingerprint store materializes once per fixture generation") {
     val p1 = IncrementalOps.fingerprintStore(spark, sfDir)
       .inputFiles.toSeq.sorted

@@ -157,6 +157,7 @@ class ScaleSpec extends SparkSpec {
       // fixtures ship no CSV/ORC/JSONL/text files)
       "q_scan_csv" -> "writes scratch csv", "q_scan_orc" -> "writes scratch orc",
       "q_scan_jsonl" -> "writes scratch jsonl", "q_scan_text" -> "writes scratch text",
+      "q_scan_jsonl_corrupt" -> "writes scratch jsonl with planted corrupt lines",
       "q_scan_xlsx" -> "writes scratch xlsx + driver-parses one bounded workbook",
       "q_scan_avro" -> "writes scratch avro + driver-parses one bounded file",
       "q_scan_avro_dist" -> "writes scratch avro distributed (the sink IS the operator)",
