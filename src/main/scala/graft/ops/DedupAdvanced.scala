@@ -218,12 +218,49 @@ object DedupAdvanced {
       .orderBy($"name_a", $"name_b")
   }
 
+  /** §2.J entity RESOLUTION end-to-end: the fuzzy pair table resolved
+    * into connected components (re-using `LlmOps.clustersFromPairs` —
+    * the same fixed-round min-label propagation with an in-plan
+    * convergence guard that backs content dedup), then joined back so
+    * EVERY dictionary name gets an entity id (singletons label
+    * themselves). Output per name: its entity, how many name variants
+    * the entity spans, and how many underlying rows it covers — the
+    * canonical-entity table an MDM pipeline publishes. Fully
+    * oracle-checked via the recursive-CTE flood. */
+  def qDedupFuzzyEntities(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val names = part(s, dir)
+      .groupBy($"p_name").agg(
+        count(lit(1)).as("n_rows"),
+        min($"p_partkey").as("repr_key"))
+      .withColumn("noun", element_at(split($"p_name", " "), -1))
+    val a = names.select($"p_name".as("name_a"), $"repr_key".as("a_id"),
+      $"noun")
+    val b = names.select($"p_name".as("name_b"), $"repr_key".as("b_id"),
+      $"noun".as("noun_b"))
+    val pairs = a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b")
+      .filter(levenshtein($"name_a", $"name_b") <= 3)
+      .select($"a_id", $"b_id")
+    val labels = LlmOps.clustersFromPairs(pairs, rounds = 8)
+      .select($"doc_id".as("node"), $"cluster_id")
+    val ent = names.join(labels, $"repr_key" === $"node", "left")
+      .select($"p_name", $"n_rows", $"repr_key",
+        coalesce($"cluster_id", $"repr_key").as("entity_id"))
+    val sizes = ent.groupBy($"entity_id").agg(
+      count(lit(1)).as("entity_names"), sum($"n_rows").as("entity_rows"))
+    ent.join(sizes, Seq("entity_id"))
+      .select($"p_name".as("name"), $"repr_key", $"n_rows",
+        $"entity_id", $"entity_names", $"entity_rows")
+      .orderBy($"name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_minhash" -> qDedupMinhash _,
     "q_dedup_minhash_native" -> qDedupMinhashNative _,
     "q_dedup_simhash" -> qDedupSimhash _,
     "q_dedup_simhash_pairs" -> qDedupSimhashPairs _,
-    "q_dedup_fuzzy" -> qDedupFuzzy _
+    "q_dedup_fuzzy" -> qDedupFuzzy _,
+    "q_dedup_fuzzy_entities" -> qDedupFuzzyEntities _
   )
 
   /** Hash-model-dependent ops get the driver's rows-only check
@@ -242,6 +279,34 @@ object DedupAdvanced {
         |FROM names a JOIN names b
         |  ON a.noun = b.noun AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |ORDER BY name_a, name_b""".stripMargin
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q_dedup_fuzzy_entities" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name, count(*) AS n_rows, min(p_partkey) AS repr_key,
+        |    split_part(p_name, ' ', -1) AS noun
+        |  FROM part GROUP BY p_name),
+        |pairs AS (
+        |  SELECT a.repr_key AS a_id, b.repr_key AS b_id
+        |  FROM names a JOIN names b
+        |    ON a.noun = b.noun AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+        |          UNION ALL SELECT b_id, a_id FROM pairs),
+        |cc AS (
+        |  SELECT u AS node, u AS label FROM edges
+        |  UNION
+        |  SELECT e.v, cc.label FROM cc JOIN edges e ON cc.node = e.u),
+        |fin AS (SELECT node, min(label) AS entity_id FROM cc GROUP BY node),
+        |ent AS (
+        |  SELECT n.p_name, n.n_rows, n.repr_key,
+        |    coalesce(f.entity_id, n.repr_key) AS entity_id
+        |  FROM names n LEFT JOIN fin f ON n.repr_key = f.node),
+        |sizes AS (SELECT entity_id, count(*) AS entity_names,
+        |    CAST(sum(n_rows) AS BIGINT) AS entity_rows
+        |  FROM ent GROUP BY entity_id)
+        |SELECT e.p_name AS name, e.repr_key, e.n_rows,
+        |  e.entity_id, s.entity_names, s.entity_rows
+        |FROM ent e JOIN sizes s USING (entity_id)
+        |ORDER BY name""".stripMargin
   )
 }
