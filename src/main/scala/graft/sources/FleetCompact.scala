@@ -50,4 +50,31 @@ object FleetCompact {
       .write.format("graft-avro").mode("overwrite").save(out)
     shards
   }
+
+  /** Compact while PRESERVING the storage-partitioned layout: a
+    * `clusterBy`-written fleet accumulates one file per (task, key)
+    * per ingest — compaction must not let keys interleave within a
+    * file or the sidecar min==max proof (and with it every
+    * exchange-free join) is lost. Same shard sizing, but a hash
+    * shuffle ON THE KEY plus the clustered V2 write, so the output is
+    * at most (shards × keys-per-shard) files, each still provably
+    * single-key; the fleet stays SPJ-able across its whole maintenance
+    * lifecycle (SpjSpec pins the post-compaction exchange-free join). */
+  def compactClustered(s: SparkSession, in: String, out: String,
+      targetBytes: Long, clusterBy: String): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val inPath = new Path(in)
+    val fs = inPath.getFileSystem(s.sessionState.newHadoopConf())
+    val totalBytes = fs.listStatus(inPath).iterator.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getLen).sum
+    val shards = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
+      .toInt
+    s.read.format("graft-avro").option("clusterBy", clusterBy).load(in)
+      .repartition(shards, col(clusterBy))
+      .write.format("graft-avro").option("clusterBy", clusterBy)
+      .mode("overwrite").save(out)
+    shards
+  }
 }

@@ -118,6 +118,42 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("clustered compaction folds files while keeping the fleet SPJ-able") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("spj_compact_spec")
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    // fragmented ingest: 8 tasks x up to 8 keys each -> many files
+    ev.repartition(8).write.format("graft-avro")
+      .option("clusterBy", "shard").mode("overwrite").save(s"$root/frag.avro")
+    def nFiles(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf())
+        .listStatus(hp).count(st => st.isFile &&
+          st.getPath.getName.endsWith(".avro"))
+    }
+    val before = nFiles(s"$root/frag.avro")
+    graft.sources.FleetCompact.compactClustered(spark, s"$root/frag.avro",
+      s"$root/tight.avro", targetBytes = Long.MaxValue / 2, "shard")
+    val after = nFiles(s"$root/tight.avro")
+    assert(after < before,
+      s"compaction must fold files ($before -> $after)")
+    // layout proof survives: the compacted fleet still joins SPJ-style
+    val perShard = ev.groupBy($"shard")
+      .agg(round(sum($"value"), 4).as("shard_total"))
+    writeClustered(perShard, s"$root/shard.avro")
+    val a = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/tight.avro")
+    val b = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/shard.avro")
+    val joined = a.join(b.hint("merge"), Seq("shard"))
+    assert(allExchanges(joined) == 0,
+      s"compacted fleet lost its SPJ layout:\n" +
+        s"${joined.queryExecution.executedPlan}")
+    assert(a.count() == ev.count(), "compaction must be lossless")
+  }
+
   test("a plain (unclustered) fleet lapses to Unknown partitioning and still joins correctly") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("spj_fallback_spec")
