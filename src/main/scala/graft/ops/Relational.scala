@@ -72,13 +72,19 @@ object Relational {
 
   /** §2.A MALFORMED-INPUT resilience: a JSONL fleet with planted
     * corrupt lines (every n_nationkey ≡ 0 mod 5 nation serialized as
-    * broken JSON) scanned in PERMISSIVE mode with an explicit
-    * `_corrupt_record` column — the posture a 100 TB raw-log ingest
-    * needs, where one bad line must neither kill the job (FAILFAST)
-    * nor vanish silently (DROPMALFORMED): valid rows parse, corrupt
-    * lines are counted and quarantined. Output = the surviving rows
-    * plus the corpus-wide corrupt tally (broadcast 1-row agg); the
-    * oracle recomputes both from the planted closed form. */
+    * broken JSON) — the posture a 100 TB raw-log ingest needs, where
+    * one bad line must neither kill the job (FAILFAST) nor vanish
+    * silently (DROPMALFORMED): valid rows parse, corrupt lines are
+    * counted and quarantined. Parsed via `spark.read.text` +
+    * `from_json` (a broken line yields a NULL struct) rather than the
+    * json source's `_corrupt_record` column: Spark REJECTS any plan
+    * whose referenced columns reduce to only the internal corrupt
+    * column ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN] —
+    * a downstream count() prunes exactly into that shape), while the
+    * text+from_json form composes under any pruning. Output = the
+    * surviving rows plus the corpus-wide corrupt tally (broadcast
+    * 1-row agg); the oracle recomputes both from the planted closed
+    * form. */
   def qScanJsonlCorrupt(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = scratch("jsonl_corrupt_nation")
@@ -92,21 +98,18 @@ object Relational {
       org.apache.spark.sql.types.StructField("n_nationkey",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("n_name",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_corrupt_record",
         org.apache.spark.sql.types.StringType)))
-    val parsed = s.read.schema(schema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .json(out)
-    // counted via the data column's null-ness (a corrupt line nulls
-    // every data field): Spark disallows queries whose referenced
-    // columns are ONLY the internal corrupt column
+    // PERMISSIVE from_json yields an ALL-NULL-FIELDS struct (not a
+    // null struct) for a malformed line — corruption is detected via
+    // the required key field's null-ness
+    val parsed = s.read.text(out)
+      .select(from_json($"value", schema).as("j"))
     val nBad = parsed.agg(
-      count(when($"n_nationkey".isNull, 1)).as("n_corrupt"))
-    parsed.filter($"_corrupt_record".isNull)
+      count(when($"j.n_nationkey".isNull, 1)).as("n_corrupt"))
+    parsed.filter($"j.n_nationkey".isNotNull)
       .crossJoin(broadcast(nBad))
-      .select($"n_nationkey", $"n_name", $"n_corrupt")
+      .select($"j.n_nationkey".as("n_nationkey"),
+        $"j.n_name".as("n_name"), $"n_corrupt")
       .orderBy($"n_nationkey")
   }
 
