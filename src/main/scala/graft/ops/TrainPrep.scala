@@ -76,6 +76,26 @@ object TrainPrep {
       .orderBy($"doc_id")
   }
 
+  /** §2.J EXACT-QUOTA stratified sampling — the complement of the
+    * rate-based sampler: take exactly min(K, |group|) docs per
+    * language, chosen by content-hash order (md5 asc, doc_id
+    * tie-break) so the selection is reproducible across runs, engines,
+    * and cluster sizes with no RNG. The rank-≤-K filter is the shape
+    * Catalyst lowers to `WindowGroupLimit` (plan-asserted in
+    * TrainPrepSpec): each map task pre-filters to its local top-K
+    * BEFORE the shuffle, so a 5-language window over 100 TB moves
+    * O(tasks·K) rows per language, not the corpus — the window twin of
+    * the fleet TopN pushdown. */
+  def qSampleQuota(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang").orderBy(md5($"text"), $"doc_id")
+    documents(s, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 50)
+      .select($"doc_id", $"lang", $"rk")
+      .orderBy($"doc_id")
+  }
+
   /** Sharded cumulative-sum packing core: the language-wide running
     * token count is decomposed into shard-local window sums plus a
     * per-shard offset, so NO window partition ever exceeds `shardSize`
@@ -161,6 +181,7 @@ object TrainPrep {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_decontaminate" -> qDecontaminate _,
     "q_sample_stratified" -> qSampleStratified _,
+    "q_sample_quota" -> qSampleQuota _,
     "q_pack_greedy" -> qPackGreedy _,
     "q_mix_weights" -> qMixWeights _
   )
@@ -196,6 +217,14 @@ object TrainPrep {
         |      ELSE '1a' END AS thresh
         |  FROM documents)
         |WHERE hpfx < thresh
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_quota" ->
+      """SELECT doc_id, lang, rk FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY md5(text), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 50
         |ORDER BY doc_id""".stripMargin,
     "q_pack_greedy" ->
       """WITH t AS (

@@ -104,6 +104,26 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("quota sample takes exactly min(K, group) per lang via WindowGroupLimit") {
+    import spark.implicits._
+    val got = graft.ops.TrainPrep.qSampleQuota(spark, sfDir)
+    val perLang = got.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val avail = graft.util.Tables.documents(spark, sfDir)
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    avail.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0L) == math.min(50L, n),
+        s"$lang quota: got ${perLang.get(lang)}, avail $n")
+    }
+    // the rank<=K filter must lower to WindowGroupLimit: map tasks
+    // pre-filter to their local top-K BEFORE the shuffle, so the
+    // window moves O(tasks*K) rows per group at any corpus size
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter should trigger WindowGroupLimit:\n$plan")
+  }
+
   test("mix weights: shares sum to 1 and weights invert the shares") {
     val out = ops.TrainPrep.qMixWeights(spark, dir).cache()
     val ncells = out.count()
