@@ -218,6 +218,46 @@ object DedupAdvanced {
       .orderBy($"name_a", $"name_b")
   }
 
+  private val fuzzyPairCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, org.apache.spark.sql.types.StructType)]()
+
+  /** The fuzzy pair table materialized ONCE per (dir, fixture
+    * generation) to scratch parquet — the same two-phase recipe as
+    * content dedup's `materializedPairs`: without it the 8-round label
+    * unroll re-expands the pair subtree per round and the composed
+    * plan balloons to ~2,500 exchanges (measured via ExplainAll);
+    * iterating over the flat scan keeps every round's subtree one
+    * parquet read. */
+  private def fuzzyPairsMaterialized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/part.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val root = fs.getFileStatus(p)
+    val files = if (root.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
+      else Seq(root)
+    val cacheKey = s"$dir@${files.size}_${files.map(_.getLen).sum}_" +
+      s"${files.map(_.getModificationTime).max}"
+    val (path, schema) = fuzzyPairCache.computeIfAbsent(cacheKey, _ => {
+      val names = part(s, dir)
+        .groupBy($"p_name").agg(min($"p_partkey").as("repr_key"))
+        .withColumn("noun", element_at(split($"p_name", " "), -1))
+      val a = names.select($"p_name".as("name_a"), $"repr_key".as("a_id"),
+        $"noun")
+      val b = names.select($"p_name".as("name_b"), $"repr_key".as("b_id"),
+        $"noun".as("noun_b"))
+      val pairs = a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b")
+        .filter(levenshtein($"name_a", $"name_b") <= 3)
+        .select($"a_id", $"b_id")
+      val key = dir.replaceAll("[^A-Za-z0-9._-]", "-").takeRight(32) + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = graft.util.Scratch.dir(s"fuzzy_pairs_$key")
+      pairs.write.mode("overwrite").parquet(out)
+      (out, pairs.schema)
+    })
+    s.read.schema(schema).parquet(path)
+  }
+
   /** §2.J entity RESOLUTION end-to-end: the fuzzy pair table resolved
     * into connected components (re-using `LlmOps.clustersFromPairs` —
     * the same fixed-round min-label propagation with an in-plan
@@ -229,19 +269,20 @@ object DedupAdvanced {
     * oracle-checked via the recursive-CTE flood. */
   def qDedupFuzzyEntities(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val names = part(s, dir)
+    // two-phase like content dedup's clustersCore: materialize pairs
+    // with AQE ON (parent session), run the fixed-round unroll with
+    // AQE OFF over the flat scan (per-stage replanning buys nothing on
+    // a dictionary-sized label table and costs planning time per round)
+    fuzzyPairsMaterialized(s, dir)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    val names = part(s2, dir)
       .groupBy($"p_name").agg(
         count(lit(1)).as("n_rows"),
         min($"p_partkey").as("repr_key"))
       .withColumn("noun", element_at(split($"p_name", " "), -1))
-    val a = names.select($"p_name".as("name_a"), $"repr_key".as("a_id"),
-      $"noun")
-    val b = names.select($"p_name".as("name_b"), $"repr_key".as("b_id"),
-      $"noun".as("noun_b"))
-    val pairs = a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b")
-      .filter(levenshtein($"name_a", $"name_b") <= 3)
-      .select($"a_id", $"b_id")
-    val labels = LlmOps.clustersFromPairs(pairs, rounds = 8)
+    val labels = LlmOps.clustersFromPairs(fuzzyPairsMaterialized(s2, dir),
+        rounds = 8)
       .select($"doc_id".as("node"), $"cluster_id")
     val ent = names.join(labels, $"repr_key" === $"node", "left")
       .select($"p_name", $"n_rows", $"repr_key",

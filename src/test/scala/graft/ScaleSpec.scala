@@ -186,6 +186,7 @@ class ScaleSpec extends SparkSpec {
       "q_sim_ann_ivf_batch" -> "materializes the IVF index (once per JVM)",
       "q_dedup_semantic" -> "materializes the IVF index (once per JVM)",
       "q_dedup_incremental" -> "materializes the fingerprint store (once per JVM)",
+      "q_dedup_fuzzy_entities" -> "materializes the fuzzy pair table (once per JVM)",
       // layout/maintenance passes: the rewrite IS the operator
       "q_fleet_compact" -> "writes + compacts a scratch fleet (the rewrite IS the operator)",
       "q_scan_avro_evolve" -> "writes a two-generation scratch fleet (the sink IS the operator)",
