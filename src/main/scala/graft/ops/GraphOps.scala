@@ -117,14 +117,22 @@ object GraphOps {
 
   /** §2.J triangle census: undirected-distinct edge count, wedge count,
     * triangle count, global clustering coefficient — one summary row of
-    * exact integers (+ one r6 ratio over oriented wedges).
+    * exact integers (+ one r6 ratio). `n_wedges` is the FULL wedge
+    * count Σ_v C(deg(v), 2) — every unordered neighbor pair at every
+    * center — so `clustering = 3·n_triangles / n_wedges` is the
+    * standard global (transitivity) coefficient, bounded in [0, 1].
+    * Triangle ENUMERATION still runs on the oriented (a<b<c)
+    * representation, which generates each triangle exactly once; the
+    * oriented wedge stream is an internal candidate set, not the
+    * reported denominator.
     *
     * Scale: edges are canonically ORIENTED (a < b) before joining, so
-    * each wedge (a<b<c) is enumerated exactly once and the closing-edge
-    * probe is an equi-join on both endpoints — never an all-pairs
-    * product. At 100 TB the standard refinement is degree-based
-    * orientation (point each edge at the higher-degree endpoint) which
-    * bounds per-key fan-out by sqrt(m); the join shape is unchanged. */
+    * each triangle is enumerated once and the closing-edge probe is an
+    * equi-join on both endpoints — never an all-pairs product; the
+    * degree aggregation is one shuffle on vertex id. At 100 TB the
+    * standard refinement is degree-based orientation (point each edge
+    * at the higher-degree endpoint) which bounds per-key fan-out by
+    * sqrt(m); the join shape is unchanged. */
   def qGraphTriangles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val und = edges(s, dir)
@@ -136,11 +144,16 @@ object GraphOps {
     val closing = und.select(col("a").as("ca"), col("b").as("cb"))
     val tri = wedges.join(closing,
       col("a") === col("ca") && col("c") === col("cb"))
+    // full wedge count: deg(v) over BOTH endpoints, then Σ C(deg, 2)
+    // (deg·(deg−1) is even, so DIV 2 is exact)
+    val allWedges = und.select($"a".as("v")).unionAll(und.select($"b".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .agg(sum(expr("deg * (deg - 1) DIV 2")).as("n_wedges"))
     // Summary row assembled IN-PLAN: each count is a one-row aggregate
     // cross-joined (broadcast of a single row) — no plan-build jobs.
     documents(s, dir).agg(count(lit(1)).as("n_nodes"))
       .crossJoin(und.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(allWedges)
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
       .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
         r6(when($"n_wedges" === 0, lit(0.0))
@@ -205,14 +218,18 @@ object GraphOps {
         |  FROM e WHERE src <> dst),
         |w AS (SELECT e1.a, e1.b, e2.b AS c
         |      FROM und e1 JOIN und e2 ON e1.b = e2.a),
-        |t AS (SELECT w.a FROM w JOIN und e3 ON w.a = e3.a AND w.c = e3.b)
+        |t AS (SELECT w.a FROM w JOIN und e3 ON w.a = e3.a AND w.c = e3.b),
+        |wa AS (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |       FROM (SELECT v, count(*) AS deg
+        |             FROM (SELECT a AS v FROM und
+        |                   UNION ALL SELECT b FROM und) GROUP BY v))
         |SELECT (SELECT count(*) FROM documents) AS n_nodes,
         |  (SELECT count(*) FROM und) AS n_edges,
-        |  (SELECT count(*) FROM w) AS n_wedges,
+        |  (SELECT n_wedges FROM wa) AS n_wedges,
         |  (SELECT count(*) FROM t) AS n_triangles,
-        |  round(CASE WHEN (SELECT count(*) FROM w) = 0 THEN CAST(0 AS DOUBLE)
+        |  round(CASE WHEN (SELECT n_wedges FROM wa) = 0 THEN CAST(0 AS DOUBLE)
         |    ELSE CAST(3.0 AS DOUBLE) * (SELECT count(*) FROM t)
-        |         / (SELECT count(*) FROM w)
+        |         / (SELECT n_wedges FROM wa)
         |  END, 6) AS clustering""").stripMargin
   )
 }

@@ -136,15 +136,17 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
             s"${info.schema()(i).dataType.simpleString}")
         i
       }
+      val codec = Option(info.options.get("codec")).getOrElse("")
+      AvroFleetDataWriter.codecFor(codec) // plan-time validation
       new AvroFleetBatchWrite(schemaJson, info.schema(), dir, jobTag,
-        truncateFleet, clusterIdx)
+        truncateFleet, clusterIdx, codec)
     }
   }
 }
 
 private[sources] class AvroFleetBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String, truncate: Boolean,
-    clusterIdx: Option[Int] = None)
+    clusterIdx: Option[Int] = None, codec: String = "")
     extends BatchWrite {
 
   private def fs(conf: org.apache.hadoop.conf.Configuration) =
@@ -164,7 +166,7 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     f.mkdirs(p)
     new AvroFleetWriterFactory(schemaJson, schema.fields.map(_.name),
       schema.fields.map(_.dataType), dir, jobTag,
-      new SerializableHadoopConf(conf), clusterIdx)
+      new SerializableHadoopConf(conf), clusterIdx, codec)
   }
 
   // sidecar first, marker LAST: the tasks' per-file min/max/null
@@ -202,15 +204,15 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
 private[graft] class AvroFleetWriterFactory(schemaJson: String,
     names: Array[String], types: Array[DataType], dir: String,
     jobTag: String, conf: SerializableHadoopConf,
-    clusterIdx: Option[Int] = None)
+    clusterIdx: Option[Int] = None, codec: String = "")
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] = clusterIdx match {
     case Some(i) => new AvroFleetClusteredWriter(schemaJson, names, types,
-      dir, partitionId, taskId, jobTag, conf, i)
+      dir, partitionId, taskId, jobTag, conf, i, codec)
     case None => new AvroFleetDataWriter(schemaJson, names, types, dir,
-      partitionId, taskId, jobTag, conf)
+      partitionId, taskId, jobTag, conf, codec)
   }
 }
 
@@ -222,7 +224,8 @@ private[graft] class AvroFleetWriterFactory(schemaJson: String,
   * schema-bearing OCF, matching `writeDistributed` layout. */
 private[graft] class AvroFleetDataWriter(schemaJson: String,
     names: Array[String], types: Array[DataType], dir: String, pid: Int,
-    taskId: Long, jobTag: String, conf: SerializableHadoopConf)
+    taskId: Long, jobTag: String, conf: SerializableHadoopConf,
+    codec: String = "")
     extends DataWriter[InternalRow] {
 
   import org.apache.avro.file.{CodecFactory, DataFileWriter}
@@ -244,7 +247,7 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
 
   private def ensureOpen(): Unit = if (w == null)
     w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-      .setCodec(CodecFactory.deflateCodec(6))
+      .setCodec(AvroFleetDataWriter.codecFor(codec))
       .create(schema, fs.create(tmpPath, true))
 
   override def write(row: InternalRow): Unit = {
@@ -292,7 +295,7 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
 private[graft] class AvroFleetClusteredWriter(schemaJson: String,
     names: Array[String], types: Array[DataType], dir: String, pid: Int,
     taskId: Long, jobTag: String, conf: SerializableHadoopConf,
-    clusterIdx: Int)
+    clusterIdx: Int, codec: String = "")
     extends DataWriter[InternalRow] {
 
   import org.apache.avro.file.{CodecFactory, DataFileWriter}
@@ -315,7 +318,7 @@ private[graft] class AvroFleetClusteredWriter(schemaJson: String,
       StructType(names.zip(types).map { case (n, t) => StructField(n, t) }))
     val w: DataFileWriter[GenericRecord] =
       new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-        .setCodec(CodecFactory.deflateCodec(6))
+        .setCodec(AvroFleetDataWriter.codecFor(codec))
         .create(schema, fs.create(tmpPath, true))
   }
 
@@ -346,6 +349,13 @@ private[graft] class AvroFleetClusteredWriter(schemaJson: String,
   }
 
   override def commit(): WriterCommitMessage = {
+    // An all-empty job must still leave one schema-bearing container —
+    // the plain writer's ensureOpen() guarantee (a fleet of only
+    // _SUCCESS/_stats would fail read-side schema inference). A no-row
+    // file carries rows=0 sidecar stats, which the SPJ read side
+    // already excludes from key grouping, so the layout proof is
+    // unaffected.
+    if (sinks.isEmpty) sinks.getOrElseUpdate(None, new Sink(0))
     val parts = sinks.values.toSeq.map { s =>
       s.w.close()
       Avro.commitPart(fs, s.tmpPath, s.finalPath)
@@ -370,6 +380,27 @@ private[graft] class AvroFleetClusteredWriter(schemaJson: String,
 }
 
 private[graft] object AvroFleetDataWriter {
+  import org.apache.avro.file.CodecFactory
+
+  /** Write-codec option (`option("codec", ...)`): "deflate" /
+    * "deflate-N" (N ∈ 1..9) / "null". Default stays deflate-6 — the
+    * archival profile; a streaming sink that lands many small
+    * micro-batches picks "deflate-1" to trade ~15% size for ~3×
+    * faster compression on the hot path. Validated DRIVER-SIDE at
+    * plan time (call once in the WriteBuilder) so a typo fails before
+    * any task launches; writers re-derive the factory from the
+    * validated spec because CodecFactory itself is not serializable. */
+  def codecFor(spec: String): CodecFactory = spec match {
+    case null | "" | "deflate" => CodecFactory.deflateCodec(6)
+    case "null" => CodecFactory.nullCodec()
+    case s if s.startsWith("deflate-") =>
+      val lvl = s.stripPrefix("deflate-").toInt
+      require(lvl >= 1 && lvl <= 9, s"deflate level $lvl out of 1..9")
+      CodecFactory.deflateCodec(lvl)
+    case other => throw new IllegalArgumentException(
+      s"unknown graft-avro codec '$other' (use deflate, deflate-N, null)")
+  }
+
   /** Catalyst internal value → the avro carrier for that Spark type
     * (dates stay epoch-day ints, timestamps stay µs longs — exactly
     * the logical-type spelling `Avro.toAvroSchema` declares). */

@@ -312,13 +312,15 @@ object StreamingOps {
   /** §2.I stream–static join replay, oracle-checked: the enrich()
     * graph (stream events ⋈ broadcast customer dim) run as a real
     * append-mode streaming query — joins without aggregation stream
-    * through row-by-row, so append needs no watermark here. NOTE: the
-    * memory sink materializes the full enriched stream on the driver —
-    * strictly a fixture-scale oracle harness; a production enrich
-    * writes the same graph to a file/Kafka sink. */
+    * through row-by-row, so append needs no watermark here. Lands via
+    * `replayToFleet` (foreachBatch → batchId-keyed fleet dirs): the
+    * full enriched fact stream stays DISTRIBUTED end-to-end — written
+    * by executor tasks, read back by a fleet scan — and the oracle
+    * checks the complete read-back table, so a dropped/duplicated
+    * batch or a mis-joined row still hash-mismatches. */
   def qStreamEnrichReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replayToTable(s, "append") { s2 =>
+    replayToFleet(s, "enrich") { s2 =>
       enrich(eventsStream(s2, dir), customer(s2, dir))
     }.orderBy($"event_id")
   }
@@ -331,11 +333,12 @@ object StreamingOps {
     * copy (over the raw unique-id fixture, dedup would be a vacuous
     * pass-through). Output is the surviving (event_id, event_type,
     * user_id) projection: both copies of a row are identical, so WHICH
-    * copy survives cannot affect parity. Oracle: the plain events
-    * projection — exactly one row per id. */
+    * copy survives cannot affect parity. Lands via `replayToFleet` —
+    * the deduped stream never touches the driver. Oracle: the plain
+    * events projection — exactly one row per id. */
   def qStreamDedupReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replayToTable(s, "append") { s2 =>
+    replayToFleet(s, "dedup") { s2 =>
       dedupStream(eventsStream(s2, dir).unionByName(eventsStream(s2, dir)))
         .select($"event_id", $"event_type", $"user_id")
     }.orderBy($"event_id")
@@ -352,10 +355,13 @@ object StreamingOps {
     * append emits precisely the batch join's matches — which is what
     * the DuckDB oracle computes. Closes the last §2.I asymmetry: every
     * streaming graph family (tumbling/sliding/session/enrich/dedup/
-    * stream-stream join) now has an oracle-checked replay. */
+    * stream-stream join) now has an oracle-checked replay. Lands via
+    * `replayToFleet` — the match stream is a fact stream, so it takes
+    * the distributed landing path like enrich/dedup, never a
+    * driver-side memory sink. */
   def qStreamJoinReplay(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    replayToTable(s, "append") { s2 =>
+    replayToFleet(s, "join") { s2 =>
       val ev = eventsStream(s2, dir)
       attachClicks(ev.filter($"event_type" === "view"),
         ev.filter($"event_type" === "click"))
@@ -408,9 +414,23 @@ object StreamingOps {
     * accumulates subdirectories per batch — at 100 TB the follow-up is
     * the existing `q_fleet_compact` pass folding small batch dirs into
     * right-sized files; nothing here serializes through the driver. */
-  def qStreamFleetSink(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val root = graft.util.Scratch.dir("stream_fleet_sink")
+  /** Shared replay-through-fleet harness: run a streaming graph to
+    * completion (AvailableNow) with `foreachBatch` landing each
+    * micro-batch in a batchId-derived `graft-avro` subdirectory
+    * (EXACTLY-ONCE: a batch replayed after a crash — same batchId,
+    * Spark's offset-log contract — overwrites its own output instead
+    * of duplicating rows), then return the DISTRIBUTED read-back of
+    * all batch fleets as a batch DataFrame. Nothing materializes on
+    * the driver: each micro-batch write is a normal V2 commit and the
+    * read-back is a pruned fleet scan — this is the production landing
+    * path, so the registered replay shapes ARE the shapes a real
+    * pipeline runs (the r13 memory-sink harness put O(events) through
+    * the driver for append-mode graphs). Codec deflate-1: a replay
+    * fleet is scratch written once and read once — compression speed
+    * beats ratio on this path. */
+  private def replayToFleet(s: SparkSession, tag: String)
+      (build: SparkSession => DataFrame): DataFrame = {
+    val root = graft.util.Scratch.dir(s"stream_fleet_$tag")
     // deterministic re-runs within one JVM: clear prior batch dirs so a
     // bench warm lap can't read a stale batch count (the idempotent
     // REPLAY-overwrite path is pinned separately in StreamingSpec)
@@ -419,12 +439,10 @@ object StreamingOps {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "2")
     s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val q = eventsStream(s2, dir)
-      .select($"event_id", $"ts", $"event_type", $"value")
-      .writeStream
+    val q = build(s2).writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.format("graft-avro").mode("overwrite")
-          .save(s"$root/batch_$batchId.avro")
+        batch.write.format("graft-avro").option("codec", "deflate-1")
+          .mode("overwrite").save(s"$root/batch_$batchId.avro")
       }
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -437,6 +455,14 @@ object StreamingOps {
       .filter(_.isDirectory).map(_.getPath.toString).sorted
     batchDirs.map(p => s.read.format("graft-avro").load(p))
       .reduce(_ unionByName _)
+  }
+
+  def qStreamFleetSink(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    replayToFleet(s, "sink") { s2 =>
+      eventsStream(s2, dir)
+        .select($"event_id", $"ts", $"event_type", $"value")
+    }
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
       .orderBy($"event_type")

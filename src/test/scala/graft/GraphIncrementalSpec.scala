@@ -29,9 +29,11 @@ class GraphIncrementalSpec extends SparkSpec {
     val (nodes, edges, wedges, tris) =
       (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
     assert(edges > 0 && edges <= 3 * nodes, "out-degree 3 bounds edges")
-    assert(tris <= wedges, "every triangle closes a wedge")
+    // n_wedges is the FULL wedge count Σ C(deg,2); each triangle
+    // closes three of them, so the standard coefficient is in [0,1]
+    assert(3 * tris <= wedges, "every triangle closes three wedges")
     val clustering = row.getDouble(4)
-    assert(clustering >= 0.0 && clustering <= 3.0)
+    assert(clustering >= 0.0 && clustering <= 1.0)
   }
 
   test("incremental dedup admits exactly the store-absent batch winners") {

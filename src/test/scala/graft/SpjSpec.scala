@@ -110,12 +110,17 @@ class SpjSpec extends SparkSpec {
       Long.MaxValue, enforceBound = false)
     val stats = graft.sources.FleetStats.forFleet(fs, fleet)
     assert(fleet.nonEmpty)
-    fleet.foreach { st =>
+    // an empty task still commits one schema-bearing rows=0 container
+    // (the ensureOpen guarantee); the read side excludes rows=0 files
+    // from key grouping, so only row-bearing files must prove a key
+    fleet.filter(st => stats(st.getPath.toString).rows > 0).foreach { st =>
       val ps = stats(st.getPath.toString)
       val cs = ps.cols("shard")
       assert(cs.nulls == 0 && cs.min.isDefined && cs.min == cs.max,
         s"${st.getPath.getName} spans shard range ${cs.min}..${cs.max}")
     }
+    // and at least one such proof-bearing file exists
+    assert(fleet.exists(st => stats(st.getPath.toString).rows > 0))
   }
 
   test("clustered compaction folds files while keeping the fleet SPJ-able") {
@@ -152,6 +157,21 @@ class SpjSpec extends SparkSpec {
       s"compacted fleet lost its SPJ layout:\n" +
         s"${joined.queryExecution.executedPlan}")
     assert(a.count() == ev.count(), "compaction must be lossless")
+  }
+
+  test("a clusterBy write of an empty DataFrame still leaves a loadable fleet") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("spj_empty_spec")
+    val empty = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+      .filter($"user_id" < 0) // provably empty, schema intact
+    writeClustered(empty, s"$root/empty.avro")
+    val back = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/empty.avro")
+    assert(back.schema.fieldNames.toSeq == Seq("user_id", "value", "shard"),
+      "schema inference must survive an all-empty clustered write")
+    assert(back.count() == 0)
   }
 
   test("a plain (unclustered) fleet lapses to Unknown partitioning and still joins correctly") {
