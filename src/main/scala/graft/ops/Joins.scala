@@ -331,6 +331,37 @@ object Joins {
       .orderBy($"shard", $"user_id")
   }
 
+  /** §2.C PARTIALLY-clustered storage-partitioned join: only ONE side
+    * is a proven clustered fleet; the other is an ordinary in-plan
+    * aggregate with no layout proof. With
+    * `v2.bucketing.shuffle.enabled` (GraftSession), the planner keeps
+    * the fleet's `KeyGroupedPartitioning` and shuffles JUST the plain
+    * side into it — one exchange instead of re-shuffling both sides
+    * (SpjSpec pins exactly-one-exchange on the scan-vs-fleet case).
+    * This is the common 100 TB shape: the big fact table is laid out
+    * once, and every ad-hoc per-key table computed against it rides
+    * the existing layout instead of forcing a two-sided shuffle.
+    * Semantics are layout-invariant — the oracle is the plain join. */
+  def qJoinSpjPartial(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("spj_partial_join")
+    val ev = events(s, dir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    val perUser = ev.groupBy($"shard", $"user_id")
+      .agg(r4(sum($"value")).as("user_spend"))
+    perUser.repartition(4, $"shard").write.format("graft-avro")
+      .option("clusterBy", "shard").mode("overwrite").save(s"$root/user.avro")
+    val a = s.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/user.avro")
+    val perShard = ev.groupBy($"shard")
+      .agg(r4(sum($"value")).as("shard_total"))
+    a.join(perShard.hint("merge"), Seq("shard"))
+      .select($"shard", $"user_id", $"user_spend", $"shard_total",
+        r6($"user_spend" / $"shard_total").as("share"))
+      .orderBy($"shard", $"user_id")
+  }
+
   /** §2.C interval join: events of the same user within 1 hour after each
     * signup. Equi key (user_id) + range predicate → keyed join, not a
     * cartesian. */
@@ -402,6 +433,7 @@ object Joins {
     "q_join_asof_tolerance" -> qJoinAsofTolerance _,
     "q_join_asof_nearest" -> qJoinAsofNearest _,
     "q_join_spj" -> qJoinSpj _,
+    "q_join_spj_partial" -> qJoinSpjPartial _,
     "q_join_interval" -> qJoinInterval _
   )
 
@@ -516,6 +548,18 @@ object Joins {
         |ORDER BY purchase_id""".stripMargin,
     // layout is invisible to semantics: the oracle is the plain join
     "q_join_spj" ->
+      """WITH ev AS (
+        |  SELECT user_id, value, user_id % 8 AS shard FROM events),
+        |pu AS (SELECT shard, user_id, round(sum(value), 4) AS user_spend
+        |       FROM ev GROUP BY shard, user_id),
+        |ps AS (SELECT shard, round(sum(value), 4) AS shard_total
+        |       FROM ev GROUP BY shard)
+        |SELECT pu.shard, pu.user_id, pu.user_spend, ps.shard_total,
+        |  round(pu.user_spend / ps.shard_total, 6) AS share
+        |FROM pu JOIN ps ON pu.shard = ps.shard
+        |ORDER BY pu.shard, pu.user_id""".stripMargin,
+    // same layout-invariance: one side clustered, the other plain
+    "q_join_spj_partial" ->
       """WITH ev AS (
         |  SELECT user_id, value, user_id % 8 AS shard FROM events),
         |pu AS (SELECT shard, user_id, round(sum(value), 4) AS user_spend

@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   *    clusterBy-laid-out fleets join with NO exchange (the
   *    storage-partitioned join path); has no effect on scans that
   *    report Unknown partitioning.
+  *  - `v2.bucketing.shuffle.enabled=true`: the PARTIALLY-clustered
+  *    case — when only ONE join side is a proven clustered fleet, keep
+  *    that side's key grouping and shuffle just the other side into
+  *    it (one exchange instead of two). A lapsed-to-Unknown fleet
+  *    still falls back to shuffling both sides.
   */
 object GraftSession {
   def defaults(b: SparkSession.Builder): SparkSession.Builder = b
@@ -30,5 +35,6 @@ object GraftSession {
     .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.warehouse.dir", Scratch.dir("warehouse"))
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
+    .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
     .config("spark.ui.enabled", "false")
 }

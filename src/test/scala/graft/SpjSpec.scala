@@ -159,6 +159,34 @@ class SpjSpec extends SparkSpec {
     assert(a.count() == ev.count(), "compaction must be lossless")
   }
 
+  test("partially-clustered: a proven fleet joined to a plain table shuffles ONLY the plain side") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("spj_partial_spec")
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    val perUser = ev.groupBy($"shard", $"user_id")
+      .agg(round(sum($"value"), 4).as("user_spend"))
+    writeClustered(perUser, s"$root/user.avro")
+    val a = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/user.avro")
+    // the OTHER side is a plain narrow scan — no layout proof, and no
+    // shuffle of its own, so the ONLY exchange the whole plan may
+    // contain is the one moving this side into the fleet's key
+    // grouping; a both-sides fallback would show 2
+    val plain = ev.select($"shard", $"user_id".as("ev_user"), $"value")
+    val joined = a.join(plain.hint("merge"), Seq("shard"))
+      .select($"shard", $"user_id", $"user_spend", $"ev_user", $"value")
+    val n = allExchanges(joined)
+    assert(n == 1, s"expected exactly ONE exchange (the plain side " +
+      s"regrouped into the fleet's partitioning), got $n:\n" +
+      s"${joined.queryExecution.executedPlan}")
+    val direct = perUser.join(plain, Seq("shard"))
+      .select($"shard", $"user_id", $"user_spend", $"ev_user", $"value")
+      .collect().map(_.toSeq).toSet
+    assert(joined.collect().map(_.toSeq).toSet == direct)
+  }
+
   test("a clusterBy write of an empty DataFrame still leaves a loadable fleet") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("spj_empty_spec")
