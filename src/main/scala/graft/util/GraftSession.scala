@@ -36,5 +36,12 @@ object GraftSession {
     .config("spark.sql.warehouse.dir", Scratch.dir("warehouse"))
     .config("spark.sql.sources.v2.bucketing.enabled", "true")
     .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    // report the sortBy order of bucketed scans (Spark still requires
+    // one file per bucket before reporting, so this is only ever the
+    // layouts our writers produce: repartition-by-bucket-cols first).
+    // Without it every merge join against a sorted bucketed table —
+    // the fingerprint-store ingest, the bucketed fact join — re-sorts
+    // the pre-sorted side per query.
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .config("spark.ui.enabled", "false")
 }

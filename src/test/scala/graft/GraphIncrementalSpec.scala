@@ -56,6 +56,7 @@ class GraphIncrementalSpec extends SparkSpec {
     // against the updated store must admit nothing (idempotent ingest)
     val admitted = IncrementalOps.qDedupIncremental(spark, sfDir)
     val updated = IncrementalOps.fingerprintStore(spark, sfDir)
+      .select($"content_hash")
       .unionByName(admitted.select($"content_hash"))
     val replay = graft.util.Tables.documents(spark, sfDir)
       .filter(pmod($"doc_id", lit(4)) === 0)
@@ -63,6 +64,69 @@ class GraphIncrementalSpec extends SparkSpec {
       .join(updated, Seq("content_hash"), "left_anti")
     assert(replay.count() == 0,
       "replayed batch must admit nothing against the updated store")
+  }
+
+  test("ingest anti-join moves nothing on the store side") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SortExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: nodes(a.executedPlan)
+      case q: QueryStageExec => p +: nodes(q.plan)
+      case r: ReusedExchangeExec => p +: nodes(r.child)
+      case other => other +: other.children.flatMap(nodes)
+    }
+    def isStoreScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("graft_fp_store"))
+      case _ => false
+    }
+    // at fixture scale Catalyst (rightly) broadcasts the tiny store;
+    // the 100 TB regime — the one this layout exists for — is a store
+    // too big to broadcast. Simulate it by disabling broadcast on a
+    // child session and pin the sort-merge plan the big store gets.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val q = IncrementalOps.qDedupIncremental(s2, sfDir)
+    q.collect() // finalize AQE
+    val all = nodes(q.queryExecution.executedPlan)
+    // the store's bucketed scan is present and actually bucket-aware
+    val storeScans = all.collect {
+      case f: FileSourceScanExec if isStoreScan(f) => f
+    }
+    assert(storeScans.nonEmpty, "expected the bucketed store scan in plan")
+    assert(storeScans.forall(_.bucketedScan),
+      "store must be read AS a bucketed table (partitioning-reporting scan)")
+    // the store-side LEG of the anti-join (everything between the join
+    // and the store scan) must contain neither an exchange nor a sort:
+    // the billions-row side at 100 TB never moves — only the batch
+    // shuffles into the layout
+    val storeLegs = all.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if nodes(j.right).exists(isStoreScan) => j.right
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+          if nodes(j.right).exists(isStoreScan) => j.right
+    }
+    assert(storeLegs.nonEmpty,
+      s"expected the store on a shuffled join's build leg:\n" +
+        s"${q.queryExecution.executedPlan}")
+    val moved = storeLegs.flatMap(nodes).collect {
+      case e: ShuffleExchangeExec => e
+      case s: SortExec => s
+    }
+    assert(moved.isEmpty,
+      s"store side must neither shuffle nor sort:\n" +
+        s"${q.queryExecution.executedPlan}")
+    // the batch pays exactly one hash shuffle (its repartition into the
+    // store layout); the only other exchange is the presentation sort
+    val hashEx = all.collect {
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => e
+    }
+    assert(hashEx.size == 1,
+      s"expected ONE batch-side hash exchange, got ${hashEx.size}:\n" +
+        s"${q.queryExecution.executedPlan}")
   }
 
   test("fingerprint store materializes once per fixture generation") {
