@@ -185,19 +185,47 @@ object DedupAdvanced {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** Candidate name pairs under TWO blocking keys — the name's FIRST
+    * word and its LAST word, unioned (via one explode) and deduped
+    * BEFORE any scoring. Single-key blocking has a silent recall hole:
+    * a typo inside the key itself ("…steel" vs "…stel") lands the two
+    * names in different blocks and the pair is never scored. With two
+    * independent keys a pair is only lost if BOTH its first and last
+    * words are corrupted — the standard multi-pass blocking fix, still
+    * an equi-join, never a cartesian. Input dictionary schema:
+    * (p_name, n_rows, repr_key); output one row per unordered
+    * candidate pair with both sides' carried attributes. */
+  private[graft] def fuzzyCandidatePairs(names: DataFrame): DataFrame = {
+    val keyed = names.withColumn("bkey", explode(array(
+      element_at(split(col("p_name"), " "), 1),
+      element_at(split(col("p_name"), " "), -1))))
+    val a = keyed.select(col("p_name").as("name_a"), col("n_rows").as("n_a"),
+      col("repr_key").as("key_a"), col("bkey"))
+    val b = keyed.select(col("p_name").as("name_b"), col("n_rows").as("n_b"),
+      col("repr_key").as("key_b"), col("bkey").as("bkey_b"))
+    a.join(b, col("bkey") === col("bkey_b") && col("name_a") < col("name_b"))
+      // a pair blocked by BOTH keys appears twice — dedup before the
+      // (comparatively expensive) edit-distance pass, not after
+      .dropDuplicates("name_a", "name_b")
+      .select(col("name_a"), col("name_b"), col("n_a"), col("n_b"),
+        col("key_a"), col("key_b"))
+  }
+
   /** §2.J FUZZY (edit-distance) entity matching — the name-resolution
     * step of record linkage, built the way it scales: (1) collapse rows
     * to the DISTINCT-NAME DICTIONARY first (a fuzzy join over raw rows
     * squares duplicate-heavy data — this fixture has ~600 copies of
     * some part names, 3.1M within-block row pairs at sf0.1 vs a few
-    * hundred dictionary pairs); (2) block dictionary entries on a
-    * cheap deterministic key (the name's last word) so candidate
-    * generation is an equi-join, never a cartesian; (3) score only
-    * within blocks with codegen'd `levenshtein`. Output: matched name
-    * pairs with their row multiplicities — what an MDM pipeline feeds
-    * to a reviewer or a cluster resolver (`q_dedup_clusters` downstream
-    * if transitive closure is wanted). Exact same semantics in DuckDB
-    * (its levenshtein agrees on these ASCII names), so fully
+    * hundred dictionary pairs); (2) block dictionary entries on TWO
+    * cheap deterministic keys (first word ∪ last word —
+    * [[fuzzyCandidatePairs]]) so candidate generation is an equi-join,
+    * never a cartesian, and a typo inside one key cannot silently drop
+    * a pair; (3) score only the deduped candidates with codegen'd
+    * `levenshtein`. Output: matched name pairs with their row
+    * multiplicities — what an MDM pipeline feeds to a reviewer or a
+    * cluster resolver (`q_dedup_clusters` downstream if transitive
+    * closure is wanted). Exact same semantics in DuckDB (its
+    * levenshtein agrees on these ASCII names), so fully
     * oracle-checked. */
   def qDedupFuzzy(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -205,12 +233,7 @@ object DedupAdvanced {
       .groupBy($"p_name").agg(
         count(lit(1)).as("n_rows"),
         min($"p_partkey").as("repr_key"))
-      .withColumn("noun", element_at(split($"p_name", " "), -1))
-    val a = names.select($"p_name".as("name_a"), $"n_rows".as("n_a"),
-      $"repr_key".as("key_a"), $"noun")
-    val b = names.select($"p_name".as("name_b"), $"n_rows".as("n_b"),
-      $"repr_key".as("key_b"), $"noun".as("noun_b"))
-    a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b")
+    fuzzyCandidatePairs(names)
       .withColumn("dist", levenshtein($"name_a", $"name_b"))
       .filter($"dist" <= 3)
       .select($"name_a", $"name_b", $"n_a", $"n_b", $"key_a", $"key_b",
@@ -239,15 +262,12 @@ object DedupAdvanced {
       s"${files.map(_.getModificationTime).max}"
     val (path, schema) = fuzzyPairCache.computeIfAbsent(cacheKey, _ => {
       val names = part(s, dir)
-        .groupBy($"p_name").agg(min($"p_partkey").as("repr_key"))
-        .withColumn("noun", element_at(split($"p_name", " "), -1))
-      val a = names.select($"p_name".as("name_a"), $"repr_key".as("a_id"),
-        $"noun")
-      val b = names.select($"p_name".as("name_b"), $"repr_key".as("b_id"),
-        $"noun".as("noun_b"))
-      val pairs = a.join(b, $"noun" === $"noun_b" && $"name_a" < $"name_b")
+        .groupBy($"p_name").agg(
+          count(lit(1)).as("n_rows"),
+          min($"p_partkey").as("repr_key"))
+      val pairs = fuzzyCandidatePairs(names)
         .filter(levenshtein($"name_a", $"name_b") <= 3)
-        .select($"a_id", $"b_id")
+        .select($"key_a".as("a_id"), $"key_b".as("b_id"))
       val key = dir.replaceAll("[^A-Za-z0-9._-]", "-").takeRight(32) + "_" +
         java.security.MessageDigest.getInstance("MD5")
           .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -280,7 +300,6 @@ object DedupAdvanced {
       .groupBy($"p_name").agg(
         count(lit(1)).as("n_rows"),
         min($"p_partkey").as("repr_key"))
-      .withColumn("noun", element_at(split($"p_name", " "), -1))
     val labels = LlmOps.clustersFromPairs(fuzzyPairsMaterialized(s2, dir),
         rounds = 8)
       .select($"doc_id".as("node"), $"cluster_id")
@@ -310,26 +329,37 @@ object DedupAdvanced {
   val oracleSql: Map[String, String] = Map(
     "q_dedup_fuzzy" ->
       """WITH names AS (
-        |  SELECT p_name, count(*) AS n_rows, min(p_partkey) AS repr_key,
-        |    split_part(p_name, ' ', -1) AS noun
-        |  FROM part GROUP BY p_name)
-        |SELECT a.p_name AS name_a, b.p_name AS name_b,
-        |  a.n_rows AS n_a, b.n_rows AS n_b,
-        |  a.repr_key AS key_a, b.repr_key AS key_b,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-        |FROM names a JOIN names b
-        |  ON a.noun = b.noun AND a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |  SELECT p_name, count(*) AS n_rows, min(p_partkey) AS repr_key
+        |  FROM part GROUP BY p_name),
+        |keyed AS (
+        |  SELECT p_name, n_rows, repr_key,
+        |    unnest([split_part(p_name, ' ', 1),
+        |            split_part(p_name, ' ', -1)]) AS bkey
+        |  FROM names),
+        |cand AS (
+        |  SELECT DISTINCT a.p_name AS name_a, b.p_name AS name_b,
+        |    a.n_rows AS n_a, b.n_rows AS n_b,
+        |    a.repr_key AS key_a, b.repr_key AS key_b
+        |  FROM keyed a JOIN keyed b
+        |    ON a.bkey = b.bkey AND a.p_name < b.p_name)
+        |SELECT name_a, name_b, n_a, n_b, key_a, key_b,
+        |  CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
     "q_dedup_fuzzy_entities" ->
       """WITH RECURSIVE names AS (
-        |  SELECT p_name, count(*) AS n_rows, min(p_partkey) AS repr_key,
-        |    split_part(p_name, ' ', -1) AS noun
+        |  SELECT p_name, count(*) AS n_rows, min(p_partkey) AS repr_key
         |  FROM part GROUP BY p_name),
+        |keyed AS (
+        |  SELECT p_name, repr_key,
+        |    unnest([split_part(p_name, ' ', 1),
+        |            split_part(p_name, ' ', -1)]) AS bkey
+        |  FROM names),
         |pairs AS (
-        |  SELECT a.repr_key AS a_id, b.repr_key AS b_id
-        |  FROM names a JOIN names b
-        |    ON a.noun = b.noun AND a.p_name < b.p_name
+        |  SELECT DISTINCT a.repr_key AS a_id, b.repr_key AS b_id
+        |  FROM keyed a JOIN keyed b
+        |    ON a.bkey = b.bkey AND a.p_name < b.p_name
         |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
         |edges AS (SELECT a_id AS u, b_id AS v FROM pairs
         |          UNION ALL SELECT b_id, a_id FROM pairs),

@@ -488,4 +488,39 @@ class OperatorSpec extends SparkSpec {
     assert(msgs.contains("not converged"),
       s"expected the in-plan convergence guard, got: $msgs")
   }
+
+  test("fuzzy blocking: first-word key catches a last-word typo the single-key scheme misses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val names = Seq(
+      ("navy steel", 3L, 10L),
+      ("navy stel", 2L, 11L), // typo IN the last word — blocks differ there
+      ("red shiny blue", 1L, 12L),
+      ("red shiney blue", 1L, 13L), // shares BOTH keys — dedup must keep one
+      ("mint green", 1L, 14L)
+    ).toDF("p_name", "n_rows", "repr_key")
+    val matched = graft.ops.DedupAdvanced.fuzzyCandidatePairs(names)
+      .withColumn("dist", levenshtein($"name_a", $"name_b"))
+      .filter($"dist" <= 3)
+      .select($"name_a", $"name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(matched.toSet == Set(
+      ("navy steel", "navy stel"),
+      ("red shiney blue", "red shiny blue")),
+      s"got ${matched.toSeq}")
+    // the double-blocked pair appears exactly once (deduped pre-scoring)
+    assert(matched.length == 2, s"duplicate candidates: ${matched.toSeq}")
+    // and the r13 single-key (last word) blocking provably misses the
+    // last-word-typo pair — the hole this second key exists to close
+    val lastKeyed = names.withColumn("noun",
+      element_at(split($"p_name", " "), -1))
+    val single = lastKeyed.select($"p_name".as("name_a"), $"noun")
+      .join(lastKeyed.select($"p_name".as("name_b"), $"noun".as("noun_b")),
+        $"noun" === $"noun_b" && $"name_a" < $"name_b")
+      .filter(levenshtein($"name_a", $"name_b") <= 3)
+      .select($"name_a", $"name_b").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(!single.contains(("navy steel", "navy stel")),
+      "single-key blocking was supposed to miss the last-word typo")
+  }
 }
