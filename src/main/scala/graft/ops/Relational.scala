@@ -418,6 +418,32 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A SQL-ADDRESSABLE fleet catalog: the events fleet resolved BY
+    * NAME through the DSv2 `TableCatalog`
+    * ([[graft.sources.GraftCatalog]]) — `SELECT ... FROM graft.events`
+    * with no `format()`/`load()` in sight, the reference's
+    * workbook-as-database ergonomic. `loadTable` hands Spark the SAME
+    * `AvroFleetTable` the `format("graft-avro")` path builds, so the
+    * plan is the identical BatchScan with identical pushdown (column
+    * pruning, filter skipping, sidecar aggregates — CatalogSpec
+    * asserts plan parity and the CREATE-free `SHOW TABLES` listing).
+    * Catalog registration rides a child session: per-query conf, no
+    * leak into the caller. */
+  def qCatalogSqlFleet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch("catalog_root")
+    events(s, dir).select($"event_id", $"event_type", $"value")
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$root/events.avro")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.sql(
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM graft.events GROUP BY event_type ORDER BY event_type"""
+        .stripMargin)
+  }
+
   /** §2.A fleet COMPACTION (the 100 TB small-file maintenance pass):
     * events land first as 32 tiny shards — the shape a streaming sink
     * or frequent appends leave behind — then `FleetCompact.compact`
@@ -841,6 +867,7 @@ object Relational {
     "q_scan_avro_skip_prefix" -> qScanAvroSkipPrefix _,
     "q_scan_avro_evolve" -> qScanAvroEvolve _,
     "q_fleet_compact" -> qFleetCompact _,
+    "q_catalog_sql_fleet" -> qCatalogSqlFleet _,
     "q_scan_avro_bloom" -> qScanAvroBloom _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
@@ -961,6 +988,10 @@ object Relational {
         |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
         |  round(c_acctbal, 4) AS c_acctbal
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    // name resolution is catalog plumbing; semantics are the aggregate
+    "q_catalog_sql_fleet" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_catalog_tables" ->
       """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,
         |  string_agg(column_name, '|' ORDER BY ordinal_position) AS cols

@@ -1,0 +1,222 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DSv2 `TableCatalog` over a directory of graft fleets — the
+  * "workbook as database" surface (SURVEY.md §1.1: sheet = table) made
+  * SQL-addressable. Register per session:
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft.root", "/data/warehouse")
+  *   spark.sql("SELECT ... FROM graft.events")          // events.avro fleet
+  *   spark.sql("SELECT ... FROM graft.books.orders")    // books.xlsx, sheet 'orders'
+  * }}}
+  *
+  * Resolution is directory-convention, metastore-free — the same
+  * philosophy as the fleet layout itself, where the data's own files
+  * carry the metadata:
+  *  - `graft.<name>` → `<root>/<name>.avro`, the V2 avro fleet
+  *    ([[AvroFleetTable]] — the SAME Table object the
+  *    `format("graft-avro")` path builds, so every pushdown the
+  *    connector implements (column pruning, filter skipping, TopN,
+  *    count/min/max aggregates, bloom sidecars) works identically from
+  *    SQL), readable AND writable (`INSERT INTO` / CTAS).
+  *  - `graft.<wb>.<sheet>` → `<root>/<wb>.xlsx` sheet `<sheet>` via
+  *    [[XlsxFleetTable]] — each workbook is a NAMESPACE whose tables
+  *    are its sheets.
+  *  - `SHOW TABLES IN graft` lists the avro fleets;
+  *    `SHOW TABLES IN graft.<wb>` lists a workbook's sheets — purely
+  *    from the directory listing, no CREATE ever required.
+  *
+  * Scale: `loadTable` costs one bounded schema peek (an avro header /
+  * xlsx sheet probe — the footer-read equivalent); listings are one
+  * directory listing. Nothing is cached catalog-side, so an external
+  * writer's new fleet is visible on the next query, and the fleets'
+  * own `_SUCCESS`/sidecar contracts keep reads consistent.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.root=<dir>")
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def hPath(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def fs = hPath(root).getFileSystem(
+    spark.sessionState.newHadoopConf())
+
+  private def avroDir(name: String) = s"$root/$name.avro"
+  private def xlsxFile(wb: String) = s"$root/$wb.xlsx"
+
+  private def noSuchTable(ident: Identifier): Nothing =
+    throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+      Seq(catalogName) ++ ident.namespace().toSeq :+ ident.name())
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    namespace.toSeq match {
+      case Seq() =>
+        val r = hPath(root)
+        if (!fs.exists(r)) Array.empty
+        else fs.listStatus(r).toSeq
+          .filter(st => st.getPath.getName.endsWith(".avro") &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(st => Identifier.of(Array.empty[String],
+            st.getPath.getName.stripSuffix(".avro")))
+          .sortBy(_.name()).toArray
+      case Seq(wb) =>
+        val p = hPath(xlsxFile(wb))
+        if (!fs.exists(p)) throw noSuchNamespace(namespace)
+        Xlsx.sheetNames(readAll(p))
+          .map(sh => Identifier.of(Array(wb), sh)).toArray
+      case _ => throw noSuchNamespace(namespace)
+    }
+
+  private def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+    val in = fs.open(p)
+    try in.readAllBytes() finally in.close()
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    ident.namespace().toSeq match {
+      case Seq() =>
+        val dir = avroDir(ident.name())
+        if (!fs.exists(hPath(dir))) noSuchTable(ident)
+        val schema = Avro.toSparkSchema(
+          Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes))
+        new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes)
+      case Seq(wb) =>
+        val p = hPath(xlsxFile(wb))
+        if (!fs.exists(p)) noSuchTable(ident)
+        val (header, types) = Xlsx.peekFleetSchema(spark, xlsxFile(wb),
+          ident.name())
+        val schema = StructType(header.zip(types).map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t, nullable = true)
+        })
+        new XlsxFleetTable(schema, xlsxFile(wb), ident.name())
+      case _ => noSuchTable(ident)
+    }
+
+  /** CREATE TABLE / CTAS for avro fleets (top-level namespace only):
+    * registers nothing — "create" IS laying the directory down, and a
+    * following INSERT/append goes through the fleet's own V2 committer.
+    * An empty CREATE leaves a loadable empty fleet (the writers'
+    * schema-bearing-empty-container guarantee). */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : Table = {
+    require(ident.namespace().isEmpty,
+      "CREATE TABLE is supported only in the catalog's top level " +
+        "(workbook sheets are written via the xlsx writer)")
+    require(partitions.isEmpty,
+      "graft fleets take no partition transforms (use clusterBy writes)")
+    val dir = avroDir(ident.name())
+    if (fs.exists(hPath(dir)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          Seq(catalogName, ident.name()))
+    // lay down a loadable empty fleet: schema-bearing empty container +
+    // _SUCCESS, exactly what a zero-row V2 write commits
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft fleets carry their schema in the data files; rewrite via " +
+        "SchemaEvolution / compaction instead of ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    ident.namespace().toSeq match {
+      case Seq() =>
+        val p = hPath(avroDir(ident.name()))
+        fs.exists(p) && fs.delete(p, true)
+      case _ => false
+    }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    require(oldIdent.namespace().isEmpty && newIdent.namespace().isEmpty,
+      "rename is supported only for top-level fleets")
+    val from = hPath(avroDir(oldIdent.name()))
+    val to = hPath(avroDir(newIdent.name()))
+    if (!fs.exists(from)) noSuchTable(oldIdent)
+    if (fs.exists(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(catalogName, newIdent.name()))
+    require(fs.rename(from, to), s"rename $from -> $to failed")
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().toSeq match {
+      case Seq() => fs.exists(hPath(avroDir(ident.name())))
+      case Seq(wb) =>
+        val p = hPath(xlsxFile(wb))
+        fs.exists(p) && Xlsx.sheetNames(readAll(p)).contains(ident.name())
+      case _ => false
+    }
+
+  // --- namespaces: the top level plus one per workbook file ---
+
+  private def noSuchNamespace(ns: Array[String]): Throwable =
+    new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      Seq(catalogName) ++ ns.toSeq)
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val r = hPath(root)
+    if (!fs.exists(r)) Array.empty
+    else fs.listStatus(r).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".xlsx") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => Array(st.getPath.getName.stripSuffix(".xlsx")))
+      .sortBy(_.head).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String])
+      : Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw noSuchNamespace(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.toSeq match {
+      case Seq() => true
+      case Seq(wb) => fs.exists(hPath(xlsxFile(wb)))
+      case _ => false
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace))
+      java.util.Collections.emptyMap[String, String]()
+    else throw noSuchNamespace(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      "a namespace IS a workbook file — create one by writing a workbook")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("workbook namespaces are immutable")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean)
+      : Boolean = false
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The DSv2 fleet catalog (graft.sources.GraftCatalog): name-resolved
+  * SQL over fleet directories with zero CREATE statements, plan parity
+  * with the format() path, workbooks as namespaces, and the write
+  * verbs (CTAS / INSERT INTO / DROP / RENAME) riding the fleet's own
+  * V2 committer. */
+class CatalogSpec extends SparkSpec {
+
+  private def catSession(root: String) = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2
+  }
+
+  private def writeEventsFleet(root: String): Unit = {
+    import spark.implicits._
+    graft.util.Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$root/events.avro")
+  }
+
+  test("SHOW TABLES lists fleets straight from the directory — no CREATE ever ran") {
+    val root = graft.util.Scratch.dir("cat_list")
+    writeEventsFleet(root)
+    import spark.implicits._
+    graft.util.Tables.nation(spark, sfDir)
+      .write.format("graft-avro").mode("overwrite")
+      .save(s"$root/nation.avro")
+    val s2 = catSession(root)
+    val listed = s2.sql("SHOW TABLES IN graft").select($"tableName")
+      .collect().map(_.getString(0)).toSet
+    assert(listed == Set("events", "nation"), s"got $listed")
+  }
+
+  test("catalog SQL resolves a fleet with the same BatchScan + pushdown as format()") {
+    val root = graft.util.Scratch.dir("cat_parity")
+    writeEventsFleet(root)
+    val s2 = catSession(root)
+    // pruned projection: the catalog path must reach the connector's
+    // SupportsPushDownRequiredColumns exactly like format().load()
+    val viaSql = s2.sql("SELECT event_type FROM graft.events")
+    val viaFmt = s2.read.format("graft-avro").load(s"$root/events.avro")
+      .select(col("event_type"))
+    def scanDesc(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).mkString("\n")
+    }
+    val sqlScan = scanDesc(viaSql)
+    val fmtScan = scanDesc(viaFmt)
+    assert(sqlScan.contains("graft-avro"), s"not the fleet scan:\n$sqlScan")
+    assert(sqlScan.contains("ReadSchema: struct<event_type:string>") ==
+      fmtScan.contains("ReadSchema: struct<event_type:string>"))
+    assert(sqlScan.contains("event_type") && !sqlScan.contains("event_id"),
+      s"projection must prune to event_type:\n$sqlScan")
+    // and the sidecar COUNT(*) pushdown fires from SQL too
+    val cnt = s2.sql("SELECT count(*) AS n FROM graft.events")
+    cnt.collect()
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(cntPlan.contains("metaAgg") || cntPlan.contains("count"),
+      s"expected the pushed count scan:\n$cntPlan")
+    val n = cnt.collect()(0).getLong(0)
+    assert(n == graft.util.Tables.events(spark, sfDir).count())
+  }
+
+  test("a workbook is a namespace; its sheets are tables") {
+    val root = graft.util.Scratch.dir("cat_wb")
+    import spark.implicits._
+    graft.sources.Xlsx.write(spark, s"$root/books.xlsx", Seq(
+      "nations" -> graft.util.Tables.nation(spark, sfDir)
+        .orderBy($"n_nationkey"),
+      "regions" -> graft.util.Tables.region(spark, sfDir)
+        .orderBy($"r_regionkey")))
+    val s2 = catSession(root)
+    val sheets = s2.sql("SHOW TABLES IN graft.books").select($"tableName")
+      .collect().map(_.getString(0)).toSet
+    assert(sheets == Set("nations", "regions"), s"got $sheets")
+    val got = s2.sql(
+      "SELECT n_name FROM graft.books.nations ORDER BY n_name")
+      .collect().map(_.getString(0)).toSeq
+    val want = graft.util.Tables.nation(spark, sfDir)
+      .select($"n_name").orderBy($"n_name")
+      .collect().map(_.getString(0)).toSeq
+    assert(got == want)
+  }
+
+  test("CTAS + INSERT INTO + RENAME + DROP go through the fleet committer") {
+    val root = graft.util.Scratch.dir("cat_write")
+    writeEventsFleet(root)
+    val s2 = catSession(root)
+    s2.sql("""CREATE TABLE graft.types AS
+             |SELECT DISTINCT event_type FROM graft.events""".stripMargin)
+    val nTypes = s2.sql("SELECT count(*) AS n FROM graft.types")
+      .collect()(0).getLong(0)
+    assert(nTypes > 0)
+    s2.sql("INSERT INTO graft.types VALUES ('planted_type')")
+    assert(s2.sql(
+      "SELECT count(*) AS n FROM graft.types WHERE event_type = 'planted_type'")
+      .collect()(0).getLong(0) == 1L)
+    s2.sql("ALTER TABLE graft.types RENAME TO type_dim")
+    val listed = s2.sql("SHOW TABLES IN graft").select(col("tableName"))
+      .collect().map(_.getString(0)).toSet
+    assert(listed.contains("type_dim") && !listed.contains("types"))
+    s2.sql("DROP TABLE graft.type_dim")
+    val after = s2.sql("SHOW TABLES IN graft").select(col("tableName"))
+      .collect().map(_.getString(0)).toSet
+    assert(!after.contains("type_dim"))
+  }
+
+  test("an unknown table fails with NoSuchTable, not a crash") {
+    val root = graft.util.Scratch.dir("cat_missing")
+    writeEventsFleet(root)
+    val s2 = catSession(root)
+    val e = intercept[Exception] {
+      s2.sql("SELECT * FROM graft.nope").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("nope"))
+  }
+}
