@@ -125,12 +125,12 @@ object Crud {
     * `q_join_bucketed`), never a per-clause pass. The feed is derived
     * deterministically from the fixture with disjoint key ranges so
     * each key sees at most one op. */
-  def qCrudMerge(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val base = customer(s, dir)
-      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
-    val cust = customer(s, dir)
-    val feed = cust.filter($"c_custkey" < 50)
+  /** The deterministic three-clause merge feed (delete <50, update
+    * 50..149, insert +200000), shared by the DataFrame MERGE and the
+    * fleet copy-on-write MERGE so both oracles stay one spelling. */
+  private[graft] def mergeFeed(cust: DataFrame): DataFrame = {
+    import cust.sparkSession.implicits._
+    cust.filter($"c_custkey" < 50)
       .select($"c_custkey".as("k"), lit("D").as("op"),
         lit(null).cast("string").as("new_name"),
         lit(null).cast("double").as("new_bal"))
@@ -141,6 +141,14 @@ object Crud {
         .select(($"c_custkey" + 200000).as("k"), lit("I").as("op"),
           concat(lit("Merged#"), $"c_custkey").as("new_name"),
           r4(lit(10.0)).as("new_bal")))
+  }
+
+  /** MERGE clause application over (base ⟗ feed): matched-D deletes,
+    * matched-U updates, unmatched-feed-I inserts, unmatched U/D no-op.
+    * One full-outer join on the key plus a row-level CASE. */
+  private[graft] def applyMergeClauses(base: DataFrame, feed: DataFrame)
+      : DataFrame = {
+    import base.sparkSession.implicits._
     base.join(feed, $"c_custkey" === $"k", "full_outer")
       // matched delete — 3VL-safe: a base row with NO feed match has
       // op = NULL, and !(true && NULL) = NULL would silently drop it
@@ -157,6 +165,39 @@ object Crud {
         when($"c_custkey".isNull, lit("inserted"))
           .when($"op" === "U", lit("updated"))
           .otherwise(lit("kept")).as("action"))
+  }
+
+  def qCrudMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = customer(s, dir)
+      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
+    applyMergeClauses(base, mergeFeed(customer(s, dir)))
+      .orderBy($"c_custkey")
+  }
+
+  /** §1.1 ROW-LEVEL MERGE against a FLEET — the same three clauses,
+    * executed as [[graft.sources.FleetMerge]]'s sidecar-pruned
+    * copy-on-write: the customer table lands as a range-clustered
+    * fleet (8 files, disjoint c_custkey extents in their sidecars),
+    * and the merge rewrites ONLY the files whose extent can contain a
+    * feed key — here the low-key file(s); every other file stays
+    * byte-identical (CrudFleetSpec pins mtime+length). At 100 TB this
+    * is the difference between a maintenance pass over the touched
+    * slice and a full-table rewrite. Read-back is the whole post-merge
+    * fleet; oracle = the merge's final state, layout-invariant. */
+  def qCrudMergeFleet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("merge_fleet")
+    val fleetDir = s"$root/customer.avro"
+    customer(s, dir)
+      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
+      .repartitionByRange(8, $"c_custkey")
+      .write.format("graft-avro").mode("overwrite").save(fleetDir)
+    val feed = mergeFeed(customer(s, dir))
+    graft.sources.FleetMerge.mergeCow(s, fleetDir, "c_custkey",
+      feed.select($"k"),
+      touched => applyMergeClauses(touched, feed).drop("action"))
+    s.read.format("graft-avro").load(fleetDir)
       .orderBy($"c_custkey")
   }
 
@@ -165,6 +206,7 @@ object Crud {
     "q_crud_delete" -> qCrudDelete _,
     "q_crud_upsert" -> qCrudUpsert _,
     "q_crud_merge" -> qCrudMerge _,
+    "q_crud_merge_fleet" -> qCrudMergeFleet _,
     "q_cdc_scd2" -> qCdcScd2 _
   )
 
@@ -223,6 +265,32 @@ object Crud {
         |  CASE WHEN b.c_custkey IS NULL THEN 'inserted'
         |       WHEN f.op = 'U' THEN 'updated'
         |       ELSE 'kept' END AS action
+        |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.k
+        |WHERE (b.c_custkey IS NULL OR f.op IS NULL OR f.op <> 'D')
+        |  AND (b.c_custkey IS NOT NULL OR f.op = 'I')
+        |ORDER BY c_custkey""".stripMargin,
+    // the fleet COW merge's read-back: same final state, no action col
+    "q_crud_merge_fleet" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |  FROM customer),
+        |feed AS (
+        |  SELECT c_custkey AS k, 'D' AS op,
+        |    CAST(NULL AS VARCHAR) AS new_name, CAST(NULL AS DOUBLE) AS new_bal
+        |  FROM customer WHERE c_custkey < 50
+        |  UNION ALL
+        |  SELECT c_custkey, 'U', c_name, round(c_acctbal * 2.0, 4)
+        |  FROM customer WHERE c_custkey >= 50 AND c_custkey < 150
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, 'I', 'Merged#' || c_custkey, round(10.0, 4)
+        |  FROM customer WHERE c_custkey < 20)
+        |SELECT coalesce(b.c_custkey, f.k) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NOT NULL AND f.op = 'U' THEN f.new_name
+        |       WHEN b.c_custkey IS NULL THEN f.new_name
+        |       ELSE b.c_name END AS c_name,
+        |  CASE WHEN b.c_custkey IS NOT NULL AND f.op = 'U' THEN f.new_bal
+        |       WHEN b.c_custkey IS NULL THEN f.new_bal
+        |       ELSE b.c_acctbal END AS c_acctbal
         |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.k
         |WHERE (b.c_custkey IS NULL OR f.op IS NULL OR f.op <> 'D')
         |  AND (b.c_custkey IS NOT NULL OR f.op = 'I')

@@ -418,9 +418,27 @@ object Avro {
     * markers filtered, the `_SUCCESS` commit contract enforced on any
     * part-file directory, and every file bounded (each becomes one
     * whole-file task). Shared by the RDD reader, the schema peek, and
-    * the DataSource V2 fleet connector so the three can never drift. */
+    * the DataSource V2 fleet connector so the three can never drift.
+    *
+    * `glob` may be a COMMA-separated list of globs/paths (the classic
+    * Hadoop multi-path spelling) — each resolves independently and the
+    * union is deduplicated by path. This is what lets a maintenance
+    * pass (e.g. [[FleetMerge]]'s sidecar-pruned copy-on-write) load
+    * exactly the files it proved touched, through the same connector
+    * and contract as a whole-fleet read. */
   private[graft] def listFleet(s: SparkSession, glob: String,
       maxFileBytes: Long, enforceBound: Boolean = true)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val parts = glob.split(",").map(_.trim).filter(_.nonEmpty)
+    require(parts.nonEmpty, s"no avro files match: $glob")
+    val all = parts.toSeq.flatMap(g => listOneGlob(s, g))
+      .groupBy(_.getPath.toString).map(_._2.head).toSeq
+    require(all.nonEmpty, s"no avro files match: $glob")
+    if (enforceBound) all.foreach(requireIngestSized(_, maxFileBytes))
+    all
+  }
+
+  private def listOneGlob(s: SparkSession, glob: String)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
@@ -444,12 +462,11 @@ object Avro {
         data
       case f => Seq(f)
     }
-    require(files.nonEmpty, s"no avro files match: $glob")
-    // the V2 fleet scan passes enforceBound=false: it SPLITS oversized
+    // bound enforcement lives in the multi-glob wrapper: the V2 fleet
+    // scan passes enforceBound=false there and SPLITS oversized
     // container files on sync markers instead (maxFileBytes becomes
     // the per-split guard); the whole-file driver parse keeps the hard
     // bound because it holds one file in one JVM
-    if (enforceBound) files.foreach(requireIngestSized(_, maxFileBytes))
     files
   }
 
