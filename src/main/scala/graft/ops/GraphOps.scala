@@ -115,6 +115,49 @@ object GraphOps {
       .orderBy($"doc_id")
   }
 
+  /** Deep-iteration PageRank — the production variant of
+    * [[qGraphPagerank]] for iteration counts where (a) the composed
+    * lineage would grow unbounded and (b) the integer rescaling
+    * overflows 64 bits (3·120^k clears 2⁶³ at k ≥ 9). Same exact
+    * arithmetic, two changes:
+    *  - ranks are DECIMAL(38,0): Spark decimal sums are exact and
+    *    order-independent like longs, and 38 digits carry ~19
+    *    iterations of 120^k growth (the next rung is periodic
+    *    renormalization, documented, not needed at these depths);
+    *  - every `checkpointEvery` rounds the rank table is EAGERLY
+    *    `localCheckpoint`ed, truncating lineage so round k+1 plans
+    *    against a materialized table instead of a k-deep join tree —
+    *    bounded planning time and a bounded DAG at any depth. The
+    *    3-iteration registry query keeps the no-barrier composed plan
+    *    (faster at that depth); this is the shape a 50-iteration run
+    *    uses.
+    * GraphIncrementalSpec pins 10 iterations label-exact against a
+    * driver-side BigInt replay of the same recurrence. */
+  private[graft] def pagerankExact(s: SparkSession, dir: String,
+      iterations: Int, checkpointEvery: Int = 5): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = edges(s, dir)
+    var ranks = nodesWithN(s, dir)
+      .select($"doc_id", lit(1L).cast(dec).as("rank_i"))
+    var scale = java.math.BigDecimal.ONE // 120^k
+    for (k <- 1 to iterations) {
+      val contribs = e.join(ranks, $"src" === $"doc_id")
+        .groupBy($"dst")
+        .agg(sum($"w".cast(dec) * $"rank_i").cast(dec).as("contrib"))
+      val base = new java.math.BigDecimal(18).multiply(scale)
+      ranks = ranks.select($"doc_id")
+        .join(contribs, $"doc_id" === $"dst", "left")
+        .select($"doc_id",
+          (lit(base).cast(dec) +
+            coalesce($"contrib", lit(0).cast(dec))).cast(dec).as("rank_i"))
+      if (k % checkpointEvery == 0 && k < iterations)
+        ranks = ranks.localCheckpoint(true)
+      scale = scale.multiply(new java.math.BigDecimal(120))
+    }
+    ranks
+  }
+
   /** §2.J triangle census: undirected-distinct edge count, wedge count,
     * triangle count, global clustering coefficient — one summary row of
     * exact integers (+ one r6 ratio). `n_wedges` is the FULL wedge

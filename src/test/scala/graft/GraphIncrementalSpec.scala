@@ -24,6 +24,40 @@ class GraphIncrementalSpec extends SparkSpec {
     assert(pr.select($"rank_scaled").distinct().count() > 1)
   }
 
+  test("deep pagerank (10 iters, checkpointed) is label-exact vs a BigInt replay") {
+    import spark.implicits._
+    val iters = 10
+    val got = GraphOps.pagerankExact(spark, sfDir, iters, checkpointEvery = 4)
+      .collect()
+      .map(r => r.getLong(0) -> BigInt(r.getDecimal(1).toBigInteger))
+      .toMap
+    // driver-side reference: the same recurrence over the collected
+    // edge list in exact BigInt arithmetic
+    val edges = GraphOps.edges(spark, sfDir)
+      .select($"src", $"dst", $"w").collect()
+      .map(r => (r.getLong(0), r.getLong(1), BigInt(r.getLong(2))))
+    val nodes = got.keys.toSeq
+    var rank = nodes.map(_ -> BigInt(1)).toMap
+    var scale = BigInt(1)
+    for (_ <- 1 to iters) {
+      val contrib = scala.collection.mutable.Map[Long, BigInt]()
+      edges.foreach { case (src, dst, w) =>
+        contrib(dst) = contrib.getOrElse(dst, BigInt(0)) + w * rank(src)
+      }
+      val base = BigInt(18) * scale
+      rank = nodes.map(n => n -> (base + contrib.getOrElse(n, BigInt(0)))).toMap
+      scale *= 120
+    }
+    assert(got.size == rank.size)
+    val bad = nodes.filter(n => got(n) != rank(n))
+    assert(bad.isEmpty,
+      s"${bad.size} nodes diverge; first: ${bad.headOption.map(n =>
+        s"$n got=${got(n)} want=${rank(n)}")}")
+    // and the depth actually exceeds the 64-bit regime: the max rank
+    // must not fit a long, proving the decimal path is load-bearing
+    assert(rank.values.max > BigInt(Long.MaxValue))
+  }
+
   test("triangle census satisfies the handshake bounds") {
     val row = GraphOps.qGraphTriangles(spark, sfDir).collect()(0)
     val (nodes, edges, wedges, tris) =
