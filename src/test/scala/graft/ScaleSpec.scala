@@ -192,6 +192,9 @@ class ScaleSpec extends SparkSpec {
       "q_scan_avro_evolve" -> "writes a two-generation scratch fleet (the sink IS the operator)",
       "q_join_bucketed" -> "saveAsTable bucketed staging (the layout IS the operator)",
       "q_join_spj" -> "writes clusterBy fleets (the layout IS the operator)",
+      "q_join_spj_partial" -> "writes a clusterBy fleet (the layout IS the operator)",
+      "q_catalog_sql_fleet" -> "materializes the catalog root (once per JVM)",
+      "q_crud_merge_fleet" -> "writes + COW-merges a scratch fleet (the rewrite IS the operator)",
       "q_layout_zorder" -> "writes the z-ordered scratch copy (the rewrite IS the operator)",
       // the replays run a real streaming query to completion
       "q_stream_tumbling_replay" -> "runs a streaming query",
