@@ -201,12 +201,90 @@ object Crud {
       .orderBy($"c_custkey")
   }
 
+  /** Stage the customer fleet range-clustered and hand back a
+    * catalog-bound child session — the common setup of the SQL
+    * row-level verbs below. Fresh staging per call: the rewrite IS
+    * the operator (same convention as the COW merge). */
+  private def stagedFleetSession(s: SparkSession, dir: String,
+      tag: String): SparkSession = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir(s"sqlrls_$tag")
+    customer(s, dir)
+      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
+      .repartitionByRange(8, $"c_custkey")
+      .write.format("graft-avro").mode("overwrite").save(s"$root/cust.avro")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2
+  }
+
+  /** §1.1 SQL `DELETE FROM` a fleet — Spark's group-based
+    * copy-on-write (`SupportsRowLevelOperations`) executed at FILE
+    * granularity: the pushed condition's sidecar skip plus the
+    * runtime `_file` group filter reduce the replaced set to exactly
+    * the containers holding a matching row; everything else stays
+    * byte-identical (RowLevelSqlSpec pins mtime+bytes and the
+    * match-nothing no-op). Oracle: the surviving relation. */
+  def qSqlDeleteFleet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "delete")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey < 100")
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+  }
+
+  /** §1.1 SQL `UPDATE` on a fleet — same COW path; only extent-hit
+    * files rewrite, survivors in those files are carried over by the
+    * MergeRows plan. Oracle: the conditional recompute. */
+  def qSqlUpdateFleet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "update")
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal + 500.0, 4)
+        |WHERE c_custkey < 100""".stripMargin)
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+  }
+
+  /** §1.1 SQL `MERGE INTO` a fleet — the real three-clause MERGE
+    * statement (matched-D / matched-U / not-matched-I) through the
+    * same group-based COW machinery; the source feed mirrors
+    * `q_crud_merge`'s so all three MERGE surfaces (DataFrame dataflow,
+    * FleetMerge COW, SQL) share one oracle spelling. */
+  def qSqlMergeFleet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "merge")
+    s2.sql(
+      """MERGE INTO graft.cust t
+        |USING (SELECT c_custkey AS k, 'D' AS op,
+        |         CAST(NULL AS STRING) AS new_name,
+        |         CAST(NULL AS DOUBLE) AS new_bal
+        |       FROM graft.cust WHERE c_custkey < 50
+        |       UNION ALL
+        |       SELECT c_custkey, 'U', c_name, round(c_acctbal * 2.0, 4)
+        |       FROM graft.cust WHERE c_custkey >= 50 AND c_custkey < 150
+        |       UNION ALL
+        |       SELECT c_custkey + 200000, 'I',
+        |         concat('Merged#', c_custkey), round(10.0, 4)
+        |       FROM graft.cust WHERE c_custkey < 20) f
+        |ON t.c_custkey = f.k
+        |WHEN MATCHED AND f.op = 'D' THEN DELETE
+        |WHEN MATCHED AND f.op = 'U' THEN
+        |  UPDATE SET c_name = f.new_name, c_acctbal = f.new_bal
+        |WHEN NOT MATCHED AND f.op = 'I' THEN
+        |  INSERT (c_custkey, c_name, c_acctbal)
+        |  VALUES (f.k, f.new_name, f.new_bal)""".stripMargin)
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
     "q_crud_upsert" -> qCrudUpsert _,
     "q_crud_merge" -> qCrudMerge _,
     "q_crud_merge_fleet" -> qCrudMergeFleet _,
+    "q_sql_delete_fleet" -> qSqlDeleteFleet _,
+    "q_sql_update_fleet" -> qSqlUpdateFleet _,
+    "q_sql_merge_fleet" -> qSqlMergeFleet _,
     "q_cdc_scd2" -> qCdcScd2 _
   )
 
@@ -265,6 +343,44 @@ object Crud {
         |  CASE WHEN b.c_custkey IS NULL THEN 'inserted'
         |       WHEN f.op = 'U' THEN 'updated'
         |       ELSE 'kept' END AS action
+        |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.k
+        |WHERE (b.c_custkey IS NULL OR f.op IS NULL OR f.op <> 'D')
+        |  AND (b.c_custkey IS NOT NULL OR f.op = 'I')
+        |ORDER BY c_custkey""".stripMargin,
+    // SQL row-level verbs: layout-invariant — oracles are the final
+    // states over the staged (r4-rounded) fleet content
+    "q_sql_delete_fleet" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM customer WHERE c_custkey >= 100
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_update_fleet" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey < 100
+        |       THEN round(round(c_acctbal, 4) + 500.0, 4)
+        |       ELSE round(c_acctbal, 4) END AS c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_merge_fleet" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |  FROM customer),
+        |feed AS (
+        |  SELECT c_custkey AS k, 'D' AS op,
+        |    CAST(NULL AS VARCHAR) AS new_name, CAST(NULL AS DOUBLE) AS new_bal
+        |  FROM customer WHERE c_custkey < 50
+        |  UNION ALL
+        |  SELECT c_custkey, 'U', c_name, round(round(c_acctbal, 4) * 2.0, 4)
+        |  FROM customer WHERE c_custkey >= 50 AND c_custkey < 150
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, 'I', 'Merged#' || c_custkey, round(10.0, 4)
+        |  FROM customer WHERE c_custkey < 20)
+        |SELECT coalesce(b.c_custkey, f.k) AS c_custkey,
+        |  CASE WHEN b.c_custkey IS NOT NULL AND f.op = 'U' THEN f.new_name
+        |       WHEN b.c_custkey IS NULL THEN f.new_name
+        |       ELSE b.c_name END AS c_name,
+        |  CASE WHEN b.c_custkey IS NOT NULL AND f.op = 'U' THEN f.new_bal
+        |       WHEN b.c_custkey IS NULL THEN f.new_bal
+        |       ELSE b.c_acctbal END AS c_acctbal
         |FROM base b FULL OUTER JOIN feed f ON b.c_custkey = f.k
         |WHERE (b.c_custkey IS NULL OR f.op IS NULL OR f.op <> 'D')
         |  AND (b.c_custkey IS NOT NULL OR f.op = 'I')

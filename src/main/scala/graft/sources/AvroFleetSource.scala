@@ -76,7 +76,9 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
 
 private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     maxFileBytes: Long, evolve: Boolean = false)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   override def name(): String = s"graft-avro `$path`"
 
@@ -92,6 +94,36 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroFleetWriteBuilder(info, path)
+
+  /** SQL DELETE/UPDATE/MERGE INTO via group-based copy-on-write — see
+    * [[AvroFleetRowLevelOperation]]. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new AvroFleetRowLevelBuilder(tableSchema, path, maxFileBytes, info)
+
+  /** `_file` — the row's source container path, served as a constant
+    * per split (`SELECT _file, * FROM graft.x` gives row provenance
+    * for free). Doubles as the GROUP identity of the row-level
+    * operations: Spark's runtime group filtering collects the matched
+    * rows' `_file` values and hands them back as an `In` filter, which
+    * the scan resolves to an exact file list. A DATA column named
+    * `_file` shadows the metadata column (Spark's documented conflict
+    * rule). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = AvroFleetTable.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "fleet container file holding this row"
+    })
+}
+
+private[sources] object AvroFleetTable {
+  val FileMetaCol = "_file"
 }
 
 /** V2 write path (`df.write.format("graft-avro").mode(...).save(dir)`)
@@ -264,6 +296,13 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
     w.append(rec)
   }
 
+  /** Metadata-carrying write (the ReplaceData carry-over path hands
+    * (metadata, row) pairs): the fleet persists no per-row metadata —
+    * `_file` is reborn from the row's NEW location — so only the data
+    * row lands. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
   override def commit(): WriterCommitMessage = {
     ensureOpen() // empty partition → schema-bearing empty OCF
     w.close(); w = null
@@ -347,6 +386,9 @@ private[graft] class AvroFleetClusteredWriter(schemaJson: String,
     }
     sink.w.append(rec)
   }
+
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
 
   override def commit(): WriterCommitMessage = {
     // An all-empty job must still leave one schema-bearing container —
@@ -754,7 +796,9 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     pushedFilters: Array[org.apache.spark.sql.sources.Filter],
     topN: Option[(Seq[TopNOrder], Int)] = None,
     evolve: Boolean = false,
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None,
+    groupFilterOnly: Boolean = false,
+    onPlanned: Seq[String] => Unit = null)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -820,17 +864,48 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     * so nothing is lost). */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    required.fields.filter(f => FleetStats.trackableType(f.dataType))
-      .map(f => org.apache.spark.sql.connector.expressions.Expressions
-        .column(f.name))
+    if (groupFilterOnly)
+      // row-level scan: advertise ONLY `_file`, the group identity —
+      // the runtime-group-filter rule builds its pruning key over ALL
+      // advertised attributes, and a multi-column struct-IN cannot
+      // convert to a V1 source filter (it would arrive unusable); a
+      // single-column In(_file) converts and prunes to the exact
+      // matched-file list
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(AvroFleetTable.FileMetaCol))
+    else
+      required.fields.filter(f => FleetStats.trackableType(f.dataType))
+        .map(f => org.apache.spark.sql.connector.expressions.Expressions
+          .column(f.name))
 
   private var runtimeFilters: Array[org.apache.spark.sql.sources.Filter] =
     Array.empty
 
+  /** Runtime `In(_file, ...)` — the row-level operations' GROUP filter
+    * (RowLevelOperationRuntimeGroupFiltering collects the matched
+    * rows' `_file` metadata values): resolves to an EXACT file list,
+    * so only containers proven to hold a matching row are read — and,
+    * through `onPlanned`, rewritten. */
+  private var runtimeFileSet: Option[Set[String]] = None
+
   override def filter(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
-    runtimeFilters =
-      filters.filter(FleetFilters.supported(fullSchema, _))
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val (fileFs, rest) = filters.partition {
+      case org.apache.spark.sql.sources.In(col, _) =>
+        col == AvroFleetTable.FileMetaCol &&
+          !fullSchema.fieldNames.contains(AvroFleetTable.FileMetaCol)
+      case _ => false
+    }
+    if (fileFs.nonEmpty)
+      runtimeFileSet = Some(fileFs.flatMap {
+        case org.apache.spark.sql.sources.In(_, vs) =>
+          vs.collect {
+            case s: String => s
+            case u: UTF8String => u.toString
+          }
+      }.toSet)
+    runtimeFilters = rest.filter(FleetFilters.supported(fullSchema, _))
+  }
 
   /** Planner-grade size estimate: without it DSv2 falls back to
     * `spark.sql.defaultSizeInBytes` (Long.MaxValue) and a 2 MB
@@ -993,15 +1068,30 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
               .map(_.asInstanceOf[AvroFilePartition]))
         }.toArray[InputPartition]
       case None =>
-        AvroFleetScan.planSplits(
-          topNPrune(surviving(pushedFilters.toSeq ++ runtimeFilters)),
-          maxFileBytes)
+        val base = topNPrune(surviving(pushedFilters.toSeq ++ runtimeFilters))
+        val files = runtimeFileSet match {
+          case Some(set) => base.filter(st => set(st.getPath.toString))
+          case None => base
+        }
+        // group-replacement protocol (row-level DELETE/UPDATE/MERGE):
+        // the files this scan finally plans — post static sidecar skip
+        // AND post runtime group filter — ARE the replaced group set
+        // the paired write deletes on commit; report them here, the
+        // one point where the final selection is known
+        if (onPlanned != null) onPlanned(files.map(_.getPath.toString))
+        AvroFleetScan.planSplits(files, maxFileBytes)
     }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
+    // a row-level-operation scan uses pushed filters ONLY to skip
+    // whole files: its consumer (ReplaceData) must receive EVERY row
+    // of every surviving group so survivors can be rewritten — a file
+    // with one matching row still ships its other rows
+    val rowFilters = if (groupFilterOnly) Array.empty[
+      org.apache.spark.sql.sources.Filter] else pushedFilters
     new AvroFleetReaderFactory(fullSchema, required.fieldNames,
-      limit, pushedFilters,
+      limit, rowFilters,
       new SerializableHadoopConf(s.sessionState.newHadoopConf()), topN,
       evolve)
   }
@@ -1542,6 +1632,12 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
             tableTypes.getOrElse(c, writerTypes(c)))
           ((r: org.apache.avro.generic.GenericRecord) =>
             promote(Avro.fromAvroValue(r.get(c), fs))): Decode
+        // the `_file` METADATA column: a per-split constant — the
+        // row's source container path — unless shadowed by a real
+        // data field of the same name (handled above, since a data
+        // `_file` appears in the writer schema)
+        case None if c == AvroFleetTable.FileMetaCol =>
+          ((_: Any) => file): Decode
         case None => ((_: Any) => null): Decode
       })
     }.toMap

@@ -195,6 +195,9 @@ class ScaleSpec extends SparkSpec {
       "q_join_spj_partial" -> "writes a clusterBy fleet (the layout IS the operator)",
       "q_catalog_sql_fleet" -> "materializes the catalog root (once per JVM)",
       "q_crud_merge_fleet" -> "writes + COW-merges a scratch fleet (the rewrite IS the operator)",
+      "q_sql_delete_fleet" -> "stages a fleet + runs SQL DELETE (the rewrite IS the operator)",
+      "q_sql_update_fleet" -> "stages a fleet + runs SQL UPDATE (the rewrite IS the operator)",
+      "q_sql_merge_fleet" -> "stages a fleet + runs SQL MERGE (the rewrite IS the operator)",
       "q_layout_zorder" -> "writes the z-ordered scratch copy (the rewrite IS the operator)",
       // the replays run a real streaming query to completion
       "q_stream_tumbling_replay" -> "runs a streaming query",
