@@ -192,7 +192,8 @@ object Crud {
     customer(s, dir)
       .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
       .repartitionByRange(8, $"c_custkey")
-      .write.format("graft-avro").mode("overwrite").save(fleetDir)
+      .write.format("graft-avro").option("codec", "deflate-1")
+      .mode("overwrite").save(fleetDir)
     val feed = mergeFeed(customer(s, dir))
     graft.sources.FleetMerge.mergeCow(s, fleetDir, "c_custkey",
       feed.select($"k"),
@@ -212,10 +213,16 @@ object Crud {
     customer(s, dir)
       .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
       .repartitionByRange(8, $"c_custkey")
-      .write.format("graft-avro").mode("overwrite").save(s"$root/cust.avro")
+      .write.format("graft-avro").option("codec", "deflate-1")
+      .mode("overwrite").save(s"$root/cust.avro")
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graft.root", root)
+    // dimension-scale rewrites: the DPP aggregate and MergeRows join
+    // shuffle kilobytes — default-width shuffles cost more in task
+    // launch than they buy (the verbs' SCALE path is file pruning, not
+    // shuffle width)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
     s2
   }
 
