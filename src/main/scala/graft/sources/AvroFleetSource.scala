@@ -78,7 +78,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     maxFileBytes: Long, evolve: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft-avro `$path`"
 
@@ -94,6 +95,74 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroFleetWriteBuilder(info, path)
+
+  // ---- metadata-only DELETE (SupportsDelete) ----------------------
+  //
+  // Spark's OptimizeMetadataOnlyDeleteFromTable asks canDeleteWhere
+  // FIRST: when every file is sidecar-DECIDABLE — the condition
+  // provably matches ALL of its rows (drop the file) or provably
+  // matches NONE (keep it) — the whole DELETE is file unlinks, zero
+  // tasks, zero rewrite. One straddling or stats-less file returns
+  // false and the command falls back to the row-level COW rewrite
+  // below, which handles it row-exactly. On a time-laid-out fleet,
+  // `DELETE FROM graft.events WHERE ts < retention` is the canonical
+  // win: the whole expired prefix unlinks in O(files).
+
+  private def deleteDecisions(filters: Array[
+      org.apache.spark.sql.sources.Filter])
+      : Option[Seq[(org.apache.hadoop.fs.FileStatus, Boolean)]] = {
+    import org.apache.spark.sql.sources.{AlwaysFalse, AlwaysTrue}
+    val s = SparkSession.active
+    val fleet = Avro.listFleet(s, path, maxFileBytes, enforceBound = false)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    val stats = FleetStats.forFleet(fs, fleet)
+    def alwaysM(f: org.apache.spark.sql.sources.Filter,
+        ps: FleetStats.PartStats) = f match {
+      case _: AlwaysTrue => true
+      case _ => FleetStats.alwaysMatches(f, ps)
+    }
+    def neverM(f: org.apache.spark.sql.sources.Filter,
+        ps: FleetStats.PartStats) = f match {
+      case _: AlwaysFalse => true
+      case _ => FleetStats.neverMatches(f, ps)
+    }
+    val decisions = fleet.map { st =>
+      stats.get(st.getPath.toString).flatMap { ps =>
+        if (ps.rows == 0) Some(st -> true) // empty container: free to drop
+        else if (filters.forall(alwaysM(_, ps))) Some(st -> true)
+        else if (filters.exists(neverM(_, ps))) Some(st -> false)
+        else None
+      }
+    }
+    if (decisions.exists(_.isEmpty)) None else Some(decisions.flatten)
+  }
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deleteDecisions(filters).isDefined
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val decisions = deleteDecisions(filters).getOrElse(
+      throw new IllegalStateException(
+        "deleteWhere called but the fleet is no longer fully decidable " +
+          "under the pushed condition — retry (falls back to the " +
+          "row-level rewrite)"))
+    val s = SparkSession.active
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    decisions.foreach { case (st, drop) =>
+      if (drop) fs.delete(st.getPath, false)
+    }
+    // a fully-emptied fleet must stay loadable: re-seed one
+    // schema-bearing empty container (the writers' usual guarantee)
+    if (decisions.forall(_._2))
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          tableSchema)
+        .repartition(1)
+        .write.format("graft-avro").mode("append").save(path)
+  }
 
   /** SQL DELETE/UPDATE/MERGE INTO via group-based copy-on-write — see
     * [[AvroFleetRowLevelOperation]]. */

@@ -102,6 +102,41 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(got == want, s"${got.size} vs ${want.size} rows")
   }
 
+  test("an extent-aligned DELETE is metadata-only: files unlink, nothing rewrites") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("metaonly")
+    val before = snapshot(s"$root/cust.avro")
+    // pick a real file boundary so every file is sidecar-decidable
+    val p = new org.apache.hadoop.fs.Path(s"$root/cust.avro")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val fleet = graft.sources.Avro.listFleet(spark, s"$root/cust.avro",
+      Long.MaxValue, enforceBound = false)
+    val stats = graft.sources.FleetStats.forFleet(fs, fleet)
+    val boundary = stats.values.map(_.cols("c_custkey").max.get
+      .asInstanceOf[Long]).toSeq.sorted.head
+    s2.sql(s"DELETE FROM graft.cust WHERE c_custkey <= $boundary")
+    val after = snapshot(s"$root/cust.avro")
+    // metadata-only: kept files byte-identical AND no new file appeared
+    assert(after.keySet.subsetOf(before.keySet),
+      s"metadata delete must not write: new=${after.keySet -- before.keySet}")
+    assert((before.keySet -- after.keySet).nonEmpty, "a file must unlink")
+    after.foreach { case (f, m) => assert(before(f) == m) }
+    val got = s2.sql("SELECT count(*) AS n FROM graft.cust")
+      .collect()(0).getLong(0)
+    val want = graft.util.Tables.customer(spark, sfDir)
+      .filter($"c_custkey" > boundary).count()
+    assert(got == want)
+  }
+
+  test("a full-table DELETE leaves a loadable empty fleet") {
+    val (root, s2) = freshFleet("metatrunc")
+    s2.sql("DELETE FROM graft.cust")
+    val back = s2.sql("SELECT * FROM graft.cust")
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("c_custkey", "c_name", "c_acctbal"))
+    assert(back.count() == 0)
+  }
+
   test("MERGE INTO applies delete/update/insert through the COW path") {
     import spark.implicits._
     val (root, s2) = freshFleet("merge")
