@@ -89,9 +89,18 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // explicit option wins; otherwise the clustered writer's layout
+    // marker opts the scan into key grouping (one tiny driver read;
+    // the grouping itself is still proven per file from sidecars)
+    val clusterBy = Option(options.get("clusterBy")).orElse {
+      val p = new org.apache.hadoop.fs.Path(path)
+      FleetLayout.read(p.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf()), p)
+    }
     new AvroFleetScanBuilder(tableSchema, path, maxFileBytes, evolve,
-      Option(options.get("clusterBy")))
+      clusterBy)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AvroFleetWriteBuilder(info, path)
@@ -195,6 +204,55 @@ private[sources] object AvroFleetTable {
   val FileMetaCol = "_file"
 }
 
+/** `_layout.json` — the clustered writer's layout MARKER: a clusterBy
+  * commit records its key so readers opt into storage-partitioned
+  * grouping with NO `option("clusterBy")` — `SELECT ... FROM graft.a
+  * JOIN graft.b USING (k)` over two clustered fleets runs
+  * exchange-free straight from SQL. The marker is advisory ONLY: the
+  * scan still re-proves one-key-per-file from every file's sidecar
+  * and lapses to Unknown if any file fails, so a stale marker costs a
+  * re-shuffle, never a mis-join. Any NON-clustered write into the
+  * directory clears it (that write may interleave keys). */
+private[sources] object FleetLayout {
+  val FileName = "_layout.json"
+
+  def write(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, col: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$FileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JObject("clusterBy" -> org.json4s.JString(col))))
+      .getBytes("UTF-8"))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, FileName)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+  }
+
+  def clear(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(dir, FileName), false)
+    ()
+  }
+
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir, FileName)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        (org.json4s.jackson.JsonMethods.parse(text) \ "clusterBy") match {
+          case org.json4s.JString(c) if c.nonEmpty => Some(c)
+          case _ => None
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+}
+
 /** V2 write path (`df.write.format("graft-avro").mode(...).save(dir)`)
   * over the same attempt-temp → rename-if-absent → `_SUCCESS` commit
   * machinery as `Avro.writeDistributed`, but with task commits
@@ -261,6 +319,7 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     if (truncate && f.exists(p)) f.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (n == "_SUCCESS" || n == FleetStats.FileName ||
+          n == FleetLayout.FileName ||
           n.endsWith(".avro") || n.endsWith(".avro.tmp"))
         f.delete(st.getPath, false)
     }
@@ -285,6 +344,13 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
         }
     }.flatten.toMap
     if (stats.nonEmpty) FleetStats.write(f, p, stats)
+    // layout marker: a clustered commit records its key (advisory —
+    // the scan re-proves from sidecars); a plain commit CLEARS any
+    // marker, since its files may interleave keys
+    clusterIdx match {
+      case Some(i) => FleetLayout.write(f, p, schema.fields(i).name)
+      case None => FleetLayout.clear(f, p)
+    }
     f.create(
       new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
   }

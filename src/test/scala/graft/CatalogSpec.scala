@@ -112,6 +112,63 @@ class CatalogSpec extends SparkSpec {
     assert(!after.contains("type_dim"))
   }
 
+  test("clustered fleets SPJ-join from pure SQL via the layout marker — no options anywhere") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cat_spj")
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+    ev.groupBy($"shard", $"user_id")
+      .agg(round(sum($"value"), 4).as("user_spend"))
+      .repartition(4, $"shard").write.format("graft-avro")
+      .option("clusterBy", "shard").mode("overwrite")
+      .save(s"$root/per_user.avro")
+    ev.groupBy($"shard")
+      .agg(round(sum($"value"), 4).as("shard_total"))
+      .repartition(4, $"shard").write.format("graft-avro")
+      .option("clusterBy", "shard").mode("overwrite")
+      .save(s"$root/per_shard.avro")
+    val s2 = catSession(root)
+    val joined = s2.sql(
+      """SELECT /*+ MERGE(b) */ a.shard, a.user_id, a.user_spend,
+        |  b.shard_total
+        |FROM graft.per_user a JOIN graft.per_shard b ON a.shard = b.shard"""
+        .stripMargin)
+    joined.collect()
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          exchanges(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          exchanges(r.child)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          1 + e.children.map(exchanges).sum
+        case other => other.children.map(exchanges).sum
+      })
+    assert(exchanges(joined.queryExecution.executedPlan) == 0,
+      s"marker-driven SPJ must be exchange-free:\n" +
+        s"${joined.queryExecution.executedPlan}")
+    // and a plain overwrite CLEARS the marker: the same join re-plans
+    // with shuffles, never mis-groups
+    graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(8)).cast("long").as("shard"))
+      .groupBy($"shard", $"user_id")
+      .agg(round(sum($"value"), 4).as("user_spend"))
+      .repartition(4).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/per_user.avro")
+    val again = s2.sql(
+      """SELECT /*+ MERGE(b) */ a.shard, a.user_id, a.user_spend,
+        |  b.shard_total
+        |FROM graft.per_user a JOIN graft.per_shard b ON a.shard = b.shard"""
+        .stripMargin)
+    again.collect()
+    assert(exchanges(again.queryExecution.executedPlan) > 0,
+      "cleared marker must fall back to shuffling")
+  }
+
   test("an unknown table fails with NoSuchTable, not a crash") {
     val root = graft.util.Scratch.dir("cat_missing")
     writeEventsFleet(root)
