@@ -240,6 +240,34 @@ object Crud {
     s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
   }
 
+  /** §1.1 METADATA-ONLY SQL DELETE — the zero-rewrite regime: the
+    * fleet is staged `clusterBy(shard)` (shard = c_custkey % 8, one
+    * shard value per file, sidecar min==max), so `DELETE ... WHERE
+    * shard = 3` is fully extent-DECIDABLE: Spark's
+    * OptimizeMetadataOnlyDeleteFromTable sees `canDeleteWhere = true`
+    * and the whole command is file unlinks — zero tasks, zero rewrite
+    * (RowLevelSqlSpec pins kept-files-byte-identical). At 100 TB this
+    * is `DELETE WHERE ts < retention` on a time-laid fleet: the
+    * expired prefix unlinks in O(files). Oracle: the surviving
+    * relation. */
+  def qSqlDeleteFleetMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("sqlrls_meta")
+    customer(s, dir)
+      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"),
+        pmod($"c_custkey", lit(8)).cast("long").as("shard"))
+      .repartition(8, $"shard")
+      .write.format("graft-avro")
+      .option("clusterBy", "shard").option("codec", "deflate-1")
+      .mode("overwrite").save(s"$root/cust.avro")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql("DELETE FROM graft.cust WHERE shard = 3")
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+  }
+
   /** §1.1 SQL `UPDATE` on a fleet — same COW path; only extent-hit
     * files rewrite, survivors in those files are carried over by the
     * MergeRows plan. Oracle: the conditional recompute. */
@@ -290,6 +318,7 @@ object Crud {
     "q_crud_merge" -> qCrudMerge _,
     "q_crud_merge_fleet" -> qCrudMergeFleet _,
     "q_sql_delete_fleet" -> qSqlDeleteFleet _,
+    "q_sql_delete_fleet_meta" -> qSqlDeleteFleetMeta _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
     "q_sql_merge_fleet" -> qSqlMergeFleet _,
     "q_cdc_scd2" -> qCdcScd2 _
@@ -359,6 +388,11 @@ object Crud {
     "q_sql_delete_fleet" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |FROM customer WHERE c_custkey >= 100
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_delete_fleet_meta" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+        |  c_custkey % 8 AS shard
+        |FROM customer WHERE c_custkey % 8 <> 3
         |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,

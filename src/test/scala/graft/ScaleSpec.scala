@@ -196,6 +196,7 @@ class ScaleSpec extends SparkSpec {
       "q_catalog_sql_fleet" -> "materializes the catalog root (once per JVM)",
       "q_crud_merge_fleet" -> "writes + COW-merges a scratch fleet (the rewrite IS the operator)",
       "q_sql_delete_fleet" -> "stages a fleet + runs SQL DELETE (the rewrite IS the operator)",
+      "q_sql_delete_fleet_meta" -> "stages a fleet + runs metadata-only DELETE (the unlink IS the operator)",
       "q_sql_update_fleet" -> "stages a fleet + runs SQL UPDATE (the rewrite IS the operator)",
       "q_sql_merge_fleet" -> "stages a fleet + runs SQL MERGE (the rewrite IS the operator)",
       "q_layout_zorder" -> "writes the z-ordered scratch copy (the rewrite IS the operator)",
