@@ -169,6 +169,30 @@ class CatalogSpec extends SparkSpec {
       "cleared marker must fall back to shuffling")
   }
 
+  test("TRUNCATE TABLE and INSERT OVERWRITE complete the SQL verb matrix") {
+    val root = graft.util.Scratch.dir("cat_verbs")
+    writeEventsFleet(root)
+    val s2 = catSession(root)
+    val n0 = s2.sql("SELECT count(*) AS n FROM graft.events")
+      .collect()(0).getLong(0)
+    assert(n0 > 0)
+    // NOTE: overwrite truncates before tasks read, so the source must
+    // not be the target itself (the directory contract has no
+    // snapshot isolation — same as Hadoop FileOutputCommitter)
+    s2.sql("""CREATE TABLE graft.events_half AS
+             |SELECT event_id, event_type, value FROM graft.events
+             |WHERE event_id % 2 = 0""".stripMargin)
+    s2.sql("INSERT OVERWRITE graft.events SELECT * FROM graft.events_half")
+    val n1 = s2.sql("SELECT count(*) AS n FROM graft.events")
+      .collect()(0).getLong(0)
+    assert(n1 < n0 && n1 > 0, s"overwrite must replace: $n0 -> $n1")
+    s2.sql("TRUNCATE TABLE graft.events")
+    assert(s2.sql("SELECT count(*) AS n FROM graft.events")
+      .collect()(0).getLong(0) == 0L)
+    // still loadable post-truncate (schema-bearing container remains)
+    assert(s2.table("graft.events").schema.fieldNames.nonEmpty)
+  }
+
   test("an unknown table fails with NoSuchTable, not a crash") {
     val root = graft.util.Scratch.dir("cat_missing")
     writeEventsFleet(root)
