@@ -187,13 +187,9 @@ object Crud {
     * fleet; oracle = the merge's final state, layout-invariant. */
   def qCrudMergeFleet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = graft.util.Scratch.dir("merge_fleet")
-    val fleetDir = s"$root/customer.avro"
-    customer(s, dir)
-      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
-      .repartitionByRange(8, $"c_custkey")
-      .write.format("graft-avro").option("codec", "deflate-1")
-      .mode("overwrite").save(fleetDir)
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = false),
+      "cow_merge")
+    val fleetDir = s"$root/cust.avro"
     val feed = mergeFeed(customer(s, dir))
     graft.sources.FleetMerge.mergeCow(s, fleetDir, "c_custkey",
       feed.select($"k"),
@@ -202,19 +198,67 @@ object Crud {
       .orderBy($"c_custkey")
   }
 
-  /** Stage the customer fleet range-clustered and hand back a
-    * catalog-bound child session — the common setup of the SQL
-    * row-level verbs below. Fresh staging per call: the rewrite IS
-    * the operator (same convention as the COW merge). */
-  private def stagedFleetSession(s: SparkSession, dir: String,
-      tag: String): SparkSession = {
+  // golden staged fleets, written ONCE per (dir, fixture generation):
+  // each verb run then clones the golden directory with driver-side
+  // file copies (a handful of small files) instead of a fresh Spark
+  // write job — the verbs mutate their clone, so runs stay isolated
+  // and deterministic. Production stages nothing: the table exists.
+  private val goldenFleets =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def custFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val st = fs.getFileStatus(p)
+    s"${st.getLen}@${st.getModificationTime}"
+  }
+
+  private def goldenDir(s: SparkSession, dir: String, clustered: Boolean)
+      : String = {
     import s.implicits._
+    val key = s"$dir@${custFingerprint(s, dir)}@$clustered"
+    goldenFleets.computeIfAbsent(key, _ => {
+      val root = graft.util.Scratch.dir("sqlrls_golden_" +
+        (if (clustered) "c" else "r") + "_" +
+        java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL))
+      val base = customer(s, dir)
+        .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
+      val w =
+        if (clustered)
+          base.withColumn("shard",
+              pmod($"c_custkey", lit(8)).cast("long"))
+            .repartition(8, $"shard")
+            .write.option("clusterBy", "shard")
+        else base.repartitionByRange(8, $"c_custkey").write
+      w.format("graft-avro").option("codec", "deflate-1")
+        .mode("overwrite").save(s"$root/cust.avro")
+      root
+    })
+  }
+
+  private def cloneFleet(s: SparkSession, golden: String, tag: String)
+      : String = {
     val root = graft.util.Scratch.dir(s"sqlrls_$tag")
-    customer(s, dir)
-      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
-      .repartitionByRange(8, $"c_custkey")
-      .write.format("graft-avro").option("codec", "deflate-1")
-      .mode("overwrite").save(s"$root/cust.avro")
+    val from = new org.apache.hadoop.fs.Path(s"$golden/cust.avro")
+    val to = new org.apache.hadoop.fs.Path(s"$root/cust.avro")
+    val fs = from.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(to, true)
+    fs.mkdirs(to)
+    fs.listStatus(from).foreach { st =>
+      if (st.isFile)
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(to, st.getPath.getName),
+          false, s.sessionState.newHadoopConf())
+    }
+    root
+  }
+
+  /** Stage a clone of the golden customer fleet and hand back a
+    * catalog-bound child session — the common setup of the SQL
+    * row-level verbs below. */
+  private def stagedFleetSession(s: SparkSession, dir: String,
+      tag: String, clustered: Boolean = false): SparkSession = {
+    val root = cloneFleet(s, goldenDir(s, dir, clustered), tag)
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graft.root", root)
@@ -251,19 +295,7 @@ object Crud {
     * expired prefix unlinks in O(files). Oracle: the surviving
     * relation. */
   def qSqlDeleteFleetMeta(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val root = graft.util.Scratch.dir("sqlrls_meta")
-    customer(s, dir)
-      .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"),
-        pmod($"c_custkey", lit(8)).cast("long").as("shard"))
-      .repartition(8, $"shard")
-      .write.format("graft-avro")
-      .option("clusterBy", "shard").option("codec", "deflate-1")
-      .mode("overwrite").save(s"$root/cust.avro")
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    s2.conf.set("spark.sql.catalog.graft.root", root)
-    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    val s2 = stagedFleetSession(s, dir, "meta", clustered = true)
     s2.sql("DELETE FROM graft.cust WHERE shard = 3")
     s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
   }
