@@ -104,6 +104,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case Seq(wb) =>
         val p = hPath(xlsxFile(wb))
         if (!fs.exists(p)) noSuchTable(ident)
+        // name-level miss is NoSuchTable (analyzable error), not a
+        // codec failure from deep inside the sheet parser
+        if (!Xlsx.sheetNames(readAll(p)).contains(ident.name()))
+          noSuchTable(ident)
         val (header, types) = Xlsx.peekFleetSchema(spark, xlsxFile(wb),
           ident.name())
         val schema = StructType(header.zip(types).map { case (n, t) =>
