@@ -426,10 +426,27 @@ object Avro {
     * pass (e.g. [[FleetMerge]]'s sidecar-pruned copy-on-write) load
     * exactly the files it proved touched, through the same connector
     * and contract as a whole-fleet read. */
+  /** Split a multi-path spec on TOP-LEVEL commas only: commas inside
+    * `{...}` belong to Hadoop brace-alternation globs
+    * (`/data/{a,b}.avro`) and must reach globStatus intact. */
+  private[graft] def splitGlobs(glob: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0
+    glob.foreach {
+      case '{' => depth += 1; sb += '{'
+      case '}' => depth = math.max(0, depth - 1); sb += '}'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
   private[graft] def listFleet(s: SparkSession, glob: String,
       maxFileBytes: Long, enforceBound: Boolean = true)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
-    val parts = glob.split(",").map(_.trim).filter(_.nonEmpty)
+    val parts = splitGlobs(glob)
     require(parts.nonEmpty, s"no avro files match: $glob")
     val all = parts.toSeq.flatMap(g => listOneGlob(s, g))
       .groupBy(_.getPath.toString).map(_._2.head).toSeq

@@ -92,14 +92,19 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // explicit option wins; otherwise the clustered writer's layout
     // marker opts the scan into key grouping (one tiny driver read;
-    // the grouping itself is still proven per file from sidecars)
-    val clusterBy = Option(options.get("clusterBy")).orElse {
-      val p = new org.apache.hadoop.fs.Path(path)
-      FleetLayout.read(p.getFileSystem(
-        SparkSession.active.sessionState.newHadoopConf()), p)
-    }
+    // the grouping itself is still proven per file from sidecars, and
+    // AUTO grouping additionally yields to scan parallelism on
+    // fragmented fleets — see clusterGroups)
+    val explicit = Option(options.get("clusterBy"))
+    val marker =
+      if (explicit.isDefined) None
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        FleetLayout.read(p.getFileSystem(
+          SparkSession.active.sessionState.newHadoopConf()), p)
+      }
     new AvroFleetScanBuilder(tableSchema, path, maxFileBytes, evolve,
-      clusterBy)
+      explicit.orElse(marker), clusterAuto = marker.isDefined)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -147,17 +152,30 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     if (decisions.exists(_.isEmpty)) None else Some(decisions.flatten)
   }
 
+  // canDeleteWhere's listing + sidecar pass is reused by the
+  // deleteWhere that immediately follows on the same Table instance
+  // (Spark resolves one table per command) — keyed by the filter set
+  // so a stale cache can't serve a different command
+  @volatile private var lastDecisions: Option[(Seq[String],
+    Seq[(org.apache.hadoop.fs.FileStatus, Boolean)])] = None
+
   override def canDeleteWhere(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    deleteDecisions(filters).isDefined
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val d = deleteDecisions(filters)
+    lastDecisions = d.map(filters.map(_.toString).toSeq -> _)
+    d.isDefined
+  }
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    val decisions = deleteDecisions(filters).getOrElse(
+    val key = filters.map(_.toString).toSeq
+    val decisions = lastDecisions.collect {
+      case (k, d) if k == key => d
+    }.orElse(deleteDecisions(filters)).getOrElse(
       throw new IllegalStateException(
-        "deleteWhere called but the fleet is no longer fully decidable " +
-          "under the pushed condition — retry (falls back to the " +
-          "row-level rewrite)"))
+        "fleet no longer fully decidable under the pushed DELETE " +
+          "condition (concurrent writer?) — nothing was deleted; " +
+          "re-run the DELETE"))
     val s = SparkSession.active
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sessionState.newHadoopConf())
@@ -571,7 +589,10 @@ private[graft] object AvroFleetDataWriter {
     case null | "" | "deflate" => CodecFactory.deflateCodec(6)
     case "null" => CodecFactory.nullCodec()
     case s if s.startsWith("deflate-") =>
-      val lvl = s.stripPrefix("deflate-").toInt
+      val lvl = s.stripPrefix("deflate-").toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"unknown graft-avro codec '$s' (use deflate, deflate-N with " +
+            "N in 1..9, null)"))
       require(lvl >= 1 && lvl <= 9, s"deflate level $lvl out of 1..9")
       CodecFactory.deflateCodec(lvl)
     case other => throw new IllegalArgumentException(
@@ -605,7 +626,7 @@ private[graft] case class AvroFleetCommitMessage(
 
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long, evolve: Boolean = false,
-    clusterBy: Option[String] = None)
+    clusterBy: Option[String] = None, clusterAuto: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -802,7 +823,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
-        pushed, topN, evolve, clusterBy)
+        pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto)
   }
 }
 
@@ -933,7 +954,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     evolve: Boolean = false,
     clusterBy: Option[String] = None,
     groupFilterOnly: Boolean = false,
-    onPlanned: Seq[String] => Unit = null)
+    onPlanned: Seq[String] => Unit = null,
+    clusterAuto: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1151,9 +1173,20 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
           }
         }
         if (keyed.exists(_.isEmpty)) None
-        else Some(keyed.flatten
-          .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
-          .sortBy { case (k, _) => String.valueOf(k) })
+        else {
+          val groups = keyed.flatten
+            .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+            .sortBy { case (k, _) => String.valueOf(k) }
+          // marker-driven (AUTO) grouping caps read parallelism at the
+          // key count, so it only engages while the layout is
+          // compaction-tight (≤ 4 files/key on average) — on a
+          // fragmented fleet the lost parallelism of a plain scan
+          // outweighs a saved join exchange. An EXPLICIT
+          // option("clusterBy") is an informed request and always
+          // groups.
+          if (clusterAuto && nonEmpty.size > 4 * groups.size) None
+          else Some(groups)
+        }
       }
     }
 

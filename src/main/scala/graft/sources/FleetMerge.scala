@@ -84,9 +84,27 @@ object FleetMerge {
     val (emptyFiles, extentFiles) = provable.partition { st =>
       stats(st.getPath.toString).rows == 0
     }
+    // sidecar carriers round-trip JSON as Long/Double/String/Boolean;
+    // re-box to the key's DECLARED type or createDataFrame rejects the
+    // row ("java.lang.Long is not a valid external type for int")
+    def toExternal(v: Any): Any = (v, keyDt) match {
+      case (n: Number, org.apache.spark.sql.types.IntegerType) =>
+        Int.box(n.intValue())
+      case (n: Number, org.apache.spark.sql.types.LongType) =>
+        Long.box(n.longValue())
+      case (n: Number, org.apache.spark.sql.types.DoubleType) =>
+        Double.box(n.doubleValue())
+      case (n: Number, org.apache.spark.sql.types.FloatType) =>
+        Float.box(n.floatValue())
+      case (n: Number, org.apache.spark.sql.types.ShortType) =>
+        Short.box(n.shortValue())
+      case (n: Number, org.apache.spark.sql.types.ByteType) =>
+        Byte.box(n.byteValue())
+      case _ => v
+    }
     val extRows: Seq[Row] = extentFiles.map { st =>
       val cs = stats(st.getPath.toString).cols(key)
-      Row(st.getPath.toString, cs.min.get, cs.max.get)
+      Row(st.getPath.toString, toExternal(cs.min.get), toExternal(cs.max.get))
     }
     val extents = s.createDataFrame(extRows.asJava, StructType(Seq(
       StructField("graft_path", StringType, nullable = false),

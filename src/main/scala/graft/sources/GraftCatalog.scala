@@ -61,8 +61,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def fs = hPath(root).getFileSystem(
     spark.sessionState.newHadoopConf())
 
-  private def avroDir(name: String) = s"$root/$name.avro"
-  private def xlsxFile(wb: String) = s"$root/$wb.xlsx"
+  /** Identifiers become PATH SEGMENTS, so a name carrying separators
+    * or parent references would escape the catalog root — and
+    * `DROP TABLE graft.`../elsewhere/x`` would recursively delete
+    * outside it. Reject at resolution time, every verb. */
+  private def segment(name: String): String = {
+    require(name.nonEmpty && !name.contains('/') &&
+      !name.contains('\\') && !name.contains("..") &&
+      name != "." && !name.startsWith("_"),
+      s"invalid graft table/namespace name '$name': names are single " +
+        "path segments (no separators, no '..', no leading '_')")
+    name
+  }
+
+  private def avroDir(name: String) = s"$root/${segment(name)}.avro"
+  private def xlsxFile(wb: String) = s"$root/${segment(wb)}.xlsx"
 
   private def noSuchTable(ident: Identifier): Nothing =
     throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
@@ -104,14 +117,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case Seq(wb) =>
         val p = hPath(xlsxFile(wb))
         if (!fs.exists(p)) noSuchTable(ident)
-        // name-level miss is NoSuchTable (analyzable error), not a
-        // codec failure from deep inside the sheet parser
-        if (!Xlsx.sheetNames(readAll(p)).contains(ident.name()))
+        // ONE whole-file read serves both the existence check (a
+        // name-level miss is NoSuchTable, not a codec failure from
+        // deep inside the sheet parser) and the schema inference
+        val bytes = readAll(p)
+        if (!Xlsx.sheetNames(bytes).contains(ident.name()))
           noSuchTable(ident)
-        val (header, types) = Xlsx.peekFleetSchema(spark, xlsxFile(wb),
-          ident.name())
-        val schema = StructType(header.zip(types).map { case (n, t) =>
-          org.apache.spark.sql.types.StructField(n, t, nullable = true)
+        val (header, data) = Xlsx.readSheet(bytes, ident.name())
+        val schema = StructType(header.zipWithIndex.map { case (n, c) =>
+          org.apache.spark.sql.types.StructField(n,
+            Xlsx.inferType(data.map(_(c))), nullable = true)
         })
         new XlsxFleetTable(schema, xlsxFile(wb), ident.name())
       case _ => noSuchTable(ident)

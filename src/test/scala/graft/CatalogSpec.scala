@@ -202,4 +202,41 @@ class CatalogSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("nope"))
   }
+
+  test("identifiers with path separators or parent refs are rejected, not resolved") {
+    val root = graft.util.Scratch.dir("cat_escape")
+    writeEventsFleet(root)
+    val s2 = catSession(root)
+    // the dangerous one: DROP recursively deletes at the computed path
+    for (bad <- Seq("../outside/x", "a/b", "..")) {
+      val e = intercept[Exception] {
+        s2.sql(s"DROP TABLE graft.`$bad`")
+      }
+      assert(e.getMessage.contains("single path segments") ||
+        e.getMessage.toLowerCase.contains("invalid"),
+        s"'$bad' must be rejected, got: ${e.getMessage.take(120)}")
+    }
+  }
+
+  test("auto grouping yields to parallelism on a fragmented clustered fleet") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cat_frag")
+    val ev = graft.util.Tables.events(spark, sfDir)
+      .select($"user_id", $"value",
+        pmod($"user_id", lit(4)).cast("long").as("shard"))
+    // fragmented ingest: 8 non-key tasks × up to 4 keys each → ~32
+    // files over 4 keys (> 4 files/key) — AUTO grouping must lapse so
+    // a plain scan keeps its parallelism...
+    ev.repartition(8).write.format("graft-avro")
+      .option("clusterBy", "shard").mode("overwrite")
+      .save(s"$root/frag.avro")
+    val auto = spark.read.format("graft-avro").load(s"$root/frag.avro")
+    assert(auto.rdd.getNumPartitions > 4,
+      s"fragmented auto scan must not collapse to the key count: " +
+        s"${auto.rdd.getNumPartitions}")
+    // ...while the EXPLICIT option remains an informed override
+    val explicit = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(s"$root/frag.avro")
+    assert(explicit.rdd.getNumPartitions == 4)
+  }
 }

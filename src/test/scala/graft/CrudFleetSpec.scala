@@ -69,6 +69,22 @@ class CrudFleetSpec extends SparkSpec {
       s"merged fleet diverged: ${got.size} vs ${want.size} rows")
   }
 
+  test("merge prunes correctly on an INT-typed key (sidecar carriers re-box)") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("crud_fleet_int")
+    val fleetDir = s"$root/t.avro"
+    spark.range(0, 400).select($"id".cast("int").as("k"),
+        concat(lit("v"), $"id").as("v"))
+      .repartitionByRange(4, $"k")
+      .write.format("graft-avro").mode("overwrite").save(fleetDir)
+    val feed = spark.range(0, 10).select($"id".cast("int").as("k"))
+    val res = graft.sources.FleetMerge.mergeCow(spark, fleetDir, "k",
+      feed, touched => touched.filter($"k" >= 10)) // delete k<10
+    assert(res.untouched.nonEmpty && res.touched.nonEmpty,
+      s"int-key extents must prune: $res")
+    assert(spark.read.format("graft-avro").load(fleetDir).count() == 390)
+  }
+
   test("a merge whose keys miss every extent rewrites nothing") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("crud_fleet_noop")

@@ -187,6 +187,23 @@ class SpjSpec extends SparkSpec {
     assert(joined.collect().map(_.toSeq).toSet == direct)
   }
 
+  test("brace-alternation globs survive the multi-path split") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("spj_brace")
+    graft.util.Tables.nation(spark, sfDir)
+      .write.format("graft-avro").mode("overwrite").save(s"$root/a.avro")
+    graft.util.Tables.nation(spark, sfDir)
+      .write.format("graft-avro").mode("overwrite").save(s"$root/b.avro")
+    // {a,b} carries a comma INSIDE braces: must reach globStatus whole
+    val both = spark.read.format("graft-avro").load(s"$root/{a,b}.avro")
+    assert(both.count() ==
+      2 * graft.util.Tables.nation(spark, sfDir).count())
+    // and top-level commas still union independent paths
+    val alsoBoth = spark.read.format("graft-avro")
+      .load(s"$root/a.avro,$root/b.avro")
+    assert(alsoBoth.count() == both.count())
+  }
+
   test("a clusterBy write of an empty DataFrame still leaves a loadable fleet") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("spj_empty_spec")
