@@ -87,7 +87,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // explicit option wins; otherwise the clustered writer's layout
@@ -104,7 +105,9 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
           SparkSession.active.sessionState.newHadoopConf()), p)
       }
     new AvroFleetScanBuilder(tableSchema, path, maxFileBytes, evolve,
-      explicit.orElse(marker), clusterAuto = marker.isDefined)
+      explicit.orElse(marker), clusterAuto = marker.isDefined,
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -626,7 +629,8 @@ private[graft] case class AvroFleetCommitMessage(
 
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long, evolve: Boolean = false,
-    clusterBy: Option[String] = None, clusterAuto: Boolean = false)
+    clusterBy: Option[String] = None, clusterAuto: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -823,7 +827,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
-        pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto)
+        pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto,
+        maxFilesPerTrigger = maxFilesPerTrigger)
   }
 }
 
@@ -955,7 +960,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     clusterBy: Option[String] = None,
     groupFilterOnly: Boolean = false,
     onPlanned: Seq[String] => Unit = null,
-    clusterAuto: Boolean = false)
+    clusterAuto: Boolean = false,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -974,6 +980,18 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
        else s", PushedFilters: [${pushedFilters.mkString(", ")}]")
 
   override def toBatch: Batch = this
+
+  /** Streaming read (`spark.readStream.format("graft-avro")`): the
+    * fleet as a tailed source — see [[AvroFleetMicroBatchStream]].
+    * Column pruning and pushed row filters carry over from this
+    * (already-pruned) scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new AvroFleetMicroBatchStream(fullSchema, required.fieldNames, path,
+      maxFileBytes, pushedFilters,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()),
+      maxFilesPerTrigger)
 
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below

@@ -1,0 +1,136 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types.StructType
+
+import graft.util.SerializableHadoopConf
+
+/** The fleet as a STREAMING SOURCE
+  * (`spark.readStream.format("graft-avro").load(dir)`): each
+  * micro-batch is the set of container files that appeared since the
+  * last offset — the natural dual of the `foreachBatch` fleet sink, so
+  * a fleet landing zone feeds a downstream streaming job directly
+  * (land → stream → transform → land, all on the same directory
+  * contract).
+  *
+  * Offsets: a [[FleetSourceOffset]] is the ordered list of file paths
+  * the stream has admitted — file sets difference cleanly, recovery is
+  * exact (the offset log replays the same batch from the same file
+  * list), and admission order is deterministic ((mtime, path) sort, so
+  * a restart discovers files in the order they landed, ties by name).
+  * The offset grows with the file count; at real scale the upgrade is
+  * a compacted seen-files manifest exactly like Spark's own
+  * FileStreamSource log — a layout change, not a semantic one.
+  *
+  * Discovery contract: a file is admitted once its FINAL name exists
+  * (the V2 committer's task-commit rename is atomic); the batch-side
+  * `_SUCCESS` gate is deliberately not required — a streaming tail
+  * reads a LIVE directory, where job-level completeness is never
+  * available. Files are assumed immutable once named (the fleet
+  * protocol) and never admitted twice.
+  *
+  * Column pruning reaches the per-file readers exactly as in batch
+  * (the stream is built from the pruned scan); pushed filters
+  * row-filter inside the reader. AvailableNow snapshots the listing
+  * ONCE at query start ([[SupportsTriggerAvailableNow]]) so a bounded
+  * replay cannot chase late arrivals.
+  */
+private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
+    columns: Array[String], path: String, maxFileBytes: Long,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def fs = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(conf.value)
+
+  /** Live listing, tolerant of a not-yet-created directory, in
+    * deterministic (mtime, path) admission order. */
+  private def listNow(): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro") &&
+        !st.getPath.getName.startsWith(".") &&
+        !st.getPath.getName.startsWith("_"))
+      .sortBy(st => (st.getModificationTime, st.getPath.toString))
+  }
+
+  @volatile private var availableNowCap: Option[Seq[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listNow().map(_.getPath.toString))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
+      ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = FleetSourceOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val seen = FleetSourceOffset.of(start).files
+    val now = availableNowCap.getOrElse(listNow().map(_.getPath.toString))
+    val fresh = now.filterNot(seen.toSet)
+    val admitted = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        fresh.take(mf.maxFiles())
+      case _ => fresh
+    }
+    FleetSourceOffset(seen ++ admitted)
+  }
+
+  override def reportLatestOffset(): Offset =
+    FleetSourceOffset(listNow().map(_.getPath.toString))
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val before = FleetSourceOffset.of(start).files.toSet
+    val batch = FleetSourceOffset.of(end).files.filterNot(before)
+    val f = fs
+    val statuses = batch.map(p =>
+      f.getFileStatus(new org.apache.hadoop.fs.Path(p)))
+    AvroFleetScan.planSplits(statuses, maxFileBytes)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroFleetReaderFactory(tableSchema, columns, None, filters, conf)
+
+  override def deserializeOffset(json: String): Offset =
+    FleetSourceOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** Offset = the ordered list of admitted file paths (JSON array). */
+private[sources] case class FleetSourceOffset(files: Seq[String])
+    extends Offset {
+  override def json(): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JArray(files.map(org.json4s.JString(_)).toList)))
+}
+
+private[sources] object FleetSourceOffset {
+  def fromJson(json: String): FleetSourceOffset =
+    org.json4s.jackson.JsonMethods.parse(json) match {
+      case org.json4s.JArray(vs) =>
+        FleetSourceOffset(vs.collect { case org.json4s.JString(s) => s })
+      case other => throw new IllegalArgumentException(
+        s"malformed fleet stream offset: $json")
+    }
+
+  def of(o: Offset): FleetSourceOffset = o match {
+    case f: FleetSourceOffset => f
+    case other => fromJson(other.json())
+  }
+}

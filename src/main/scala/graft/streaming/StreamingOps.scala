@@ -457,6 +457,41 @@ object StreamingOps {
       .reduce(_ unionByName _)
   }
 
+  // the staged source fleet is written once per fixture generation
+  // (the stream is the operator; the landing zone exists)
+  private val fleetSrcRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** §2.I the fleet as a STREAMING SOURCE — the read dual of
+    * `q_stream_fleet_sink`: `spark.readStream.format("graft-avro")`
+    * tails a fleet directory ([[graft.sources.AvroFleetMicroBatchStream]]
+    * — offsets are admitted-file lists, AvailableNow snapshots the
+    * listing once), here drained through a complete-mode aggregate and
+    * oracle-checked against the same aggregate over the source table.
+    * A dropped or double-admitted file hash-mismatches. Together with
+    * the sink, fleet→stream→transform→fleet pipelines run entirely on
+    * the directory contract. */
+  def qStreamFleetSource(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val hfs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val st = hfs.getFileStatus(p)
+    val cacheKey = s"$dir@${st.getLen}@${st.getModificationTime}"
+    val fleet = fleetSrcRoots.computeIfAbsent(cacheKey, _ => {
+      val root = graft.util.Scratch.dir("stream_fleet_src_" +
+        java.lang.Long.toHexString(cacheKey.hashCode.toLong & 0xffffffffL))
+      events(s, dir).select($"event_id", $"event_type", $"value")
+        .write.format("graft-avro").option("codec", "deflate-1")
+        .mode("overwrite").save(s"$root/events.avro")
+      s"$root/events.avro"
+    })
+    replayToTable(s, "complete") { s2 =>
+      s2.readStream.format("graft-avro").load(fleet)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+    }.orderBy($"event_type")
+  }
+
   def qStreamFleetSink(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     replayToFleet(s, "sink") { s2 =>
@@ -471,6 +506,7 @@ object StreamingOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_batch_tumbling" -> qBatchTumbling _,
     "q_stream_fleet_sink" -> qStreamFleetSink _,
+    "q_stream_fleet_source" -> qStreamFleetSource _,
     "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
     "q_stream_sliding_replay" -> qStreamSlidingReplay _,
     "q_stream_join_replay" -> qStreamJoinReplay _,
@@ -482,6 +518,9 @@ object StreamingOps {
 
   val oracleSql: Map[String, String] = Map(
     "q_stream_fleet_sink" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_fleet_source" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_batch_tumbling" ->

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The fleet as a streaming SOURCE (AvroFleetMicroBatchStream):
+  * readStream over a fleet directory — offsets are admitted-file
+  * lists, restarts resume exactly, AvailableNow snapshots once. */
+class FleetStreamSpec extends SparkSpec {
+
+  private def writeGen(dir: String, lo: Long, hi: Long): Unit = {
+    import spark.implicits._
+    spark.range(lo, hi).select($"id", concat(lit("v"), $"id").as("v"))
+      .coalesce(2)
+      .write.format("graft-avro").mode("append").save(dir)
+  }
+
+  // foreachBatch sink: the memory sink cannot recover a checkpoint,
+  // and resume-exactness is the point of the first test
+  private def drain(dir: String, ckpt: String): Seq[Long] = {
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-avro").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("id").collect().map(_.getLong(0))
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    got.toSeq.sorted
+  }
+
+  test("a fleet streams: AvailableNow drains it, a restart reads only new files") {
+    val root = graft.util.Scratch.dir("fleet_stream")
+    val dir = s"$root/src.avro"
+    val ckpt = s"$root/ckpt"
+    writeGen(dir, 0, 100)
+    assert(drain(dir, ckpt) == (0L until 100L))
+    // second generation lands; SAME checkpoint → only the new files
+    writeGen(dir, 100, 150)
+    val got2 = drain(dir, ckpt)
+    assert(got2 == (100L until 150L),
+      s"restart must resume from the offset, got ${got2.length} rows")
+  }
+
+  test("streaming read prunes columns and applies pushed filters per row") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("fleet_stream_prune")
+    val dir = s"$root/src.avro"
+    writeGen(dir, 0, 50)
+    val q = spark.readStream.format("graft-avro").load(dir)
+      .filter($"id" >= 40).select($"v")
+      .writeStream.format("memory").queryName("fleet_stream_prune")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vs = spark.table("fleet_stream_prune").collect()
+      .map(_.getString(0)).sorted
+    assert(vs.toSeq == (40 until 50).map(i => s"v$i").sorted)
+  }
+
+  test("maxFilesPerTrigger batches admission; union equals the fleet") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("fleet_stream_batched")
+    val dir = s"$root/src.avro"
+    writeGen(dir, 0, 40)
+    writeGen(dir, 40, 80) // 4 files total (2 per generation)
+    var batches = Vector.empty[(Long, Long)] // (batchId, rows)
+    val q = spark.readStream.format("graft-avro")
+      .option("maxFilesPerTrigger", "1").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches :+= (id, b.count())
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(batches.length >= 4,
+      s"one file per micro-batch expected, got $batches")
+    assert(batches.map(_._2).sum == 80L)
+  }
+}
