@@ -88,7 +88,7 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // explicit option wins; otherwise the clustered writer's layout
@@ -296,6 +296,27 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
   override def truncate(): WriteBuilder = { truncateFleet = true; this }
 
   override def build(): Write = new Write {
+    /** Native STREAMING sink (`df.writeStream.format("graft-avro")`,
+      * append mode): epoch-keyed EXACTLY-ONCE — every task's final
+      * name is `part-{pid}-e{epoch}.avro`, deterministic per
+      * (partition, epoch), and the shared rename-if-absent commit
+      * SKIPS a name that already exists, so a replayed epoch (same
+      * offsets, same partitioning — Spark's offset-log contract)
+      * lands zero duplicate rows. Each epoch commit merges sidecar
+      * stats and re-marks `_SUCCESS`, so the growing fleet stays a
+      * well-formed batch/streaming SOURCE at every instant. One
+      * streaming writer per fleet directory (names carry no query
+      * tag — that determinism IS the idempotence). */
+    override def toStreaming: org.apache.spark.sql.connector.write
+        .streaming.StreamingWrite = {
+      require(!truncateFleet,
+        "graft-avro streaming sink supports append output mode only")
+      val schemaJson = Avro.toAvroSchema(info.schema()).toString
+      val codec = Option(info.options.get("codec")).getOrElse("")
+      AvroFleetDataWriter.codecFor(codec)
+      new AvroFleetStreamingWrite(schemaJson, info.schema(), dir, codec)
+    }
+
     override def toBatch: BatchWrite = {
       // driver-side, plan-time: reject non-flat schemas with the
       // sink's actionable error before any task launches

@@ -111,6 +111,71 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
   override def stop(): Unit = ()
 }
 
+/** Epoch-keyed streaming sink commit — see the `toStreaming` scaladoc
+  * in [[AvroFleetWriteBuilder]]. The per-epoch commit is the batch
+  * commit's shape (sidecar stats merged, `_SUCCESS` re-marked last);
+  * abort deletes the epoch's tag-matched files so a failed epoch
+  * leaves the previous generations complete, and the epoch's retry
+  * re-lands them. */
+private[sources] class AvroFleetStreamingWrite(schemaJson: String,
+    schema: StructType, dir: String, codec: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+
+  private def fleetFs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory = {
+    val conf = new SerializableHadoopConf(
+      SparkSession.active.sessionState.newHadoopConf())
+    fleetFs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val names = schema.fields.map(_.name)
+    val types = schema.fields.map(_.dataType)
+    val sj = schemaJson
+    val d = dir
+    val c = codec
+    new org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long)
+          : org.apache.spark.sql.connector.write.DataWriter[
+            org.apache.spark.sql.catalyst.InternalRow] =
+        new AvroFleetDataWriter(sj, names, types, d, partitionId,
+          taskId, s"e$epochId", conf, c)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fleetFs
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val stats = messages.collect {
+      case AvroFleetCommitMessage(parts) =>
+        parts.collect { case (file, Some(ps)) =>
+          new org.apache.hadoop.fs.Path(file).getName -> ps
+        }
+    }.flatten.toMap
+    if (stats.nonEmpty) FleetStats.write(f, p, stats)
+    f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fleetFs
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (f.exists(p)) f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      // exact epoch tag: "-e1" must not match "-e10"/"-e12"
+      if (n.contains(s"-e$epochId.avro") ||
+          n.contains(s"-e$epochId-attempt"))
+        f.delete(st.getPath, false)
+    }
+  }
+}
+
 /** Offset = the ordered list of admitted file paths (JSON array). */
 private[sources] case class FleetSourceOffset(files: Seq[String])
     extends Offset {

@@ -503,9 +503,44 @@ object StreamingOps {
       .orderBy($"event_type")
   }
 
+  /** §2.I NATIVE streaming fleet sink — the same landing contract as
+    * `q_stream_fleet_sink` but through the connector's own
+    * `StreamingWrite` (`writeStream.format("graft-avro")`, no
+    * foreachBatch): every task's file is named `part-{pid}-e{epoch}`
+    * and the rename-if-absent commit skips existing names, so a
+    * replayed epoch lands zero duplicates — exactly-once by
+    * deterministic placement, with per-epoch sidecar stats and
+    * `_SUCCESS` re-marking keeping the growing fleet a valid source
+    * at every instant (FleetStreamSpec pins mid-stream readability
+    * and drained-checkpoint restarts). */
+  def qStreamFleetSinkNative(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("stream_fleet_native")
+    graft.util.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
+    val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "q").toString
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "2")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = eventsStream(s2, dir)
+      .select($"event_id", $"event_type", $"value")
+      .writeStream.format("graft-avro")
+      .option("path", s"$root/out.avro")
+      .option("codec", "deflate-1")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.util.Scratch.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    s.read.format("graft-avro").load(s"$root/out.avro")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), r4(sum($"value")).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_batch_tumbling" -> qBatchTumbling _,
     "q_stream_fleet_sink" -> qStreamFleetSink _,
+    "q_stream_fleet_sink_native" -> qStreamFleetSinkNative _,
     "q_stream_fleet_source" -> qStreamFleetSource _,
     "q_stream_tumbling_replay" -> qStreamTumblingReplay _,
     "q_stream_sliding_replay" -> qStreamSlidingReplay _,
@@ -521,6 +556,9 @@ object StreamingOps {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_stream_fleet_source" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_stream_fleet_sink_native" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_batch_tumbling" ->

@@ -62,6 +62,49 @@ class FleetStreamSpec extends SparkSpec {
     assert(vs.toSeq == (40 until 50).map(i => s"v$i").sorted)
   }
 
+  test("native streaming sink: epoch-keyed files, exactly-once, fleet stays readable mid-stream") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = graft.util.Scratch.dir("fleet_stream_sink")
+    val out = s"$root/out.avro"
+    val mem = MemoryStream[Long]
+    val q = mem.toDF().select($"value".as("id"))
+      .writeStream.format("graft-avro")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    mem.addData(0L until 50L: _*)
+    q.processAllAvailable()
+    val mid = spark.read.format("graft-avro").load(out)
+    assert(mid.count() == 50, "fleet must be a valid batch source mid-stream")
+    mem.addData(50L until 80L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.format("graft-avro").load(out)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 80L), s"got ${got.length} rows")
+    // epoch-keyed names: each batch's files carry its epoch tag
+    val p = new org.apache.hadoop.fs.Path(out)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.endsWith(".avro"))
+    assert(names.forall(_.matches("part-\\d{5}-e\\d+\\.avro")),
+      s"epoch-keyed names expected: ${names.toSeq}")
+    assert(names.map(_.replaceAll(".*-e(\\d+)\\.avro", "$1")).distinct
+      .length >= 2, "two epochs expected")
+    // restart with the same checkpoint: nothing re-lands (idempotence)
+    val q2 = mem.toDF().select($"value".as("id"))
+      .writeStream.format("graft-avro")
+      .option("path", out)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(spark.read.format("graft-avro").load(out).count() == 80,
+      "restart on a drained checkpoint must not duplicate")
+  }
+
   test("maxFilesPerTrigger batches admission; union equals the fleet") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("fleet_stream_batched")

@@ -209,6 +209,7 @@ class ScaleSpec extends SparkSpec {
       "q_stream_dedup_replay" -> "runs a streaming query",
       "q_stream_fleet_sink" -> "runs a streaming query (the fleet sink IS the operator)",
       "q_stream_fleet_source" -> "runs a streaming query (the fleet source IS the operator)",
+      "q_stream_fleet_sink_native" -> "runs a streaming query (the native sink IS the operator)",
       // MLlib fit() is an action by contract
       "q_dedup_minhash" -> "MinHashLSH.fit", "q_sim_knn_lsh" -> "BRP-LSH fit")
     // `spark.read.parquet` itself runs a small footer/schema-inference
