@@ -198,29 +198,17 @@ object Crud {
       .orderBy($"c_custkey")
   }
 
-  // golden staged fleets, written ONCE per (dir, fixture generation):
-  // each verb run then clones the golden directory with driver-side
-  // file copies (a handful of small files) instead of a fresh Spark
-  // write job — the verbs mutate their clone, so runs stay isolated
-  // and deterministic. Production stages nothing: the table exists.
-  private val goldenFleets =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
-  private def custFingerprint(s: SparkSession, dir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/customer.parquet")
-    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val st = fs.getFileStatus(p)
-    s"${st.getLen}@${st.getModificationTime}"
-  }
-
+  /** Golden staged fleet, written ONCE per (fixture generation,
+    * layout) via [[graft.util.GoldenFixture]]: each verb run then
+    * clones the golden directory with driver-side file copies (a
+    * handful of small files) instead of a fresh Spark write job — the
+    * verbs mutate their clone, so runs stay isolated and
+    * deterministic. Production stages nothing: the table exists. */
   private def goldenDir(s: SparkSession, dir: String, clustered: Boolean)
-      : String = {
-    import s.implicits._
-    val key = s"$dir@${custFingerprint(s, dir)}@$clustered"
-    goldenFleets.computeIfAbsent(key, _ => {
-      val root = graft.util.Scratch.dir("sqlrls_golden_" +
-        (if (clustered) "c" else "r") + "_" +
-        java.lang.Long.toHexString(key.hashCode.toLong & 0xffffffffL))
+      : String =
+    graft.util.GoldenFixture.dir(s, s"$dir/customer.parquet",
+      "sqlrls_golden_" + (if (clustered) "c" else "r")) { root =>
+      import s.implicits._
       val base = customer(s, dir)
         .select($"c_custkey", $"c_name", r4($"c_acctbal").as("c_acctbal"))
       val w =
@@ -232,9 +220,7 @@ object Crud {
         else base.repartitionByRange(8, $"c_custkey").write
       w.format("graft-avro").option("codec", "deflate-1")
         .mode("overwrite").save(s"$root/cust.avro")
-      root
-    })
-  }
+    }
 
   private def cloneFleet(s: SparkSession, golden: String, tag: String)
       : String = {

@@ -429,27 +429,17 @@ object Relational {
     * asserts plan parity and the CREATE-free `SHOW TABLES` listing).
     * Catalog registration rides a child session: per-query conf, no
     * leak into the caller. */
-  // the staged catalog root is written ONCE per (dir, fixture
-  // generation) — the production shape: the warehouse EXISTS, queries
-  // only resolve it (build-once/query-many, same pattern and staleness
-  // signal as the IVF index / fingerprint store)
-  private val catalogRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def qCatalogSqlFleet(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val hfs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val st = hfs.getFileStatus(p)
-    val cacheKey = s"$dir@${st.getLen}@${st.getModificationTime}"
-    val root = catalogRoots.computeIfAbsent(cacheKey, _ => {
-      val r = scratch("catalog_root_" +
-        java.lang.Long.toHexString(cacheKey.hashCode.toLong & 0xffffffffL))
+    // the staged catalog root is written ONCE per fixture generation
+    // (GoldenFixture) — the production shape: the warehouse EXISTS,
+    // queries only resolve it
+    val root = graft.util.GoldenFixture.dir(s, s"$dir/events.parquet",
+      "catalog_root") { r =>
       events(s, dir).select($"event_id", $"event_type", $"value")
         .write.format("graft-avro").mode("overwrite")
         .save(s"$r/events.avro")
-      r
-    })
+    }
     val s2 = s.newSession()
     s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graft.root", root)

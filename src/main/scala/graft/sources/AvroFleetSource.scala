@@ -145,7 +145,19 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       case _ => FleetStats.neverMatches(f, ps)
     }
     val decisions = fleet.map { st =>
-      stats.get(st.getPath.toString).flatMap { ps =>
+      // stats-free decisions FIRST: TRUNCATE arrives as [AlwaysTrue]
+      // and must drop every file even when a sidecar entry is missing
+      // (cross-JVM interleaving legitimately loses entries) — gating
+      // it behind stats.get made TRUNCATE a silent no-op on such
+      // fleets
+      if (filters.isEmpty ||
+          filters.forall(_.isInstanceOf[
+            org.apache.spark.sql.sources.AlwaysTrue]))
+        Some(st -> true)
+      else if (filters.exists(_.isInstanceOf[
+          org.apache.spark.sql.sources.AlwaysFalse]))
+        Some(st -> false)
+      else stats.get(st.getPath.toString).flatMap { ps =>
         if (ps.rows == 0) Some(st -> true) // empty container: free to drop
         else if (filters.forall(alwaysM(_, ps))) Some(st -> true)
         else if (filters.exists(neverM(_, ps))) Some(st -> false)
@@ -379,22 +391,14 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val f = fs(conf)
     val p = new org.apache.hadoop.fs.Path(dir)
-    val stats = messages.collect {
-      case AvroFleetCommitMessage(parts) =>
-        parts.collect { case (file, Some(ps)) =>
-          new org.apache.hadoop.fs.Path(file).getName -> ps
-        }
-    }.flatten.toMap
-    if (stats.nonEmpty) FleetStats.write(f, p, stats)
-    // layout marker: a clustered commit records its key (advisory —
-    // the scan re-proves from sidecars); a plain commit CLEARS any
-    // marker, since its files may interleave keys
-    clusterIdx match {
-      case Some(i) => FleetLayout.write(f, p, schema.fields(i).name)
-      case None => FleetLayout.clear(f, p)
-    }
-    f.create(
-      new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
+    // layout marker between sidecar and _SUCCESS: a clustered commit
+    // records its key (advisory — the scan re-proves from sidecars);
+    // a plain commit CLEARS any marker (its files may interleave keys)
+    AvroFleetCommits.commitFleet(f, p, messages, between = () =>
+      clusterIdx match {
+        case Some(i) => FleetLayout.write(f, p, schema.fields(i).name)
+        case None => FleetLayout.clear(f, p)
+      })
   }
 
   // roll back exactly THIS job's files (tag-matched finals + temps);
@@ -483,6 +487,26 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
   override def commit(): WriterCommitMessage = {
     ensureOpen() // empty partition → schema-bearing empty OCF
     w.close(); w = null
+    // Deterministic-name idempotence guard: rename-if-absent SKIPS an
+    // existing final, which is exactly right for a replayed streaming
+    // epoch (same offsets + partitioning ⇒ byte-identical content) —
+    // but silently WRONG for a different lineage colliding on the name
+    // (e.g. a new streaming query, fresh checkpoint, same directory:
+    // its epochs restart at 0). Identical length certifies the replay
+    // case; a length mismatch means foreign data would be dropped AND
+    // this task's stats would describe rows the surviving file does
+    // not hold — fail loudly instead. Batch job tags are
+    // per-execution-unique, so this guard only ever fires on the
+    // epoch-named streaming path.
+    if (fs.exists(finalPath) &&
+        fs.getFileStatus(finalPath).getLen !=
+          fs.getFileStatus(tmpPath).getLen) {
+      fs.delete(tmpPath, false)
+      throw new java.io.IOException(
+        s"$finalPath already exists with different content — another " +
+          "checkpoint lineage has written this epoch name; stream into " +
+          "a fresh directory or resume the original checkpoint")
+    }
     Avro.commitPart(fs, tmpPath, finalPath)
     AvroFleetCommitMessage(Seq(finalPath.toString ->
       Some(stats.result(fs.getFileStatus(finalPath).getLen))))
@@ -639,6 +663,38 @@ private[graft] object AvroFleetDataWriter {
     case other => throw new IllegalArgumentException(
       s"unreachable: toAvroSchema admits no $other") // validated at plan time
   }
+}
+
+/** The job-level commit sequence SHARED by the batch write and the
+  * streaming sink's per-epoch commit — ONE spelling of the invariant
+  * "sidecar stats land before `_SUCCESS` certifies" so the two paths
+  * cannot drift. `between` runs after the sidecar and before the
+  * marker (the batch write's layout-marker step). */
+private[sources] object AvroFleetCommits {
+  def commitFleet(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      messages: Array[WriterCommitMessage],
+      between: () => Unit = () => ()): Unit = {
+    val stats = messages.collect {
+      case AvroFleetCommitMessage(parts) =>
+        parts.collect { case (file, Some(ps)) =>
+          new org.apache.hadoop.fs.Path(file).getName -> ps
+        }
+    }.flatten.toMap
+    if (stats.nonEmpty) FleetStats.write(f, p, stats)
+    between()
+    f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
+  }
+
+  /** Job/epoch rollback: delete this tag's finals and temps, leaving
+    * previous generations complete. `tag` must be embedded
+    * unambiguously in the names (batch job tags are unique hashes;
+    * epoch tags pass the ".avro"/"-attempt" suffixed forms). */
+  def abortFleet(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, matches: String => Boolean): Unit =
+    if (f.exists(p)) f.listStatus(p).foreach { st =>
+      if (matches(st.getPath.getName)) f.delete(st.getPath, false)
+    }
 }
 
 /** A task's committed files with their sidecar stats (one entry for
@@ -1012,7 +1068,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       maxFileBytes, pushedFilters,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, evolve = evolve)
 
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below

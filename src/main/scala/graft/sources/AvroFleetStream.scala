@@ -41,7 +41,8 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     columns: Array[String], path: String, maxFileBytes: Long,
     filters: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    evolve: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -95,13 +96,26 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     val before = FleetSourceOffset.of(start).files.toSet
     val batch = FleetSourceOffset.of(end).files.filterNot(before)
     val f = fs
-    val statuses = batch.map(p =>
-      f.getFileStatus(new org.apache.hadoop.fs.Path(p)))
+    // tolerate files unlinked AFTER admission (metadata-only DELETE,
+    // TRUNCATE, compaction run on the same live directory): a missing
+    // admitted file must skip with a warning, not wedge the stream —
+    // replaying the same offset range would hit the same missing file
+    // forever (FileStreamSource's ignoreMissingFiles posture)
+    val statuses = batch.flatMap { p =>
+      try Some(f.getFileStatus(new org.apache.hadoop.fs.Path(p)))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"admitted fleet file vanished before read, skipping: $p")
+          None
+      }
+    }
     AvroFleetScan.planSplits(statuses, maxFileBytes)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AvroFleetReaderFactory(tableSchema, columns, None, filters, conf)
+    new AvroFleetReaderFactory(tableSchema, columns, None, filters, conf,
+      evolve = evolve)
 
   override def deserializeOffset(json: String): Offset =
     FleetSourceOffset.fromJson(json)
@@ -149,31 +163,17 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
   }
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val f = fleetFs
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val stats = messages.collect {
-      case AvroFleetCommitMessage(parts) =>
-        parts.collect { case (file, Some(ps)) =>
-          new org.apache.hadoop.fs.Path(file).getName -> ps
-        }
-    }.flatten.toMap
-    if (stats.nonEmpty) FleetStats.write(f, p, stats)
-    f.create(new org.apache.hadoop.fs.Path(dir, "_SUCCESS"), true).close()
-  }
+      messages: Array[WriterCommitMessage]): Unit =
+    AvroFleetCommits.commitFleet(fleetFs,
+      new org.apache.hadoop.fs.Path(dir), messages)
 
   override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val f = fleetFs
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (f.exists(p)) f.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      // exact epoch tag: "-e1" must not match "-e10"/"-e12"
-      if (n.contains(s"-e$epochId.avro") ||
-          n.contains(s"-e$epochId-attempt"))
-        f.delete(st.getPath, false)
-    }
-  }
+      messages: Array[WriterCommitMessage]): Unit =
+    // exact epoch tag: "-e1" must not match "-e10"/"-e12"
+    AvroFleetCommits.abortFleet(fleetFs,
+      new org.apache.hadoop.fs.Path(dir),
+      n => n.contains(s"-e$epochId.avro") ||
+        n.contains(s"-e$epochId-attempt"))
 }
 
 /** Offset = the ordered list of admitted file paths (JSON array). */

@@ -457,10 +457,6 @@ object StreamingOps {
       .reduce(_ unionByName _)
   }
 
-  // the staged source fleet is written once per fixture generation
-  // (the stream is the operator; the landing zone exists)
-  private val fleetSrcRoots =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** §2.I the fleet as a STREAMING SOURCE — the read dual of
     * `q_stream_fleet_sink`: `spark.readStream.format("graft-avro")`
@@ -473,18 +469,14 @@ object StreamingOps {
     * the directory contract. */
   def qStreamFleetSource(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
-    val hfs = p.getFileSystem(s.sessionState.newHadoopConf())
-    val st = hfs.getFileStatus(p)
-    val cacheKey = s"$dir@${st.getLen}@${st.getModificationTime}"
-    val fleet = fleetSrcRoots.computeIfAbsent(cacheKey, _ => {
-      val root = graft.util.Scratch.dir("stream_fleet_src_" +
-        java.lang.Long.toHexString(cacheKey.hashCode.toLong & 0xffffffffL))
+    // the staged source fleet is written once per fixture generation
+    // (the stream is the operator; the landing zone exists)
+    val fleet = graft.util.GoldenFixture.dir(s, s"$dir/events.parquet",
+      "stream_fleet_src") { root =>
       events(s, dir).select($"event_id", $"event_type", $"value")
         .write.format("graft-avro").option("codec", "deflate-1")
         .mode("overwrite").save(s"$root/events.avro")
-      s"$root/events.avro"
-    })
+    } + "/events.avro"
     replayToTable(s, "complete") { s2 =>
       s2.readStream.format("graft-avro").load(fleet)
         .groupBy($"event_type")
