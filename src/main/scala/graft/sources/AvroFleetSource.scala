@@ -438,7 +438,7 @@ private[graft] class AvroFleetWriterFactory(schemaJson: String,
 private[graft] class AvroFleetDataWriter(schemaJson: String,
     names: Array[String], types: Array[DataType], dir: String, pid: Int,
     taskId: Long, jobTag: String, conf: SerializableHadoopConf,
-    codec: String = "")
+    codec: String = "", strictExisting: Boolean = false)
     extends DataWriter[InternalRow] {
 
   import org.apache.avro.file.{CodecFactory, DataFileWriter}
@@ -487,18 +487,18 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
   override def commit(): WriterCommitMessage = {
     ensureOpen() // empty partition → schema-bearing empty OCF
     w.close(); w = null
-    // Deterministic-name idempotence guard: rename-if-absent SKIPS an
-    // existing final, which is exactly right for a replayed streaming
-    // epoch (same offsets + partitioning ⇒ byte-identical content) —
-    // but silently WRONG for a different lineage colliding on the name
-    // (e.g. a new streaming query, fresh checkpoint, same directory:
-    // its epochs restart at 0). Identical length certifies the replay
-    // case; a length mismatch means foreign data would be dropped AND
-    // this task's stats would describe rows the surviving file does
-    // not hold — fail loudly instead. Batch job tags are
-    // per-execution-unique, so this guard only ever fires on the
-    // epoch-named streaming path.
-    if (fs.exists(finalPath) &&
+    // Deterministic-name idempotence guard — STREAMING writers only
+    // (strictExisting): rename-if-absent SKIPS an existing final,
+    // which is exactly right both for a batch speculative twin
+    // (identical content, keep-first — spec-pinned) and a replayed
+    // streaming epoch (same offsets + partitioning ⇒ byte-identical
+    // content) — but silently WRONG for a different checkpoint
+    // lineage colliding on an epoch name (a new streaming query,
+    // fresh checkpoint, same directory: its epochs restart at 0).
+    // Identical length certifies the replay case; a mismatch means
+    // foreign data would be dropped AND this task's stats would
+    // describe rows the surviving file does not hold — fail loudly.
+    if (strictExisting && fs.exists(finalPath) &&
         fs.getFileStatus(finalPath).getLen !=
           fs.getFileStatus(tmpPath).getLen) {
       fs.delete(tmpPath, false)

@@ -158,7 +158,7 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
           : org.apache.spark.sql.connector.write.DataWriter[
             org.apache.spark.sql.catalyst.InternalRow] =
         new AvroFleetDataWriter(sj, names, types, d, partitionId,
-          taskId, s"e$epochId", conf, c)
+          taskId, s"e$epochId", conf, c, strictExisting = true)
     }
   }
 
