@@ -107,7 +107,10 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     new AvroFleetScanBuilder(tableSchema, path, maxFileBytes, evolve,
       explicit.orElse(marker), clusterAuto = marker.isDefined,
       maxFilesPerTrigger =
-        Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+        Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      offsetInlineLimit =
+        Option(options.get("offsetInlineLimit")).map(_.toInt)
+          .getOrElse(1000))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -707,7 +710,8 @@ private[graft] case class AvroFleetCommitMessage(
 private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long, evolve: Boolean = false,
     clusterBy: Option[String] = None, clusterAuto: Boolean = false,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    offsetInlineLimit: Int = 1000)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -905,7 +909,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
         pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto,
-        maxFilesPerTrigger = maxFilesPerTrigger)
+        maxFilesPerTrigger = maxFilesPerTrigger,
+        offsetInlineLimit = offsetInlineLimit)
   }
 }
 
@@ -1038,7 +1043,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     groupFilterOnly: Boolean = false,
     onPlanned: Seq[String] => Unit = null,
     clusterAuto: Boolean = false,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    offsetInlineLimit: Int = 1000)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1068,7 +1074,9 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       maxFileBytes, pushedFilters,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),
-      maxFilesPerTrigger, evolve = evolve)
+      maxFilesPerTrigger, evolve = evolve,
+      checkpointLocation = checkpointLocation,
+      offsetInlineLimit = offsetInlineLimit)
 
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below

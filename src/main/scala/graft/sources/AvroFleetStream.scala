@@ -20,9 +20,15 @@ import graft.util.SerializableHadoopConf
   * exact (the offset log replays the same batch from the same file
   * list), and admission order is deterministic ((mtime, path) sort, so
   * a restart discovers files in the order they landed, ties by name).
-  * The offset grows with the file count; at real scale the upgrade is
-  * a compacted seen-files manifest exactly like Spark's own
-  * FileStreamSource log — a layout change, not a semantic one.
+  * Past `offsetInlineLimit` files (default 1000) the list COMPACTS to
+  * a content-addressed MANIFEST under the query's own checkpoint
+  * directory and the logged offset becomes a pointer — the seen-files
+  * log Spark's FileStreamSource keeps, so the offset log stays O(1)
+  * per batch at any fleet size. The manifest is keyed by the MD5 of
+  * its content, so re-serializing the same offset (or replaying a
+  * batch) rewrites the identical file — idempotent by construction —
+  * and offset EQUALITY always compares the resolved file list, never
+  * the representation.
   *
   * Discovery contract: a file is admitted once its FINAL name exists
   * (the V2 committer's task-commit rename is atomic); the batch-side
@@ -42,9 +48,16 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf,
     maxFilesPerTrigger: Option[Int] = None,
-    evolve: Boolean = false)
+    evolve: Boolean = false,
+    checkpointLocation: String = "",
+    offsetInlineLimit: Int = 1000)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  private val store: Option[FleetSourceOffset.ManifestStore] =
+    if (checkpointLocation.isEmpty) None
+    else Some(new FleetSourceOffset.ManifestStore(checkpointLocation,
+      offsetInlineLimit, conf))
 
   private def fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(conf.value)
@@ -70,14 +83,15 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
       ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = FleetSourceOffset(Seq.empty)
+  override def initialOffset(): Offset =
+    FleetSourceOffset(Seq.empty, store)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit) is used")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = FleetSourceOffset.of(start).files
+    val seen = FleetSourceOffset.of(start, store).files
     val now = availableNowCap.getOrElse(listNow().map(_.getPath.toString))
     val fresh = now.filterNot(seen.toSet)
     val admitted = limit match {
@@ -85,16 +99,16 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
         fresh.take(mf.maxFiles())
       case _ => fresh
     }
-    FleetSourceOffset(seen ++ admitted)
+    FleetSourceOffset(seen ++ admitted, store)
   }
 
   override def reportLatestOffset(): Offset =
-    FleetSourceOffset(listNow().map(_.getPath.toString))
+    FleetSourceOffset(listNow().map(_.getPath.toString), store)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val before = FleetSourceOffset.of(start).files.toSet
-    val batch = FleetSourceOffset.of(end).files.filterNot(before)
+    val before = FleetSourceOffset.of(start, store).files.toSet
+    val batch = FleetSourceOffset.of(end, store).files.filterNot(before)
     val f = fs
     // tolerate files unlinked AFTER admission (metadata-only DELETE,
     // TRUNCATE, compaction run on the same live directory): a missing
@@ -118,7 +132,7 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
       evolve = evolve)
 
   override def deserializeOffset(json: String): Offset =
-    FleetSourceOffset.fromJson(json)
+    FleetSourceOffset.fromJson(json, store)
 
   override def commit(end: Offset): Unit = ()
 
@@ -176,26 +190,98 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
         n.contains(s"-e$epochId-attempt"))
 }
 
-/** Offset = the ordered list of admitted file paths (JSON array). */
-private[sources] case class FleetSourceOffset(files: Seq[String])
+/** Offset = the ordered list of admitted file paths. Serializes as an
+  * inline JSON array up to the inline limit; beyond it the list lands
+  * in a content-addressed manifest file (idempotent: same content →
+  * same name) and the logged JSON is a pointer — see the stream
+  * scaladoc. Equality/hashCode are on the RESOLVED list only, so the
+  * two representations of one offset compare equal. */
+private[sources] class FleetSourceOffset(val files: Seq[String],
+    store: Option[FleetSourceOffset.ManifestStore] = None)
     extends Offset {
-  override def json(): String =
-    org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(
-        org.json4s.JArray(files.map(org.json4s.JString(_)).toList)))
+
+  override def json(): String = store match {
+    case Some(st) if files.size > st.inlineLimit => st.write(files)
+    case _ =>
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(files.map(org.json4s.JString(_)).toList)))
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case f: FleetSourceOffset => f.files == files
+    case _ => false
+  }
+  override def hashCode(): Int = files.hashCode()
 }
 
 private[sources] object FleetSourceOffset {
-  def fromJson(json: String): FleetSourceOffset =
+
+  def apply(files: Seq[String],
+      store: Option[ManifestStore] = None): FleetSourceOffset =
+    new FleetSourceOffset(files, store)
+
+  /** Content-addressed seen-files manifests under the query's own
+    * checkpoint directory (they share the checkpoint's lifetime). */
+  final class ManifestStore(checkpointLocation: String,
+      val inlineLimit: Int,
+      hconf: SerializableHadoopConf) {
+    private def dirPath = new org.apache.hadoop.fs.Path(
+      checkpointLocation, "graft-manifests")
+    private def mfs = dirPath.getFileSystem(hconf.value)
+
+    /** Write (idempotently) and return the pointer JSON. */
+    def write(files: Seq[String]): String = {
+      val body = files.mkString("\n")
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val f = mfs
+      f.mkdirs(dirPath)
+      val dest = new org.apache.hadoop.fs.Path(dirPath, s"$tag.list")
+      if (!f.exists(dest)) {
+        val tmp = new org.apache.hadoop.fs.Path(dirPath, s".$tag.list.tmp")
+        val out = f.create(tmp, true)
+        try out.write(body.getBytes("UTF-8")) finally out.close()
+        if (!f.rename(tmp, dest) && !f.exists(dest))
+          throw new java.io.IOException(s"manifest commit failed: $dest")
+      }
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+          "manifest" -> org.json4s.JString(dest.toString),
+          "n" -> org.json4s.JInt(files.size))))
+    }
+
+    def read(manifestPath: String): Seq[String] = {
+      val f = mfs
+      val in = f.open(new org.apache.hadoop.fs.Path(manifestPath))
+      val body = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      if (body.isEmpty) Seq.empty else body.split("\n").toSeq
+    }
+  }
+
+  def fromJson(json: String,
+      store: Option[ManifestStore]): FleetSourceOffset =
     org.json4s.jackson.JsonMethods.parse(json) match {
       case org.json4s.JArray(vs) =>
-        FleetSourceOffset(vs.collect { case org.json4s.JString(s) => s })
-      case other => throw new IllegalArgumentException(
+        FleetSourceOffset(
+          vs.collect { case org.json4s.JString(s) => s }, store)
+      case obj: org.json4s.JObject =>
+        (obj \ "manifest") match {
+          case org.json4s.JString(path) =>
+            val st = store.getOrElse(throw new IllegalStateException(
+              s"manifest offset without a checkpoint-backed store: $json"))
+            FleetSourceOffset(st.read(path), store)
+          case _ => throw new IllegalArgumentException(
+            s"malformed fleet stream offset: $json")
+        }
+      case _ => throw new IllegalArgumentException(
         s"malformed fleet stream offset: $json")
     }
 
-  def of(o: Offset): FleetSourceOffset = o match {
+  def of(o: Offset, store: Option[ManifestStore] = None)
+      : FleetSourceOffset = o match {
     case f: FleetSourceOffset => f
-    case other => fromJson(other.json())
+    case other => fromJson(other.json(), store)
   }
 }

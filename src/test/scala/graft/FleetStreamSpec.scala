@@ -62,6 +62,41 @@ class FleetStreamSpec extends SparkSpec {
     assert(vs.toSeq == (40 until 50).map(i => s"v$i").sorted)
   }
 
+  test("offsets compact to a checkpoint manifest past the inline limit and still resume") {
+    val root = graft.util.Scratch.dir("fleet_stream_manifest")
+    val dir = s"$root/src.avro"
+    val ckpt = s"$root/ckpt"
+    writeGen(dir, 0, 30)
+    writeGen(dir, 30, 60) // 4 files > inline limit of 2
+    def drainWith(limit: Int): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft-avro")
+        .option("offsetInlineLimit", limit.toString).load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("id").collect().map(_.getLong(0))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSeq.sorted
+    }
+    assert(drainWith(2) == (0L until 60L))
+    // the persisted offset is a pointer, not a file list
+    val off = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$ckpt/offsets/0")), "UTF-8")
+    assert(off.contains("\"manifest\""),
+      s"expected a compacted manifest offset, got: ${off.take(300)}")
+    val mdir = new java.io.File(s"$ckpt/sources/0/graft-manifests")
+    assert(mdir.exists && mdir.list().exists(_.endsWith(".list")),
+      s"manifest files expected under ${mdir}")
+    // a restart resolves the pointer and reads only NEW files
+    writeGen(dir, 60, 80)
+    assert(drainWith(2) == (60L until 80L))
+  }
+
   test("native streaming sink: epoch-keyed files, exactly-once, fleet stays readable mid-stream") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
