@@ -444,39 +444,36 @@ object Avro {
   }
 
   private[graft] def listFleet(s: SparkSession, glob: String,
-      maxFileBytes: Long, enforceBound: Boolean = true)
+      maxFileBytes: Long, enforceBound: Boolean = true,
+      versionAsOf: Option[Long] = None)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val parts = splitGlobs(glob)
     require(parts.nonEmpty, s"no avro files match: $glob")
-    val all = parts.toSeq.flatMap(g => listOneGlob(s, g))
+    val all = parts.toSeq.flatMap(g => listOneGlob(s, g, versionAsOf))
       .groupBy(_.getPath.toString).map(_._2.head).toSeq
     require(all.nonEmpty, s"no avro files match: $glob")
     if (enforceBound) all.foreach(requireIngestSized(_, maxFileBytes))
     all
   }
 
-  private def listOneGlob(s: SparkSession, glob: String)
+  private def listOneGlob(s: SparkSession, glob: String,
+      versionAsOf: Option[Long] = None)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val files = matched.flatMap {
+      // a TRANSACTIONAL fleet (committed `_manifest/`) resolves its
+      // file set from the current — or `versionAsOf` — snapshot: an
+      // in-flight append's task-committed files and a half-swapped
+      // copy-on-write generation are invisible until their one
+      // manifest commit lands. The `_SUCCESS` gate is superseded by
+      // the manifest (which only ever names job-committed files).
       case d if d.isDirectory =>
-        val all = fs.listStatus(d.getPath).toSeq
-        val data = all.filter(st => st.isFile && dataFileFilter.accept(st.getPath))
-        // a directory of sink-patterned part files without the commit
-        // marker is a killed/in-flight writeDistributed job — reading
-        // it as if complete is silent data loss, the one failure mode
-        // a marker exists to prevent
-        // both sink spellings: writeDistributed's part-NNNNN.avro and
-        // the V2 writer's job-tagged part-NNNNN-tag.avro
-        if (data.exists(_.getPath.getName.matches("part-\\d{5}(-[0-9a-f]+)?\\.avro")))
-          require(all.exists(_.getPath.getName == "_SUCCESS"),
-            s"${d.getPath} holds part-*.avro files but no _SUCCESS " +
-              "marker — uncommitted or partial writeDistributed output; " +
-              "re-run the write (or add a _SUCCESS marker if this " +
-              "directory was produced complete by another tool)")
-        data
+        FleetManifest.resolve(fs, d.getPath, versionAsOf) match {
+          case Some(resolved) => resolved
+          case None => listLegacyDir(fs, d)
+        }
       case f => Seq(f)
     }
     // bound enforcement lives in the multi-glob wrapper: the V2 fleet
@@ -485,6 +482,28 @@ object Avro {
     // the per-split guard); the whole-file driver parse keeps the hard
     // bound because it holds one file in one JVM
     files
+  }
+
+  /** Raw-listing contract for manifest-less directories (interchange
+    * drops, `writeDistributed` output, externally-produced fleets). */
+  private def listLegacyDir(fs: org.apache.hadoop.fs.FileSystem,
+      d: org.apache.hadoop.fs.FileStatus)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val all = fs.listStatus(d.getPath).toSeq
+    val data = all.filter(st => st.isFile && dataFileFilter.accept(st.getPath))
+    // a directory of sink-patterned part files without the commit
+    // marker is a killed/in-flight writeDistributed job — reading
+    // it as if complete is silent data loss, the one failure mode
+    // a marker exists to prevent
+    // both sink spellings: writeDistributed's part-NNNNN.avro and
+    // the V2 writer's job-tagged part-NNNNN-tag.avro
+    if (data.exists(_.getPath.getName.matches("part-\\d{5}(-[0-9a-f]+)?\\.avro")))
+      require(all.exists(_.getPath.getName == "_SUCCESS"),
+        s"${d.getPath} holds part-*.avro files but no _SUCCESS " +
+          "marker — uncommitted or partial writeDistributed output; " +
+          "re-run the write (or add a _SUCCESS marker if this " +
+          "directory was produced complete by another tool)")
+    data
   }
 
   private[graft] def peekSchema(s: SparkSession, glob: String,

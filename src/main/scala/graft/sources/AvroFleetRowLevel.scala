@@ -126,15 +126,25 @@ private[sources] class AvroFleetRowLevelScanBuilder(fullSchema: StructType,
       onPlanned = files => op.replacedFiles = files)
 }
 
-/** The replace-commit: the plain fleet batch write (new files, merged
-  * sidecar stats, `_SUCCESS` last), then delete the replaced group
-  * set. Abort rolls back only this job's files, leaving the previous
-  * generation complete. */
+/** The replace-commit: the plain fleet batch write's commit with the
+  * replaced group set passed as the manifest swap — ONE
+  * [[FleetManifest]] commit adds the rewritten generation and removes
+  * the replaced originals, so a reader sees the old generation or the
+  * new one, never both (the r14 append-then-delete crash window is
+  * closed). The originals are then unlinked as ordinary garbage
+  * collection: a crash before the swap leaves only unreferenced new
+  * files (rolled back by abort or collected by
+  * [[FleetCompact.expireVersions]]); a crash after it leaves
+  * unreferenced originals — invisible either way. Abort rolls back
+  * only this job's files, leaving the previous generation complete. */
 private[sources] class AvroFleetReplaceBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String,
     replaced: () => Seq[String])
     extends AvroFleetBatchWrite(schemaJson, schema, dir, jobTag,
       truncate = false) {
+
+  override protected def manifestRemoveNames: Set[String] =
+    replaced().map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -152,7 +162,7 @@ private[sources] class AvroFleetReplaceBatchWrite(schemaJson: String,
         fs.delete(new org.apache.hadoop.fs.Path(f), false)
       }
     } else {
-      super.commit(messages)
+      super.commit(messages) // manifest swap: new in, replaced out
       replaced().foreach { p =>
         fs.delete(new org.apache.hadoop.fs.Path(p), false)
       }

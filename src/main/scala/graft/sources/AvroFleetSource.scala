@@ -75,7 +75,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
 }
 
 private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
-    maxFileBytes: Long, evolve: Boolean = false)
+    maxFileBytes: Long, evolve: Boolean = false,
+    versionAsOf: Option[Long] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -110,7 +111,9 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       offsetInlineLimit =
         Option(options.get("offsetInlineLimit")).map(_.toInt)
-          .getOrElse(1000))
+          .getOrElse(1000),
+      versionAsOf =
+        Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -195,8 +198,20 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
           "condition (concurrent writer?) — nothing was deleted; " +
           "re-run the DELETE"))
     val s = SparkSession.active
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sessionState.newHadoopConf())
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+    // transactional order: the ONE manifest commit retires the dropped
+    // files first — a reader during the unlinks below resolves the new
+    // generation and never touches a half-deleted set. (Bootstraps the
+    // manifest on a legacy fleet, consistently with every other
+    // commit path.)
+    val dropped = decisions.collect {
+      case (st, true) => st.getPath.getName
+    }.toSet
+    if (dropped.nonEmpty)
+      FleetManifest.commit(fs, dirPath,
+        base => base.filterNot(dropped),
+        bootstrap = decisions.map(_._1.getPath.getName))
     decisions.foreach { case (st, drop) =>
       if (drop) fs.delete(st.getPath, false)
     }
@@ -354,16 +369,32 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
       }
       val codec = Option(info.options.get("codec")).getOrElse("")
       AvroFleetDataWriter.codecFor(codec) // plan-time validation
+      // copy-on-write swap: a maintenance pass (FleetMerge) appends
+      // its rewritten generation and names the replaced files here —
+      // the ONE manifest commit adds new and removes old, so no
+      // reader ever sees both generations (part names never contain
+      // commas, so the option join is unambiguous)
+      val swapRemove = Option(info.options.get("manifestSwapRemove"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty[String])
       new AvroFleetBatchWrite(schemaJson, info.schema(), dir, jobTag,
-        truncateFleet, clusterIdx, codec)
+        truncateFleet, clusterIdx, codec, swapRemove)
     }
   }
 }
 
 private[sources] class AvroFleetBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String, truncate: Boolean,
-    clusterIdx: Option[Int] = None, codec: String = "")
+    clusterIdx: Option[Int] = None, codec: String = "",
+    swapRemoveNames: Set[String] = Set.empty)
     extends BatchWrite {
+
+  /** File NAMES the manifest commit atomically swaps out as this job's
+    * files swap in — the copy-on-write generation handoff. Overridden
+    * by the row-level replace write (its removed set is only known at
+    * commit time); the plain path carries the caller's
+    * `manifestSwapRemove` option ([[FleetMerge]]). */
+  protected def manifestRemoveNames: Set[String] = swapRemoveNames
 
   private def fs(conf: org.apache.hadoop.conf.Configuration) =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
@@ -401,7 +432,9 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
       clusterIdx match {
         case Some(i) => FleetLayout.write(f, p, schema.fields(i).name)
         case None => FleetLayout.clear(f, p)
-      })
+      },
+      removeNames = manifestRemoveNames,
+      reset = truncate)
   }
 
   // roll back exactly THIS job's files (tag-matched finals + temps);
@@ -670,14 +703,22 @@ private[graft] object AvroFleetDataWriter {
 
 /** The job-level commit sequence SHARED by the batch write and the
   * streaming sink's per-epoch commit — ONE spelling of the invariant
-  * "sidecar stats land before `_SUCCESS` certifies" so the two paths
+  * "sidecar stats land before the commit certifies" so the two paths
   * cannot drift. `between` runs after the sidecar and before the
-  * marker (the batch write's layout-marker step). */
+  * manifest (the batch write's layout-marker step). The MANIFEST
+  * commit is the real commit point ([[FleetManifest]]): it atomically
+  * adds this job's files, removes `removeNames` (a copy-on-write
+  * swap: ReplaceData / [[FleetMerge]] pass the replaced generation
+  * here so readers never see both), or — `reset` — replaces the whole
+  * list (TRUNCATE). `_SUCCESS` is still re-marked last for
+  * manifest-unaware external consumers. */
 private[sources] object AvroFleetCommits {
   def commitFleet(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
       messages: Array[WriterCommitMessage],
-      between: () => Unit = () => ()): Unit = {
+      between: () => Unit = () => (),
+      removeNames: Set[String] = Set.empty,
+      reset: Boolean = false): Unit = {
     val stats = messages.collect {
       case AvroFleetCommitMessage(parts) =>
         parts.collect { case (file, Some(ps)) =>
@@ -686,8 +727,33 @@ private[sources] object AvroFleetCommits {
     }.flatten.toMap
     if (stats.nonEmpty) FleetStats.write(f, p, stats)
     between()
+    val added = messages.collect {
+      case AvroFleetCommitMessage(parts) => parts.map { case (file, _) =>
+        new org.apache.hadoop.fs.Path(file).getName
+      }
+    }.flatten.toSeq
+    FleetManifest.commit(f, p,
+      base =>
+        if (reset) added
+        else base.filterNot(removeNames) ++ added,
+      bootstrap = rawDataFiles(f, p))
     f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
+
+  /** Raw data-file names for the first manifest commit into a
+    * previously manifest-less directory — the legacy fleet's visible
+    * set becomes generation 1's base (minus any files this very commit
+    * replaces; the committed `added` list re-adds this job's files,
+    * which are already on disk). */
+  private def rawDataFiles(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.collect {
+      case st if st.isFile && st.getPath.getName.endsWith(".avro") &&
+          !st.getPath.getName.startsWith(".") &&
+          !st.getPath.getName.startsWith("_") =>
+        st.getPath.getName
+    }
 
   /** Job/epoch rollback: delete this tag's finals and temps, leaving
     * previous generations complete. `tag` must be embedded
@@ -711,7 +777,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long, evolve: Boolean = false,
     clusterBy: Option[String] = None, clusterAuto: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    offsetInlineLimit: Int = 1000)
+    offsetInlineLimit: Int = 1000,
+    versionAsOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -870,7 +937,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       val flat = specs.flatten
       val s = SparkSession.active
       val fleet = Avro.listFleet(s, path, maxFileBytes,
-        enforceBound = false)
+        enforceBound = false, versionAsOf = versionAsOf)
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         s.sessionState.newHadoopConf())
       val stats = FleetStats.forFleet(fs, fleet)
@@ -901,16 +968,18 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   override def build(): Scan = (groupAgg, metaAgg) match {
     case (Some((gcols, specs)), _) =>
       new AvroFleetGroupAggScan(fullSchema, path, maxFileBytes, gcols,
-        specs, pushed)
+        specs, pushed, versionAsOf = versionAsOf)
     case (_, Some((specs, entries))) =>
       new AvroFleetMetaAggScan(fullSchema, path, specs, entries)
     case _ if countStars > 0 =>
-      new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars)
+      new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars,
+        versionAsOf = versionAsOf)
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
         pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto,
         maxFilesPerTrigger = maxFilesPerTrigger,
-        offsetInlineLimit = offsetInlineLimit)
+        offsetInlineLimit = offsetInlineLimit,
+        versionAsOf = versionAsOf)
   }
 }
 
@@ -1044,7 +1113,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     onPlanned: Seq[String] => Unit = null,
     clusterAuto: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
-    offsetInlineLimit: Int = 1000)
+    offsetInlineLimit: Int = 1000,
+    versionAsOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1081,7 +1151,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below
   private lazy val fleet = Avro.listFleet(SparkSession.active, path,
-    maxFileBytes, enforceBound = false)
+    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf)
 
   // per-file stats from the fleet's `_stats.json` sidecars (one small
   // driver-side read per directory; empty where no sidecar exists)
@@ -1393,7 +1463,8 @@ private[sources] object AvroFleetScan {
   * decoded. Spark's rewritten final aggregate sums the partials, so
   * `fleet.count()` costs one header walk per split at any fleet size. */
 private[sources] class AvroFleetCountScan(tableSchema: StructType,
-    path: String, maxFileBytes: Long, countStars: Int)
+    path: String, maxFileBytes: Long, countStars: Int,
+    versionAsOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   // one LongType partial per pushed COUNT(*) (names are free — Spark
@@ -1408,7 +1479,7 @@ private[sources] class AvroFleetCountScan(tableSchema: StructType,
   override def toBatch: Batch = this
 
   private lazy val fleet = Avro.listFleet(SparkSession.active, path,
-    maxFileBytes, enforceBound = false)
+    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -1496,7 +1567,8 @@ private[sources] class AvroFleetCountReaderFactory(
 private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
     path: String, maxFileBytes: Long, groupCols: Seq[String],
     specs: Seq[MetaAggSpec],
-    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
+    versionAsOf: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   import MetaAggSpec._
@@ -1528,7 +1600,7 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
   override def toBatch: Batch = this
 
   private lazy val fleet = Avro.listFleet(SparkSession.active, path,
-    maxFileBytes, enforceBound = false)
+    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf)
 
   private lazy val fleetStats = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(

@@ -77,4 +77,44 @@ object FleetCompact {
       .mode("overwrite").save(out)
     shards
   }
+
+  /** What one retention pass removed: the expired manifest versions
+    * and the data files no retained generation references anymore. */
+  final case class ExpireResult(expiredVersions: Seq[Long],
+      deletedFiles: Seq[String])
+
+  /** Snapshot retention for a TRANSACTIONAL fleet ([[FleetManifest]]):
+    * keep the newest `keepLast` manifest versions, drop the older
+    * version files, and unlink every data file that only expired
+    * generations referenced. `versionAsOf` reads of retained versions
+    * keep working; reads of expired ones fail with the documented
+    * missing-version error. Deletion is precise, not a sweep —
+    * candidates are (∪ expired generations' files) − (∪ retained
+    * generations' files) — so an in-flight job's task-committed (not
+    * yet manifest-committed) files are never touched, at any
+    * concurrency. Order matters for crash safety: expired MANIFESTS
+    * are removed first, then the newly-unreferenced data files — a
+    * crash in between leaves harmless orphans, never a readable
+    * version with missing files. */
+  def expireVersions(s: SparkSession, dir: String, keepLast: Int)
+      : ExpireResult = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+    val vs = FleetManifest.versions(fs, dirPath)
+    if (vs.size <= keepLast) return ExpireResult(Seq.empty, Seq.empty)
+    val (expired, kept) = vs.splitAt(vs.size - keepLast)
+    val keptFiles = kept.flatMap(v =>
+      FleetManifest.snapshotAt(fs, dirPath, v).toSeq.flatMap(_.files)).toSet
+    val candidates = expired.flatMap(v =>
+      FleetManifest.snapshotAt(fs, dirPath, v).toSeq.flatMap(_.files))
+      .distinct.filterNot(keptFiles)
+    expired.foreach { v =>
+      fs.delete(FleetManifest.versionFilePath(dirPath, v), false)
+    }
+    val deleted = candidates.filter { n =>
+      fs.delete(new Path(dirPath, n), false)
+    }
+    ExpireResult(expired, deleted)
+  }
 }

@@ -1,0 +1,215 @@
+package graft.sources
+
+import scala.util.control.NonFatal
+
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.json4s.{JArray, JInt, JObject, JString}
+import org.json4s.jackson.JsonMethods
+
+/** Transactional file manifest for avro fleets — the generation
+  * pointer that closes the copy-on-write crash window (SURVEY.md §2.A;
+  * round-14 verdict's top item). A fleet directory with a `_manifest/`
+  * subdirectory is TRANSACTIONAL: readers resolve the data-file set
+  * from the highest committed manifest version instead of the raw
+  * listing, so
+  *
+  *  - an in-flight append's task-committed files are invisible until
+  *    the job commits (previously a reader racing an append could see
+  *    half a job),
+  *  - a copy-on-write rewrite ([[FleetMerge]], SQL
+  *    DELETE/UPDATE/MERGE via ReplaceData) swaps old generation out
+  *    and new generation in as ONE manifest commit — a crash before
+  *    the swap leaves invisible orphans (new files, never referenced);
+  *    a crash after it leaves the replaced originals as unreferenced
+  *    garbage for [[FleetCompact.expireVersions]] — readers never see
+  *    both generations, and never lose rows, at any crash point,
+  *  - retained versions are SNAPSHOTS: `option("versionAsOf", n)` (or
+  *    SQL `VERSION AS OF n` through [[GraftCatalog]]) reads the exact
+  *    file set of generation n for as long as its files survive GC.
+  *
+  * Commit protocol — versioned rename-claim with read-back
+  * verification, no pointer file to torn-write:
+  *
+  *  1. read the current version N (highest `v…json` in `_manifest/`),
+  *  2. compute the next file list and render it as `v{N+1}.json`
+  *     content,
+  *  3. write a hidden temp, `rename` it onto `v{N+1}.json`, and
+  *     READ BACK the destination: content == ours ⇒ the commit is
+  *     ours; anything else ⇒ a concurrent committer claimed N+1 first
+  *     (HDFS rename-if-absent fails outright; a local-FS rename can
+  *     clobber, which the read-back detects) — re-read and retry on
+  *     N+2 with the update function applied to the NEW base, so racing
+  *     commits serialize instead of losing updates.
+  *
+  * In-JVM commits additionally serialize on striped locks (the
+  * [[FleetStats]] pattern) so local-mode concurrency never relies on
+  * filesystem rename semantics at all. Version files are immutable
+  * once committed; file names are RELATIVE to the fleet directory so a
+  * fleet (with its `_manifest/`) survives a directory rename/move.
+  *
+  * Manifest-less directories keep the raw-listing + `_SUCCESS`
+  * contract unchanged (interchange drops, `writeDistributed` output,
+  * externally-produced fleets); the first V2 commit into such a
+  * directory BOOTSTRAPS the manifest from the raw listing, so legacy
+  * fleets upgrade on their next write with no migration step.
+  */
+private[sources] object FleetManifest {
+
+  val DirName = "_manifest"
+
+  /** One committed generation: the complete set of data-file NAMES
+    * (relative to the fleet directory) a reader of this version must
+    * see. */
+  final case class Snapshot(version: Long, files: Seq[String])
+
+  private def mdir(dir: Path) = new Path(dir, DirName)
+  private def vname(v: Long) = f"v$v%020d.json"
+  private def vpath(dir: Path, v: Long) = new Path(mdir(dir), vname(v))
+
+  /** The on-disk location of one committed version (retention passes
+    * unlink expired versions through this). */
+  def versionFilePath(dir: Path, v: Long): Path = vpath(dir, v)
+
+  private def parseVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".json"))
+      name.stripPrefix("v").stripSuffix(".json").toLongOption
+    else None
+
+  /** All committed versions at `dir`, ascending; empty when the fleet
+    * is manifest-less. */
+  def versions(fs: FileSystem, dir: Path): Seq[Long] = {
+    val d = mdir(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName)).sorted
+  }
+
+  def snapshotAt(fs: FileSystem, dir: Path, v: Long): Option[Snapshot] = {
+    val p = vpath(dir, v)
+    if (!fs.exists(p)) None else Some(readFile(fs, p))
+  }
+
+  /** The current (highest-version) snapshot, or None for a
+    * manifest-less fleet. */
+  def current(fs: FileSystem, dir: Path): Option[Snapshot] =
+    versions(fs, dir).lastOption.map(v => readFile(fs, vpath(dir, v)))
+
+  private def readFile(fs: FileSystem, p: Path): Snapshot = {
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    JsonMethods.parse(text) match {
+      case obj: JObject =>
+        val v = (obj \ "version") match {
+          case JInt(n) => n.toLong
+          case other => throw new java.io.IOException(
+            s"malformed manifest $p: version = $other")
+        }
+        val files = (obj \ "files") match {
+          case JArray(vs) => vs.collect { case JString(s) => s }
+          case other => throw new java.io.IOException(
+            s"malformed manifest $p: files = $other")
+        }
+        Snapshot(v, files)
+      case other => throw new java.io.IOException(
+        s"malformed manifest $p: $other")
+    }
+  }
+
+  private def render(s: Snapshot): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JInt(s.version),
+      "files" -> JArray(s.files.map(JString(_)).toList))))
+
+  // serialize same-JVM commits per fleet dir (stripes, not a per-path
+  // map — the FleetStats rationale: bounded memory, collisions only
+  // serialize unrelated commits)
+  private val commitStripes = Array.fill(64)(new Object)
+
+  /** Commit the next generation: `update` maps the current file list
+    * (or `bootstrap` for a manifest-less fleet) to the new complete
+    * list. Returns the committed snapshot. Retries on concurrent
+    * commits (each retry re-reads and re-applies `update`), so the
+    * update function must be pure. */
+  def commit(fs: FileSystem, dir: Path,
+      update: Seq[String] => Seq[String],
+      bootstrap: => Seq[String]): Snapshot = {
+    val key = fs.makeQualified(dir).toString
+    commitStripes(math.floorMod(key.hashCode, commitStripes.length))
+      .synchronized {
+        var attempts = 0
+        while (attempts < 64) {
+          attempts += 1
+          val cur = current(fs, dir)
+          val base = cur.map(_.files).getOrElse(bootstrap)
+          val next = Snapshot(cur.map(_.version + 1L).getOrElse(1L),
+            update(base).distinct)
+          val dest = vpath(dir, next.version)
+          fs.mkdirs(mdir(dir))
+          if (!fs.exists(dest)) {
+            val tmp = new Path(mdir(dir),
+              s".${vname(next.version)}.${java.util.UUID.randomUUID()}.tmp")
+            val out = fs.create(tmp, true)
+            try out.write(render(next).getBytes("UTF-8"))
+            finally out.close()
+            val renamed =
+              try fs.rename(tmp, dest)
+              catch { case NonFatal(_) => false }
+            if (!renamed) fs.delete(tmp, false)
+            // read-back verification: a local-FS rename can clobber a
+            // racer's just-committed version — content == ours is the
+            // only proof the claim is ours
+            if (renamed &&
+                (try readFile(fs, dest) == next
+                 catch { case NonFatal(_) => false }))
+              return next
+          }
+          // lost the claim: loop re-reads the new current and retries
+        }
+        throw new java.io.IOException(
+          s"fleet manifest commit at $dir lost ${attempts} consecutive " +
+            "version claims — pathological committer contention")
+      }
+  }
+
+  /** Reader-side resolution: the file set of the current (or
+    * `versionAsOf`) snapshot as live `FileStatus`es, or None when the
+    * directory is manifest-less (caller falls back to the raw-listing
+    * contract). A manifest-listed file that no longer exists is a
+    * HARD error — it means a retained generation was GC'd or
+    * externally deleted, and silently dropping it would be silent row
+    * loss (upstream Spark's ignoreMissingFiles=false posture). */
+  def resolve(fs: FileSystem, dir: Path, versionAsOf: Option[Long])
+      : Option[Seq[FileStatus]] = {
+    val snap = versionAsOf match {
+      case Some(v) =>
+        val avail = versions(fs, dir)
+        if (avail.isEmpty)
+          throw new IllegalArgumentException(
+            s"versionAsOf=$v: fleet at $dir has no manifest history " +
+              "(only transactionally-committed fleets are versioned)")
+        Some(snapshotAt(fs, dir, v).getOrElse(
+          throw new IllegalArgumentException(
+            s"versionAsOf=$v: no such manifest version at $dir " +
+              s"(available: ${avail.mkString(", ")})")))
+      case None => current(fs, dir)
+    }
+    snap.map { sn =>
+      // one listing serves every lookup; manifest names absent from it
+      // get one direct probe before the hard error (listing races)
+      val listed = fs.listStatus(dir).iterator
+        .filter(_.isFile).map(st => st.getPath.getName -> st).toMap
+      sn.files.map { n =>
+        listed.getOrElse(n,
+          try fs.getFileStatus(new Path(dir, n))
+          catch {
+            case _: java.io.FileNotFoundException =>
+              throw new java.io.FileNotFoundException(
+                s"fleet manifest v${sn.version} at $dir references " +
+                  s"missing file $n — generation expired " +
+                  "(FleetCompact.expireVersions) or externally deleted")
+          })
+      }
+    }
+  }
+}

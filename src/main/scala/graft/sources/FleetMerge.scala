@@ -28,13 +28,16 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *     UNTOUCHED file's extent is touched by definition, so no insert
   *     or update can belong to a file the rewrite skips).
   *  3. The merged result is APPENDED through the V2 committer (attempt
-  *     temps, job-tagged names, sidecar stats, `_SUCCESS` re-marked),
-  *     and only then are the replaced originals deleted. A crash
-  *     between append-commit and delete leaves BOTH generations
-  *     visible — duplicated rows, never lost ones; a transactional
-  *     table format would close that window with a manifest swap, and
-  *     that is the documented upgrade path, not something this
-  *     directory-contract sink can express.
+  *     temps, job-tagged names, sidecar stats), with the touched
+  *     originals passed as the commit's MANIFEST SWAP
+  *     (`manifestSwapRemove`): one [[FleetManifest]] commit adds the
+  *     rewritten generation and retires the replaced one, so a
+  *     concurrent reader sees the pre-merge fleet or the post-merge
+  *     fleet — never both, at any crash point (the r13/r14
+  *     append-then-delete duplicate window is closed). The replaced
+  *     files are then unlinked as garbage (`retainOld = true` keeps
+  *     them on disk so the pre-merge manifest version stays readable
+  *     via `versionAsOf` until [[FleetCompact.expireVersions]]).
   *
   * The merge key must be a non-temporal trackable scalar (the sidecar
   * carrier must round-trip through a DataFrame literal); temporal keys
@@ -56,7 +59,8 @@ object FleetMerge {
     * row deletes it). */
   def mergeCow(s: SparkSession, dir: String, key: String,
       feedKeys: DataFrame,
-      applyMerge: DataFrame => DataFrame): CowResult = {
+      applyMerge: DataFrame => DataFrame,
+      retainOld: Boolean = false): CowResult = {
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
     val fleet = Avro.listFleet(s, dir, Avro.MaxIngestFileBytes,
@@ -136,14 +140,23 @@ object FleetMerge {
         s"the fleet schema ${schema.fieldNames.toSeq}")
 
     val before = fleet.map(_.getPath.getName).toSet
-    // append FIRST (new generation fully committed, _SUCCESS re-marked,
-    // sidecars merged), delete the replaced originals only after
-    merged.write.format("graft-avro").mode("append").save(dir)
+    // the append's job commit IS the generation swap: its one manifest
+    // commit adds the rewritten files and removes the touched
+    // originals (manifestSwapRemove), so no reader window ever shows
+    // both generations — then the retired originals are unlinked as
+    // plain garbage collection (skipped under retainOld: the pre-merge
+    // manifest version stays readable via versionAsOf until expired)
+    val touchedNames = touched
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    merged.write.format("graft-avro").mode("append")
+      .option("manifestSwapRemove", touchedNames.mkString(","))
+      .save(dir)
     val written = fs.listStatus(dirPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".avro") &&
         !before.contains(st.getPath.getName))
       .map(_.getPath.toString)
-    touched.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    if (!retainOld)
+      touched.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
     CowResult(touched, untouched, written)
   }
 }

@@ -87,7 +87,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val r = hPath(root)
         if (!fs.exists(r)) Array.empty
         else fs.listStatus(r).toSeq
-          .filter(st => st.getPath.getName.endsWith(".avro") &&
+          // isDirectory: a fleet IS a directory — a stray regular file
+          // named x.avro is not a table and must not list as one
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.endsWith(".avro") &&
             !st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.startsWith("."))
           .map(st => Identifier.of(Array.empty[String],
@@ -107,14 +110,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table =
+    loadAt(ident, versionAsOf = None)
+
+  /** SQL time travel — `SELECT ... FROM graft.x VERSION AS OF 3`:
+    * resolves the fleet's [[FleetManifest]] generation 3 (readable for
+    * as long as its files survive
+    * [[FleetCompact.expireVersions]]). Versions are the manifest
+    * commit sequence; only transactionally-committed fleets have
+    * them. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, versionAsOf = Some(version.toLongOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"graft VERSION AS OF takes a manifest version number, " +
+          s"got '$version'"))))
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "graft fleets are versioned by manifest generation — use " +
+        "VERSION AS OF <n> (TIMESTAMP AS OF is not supported)")
+
+  private def loadAt(ident: Identifier, versionAsOf: Option[Long]): Table =
     ident.namespace().toSeq match {
       case Seq() =>
         val dir = avroDir(ident.name())
-        if (!fs.exists(hPath(dir))) noSuchTable(ident)
+        // a fleet IS a directory — a stray regular file named x.avro
+        // is NoSuchTable, not a codec failure inside the schema peek
+        val p = hPath(dir)
+        if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory)
+          noSuchTable(ident)
         val schema = Avro.toSparkSchema(
           Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes))
-        new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes)
+        new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
+          versionAsOf = versionAsOf)
       case Seq(wb) =>
+        require(versionAsOf.isEmpty,
+          "VERSION AS OF applies to avro fleets only (workbook sheets " +
+            "carry no manifest history)")
         val p = hPath(xlsxFile(wb))
         if (!fs.exists(p)) noSuchTable(ident)
         // ONE whole-file read serves both the existence check (a
@@ -185,7 +216,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def tableExists(ident: Identifier): Boolean =
     ident.namespace().toSeq match {
-      case Seq() => fs.exists(hPath(avroDir(ident.name())))
+      case Seq() =>
+        val p = hPath(avroDir(ident.name()))
+        fs.exists(p) && fs.getFileStatus(p).isDirectory
       case Seq(wb) =>
         val p = hPath(xlsxFile(wb))
         fs.exists(p) && Xlsx.sheetNames(readAll(p)).contains(ident.name())
