@@ -230,11 +230,13 @@ object Crud {
     val fs = from.getFileSystem(s.sessionState.newHadoopConf())
     fs.delete(to, true)
     fs.mkdirs(to)
+    // recursive: the `_manifest/` generation log travels with the
+    // data files, so a clone is the same transactional fleet at the
+    // same version (FileUtil.copy descends into directories)
     fs.listStatus(from).foreach { st =>
-      if (st.isFile)
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-          new org.apache.hadoop.fs.Path(to, st.getPath.getName),
-          false, s.sessionState.newHadoopConf())
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(to, st.getPath.getName),
+        false, s.sessionState.newHadoopConf())
     }
     root
   }
@@ -329,6 +331,52 @@ object Crud {
     s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
   }
 
+  /** §1.1 TIME TRAVEL over a transactional fleet — SQL `VERSION AS
+    * OF` against the [[graft.sources.FleetManifest]] generation log:
+    * the staged fleet is generation 1, the UPDATE's copy-on-write
+    * commit is generation 2, and ONE query joins both snapshots to
+    * emit each row's pre- and post-update balance. A leaked
+    * generation swap (old+new files both visible) or a stale
+    * snapshot resolution hash-mismatches immediately. At 100 TB this
+    * is the audit/backfill read: "what did the table say before
+    * yesterday's merge" with zero copies held. */
+  def qSqlTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    val s2 = stagedFleetSession(s, dir, "timetravel")
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal + 500.0, 4)
+        |WHERE c_custkey < 100""".stripMargin)
+    s2.sql(
+      """SELECT cur.c_custkey, cur.c_name,
+        |  v1.c_acctbal AS bal_v1, cur.c_acctbal AS bal_cur
+        |FROM graft.cust cur
+        |JOIN (SELECT c_custkey, c_acctbal
+        |      FROM graft.cust VERSION AS OF 1) v1
+        |  ON cur.c_custkey = v1.c_custkey
+        |ORDER BY cur.c_custkey""".stripMargin)
+  }
+
+  /** §1.1 SNAPSHOT RETENTION — the GC that completes the manifest
+    * story: a COW merge with `retainOld` leaves the pre-merge
+    * generation readable, then `FleetCompact.expireVersions` keeps
+    * only the newest version and unlinks the files ONLY expired
+    * generations reference. The read-back oracle-checks the live
+    * generation end-to-end, so a GC that deleted a still-referenced
+    * file (or resurrected a retired one) fails on rows/hash. */
+  def qFleetExpire(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = false), "expire")
+    val fleetDir = s"$root/cust.avro"
+    val feed = customer(s, dir).filter($"c_custkey" < 100)
+      .select($"c_custkey".as("k")).distinct()
+    graft.sources.FleetMerge.mergeCow(s, fleetDir, "c_custkey", feed,
+      touched => touched.withColumn("c_acctbal",
+        when($"c_custkey" < 100, round($"c_acctbal" * 2.0, 4))
+          .otherwise($"c_acctbal")),
+      retainOld = true)
+    graft.sources.FleetCompact.expireVersions(s, fleetDir, keepLast = 1)
+    s.read.format("graft-avro").load(fleetDir).orderBy($"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
@@ -339,6 +387,8 @@ object Crud {
     "q_sql_delete_fleet_meta" -> qSqlDeleteFleetMeta _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
     "q_sql_merge_fleet" -> qSqlMergeFleet _,
+    "q_sql_timetravel" -> qSqlTimeTravel _,
+    "q_fleet_expire" -> qFleetExpire _,
     "q_cdc_scd2" -> qCdcScd2 _
   )
 
@@ -416,6 +466,24 @@ object Crud {
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey < 100
         |       THEN round(round(c_acctbal, 4) + 500.0, 4)
+        |       ELSE round(c_acctbal, 4) END AS c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    // time travel: v1 = the staged (r4-rounded) fleet, current = the
+    // post-UPDATE generation — one row per key carrying both
+    "q_sql_timetravel" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal_v1,
+        |  CASE WHEN c_custkey < 100
+        |       THEN round(round(c_acctbal, 4) + 500.0, 4)
+        |       ELSE round(c_acctbal, 4) END AS bal_cur
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    // retention: the LIVE generation after merge + expireVersions —
+    // a GC that unlinked a still-referenced file fails rows/hash
+    "q_fleet_expire" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey < 100
+        |       THEN round(round(c_acctbal, 4) * 2.0, 4)
         |       ELSE round(c_acctbal, 4) END AS c_acctbal
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,

@@ -131,12 +131,14 @@ private[sources] class AvroFleetRowLevelScanBuilder(fullSchema: StructType,
   * [[FleetManifest]] commit adds the rewritten generation and removes
   * the replaced originals, so a reader sees the old generation or the
   * new one, never both (the r14 append-then-delete crash window is
-  * closed). The originals are then unlinked as ordinary garbage
-  * collection: a crash before the swap leaves only unreferenced new
-  * files (rolled back by abort or collected by
-  * [[FleetCompact.expireVersions]]); a crash after it leaves
-  * unreferenced originals — invisible either way. Abort rolls back
-  * only this job's files, leaving the previous generation complete. */
+  * closed). The retired originals stay ON DISK: they are exactly the
+  * previous manifest version's file set, so `VERSION AS OF` keeps
+  * serving the pre-command snapshot until
+  * [[FleetCompact.expireVersions]] reclaims it — physical deletion is
+  * a RETENTION decision, not part of the commit (the transactional-
+  * table posture; a crash at any point leaves only invisible
+  * unreferenced files, never duplicates). Abort rolls back only this
+  * job's files, leaving the previous generation complete. */
 private[sources] class AvroFleetReplaceBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String,
     replaced: () => Seq[String])
@@ -162,10 +164,9 @@ private[sources] class AvroFleetReplaceBatchWrite(schemaJson: String,
         fs.delete(new org.apache.hadoop.fs.Path(f), false)
       }
     } else {
-      super.commit(messages) // manifest swap: new in, replaced out
-      replaced().foreach { p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), false)
-      }
+      // manifest swap: new generation in, replaced out; the replaced
+      // files remain as the previous version's snapshot until expired
+      super.commit(messages)
     }
   }
 }

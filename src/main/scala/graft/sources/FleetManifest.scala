@@ -53,7 +53,7 @@ import org.json4s.jackson.JsonMethods
   * directory BOOTSTRAPS the manifest from the raw listing, so legacy
   * fleets upgrade on their next write with no migration step.
   */
-private[sources] object FleetManifest {
+private[graft] object FleetManifest {
 
   val DirName = "_manifest"
 

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Transactional manifest commits (FleetManifest): snapshot-isolated
+  * reads, the copy-on-write generation swap's crash windows, time
+  * travel, retention GC, and committer races. */
+class FleetManifestSpec extends SparkSpec {
+
+  private def fsOf(dir: String) = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def stage(tag: String, n: Int = 200): String = {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir(s"manifest_$tag")
+    val dir = s"$root/t.avro"
+    spark.range(0, n, 1, 4).select($"id", ($"id" * 2).as("v"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    dir
+  }
+
+  test("V2 commits publish a manifest; uncommitted files are invisible") {
+    val dir = stage("vis")
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val snap = graft.sources.FleetManifest.current(fs, p)
+    assert(snap.exists(_.version == 1L), s"want manifest v1, got $snap")
+    assert(spark.read.format("graft-avro").load(dir).count() == 200)
+
+    // the crash window an appender leaves when it dies between its
+    // task commits and its job (manifest) commit: complete-looking
+    // part files on disk that no manifest references — readers must
+    // not see them (pre-manifest, a racing reader saw half a job)
+    val donor = fs.listStatus(p).filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".avro")).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(p, "part-99999-dead.avro")
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs, orphan, false,
+      spark.sessionState.newHadoopConf())
+    assert(spark.read.format("graft-avro").load(dir).count() == 200,
+      "task-committed file of a crashed job leaked into a read")
+
+    // the next successful commit must not resurrect the orphan either
+    // (bootstrap only applies to manifest-less dirs)
+    import spark.implicits._
+    spark.range(200, 210, 1, 1).select($"id", ($"id" * 2).as("v"))
+      .write.format("graft-avro").mode("append").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 210)
+  }
+
+  test("mergeCow swaps generations atomically: no window shows both") {
+    import spark.implicits._
+    val dir = stage("swap")
+    val base = spark.read.format("graft-avro").load(dir)
+    assert(base.select(countDistinct($"id")).head.getLong(0) == 200)
+
+    // merge: double v for id < 50 — post-merge count must stay 200 and
+    // the manifest at every version must also resolve to exactly 200
+    // distinct ids (a both-generations window would show duplicates)
+    val res = graft.sources.FleetMerge.mergeCow(spark, dir, "id",
+      spark.range(0, 50).select($"id".as("k")),
+      touched => touched.withColumn("v",
+        when($"id" < 50, $"id" * 4).otherwise($"v")),
+      retainOld = true)
+    assert(res.touched.nonEmpty && res.written.nonEmpty)
+
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val versions = graft.sources.FleetManifest.versions(fs, p)
+    versions.foreach { v =>
+      val cnt = spark.read.format("graft-avro")
+        .option("versionAsOf", v.toString).load(dir)
+        .select(countDistinct($"id"), count(lit(1))).head
+      assert(cnt.getLong(0) == 200 && cnt.getLong(1) == 200,
+        s"version $v shows ${cnt.getLong(1)} rows / ${cnt.getLong(0)} " +
+          "distinct ids — generation swap leaked")
+    }
+    // current generation carries the merge result
+    val doubled = spark.read.format("graft-avro").load(dir)
+      .filter($"id" < 50).agg(sum($"v")).head.getLong(0)
+    assert(doubled == (0L until 50L).map(_ * 4).sum)
+    // pre-merge snapshot (retainOld) still serves the ORIGINAL values
+    val orig = spark.read.format("graft-avro")
+      .option("versionAsOf", versions.head.toString).load(dir)
+      .filter($"id" < 50).agg(sum($"v")).head.getLong(0)
+    assert(orig == (0L until 50L).map(_ * 2).sum)
+  }
+
+  test("SQL time travel through the catalog: VERSION AS OF") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("manifest_tt")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    spark.range(0, 100, 1, 2).select($"id", ($"id" % 7).as("m"))
+      .write.format("graft-avro").mode("overwrite").save(s"$root/ev.avro")
+    s2.sql("INSERT INTO graft.ev SELECT id, id % 7 AS m FROM range(100, 150)")
+    assert(s2.sql("SELECT count(*) AS c FROM graft.ev").head.getLong(0) == 150)
+    assert(s2.sql("SELECT count(*) AS c FROM graft.ev VERSION AS OF 1")
+      .head.getLong(0) == 100)
+    val e = intercept[Exception] {
+      s2.sql("SELECT * FROM graft.ev VERSION AS OF 99").collect()
+    }
+    assert(e.getMessage.contains("no such manifest version"), e.getMessage)
+  }
+
+  test("expireVersions GCs only files no retained generation references") {
+    import spark.implicits._
+    val dir = stage("gc")
+    graft.sources.FleetMerge.mergeCow(spark, dir, "id",
+      spark.range(0, 50).select($"id".as("k")),
+      touched => touched.withColumn("v",
+        when($"id" < 50, $"id" * 4).otherwise($"v")),
+      retainOld = true)
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // a crashed job's orphan: referenced by NO generation — precise GC
+    // must leave it alone (it may be an in-flight job's task commit)
+    val donor = fs.listStatus(p).filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".avro")).head.getPath
+    val orphan = new org.apache.hadoop.fs.Path(p, "part-88888-live.avro")
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs, orphan, false,
+      spark.sessionState.newHadoopConf())
+
+    val before = graft.sources.FleetManifest.versions(fs, p)
+    assert(before.size >= 2)
+    val res = graft.sources.FleetCompact.expireVersions(spark, dir,
+      keepLast = 1)
+    assert(res.expiredVersions == before.dropRight(1))
+    assert(res.deletedFiles.nonEmpty,
+      "retained pre-merge generation should have GC'd its replaced files")
+    assert(fs.exists(orphan), "GC deleted an unreferenced orphan")
+    // current read unaffected; expired version now unreadable
+    assert(spark.read.format("graft-avro").load(dir).count() == 200)
+    val e = intercept[Exception] {
+      spark.read.format("graft-avro")
+        .option("versionAsOf", before.head.toString).load(dir).collect()
+    }
+    assert(e.getMessage.contains("no such manifest version"), e.getMessage)
+  }
+
+  test("racing committers serialize: every append lands exactly once") {
+    import spark.implicits._
+    val dir = stage("race", n = 0)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val jobs = (0 until 6).map { i =>
+      Future {
+        spark.range(i * 100, (i + 1) * 100, 1, 2)
+          .select($"id", ($"id" * 2).as("v"))
+          .write.format("graft-avro").mode("append").save(dir)
+      }
+    }
+    Await.result(Future.sequence(jobs), 120.seconds)
+    val got = spark.read.format("graft-avro").load(dir)
+      .select(count(lit(1)), countDistinct($"id")).head
+    assert(got.getLong(0) == 600 && got.getLong(1) == 600,
+      s"lost or duplicated a concurrent append: $got")
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val snap = graft.sources.FleetManifest.current(fs, p).get
+    assert(snap.files.distinct.size == snap.files.size)
+  }
+
+  test("overwrite resets the manifest to exactly the new generation") {
+    import spark.implicits._
+    val dir = stage("reset")
+    spark.range(0, 10, 1, 1).select($"id", ($"id" * 3).as("v"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-avro").load(dir).count() == 10)
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val snap = graft.sources.FleetManifest.current(fs, p).get
+    val onDisk = fs.listStatus(p).filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".avro"))
+      .map(_.getPath.getName).toSet
+    assert(snap.files.toSet == onDisk,
+      s"reset manifest ${snap.files} != disk $onDisk")
+  }
+
+  test("metadata-only DELETE retires files through the manifest first") {
+    import spark.implicits._
+    val dir = stage("metadel")
+    // clustered layout: shard = id % 4, fully decidable DELETE
+    spark.range(0, 100, 1, 2)
+      .select($"id", ($"id" % 4).as("shard"))
+      .repartition(4, $"shard")
+      .write.format("graft-avro").option("clusterBy", "shard")
+      .mode("overwrite").save(dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root",
+      new java.io.File(dir).getParent)
+    s2.sql("DELETE FROM graft.t WHERE shard = 3")
+    assert(s2.sql("SELECT count(*) AS c FROM graft.t").head.getLong(0) == 75)
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val snap = graft.sources.FleetManifest.current(fs, p).get
+    snap.files.foreach { n =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(p, n)),
+        s"manifest references unlinked file $n")
+    }
+  }
+}
