@@ -113,7 +113,11 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         Option(options.get("offsetInlineLimit")).map(_.toInt)
           .getOrElse(1000),
       versionAsOf =
-        Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf))
+        Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf),
+      maxFileAgeMs = Option(options.get("maxFileAge"))
+        .map(AvroFleetTable.parseDurationMs),
+      ignoreMissingFiles = Option(options.get("ignoreMissingFiles"))
+        .map(_.toBoolean))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -253,6 +257,24 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
 
 private[sources] object AvroFleetTable {
   val FileMetaCol = "_file"
+
+  /** `maxFileAge`-style durations: bare millis or `<n>ms|s|m|h|d`
+    * (FileStreamSource's spelling). */
+  def parseDurationMs(spec: String): Long = {
+    val t = spec.trim.toLowerCase
+    val (num, unit) = t.span(c => c.isDigit)
+    val n = num.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"bad duration '$spec' (use e.g. 604800000, 30s, 15m, 2h, 7d)"))
+    unit match {
+      case "" | "ms" => n
+      case "s" => n * 1000L
+      case "m" => n * 60000L
+      case "h" => n * 3600000L
+      case "d" => n * 86400000L
+      case other => throw new IllegalArgumentException(
+        s"bad duration unit '$other' in '$spec' (ms, s, m, h, d)")
+    }
+  }
 }
 
 /** `_layout.json` — the clustered writer's layout MARKER: a clusterBy
@@ -344,7 +366,17 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
       val schemaJson = Avro.toAvroSchema(info.schema()).toString
       val codec = Option(info.options.get("codec")).getOrElse("")
       AvroFleetDataWriter.codecFor(codec)
-      new AvroFleetStreamingWrite(schemaJson, info.schema(), dir, codec)
+      // writer identity = the CHECKPOINT (stable across restarts of
+      // the same query, distinct for any other) — the single-writer
+      // lease's owner tag; see FleetWriterLock
+      val basis = Option(info.options.get("checkpointLocation"))
+        .filter(_.nonEmpty).getOrElse(info.queryId())
+      val writerTag = java.security.MessageDigest.getInstance("MD5")
+        .digest(basis.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val leaseMs = Option(info.options.get("writerLeaseMs"))
+        .map(_.toLong).getOrElse(300000L)
+      new AvroFleetStreamingWrite(schemaJson, info.schema(), dir, codec,
+        writerTag, leaseMs)
     }
 
     override def toBatch: BatchWrite = {
@@ -531,12 +563,12 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
     // content) — but silently WRONG for a different checkpoint
     // lineage colliding on an epoch name (a new streaming query,
     // fresh checkpoint, same directory: its epochs restart at 0).
-    // Identical length certifies the replay case; a mismatch means
+    // Identical BYTES certify the replay case (an epoch file is one
+    // micro-batch — a bounded streamed compare); anything else means
     // foreign data would be dropped AND this task's stats would
     // describe rows the surviving file does not hold — fail loudly.
     if (strictExisting && fs.exists(finalPath) &&
-        fs.getFileStatus(finalPath).getLen !=
-          fs.getFileStatus(tmpPath).getLen) {
+        !AvroFleetDataWriter.sameContent(fs, finalPath, tmpPath)) {
       fs.delete(tmpPath, false)
       throw new java.io.IOException(
         s"$finalPath already exists with different content — another " +
@@ -683,6 +715,31 @@ private[graft] object AvroFleetDataWriter {
       s"unknown graft-avro codec '$other' (use deflate, deflate-N, null)")
   }
 
+  /** Byte-exact comparison of two committed-size files, streamed in
+    * 64 KiB chunks — the epoch replay guard's proof (length equality
+    * alone admits an equal-length foreign epoch). */
+  def sameContent(fs: org.apache.hadoop.fs.FileSystem,
+      a: org.apache.hadoop.fs.Path,
+      b: org.apache.hadoop.fs.Path): Boolean = {
+    if (fs.getFileStatus(a).getLen != fs.getFileStatus(b).getLen)
+      return false
+    val ia = fs.open(a); val ib = fs.open(b)
+    try {
+      val ba = new Array[Byte](65536)
+      val bb = new Array[Byte](65536)
+      var same = true
+      var done = false
+      while (same && !done) {
+        val na = ia.readNBytes(ba, 0, ba.length)
+        val nb = ib.readNBytes(bb, 0, bb.length)
+        if (na != nb ||
+            !java.util.Arrays.equals(ba, 0, na, bb, 0, nb)) same = false
+        else if (na <= 0) done = true
+      }
+      same
+    } finally { ia.close(); ib.close() }
+  }
+
   /** Catalyst internal value → the avro carrier for that Spark type
     * (dates stay epoch-day ints, timestamps stay µs longs — exactly
     * the logical-type spelling `Avro.toAvroSchema` declares). */
@@ -778,7 +835,9 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     clusterBy: Option[String] = None, clusterAuto: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     offsetInlineLimit: Int = 1000,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    maxFileAgeMs: Option[Long] = None,
+    ignoreMissingFiles: Option[Boolean] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -979,7 +1038,9 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto,
         maxFilesPerTrigger = maxFilesPerTrigger,
         offsetInlineLimit = offsetInlineLimit,
-        versionAsOf = versionAsOf)
+        versionAsOf = versionAsOf,
+        maxFileAgeMs = maxFileAgeMs,
+        ignoreMissingFiles = ignoreMissingFiles)
   }
 }
 
@@ -1114,7 +1175,9 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     clusterAuto: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     offsetInlineLimit: Int = 1000,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    maxFileAgeMs: Option[Long] = None,
+    ignoreMissingFiles: Option[Boolean] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1146,7 +1209,9 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
         SparkSession.active.sessionState.newHadoopConf()),
       maxFilesPerTrigger, evolve = evolve,
       checkpointLocation = checkpointLocation,
-      offsetInlineLimit = offsetInlineLimit)
+      offsetInlineLimit = offsetInlineLimit,
+      maxFileAgeMs = maxFileAgeMs,
+      ignoreMissingFiles = ignoreMissingFiles)
 
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below

@@ -30,12 +30,42 @@ import graft.util.SerializableHadoopConf
   * and offset EQUALITY always compares the resolved file list, never
   * the representation.
   *
-  * Discovery contract: a file is admitted once its FINAL name exists
-  * (the V2 committer's task-commit rename is atomic); the batch-side
-  * `_SUCCESS` gate is deliberately not required — a streaming tail
-  * reads a LIVE directory, where job-level completeness is never
-  * available. Files are assumed immutable once named (the fleet
-  * protocol) and never admitted twice.
+  * Seen-set RETENTION (`option("maxFileAge", "7d")`): without it the
+  * admitted list — and every manifest rewrite — grows O(all files
+  * ever) on a years-lived landing zone. With it the offset carries
+  * each entry's mtime plus a WATERMARK = max(admitted mtime) −
+  * maxFileAge: entries older than the watermark age OUT of the seen
+  * set, and files older than the watermark are never admitted at all
+  * (they cannot re-enter as duplicates) — Spark FileStreamSource's
+  * `maxFileAge` posture, so per-trigger state is O(files within the
+  * age window). The watermark is monotonic and admission-driven
+  * (never advanced by files the read limit deferred, so a
+  * `maxFilesPerTrigger` backlog cannot starve itself). Enable it on a
+  * NEW checkpoint: legacy offsets carry no mtimes (they are
+  * backfilled from the live listing on the first trigger, and
+  * already-deleted entries age out safely).
+  *
+  * Discovery contract: on a TRANSACTIONAL fleet (committed
+  * `_manifest/`) the listing resolves the current [[FleetManifest]]
+  * snapshot, so only job-committed files are ever admitted — a
+  * crashed appender's task-committed strays are invisible, exactly as
+  * in batch. On a manifest-less directory a file is admitted once its
+  * FINAL name exists (the V2 committer's task-commit rename is
+  * atomic); the batch-side `_SUCCESS` gate is deliberately not
+  * required — a streaming tail reads a LIVE directory, where
+  * job-level completeness is never available. Files are assumed
+  * immutable once named (the fleet protocol) and never admitted
+  * twice.
+  *
+  * An admitted file that VANISHES before its batch is read (a
+  * compaction, retention pass, or DELETE racing the stream) FAILS the
+  * batch by default — silently skipping it would drop its rows from
+  * the stream, upstream Spark's `spark.sql.files.ignoreMissingFiles`
+  * = false posture. Opt into skip-with-warning per source
+  * (`option("ignoreMissingFiles", "true")`) or session-wide via the
+  * Spark conf; the durable fix is retention discipline
+  * ([[FleetCompact.expireVersions]] keeps retired generations on disk
+  * until consumers pass).
   *
   * Column pruning reaches the per-file readers exactly as in batch
   * (the stream is built from the pruned scan); pushed filters
@@ -50,7 +80,9 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     maxFilesPerTrigger: Option[Int] = None,
     evolve: Boolean = false,
     checkpointLocation: String = "",
-    offsetInlineLimit: Int = 1000)
+    offsetInlineLimit: Int = 1000,
+    maxFileAgeMs: Option[Long] = None,
+    ignoreMissingFiles: Option[Boolean] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -62,66 +94,111 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
   private def fs = new org.apache.hadoop.fs.Path(path)
     .getFileSystem(conf.value)
 
-  /** Live listing, tolerant of a not-yet-created directory, in
-    * deterministic (mtime, path) admission order. */
-  private def listNow(): Seq[org.apache.hadoop.fs.FileStatus] = {
+  /** Live listing as (path, mtime), tolerant of a not-yet-created
+    * directory, in deterministic (mtime, path) admission order. A
+    * transactional fleet lists its committed manifest snapshot; a
+    * legacy directory lists raw final names. */
+  private def listNow(): Seq[(String, Long)] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro") &&
-        !st.getPath.getName.startsWith(".") &&
-        !st.getPath.getName.startsWith("_"))
-      .sortBy(st => (st.getModificationTime, st.getPath.toString))
+    val f = fs
+    if (!f.exists(p)) Seq.empty
+    else {
+      val base = FleetManifest.resolve(f, p, None).getOrElse(
+        f.listStatus(p).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".avro") &&
+            !st.getPath.getName.startsWith(".") &&
+            !st.getPath.getName.startsWith("_")))
+      base.sortBy(st => (st.getModificationTime, st.getPath.toString))
+        .map(st => st.getPath.toString -> st.getModificationTime)
+    }
   }
 
-  @volatile private var availableNowCap: Option[Seq[String]] = None
+  @volatile private var availableNowCap: Option[Seq[(String, Long)]] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(listNow().map(_.getPath.toString))
+    availableNowCap = Some(listNow())
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
       ReadLimit.allAvailable())
 
   override def initialOffset(): Offset =
-    FleetSourceOffset(Seq.empty, store)
+    FleetSourceOffset(Seq.empty, None, store)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "admission-controlled source: latestOffset(start, limit) is used")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val seen = FleetSourceOffset.of(start, store).files
-    val now = availableNowCap.getOrElse(listNow().map(_.getPath.toString))
-    val fresh = now.filterNot(seen.toSet)
+    val startOff = FleetSourceOffset.of(start, store)
+    val now = availableNowCap.getOrElse(listNow())
+    val wm = startOff.watermark.getOrElse(Long.MinValue)
+    val seenSet = startOff.files.toSet
+    val candidates = now.filter { case (p2, m) =>
+      m >= wm && !seenSet(p2)
+    }
     val admitted = limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        fresh.take(mf.maxFiles())
-      case _ => fresh
+        candidates.take(mf.maxFiles())
+      case _ => candidates
     }
-    FleetSourceOffset(seen ++ admitted, store)
+    maxFileAgeMs match {
+      case None =>
+        FleetSourceOffset(
+          startOff.entries ++ admitted, None, store)
+      case Some(age) =>
+        // legacy resume (entries without mtimes): backfill from the
+        // live listing so real ages drive eviction; an entry no longer
+        // listed was deleted and can never be re-admitted — safe to age
+        val listed = now.toMap
+        val carried = startOff.entries.map {
+          case (p2, 0L) => p2 -> listed.getOrElse(p2, 0L)
+          case e => e
+        }
+        // watermark advances only on ADMITTED mtimes (a deferred
+        // backlog under maxFilesPerTrigger must not starve itself),
+        // and admission re-checks it so "admitted ⇒ processed" holds:
+        // a file older than (newest admitted − age) is skipped
+        // entirely, never admitted-then-evicted
+        val maxAdmitted = (admitted.map(_._2) :+ wm)
+          .foldLeft(Long.MinValue)(math.max)
+        val newWm =
+          if (maxAdmitted == Long.MinValue) wm
+          else math.max(wm, maxAdmitted - age)
+        val kept = (carried ++ admitted.filter(_._2 >= newWm))
+          .filter(_._2 >= newWm)
+        FleetSourceOffset(kept, Some(newWm), store)
+    }
   }
 
   override def reportLatestOffset(): Offset =
-    FleetSourceOffset(listNow().map(_.getPath.toString), store)
+    FleetSourceOffset(listNow(), None, store)
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
     val before = FleetSourceOffset.of(start, store).files.toSet
     val batch = FleetSourceOffset.of(end, store).files.filterNot(before)
     val f = fs
-    // tolerate files unlinked AFTER admission (metadata-only DELETE,
-    // TRUNCATE, compaction run on the same live directory): a missing
-    // admitted file must skip with a warning, not wedge the stream —
-    // replaying the same offset range would hit the same missing file
-    // forever (FileStreamSource's ignoreMissingFiles posture)
+    // a file unlinked AFTER admission (compaction/DELETE/retention
+    // racing the stream): losing its rows silently is upstream
+    // Spark's ignoreMissingFiles=true behavior — OPT-IN, default fail
+    val skipMissing = ignoreMissingFiles.getOrElse(
+      SparkSession.active.sessionState.conf.ignoreMissingFiles)
     val statuses = batch.flatMap { p =>
       try Some(f.getFileStatus(new org.apache.hadoop.fs.Path(p)))
       catch {
-        case _: java.io.FileNotFoundException =>
+        case e: java.io.FileNotFoundException if skipMissing =>
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"admitted fleet file vanished before read, skipping: $p")
           None
+        case _: java.io.FileNotFoundException =>
+          throw new java.io.FileNotFoundException(
+            s"admitted fleet file vanished before read: $p — a " +
+              "compaction/DELETE raced the stream. Retain retired " +
+              "generations until consumers pass " +
+              "(FleetCompact.expireVersions), or opt into silent " +
+              "skip with option(\"ignoreMissingFiles\",\"true\") / " +
+              "spark.sql.files.ignoreMissingFiles=true")
       }
     }
     AvroFleetScan.planSplits(statuses, maxFileBytes)
@@ -141,12 +218,32 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
 
 /** Epoch-keyed streaming sink commit — see the `toStreaming` scaladoc
   * in [[AvroFleetWriteBuilder]]. The per-epoch commit is the batch
-  * commit's shape (sidecar stats merged, `_SUCCESS` re-marked last);
-  * abort deletes the epoch's tag-matched files so a failed epoch
-  * leaves the previous generations complete, and the epoch's retry
-  * re-lands them. */
+  * commit's shape (sidecar stats merged, manifest generation
+  * published, `_SUCCESS` re-marked last); abort deletes the epoch's
+  * tag-matched files so a failed epoch leaves the previous
+  * generations complete, and the epoch's retry re-lands them.
+  *
+  * SINGLE-WRITER FENCING ("one streaming writer per fleet by
+  * contract", now enforced): the writer identity is its CHECKPOINT
+  * (MD5 of `checkpointLocation` — stable across restarts of the same
+  * query, distinct for any other query), held in a `_stream.lock`
+  * lease the owner refreshes on every factory creation and epoch
+  * commit. A second writer with a DIFFERENT checkpoint fails loudly
+  * while the lease is fresh (`writerLeaseMs`, default 5 min) instead
+  * of interleaving epochs whose `part-N-eM` names would collide; a
+  * crashed writer's lease expires and a successor takes over. Resume
+  * from the same checkpoint is always allowed — that is the
+  * exactly-once replay the epoch-keyed names exist for.
+  *
+  * Epoch RECONCILIATION: before certifying epoch E, any on-disk
+  * `-eE` file this commit's tasks did not produce is deleted — the
+  * leftovers of a wider crashed attempt of the same epoch (e.g. a
+  * replay after the input partitioning narrowed). They were never
+  * manifest-committed, so readers never saw them; reconciling keeps
+  * the directory's physical state equal to the committed state. */
 private[sources] class AvroFleetStreamingWrite(schemaJson: String,
-    schema: StructType, dir: String, codec: String)
+    schema: StructType, dir: String, codec: String,
+    writerTag: String, leaseMs: Long)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
@@ -159,7 +256,10 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
         .StreamingDataWriterFactory = {
     val conf = new SerializableHadoopConf(
       SparkSession.active.sessionState.newHadoopConf())
-    fleetFs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    val f = fleetFs
+    f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    FleetWriterLock.acquire(f, new org.apache.hadoop.fs.Path(dir),
+      writerTag, leaseMs)
     val names = schema.fields.map(_.name)
     val types = schema.fields.map(_.dataType)
     val sj = schemaJson
@@ -177,52 +277,145 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
   }
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    AvroFleetCommits.commitFleet(fleetFs,
-      new org.apache.hadoop.fs.Path(dir), messages)
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fleetFs
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // still fenced? a successor that took over after our lease lapsed
+    // must not let us certify a stale epoch on top of its stream
+    FleetWriterLock.acquire(f, p, writerTag, leaseMs)
+    // reconcile: drop -e{epochId} strays a wider crashed attempt left
+    // (never manifest-committed, so never reader-visible)
+    val committed = messages.collect {
+      case AvroFleetCommitMessage(parts) => parts.map { case (file, _) =>
+        new org.apache.hadoop.fs.Path(file).getName
+      }
+    }.flatten.toSet
+    f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.endsWith(s"-e$epochId.avro") && !committed(n))
+        f.delete(st.getPath, false)
+    }
+    AvroFleetCommits.commitFleet(f, p, messages)
+  }
 
   override def abort(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
+      messages: Array[WriterCommitMessage]): Unit = {
+    val f = fleetFs
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // never unlink MANIFEST-COMMITTED files: when a colliding lineage
+    // (fresh checkpoint, same epoch numbers) fails its epoch, the tag
+    // match would otherwise destroy the ORIGINAL query's committed
+    // epoch file — only this failed epoch's own (uncommitted) files
+    // and temps may roll back
+    val committed = FleetManifest.current(f, p)
+      .map(_.files.toSet).getOrElse(Set.empty[String])
     // exact epoch tag: "-e1" must not match "-e10"/"-e12"
-    AvroFleetCommits.abortFleet(fleetFs,
-      new org.apache.hadoop.fs.Path(dir),
-      n => n.contains(s"-e$epochId.avro") ||
-        n.contains(s"-e$epochId-attempt"))
+    AvroFleetCommits.abortFleet(f, p,
+      n => (n.contains(s"-e$epochId.avro") ||
+        n.contains(s"-e$epochId-attempt")) && !committed(n))
+  }
 }
 
-/** Offset = the ordered list of admitted file paths. Serializes as an
-  * inline JSON array up to the inline limit; beyond it the list lands
-  * in a content-addressed manifest file (idempotent: same content →
-  * same name) and the logged JSON is a pointer — see the stream
-  * scaladoc. Equality/hashCode are on the RESOLVED list only, so the
-  * two representations of one offset compare equal. */
-private[sources] class FleetSourceOffset(val files: Seq[String],
+/** The streaming sink's writer lease — `_stream.lock` holds the
+  * current owner tag; its mtime is the lease heartbeat. Advisory
+  * contract enforcement (a second STREAMING writer is a
+  * misconfiguration to surface, not a correctness hole — the manifest
+  * commit is what guards the data), so the tiny write race between
+  * two first-ever acquirers is acceptable: both believe they own the
+  * lock, the next heartbeat of the loser detects the foreign tag and
+  * fails its query. */
+private[sources] object FleetWriterLock {
+  val FileName = "_stream.lock"
+
+  def acquire(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, owner: String,
+      leaseMs: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, FileName)
+    if (fs.exists(p)) {
+      val st = fs.getFileStatus(p)
+      val in = fs.open(p)
+      val cur = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      if (cur != owner &&
+          System.currentTimeMillis() - st.getModificationTime <= leaseMs)
+        throw new java.io.IOException(
+          s"fleet at $dir already has an active streaming writer " +
+            s"(owner $cur, lease fresh within ${leaseMs}ms) — one " +
+            "streaming writer per fleet; stop the other query, resume " +
+            "its checkpoint, or wait for its lease to lapse")
+    }
+    // take/refresh: tmp + rename-over (the FleetLayout marker pattern)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$FileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(owner.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) { fs.delete(tmp, false); () }
+  }
+}
+
+/** Offset = the ordered list of admitted files — paths alone in
+  * legacy/no-retention mode, (path, mtime) pairs plus the eviction
+  * watermark under `maxFileAge`. Serializes inline up to the inline
+  * limit; beyond it the list lands in a content-addressed manifest
+  * file (idempotent: same content → same name) and the logged JSON is
+  * a pointer — see the stream scaladoc. Equality/hashCode are on the
+  * RESOLVED (files, watermark) only, so all representations of one
+  * offset compare equal. */
+private[sources] class FleetSourceOffset(
+    val entries: Seq[(String, Long)],
+    val watermark: Option[Long] = None,
     store: Option[FleetSourceOffset.ManifestStore] = None)
     extends Offset {
 
+  def files: Seq[String] = entries.map(_._1)
+
   override def json(): String = store match {
-    case Some(st) if files.size > st.inlineLimit => st.write(files)
-    case _ =>
-      org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(
-          org.json4s.JArray(files.map(org.json4s.JString(_)).toList)))
+    case Some(st) if entries.size > st.inlineLimit =>
+      st.write(entries, watermark)
+    case _ => FleetSourceOffset.renderInline(entries, watermark)
   }
 
   override def equals(o: Any): Boolean = o match {
-    case f: FleetSourceOffset => f.files == files
+    case f: FleetSourceOffset =>
+      f.files == files && f.watermark == watermark
     case _ => false
   }
-  override def hashCode(): Int = files.hashCode()
+  override def hashCode(): Int = (files, watermark).hashCode()
 }
 
 private[sources] object FleetSourceOffset {
 
+  def apply(entries: Seq[(String, Long)], watermark: Option[Long],
+      store: Option[ManifestStore]): FleetSourceOffset =
+    new FleetSourceOffset(entries, watermark, store)
+
+  /** Path-only construction (no retention tracking). */
   def apply(files: Seq[String],
       store: Option[ManifestStore] = None): FleetSourceOffset =
-    new FleetSourceOffset(files, store)
+    new FleetSourceOffset(files.map(_ -> 0L), None, store)
+
+  private[sources] def renderInline(entries: Seq[(String, Long)],
+      watermark: Option[Long]): String = watermark match {
+    case None =>
+      // legacy spelling: a bare path array, byte-compatible with every
+      // pre-retention checkpoint
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(
+          org.json4s.JArray(
+            entries.map(e => org.json4s.JString(e._1)).toList)))
+    case Some(w) =>
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+          "files" -> org.json4s.JArray(entries.map { case (p, m) =>
+            org.json4s.JArray(List(org.json4s.JString(p),
+              org.json4s.JInt(m)))
+          }.toList),
+          "watermark" -> org.json4s.JInt(w))))
+  }
 
   /** Content-addressed seen-files manifests under the query's own
-    * checkpoint directory (they share the checkpoint's lifetime). */
+    * checkpoint directory (they share the checkpoint's lifetime).
+    * Lines are `path` (legacy) or `mtime\tpath` (retention mode). */
   final class ManifestStore(checkpointLocation: String,
       val inlineLimit: Int,
       hconf: SerializableHadoopConf) {
@@ -231,8 +424,13 @@ private[sources] object FleetSourceOffset {
     private def mfs = dirPath.getFileSystem(hconf.value)
 
     /** Write (idempotently) and return the pointer JSON. */
-    def write(files: Seq[String]): String = {
-      val body = files.mkString("\n")
+    def write(entries: Seq[(String, Long)],
+        watermark: Option[Long]): String = {
+      val body = watermark match {
+        case None => entries.map(_._1).mkString("\n")
+        case Some(_) => entries.map { case (p, m) => s"$m\t$p" }
+          .mkString("\n")
+      }
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(body.getBytes("UTF-8")).map(b => f"$b%02x").mkString
       val f = mfs
@@ -245,18 +443,27 @@ private[sources] object FleetSourceOffset {
         if (!f.rename(tmp, dest) && !f.exists(dest))
           throw new java.io.IOException(s"manifest commit failed: $dest")
       }
+      val fields = List(
+        "manifest" -> (org.json4s.JString(dest.toString): org.json4s.JValue),
+        "n" -> (org.json4s.JInt(entries.size): org.json4s.JValue)) ++
+        watermark.map(w =>
+          "watermark" -> (org.json4s.JInt(w): org.json4s.JValue))
       org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
-          "manifest" -> org.json4s.JString(dest.toString),
-          "n" -> org.json4s.JInt(files.size))))
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(fields)))
     }
 
-    def read(manifestPath: String): Seq[String] = {
+    def read(manifestPath: String): Seq[(String, Long)] = {
       val f = mfs
       val in = f.open(new org.apache.hadoop.fs.Path(manifestPath))
       val body = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
-      if (body.isEmpty) Seq.empty else body.split("\n").toSeq
+      if (body.isEmpty) Seq.empty
+      else body.split("\n").toSeq.map { line =>
+        line.indexOf('\t') match {
+          case -1 => line -> 0L
+          case i => line.substring(i + 1) -> line.substring(0, i).toLong
+        }
+      }
     }
   }
 
@@ -267,13 +474,25 @@ private[sources] object FleetSourceOffset {
         FleetSourceOffset(
           vs.collect { case org.json4s.JString(s) => s }, store)
       case obj: org.json4s.JObject =>
+        val wm = (obj \ "watermark") match {
+          case org.json4s.JInt(w) => Some(w.toLong)
+          case _ => None
+        }
         (obj \ "manifest") match {
           case org.json4s.JString(path) =>
             val st = store.getOrElse(throw new IllegalStateException(
               s"manifest offset without a checkpoint-backed store: $json"))
-            FleetSourceOffset(st.read(path), store)
-          case _ => throw new IllegalArgumentException(
-            s"malformed fleet stream offset: $json")
+            FleetSourceOffset(st.read(path), wm, store)
+          case _ => (obj \ "files") match {
+            case org.json4s.JArray(vs) =>
+              val entries = vs.collect {
+                case org.json4s.JArray(List(org.json4s.JString(p),
+                    org.json4s.JInt(m))) => p -> m.toLong
+              }
+              FleetSourceOffset(entries, wm, store)
+            case _ => throw new IllegalArgumentException(
+              s"malformed fleet stream offset: $json")
+          }
         }
       case _ => throw new IllegalArgumentException(
         s"malformed fleet stream offset: $json")

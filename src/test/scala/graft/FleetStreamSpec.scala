@@ -161,4 +161,198 @@ class FleetStreamSpec extends SparkSpec {
       s"one file per micro-batch expected, got $batches")
     assert(batches.map(_._2).sum == 80L)
   }
+
+  private def pinMtime(dir: String, mtime: Long,
+      having: String => Boolean): Unit =
+    new java.io.File(dir).listFiles().foreach { f =>
+      if (f.isFile && f.getName.endsWith(".avro") && having(f.getName))
+        assert(f.setLastModified(mtime))
+    }
+
+  test("maxFileAge bounds the seen set; aged-out files never re-admit") {
+    val root = graft.util.Scratch.dir("fleet_stream_age")
+    val dir = s"$root/src.avro"
+    val ckpt = s"$root/ckpt"
+    val t0 = System.currentTimeMillis() - 3600000L
+    writeGen(dir, 0, 30)
+    pinMtime(dir, t0, _ => true)
+    writeGen(dir, 30, 60)
+    pinMtime(dir, t0 + 10000, n =>
+      new java.io.File(dir, n).lastModified() != t0)
+
+    def drainAged(): Seq[Long] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft-avro")
+        .option("maxFileAge", "5s").load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("id").collect().map(_.getLong(0))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSeq.sorted
+    }
+    // FileStreamSource posture: files older than (newest - maxFileAge)
+    // are expired at admission — the t0 generation (1h older) is never
+    // admitted, and the watermark settles at (newest admitted - 5s)
+    assert(drainAged() == (30L until 60L))
+    val offsets = new java.io.File(s"$ckpt/offsets").listFiles()
+      .filter(f => f.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    val last = new String(java.nio.file.Files.readAllBytes(
+      offsets.last.toPath), "UTF-8")
+    val lastOffsetLine = last.linesIterator.toSeq.last
+    assert(lastOffsetLine.contains("\"watermark\""),
+      s"aged offset must carry a watermark: $lastOffsetLine")
+    val t0Gen = new java.io.File(dir).listFiles().filter(f =>
+      f.getName.endsWith(".avro") && f.lastModified() == t0)
+    assert(t0Gen.nonEmpty)
+    t0Gen.foreach { f =>
+      assert(!lastOffsetLine.contains(f.getName),
+        s"aged-out file ${f.getName} still pinned in the offset")
+    }
+    // new files admit; evicted old ones do NOT come back as duplicates
+    writeGen(dir, 60, 80)
+    pinMtime(dir, t0 + 12000, n => {
+      val m = new java.io.File(dir, n).lastModified()
+      m != t0 && m != t0 + 10000
+    })
+    assert(drainAged() == (60L until 80L),
+      "resume must admit only the new generation — no aged re-admission")
+  }
+
+  test("a vanished admitted file fails the batch by default; skip is opt-in") {
+    val root = graft.util.Scratch.dir("fleet_stream_missing")
+    val dir = s"$root/src.avro"
+    writeGen(dir, 0, 40) // 2 files
+    def run(ckpt: String, skip: Boolean,
+        boom: Boolean): (Seq[Long], Option[Throwable]) = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val reader = spark.readStream.format("graft-avro")
+        .option("maxFilesPerTrigger", "1")
+      val q = (if (skip) reader.option("ignoreMissingFiles", "true")
+               else reader).load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = b.select("id").collect().map(_.getLong(0))
+          if (boom && ids.exists(_ >= 20))
+            throw new RuntimeException("planted batch failure")
+          got ++= ids
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val err = try { q.awaitTermination(); None }
+        catch { case e: Throwable => Some(e) }
+      (got.toSeq.sorted, err)
+    }
+    val ckpt = s"$root/ckpt"
+    // 1st run: the second file's batch is ADMITTED (offset logged)
+    // but its processing fails — the admitted-unread state a crash
+    // leaves behind
+    val (got1, err1) = run(ckpt, skip = false, boom = true)
+    assert(err1.isDefined && got1.forall(_ < 20))
+    // the admitted file vanishes (an unmanaged delete racing the
+    // stream): remove it from disk AND the fleet manifest
+    val victim = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+      .find { f =>
+        val ids = spark.read.format("graft-avro")
+          .load(f.getAbsolutePath).select("id")
+          .collect().map(_.getLong(0))
+        ids.exists(_ >= 20)
+      }.get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FleetManifest.commit(fs,
+      new org.apache.hadoop.fs.Path(dir),
+      base => base.filterNot(_ == victim.getName),
+      bootstrap = Seq.empty)
+    assert(victim.delete())
+    // default: replaying the admitted batch FAILS loudly
+    val (_, err2) = run(ckpt, skip = false, boom = false)
+    assert(err2.isDefined &&
+      err2.get.toString.contains("vanished before read") ||
+      Option(err2.get.getCause).exists(
+        _.toString.contains("vanished before read")),
+      s"expected the missing-file error, got $err2")
+    // opt-in: the batch skips the lost file and the stream completes
+    val (got3, err3) = run(ckpt, skip = true, boom = false)
+    assert(err3.isEmpty, s"skip mode must complete: $err3")
+    assert(got3.forall(_ < 20) ,
+      s"skipped file's rows must not appear: $got3")
+  }
+
+  test("single-writer fence: a second checkpoint is rejected while the lease is fresh") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = graft.util.Scratch.dir("fleet_stream_fence")
+    val out = s"$root/out.avro"
+
+    val inA = MemoryStream[Long]
+    inA.addData(1L, 2L, 3L)
+    val qA = inA.toDF().select($"value".as("id"))
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", s"$root/ckptA")
+      .option("path", out).start()
+    qA.processAllAvailable()
+
+    // a DIFFERENT query (fresh checkpoint) into the same fleet: its
+    // first epoch must fail on the fresh lease, not interleave
+    val inB = MemoryStream[Long]
+    inB.addData(9L)
+    val eB = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qB = inB.toDF().select($"value".as("id"))
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", s"$root/ckptB")
+        .option("path", out).start()
+      qB.processAllAvailable()
+      qB.stop()
+    }
+    assert(eB.toString.contains("active streaming writer") ||
+      Option(eB.getCause).exists(
+        _.toString.contains("active streaming writer")), eB.toString)
+    qA.stop()
+
+    // resume of the SAME checkpoint is always allowed (owner match) —
+    // the same memory source continues so the checkpoint sees batch 1
+    inA.addData(4L)
+    val qA2 = inA.toDF().select($"value".as("id"))
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", s"$root/ckptA")
+      .option("path", out).start()
+    qA2.processAllAvailable()
+    qA2.stop()
+    val ids = spark.read.format("graft-avro").load(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L, 3L, 4L), s"fenced fleet corrupted: $ids")
+
+    // an expired lease IS taken over (writerLeaseMs = the acquirer's
+    // staleness judgment) — and the next guard in depth then fires:
+    // the fresh checkpoint's epoch 0 collides with the original
+    // lineage's epoch-0 file and the content check fails LOUDLY
+    // instead of silently dropping foreign data
+    val inC = MemoryStream[Long]
+    inC.addData(10L)
+    val eC = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val qC = inC.toDF().select($"value".as("id"))
+        .writeStream.format("graft-avro")
+        .option("checkpointLocation", s"$root/ckptC")
+        .option("writerLeaseMs", "0")
+        .option("path", out).start()
+      qC.processAllAvailable()
+      qC.stop()
+    }
+    assert(eC.toString.contains("different content") ||
+      Option(eC.getCause).exists(
+        _.toString.contains("different content")), eC.toString)
+    // the fenced+guarded fleet is uncorrupted throughout
+    val finalIds = spark.read.format("graft-avro").load(out)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(finalIds == Set(1L, 2L, 3L, 4L), s"corrupted: $finalIds")
+  }
 }
