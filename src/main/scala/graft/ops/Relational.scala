@@ -449,6 +449,41 @@ object Relational {
         .stripMargin)
   }
 
+  /** §1.1 SQL DDL schema evolution — `ALTER TABLE graft.ev ADD
+    * COLUMN` / `RENAME COLUMN` as METADATA-ONLY operations
+    * ([[graft.sources.FleetSchemaMarker]]): the base generation lands
+    * by CTAS, the DDL writes only the `_schema.json` marker (zero
+    * data files touched — CatalogSpec pins that), the evolved INSERT
+    * writes the new spelling, and one read merges both generations:
+    * pre-ALTER rows null-fill the added column and answer under the
+    * renamed one via per-file alias resolution. At 100 TB this is
+    * "add a column to a billion-file table" in O(1). */
+  def qCatalogAlter(s: SparkSession, dir: String): DataFrame = {
+    // fresh root per invocation: DDL + INSERT accumulate state, and
+    // Bench/Verify call a query more than once per JVM
+    val root = graft.util.Scratch.dir("catalog_alter_q") + "/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.read.parquet(s"$dir/events.parquet")
+      .createOrReplaceTempView("ev_src")
+    s2.sql(
+      """CREATE TABLE graft.ev AS
+        |SELECT event_id, event_type, value
+        |FROM ev_src WHERE event_id % 2 = 0""".stripMargin)
+    s2.sql("ALTER TABLE graft.ev ADD COLUMN note STRING")
+    s2.sql("ALTER TABLE graft.ev RENAME COLUMN value TO amount")
+    s2.sql(
+      """INSERT INTO graft.ev
+        |SELECT event_id, event_type, value AS amount,
+        |  concat('n', event_id) AS note
+        |FROM ev_src WHERE event_id % 2 = 1""".stripMargin)
+    s2.sql(
+      """SELECT event_id, event_type, round(amount, 4) AS amount, note
+        |FROM graft.ev ORDER BY event_id""".stripMargin)
+  }
+
   /** §2.A fleet COMPACTION (the 100 TB small-file maintenance pass):
     * events land first as 32 tiny shards — the shape a streaming sink
     * or frequent appends leave behind — then `FleetCompact.compact`
@@ -873,6 +908,7 @@ object Relational {
     "q_scan_avro_evolve" -> qScanAvroEvolve _,
     "q_fleet_compact" -> qFleetCompact _,
     "q_catalog_sql_fleet" -> qCatalogSqlFleet _,
+    "q_catalog_alter" -> qCatalogAlter _,
     "q_scan_avro_bloom" -> qScanAvroBloom _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
@@ -997,6 +1033,13 @@ object Relational {
     "q_catalog_sql_fleet" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // ALTER is metadata-only: the merged read = all events, odd ids
+    // carrying the evolved note column, value answering as `amount`
+    "q_catalog_alter" ->
+      """SELECT event_id, event_type, round(value, 4) AS amount,
+        |  CASE WHEN event_id % 2 = 1
+        |       THEN 'n' || CAST(event_id AS VARCHAR) END AS note
+        |FROM events ORDER BY event_id""".stripMargin,
     "q_catalog_tables" ->
       """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,
         |  string_agg(column_name, '|' ORDER BY ordinal_position) AS cols

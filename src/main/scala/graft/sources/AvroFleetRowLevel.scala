@@ -27,12 +27,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     runtime pruning) to the shared operation instance — that list
   *     IS the replaced group set.
   *  3. The paired write appends the rewritten rows through the normal
-  *     V2 committer (attempt temps, job-tagged names, sidecar stats,
-  *     `_SUCCESS` re-marked) and only then deletes the replaced
-  *     originals. Same crash window as [[FleetMerge]]: a failure
-  *     between append-commit and delete duplicates rows, never loses
-  *     them; the transactional fix is a manifest swap, which the
-  *     directory contract deliberately does not fake.
+  *     V2 committer (attempt temps, job-tagged names, sidecar stats)
+  *     and its ONE [[FleetManifest]] commit swaps the replaced group
+  *     set out as the new files swap in — no crash point shows both
+  *     generations or loses rows; the retired originals remain as the
+  *     previous version's snapshot until retention
+  *     ([[FleetCompact.expireVersions]]) reclaims them.
   *
   * Net effect at 100 TB: `DELETE FROM graft.events WHERE ts < X` on a
   * time-laid-out fleet rewrites the handful of boundary files and
@@ -40,16 +40,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * rewrite (RowLevelSqlSpec pins untouched-file mtime+bytes).
   */
 private[sources] class AvroFleetRowLevelBuilder(schema: StructType,
-    path: String, maxFileBytes: Long, info: RowLevelOperationInfo)
+    path: String, maxFileBytes: Long, info: RowLevelOperationInfo,
+    evolve: Boolean = false, aliases: Map[String, String] = Map.empty)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
     new AvroFleetRowLevelOperation(schema, path, maxFileBytes,
-      info.command())
+      info.command(), evolve, aliases)
 }
 
 private[sources] class AvroFleetRowLevelOperation(schema: StructType,
     path: String, maxFileBytes: Long,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command, evolve: Boolean = false,
+    aliases: Map[String, String] = Map.empty) extends RowLevelOperation {
 
   /** The scan's final planned file list — written by the scan at
     * partition-planning time (driver), read by the write at commit
@@ -74,7 +76,8 @@ private[sources] class AvroFleetRowLevelOperation(schema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder =
-    new AvroFleetRowLevelScanBuilder(schema, path, maxFileBytes, this)
+    new AvroFleetRowLevelScanBuilder(schema, path, maxFileBytes, this,
+      evolve, aliases)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -99,7 +102,8 @@ private[sources] class AvroFleetRowLevelOperation(schema: StructType,
   * drive sidecar file skipping. No limit/TopN/aggregate pushdown: a
   * replace source must produce complete groups. */
 private[sources] class AvroFleetRowLevelScanBuilder(fullSchema: StructType,
-    path: String, maxFileBytes: Long, op: AvroFleetRowLevelOperation)
+    path: String, maxFileBytes: Long, op: AvroFleetRowLevelOperation,
+    evolve: Boolean = false, aliases: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -122,8 +126,10 @@ private[sources] class AvroFleetRowLevelScanBuilder(fullSchema: StructType,
   override def build(): Scan =
     new AvroFleetScan(fullSchema, required, path, maxFileBytes,
       limit = None, pushedFilters = groupFilters,
+      evolve = evolve,
       groupFilterOnly = true,
-      onPlanned = files => op.replacedFiles = files)
+      onPlanned = files => op.replacedFiles = files,
+      aliases = aliases)
 }
 
 /** The replace-commit: the plain fleet batch write's commit with the

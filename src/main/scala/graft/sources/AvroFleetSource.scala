@@ -58,25 +58,43 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
   private def evolveOf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("mergeSchema", false)
 
+  /** An `ALTER TABLE`d fleet carries its declared schema in the
+    * `_schema.json` marker — prefer it over the header peek (ADD
+    * COLUMN / RENAME COLUMN are metadata-only; files are immutable). */
+  private def markerOf(path: String): Option[FleetSchemaMarker.Marker] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+        FleetSchemaMarker.read(fs, p)
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (evolveOf(options))
-      SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
-        pathOf(options), maxBytesOf(options)).map(Avro.toSparkSchema))
-    else
-      Avro.toSparkSchema(Avro.peekSchema(SparkSession.active,
-        pathOf(options), maxBytesOf(options)))
+    markerOf(pathOf(options)).map(_.schema).getOrElse {
+      if (evolveOf(options))
+        SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
+          pathOf(options), maxBytesOf(options)).map(Avro.toSparkSchema))
+      else
+        Avro.toSparkSchema(Avro.peekSchema(SparkSession.active,
+          pathOf(options), maxBytesOf(options)))
+    }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    val marker = markerOf(pathOf(opts))
     new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
-      evolveOf(opts))
+      evolveOf(opts) || marker.isDefined,
+      aliases = marker.map(_.aliases).getOrElse(Map.empty))
   }
 }
 
 private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     maxFileBytes: Long, evolve: Boolean = false,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    aliases: Map[String, String] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -117,7 +135,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       maxFileAgeMs = Option(options.get("maxFileAge"))
         .map(AvroFleetTable.parseDurationMs),
       ignoreMissingFiles = Option(options.get("ignoreMissingFiles"))
-        .map(_.toBoolean))
+        .map(_.toBoolean),
+      aliases = aliases)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -233,7 +252,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new AvroFleetRowLevelBuilder(tableSchema, path, maxFileBytes, info)
+    new AvroFleetRowLevelBuilder(tableSchema, path, maxFileBytes, info,
+      evolve, aliases)
 
   /** `_file` — the row's source container path, served as a constant
     * per split (`SELECT _file, * FROM graft.x` gives row provenance
@@ -439,7 +459,7 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     if (truncate && f.exists(p)) f.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (n == "_SUCCESS" || n == FleetStats.FileName ||
-          n == FleetLayout.FileName ||
+          n == FleetLayout.FileName || n == FleetSchemaMarker.FileName ||
           n.endsWith(".avro") || n.endsWith(".avro.tmp"))
         f.delete(st.getPath, false)
     }
@@ -837,7 +857,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     offsetInlineLimit: Int = 1000,
     versionAsOf: Option[Long] = None,
     maxFileAgeMs: Option[Long] = None,
-    ignoreMissingFiles: Option[Boolean] = None)
+    ignoreMissingFiles: Option[Boolean] = None,
+    aliases: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -1040,7 +1061,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         offsetInlineLimit = offsetInlineLimit,
         versionAsOf = versionAsOf,
         maxFileAgeMs = maxFileAgeMs,
-        ignoreMissingFiles = ignoreMissingFiles)
+        ignoreMissingFiles = ignoreMissingFiles,
+        aliases = aliases)
   }
 }
 
@@ -1177,7 +1199,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     offsetInlineLimit: Int = 1000,
     versionAsOf: Option[Long] = None,
     maxFileAgeMs: Option[Long] = None,
-    ignoreMissingFiles: Option[Boolean] = None)
+    ignoreMissingFiles: Option[Boolean] = None,
+    aliases: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1499,7 +1522,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     new AvroFleetReaderFactory(fullSchema, required.fieldNames,
       limit, rowFilters,
       new SerializableHadoopConf(s.sessionState.newHadoopConf()), topN,
-      evolve)
+      evolve, aliases)
   }
 }
 
@@ -1885,7 +1908,8 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     filters: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf,
     topN: Option[(Seq[TopNOrder], Int)] = None,
-    evolve: Boolean = false)
+    evolve: Boolean = false,
+    aliases: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -1957,7 +1981,7 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
   private def rowReader(part: AvroFilePartition,
       decodeExtra: Seq[String] = Nil): AvroFleetRowReader =
     new AvroFleetRowReader(part, decodeExtra, tableSchema, columns,
-      limit, filters, conf, evolve)
+      limit, filters, conf, evolve, aliases)
 }
 
 /** The streaming row reader for one split — named (not anonymous) so
@@ -1967,7 +1991,8 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
     decodeExtra: Seq[String], tableSchema: StructType,
     columns: Array[String], limit: Option[Int],
     filters: Array[org.apache.spark.sql.sources.Filter],
-    conf: SerializableHadoopConf, evolve: Boolean = false)
+    conf: SerializableHadoopConf, evolve: Boolean = false,
+    aliases: Map[String, String] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val file = part.file
@@ -2028,7 +2053,15 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
         .distinct.toIndexedSeq
     val writerTypes = writerSpark.map(f => f.name -> f.dataType).toMap
     val tableTypes = tableSchema.map(f => f.name -> f.dataType).toMap
-    val present = decodeCols.filter(writerTypes.contains)
+    // RENAME COLUMN support: a logical column absent from this file
+    // under its current name may exist under its pre-rename PHYSICAL
+    // name (the _schema.json alias map) — decode that field instead
+    val aliased: Map[String, String] = decodeCols.flatMap { c =>
+      if (writerTypes.contains(c)) None
+      else aliases.get(c).filter(writerTypes.contains).map(c -> _)
+    }.toMap
+    val present = (decodeCols.filter(writerTypes.contains) ++
+      aliased.values.toSeq.filterNot(decodeCols.contains)).distinct
     val effective = Avro.prunedSchema(writer, present)
     datumReader.setExpected(effective)
     val avroByName = effective.getFields.asScala
@@ -2046,6 +2079,13 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
         // `_file` appears in the writer schema)
         case None if c == AvroFleetTable.FileMetaCol =>
           ((_: Any) => file): Decode
+        case None if aliased.contains(c) =>
+          val old = aliased(c)
+          val oldFs = avroByName(old)
+          val promote = SchemaEvolution.promoter(writerTypes(old),
+            tableTypes.getOrElse(c, writerTypes(old)))
+          ((r: org.apache.avro.generic.GenericRecord) =>
+            promote(Avro.fromAvroValue(r.get(old), oldFs))): Decode
         case None => ((_: Any) => null): Decode
       })
     }.toMap

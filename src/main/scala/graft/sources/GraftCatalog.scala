@@ -138,10 +138,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val p = hPath(dir)
         if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory)
           noSuchTable(ident)
-        val schema = Avro.toSparkSchema(
-          Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes))
+        // an ALTERed fleet declares its schema in the _schema.json
+        // marker (ADD/RENAME COLUMN are metadata-only; the files are
+        // immutable and resolve per generation through evolve decode)
+        val marker = FleetSchemaMarker.read(fs, p)
+        val schema = marker.map(_.schema).getOrElse(Avro.toSparkSchema(
+          Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
         new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
-          versionAsOf = versionAsOf)
+          evolve = marker.isDefined,
+          versionAsOf = versionAsOf,
+          aliases = marker.map(_.aliases).getOrElse(Map.empty))
       case Seq(wb) =>
         require(versionAsOf.isEmpty,
           "VERSION AS OF applies to avro fleets only (workbook sheets " +
@@ -189,10 +195,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft fleets carry their schema in the data files; rewrite via " +
-        "SchemaEvolution / compaction instead of ALTER TABLE")
+  /** `ALTER TABLE graft.x ADD COLUMN` / `RENAME COLUMN` — METADATA
+    * ONLY at any fleet size: the DDL writes the `_schema.json` marker
+    * ([[FleetSchemaMarker]]) and touches no data file. An added
+    * column null-fills every pre-existing generation through the
+    * evolve decode path; a renamed column records `new → physical`
+    * in the marker's alias map and each file resolves its own
+    * spelling at decode. Other changes (drops, type changes beyond
+    * the exact widenings, nested fields) are rejected loudly. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    require(ident.namespace().isEmpty,
+      "ALTER TABLE is supported only for top-level fleets")
+    val dir = avroDir(ident.name())
+    val p = hPath(dir)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory)
+      noSuchTable(ident)
+    val existing = FleetSchemaMarker.read(fs, p)
+    var schema = existing.map(_.schema).getOrElse(Avro.toSparkSchema(
+      Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
+    var aliases = existing.map(_.aliases).getOrElse(Map.empty[String, String])
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft fleets are flat: nested ADD COLUMN is not supported")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(name),
+          s"column '$name' already exists")
+        require(add.isNullable,
+          s"added column '$name' must be nullable — every pre-existing " +
+            "file null-fills it")
+        schema = StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(name, add.dataType(),
+            nullable = true))
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames().length == 1,
+          "graft fleets are flat: nested RENAME COLUMN is not supported")
+        val old = rn.fieldNames()(0)
+        val nn = rn.newName()
+        require(schema.fieldNames.contains(old),
+          s"no such column '$old' (schema: ${schema.fieldNames.toSeq})")
+        require(!schema.fieldNames.contains(nn),
+          s"column '$nn' already exists")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == old) f.copy(name = nn) else f))
+        // chase the chain: files written before ANY rename carry the
+        // original physical name
+        val phys = aliases.getOrElse(old, old)
+        aliases = (aliases - old) + (nn -> phys)
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER TABLE supports ADD COLUMN and RENAME COLUMN " +
+          s"only (got ${other.getClass.getSimpleName}); drops and type " +
+          "changes need a rewrite (FleetCompact)")
+    }
+    Avro.toAvroSchema(schema) // flat-schema/codec validation, loudly
+    FleetSchemaMarker.write(fs, p, FleetSchemaMarker.Marker(schema, aliases))
+    new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
+      evolve = true, aliases = aliases)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     ident.namespace().toSeq match {

@@ -23,6 +23,67 @@ import org.apache.spark.sql.types._
   * (AvroFleetSource scaladoc). Pushed filters and sidecar skip-proofs
   * stay sound across generations because `FleetFilters.cmp` already
   * widens mixed numeric carriers the same way the decode does. */
+/** The `_schema.json` TABLE-SCHEMA marker an `ALTER TABLE` lays down
+  * (SQL DDL through [[GraftCatalog.alterTable]]): the fleet's
+  * declared schema plus a rename-alias map (`logical new name →
+  * physical name in pre-rename files`). Data files stay immutable —
+  * ADD COLUMN null-fills older generations through the evolve decode
+  * path, RENAME COLUMN resolves the alias per file — so the DDL is a
+  * metadata-only marker write, O(1) at any fleet size. Readers prefer
+  * the marker over the header peek wherever it exists; a TRUNCATE
+  * (overwrite) clears it along with the layout marker. */
+private[graft] object FleetSchemaMarker {
+  val FileName = "_schema.json"
+
+  final case class Marker(schema: StructType,
+      aliases: Map[String, String])
+
+  def write(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, m: Marker): Unit = {
+    val body = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+        "schema" -> org.json4s.jackson.JsonMethods.parse(m.schema.json),
+        "aliases" -> org.json4s.JObject(m.aliases.toList.map {
+          case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue)
+        }))))
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$FileName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(dir, FileName)
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+  }
+
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Marker] = {
+    val p = new org.apache.hadoop.fs.Path(dir, FileName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      val obj = org.json4s.jackson.JsonMethods.parse(text)
+      val schema = DataType.fromJson(
+        org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(obj \ "schema")))
+        .asInstanceOf[StructType]
+      val aliases = (obj \ "aliases") match {
+        case o: org.json4s.JObject => o.obj.collect {
+          case (k, org.json4s.JString(v)) => k -> v
+        }.toMap
+        case _ => Map.empty[String, String]
+      }
+      Some(Marker(schema, aliases))
+    }
+  }
+
+  def clear(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(dir, FileName), false)
+    ()
+  }
+}
+
 private[sources] object SchemaEvolution {
 
   /** Exact, value-preserving widenings the decode path applies. */

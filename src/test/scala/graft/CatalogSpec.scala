@@ -239,4 +239,65 @@ class CatalogSpec extends SparkSpec {
       .option("clusterBy", "shard").load(s"$root/frag.avro")
     assert(explicit.rdd.getNumPartitions == 4)
   }
+
+  test("ALTER TABLE ADD COLUMN null-fills old generations; RENAME resolves per file") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("catalog_alter")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.sql("CREATE TABLE graft.ev (id BIGINT, v STRING) USING avro")
+    s2.sql("INSERT INTO graft.ev SELECT id, concat('a', id) AS v FROM range(0, 10)")
+
+    // metadata-only DDL: no data file changes
+    val dirPath = new org.apache.hadoop.fs.Path(s"$root/ev.avro")
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataState() = fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+      .map(st => st.getPath.getName -> (st.getLen, st.getModificationTime))
+      .toMap
+    val before = dataState()
+    s2.sql("ALTER TABLE graft.ev ADD COLUMN note STRING")
+    assert(dataState() == before, "ADD COLUMN must touch no data file")
+
+    s2.sql("INSERT INTO graft.ev SELECT id, concat('b', id), concat('n', id) " +
+      "FROM range(10, 15)")
+    val rows = s2.sql(
+      "SELECT id, v, note FROM graft.ev ORDER BY id").collect()
+    assert(rows.length == 15)
+    assert(rows.take(10).forall(_.isNullAt(2)),
+      "pre-ALTER generation must null-fill the added column")
+    assert(rows.drop(10).forall(r => r.getString(2) == s"n${r.getLong(0)}"))
+
+    // RENAME: both generations answer under the new name
+    s2.sql("ALTER TABLE graft.ev RENAME COLUMN v TO label")
+    val renamed = s2.sql(
+      "SELECT id, label FROM graft.ev WHERE id IN (3, 12) ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(renamed == Map(3L -> "a3", 12L -> "b12"),
+      s"alias resolution failed: $renamed")
+    // a second rename chases the chain back to the physical name
+    s2.sql("ALTER TABLE graft.ev RENAME COLUMN label TO tag2")
+    assert(s2.sql("SELECT tag2 FROM graft.ev WHERE id = 3")
+      .head.getString(0) == "a3")
+    // post-rename INSERT writes the new spelling; the mix still reads
+    s2.sql("INSERT INTO graft.ev SELECT id, concat('c', id), NULL " +
+      "FROM range(15, 18)")
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 18)
+    assert(s2.sql("SELECT tag2 FROM graft.ev WHERE id = 16")
+      .head.getString(0) == "c16")
+
+    // row-level verb on the ALTERed fleet: DELETE keyed on a renamed
+    // column goes through the same alias-aware scan
+    s2.sql("DELETE FROM graft.ev WHERE tag2 = 'a3'")
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 17)
+
+    // rejections are loud
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.ev RENAME COLUMN tag2 TO note")
+    }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.ev DROP COLUMN note")
+    }
+  }
 }
