@@ -277,11 +277,13 @@ object Crud {
     * shard value per file, sidecar min==max), so `DELETE ... WHERE
     * shard = 3` is fully extent-DECIDABLE: Spark's
     * OptimizeMetadataOnlyDeleteFromTable sees `canDeleteWhere = true`
-    * and the whole command is file unlinks — zero tasks, zero rewrite
-    * (RowLevelSqlSpec pins kept-files-byte-identical). At 100 TB this
-    * is `DELETE WHERE ts < retention` on a time-laid fleet: the
-    * expired prefix unlinks in O(files). Oracle: the surviving
-    * relation. */
+    * and the whole command is ONE manifest commit retiring the
+    * dropped files — zero tasks, zero rewrite, zero unlinks
+    * (RowLevelSqlSpec pins every data file byte-identical; the
+    * retired generation stays readable via `VERSION AS OF` until a
+    * retention pass reclaims it). At 100 TB this is `DELETE WHERE
+    * ts < retention` on a time-laid fleet: the expired prefix
+    * retires in O(1) commits. Oracle: the surviving relation. */
   def qSqlDeleteFleetMeta(s: SparkSession, dir: String): DataFrame = {
     val s2 = stagedFleetSession(s, dir, "meta", clustered = true)
     s2.sql("DELETE FROM graft.cust WHERE shard = 3")
@@ -377,7 +379,26 @@ object Crud {
     s.read.format("graft-avro").load(fleetDir).orderBy($"c_custkey")
   }
 
+  /** §1.1 ROLLBACK as a SQL verb — `CALL graft.system.restore`
+    * ([[graft.sources.GraftProcedures]]): a DELETE lands as
+    * generation 2, then restore(1) commits generation 3 whose file
+    * list IS generation 1's — rollback-by-advance, so the mistake AND
+    * its correction are both versioned history and nothing is ever
+    * deleted by the verb itself. The read-back oracle-checks the
+    * restored fleet against the ORIGINAL relation: a restore that
+    * resurrects the wrong generation, loses a file, or leaks the
+    * deleted state hash-mismatches. At 100 TB this is the operator's
+    * "undo yesterday's bad backfill" — one manifest commit, zero data
+    * movement. */
+  def qSqlRestore(s: SparkSession, dir: String): DataFrame = {
+    val s2 = stagedFleetSession(s, dir, "restore")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey < 100")
+    s2.sql("CALL graft.system.restore('cust', 1)").collect()
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_restore" -> qSqlRestore _,
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
     "q_crud_upsert" -> qCrudUpsert _,
@@ -393,6 +414,10 @@ object Crud {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sql_restore" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q_crud_update" ->
       """SELECT o_orderkey,
         |  o_totalprice AS old_price,

@@ -509,6 +509,36 @@ object Relational {
       .orderBy($"event_id")
   }
 
+  /** §2.A IN-PLACE transactional compaction from SQL — `CALL
+    * graft.system.rewrite_files` ([[graft.sources.GraftProcedures]]):
+    * the same 24-tiny-shard shape as `q_fleet_compact`, but the
+    * rewrite lands IN the live fleet as ONE manifest swap (new
+    * range-clustered generation in, every old shard out) instead of a
+    * copy to a second directory — concurrent readers see the old or
+    * the new generation, never both, and the pre-compaction snapshot
+    * stays `VERSION AS OF`-readable until expiry. At 100 TB this is
+    * the maintenance verb an operator actually runs: small-file
+    * compaction as a SQL statement with no pipeline downtime. The
+    * read-back oracle-checks the post-rewrite fleet end-to-end, so a
+    * row lost (or doubled) in the swap hash-mismatches. */
+  def qFleetRewrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = scratch("fleet_rewrite_root")
+    events(s, dir).select($"event_id", $"ts", $"event_type", $"value")
+      .repartition(24)
+      .write.format("graft-avro").mode("overwrite").save(s"$root/ev.avro")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.sql(
+      "CALL graft.system.rewrite_files('ev', 16777216, 'event_id')")
+      .collect()
+    s2.sql("SELECT * FROM graft.ev")
+      .select(col("event_id"), tstr(col("ts")).as("ts_s"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** §2.A BLOOM data skipping — the point-lookup tier: events HASH-
     * distributed on `event_id` into 32 shards (the layout a shuffled
     * sink or bucketed write leaves behind), so every file spans
@@ -907,6 +937,7 @@ object Relational {
     "q_scan_avro_skip_prefix" -> qScanAvroSkipPrefix _,
     "q_scan_avro_evolve" -> qScanAvroEvolve _,
     "q_fleet_compact" -> qFleetCompact _,
+    "q_fleet_rewrite" -> qFleetRewrite _,
     "q_catalog_sql_fleet" -> qCatalogSqlFleet _,
     "q_catalog_alter" -> qCatalogAlter _,
     "q_scan_avro_bloom" -> qScanAvroBloom _,
@@ -971,6 +1002,10 @@ object Relational {
         |ORDER BY event_id""".stripMargin,
     // compaction is a physical rewrite; the oracle is the table itself
     "q_fleet_compact" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |  event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_fleet_rewrite" ->
       """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
         |  event_type, value
         |FROM events ORDER BY event_id""".stripMargin,

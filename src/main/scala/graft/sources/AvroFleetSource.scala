@@ -147,12 +147,14 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
   // Spark's OptimizeMetadataOnlyDeleteFromTable asks canDeleteWhere
   // FIRST: when every file is sidecar-DECIDABLE — the condition
   // provably matches ALL of its rows (drop the file) or provably
-  // matches NONE (keep it) — the whole DELETE is file unlinks, zero
-  // tasks, zero rewrite. One straddling or stats-less file returns
-  // false and the command falls back to the row-level COW rewrite
-  // below, which handles it row-exactly. On a time-laid-out fleet,
-  // `DELETE FROM graft.events WHERE ts < retention` is the canonical
-  // win: the whole expired prefix unlinks in O(files).
+  // matches NONE (keep it) — the whole DELETE is ONE manifest commit
+  // retiring the dropped files, zero tasks, zero rewrite (r15: the
+  // files themselves stay on disk for VERSION AS OF until a retention
+  // pass). One straddling or stats-less file returns false and the
+  // command falls back to the row-level COW rewrite below, which
+  // handles it row-exactly. On a time-laid-out fleet, `DELETE FROM
+  // graft.events WHERE ts < retention` is the canonical win: the
+  // whole expired prefix retires in O(1) commits.
 
   private def deleteDecisions(filters: Array[
       org.apache.spark.sql.sources.Filter])
@@ -223,11 +225,23 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     val s = SparkSession.active
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
-    // transactional order: the ONE manifest commit retires the dropped
-    // files first — a reader during the unlinks below resolves the new
-    // generation and never touches a half-deleted set. (Bootstraps the
-    // manifest on a legacy fleet, consistently with every other
-    // commit path.)
+    // a fully-emptied fleet must stay loadable: seed the NEXT
+    // generation's schema-bearing empty container BEFORE retiring the
+    // old files, so no reader window ever resolves an empty file list
+    if (decisions.forall(_._2))
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          tableSchema)
+        .repartition(1)
+        .write.format("graft-avro").mode("append").save(path)
+    // the ONE manifest commit IS the delete: it retires the dropped
+    // files from the current generation, zero tasks, zero unlinks.
+    // The retired files stay ON DISK as the previous version's
+    // snapshot (`VERSION AS OF` keeps serving the pre-DELETE fleet);
+    // physical deletion is a RETENTION decision
+    // ([[FleetCompact.expireVersions]] / CALL graft.system
+    // .expire_versions), exactly as in the row-level COW path.
+    // (Bootstraps the manifest on a legacy fleet, consistently with
+    // every other commit path.)
     val dropped = decisions.collect {
       case (st, true) => st.getPath.getName
     }.toSet
@@ -235,16 +249,6 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       FleetManifest.commit(fs, dirPath,
         base => base.filterNot(dropped),
         bootstrap = decisions.map(_._1.getPath.getName))
-    decisions.foreach { case (st, drop) =>
-      if (drop) fs.delete(st.getPath, false)
-    }
-    // a fully-emptied fleet must stay loadable: re-seed one
-    // schema-bearing empty container (the writers' usual guarantee)
-    if (decisions.forall(_._2))
-      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-          tableSchema)
-        .repartition(1)
-        .write.format("graft-avro").mode("append").save(path)
   }
 
   /** SQL DELETE/UPDATE/MERGE INTO via group-based copy-on-write — see

@@ -3,7 +3,8 @@ package graft.sources
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, ProcedureCatalog, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,7 +42,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * writer's new fleet is visible on the next query, and the fleets'
   * own `_SUCCESS`/sidecar contracts keep reads consistent.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -283,6 +285,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         fs.exists(p) && Xlsx.sheetNames(readAll(p)).contains(ident.name())
       case _ => false
     }
+
+  // --- maintenance procedures: CALL graft.system.<proc>(...) ---
+  // (snapshots / rewrite_files / expire_versions / restore — the
+  // manifest layer's verb set; see [[GraftProcedures]])
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(ident, avroDir)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty ||
+        namespace.toSeq == Seq(GraftProcedures.Namespace))
+      GraftProcedures.list()
+    else Array.empty
 
   // --- namespaces: the top level plus one per workbook file ---
 

@@ -1,0 +1,250 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-addressable fleet MAINTENANCE — DSv2 stored procedures
+  * (`ProcedureCatalog`, Spark 4.1) on [[GraftCatalog]], the verb set a
+  * transactional table format owes its operators (SURVEY.md §2.A; the
+  * Iceberg `CALL catalog.system.…` ergonomic, rebuilt on the
+  * [[FleetManifest]] generation layer):
+  *
+  * {{{
+  *   CALL graft.system.snapshots(table => 'events')
+  *   CALL graft.system.rewrite_files('events', 64 * 1024 * 1024, 'event_id')
+  *   CALL graft.system.expire_versions('events', 3)
+  *   CALL graft.system.restore('events', 2)
+  * }}}
+  *
+  *  - `snapshots(table)` — one row per committed manifest generation
+  *    (version, file count, current flag): the time-travel index a
+  *    `VERSION AS OF` reader consults.
+  *  - `rewrite_files(table, target_file_bytes, cluster_by)` — IN-PLACE
+  *    transactional compaction: reads the current generation, rewrites
+  *    it into ~target-sized files, and lands the result as ONE manifest
+  *    swap (new generation in, every old data file out) — concurrent
+  *    readers see the old or the new fleet, never both, and the old
+  *    generation stays readable via `VERSION AS OF` until expired.
+  *    `cluster_by` '' ⇒ size-only re-shard; a key ⇒ range-clustered
+  *    (disjoint per-file intervals restore min/max skip-proofs); a key
+  *    matching the fleet's `_layout.json` marker ⇒ the CLUSTERED
+  *    rewrite, preserving exchange-free (SPJ) joinability.
+  *  - `expire_versions(table, keep_last)` — snapshot retention:
+  *    [[FleetCompact.expireVersions]] (manifests removed before the
+  *    data files only they referenced — a crash in between leaves
+  *    harmless orphans, never a readable version with missing files).
+  *  - `restore(table, version)` — rollback-by-advance: commits a NEW
+  *    generation whose file list is the restored version's, so the
+  *    rollback is itself versioned history (nothing is deleted, and a
+  *    mistaken restore is restorable). Fails loudly if the target
+  *    generation's files were already expired. Data only: schema DDL
+  *    markers (`_schema.json`) are not versioned by the manifest.
+  *
+  * Results surface as `LocalScan` rows — driver-side by design: every
+  * procedure is a METADATA operation (the one distributed step,
+  * `rewrite_files`' rewrite, is a normal Spark job inside the call);
+  * result sets are O(versions), never O(rows).
+  */
+private[sources] object GraftProcedures {
+
+  val Namespace = "system"
+  private val names = Seq("snapshots", "expire_versions", "restore",
+    "rewrite_files")
+
+  def list(): Array[Identifier] =
+    names.map(n => Identifier.of(Array(Namespace), n)).toArray
+
+  /** Resolve by identifier; `dirFor` maps a fleet NAME to its
+    * directory (the catalog's `<root>/<name>.avro` convention, name
+    * validation included). */
+  def load(ident: Identifier, dirFor: String => String): UnboundProcedure = {
+    require(ident.namespace().toSeq == Seq(Namespace),
+      s"graft procedures live in the '$Namespace' namespace " +
+        s"(CALL graft.$Namespace.<proc>); got " +
+        s"'${(ident.namespace() :+ ident.name()).mkString(".")}'")
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "snapshots" => new Snapshots(dirFor)
+      case "expire_versions" => new ExpireVersions(dirFor)
+      case "restore" => new Restore(dirFor)
+      case "rewrite_files" => new RewriteFiles(dirFor)
+      case other => throw new UnsupportedOperationException(
+        s"no such graft procedure '$other' " +
+          s"(available: ${names.mkString(", ")})")
+    }
+  }
+
+  private def param(n: String, t: DataType) =
+    ProcedureParameter.in(n, t).build()
+
+  private def str(s: String) = UTF8String.fromString(s)
+
+  private def fsFor(dir: String) = {
+    val p = new Path(dir)
+    (p, p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()))
+  }
+
+  private def requireFleet(dirFor: String => String, table: String)
+      : String = {
+    val dir = dirFor(table)
+    val (p, fs) = fsFor(dir)
+    require(fs.exists(p) && fs.getFileStatus(p).isDirectory,
+      s"no such fleet '$table'")
+    dir
+  }
+
+  /** Single-result scan: procedures return bounded driver-side
+    * summaries, not datasets. */
+  private final class ResultScan(schema: StructType,
+      rs: Array[InternalRow]) extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = rs
+    override def description(): String = "graft procedure result"
+  }
+
+  private def result(schema: StructType, rs: InternalRow*)
+      : java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new ResultScan(schema, rs.toArray)).iterator()
+
+  private abstract class Base(val name: String) extends UnboundProcedure
+      with BoundProcedure {
+    override def bind(inputType: StructType): BoundProcedure = this
+    // every procedure reads/mutates live filesystem state
+    override def isDeterministic: Boolean = false
+  }
+
+  private final class Snapshots(dirFor: String => String)
+      extends Base("snapshots") {
+    override def description: String =
+      "one row per committed manifest generation of a fleet"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("is_current", BooleanType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = requireFleet(dirFor, input.getUTF8String(0).toString)
+      val (p, fs) = fsFor(dir)
+      val vs = FleetManifest.versions(fs, p)
+      val rows = vs.map { v =>
+        val files = FleetManifest.snapshotAt(fs, p, v)
+          .map(_.files.size).getOrElse(0)
+        new GenericInternalRow(Array[Any](v, files,
+          vs.lastOption.contains(v))): InternalRow
+      }
+      result(out, rows: _*)
+    }
+  }
+
+  private final class ExpireVersions(dirFor: String => String)
+      extends Base("expire_versions") {
+    override def description: String =
+      "drop manifest versions beyond keep_last and GC their orphaned files"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("keep_last", IntegerType))
+    private val out = StructType(Seq(
+      StructField("expired_versions", IntegerType, nullable = false),
+      StructField("deleted_files", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dir = requireFleet(dirFor, input.getUTF8String(0).toString)
+      val r = FleetCompact.expireVersions(SparkSession.active, dir,
+        keepLast = input.getInt(1))
+      result(out, new GenericInternalRow(Array[Any](
+        r.expiredVersions.size, r.deletedFiles.size)))
+    }
+  }
+
+  private final class Restore(dirFor: String => String)
+      extends Base("restore") {
+    override def description: String =
+      "commit a new generation re-pointing to an earlier version's files"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("version", LongType))
+    private val out = StructType(Seq(
+      StructField("restored_version", LongType, nullable = false),
+      StructField("new_version", LongType, nullable = false),
+      StructField("files", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val v = input.getLong(1)
+      val dir = requireFleet(dirFor, table)
+      val (p, fs) = fsFor(dir)
+      // resolve() hard-fails if generation v is unknown or its files
+      // were expired — a restore must never commit a dangling file list
+      FleetManifest.resolve(fs, p, Some(v)).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore: fleet '$table' has no manifest history"))
+      val snap = FleetManifest.snapshotAt(fs, p, v).get
+      val committed = FleetManifest.commit(fs, p,
+        _ => snap.files, bootstrap = Seq.empty)
+      result(out, new GenericInternalRow(Array[Any](
+        v, committed.version, committed.files.size)))
+    }
+  }
+
+  private final class RewriteFiles(dirFor: String => String)
+      extends Base("rewrite_files") {
+    override def description: String =
+      "in-place transactional compaction: rewrite the current " +
+        "generation into ~target-sized files as one manifest swap"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType),
+        param("target_file_bytes", LongType),
+        param("cluster_by", StringType))
+    private val out = StructType(Seq(
+      StructField("rewritten_files", IntegerType, nullable = false),
+      StructField("added_files", IntegerType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val targetBytes = input.getLong(1)
+      val clusterBy = input.getUTF8String(2).toString
+      require(targetBytes > 0, "target_file_bytes must be positive")
+      val s = SparkSession.active
+      val dir = requireFleet(dirFor, table)
+      val (p, fs) = fsFor(dir)
+      // the CURRENT generation is the rewrite's input AND the swap's
+      // remove set; a concurrent append's files are in neither, so a
+      // racing writer loses nothing (its commit serializes after ours
+      // and its files stay referenced)
+      val current = FleetManifest.resolve(fs, p, None).getOrElse(
+        fs.listStatus(p).toSeq.filter { st =>
+          val n = st.getPath.getName
+          st.isFile && n.endsWith(".avro") && !n.startsWith(".") &&
+            !n.startsWith("_")
+        })
+      if (current.isEmpty)
+        return result(out, new GenericInternalRow(Array[Any](0, 0,
+          FleetManifest.current(fs, p).map(_.version).getOrElse(0L))))
+      val names = current.map(_.getPath.getName)
+      val totalBytes = current.map(_.getLen).sum
+      val shards = math.max(1L,
+        (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val layout = FleetLayout.read(fs, p)
+      val df = s.read.format("graft-avro").load(dir)
+      val keepLayout = clusterBy.nonEmpty && layout.contains(clusterBy)
+      val shaped =
+        if (clusterBy.isEmpty) df.repartition(shards)
+        else if (keepLayout) df.repartition(shards, col(clusterBy))
+        else df.repartitionByRange(shards, col(clusterBy))
+          .sortWithinPartitions(clusterBy)
+      val w = shaped.write.format("graft-avro").mode("append")
+        .option("manifestSwapRemove", names.mkString(","))
+      (if (keepLayout) w.option("clusterBy", clusterBy) else w).save(dir)
+      val committed = FleetManifest.current(fs, p).getOrElse(
+        throw new IllegalStateException(
+          s"rewrite_files: commit left no manifest at $dir"))
+      val added = committed.files.count(!names.toSet(_))
+      result(out, new GenericInternalRow(Array[Any](
+        names.size, added, committed.version)))
+    }
+  }
+}

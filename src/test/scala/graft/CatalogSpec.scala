@@ -300,4 +300,129 @@ class CatalogSpec extends SparkSpec {
       s2.sql("ALTER TABLE graft.ev DROP COLUMN note")
     }
   }
+
+  // --- CALL graft.system.<proc>: the manifest layer's verb set ---
+
+  test("CALL restore rolls a DELETE back as a NEW versioned generation") {
+    val root = graft.util.Scratch.dir("cat_proc_restore")
+    val s2 = catSession(root)
+    s2.sql("CREATE TABLE graft.ev AS SELECT id, id * 2 AS v FROM range(100)")
+    s2.sql("DELETE FROM graft.ev WHERE id >= 50")
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 50)
+    // CTAS = CREATE (empty container, v1) + the data write (v2);
+    // DELETE's rewrite is v3
+    val snaps = s2.sql("CALL graft.system.snapshots('ev')").collect()
+    assert(snaps.length == 3, s"expected 3 generations, got ${snaps.toSeq}")
+    assert(snaps.count(_.getBoolean(2)) == 1 &&
+      snaps.find(_.getBoolean(2)).get.getLong(0) == 3L)
+    val r = s2.sql("CALL graft.system.restore('ev', 2)").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L,
+      s"restore summary: $r")
+    // rollback-by-advance: full data back, history intact (v3 still
+    // shows the deleted state)
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 100)
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ev VERSION AS OF 3")
+      .head.getLong(0) == 50)
+    // an unknown generation fails loudly
+    intercept[Exception] { s2.sql("CALL graft.system.restore('ev', 9)") }
+  }
+
+  test("CALL expire_versions GCs only solely-expired files; restore past it fails") {
+    val root = graft.util.Scratch.dir("cat_proc_expire")
+    val s2 = catSession(root)
+    s2.sql("CREATE TABLE graft.ev AS SELECT id, id * 3 AS v FROM range(60)")
+    s2.sql("DELETE FROM graft.ev WHERE id < 10")   // v3: rewrite
+    s2.sql("INSERT INTO graft.ev SELECT id, id * 3 FROM range(60, 70)") // v4
+    val e = s2.sql("CALL graft.system.expire_versions('ev', 1)").head
+    assert(e.getInt(0) == 3, s"expired versions: $e")
+    // current read unharmed; expired generations are gone from history
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 60)
+    assert(s2.sql("CALL graft.system.snapshots('ev')").count() == 1)
+    intercept[Exception] {
+      s2.sql("SELECT * FROM graft.ev VERSION AS OF 1").collect()
+    }
+    intercept[Exception] { s2.sql("CALL graft.system.restore('ev', 1)") }
+  }
+
+  test("CALL rewrite_files compacts in place as one manifest swap") {
+    val root = graft.util.Scratch.dir("cat_proc_rewrite")
+    writeEventsFleet(root)
+    import spark.implicits._
+    // shatter: 24 tiny shards, the streaming-sink shape
+    val s2 = catSession(root)
+    graft.util.Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+      .repartition(24)
+      .write.format("graft-avro").mode("overwrite").save(s"$root/shards.avro")
+    val before = s2.sql("SELECT count(*) AS n, round(sum(value), 4) AS s " +
+      "FROM graft.shards").head
+    val r = s2.sql(
+      "CALL graft.system.rewrite_files('shards', 16777216, 'event_id')").head
+    assert(r.getInt(0) >= 24, s"rewrote ${r.getInt(0)} files")
+    // rows survive bit-exactly, and the swap left far fewer files
+    val after = s2.sql("SELECT count(*) AS n, round(sum(value), 4) AS s " +
+      "FROM graft.shards").head
+    assert(after == before, s"$after != $before")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$root/shards.avro")).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".avro") && !n.startsWith(".") &&
+        !n.startsWith("_")
+    }
+    // old generation retained ON DISK for time travel, so raw count is
+    // old + new; the MANIFEST view must be the compacted set only
+    val cur = s2.sql("CALL graft.system.snapshots('shards')")
+      .where("is_current").head
+    assert(cur.getInt(1) < 24, s"current generation still ${cur.getInt(1)} files")
+    assert(parts > cur.getInt(1), "old generation should survive until expiry")
+    // pre-rewrite version (the direct write, v1) still readable;
+    // expiry then reclaims it
+    assert(s2.sql(s"SELECT count(*) AS n FROM graft.shards VERSION AS OF 1")
+      .head.getLong(0) == before.getLong(0))
+    s2.sql("CALL graft.system.expire_versions('shards', 1)").collect()
+    val partsAfter = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$root/shards.avro")).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".avro") && !n.startsWith(".") &&
+        !n.startsWith("_")
+    }
+    assert(partsAfter == cur.getInt(1),
+      s"expiry should leave exactly the current generation: $partsAfter")
+    assert(s2.sql("SELECT count(*) AS n FROM graft.shards").head.getLong(0) ==
+      before.getLong(0))
+  }
+
+  test("CALL rewrite_files preserves a clustered fleet's SPJ layout marker") {
+    val root = graft.util.Scratch.dir("cat_proc_rewrite_spj")
+    import spark.implicits._
+    graft.util.Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("shard", (col("event_id") % 8).cast("long"))
+      .write.format("graft-avro").option("clusterBy", "shard")
+      .mode("overwrite").save(s"$root/clu.avro")
+    val s2 = catSession(root)
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/clu.avro")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dirP, "_layout.json")))
+    val before = s2.sql("SELECT round(sum(value), 4) AS s FROM graft.clu").head
+    s2.sql("CALL graft.system.rewrite_files('clu', 16777216, 'shard')")
+      .collect()
+    // the clustered rewrite path kept the marker (and with it, the
+    // optionless SQL SPJ join); a non-matching key would clear it
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dirP, "_layout.json")),
+      "clustered rewrite must preserve _layout.json")
+    assert(s2.sql("SELECT round(sum(value), 4) AS s FROM graft.clu")
+      .head == before)
+  }
+
+  test("unknown procedures and bad namespaces fail loudly") {
+    val root = graft.util.Scratch.dir("cat_proc_bad")
+    val s2 = catSession(root)
+    intercept[Exception] { s2.sql("CALL graft.system.vacuum('x')") }
+    intercept[Exception] { s2.sql("CALL graft.nope.snapshots('x')") }
+    intercept[Exception] { s2.sql("CALL graft.system.snapshots('missing')") }
+  }
 }

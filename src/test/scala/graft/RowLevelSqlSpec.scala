@@ -102,7 +102,7 @@ class RowLevelSqlSpec extends SparkSpec {
     assert(got == want, s"${got.size} vs ${want.size} rows")
   }
 
-  test("an extent-aligned DELETE is metadata-only: files unlink, nothing rewrites") {
+  test("an extent-aligned DELETE is metadata-only: one manifest commit, nothing rewrites") {
     import spark.implicits._
     val (root, s2) = freshFleet("metaonly")
     val before = snapshot(s"$root/cust.avro")
@@ -116,16 +116,35 @@ class RowLevelSqlSpec extends SparkSpec {
       .asInstanceOf[Long]).toSeq.sorted.head
     s2.sql(s"DELETE FROM graft.cust WHERE c_custkey <= $boundary")
     val after = snapshot(s"$root/cust.avro")
-    // metadata-only: kept files byte-identical AND no new file appeared
-    assert(after.keySet.subsetOf(before.keySet),
-      s"metadata delete must not write: new=${after.keySet -- before.keySet}")
-    assert((before.keySet -- after.keySet).nonEmpty, "a file must unlink")
-    after.foreach { case (f, m) => assert(before(f) == m) }
+    // metadata-only: no data file touched at all — every byte of every
+    // file identical; the DELETE is purely the manifest commit (r15:
+    // dropped files are RETAINED on disk for VERSION AS OF until a
+    // retention pass, so none unlink here)
+    assert(after == before,
+      s"metadata delete must not touch data files: " +
+        s"new=${after.keySet -- before.keySet} " +
+        s"gone=${before.keySet -- after.keySet}")
+    val manifest = graft.sources.FleetManifest.current(fs, p).get
+    def names(paths: Set[String]) =
+      paths.map(f => new org.apache.hadoop.fs.Path(f).getName)
+    val dropped = names(before.keySet) -- manifest.files.toSet
+    assert(dropped.nonEmpty, "a file must retire from the manifest")
     val got = s2.sql("SELECT count(*) AS n FROM graft.cust")
       .collect()(0).getLong(0)
     val want = graft.util.Tables.customer(spark, sfDir)
       .filter($"c_custkey" > boundary).count()
     assert(got == want)
+    // time travel still serves the pre-DELETE fleet; a retention pass
+    // then reclaims the retired files physically
+    assert(s2.sql("SELECT count(*) AS n FROM graft.cust VERSION AS OF 1")
+      .head.getLong(0) ==
+        graft.util.Tables.customer(spark, sfDir).count())
+    graft.sources.FleetCompact.expireVersions(spark,
+      s"$root/cust.avro", keepLast = 1)
+    val reclaimed = snapshot(s"$root/cust.avro")
+    assert(names(reclaimed.keySet) == manifest.files.toSet,
+      s"expiry should leave exactly the live generation: " +
+        s"${names(reclaimed.keySet)} vs ${manifest.files.toSet}")
   }
 
   test("a full-table DELETE leaves a loadable empty fleet") {
