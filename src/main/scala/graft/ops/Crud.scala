@@ -397,8 +397,35 @@ object Crud {
     s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
   }
 
+  /** §2.A CHANGE DATA FEED — `FleetCDC.changes(from, to)`: net row
+    * changes between two manifest generations as a manifest DIFF. The
+    * clustered staging makes the feed exactly predictable: a
+    * metadata-only DELETE retires the shard-3 file (pure 'delete'
+    * pre-image), a COW UPDATE swaps the shard-5 file ('delete'
+    * pre-image + 'insert' post-image), and untouched shards appear on
+    * neither side — the oracle spells the same three sets in SQL, so
+    * a diff that reads an untouched file, misses a retired one, or
+    * mislabels a side hash-mismatches. At 100 TB: "what changed since
+    * version N" costs the changed bytes (driver holds only the file-
+    * name DELTA; both reads are ordinary pruned fleet scans). */
+  def qFleetChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = true), "changes")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql("DELETE FROM graft.cust WHERE shard = 3")   // v2: metadata-only
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
+        |WHERE shard = 5""".stripMargin)               // v3: COW rewrite
+    graft.sources.FleetCDC.changes(s2, s"$root/cust.avro", 1L, 3L)
+      .orderBy($"_change_type", $"c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_restore" -> qSqlRestore _,
+    "q_fleet_changes" -> qFleetChanges _,
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
     "q_crud_upsert" -> qCrudUpsert _,
@@ -414,6 +441,19 @@ object Crud {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_fleet_changes" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+        |    c_custkey % 8 AS shard
+        |  FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal, shard,
+        |  'delete' AS _change_type
+        |FROM base WHERE shard IN (3, 5)
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal * 2.0, 4), shard,
+        |  'insert'
+        |FROM base WHERE shard = 5
+        |ORDER BY _change_type, c_custkey""".stripMargin,
     "q_sql_restore" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |FROM customer

@@ -179,6 +179,41 @@ class FleetManifestSpec extends SparkSpec {
       s"reset manifest ${snap.files} != disk $onDisk")
   }
 
+  test("FleetCDC diffs manifests: appends are inserts; in-range churn nets out") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("manifest_cdc") + "/t.avro"
+    spark.range(0, 50).select($"id").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)         // v1
+    spark.range(50, 80).select($"id").coalesce(1)
+      .write.format("graft-avro").mode("append").save(dir)            // v2
+    val ins = graft.sources.FleetCDC.changes(spark, dir, 1L, 2L)
+    assert(ins.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("insert" -> 30L))
+    assert(ins.agg(org.apache.spark.sql.functions.min($"id"))
+      .head.getLong(0) == 50L)
+    // retire the appended file (extent-decidable DELETE): v1→v3 nets
+    // to NOTHING — the churn lived strictly inside the range
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root",
+      new java.io.File(dir).getParent)
+    val tbl = new java.io.File(dir).getName.stripSuffix(".avro")
+    s2.sql(s"DELETE FROM graft.$tbl WHERE id >= 50")                  // v3
+    assert(graft.sources.FleetCDC.changes(spark, dir, 1L, 3L).count() == 0)
+    // and v2→v3 sees exactly the retirement as deletes
+    val del = graft.sources.FleetCDC.changes(spark, dir, 2L, 3L)
+    assert(del.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("delete" -> 30L))
+    intercept[IllegalArgumentException] {
+      graft.sources.FleetCDC.changes(spark, dir, 1L, 99L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.FleetCDC.changes(spark, dir, 2L, 2L)
+    }
+  }
+
   test("metadata-only DELETE retires files through the manifest first") {
     import spark.implicits._
     val dir = stage("metadel")
