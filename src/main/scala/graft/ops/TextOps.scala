@@ -401,7 +401,53 @@ object TextOps {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** §2.J LM-PERPLEXITY quality scoring — the classic training-data
+    * filter (CCNet/Gopher-style): train an add-k-smoothed word-BIGRAM
+    * language model ON the corpus itself, then score every document
+    * by its average negative log-likelihood under that model — high
+    * NLL = unusual token transitions (boilerplate, gibberish, wrong
+    * language), the cut signal a perplexity filter thresholds on.
+    * Entirely DataFrame algebra, no driver-side model object:
+    *
+    *  1. tokenize (the registry's shared lower+space spelling),
+    *  2. bigram counts `c(w1,w2)` and context counts `c(w1·)` — two
+    *     map-side-combining aggregations,
+    *  3. `P(w2|w1) = (c(w1,w2)+0.5) / (c(w1·)+0.5·V)` with V =
+    *     corpus vocabulary,
+    *  4. per-document `avg(-ln P)` over its bigrams.
+    *
+    * Scale: counts shuffle once each on their keys; the probability
+    * join keys on the bigram pair (far better spread than w1 alone —
+    * joining context counts on bare `w1` would put every "the …"
+    * bigram in one task; AQE skew-split covers the residue). The
+    * model tables are O(vocab²-observed), not O(corpus): scoring
+    * 100 TB re-reads the corpus once against them. */
+  def qTextPerplexity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, dir)
+      .select($"doc_id",
+        filter(split(lower($"text"), " "), w => length(w) > 0).as("w"))
+    val big = toks.filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+    val cb = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val ctx = big.groupBy($"w1").agg(count(lit(1)).as("cw"))
+    val v = toks.select(explode($"w").as("x")).agg(
+      countDistinct($"x").as("v"))
+    val probs = cb.join(ctx, "w1").crossJoin(v)
+      .select($"w1", $"w2",
+        (($"cb" + lit(0.5)) / ($"cw" + lit(0.5) * $"v")).as("p"))
+    big.join(probs, Seq("w1", "w2"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log($"p")), 4).as("nll"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_perplexity" -> qTextPerplexity _,
     "q_text_chunks" -> qTextChunks _,
     "q_text_chunks_gen" -> qTextChunksGen _,
     "q_text_pii" -> qTextPii _,
@@ -417,6 +463,31 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '),
+        |                x -> length(x) > 0) AS w
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |                          i -> w[i])) AS w1,
+        |    unnest(list_transform(generate_series(1, len(w) - 1),
+        |                          i -> w[i + 1])) AS w2
+        |  FROM toks WHERE len(w) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+        |ctx AS (SELECT w1, count(*) AS cw FROM big GROUP BY w1),
+        |v AS (SELECT count(DISTINCT x) AS v
+        |      FROM (SELECT unnest(w) AS x FROM toks)),
+        |probs AS (
+        |  SELECT cb.w1, cb.w2, (cb.cb + 0.5) / (ctx.cw + 0.5 * v.v) AS p
+        |  FROM cb JOIN ctx USING (w1) CROSS JOIN v)
+        |SELECT big.doc_id, count(*) AS n_bigrams,
+        |  round(avg(-ln(p)), 4) AS nll
+        |FROM big JOIN probs ON big.w1 = probs.w1 AND big.w2 = probs.w2
+        |GROUP BY big.doc_id
+        |ORDER BY big.doc_id""".stripMargin,
     // q_text_bpe: the IDENTICAL normalize + spaced-symbol + ranked
     // replace chain, generated from the same canonical merge table so
     // the two spellings cannot drift
