@@ -41,7 +41,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 private[sources] class AvroFleetRowLevelBuilder(schema: StructType,
     path: String, maxFileBytes: Long, info: RowLevelOperationInfo,
-    evolve: Boolean = false, aliases: Map[String, String] = Map.empty)
+    evolve: Boolean = false, aliases: Map[String, Seq[String]] = Map.empty)
     extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
     new AvroFleetRowLevelOperation(schema, path, maxFileBytes,
@@ -51,7 +51,7 @@ private[sources] class AvroFleetRowLevelBuilder(schema: StructType,
 private[sources] class AvroFleetRowLevelOperation(schema: StructType,
     path: String, maxFileBytes: Long,
     cmd: RowLevelOperation.Command, evolve: Boolean = false,
-    aliases: Map[String, String] = Map.empty) extends RowLevelOperation {
+    aliases: Map[String, Seq[String]] = Map.empty) extends RowLevelOperation {
 
   /** The scan's final planned file list — written by the scan at
     * partition-planning time (driver), read by the write at commit
@@ -103,7 +103,7 @@ private[sources] class AvroFleetRowLevelOperation(schema: StructType,
   * replace source must produce complete groups. */
 private[sources] class AvroFleetRowLevelScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long, op: AvroFleetRowLevelOperation,
-    evolve: Boolean = false, aliases: Map[String, String] = Map.empty)
+    evolve: Boolean = false, aliases: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 

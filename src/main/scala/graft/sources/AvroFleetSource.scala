@@ -60,14 +60,23 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
 
   /** An `ALTER TABLE`d fleet carries its declared schema in the
     * `_schema.json` marker — prefer it over the header peek (ADD
-    * COLUMN / RENAME COLUMN are metadata-only; files are immutable). */
+    * COLUMN / RENAME COLUMN are metadata-only; files are immutable).
+    * A multi-path or per-file load (FleetCDC's diff read, explicit
+    * part files, in-directory globs) resolves the marker from the
+    * FIRST path's enclosing fleet directory, so an ALTERed fleet's
+    * aliases and declared schema apply however its files are
+    * addressed. */
   private def markerOf(path: String): Option[FleetSchemaMarker.Marker] =
     try {
-      val p = new org.apache.hadoop.fs.Path(path)
+      val p = new org.apache.hadoop.fs.Path(Avro.splitGlobs(path).head)
       val fs = p.getFileSystem(
         SparkSession.active.sessionState.newHadoopConf())
-      if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
-        FleetSchemaMarker.read(fs, p)
+      val dirP =
+        if (fs.exists(p) && fs.getFileStatus(p).isDirectory) p
+        else p.getParent
+      if (dirP != null && fs.exists(dirP) &&
+          fs.getFileStatus(dirP).isDirectory)
+        FleetSchemaMarker.read(fs, dirP)
       else None
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -94,7 +103,7 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
 private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     maxFileBytes: Long, evolve: Boolean = false,
     versionAsOf: Option[Long] = None,
-    aliases: Map[String, String] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -583,21 +592,23 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
     // (strictExisting): rename-if-absent SKIPS an existing final,
     // which is exactly right both for a batch speculative twin
     // (identical content, keep-first — spec-pinned) and a replayed
-    // streaming epoch (same offsets + partitioning ⇒ byte-identical
-    // content) — but silently WRONG for a different checkpoint
-    // lineage colliding on an epoch name (a new streaming query,
-    // fresh checkpoint, same directory: its epochs restart at 0).
-    // Identical BYTES certify the replay case (an epoch file is one
-    // micro-batch — a bounded streamed compare); anything else means
-    // foreign data would be dropped AND this task's stats would
-    // describe rows the surviving file does not hold — fail loudly.
+    // streaming epoch. Epoch names carry the writer's checkpoint
+    // LINEAGE (part-N-<lineage8>-eM), so an existing final here is
+    // by construction OUR lineage replaying this epoch — same
+    // offsets, same rows. Bytes cannot certify that (Avro OCFs embed
+    // a RANDOM sync marker, so two writes of identical records
+    // differ in bytes); LENGTH can and must match — a mismatch means
+    // the replay derived different rows (broken source determinism),
+    // where keep-first would silently drop data and this task's
+    // stats would describe rows the surviving file does not hold.
     if (strictExisting && fs.exists(finalPath) &&
-        !AvroFleetDataWriter.sameContent(fs, finalPath, tmpPath)) {
+        fs.getFileStatus(finalPath).getLen !=
+          fs.getFileStatus(tmpPath).getLen) {
       fs.delete(tmpPath, false)
       throw new java.io.IOException(
-        s"$finalPath already exists with different content — another " +
-          "checkpoint lineage has written this epoch name; stream into " +
-          "a fresh directory or resume the original checkpoint")
+        s"$finalPath already exists with different length — a replay " +
+          "of this epoch produced different rows (non-deterministic " +
+          "source?); refusing to certify either side")
     }
     Avro.commitPart(fs, tmpPath, finalPath)
     AvroFleetCommitMessage(Seq(finalPath.toString ->
@@ -739,31 +750,6 @@ private[graft] object AvroFleetDataWriter {
       s"unknown graft-avro codec '$other' (use deflate, deflate-N, null)")
   }
 
-  /** Byte-exact comparison of two committed-size files, streamed in
-    * 64 KiB chunks — the epoch replay guard's proof (length equality
-    * alone admits an equal-length foreign epoch). */
-  def sameContent(fs: org.apache.hadoop.fs.FileSystem,
-      a: org.apache.hadoop.fs.Path,
-      b: org.apache.hadoop.fs.Path): Boolean = {
-    if (fs.getFileStatus(a).getLen != fs.getFileStatus(b).getLen)
-      return false
-    val ia = fs.open(a); val ib = fs.open(b)
-    try {
-      val ba = new Array[Byte](65536)
-      val bb = new Array[Byte](65536)
-      var same = true
-      var done = false
-      while (same && !done) {
-        val na = ia.readNBytes(ba, 0, ba.length)
-        val nb = ib.readNBytes(bb, 0, bb.length)
-        if (na != nb ||
-            !java.util.Arrays.equals(ba, 0, na, bb, 0, nb)) same = false
-        else if (na <= 0) done = true
-      }
-      same
-    } finally { ia.close(); ib.close() }
-  }
-
   /** Catalyst internal value → the avro carrier for that Spark type
     * (dates stay epoch-day ints, timestamps stay µs longs — exactly
     * the logical-type spelling `Avro.toAvroSchema` declares). */
@@ -821,6 +807,22 @@ private[sources] object AvroFleetCommits {
     f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 
+  /** THE raw data-file predicate for a fleet directory (final `.avro`
+    * names, no hidden temps, no `_` sidecars) — the single spelling
+    * every manifest-less fallback shares: the bootstrap commit here,
+    * the streaming source's legacy listing, and `rewrite_files`'
+    * legacy input ([[GraftProcedures]]). */
+  private[sources] def dataFileStatuses(
+      f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".avro") && !n.startsWith(".") &&
+        !n.startsWith("_")
+    }
+
   /** Raw data-file names for the first manifest commit into a
     * previously manifest-less directory — the legacy fleet's visible
     * set becomes generation 1's base (minus any files this very commit
@@ -828,13 +830,7 @@ private[sources] object AvroFleetCommits {
     * which are already on disk). */
   private def rawDataFiles(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Seq[String] =
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).toSeq.collect {
-      case st if st.isFile && st.getPath.getName.endsWith(".avro") &&
-          !st.getPath.getName.startsWith(".") &&
-          !st.getPath.getName.startsWith("_") =>
-        st.getPath.getName
-    }
+    dataFileStatuses(f, p).map(_.getPath.getName)
 
   /** Job/epoch rollback: delete this tag's finals and temps, leaving
     * previous generations complete. `tag` must be embedded
@@ -862,7 +858,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     versionAsOf: Option[Long] = None,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
-    aliases: Map[String, String] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -1204,7 +1200,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     versionAsOf: Option[Long] = None,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
-    aliases: Map[String, String] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1913,7 +1909,7 @@ private[sources] class AvroFleetReaderFactory(tableSchema: StructType,
     conf: SerializableHadoopConf,
     topN: Option[(Seq[TopNOrder], Int)] = None,
     evolve: Boolean = false,
-    aliases: Map[String, String] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
@@ -1996,7 +1992,7 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
     columns: Array[String], limit: Option[Int],
     filters: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf, evolve: Boolean = false,
-    aliases: Map[String, String] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends PartitionReader[InternalRow] {
 
   private val file = part.file
@@ -2058,11 +2054,14 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
     val writerTypes = writerSpark.map(f => f.name -> f.dataType).toMap
     val tableTypes = tableSchema.map(f => f.name -> f.dataType).toMap
     // RENAME COLUMN support: a logical column absent from this file
-    // under its current name may exist under its pre-rename PHYSICAL
-    // name (the _schema.json alias map) — decode that field instead
+    // under its current name may exist under ANY of its historical
+    // spellings (the _schema.json alias CHAIN, newest→oldest — files
+    // written between two renames carry an intermediate name, not
+    // just the original physical one) — decode the first spelling
+    // this file's writer schema actually has
     val aliased: Map[String, String] = decodeCols.flatMap { c =>
       if (writerTypes.contains(c)) None
-      else aliases.get(c).filter(writerTypes.contains).map(c -> _)
+      else aliases.get(c).flatMap(_.find(writerTypes.contains)).map(c -> _)
     }.toMap
     val present = (decodeCols.filter(writerTypes.contains) ++
       aliased.values.toSeq.filterNot(decodeCols.contains)).distinct

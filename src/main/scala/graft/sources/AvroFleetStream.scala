@@ -104,10 +104,7 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     if (!f.exists(p)) Seq.empty
     else {
       val base = FleetManifest.resolve(f, p, None).getOrElse(
-        f.listStatus(p).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".avro") &&
-            !st.getPath.getName.startsWith(".") &&
-            !st.getPath.getName.startsWith("_")))
+        AvroFleetCommits.dataFileStatuses(f, p))
       base.sortBy(st => (st.getModificationTime, st.getPath.toString))
         .map(st => st.getPath.toString -> st.getModificationTime)
     }
@@ -156,17 +153,23 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
           case e => e
         }
         // watermark advances only on ADMITTED mtimes (a deferred
-        // backlog under maxFilesPerTrigger must not starve itself),
-        // and admission re-checks it so "admitted ⇒ processed" holds:
-        // a file older than (newest admitted − age) is skipped
-        // entirely, never admitted-then-evicted
+        // backlog under maxFilesPerTrigger must not starve itself).
+        // A candidate below the ADVANCED watermark — a straggler
+        // listed in the same trigger as a much newer file — is
+        // EXPIRED AT ADMISSION: excluded from the end offset (its
+        // rows are never read) and permanently below the watermark
+        // (it can never re-admit as a duplicate). That is age-based
+        // expiry's contract, identical to FileStreamSource's
+        // maxFileAge: a file older than (newest seen − age) is
+        // expired, and whether a straggler beats the newcomer by one
+        // trigger is inherent timing, not state divergence — both
+        // outcomes leave the seen set consistent.
         val maxAdmitted = (admitted.map(_._2) :+ wm)
           .foldLeft(Long.MinValue)(math.max)
         val newWm =
           if (maxAdmitted == Long.MinValue) wm
           else math.max(wm, maxAdmitted - age)
-        val kept = (carried ++ admitted.filter(_._2 >= newWm))
-          .filter(_._2 >= newWm)
+        val kept = (carried ++ admitted).filter(_._2 >= newWm)
         FleetSourceOffset(kept, Some(newWm), store)
     }
   }
@@ -229,18 +232,32 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
   * query, distinct for any other query), held in a `_stream.lock`
   * lease the owner refreshes on every factory creation and epoch
   * commit. A second writer with a DIFFERENT checkpoint fails loudly
-  * while the lease is fresh (`writerLeaseMs`, default 5 min) instead
-  * of interleaving epochs whose `part-N-eM` names would collide; a
+  * while the lease is fresh (`writerLeaseMs`, default 5 min); a
   * crashed writer's lease expires and a successor takes over. Resume
   * from the same checkpoint is always allowed — that is the
   * exactly-once replay the epoch-keyed names exist for.
   *
+  * LINEAGE-TAGGED epoch names: every file carries the writer's
+  * checkpoint lineage — `part-N-<lineage8>-eM.avro` — so two
+  * checkpoints' epoch numbering can NEVER collide on a name (a fresh
+  * checkpoint restarts at epoch 0; with untagged names its files
+  * would land on the original query's). Within one lineage a replayed
+  * epoch re-derives the same rows from the same offsets, and the
+  * task writer keeps the first committed file (a byte-compare cannot
+  * certify the replay — Avro OCFs embed a RANDOM sync marker, so two
+  * writes of identical records differ in bytes; lengths still match,
+  * and a length MISMATCH on a same-lineage name means broken replay
+  * determinism, failed loudly).
+  *
   * Epoch RECONCILIATION: before certifying epoch E, any on-disk
-  * `-eE` file this commit's tasks did not produce is deleted — the
-  * leftovers of a wider crashed attempt of the same epoch (e.g. a
-  * replay after the input partitioning narrowed). They were never
-  * manifest-committed, so readers never saw them; reconciling keeps
-  * the directory's physical state equal to the committed state. */
+  * `-<lineage8>-eE` file this commit's tasks did not produce is
+  * deleted — the leftovers of a wider crashed attempt of the same
+  * epoch (e.g. a replay after the input partitioning narrowed) —
+  * UNLESS the current manifest references it: a manifest-committed
+  * file from a previously-certified attempt of this epoch must
+  * survive a narrowed replay (the replay's own files then dedup
+  * against it by name). Reconciling keeps the directory's physical
+  * state equal to the committed state. */
 private[sources] class AvroFleetStreamingWrite(schemaJson: String,
     schema: StructType, dir: String, codec: String,
     writerTag: String, leaseMs: Long)
@@ -250,6 +267,10 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
 
   private def fleetFs = new org.apache.hadoop.fs.Path(dir)
     .getFileSystem(SparkSession.active.sessionState.newHadoopConf())
+
+  // the lineage infix in every epoch file name — checkpoint-derived,
+  // so cross-checkpoint name collisions are impossible by construction
+  private val lineage = writerTag.take(8)
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
@@ -265,6 +286,7 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
     val sj = schemaJson
     val d = dir
     val c = codec
+    val lin = lineage
     new org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
@@ -272,7 +294,7 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
           : org.apache.spark.sql.connector.write.DataWriter[
             org.apache.spark.sql.catalyst.InternalRow] =
         new AvroFleetDataWriter(sj, names, types, d, partitionId,
-          taskId, s"e$epochId", conf, c, strictExisting = true)
+          taskId, s"$lin-e$epochId", conf, c, strictExisting = true)
     }
   }
 
@@ -283,16 +305,22 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
     // still fenced? a successor that took over after our lease lapsed
     // must not let us certify a stale epoch on top of its stream
     FleetWriterLock.acquire(f, p, writerTag, leaseMs)
-    // reconcile: drop -e{epochId} strays a wider crashed attempt left
-    // (never manifest-committed, so never reader-visible)
+    // reconcile: drop THIS lineage's -e{epochId} strays a wider
+    // crashed attempt left — but never a MANIFEST-committed file (a
+    // previously-certified attempt of this epoch that the checkpoint
+    // log missed: a narrowed replay must not delete files the current
+    // generation still references)
     val committed = messages.collect {
       case AvroFleetCommitMessage(parts) => parts.map { case (file, _) =>
         new org.apache.hadoop.fs.Path(file).getName
       }
     }.flatten.toSet
+    val inManifest = FleetManifest.current(f, p)
+      .map(_.files.toSet).getOrElse(Set.empty[String])
     f.listStatus(p).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && n.endsWith(s"-e$epochId.avro") && !committed(n))
+      if (st.isFile && n.endsWith(s"-$lineage-e$epochId.avro") &&
+          !committed(n) && !inManifest(n))
         f.delete(st.getPath, false)
     }
     AvroFleetCommits.commitFleet(f, p, messages)
@@ -302,17 +330,17 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
       messages: Array[WriterCommitMessage]): Unit = {
     val f = fleetFs
     val p = new org.apache.hadoop.fs.Path(dir)
-    // never unlink MANIFEST-COMMITTED files: when a colliding lineage
-    // (fresh checkpoint, same epoch numbers) fails its epoch, the tag
-    // match would otherwise destroy the ORIGINAL query's committed
-    // epoch file — only this failed epoch's own (uncommitted) files
-    // and temps may roll back
+    // lineage-scoped AND never a manifest-committed file: a failed
+    // epoch rolls back only its own lineage's uncommitted files and
+    // temps (epoch names are collision-free across lineages, but a
+    // certified earlier attempt of this very epoch may be in the
+    // manifest — it must survive)
     val committed = FleetManifest.current(f, p)
       .map(_.files.toSet).getOrElse(Set.empty[String])
     // exact epoch tag: "-e1" must not match "-e10"/"-e12"
     AvroFleetCommits.abortFleet(f, p,
-      n => (n.contains(s"-e$epochId.avro") ||
-        n.contains(s"-e$epochId-attempt")) && !committed(n))
+      n => (n.contains(s"-$lineage-e$epochId.avro") ||
+        n.contains(s"-$lineage-e$epochId-attempt")) && !committed(n))
   }
 }
 

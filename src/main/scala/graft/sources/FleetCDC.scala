@@ -56,8 +56,14 @@ object FleetCDC {
     val to = snap(toVersion).files.toSet
     val added = (to -- from).toSeq.sorted
     val removed = (from -- to).toSeq.sorted
-    // one bounded header peek pins the schema even when a side is empty
-    val schema = s.read.format("graft-avro").load(dir).schema
+    // ONE table schema governs both sides — resolved from the whole
+    // fleet (schema marker preferred, else the merge of every
+    // generation's writer schema), then imposed on the per-file reads
+    // so a schema-EVOLVED fleet diffs cleanly: pre-ALTER generations
+    // null-fill added columns and answer renamed ones through the
+    // alias chain, exactly as a full-fleet read would
+    val schema = s.read.format("graft-avro")
+      .option("mergeSchema", "true").load(dir).schema
     def side(files: Seq[String], tag: String): DataFrame =
       if (files.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -67,6 +73,7 @@ object FleetCDC {
         // (names never contain commas — the committer's contract), so
         // the diff read IS a normal fleet scan over just those files
         s.read.format("graft-avro")
+          .option("mergeSchema", "true").schema(schema)
           .load(files.map(n => s"$dir/$n").mkString(","))
           .withColumn(ChangeTypeCol, lit(tag))
     side(added, "insert").unionByName(side(removed, "delete"))

@@ -101,20 +101,29 @@ object FleetCompact {
     require(keepLast >= 1, "keepLast must be >= 1")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
-    val vs = FleetManifest.versions(fs, dirPath)
-    if (vs.size <= keepLast) return ExpireResult(Seq.empty, Seq.empty)
-    val (expired, kept) = vs.splitAt(vs.size - keepLast)
-    val keptFiles = kept.flatMap(v =>
-      FleetManifest.snapshotAt(fs, dirPath, v).toSeq.flatMap(_.files)).toSet
-    val candidates = expired.flatMap(v =>
-      FleetManifest.snapshotAt(fs, dirPath, v).toSeq.flatMap(_.files))
-      .distinct.filterNot(keptFiles)
-    expired.foreach { v =>
-      fs.delete(FleetManifest.versionFilePath(dirPath, v), false)
+    // under the manifest commit lock: a concurrent restore/commit
+    // must not land between the retained-version scan and the deletes
+    // (a restore re-pointing at an expired generation would otherwise
+    // leave a CURRENT version whose files this pass just unlinked)
+    FleetManifest.withCommitLock(fs, dirPath) {
+      val vs = FleetManifest.versions(fs, dirPath)
+      if (vs.size <= keepLast) ExpireResult(Seq.empty, Seq.empty)
+      else {
+        val (expired, kept) = vs.splitAt(vs.size - keepLast)
+        val keptFiles = kept.flatMap(v =>
+          FleetManifest.snapshotAt(fs, dirPath, v).toSeq.flatMap(_.files))
+          .toSet
+        val candidates = expired.flatMap(v =>
+          FleetManifest.snapshotAt(fs, dirPath, v).toSeq.flatMap(_.files))
+          .distinct.filterNot(keptFiles)
+        expired.foreach { v =>
+          fs.delete(FleetManifest.versionFilePath(dirPath, v), false)
+        }
+        val deleted = candidates.filter { n =>
+          fs.delete(new Path(dirPath, n), false)
+        }
+        ExpireResult(expired, deleted)
+      }
     }
-    val deleted = candidates.filter { n =>
-      fs.delete(new Path(dirPath, n), false)
-    }
-    ExpireResult(expired, deleted)
   }
 }

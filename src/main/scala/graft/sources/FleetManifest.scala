@@ -33,13 +33,14 @@ import org.json4s.jackson.JsonMethods
   *  1. read the current version N (highest `v…json` in `_manifest/`),
   *  2. compute the next file list and render it as `v{N+1}.json`
   *     content,
-  *  3. write a hidden temp, `rename` it onto `v{N+1}.json`, and
-  *     READ BACK the destination: content == ours ⇒ the commit is
-  *     ours; anything else ⇒ a concurrent committer claimed N+1 first
-  *     (HDFS rename-if-absent fails outright; a local-FS rename can
-  *     clobber, which the read-back detects) — re-read and retry on
-  *     N+2 with the update function applied to the NEW base, so racing
-  *     commits serialize instead of losing updates.
+  *  3. claim `v{N+1}.json` atomically: on the LOCAL filesystem a
+  *     hard link from a completed hidden temp (`Files.createLink`
+  *     fails-if-exists at the OS level — rename would clobber);
+  *     elsewhere a temp + `rename` (HDFS/object-store rename-if-
+  *     absent refuses an existing destination) with a READ-BACK
+  *     verifying the content is ours. A lost claim re-reads and
+  *     retries on N+2 with the update function applied to the NEW
+  *     base, so racing commits serialize instead of losing updates.
   *
   * In-JVM commits additionally serialize on striped locks (the
   * [[FleetStats]] pattern) so local-mode concurrency never relies on
@@ -126,6 +127,29 @@ private[graft] object FleetManifest {
   // serialize unrelated commits)
   private val commitStripes = Array.fill(64)(new Object)
 
+  /** Run `f` under the same per-directory stripe the commit protocol
+    * uses — retention passes ([[FleetCompact.expireVersions]]) take
+    * this so a concurrent restore/commit cannot interleave between
+    * their retained-version scan and their deletes (synchronized is
+    * reentrant, so committing inside the block is fine). */
+  private[sources] def withCommitLock[T](fs: FileSystem, dir: Path)
+      (f: => T): T = {
+    val key = fs.makeQualified(dir).toString
+    commitStripes(math.floorMod(key.hashCode, commitStripes.length))
+      .synchronized(f)
+  }
+
+  /** The version file as a `java.nio` path when the filesystem is the
+    * local one — the scheme where `rename` CLOBBERS and the read-back
+    * protocol has a residual cross-process window. */
+  private def localNio(fs: FileSystem, p: Path)
+      : Option[java.nio.file.Path] = {
+    val uri = fs.makeQualified(p).toUri
+    if (uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+
   /** Commit the next generation: `update` maps the current file list
     * (or `bootstrap` for a manifest-less fleet) to the new complete
     * list. Returns the committed snapshot. Retries on concurrent
@@ -147,22 +171,42 @@ private[graft] object FleetManifest {
           val dest = vpath(dir, next.version)
           fs.mkdirs(mdir(dir))
           if (!fs.exists(dest)) {
-            val tmp = new Path(mdir(dir),
-              s".${vname(next.version)}.${java.util.UUID.randomUUID()}.tmp")
-            val out = fs.create(tmp, true)
-            try out.write(render(next).getBytes("UTF-8"))
-            finally out.close()
-            val renamed =
-              try fs.rename(tmp, dest)
-              catch { case NonFatal(_) => false }
-            if (!renamed) fs.delete(tmp, false)
-            // read-back verification: a local-FS rename can clobber a
-            // racer's just-committed version — content == ours is the
-            // only proof the claim is ours
-            if (renamed &&
-                (try readFile(fs, dest) == next
-                 catch { case NonFatal(_) => false }))
-              return next
+            localNio(fs, dest) match {
+              case Some(nioDest) =>
+                // local FS: rename clobbers, so the atomic claim is a
+                // HARD LINK (createLink fails-if-exists at the OS
+                // level, and the linked content is already complete —
+                // no torn-write window, no read-back needed)
+                val nioTmp = nioDest.resolveSibling(
+                  s".${vname(next.version)}." +
+                    s"${java.util.UUID.randomUUID()}.tmp")
+                java.nio.file.Files.write(nioTmp,
+                  render(next).getBytes("UTF-8"))
+                val claimed =
+                  try { java.nio.file.Files.createLink(nioDest, nioTmp)
+                        true }
+                  catch { case NonFatal(_) => false }
+                java.nio.file.Files.deleteIfExists(nioTmp)
+                if (claimed) return next
+              case None =>
+                val tmp = new Path(mdir(dir),
+                  s".${vname(next.version)}." +
+                    s"${java.util.UUID.randomUUID()}.tmp")
+                val out = fs.create(tmp, true)
+                try out.write(render(next).getBytes("UTF-8"))
+                finally out.close()
+                // HDFS/object-store rename-if-absent refuses an
+                // existing destination atomically; the read-back
+                // verifies the claim regardless
+                val renamed =
+                  try fs.rename(tmp, dest)
+                  catch { case NonFatal(_) => false }
+                if (!renamed) fs.delete(tmp, false)
+                if (renamed &&
+                    (try readFile(fs, dest) == next
+                     catch { case NonFatal(_) => false }))
+                  return next
+            }
           }
           // lost the claim: loop re-reads the new current and retries
         }

@@ -143,9 +143,12 @@ object FleetMerge {
     // the append's job commit IS the generation swap: its one manifest
     // commit adds the rewritten files and removes the touched
     // originals (manifestSwapRemove), so no reader window ever shows
-    // both generations — then the retired originals are unlinked as
-    // plain garbage collection (skipped under retainOld: the pre-merge
-    // manifest version stays readable via versionAsOf until expired)
+    // both generations. Physical reclamation is a RETENTION decision:
+    // retainOld keeps every superseded generation readable via
+    // versionAsOf until an explicit expireVersions; retainOld=false
+    // runs that retention pass immediately (keepLast=1), so history
+    // is dropped CONSISTENTLY — manifests and files together — never
+    // a still-listed version whose files are gone
     val touchedNames = touched
       .map(p => new org.apache.hadoop.fs.Path(p).getName)
     merged.write.format("graft-avro").mode("append")
@@ -155,8 +158,7 @@ object FleetMerge {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".avro") &&
         !before.contains(st.getPath.getName))
       .map(_.getPath.toString)
-    if (!retainOld)
-      touched.foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), false))
+    if (!retainOld) FleetCompact.expireVersions(s, dir, keepLast = 1)
     CowResult(touched, untouched, written)
   }
 }

@@ -215,7 +215,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val existing = FleetSchemaMarker.read(fs, p)
     var schema = existing.map(_.schema).getOrElse(Avro.toSparkSchema(
       Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
-    var aliases = existing.map(_.aliases).getOrElse(Map.empty[String, String])
+    var aliases = existing.map(_.aliases)
+      .getOrElse(Map.empty[String, Seq[String]])
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -240,10 +241,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"column '$nn' already exists")
         schema = StructType(schema.fields.map(f =>
           if (f.name == old) f.copy(name = nn) else f))
-        // chase the chain: files written before ANY rename carry the
-        // original physical name
-        val phys = aliases.getOrElse(old, old)
-        aliases = (aliases - old) + (nn -> phys)
+        // the FULL chain travels: files may carry any historical
+        // spelling — the one they were written under (a file written
+        // between two renames holds the intermediate name, which a
+        // single original-physical entry would lose to silent NULLs)
+        val chain = old +: aliases.getOrElse(old, Seq.empty)
+        aliases = (aliases - old) + (nn -> chain)
       case other => throw new UnsupportedOperationException(
         s"graft ALTER TABLE supports ADD COLUMN and RENAME COLUMN " +
           s"only (got ${other.getClass.getSimpleName}); drops and type " +

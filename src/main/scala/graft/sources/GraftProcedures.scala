@@ -178,13 +178,20 @@ private[sources] object GraftProcedures {
       val dir = requireFleet(dirFor, table)
       val (p, fs) = fsFor(dir)
       // resolve() hard-fails if generation v is unknown or its files
-      // were expired — a restore must never commit a dangling file list
-      FleetManifest.resolve(fs, p, Some(v)).getOrElse(
+      // were expired — a restore must never commit a dangling file
+      // list. The check runs INSIDE the commit's update function,
+      // i.e. under the manifest commit lock: a retention pass
+      // (expireVersions takes the same lock) cannot expire the target
+      // generation between verification and commit.
+      FleetManifest.versions(fs, p).headOption.getOrElse(
         throw new IllegalArgumentException(
           s"restore: fleet '$table' has no manifest history"))
-      val snap = FleetManifest.snapshotAt(fs, p, v).get
       val committed = FleetManifest.commit(fs, p,
-        _ => snap.files, bootstrap = Seq.empty)
+        update = { _ =>
+          FleetManifest.resolve(fs, p, Some(v))
+          FleetManifest.snapshotAt(fs, p, v).get.files
+        },
+        bootstrap = Seq.empty)
       result(out, new GenericInternalRow(Array[Any](
         v, committed.version, committed.files.size)))
     }
@@ -216,11 +223,7 @@ private[sources] object GraftProcedures {
       // racing writer loses nothing (its commit serializes after ours
       // and its files stay referenced)
       val current = FleetManifest.resolve(fs, p, None).getOrElse(
-        fs.listStatus(p).toSeq.filter { st =>
-          val n = st.getPath.getName
-          st.isFile && n.endsWith(".avro") && !n.startsWith(".") &&
-            !n.startsWith("_")
-        })
+        AvroFleetCommits.dataFileStatuses(fs, p))
       if (current.isEmpty)
         return result(out, new GenericInternalRow(Array[Any](0, 0,
           FleetManifest.current(fs, p).map(_.version).getOrElse(0L))))
@@ -242,7 +245,8 @@ private[sources] object GraftProcedures {
       val committed = FleetManifest.current(fs, p).getOrElse(
         throw new IllegalStateException(
           s"rewrite_files: commit left no manifest at $dir"))
-      val added = committed.files.count(!names.toSet(_))
+      val oldNames = names.toSet
+      val added = committed.files.count(!oldNames(_))
       result(out, new GenericInternalRow(Array[Any](
         names.size, added, committed.version)))
     }

@@ -35,8 +35,12 @@ import org.apache.spark.sql.types._
 private[graft] object FleetSchemaMarker {
   val FileName = "_schema.json"
 
+  /** `aliases` is the full historical CHAIN per current column name,
+    * newest spelling first — files written between two renames carry
+    * an intermediate name, so one original-physical entry is not
+    * enough for a column renamed twice. */
   final case class Marker(schema: StructType,
-      aliases: Map[String, String])
+      aliases: Map[String, Seq[String]])
 
   def write(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, m: Marker): Unit = {
@@ -44,7 +48,8 @@ private[graft] object FleetSchemaMarker {
       org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
         "schema" -> org.json4s.jackson.JsonMethods.parse(m.schema.json),
         "aliases" -> org.json4s.JObject(m.aliases.toList.map {
-          case (k, v) => k -> (org.json4s.JString(v): org.json4s.JValue)
+          case (k, vs) => k -> (org.json4s.JArray(
+            vs.map(org.json4s.JString(_)).toList): org.json4s.JValue)
         }))))
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$FileName.tmp")
     val out = fs.create(tmp, true)
@@ -69,9 +74,12 @@ private[graft] object FleetSchemaMarker {
         .asInstanceOf[StructType]
       val aliases = (obj \ "aliases") match {
         case o: org.json4s.JObject => o.obj.collect {
-          case (k, org.json4s.JString(v)) => k -> v
+          // legacy single-spelling markers parse as one-element chains
+          case (k, org.json4s.JString(v)) => k -> Seq(v)
+          case (k, org.json4s.JArray(vs)) =>
+            k -> vs.collect { case org.json4s.JString(v) => v }
         }.toMap
-        case _ => Map.empty[String, String]
+        case _ => Map.empty[String, Seq[String]]
       }
       Some(Marker(schema, aliases))
     }

@@ -276,21 +276,29 @@ class CatalogSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(renamed == Map(3L -> "a3", 12L -> "b12"),
       s"alias resolution failed: $renamed")
-    // a second rename chases the chain back to the physical name
+    // a file written BETWEEN two renames physically carries the
+    // INTERMEDIATE spelling — the alias chain must resolve it too,
+    // not just the original physical name
+    s2.sql("INSERT INTO graft.ev SELECT id, concat('m', id), NULL " +
+      "FROM range(100, 103)")
+    // a second rename chases the chain back through EVERY spelling
     s2.sql("ALTER TABLE graft.ev RENAME COLUMN label TO tag2")
     assert(s2.sql("SELECT tag2 FROM graft.ev WHERE id = 3")
       .head.getString(0) == "a3")
+    assert(s2.sql("SELECT tag2 FROM graft.ev WHERE id = 101")
+      .head.getString(0) == "m101",
+      "mid-chain generation must resolve through the intermediate alias")
     // post-rename INSERT writes the new spelling; the mix still reads
     s2.sql("INSERT INTO graft.ev SELECT id, concat('c', id), NULL " +
       "FROM range(15, 18)")
-    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 18)
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 21)
     assert(s2.sql("SELECT tag2 FROM graft.ev WHERE id = 16")
       .head.getString(0) == "c16")
 
     // row-level verb on the ALTERed fleet: DELETE keyed on a renamed
     // column goes through the same alias-aware scan
     s2.sql("DELETE FROM graft.ev WHERE tag2 = 'a3'")
-    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 17)
+    assert(s2.sql("SELECT count(*) AS n FROM graft.ev").head.getLong(0) == 20)
 
     // rejections are loud
     intercept[Exception] {

@@ -214,6 +214,28 @@ class FleetManifestSpec extends SparkSpec {
     }
   }
 
+  test("FleetCDC diffs an ALTERed fleet: both sides read under the marker schema") {
+    val root = graft.util.Scratch.dir("manifest_cdc_evolve")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.sql("CREATE TABLE graft.e AS SELECT id, concat('a', id) AS v " +
+      "FROM range(0, 20)")                                   // v1 + v2
+    s2.sql("ALTER TABLE graft.e ADD COLUMN note STRING")     // metadata only
+    s2.sql("INSERT INTO graft.e SELECT id, concat('b', id), " +
+      "concat('n', id) FROM range(20, 25)")                  // v3
+    val dir = s"$root/e.avro"
+    // pre-ALTER generation on the DELETE side of a diff must null-fill
+    // the added column instead of failing the union
+    val d12 = graft.sources.FleetCDC.changes(s2, dir, 1L, 2L)
+    assert(d12.schema.fieldNames.contains("note"))
+    assert(d12.where("_change_type = 'insert'").count() == 20)
+    assert(d12.where("note IS NOT NULL").count() == 0)
+    val d23 = graft.sources.FleetCDC.changes(s2, dir, 2L, 3L)
+    assert(d23.where("_change_type = 'insert' AND note IS NOT NULL")
+      .count() == 5)
+  }
+
   test("metadata-only DELETE retires files through the manifest first") {
     import spark.implicits._
     val dir = stage("metadel")

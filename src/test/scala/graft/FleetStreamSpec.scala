@@ -124,7 +124,7 @@ class FleetStreamSpec extends SparkSpec {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val names = fs.listStatus(p).map(_.getPath.getName)
       .filter(_.endsWith(".avro"))
-    assert(names.forall(_.matches("part-\\d{5}-e\\d+\\.avro")),
+    assert(names.forall(_.matches("part-\\d{5}-[0-9a-f]{8}-e\\d+\\.avro")),
       s"epoch-keyed names expected: ${names.toSeq}")
     assert(names.map(_.replaceAll(".*-e(\\d+)\\.avro", "$1")).distinct
       .length >= 2, "two epochs expected")
@@ -332,27 +332,30 @@ class FleetStreamSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L, 4L), s"fenced fleet corrupted: $ids")
 
     // an expired lease IS taken over (writerLeaseMs = the acquirer's
-    // staleness judgment) — and the next guard in depth then fires:
-    // the fresh checkpoint's epoch 0 collides with the original
-    // lineage's epoch-0 file and the content check fails LOUDLY
-    // instead of silently dropping foreign data
+    // staleness judgment) — and because epoch file names carry the
+    // writer's checkpoint LINEAGE, the successor's epoch 0 lands
+    // under its own name instead of colliding with the original
+    // query's epoch-0 file: the takeover appends cleanly and the
+    // original lineage's committed epochs survive untouched
     val inC = MemoryStream[Long]
     inC.addData(10L)
-    val eC = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val qC = inC.toDF().select($"value".as("id"))
-        .writeStream.format("graft-avro")
-        .option("checkpointLocation", s"$root/ckptC")
-        .option("writerLeaseMs", "0")
-        .option("path", out).start()
-      qC.processAllAvailable()
-      qC.stop()
-    }
-    assert(eC.toString.contains("different content") ||
-      Option(eC.getCause).exists(
-        _.toString.contains("different content")), eC.toString)
-    // the fenced+guarded fleet is uncorrupted throughout
+    val qC = inC.toDF().select($"value".as("id"))
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", s"$root/ckptC")
+      .option("writerLeaseMs", "0")
+      .option("path", out).start()
+    qC.processAllAvailable()
+    qC.stop()
     val finalIds = spark.read.format("graft-avro").load(out)
       .select("id").collect().map(_.getLong(0)).toSet
-    assert(finalIds == Set(1L, 2L, 3L, 4L), s"corrupted: $finalIds")
+    assert(finalIds == Set(1L, 2L, 3L, 4L, 10L), s"corrupted: $finalIds")
+    // both lineages' epoch files coexist by name construction
+    val fsC = new org.apache.hadoop.fs.Path(out).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val lineages = fsC.listStatus(new org.apache.hadoop.fs.Path(out))
+      .map(_.getPath.getName)
+      .collect { case n if n.matches("part-\\d{5}-[0-9a-f]{8}-e\\d+\\.avro") =>
+        n.split("-")(2) }.toSet
+    assert(lineages.size == 2, s"expected two lineage tags: $lineages")
   }
 }
