@@ -85,6 +85,18 @@ private[graft] object FleetManifest {
       .flatMap(st => parseVersion(st.getPath.getName)).sorted
   }
 
+  /** Committed versions with their COMMIT TIMES (the immutable
+    * version file's mtime, ms) — the index `TIMESTAMP AS OF` binds
+    * against. */
+  def versionsWithTimes(fs: FileSystem, dir: Path): Seq[(Long, Long)] = {
+    val d = mdir(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName)
+        .map(_ -> st.getModificationTime))
+      .sortBy(_._1)
+  }
+
   def snapshotAt(fs: FileSystem, dir: Path, v: Long): Option[Snapshot] = {
     val p = vpath(dir, v)
     if (!fs.exists(p)) None else Some(readFile(fs, p))

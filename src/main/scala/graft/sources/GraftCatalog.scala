@@ -126,10 +126,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"graft VERSION AS OF takes a manifest version number, " +
           s"got '$version'"))))
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft fleets are versioned by manifest generation — use " +
-        "VERSION AS OF <n> (TIMESTAMP AS OF is not supported)")
+  /** SQL `TIMESTAMP AS OF` — binds the timestamp (Spark hands it in
+    * MICROSECONDS) to the newest manifest generation committed at or
+    * before it (commit time = the immutable version file's mtime).
+    * The resolved read is exactly the `VERSION AS OF` read of that
+    * generation. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    require(ident.namespace().isEmpty,
+      "TIMESTAMP AS OF applies to avro fleets only")
+    val dir = hPath(avroDir(ident.name()))
+    if (!fs.exists(dir) || !fs.getFileStatus(dir).isDirectory)
+      noSuchTable(ident)
+    val tsMs = timestamp / 1000L
+    val withTimes = FleetManifest.versionsWithTimes(fs, dir)
+    require(withTimes.nonEmpty,
+      s"TIMESTAMP AS OF: fleet '${ident.name()}' has no manifest " +
+        "history (only transactionally-committed fleets are versioned)")
+    // filter-then-max, not takeWhile: robust to clock skew between
+    // committers (version order is authoritative, mtimes advisory)
+    val resolved = withTimes.filter(_._2 <= tsMs)
+      .map(_._1).maxOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMs)}: " +
+            s"before fleet '${ident.name()}'s first commit at " +
+            s"${java.time.Instant.ofEpochMilli(withTimes.head._2)}"))
+    loadAt(ident, versionAsOf = Some(resolved))
+  }
 
   private def loadAt(ident: Identifier, versionAsOf: Option[Long]): Table =
     ident.namespace().toSeq match {

@@ -47,6 +47,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    mistaken restore is restorable). Fails loudly if the target
   *    generation's files were already expired. Data only: schema DDL
   *    markers (`_schema.json`) are not versioned by the manifest.
+  *  - `remove_orphans(table, grace_ms)` — GC for files NO manifest
+  *    version references (a crashed job's task-committed strays:
+  *    renamed to final names but never manifest-committed, so never
+  *    reader-visible). `grace_ms` guards in-flight jobs — only files
+  *    older than (now − grace) qualify.
   *
   * Results surface as `LocalScan` rows — driver-side by design: every
   * procedure is a METADATA operation (the one distributed step,
@@ -57,7 +62,7 @@ private[sources] object GraftProcedures {
 
   val Namespace = "system"
   private val names = Seq("snapshots", "expire_versions", "restore",
-    "rewrite_files")
+    "rewrite_files", "remove_orphans")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -75,6 +80,7 @@ private[sources] object GraftProcedures {
       case "expire_versions" => new ExpireVersions(dirFor)
       case "restore" => new Restore(dirFor)
       case "rewrite_files" => new RewriteFiles(dirFor)
+      case "remove_orphans" => new RemoveOrphans(dirFor)
       case other => throw new UnsupportedOperationException(
         s"no such graft procedure '$other' " +
           s"(available: ${names.mkString(", ")})")
@@ -194,6 +200,43 @@ private[sources] object GraftProcedures {
         bootstrap = Seq.empty)
       result(out, new GenericInternalRow(Array[Any](
         v, committed.version, committed.files.size)))
+    }
+  }
+
+  private final class RemoveOrphans(dirFor: String => String)
+      extends Base("remove_orphans") {
+    override def description: String =
+      "delete data files no manifest version references, older than " +
+        "grace_ms (crashed jobs' task-committed strays)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("grace_ms", LongType))
+    private val out = StructType(Seq(
+      StructField("deleted_files", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val graceMs = input.getLong(1)
+      require(graceMs >= 0, "grace_ms must be >= 0")
+      val dir = requireFleet(dirFor, table)
+      val (p, fs) = fsFor(dir)
+      require(FleetManifest.versions(fs, p).nonEmpty,
+        s"remove_orphans: fleet '$table' has no manifest — on a " +
+          "legacy (raw-listing) fleet every data file is live")
+      // an in-flight job's task-committed files are orphans-in-waiting
+      // until its ONE manifest commit lands; grace_ms is the guard —
+      // only files strictly older than (now − grace) qualify, so a
+      // stray must predate any plausibly-running job. The referenced
+      // set spans EVERY retained version (time travel keeps serving).
+      val cutoff = System.currentTimeMillis() - graceMs
+      val referenced = FleetManifest.withCommitLock(fs, p) {
+        FleetManifest.versions(fs, p).flatMap(v =>
+          FleetManifest.snapshotAt(fs, p, v).toSeq.flatMap(_.files)).toSet
+      }
+      val deleted = AvroFleetCommits.dataFileStatuses(fs, p).count { st =>
+        val n = st.getPath.getName
+        !referenced(n) && st.getModificationTime < cutoff &&
+          fs.delete(st.getPath, false)
+      }
+      result(out, new GenericInternalRow(Array[Any](deleted)))
     }
   }
 

@@ -426,6 +426,49 @@ class CatalogSpec extends SparkSpec {
       .head == before)
   }
 
+  test("TIMESTAMP AS OF binds to the newest generation at or before it") {
+    val root = graft.util.Scratch.dir("cat_ts_asof")
+    val s2 = catSession(root)
+    s2.sql("CREATE TABLE graft.t AS SELECT id FROM range(10)") // v1+v2
+    s2.sql("DELETE FROM graft.t WHERE id >= 5")                // v3
+    // pin commit times: v1/v2 at t1, v3 at t2 (mtimes are the
+    // TIMESTAMP AS OF index)
+    val t1 = 1000000000000L
+    val t2 = t1 + 100000L
+    val mdir = new java.io.File(s"$root/t.avro/_manifest")
+    mdir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val v = f.getName.stripPrefix("v").stripSuffix(".json").toLong
+      assert(f.setLastModified(if (v <= 2) t1 else t2))
+    }
+    def countAt(ms: Long) = s2.sql(
+      s"SELECT count(*) AS n FROM graft.t " +
+        s"TIMESTAMP AS OF timestamp_millis(${ms}L)").head.getLong(0)
+    assert(countAt(t1 + 50000) == 10, "between commits: the v2 snapshot")
+    assert(countAt(t2 + 50000) == 5, "after the delete: the v3 snapshot")
+    intercept[Exception] { countAt(t1 - 50000) } // before first commit
+  }
+
+  test("CALL remove_orphans GCs only unreferenced files past the grace window") {
+    val root = graft.util.Scratch.dir("cat_orphans")
+    val s2 = catSession(root)
+    s2.sql("CREATE TABLE graft.t AS SELECT id FROM range(50)")
+    val dir = new java.io.File(s"$root/t.avro")
+    val donor = dir.listFiles().filter(f =>
+      f.getName.endsWith(".avro") && !f.getName.startsWith("_")).head
+    // two strays: one stale (a crashed job's leftover), one fresh
+    // (an in-flight job's task-committed file)
+    val stale = new java.io.File(dir, "part-99998-deadbeef.avro")
+    val fresh = new java.io.File(dir, "part-99999-cafebabe.avro")
+    java.nio.file.Files.copy(donor.toPath, stale.toPath)
+    java.nio.file.Files.copy(donor.toPath, fresh.toPath)
+    assert(stale.setLastModified(System.currentTimeMillis() - 7200000L))
+    val r = s2.sql("CALL graft.system.remove_orphans('t', 3600000)").head
+    assert(r.getInt(0) == 1, s"expected exactly the stale stray: $r")
+    assert(!stale.exists() && fresh.exists())
+    // the live table never noticed either stray (manifest-resolved)
+    assert(s2.sql("SELECT count(*) AS n FROM graft.t").head.getLong(0) == 50)
+  }
+
   test("unknown procedures and bad namespaces fail loudly") {
     val root = graft.util.Scratch.dir("cat_proc_bad")
     val s2 = catSession(root)
