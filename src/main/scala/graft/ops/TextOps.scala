@@ -433,7 +433,10 @@ object TextOps {
           "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).as("b"))
       .select($"doc_id", $"b.w1", $"b.w2")
     val cb = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
-    val ctx = big.groupBy($"w1").agg(count(lit(1)).as("cw"))
+    // context counts DERIVE from the bigram counts (c(w1·) = Σ_w2
+    // c(w1,w2)) — one aggregation over the model table instead of a
+    // second full pass over the corpus-sized bigram stream
+    val ctx = cb.groupBy($"w1").agg(sum($"cb").as("cw"))
     val v = toks.select(explode($"w").as("x")).agg(
       countDistinct($"x").as("v"))
     val probs = cb.join(ctx, "w1").crossJoin(v)
