@@ -145,6 +145,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         .map(AvroFleetTable.parseDurationMs),
       ignoreMissingFiles = Option(options.get("ignoreMissingFiles"))
         .map(_.toBoolean),
+      startingVersion = Option(options.get("startingVersion"))
+        .map(_.toLong),
       aliases = aliases)
   }
 
@@ -858,6 +860,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     versionAsOf: Option[Long] = None,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
+    startingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
@@ -1062,6 +1065,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         versionAsOf = versionAsOf,
         maxFileAgeMs = maxFileAgeMs,
         ignoreMissingFiles = ignoreMissingFiles,
+        startingVersion = startingVersion,
         aliases = aliases)
   }
 }
@@ -1200,6 +1204,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     versionAsOf: Option[Long] = None,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
+    startingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
@@ -1234,7 +1239,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       checkpointLocation = checkpointLocation,
       offsetInlineLimit = offsetInlineLimit,
       maxFileAgeMs = maxFileAgeMs,
-      ignoreMissingFiles = ignoreMissingFiles)
+      ignoreMissingFiles = ignoreMissingFiles,
+      startingVersion = startingVersion)
 
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below

@@ -82,7 +82,8 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     checkpointLocation: String = "",
     offsetInlineLimit: Int = 1000,
     maxFileAgeMs: Option[Long] = None,
-    ignoreMissingFiles: Option[Boolean] = None)
+    ignoreMissingFiles: Option[Boolean] = None,
+    startingVersion: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -119,8 +120,32 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(
       ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset =
-    FleetSourceOffset(Seq.empty, None, store)
+  /** A fresh checkpoint starts EMPTY (the whole directory is backlog)
+    * unless `startingVersion` names a manifest generation to start
+    * AFTER: that snapshot's files are pre-seeded as seen, so the
+    * stream emits only what was committed since — the incremental-
+    * consumer contract ("tail everything after yesterday's snapshot"
+    * without replaying the snapshot itself). mtimes are backfilled
+    * from the live listing where the files still exist; an
+    * already-expired seen file backfills 0 and ages out safely. */
+  override def initialOffset(): Offset = startingVersion match {
+    case None => FleetSourceOffset(Seq.empty, None, store)
+    case Some(v) =>
+      val p = new org.apache.hadoop.fs.Path(path)
+      val f = fs
+      val snap = FleetManifest.snapshotAt(f, p, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion=$v: no such manifest version at $path " +
+            s"(available: ${FleetManifest.versions(f, p).mkString(", ")})"))
+      val listed = listNow().map { case (fp, m) =>
+        new org.apache.hadoop.fs.Path(fp).getName -> (fp, m)
+      }.toMap
+      val seeded = snap.files.map { n =>
+        listed.getOrElse(n,
+          (new org.apache.hadoop.fs.Path(p, n).toString, 0L))
+      }
+      FleetSourceOffset(seeded, None, store)
+  }
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -162,6 +162,41 @@ class FleetStreamSpec extends SparkSpec {
     assert(batches.map(_._2).sum == 80L)
   }
 
+  test("startingVersion seeds the seen set: only post-snapshot commits stream") {
+    val root = graft.util.Scratch.dir("fleet_stream_startv")
+    val dir = s"$root/src.avro"
+    writeGen(dir, 0, 30)    // manifest v1
+    writeGen(dir, 30, 50)   // manifest v2
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-avro")
+      .option("startingVersion", "1").load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.select("id").collect().map(_.getLong(0))
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.sorted == (30L until 50L),
+      s"expected only the post-v1 generation, got ${got.sorted}")
+    // an unknown snapshot fails loudly instead of replaying everything
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q2 = spark.readStream.format("graft-avro")
+        .option("startingVersion", "9").load(dir)
+        .writeStream
+        .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+        .option("checkpointLocation", s"$root/ckpt2")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q2.awaitTermination()
+    }
+    assert(e.toString.contains("startingVersion") ||
+      Option(e.getCause).exists(_.toString.contains("startingVersion")),
+      e.toString)
+  }
+
   private def pinMtime(dir: String, mtime: Long,
       having: String => Boolean): Unit =
     new java.io.File(dir).listFiles().foreach { f =>
