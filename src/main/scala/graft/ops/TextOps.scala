@@ -449,7 +449,50 @@ object TextOps {
       .orderBy($"doc_id")
   }
 
+  /** §2.J BM25 RETRIEVAL — the lexical search primitive a RAG /
+    * eval-harness pipeline runs against its corpus: score a batch of
+    * queries against every document with Okapi BM25 (k1 = 1.2,
+    * b = 0.75, non-negative `ln(1 + (N−df+0.5)/(df+0.5))` idf) and
+    * keep the top 10 per query. Shape notes for 100 TB: the QUERY
+    * side is broadcast (a query batch is always small); the corpus
+    * side reduces to the (doc, term) tf table joined on the query
+    * terms — a semi-join-sized intermediate, never corpus × queries;
+    * ranking is one window over the per-query score sets. Scores are
+    * rounded to 6 before ranking (doc_id tiebreak) so the cut is
+    * reproducible bit-for-bit in the DuckDB oracle. */
+  def qTextBm25(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val qs = Seq((1L, "hash join merge"), (2L, "stream window agg"),
+      (3L, "fast vector scan")).toDF("query_id", "qtext")
+    val qterms = qs.select($"query_id",
+      explode(split($"qtext", " ")).as("word")).distinct()
+    val toks = documents(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+      .filter(length($"word") > 0)
+    val tf = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
+    val dfreq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(qterms), "word")
+      .join(dfreq, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + ($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5))))
+      .withColumn("score_t", $"idf" * (($"tf" * lit(2.2)) /
+        ($"tf" + lit(1.2) * (lit(0.25) + lit(0.75) * $"dl" / $"avgdl"))))
+      .groupBy($"query_id", $"doc_id")
+      .agg(round(sum($"score_t"), 6).as("score"))
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"doc_id")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10)
+      .select($"query_id", $"rank", $"doc_id", $"score")
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bm25" -> qTextBm25 _,
     "q_text_perplexity" -> qTextPerplexity _,
     "q_text_chunks" -> qTextChunks _,
     "q_text_chunks_gen" -> qTextChunksGen _,
@@ -466,6 +509,43 @@ object TextOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_bm25" ->
+      """WITH queries(query_id, qtext) AS (VALUES
+        |    (CAST(1 AS BIGINT), 'hash join merge'),
+        |    (CAST(2 AS BIGINT), 'stream window agg'),
+        |    (CAST(3 AS BIGINT), 'fast vector scan')),
+        |qterms AS (
+        |  SELECT DISTINCT query_id,
+        |    unnest(string_split(qtext, ' ')) AS word FROM queries),
+        |toksf AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split(lower(text), ' ')) AS word
+        |    FROM documents) WHERE length(word) > 0),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM toksf
+        |       GROUP BY doc_id, word),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toksf GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    round(sum(
+        |      ln(1.0 + (s.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)) *
+        |      ((tf.tf * 2.2) /
+        |       (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))), 6)
+        |      AS score
+        |  FROM tf JOIN qterms q USING (word)
+        |    JOIN dfreq USING (word)
+        |    JOIN dl ON tf.doc_id = dl.doc_id
+        |    CROSS JOIN stats s
+        |  GROUP BY q.query_id, tf.doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_text_perplexity" ->
       """WITH toks AS (
         |  SELECT doc_id,
