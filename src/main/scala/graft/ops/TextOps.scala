@@ -469,7 +469,14 @@ object TextOps {
     val toks = documents(s, dir)
       .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
       .filter(length($"word") > 0)
-    val tf = toks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    // restrict to the query vocabulary BEFORE any aggregation: tf and
+    // df for a term depend only on that term's rows, so the broadcast
+    // semi-join cuts both shuffles from the full (doc, term) space to
+    // the query terms' slice (Catalyst cannot push a join below a
+    // groupBy on its own); only dl/avgdl need the full token pass
+    val qwords = qterms.select($"word").distinct()
+    val qtoks = toks.join(broadcast(qwords), "word")
+    val tf = qtoks.groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg($"dl").as("avgdl"))
     val dfreq = tf.groupBy($"word").agg(count(lit(1)).as("df"))

@@ -71,9 +71,17 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
       val p = new org.apache.hadoop.fs.Path(Avro.splitGlobs(path).head)
       val fs = p.getFileSystem(
         SparkSession.active.sessionState.newHadoopConf())
+      // parent fallback ONLY for a path that is an existing FILE of
+      // the fleet or an in-directory glob — a nonexistent plain path
+      // must resolve to None (adopting an enclosing directory's
+      // marker would impose a foreign schema on a typo'd or
+      // not-yet-created location)
+      val isGlob = p.getName.exists("*?[]{}".contains(_))
       val dirP =
-        if (fs.exists(p) && fs.getFileStatus(p).isDirectory) p
-        else p.getParent
+        if (fs.exists(p))
+          (if (fs.getFileStatus(p).isDirectory) p else p.getParent)
+        else if (isGlob) p.getParent
+        else null
       if (dirP != null && fs.exists(dirP) &&
           fs.getFileStatus(dirP).isDirectory)
         FleetSchemaMarker.read(fs, dirP)
@@ -603,14 +611,30 @@ private[graft] class AvroFleetDataWriter(schemaJson: String,
     // the replay derived different rows (broken source determinism),
     // where keep-first would silently drop data and this task's
     // stats would describe rows the surviving file does not hold.
-    if (strictExisting && fs.exists(finalPath) &&
-        fs.getFileStatus(finalPath).getLen !=
+    if (strictExisting && fs.exists(finalPath)) {
+      // a final that is already MANIFEST-committed means this epoch
+      // was previously certified and this task is a replay the
+      // checkpoint log missed — even a NARROWED replay whose rows
+      // redistributed across fewer partitions. The certified
+      // generation is authoritative: contribute NOTHING (empty parts
+      // keep the sidecar stats describing the surviving files), and
+      // the job-level guard skips the whole epoch commit.
+      val certified = FleetManifest.current(fs,
+          new org.apache.hadoop.fs.Path(dir))
+        .exists(_.files.contains(finalPath.getName))
+      if (certified) {
+        fs.delete(tmpPath, false)
+        return AvroFleetCommitMessage(Seq.empty)
+      }
+      if (fs.getFileStatus(finalPath).getLen !=
           fs.getFileStatus(tmpPath).getLen) {
-      fs.delete(tmpPath, false)
-      throw new java.io.IOException(
-        s"$finalPath already exists with different length — a replay " +
-          "of this epoch produced different rows (non-deterministic " +
-          "source?); refusing to certify either side")
+        fs.delete(tmpPath, false)
+        throw new java.io.IOException(
+          s"$finalPath already exists with different length — a " +
+            "replay of this epoch produced different rows " +
+            "(non-deterministic source?); refusing to certify either " +
+            "side")
+      }
     }
     Avro.commitPart(fs, tmpPath, finalPath)
     AvroFleetCommitMessage(Seq(finalPath.toString ->
@@ -1240,7 +1264,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       offsetInlineLimit = offsetInlineLimit,
       maxFileAgeMs = maxFileAgeMs,
       ignoreMissingFiles = ignoreMissingFiles,
-      startingVersion = startingVersion)
+      startingVersion = startingVersion,
+      aliases = aliases)
 
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below

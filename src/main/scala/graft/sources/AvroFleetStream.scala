@@ -83,7 +83,8 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     offsetInlineLimit: Int = 1000,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
-    startingVersion: Option[Long] = None)
+    startingVersion: Option[Long] = None,
+    aliases: Map[String, Seq[String]] = Map.empty)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -232,9 +233,12 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
     AvroFleetScan.planSplits(statuses, maxFileBytes)
   }
 
+  // aliases travel with the stream exactly as in batch: a readStream
+  // over an ALTERed fleet must resolve renamed columns in pre-rename
+  // files, not silently null them
   override def createReaderFactory(): PartitionReaderFactory =
     new AvroFleetReaderFactory(tableSchema, columns, None, filters, conf,
-      evolve = evolve)
+      evolve = evolve, aliases = aliases)
 
   override def deserializeOffset(json: String): Offset =
     FleetSourceOffset.fromJson(json, store)
@@ -266,7 +270,12 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
   * checkpoint lineage — `part-N-<lineage8>-eM.avro` — so two
   * checkpoints' epoch numbering can NEVER collide on a name (a fresh
   * checkpoint restarts at epoch 0; with untagged names its files
-  * would land on the original query's). Within one lineage a replayed
+  * would land on the original query's). Lineage is derived from the
+  * checkpoint PATH, so deleting a checkpoint and starting a new
+  * query at the same path inherits the old lineage: its early epochs
+  * are treated as already-certified and skipped — the same posture
+  * as FileStreamSink's metadata log for a reused sink directory; use
+  * a fresh checkpoint location for a genuinely new query. Within one lineage a replayed
   * epoch re-derives the same rows from the same offsets, and the
   * task writer keeps the first committed file (a byte-compare cannot
   * certify the replay — Avro OCFs embed a RANDOM sync marker, so two
@@ -342,6 +351,24 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
     }.flatten.toSet
     val inManifest = FleetManifest.current(f, p)
       .map(_.files.toSet).getOrElse(Set.empty[String])
+    // ALREADY-CERTIFIED epoch: the manifest references this epoch's
+    // files — either this lineage's (a replay after the checkpoint
+    // log missed the commit; a WIDENED replay's extra partitions even
+    // land new names) or legacy pre-lineage-tag names (an upgrade
+    // across a crash). The certified generation is authoritative:
+    // drop this attempt's uncommitted twins and certify nothing, so
+    // the epoch's rows can never double.
+    val legacyName = ("part-\\d{5}-e" +
+      java.util.regex.Pattern.quote(epochId.toString) + "\\.avro").r
+    val alreadyCertified = inManifest.exists(n =>
+      n.endsWith(s"-$lineage-e$epochId.avro") ||
+        legacyName.pattern.matcher(n).matches())
+    if (alreadyCertified) {
+      committed.filterNot(inManifest).foreach { n =>
+        f.delete(new org.apache.hadoop.fs.Path(p, n), false)
+      }
+      return
+    }
     f.listStatus(p).foreach { st =>
       val n = st.getPath.getName
       if (st.isFile && n.endsWith(s"-$lineage-e$epochId.avro") &&

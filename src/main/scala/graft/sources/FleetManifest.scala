@@ -188,7 +188,12 @@ private[graft] object FleetManifest {
                 // local FS: rename clobbers, so the atomic claim is a
                 // HARD LINK (createLink fails-if-exists at the OS
                 // level, and the linked content is already complete —
-                // no torn-write window, no read-back needed)
+                // no torn-write window, no read-back needed). A
+                // filesystem WITHOUT link(2) (FAT/some FUSE mounts)
+                // throws without creating the destination — that is
+                // NOT a lost claim: fall through to the rename +
+                // read-back path for this attempt instead of burning
+                // the retry budget on an impossible primitive.
                 val nioTmp = nioDest.resolveSibling(
                   s".${vname(next.version)}." +
                     s"${java.util.UUID.randomUUID()}.tmp")
@@ -200,24 +205,10 @@ private[graft] object FleetManifest {
                   catch { case NonFatal(_) => false }
                 java.nio.file.Files.deleteIfExists(nioTmp)
                 if (claimed) return next
+                if (!java.nio.file.Files.exists(nioDest) &&
+                    renameClaim(fs, dir, dest, next)) return next
               case None =>
-                val tmp = new Path(mdir(dir),
-                  s".${vname(next.version)}." +
-                    s"${java.util.UUID.randomUUID()}.tmp")
-                val out = fs.create(tmp, true)
-                try out.write(render(next).getBytes("UTF-8"))
-                finally out.close()
-                // HDFS/object-store rename-if-absent refuses an
-                // existing destination atomically; the read-back
-                // verifies the claim regardless
-                val renamed =
-                  try fs.rename(tmp, dest)
-                  catch { case NonFatal(_) => false }
-                if (!renamed) fs.delete(tmp, false)
-                if (renamed &&
-                    (try readFile(fs, dest) == next
-                     catch { case NonFatal(_) => false }))
-                  return next
+                if (renameClaim(fs, dir, dest, next)) return next
             }
           }
           // lost the claim: loop re-reads the new current and retries
@@ -226,6 +217,25 @@ private[graft] object FleetManifest {
           s"fleet manifest commit at $dir lost ${attempts} consecutive " +
             "version claims — pathological committer contention")
       }
+  }
+
+  /** Temp + rename claim with read-back verification — the
+    * HDFS/object-store path (rename-if-absent refuses an existing
+    * destination atomically), and the fallback when the local FS
+    * lacks hard links. */
+  private def renameClaim(fs: FileSystem, dir: Path, dest: Path,
+      next: Snapshot): Boolean = {
+    val tmp = new Path(mdir(dir),
+      s".${vname(next.version)}.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(render(next).getBytes("UTF-8"))
+    finally out.close()
+    val renamed =
+      try fs.rename(tmp, dest)
+      catch { case NonFatal(_) => false }
+    if (!renamed) fs.delete(tmp, false)
+    renamed && (try readFile(fs, dest) == next
+                catch { case NonFatal(_) => false })
   }
 
   /** Reader-side resolution: the file set of the current (or

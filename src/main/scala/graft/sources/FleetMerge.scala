@@ -158,7 +158,23 @@ object FleetMerge {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".avro") &&
         !before.contains(st.getPath.getName))
       .map(_.getPath.toString)
-    if (!retainOld) FleetCompact.expireVersions(s, dir, keepLast = 1)
+    if (!retainOld) {
+      // "no retention" = merge + immediate retention pass (history
+      // collapses to the post-merge generation — manifests and files
+      // together, never a still-listed version with missing files) —
+      // PLUS a targeted sweep of the replaced originals: on a
+      // previously manifest-less fleet the swap commit IS version 1,
+      // so expireVersions has nothing to expire, yet the touched
+      // files sit on disk referenced by no version at all
+      FleetCompact.expireVersions(s, dir, keepLast = 1)
+      val stillReferenced = FleetManifest.versions(fs, dirPath)
+        .flatMap(v => FleetManifest.snapshotAt(fs, dirPath, v)
+          .toSeq.flatMap(_.files)).toSet
+      touched.foreach { t =>
+        val tp = new org.apache.hadoop.fs.Path(t)
+        if (!stillReferenced(tp.getName)) fs.delete(tp, false)
+      }
+    }
     CowResult(touched, untouched, written)
   }
 }

@@ -239,6 +239,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
     var aliases = existing.map(_.aliases)
       .getOrElse(Map.empty[String, Seq[String]])
+    // a RETIRED physical spelling can never be reintroduced as a
+    // column name: old files still carry data under it, so a
+    // resurrected name would rebind their values to the new logical
+    // column (string data under an int ADD even bricks every read)
+    def requireNotHistorical(name: String): Unit =
+      aliases.find(_._2.contains(name)).foreach { case (cur, _) =>
+        throw new IllegalArgumentException(
+          s"column name '$name' is a historical spelling of '$cur' — " +
+            "files on disk still carry data under it; pick a fresh name")
+      }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -246,6 +256,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val name = add.fieldNames()(0)
         require(!schema.fieldNames.contains(name),
           s"column '$name' already exists")
+        requireNotHistorical(name)
         require(add.isNullable,
           s"added column '$name' must be nullable — every pre-existing " +
             "file null-fills it")
@@ -261,6 +272,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"no such column '$old' (schema: ${schema.fieldNames.toSeq})")
         require(!schema.fieldNames.contains(nn),
           s"column '$nn' already exists")
+        requireNotHistorical(nn)
         schema = StructType(schema.fields.map(f =>
           if (f.name == old) f.copy(name = nn) else f))
         // the FULL chain travels: files may carry any historical

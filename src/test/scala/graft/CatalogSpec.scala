@@ -307,6 +307,39 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] {
       s2.sql("ALTER TABLE graft.ev DROP COLUMN note")
     }
+    // a RETIRED spelling can never be resurrected: old files still
+    // carry data under it, so a new column (or a rename) landing on
+    // it would rebind their values
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.ev ADD COLUMN v STRING")
+    }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.ev RENAME COLUMN note TO label")
+    }
+
+    // the STREAMING read resolves the same alias chain as batch: a
+    // pre-rename file's rows must answer under the renamed column,
+    // not silently null (readStream shares the marker-resolved table)
+    val streamed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = s2.readStream.format("graft-avro").load(s"$root/ev.avro")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        streamed ++= b.select("id", "tag2").collect()
+          .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null
+                                     else r.getString(1)))
+        ()
+      }
+      .option("checkpointLocation",
+        graft.util.Scratch.dir("catalog_alter_stream") + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val byId = streamed.toMap
+    assert(byId(5L) == "a5",
+      s"streaming read must resolve the alias chain: ${byId.get(5L)}")
+    assert(byId(101L) == "m101",
+      s"streaming read must resolve the intermediate spelling: " +
+        s"${byId.get(101L)}")
   }
 
   // --- CALL graft.system.<proc>: the manifest layer's verb set ---

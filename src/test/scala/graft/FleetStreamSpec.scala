@@ -162,6 +162,50 @@ class FleetStreamSpec extends SparkSpec {
     assert(batches.map(_._2).sum == 80L)
   }
 
+  test("a replayed certified epoch never doubles rows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("fleet_stream_replay")
+    val out = s"$root/out.avro"
+    val ckpt = s"$root/ckpt"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Long]
+    in.addData(1L, 2L, 3L)
+    val q1 = in.toDF().select($"value".as("id"))
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", ckpt)
+      .option("path", out).start()
+    q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+    // the manager releases the checkpoint slot asynchronously after
+    // stop — the restart below must not race it
+    val deadline = System.currentTimeMillis() + 30000
+    while (spark.streams.active.exists(_.id == q1.id) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    // simulate a crash AFTER the epoch's fleet commit but BEFORE the
+    // checkpoint records it: drop the commit-log entry so the engine
+    // replays epoch 0 on restart — the fleet manifest already
+    // certifies it, so the replay must contribute NOTHING
+    val commits = new java.io.File(s"$ckpt/commits")
+    val last = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    // delete through the Hadoop FS so the checksum sidecar goes too —
+    // a ghost .crc makes the engine's commit-log rewrite look like a
+    // concurrent writer
+    val ckptFs = new org.apache.hadoop.fs.Path(ckpt)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(ckptFs.delete(new org.apache.hadoop.fs.Path(
+      s"$ckpt/commits/${last.getName}"), false))
+    val q2 = in.toDF().select($"value".as("id"))
+      .writeStream.format("graft-avro")
+      .option("checkpointLocation", ckpt)
+      .option("path", out).start()
+    q2.processAllAvailable(); q2.stop()
+    val ids = spark.read.format("graft-avro").load(out)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L),
+      s"replayed epoch doubled or lost rows: $ids")
+  }
+
   test("startingVersion seeds the seen set: only post-snapshot commits stream") {
     val root = graft.util.Scratch.dir("fleet_stream_startv")
     val dir = s"$root/src.avro"
