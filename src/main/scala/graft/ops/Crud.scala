@@ -423,9 +423,43 @@ object Crud {
       .orderBy($"_change_type", $"c_custkey")
   }
 
+  /** §2.A INCREMENTAL MATERIALIZED VIEW — `FleetMV` riding the change
+    * feed: a per-shard count/sum rollup is built once, the base fleet
+    * then takes a metadata DELETE and a COW UPDATE, and `refresh`
+    * folds ONLY the manifest diff into the stored groups (a signed
+    * union-aggregate; the fully-deleted shard's cnt reaches 0 and
+    * drops out). The oracle recomputes the rollup cold from the
+    * mutated relation, so an incremental fold that misses a delta
+    * file, double-counts a rewrite, or resurrects a dropped group
+    * hash-mismatches. At 100 TB this is "maintain the revenue rollup"
+    * at the cost of the day's changed bytes, never a source re-scan
+    * (the spec pins changedFiles to the touched shards). */
+  def qFleetMv(s: SparkSession, dir: String): DataFrame = {
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = true), "mv")
+    val fleetDir = s"$root/cust.avro"
+    val viewDir = s"$root/cust_by_shard.avro"
+    graft.sources.FleetMV.create(s, fleetDir, viewDir,
+      keys = Seq("shard"), sumCols = Seq("c_acctbal"))
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql("DELETE FROM graft.cust WHERE shard = 3")
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
+        |WHERE shard = 5""".stripMargin)
+    graft.sources.FleetMV.refresh(s, fleetDir, viewDir,
+      keys = Seq("shard"), sumCols = Seq("c_acctbal"))
+    s.read.format("graft-avro").load(viewDir)
+      .select(col("shard"), col("cnt"),
+        round(col("sum_c_acctbal"), 4).as("sum_bal"))
+      .orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_restore" -> qSqlRestore _,
     "q_fleet_changes" -> qFleetChanges _,
+    "q_fleet_mv" -> qFleetMv _,
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
     "q_crud_upsert" -> qCrudUpsert _,
@@ -458,6 +492,17 @@ object Crud {
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_fleet_mv" ->
+      """WITH base AS (
+        |  SELECT round(c_acctbal, 4) AS bal, c_custkey % 8 AS shard
+        |  FROM customer),
+        |mut AS (
+        |  SELECT shard,
+        |    CASE WHEN shard = 5 THEN round(bal * 2.0, 4) ELSE bal END
+        |      AS bal
+        |  FROM base WHERE shard <> 3)
+        |SELECT shard, count(*) AS cnt, round(sum(bal), 4) AS sum_bal
+        |FROM mut GROUP BY shard ORDER BY shard""".stripMargin,
     "q_crud_update" ->
       """SELECT o_orderkey,
         |  o_totalprice AS old_price,

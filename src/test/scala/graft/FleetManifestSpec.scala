@@ -236,6 +236,55 @@ class FleetManifestSpec extends SparkSpec {
       .count() == 5)
   }
 
+  test("FleetMV refreshes from the delta only; no-op and expiry edges hold") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("manifest_mv")
+    val src = s"$root/src.avro"
+    val view = s"$root/view.avro"
+    // 4 single-key files (clustered): deltas stay file-scoped
+    spark.range(0, 400).select($"id", ($"id" % 4).as("k"),
+        ($"id" * 2).cast("double").as("v"))
+      .repartition(4, $"k")
+      .write.format("graft-avro").option("clusterBy", "k")
+      .mode("overwrite").save(src)
+    graft.sources.FleetMV.create(spark, src, view, Seq("k"), Seq("v"))
+    // no-op refresh: source unchanged
+    val r0 = graft.sources.FleetMV.refresh(spark, src, view,
+      Seq("k"), Seq("v"))
+    assert(r0.changedFiles == 0 && r0.fromVersion == r0.toVersion)
+    // metadata DELETE of one whole shard: the diff is ONE file
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.sql("DELETE FROM graft.src WHERE k = 2")
+    val r1 = graft.sources.FleetMV.refresh(spark, src, view,
+      Seq("k"), Seq("v"))
+    // the k=2 container plus at most an empty container the decidable
+    // DELETE opportunistically retired (rows==0 files are always
+    // droppable) — never the untouched shards
+    assert(r1.changedFiles <= 2,
+      s"a one-shard delete must refresh from its file(s) only: $r1")
+    val rows = spark.read.format("graft-avro").load(view)
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("sum_v"))).toMap
+    assert(!rows.contains(2L), "fully-deleted group must drop out")
+    assert(rows(1L)._1 == 100L)
+    assert(rows(1L)._2 ==
+      (0L until 400L).filter(_ % 4 == 1).map(_ * 2.0).sum)
+    // view readers always see one complete state (the swap is one
+    // manifest commit — both generations never visible)
+    val viewP = new org.apache.hadoop.fs.Path(view)
+    val vfs = fsOf(view)
+    assert(graft.sources.FleetManifest.current(vfs, viewP).isDefined)
+    // source retention outrunning the stamp fails loudly
+    s2.sql("DELETE FROM graft.src WHERE k = 0")
+    graft.sources.FleetCompact.expireVersions(spark, src, keepLast = 1)
+    val e = intercept[IllegalStateException] {
+      graft.sources.FleetMV.refresh(spark, src, view, Seq("k"), Seq("v"))
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("metadata-only DELETE retires files through the manifest first") {
     import spark.implicits._
     val dir = stage("metadel")
