@@ -452,8 +452,21 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
       val swapRemove = Option(info.options.get("manifestSwapRemove"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(Set.empty[String])
+      // commit metadata: a compact JSON object of string properties
+      // that rides the job's ONE manifest commit (FleetMV's stamp —
+      // state that must change exactly when the file set does)
+      val props = Option(info.options.get("manifestProps"))
+        .map { j =>
+          org.json4s.jackson.JsonMethods.parse(j) match {
+            case o: org.json4s.JObject => o.obj.collect {
+              case (k, org.json4s.JString(v)) => k -> v
+            }.toMap
+            case other => throw new IllegalArgumentException(
+              s"manifestProps must be a JSON object of strings: $other")
+          }
+        }.getOrElse(Map.empty[String, String])
       new AvroFleetBatchWrite(schemaJson, info.schema(), dir, jobTag,
-        truncateFleet, clusterIdx, codec, swapRemove)
+        truncateFleet, clusterIdx, codec, swapRemove, props)
     }
   }
 }
@@ -461,7 +474,8 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
 private[sources] class AvroFleetBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String, truncate: Boolean,
     clusterIdx: Option[Int] = None, codec: String = "",
-    swapRemoveNames: Set[String] = Set.empty)
+    swapRemoveNames: Set[String] = Set.empty,
+    manifestProps: Map[String, String] = Map.empty)
     extends BatchWrite {
 
   /** File NAMES the manifest commit atomically swaps out as this job's
@@ -509,7 +523,8 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
         case None => FleetLayout.clear(f, p)
       },
       removeNames = manifestRemoveNames,
-      reset = truncate)
+      reset = truncate,
+      props = manifestProps)
   }
 
   // roll back exactly THIS job's files (tag-matched finals + temps);
@@ -811,7 +826,8 @@ private[sources] object AvroFleetCommits {
       messages: Array[WriterCommitMessage],
       between: () => Unit = () => (),
       removeNames: Set[String] = Set.empty,
-      reset: Boolean = false): Unit = {
+      reset: Boolean = false,
+      props: Map[String, String] = Map.empty): Unit = {
     val stats = messages.collect {
       case AvroFleetCommitMessage(parts) =>
         parts.collect { case (file, Some(ps)) =>
@@ -829,7 +845,8 @@ private[sources] object AvroFleetCommits {
       base =>
         if (reset) added
         else base.filterNot(removeNames) ++ added,
-      bootstrap = rawDataFiles(f, p))
+      bootstrap = rawDataFiles(f, p),
+      props = props)
     f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 

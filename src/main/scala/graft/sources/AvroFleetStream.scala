@@ -306,6 +306,16 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
   // so cross-checkpoint name collisions are impossible by construction
   private val lineage = writerTag.take(8)
 
+  // Were this fleet's LEGACY (pre-lineage-tag) epoch files written by
+  // OUR checkpoint? Decidable only from the prior lock owner, read
+  // BEFORE our first acquire overwrites it: same owner tag = the same
+  // query resumed across the naming upgrade, so its legacy epochs are
+  // ours to dedup against; anything else (no lock, foreign owner)
+  // means legacy names belong to a DIFFERENT query and must never
+  // make a new query skip its own epochs.
+  @volatile private var legacyEpochsOurs = false
+  @volatile private var priorOwnerRead = false
+
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory = {
@@ -313,6 +323,11 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
       SparkSession.active.sessionState.newHadoopConf())
     val f = fleetFs
     f.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    if (!priorOwnerRead) {
+      legacyEpochsOurs = FleetWriterLock.owner(f,
+        new org.apache.hadoop.fs.Path(dir)).contains(writerTag)
+      priorOwnerRead = true
+    }
     FleetWriterLock.acquire(f, new org.apache.hadoop.fs.Path(dir),
       writerTag, leaseMs)
     val names = schema.fields.map(_.name)
@@ -354,15 +369,16 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
     // ALREADY-CERTIFIED epoch: the manifest references this epoch's
     // files — either this lineage's (a replay after the checkpoint
     // log missed the commit; a WIDENED replay's extra partitions even
-    // land new names) or legacy pre-lineage-tag names (an upgrade
-    // across a crash). The certified generation is authoritative:
-    // drop this attempt's uncommitted twins and certify nothing, so
-    // the epoch's rows can never double.
+    // land new names) or, ONLY when the prior lock owner proves the
+    // legacy files are this same query's (resumed across the naming
+    // upgrade), legacy pre-lineage-tag names. A new query appending
+    // to an old sink must never match a previous query's legacy
+    // epoch numbering — that would silently drop its early epochs.
     val legacyName = ("part-\\d{5}-e" +
       java.util.regex.Pattern.quote(epochId.toString) + "\\.avro").r
     val alreadyCertified = inManifest.exists(n =>
       n.endsWith(s"-$lineage-e$epochId.avro") ||
-        legacyName.pattern.matcher(n).matches())
+        (legacyEpochsOurs && legacyName.pattern.matcher(n).matches()))
     if (alreadyCertified) {
       committed.filterNot(inManifest).foreach { n =>
         f.delete(new org.apache.hadoop.fs.Path(p, n), false)
@@ -430,6 +446,18 @@ private[sources] object FleetWriterLock {
     try out.write(owner.getBytes("UTF-8")) finally out.close()
     fs.delete(p, false)
     if (!fs.rename(tmp, p)) { fs.delete(tmp, false); () }
+  }
+
+  /** The lock's current owner tag (regardless of lease freshness), or
+    * None when no streaming writer ever held the fleet. */
+  def owner(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, FileName)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+    }
   }
 }
 

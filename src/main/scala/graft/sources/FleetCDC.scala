@@ -39,11 +39,13 @@ object FleetCDC {
 
   val ChangeTypeCol = "_change_type"
 
-  /** NET row changes from `fromVersion` (exclusive) to `toVersion`
-    * (inclusive), as the fleet schema plus a trailing
-    * `_change_type` ∈ ('insert','delete') column. */
-  def changes(s: SparkSession, dir: String, fromVersion: Long,
-      toVersion: Long): DataFrame = {
+  /** The file-name set difference between two committed versions:
+    * (added, removed), each sorted. One manifest read per side —
+    * shared by [[changes]] and [[FleetMV.refresh]] so a maintenance
+    * step computes the diff (and fetches its manifests) exactly
+    * once. */
+  def fileDiff(s: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long): (Seq[String], Seq[String]) = {
     require(fromVersion < toVersion,
       s"changes need fromVersion < toVersion (got $fromVersion, $toVersion)")
     val p = new Path(dir)
@@ -54,8 +56,21 @@ object FleetCDC {
           s"${FleetManifest.versions(fs, p).mkString(", ")})"))
     val from = snap(fromVersion).files.toSet
     val to = snap(toVersion).files.toSet
-    val added = (to -- from).toSeq.sorted
-    val removed = (from -- to).toSeq.sorted
+    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+  }
+
+  /** NET row changes from `fromVersion` (exclusive) to `toVersion`
+    * (inclusive), as the fleet schema plus a trailing
+    * `_change_type` ∈ ('insert','delete') column. */
+  def changes(s: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val (added, removed) = fileDiff(s, dir, fromVersion, toVersion)
+    changesOf(s, dir, added, removed)
+  }
+
+  /** The diff read for an already-computed (added, removed) pair. */
+  private[sources] def changesOf(s: SparkSession, dir: String,
+      added: Seq[String], removed: Seq[String]): DataFrame = {
     // ONE table schema governs both sides — resolved from the whole
     // fleet (schema marker preferred, else the merge of every
     // generation's writer schema), then imposed on the per-file reads

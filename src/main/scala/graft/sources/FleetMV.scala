@@ -8,19 +8,23 @@ import org.apache.spark.sql.functions._
   * consumer the change feed exists for (SURVEY.md §2.A; the classic
   * incremental-view-maintenance shape for SUM/COUNT-decomposable
   * aggregates). A view is itself a transactional fleet holding
-  * `keys… , cnt, sum_<col>…` plus an `_mv.json` marker recording the
-  * SOURCE manifest version it reflects:
+  * `keys… , cnt, sum_<col>…`; the SOURCE manifest version it reflects
+  * rides the view's own manifest commit as COMMIT METADATA
+  * (`mv.sourceVersion` in [[FleetManifest.Snapshot.props]]), so the
+  * stamp and the file swap are ONE atomic step — a crash can never
+  * leave a refreshed view with a stale stamp (which would re-apply
+  * the same delta and silently corrupt counts):
   *
-  *  - [[create]] runs the one full aggregation and stamps the source
-  *    version;
+  *  - [[create]] runs the one full aggregation over a PINNED source
+  *    snapshot (`versionAsOf` — a concurrent source commit between
+  *    version read and scan cannot leak into the base build) and
+  *    stamps that version;
   *  - [[refresh]] reads ONLY the manifest diff since the stamp
-  *    ([[FleetCDC.changes]]): inserts contribute +1/+value, deletes
-  *    −1/−value, and one small union-aggregate folds the signed delta
-  *    into the stored groups (a fully-deleted group's cnt reaches 0
-  *    and drops out). The view update lands as a single manifest SWAP
-  *    (append + `manifestSwapRemove`), so view readers see the old or
-  *    the new state, never both, and the update never self-reads a
-  *    truncated directory.
+  *    ([[FleetCDC.fileDiff]] once, shared with the diff read):
+  *    inserts contribute +1/+value, deletes −1/−value, and one small
+  *    union-aggregate folds the signed delta into the stored groups
+  *    (a fully-deleted group's cnt reaches 0 and drops out). The
+  *    update lands as a single manifest SWAP carrying the new stamp.
   *
   * Scale: refresh cost is O(changed bytes) + O(view), never a source
   * re-scan — "maintain yesterday's per-key revenue rollup" on a
@@ -30,10 +34,12 @@ import org.apache.spark.sql.functions._
   * definition) and are deliberately out of scope. Doubles fold
   * associatively only approximately — an incremental sum can differ
   * from a cold recompute in the last ulps, which is inherent to IVM
-  * on floats (round at presentation, as the registry queries do). */
+  * on floats (round at presentation, as the registry queries do).
+  * Source and view may live on DIFFERENT filesystems — each side
+  * resolves its own. */
 object FleetMV {
 
-  val MarkerFile = "_mv.json"
+  val StampProp = "mv.sourceVersion"
 
   /** One maintenance step's cost surface: the version span folded in
     * and how many changed files the diff read touched. */
@@ -52,31 +58,10 @@ object FleetMV {
           s"_manifest) at $p — legacy raw-listing fleets have no " +
           "change feed to maintain from"))
 
-  private def readStamp(fs: FileSystem, viewP: Path): Option[Long] = {
-    val m = new Path(viewP, MarkerFile)
-    if (!fs.exists(m)) None
-    else {
-      val in = fs.open(m)
-      val text = try new String(in.readAllBytes(), "UTF-8")
-        finally in.close()
-      (org.json4s.jackson.JsonMethods.parse(text) \ "sourceVersion") match {
-        case org.json4s.JInt(v) => Some(v.toLong)
-        case _ => None
-      }
-    }
-  }
-
-  private def writeStamp(fs: FileSystem, viewP: Path, v: Long): Unit = {
-    val tmp = new Path(viewP, s".$MarkerFile.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(org.json4s.jackson.JsonMethods.compact(
+  private def propsJson(v: Long): String =
+    org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
-        "sourceVersion" -> org.json4s.JInt(v)))).getBytes("UTF-8"))
-    finally out.close()
-    val dest = new Path(viewP, MarkerFile)
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
-  }
+        StampProp -> org.json4s.JString(v.toString))))
 
   private def aggShape(df: DataFrame, keys: Seq[String],
       sumCols: Seq[String], sign: org.apache.spark.sql.Column)
@@ -85,17 +70,18 @@ object FleetMV {
       .agg(sum(sign).as("cnt"),
         sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")): _*)
 
-  /** Full build: aggregate the CURRENT source snapshot and stamp its
-    * version. */
+  /** Full build: aggregate a pinned CURRENT source snapshot and stamp
+    * its version in the view's first manifest commit. */
   def create(s: SparkSession, srcDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String]): RefreshResult = {
     require(keys.nonEmpty, "a view needs at least one group key")
-    val (srcP, fs) = fsOf(s, srcDir)
-    val v = sourceVersion(fs, srcP)
-    val full = aggShape(s.read.format("graft-avro").load(srcDir),
+    val (srcP, srcFs) = fsOf(s, srcDir)
+    val v = sourceVersion(srcFs, srcP)
+    val full = aggShape(
+      s.read.format("graft-avro").option("versionAsOf", v).load(srcDir),
       keys, sumCols, lit(1L))
-    full.write.format("graft-avro").mode("overwrite").save(viewDir)
-    writeStamp(fs, new Path(viewDir), v)
+    full.write.format("graft-avro").mode("overwrite")
+      .option("manifestProps", propsJson(v)).save(viewDir)
     RefreshResult(v, v, 0)
   }
 
@@ -104,22 +90,23 @@ object FleetMV {
     * advanced. */
   def refresh(s: SparkSession, srcDir: String, viewDir: String,
       keys: Seq[String], sumCols: Seq[String]): RefreshResult = {
-    val (srcP, fs) = fsOf(s, srcDir)
-    val (viewP, _) = fsOf(s, viewDir)
-    val v0 = readStamp(fs, viewP).getOrElse(
-      throw new IllegalStateException(
-        s"no $MarkerFile at $viewDir — create() the view first"))
-    val v1 = sourceVersion(fs, srcP)
+    val (srcP, srcFs) = fsOf(s, srcDir)
+    val (viewP, viewFs) = fsOf(s, viewDir)
+    val v0 = FleetManifest.current(viewFs, viewP)
+      .flatMap(_.props.get(StampProp)).flatMap(_.toLongOption).getOrElse(
+        throw new IllegalStateException(
+          s"view at $viewDir carries no $StampProp commit metadata — " +
+            "create() the view first"))
+    val v1 = sourceVersion(srcFs, srcP)
     if (v1 == v0) return RefreshResult(v0, v1, 0)
     require(v1 > v0, s"source went backwards? view at $v0, source $v1")
-    val from = FleetManifest.snapshotAt(fs, srcP, v0).getOrElse(
+    if (FleetManifest.snapshotAt(srcFs, srcP, v0).isEmpty)
       throw new IllegalStateException(
         s"view stamp $v0 expired at the source — too-aggressive " +
           "retention (expireVersions) outran refresh; rebuild with " +
-          "create()")).files.toSet
-    val to = FleetManifest.snapshotAt(fs, srcP, v1).get.files.toSet
-    val changedFiles = ((to -- from) ++ (from -- to)).size
-    val delta = FleetCDC.changes(s, srcDir, v0, v1)
+          "create()")
+    val (added, removed) = FleetCDC.fileDiff(s, srcDir, v0, v1)
+    val delta = FleetCDC.changesOf(s, srcDir, added, removed)
     val sign = when(col(FleetCDC.ChangeTypeCol) === "insert", lit(1L))
       .otherwise(lit(-1L))
     val deltaAgg = aggShape(delta, keys, sumCols, sign)
@@ -130,16 +117,17 @@ object FleetMV {
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
       .filter(col("cnt") =!= 0L)
     // the view update is itself a transactional swap: append the new
-    // generation and retire every old view file in ONE manifest
-    // commit (the rewrite_files pattern — no self-read of a truncated
-    // directory, no reader window over both states)
-    val oldNames = FleetManifest.resolve(fs, viewP, None)
-      .getOrElse(AvroFleetCommits.dataFileStatuses(fs, viewP))
+    // generation, retire every old view file, and advance the stamp —
+    // ONE manifest commit (the rewrite_files pattern: no self-read of
+    // a truncated directory, no reader window over both states, no
+    // stamp/data split for a crash to exploit)
+    val oldNames = FleetManifest.resolve(viewFs, viewP, None)
+      .getOrElse(AvroFleetCommits.dataFileStatuses(viewFs, viewP))
       .map(_.getPath.getName)
     merged.write.format("graft-avro").mode("append")
       .option("manifestSwapRemove", oldNames.mkString(","))
+      .option("manifestProps", propsJson(v1))
       .save(viewDir)
-    writeStamp(fs, viewP, v1)
-    RefreshResult(v0, v1, changedFiles)
+    RefreshResult(v0, v1, added.size + removed.size)
   }
 }

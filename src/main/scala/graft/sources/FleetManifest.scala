@@ -60,8 +60,13 @@ private[graft] object FleetManifest {
 
   /** One committed generation: the complete set of data-file NAMES
     * (relative to the fleet directory) a reader of this version must
-    * see. */
-  final case class Snapshot(version: Long, files: Seq[String])
+    * see, plus optional COMMIT METADATA — application properties that
+    * ride the one atomic commit (e.g. [[FleetMV]]'s source-version
+    * stamp: state that must change exactly when the file set does
+    * belongs here, not in a second marker file a crash can split from
+    * the swap). */
+  final case class Snapshot(version: Long, files: Seq[String],
+      props: Map[String, String] = Map.empty)
 
   private def mdir(dir: Path) = new Path(dir, DirName)
   private def vname(v: Long) = f"v$v%020d.json"
@@ -123,7 +128,13 @@ private[graft] object FleetManifest {
           case other => throw new java.io.IOException(
             s"malformed manifest $p: files = $other")
         }
-        Snapshot(v, files)
+        val props = (obj \ "props") match {
+          case o: JObject => o.obj.collect {
+            case (k, JString(s)) => k -> s
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Snapshot(v, files, props)
       case other => throw new java.io.IOException(
         s"malformed manifest $p: $other")
     }
@@ -132,12 +143,16 @@ private[graft] object FleetManifest {
   private def render(s: Snapshot): String =
     JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JInt(s.version),
-      "files" -> JArray(s.files.map(JString(_)).toList))))
+      "files" -> JArray(s.files.map(JString(_)).toList),
+      "props" -> JObject(s.props.toList.map {
+        case (k, v) => k -> (JString(v): org.json4s.JValue)
+      }))))
 
   // serialize same-JVM commits per fleet dir (stripes, not a per-path
   // map — the FleetStats rationale: bounded memory, collisions only
   // serialize unrelated commits)
   private val commitStripes = Array.fill(64)(new Object)
+  private val linklessWarned = new java.util.concurrent.atomic.AtomicBoolean
 
   /** Run `f` under the same per-directory stripe the commit protocol
     * uses — retention passes ([[FleetCompact.expireVersions]]) take
@@ -169,7 +184,8 @@ private[graft] object FleetManifest {
     * update function must be pure. */
   def commit(fs: FileSystem, dir: Path,
       update: Seq[String] => Seq[String],
-      bootstrap: => Seq[String]): Snapshot = {
+      bootstrap: => Seq[String],
+      props: Map[String, String] = Map.empty): Snapshot = {
     val key = fs.makeQualified(dir).toString
     commitStripes(math.floorMod(key.hashCode, commitStripes.length))
       .synchronized {
@@ -179,7 +195,7 @@ private[graft] object FleetManifest {
           val cur = current(fs, dir)
           val base = cur.map(_.files).getOrElse(bootstrap)
           val next = Snapshot(cur.map(_.version + 1L).getOrElse(1L),
-            update(base).distinct)
+            update(base).distinct, props)
           val dest = vpath(dir, next.version)
           fs.mkdirs(mdir(dir))
           if (!fs.exists(dest)) {
@@ -205,8 +221,19 @@ private[graft] object FleetManifest {
                   catch { case NonFatal(_) => false }
                 java.nio.file.Files.deleteIfExists(nioTmp)
                 if (claimed) return next
-                if (!java.nio.file.Files.exists(nioDest) &&
-                    renameClaim(fs, dir, dest, next)) return next
+                if (!java.nio.file.Files.exists(nioDest)) {
+                  // link(2) unsupported here: cross-PROCESS atomicity
+                  // degrades to rename + read-back (clobber-rename
+                  // TOCTOU returns) — surface it once instead of
+                  // failing a filesystem that worked pre-hard-link
+                  if (linklessWarned.compareAndSet(false, true))
+                    org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                      s"local filesystem at $dir lacks hard links; " +
+                        "manifest commits fall back to rename + " +
+                        "read-back (cross-process race window on " +
+                        "clobbering renames)")
+                  if (renameClaim(fs, dir, dest, next)) return next
+                }
               case None =>
                 if (renameClaim(fs, dir, dest, next)) return next
             }

@@ -271,11 +271,15 @@ class FleetManifestSpec extends SparkSpec {
     assert(rows(1L)._1 == 100L)
     assert(rows(1L)._2 ==
       (0L until 400L).filter(_ % 4 == 1).map(_ * 2.0).sum)
-    // view readers always see one complete state (the swap is one
-    // manifest commit — both generations never visible)
+    // view readers always see one complete state, and the SOURCE
+    // VERSION STAMP rides the same commit (atomic with the swap — a
+    // crash can never leave refreshed data with a stale stamp)
     val viewP = new org.apache.hadoop.fs.Path(view)
     val vfs = fsOf(view)
-    assert(graft.sources.FleetManifest.current(vfs, viewP).isDefined)
+    val viewSnap = graft.sources.FleetManifest.current(vfs, viewP).get
+    assert(viewSnap.props.get(graft.sources.FleetMV.StampProp)
+      .contains(r1.toVersion.toString),
+      s"stamp must ride the view commit: ${viewSnap.props}")
     // source retention outrunning the stamp fails loudly
     s2.sql("DELETE FROM graft.src WHERE k = 0")
     graft.sources.FleetCompact.expireVersions(spark, src, keepLast = 1)
