@@ -135,16 +135,28 @@ private[sources] object GraftProcedures {
     private val out = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("files", IntegerType, nullable = false),
-      StructField("is_current", BooleanType, nullable = false)))
+      StructField("is_current", BooleanType, nullable = false),
+      StructField("props", StringType, nullable = true)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val dir = requireFleet(dirFor, input.getUTF8String(0).toString)
       val (p, fs) = fsFor(dir)
       val vs = FleetManifest.versions(fs, p)
       val rows = vs.map { v =>
-        val files = FleetManifest.snapshotAt(fs, p, v)
-          .map(_.files.size).getOrElse(0)
+        val snap = FleetManifest.snapshotAt(fs, p, v)
+        val files = snap.map(_.files.size).getOrElse(0)
+        // commit metadata surfaces as a compact JSON column (null
+        // when the generation carried none) — e.g. FleetMV's
+        // mv.sourceVersion stamp is auditable straight from SQL
+        val props = snap.map(_.props).filter(_.nonEmpty).map { m =>
+          str(org.json4s.jackson.JsonMethods.compact(
+            org.json4s.jackson.JsonMethods.render(
+              org.json4s.JObject(m.toList.sortBy(_._1).map {
+                case (k, vv) =>
+                  k -> (org.json4s.JString(vv): org.json4s.JValue)
+              }))))
+        }.orNull
         new GenericInternalRow(Array[Any](v, files,
-          vs.lastOption.contains(v))): InternalRow
+          vs.lastOption.contains(v), props)): InternalRow
       }
       result(out, rows: _*)
     }
