@@ -508,5 +508,11 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] { s2.sql("CALL graft.system.vacuum('x')") }
     intercept[Exception] { s2.sql("CALL graft.nope.snapshots('x')") }
     intercept[Exception] { s2.sql("CALL graft.system.snapshots('missing')") }
+    // the verb set is discoverable from SQL
+    val listed = s2.sql("SHOW PROCEDURES IN graft.system")
+      .collect().map(_.toString).mkString("\n")
+    Seq("snapshots", "restore", "expire_versions", "rewrite_files",
+      "remove_orphans").foreach(pr =>
+        assert(listed.contains(pr), s"$pr missing from:\n$listed"))
   }
 }
