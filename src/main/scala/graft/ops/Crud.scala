@@ -456,10 +456,42 @@ object Crud {
       .orderBy(col("shard"))
   }
 
+  /** §1.1 TIMESTAMP-based time travel — the calendar spelling of the
+    * audit read: manifest versions carry their commit time (the
+    * immutable version file's mtime), and `TIMESTAMP AS OF` binds to
+    * the newest generation at or before the instant. The staging pins
+    * the two generations' commit times to fixed epochs so the oracle
+    * is deterministic: a query AS OF between them must see the
+    * pre-UPDATE fleet exactly. */
+  def qSqlTimeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = false),
+      "timetravel_ts")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal + 500.0, 4)
+        |WHERE c_custkey < 100""".stripMargin)           // v2
+    val t1 = 1000000000000L
+    val t2 = t1 + 100000L
+    val mdir = new java.io.File(s"$root/cust.avro/_manifest")
+    mdir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
+      val v = f.getName.stripPrefix("v").stripSuffix(".json").toLong
+      require(f.setLastModified(if (v <= 1) t1 else t2),
+        s"cannot pin commit time of ${f.getName}")
+    }
+    s2.sql(
+      s"""SELECT c_custkey, c_name, c_acctbal
+         |FROM graft.cust TIMESTAMP AS OF timestamp_millis(${t1 + 50000}L)
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_restore" -> qSqlRestore _,
     "q_fleet_changes" -> qFleetChanges _,
     "q_fleet_mv" -> qFleetMv _,
+    "q_sql_timetravel_ts" -> qSqlTimeTravelTs _,
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
     "q_crud_upsert" -> qCrudUpsert _,
@@ -489,6 +521,10 @@ object Crud {
         |FROM base WHERE shard = 5
         |ORDER BY _change_type, c_custkey""".stripMargin,
     "q_sql_restore" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_timetravel_ts" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
