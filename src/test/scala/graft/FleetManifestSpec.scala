@@ -179,6 +179,33 @@ class FleetManifestSpec extends SparkSpec {
       s"reset manifest ${snap.files} != disk $onDisk")
   }
 
+  test("commit metadata round-trips and legacy prop-less manifests parse") {
+    val root = graft.util.Scratch.dir("manifest_props")
+    val p = new org.apache.hadoop.fs.Path(s"$root/t.avro")
+    val fs = fsOf(p.toString)
+    fs.mkdirs(p)
+    val s1 = graft.sources.FleetManifest.commit(fs, p,
+      _ => Seq("a.avro"), bootstrap = Seq.empty,
+      props = Map("mv.sourceVersion" -> "7", "who" -> "spec"))
+    assert(s1.props == Map("mv.sourceVersion" -> "7", "who" -> "spec"))
+    val back = graft.sources.FleetManifest.current(fs, p).get
+    assert(back.props == s1.props && back.files == Seq("a.avro"))
+    // a commit WITHOUT props does not inherit the previous ones —
+    // metadata belongs to exactly the commit that declared it
+    val s2 = graft.sources.FleetManifest.commit(fs, p,
+      base => base :+ "b.avro", bootstrap = Seq.empty)
+    assert(s2.props.isEmpty)
+    // legacy version files (no "props" key) parse as empty metadata
+    val legacy = new org.apache.hadoop.fs.Path(p,
+      "_manifest/v00000000000000000003.json")
+    val out = fs.create(legacy, true)
+    out.write("""{"version":3,"files":["c.avro"]}""".getBytes("UTF-8"))
+    out.close()
+    val s3 = graft.sources.FleetManifest.current(fs, p).get
+    assert(s3.version == 3L && s3.files == Seq("c.avro") &&
+      s3.props.isEmpty)
+  }
+
   test("FleetCDC diffs manifests: appends are inserts; in-range churn nets out") {
     import spark.implicits._
     val dir = graft.util.Scratch.dir("manifest_cdc") + "/t.avro"
