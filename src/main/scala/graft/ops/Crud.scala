@@ -457,12 +457,15 @@ object Crud {
   }
 
   /** §1.1 TIMESTAMP-based time travel — the calendar spelling of the
-    * audit read: manifest versions carry their commit time (the
-    * immutable version file's mtime), and `TIMESTAMP AS OF` binds to
-    * the newest generation at or before the instant. The staging pins
-    * the two generations' commit times to fixed epochs so the oracle
-    * is deterministic: a query AS OF between them must see the
-    * pre-UPDATE fleet exactly. */
+    * audit read: every manifest commit stamps its wall-clock into the
+    * snapshot's own `commit.ts` property
+    * ([[graft.sources.FleetManifest.CommitTsProp]] — durable across a
+    * fleet copy/migration, unlike the version file's mtime), and
+    * `TIMESTAMP AS OF` binds to the newest generation committed at or
+    * before the instant. The staging re-stamps the two generations'
+    * commit.ts to fixed epochs so the oracle is deterministic: a
+    * query AS OF between them must see the pre-UPDATE fleet
+    * exactly. */
   def qSqlTimeTravelTs(s: SparkSession, dir: String): DataFrame = {
     val root = cloneFleet(s, goldenDir(s, dir, clustered = false),
       "timetravel_ts")
@@ -475,11 +478,11 @@ object Crud {
         |WHERE c_custkey < 100""".stripMargin)           // v2
     val t1 = 1000000000000L
     val t2 = t1 + 100000L
-    val mdir = new java.io.File(s"$root/cust.avro/_manifest")
-    mdir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
-      val v = f.getName.stripPrefix("v").stripSuffix(".json").toLong
-      require(f.setLastModified(if (v <= 1) t1 else t2),
-        s"cannot pin commit time of ${f.getName}")
+    val fleetP = new org.apache.hadoop.fs.Path(s"$root/cust.avro")
+    val fs = fleetP.getFileSystem(s.sessionState.newHadoopConf())
+    graft.sources.FleetManifest.versions(fs, fleetP).foreach { v =>
+      graft.sources.FleetManifest.restampCommitTs(fs, fleetP, v,
+        if (v <= 1) t1 else t2)
     }
     s2.sql(
       s"""SELECT c_custkey, c_name, c_acctbal

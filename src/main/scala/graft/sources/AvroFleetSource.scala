@@ -66,17 +66,21 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
     * FIRST path's enclosing fleet directory, so an ALTERed fleet's
     * aliases and declared schema apply however its files are
     * addressed. */
-  private def markerOf(path: String): Option[FleetSchemaMarker.Marker] =
+  private def markerOf(path: String): Option[FleetSchemaMarker.Marker] = {
+    val p = new org.apache.hadoop.fs.Path(Avro.splitGlobs(path).head)
+    val fs = p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    // parent fallback ONLY for a path that is an existing FILE of
+    // the fleet or an in-directory glob — a nonexistent plain path
+    // must resolve to None (adopting an enclosing directory's
+    // marker would impose a foreign schema on a typo'd or
+    // not-yet-created location). None is returned ONLY when the
+    // marker is genuinely absent: a transient read/parse failure on
+    // an ALTERed fleet PROPAGATES — silently dropping the declared
+    // schema and alias map would decode renamed columns as NULL
+    // (silent wrong results beat no results, never the reverse).
+    val isGlob = p.getName.exists("*?[]{}".contains(_))
     try {
-      val p = new org.apache.hadoop.fs.Path(Avro.splitGlobs(path).head)
-      val fs = p.getFileSystem(
-        SparkSession.active.sessionState.newHadoopConf())
-      // parent fallback ONLY for a path that is an existing FILE of
-      // the fleet or an in-directory glob — a nonexistent plain path
-      // must resolve to None (adopting an enclosing directory's
-      // marker would impose a foreign schema on a typo'd or
-      // not-yet-created location)
-      val isGlob = p.getName.exists("*?[]{}".contains(_))
       val dirP =
         if (fs.exists(p))
           (if (fs.getFileStatus(p).isDirectory) p else p.getParent)
@@ -86,7 +90,12 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
           fs.getFileStatus(dirP).isDirectory)
         FleetSchemaMarker.read(fs, dirP)
       else None
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      // a path component vanishing between the existence probe and
+      // the status/read IS genuine absence, not a dropped marker
+      case _: java.io.FileNotFoundException => None
+    }
+  }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     markerOf(pathOf(options)).map(_.schema).getOrElse {
@@ -265,9 +274,13 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       case (st, true) => st.getPath.getName
     }.toSet
     if (dropped.nonEmpty)
+      // requireInBase: a concurrent rewrite of a to-be-dropped file
+      // means our full-file drop decision is stale (the rewrite's
+      // post-image would survive the DELETE) — conflict loudly
       FleetManifest.commit(fs, dirPath,
         base => base.filterNot(dropped),
-        bootstrap = decisions.map(_._1.getPath.getName))
+        bootstrap = decisions.map(_._1.getPath.getName),
+        requireInBase = dropped)
   }
 
   /** SQL DELETE/UPDATE/MERGE INTO via group-based copy-on-write — see
@@ -379,10 +392,13 @@ private[sources] object FleetLayout {
   * (jobTag = a hash of the V2 queryId), so `mode("append")` lands
   * alongside existing fleets with no name collisions and an aborted
   * job can roll back exactly its own files. `mode("overwrite")`
-  * (SupportsTruncate) drops the previous fleet's data files before
-  * tasks launch — non-atomic across the job, same as Hadoop
-  * FileOutputCommitter overwrite; the `_SUCCESS`-required read
-  * contract is what certifies completeness either way. */
+  * (SupportsTruncate) is ATOMIC on a transactional fleet: the new
+  * generation lands beside the old and ONE reset manifest commit
+  * swaps the whole file list — readers mid-job (even of the target
+  * itself) see the complete pre-overwrite fleet, a crash at any
+  * point leaves it intact, and the retired generation keeps serving
+  * `VERSION AS OF` until retention (expireVersions/remove_orphans)
+  * reclaims it. */
 private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
     dir: String) extends WriteBuilder with SupportsTruncate {
 
@@ -493,13 +509,18 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     val conf = SparkSession.active.sessionState.newHadoopConf()
     val f = fs(conf)
     val p = new org.apache.hadoop.fs.Path(dir)
-    if (truncate && f.exists(p)) f.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      if (n == "_SUCCESS" || n == FleetStats.FileName ||
-          n == FleetLayout.FileName || n == FleetSchemaMarker.FileName ||
-          n.endsWith(".avro") || n.endsWith(".avro.tmp"))
-        f.delete(st.getPath, false)
-    }
+    // TRUNCATE (INSERT OVERWRITE) deletes NOTHING here: the new
+    // generation lands beside the old one and the reset manifest
+    // commit retires the old files atomically — a reader resolving
+    // the current manifest mid-job, or a crash at ANY point before
+    // the commit, still sees the complete pre-overwrite fleet, and
+    // retained VERSION AS OF history keeps serving. Physical deletion
+    // of retired generations is a retention decision
+    // (FleetCompact.expireVersions / remove_orphans), exactly as in
+    // the row-level copy-on-write path. On a manifest-less legacy
+    // directory the reset commit BOOTSTRAPS the manifest to the new
+    // files only; the old files become unreferenced (raw-listing
+    // external consumers see both until remove_orphans passes).
     f.mkdirs(p)
     new AvroFleetWriterFactory(schemaJson, schema.fields.map(_.name),
       schema.fields.map(_.dataType), dir, jobTag,
@@ -836,17 +857,29 @@ private[sources] object AvroFleetCommits {
     }.flatten.toMap
     if (stats.nonEmpty) FleetStats.write(f, p, stats)
     between()
+    // a reset (INSERT OVERWRITE / TRUNCATE) replaces the fleet's
+    // contents wholesale — the ALTER-era schema marker describes the
+    // pre-reset declared schema and must not shadow the new files'
+    // writer schema (marker-clear rides the commit, not the job
+    // start, so a crashed overwrite leaves an ALTERed fleet intact)
+    if (reset) FleetSchemaMarker.clear(f, p)
     val added = messages.collect {
       case AvroFleetCommitMessage(parts) => parts.map { case (file, _) =>
         new org.apache.hadoop.fs.Path(file).getName
       }
     }.flatten.toSeq
+    // conflict detection: the retired names must still be in the base
+    // on EVERY commit attempt — two concurrent copy-on-write rewrites
+    // of one file would otherwise both land their post-images and
+    // duplicate its surviving rows. A loud FleetCommitConflictException
+    // tells the loser to re-run its whole transaction.
     FleetManifest.commit(f, p,
       base =>
         if (reset) added
         else base.filterNot(removeNames) ++ added,
       bootstrap = rawDataFiles(f, p),
-      props = props)
+      props = props,
+      requireInBase = if (reset) Set.empty else removeNames)
     f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 

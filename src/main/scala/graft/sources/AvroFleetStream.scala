@@ -179,23 +179,26 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
           case e => e
         }
         // watermark advances only on ADMITTED mtimes (a deferred
-        // backlog under maxFilesPerTrigger must not starve itself).
-        // A candidate below the ADVANCED watermark — a straggler
-        // listed in the same trigger as a much newer file — is
-        // EXPIRED AT ADMISSION: excluded from the end offset (its
-        // rows are never read) and permanently below the watermark
-        // (it can never re-admit as a duplicate). That is age-based
-        // expiry's contract, identical to FileStreamSource's
-        // maxFileAge: a file older than (newest seen − age) is
-        // expired, and whether a straggler beats the newcomer by one
-        // trigger is inherent timing, not state divergence — both
-        // outcomes leave the seen set consistent.
+        // backlog under maxFilesPerTrigger must not starve itself),
+        // and the ADVANCED watermark applies only to FUTURE
+        // admission/eviction — every file admitted THIS trigger stays
+        // in the end offset so its rows are read in the batch that
+        // discovered it, even when its mtime falls below the
+        // watermark its own trigger advanced. (FileStreamSource's
+        // purge-after-batch ordering: discovery in trigger T is
+        // processed in T; expiry filters what T+1 may admit. The
+        // alternative — expiring at admission — silently skips the
+        // entire backlog older than (newest mtime − age) on a fresh
+        // checkpoint over an aged directory.) A kept-but-expired
+        // entry is evicted from the CARRIED seen set next trigger and
+        // can never re-admit: the monotonic watermark already
+        // excludes it from candidacy.
         val maxAdmitted = (admitted.map(_._2) :+ wm)
           .foldLeft(Long.MinValue)(math.max)
         val newWm =
           if (maxAdmitted == Long.MinValue) wm
           else math.max(wm, maxAdmitted - age)
-        val kept = (carried ++ admitted).filter(_._2 >= newWm)
+        val kept = carried.filter(_._2 >= newWm) ++ admitted
         FleetSourceOffset(kept, Some(newWm), store)
     }
   }

@@ -36,11 +36,20 @@ import org.json4s.jackson.JsonMethods
   *  3. claim `v{N+1}.json` atomically: on the LOCAL filesystem a
   *     hard link from a completed hidden temp (`Files.createLink`
   *     fails-if-exists at the OS level — rename would clobber);
-  *     elsewhere a temp + `rename` (HDFS/object-store rename-if-
-  *     absent refuses an existing destination) with a READ-BACK
-  *     verifying the content is ours. A lost claim re-reads and
-  *     retries on N+2 with the update function applied to the NEW
-  *     base, so racing commits serialize instead of losing updates.
+  *     elsewhere a temp + `rename` (HDFS rename-if-absent refuses an
+  *     existing destination) with a READ-BACK verifying the content
+  *     is ours. A lost claim re-reads and retries on N+2 with the
+  *     update function applied to the NEW base, so racing commits
+  *     serialize instead of losing updates.
+  *
+  * ATOMICITY CAVEAT — S3A-style object stores: their `rename` is a
+  * non-atomic check-then-copy, so two racing cross-process committers
+  * can interleave past the read-back and lose one update (the Iceberg
+  * HadoopCatalog caveat, verbatim). Fleets on such stores need an
+  * external lock/commit service serializing committers (or a
+  * conditional-put shim where the store exposes one); HDFS and local
+  * filesystems need nothing. Same-JVM committers are always safe (the
+  * stripe lock serializes them before the filesystem is involved).
   *
   * In-JVM commits additionally serialize on striped locks (the
   * [[FleetStats]] pattern) so local-mode concurrency never relies on
@@ -54,9 +63,26 @@ import org.json4s.jackson.JsonMethods
   * directory BOOTSTRAPS the manifest from the raw listing, so legacy
   * fleets upgrade on their next write with no migration step.
   */
+/** A manifest commit lost to a CONFLICTING concurrent commit — the
+  * base this commit must apply against changed in a way that would
+  * corrupt data if blindly re-applied (a file this copy-on-write swap
+  * retires was already retired/rewritten by another committer, or the
+  * fleet moved past the caller's `expectedVersion`). Retryable by
+  * RE-RUNNING the whole read-rewrite-commit transaction against the
+  * new current generation — never by re-applying the stale update. */
+class FleetCommitConflictException(msg: String)
+    extends java.io.IOException(msg)
+
 private[graft] object FleetManifest {
 
   val DirName = "_manifest"
+
+  /** Commit-wall-clock property every commit stamps into
+    * [[Snapshot.props]] (ms since epoch) — the durable commit-time
+    * index `TIMESTAMP AS OF` binds against. Unlike the version file's
+    * mtime it survives a distcp-style fleet migration and ignores
+    * clock skew introduced by filesystem copies. */
+  val CommitTsProp = "commit.ts"
 
   /** One committed generation: the complete set of data-file NAMES
     * (relative to the fleet directory) a reader of this version must
@@ -90,16 +116,41 @@ private[graft] object FleetManifest {
       .flatMap(st => parseVersion(st.getPath.getName)).sorted
   }
 
-  /** Committed versions with their COMMIT TIMES (the immutable
-    * version file's mtime, ms) — the index `TIMESTAMP AS OF` binds
-    * against. */
+  /** Committed versions with their COMMIT TIMES (ms) — the index
+    * `TIMESTAMP AS OF` binds against. The time is the `commit.ts`
+    * property the committer stamped into the snapshot itself, so a
+    * copied/moved fleet keeps its time-travel index; a pre-stamp
+    * legacy version falls back to its version file's mtime. One tiny
+    * JSON read per retained version — bounded by retention, never by
+    * fleet size. */
   def versionsWithTimes(fs: FileSystem, dir: Path): Seq[(Long, Long)] = {
     val d = mdir(dir)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq
-      .flatMap(st => parseVersion(st.getPath.getName)
-        .map(_ -> st.getModificationTime))
+      .flatMap { st =>
+        parseVersion(st.getPath.getName).map { v =>
+          val stamped = readFile(fs, st.getPath).props
+            .get(CommitTsProp).flatMap(_.toLongOption)
+          v -> stamped.getOrElse(st.getModificationTime)
+        }
+      }
       .sortBy(_._1)
+  }
+
+  /** STAGING/TEST hook: rewrite an already-committed version's
+    * `commit.ts` property in place so a fixture's time-travel index
+    * is deterministic. Never part of the production commit path —
+    * committed version files are immutable there. */
+  private[graft] def restampCommitTs(fs: FileSystem, dir: Path, v: Long,
+      ts: Long): Unit = {
+    val snap = snapshotAt(fs, dir, v).getOrElse(
+      throw new IllegalArgumentException(s"no manifest version $v at $dir"))
+    val restamped = snap.copy(props =
+      snap.props + (CommitTsProp -> ts.toString))
+    val p = vpath(dir, v)
+    val out = fs.create(p, true)
+    try out.write(render(restamped).getBytes("UTF-8"))
+    finally out.close()
   }
 
   def snapshotAt(fs: FileSystem, dir: Path, v: Long): Option[Snapshot] = {
@@ -181,11 +232,34 @@ private[graft] object FleetManifest {
     * (or `bootstrap` for a manifest-less fleet) to the new complete
     * list. Returns the committed snapshot. Retries on concurrent
     * commits (each retry re-reads and re-applies `update`), so the
-    * update function must be pure. */
+    * update function must be pure.
+    *
+    * OPTIMISTIC CONFLICT DETECTION — the two validations below run on
+    * EVERY attempt against the freshly-read base, so a retry after a
+    * lost claim can never silently re-apply a stale transaction:
+    *
+    *  - `requireInBase`: the file names this commit retires (a
+    *    copy-on-write swap's remove set). If any is no longer in the
+    *    current generation, another committer already
+    *    retired/rewrote that file — blindly proceeding would land
+    *    BOTH post-images and duplicate the file's surviving rows (or
+    *    resurrect deleted ones). Fails with
+    *    [[FleetCommitConflictException]]; the caller must re-run its
+    *    whole read-rewrite-commit transaction (Delta's
+    *    ConcurrentDeleteDelete posture).
+    *  - `expectedVersion`: strict snapshot isolation — the commit
+    *    only lands on exactly this base version; ANY intervening
+    *    commit (even a non-overlapping append) conflicts. For
+    *    transactions whose update depends on the full base state.
+    *
+    * Every commit stamps [[CommitTsProp]] (wall-clock ms) into the
+    * snapshot props unless the caller already set it. */
   def commit(fs: FileSystem, dir: Path,
       update: Seq[String] => Seq[String],
       bootstrap: => Seq[String],
-      props: Map[String, String] = Map.empty): Snapshot = {
+      props: Map[String, String] = Map.empty,
+      requireInBase: Set[String] = Set.empty,
+      expectedVersion: Option[Long] = None): Snapshot = {
     val key = fs.makeQualified(dir).toString
     commitStripes(math.floorMod(key.hashCode, commitStripes.length))
       .synchronized {
@@ -193,9 +267,31 @@ private[graft] object FleetManifest {
         while (attempts < 64) {
           attempts += 1
           val cur = current(fs, dir)
+          expectedVersion.foreach { ev =>
+            val curV = cur.map(_.version).getOrElse(0L)
+            if (curV != ev) throw new FleetCommitConflictException(
+              s"manifest commit at $dir expected version $ev but the " +
+                s"fleet is at $curV — a concurrent commit landed; " +
+                "re-run the transaction against the current generation")
+          }
           val base = cur.map(_.files).getOrElse(bootstrap)
+          if (requireInBase.nonEmpty) {
+            val baseSet = base.toSet
+            val missing = requireInBase.filterNot(baseSet)
+            if (missing.nonEmpty) throw new FleetCommitConflictException(
+              s"manifest commit at $dir retires file(s) no longer in " +
+                s"the current generation (v${cur.map(_.version)
+                  .getOrElse(0L)}): ${missing.toSeq.sorted.mkString(", ")}" +
+                " — a concurrent commit rewrote or removed them; " +
+                "re-run the transaction (re-read, re-rewrite, re-commit)" +
+                " against the current generation")
+          }
+          val stamped =
+            if (props.contains(CommitTsProp)) props
+            else props + (CommitTsProp ->
+              System.currentTimeMillis().toString)
           val next = Snapshot(cur.map(_.version + 1L).getOrElse(1L),
-            update(base).distinct, props)
+            update(base).distinct, stamped)
           val dest = vpath(dir, next.version)
           fs.mkdirs(mdir(dir))
           if (!fs.exists(dest)) {

@@ -128,9 +128,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** SQL `TIMESTAMP AS OF` — binds the timestamp (Spark hands it in
     * MICROSECONDS) to the newest manifest generation committed at or
-    * before it (commit time = the immutable version file's mtime).
-    * The resolved read is exactly the `VERSION AS OF` read of that
-    * generation. */
+    * before it (commit time = the snapshot's own `commit.ts` stamp,
+    * mtime fallback for pre-stamp legacy versions — so a
+    * copied/moved fleet keeps its time-travel index). The resolved
+    * read is exactly the `VERSION AS OF` read of that generation. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     require(ident.namespace().isEmpty,
       "TIMESTAMP AS OF applies to avro fleets only")

@@ -55,8 +55,14 @@ private[graft] object FleetSchemaMarker {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val dest = new org.apache.hadoop.fs.Path(dir, FileName)
-    fs.delete(dest, false)
-    if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+    // rename OVER the destination first (POSIX rename clobbers
+    // atomically — no window with no marker at all); only a
+    // filesystem that refuses an existing destination falls back to
+    // the delete-then-rename with its brief no-marker window
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+    }
   }
 
   def read(fs: org.apache.hadoop.fs.FileSystem,

@@ -176,16 +176,21 @@ class CatalogSpec extends SparkSpec {
     val n0 = s2.sql("SELECT count(*) AS n FROM graft.events")
       .collect()(0).getLong(0)
     assert(n0 > 0)
-    // NOTE: overwrite truncates before tasks read, so the source must
-    // not be the target itself (the directory contract has no
-    // snapshot isolation — same as Hadoop FileOutputCommitter)
-    s2.sql("""CREATE TABLE graft.events_half AS
-             |SELECT event_id, event_type, value FROM graft.events
-             |WHERE event_id % 2 = 0""".stripMargin)
-    s2.sql("INSERT OVERWRITE graft.events SELECT * FROM graft.events_half")
+    // overwrite is a reset manifest commit — the old generation stays
+    // on disk (and readable) until the commit swaps the list, so the
+    // source MAY be the target itself: tasks read the pre-overwrite
+    // snapshot while the new generation lands beside it
+    s2.sql("""INSERT OVERWRITE graft.events
+             |SELECT * FROM graft.events WHERE event_id % 2 = 0"""
+      .stripMargin)
     val n1 = s2.sql("SELECT count(*) AS n FROM graft.events")
       .collect()(0).getLong(0)
     assert(n1 < n0 && n1 > 0, s"overwrite must replace: $n0 -> $n1")
+    // the retired pre-overwrite generation still serves time travel
+    val v = s2.sql("SELECT count(*) AS n FROM graft.events VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    assert(v == n0,
+      s"VERSION AS OF 1 must still see the pre-overwrite fleet: $v != $n0")
     s2.sql("TRUNCATE TABLE graft.events")
     assert(s2.sql("SELECT count(*) AS n FROM graft.events")
       .collect()(0).getLong(0) == 0L)
@@ -464,14 +469,15 @@ class CatalogSpec extends SparkSpec {
     val s2 = catSession(root)
     s2.sql("CREATE TABLE graft.t AS SELECT id FROM range(10)") // v1+v2
     s2.sql("DELETE FROM graft.t WHERE id >= 5")                // v3
-    // pin commit times: v1/v2 at t1, v3 at t2 (mtimes are the
-    // TIMESTAMP AS OF index)
+    // pin commit times: v1/v2 at t1, v3 at t2 (the snapshots' own
+    // commit.ts props are the TIMESTAMP AS OF index)
     val t1 = 1000000000000L
     val t2 = t1 + 100000L
-    val mdir = new java.io.File(s"$root/t.avro/_manifest")
-    mdir.listFiles().filter(_.getName.endsWith(".json")).foreach { f =>
-      val v = f.getName.stripPrefix("v").stripSuffix(".json").toLong
-      assert(f.setLastModified(if (v <= 2) t1 else t2))
+    val p = new org.apache.hadoop.fs.Path(s"$root/t.avro")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FleetManifest.versions(fs, p).foreach { v =>
+      graft.sources.FleetManifest.restampCommitTs(fs, p, v,
+        if (v <= 2) t1 else t2)
     }
     def countAt(ms: Long) = s2.sql(
       s"SELECT count(*) AS n FROM graft.t " +

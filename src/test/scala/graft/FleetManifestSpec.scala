@@ -166,17 +166,86 @@ class FleetManifestSpec extends SparkSpec {
   test("overwrite resets the manifest to exactly the new generation") {
     import spark.implicits._
     val dir = stage("reset")
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val oldFiles = graft.sources.FleetManifest.current(fs, p).get.files
     spark.range(0, 10, 1, 1).select($"id", ($"id" * 3).as("v"))
       .write.format("graft-avro").mode("overwrite").save(dir)
     assert(spark.read.format("graft-avro").load(dir).count() == 10)
-    val fs = fsOf(dir)
-    val p = new org.apache.hadoop.fs.Path(dir)
     val snap = graft.sources.FleetManifest.current(fs, p).get
     val onDisk = fs.listStatus(p).filter(st =>
       st.isFile && st.getPath.getName.endsWith(".avro"))
       .map(_.getPath.getName).toSet
-    assert(snap.files.toSet == onDisk,
-      s"reset manifest ${snap.files} != disk $onDisk")
+    // the reset commit references ONLY the new generation…
+    assert(snap.files.toSet.subsetOf(onDisk) &&
+      snap.files.forall(!oldFiles.contains(_)),
+      s"reset manifest ${snap.files} must be the new generation only")
+    // …but deletes NOTHING: the retired generation stays on disk
+    // (readers mid-overwrite and VERSION AS OF keep working; cleanup
+    // belongs to expireVersions/remove_orphans)
+    assert(oldFiles.forall(onDisk.contains),
+      s"overwrite must not physically delete the old generation")
+    assert(spark.read.format("graft-avro").option("versionAsOf", 1)
+      .load(dir).count() == 200,
+      "VERSION AS OF must still serve the pre-overwrite fleet")
+  }
+
+  test("concurrent COW rewrites of one file: one winner, loud conflict") {
+    import spark.implicits._
+    val dir = stage("conflict")
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val victim = graft.sources.FleetManifest.current(fs, p).get.files.head
+    // writer A stages its rewrite of `victim` (reads it, writes a
+    // post-image file) but has not committed yet…
+    spark.range(1000, 1010, 1, 1).select($"id", ($"id" * 2).as("v"))
+      .write.format("graft-avro").mode("append").save(dir)
+    // …meanwhile writer B's rewrite of the SAME file commits first
+    graft.sources.FleetManifest.commit(fs, p,
+      base => base.filterNot(_ == victim) :+ "rewrite-b.avro",
+      bootstrap = Seq.empty, requireInBase = Set(victim))
+    // writer A's swap must now CONFLICT, not silently re-apply: a
+    // no-op remove plus its own add would land BOTH post-images and
+    // duplicate the file's surviving rows
+    val e = intercept[graft.sources.FleetCommitConflictException] {
+      graft.sources.FleetManifest.commit(fs, p,
+        base => base.filterNot(_ == victim) :+ "rewrite-a.avro",
+        bootstrap = Seq.empty, requireInBase = Set(victim))
+    }
+    assert(e.getMessage.contains(victim))
+    val files = graft.sources.FleetManifest.current(fs, p).get.files
+    assert(files.contains("rewrite-b.avro") &&
+      !files.contains("rewrite-a.avro") && !files.contains(victim),
+      s"exactly one rewrite may win: $files")
+    // an append racing the same window is NOT a conflict (nothing it
+    // retires went missing) — it serializes and lands
+    graft.sources.FleetManifest.commit(fs, p,
+      base => base :+ "append-c.avro", bootstrap = Seq.empty)
+    assert(graft.sources.FleetManifest.current(fs, p).get.files
+      .contains("append-c.avro"))
+  }
+
+  test("expectedVersion gives strict snapshot isolation") {
+    val root = graft.util.Scratch.dir("manifest_expected")
+    val p = new org.apache.hadoop.fs.Path(s"$root/t.avro")
+    val fs = fsOf(p.toString)
+    fs.mkdirs(p)
+    val s1 = graft.sources.FleetManifest.commit(fs, p,
+      _ => Seq("a.avro"), bootstrap = Seq.empty)
+    // lands only on exactly the expected base version…
+    val s2 = graft.sources.FleetManifest.commit(fs, p,
+      base => base :+ "b.avro", bootstrap = Seq.empty,
+      expectedVersion = Some(s1.version))
+    assert(s2.version == s1.version + 1 &&
+      s2.files == Seq("a.avro", "b.avro"))
+    // …and ANY intervening commit (even a pure append) conflicts
+    val e = intercept[graft.sources.FleetCommitConflictException] {
+      graft.sources.FleetManifest.commit(fs, p,
+        base => base :+ "c.avro", bootstrap = Seq.empty,
+        expectedVersion = Some(s1.version))
+    }
+    assert(e.getMessage.contains(s"expected version ${s1.version}"))
+    assert(graft.sources.FleetManifest.current(fs, p).get == s2)
   }
 
   test("commit metadata round-trips and legacy prop-less manifests parse") {
@@ -187,14 +256,20 @@ class FleetManifestSpec extends SparkSpec {
     val s1 = graft.sources.FleetManifest.commit(fs, p,
       _ => Seq("a.avro"), bootstrap = Seq.empty,
       props = Map("mv.sourceVersion" -> "7", "who" -> "spec"))
-    assert(s1.props == Map("mv.sourceVersion" -> "7", "who" -> "spec"))
+    // caller props ride the commit; the committer adds its commit.ts
+    assert(s1.props - graft.sources.FleetManifest.CommitTsProp ==
+      Map("mv.sourceVersion" -> "7", "who" -> "spec"))
+    assert(s1.props.get(graft.sources.FleetManifest.CommitTsProp)
+      .flatMap(_.toLongOption).exists(_ > 0L),
+      s"commit must stamp a wall-clock commit.ts: ${s1.props}")
     val back = graft.sources.FleetManifest.current(fs, p).get
     assert(back.props == s1.props && back.files == Seq("a.avro"))
     // a commit WITHOUT props does not inherit the previous ones —
     // metadata belongs to exactly the commit that declared it
     val s2 = graft.sources.FleetManifest.commit(fs, p,
       base => base :+ "b.avro", bootstrap = Seq.empty)
-    assert(s2.props.isEmpty)
+    assert(s2.props.keySet ==
+      Set(graft.sources.FleetManifest.CommitTsProp))
     // legacy version files (no "props" key) parse as empty metadata
     val legacy = new org.apache.hadoop.fs.Path(p,
       "_manifest/v00000000000000000003.json")
@@ -204,6 +279,47 @@ class FleetManifestSpec extends SparkSpec {
     val s3 = graft.sources.FleetManifest.current(fs, p).get
     assert(s3.version == 3L && s3.files == Seq("c.avro") &&
       s3.props.isEmpty)
+  }
+
+  test("TIMESTAMP index binds to commit.ts and survives a fleet copy") {
+    import spark.implicits._
+    val dir = stage("tsprops", n = 20)
+    spark.range(20, 30, 1, 1).select($"id", ($"id" * 2).as("v"))
+      .write.format("graft-avro").mode("append").save(dir)          // v2
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val t1 = 1500000000000L
+    val t2 = t1 + 60000L
+    graft.sources.FleetManifest.restampCommitTs(fs, p, 1L, t1)
+    graft.sources.FleetManifest.restampCommitTs(fs, p, 2L, t2)
+    assert(graft.sources.FleetManifest.versionsWithTimes(fs, p) ==
+      Seq(1L -> t1, 2L -> t2))
+    // a distcp-style migration rewrites every file's mtime — the
+    // commit-time index must ride the snapshots themselves
+    val copied = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(dir).getParent, "moved.avro")
+    org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, copied, false,
+      spark.sessionState.newHadoopConf())
+    val vfile = graft.sources.FleetManifest.versionFilePath(copied, 1L)
+    assert(fs.getFileStatus(vfile).getModificationTime != t1,
+      "copy staging failed: mtime unexpectedly equals the pinned stamp")
+    assert(graft.sources.FleetManifest.versionsWithTimes(fs, copied) ==
+      Seq(1L -> t1, 2L -> t2),
+      "a copied fleet must keep its time-travel index")
+    // a legacy (pre-commit.ts) version file falls back to its mtime
+    val snap = graft.sources.FleetManifest.snapshotAt(fs, copied, 2L).get
+    val out = fs.create(
+      graft.sources.FleetManifest.versionFilePath(copied, 2L), true)
+    out.write(org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
+        "version" -> org.json4s.JInt(2),
+        "files" -> org.json4s.JArray(
+          snap.files.map(org.json4s.JString(_)).toList))))
+      .getBytes("UTF-8"))
+    out.close()
+    val times = graft.sources.FleetManifest.versionsWithTimes(fs, copied)
+    assert(times.head == (1L -> t1) && times(1)._2 != t2,
+      s"legacy version must fall back to mtime: $times")
   }
 
   test("FleetCDC diffs manifests: appends are inserts; in-range churn nets out") {

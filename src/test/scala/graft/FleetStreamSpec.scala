@@ -274,10 +274,12 @@ class FleetStreamSpec extends SparkSpec {
       q.awaitTermination()
       got.toSeq.sorted
     }
-    // FileStreamSource posture: files older than (newest - maxFileAge)
-    // are expired at admission — the t0 generation (1h older) is never
-    // admitted, and the watermark settles at (newest admitted - 5s)
-    assert(drainAged() == (30L until 60L))
+    // FileStreamSource's purge-after-batch ordering: every file the
+    // first trigger DISCOVERS is processed in that batch — a fresh
+    // checkpoint over an aged directory reads the ENTIRE backlog
+    // (silently skipping the t0 generation would be data loss); the
+    // watermark the trigger advances governs only FUTURE admission
+    assert(drainAged() == (0L until 60L))
     val offsets = new java.io.File(s"$ckpt/offsets").listFiles()
       .filter(f => f.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
     val last = new String(java.nio.file.Files.readAllBytes(
