@@ -423,6 +423,92 @@ object Crud {
       .orderBy($"_change_type", $"c_custkey")
   }
 
+  /** §2.A ROW-IDENTITY CHANGE FEED — `FleetCDC.changesKeyed` on the
+    * hard staging the file-granular feed avoids: an UNCLUSTERED
+    * (range-partitioned) fleet where a scattered UPDATE rewrites
+    * every file, so the raw diff is ~2× the table in carried-over
+    * survivor images. The keyed feed reconciles pre/post images on
+    * the primary key and emits ONLY net changes: the range-DELETEd
+    * keys as `delete`, the updated keys as `update_preimage` +
+    * `update_postimage`, and not one survivor row. The oracle spells
+    * the same three sets from the base relation, so a missed
+    * suppression (survivors leaking through), a dropped real change
+    * (over-suppression), or a mislabeled side hash-mismatches. At
+    * 100 TB: both join sides are the manifest delta, shuffled once on
+    * the key — suppressed survivors never leave the join. */
+  def qFleetChangesKeyed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = false),
+      "changes_keyed")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey <= 50")        // v2
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
+        |WHERE c_custkey % 100 = 7""".stripMargin)                // v3
+    graft.sources.FleetCDC.changesKeyed(s2, s"$root/cust.avro", 1L, 3L,
+      keyCols = Seq("c_custkey"))
+      .orderBy($"c_custkey", $"_change_type")
+  }
+
+  /** §2.A STREAMING CHANGE FEED — the change feed as a structured-
+    * streaming SOURCE (`readStream.option("readChangeFeed", "true")`,
+    * [[graft.sources.AvroFleetCdcMicroBatchStream]]): offsets are
+    * manifest VERSIONS (one long — exact resume, no seen-file state),
+    * each micro-batch the net file diff of the committed range,
+    * rows tagged `_change_type`. Staging mirrors `q_fleet_changes`
+    * (metadata DELETE + COW UPDATE on the clustered fleet), the
+    * stream drains from `startingVersion=1` with AvailableNow into a
+    * per-batch fleet, and the read-back must equal the BATCH diff of
+    * the same range — so a dropped generation, a double-fed file, or
+    * a mis-tagged side hash-mismatches against the same oracle. At
+    * 100 TB: each trigger moves O(changed bytes); the offset log
+    * stays O(1) per batch forever. */
+  def qFleetChangesStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = true),
+      "changes_stream")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s2.sql("DELETE FROM graft.cust WHERE shard = 3")   // v2: metadata-only
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
+        |WHERE shard = 5""".stripMargin)               // v3: COW rewrite
+    // fresh checkpoint + sink per invocation (a warm lap must replay,
+    // not no-op against yesterday's offsets); Hadoop FS delete — a
+    // java.io delete leaves .crc ghosts the commit log trips over
+    val out = s"$root/cdc_batches"
+    val ckpt = s"$root/cdc_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    Seq(out, ckpt).foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    val q = s2.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(s"$root/cust.avro")
+      .writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        b.write.format("graft-avro").option("codec", "deflate-1")
+          .mode("overwrite").save(s"$out/batch_$batchId.avro")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(_.isDirectory).map(_.getPath.toString).sorted
+    batchDirs.map(p => s.read.format("graft-avro").load(p))
+      .reduce(_ unionByName _)
+      .orderBy($"_change_type", $"c_custkey")
+  }
+
   /** §2.A INCREMENTAL MATERIALIZED VIEW — `FleetMV` riding the change
     * feed: a per-shard count/sum rollup is built once, the base fleet
     * then takes a metadata DELETE and a COW UPDATE, and `refresh`
@@ -493,6 +579,8 @@ object Crud {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_restore" -> qSqlRestore _,
     "q_fleet_changes" -> qFleetChanges _,
+    "q_fleet_changes_keyed" -> qFleetChangesKeyed _,
+    "q_fleet_changes_stream" -> qFleetChangesStream _,
     "q_fleet_mv" -> qFleetMv _,
     "q_sql_timetravel_ts" -> qSqlTimeTravelTs _,
     "q_crud_update" -> qCrudUpdate _,
@@ -523,6 +611,34 @@ object Crud {
         |  'insert'
         |FROM base WHERE shard = 5
         |ORDER BY _change_type, c_custkey""".stripMargin,
+    "q_fleet_changes_stream" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+        |    c_custkey % 8 AS shard
+        |  FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal, shard,
+        |  'delete' AS _change_type
+        |FROM base WHERE shard IN (3, 5)
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal * 2.0, 4), shard,
+        |  'insert'
+        |FROM base WHERE shard = 5
+        |ORDER BY _change_type, c_custkey""".stripMargin,
+    "q_fleet_changes_keyed" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |  FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal,
+        |  'delete' AS _change_type
+        |FROM base WHERE c_custkey <= 50
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'update_preimage'
+        |FROM base WHERE c_custkey > 50 AND c_custkey % 100 = 7
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal * 2.0, 4),
+        |  'update_postimage'
+        |FROM base WHERE c_custkey > 50 AND c_custkey % 100 = 7
+        |ORDER BY c_custkey, _change_type""".stripMargin,
     "q_sql_restore" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |FROM customer

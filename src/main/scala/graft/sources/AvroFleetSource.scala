@@ -58,6 +58,9 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
   private def evolveOf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("mergeSchema", false)
 
+  private def cdcOf(options: CaseInsensitiveStringMap): Boolean =
+    options.getBoolean("readChangeFeed", false)
+
   /** An `ALTER TABLE`d fleet carries its declared schema in the
     * `_schema.json` marker — prefer it over the header peek (ADD
     * COLUMN / RENAME COLUMN are metadata-only; files are immutable).
@@ -97,8 +100,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
     }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    markerOf(pathOf(options)).map(_.schema).getOrElse {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = markerOf(pathOf(options)).map(_.schema).getOrElse {
       if (evolveOf(options))
         SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
           pathOf(options), maxBytesOf(options)).map(Avro.toSparkSchema))
@@ -106,6 +109,13 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
         Avro.toSparkSchema(Avro.peekSchema(SparkSession.active,
           pathOf(options), maxBytesOf(options)))
     }
+    // the change feed reads the fleet schema plus the trailing
+    // `_change_type` tag ([[FleetCDC.ChangeTypeCol]])
+    if (cdcOf(options))
+      StructType(base.fields :+ org.apache.spark.sql.types.StructField(
+        FleetCDC.ChangeTypeCol, StringType, nullable = false))
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -113,14 +123,16 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
     val marker = markerOf(pathOf(opts))
     new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
       evolveOf(opts) || marker.isDefined,
-      aliases = marker.map(_.aliases).getOrElse(Map.empty))
+      aliases = marker.map(_.aliases).getOrElse(Map.empty),
+      cdc = cdcOf(opts))
   }
 }
 
 private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     maxFileBytes: Long, evolve: Boolean = false,
     versionAsOf: Option[Long] = None,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    cdc: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -131,7 +143,11 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (cdc)
+      // the change feed is a STREAMING read surface only — batch
+      // version ranges are FleetCDC.changes/changesKeyed
+      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
@@ -164,7 +180,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         .map(_.toBoolean),
       startingVersion = Option(options.get("startingVersion"))
         .map(_.toLong),
-      aliases = aliases)
+      aliases = aliases,
+      cdc = cdc)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -935,10 +952,20 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
     startingVersion: Option[Long] = None,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    cdc: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
+
+  // in change-feed mode the trailing `_change_type` column is
+  // SYNTHESIZED per partition — no pushdown that would reach the
+  // per-file decode may reference it, and version-diff batches make
+  // limit/TopN/aggregate short-circuits unsound across triggers
+  private val dataSchema: StructType =
+    if (cdc) StructType(fullSchema.filterNot(
+      _.name == FleetCDC.ChangeTypeCol))
+    else fullSchema
 
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
@@ -954,7 +981,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   // each file stops DECODING after `limit` records — a head()/show()
   // over a fleet costs O(limit) per file, not a full decode — and
   // Spark's own Limit on top enforces the global count
-  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def pushLimit(l: Int): Boolean =
+    if (cdc) false else { limit = Some(l); true }
 
   /** PARTIAL TopN pushdown — the `ORDER BY k LIMIT n` shape at fleet
     * scale: each split folds its decoded (post-filter) rows through a
@@ -970,7 +998,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     val parsed = orders.toSeq.map { so =>
       so.expression() match {
         case nr: NamedReference if nr.fieldNames.length == 1 &&
-            fullSchema.exists(f => f.name == nr.fieldNames()(0) &&
+            dataSchema.exists(f => f.name == nr.fieldNames()(0) &&
               FleetStats.trackableType(f.dataType)) =>
           Some(TopNOrder(nr.fieldNames()(0),
             so.direction() == SortDirection.ASCENDING,
@@ -978,7 +1006,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         case _ => None
       }
     }
-    if (l > 0 && parsed.nonEmpty && parsed.forall(_.isDefined)) {
+    if (!cdc && l > 0 && parsed.nonEmpty && parsed.forall(_.isDefined)) {
       topN = Some((parsed.flatten, l))
       true
     } else false
@@ -992,8 +1020,10 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   // stay residual for Spark to re-evaluate
   override def pushFilters(filters: Array[org.apache.spark.sql.sources.Filter])
       : Array[org.apache.spark.sql.sources.Filter] = {
+    // a filter touching the synthesized `_change_type` stays with
+    // Spark (dataSchema excludes it, so `supported` rejects it)
     val (ok, rest) =
-      filters.partition(FleetFilters.supported(fullSchema, _))
+      filters.partition(FleetFilters.supported(dataSchema, _))
     pushed = ok
     rest
   }
@@ -1027,7 +1057,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       .expressions.aggregate.Aggregation): Boolean = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
-    if (agg.aggregateExpressions.isEmpty) return false
+    if (agg.aggregateExpressions.isEmpty || cdc) return false
     // every aggregate tier emits values in per-file carrier spelling
     // (sidecar stats, block counts, decode-time hashes) typed by a
     // SINGLE pinned schema; an evolved fleet mixes carriers across
@@ -1140,7 +1170,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         maxFileAgeMs = maxFileAgeMs,
         ignoreMissingFiles = ignoreMissingFiles,
         startingVersion = startingVersion,
-        aliases = aliases)
+        aliases = aliases,
+        cdc = cdc)
   }
 }
 
@@ -1279,7 +1310,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
     startingVersion: Option[Long] = None,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    cdc: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1305,7 +1337,16 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     * (already-pruned) scan. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new AvroFleetMicroBatchStream(fullSchema, required.fieldNames, path,
+    if (cdc)
+      new AvroFleetCdcMicroBatchStream(
+        StructType(fullSchema.filterNot(_.name == FleetCDC.ChangeTypeCol)),
+        required.fieldNames, path, maxFileBytes, pushedFilters,
+        new SerializableHadoopConf(
+          SparkSession.active.sessionState.newHadoopConf()),
+        evolve = evolve,
+        startingVersion = startingVersion,
+        aliases = aliases)
+    else new AvroFleetMicroBatchStream(fullSchema, required.fieldNames, path,
       maxFileBytes, pushedFilters,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()),

@@ -251,6 +251,206 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
   override def stop(): Unit = ()
 }
 
+/** The fleet's CHANGE FEED as a streaming source
+  * (`spark.readStream.format("graft-avro")
+  * .option("readChangeFeed", "true").load(dir)`): the streaming twin
+  * of [[FleetCDC.changes]], tailing MANIFEST GENERATIONS instead of
+  * raw files. Each micro-batch is the net file diff between two
+  * committed versions, every row tagged with a trailing
+  * `_change_type` ∈ ('insert', 'delete') — appends surface as
+  * inserts, metadata-retired files as deletes, a copy-on-write
+  * rewrite as delete(pre-image) + insert(post-image) of the touched
+  * files (file-granular, [[FleetCDC]]'s documented contract; key on
+  * row identity downstream to net survivors out, or consume a keyed
+  * batch range via [[FleetCDC.changesKeyed]]).
+  *
+  * Offsets are MANIFEST VERSIONS — one long, exact resume by
+  * construction (the offset log replays the same version range), no
+  * seen-file set to retain at any fleet size. A fresh checkpoint
+  * starts at the CURRENT version (only future commits stream);
+  * `option("startingVersion", v)` starts after generation v instead
+  * (`startingVersion=0` replays the full retained history — the
+  * initial snapshot arrives as generation 1's inserts). Versions
+  * committed while the stream is down are drained on restart; a
+  * version range whose snapshots were expired by retention
+  * ([[FleetCompact.expireVersions]]) fails loudly — the stream must
+  * not silently skip changes (re-seed the consumer from a full scan
+  * instead).
+  *
+  * Only transactional fleets (committed `_manifest/`) have a change
+  * feed; a manifest-less directory fails at first offset resolution.
+  * Column pruning reaches the per-file readers exactly as in batch;
+  * pushed row filters apply to DATA columns only (`_change_type` is
+  * synthesized per partition, filters on it stay with Spark).
+  * AvailableNow caps the drain at the version current when the query
+  * started. */
+private[sources] class AvroFleetCdcMicroBatchStream(
+    dataSchema: StructType, columns: Array[String], path: String,
+    maxFileBytes: Long,
+    filters: Array[org.apache.spark.sql.sources.Filter],
+    conf: SerializableHadoopConf,
+    evolve: Boolean = false,
+    startingVersion: Option[Long] = None,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def p = new org.apache.hadoop.fs.Path(path)
+  private def fs = p.getFileSystem(conf.value)
+
+  private def currentVersion(): Long = {
+    val vs = FleetManifest.versions(fs, p)
+    if (vs.isEmpty) throw new IllegalStateException(
+      s"readChangeFeed: fleet at $path has no manifest history — " +
+        "only transactionally-committed fleets have a change feed")
+    vs.last
+  }
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentVersion())
+
+  override def initialOffset(): Offset = startingVersion match {
+    case Some(v) =>
+      if (v > 0 && FleetManifest.snapshotAt(fs, p, v).isEmpty)
+        throw new IllegalArgumentException(
+          s"startingVersion=$v: no such manifest version at $path " +
+            s"(available: ${FleetManifest.versions(fs, p).mkString(", ")})")
+      FleetCdcOffset(v)
+    case None => FleetCdcOffset(currentVersion())
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is used")
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  // each trigger drains every pending generation (a version is the
+  // commit-sized unit of change; per-file admission caps don't apply)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = currentVersion()
+    FleetCdcOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val v0 = FleetCdcOffset.of(start).version
+    val v1 = FleetCdcOffset.of(end).version
+    if (v1 <= v0) return Array.empty
+    def filesAt(v: Long): Set[String] =
+      if (v == 0L) Set.empty
+      else FleetManifest.snapshotAt(fs, p, v).getOrElse(
+        throw new IllegalStateException(
+          s"readChangeFeed: manifest version $v at $path was expired " +
+            "by retention while the stream was down — the change range " +
+            "is gone; re-seed the consumer from a full scan and resume " +
+            "from a live version")).files.toSet
+    val from = filesAt(v0)
+    val to = filesAt(v1)
+    val f = fs
+    def statuses(names: Seq[String]) = names.sorted.map { n =>
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(p, n))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new java.io.FileNotFoundException(
+            s"readChangeFeed: data file $n of the v$v0..v$v1 diff at " +
+              s"$path is gone — retention outran the stream (retain " +
+              "retired generations until consumers pass)")
+      }
+    }
+    def side(names: Seq[String], tag: String): Seq[InputPartition] =
+      AvroFleetScan.planSplits(statuses(names), maxFileBytes)
+        .map(sp => FleetCdcPartition(sp.asInstanceOf[AvroFilePartition],
+          tag))
+    (side((to -- from).toSeq, "insert") ++
+      side((from -- to).toSeq, "delete")).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new FleetCdcReaderFactory(
+      new AvroFleetReaderFactory(dataSchema,
+        columns.filterNot(_ == FleetCDC.ChangeTypeCol), None, filters,
+        conf, evolve = evolve, aliases = aliases),
+      columns, dataSchema)
+
+  override def deserializeOffset(json: String): Offset =
+    FleetCdcOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+}
+
+/** Change-feed offset: the manifest version the stream has consumed
+  * THROUGH (inclusive). */
+private[sources] case class FleetCdcOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"cdcVersion":$version}"""
+}
+
+private[sources] object FleetCdcOffset {
+  def fromJson(json: String): FleetCdcOffset =
+    org.json4s.jackson.JsonMethods.parse(json) \ "cdcVersion" match {
+      case org.json4s.JInt(v) => FleetCdcOffset(v.toLong)
+      case _ => throw new IllegalArgumentException(
+        s"malformed fleet CDC offset: $json")
+    }
+  def of(o: Offset): FleetCdcOffset = o match {
+    case c: FleetCdcOffset => c
+    case other => fromJson(other.json())
+  }
+}
+
+/** One change-feed split: a file split plus the side of the diff its
+  * rows belong to. */
+private[sources] case class FleetCdcPartition(split: AvroFilePartition,
+    tag: String) extends InputPartition
+
+/** Wraps the ordinary per-file reader, appending the partition's
+  * constant `_change_type` at its projected position (pruned away
+  * entirely when the query never selects it). */
+private[sources] class FleetCdcReaderFactory(
+    inner: AvroFleetReaderFactory, columns: Array[String],
+    dataSchema: StructType) extends PartitionReaderFactory {
+
+  override def createReader(part: InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val FleetCdcPartition(split, tag) = part
+    val r = inner.createReader(split)
+    val ctIdx = columns.indexOf(FleetCDC.ChangeTypeCol)
+    if (ctIdx < 0) r
+    else {
+      val innerCols = columns.filterNot(_ == FleetCDC.ChangeTypeCol)
+      val innerTypes = innerCols.map(c =>
+        dataSchema(dataSchema.fieldIndex(c)).dataType)
+      val tagVal = org.apache.spark.unsafe.types.UTF8String.fromString(tag)
+      new org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] {
+        override def next(): Boolean = r.next()
+        override def get(): org.apache.spark.sql.catalyst.InternalRow = {
+          val in = r.get()
+          val out = new Array[Any](columns.length)
+          var i = 0
+          var j = 0
+          while (i < columns.length) {
+            if (i == ctIdx) out(i) = tagVal
+            else {
+              out(i) =
+                if (in.isNullAt(j)) null else in.get(j, innerTypes(j))
+              j += 1
+            }
+            i += 1
+          }
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(out)
+        }
+        override def close(): Unit = r.close()
+      }
+    }
+  }
+}
+
 /** Epoch-keyed streaming sink commit — see the `toStreaming` scaladoc
   * in [[AvroFleetWriteBuilder]]. The per-epoch commit is the batch
   * commit's shape (sidecar stats merged, manifest generation

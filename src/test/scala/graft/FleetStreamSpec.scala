@@ -304,6 +304,141 @@ class FleetStreamSpec extends SparkSpec {
       "resume must admit only the new generation — no aged re-admission")
   }
 
+  test("change feed streams generations: appends, retires, rewrites; exact resume") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("fleet_cdc_stream")
+    val dir = s"$root/src.avro"
+    val ckpt = s"$root/ckpt"
+
+    def drainCdc(ck: String, startingVersion: Option[Long] = None)
+        : Seq[(String, Long)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val r0 = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+      val r = startingVersion.fold(r0)(v =>
+        r0.option("startingVersion", v.toString))
+      val q = r.load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("_change_type", "id").collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSeq.sortBy(x => (x._1, x._2))
+    }
+
+    writeGen(dir, 0, 40)                                       // v1
+    // a fresh checkpoint starts at the CURRENT version: no backfill
+    assert(drainCdc(ckpt).isEmpty)
+    // APPEND generation → its rows as inserts, nothing else
+    writeGen(dir, 40, 60)                                      // v2
+    assert(drainCdc(ckpt) == (40L until 60L).map(("insert", _)))
+    // METADATA RETIRE (the manifest-level DELETE) → deletes of
+    // exactly the retired file's rows
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = graft.sources.FleetManifest.current(fs, p).get.files.head
+    val victimIds = spark.read.format("graft-avro")
+      .load(s"$dir/$victim").select("id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(victimIds.nonEmpty)
+    graft.sources.FleetManifest.commit(fs, p,
+      base => base.filterNot(_ == victim), bootstrap = Seq.empty,
+      requireInBase = Set(victim))                             // v3
+    assert(drainCdc(ckpt) == victimIds.map(("delete", _)))
+    // COW REWRITE → pre-image deletes + post-image inserts of the
+    // touched files, same ids on both sides (file-granular contract)
+    graft.sources.FleetMerge.mergeCow(spark, dir, "id",
+      spark.range(45, 50).select($"id".as("k")),
+      t => t.withColumn("v", concat($"v", lit("!"))),
+      retainOld = true)                                        // v4
+    val got = drainCdc(ckpt)
+    val dels = got.collect { case ("delete", id) => id }
+    val ins = got.collect { case ("insert", id) => id }
+    assert(dels == ins,
+      s"rewrite pre/post images must cover the same ids: $dels vs $ins")
+    assert((45L until 50L).forall(ins.contains))
+    // full-history replay (startingVersion=0) on a fresh checkpoint:
+    // the endpoint diff nets to exactly the CURRENT fleet as inserts
+    val replay = drainCdc(s"$root/ckpt2", startingVersion = Some(0L))
+    val current = spark.read.format("graft-avro").load(dir)
+      .select("id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(replay.forall(_._1 == "insert"))
+    assert(replay.map(_._2) == current)
+    // retention expiring a pending range fails the stream loudly —
+    // silent skip would lose changes (stage: new commit, then break
+    // the checkpointed from-version by deleting its version file)
+    writeGen(dir, 60, 70)                                      // v5
+    fs.delete(graft.sources.FleetManifest.versionFilePath(p, 4L), false)
+    val e = intercept[Exception] { drainCdc(ckpt) }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage).exists(
+        _.contains("expired by retention"))), e.toString)
+  }
+
+  test("an MV maintained from the change stream matches FleetMV.refresh") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("fleet_cdc_mv")
+    val dir = s"$root/src.avro"
+    def gen(lo: Long, hi: Long): Unit = spark.range(lo, hi)
+      .select(($"id" % 5).as("k"), $"id".as("x"))
+      .coalesce(2).write.format("graft-avro").mode("append").save(dir)
+    gen(0, 100)                                                // v1
+    val viewDir = s"$root/view.avro"
+    val r0 = graft.sources.FleetMV.create(spark, dir, viewDir,
+      keys = Seq("k"), sumCols = Seq("x"))
+    val agg = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+    spark.read.format("graft-avro").load(viewDir)
+      .select("k", "cnt", "sum_x").collect()
+      .foreach(r => agg(r.getLong(0)) = (r.getLong(1), r.getLong(2)))
+    // mutate: an append and a COW rewrite (x -> x + 1000 for 10 keys)
+    gen(100, 120)                                              // v2
+    graft.sources.FleetMerge.mergeCow(spark, dir, "x",
+      spark.range(10, 20).select($"id".as("q")),
+      t => t.withColumn("x",
+        when($"x" >= 10 && $"x" < 20, $"x" + 1000).otherwise($"x")),
+      retainOld = true)                                        // v3
+    // maintain the rollup FROM THE STREAM: fold each batch's signed
+    // delta into the stored groups (the FleetMV.refresh shape, fed by
+    // readChangeFeed instead of a batch diff)
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", r0.toVersion.toString)
+      .load(dir)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val sign = when(col("_change_type") === "insert", lit(1L))
+          .otherwise(lit(-1L))
+        b.groupBy(col("k"))
+          .agg(sum(sign).as("dc"), sum(sign * col("x")).as("dx"))
+          .collect().foreach { r =>
+            val (c0, x0) = agg.getOrElse(r.getLong(0), (0L, 0L))
+            agg(r.getLong(0)) =
+              (c0 + r.getLong(1), x0 + r.getLong(2))
+          }
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = agg.toMap.filter(_._2._1 != 0L)
+    // twin check: the batch incremental refresh lands the same view
+    graft.sources.FleetMV.refresh(spark, dir, viewDir,
+      keys = Seq("k"), sumCols = Seq("x"))
+    val batch = spark.read.format("graft-avro").load(viewDir)
+      .select("k", "cnt", "sum_x").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch,
+      s"stream-maintained view diverged: $streamed vs $batch")
+  }
+
   test("a vanished admitted file fails the batch by default; skip is opt-in") {
     val root = graft.util.Scratch.dir("fleet_stream_missing")
     val dir = s"$root/src.avro"
