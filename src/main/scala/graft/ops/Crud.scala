@@ -542,6 +542,46 @@ object Crud {
       .orderBy(col("shard"))
   }
 
+  /** §2.A MV with MIN/MAX — the extremum-maintenance extension of
+    * `q_fleet_mv`: the per-shard rollup stores min/max balance
+    * sidecar-style in the view, a COW DELETE then removes the
+    * top-balance rows (every shard loses its stored MAX → exactly the
+    * recompute rule fires, scoped to affected groups via a broadcast
+    * key join the fleet scan sees as a runtime filter), and an INSERT
+    * adds new minima to one shard (the no-rescan fold path:
+    * `least(stored, insert_min)`). The oracle recomputes the rollup
+    * cold from the mutated relation, so a missed recompute (stale
+    * max), an over-eager fold (max from a deleted row), or a wrong
+    * insert fold hash-mismatches. */
+  def qFleetMvMinmax(s: SparkSession, dir: String): DataFrame = {
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = true),
+      "mv_minmax")
+    val fleetDir = s"$root/cust.avro"
+    val viewDir = s"$root/cust_mm.avro"
+    graft.sources.FleetMV.create(s, fleetDir, viewDir,
+      keys = Seq("shard"), sumCols = Seq("c_acctbal"),
+      minMaxCols = Seq("c_acctbal"))
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql("DELETE FROM graft.cust WHERE c_acctbal > 9000")
+    s2.sql(
+      """INSERT INTO graft.cust
+        |SELECT c_custkey + 200000, c_name,
+        |  round(c_acctbal - 20000, 4), shard
+        |FROM graft.cust WHERE shard = 2""".stripMargin)
+    graft.sources.FleetMV.refresh(s, fleetDir, viewDir,
+      keys = Seq("shard"), sumCols = Seq("c_acctbal"),
+      minMaxCols = Seq("c_acctbal"))
+    s.read.format("graft-avro").load(viewDir)
+      .select(col("shard"), col("cnt"),
+        round(col("sum_c_acctbal"), 4).as("sum_bal"),
+        round(col("min_c_acctbal"), 4).as("min_bal"),
+        round(col("max_c_acctbal"), 4).as("max_bal"))
+      .orderBy(col("shard"))
+  }
+
   /** §1.1 TIMESTAMP-based time travel — the calendar spelling of the
     * audit read: every manifest commit stamps its wall-clock into the
     * snapshot's own `commit.ts` property
@@ -582,6 +622,7 @@ object Crud {
     "q_fleet_changes_keyed" -> qFleetChangesKeyed _,
     "q_fleet_changes_stream" -> qFleetChangesStream _,
     "q_fleet_mv" -> qFleetMv _,
+    "q_fleet_mv_minmax" -> qFleetMvMinmax _,
     "q_sql_timetravel_ts" -> qSqlTimeTravelTs _,
     "q_crud_update" -> qCrudUpdate _,
     "q_crud_delete" -> qCrudDelete _,
@@ -647,6 +688,22 @@ object Crud {
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |FROM customer
         |ORDER BY c_custkey""".stripMargin,
+    "q_fleet_mv_minmax" ->
+      """WITH base AS (
+        |  SELECT c_name, round(c_acctbal, 4) AS bal,
+        |    c_custkey % 8 AS shard
+        |  FROM customer),
+        |kept AS (SELECT bal, shard FROM base WHERE bal <= 9000),
+        |ins AS (
+        |  SELECT round(bal - 20000, 4) AS bal, shard
+        |  FROM kept WHERE shard = 2),
+        |allr AS (
+        |  SELECT bal, shard FROM kept
+        |  UNION ALL SELECT bal, shard FROM ins)
+        |SELECT shard, count(*) AS cnt, round(sum(bal), 4) AS sum_bal,
+        |  round(min(bal), 4) AS min_bal, round(max(bal), 4) AS max_bal
+        |FROM allr GROUP BY shard
+        |ORDER BY shard""".stripMargin,
     "q_fleet_mv" ->
       """WITH base AS (
         |  SELECT round(c_acctbal, 4) AS bal, c_custkey % 8 AS shard

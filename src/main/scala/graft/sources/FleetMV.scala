@@ -26,12 +26,20 @@ import org.apache.spark.sql.functions._
   *    (a fully-deleted group's cnt reaches 0 and drops out). The
   *    update lands as a single manifest SWAP carrying the new stamp.
   *
-  * Scale: refresh cost is O(changed bytes) + O(view), never a source
-  * re-scan — "maintain yesterday's per-key revenue rollup" on a
-  * 100 TB fleet costs the day's delta. COUNT/SUM (and anything
-  * derivable: AVG = sum/cnt) are exactly the self-maintainable
-  * aggregates; MIN/MAX are not (a deleted extremum needs a re-scan by
-  * definition) and are deliberately out of scope. Doubles fold
+  * Scale: refresh cost is O(changed bytes) + O(view), never an
+  * unconditional source re-scan — "maintain yesterday's per-key
+  * revenue rollup" on a 100 TB fleet costs the day's delta. COUNT/SUM
+  * (and anything derivable: AVG = sum/cnt) are exactly the
+  * self-maintainable aggregates. MIN/MAX (`minMaxCols`) are
+  * maintained with the standard extremum rule: an INSERT can only
+  * improve a stored extremum (fold `least`/`greatest` with the
+  * delta's per-group insert extrema — no re-scan), while a DELETE
+  * whose per-group deleted extremum TOUCHES the stored one may have
+  * removed it, and exactly those groups recompute — from the source
+  * restricted to the affected keys (a broadcast semi-join the fleet
+  * scan receives as a runtime `In` filter, so a clustered layout
+  * skips every file holding no affected group). Groups whose deletes
+  * provably didn't reach the extremum pay nothing. Doubles fold
   * associatively only approximately — an incremental sum can differ
   * from a cold recompute in the last ulps, which is inherent to IVM
   * on floats (round at presentation, as the registry queries do).
@@ -41,10 +49,12 @@ object FleetMV {
 
   val StampProp = "mv.sourceVersion"
 
-  /** One maintenance step's cost surface: the version span folded in
-    * and how many changed files the diff read touched. */
+  /** One maintenance step's cost surface: the version span folded in,
+    * how many changed files the diff read touched, and how many
+    * groups needed an extremum recompute (0 whenever no delete
+    * touched a stored MIN/MAX). */
   final case class RefreshResult(fromVersion: Long, toVersion: Long,
-      changedFiles: Int)
+      changedFiles: Int, recomputedGroups: Long = 0L)
 
   private def fsOf(s: SparkSession, dir: String): (Path, FileSystem) = {
     val p = new Path(dir)
@@ -64,22 +74,26 @@ object FleetMV {
         StampProp -> org.json4s.JString(v.toString))))
 
   private def aggShape(df: DataFrame, keys: Seq[String],
-      sumCols: Seq[String], sign: org.apache.spark.sql.Column)
-      : DataFrame =
+      sumCols: Seq[String], minMaxCols: Seq[String],
+      sign: org.apache.spark.sql.Column): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(sum(sign).as("cnt"),
-        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")): _*)
+        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")) ++
+          minMaxCols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+            max(col(c)).as(s"max_$c"))): _*)
 
   /** Full build: aggregate a pinned CURRENT source snapshot and stamp
-    * its version in the view's first manifest commit. */
+    * its version in the view's first manifest commit. `minMaxCols`
+    * adds maintained `min_<c>`/`max_<c>` columns. */
   def create(s: SparkSession, srcDir: String, viewDir: String,
-      keys: Seq[String], sumCols: Seq[String]): RefreshResult = {
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): RefreshResult = {
     require(keys.nonEmpty, "a view needs at least one group key")
     val (srcP, srcFs) = fsOf(s, srcDir)
     val v = sourceVersion(srcFs, srcP)
     val full = aggShape(
       s.read.format("graft-avro").option("versionAsOf", v).load(srcDir),
-      keys, sumCols, lit(1L))
+      keys, sumCols, minMaxCols, lit(1L))
     full.write.format("graft-avro").mode("overwrite")
       .option("manifestProps", propsJson(v)).save(viewDir)
     RefreshResult(v, v, 0)
@@ -87,9 +101,11 @@ object FleetMV {
 
   /** Incremental maintenance: fold the manifest diff since the last
     * stamp into the stored groups. No-op when the source hasn't
-    * advanced. */
+    * advanced. Pass the SAME `keys`/`sumCols`/`minMaxCols` the view
+    * was created with. */
   def refresh(s: SparkSession, srcDir: String, viewDir: String,
-      keys: Seq[String], sumCols: Seq[String]): RefreshResult = {
+      keys: Seq[String], sumCols: Seq[String],
+      minMaxCols: Seq[String] = Seq.empty): RefreshResult = {
     val (srcP, srcFs) = fsOf(s, srcDir)
     val (viewP, viewFs) = fsOf(s, viewDir)
     val v0 = FleetManifest.current(viewFs, viewP)
@@ -106,16 +122,93 @@ object FleetMV {
           "retention (expireVersions) outran refresh; rebuild with " +
           "create()")
     val (added, removed) = FleetCDC.fileDiff(s, srcDir, v0, v1)
-    val delta = FleetCDC.changesOf(s, srcDir, added, removed)
+    val rawDelta = FleetCDC.changesOf(s, srcDir, added, removed)
+    // with extrema in play, NET the file-granular delta first
+    // (bag-exact exceptAll): a copy-on-write rewrite carries every
+    // survivor into both sides, and a survivor equal to the stored
+    // MIN/MAX would otherwise look like a deleted extremum and
+    // trigger a recompute of a group that lost nothing. Count/sum
+    // need no netting (matched pairs cancel in the signed fold), so
+    // the pure count/sum view keeps its single-shuffle path.
+    val delta =
+      if (minMaxCols.isEmpty) rawDelta
+      else {
+        val dels0 = rawDelta
+          .filter(col(FleetCDC.ChangeTypeCol) === "delete")
+          .drop(FleetCDC.ChangeTypeCol)
+        val ins0 = rawDelta
+          .filter(col(FleetCDC.ChangeTypeCol) === "insert")
+          .drop(FleetCDC.ChangeTypeCol)
+        ins0.exceptAll(dels0)
+          .withColumn(FleetCDC.ChangeTypeCol, lit("insert"))
+          .unionByName(dels0.exceptAll(ins0)
+            .withColumn(FleetCDC.ChangeTypeCol, lit("delete")))
+      }
     val sign = when(col(FleetCDC.ChangeTypeCol) === "insert", lit(1L))
       .otherwise(lit(-1L))
-    val deltaAgg = aggShape(delta, keys, sumCols, sign)
+    val isIns = col(FleetCDC.ChangeTypeCol) === "insert"
+    // one pass over the delta: signed cnt/sum plus PER-SIDE extrema
+    // (the insert side folds into the stored extremum; the delete
+    // side only decides which groups must recompute)
+    val deltaAgg = delta.groupBy(keys.map(col): _*)
+      .agg(sum(sign).as("cnt"),
+        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")) ++
+          minMaxCols.flatMap(c => Seq(
+            min(when(isIns, col(c))).as(s"ins_min_$c"),
+            max(when(isIns, col(c))).as(s"ins_max_$c"),
+            min(when(!isIns, col(c))).as(s"del_min_$c"),
+            max(when(!isIns, col(c))).as(s"del_max_$c"))): _*)
     val old = s.read.format("graft-avro").load(viewDir)
-    val merged = old.unionByName(deltaAgg)
+    val countSum = old
+      .select((keys.map(col) :+ col("cnt")) ++
+        sumCols.map(c => col(s"sum_$c")): _*)
+      .unionByName(deltaAgg.select((keys.map(col) :+ col("cnt")) ++
+        sumCols.map(c => col(s"sum_$c")): _*))
       .groupBy(keys.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
       .filter(col("cnt") =!= 0L)
+    var recomputed = 0L
+    val merged =
+      if (minMaxCols.isEmpty) countSum
+      else {
+        // candidate extrema: stored folded with the INSERT side
+        // (least/greatest are null-skipping, so a side without rows
+        // falls through to the other). A group whose DELETED extremum
+        // REACHES the stored one may have lost it — recompute exactly
+        // those groups from the source, keys broadcast so the fleet
+        // scan's runtime filter skips unaffected files.
+        val ext = old
+          .select(keys.map(col) ++ minMaxCols.flatMap(c =>
+            Seq(col(s"min_$c"), col(s"max_$c"))): _*)
+          .join(deltaAgg.select(keys.map(col) ++ minMaxCols.flatMap(c =>
+            Seq(col(s"ins_min_$c"), col(s"ins_max_$c"),
+              col(s"del_min_$c"), col(s"del_max_$c"))): _*),
+            keys, "full_outer")
+        val needs = minMaxCols.map(c =>
+          (col(s"del_min_$c").isNotNull && col(s"min_$c").isNotNull &&
+            col(s"del_min_$c") <= col(s"min_$c")) ||
+          (col(s"del_max_$c").isNotNull && col(s"max_$c").isNotNull &&
+            col(s"del_max_$c") >= col(s"max_$c")))
+          .reduce(_ || _)
+        val affected = ext.filter(needs).select(keys.map(col): _*)
+        recomputed = affected.count()
+        val rcAggs = minMaxCols.flatMap(c =>
+          Seq(min(col(c)).as(s"rc_min_$c"), max(col(c)).as(s"rc_max_$c")))
+        val rescanned = s.read.format("graft-avro").load(srcDir)
+          .join(broadcast(affected), keys)
+          .groupBy(keys.map(col): _*)
+          .agg(rcAggs.head, rcAggs.tail: _*)
+        val withExt = ext.join(rescanned, keys, "left")
+        val extFinal = withExt.select(keys.map(col) ++
+          minMaxCols.flatMap { c =>
+            val candMin = least(col(s"min_$c"), col(s"ins_min_$c"))
+            val candMax = greatest(col(s"max_$c"), col(s"ins_max_$c"))
+            Seq(coalesce(col(s"rc_min_$c"), candMin).as(s"min_$c"),
+              coalesce(col(s"rc_max_$c"), candMax).as(s"max_$c"))
+          }: _*)
+        countSum.join(extFinal, keys, "left")
+      }
     // the view update is itself a transactional swap: append the new
     // generation, retire every old view file, and advance the stamp —
     // ONE manifest commit (the rewrite_files pattern: no self-read of
@@ -128,6 +221,6 @@ object FleetMV {
       .option("manifestSwapRemove", oldNames.mkString(","))
       .option("manifestProps", propsJson(v1))
       .save(viewDir)
-    RefreshResult(v0, v1, added.size + removed.size)
+    RefreshResult(v0, v1, added.size + removed.size, recomputed)
   }
 }

@@ -432,6 +432,63 @@ class FleetManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("rebuild"), e.getMessage)
   }
 
+  test("FleetMV min/max: inserts fold; deleted extrema recompute only affected groups") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("manifest_mv_minmax")
+    val dir = s"$root/t.avro"
+    def gen(ids: Seq[Long]): Unit = ids.toDF("id")
+      .select(($"id" % 4).as("k"), $"id".as("x"))
+      .coalesce(1).write.format("graft-avro").mode("append").save(dir)
+    gen(0L until 40L)                                          // v1
+    val viewDir = s"$root/view.avro"
+    graft.sources.FleetMV.create(spark, dir, viewDir,
+      keys = Seq("k"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+
+    def viewRows() = spark.read.format("graft-avro").load(viewDir)
+      .select("k", "cnt", "sum_x", "min_x", "max_x").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def coldRows() = spark.read.format("graft-avro").load(dir)
+      .groupBy($"k").agg(count(lit(1)).as("cnt"), sum($"x").as("sum_x"),
+        min($"x").as("min_x"), max($"x").as("max_x")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // INSERT-only delta: extrema fold with least/greatest — NO group
+    // may recompute (the no-rescan path is the 100 TB contract)
+    gen(40L until 48L)                                         // v2
+    val r1 = graft.sources.FleetMV.refresh(spark, dir, viewDir,
+      keys = Seq("k"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+    assert(r1.recomputedGroups == 0L,
+      s"insert-only refresh must not rescan: $r1")
+    assert(viewRows() == coldRows())
+
+    // DELETE one group's stored MIN (x=3 is group 3's minimum):
+    // exactly that group recomputes, the other three pay nothing
+    graft.sources.FleetMerge.mergeCow(spark, dir, "x",
+      Seq(3L).toDF("q"),
+      t => t.filter($"x" =!= 3L), retainOld = true)            // v3
+    val r2 = graft.sources.FleetMV.refresh(spark, dir, viewDir,
+      keys = Seq("k"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+    assert(r2.recomputedGroups == 1L,
+      s"exactly the extremum-losing group recomputes: $r2")
+    val after = viewRows()
+    assert(after == coldRows())
+    assert(after(3L)._3 == 7L,
+      s"group 3's min must recompute to 7: ${after(3L)}")
+
+    // DELETE rows that are NOT a stored extremum: no recompute at all
+    graft.sources.FleetMerge.mergeCow(spark, dir, "x",
+      Seq(17L, 18L).toDF("q"),
+      t => t.filter($"x" =!= 17L && $"x" =!= 18L),
+      retainOld = true)                                        // v4
+    val r3 = graft.sources.FleetMV.refresh(spark, dir, viewDir,
+      keys = Seq("k"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+    assert(r3.recomputedGroups == 0L,
+      s"interior deletes must not rescan: $r3")
+    assert(viewRows() == coldRows())
+  }
+
   test("metadata-only DELETE retires files through the manifest first") {
     import spark.implicits._
     val dir = stage("metadel")

@@ -202,6 +202,7 @@ class ScaleSpec extends SparkSpec {
       "q_fleet_changes" -> "stages a fleet + DELETE + UPDATE (the manifest-diff feed IS the operator)",
       "q_fleet_changes_keyed" -> "stages a fleet + DELETE + UPDATE (the keyed net-change feed IS the operator)",
       "q_fleet_changes_stream" -> "runs a streaming query (the change-feed source IS the operator)",
+      "q_fleet_mv_minmax" -> "stages a fleet + view + DELETE/INSERT (the extremum refresh IS the operator)",
       "q_fleet_mv" -> "stages a fleet + view build + verbs + incremental refresh (the maintenance IS the operator)",
       "q_fleet_rewrite" -> "stages a fleet + CALL rewrite_files (the in-place compaction IS the operator)",
       "q_sql_update_fleet" -> "stages a fleet + runs SQL UPDATE (the rewrite IS the operator)",
