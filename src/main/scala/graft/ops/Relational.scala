@@ -484,6 +484,41 @@ object Relational {
         |FROM graft.ev ORDER BY event_id""".stripMargin)
   }
 
+  /** §1.1 `ALTER TABLE … DROP COLUMN` + widening `ALTER COLUMN TYPE`
+    * — the destructive half of the metadata-only DDL matrix: the
+    * fleet lands with an INT key and a `value` column, the DDL drops
+    * `value` (its spelling becomes a terminal alias — old files'
+    * data under it is ignored, the name can never be reintroduced)
+    * and widens the key to BIGINT, and a post-DDL INSERT writes the
+    * new schema. The read must resolve PRE-DDL files through the
+    * POST-DDL schema — int values promoting to long, dropped-column
+    * bytes skipped — and the oracle is the plain union of both
+    * halves, so a mis-promoted value, a leaked dropped column, or a
+    * null-filled old file hash-mismatches. Still O(1) DDL at any
+    * fleet size: one marker write, zero data files touched. */
+  def qCatalogAlterDrop(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("catalog_alter_drop_q") + "/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.read.parquet(s"$dir/events.parquet")
+      .createOrReplaceTempView("ev_src")
+    s2.sql(
+      """CREATE TABLE graft.ev AS
+        |SELECT cast(event_id AS INT) AS event_id, event_type, value
+        |FROM ev_src WHERE event_id % 2 = 0""".stripMargin)
+    s2.sql("ALTER TABLE graft.ev DROP COLUMN value")
+    s2.sql("ALTER TABLE graft.ev ALTER COLUMN event_id TYPE BIGINT")
+    s2.sql(
+      """INSERT INTO graft.ev
+        |SELECT event_id, event_type
+        |FROM ev_src WHERE event_id % 2 = 1""".stripMargin)
+    s2.sql(
+      """SELECT event_id, event_type
+        |FROM graft.ev ORDER BY event_id""".stripMargin)
+  }
+
   /** §2.A fleet COMPACTION (the 100 TB small-file maintenance pass):
     * events land first as 32 tiny shards — the shape a streaming sink
     * or frequent appends leave behind — then `FleetCompact.compact`
@@ -940,6 +975,7 @@ object Relational {
     "q_fleet_rewrite" -> qFleetRewrite _,
     "q_catalog_sql_fleet" -> qCatalogSqlFleet _,
     "q_catalog_alter" -> qCatalogAlter _,
+    "q_catalog_alter_drop" -> qCatalogAlterDrop _,
     "q_scan_avro_bloom" -> qScanAvroBloom _,
     "q_scan_xlsx_fleet" -> qScanXlsxFleet _,
     "q_scan_xlsx_dist" -> qScanXlsxDist _,
@@ -1074,6 +1110,11 @@ object Relational {
       """SELECT event_id, event_type, round(value, 4) AS amount,
         |  CASE WHEN event_id % 2 = 1
         |       THEN 'n' || CAST(event_id AS VARCHAR) END AS note
+        |FROM events ORDER BY event_id""".stripMargin,
+    // DROP COLUMN + widening are metadata-only: old int-keyed files
+    // promote to bigint and skip the dropped column at decode
+    "q_catalog_alter_drop" ->
+      """SELECT event_id, event_type
         |FROM events ORDER BY event_id""".stripMargin,
     "q_catalog_tables" ->
       """SELECT table_name, CAST(count(*) AS BIGINT) AS n_cols,

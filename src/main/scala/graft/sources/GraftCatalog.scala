@@ -220,14 +220,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes)
   }
 
-  /** `ALTER TABLE graft.x ADD COLUMN` / `RENAME COLUMN` — METADATA
+  /** `ALTER TABLE graft.x ADD COLUMN` / `RENAME COLUMN` /
+    * `DROP COLUMN` / `ALTER COLUMN … TYPE <widening>` — METADATA
     * ONLY at any fleet size: the DDL writes the `_schema.json` marker
     * ([[FleetSchemaMarker]]) and touches no data file. An added
     * column null-fills every pre-existing generation through the
     * evolve decode path; a renamed column records `new → physical`
     * in the marker's alias map and each file resolves its own
-    * spelling at decode. Other changes (drops, type changes beyond
-    * the exact widenings, nested fields) are rejected loudly. */
+    * spelling at decode; a DROPPED column's spelling (plus its whole
+    * alias chain) becomes a TERMINAL alias — old files' data under it
+    * is ignored at decode and the names may never be reintroduced; a
+    * type change is accepted only for the exact value-preserving
+    * widenings (int→bigint, float→double — [[SchemaEvolution
+    * .promotes]]), old files promoting at decode. Anything else
+    * (nested fields, lossy type changes) is rejected loudly. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     require(ident.namespace().isEmpty,
       "ALTER TABLE is supported only for top-level fleets")
@@ -240,16 +246,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
     var aliases = existing.map(_.aliases)
       .getOrElse(Map.empty[String, Seq[String]])
+    var dropped = existing.map(_.dropped).getOrElse(Seq.empty)
     // a RETIRED physical spelling can never be reintroduced as a
     // column name: old files still carry data under it, so a
     // resurrected name would rebind their values to the new logical
     // column (string data under an int ADD even bricks every read)
-    def requireNotHistorical(name: String): Unit =
+    def requireNotHistorical(name: String): Unit = {
       aliases.find(_._2.contains(name)).foreach { case (cur, _) =>
         throw new IllegalArgumentException(
           s"column name '$name' is a historical spelling of '$cur' — " +
             "files on disk still carry data under it; pick a fresh name")
       }
+      if (dropped.contains(name))
+        throw new IllegalArgumentException(
+          s"column name '$name' was DROPPED — files on disk still " +
+            "carry data under it; pick a fresh name")
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
@@ -282,13 +294,46 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // single original-physical entry would lose to silent NULLs)
         val chain = old +: aliases.getOrElse(old, Seq.empty)
         aliases = (aliases - old) + (nn -> chain)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft fleets are flat: nested DROP COLUMN is not supported")
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name)) {
+          if (!del.ifExists()) throw new IllegalArgumentException(
+            s"no such column '$name' (schema: ${schema.fieldNames.toSeq})")
+        } else {
+          require(schema.fields.length > 1,
+            s"cannot drop '$name' — a fleet needs at least one column")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          // the dropped spelling AND its whole historical chain become
+          // terminal: files on disk carry data under every one of them
+          dropped = (dropped ++ (name +: aliases.getOrElse(name,
+            Seq.empty))).distinct
+          aliases = aliases - name
+        }
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          "graft fleets are flat: nested ALTER COLUMN is not supported")
+        val name = ut.fieldNames()(0)
+        require(schema.fieldNames.contains(name),
+          s"no such column '$name' (schema: ${schema.fieldNames.toSeq})")
+        val cur = schema(name).dataType
+        require(SchemaEvolution.promotes(cur, ut.newDataType()),
+          s"ALTER COLUMN '$name' ${cur.catalogString} -> " +
+            s"${ut.newDataType().catalogString}: only the exact " +
+            "value-preserving widenings are supported (int->bigint, " +
+            "float->double); other changes need a rewrite (FleetCompact)")
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(dataType = ut.newDataType()) else f))
       case other => throw new UnsupportedOperationException(
-        s"graft ALTER TABLE supports ADD COLUMN and RENAME COLUMN " +
-          s"only (got ${other.getClass.getSimpleName}); drops and type " +
-          "changes need a rewrite (FleetCompact)")
+        s"graft ALTER TABLE supports ADD/RENAME/DROP COLUMN and " +
+          s"widening ALTER COLUMN TYPE only (got " +
+          s"${other.getClass.getSimpleName}); anything else needs a " +
+          "rewrite (FleetCompact)")
     }
     Avro.toAvroSchema(schema) // flat-schema/codec validation, loudly
-    FleetSchemaMarker.write(fs, p, FleetSchemaMarker.Marker(schema, aliases))
+    FleetSchemaMarker.write(fs, p,
+      FleetSchemaMarker.Marker(schema, aliases, dropped))
     new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
       evolve = true, aliases = aliases)
   }

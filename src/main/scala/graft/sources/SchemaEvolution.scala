@@ -38,9 +38,14 @@ private[graft] object FleetSchemaMarker {
   /** `aliases` is the full historical CHAIN per current column name,
     * newest spelling first — files written between two renames carry
     * an intermediate name, so one original-physical entry is not
-    * enough for a column renamed twice. */
+    * enough for a column renamed twice. `dropped` is every TERMINAL
+    * spelling retired by `DROP COLUMN` (the dropped name plus its
+    * whole alias chain): files on disk still carry data under those
+    * names, so none may ever be reintroduced — a resurrected spelling
+    * would rebind old files' values to the new logical column. */
   final case class Marker(schema: StructType,
-      aliases: Map[String, Seq[String]])
+      aliases: Map[String, Seq[String]],
+      dropped: Seq[String] = Seq.empty)
 
   def write(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, m: Marker): Unit = {
@@ -50,7 +55,9 @@ private[graft] object FleetSchemaMarker {
         "aliases" -> org.json4s.JObject(m.aliases.toList.map {
           case (k, vs) => k -> (org.json4s.JArray(
             vs.map(org.json4s.JString(_)).toList): org.json4s.JValue)
-        }))))
+        }),
+        "dropped" -> org.json4s.JArray(
+          m.dropped.map(org.json4s.JString(_)).toList))))
     val tmp = new org.apache.hadoop.fs.Path(dir, s".$FileName.tmp")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
@@ -87,7 +94,13 @@ private[graft] object FleetSchemaMarker {
         }.toMap
         case _ => Map.empty[String, Seq[String]]
       }
-      Some(Marker(schema, aliases))
+      // legacy (pre-DROP) markers carry no dropped list
+      val dropped = (obj \ "dropped") match {
+        case org.json4s.JArray(vs) =>
+          vs.collect { case org.json4s.JString(v) => v }
+        case _ => Seq.empty[String]
+      }
+      Some(Marker(schema, aliases, dropped))
     }
   }
 

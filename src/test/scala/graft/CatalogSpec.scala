@@ -309,8 +309,9 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] {
       s2.sql("ALTER TABLE graft.ev RENAME COLUMN tag2 TO note")
     }
+    // NARROWING is never a metadata operation
     intercept[Exception] {
-      s2.sql("ALTER TABLE graft.ev DROP COLUMN note")
+      s2.sql("ALTER TABLE graft.ev ALTER COLUMN id TYPE INT")
     }
     // a RETIRED spelling can never be resurrected: old files still
     // carry data under it, so a new column (or a rename) landing on
@@ -462,6 +463,64 @@ class CatalogSpec extends SparkSpec {
       "clustered rewrite must preserve _layout.json")
     assert(s2.sql("SELECT round(sum(value), 4) AS s FROM graft.clu")
       .head == before)
+  }
+
+  test("DROP COLUMN and widening ALTER COLUMN TYPE are metadata-only") {
+    val root = graft.util.Scratch.dir("catalog_alter_drop")
+    val s2 = catSession(root)
+    s2.sql("CREATE TABLE graft.t (id INT, v STRING, x BIGINT) USING avro")
+    s2.sql("""INSERT INTO graft.t
+             |SELECT cast(id AS INT), concat('a', id), id * 10
+             |FROM range(0, 8)""".stripMargin)
+    val dirPath = new org.apache.hadoop.fs.Path(s"$root/t.avro")
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    def dataState() = fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    val before = dataState()
+    s2.sql("ALTER TABLE graft.t DROP COLUMN v")
+    s2.sql("ALTER TABLE graft.t ALTER COLUMN id TYPE BIGINT")
+    assert(dataState() == before,
+      "DROP/widen must touch no data file (O(1) DDL at any size)")
+    // pre-DDL files resolve through the post-DDL schema: int ids
+    // promote to long, the dropped column's bytes are skipped
+    assert(s2.table("graft.t").schema.map(f =>
+      f.name -> f.dataType.simpleString) ==
+      Seq("id" -> "bigint", "x" -> "bigint"))
+    val rows = s2.sql("SELECT id, x FROM graft.t ORDER BY id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (0L until 8L).map(i => (i, i * 10)))
+    // post-DDL INSERT writes the new (narrower, widened) schema and
+    // the generations mix cleanly
+    s2.sql("INSERT INTO graft.t SELECT id, id * 10 FROM range(8, 12)")
+    assert(s2.sql("SELECT sum(id) AS s FROM graft.t").head.getLong(0) ==
+      (0L until 12L).sum)
+    // a filter on the widened column still row-filters both
+    // generations correctly
+    assert(s2.sql("SELECT count(*) AS n FROM graft.t WHERE id >= 6")
+      .head.getLong(0) == 6L)
+    // the dropped spelling (and a drop of a renamed chain) is terminal
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t ADD COLUMN v DOUBLE")
+    }
+    s2.sql("ALTER TABLE graft.t RENAME COLUMN x TO y")
+    s2.sql("ALTER TABLE graft.t DROP COLUMN y")
+    // both the final name and its historical spelling are retired
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t ADD COLUMN y BIGINT")
+    }
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t ADD COLUMN x BIGINT")
+    }
+    // the last column may not be dropped (a fleet needs a schema)
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t DROP COLUMN id")
+    }
+    // IF EXISTS tolerates a missing column; a bare drop does not
+    s2.sql("ALTER TABLE graft.t DROP COLUMN IF EXISTS nope")
+    intercept[Exception] {
+      s2.sql("ALTER TABLE graft.t DROP COLUMN nope")
+    }
   }
 
   test("TIMESTAMP AS OF binds to the newest generation at or before it") {

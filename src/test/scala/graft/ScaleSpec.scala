@@ -195,6 +195,7 @@ class ScaleSpec extends SparkSpec {
       "q_join_spj_partial" -> "writes a clusterBy fleet (the layout IS the operator)",
       "q_catalog_sql_fleet" -> "materializes the catalog root (once per JVM)",
       "q_catalog_alter" -> "stages a fleet + runs DDL/INSERT (the evolution IS the operator)",
+      "q_catalog_alter_drop" -> "stages a fleet + runs DDL/INSERT (the drop/widen DDL IS the operator)",
       "q_crud_merge_fleet" -> "writes + COW-merges a scratch fleet (the rewrite IS the operator)",
       "q_sql_delete_fleet" -> "stages a fleet + runs SQL DELETE (the rewrite IS the operator)",
       "q_sql_delete_fleet_meta" -> "stages a fleet + runs metadata-only DELETE (the manifest commit IS the operator)",
