@@ -903,9 +903,15 @@ object LlmOps {
   def qSimKnnLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    val ev = embD(s, dir)
-      .withColumn("v", org.apache.spark.ml.functions.array_to_vector($"emb"))
-      .cache()
+    // slot-managed (r14/r15 advisory, closed r16): repeated invocation
+    // in a long-lived session swaps — not accumulates — the cached
+    // featurized frame; the fitted BRP model itself holds only the
+    // driver-side random projections (fit is data-free), so the frame
+    // is the ONE storage-memory entry this query creates
+    val ev = graft.util.Caches.swapPersist("llmops.knnlsh.ev",
+      embD(s, dir)
+        .withColumn("v",
+          org.apache.spark.ml.functions.array_to_vector($"emb")))
     val a = ev.filter($"label" === 0)
     val b = ev.filter($"label" === 1)
     val brp = new BucketedRandomProjectionLSH()

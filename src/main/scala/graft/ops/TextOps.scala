@@ -26,13 +26,21 @@ object TextOps {
   //    plus K tiny jobs, exactly like the IVF index build's driver
   //    loop. Tie-break is deterministic (count desc, pair asc).
   //  - bpeEncodeExpr: merge application as a fold of codegen'd
-  //    string `replace` calls over space-separated symbols — K nested
-  //    scalar expressions, no UDF, no shuffle, fully pushed into
-  //    whole-stage codegen. Merge application is single-pass
-  //    left-to-right per rank (the JVM/DuckDB `replace` contract both
-  //    engines share, which is what makes the encode oracle-checkable
-  //    end to end); TextBpeSpec pins learn on a hand-counted corpus
-  //    and the lossless round trip (concat(tokens) == input symbols).
+  //    string `replace` calls over DOUBLE-space-separated symbols — K
+  //    nested scalar expressions, no UDF, no shuffle, fully pushed
+  //    into whole-stage codegen. The double separator makes each
+  //    rank's pattern `" a  b "` claim only ONE space from each
+  //    neighboring separator, so adjacent occurrences never overlap
+  //    and one left-to-right `replace` pass merges EVERY occurrence
+  //    of the rank ("x a b a b" → "x ab ab"), matching standard BPE's
+  //    apply-to-all-occurrences semantics. (The r15 single-space form
+  //    consumed the shared boundary space and skipped the second of
+  //    two adjacent occurrences — round-16 ADVICE fix.) The JVM and
+  //    DuckDB share the literal non-overlapping left-to-right
+  //    `replace` contract, which is what keeps the encode
+  //    oracle-checkable end to end; TextBpeSpec pins learn on a
+  //    hand-counted corpus, the adjacent-occurrence case, and the
+  //    lossless round trip (concat(tokens) == input symbols).
 
   /** Canonical fixed merge ranks for the oracle-checked encode query
     * (common English letter pairs; rank order matters). */
@@ -43,14 +51,20 @@ object TextOps {
     "a" -> "l")
 
   /** Spaced-symbol BPE encode: `col` is a plain symbol string (e.g.
-    * letters); result is the space-separated token sequence after
-    * applying `merges` in rank order. */
+    * letters); result is the (single-)space-separated token sequence
+    * after applying `merges` in rank order, each rank to ALL
+    * occurrences. Internally symbols are kept DOUBLE-space-separated
+    * (" t  h  e ") so a rank's pattern `" a  b "` takes one space from
+    * each side's separator and its replacement `" ab "` gives both
+    * back — adjacent matches stay disjoint and one literal `replace`
+    * pass is exhaustive for the rank (see the block comment above). */
   private[graft] def bpeEncodeExpr(c: org.apache.spark.sql.Column,
       merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
-    val spaced = concat(lit(" "), regexp_replace(c, "(.)", "$1 "))
-    trim(merges.foldLeft(spaced) { case (acc, (a, b)) =>
-      call_function("replace", acc, lit(s" $a $b "), lit(s" $a$b "))
-    })
+    val spaced = concat(lit(" "), regexp_replace(c, "(.)", "$1  "))
+    val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    trim(regexp_replace(merged, "  +", " "))
   }
 
   /** Learn `numMerges` BPE merges from a corpus column. Returns the
@@ -59,19 +73,36 @@ object TextOps {
       numMerges: Int): Seq[(String, String)] = {
     val s = docs.sparkSession
     import s.implicits._
-    var cur = docs
+    // ONE cached frame for the whole loop: the word-type vocabulary
+    // (tiny even at 100 TB — natural-language vocabularies are
+    // bounded). Each iteration re-derives the CURRENT segmentation by
+    // folding the merges learned so far over the base symbols — a
+    // k-deep codegen'd replace chain over a vocab-sized table — rather
+    // than chaining a new cache per iteration. Chained caches nest an
+    // InMemoryRelation per rank, and printing such a plan (AQE's
+    // explain hook walks innerChildren recursively) blows up
+    // super-linearly with depth — at ~24 ranks the plan STRING alone
+    // OOMed the test JVM. One base cache + an expression fold keeps
+    // the plan depth 1 and halves the jobs per iteration.
+    val base = docs
       .select(explode(split(lower(col(textCol)), "[^a-z]+")).as("w"))
       .filter(length($"w") > 0)
       .groupBy($"w").agg(count(lit(1)).as("freq"))
+      // double-space separators: see bpeEncodeExpr — the merge
+      // replacement below must catch adjacent occurrences too
       .select(concat(lit(" "),
-        regexp_replace($"w", "(.)", "$1 ")).as("sym"), $"freq")
+        regexp_replace($"w", "(.)", "$1  ")).as("sym"), $"freq")
       .cache()
-    cur.count()
+    base.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var dry = false
     while (merges.size < numMerges && !dry) {
-      val best = cur
-        .select(split(trim($"sym"), " ").as("ss"), $"freq")
+      val sym = merges.foldLeft($"sym": org.apache.spark.sql.Column) {
+        case (acc, (a, b)) =>
+        call_function("replace", acc, lit(s" $a  $b "), lit(s" $a$b "))
+      }
+      val best = base
+        .select(split(trim(sym), "  ").as("ss"), $"freq")
         .filter(size($"ss") >= 2)
         .select(explode(expr(
           "transform(sequence(0, size(ss) - 2), " +
@@ -85,16 +116,85 @@ object TextOps {
       else {
         val Array(a, b) = best(0).getString(0).split(" ", 2)
         merges += ((a, b))
-        val next = cur.withColumn("sym",
-          call_function("replace", $"sym", lit(s" $a $b "), lit(s" $a$b ")))
-          .cache()
-        next.count()
-        cur.unpersist()
-        cur = next
       }
     }
-    cur.unpersist()
+    base.unpersist()
     merges.toSeq
+  }
+
+  // ---- Learn-once vocabulary ARTIFACT (round-16 verdict item 8) ----
+  //
+  // bpeLearn's driver-side merge loop (bounded by numMerges, each
+  // iteration one tiny vocabulary-sized job) should run ONCE per
+  // corpus, not once per encode invocation: at 100 TB the encode pass
+  // must be one codegen'd job over persisted ranks. Same shape as the
+  // IVF index (LlmOps.buildIvfIndex): keyed by corpus fingerprint
+  // (file count + bytes + max mtime), learned into a scratch parquet
+  // merge table (rank, lhs, rhs), and the RETURNED ranks are read
+  // back from the artifact — the artifact, not the transient learn
+  // result, is the contract, so a persisted vocabulary survives for
+  // any number of encode passes (and in a real deployment the scratch
+  // dir is simply a durable path).
+  private val bpeVocabs = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+
+  private def docsFingerprint(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    val root = fs.getFileStatus(p)
+    val files =
+      if (root.isDirectory) fs.listStatus(p).toSeq.filter(_.isFile)
+      else Seq(root)
+    s"${files.size}_${files.map(_.getLen).sum}_" +
+      s"${files.map(_.getModificationTime).max}"
+  }
+
+  /** The persisted merge table for `dir`'s documents corpus, learned
+    * on first use and artifact-backed thereafter. Returns ranks in
+    * merge order, ready for [[bpeEncodeExpr]]. */
+  private[graft] def bpeVocabulary(s: SparkSession, dir: String,
+      numMerges: Int): Seq[(String, String)] = {
+    import s.implicits._
+    val cacheKey = s"$dir@${docsFingerprint(s, dir)}@$numMerges"
+    bpeVocabs.computeIfAbsent(cacheKey, _ => {
+      // fresh scratch per (corpus, fingerprint): a changed corpus
+      // re-learns into new files instead of overwriting ranks a live
+      // encode plan may still be reading (the IVF discipline)
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(cacheKey.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val out = graft.util.Scratch.dir(s"bpe_vocab_$key")
+      val learned = bpeLearn(
+        graft.util.Tables.documents(s, dir), "text", numMerges)
+      learned.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "lhs", "rhs")
+        .repartition(1).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy($"rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+  }
+
+  /** §2.J BPE encode-ONLY pass over the LEARNED vocabulary: the merge
+    * table is [[bpeVocabulary]]'s persisted artifact (learned once per
+    * corpus), and the encode itself is one whole-stage-codegen job —
+    * the 100 TB tokenization shape. No oracle by design: a LEARNED
+    * table cannot be replayed in one static SQL statement (each merge
+    * rank depends on re-tokenizing under all previous ranks, which
+    * DuckDB's non-recursive aggregation cannot iterate — same class as
+    * the sketch queries). Gated instead by TextBpeSpec: artifact ==
+    * direct `bpeLearn` result, learn runs once across repeated
+    * invocations, and the encode round-trips losslessly. */
+  def qTextBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = bpeVocabulary(s, dir, numMerges = 24)
+    val prefix =
+      regexp_replace(lower(substring($"text", 1, 120)), "[^a-z]", "")
+    documents(s, dir)
+      .select($"doc_id", bpeEncodeExpr(prefix, merges).as("tokens"))
+      .withColumn("n_tokens",
+        when($"tokens" === "", lit(0L))
+          .otherwise(size(split($"tokens", " ")).cast("long")))
+      .orderBy($"doc_id")
   }
 
   /** §2.J BPE ENCODE over documents, oracle-checked end to end: each
@@ -511,6 +611,7 @@ object TextOps {
     "q_text_quality" -> qTextQuality _,
     "q_text_tokens" -> qTextTokens _,
     "q_text_bpe" -> qTextBpe _,
+    "q_text_bpe_encode" -> qTextBpeEncode _,
     "q_text_repetition" -> qTextRepetition _,
     "q_text_fingerprint" -> qTextFingerprint _
   )
@@ -578,17 +679,20 @@ object TextOps {
         |FROM big JOIN probs ON big.w1 = probs.w1 AND big.w2 = probs.w2
         |GROUP BY big.doc_id
         |ORDER BY big.doc_id""".stripMargin,
-    // q_text_bpe: the IDENTICAL normalize + spaced-symbol + ranked
-    // replace chain, generated from the same canonical merge table so
-    // the two spellings cannot drift
+    // q_text_bpe: the IDENTICAL normalize + double-spaced-symbol +
+    // ranked replace chain (each rank exhaustive — adjacent matches
+    // disjoint by construction), generated from the same canonical
+    // merge table so the two spellings cannot drift
     "q_text_bpe" -> {
       val spaced = "' ' || regexp_replace(regexp_replace(" +
         "lower(substr(text, 1, 120)), '[^a-z]', '', 'g'), " +
-        "'(.)', '\\1 ', 'g')"
+        "'(.)', '\\1  ', 'g')"
       val chain = BpeCanonicalMerges.foldLeft(spaced) {
-        case (acc, (a, b)) => s"replace($acc, ' $a $b ', ' $a$b ')"
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
       }
-      s"""WITH t AS (SELECT doc_id, trim($chain) AS tokens FROM documents)
+      s"""WITH t AS (SELECT doc_id,
+         |  trim(regexp_replace($chain, '  +', ' ', 'g')) AS tokens
+         |  FROM documents)
          |SELECT doc_id, tokens,
          |  CAST(CASE WHEN tokens = '' THEN 0
          |       ELSE len(str_split(tokens, ' ')) END AS BIGINT) AS n_tokens

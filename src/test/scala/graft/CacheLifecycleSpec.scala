@@ -54,6 +54,26 @@ class CacheLifecycleSpec extends SparkSpec {
     graft.util.Caches.clear(spark)
   }
 
+  test("repeated knn-lsh calls leave no orphan cached RDDs") {
+    // r14/r15 advisory, closed r16: qSimKnnLsh's featurized frame now
+    // rides a Caches slot. Same dir → same canonical plan → the swap
+    // keeps the ONE live cache; invocations must not accumulate
+    // storage entries, and a full clear must release everything.
+    graft.util.Caches.clear(spark)
+    def cachedNow = spark.sparkContext.getRDDStorageInfo.count(_.isCached)
+    ops.LlmOps.qSimKnnLsh(spark, sfDir).count()
+    val afterFirst = cachedNow
+    ops.LlmOps.qSimKnnLsh(spark, sfDir).count()
+    ops.LlmOps.qSimKnnLsh(spark, sfDir).count()
+    assert(cachedNow <= afterFirst,
+      s"knn-lsh invocations accumulated caches: $afterFirst -> $cachedNow")
+    graft.util.Caches.clear(spark)
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (cachedNow > 0 && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(cachedNow == 0,
+      "clear left knn-lsh storage entries behind")
+  }
+
   test("swapPersist keeps the live cache on a same-plan repeat") {
     import spark.implicits._
     import org.apache.spark.storage.StorageLevel

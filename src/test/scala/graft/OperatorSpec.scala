@@ -32,7 +32,12 @@ class OperatorSpec extends SparkSpec {
     val expected = Set("q_agg_approx_distinct", "q_agg_percentile_approx",
       "q_dedup_minhash",
       "q_dedup_minhash_native", "q_dedup_simhash", "q_dedup_simhash_pairs",
-      "q_sim_knn_lsh", "q_dedup_embcos_lsh")
+      "q_sim_knn_lsh", "q_dedup_embcos_lsh",
+      // encode over a LEARNED vocabulary: each merge rank depends on
+      // re-tokenizing under all previous ranks, which one static SQL
+      // statement cannot iterate — gated by TextBpeSpec instead
+      // (artifact == direct learn, lossless round trip)
+      "q_text_bpe_encode")
     assert(noOracle == expected,
       s"no-oracle drift: unexpected=${noOracle -- expected} missing=${expected -- noOracle}")
   }

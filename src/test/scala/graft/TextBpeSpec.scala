@@ -34,6 +34,51 @@ class TextBpeSpec extends SparkSpec {
       enc.toString)
   }
 
+  test("each rank merges every occurrence, including adjacent ones") {
+    import spark.implicits._
+    // the r15 single-space encoding consumed the shared boundary
+    // space: "abab" under merge (a,b) came out "ab a b" — the second
+    // adjacent occurrence was skipped (round-16 ADVICE). The
+    // double-space separator keeps matches disjoint, so one pass per
+    // rank is exhaustive, like standard BPE.
+    val enc = Seq("abab", "ababab", "xabab").toDF("t")
+      .select($"t", graft.ops.TextOps.bpeEncodeExpr($"t",
+        Seq("a" -> "b")).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(enc == Map("abab" -> "ab ab", "ababab" -> "ab ab ab",
+      "xabab" -> "x ab ab"), enc.toString)
+    // learn sees the fixed corpus the same way: "abab" has pair
+    // (a,b) twice, merges once, then goes dry ((ab,ab) is count 1)
+    val merges = graft.ops.TextOps.bpeLearn(
+      Seq("abab").toDF("text"), "text", numMerges = 10)
+    assert(merges == Seq("a" -> "b"), merges.toString)
+  }
+
+  test("vocabulary artifact: learned once, artifact-backed, consistent") {
+    val direct = graft.ops.TextOps.bpeLearn(
+      graft.util.Tables.documents(spark, sfDir), "text", numMerges = 24)
+    val viaArtifact = graft.ops.TextOps.bpeVocabulary(spark, sfDir, 24)
+    assert(viaArtifact == direct,
+      s"artifact ranks drifted from a direct learn: $viaArtifact")
+    // second call must be the CACHED artifact read, not a re-learn:
+    // computeIfAbsent returns the same instance iff no rebuild ran
+    val again = graft.ops.TextOps.bpeVocabulary(spark, sfDir, 24)
+    assert(again eq viaArtifact, "second call re-ran the learn loop")
+  }
+
+  test("encode-only query round-trips under the learned vocabulary") {
+    import spark.implicits._
+    val out = graft.ops.TextOps.qTextBpeEncode(spark, sfDir)
+    val prefix = regexp_replace(lower(substring($"text", 1, 120)),
+      "[^a-z]", "")
+    val expected = graft.util.Tables.documents(spark, sfDir)
+      .select($"doc_id", prefix.as("in"))
+    val bad = out.join(expected, "doc_id")
+      .filter(regexp_replace($"tokens", " ", "") =!= $"in")
+      .count()
+    assert(bad == 0, s"$bad documents failed the learned-vocab round trip")
+  }
+
   test("encode round-trips losslessly over the documents corpus") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sfDir)
