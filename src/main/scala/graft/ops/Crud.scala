@@ -545,14 +545,17 @@ object Crud {
   /** §2.A MV with MIN/MAX — the extremum-maintenance extension of
     * `q_fleet_mv`: the per-shard rollup stores min/max balance
     * sidecar-style in the view, a COW DELETE then removes the
-    * top-balance rows (every shard loses its stored MAX → exactly the
-    * recompute rule fires, scoped to affected groups via a broadcast
-    * key join the fleet scan sees as a runtime filter), and an INSERT
-    * adds new minima to one shard (the no-rescan fold path:
-    * `least(stored, insert_min)`). The oracle recomputes the rollup
-    * cold from the mutated relation, so a missed recompute (stale
-    * max), an over-eager fold (max from a deleted row), or a wrong
-    * insert fold hash-mismatches. */
+    * top-balance rows of THREE shards (exactly those groups lose
+    * their stored MAX → the recompute rule fires scoped to them via a
+    * broadcast key join the fleet scan sees as a runtime filter — and
+    * because the staging is CLUSTERED by shard, the delete's COW
+    * rewrite touches only those shards' files, the 100 TB shape:
+    * affected groups pay, untouched groups and files don't), and an
+    * INSERT adds new minima to a shard the delete never touched (the
+    * pure no-rescan fold path: `least(stored, insert_min)`). The
+    * oracle recomputes the rollup cold from the mutated relation, so
+    * a missed recompute (stale max), an over-eager fold (max from a
+    * deleted row), or a wrong insert fold hash-mismatches. */
   def qFleetMvMinmax(s: SparkSession, dir: String): DataFrame = {
     val root = cloneFleet(s, goldenDir(s, dir, clustered = true),
       "mv_minmax")
@@ -565,12 +568,13 @@ object Crud {
     s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
     s2.conf.set("spark.sql.catalog.graft.root", root)
     s2.conf.set("spark.sql.shuffle.partitions", "8")
-    s2.sql("DELETE FROM graft.cust WHERE c_acctbal > 9000")
+    s2.sql(
+      "DELETE FROM graft.cust WHERE c_acctbal > 9000 AND shard IN (0, 1, 2)")
     s2.sql(
       """INSERT INTO graft.cust
         |SELECT c_custkey + 200000, c_name,
         |  round(c_acctbal - 20000, 4), shard
-        |FROM graft.cust WHERE shard = 2""".stripMargin)
+        |FROM graft.cust WHERE shard = 4""".stripMargin)
     graft.sources.FleetMV.refresh(s, fleetDir, viewDir,
       keys = Seq("shard"), sumCols = Seq("c_acctbal"),
       minMaxCols = Seq("c_acctbal"))
@@ -693,10 +697,11 @@ object Crud {
         |  SELECT c_name, round(c_acctbal, 4) AS bal,
         |    c_custkey % 8 AS shard
         |  FROM customer),
-        |kept AS (SELECT bal, shard FROM base WHERE bal <= 9000),
+        |kept AS (SELECT bal, shard FROM base
+        |  WHERE bal <= 9000 OR shard NOT IN (0, 1, 2)),
         |ins AS (
         |  SELECT round(bal - 20000, 4) AS bal, shard
-        |  FROM kept WHERE shard = 2),
+        |  FROM kept WHERE shard = 4),
         |allr AS (
         |  SELECT bal, shard FROM kept
         |  UNION ALL SELECT bal, shard FROM ins)

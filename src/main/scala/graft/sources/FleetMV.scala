@@ -123,41 +123,48 @@ object FleetMV {
           "create()")
     val (added, removed) = FleetCDC.fileDiff(s, srcDir, v0, v1)
     val rawDelta = FleetCDC.changesOf(s, srcDir, added, removed)
-    // with extrema in play, NET the file-granular delta first
-    // (bag-exact exceptAll): a copy-on-write rewrite carries every
-    // survivor into both sides, and a survivor equal to the stored
-    // MIN/MAX would otherwise look like a deleted extremum and
-    // trigger a recompute of a group that lost nothing. Count/sum
-    // need no netting (matched pairs cancel in the signed fold), so
-    // the pure count/sum view keeps its single-shuffle path.
-    val delta =
-      if (minMaxCols.isEmpty) rawDelta
-      else {
-        val dels0 = rawDelta
-          .filter(col(FleetCDC.ChangeTypeCol) === "delete")
-          .drop(FleetCDC.ChangeTypeCol)
-        val ins0 = rawDelta
-          .filter(col(FleetCDC.ChangeTypeCol) === "insert")
-          .drop(FleetCDC.ChangeTypeCol)
-        ins0.exceptAll(dels0)
-          .withColumn(FleetCDC.ChangeTypeCol, lit("insert"))
-          .unionByName(dels0.exceptAll(ins0)
-            .withColumn(FleetCDC.ChangeTypeCol, lit("delete")))
-      }
     val sign = when(col(FleetCDC.ChangeTypeCol) === "insert", lit(1L))
       .otherwise(lit(-1L))
-    val isIns = col(FleetCDC.ChangeTypeCol) === "insert"
-    // one pass over the delta: signed cnt/sum plus PER-SIDE extrema
-    // (the insert side folds into the stored extremum; the delete
-    // side only decides which groups must recompute)
-    val deltaAgg = delta.groupBy(keys.map(col): _*)
-      .agg(sum(sign).as("cnt"),
-        sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")) ++
-          minMaxCols.flatMap(c => Seq(
-            min(when(isIns, col(c))).as(s"ins_min_$c"),
-            max(when(isIns, col(c))).as(s"ins_max_$c"),
-            min(when(!isIns, col(c))).as(s"del_min_$c"),
-            max(when(!isIns, col(c))).as(s"del_max_$c"))): _*)
+    // deltaAgg: signed cnt/sum plus PER-SIDE extrema (the insert side
+    // folds into the stored extremum; the delete side only decides
+    // which groups must recompute). PERSISTED: the frame is
+    // O(affected groups) — tiny — but its lineage holds the whole
+    // changed-files read, and it feeds countSum AND the extremum
+    // pipeline (which itself materializes 3×: affected-count, rescan
+    // filter, final merge) — uncached, the delta subtree would
+    // re-execute per use.
+    //
+    // With extrema in play the file-granular delta must be NETTED
+    // first: a copy-on-write rewrite carries every survivor into both
+    // sides, and a survivor equal to the stored MIN/MAX would
+    // otherwise look like a deleted extremum and trigger a recompute
+    // of a group that lost nothing. Netting = ONE hash aggregation
+    // over the full row image with a signed multiplicity (net > 0 ⇔
+    // the row is a genuine insert, net < 0 ⇔ a genuine delete —
+    // bag-exact, the same relation a pair of exceptAlls produces but
+    // in one map-side-combined shuffle instead of four). Count/sum
+    // need no netting (matched pairs cancel in the signed fold), so
+    // the pure count/sum view keeps its single direct shuffle.
+    val deltaAgg = (if (minMaxCols.isEmpty)
+      rawDelta.groupBy(keys.map(col): _*)
+        .agg(sum(sign).as("cnt"),
+          sumCols.map(c => sum(sign * col(c)).as(s"sum_$c")): _*)
+    else {
+      val dataCols = rawDelta.columns
+        .filterNot(_ == FleetCDC.ChangeTypeCol).toSeq
+      val netted = rawDelta.groupBy(dataCols.map(col): _*)
+        .agg(sum(sign).as("net"))
+        .filter(col("net") =!= 0L)
+      val pos = col("net") > 0L
+      netted.groupBy(keys.map(col): _*)
+        .agg(sum(col("net")).as("cnt"),
+          sumCols.map(c => sum(col("net") * col(c)).as(s"sum_$c")) ++
+            minMaxCols.flatMap(c => Seq(
+              min(when(pos, col(c))).as(s"ins_min_$c"),
+              max(when(pos, col(c))).as(s"ins_max_$c"),
+              min(when(!pos, col(c))).as(s"del_min_$c"),
+              max(when(!pos, col(c))).as(s"del_max_$c"))): _*)
+    }).persist()
     val old = s.read.format("graft-avro").load(viewDir)
     val countSum = old
       .select((keys.map(col) :+ col("cnt")) ++
@@ -169,6 +176,7 @@ object FleetMV {
         sumCols.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
       .filter(col("cnt") =!= 0L)
     var recomputed = 0L
+    var extPersisted: Option[org.apache.spark.sql.DataFrame] = None
     val merged =
       if (minMaxCols.isEmpty) countSum
       else {
@@ -178,6 +186,9 @@ object FleetMV {
         // REACHES the stored one may have lost it — recompute exactly
         // those groups from the source, keys broadcast so the fleet
         // scan's runtime filter skips unaffected files.
+        // O(groups) rows, used by the affected-count action, the
+        // rescan's broadcast filter, and the final merge — persisted
+        // for the same reason as deltaAgg
         val ext = old
           .select(keys.map(col) ++ minMaxCols.flatMap(c =>
             Seq(col(s"min_$c"), col(s"max_$c"))): _*)
@@ -185,6 +196,8 @@ object FleetMV {
             Seq(col(s"ins_min_$c"), col(s"ins_max_$c"),
               col(s"del_min_$c"), col(s"del_max_$c"))): _*),
             keys, "full_outer")
+          .persist()
+        extPersisted = Some(ext)
         val needs = minMaxCols.map(c =>
           (col(s"del_min_$c").isNotNull && col(s"min_$c").isNotNull &&
             col(s"del_min_$c") <= col(s"min_$c")) ||
@@ -217,10 +230,17 @@ object FleetMV {
     val oldNames = FleetManifest.resolve(viewFs, viewP, None)
       .getOrElse(AvroFleetCommits.dataFileStatuses(viewFs, viewP))
       .map(_.getPath.getName)
-    merged.write.format("graft-avro").mode("append")
-      .option("manifestSwapRemove", oldNames.mkString(","))
-      .option("manifestProps", propsJson(v1))
-      .save(viewDir)
+    try {
+      merged.write.format("graft-avro").mode("append")
+        .option("manifestSwapRemove", oldNames.mkString(","))
+        .option("manifestProps", propsJson(v1))
+        .save(viewDir)
+    } finally {
+      // release the per-refresh intermediates (sub-plans of merged —
+      // they cannot outlive this call usefully)
+      extPersisted.foreach(_.unpersist())
+      deltaAgg.unpersist()
+    }
     RefreshResult(v0, v1, added.size + removed.size, recomputed)
   }
 }
