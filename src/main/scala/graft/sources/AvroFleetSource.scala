@@ -318,18 +318,50 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     * rule). */
   override def metadataColumns()
       : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = AvroFleetTable.FileMetaCol
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "fleet container file holding this row"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = AvroFleetTable.FileMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "fleet container file holding this row"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = AvroFleetTable.SyncMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "avro block sync position of this row's block (row identity " +
+            "with _file and _ridx; deletion-vector position vocabulary)"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = AvroFleetTable.RidxMetaCol
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row ordinal within its avro block (row identity with _file " +
+            "and _sync)"
+      })
 }
 
 private[sources] object AvroFleetTable {
   val FileMetaCol = "_file"
+
+  /** Row-POSITION metadata columns: the avro block's sync position
+    * (`_sync`) and the record's ordinal within that block (`_ridx`).
+    * Together with `_file` they are a STABLE row identity — a reader
+    * serving any byte range observes the same pair for the same
+    * record, because `sync(start)` aligns to the identical block
+    * boundary a sequential read passes (an absolute row ordinal is
+    * NOT split-stable: a mid-file reader cannot know how many rows
+    * precede it). They are the position vocabulary of [[FleetDv]]
+    * deletion vectors and the row ID of the merge-on-read row-level
+    * operations ([[AvroFleetDeltaOperation]]). */
+  val SyncMetaCol = "_sync"
+  val RidxMetaCol = "_ridx"
 
   /** `maxFileAge`-style durations: bare millis or `<n>ms|s|m|h|d`
     * (FileStreamSource's spelling). */
@@ -972,6 +1004,12 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   private var countStars: Int = 0
   private var topN: Option[(Seq[TopNOrder], Int)] = None
 
+  // does the resolved snapshot bind any deletion vector? gates the
+  // metadata aggregate tiers (their sidecar/block-header numbers
+  // include deleted rows)
+  private lazy val fleetHasDvs: Boolean =
+    FleetDv.forPath(SparkSession.active, path, versionAsOf).nonEmpty
+
   // Catalyst hands us the projected subset; empty projections (pure
   // count(*)) arrive as an empty struct — decode zero fields, keep rows
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -1064,6 +1102,13 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     // generations, so aggregates stay with Spark over the row path —
     // which already null-fills and widens per file
     if (evolve) return false
+    // a DELETION VECTOR makes every metadata tier stale: sidecar
+    // min/max/null counts and block-header counts include deleted
+    // rows. Aggregates stay with Spark over the row path — which
+    // skips vectored positions per task — until compaction
+    // (rewrite_files) materializes the vectors and restores the fast
+    // paths. One manifest read, only on fleets that COULD push.
+    if (fleetHasDvs) return false
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -1371,6 +1416,22 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     FleetStats.forFleet(fs, fleet)
   }
 
+  // deletion-vector bindings of the resolved snapshot (full data path
+  // → full vector path) — attached per split so tasks skip deleted
+  // positions; empty on vector-less fleets, costing nothing
+  private lazy val dvByPath: Map[String, String] =
+    FleetDv.forPath(SparkSession.active, path, versionAsOf)
+
+  // per-file DELETED counts (one tiny JSON read per vectored file,
+  // driver-side) — lets row-count math stay exact under vectors
+  private lazy val dvCounts: Map[String, Long] = {
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    dvByPath.map { case (f, dvp) =>
+      f -> FleetDv.readPath(fs, new org.apache.hadoop.fs.Path(dvp)).count
+    }
+  }
+
   /** Planning-time data skipping: when filters were pushed, every part
     * file whose recorded min/max/null profile PROVES a pushed conjunct
     * can never match is dropped here — no task, no open, no header
@@ -1470,7 +1531,12 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     val rows =
       if (survivors.forall(st => fleetStats.contains(st.getPath.toString)))
         java.util.OptionalLong.of(
-          survivors.map(st => fleetStats(st.getPath.toString).rows).sum)
+          survivors.map { st =>
+            val p = st.getPath.toString
+            // deletion-vector positions are distinct existing rows, so
+            // the subtraction keeps the no-filter count exact
+            fleetStats(p).rows - dvCounts.getOrElse(p, 0L)
+          }.sum)
       else java.util.OptionalLong.empty()
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -1506,15 +1572,26 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
             fBest match {
               case Some(fb) if !nullsBlock =>
                 val beating = base.iterator.filter(_ ne st)
-                  .flatMap(entry(_)).map { case (psG, csG) =>
-                    val gWorst = if (o.asc) csG.max else csG.min
-                    val nonNull = psG.rows - csG.nulls
-                    val beatsAll = gWorst.exists(gw =>
-                      FleetStats.comparable(gw, fb) &&
-                        (if (o.asc) FleetFilters.cmp(gw, fb) < 0
-                         else FleetFilters.cmp(gw, fb) > 0))
-                    (if (beatsAll) nonNull else 0L) +
-                      (if (o.nullsFirst) csG.nulls else 0L)
+                  .map { g =>
+                    entry(g) match {
+                      case Some((psG, csG)) =>
+                        val gWorst = if (o.asc) csG.max else csG.min
+                        val nonNull = psG.rows - csG.nulls
+                        val beatsAll = gWorst.exists(gw =>
+                          FleetStats.comparable(gw, fb) &&
+                            (if (o.asc) FleetFilters.cmp(gw, fb) < 0
+                             else FleetFilters.cmp(gw, fb) > 0))
+                        val raw = (if (beatsAll) nonNull else 0L) +
+                          (if (o.nullsFirst) csG.nulls else 0L)
+                        // a deletion vector shrinks G's live rows by
+                        // exactly its count; subtracting it from the
+                        // guaranteed-beating total keeps the exclusion
+                        // sound (stale sidecar counts include deleted
+                        // rows)
+                        math.max(0L, raw -
+                          dvCounts.getOrElse(g.getPath.toString, 0L))
+                      case None => 0L
+                    }
                   }.sum
                 beating >= n
               case _ => false
@@ -1615,7 +1692,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
         val dt = fullSchema(fullSchema.fieldIndex(clusterBy.get)).dataType
         groups.map { case (k, files) =>
           AvroClusterPartition(k, dt,
-            AvroFleetScan.planSplits(files, maxFileBytes)
+            AvroFleetScan.planSplits(files, maxFileBytes, dvByPath)
               .map(_.asInstanceOf[AvroFilePartition]))
         }.toArray[InputPartition]
       case None =>
@@ -1630,7 +1707,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
         // the paired write deletes on commit; report them here, the
         // one point where the final selection is known
         if (onPlanned != null) onPlanned(files.map(_.getPath.toString))
-        AvroFleetScan.planSplits(files, maxFileBytes)
+        AvroFleetScan.planSplits(files, maxFileBytes, dvByPath)
     }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1655,13 +1732,15 @@ private[sources] object AvroFleetScan {
     * external container file fans out across tasks instead of either
     * failing the ingest bound or straggling as one giant task. */
   def planSplits(fleet: Seq[org.apache.hadoop.fs.FileStatus],
-      maxFileBytes: Long): Array[InputPartition] =
+      maxFileBytes: Long,
+      dvByPath: Map[String, String] = Map.empty): Array[InputPartition] =
     fleet.sortBy(_.getPath.toString).flatMap { st =>
       val len = st.getLen
       val n = math.max(1L, math.ceil(len.toDouble / maxFileBytes).toLong)
+      val dv = dvByPath.get(st.getPath.toString)
       (0L until n).map { i =>
         AvroFilePartition(st.getPath.toString, i * maxFileBytes,
-          if (i == n - 1) len else (i + 1) * maxFileBytes)
+          if (i == n - 1) len else (i + 1) * maxFileBytes, dv)
       }
     }.toArray[InputPartition]
 }
@@ -2006,8 +2085,13 @@ private[sources] class AvroFleetGroupAggReaderFactory(
   * (`DataFileReader.sync(start)` / `pastSync(end)` — the standard
   * avro split convention: a block belongs to the range containing its
   * first byte, so contiguous ranges partition the blocks exactly). */
+/** One byte-range split of one container file. `dv` is the FULL path
+  * of the file's bound deletion vector in the resolved snapshot (None
+  * = no vector): the reader loads it (a tiny JSON, once per task) and
+  * skips its positions. Every split of a file carries the same
+  * binding. */
 private[sources] case class AvroFilePartition(file: String, start: Long,
-    end: Long) extends InputPartition
+    end: Long, dv: Option[String] = None) extends InputPartition
 
 /** One cluster-key group: every split of every file proven to hold
   * exactly `key` (sidecar carrier spelling; null = the all-null key).
@@ -2134,10 +2218,25 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
   private var decodeByName: Map[String, Decode] = _
   private var emitted = 0
   private var rec: org.apache.avro.generic.GenericRecord = _
+  // ROW POSITION tracking: the current record's block sync position
+  // and ordinal within the block — updated on every raw record, BEFORE
+  // deletion-vector skipping and row filters, so (curSync, curRidx)
+  // is the stable raw-file identity the `_sync`/`_ridx` metadata
+  // columns and [[FleetDv]] vectors speak
+  private var curSync: Long = Long.MinValue
+  private var curRidx: Long = -1L
+  private var dvSet: FleetDv.Deleted = _
 
   private def ensureOpen(): Unit = if (stream == null) {
     val path = new org.apache.hadoop.fs.Path(file)
     val fs = path.getFileSystem(conf.value)
+    // the split's deletion vector: one tiny JSON per task, loaded
+    // before any record so every raw position can be checked
+    dvSet = part.dv match {
+      case Some(dvPath) =>
+        FleetDv.readPath(fs, new org.apache.hadoop.fs.Path(dvPath))
+      case None => FleetDv.Deleted.empty
+    }
     val datumReader =
       new org.apache.avro.generic.GenericDatumReader[
         org.apache.avro.generic.GenericRecord]()
@@ -2204,6 +2303,13 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
         // `_file` appears in the writer schema)
         case None if c == AvroFleetTable.FileMetaCol =>
           ((_: Any) => file): Decode
+        // `_sync`/`_ridx` POSITION metadata: read the tracker state at
+        // emit time (valid — positions update in next() before any
+        // get())
+        case None if c == AvroFleetTable.SyncMetaCol =>
+          ((_: Any) => java.lang.Long.valueOf(curSync)): Decode
+        case None if c == AvroFleetTable.RidxMetaCol =>
+          ((_: Any) => java.lang.Long.valueOf(curRidx)): Decode
         case None if aliased.contains(c) =>
           val old = aliased(c)
           val oldFs = avroByName(old)
@@ -2231,8 +2337,21 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
     // global Limit on top sees already-filtered rows
     while (!limit.exists(emitted >= _) && stream.hasNext &&
         !stream.pastSync(part.end)) {
+      // sample the block key BEFORE next(): DataFileStream.next()
+      // calls blockFinished() — which advances previousSync() — upon
+      // reading a block's LAST record, so sampling after next() would
+      // misattribute that record to the following block. Here hasNext
+      // has loaded the record's block and previousSync() is its
+      // boundary: the same value whether this reader opened at byte 0
+      // or sync()'d into the middle of the file — the split
+      // stability (sync, ridx) positions rely on (FleetDvSpec
+      // pins full == split).
+      val ps = stream.previousSync()
       rec = stream.next()
-      if (passes) { emitted += 1; return true }
+      if (ps != curSync) { curSync = ps; curRidx = 0L }
+      else curRidx += 1L
+      val deleted = dvSet.contains(curSync, curRidx)
+      if (!deleted && passes) { emitted += 1; return true }
     }
     false
   }

@@ -90,9 +90,16 @@ private[graft] object FleetManifest {
     * ride the one atomic commit (e.g. [[FleetMV]]'s source-version
     * stamp: state that must change exactly when the file set does
     * belongs here, not in a second marker file a crash can split from
-    * the swap). */
+    * the swap) — plus the generation's DELETION-VECTOR bindings
+    * (`dvs`: data-file name → [[FleetDv]] vector name, both relative;
+    * a bound file reads with its vector's rows skipped). `dvs` is
+    * INHERITED forward by [[commit]] (minus retired files, plus the
+    * commit's own changes) — unlike `props`, which each commit states
+    * in full — because a vector binding is part of the data state,
+    * not a per-commit annotation. */
   final case class Snapshot(version: Long, files: Seq[String],
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      dvs: Map[String, String] = Map.empty)
 
   private def mdir(dir: Path) = new Path(dir, DirName)
   private def vname(v: Long) = f"v$v%020d.json"
@@ -158,6 +165,15 @@ private[graft] object FleetManifest {
     if (!fs.exists(p)) None else Some(readFile(fs, p))
   }
 
+  /** The snapshot a reader of `versionAsOf` (None = current) sees —
+    * the selection rule [[resolve]] applies, without the
+    * file-statusing. */
+  def snapshotFor(fs: FileSystem, dir: Path,
+      versionAsOf: Option[Long]): Option[Snapshot] = versionAsOf match {
+    case Some(v) => snapshotAt(fs, dir, v)
+    case None => current(fs, dir)
+  }
+
   /** The current (highest-version) snapshot, or None for a
     * manifest-less fleet. */
   def current(fs: FileSystem, dir: Path): Option[Snapshot] =
@@ -185,7 +201,13 @@ private[graft] object FleetManifest {
           }.toMap
           case _ => Map.empty[String, String]
         }
-        Snapshot(v, files, props)
+        val dvs = (obj \ "dvs") match {
+          case o: JObject => o.obj.collect {
+            case (k, JString(s)) => k -> s
+          }.toMap
+          case _ => Map.empty[String, String]
+        }
+        Snapshot(v, files, props, dvs)
       case other => throw new java.io.IOException(
         s"malformed manifest $p: $other")
     }
@@ -196,6 +218,9 @@ private[graft] object FleetManifest {
       "version" -> JInt(s.version),
       "files" -> JArray(s.files.map(JString(_)).toList),
       "props" -> JObject(s.props.toList.map {
+        case (k, v) => k -> (JString(v): org.json4s.JValue)
+      }),
+      "dvs" -> JObject(s.dvs.toList.sortBy(_._1).map {
         case (k, v) => k -> (JString(v): org.json4s.JValue)
       }))))
 
@@ -251,6 +276,16 @@ private[graft] object FleetManifest {
     *    only lands on exactly this base version; ANY intervening
     *    commit (even a non-overlapping append) conflicts. For
     *    transactions whose update depends on the full base state.
+    *  - `requireDvs`: per-file deletion-vector compare-and-set — each
+    *    entry states the vector binding this commit READ for a file
+    *    (None = unbound). If the current base disagrees, another
+    *    merge-on-read writer swapped the vector since; blindly
+    *    binding ours would LOSE its deletes. Conflict, retryable by
+    *    re-reading the new vector and re-merging.
+    *
+    * Deletion-vector bindings ([[Snapshot.dvs]]) are INHERITED: next
+    * = (base bindings ± `dvUpdate`) restricted to the new file list —
+    * retiring a file retires its vector binding automatically.
     *
     * Every commit stamps [[CommitTsProp]] (wall-clock ms) into the
     * snapshot props unless the caller already set it. */
@@ -259,7 +294,9 @@ private[graft] object FleetManifest {
       bootstrap: => Seq[String],
       props: Map[String, String] = Map.empty,
       requireInBase: Set[String] = Set.empty,
-      expectedVersion: Option[Long] = None): Snapshot = {
+      expectedVersion: Option[Long] = None,
+      dvUpdate: Map[String, Option[String]] = Map.empty,
+      requireDvs: Map[String, Option[String]] = Map.empty): Snapshot = {
     val key = fs.makeQualified(dir).toString
     commitStripes(math.floorMod(key.hashCode, commitStripes.length))
       .synchronized {
@@ -286,12 +323,30 @@ private[graft] object FleetManifest {
                 "re-run the transaction (re-read, re-rewrite, re-commit)" +
                 " against the current generation")
           }
+          val baseDvs = cur.map(_.dvs).getOrElse(Map.empty)
+          if (requireDvs.nonEmpty) {
+            val mismatched = requireDvs.filter { case (f, expected) =>
+              baseDvs.get(f) != expected
+            }
+            if (mismatched.nonEmpty) throw new FleetCommitConflictException(
+              s"manifest commit at $dir binds deletion vector(s) whose " +
+                s"base binding changed (v${cur.map(_.version)
+                  .getOrElse(0L)}): ${mismatched.keys.toSeq.sorted
+                  .mkString(", ")} — a concurrent merge-on-read commit " +
+                "swapped the vector; re-read it, re-merge, re-commit")
+          }
           val stamped =
             if (props.contains(CommitTsProp)) props
             else props + (CommitTsProp ->
               System.currentTimeMillis().toString)
+          val nextFiles = update(base).distinct
+          val nextFileSet = nextFiles.toSet
+          val nextDvs =
+            ((baseDvs ++ dvUpdate.collect { case (f, Some(v)) => f -> v })
+              -- dvUpdate.collect { case (f, None) => f })
+              .filter { case (f, _) => nextFileSet(f) }
           val next = Snapshot(cur.map(_.version + 1L).getOrElse(1L),
-            update(base).distinct, stamped)
+            nextFiles, stamped, nextDvs)
           val dest = vpath(dir, next.version)
           fs.mkdirs(mdir(dir))
           if (!fs.exists(dest)) {

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.{FleetDv, FleetManifest, FleetCommitConflictException}
+
+/** Deletion vectors — the merge-on-read read path: (sync, ridx) row
+  * positions stable under splitting, vector-bound files read with
+  * positions skipped, bindings versioned with the manifest
+  * (inherited across appends, retired with their file, compare-and-
+  * set against concurrent vector swaps). */
+class FleetDvSpec extends SparkSpec {
+
+  private def hconf = spark.sessionState.newHadoopConf()
+  private def fsOf(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(hconf) -> new org.apache.hadoop.fs.Path(dir)
+
+  /** One ~multi-block container: enough padded rows that the avro
+    * writer (64 KB sync interval) emits several blocks. */
+  private def bigFleet(tag: String): String = {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir(s"dv_$tag") + "/t.avro"
+    spark.range(20000)
+      .select($"id", concat(lit("x" * 120), $"id".cast("string"))
+        .as("pad"))
+      .repartition(1)
+      .write.format("graft-avro").option("codec", "null")
+      .mode("overwrite").save(dir)
+    dir
+  }
+
+  private def positions(dir: String, extra: String = "")
+      : Map[Long, (Long, Long)] = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root",
+      new org.apache.hadoop.fs.Path(dir).getParent.toString)
+    s2.sql(s"SELECT id, _sync, _ridx FROM graft.t $extra")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+  }
+
+  test("(_sync, _ridx) positions are identical for full and split reads") {
+    val dir = bigFleet("pos")
+    val full = positions(dir)
+    assert(full.size == 20000)
+    // multiple blocks actually exercised
+    assert(full.values.map(_._1).toSet.size > 3,
+      s"expected several blocks, got syncs " +
+        full.values.map(_._1).toSet.toString)
+    // ordinals restart per block
+    assert(full.values.count(_._2 == 0L) ==
+      full.values.map(_._1).toSet.size)
+    // the same file read as many byte-range splits reports the SAME
+    // position for every row — the split-stability contract deletion
+    // vectors rely on
+    val split = spark.read.format("graft-avro")
+      .option("maxFileBytes", 64 * 1024).load(dir)
+      .select(col("id"), col("_sync"), col("_ridx"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(split == full, "split read drifted from sequential positions")
+  }
+
+  test("a bound vector hides exactly its positions; the old version reads full") {
+    val dir = bigFleet("hide")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val victims = Seq(0L, 1L, 7777L, 19999L)
+    val dv = FleetDv.Deleted.of(victims.map(full))
+    assert(dv.count == 4)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    val dvName = FleetDv.write(fs, p, dataFile, dv)
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvName)),
+      requireDvs = Map(dataFile -> None))
+    val after = spark.read.format("graft-avro").load(dir)
+    assert(after.count() == 20000 - 4)
+    import spark.implicits._
+    assert(after.filter($"id".isin(victims: _*)).count() == 0)
+    // count(*) declined the metadata tiers (their numbers include
+    // deleted rows) yet stays correct — and the undeleted complement
+    // is untouched
+    assert(after.filter(!$"id".isin(victims: _*)).count() == 20000 - 4)
+    // time travel: the pre-vector generation reads the full file
+    val v1 = FleetManifest.versions(fs, p).head
+    assert(spark.read.format("graft-avro")
+      .option("versionAsOf", v1).load(dir).count() == 20000)
+    // the data file itself was never touched
+    assert(FleetManifest.current(fs, p).get.files == Seq(dataFile))
+  }
+
+  test("vector bindings inherit across appends and retire with their file") {
+    import spark.implicits._
+    val dir = bigFleet("inherit")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    val dvName = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(5L))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvName)))
+    // an ordinary append must CARRY the binding forward
+    Seq((90001L, "new")).toDF("id", "pad").repartition(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    val snap = FleetManifest.current(fs, p).get
+    assert(snap.dvs == Map(dataFile -> dvName),
+      s"append dropped the vector binding: ${snap.dvs}")
+    assert(spark.read.format("graft-avro").load(dir).count() == 20000)
+    // retiring the file retires the binding with it
+    FleetManifest.commit(fs, p, base => base.filterNot(_ == dataFile),
+      Nil, requireInBase = Set(dataFile))
+    assert(FleetManifest.current(fs, p).get.dvs.isEmpty,
+      "retired file kept its vector binding")
+  }
+
+  test("concurrent vector swap on one file: one winner, one loud conflict") {
+    val dir = bigFleet("cas")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    // both writers read binding = None, then race
+    val dvA = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(1L))))
+    val dvB = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(2L))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvA)),
+      requireDvs = Map(dataFile -> None))
+    val e = intercept[FleetCommitConflictException] {
+      FleetManifest.commit(fs, p, identity, Nil,
+        dvUpdate = Map(dataFile -> Some(dvB)),
+        requireDvs = Map(dataFile -> None))
+    }
+    assert(e.getMessage.contains("deletion vector"))
+    // loser retries the full transaction: re-read the winner's vector,
+    // merge, CAS against it — both deletes land
+    val cur = FleetManifest.current(fs, p).get.dvs(dataFile)
+    assert(cur == dvA)
+    val merged = FleetDv.read(fs, p, cur)
+      .union(FleetDv.Deleted.of(Seq(full(2L))))
+    val dvC = FleetDv.write(fs, p, dataFile, merged)
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvC)),
+      requireDvs = Map(dataFile -> Some(dvA)))
+    import spark.implicits._
+    val ids = spark.read.format("graft-avro").load(dir)
+      .select($"id").as[Long].collect().toSet
+    assert(!ids.contains(1L) && !ids.contains(2L))
+    assert(ids.size == 20000 - 2)
+  }
+}
