@@ -272,6 +272,28 @@ object Crud {
     s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
   }
 
+  /** §1.1 MERGE-ON-READ SQL DELETE + UPDATE — the deletion-vector
+    * regime (`spark.graft.rowLevelMode = merge-on-read`,
+    * [[graft.sources.AvroFleetDeltaOperation]]): the DELETE's
+    * predicate hits rows SCATTERED across every staged file — the
+    * copy-on-write worst case (every file rewrites) — yet lands as
+    * per-file position vectors in one manifest commit with ZERO data
+    * files touched; the UPDATE vectors its pre-images and appends one
+    * post-image file (delete + reinsert). MorRowLevelSpec pins the
+    * byte-identical staging, vector merging, COW interop, and
+    * match-nothing no-op; at 100 TB this is "redact these 10k
+    * user-ids from a petabyte" costing kilobytes of sidecar instead
+    * of a table rewrite. Oracle: the surviving mutated relation. */
+  def qSqlDeleteFleetMor(s: SparkSession, dir: String): DataFrame = {
+    val s2 = stagedFleetSession(s, dir, "mor")
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 13 = 5")
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal + 250.0, 4)
+        |WHERE c_custkey % 13 = 6""".stripMargin)
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+  }
+
   /** §1.1 METADATA-ONLY SQL DELETE — the zero-rewrite regime: the
     * fleet is staged `clusterBy(shard)` (shard = c_custkey % 8, one
     * shard value per file, sidecar min==max), so `DELETE ... WHERE
@@ -635,6 +657,7 @@ object Crud {
     "q_crud_merge_fleet" -> qCrudMergeFleet _,
     "q_sql_delete_fleet" -> qSqlDeleteFleet _,
     "q_sql_delete_fleet_meta" -> qSqlDeleteFleetMeta _,
+    "q_sql_delete_fleet_mor" -> qSqlDeleteFleetMor _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
     "q_sql_merge_fleet" -> qSqlMergeFleet _,
     "q_sql_timetravel" -> qSqlTimeTravel _,
@@ -788,6 +811,13 @@ object Crud {
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
         |  c_custkey % 8 AS shard
         |FROM customer WHERE c_custkey % 8 <> 3
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_delete_fleet_mor" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 13 = 6
+        |    THEN round(round(c_acctbal, 4) + 250.0, 4)
+        |    ELSE round(c_acctbal, 4) END AS c_acctbal
+        |FROM customer WHERE c_custkey % 13 <> 5
         |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,

@@ -1,0 +1,263 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.util.SerializableHadoopConf
+
+/** MERGE-ON-READ row-level operations for avro fleets — SQL DELETE /
+  * UPDATE / MERGE planned by Spark's DELTA-based machinery
+  * (`SupportsDelta` → `WriteDelta`) instead of group-based
+  * copy-on-write:
+  *
+  *  - The operation's scan is the ORDINARY pruned/filtered fleet scan
+  *    plus the row-identity metadata columns (`_file`, `_sync`,
+  *    `_ridx` — [[AvroFleetTable.SyncMetaCol]]): Spark applies the
+  *    command's condition at ROW granularity and hands the writer
+  *    only matched rows with their identities. No survivor is ever
+  *    read, shipped, or rewritten.
+  *  - DELETEs become per-file position sets folded into [[FleetDv]]
+  *    deletion vectors: a DELETE hitting 10 rows of a 1 GB container
+  *    writes a kilobyte sidecar, not a rewritten container. UPDATEs
+  *    are represented as DELETE + reINSERT
+  *    (`representUpdateAsDeleteAndInsert`), so their pre-images join
+  *    the vectors and their post-images append as ordinary new files.
+  *  - The job lands as ONE manifest commit: inserted files in,
+  *    vector bindings swapped (compare-and-set against the bindings
+  *    read inside the commit lock — a racing merge-on-read writer
+  *    conflicts loudly instead of losing deletes), touched files
+  *    `requireInBase`-validated against concurrent copy-on-write
+  *    retirement. A crash at any point leaves only unreferenced
+  *    vector/data files — readers never see a partial delete.
+  *
+  * Mode selection: session conf `spark.graft.rowLevelMode` =
+  * `copy-on-write` (default) | `merge-on-read`. COW keeps files
+  * dense and fast paths warm; MOR makes small-fraction deletes
+  * O(deleted rows). `rewrite_files` compaction materializes vectors
+  * back into dense files and restores the metadata fast paths
+  * (which [[AvroFleetScanBuilder]] declines while vectors are
+  * bound).
+  *
+  * At 100 TB: the decisive property is that cost tracks the CHANGE,
+  * not the table — a 10-row DELETE on a laid-out fleet reads the
+  * extent-pruned files row-filtered at decode, writes one tiny
+  * vector, and commits one manifest swap; the 1000-executor scan
+  * after it pays one JSON read per vectored file.
+  */
+private[sources] class AvroFleetDeltaBuilder(schema: StructType,
+    path: String, maxFileBytes: Long, info: RowLevelOperationInfo,
+    evolve: Boolean = false, aliases: Map[String, Seq[String]] = Map.empty)
+    extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new AvroFleetDeltaOperation(schema, path, maxFileBytes,
+      info.command(), evolve, aliases)
+}
+
+private[sources] class AvroFleetDeltaOperation(schema: StructType,
+    path: String, maxFileBytes: Long,
+    cmd: RowLevelOperation.Command, evolve: Boolean = false,
+    aliases: Map[String, Seq[String]] = Map.empty)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-avro mor-$cmd `$path`"
+
+  /** Row identity = (container file, block sync, ordinal in block) —
+    * the deletion-vector position vocabulary, served by the scan as
+    * metadata columns. */
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(AvroFleetTable.FileMetaCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(AvroFleetTable.SyncMetaCol),
+      org.apache.spark.sql.connector.expressions.Expressions
+        .column(AvroFleetTable.RidxMetaCol))
+
+  /** UPDATE = delete (pre-image position → vector) + insert
+    * (post-image → new file): the fleet persists no in-place row
+    * mutation, and the split keeps the writer two-verbed. */
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  /** The ordinary fleet scan: full pushdown legitimacy (the plan
+    * above re-applies semantics at row level), metadata columns
+    * available on demand. */
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new AvroFleetScanBuilder(schema, path, maxFileBytes,
+      evolve = evolve, aliases = aliases)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite = {
+          val schemaJson = Avro.toAvroSchema(info.schema()).toString
+          val jobTag = java.security.MessageDigest.getInstance("MD5")
+            .digest(info.queryId().getBytes("UTF-8"))
+            .take(4).map(b => f"$b%02x").mkString
+          new AvroFleetDeltaBatchWrite(schemaJson, info.schema(), path,
+            jobTag)
+        }
+      }
+    }
+}
+
+/** Task-side delta commit payload: the inserts' committed parts (same
+  * shape as the plain write) plus per-file deleted positions. */
+private[graft] case class AvroFleetDeltaCommitMessage(
+    parts: Seq[(String, Option[FleetStats.PartStats])],
+    deletes: Seq[(String, Seq[(Long, Long)])])
+    extends WriterCommitMessage
+
+private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
+    schema: StructType, dir: String, jobTag: String)
+    extends DeltaBatchWrite {
+
+  private def fsp() = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    (p.getFileSystem(conf), p)
+  }
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory = {
+    val conf = SparkSession.active.sessionState.newHadoopConf()
+    new AvroFleetDeltaWriterFactory(schemaJson,
+      schema.fields.map(_.name), schema.fields.map(_.dataType), dir,
+      jobTag, new SerializableHadoopConf(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (f, p) = fsp()
+    val all = messages.collect { case m: AvroFleetDeltaCommitMessage => m }
+    val parts = all.flatMap(_.parts).toSeq
+    // tasks report file FULL paths; vectors bind by manifest name
+    val deletes: Map[String, Seq[(Long, Long)]] = all.toSeq
+      .flatMap(_.deletes)
+      .groupBy { case (file, _) =>
+        new org.apache.hadoop.fs.Path(file).getName }
+      .map { case (name, es) => name -> es.flatMap(_._2) }
+    if (parts.isEmpty && deletes.isEmpty) return // matched nothing
+    val stats = parts.collect { case (file, Some(ps)) =>
+      new org.apache.hadoop.fs.Path(file).getName -> ps
+    }.toMap
+    if (stats.nonEmpty) FleetStats.write(f, p, stats)
+    val added = parts.map { case (file, _) =>
+      new org.apache.hadoop.fs.Path(file).getName }
+    // a delta write interleaves keys arbitrarily — any SPJ layout
+    // marker no longer describes new files (vectors never break the
+    // one-key-per-file PROOF of existing files, but an inserted file
+    // can)
+    if (added.nonEmpty) FleetLayout.clear(f, p)
+    // read-merge-commit under the fleet's commit lock: same-JVM
+    // writers serialize here; a cross-process racer is caught by the
+    // vector compare-and-set / requireInBase and surfaces as a
+    // retryable FleetCommitConflictException
+    FleetManifest.withCommitLock(f, p) {
+      val curDvs = FleetManifest.current(f, p)
+        .map(_.dvs).getOrElse(Map.empty)
+      val dvUpdate: Map[String, Option[String]] =
+        deletes.map { case (name, pos) =>
+          val existing = curDvs.get(name)
+            .map(FleetDv.read(f, p, _))
+            .getOrElse(FleetDv.Deleted.empty)
+          val merged = existing.union(FleetDv.Deleted.of(pos))
+          name -> Some(FleetDv.write(f, p, name, merged))
+        }
+      val requireDvs: Map[String, Option[String]] =
+        deletes.keys.map(n => n -> curDvs.get(n)).toMap
+      FleetManifest.commit(f, p,
+        base => base ++ added,
+        bootstrap = AvroFleetCommits.dataFileStatuses(f, p)
+          .map(_.getPath.getName),
+        requireInBase = deletes.keySet,
+        dvUpdate = dvUpdate,
+        requireDvs = requireDvs)
+    }
+    f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // roll back exactly this job's INSERT files; vectors are written
+    // only inside commit() and published only by its manifest commit,
+    // so an aborted job leaves at most unreferenced vector files for
+    // remove_orphans
+    val (f, p) = fsp()
+    if (f.exists(p)) f.listStatus(p).foreach { st =>
+      if (st.getPath.getName.contains(s"-$jobTag"))
+        f.delete(st.getPath, false)
+    }
+  }
+}
+
+private[graft] class AvroFleetDeltaWriterFactory(schemaJson: String,
+    names: Array[String], types: Array[org.apache.spark.sql.types.DataType],
+    dir: String, jobTag: String, conf: SerializableHadoopConf)
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int,
+      taskId: Long): DeltaWriter[InternalRow] =
+    new AvroFleetDeltaWriter(schemaJson, names, types, dir, partitionId,
+      taskId, jobTag, conf)
+}
+
+/** One task: inserts stream through a lazily-created ordinary part
+  * writer (no insert → no file, unlike the plain path's
+  * schema-bearing empty container — a pure DELETE writes nothing but
+  * positions); deletes accumulate as per-file position sets, bounded
+  * by the task's matched rows. */
+private[graft] class AvroFleetDeltaWriter(schemaJson: String,
+    names: Array[String], types: Array[org.apache.spark.sql.types.DataType],
+    dir: String, pid: Int, taskId: Long, jobTag: String,
+    conf: SerializableHadoopConf)
+    extends DeltaWriter[InternalRow] {
+
+  private var inserts: AvroFleetDataWriter = _
+  private val deletes = scala.collection.mutable.HashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+
+  private def insertWriter(): AvroFleetDataWriter = {
+    if (inserts == null)
+      inserts = new AvroFleetDataWriter(schemaJson, names, types, dir,
+        pid, taskId, jobTag, conf)
+    inserts
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    // rowId projection order: (_file, _sync, _ridx)
+    val file = id.getUTF8String(0).toString
+    deletes.getOrElseUpdate(file,
+      scala.collection.mutable.ArrayBuffer.empty) +=
+      ((id.getLong(1), id.getLong(2)))
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "updates are represented as delete + insert " +
+        "(representUpdateAsDeleteAndInsert)")
+
+  override def insert(row: InternalRow): Unit = insertWriter().write(row)
+
+  override def commit(): WriterCommitMessage = {
+    val partMsg = if (inserts == null) Seq.empty
+    else inserts.commit() match {
+      case AvroFleetCommitMessage(parts) => parts
+      case other => throw new IllegalStateException(
+        s"unexpected insert commit message: $other")
+    }
+    AvroFleetDeltaCommitMessage(partMsg,
+      deletes.toSeq.map { case (f, ps) => f -> ps.toSeq })
+  }
+
+  override def abort(): Unit = if (inserts != null) inserts.abort()
+
+  override def close(): Unit = if (inserts != null) inserts.close()
+}

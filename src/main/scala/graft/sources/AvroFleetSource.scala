@@ -181,7 +181,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       startingVersion = Option(options.get("startingVersion"))
         .map(_.toLong),
       aliases = aliases,
-      cdc = cdc)
+      cdc = cdc,
+      dvSpecs = AvroFleetTable.parseDvSpec(options.get("dvSpec")))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -300,13 +301,29 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         requireInBase = dropped)
   }
 
-  /** SQL DELETE/UPDATE/MERGE INTO via group-based copy-on-write — see
-    * [[AvroFleetRowLevelOperation]]. */
+  /** SQL DELETE/UPDATE/MERGE INTO: group-based copy-on-write
+    * ([[AvroFleetRowLevelOperation]]) by default; `SET
+    * spark.graft.rowLevelMode = merge-on-read` routes them through
+    * the delta-based deletion-vector path
+    * ([[AvroFleetDeltaOperation]]) — small-fraction mutations cost
+    * O(changed rows), not O(touched files). */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new AvroFleetRowLevelBuilder(tableSchema, path, maxFileBytes, info,
-      evolve, aliases)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val mode = SparkSession.active.conf
+      .get("spark.graft.rowLevelMode", "copy-on-write")
+    mode match {
+      case "merge-on-read" | "mor" =>
+        new AvroFleetDeltaBuilder(tableSchema, path, maxFileBytes, info,
+          evolve, aliases)
+      case "copy-on-write" | "cow" =>
+        new AvroFleetRowLevelBuilder(tableSchema, path, maxFileBytes, info,
+          evolve, aliases)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.rowLevelMode = '$other' (use copy-on-write | " +
+          "merge-on-read)")
+    }
+  }
 
   /** `_file` — the row's source container path, served as a constant
     * per split (`SELECT _file, * FROM graft.x` gives row provenance
@@ -362,6 +379,54 @@ private[sources] object AvroFleetTable {
     * operations ([[AvroFleetDeltaOperation]]). */
   val SyncMetaCol = "_sync"
   val RidxMetaCol = "_ridx"
+
+  /** `option("dvSpec", json)` — per-file deletion-vector instructions
+    * for EXPLICIT-path reads, which bypass manifest resolution (the
+    * change feed's image reads, [[FleetMerge]]'s extent-hit loads).
+    * JSON object keyed by file NAME:
+    * `{"part-x.avro": {"new": "<full dv path>", "old": "<full dv
+    * path>", "deltaOnly": true}}` — `old`/`deltaOnly` optional. */
+  def parseDvSpec(json: String): Map[String, DvPartSpec] =
+    Option(json).filter(_.nonEmpty).map { j =>
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(j) match {
+        case o: JObject => o.obj.map {
+          case (name, spec: JObject) =>
+            val nw = spec \ "new" match {
+              case JString(s) => s
+              case other => throw new IllegalArgumentException(
+                s"dvSpec[$name].new must be a string: $other")
+            }
+            val old = spec \ "old" match {
+              case JString(s) => Some(s)
+              case _ => None
+            }
+            val delta = spec \ "deltaOnly" match {
+              case JBool(b) => b
+              case _ => false
+            }
+            name -> DvPartSpec(nw, old, delta)
+          case (name, other) => throw new IllegalArgumentException(
+            s"dvSpec[$name] must be an object: $other")
+        }.toMap
+        case other => throw new IllegalArgumentException(
+          s"dvSpec must be a JSON object: $other")
+      }
+    }.getOrElse(Map.empty)
+
+  /** The inverse spelling for callers building the option. */
+  def renderDvSpec(specs: Map[String, DvPartSpec]): String = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(
+        specs.toList.sortBy(_._1).map { case (name, sp) =>
+          name -> (JObject(List(
+            "new" -> (JString(sp.newDv): JValue)) ++
+            sp.oldDv.map(o => "old" -> (JString(o): JValue)).toList ++
+            (if (sp.deltaOnly) List("deltaOnly" -> (JBool(true): JValue))
+             else Nil)): JValue)
+        })))
+  }
 
   /** `maxFileAge`-style durations: bare millis or `<n>ms|s|m|h|d`
     * (FileStreamSource's spelling). */
@@ -985,7 +1050,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     ignoreMissingFiles: Option[Boolean] = None,
     startingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
-    cdc: Boolean = false)
+    cdc: Boolean = false,
+    dvSpecs: Map[String, DvPartSpec] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -1004,11 +1070,12 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   private var countStars: Int = 0
   private var topN: Option[(Seq[TopNOrder], Int)] = None
 
-  // does the resolved snapshot bind any deletion vector? gates the
-  // metadata aggregate tiers (their sidecar/block-header numbers
-  // include deleted rows)
+  // does the resolved snapshot (or a caller-passed dvSpec) bind any
+  // deletion vector? gates the metadata aggregate tiers (their
+  // sidecar/block-header numbers include deleted rows)
   private lazy val fleetHasDvs: Boolean =
-    FleetDv.forPath(SparkSession.active, path, versionAsOf).nonEmpty
+    dvSpecs.nonEmpty ||
+      FleetDv.forPath(SparkSession.active, path, versionAsOf).nonEmpty
 
   // Catalyst hands us the projected subset; empty projections (pure
   // count(*)) arrive as an empty struct — decode zero fields, keep rows
@@ -1216,7 +1283,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         ignoreMissingFiles = ignoreMissingFiles,
         startingVersion = startingVersion,
         aliases = aliases,
-        cdc = cdc)
+        cdc = cdc,
+        dvSpecs = dvSpecs)
   }
 }
 
@@ -1356,7 +1424,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     ignoreMissingFiles: Option[Boolean] = None,
     startingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
-    cdc: Boolean = false)
+    cdc: Boolean = false,
+    dvSpecs: Map[String, DvPartSpec] = Map.empty)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1416,21 +1485,36 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     FleetStats.forFleet(fs, fleet)
   }
 
-  // deletion-vector bindings of the resolved snapshot (full data path
-  // → full vector path) — attached per split so tasks skip deleted
-  // positions; empty on vector-less fleets, costing nothing
-  private lazy val dvByPath: Map[String, String] =
-    FleetDv.forPath(SparkSession.active, path, versionAsOf)
+  // deletion-vector instructions per full data path: the resolved
+  // snapshot's bindings (exclude mode) plus any caller-passed
+  // `dvSpec` entries (keyed by file NAME — the change-feed reads
+  // address explicit files whose vectors the CURRENT manifest no
+  // longer names); empty on vector-less fleets, costing nothing
+  private lazy val dvByPath: Map[String, DvPartSpec] = {
+    val fromManifest = FleetDv
+      .forPath(SparkSession.active, path, versionAsOf)
+      .map { case (f, dvp) => f -> DvPartSpec(dvp) }
+    if (dvSpecs.isEmpty) fromManifest
+    else fromManifest ++ fleet.flatMap { st =>
+      dvSpecs.get(st.getPath.getName).map(st.getPath.toString -> _)
+    }
+  }
 
   // per-file DELETED counts (one tiny JSON read per vectored file,
-  // driver-side) — lets row-count math stay exact under vectors
+  // driver-side) — lets row-count math stay exact under vectors.
+  // Exclude-mode entries only: delta-only splits serve an unknown
+  // subset, so their presence drops count exactness instead
   private lazy val dvCounts: Map[String, Long] = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
-    dvByPath.map { case (f, dvp) =>
-      f -> FleetDv.readPath(fs, new org.apache.hadoop.fs.Path(dvp)).count
+    dvByPath.collect { case (f, spec) if !spec.deltaOnly =>
+      f -> FleetDv.readPath(fs,
+        new org.apache.hadoop.fs.Path(spec.newDv)).count
     }
   }
+
+  private lazy val anyDeltaOnly: Boolean =
+    dvByPath.valuesIterator.exists(_.deltaOnly)
 
   /** Planning-time data skipping: when filters were pushed, every part
     * file whose recorded min/max/null profile PROVES a pushed conjunct
@@ -1529,7 +1613,9 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       else math.max(required.size, 1).toDouble / fullSchema.size
     val size = math.max(1L, math.ceil(totalBytes * frac).toLong)
     val rows =
-      if (survivors.forall(st => fleetStats.contains(st.getPath.toString)))
+      if (anyDeltaOnly) java.util.OptionalLong.empty()
+      else if (survivors.forall(st =>
+          fleetStats.contains(st.getPath.toString)))
         java.util.OptionalLong.of(
           survivors.map { st =>
             val p = st.getPath.toString
@@ -1559,7 +1645,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   private def topNPrune(base: Seq[org.apache.hadoop.fs.FileStatus])
       : Seq[org.apache.hadoop.fs.FileStatus] = topN match {
     case Some((orders, n))
-        if pushedFilters.isEmpty && runtimeFilters.isEmpty =>
+        if pushedFilters.isEmpty && runtimeFilters.isEmpty &&
+          !anyDeltaOnly =>
       val o = orders.head
       def entry(st: org.apache.hadoop.fs.FileStatus) =
         fleetStats.get(st.getPath.toString)
@@ -1733,7 +1820,8 @@ private[sources] object AvroFleetScan {
     * failing the ingest bound or straggling as one giant task. */
   def planSplits(fleet: Seq[org.apache.hadoop.fs.FileStatus],
       maxFileBytes: Long,
-      dvByPath: Map[String, String] = Map.empty): Array[InputPartition] =
+      dvByPath: Map[String, DvPartSpec] = Map.empty)
+      : Array[InputPartition] =
     fleet.sortBy(_.getPath.toString).flatMap { st =>
       val len = st.getLen
       val n = math.max(1L, math.ceil(len.toDouble / maxFileBytes).toLong)
@@ -2085,13 +2173,23 @@ private[sources] class AvroFleetGroupAggReaderFactory(
   * (`DataFileReader.sync(start)` / `pastSync(end)` — the standard
   * avro split convention: a block belongs to the range containing its
   * first byte, so contiguous ranges partition the blocks exactly). */
-/** One byte-range split of one container file. `dv` is the FULL path
-  * of the file's bound deletion vector in the resolved snapshot (None
-  * = no vector): the reader loads it (a tiny JSON, once per task) and
-  * skips its positions. Every split of a file carries the same
-  * binding. */
+/** Per-split deletion-vector instruction (vector paths are FULL
+  * paths; the reader loads them — tiny JSONs — once per task):
+  *
+  *  - `deltaOnly = false` (the read path): EXCLUDE `newDv`'s
+  *    positions — the split serves the file's live rows.
+  *  - `deltaOnly = true` (the change-feed path): emit ONLY positions
+  *    in `newDv` and not in `oldDv` — the rows a vector commit
+  *    deleted in a version span, computed in-task (the driver never
+  *    holds positions). */
+private[graft] case class DvPartSpec(newDv: String,
+    oldDv: Option[String] = None, deltaOnly: Boolean = false)
+
+/** One byte-range split of one container file. `dv` carries the
+  * file's deletion-vector instruction under the resolved snapshot
+  * (None = no vector); every split of a file carries the same one. */
 private[sources] case class AvroFilePartition(file: String, start: Long,
-    end: Long, dv: Option[String] = None) extends InputPartition
+    end: Long, dv: Option[DvPartSpec] = None) extends InputPartition
 
 /** One cluster-key group: every split of every file proven to hold
   * exactly `key` (sidecar carrier spelling; null = the all-null key).
@@ -2225,18 +2323,26 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
   // columns and [[FleetDv]] vectors speak
   private var curSync: Long = Long.MinValue
   private var curRidx: Long = -1L
-  private var dvSet: FleetDv.Deleted = _
+  private var dvNew: FleetDv.Deleted = _
+  private var dvOld: FleetDv.Deleted = _
+  private var dvDeltaOnly: Boolean = false
 
   private def ensureOpen(): Unit = if (stream == null) {
     val path = new org.apache.hadoop.fs.Path(file)
     val fs = path.getFileSystem(conf.value)
-    // the split's deletion vector: one tiny JSON per task, loaded
-    // before any record so every raw position can be checked
-    dvSet = part.dv match {
-      case Some(dvPath) =>
-        FleetDv.readPath(fs, new org.apache.hadoop.fs.Path(dvPath))
+    // the split's deletion vectors: tiny JSONs, loaded before any
+    // record so every raw position can be checked
+    dvNew = part.dv match {
+      case Some(spec) =>
+        FleetDv.readPath(fs, new org.apache.hadoop.fs.Path(spec.newDv))
       case None => FleetDv.Deleted.empty
     }
+    dvOld = part.dv.flatMap(_.oldDv) match {
+      case Some(p) =>
+        FleetDv.readPath(fs, new org.apache.hadoop.fs.Path(p))
+      case None => FleetDv.Deleted.empty
+    }
+    dvDeltaOnly = part.dv.exists(_.deltaOnly)
     val datumReader =
       new org.apache.avro.generic.GenericDatumReader[
         org.apache.avro.generic.GenericRecord]()
@@ -2350,8 +2456,14 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
       rec = stream.next()
       if (ps != curSync) { curSync = ps; curRidx = 0L }
       else curRidx += 1L
-      val deleted = dvSet.contains(curSync, curRidx)
-      if (!deleted && passes) { emitted += 1; return true }
+      val inNew = dvNew.contains(curSync, curRidx)
+      // delta-only: serve exactly the NEWLY-vectored rows of a
+      // version span (the change feed's delete images); otherwise the
+      // live rows (vectored positions skipped)
+      val emit =
+        if (dvDeltaOnly) inNew && !dvOld.contains(curSync, curRidx)
+        else !inNew
+      if (emit && passes) { emitted += 1; return true }
     }
     false
   }

@@ -233,7 +233,20 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
               "spark.sql.files.ignoreMissingFiles=true")
       }
     }
-    AvroFleetScan.planSplits(statuses, maxFileBytes)
+    // deletion vectors: a file admitted from a MOR-mutated fleet
+    // reads under the binding CURRENT when its batch plans — rows
+    // vectored after that are not retro-hidden (the append-only
+    // stream contract; the change feed is the mutation-aware read)
+    val fleetP = new org.apache.hadoop.fs.Path(path)
+    val dvs = FleetManifest.current(f, fleetP)
+      .map(_.dvs).getOrElse(Map.empty).map { case (n, rel) =>
+        n -> f.makeQualified(
+          new org.apache.hadoop.fs.Path(fleetP, rel)).toString
+      }
+    val byPath = statuses.flatMap(st =>
+      dvs.get(st.getPath.getName)
+        .map(full => st.getPath.toString -> DvPartSpec(full))).toMap
+    AvroFleetScan.planSplits(statuses, maxFileBytes, byPath)
   }
 
   // aliases travel with the stream exactly as in batch: a readStream
@@ -338,16 +351,20 @@ private[sources] class AvroFleetCdcMicroBatchStream(
     val v0 = FleetCdcOffset.of(start).version
     val v1 = FleetCdcOffset.of(end).version
     if (v1 <= v0) return Array.empty
-    def filesAt(v: Long): Set[String] =
-      if (v == 0L) Set.empty
-      else FleetManifest.snapshotAt(fs, p, v).getOrElse(
+    def snapAt(v: Long): Option[FleetManifest.Snapshot] =
+      if (v == 0L) None
+      else Some(FleetManifest.snapshotAt(fs, p, v).getOrElse(
         throw new IllegalStateException(
           s"readChangeFeed: manifest version $v at $path was expired " +
             "by retention while the stream was down — the change range " +
             "is gone; re-seed the consumer from a full scan and resume " +
-            "from a live version")).files.toSet
-    val from = filesAt(v0)
-    val to = filesAt(v1)
+            "from a live version")))
+    val fromS = snapAt(v0)
+    val toS = snapAt(v1)
+    val from = fromS.map(_.files.toSet).getOrElse(Set.empty)
+    val to = toS.map(_.files.toSet).getOrElse(Set.empty)
+    val dvFrom = fromS.map(_.dvs).getOrElse(Map.empty)
+    val dvTo = toS.map(_.dvs).getOrElse(Map.empty)
     val f = fs
     def statuses(names: Seq[String]) = names.sorted.map { n =>
       try f.getFileStatus(new org.apache.hadoop.fs.Path(p, n))
@@ -359,12 +376,44 @@ private[sources] class AvroFleetCdcMicroBatchStream(
               "retired generations until consumers pass)")
       }
     }
-    def side(names: Seq[String], tag: String): Seq[InputPartition] =
-      AvroFleetScan.planSplits(statuses(names), maxFileBytes)
+    def dvPath(rel: String) =
+      new org.apache.hadoop.fs.Path(p, rel).toString
+    def side(names: Seq[String], tag: String,
+        specs: Map[String, DvPartSpec]): Seq[InputPartition] = {
+      val sts = statuses(names)
+      // key the vector map by the statuses' OWN path spelling —
+      // getFileStatus qualifies paths, a hand-built Path(p, n) string
+      // may not, and a missed lookup silently serves raw rows
+      val byPath = sts.flatMap(st =>
+        specs.get(st.getPath.getName).map(st.getPath.toString -> _)).toMap
+      AvroFleetScan.planSplits(sts, maxFileBytes, byPath)
         .map(sp => FleetCdcPartition(sp.asInstanceOf[AvroFilePartition],
           tag))
-    (side((to -- from).toSeq, "insert") ++
-      side((from -- to).toSeq, "delete")).toArray
+    }
+    // deletion-vector awareness mirrors FleetCDC.changesOf: added
+    // files read minus their `to` vector, removed files minus their
+    // `from` vector, and a RETAINED file whose vector grew streams
+    // exactly its newly-vectored rows as deletes (a merge-on-read
+    // DELETE is a generation like any other)
+    val addedNames = (to -- from).toSeq
+    val removedNames = (from -- to).toSeq
+    val grown = from.intersect(to)
+      .filter(n => dvFrom.get(n) != dvTo.get(n)).toSeq.sorted
+    grown.foreach { n =>
+      require(dvTo.contains(n),
+        s"readChangeFeed: file $n lost its deletion-vector binding " +
+          s"while staying in the fleet (v$v0..v$v1) — vector shrink " +
+          "is not a committed operation")
+    }
+    (side(addedNames, "insert",
+      addedNames.flatMap(n => dvTo.get(n)
+        .map(rel => n -> DvPartSpec(dvPath(rel)))).toMap) ++
+      side(removedNames, "delete",
+        removedNames.flatMap(n => dvFrom.get(n)
+          .map(rel => n -> DvPartSpec(dvPath(rel)))).toMap) ++
+      side(grown, "delete",
+        grown.map(n => n -> DvPartSpec(dvPath(dvTo(n)),
+          dvFrom.get(n).map(dvPath), deltaOnly = true)).toMap)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

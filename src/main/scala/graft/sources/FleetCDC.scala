@@ -39,13 +39,24 @@ object FleetCDC {
 
   val ChangeTypeCol = "_change_type"
 
-  /** The file-name set difference between two committed versions:
-    * (added, removed), each sorted. One manifest read per side —
-    * shared by [[changes]] and [[FleetMV.refresh]] so a maintenance
-    * step computes the diff (and fetches its manifests) exactly
-    * once. */
-  def fileDiff(s: SparkSession, dir: String, fromVersion: Long,
-      toVersion: Long): (Seq[String], Seq[String]) = {
+  /** The complete change surface between two committed versions:
+    * added/removed file names, both sides' deletion-vector bindings,
+    * and `dvGrown` — files present in BOTH versions whose vector
+    * binding changed (a merge-on-read delete: the file is untouched,
+    * its newly-vectored positions are the span's deletes). Vector
+    * bindings only GROW for a retained file (the delta committer
+    * unions; the only unbinding paths retire the file) — a shrunk or
+    * dropped binding on a retained file would silently resurrect
+    * rows in the feed, so it fails loudly instead. */
+  final case class FleetDiff(added: Seq[String], removed: Seq[String],
+      dvFrom: Map[String, String], dvTo: Map[String, String],
+      dvGrown: Seq[String])
+
+  /** One manifest read per side — shared by [[changes]] and
+    * [[FleetMV.refresh]] so a maintenance step computes the diff
+    * (and fetches its manifests) exactly once. */
+  def diff(s: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long): FleetDiff = {
     require(fromVersion < toVersion,
       s"changes need fromVersion < toVersion (got $fromVersion, $toVersion)")
     val p = new Path(dir)
@@ -54,18 +65,45 @@ object FleetCDC {
       throw new IllegalArgumentException(
         s"no manifest version $v at $dir (available: " +
           s"${FleetManifest.versions(fs, p).mkString(", ")})"))
-    val from = snap(fromVersion).files.toSet
-    val to = snap(toVersion).files.toSet
-    ((to -- from).toSeq.sorted, (from -- to).toSeq.sorted)
+    val fromS = snap(fromVersion)
+    val toS = snap(toVersion)
+    val from = fromS.files.toSet
+    val to = toS.files.toSet
+    val common = from.intersect(to)
+    val grown = common.filter(f =>
+      fromS.dvs.get(f) != toS.dvs.get(f)).toSeq.sorted
+    grown.foreach { f =>
+      require(toS.dvs.contains(f),
+        s"change feed at $dir v$fromVersion..v$toVersion: file $f " +
+          "lost its deletion-vector binding while staying in the " +
+          "fleet — vector shrink is not a committed operation and " +
+          "the feed cannot represent resurrected rows")
+    }
+    FleetDiff((to -- from).toSeq.sorted, (from -- to).toSeq.sorted,
+      fromS.dvs, toS.dvs, grown)
+  }
+
+  /** The (added, removed) file-name pair of [[diff]] — kept for
+    * callers that only consume file-set changes. */
+  def fileDiff(s: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long): (Seq[String], Seq[String]) = {
+    val d = diff(s, dir, fromVersion, toVersion)
+    (d.added, d.removed)
   }
 
   /** NET row changes from `fromVersion` (exclusive) to `toVersion`
     * (inclusive), as the fleet schema plus a trailing
-    * `_change_type` ∈ ('insert','delete') column. */
+    * `_change_type` ∈ ('insert','delete') column. Deletion-vector
+    * aware on every side: an added file reads minus its `to`-side
+    * vector, a removed file minus its `from`-side vector (rows
+    * already deleted at `from` were never visible in the span), and
+    * a RETAINED file whose vector grew contributes exactly its
+    * newly-vectored rows as deletes — computed in-task from the two
+    * vectors, the driver never holds positions. */
   def changes(s: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
-    val (added, removed) = fileDiff(s, dir, fromVersion, toVersion)
-    changesOf(s, dir, added, removed)
+    val d = diff(s, dir, fromVersion, toVersion)
+    changesOf(s, dir, d.added, d.removed, d.dvFrom, d.dvTo, d.dvGrown)
   }
 
   /** ROW-IDENTITY net changes from `fromVersion` (exclusive) to
@@ -128,9 +166,12 @@ object FleetCDC {
     joined.select(explode(rows).as("_r")).select(col("_r.*"))
   }
 
-  /** The diff read for an already-computed (added, removed) pair. */
+  /** The diff read for an already-computed [[diff]] surface. */
   private[sources] def changesOf(s: SparkSession, dir: String,
-      added: Seq[String], removed: Seq[String]): DataFrame = {
+      added: Seq[String], removed: Seq[String],
+      dvFrom: Map[String, String] = Map.empty,
+      dvTo: Map[String, String] = Map.empty,
+      dvGrown: Seq[String] = Nil): DataFrame = {
     // ONE table schema governs both sides — resolved from the whole
     // fleet (schema marker preferred, else the merge of every
     // generation's writer schema), then imposed on the per-file reads
@@ -139,18 +180,36 @@ object FleetCDC {
     // alias chain, exactly as a full-fleet read would
     val schema = s.read.format("graft-avro")
       .option("mergeSchema", "true").load(dir).schema
-    def side(files: Seq[String], tag: String): DataFrame =
+    def dvPath(rel: String) = s"$dir/$rel"
+    def side(files: Seq[String], tag: String,
+        specs: Map[String, DvPartSpec]): DataFrame =
       if (files.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           schema).withColumn(ChangeTypeCol, lit(tag))
-      else
+      else {
         // explicit file paths reach the V2 source as a multi-path load
         // (names never contain commas — the committer's contract), so
-        // the diff read IS a normal fleet scan over just those files
-        s.read.format("graft-avro")
+        // the diff read IS a normal fleet scan over just those files;
+        // the dvSpec option carries each file's vector instruction
+        // (explicit-path loads bypass manifest vector resolution)
+        val r = s.read.format("graft-avro")
           .option("mergeSchema", "true").schema(schema)
+        (if (specs.isEmpty) r
+         else r.option("dvSpec", AvroFleetTable.renderDvSpec(specs)))
           .load(files.map(n => s"$dir/$n").mkString(","))
           .withColumn(ChangeTypeCol, lit(tag))
-    side(added, "insert").unionByName(side(removed, "delete"))
+      }
+    val ins = side(added, "insert",
+      added.flatMap(n => dvTo.get(n)
+        .map(rel => n -> DvPartSpec(dvPath(rel)))).toMap)
+    val del = side(removed, "delete",
+      removed.flatMap(n => dvFrom.get(n)
+        .map(rel => n -> DvPartSpec(dvPath(rel)))).toMap)
+    // merge-on-read deletes: retained files whose vector grew emit
+    // exactly the newly-vectored rows as deletes
+    val mor = side(dvGrown, "delete",
+      dvGrown.map(n => n -> DvPartSpec(dvPath(dvTo(n)),
+        dvFrom.get(n).map(dvPath), deltaOnly = true)).toMap)
+    ins.unionByName(del).unionByName(mor)
   }
 }

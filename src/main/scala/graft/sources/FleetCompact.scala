@@ -110,16 +110,24 @@ object FleetCompact {
       if (vs.size <= keepLast) ExpireResult(Seq.empty, Seq.empty)
       else {
         val (expired, kept) = vs.splitAt(vs.size - keepLast)
-        val keptFiles = kept.flatMap(v =>
-          FleetManifest.snapshotAt(fs, dirPath, v).toSeq.flatMap(_.files))
-          .toSet
-        val candidates = expired.flatMap(v =>
-          FleetManifest.snapshotAt(fs, dirPath, v).toSeq.flatMap(_.files))
+        val keptSnaps = kept.flatMap(v =>
+          FleetManifest.snapshotAt(fs, dirPath, v).toSeq)
+        val expiredSnaps = expired.flatMap(v =>
+          FleetManifest.snapshotAt(fs, dirPath, v).toSeq)
+        val keptFiles = keptSnaps.flatMap(_.files).toSet
+        val candidates = expiredSnaps.flatMap(_.files)
           .distinct.filterNot(keptFiles)
+        // deletion-vector files GC exactly like data files: a vector
+        // referenced only by expired snapshots goes with them (a
+        // retained snapshot's binding — even to a retired file's old
+        // vector — keeps serving VERSION AS OF)
+        val keptDvs = keptSnaps.flatMap(_.dvs.values).toSet
+        val dvCandidates = expiredSnaps.flatMap(_.dvs.values)
+          .distinct.filterNot(keptDvs)
         expired.foreach { v =>
           fs.delete(FleetManifest.versionFilePath(dirPath, v), false)
         }
-        val deleted = candidates.filter { n =>
+        val deleted = (candidates ++ dvCandidates).filter { n =>
           fs.delete(new Path(dirPath, n), false)
         }
         ExpireResult(expired, deleted)

@@ -121,8 +121,13 @@ object FleetMV {
         s"view stamp $v0 expired at the source — too-aggressive " +
           "retention (expireVersions) outran refresh; rebuild with " +
           "create()")
-    val (added, removed) = FleetCDC.fileDiff(s, srcDir, v0, v1)
-    val rawDelta = FleetCDC.changesOf(s, srcDir, added, removed)
+    val d = FleetCDC.diff(s, srcDir, v0, v1)
+    // vector-aware delta: a merge-on-read DELETE in the span (file
+    // retained, vector grown) folds in as exactly its newly-vectored
+    // rows — the O(changed rows) contract survives MOR sources
+    val rawDelta = FleetCDC.changesOf(s, srcDir, d.added, d.removed,
+      d.dvFrom, d.dvTo, d.dvGrown)
+    val changedFiles = d.added.size + d.removed.size + d.dvGrown.size
     val sign = when(col(FleetCDC.ChangeTypeCol) === "insert", lit(1L))
       .otherwise(lit(-1L))
     // deltaAgg: signed cnt/sum plus PER-SIDE extrema (the insert side
@@ -241,6 +246,6 @@ object FleetMV {
       extPersisted.foreach(_.unpersist())
       deltaAgg.unpersist()
     }
-    RefreshResult(v0, v1, added.size + removed.size, recomputed)
+    RefreshResult(v0, v1, changedFiles, recomputed)
   }
 }

@@ -129,11 +129,27 @@ object FleetMerge {
     val untouched = extentFiles.map(_.getPath.toString).filterNot(hit) ++
       emptyFiles.map(_.getPath.toString)
 
+    // the explicit-path load bypasses manifest vector resolution, so
+    // the current snapshot's deletion-vector bindings ride the dvSpec
+    // option — a COW rewrite of a vectored file must NOT resurrect
+    // its deleted rows into the post-image
+    val dvSpecs: Map[String, DvPartSpec] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      FleetManifest.current(fs, p).map(_.dvs).getOrElse(Map.empty)
+        .map { case (n, rel) =>
+          n -> DvPartSpec(new org.apache.hadoop.fs.Path(p, rel).toString)
+        }
+    }
     val touchedBase =
       if (touched.isEmpty) s.createDataFrame(
         new java.util.ArrayList[Row](), schema)
-      else s.read.format("graft-avro").schema(schema)
-        .load(touched.mkString(","))
+      else {
+        val r = s.read.format("graft-avro").schema(schema)
+        (if (dvSpecs.isEmpty) r
+         else r.option("dvSpec", AvroFleetTable.renderDvSpec(dvSpecs)))
+          .load(touched.mkString(","))
+      }
     val merged = applyMerge(touchedBase)
     require(merged.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
       s"merge result schema ${merged.schema.fieldNames.toSeq} must match " +

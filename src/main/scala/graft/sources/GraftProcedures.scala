@@ -239,16 +239,32 @@ private[sources] object GraftProcedures {
       // stray must predate any plausibly-running job. The referenced
       // set spans EVERY retained version (time travel keeps serving).
       val cutoff = System.currentTimeMillis() - graceMs
-      val referenced = FleetManifest.withCommitLock(fs, p) {
-        FleetManifest.versions(fs, p).flatMap(v =>
-          FleetManifest.snapshotAt(fs, p, v).toSeq.flatMap(_.files)).toSet
-      }
-      val deleted = AvroFleetCommits.dataFileStatuses(fs, p).count { st =>
+      val (referenced, referencedDvs) =
+        FleetManifest.withCommitLock(fs, p) {
+          val snaps = FleetManifest.versions(fs, p).flatMap(v =>
+            FleetManifest.snapshotAt(fs, p, v).toSeq)
+          (snaps.flatMap(_.files).toSet,
+            snaps.flatMap(_.dvs.values).toSet)
+        }
+      val dataDeleted = AvroFleetCommits.dataFileStatuses(fs, p).count { st =>
         val n = st.getPath.getName
         !referenced(n) && st.getModificationTime < cutoff &&
           fs.delete(st.getPath, false)
       }
-      result(out, new GenericInternalRow(Array[Any](deleted)))
+      // deletion-vector strays: written inside a delta commit that
+      // then crashed/conflicted before its manifest commit — never
+      // reader-visible, same grace guard
+      val dvDir = new Path(p, FleetDv.DirName)
+      val dvDeleted =
+        if (!fs.exists(dvDir)) 0
+        else fs.listStatus(dvDir).count { st =>
+          val rel = s"${FleetDv.DirName}/${st.getPath.getName}"
+          st.isFile && !referencedDvs(rel) &&
+            st.getModificationTime < cutoff &&
+            fs.delete(st.getPath, false)
+        }
+      result(out,
+        new GenericInternalRow(Array[Any](dataDeleted + dvDeleted)))
     }
   }
 

@@ -1,0 +1,320 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read SQL row-level operations (spark.graft.rowLevelMode =
+  * merge-on-read): DELETE/UPDATE/MERGE land as deletion vectors +
+  * appended post-images — data files stay byte-identical, cost tracks
+  * the changed rows, history time-travels, and the copy-on-write path
+  * composes (a COW rewrite of a vectored file must not resurrect its
+  * deleted rows). */
+class MorRowLevelSpec extends SparkSpec {
+
+  private def freshFleet(tag: String)
+      : (String, org.apache.spark.sql.SparkSession) = {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir(s"mor_$tag")
+    graft.util.Tables.customer(spark, sfDir)
+      .select($"c_custkey", $"c_name", round($"c_acctbal", 4).as("c_acctbal"))
+      .repartitionByRange(6, $"c_custkey")
+      .write.format("graft-avro").mode("overwrite").save(s"$root/cust.avro")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    (root, s2)
+  }
+
+  private def dataSnapshot(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".avro"))
+      .map(st => st.getPath.getName ->
+        (st.getModificationTime, st.getLen)).toMap
+  }
+
+  private def manifest(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FleetManifest.current(fs, p).get
+  }
+
+  test("MOR DELETE: zero data files touched, vector bound, history travels") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("del")
+    val fleet = s"$root/cust.avro"
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    val before = dataSnapshot(fleet)
+    val v1 = manifest(fleet).version
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 17 = 3")
+    val after = dataSnapshot(fleet)
+    assert(after == before,
+      "merge-on-read DELETE must not touch, add, or remove data files")
+    val snap = manifest(fleet)
+    assert(snap.dvs.nonEmpty, "expected at least one vector binding")
+    val remaining = s2.sql("SELECT c_custkey FROM graft.cust")
+      .as[Long].collect().toSet
+    assert(remaining.forall(_ % 17 != 3))
+    assert(spark.read.format("graft-avro").option("versionAsOf", v1)
+      .load(fleet).count() == total, "pre-delete version must read full")
+    assert(remaining.size.toLong ==
+      total - spark.read.format("graft-avro").option("versionAsOf", v1)
+        .load(fleet).filter($"c_custkey" % 17 === 3).count())
+  }
+
+  test("second MOR DELETE merges into the existing vector") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("merge_dv")
+    val fleet = s"$root/cust.avro"
+    val before = dataSnapshot(fleet)
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey = 5")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey = 6")
+    assert(dataSnapshot(fleet) == before)
+    val got = s2.sql("SELECT c_custkey FROM graft.cust").as[Long]
+      .collect().toSet
+    assert(!got.contains(5L) && !got.contains(6L))
+    // both deletes landed in ONE binding per file (merged, not stacked)
+    val snap = manifest(fleet)
+    assert(snap.dvs.size == 1, s"expected one merged binding: ${snap.dvs}")
+  }
+
+  test("MOR UPDATE: pre-image vectored, post-image appended, no rewrite") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("upd")
+    val fleet = s"$root/cust.avro"
+    val before = dataSnapshot(fleet)
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal + 1000.0, 4)
+        |WHERE c_custkey <= 5""".stripMargin)
+    val after = dataSnapshot(fleet)
+    // originals untouched; exactly the appended post-image file is new
+    before.foreach { case (name, sig) =>
+      assert(after.get(name).contains(sig), s"$name was rewritten") }
+    assert(after.size > before.size, "expected an appended post-image file")
+    val updated = s2.sql(
+      "SELECT c_acctbal FROM graft.cust WHERE c_custkey = 1").collect()
+    assert(updated.length == 1, "pre-image must be hidden by the vector")
+    val base = spark.read.format("graft-avro")
+      .option("versionAsOf", 1).load(fleet)
+      .filter($"c_custkey" === 1).select($"c_acctbal")
+      .as[Double].head()
+    assert(math.abs(updated.head.getDouble(0) - (base + 1000.0)) < 1e-6)
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head() ==
+      before.size.toLong * 0 + spark.read.format("graft-avro")
+        .option("versionAsOf", 1).load(fleet).count())
+  }
+
+  test("MOR MERGE: matched update + unmatched insert through the delta path") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("mrg")
+    val fleet = s"$root/cust.avro"
+    val before = dataSnapshot(fleet)
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    locally {
+      import s2.implicits._
+      Seq((1L, "upd", 111.0), (900001L, "new", 222.0))
+        .toDF("k", "name", "bal").createOrReplaceTempView("feed")
+    }
+    s2.sql(
+      """MERGE INTO graft.cust t USING feed s ON t.c_custkey = s.k
+        |WHEN MATCHED THEN UPDATE SET c_acctbal = s.bal
+        |WHEN NOT MATCHED THEN
+        |  INSERT (c_custkey, c_name, c_acctbal) VALUES (s.k, s.name, s.bal)
+        |""".stripMargin)
+    before.foreach { case (name, sig) =>
+      assert(dataSnapshot(fleet).get(name).contains(sig),
+        s"$name was rewritten") }
+    val out = s2.sql(
+      "SELECT c_custkey, c_acctbal FROM graft.cust " +
+        "WHERE c_custkey IN (1, 900001) ORDER BY c_custkey")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.toSeq == Seq(1L -> 111.0, 900001L -> 222.0))
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head() ==
+      total + 1)
+  }
+
+  test("match-nothing MOR DELETE leaves fleet and manifest untouched") {
+    val (root, s2) = freshFleet("noop")
+    val fleet = s"$root/cust.avro"
+    val v = manifest(fleet).version
+    val before = dataSnapshot(fleet)
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey = -42")
+    assert(dataSnapshot(fleet) == before)
+    assert(manifest(fleet).version == v,
+      "a no-op delete must not commit a generation")
+  }
+
+  test("COW rewrite of a vectored file does not resurrect deleted rows") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("cowmix")
+    val fleet = s"$root/cust.avro"
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey = 2")
+    // same file now rewritten by a COPY-ON-WRITE update (mode flipped):
+    // the ReplaceData read resolves the vector, so survivors exclude
+    // row 2 and the swap retires file + binding together
+    s2.conf.set("spark.graft.rowLevelMode", "copy-on-write")
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal + 7.0, 4)
+        |WHERE c_custkey = 3""".stripMargin)
+    val got = s2.sql("SELECT c_custkey FROM graft.cust").as[Long]
+      .collect().toSet
+    assert(!got.contains(2L), "COW rewrite resurrected a vectored delete")
+    val snap = manifest(fleet)
+    assert(snap.dvs.isEmpty,
+      s"rewritten file kept a stale vector binding: ${snap.dvs}")
+  }
+
+  test("change feed carries MOR deletes: batch, keyed, and streamed") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("cdc")
+    val fleet = s"$root/cust.avro"
+    val v0 = manifest(fleet).version
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 31 = 7")
+    val v1 = manifest(fleet).version
+    assert(manifest(fleet).files.toSet ==
+      graft.sources.FleetManifest.snapshotFor(
+        new org.apache.hadoop.fs.Path(fleet).getFileSystem(
+          spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(fleet), Some(v0)).get.files.toSet,
+      "a MOR delete must not change the file set")
+    val expected = spark.read.format("graft-avro")
+      .option("versionAsOf", v0).load(fleet)
+      .filter($"c_custkey" % 31 === 7)
+      .select($"c_custkey").as[Long].collect().toSet
+    assert(expected.nonEmpty)
+    // batch feed: exactly the newly-vectored rows, as deletes
+    val feed = graft.sources.FleetCDC.changes(spark, fleet, v0, v1)
+    assert(feed.filter(col("_change_type") =!= "delete").count() == 0)
+    assert(feed.select($"c_custkey").as[Long].collect().toSet == expected)
+    // keyed feed reconciles to the same deletes (no survivors leak)
+    val keyed = graft.sources.FleetCDC.changesKeyed(spark, fleet, v0, v1,
+      Seq("c_custkey"))
+    assert(keyed.filter(col("_change_type") =!= "delete").count() == 0)
+    assert(keyed.select($"c_custkey").as[Long].collect().toSet == expected)
+    // streamed feed: AvailableNow from the pre-delete version
+    val ckpt = graft.util.Scratch.dir("mor_cdc_ckpt")
+    val q = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v0)
+      .load(fleet)
+      .writeStream.format("memory").queryName("mor_cdc")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql(
+      "SELECT c_custkey, _change_type FROM mor_cdc").collect()
+    assert(streamed.forall(_.getString(1) == "delete"))
+    assert(streamed.map(_.getLong(0)).toSet == expected)
+  }
+
+  test("plain readStream applies the binding current at batch planning") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("stream")
+    val fleet = s"$root/cust.avro"
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 23 = 11")
+    val live = s2.sql("SELECT c_custkey FROM graft.cust").as[Long]
+      .collect().toSet
+    val ckpt = graft.util.Scratch.dir("mor_stream_ckpt")
+    val q = spark.readStream.format("graft-avro").load(fleet)
+      .writeStream.format("memory").queryName("mor_plain_stream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+    val streamed = spark.sql("SELECT c_custkey FROM mor_plain_stream")
+      .as[Long].collect().toSet
+    assert(streamed == live,
+      "the plain stream must hide rows vectored before admission")
+  }
+
+  test("incremental MV folds a MOR delete as its vectored rows") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("mv")
+    val fleet = s"$root/cust.avro"
+    val view = s"$root/view.avro"
+    graft.sources.FleetMV.create(spark, fleet, view,
+      keys = Seq("c_name"), sumCols = Seq("c_acctbal"),
+      minMaxCols = Seq("c_acctbal"))
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 7 = 2")
+    val r = graft.sources.FleetMV.refresh(spark, fleet, view,
+      keys = Seq("c_name"), sumCols = Seq("c_acctbal"),
+      minMaxCols = Seq("c_acctbal"))
+    assert(r.changedFiles > 0, "the vector growth must count as change")
+    val got = spark.read.format("graft-avro").load(view)
+      .select($"c_name", $"cnt", round($"sum_c_acctbal", 2).as("s"),
+        $"min_c_acctbal", $"max_c_acctbal")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val want = spark.read.format("graft-avro").load(fleet)
+      .groupBy($"c_name")
+      .agg(count(lit(1)).as("cnt"), round(sum($"c_acctbal"), 2).as("s"),
+        min($"c_acctbal").as("mn"), max($"c_acctbal").as("mx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got == want, "MV drifted from a cold recompute after MOR delete")
+  }
+
+  test("rewrite_files materializes vectors; retention then GCs them") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("compact")
+    val fleet = s"$root/cust.avro"
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 11 = 4")
+    val live = s2.sql("SELECT c_custkey FROM graft.cust").as[Long]
+      .collect().toSet
+    assert(manifest(fleet).dvs.nonEmpty)
+    s2.sql("CALL graft.system.rewrite_files('cust', 67108864, '')")
+    val snap = manifest(fleet)
+    assert(snap.dvs.isEmpty, "compaction must materialize vectors")
+    assert(s2.sql("SELECT c_custkey FROM graft.cust").as[Long]
+      .collect().toSet == live)
+    // vectors survive for VERSION AS OF until retention reclaims them
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val dvDir = new org.apache.hadoop.fs.Path(p, "_dv")
+    assert(fs.exists(dvDir) && fs.listStatus(dvDir).nonEmpty)
+    graft.sources.FleetCompact.expireVersions(spark, fleet, keepLast = 1)
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
+      "expired snapshots' vectors must GC with them")
+    assert(s2.sql("SELECT c_custkey FROM graft.cust").as[Long]
+      .collect().toSet == live)
+  }
+
+  test("mergeCow over a vectored fleet does not resurrect deleted rows") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("cowmerge")
+    val fleet = s"$root/cust.avro"
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey = 9")
+    // a FleetMerge upsert touching row 9's file must carry the vector
+    val feed = Seq((10L, 777.0)).toDF("c_custkey", "bal")
+    graft.sources.FleetMerge.mergeCow(spark, fleet, "c_custkey",
+      feed.select($"c_custkey"),
+      base => base.alias("b").join(feed.alias("f"),
+          Seq("c_custkey"), "left")
+        .select($"c_custkey", $"b.c_name".as("c_name"),
+          coalesce($"f.bal", $"b.c_acctbal").as("c_acctbal")))
+    val got = spark.read.format("graft-avro").load(fleet)
+    assert(got.filter($"c_custkey" === 9).count() == 0,
+      "mergeCow resurrected a vectored delete")
+    assert(got.filter($"c_custkey" === 10)
+      .select($"c_acctbal").as[Double].head() == 777.0)
+  }
+
+  test("extent-decidable DELETE stays metadata-only in MOR mode") {
+    val (root, s2) = freshFleet("meta")
+    val fleet = s"$root/cust.avro"
+    val before = dataSnapshot(fleet)
+    // range-partitioned staging: a whole leading key range is some
+    // file's full extent → pure file drop, no vector needed
+    val maxKey = s2.sql("SELECT max(c_custkey) FROM graft.cust")
+      .collect().head.getLong(0)
+    s2.sql(s"DELETE FROM graft.cust WHERE c_custkey > $maxKey - 1000000")
+    val snap = manifest(fleet)
+    assert(snap.dvs.isEmpty,
+      "an all-rows-match delete must drop files, not write vectors")
+    assert(snap.files.size < before.size)
+  }
+}

@@ -199,6 +199,7 @@ class ScaleSpec extends SparkSpec {
       "q_crud_merge_fleet" -> "writes + COW-merges a scratch fleet (the rewrite IS the operator)",
       "q_sql_delete_fleet" -> "stages a fleet + runs SQL DELETE (the rewrite IS the operator)",
       "q_sql_delete_fleet_meta" -> "stages a fleet + runs metadata-only DELETE (the manifest commit IS the operator)",
+      "q_sql_delete_fleet_mor" -> "stages a fleet + merge-on-read DELETE/UPDATE (the deletion-vector commit IS the operator)",
       "q_sql_restore" -> "stages a fleet + DELETE + CALL restore (the rollback commit IS the operator)",
       "q_fleet_changes" -> "stages a fleet + DELETE + UPDATE (the manifest-diff feed IS the operator)",
       "q_fleet_changes_keyed" -> "stages a fleet + DELETE + UPDATE (the keyed net-change feed IS the operator)",
@@ -223,7 +224,11 @@ class ScaleSpec extends SparkSpec {
       "q_stream_fleet_source" -> "runs a streaming query (the fleet source IS the operator)",
       "q_stream_fleet_sink_native" -> "runs a streaming query (the native sink IS the operator)",
       // MLlib fit() is an action by contract
-      "q_dedup_minhash" -> "MinHashLSH.fit", "q_sim_knn_lsh" -> "BRP-LSH fit")
+      "q_dedup_minhash" -> "MinHashLSH.fit", "q_sim_knn_lsh" -> "BRP-LSH fit",
+      // learn-once artifact: a COLD corpus fingerprint triggers the
+      // bounded BPE learn loop + artifact write at construction; warm
+      // invocations plan job-free
+      "q_text_bpe_encode" -> "BPE vocabulary artifact learn (once per corpus)")
     // `spark.read.parquet` itself runs a small footer/schema-inference
     // job per call in Spark 4 — that is source LOADING (bounded, one
     // task, no data scan), not a plan-build data peek; anything else
