@@ -64,6 +64,18 @@ private[sources] class AvroFleetDeltaOperation(schema: StructType,
     extends RowLevelOperation
     with org.apache.spark.sql.connector.write.SupportsDelta {
 
+  // the row identity binds to the METADATA columns; a DATA column of
+  // the same name would shadow them (Spark's conflict rule) and the
+  // "positions" would be arbitrary data values — deleting wrong rows
+  require(!schema.fieldNames.exists(n =>
+    n == AvroFleetTable.FileMetaCol || n == AvroFleetTable.SyncMetaCol ||
+      n == AvroFleetTable.RidxMetaCol),
+    s"merge-on-read row-level operations need the ${AvroFleetTable
+      .FileMetaCol}/${AvroFleetTable.SyncMetaCol}/${AvroFleetTable
+      .RidxMetaCol} metadata columns as the row identity, but the fleet " +
+      s"schema shadows one of them (${schema.fieldNames.mkString(", ")})" +
+      " — use copy-on-write mode for this table")
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String = s"graft-avro mor-$cmd `$path`"

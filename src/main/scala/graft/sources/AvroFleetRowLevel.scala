@@ -59,6 +59,13 @@ private[sources] class AvroFleetRowLevelOperation(schema: StructType,
     * plans (fully pruned) replaces nothing. */
   @volatile private[sources] var replacedFiles: Seq[String] = Nil
 
+  /** The deletion-vector bindings (absence included) the scan READ
+    * the replaced files under — compare-and-set at the replace
+    * commit, so a merge-on-read delete landing mid-command conflicts
+    * loudly instead of resurrecting its rows in the post-image. */
+  @volatile private[sources] var replacedDvs
+      : Map[String, Option[String]] = Map.empty
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String = s"graft-avro $cmd `$path`"
@@ -90,7 +97,7 @@ private[sources] class AvroFleetRowLevelOperation(schema: StructType,
             .digest(info.queryId().getBytes("UTF-8"))
             .take(4).map(b => f"$b%02x").mkString
           new AvroFleetReplaceBatchWrite(schemaJson, info.schema(), path,
-            jobTag, () => replacedFiles)
+            jobTag, () => replacedFiles, () => replacedDvs)
         }
       }
     }
@@ -129,6 +136,7 @@ private[sources] class AvroFleetRowLevelScanBuilder(fullSchema: StructType,
       evolve = evolve,
       groupFilterOnly = true,
       onPlanned = files => op.replacedFiles = files,
+      onPlannedDvs = dvs => op.replacedDvs = dvs,
       aliases = aliases)
 }
 
@@ -147,12 +155,17 @@ private[sources] class AvroFleetRowLevelScanBuilder(fullSchema: StructType,
   * job's files, leaving the previous generation complete. */
 private[sources] class AvroFleetReplaceBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String,
-    replaced: () => Seq[String])
+    replaced: () => Seq[String],
+    replacedDvs: () => Map[String, Option[String]] =
+      () => Map.empty)
     extends AvroFleetBatchWrite(schemaJson, schema, dir, jobTag,
       truncate = false) {
 
   override protected def manifestRemoveNames: Set[String] =
     replaced().map(p => new org.apache.hadoop.fs.Path(p).getName).toSet
+
+  override protected def manifestRequireDvs
+      : Map[String, Option[String]] = replacedDvs()
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()

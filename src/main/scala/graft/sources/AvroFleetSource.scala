@@ -414,6 +414,35 @@ private[sources] object AvroFleetTable {
       }
     }.getOrElse(Map.empty)
 
+  /** `option("manifestRequireDvs", json)` — the deletion-vector
+    * bindings a copy-on-write job READ its inputs under, as a JSON
+    * object `{"part-x.avro": "<relative dv name>" | null}` (null =
+    * read unbound). The job's manifest commit compare-and-sets each
+    * entry; a concurrent merge-on-read delete conflicts loudly. */
+  def parseRequireDvs(json: String): Map[String, Option[String]] =
+    Option(json).filter(_.nonEmpty).map { j =>
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(j) match {
+        case o: JObject => o.obj.map {
+          case (name, JString(v)) => name -> Option(v)
+          case (name, JNull) => name -> None
+          case (name, other) => throw new IllegalArgumentException(
+            s"manifestRequireDvs[$name] must be a string or null: $other")
+        }.toMap
+        case other => throw new IllegalArgumentException(
+          s"manifestRequireDvs must be a JSON object: $other")
+      }
+    }.getOrElse(Map.empty)
+
+  def renderRequireDvs(m: Map[String, Option[String]]): String = {
+    import org.json4s._
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(JObject(
+        m.toList.sortBy(_._1).map { case (n, v) =>
+          n -> (v.map(JString(_): JValue).getOrElse(JNull): JValue)
+        })))
+  }
+
   /** The inverse spelling for callers building the option. */
   def renderDvSpec(specs: Map[String, DvPartSpec]): String = {
     import org.json4s._
@@ -595,8 +624,10 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
               s"manifestProps must be a JSON object of strings: $other")
           }
         }.getOrElse(Map.empty[String, String])
+      val requireDvs = AvroFleetTable.parseRequireDvs(
+        info.options.get("manifestRequireDvs"))
       new AvroFleetBatchWrite(schemaJson, info.schema(), dir, jobTag,
-        truncateFleet, clusterIdx, codec, swapRemove, props)
+        truncateFleet, clusterIdx, codec, swapRemove, props, requireDvs)
     }
   }
 }
@@ -605,7 +636,8 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String, truncate: Boolean,
     clusterIdx: Option[Int] = None, codec: String = "",
     swapRemoveNames: Set[String] = Set.empty,
-    manifestProps: Map[String, String] = Map.empty)
+    manifestProps: Map[String, String] = Map.empty,
+    requireDvsOpt: Map[String, Option[String]] = Map.empty)
     extends BatchWrite {
 
   /** File NAMES the manifest commit atomically swaps out as this job's
@@ -614,6 +646,12 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     * commit time); the plain path carries the caller's
     * `manifestSwapRemove` option ([[FleetMerge]]). */
   protected def manifestRemoveNames: Set[String] = swapRemoveNames
+
+  /** Deletion-vector bindings this job READ its replaced inputs under
+    * (the `manifestRequireDvs` option / the row-level scan's planned
+    * bindings) — compare-and-set at commit. */
+  protected def manifestRequireDvs: Map[String, Option[String]] =
+    requireDvsOpt
 
   private def fs(conf: org.apache.hadoop.conf.Configuration) =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
@@ -659,7 +697,8 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
       },
       removeNames = manifestRemoveNames,
       reset = truncate,
-      props = manifestProps)
+      props = manifestProps,
+      requireDvs = manifestRequireDvs)
   }
 
   // roll back exactly THIS job's files (tag-matched finals + temps);
@@ -962,7 +1001,8 @@ private[sources] object AvroFleetCommits {
       between: () => Unit = () => (),
       removeNames: Set[String] = Set.empty,
       reset: Boolean = false,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty,
+      requireDvs: Map[String, Option[String]] = Map.empty): Unit = {
     val stats = messages.collect {
       case AvroFleetCommitMessage(parts) =>
         parts.collect { case (file, Some(ps)) =>
@@ -993,7 +1033,13 @@ private[sources] object AvroFleetCommits {
         else base.filterNot(removeNames) ++ added,
       bootstrap = rawDataFiles(f, p),
       props = props,
-      requireInBase = if (reset) Set.empty else removeNames)
+      requireInBase = if (reset) Set.empty else removeNames,
+      // deletion-vector compare-and-set: a copy-on-write rewrite
+      // states the bindings it READ its inputs under (absence
+      // included) — a merge-on-read delete landing mid-job would
+      // otherwise vanish with the swapped-out file while its rows
+      // resurrect in the post-image
+      requireDvs = requireDvs)
     f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 
@@ -1416,6 +1462,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     clusterBy: Option[String] = None,
     groupFilterOnly: Boolean = false,
     onPlanned: Seq[String] => Unit = null,
+    onPlannedDvs: Map[String, Option[String]] => Unit = null,
     clusterAuto: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
     offsetInlineLimit: Int = 1000,
@@ -1485,15 +1532,38 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     FleetStats.forFleet(fs, fleet)
   }
 
+  // ONE manifest read per directory part serves BOTH the reader
+  // instructions (dvByPath) and the commit-time compare-and-set
+  // report (dvRelByName): deriving them from separate reads would
+  // let a merge-on-read delete land in between — the tasks would
+  // read under the old binding while the CAS validates the new one,
+  // and the swap would silently drop the delete
+  private lazy val dvSnapshot
+      : Seq[(org.apache.hadoop.fs.Path, Map[String, String])] =
+    Avro.splitGlobs(path).toSeq.flatMap { g =>
+      val gp = new org.apache.hadoop.fs.Path(g)
+      val gfs = gp.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      Option(gfs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isDirectory).map { d =>
+          gfs.makeQualified(d.getPath) ->
+            FleetManifest.snapshotFor(gfs, d.getPath, versionAsOf)
+              .map(_.dvs).getOrElse(Map.empty)
+        }
+    }
+
   // deletion-vector instructions per full data path: the resolved
   // snapshot's bindings (exclude mode) plus any caller-passed
   // `dvSpec` entries (keyed by file NAME — the change-feed reads
   // address explicit files whose vectors the CURRENT manifest no
   // longer names); empty on vector-less fleets, costing nothing
   private lazy val dvByPath: Map[String, DvPartSpec] = {
-    val fromManifest = FleetDv
-      .forPath(SparkSession.active, path, versionAsOf)
-      .map { case (f, dvp) => f -> DvPartSpec(dvp) }
+    val fromManifest = dvSnapshot.flatMap { case (d, dvs) =>
+      dvs.map { case (n, rel) =>
+        new org.apache.hadoop.fs.Path(d, n).toString ->
+          DvPartSpec(new org.apache.hadoop.fs.Path(d, rel).toString)
+      }
+    }.toMap
     if (dvSpecs.isEmpty) fromManifest
     else fromManifest ++ fleet.flatMap { st =>
       dvSpecs.get(st.getPath.getName).map(st.getPath.toString -> _)
@@ -1515,6 +1585,14 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
 
   private lazy val anyDeltaOnly: Boolean =
     dvByPath.valuesIterator.exists(_.deltaOnly)
+
+  // the resolved snapshot's RAW bindings (file name → relative vector
+  // name) — what a copy-on-write rewrite must compare-and-set against
+  // at commit so a mid-job merge-on-read delete conflicts instead of
+  // silently resurrecting (reported through onPlannedDvs; derived
+  // from the SAME snapshot read as dvByPath)
+  private lazy val dvRelByName: Map[String, String] =
+    dvSnapshot.flatMap(_._2.toSeq).toMap
 
   /** Planning-time data skipping: when filters were pushed, every part
     * file whose recorded min/max/null profile PROVES a pushed conjunct
@@ -1794,6 +1872,9 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
         // the paired write deletes on commit; report them here, the
         // one point where the final selection is known
         if (onPlanned != null) onPlanned(files.map(_.getPath.toString))
+        if (onPlannedDvs != null) onPlannedDvs(files.map(st =>
+          st.getPath.getName ->
+            dvRelByName.get(st.getPath.getName)).toMap)
         AvroFleetScan.planSplits(files, maxFileBytes, dvByPath)
     }
 

@@ -133,13 +133,14 @@ object FleetMerge {
     // the current snapshot's deletion-vector bindings ride the dvSpec
     // option — a COW rewrite of a vectored file must NOT resurrect
     // its deleted rows into the post-image
-    val dvSpecs: Map[String, DvPartSpec] = {
+    val dvRel: Map[String, String] = {
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       FleetManifest.current(fs, p).map(_.dvs).getOrElse(Map.empty)
-        .map { case (n, rel) =>
-          n -> DvPartSpec(new org.apache.hadoop.fs.Path(p, rel).toString)
-        }
+    }
+    val dvSpecs: Map[String, DvPartSpec] = dvRel.map { case (n, rel) =>
+      n -> DvPartSpec(new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir), rel).toString)
     }
     val touchedBase =
       if (touched.isEmpty) s.createDataFrame(
@@ -167,8 +168,14 @@ object FleetMerge {
     // a still-listed version whose files are gone
     val touchedNames = touched
       .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    // compare-and-set the bindings the rewrite READ (absence
+    // included): a merge-on-read delete landing on a touched file
+    // mid-merge must conflict, not resurrect via the stale post-image
+    val requireDvs = AvroFleetTable.renderRequireDvs(
+      touchedNames.map(n => n -> dvRel.get(n)).toMap)
     merged.write.format("graft-avro").mode("append")
       .option("manifestSwapRemove", touchedNames.mkString(","))
+      .option("manifestRequireDvs", requireDvs)
       .save(dir)
     val written = fs.listStatus(dirPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".avro") &&

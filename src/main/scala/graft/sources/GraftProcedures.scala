@@ -204,12 +204,23 @@ private[sources] object GraftProcedures {
       FleetManifest.versions(fs, p).headOption.getOrElse(
         throw new IllegalArgumentException(
           s"restore: fleet '$table' has no manifest history"))
+      // the restored generation must reproduce v's VISIBLE state:
+      // files AND deletion-vector bindings. An explicit dvUpdate entry
+      // for every restored file (Some = v's binding, None = clear)
+      // overrides inheritance completely — without it the commit
+      // would inherit the CURRENT bindings and a post-v vector would
+      // keep hiding rows that were visible at v.
+      val target = FleetManifest.snapshotAt(fs, p, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"restore: no manifest version $v at $dir (available: " +
+            s"${FleetManifest.versions(fs, p).mkString(", ")})"))
       val committed = FleetManifest.commit(fs, p,
         update = { _ =>
           FleetManifest.resolve(fs, p, Some(v))
-          FleetManifest.snapshotAt(fs, p, v).get.files
+          target.files
         },
-        bootstrap = Seq.empty)
+        bootstrap = Seq.empty,
+        dvUpdate = target.files.map(f => f -> target.dvs.get(f)).toMap)
       result(out, new GenericInternalRow(Array[Any](
         v, committed.version, committed.files.size)))
     }
@@ -310,8 +321,15 @@ private[sources] object GraftProcedures {
         else if (keepLayout) df.repartition(shards, col(clusterBy))
         else df.repartitionByRange(shards, col(clusterBy))
           .sortWithinPartitions(clusterBy)
+      // compare-and-set the vector bindings the rewrite read under —
+      // a merge-on-read delete landing mid-compaction must conflict,
+      // not silently vanish with the swapped-out files
+      val dvAtRead = FleetManifest.current(fs, p)
+        .map(_.dvs).getOrElse(Map.empty)
       val w = shaped.write.format("graft-avro").mode("append")
         .option("manifestSwapRemove", names.mkString(","))
+        .option("manifestRequireDvs", AvroFleetTable.renderRequireDvs(
+          names.map(n => n -> dvAtRead.get(n)).toMap))
       (if (keepLayout) w.option("clusterBy", clusterBy) else w).save(dir)
       val committed = FleetManifest.current(fs, p).getOrElse(
         throw new IllegalStateException(

@@ -303,6 +303,61 @@ class MorRowLevelSpec extends SparkSpec {
       .select($"c_acctbal").as[Double].head() == 777.0)
   }
 
+  test("restore reproduces a version's vector bindings, both directions") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("restore")
+    val fleet = s"$root/cust.avro"
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    val vClean = manifest(fleet).version
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 19 = 3")
+    val vDeleted = manifest(fleet).version
+    val liveAfterDelete = s2.sql("SELECT count(*) FROM graft.cust")
+      .as[Long].head()
+    assert(liveAfterDelete < total)
+    // restore to the PRE-delete version: the vectored rows come back
+    s2.sql(s"CALL graft.system.restore('cust', $vClean)")
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+      == total, "restore must clear the post-version vector binding")
+    assert(manifest(fleet).dvs.isEmpty)
+    // and back FORWARD to the deleted version: the vector re-binds
+    s2.sql(s"CALL graft.system.restore('cust', $vDeleted)")
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+      == liveAfterDelete, "restore must reproduce the version's binding")
+    assert(manifest(fleet).dvs.nonEmpty)
+  }
+
+  test("a COW swap CASes the vector bindings it read: stale binding conflicts") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("cas")
+    val fleet = s"$root/cust.avro"
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val victim = manifest(fleet).files.head
+    // a "rewrite" planned when the file was UNBOUND...
+    val staleRequire = s"""{"$victim": null}"""
+    // ...loses a race to a merge-on-read delete on that file
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 2 = 0")
+    assert(manifest(fleet).dvs.nonEmpty)
+    val boundNow = manifest(fleet).dvs.keySet
+    val raceFile =
+      if (boundNow(victim)) victim else boundNow.head
+    val e = intercept[Exception] {
+      spark.read.format("graft-avro").load(fleet).limit(1)
+        .write.format("graft-avro").mode("append")
+        .option("manifestSwapRemove", raceFile)
+        .option("manifestRequireDvs", s"""{"$raceFile": null}""")
+        .save(fleet)
+    }
+    def conflict(t: Throwable): Boolean =
+      t != null && (t.isInstanceOf[
+        graft.sources.FleetCommitConflictException] ||
+        conflict(t.getCause))
+    assert(conflict(e), s"expected a vector-binding conflict, got $e")
+    // the failed swap left the fleet intact: the delete still holds
+    assert(spark.read.format("graft-avro").load(fleet)
+      .filter($"c_custkey" % 2 === 0).count() == 0)
+  }
+
   test("extent-decidable DELETE stays metadata-only in MOR mode") {
     val (root, s2) = freshFleet("meta")
     val fleet = s"$root/cust.avro"
