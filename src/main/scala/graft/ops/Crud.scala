@@ -379,6 +379,26 @@ object Crud {
         |ORDER BY cur.c_custkey""".stripMargin)
   }
 
+  /** §1.1 TAGS — time travel BY NAME: `CALL graft.system.create_tag`
+    * pins the pre-mutation generation as `'baseline'`, a DELETE and a
+    * retention pass (`expire_versions(keep_last=1)`) then try to
+    * outrun it — and can't: tagged versions are pinned past keepLast,
+    * so `VERSION AS OF 'baseline'` still reads the full pre-delete
+    * fleet. This is the reproducible-training-snapshot primitive at
+    * 100 TB ("run 14 trained on exactly tag corpus-v3"): the pin is a
+    * NAME a retention policy respects, not a raw version number it
+    * may GC. Oracle: the original (pre-delete) relation. */
+  def qSqlTimeTravelTag(s: SparkSession, dir: String): DataFrame = {
+    val s2 = stagedFleetSession(s, dir, "timetravel_tag")
+    s2.sql("CALL graft.system.create_tag('cust', 'baseline', 1)")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 3 = 1")
+    s2.sql("CALL graft.system.expire_versions('cust', 1)")
+    s2.sql(
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM graft.cust VERSION AS OF 'baseline'
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** §1.1 SNAPSHOT RETENTION — the GC that completes the manifest
     * story: a COW merge with `retainOld` leaves the pre-merge
     * generation readable, then `FleetCompact.expireVersions` keeps
@@ -661,6 +681,7 @@ object Crud {
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
     "q_sql_merge_fleet" -> qSqlMergeFleet _,
     "q_sql_timetravel" -> qSqlTimeTravel _,
+    "q_sql_timetravel_tag" -> qSqlTimeTravelTag _,
     "q_fleet_expire" -> qFleetExpire _,
     "q_cdc_scd2" -> qCdcScd2 _
   )
@@ -828,6 +849,10 @@ object Crud {
         |ORDER BY c_custkey""".stripMargin,
     // time travel: v1 = the staged (r4-rounded) fleet, current = the
     // post-UPDATE generation — one row per key carrying both
+    "q_sql_timetravel_tag" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
     "q_sql_timetravel" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS bal_v1,
         |  CASE WHEN c_custkey < 100

@@ -107,9 +107,15 @@ object FleetCompact {
     // leave a CURRENT version whose files this pass just unlinked)
     FleetManifest.withCommitLock(fs, dirPath) {
       val vs = FleetManifest.versions(fs, dirPath)
+      // TAGGED versions are pinned: retention keeps them (and their
+      // files/vectors) regardless of keepLast — a named ref must stay
+      // readable until dropped
+      val tagged = FleetManifest.tags(fs, dirPath).map(_._2).toSet
       if (vs.size <= keepLast) ExpireResult(Seq.empty, Seq.empty)
       else {
-        val (expired, kept) = vs.splitAt(vs.size - keepLast)
+        val (expirable, keptTail) = vs.splitAt(vs.size - keepLast)
+        val (pinned, expired) = expirable.partition(tagged)
+        val kept = pinned ++ keptTail
         val keptSnaps = kept.flatMap(v =>
           FleetManifest.snapshotAt(fs, dirPath, v).toSeq)
         val expiredSnaps = expired.flatMap(v =>

@@ -174,6 +174,78 @@ private[graft] object FleetManifest {
     case None => current(fs, dir)
   }
 
+  // ---- TAGS: named immutable refs to committed versions -----------
+  //
+  // `_manifest/tags/<name>.json` → {"version": N}. A tag pins a
+  // generation BY NAME — "train run 14 read exactly tag corpus-v3" —
+  // and [[FleetCompact.expireVersions]] retains tagged versions (and
+  // their files/vectors) regardless of keepLast, so the pin survives
+  // routine retention until the tag is dropped. Creation is
+  // atomic-if-absent (tags are immutable; re-pointing = drop +
+  // create) and runs under the commit lock so a concurrent retention
+  // pass cannot expire the target version between validation and the
+  // tag landing.
+
+  private def tagsDir(dir: Path) = new Path(mdir(dir), "tags")
+
+  private def tagPath(dir: Path, name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+    new Path(tagsDir(dir), s"$name.json")
+  }
+
+  def createTag(fs: FileSystem, dir: Path, name: String,
+      version: Long): Unit = withCommitLock(fs, dir) {
+    val p = tagPath(dir, name)
+    require(snapshotAt(fs, dir, version).isDefined,
+      s"create_tag: no manifest version $version at $dir (available: " +
+        s"${versions(fs, dir).mkString(", ")})")
+    fs.mkdirs(tagsDir(dir))
+    val out =
+      try fs.create(p, false)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.io.IOException if fs.exists(p) =>
+        throw new IllegalArgumentException(
+          s"tag '$name' already exists at $dir (tags are immutable — " +
+            "drop_tag first to re-point)")
+      }
+    try out.write(JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JInt(version)))).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def dropTag(fs: FileSystem, dir: Path, name: String): Boolean =
+    fs.delete(tagPath(dir, name), false)
+
+  def tagVersion(fs: FileSystem, dir: Path, name: String): Option[Long] = {
+    val p = tagPath(dir, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      JsonMethods.parse(text) \ "version" match {
+        case JInt(v) => Some(v.toLong)
+        case other => throw new java.io.IOException(
+          s"malformed tag $p: version = $other")
+      }
+    }
+  }
+
+  /** All tags at `dir`, (name, version), name-sorted. */
+  def tags(fs: FileSystem, dir: Path): Seq[(String, Long)] = {
+    val d = tagsDir(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val name = st.getPath.getName.stripSuffix(".json")
+        name -> tagVersion(fs, dir, name).getOrElse(
+          throw new java.io.IOException(s"tag $name vanished mid-list"))
+      }.sortBy(_._1)
+  }
+
   /** The current (highest-version) snapshot, or None for a
     * manifest-less fleet. */
   def current(fs: FileSystem, dir: Path): Option[Snapshot] =

@@ -114,17 +114,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table =
     loadAt(ident, versionAsOf = None)
 
-  /** SQL time travel — `SELECT ... FROM graft.x VERSION AS OF 3`:
-    * resolves the fleet's [[FleetManifest]] generation 3 (readable for
-    * as long as its files survive
-    * [[FleetCompact.expireVersions]]). Versions are the manifest
-    * commit sequence; only transactionally-committed fleets have
-    * them. */
+  /** SQL time travel — `SELECT ... FROM graft.x VERSION AS OF 3` or
+    * `VERSION AS OF 'tagname'`: a number resolves the fleet's
+    * [[FleetManifest]] generation directly; anything else resolves as
+    * a TAG (a named immutable ref `CALL graft.system.create_tag`
+    * pinned — retention retains tagged versions, so the name stays
+    * readable until the tag is dropped). */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, versionAsOf = Some(version.toLongOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"graft VERSION AS OF takes a manifest version number, " +
-          s"got '$version'"))))
+    loadAt(ident, versionAsOf = Some(version.toLongOption.getOrElse {
+      require(ident.namespace().isEmpty,
+        "VERSION AS OF applies to avro fleets only")
+      val dir = hPath(avroDir(ident.name()))
+      FleetManifest.tagVersion(fs, dir, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft VERSION AS OF: '$version' is neither a manifest " +
+            s"version number nor a tag of '${ident.name()}' (tags: " +
+            s"${FleetManifest.tags(fs, dir).map(_._1).mkString(", ")})"))
+    }))
 
   /** SQL `TIMESTAMP AS OF` — binds the timestamp (Spark hands it in
     * MICROSECONDS) to the newest manifest generation committed at or

@@ -62,7 +62,7 @@ private[sources] object GraftProcedures {
 
   val Namespace = "system"
   private val names = Seq("snapshots", "expire_versions", "restore",
-    "rewrite_files", "remove_orphans")
+    "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -81,6 +81,9 @@ private[sources] object GraftProcedures {
       case "restore" => new Restore(dirFor)
       case "rewrite_files" => new RewriteFiles(dirFor)
       case "remove_orphans" => new RemoveOrphans(dirFor)
+      case "create_tag" => new CreateTag(dirFor)
+      case "drop_tag" => new DropTag(dirFor)
+      case "tags" => new Tags(dirFor)
       case other => throw new UnsupportedOperationException(
         s"no such graft procedure '$other' " +
           s"(available: ${names.mkString(", ")})")
@@ -223,6 +226,67 @@ private[sources] object GraftProcedures {
         dvUpdate = target.files.map(f => f -> target.dvs.get(f)).toMap)
       result(out, new GenericInternalRow(Array[Any](
         v, committed.version, committed.files.size)))
+    }
+  }
+
+  /** `CALL graft.system.create_tag('events', 'corpus-v3', 12)` — pin
+    * generation 12 by NAME: `VERSION AS OF 'corpus-v3'` reads it, and
+    * retention ([[FleetCompact.expireVersions]]) keeps it (files and
+    * vectors) until the tag drops. The reproducible-training-snapshot
+    * primitive: a run records the tag, not a raw number a retention
+    * policy may outlive. */
+  private final class CreateTag(dirFor: String => String)
+      extends Base("create_tag") {
+    override def description: String =
+      "pin a manifest version under an immutable name"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("tag", StringType),
+        param("version", LongType))
+    private val out = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val tag = input.getUTF8String(1).toString
+      val v = input.getLong(2)
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      FleetManifest.createTag(fs, p, tag, v)
+      result(out, new GenericInternalRow(Array[Any](str(tag), v)))
+    }
+  }
+
+  private final class DropTag(dirFor: String => String)
+      extends Base("drop_tag") {
+    override def description: String =
+      "drop a tag; its version falls back under normal retention"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("tag", StringType))
+    private val out = StructType(Seq(
+      StructField("dropped", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val tag = input.getUTF8String(1).toString
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      result(out, new GenericInternalRow(Array[Any](
+        FleetManifest.dropTag(fs, p, tag))))
+    }
+  }
+
+  private final class Tags(dirFor: String => String)
+      extends Base("tags") {
+    override def description: String = "list a fleet's tags"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      result(out, FleetManifest.tags(fs, p).map { case (n, v) =>
+        new GenericInternalRow(Array[Any](str(n), v))
+      }: _*)
     }
   }
 

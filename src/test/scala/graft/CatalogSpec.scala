@@ -577,7 +577,45 @@ class CatalogSpec extends SparkSpec {
     val listed = s2.sql("SHOW PROCEDURES IN graft.system")
       .collect().map(_.toString).mkString("\n")
     Seq("snapshots", "restore", "expire_versions", "rewrite_files",
-      "remove_orphans").foreach(pr =>
+      "remove_orphans", "create_tag", "drop_tag", "tags").foreach(pr =>
         assert(listed.contains(pr), s"$pr missing from:\n$listed"))
+  }
+
+  test("tags pin versions past retention; VERSION AS OF resolves names") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cat_tags")
+    spark.range(40).select($"id", ($"id" * 2).as("v"))
+      .repartition(2)
+      .write.format("graft-avro").mode("overwrite").save(s"$root/t.avro")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.sql("CALL graft.system.create_tag('t', 'gold', 1)")
+    // immutable: re-pointing needs drop first
+    intercept[Exception] {
+      s2.sql("CALL graft.system.create_tag('t', 'gold', 1)") }
+    // a dangling target fails loudly
+    intercept[Exception] {
+      s2.sql("CALL graft.system.create_tag('t', 'nope', 99)") }
+    s2.sql("DELETE FROM graft.t WHERE id < 30")          // v2 (COW)
+    s2.sql("CALL graft.system.expire_versions('t', 1)")  // keeps v2 + tagged v1
+    assert(s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 'gold'")
+      .as[Long].head() == 40,
+      "the tagged generation must survive retention")
+    assert(s2.sql("SELECT count(*) FROM graft.t").as[Long].head() == 10)
+    val tags = s2.sql("CALL graft.system.tags('t')").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(tags == Seq("gold" -> 1L))
+    // an unknown name names the available tags
+    val e = intercept[Exception] {
+      s2.sql("SELECT * FROM graft.t VERSION AS OF 'silver'").collect() }
+    assert(e.getMessage.contains("silver") || (e.getCause != null &&
+      e.getCause.getMessage.contains("silver")))
+    // dropped tag → the version falls under normal retention
+    s2.sql("CALL graft.system.drop_tag('t', 'gold')")
+    s2.sql("CALL graft.system.expire_versions('t', 1)")
+    intercept[Exception] {
+      s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 1").as[Long]
+        .head() }
   }
 }

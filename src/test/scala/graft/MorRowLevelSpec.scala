@@ -358,6 +358,38 @@ class MorRowLevelSpec extends SparkSpec {
       .filter($"c_custkey" % 2 === 0).count() == 0)
   }
 
+  test("concurrent MOR deletes: every thread's deletes land, none lost") {
+    import spark.implicits._
+    val (root, _) = freshFleet("race")
+    val fleet = s"$root/cust.avro"
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    // 8 writers, disjoint residues — all target the SAME files, so
+    // their vector merges genuinely contend on the read-merge-commit
+    // path (in-JVM the stripe lock serializes; the CAS is the
+    // cross-process guard)
+    val residues = 0 until 8
+    val threads = residues.map { r =>
+      new Thread(() => {
+        val sx = spark.newSession()
+        sx.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        sx.conf.set("spark.sql.catalog.graft.root", root)
+        sx.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+        sx.sql(s"DELETE FROM graft.cust WHERE c_custkey % 16 = $r")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val left = spark.read.format("graft-avro").load(fleet)
+      .select($"c_custkey").as[Long].collect()
+    assert(left.forall(k => k % 16 >= 8),
+      s"lost concurrent deletes: ${left.filter(_ % 16 < 8).take(5).toSeq}")
+    val expected = spark.read.format("graft-avro")
+      .option("versionAsOf", 1).load(fleet)
+      .filter($"c_custkey" % 16 >= 8).count()
+    assert(left.length.toLong == expected)
+    assert(total > expected)
+  }
+
   test("extent-decidable DELETE stays metadata-only in MOR mode") {
     val (root, s2) = freshFleet("meta")
     val fleet = s"$root/cust.avro"

@@ -211,6 +211,7 @@ class ScaleSpec extends SparkSpec {
       "q_sql_merge_fleet" -> "stages a fleet + runs SQL MERGE (the rewrite IS the operator)",
       "q_sql_timetravel" -> "stages a fleet + runs SQL UPDATE (the versioned rewrite IS the operator)",
       "q_sql_timetravel_ts" -> "stages a fleet + runs SQL UPDATE (the timestamp-bound read IS the operator)",
+      "q_sql_timetravel_tag" -> "stages a fleet + tag + DELETE + retention (the name-pinned read IS the operator)",
       "q_fleet_expire" -> "stages a fleet + COW merge + snapshot GC (the retention pass IS the operator)",
       "q_layout_zorder" -> "writes the z-ordered scratch copy (the rewrite IS the operator)",
       // the replays run a real streaming query to completion
