@@ -1114,6 +1114,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   private var required: StructType = fullSchema
   private var limit: Option[Int] = None
   private var countStars: Int = 0
+  private var dvCountAdjust: Long = 0L
   private var topN: Option[(Seq[TopNOrder], Int)] = None
 
   // does the resolved snapshot (or a caller-passed dvSpec) bind any
@@ -1215,13 +1216,33 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     // generations, so aggregates stay with Spark over the row path —
     // which already null-fills and widens per file
     if (evolve) return false
-    // a DELETION VECTOR makes every metadata tier stale: sidecar
+    // DELETION VECTORS make the metadata tiers stale: sidecar
     // min/max/null counts and block-header counts include deleted
-    // rows. Aggregates stay with Spark over the row path — which
-    // skips vectored positions per task — until compaction
-    // (rewrite_files) materializes the vectors and restores the fast
-    // paths. One manifest read, only on fleets that COULD push.
-    if (fleetHasDvs) return false
+    // rows. The ONE aggregate whose staleness is exactly correctable
+    // is the unfiltered, ungrouped COUNT(*): raw count − total
+    // vectored positions (each a distinct existing row), so it keeps
+    // the block-header tier plus a constant correction partial
+    // (CountAdjustPartition) — `SELECT count(*)` stays O(headers) on
+    // a vectored fleet. Everything else stays with Spark's row path
+    // (which skips vectored positions per task) until compaction
+    // materializes the vectors. One manifest read, only on fleets
+    // that COULD push.
+    if (fleetHasDvs) {
+      import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+      val allCounts = agg.groupByExpressions.isEmpty &&
+        pushed.isEmpty &&
+        agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+      if (!allCounts) return false
+      val s = SparkSession.active
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sessionState.newHadoopConf())
+      dvCountAdjust = FleetDv.forPath(s, path, versionAsOf)
+        .valuesIterator.map(dvp =>
+          FleetDv.readPath(fs, new org.apache.hadoop.fs.Path(dvp)).count)
+        .sum
+      countStars = agg.aggregateExpressions.length
+      return true
+    }
 
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -1318,7 +1339,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       new AvroFleetMetaAggScan(fullSchema, path, specs, entries)
     case _ if countStars > 0 =>
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars,
-        versionAsOf = versionAsOf)
+        versionAsOf = versionAsOf, dvAdjust = dvCountAdjust)
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
         pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto,
@@ -1922,7 +1943,8 @@ private[sources] object AvroFleetScan {
   * `fleet.count()` costs one header walk per split at any fleet size. */
 private[sources] class AvroFleetCountScan(tableSchema: StructType,
     path: String, maxFileBytes: Long, countStars: Int,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    dvAdjust: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
 
   // one LongType partial per pushed COUNT(*) (names are free — Spark
@@ -1947,8 +1969,16 @@ private[sources] class AvroFleetCountScan(tableSchema: StructType,
       java.util.OptionalLong.of(math.max(1, fleet.size).toLong)
   }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    AvroFleetScan.planSplits(fleet, maxFileBytes)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val splits = AvroFleetScan.planSplits(fleet, maxFileBytes)
+    // deletion-vector correction: block headers count RAW rows, so a
+    // vectored fleet contributes one constant partial of −(total
+    // vectored positions) — count(*) stays a header walk (plus one
+    // tiny JSON read per vectored file at plan time) instead of
+    // falling back to a full decode
+    if (dvAdjust == 0L) splits
+    else splits :+ (CountAdjustPartition(-dvAdjust): InputPartition)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
@@ -1957,11 +1987,27 @@ private[sources] class AvroFleetCountScan(tableSchema: StructType,
   }
 }
 
+/** One constant COUNT partial (the vectored-rows correction). */
+private[sources] case class CountAdjustPartition(value: Long)
+    extends InputPartition
+
 private[sources] class AvroFleetCountReaderFactory(
     tableSchema: StructType, countStars: Int,
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      case CountAdjustPartition(v) =>
+        return new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean =
+            if (done) false else { done = true; true }
+          override def get(): InternalRow =
+            new GenericInternalRow(Array.fill[Any](countStars)(v))
+          override def close(): Unit = ()
+        }
+      case _ => ()
+    }
     val part = p.asInstanceOf[AvroFilePartition]
     new PartitionReader[InternalRow] {
       private var done = false

@@ -114,6 +114,30 @@ class FleetDvSpec extends SparkSpec {
       "retired file kept its vector binding")
   }
 
+  test("count(*) keeps the header fast path on a vectored fleet, corrected") {
+    import spark.implicits._
+    val dir = bigFleet("count")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    val dvName = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(1L, 2L, 3L).map(full)))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvName)))
+    val cnt = spark.read.format("graft-avro").load(dir)
+      .groupBy().count()
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+      s"count(*) lost the pushed fast path on a vectored fleet:\n$plan")
+    assert(cnt.as[Long].head() == 20000 - 3)
+    // anything beyond COUNT(*) stays with the row path (stale sidecars)
+    val mx = spark.read.format("graft-avro").load(dir)
+      .groupBy().agg(max($"id"))
+    assert(!mx.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "min/max must not push on a vectored fleet")
+  }
+
   test("concurrent vector swap on one file: one winner, one loud conflict") {
     val dir = bigFleet("cas")
     val (fs, p) = fsOf(dir)
