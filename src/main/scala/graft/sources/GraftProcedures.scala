@@ -138,6 +138,7 @@ private[sources] object GraftProcedures {
     private val out = StructType(Seq(
       StructField("version", LongType, nullable = false),
       StructField("files", IntegerType, nullable = false),
+      StructField("deletion_vectors", IntegerType, nullable = false),
       StructField("is_current", BooleanType, nullable = false),
       StructField("props", StringType, nullable = true)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -147,6 +148,7 @@ private[sources] object GraftProcedures {
       val rows = vs.map { v =>
         val snap = FleetManifest.snapshotAt(fs, p, v)
         val files = snap.map(_.files.size).getOrElse(0)
+        val dvs = snap.map(_.dvs.size).getOrElse(0)
         // commit metadata surfaces as a compact JSON column (null
         // when the generation carried none) — e.g. FleetMV's
         // mv.sourceVersion stamp is auditable straight from SQL
@@ -158,7 +160,7 @@ private[sources] object GraftProcedures {
                   k -> (org.json4s.JString(vv): org.json4s.JValue)
               }))))
         }.orNull
-        new GenericInternalRow(Array[Any](v, files,
+        new GenericInternalRow(Array[Any](v, files, dvs,
           vs.lastOption.contains(v), props)): InternalRow
       }
       result(out, rows: _*)

@@ -360,8 +360,8 @@ class CatalogSpec extends SparkSpec {
     // DELETE's rewrite is v3
     val snaps = s2.sql("CALL graft.system.snapshots('ev')").collect()
     assert(snaps.length == 3, s"expected 3 generations, got ${snaps.toSeq}")
-    assert(snaps.count(_.getBoolean(2)) == 1 &&
-      snaps.find(_.getBoolean(2)).get.getLong(0) == 3L)
+    assert(snaps.count(_.getAs[Boolean]("is_current")) == 1 &&
+      snaps.find(_.getAs[Boolean]("is_current")).get.getLong(0) == 3L)
     val r = s2.sql("CALL graft.system.restore('ev', 2)").head
     assert(r.getLong(0) == 2L && r.getLong(1) == 4L,
       s"restore summary: $r")
