@@ -138,6 +138,63 @@ class FleetDvSpec extends SparkSpec {
       "min/max must not push on a vectored fleet")
   }
 
+  test("a vectored clustered fleet still SPJ-joins exchange-free, rows hidden") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("dv_spj")
+    def writeSide(name: String, mul: Long): String = {
+      val dir = s"$root/$name.avro"
+      spark.range(64)
+        .select(($"id" % 4).as("shard"), ($"id" * mul).as(s"v_$name"))
+        .repartition(4, $"shard")
+        .write.format("graft-avro").option("clusterBy", "shard")
+        .mode("overwrite").save(dir)
+      dir
+    }
+    val a = writeSide("a", 1L)
+    val b = writeSide("b", 10L)
+    // vector two rows of one of a's shard files
+    val (fs, p) = fsOf(a)
+    val pos = spark.read.format("graft-avro").load(a)
+      .select($"v_a", $"_sync", $"_ridx", col("_file")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        new org.apache.hadoop.fs.Path(r.getString(3)).getName)).toMap
+    val victims = Seq(0L, 8L).map(pos)
+    victims.groupBy(_._3).foreach { case (fn, vs) =>
+      val dv = graft.sources.FleetDv.write(fs, p, fn,
+        graft.sources.FleetDv.Deleted.of(vs.map(v => (v._1, v._2))))
+      graft.sources.FleetManifest.commit(fs, p, identity, Nil,
+        dvUpdate = Map(fn -> Some(dv)))
+    }
+    val joined = spark.read.format("graft-avro")
+      .option("clusterBy", "shard").load(a)
+      .join(spark.read.format("graft-avro")
+        .option("clusterBy", "shard").load(b).hint("merge"),
+        Seq("shard"))
+    val rows = joined.collect()
+    // the deleted v_a values are gone; everything else joined
+    assert(!rows.exists(r => r.getAs[Long]("v_a") == 0L &&
+      r.getAs[Long]("v_a") + r.getAs[Long]("v_b") == 0L))
+    assert(rows.length == (64 - 2) * 16,
+      s"expected (64-2) rows x 16 per shard, got ${rows.length}")
+    // still ZERO exchanges: vectors do not break the one-key-per-file
+    // proof (deletions only shrink a file's key set)
+    def exchanges(pl: org.apache.spark.sql.execution.SparkPlan): Int =
+      (pl match {
+        case ad: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => exchanges(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          exchanges(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          exchanges(r.child)
+        case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => 1 + e.children.map(exchanges).sum
+        case other => other.children.map(exchanges).sum
+      })
+    assert(exchanges(joined.queryExecution.executedPlan) == 0,
+      s"vectored SPJ must stay exchange-free:\n" +
+        joined.queryExecution.executedPlan)
+  }
+
   test("concurrent vector swap on one file: one winner, one loud conflict") {
     val dir = bigFleet("cas")
     val (fs, p) = fsOf(dir)
