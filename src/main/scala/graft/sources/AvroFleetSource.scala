@@ -173,7 +173,20 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         Option(options.get("offsetInlineLimit")).map(_.toInt)
           .getOrElse(1000),
       versionAsOf =
-        Option(options.get("versionAsOf")).map(_.toLong).orElse(versionAsOf),
+        // a number is a manifest version; anything else resolves as a
+        // TAG — the same spelling rule as SQL `VERSION AS OF`
+        Option(options.get("versionAsOf")).map { v =>
+          v.toLongOption.getOrElse {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val pfs = p.getFileSystem(
+              SparkSession.active.sessionState.newHadoopConf())
+            FleetManifest.tagVersion(pfs, p, v).getOrElse(
+              throw new IllegalArgumentException(
+                s"versionAsOf: '$v' is neither a manifest version " +
+                  s"number nor a tag at $path (tags: ${FleetManifest
+                    .tags(pfs, p).map(_._1).mkString(", ")})"))
+          }
+        }.orElse(versionAsOf),
       maxFileAgeMs = Option(options.get("maxFileAge"))
         .map(AvroFleetTable.parseDurationMs),
       ignoreMissingFiles = Option(options.get("ignoreMissingFiles"))

@@ -611,6 +611,14 @@ class CatalogSpec extends SparkSpec {
       s2.sql("SELECT * FROM graft.t VERSION AS OF 'silver'").collect() }
     assert(e.getMessage.contains("silver") || (e.getCause != null &&
       e.getCause.getMessage.contains("silver")))
+    // the DataFrame path resolves tags with the same spelling rule
+    assert(spark.read.format("graft-avro")
+      .option("versionAsOf", "gold").load(s"$root/t.avro")
+      .count() == 40)
+    intercept[Exception] {
+      spark.read.format("graft-avro")
+        .option("versionAsOf", "no_such_tag").load(s"$root/t.avro")
+        .count() }
     // dropped tag → the version falls under normal retention
     s2.sql("CALL graft.system.drop_tag('t', 'gold')")
     s2.sql("CALL graft.system.expire_versions('t', 1)")
