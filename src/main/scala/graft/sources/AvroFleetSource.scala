@@ -174,17 +174,43 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
           .getOrElse(1000),
       versionAsOf =
         // a number is a manifest version; anything else resolves as a
-        // TAG — the same spelling rule as SQL `VERSION AS OF`
+        // TAG — the same spelling rule as SQL `VERSION AS OF`. A tag
+        // resolves against the MATCHED fleet directory, not the raw
+        // load string (a glob spelling that matches one directory
+        // still finds its tag); a multi-directory load cannot carry
+        // one tag spelling — the same name may pin DIFFERENT version
+        // numbers per fleet and a single resolved number would
+        // silently misread the others — so it fails with the explicit
+        // remedy instead (r16 ADVICE).
         Option(options.get("versionAsOf")).map { v =>
           v.toLongOption.getOrElse {
-            val p = new org.apache.hadoop.fs.Path(path)
-            val pfs = p.getFileSystem(
-              SparkSession.active.sessionState.newHadoopConf())
-            FleetManifest.tagVersion(pfs, p, v).getOrElse(
-              throw new IllegalArgumentException(
-                s"versionAsOf: '$v' is neither a manifest version " +
-                  s"number nor a tag at $path (tags: ${FleetManifest
-                    .tags(pfs, p).map(_._1).mkString(", ")})"))
+            val conf = SparkSession.active.sessionState.newHadoopConf()
+            val dirs = Avro.splitGlobs(path).toSeq.flatMap { g =>
+              val gp = new org.apache.hadoop.fs.Path(g)
+              val gfs = gp.getFileSystem(conf)
+              Option(gfs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
+                .filter(_.isDirectory).map(_.getPath)
+            }
+            dirs match {
+              case Seq(d) =>
+                val pfs = d.getFileSystem(conf)
+                FleetManifest.tagVersion(pfs, d, v).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"versionAsOf: '$v' is neither a manifest version " +
+                      s"number nor a tag at $d (tags: ${FleetManifest
+                        .tags(pfs, d).map(_._1).mkString(", ")})"))
+              case Seq() =>
+                throw new IllegalArgumentException(
+                  s"versionAsOf: '$v' is not a version number, and the " +
+                    s"load path matches no fleet directory to resolve " +
+                    s"it as a tag ($path)")
+              case many =>
+                throw new IllegalArgumentException(
+                  s"versionAsOf: tag '$v' cannot address a " +
+                    s"multi-directory load (${many.size} fleets match " +
+                    s"$path) — the same tag may pin different versions " +
+                    "per fleet; load each fleet with its tag separately")
+            }
           }
         }.orElse(versionAsOf),
       maxFileAgeMs = Option(options.get("maxFileAge"))
@@ -1242,6 +1268,14 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     // that COULD push.
     if (fleetHasDvs) {
       import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+      // caller-passed per-file vector instructions (`dvSpec`: the
+      // change-feed image reads, FleetMerge touched loads) address
+      // EXPLICIT file paths the manifest-derived correction below
+      // cannot see — FleetDv.forPath yields nothing for them — and a
+      // deltaOnly spec serves a position DIFFERENCE no constant can
+      // correct. Spec-carrying reads keep the row path, which applies
+      // each spec per task (r16 ADVICE).
+      if (dvSpecs.nonEmpty) return false
       val allCounts = agg.groupByExpressions.isEmpty &&
         pushed.isEmpty &&
         agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
@@ -2328,7 +2362,7 @@ private[graft] case class DvPartSpec(newDv: String,
 /** One byte-range split of one container file. `dv` carries the
   * file's deletion-vector instruction under the resolved snapshot
   * (None = no vector); every split of a file carries the same one. */
-private[sources] case class AvroFilePartition(file: String, start: Long,
+private[graft] case class AvroFilePartition(file: String, start: Long,
     end: Long, dv: Option[DvPartSpec] = None) extends InputPartition
 
 /** One cluster-key group: every split of every file proven to hold

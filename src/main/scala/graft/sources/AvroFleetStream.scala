@@ -73,7 +73,7 @@ import graft.util.SerializableHadoopConf
   * ONCE at query start ([[SupportsTriggerAvailableNow]]) so a bounded
   * replay cannot chase late arrivals.
   */
-private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
+private[graft] class AvroFleetMicroBatchStream(tableSchema: StructType,
     columns: Array[String], path: String, maxFileBytes: Long,
     filters: Array[org.apache.spark.sql.sources.Filter],
     conf: SerializableHadoopConf,
@@ -165,10 +165,32 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
         candidates.take(mf.maxFiles())
       case _ => candidates
     }
+    // PIN each admitted file's deletion-vector binding at admission
+    // (one manifest read per admitting trigger): the batch that reads
+    // the file — now or on a post-restart replay — reads under THIS
+    // binding, so batch contents stay a deterministic function of the
+    // offset range even when a merge-on-read delete grows the vector
+    // between admission and (re)planning (r16 ADVICE). No pin = no
+    // vector at admission = the file reads raw, forever.
+    val admittedPins: Map[String, String] =
+      if (admitted.isEmpty) Map.empty
+      else {
+        val fleetP = new org.apache.hadoop.fs.Path(path)
+        val f = fs
+        val bound = FleetManifest.current(f, fleetP)
+          .map(_.dvs).getOrElse(Map.empty)
+        if (bound.isEmpty) Map.empty
+        else admitted.flatMap { case (ap, _) =>
+          bound.get(new org.apache.hadoop.fs.Path(ap).getName).map(rel =>
+            ap -> f.makeQualified(
+              new org.apache.hadoop.fs.Path(fleetP, rel)).toString)
+        }.toMap
+      }
     maxFileAgeMs match {
       case None =>
         FleetSourceOffset(
-          startOff.entries ++ admitted, None, store)
+          startOff.entries ++ admitted, None, store,
+          startOff.dvs ++ admittedPins)
       case Some(age) =>
         // legacy resume (entries without mtimes): backfill from the
         // live listing so real ages drive eviction; an entry no longer
@@ -199,7 +221,9 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
           if (maxAdmitted == Long.MinValue) wm
           else math.max(wm, maxAdmitted - age)
         val kept = carried.filter(_._2 >= newWm) ++ admitted
-        FleetSourceOffset(kept, Some(newWm), store)
+        val keptPaths = kept.map(_._1).toSet
+        FleetSourceOffset(kept, Some(newWm), store,
+          (startOff.dvs ++ admittedPins).filter(e => keptPaths(e._1)))
     }
   }
 
@@ -233,18 +257,16 @@ private[sources] class AvroFleetMicroBatchStream(tableSchema: StructType,
               "spark.sql.files.ignoreMissingFiles=true")
       }
     }
-    // deletion vectors: a file admitted from a MOR-mutated fleet
-    // reads under the binding CURRENT when its batch plans — rows
-    // vectored after that are not retro-hidden (the append-only
-    // stream contract; the change feed is the mutation-aware read)
-    val fleetP = new org.apache.hadoop.fs.Path(path)
-    val dvs = FleetManifest.current(f, fleetP)
-      .map(_.dvs).getOrElse(Map.empty).map { case (n, rel) =>
-        n -> f.makeQualified(
-          new org.apache.hadoop.fs.Path(fleetP, rel)).toString
-      }
+    // deletion vectors: a file reads under the binding PINNED in its
+    // admission offset — never the currently-bound vector — so
+    // replaying a logged offset range after a driver restart yields
+    // the same rows the original execution did, even when a
+    // merge-on-read delete grew the vector since (exactly-once replay
+    // for recovering sinks; r16 ADVICE). A legacy-checkpoint entry
+    // (admitted before pinning existed) carries no pin and reads raw.
+    val pins = FleetSourceOffset.of(end, store).dvs
     val byPath = statuses.flatMap(st =>
-      dvs.get(st.getPath.getName)
+      pins.get(st.getPath.toString)
         .map(full => st.getPath.toString -> DvPartSpec(full))).toMap
     AvroFleetScan.planSplits(statuses, maxFileBytes, byPath)
   }
@@ -404,6 +426,17 @@ private[sources] class AvroFleetCdcMicroBatchStream(
         s"readChangeFeed: file $n lost its deletion-vector binding " +
           s"while staying in the fleet (v$v0..v$v1) — vector shrink " +
           "is not a committed operation")
+      // mirror FleetCDC.diff's shrink guard: a restore rebinding to an
+      // older, smaller vector would make the deltaOnly read emit
+      // nothing while the resurrected rows never surface (r16 ADVICE)
+      val fromCount = dvFrom.get(n)
+        .map(FleetDv.readCount(f, p, _)).getOrElse(0L)
+      val toCount = FleetDv.readCount(f, p, dvTo(n))
+      require(toCount > fromCount,
+        s"readChangeFeed: file $n rebound from a $fromCount-row " +
+          s"deletion vector to a $toCount-row one (v$v0..v$v1) — a " +
+          "shrunk/rebound vector (restore?) resurrects rows the feed " +
+          "cannot represent; re-seed the consumer from a full scan")
     }
     (side(addedNames, "insert",
       addedNames.flatMap(n => dvTo.get(n)
@@ -719,35 +752,52 @@ private[sources] object FleetWriterLock {
   * limit; beyond it the list lands in a content-addressed manifest
   * file (idempotent: same content → same name) and the logged JSON is
   * a pointer — see the stream scaladoc. Equality/hashCode are on the
-  * RESOLVED (files, watermark) only, so all representations of one
-  * offset compare equal. */
-private[sources] class FleetSourceOffset(
+  * RESOLVED (files, watermark, dvs) only, so all representations of
+  * one offset compare equal.
+  *
+  * `dvs` PINS each admitted file's deletion-vector binding (full
+  * vector path) as of its ADMISSION trigger: batch contents must be a
+  * deterministic function of the offset range — replaying a logged
+  * range after a driver restart must yield the SAME rows even when a
+  * merge-on-read delete grew the file's vector since (r16 ADVICE) —
+  * so the plan reads under the pinned binding, never the current
+  * manifest's. Absence of a pin = the file had no vector when
+  * admitted and reads raw, forever (rows vectored after admission are
+  * not retro-hidden — the append-only contract; the change feed is
+  * the mutation-aware read). */
+private[graft] class FleetSourceOffset(
     val entries: Seq[(String, Long)],
     val watermark: Option[Long] = None,
-    store: Option[FleetSourceOffset.ManifestStore] = None)
+    store: Option[FleetSourceOffset.ManifestStore] = None,
+    val dvs: Map[String, String] = Map.empty)
     extends Offset {
 
   def files: Seq[String] = entries.map(_._1)
 
   override def json(): String = store match {
     case Some(st) if entries.size > st.inlineLimit =>
-      st.write(entries, watermark)
-    case _ => FleetSourceOffset.renderInline(entries, watermark)
+      st.write(entries, watermark, dvs)
+    case _ => FleetSourceOffset.renderInline(entries, watermark, dvs)
   }
 
   override def equals(o: Any): Boolean = o match {
     case f: FleetSourceOffset =>
-      f.files == files && f.watermark == watermark
+      f.files == files && f.watermark == watermark && f.dvs == dvs
     case _ => false
   }
-  override def hashCode(): Int = (files, watermark).hashCode()
+  override def hashCode(): Int = (files, watermark, dvs).hashCode()
 }
 
-private[sources] object FleetSourceOffset {
+private[graft] object FleetSourceOffset {
 
   def apply(entries: Seq[(String, Long)], watermark: Option[Long],
       store: Option[ManifestStore]): FleetSourceOffset =
     new FleetSourceOffset(entries, watermark, store)
+
+  def apply(entries: Seq[(String, Long)], watermark: Option[Long],
+      store: Option[ManifestStore],
+      dvs: Map[String, String]): FleetSourceOffset =
+    new FleetSourceOffset(entries, watermark, store, dvs)
 
   /** Path-only construction (no retention tracking). */
   def apply(files: Seq[String],
@@ -755,27 +805,37 @@ private[sources] object FleetSourceOffset {
     new FleetSourceOffset(files.map(_ -> 0L), None, store)
 
   private[sources] def renderInline(entries: Seq[(String, Long)],
-      watermark: Option[Long]): String = watermark match {
-    case None =>
+      watermark: Option[Long],
+      dvs: Map[String, String] = Map.empty): String =
+    if (watermark.isEmpty && dvs.isEmpty)
       // legacy spelling: a bare path array, byte-compatible with every
       // pre-retention checkpoint
       org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(
           org.json4s.JArray(
             entries.map(e => org.json4s.JString(e._1)).toList)))
-    case Some(w) =>
+    else {
+      val fields = List(
+        "files" -> (org.json4s.JArray(entries.map { case (p, m) =>
+          org.json4s.JArray(List(org.json4s.JString(p),
+            org.json4s.JInt(m)))
+        }.toList): org.json4s.JValue)) ++
+        watermark.map(w =>
+          "watermark" -> (org.json4s.JInt(w): org.json4s.JValue)) ++
+        (if (dvs.isEmpty) Nil
+         else List("dvs" -> (org.json4s.JObject(dvs.toList.sortBy(_._1)
+           .map { case (k, v) =>
+             k -> (org.json4s.JString(v): org.json4s.JValue)
+           }): org.json4s.JValue)))
       org.json4s.jackson.JsonMethods.compact(
-        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
-          "files" -> org.json4s.JArray(entries.map { case (p, m) =>
-            org.json4s.JArray(List(org.json4s.JString(p),
-              org.json4s.JInt(m)))
-          }.toList),
-          "watermark" -> org.json4s.JInt(w))))
-  }
+        org.json4s.jackson.JsonMethods.render(org.json4s.JObject(fields)))
+    }
 
   /** Content-addressed seen-files manifests under the query's own
     * checkpoint directory (they share the checkpoint's lifetime).
-    * Lines are `path` (legacy) or `mtime\tpath` (retention mode). */
+    * Lines are `path` (legacy), `mtime\tpath` (retention mode), or
+    * `mtime\tpath\tdvPath` (a pinned deletion-vector binding; fleet
+    * paths never contain tabs — the committer's naming contract). */
   final class ManifestStore(checkpointLocation: String,
       val inlineLimit: Int,
       hconf: SerializableHadoopConf) {
@@ -785,12 +845,17 @@ private[sources] object FleetSourceOffset {
 
     /** Write (idempotently) and return the pointer JSON. */
     def write(entries: Seq[(String, Long)],
-        watermark: Option[Long]): String = {
-      val body = watermark match {
-        case None => entries.map(_._1).mkString("\n")
-        case Some(_) => entries.map { case (p, m) => s"$m\t$p" }
-          .mkString("\n")
-      }
+        watermark: Option[Long],
+        dvs: Map[String, String] = Map.empty): String = {
+      val body =
+        if (watermark.isEmpty && dvs.isEmpty)
+          entries.map(_._1).mkString("\n")
+        else entries.map { case (p, m) =>
+          dvs.get(p) match {
+            case Some(dv) => s"$m\t$p\t$dv"
+            case None => s"$m\t$p"
+          }
+        }.mkString("\n")
       val tag = java.security.MessageDigest.getInstance("MD5")
         .digest(body.getBytes("UTF-8")).map(b => f"$b%02x").mkString
       val f = mfs
@@ -812,17 +877,25 @@ private[sources] object FleetSourceOffset {
         org.json4s.jackson.JsonMethods.render(org.json4s.JObject(fields)))
     }
 
-    def read(manifestPath: String): Seq[(String, Long)] = {
+    def read(manifestPath: String)
+        : (Seq[(String, Long)], Map[String, String]) = {
       val f = mfs
       val in = f.open(new org.apache.hadoop.fs.Path(manifestPath))
       val body = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
-      if (body.isEmpty) Seq.empty
-      else body.split("\n").toSeq.map { line =>
-        line.indexOf('\t') match {
-          case -1 => line -> 0L
-          case i => line.substring(i + 1) -> line.substring(0, i).toLong
+      if (body.isEmpty) (Seq.empty, Map.empty)
+      else {
+        val dvs = Map.newBuilder[String, String]
+        val entries = body.split("\n").toSeq.map { line =>
+          line.split("\t", -1) match {
+            case Array(p) => p -> 0L
+            case Array(m, p) => p -> m.toLong
+            case Array(m, p, dv) => dvs += (p -> dv); p -> m.toLong
+            case _ => throw new java.io.IOException(
+              s"malformed offset manifest line in $manifestPath: $line")
+          }
         }
+        (entries, dvs.result())
       }
     }
   }
@@ -838,18 +911,25 @@ private[sources] object FleetSourceOffset {
           case org.json4s.JInt(w) => Some(w.toLong)
           case _ => None
         }
+        val inlineDvs: Map[String, String] = (obj \ "dvs") match {
+          case o: org.json4s.JObject => o.obj.collect {
+            case (k, org.json4s.JString(v)) => k -> v
+          }.toMap
+          case _ => Map.empty
+        }
         (obj \ "manifest") match {
           case org.json4s.JString(path) =>
             val st = store.getOrElse(throw new IllegalStateException(
               s"manifest offset without a checkpoint-backed store: $json"))
-            FleetSourceOffset(st.read(path), wm, store)
+            val (entries, dvs) = st.read(path)
+            FleetSourceOffset(entries, wm, store, dvs)
           case _ => (obj \ "files") match {
             case org.json4s.JArray(vs) =>
               val entries = vs.collect {
                 case org.json4s.JArray(List(org.json4s.JString(p),
                     org.json4s.JInt(m))) => p -> m.toLong
               }
-              FleetSourceOffset(entries, wm, store)
+              FleetSourceOffset(entries, wm, store, inlineDvs)
             case _ => throw new IllegalArgumentException(
               s"malformed fleet stream offset: $json")
           }

@@ -78,6 +78,23 @@ object FleetCDC {
           "lost its deletion-vector binding while staying in the " +
           "fleet — vector shrink is not a committed operation and " +
           "the feed cannot represent resurrected rows")
+      // a binding can also SHRINK while staying bound (CALL restore
+      // rebinding to an older, smaller vector): the deltaOnly read
+      // (new minus old) would emit nothing and the RESURRECTED rows
+      // (old minus new) would silently never surface. Vector lineage
+      // only union-GROWS for a retained file, so a non-increasing
+      // count across a changed binding is always a rebind-backwards —
+      // fail as loudly as the unbind case (r16 ADVICE). Two tiny
+      // header reads per grown file, driver-side, O(changed files).
+      val fromCount = fromS.dvs.get(f)
+        .map(FleetDv.readCount(fs, p, _)).getOrElse(0L)
+      val toCount = FleetDv.readCount(fs, p, toS.dvs(f))
+      require(toCount > fromCount,
+        s"change feed at $dir v$fromVersion..v$toVersion: file $f " +
+          s"rebound from a $fromCount-row deletion vector to a " +
+          s"$toCount-row one — a shrunk/rebound vector (restore?) " +
+          "resurrects rows the feed cannot represent; re-seed the " +
+          "consumer from a full scan across this range")
     }
     FleetDiff((to -- from).toSeq.sorted, (from -- to).toSeq.sorted,
       fromS.dvs, toS.dvs, grown)

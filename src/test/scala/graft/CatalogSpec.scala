@@ -626,4 +626,39 @@ class CatalogSpec extends SparkSpec {
       s2.sql("SELECT count(*) FROM graft.t VERSION AS OF 1").as[Long]
         .head() }
   }
+
+  test("versionAsOf tags resolve through a glob; multi-fleet loads reject tags") {
+    import spark.implicits._
+    import graft.sources.FleetManifest
+    val root = graft.util.Scratch.dir("tag_glob")
+    def mk(name: String): String = {
+      val d = s"$root/$name.avro"
+      spark.range(10).select($"id")
+        .repartition(1).write.format("graft-avro")
+        .mode("overwrite").save(d)
+      d
+    }
+    val a = mk("a")
+    val b = mk("b")
+    val fs = new org.apache.hadoop.fs.Path(a)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    FleetManifest.createTag(fs, new org.apache.hadoop.fs.Path(a),
+      "base", 1L)
+    // a GLOB spelling that matches exactly one fleet directory still
+    // resolves the tag — the lookup runs on the matched directory,
+    // not the raw load string (r16 ADVICE)
+    assert(spark.read.format("graft-avro")
+      .option("versionAsOf", "base").load(s"$root/a.*")
+      .count() == 10)
+    // a multi-directory load cannot carry ONE tag spelling (the same
+    // name may pin different versions per fleet) — explicit rejection
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro")
+        .option("versionAsOf", "base").load(s"$a,$b").count()
+    }
+    assert(e.getMessage.contains("multi-directory"), e.getMessage)
+    // numeric versions keep resolving per-directory on multi-path loads
+    assert(spark.read.format("graft-avro")
+      .option("versionAsOf", "1").load(s"$a,$b").count() == 20)
+  }
 }

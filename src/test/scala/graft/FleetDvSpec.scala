@@ -195,6 +195,64 @@ class FleetDvSpec extends SparkSpec {
         joined.queryExecution.executedPlan)
   }
 
+  test("count(*) on a dvSpec read declines pushdown and applies the spec") {
+    import spark.implicits._
+    val dir = bigFleet("dvspec_count")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    val dvName = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(4L, 5L, 6L, 7L).map(full)))
+    // an EXPLICIT-path load carrying a dvSpec option (the change-feed
+    // image-read / FleetMerge touched-load shape) — the manifest-
+    // derived count correction cannot see it, so count(*) must keep
+    // the row path (which applies the spec per task), never the
+    // block-header tier with raw counts (r16 ADVICE)
+    val dvFull = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(p, dvName)).toString
+    val cnt = spark.read.format("graft-avro")
+      .option("dvSpec", s"""{"$dataFile": {"new": "$dvFull"}}""")
+      .load(s"$dir/$dataFile")
+      .groupBy().count()
+    assert(!cnt.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "a dvSpec-carrying read must not push count(*):\n" +
+        cnt.queryExecution.executedPlan)
+    assert(cnt.as[Long].head() == 20000 - 4,
+      "the dvSpec vector must be applied to the counted rows")
+  }
+
+  test("change feed fails loudly when a retained file's vector shrinks") {
+    val dir = bigFleet("shrink")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    val dvSmall = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(1L))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvSmall)))
+    val vSmall = FleetManifest.current(fs, p).get.version
+    val dvBig = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(1L, 2L, 3L).map(full)))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvBig)))
+    val vBig = FleetManifest.current(fs, p).get.version
+    // growth reads fine: exactly the newly-vectored rows
+    assert(graft.sources.FleetCDC
+      .changes(spark, dir, vSmall, vBig).count() == 2)
+    // a restore-style rebind BACKWARDS (big → small binding): the
+    // span resurrects rows the feed cannot represent — loud failure,
+    // not a silent empty delta (r16 ADVICE)
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvSmall)),
+      requireDvs = Map(dataFile -> Some(dvBig)))
+    val vRebound = FleetManifest.current(fs, p).get.version
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.FleetCDC.changes(spark, dir, vBig, vRebound)
+    }
+    assert(e.getMessage.contains("rebound"), e.getMessage)
+  }
+
   test("concurrent vector swap on one file: one winner, one loud conflict") {
     val dir = bigFleet("cas")
     val (fs, p) = fsOf(dir)

@@ -574,4 +574,70 @@ class FleetStreamSpec extends SparkSpec {
         n.split("-")(2) }.toSet
     assert(lineages.size == 2, s"expected two lineage tags: $lineages")
   }
+
+  test("offsets PIN deletion-vector bindings at admission; replay deterministic") {
+    import spark.implicits._
+    import graft.sources.{AvroFleetMicroBatchStream, AvroFilePartition, FleetDv, FleetManifest, FleetSourceOffset}
+    val root = graft.util.Scratch.dir("stream_dv_pin")
+    val dir = s"$root/t.avro"
+    spark.range(500).select($"id", ($"id" % 7).as("k"))
+      .repartition(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val pos = spark.read.format("graft-avro").load(dir)
+      .select($"id", col("_sync"), col("_ridx")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    // a vector bound BEFORE admission: the stream must pin THIS binding
+    val dv1 = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(pos(3L))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dv1)))
+    val schema = spark.read.format("graft-avro").load(dir).schema
+    val hconf = new graft.util.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val stream = new AvroFleetMicroBatchStream(schema, schema.fieldNames,
+      dir, 128L * 1024 * 1024, Array.empty, hconf,
+      checkpointLocation = graft.util.Scratch.dir("stream_dv_pin_ckpt"))
+    val init = stream.initialOffset()
+    val end1 = stream.latestOffset(init,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[FleetSourceOffset]
+    val pinnedPath = fs.makeQualified(
+      new org.apache.hadoop.fs.Path(p, dv1)).toString
+    assert(end1.dvs.values.toSeq == Seq(pinnedPath),
+      s"admission must pin the current binding: ${end1.dvs}")
+    // the vector GROWS after admission (a racing merge-on-read delete)
+    val dv2 = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(3L, 4L).map(pos)))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dv2)),
+      requireDvs = Map(dataFile -> Some(dv1)))
+    // (re)planning the LOGGED range reads under the pinned binding —
+    // batch contents are a deterministic function of the offset range
+    // (exactly-once replay for recovering sinks; r16 ADVICE)
+    val specs = stream.planInputPartitions(init, end1)
+      .collect { case fp: AvroFilePartition => fp.dv }.flatten
+    assert(specs.nonEmpty && specs.forall(_.newDv == pinnedPath),
+      s"replay must plan under the admission-pinned vector: ${specs.toSeq}")
+    // pins survive the offset-log round trip, inline spelling
+    val back = stream.deserializeOffset(end1.json())
+      .asInstanceOf[FleetSourceOffset]
+    assert(back == end1 && back.dvs == end1.dvs)
+    // ... and the compacted manifest-pointer spelling (tiny inline cap)
+    val stream2 = new AvroFleetMicroBatchStream(schema, schema.fieldNames,
+      dir, 128L * 1024 * 1024, Array.empty, hconf,
+      checkpointLocation = graft.util.Scratch.dir("stream_dv_pin_ckpt2"),
+      offsetInlineLimit = 0)
+    val end2 = stream2.latestOffset(stream2.initialOffset(),
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+      .asInstanceOf[FleetSourceOffset]
+    val json2 = end2.json()
+    assert(json2.contains("manifest"), s"expected a pointer offset: $json2")
+    val back2 = stream2.deserializeOffset(json2)
+      .asInstanceOf[FleetSourceOffset]
+    assert(back2 == end2 && back2.dvs == end2.dvs,
+      s"pins must survive manifest compaction: ${back2.dvs} vs ${end2.dvs}")
+  }
 }

@@ -209,7 +209,7 @@ class MorRowLevelSpec extends SparkSpec {
     assert(streamed.map(_.getLong(0)).toSet == expected)
   }
 
-  test("plain readStream applies the binding current at batch planning") {
+  test("plain readStream applies the binding pinned at admission") {
     import spark.implicits._
     val (root, s2) = freshFleet("stream")
     val fleet = s"$root/cust.avro"
