@@ -1285,7 +1285,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         s.sessionState.newHadoopConf())
       dvCountAdjust = FleetDv.forPath(s, path, versionAsOf)
         .valuesIterator.map(dvp =>
-          FleetDv.readPath(fs, new org.apache.hadoop.fs.Path(dvp)).count)
+          FleetDv.countAt(fs, new org.apache.hadoop.fs.Path(dvp)))
         .sum
       countStars = agg.aggregateExpressions.length
       return true
@@ -1638,16 +1638,16 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     }
   }
 
-  // per-file DELETED counts (one tiny JSON read per vectored file,
-  // driver-side) — lets row-count math stay exact under vectors.
-  // Exclude-mode entries only: delta-only splits serve an unknown
-  // subset, so their presence drops count exactness instead
+  // per-file DELETED counts (one tiny header read per vectored file,
+  // driver-side — never positions) — lets row-count math stay exact
+  // under vectors. Exclude-mode entries only: delta-only splits serve
+  // an unknown subset, so their presence drops count exactness instead
   private lazy val dvCounts: Map[String, Long] = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
     dvByPath.collect { case (f, spec) if !spec.deltaOnly =>
-      f -> FleetDv.readPath(fs,
-        new org.apache.hadoop.fs.Path(spec.newDv)).count
+      f -> FleetDv.countAt(fs,
+        new org.apache.hadoop.fs.Path(spec.newDv))
     }
   }
 

@@ -126,10 +126,15 @@ object FleetCompact {
         // deletion-vector files GC exactly like data files: a vector
         // referenced only by expired snapshots goes with them (a
         // retained snapshot's binding — even to a retired file's old
-        // vector — keeps serving VERSION AS OF)
-        val keptDvs = keptSnaps.flatMap(_.dvs.values).toSet
-        val dvCandidates = expiredSnaps.flatMap(_.dvs.values)
-          .distinct.filterNot(keptDvs)
+        // vector — keeps serving VERSION AS OF). References expand
+        // through CHAIN nodes transitively: a kept chain keeps every
+        // parent leaf alive, and an expired chain's parents are only
+        // candidates when nothing kept reaches them either
+        val keptDvs = FleetDv.expandRefs(fs, dirPath,
+          keptSnaps.flatMap(_.dvs.values).toSet)
+        val dvCandidates = FleetDv.expandRefs(fs, dirPath,
+          expiredSnaps.flatMap(_.dvs.values).toSet)
+          .toSeq.filterNot(keptDvs)
         expired.foreach { v =>
           fs.delete(FleetManifest.versionFilePath(dirPath, v), false)
         }

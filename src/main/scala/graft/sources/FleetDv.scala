@@ -32,14 +32,42 @@ import org.json4s.jackson.JsonMethods
   * without reading them). FleetDvSpec pins full-read == split-read
   * position identity.
   *
+  * ON-DISK ENCODINGS (r17) — three spellings, one reader:
+  *
+  *  1. BINARY LEAF (`*.dv.bin`, the writer's format): magic `GDV1`,
+  *     varint total count, varint block count, then per block (sync
+  *     ascending) the sync DELTA from the previous block and the
+  *     ordinals as RUN-LENGTH (gap, length) varint pairs. Dense
+  *     vectors — the regime a large merge-on-read DELETE produces —
+  *     collapse to a couple of bytes per block (a whole consecutive
+  *     run is two varints), 10-100× smaller than the JSON integer
+  *     arrays of r16 (the RoaringBitmap rationale at varint cost);
+  *     sparse vectors pay ~2-4 bytes per position. The count rides
+  *     the header so count-style fast paths read a dozen bytes, never
+  *     positions.
+  *  2. CHAIN NODE (`*.dv.chain.json`): `{file, count, parents: [...]}`
+  *     — a vector defined as the UNION of other vector files. The
+  *     merge-on-read committer binds one when merging eagerly would
+  *     exceed its position budget ([[AvroFleetDeltaBatchWrite]]): the
+  *     driver then writes O(names), positions stay where executors
+  *     put them, and readers union the parents in-task. Parent counts
+  *     are ADDITIVE by construction — a partial vector only holds
+  *     positions its scan saw live, which excludes every position in
+  *     the chain below it — so the header count is exact without
+  *     reading positions. `rewrite_files` compaction materializes
+  *     chains away with the rest of the vector.
+  *  3. LEGACY JSON LEAF (`*.dv.json`, the r16 format): still read;
+  *     never written anew.
+  *
   * Vector files are IMMUTABLE and content-unique (uuid-suffixed): a
-  * delete on an already-vectored file writes a NEW merged vector and
+  * delete on an already-vectored file writes NEW vector files and
   * swaps the binding in one manifest commit with a compare-and-set on
   * the old binding ([[FleetManifest.commit]] `requireDvs`) — two
   * racing merge-on-read deletes on the same file produce one winner
   * and one loud retryable conflict, never a lost delete. Old vectors
   * remain referenced by old snapshots until retention GCs them with
-  * their versions.
+  * their versions; GC reference walks expand chains transitively
+  * ([[expandRefs]]).
   */
 private[graft] object FleetDv {
 
@@ -79,15 +107,161 @@ private[graft] object FleetDv {
 
   private def dvDir(fleet: Path) = new Path(fleet, DirName)
 
-  /** Write a new immutable vector file for `dataFileName`; returns the
+  // ---- binary leaf codec -------------------------------------------
+
+  private val Magic = Array[Byte]('G', 'D', 'V', '1')
+
+  private def writeVarLong(out: java.io.ByteArrayOutputStream,
+      value: Long): Unit = {
+    require(value >= 0, s"deletion-vector varints are non-negative: $value")
+    var v = value
+    while ((v & ~0x7fL) != 0) {
+      out.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    out.write(v.toInt)
+  }
+
+  private final class VarReader(bytes: Array[Byte], var pos: Int) {
+    def readVarLong(): Long = {
+      var shift = 0
+      var result = 0L
+      while (true) {
+        val b = bytes(pos); pos += 1
+        result |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return result
+        shift += 7
+        if (shift > 63) throw new java.io.IOException(
+          "malformed deletion-vector varint")
+      }
+      result
+    }
+  }
+
+  /** The binary-leaf bytes for a position set: per block the ordinals
+    * collapse to run-length (gap, len) varint pairs, so a contiguous
+    * deleted range costs two varints no matter how long. */
+  private[sources] def encode(d: Deleted): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(64)
+    out.write(Magic)
+    writeVarLong(out, d.count)
+    val blocks = d.positions.toSeq.sortBy(_._1)
+    writeVarLong(out, blocks.size.toLong)
+    var prevSync = 0L
+    blocks.foreach { case (sync, ords) =>
+      writeVarLong(out, sync - prevSync)
+      prevSync = sync
+      // maximal consecutive runs over the sorted distinct ordinals
+      var runs = List.empty[(Long, Long)] // (gap from cursor, len)
+      var cursor = 0L
+      var i = 0
+      while (i < ords.length) {
+        val start = ords(i)
+        var j = i + 1
+        while (j < ords.length && ords(j) == ords(j - 1) + 1) j += 1
+        runs = (start - cursor, (j - i).toLong) :: runs
+        cursor = start + (j - i)
+        i = j
+      }
+      val ordered = runs.reverse
+      writeVarLong(out, ordered.size.toLong)
+      ordered.foreach { case (gap, len) =>
+        writeVarLong(out, gap)
+        writeVarLong(out, len)
+      }
+    }
+    out.toByteArray
+  }
+
+  private def decode(bytes: Array[Byte], at: String): Deleted = {
+    if (bytes.length < 4 || !java.util.Arrays.equals(
+        bytes.take(4), Magic))
+      throw new java.io.IOException(
+        s"malformed binary deletion vector $at: bad magic")
+    val r = new VarReader(bytes, 4)
+    val count = r.readVarLong()
+    val nBlocks = r.readVarLong()
+    var prevSync = 0L
+    val m = Map.newBuilder[Long, Array[Long]]
+    var b = 0L
+    while (b < nBlocks) {
+      val sync = prevSync + r.readVarLong()
+      prevSync = sync
+      val nRuns = r.readVarLong()
+      val ords = Array.newBuilder[Long]
+      var cursor = 0L
+      var i = 0L
+      while (i < nRuns) {
+        val start = cursor + r.readVarLong()
+        val len = r.readVarLong()
+        var k = 0L
+        while (k < len) { ords += start + k; k += 1 }
+        cursor = start + len
+        i += 1
+      }
+      m += (sync -> ords.result())
+      b += 1
+    }
+    val d = Deleted(m.result())
+    if (d.count != count) throw new java.io.IOException(
+      s"malformed binary deletion vector $at: header count $count, " +
+        s"decoded ${d.count}")
+    d
+  }
+
+  // ---- write paths -------------------------------------------------
+
+  /** Write a new immutable BINARY leaf for `dataFileName`; returns the
     * vector's name RELATIVE to the fleet directory (the spelling the
-    * manifest `dvs` map stores). Content lands complete before the
-    * name is ever referenced — the referencing manifest commit is the
-    * only publication point, so no torn-read window exists. */
+    * manifest `dvs` map stores). `tag` — when non-empty — is embedded
+    * in the name so a job abort can reap its own partial vectors by
+    * name (the data-file committer's rollback pattern). Content lands
+    * complete before the name is ever referenced — the referencing
+    * manifest commit is the only publication point, so no torn-read
+    * window exists. */
   def write(fs: FileSystem, fleet: Path, dataFileName: String,
-      d: Deleted): String = {
+      d: Deleted, tag: String = ""): String = {
     require(!d.isEmpty, s"refusing to write an empty deletion vector " +
       s"for $dataFileName — clear the binding instead")
+    val mid = if (tag.isEmpty) "" else s"$tag."
+    val name = s"$DirName/$dataFileName.$mid" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.dv.bin"
+    val dest = new Path(fleet, name)
+    fs.mkdirs(dvDir(fleet))
+    val out = fs.create(dest, false)
+    try out.write(encode(d))
+    finally out.close()
+    name
+  }
+
+  /** Write a CHAIN NODE binding `parents` (fleet-relative vector
+    * names, each already complete on disk) as one logical vector.
+    * `count` must be the exact total (parents are disjoint by the
+    * merge-on-read scan construction — see the class doc). O(names)
+    * driver work: no position is ever read or held. */
+  def writeChain(fs: FileSystem, fleet: Path, dataFileName: String,
+      parents: Seq[String], count: Long): String = {
+    require(parents.nonEmpty, "a chain node needs at least one parent")
+    val name = s"$DirName/$dataFileName." +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.dv.chain.json"
+    val dest = new Path(fleet, name)
+    fs.mkdirs(dvDir(fleet))
+    val json = JObject(
+      "file" -> JString(dataFileName),
+      "count" -> JInt(BigInt(count)),
+      "parents" -> JArray(parents.toList.map(JString(_))))
+    val out = fs.create(dest, false)
+    try out.write(JsonMethods.compact(JsonMethods.render(json))
+      .getBytes("UTF-8"))
+    finally out.close()
+    name
+  }
+
+  /** The r16 JSON spelling — kept ONLY so specs can pin that legacy
+    * vectors still read; production writes are binary. */
+  private[graft] def writeLegacyJson(fs: FileSystem, fleet: Path,
+      dataFileName: String, d: Deleted): String = {
+    require(!d.isEmpty, "refusing to write an empty deletion vector")
     val name = s"$DirName/$dataFileName." +
       s"${java.util.UUID.randomUUID().toString.take(8)}.dv.json"
     val dest = new Path(fleet, name)
@@ -107,6 +281,8 @@ private[graft] object FleetDv {
     name
   }
 
+  // ---- read paths --------------------------------------------------
+
   /** Read a vector by its manifest-stored relative name. Read/parse
     * failures PROPAGATE (the [[FleetSchemaMarker]] posture: silently
     * resurrecting deleted rows beats nothing — never the reverse). */
@@ -114,12 +290,46 @@ private[graft] object FleetDv {
     readPath(fs, new Path(fleet, relName))
 
   /** Absolute-path read — what a task does with the full vector path
-    * its [[AvroFilePartition]] carries. */
+    * its [[AvroFilePartition]] carries. Chains resolve recursively
+    * (parents are fleet-relative; the fleet root is two levels above
+    * any vector file by the `_dv/` layout contract). */
   def readPath(fs: FileSystem, p: Path): Deleted = {
+    val name = p.getName
+    if (name.endsWith(".dv.bin")) {
+      val in = fs.open(p)
+      val bytes = try in.readAllBytes() finally in.close()
+      decode(bytes, p.toString)
+    } else if (name.endsWith(".dv.chain.json")) {
+      val fleet = p.getParent.getParent
+      parseChain(readText(fs, p), p.toString)._2
+        .map(rel => read(fs, fleet, rel))
+        .reduce(_ union _)
+    } else readLegacyJson(fs, p)
+  }
+
+  private def readText(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
-    val text = try new String(in.readAllBytes(), "UTF-8")
-      finally in.close()
-    JsonMethods.parse(text) \ "deleted" match {
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** (header count, parents) of a chain node. */
+  private def parseChain(text: String, at: String): (Long, Seq[String]) = {
+    val obj = JsonMethods.parse(text)
+    val count = obj \ "count" match {
+      case JInt(n) => n.toLong
+      case other => throw new java.io.IOException(
+        s"malformed chain vector $at: count = $other")
+    }
+    val parents = obj \ "parents" match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case other => throw new java.io.IOException(
+        s"malformed chain vector $at: parents = $other")
+    }
+    (count, parents)
+  }
+
+  private def readLegacyJson(fs: FileSystem, p: Path): Deleted =
+    JsonMethods.parse(readText(fs, p)) \ "deleted" match {
       case o: JObject => Deleted(o.obj.map {
         case (sync, JArray(vs)) =>
           sync.toLong -> vs.collect { case JInt(n) => n.toLong }
@@ -130,7 +340,6 @@ private[graft] object FleetDv {
       case other => throw new java.io.IOException(
         s"malformed deletion vector $p: deleted = $other")
     }
-  }
 
   /** Deletion-vector bindings for every transactional-fleet DIRECTORY
     * in a (possibly multi-glob) load path, as FULL data-file path →
@@ -152,16 +361,52 @@ private[graft] object FleetDv {
         }
     }.toMap
 
-  /** Just the deleted-row count — one tiny JSON read; lets driver-side
-    * count math avoid materializing position arrays. */
-  def readCount(fs: FileSystem, fleet: Path, relName: String): Long = {
-    val in = fs.open(new Path(fleet, relName))
-    val text = try new String(in.readAllBytes(), "UTF-8")
-      finally in.close()
-    JsonMethods.parse(text) \ "count" match {
+  /** Just the deleted-row count — a dozen HEADER bytes for a binary
+    * leaf, one tiny JSON for a chain/legacy vector; never positions.
+    * Lets driver-side count math stay O(1) per vector. */
+  def readCount(fs: FileSystem, fleet: Path, relName: String): Long =
+    countAt(fs, new Path(fleet, relName))
+
+  /** Absolute-path twin of [[readCount]]. */
+  def countAt(fs: FileSystem, p: Path): Long = {
+    val name = p.getName
+    if (name.endsWith(".dv.bin")) {
+      val in = fs.open(p)
+      val head = try {
+        val buf = new Array[Byte](24) // magic + 2 varints at most
+        val n = in.read(buf)
+        java.util.Arrays.copyOf(buf, math.max(n, 0))
+      } finally in.close()
+      if (head.length < 5 || !java.util.Arrays.equals(head.take(4), Magic))
+        throw new java.io.IOException(
+          s"malformed binary deletion vector $p: bad magic")
+      new VarReader(head, 4).readVarLong()
+    } else if (name.endsWith(".dv.chain.json"))
+      parseChain(readText(fs, p), p.toString)._1
+    else JsonMethods.parse(readText(fs, p)) \ "count" match {
       case JInt(n) => n.toLong
       case other => throw new java.io.IOException(
-        s"malformed deletion vector $relName: count = $other")
+        s"malformed deletion vector $p: count = $other")
     }
+  }
+
+  /** Expand a set of fleet-relative vector names to include every
+    * chain PARENT, transitively — the reference set GC must treat as
+    * live (deleting a leaf still referenced through a live chain node
+    * would resurrect a torn read). Reads only chain-node JSONs; leaf
+    * names expand for free. */
+  def expandRefs(fs: FileSystem, fleet: Path,
+      names: Set[String]): Set[String] = {
+    var seen = Set.empty[String]
+    var frontier = names
+    while (frontier.nonEmpty) {
+      seen ++= frontier
+      frontier = frontier.filter(_.endsWith(".dv.chain.json"))
+        .flatMap { rel =>
+          parseChain(readText(fs, new Path(fleet, rel)),
+            rel)._2.toSet
+        } -- seen
+    }
+    seen
   }
 }

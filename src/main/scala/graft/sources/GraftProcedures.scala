@@ -320,8 +320,11 @@ private[sources] object GraftProcedures {
         FleetManifest.withCommitLock(fs, p) {
           val snaps = FleetManifest.versions(fs, p).flatMap(v =>
             FleetManifest.snapshotAt(fs, p, v).toSeq)
+          // chain vectors reference their parent files transitively —
+          // a leaf reached only through a live chain node is LIVE
           (snaps.flatMap(_.files).toSet,
-            snaps.flatMap(_.dvs.values).toSet)
+            FleetDv.expandRefs(fs, p,
+              snaps.flatMap(_.dvs.values).toSet))
         }
       val dataDeleted = AvroFleetCommits.dataFileStatuses(fs, p).count { st =>
         val n = st.getPath.getName

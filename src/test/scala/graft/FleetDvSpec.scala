@@ -195,6 +195,64 @@ class FleetDvSpec extends SparkSpec {
         joined.queryExecution.executedPlan)
   }
 
+  private def posMap(d: FleetDv.Deleted): Map[Long, Seq[Long]] =
+    d.positions.view.mapValues(_.toSeq).toMap
+
+  test("binary leaves round-trip; a dense vector is ≥10× smaller than JSON") {
+    val root = graft.util.Scratch.dir("dv_codec")
+    val (fs, p) = fsOf(root)
+    // dense: long consecutive runs per block — the large-DELETE regime
+    val dense = FleetDv.Deleted.of(
+      (0L until 6000L).map(i => (64L * 1024 * (i / 800), i % 800)))
+    assert(dense.count == 6000)
+    val bin = FleetDv.write(fs, p, "f.avro", dense)
+    assert(bin.endsWith(".dv.bin"))
+    assert(posMap(FleetDv.read(fs, p, bin)) == posMap(dense),
+      "binary round trip drifted")
+    assert(FleetDv.readCount(fs, p, bin) == 6000)
+    val legacy = FleetDv.writeLegacyJson(fs, p, "f.avro", dense)
+    val binLen = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p, bin)).getLen
+    val jsonLen = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(p, legacy)).getLen
+    assert(binLen * 10 <= jsonLen,
+      s"dense binary vector must be ≥10× smaller: $binLen vs $jsonLen")
+    // sparse round trip too (scattered single positions)
+    val sparse = FleetDv.Deleted.of(
+      (0L until 500L).map(i => (64L * 1024 * i, i * 7 % 900)))
+    val sbin = FleetDv.write(fs, p, "g.avro", sparse)
+    assert(posMap(FleetDv.read(fs, p, sbin)) == posMap(sparse))
+    // the r16 JSON spelling still reads (legacy vectors in the wild)
+    assert(posMap(FleetDv.read(fs, p, legacy)) == posMap(dense))
+    assert(FleetDv.readCount(fs, p, legacy) == 6000)
+  }
+
+  test("chain nodes union their parents; counts and GC refs never read positions") {
+    val root = graft.util.Scratch.dir("dv_chain")
+    val (fs, p) = fsOf(root)
+    val d1 = FleetDv.Deleted.of(Seq((100L, 0L), (100L, 1L), (200L, 5L)))
+    val d2 = FleetDv.Deleted.of(Seq((100L, 7L), (300L, 2L)))
+    val d3 = FleetDv.Deleted.of(Seq((300L, 9L)))
+    val l1 = FleetDv.write(fs, p, "f.avro", d1)
+    val l2 = FleetDv.write(fs, p, "f.avro", d2)
+    val chain = FleetDv.writeChain(fs, p, "f.avro", Seq(l1, l2),
+      d1.count + d2.count)
+    assert(chain.endsWith(".dv.chain.json"))
+    assert(posMap(FleetDv.read(fs, p, chain)) == posMap(d1.union(d2)))
+    assert(FleetDv.readCount(fs, p, chain) == 5)
+    // chains nest: a second over-budget commit chains onto the first
+    val l3 = FleetDv.write(fs, p, "f.avro", d3)
+    val chain2 = FleetDv.writeChain(fs, p, "f.avro", Seq(chain, l3), 6)
+    assert(posMap(FleetDv.read(fs, p, chain2)) ==
+      posMap(d1.union(d2).union(d3)))
+    assert(FleetDv.readCount(fs, p, chain2) == 6)
+    // GC reference expansion walks chains transitively — every parent
+    // a live chain reaches is live
+    assert(FleetDv.expandRefs(fs, p, Set(chain2)) ==
+      Set(chain2, chain, l3, l1, l2))
+    assert(FleetDv.expandRefs(fs, p, Set(l1)) == Set(l1))
+  }
+
   test("count(*) on a dvSpec read declines pushdown and applies the spec") {
     import spark.implicits._
     val dir = bigFleet("dvspec_count")

@@ -145,6 +145,74 @@ class MorRowLevelSpec extends SparkSpec {
       "a no-op delete must not commit a generation")
   }
 
+  test("small MOR deletes coalesce into ONE binary leaf per file") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("coalesce")
+    val fleet = s"$root/cust.avro"
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 100 = 10")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 100 = 20")
+    val snap = manifest(fleet)
+    assert(snap.dvs.nonEmpty)
+    // under the default budget the second commit MERGES into one
+    // binary leaf per file — reads stay one tiny sidecar
+    assert(snap.dvs.values.forall(_.endsWith(".dv.bin")),
+      s"expected coalesced binary leaves: ${snap.dvs}")
+    val remaining = s2.sql("SELECT c_custkey FROM graft.cust")
+      .as[Long].collect().toSet
+    assert(remaining.forall(k => k % 100 != 10 && k % 100 != 20))
+    assert(remaining.size.toLong ==
+      total - spark.read.format("graft-avro")
+        .option("versionAsOf", "1").load(fleet)
+        .filter($"c_custkey" % 100 === 10 || $"c_custkey" % 100 === 20)
+        .count())
+  }
+
+  test("an over-budget MOR delete binds a CHAIN — positions never reach the driver") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("chain")
+    val fleet = s"$root/cust.avro"
+    // budget 1: ANY multi-source binding must chain instead of merging
+    // on the driver — the bounded-commit contract (r16 verdict #1).
+    // The commit message type itself carries only (file, vectorName,
+    // count), so positions STRUCTURALLY cannot ride to the driver;
+    // this case pins the chain path end to end.
+    s2.conf.set("spark.graft.dv.coalesceBudget", "1")
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 5 = 0")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 5 = 1")
+    val snap = manifest(fleet)
+    assert(snap.dvs.nonEmpty)
+    assert(snap.dvs.values.exists(_.endsWith(".dv.chain.json")),
+      s"a second over-budget delete must bind chain nodes: ${snap.dvs}")
+    // reads union the chain in-task: remaining rows exact
+    val remaining = s2.sql("SELECT c_custkey FROM graft.cust")
+      .as[Long].collect().toSet
+    assert(remaining.forall(k => k % 5 != 0 && k % 5 != 1))
+    val deleted = spark.read.format("graft-avro")
+      .option("versionAsOf", "1").load(fleet)
+      .filter($"c_custkey" % 5 === 0 || $"c_custkey" % 5 === 1).count()
+    assert(remaining.size.toLong == total - deleted)
+    // the count(*) fast path corrects from chain HEADERS (summed
+    // parent counts) — no position array anywhere on the driver
+    val cnt = spark.read.format("graft-avro").load(fleet)
+      .groupBy().count()
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: [COUNT(*)]"))
+    assert(cnt.as[Long].head() == total - deleted)
+    // remove_orphans must NOT reap chain parents (referenced
+    // transitively through the live chain nodes)
+    s2.sql("CALL graft.system.remove_orphans('cust', 0L)")
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+      == total - deleted,
+      "remove_orphans reaped a live chain parent")
+    // compaction materializes chains away with the rest of the vector
+    s2.sql("CALL graft.system.rewrite_files('cust', 16777216, '')")
+    assert(manifest(fleet).dvs.isEmpty)
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+      == total - deleted)
+  }
+
   test("COW rewrite of a vectored file does not resurrect deleted rows") {
     import spark.implicits._
     val (root, s2) = freshFleet("cowmix")
