@@ -294,6 +294,29 @@ object Crud {
     s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
   }
 
+  /** §2.A DV-AWARE METADATA AGGREGATE TIER (r17, the r16 verdict's
+    * #5): a merge-on-read DELETE scoped to a mid-range key band binds
+    * vectors on the band's files ONLY (the range-laid staging keeps
+    * extent pruning exact), after which the ungrouped aggregate still
+    * answers from sidecars — COUNT(*) corrects by the vectors' total
+    * positions, and MIN/MAX stand because some file ATTAINING each
+    * extremum carries no vector (deleting rows elsewhere can only
+    * remove candidates). FleetDvSpec pins the tier choice both ways
+    * (a vectored extremum file declines to the row path); this row
+    * pins the VALUES against the oracle. At 100 TB: `SELECT min, max,
+    * count` on a petabyte fleet that just had a redaction pass stays
+    * a zero-task metadata read. */
+  def qFleetAggMorMinmax(s: SparkSession, dir: String): DataFrame = {
+    val s2 = stagedFleetSession(s, dir, "morminmax")
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey >= 300 AND c_custkey < 400")
+    s2.sql(
+      """SELECT count(*) AS cnt, min(c_custkey) AS min_key,
+        |  max(c_custkey) AS max_key, min(c_name) AS min_name,
+        |  max(c_name) AS max_name
+        |FROM graft.cust""".stripMargin)
+  }
+
   /** §1.1 METADATA-ONLY SQL DELETE — the zero-rewrite regime: the
     * fleet is staged `clusterBy(shard)` (shard = c_custkey % 8, one
     * shard value per file, sidecar min==max), so `DELETE ... WHERE
@@ -678,6 +701,7 @@ object Crud {
     "q_sql_delete_fleet" -> qSqlDeleteFleet _,
     "q_sql_delete_fleet_meta" -> qSqlDeleteFleetMeta _,
     "q_sql_delete_fleet_mor" -> qSqlDeleteFleetMor _,
+    "q_fleet_agg_mor_minmax" -> qFleetAggMorMinmax _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
     "q_sql_merge_fleet" -> qSqlMergeFleet _,
     "q_sql_timetravel" -> qSqlTimeTravel _,
@@ -840,6 +864,12 @@ object Crud {
         |    ELSE round(c_acctbal, 4) END AS c_acctbal
         |FROM customer WHERE c_custkey % 13 <> 5
         |ORDER BY c_custkey""".stripMargin,
+    "q_fleet_agg_mor_minmax" ->
+      """SELECT count(*) AS cnt, min(c_custkey) AS min_key,
+        |  max(c_custkey) AS max_key, min(c_name) AS min_name,
+        |  max(c_name) AS max_name
+        |FROM customer
+        |WHERE NOT (c_custkey >= 300 AND c_custkey < 400)""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey < 100

@@ -1154,6 +1154,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   private var limit: Option[Int] = None
   private var countStars: Int = 0
   private var dvCountAdjust: Long = 0L
+  private var metaCountAdjust: Long = 0L
   private var topN: Option[(Seq[TopNOrder], Int)] = None
 
   // does the resolved snapshot (or a caller-passed dvSpec) bind any
@@ -1266,31 +1267,6 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     // (which skips vectored positions per task) until compaction
     // materializes the vectors. One manifest read, only on fleets
     // that COULD push.
-    if (fleetHasDvs) {
-      import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-      // caller-passed per-file vector instructions (`dvSpec`: the
-      // change-feed image reads, FleetMerge touched loads) address
-      // EXPLICIT file paths the manifest-derived correction below
-      // cannot see — FleetDv.forPath yields nothing for them — and a
-      // deltaOnly spec serves a position DIFFERENCE no constant can
-      // correct. Spec-carrying reads keep the row path, which applies
-      // each spec per task (r16 ADVICE).
-      if (dvSpecs.nonEmpty) return false
-      val allCounts = agg.groupByExpressions.isEmpty &&
-        pushed.isEmpty &&
-        agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
-      if (!allCounts) return false
-      val s = SparkSession.active
-      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
-        s.sessionState.newHadoopConf())
-      dvCountAdjust = FleetDv.forPath(s, path, versionAsOf)
-        .valuesIterator.map(dvp =>
-          FleetDv.countAt(fs, new org.apache.hadoop.fs.Path(dvp)))
-        .sum
-      countStars = agg.aggregateExpressions.length
-      return true
-    }
-
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: NamedReference if nr.fieldNames.length == 1 =>
@@ -1306,6 +1282,90 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         case m: Max => colOf(m.column).map(MetaAggSpec.MaxCol)
         case _ => None
       }
+
+    if (fleetHasDvs) {
+      // caller-passed per-file vector instructions (`dvSpec`: the
+      // change-feed image reads, FleetMerge touched loads) address
+      // EXPLICIT file paths the manifest-derived corrections below
+      // cannot see — FleetDv.forPath yields nothing for them — and a
+      // deltaOnly spec serves a position DIFFERENCE no constant can
+      // correct. Spec-carrying reads keep the row path, which applies
+      // each spec per task (r16 ADVICE).
+      if (dvSpecs.nonEmpty) return false
+      val s = SparkSession.active
+      val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+        s.sessionState.newHadoopConf())
+      val dvByFull = FleetDv.forPath(s, path, versionAsOf)
+      lazy val totalDeleted = dvByFull.valuesIterator
+        .map(dvp => FleetDv.countAt(fs, new org.apache.hadoop.fs.Path(dvp)))
+        .sum
+      // DV-AWARE METADATA TIER (r17, the r16 verdict's #5): vectors
+      // make sidecar numbers stale, but two shapes stay exactly
+      // answerable without opening a file —
+      //  - COUNT(*): raw row total − total vectored positions (each a
+      //    distinct existing row);
+      //  - MIN/MAX(c): the sidecar extremum stands whenever SOME file
+      //    ATTAINING it carries no vector — that file still holds a
+      //    live row equal to the extremum, and deletions elsewhere
+      //    only remove candidates, never add them. A delete that
+      //    touches every attaining file could have removed the
+      //    extremum itself, so the tier declines (the row path, which
+      //    applies vectors per task, answers).
+      // COUNT(col) stays undecidable (the deleted rows' null profile
+      // is unknown) and declines the tier.
+      if (agg.groupByExpressions.isEmpty && pushed.isEmpty &&
+          specs.forall(_.isDefined) &&
+          !specs.flatten.exists(_.isInstanceOf[MetaAggSpec.CountCol])) {
+        val flat = specs.flatten
+        val fleet = Avro.listFleet(s, path, maxFileBytes,
+          enforceBound = false, versionAsOf = versionAsOf)
+        val stats = FleetStats.forFleet(fs, fleet)
+        val entries = fleet.map(f => stats.get(f.getPath.toString))
+        val cols = flat.collect {
+          case MetaAggSpec.MinCol(c) => c
+          case MetaAggSpec.MaxCol(c) => c
+        }.distinct
+        val covered = entries.forall(_.isDefined) &&
+          entries.flatten.forall(e => cols.forall(e.cols.contains))
+        if (covered) {
+          val vectored = dvByFull.keySet
+          val withStats = fleet.zip(entries.flatten).map { case (st, e) =>
+            (fs.makeQualified(st.getPath).toString, e)
+          }
+          def extremumSurvives(c: String, isMin: Boolean): Boolean = {
+            val bounds = withStats.flatMap { case (fp, e) =>
+              (if (isMin) e.cols(c).min else e.cols(c).max).map(fp -> _)
+            }
+            bounds.isEmpty || {
+              // an all-null-c fleet answers NULL regardless of vectors
+              val ext = bounds.map(_._2).reduce((a, b) =>
+                if ((FleetFilters.cmp(a, b) <= 0) == isMin) a else b)
+              bounds.exists { case (fp, v) =>
+                FleetFilters.cmp(v, ext) == 0 && !vectored(fp) }
+            }
+          }
+          val minMaxOk = flat.forall {
+            case MetaAggSpec.MinCol(c) => extremumSurvives(c, isMin = true)
+            case MetaAggSpec.MaxCol(c) => extremumSurvives(c, isMin = false)
+            case _ => true
+          }
+          if (minMaxOk) {
+            metaAgg = Some((flat, entries.flatten))
+            metaCountAdjust = totalDeleted
+            return true
+          }
+        }
+      }
+      // block-header COUNT(*) tier with the constant correction —
+      // distributed over splits, O(headers) on any vectored fleet
+      val allCounts = agg.groupByExpressions.isEmpty &&
+        pushed.isEmpty &&
+        agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+      if (!allCounts) return false
+      dvCountAdjust = totalDeleted
+      countStars = agg.aggregateExpressions.length
+      return true
+    }
 
     if (agg.groupByExpressions.nonEmpty) {
       // GROUPED tier (partial pushdown): every task aggregates its
@@ -1383,7 +1443,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       new AvroFleetGroupAggScan(fullSchema, path, maxFileBytes, gcols,
         specs, pushed, versionAsOf = versionAsOf)
     case (_, Some((specs, entries))) =>
-      new AvroFleetMetaAggScan(fullSchema, path, specs, entries)
+      new AvroFleetMetaAggScan(fullSchema, path, specs, entries,
+        countAdjust = metaCountAdjust)
     case _ if countStars > 0 =>
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars,
         versionAsOf = versionAsOf, dvAdjust = dvCountAdjust)
@@ -1423,7 +1484,8 @@ private[sources] object MetaAggSpec {
   * the identity), so plan shape stays the documented pushdown form. */
 private[sources] class AvroFleetMetaAggScan(tableSchema: StructType,
     path: String, specs: Seq[MetaAggSpec],
-    entries: Seq[FleetStats.PartStats]) extends Scan with Batch {
+    entries: Seq[FleetStats.PartStats],
+    countAdjust: Long = 0L) extends Scan with Batch {
 
   import MetaAggSpec._
 
@@ -1453,7 +1515,9 @@ private[sources] class AvroFleetMetaAggScan(tableSchema: StructType,
   // resolved driver-side; min/max fold with the shared comparator over
   // each file's recorded bounds (all-null files contribute nothing)
   private def value(spec: MetaAggSpec): Any = spec match {
-    case CountStar => Long.box(entries.map(_.rows).sum)
+    // countAdjust: a vectored fleet's total deleted positions — each
+    // a distinct existing row — so the sidecar total corrects exactly
+    case CountStar => Long.box(entries.map(_.rows).sum - countAdjust)
     case CountCol(c) =>
       Long.box(entries.map(e => e.rows - e.cols(c).nulls).sum)
     case MinCol(c) =>

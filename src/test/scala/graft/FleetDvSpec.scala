@@ -127,15 +127,69 @@ class FleetDvSpec extends SparkSpec {
     val cnt = spark.read.format("graft-avro").load(dir)
       .groupBy().count()
     val plan = cnt.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedAggregation: [COUNT(*)]"),
+    assert(plan.contains("PushedAggregation(metadata): [COUNT(*)]") ||
+      plan.contains("PushedAggregation: [COUNT(*)]"),
       s"count(*) lost the pushed fast path on a vectored fleet:\n$plan")
     assert(cnt.as[Long].head() == 20000 - 3)
-    // anything beyond COUNT(*) stays with the row path (stale sidecars)
+    // min/max on the ONE (vectored) file: the extremum-attaining file
+    // carries a vector, so the tier declines to the row path —
+    // conservative and exact
     val mx = spark.read.format("graft-avro").load(dir)
       .groupBy().agg(max($"id"))
     assert(!mx.queryExecution.executedPlan.toString
       .contains("PushedAggregation"),
-      "min/max must not push on a vectored fleet")
+      "max must not push when its attaining file is vectored")
+    assert(mx.as[Long].head() == 19999)
+  }
+
+  test("min/max metadata tier survives vectors on non-extremal files only") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("dv_minmax") + "/t.avro"
+    spark.range(200)
+      .select($"id", format_string("n%03d", $"id").as("nm"))
+      .repartitionByRange(2, $"id")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val (fs, p) = fsOf(dir)
+    val rows = spark.read.format("graft-avro").load(dir)
+      .select($"id", col("_file"), col("_sync"), col("_ridx")).collect()
+      .map(r => r.getLong(0) ->
+        (new org.apache.hadoop.fs.Path(r.getString(1)).getName,
+          r.getLong(2), r.getLong(3))).toMap
+    val lowFile = rows(0L)._1
+    assert(rows(199L)._1 != lowFile, "expected a 2-file range layout")
+    // vector two NON-extremal rows of the MIN-attaining file
+    val victims = rows.iterator.collect {
+      case (id, (f, s2, r2)) if f == lowFile && id != 0L => (s2, r2)
+    }.take(2).toSeq
+    assert(victims.size == 2)
+    val dv = FleetDv.write(fs, p, lowFile, FleetDv.Deleted.of(victims))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(lowFile -> Some(dv)))
+    // MAX: attained by the unvectored high file → the metadata tier
+    // stands — zero tasks — and the value is exact
+    val mx = spark.read.format("graft-avro").load(dir)
+      .groupBy().agg(max($"id"), max($"nm"))
+    val mxPlan = mx.queryExecution.executedPlan.toString
+    assert(mxPlan.contains("PushedAggregation(metadata): [MAX(id), MAX(nm)]"),
+      s"max over unvectored extremum files must keep the tier:\n$mxPlan")
+    val mxRow = mx.head()
+    assert(mxRow.getLong(0) == 199L && mxRow.getString(1) == "n199")
+    // MIN: its only attaining file carries the vector → decline (the
+    // delete could have removed the extremum), row path stays exact
+    val mn = spark.read.format("graft-avro").load(dir)
+      .groupBy().agg(min($"id"))
+    assert(!mn.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "min must decline when every attaining file is vectored")
+    assert(mn.as[Long].head() == 0L)
+    // COUNT(*) composes with MAX in one metadata row, corrected by the
+    // vector's header count
+    val both = spark.read.format("graft-avro").load(dir)
+      .groupBy().agg(count("*"), max($"id"))
+    assert(both.queryExecution.executedPlan.toString
+      .contains("PushedAggregation(metadata): [COUNT(*), MAX(id)]"))
+    val bothRow = both.head()
+    assert(bothRow.getLong(0) == 198L && bothRow.getLong(1) == 199L)
   }
 
   test("a vectored clustered fleet still SPJ-joins exchange-free, rows hidden") {
