@@ -114,35 +114,67 @@ private[graft] object FleetManifest {
       name.stripPrefix("v").stripSuffix(".json").toLongOption
     else None
 
-  /** All committed versions at `dir`, ascending; empty when the fleet
-    * is manifest-less. */
-  def versions(fs: FileSystem, dir: Path): Seq[Long] = {
+  /** One listing serving every per-version lookup — (version, status)
+    * ascending; empty when the fleet is manifest-less. */
+  private def versionStatuses(fs: FileSystem, dir: Path)
+      : Seq[(Long, FileStatus)] = {
     val d = mdir(dir)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d).toSeq
-      .flatMap(st => parseVersion(st.getPath.getName)).sorted
+      .flatMap(st => parseVersion(st.getPath.getName).map(_ -> st))
+      .sortBy(_._1)
   }
+
+  /** All committed versions at `dir`, ascending; empty when the fleet
+    * is manifest-less. */
+  def versions(fs: FileSystem, dir: Path): Seq[Long] =
+    versionStatuses(fs, dir).map(_._1)
 
   /** Committed versions with their COMMIT TIMES (ms) — the index
     * `TIMESTAMP AS OF` binds against. The time is the `commit.ts`
     * property the committer stamped into the snapshot itself, so a
     * copied/moved fleet keeps its time-travel index; a pre-stamp
     * legacy version falls back to its version file's mtime. One tiny
-    * JSON read per retained version — bounded by retention, never by
-    * fleet size. */
-  def versionsWithTimes(fs: FileSystem, dir: Path): Seq[(Long, Long)] = {
-    val d = mdir(dir)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).toSeq
-      .flatMap { st =>
-        parseVersion(st.getPath.getName).map { v =>
-          val stamped = readFile(fs, st.getPath).props
-            .get(CommitTsProp).flatMap(_.toLongOption)
-          v -> stamped.getOrElse(st.getModificationTime)
-        }
-      }
-      .sortBy(_._1)
+    * cached-snapshot lookup per retained version — bounded by
+    * retention, never by fleet size. */
+  def versionsWithTimes(fs: FileSystem, dir: Path): Seq[(Long, Long)] =
+    versionStatuses(fs, dir).map { case (v, st) =>
+      val stamped = readCached(fs, st).props
+        .get(CommitTsProp).flatMap(_.toLongOption)
+      v -> stamped.getOrElse(st.getModificationTime)
+    }
+
+  // ---- snapshot cache ----------------------------------------------
+  //
+  // Committed version files are IMMUTABLE (the claim protocol never
+  // rewrites one; the only writer of an existing version file is the
+  // restamp TEST hook, which invalidates explicitly), so their parsed
+  // snapshots cache process-wide, validated against the (mtime, len)
+  // of the live FileStatus the caller already holds — a staged
+  // multi-commit transaction re-reads `current` on every attempt and
+  // a TIMESTAMP AS OF walks every retained version; both collapsed to
+  // O(1) JSON parses per version per process (r16 bench: the
+  // commit-protocol tax on manifest-heavy queries). The claim
+  // READ-BACK deliberately bypasses this cache (renameClaim verifies
+  // raw disk content).
+  private val snapCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Long, Snapshot)]()
+
+  private def readCached(fs: FileSystem, st: FileStatus): Snapshot = {
+    val key = fs.makeQualified(st.getPath).toString
+    val hit = snapCache.get(key)
+    if (hit != null && hit._1 == st.getModificationTime &&
+        hit._2 == st.getLen) hit._3
+    else {
+      val snap = readFile(fs, st.getPath)
+      if (snapCache.size > 4096) snapCache.clear() // tiny entries; rare
+      snapCache.put(key, (st.getModificationTime, st.getLen, snap))
+      snap
+    }
   }
+
+  private def invalidate(fs: FileSystem, p: Path): Unit =
+    snapCache.remove(fs.makeQualified(p).toString)
 
   /** STAGING/TEST hook: rewrite an already-committed version's
     * `commit.ts` property in place so a fixture's time-travel index
@@ -158,11 +190,13 @@ private[graft] object FleetManifest {
     val out = fs.create(p, true)
     try out.write(render(restamped).getBytes("UTF-8"))
     finally out.close()
+    invalidate(fs, p) // the one in-place rewrite anywhere — test-only
   }
 
   def snapshotAt(fs: FileSystem, dir: Path, v: Long): Option[Snapshot] = {
     val p = vpath(dir, v)
-    if (!fs.exists(p)) None else Some(readFile(fs, p))
+    try Some(readCached(fs, fs.getFileStatus(p)))
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** The snapshot a reader of `versionAsOf` (None = current) sees —
@@ -249,7 +283,8 @@ private[graft] object FleetManifest {
   /** The current (highest-version) snapshot, or None for a
     * manifest-less fleet. */
   def current(fs: FileSystem, dir: Path): Option[Snapshot] =
-    versions(fs, dir).lastOption.map(v => readFile(fs, vpath(dir, v)))
+    versionStatuses(fs, dir).lastOption.map { case (_, st) =>
+      readCached(fs, st) }
 
   private def readFile(fs: FileSystem, p: Path): Snapshot = {
     val in = fs.open(p)
