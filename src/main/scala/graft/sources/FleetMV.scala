@@ -209,8 +209,20 @@ object FleetMV {
           (col(s"del_max_$c").isNotNull && col(s"max_$c").isNotNull &&
             col(s"del_max_$c") >= col(s"max_$c")))
           .reduce(_ || _)
-        val affected = ext.filter(needs).select(keys.map(col): _*)
-        recomputed = affected.count()
+        // ONE collect serves both the recompute count and the
+        // rescan's broadcast build side: the broadcast join was going
+        // to collect exactly these O(affected groups) rows to the
+        // driver anyway, so materializing them as a LocalRelation
+        // removes the dedicated affected.count() action AND the
+        // broadcast-build job — one fewer job per min/max refresh
+        // (r16 verdict #7), identical memory posture
+        val affectedRows = ext.filter(needs)
+          .select(keys.map(col): _*).collect()
+        recomputed = affectedRows.length.toLong
+        val affected = s.createDataFrame(
+          java.util.Arrays.asList(affectedRows: _*),
+          org.apache.spark.sql.types.StructType(
+            keys.map(k => old.schema(old.schema.fieldIndex(k)))))
         val rcAggs = minMaxCols.flatMap(c =>
           Seq(min(col(c)).as(s"rc_min_$c"), max(col(c)).as(s"rc_max_$c")))
         val rescanned = s.read.format("graft-avro").load(srcDir)

@@ -468,8 +468,29 @@ class FleetManifestSpec extends SparkSpec {
     graft.sources.FleetMerge.mergeCow(spark, dir, "x",
       Seq(3L).toDF("q"),
       t => t.filter($"x" =!= 3L), retainOld = true)            // v3
+    spark.sparkContext.setJobGroup("mv_minmax_r2", "recompute refresh")
     val r2 = graft.sources.FleetMV.refresh(spark, dir, viewDir,
       keys = Seq("k"), sumCols = Seq("x"), minMaxCols = Seq("x"))
+    spark.sparkContext.clearJobGroup()
+    // the recompute refresh runs WITHOUT a dedicated affected-count
+    // job — ONE collect feeds both the count and the rescan's
+    // broadcast build (r16 verdict #7). Status store updates are
+    // async: poll until the group's job count is stable, then pin.
+    def jobsIn: Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("mv_minmax_r2").length
+    var seen = jobsIn; var stable = 0
+    while (stable < 3) {
+      Thread.sleep(100)
+      val m = jobsIn
+      if (m == seen) stable += 1 else { seen = m; stable = 0 }
+    }
+    // 12 measured with the fused collect (AQE runs a job per query
+    // stage, so the floor is well above the logical action count); the
+    // r16 shape with the dedicated affected.count() action ran more —
+    // a creep back past this pin means an extra action entered refresh
+    assert(seen <= 12,
+      s"min/max recompute refresh ran $seen jobs — an extra action " +
+        "(the r16 dedicated affected-count shape) crept back in")
     assert(r2.recomputedGroups == 1L,
       s"exactly the extremum-losing group recomputes: $r2")
     val after = viewRows()
