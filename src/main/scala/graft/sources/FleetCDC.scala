@@ -148,9 +148,34 @@ object FleetCDC {
     * 20 rows out of the join, and the suppressed 999,990 survivors
     * never leave it. */
   def changesKeyed(s: SparkSession, dir: String, fromVersion: Long,
-      toVersion: Long, keyCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "changesKeyed needs at least one key column")
-    val raw = changes(s, dir, fromVersion, toVersion)
+      toVersion: Long, keyCols: Seq[String]): DataFrame =
+    reconcileKeyed(changes(s, dir, fromVersion, toVersion), keyCols)
+
+  /** The keyed reconciliation of an already-read `_change_type`-tagged
+    * frame — the [[changesKeyed]] join body, factored out so a
+    * STREAMING consumer applies it per micro-batch: each
+    * `readChangeFeed` batch is a net endpoint diff (exactly the
+    * [[changes]] shape), so
+    *
+    * {{{
+    * spark.readStream.format("graft-avro")
+    *   .option("readChangeFeed", "true").load(dir)
+    *   .writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    *     val net = FleetCDC.reconcileKeyed(batch, Seq("id"))
+    *     ... MERGE net into the downstream table ...
+    *   }
+    * }}}
+    *
+    * turns a COW rewrite's file-granular pre+post images into the net
+    * per-key changes a streaming MERGE consumer wants (the Delta CDF
+    * shape), with exactly-once hand-off riding the change stream's
+    * version offsets. FleetStreamSpec pins a large-file rewrite
+    * streaming only its changed rows. */
+  def reconcileKeyed(raw: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "reconcileKeyed needs at least one key column")
+    require(raw.columns.contains(ChangeTypeCol),
+      s"reconcileKeyed input must carry $ChangeTypeCol " +
+        "(a change-feed read)")
     val dataCols = raw.columns.filterNot(_ == ChangeTypeCol).toSeq
     val missing = keyCols.filterNot(dataCols.contains)
     require(missing.isEmpty,
