@@ -322,6 +322,35 @@ object Crud {
         |FROM graft.cust""".stripMargin)
   }
 
+  /** §1.1 WRITE-AUDIT-PUBLISH (r17, the r16 verdict's #6) — branches
+    * as mutable refs over the manifest log: fork (`create_branch`),
+    * stage a cleaning DELETE with `spark.graft.branch` set (commits
+    * land on the branch's own version sequence; main readers resolve
+    * main), AUDIT the staged state, publish with `fast_forward`
+    * (strict — an intervening main commit conflicts loudly; the
+    * staged generations adopt into main verbatim). The result carries
+    * `main_rows_while_staged` — the count a MAIN reader saw while the
+    * branch held the delete — so a leaked staging generation
+    * hash-mismatches, not just the final state. CatalogSpec pins GC
+    * pinning, the stale-fork conflict, and drop_branch release. At
+    * 100 TB this is the Iceberg WAP loop: stage a risky pipeline
+    * pass, validate, publish atomically or discard. */
+  def qFleetWap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "wap")
+    s2.sql("CALL graft.system.create_branch('cust', 'audit')")
+    s2.conf.set("spark.graft.branch", "audit")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 11 = 2")
+    // audit gate: the staged state is visible to the branch session…
+    s2.conf.unset("spark.graft.branch")
+    // …while a main reader still sees the pre-delete fleet
+    val mainWhileStaged =
+      s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+    s2.sql("CALL graft.system.fast_forward('cust', 'audit')")
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+      .withColumn("main_rows_while_staged", lit(mainWhileStaged))
+  }
+
   /** §1.1 METADATA-ONLY SQL DELETE — the zero-rewrite regime: the
     * fleet is staged `clusterBy(shard)` (shard = c_custkey % 8, one
     * shard value per file, sidecar min==max), so `DELETE ... WHERE
@@ -764,6 +793,7 @@ object Crud {
     "q_sql_delete_fleet_meta" -> qSqlDeleteFleetMeta _,
     "q_sql_delete_fleet_mor" -> qSqlDeleteFleetMor _,
     "q_fleet_agg_mor_minmax" -> qFleetAggMorMinmax _,
+    "q_fleet_wap" -> qFleetWap _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
     "q_sql_merge_fleet" -> qSqlMergeFleet _,
     "q_sql_timetravel" -> qSqlTimeTravel _,
@@ -950,6 +980,14 @@ object Crud {
         |  max(c_name) AS max_name
         |FROM customer
         |WHERE NOT (c_custkey >= 300 AND c_custkey < 400)""".stripMargin,
+    // WAP: the published relation, plus the count a MAIN reader saw
+    // while the branch still held the staged delete (the whole table —
+    // isolation is hash-pinned, not just asserted in a spec)
+    "q_fleet_wap" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+        |  (SELECT count(*) FROM customer) AS main_rows_while_staged
+        |FROM customer WHERE c_custkey % 11 <> 2
+        |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,
         |  CASE WHEN c_custkey < 100

@@ -116,8 +116,12 @@ object FleetCompact {
         val (expirable, keptTail) = vs.splitAt(vs.size - keepLast)
         val (pinned, expired) = expirable.partition(tagged)
         val kept = pinned ++ keptTail
+        // BRANCH versions pin their references like tags: a staged
+        // write-audit-publish pass must survive main retention until
+        // published or dropped
         val keptSnaps = kept.flatMap(v =>
-          FleetManifest.snapshotAt(fs, dirPath, v).toSeq)
+          FleetManifest.snapshotAt(fs, dirPath, v).toSeq) ++
+          FleetManifest.branchSnapshots(fs, dirPath)
         val expiredSnaps = expired.flatMap(v =>
           FleetManifest.snapshotAt(fs, dirPath, v).toSeq)
         val keptFiles = keptSnaps.flatMap(_.files).toSet

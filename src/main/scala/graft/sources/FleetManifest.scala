@@ -194,9 +194,22 @@ private[graft] object FleetManifest {
   }
 
   def snapshotAt(fs: FileSystem, dir: Path, v: Long): Option[Snapshot] = {
-    val p = vpath(dir, v)
-    try Some(readCached(fs, fs.getFileStatus(p)))
-    catch { case _: java.io.FileNotFoundException => None }
+    // under an active branch that exists here, version numbers past
+    // the fork resolve to the BRANCH's commits (main has none there
+    // by the strict-ff invariant); pre-fork numbers fall through to
+    // the shared main history
+    val branchHit = activeBranch
+      .filter(b => branchBase(fs, dir, b).isDefined)
+      .flatMap { b =>
+        val p = new Path(branchVDir(dir, b), vname(v))
+        try Some(readCached(fs, fs.getFileStatus(p)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+    branchHit.orElse {
+      val p = vpath(dir, v)
+      try Some(readCached(fs, fs.getFileStatus(p)))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
   }
 
   /** The snapshot a reader of `versionAsOf` (None = current) sees —
@@ -207,6 +220,185 @@ private[graft] object FleetManifest {
     case Some(v) => snapshotAt(fs, dir, v)
     case None => current(fs, dir)
   }
+
+  // ---- BRANCHES: named MUTABLE refs — write-audit-publish ----------
+  //
+  // `_manifest/branches/<name>.json` → {"base": B} marks a fork at
+  // main version B; the branch's own commits chain as
+  // `_manifest/branches/<name>/v{B+1..}.json` through the SAME claim
+  // protocol. With session conf `spark.graft.branch = <name>` set
+  // (the Iceberg spark.wap.branch posture), every fleet READ resolves
+  // the branch head and every COMMIT lands on the branch — but ONLY
+  // for fleets where the branch exists (create_branch ran); other
+  // fleets in the session behave normally, and main readers never see
+  // a branch generation. `CALL graft.system.fast_forward` publishes:
+  // main must still be at B (strict fast-forward — any intervening
+  // main commit conflicts loudly), the branch's version files adopt
+  // into main's sequence verbatim (numbering already continues from
+  // B), and the branch ref retires. Stage a cleaning pass on a
+  // branch, validate it, publish atomically — the WAP shape.
+  //
+  // Retention interplay: expireVersions and remove_orphans treat
+  // every branch version's files and vectors as LIVE (see the
+  // branchSnapshots walk) — a fork pins its history like a tag until
+  // dropped or published.
+
+  /** The session's write-audit-publish branch, when one is set.
+    * Resolved per call so one session can stage (set), validate, and
+    * compare against main (unset) without rebuilding anything. */
+  private def activeBranch: Option[String] =
+    try org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get("spark.graft.branch", null)))
+      .map(_.trim).filter(_.nonEmpty)
+    catch { case NonFatal(_) => None }
+
+  private def branchesDir(dir: Path) = new Path(mdir(dir), "branches")
+
+  private def branchRef(dir: Path, name: String) = {
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-'),
+      s"branch name '$name' must be [A-Za-z0-9._-]+")
+    new Path(branchesDir(dir), s"$name.json")
+  }
+
+  private def branchVDir(dir: Path, name: String) =
+    new Path(branchesDir(dir), name)
+
+  /** The branch's fork-point main version, or None when no such
+    * branch exists at `dir`. */
+  def branchBase(fs: FileSystem, dir: Path, name: String): Option[Long] = {
+    val p = branchRef(dir, name)
+    if (!fs.exists(p)) None
+    else JsonMethods.parse({
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }) \ "base" match {
+      case JInt(v) => Some(v.toLong)
+      case other => throw new java.io.IOException(
+        s"malformed branch ref $p: base = $other")
+    }
+  }
+
+  private def branchVersionStatuses(fs: FileSystem, dir: Path,
+      name: String): Seq[(Long, FileStatus)] = {
+    val d = branchVDir(dir, name)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .flatMap(st => parseVersion(st.getPath.getName).map(_ -> st))
+      .sortBy(_._1)
+  }
+
+  /** The branch head: its newest own commit, else the fork-point main
+    * snapshot (a fresh branch reads exactly what main read at fork). */
+  def branchHead(fs: FileSystem, dir: Path, name: String)
+      : Option[Snapshot] =
+    branchBase(fs, dir, name).flatMap { base =>
+      branchVersionStatuses(fs, dir, name).lastOption
+        .map { case (_, st) => readCached(fs, st) }
+        .orElse(if (base == 0L) Some(Snapshot(0L, Seq.empty))
+                else snapshotAt(fs, dir, base))
+    }
+
+  /** Fork a branch at the current main version. Fails if the name
+    * exists (drop or publish first). */
+  def createBranch(fs: FileSystem, dir: Path, name: String): Unit =
+    withCommitLock(fs, dir) {
+      val p = branchRef(dir, name)
+      require(!fs.exists(p),
+        s"branch '$name' already exists at $dir — fast_forward or " +
+          "drop_branch first")
+      val base = mainCurrent(fs, dir).map(_.version).getOrElse(
+        throw new IllegalArgumentException(
+          s"create_branch: fleet at $dir has no manifest history — " +
+            "only transactionally-committed fleets branch"))
+      fs.mkdirs(branchesDir(dir))
+      val out = fs.create(p, false)
+      try out.write(JsonMethods.compact(JsonMethods.render(JObject(
+        "base" -> JInt(base)))).getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** Delete a branch: its ref, its version files, and nothing else —
+    * branch-only data files become unreferenced and fall to
+    * remove_orphans / expire. */
+  def dropBranch(fs: FileSystem, dir: Path, name: String): Boolean =
+    withCommitLock(fs, dir) {
+      val existed = fs.delete(branchRef(dir, name), false)
+      fs.delete(branchVDir(dir, name), true)
+      existed
+    }
+
+  /** All branches at `dir`: (name, base, head version). */
+  def branches(fs: FileSystem, dir: Path): Seq[(String, Long, Long)] = {
+    val d = branchesDir(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .map { st =>
+        val name = st.getPath.getName.stripSuffix(".json")
+        val base = branchBase(fs, dir, name).getOrElse(
+          throw new java.io.IOException(s"branch $name vanished mid-list"))
+        val head = branchVersionStatuses(fs, dir, name).lastOption
+          .map(_._1).getOrElse(base)
+        (name, base, head)
+      }.sortBy(_._1)
+  }
+
+  /** Every branch version's snapshot — the references GC must pin. */
+  def branchSnapshots(fs: FileSystem, dir: Path): Seq[Snapshot] = {
+    val d = branchesDir(dir)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).toSeq.filter(_.isDirectory).flatMap { bd =>
+      fs.listStatus(bd.getPath).toSeq
+        .filter(st => parseVersion(st.getPath.getName).isDefined)
+        .map(st => readCached(fs, st))
+    }
+  }
+
+  /** PUBLISH a branch: strict fast-forward of main onto the branch
+    * head. Validates main is still AT the fork base (any intervening
+    * main commit conflicts — re-branch and re-stage), then adopts the
+    * branch's version files into main's sequence verbatim (their
+    * numbering already continues from the base) with the same
+    * claim-if-absent primitive every commit uses, and retires the
+    * branch. Readers see main advance monotonically through the
+    * staged generations; a crash mid-adopt leaves a shorter, still
+    * consistent prefix adopted and the branch intact for a re-run
+    * (adoption is idempotent: existing identical versions verify and
+    * skip). */
+  def fastForward(fs: FileSystem, dir: Path, name: String): Long =
+    withCommitLock(fs, dir) {
+      val base = branchBase(fs, dir, name).getOrElse(
+        throw new IllegalArgumentException(
+          s"fast_forward: no branch '$name' at $dir (branches: " +
+            s"${branches(fs, dir).map(_._1).mkString(", ")})"))
+      val mainV = mainCurrent(fs, dir).map(_.version).getOrElse(0L)
+      if (mainV != base) throw new FleetCommitConflictException(
+        s"fast_forward '$name' at $dir: branch forked at v$base but " +
+          s"main is at v$mainV — a concurrent main commit landed; " +
+          "re-create the branch from the current generation and " +
+          "re-stage the work")
+      val staged = branchVersionStatuses(fs, dir, name)
+      staged.foreach { case (v, st) =>
+        val snap = readCached(fs, st)
+        val dest = vpath(dir, v)
+        if (fs.exists(dest)) {
+          // idempotent re-run after a crash mid-adopt: verify ours
+          if (readFile(fs, dest) != snap)
+            throw new FleetCommitConflictException(
+              s"fast_forward '$name' at $dir: main v$v exists with " +
+                "different content — a concurrent commit raced the " +
+                "publish")
+        } else if (!renameClaim(fs, dir, dest, snap))
+          throw new FleetCommitConflictException(
+            s"fast_forward '$name' at $dir: lost the claim on v$v — " +
+              "a concurrent main commit raced the publish")
+      }
+      val head = staged.lastOption.map(_._1).getOrElse(base)
+      fs.delete(branchRef(dir, name), false)
+      fs.delete(branchVDir(dir, name), true)
+      head
+    }
 
   // ---- TAGS: named immutable refs to committed versions -----------
   //
@@ -280,9 +472,17 @@ private[graft] object FleetManifest {
       }.sortBy(_._1)
   }
 
-  /** The current (highest-version) snapshot, or None for a
-    * manifest-less fleet. */
+  /** The current snapshot a reader of THIS SESSION sees: the active
+    * branch's head when `spark.graft.branch` names a branch that
+    * exists at `dir` (the write-audit-publish read surface), else the
+    * highest committed main version; None for a manifest-less fleet. */
   def current(fs: FileSystem, dir: Path): Option[Snapshot] =
+    activeBranch.flatMap(b => branchHead(fs, dir, b))
+      .orElse(mainCurrent(fs, dir))
+
+  /** The highest committed MAIN version's snapshot — what non-branch
+    * sessions (and the publish/retention machinery) resolve. */
+  def mainCurrent(fs: FileSystem, dir: Path): Option[Snapshot] =
     versionStatuses(fs, dir).lastOption.map { case (_, st) =>
       readCached(fs, st) }
 
@@ -454,8 +654,17 @@ private[graft] object FleetManifest {
               .filter { case (f, _) => nextFileSet(f) }
           val next = Snapshot(cur.map(_.version + 1L).getOrElse(1L),
             nextFiles, stamped, nextDvs)
-          val dest = vpath(dir, next.version)
-          fs.mkdirs(mdir(dir))
+          // an active branch that EXISTS at this fleet routes the
+          // claim into the branch's own version sequence (base
+          // resolution above already read the branch head via
+          // `current`); fleets without the branch commit to main as
+          // ever — a WAP session only redirects opted-in tables
+          val branch = activeBranch
+            .filter(b => branchBase(fs, dir, b).isDefined)
+          val destDir = branch.map(b => branchVDir(dir, b))
+            .getOrElse(mdir(dir))
+          val dest = new Path(destDir, vname(next.version))
+          fs.mkdirs(destDir)
           if (!fs.exists(dest)) {
             localNio(fs, dest) match {
               case Some(nioDest) =>

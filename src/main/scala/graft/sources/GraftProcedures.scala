@@ -62,7 +62,8 @@ private[sources] object GraftProcedures {
 
   val Namespace = "system"
   private val names = Seq("snapshots", "expire_versions", "restore",
-    "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags")
+    "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags",
+    "create_branch", "fast_forward", "drop_branch", "branches")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -84,6 +85,10 @@ private[sources] object GraftProcedures {
       case "create_tag" => new CreateTag(dirFor)
       case "drop_tag" => new DropTag(dirFor)
       case "tags" => new Tags(dirFor)
+      case "create_branch" => new CreateBranch(dirFor)
+      case "fast_forward" => new FastForward(dirFor)
+      case "drop_branch" => new DropBranch(dirFor)
+      case "branches" => new Branches(dirFor)
       case other => throw new UnsupportedOperationException(
         s"no such graft procedure '$other' " +
           s"(available: ${names.mkString(", ")})")
@@ -292,6 +297,92 @@ private[sources] object GraftProcedures {
     }
   }
 
+  /** `CALL graft.system.create_branch('events', 'clean-v2')` — fork a
+    * MUTABLE ref at the current main version (write-audit-publish,
+    * the Iceberg WAP shape): with session conf `spark.graft.branch =
+    * 'clean-v2'` every read of this fleet resolves the branch head
+    * and every DELETE/UPDATE/MERGE/INSERT commits onto the branch —
+    * main readers never see a staged generation. Validate the staged
+    * state, then `fast_forward` publishes it atomically (or
+    * `drop_branch` discards it). Retention pins branch references
+    * like tags until then. */
+  private final class CreateBranch(dirFor: String => String)
+      extends Base("create_branch") {
+    override def description: String =
+      "fork a mutable write-audit-publish branch at the current version"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("branch", StringType))
+    private val out = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      FleetManifest.createBranch(fs, p, name)
+      val base = FleetManifest.branchBase(fs, p, name).get
+      result(out, new GenericInternalRow(Array[Any](str(name), base)))
+    }
+  }
+
+  /** `CALL graft.system.fast_forward('events', 'clean-v2')` — publish
+    * a branch: strict fast-forward (main must still be at the fork
+    * base — an intervening main commit conflicts loudly), the staged
+    * generations adopt into main's sequence verbatim, the branch
+    * retires. Returns the new main head version. */
+  private final class FastForward(dirFor: String => String)
+      extends Base("fast_forward") {
+    override def description: String =
+      "publish a branch onto main (strict fast-forward) and retire it"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("branch", StringType))
+    private val out = StructType(Seq(
+      StructField("main_version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      result(out, new GenericInternalRow(Array[Any](
+        FleetManifest.fastForward(fs, p, name))))
+    }
+  }
+
+  private final class DropBranch(dirFor: String => String)
+      extends Base("drop_branch") {
+    override def description: String =
+      "discard a branch; its staged files fall to remove_orphans"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("branch", StringType))
+    private val out = StructType(Seq(
+      StructField("dropped", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      result(out, new GenericInternalRow(Array[Any](
+        FleetManifest.dropBranch(fs, p, name))))
+    }
+  }
+
+  private final class Branches(dirFor: String => String)
+      extends Base("branches") {
+    override def description: String = "list a fleet's branches"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      result(out, FleetManifest.branches(fs, p).map { case (n, b, h) =>
+        new GenericInternalRow(Array[Any](str(n), b, h))
+      }: _*)
+    }
+  }
+
   private final class RemoveOrphans(dirFor: String => String)
       extends Base("remove_orphans") {
     override def description: String =
@@ -319,7 +410,10 @@ private[sources] object GraftProcedures {
       val (referenced, referencedDvs) =
         FleetManifest.withCommitLock(fs, p) {
           val snaps = FleetManifest.versions(fs, p).flatMap(v =>
-            FleetManifest.snapshotAt(fs, p, v).toSeq)
+            FleetManifest.snapshotAt(fs, p, v).toSeq) ++
+            // a staged branch generation's files are LIVE — published
+            // or dropped decides their fate, never the orphan sweep
+            FleetManifest.branchSnapshots(fs, p)
           // chain vectors reference their parent files transitively —
           // a leaf reached only through a live chain node is LIVE
           (snaps.flatMap(_.files).toSet,

@@ -661,4 +661,79 @@ class CatalogSpec extends SparkSpec {
     assert(spark.read.format("graft-avro")
       .option("versionAsOf", "1").load(s"$a,$b").count() == 20)
   }
+
+  test("write-audit-publish: a branch stages, main never sees, fast_forward publishes") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("wap")
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartition(2).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/t.avro")
+    def sess(): org.apache.spark.sql.SparkSession = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.root", root)
+      s2.conf.set("spark.sql.shuffle.partitions", "4")
+      s2
+    }
+    val main = sess()
+    val audit = sess()
+    main.sql("CALL graft.system.create_branch('t', 'audit')")
+    audit.conf.set("spark.graft.branch", "audit")
+    // stage a cleaning DELETE on the branch
+    audit.sql("DELETE FROM graft.t WHERE id < 10")
+    // the audit session validates the staged state...
+    assert(audit.sql("SELECT count(*) FROM graft.t").as[Long].head() == 90)
+    // ...while main readers never see an intermediate
+    assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 100)
+    assert(spark.read.format("graft-avro").load(s"$root/t.avro")
+      .count() == 100)
+    // staged-but-unpublished files are LIVE: neither the orphan sweep
+    // nor retention may reap a branch generation's files
+    main.sql("CALL graft.system.remove_orphans('t', 0L)")
+    graft.sources.FleetCompact.expireVersions(main, s"$root/t.avro",
+      keepLast = 1)
+    assert(audit.sql("SELECT count(*) FROM graft.t").as[Long].head() == 90,
+      "GC reaped a staged branch generation")
+    // publish: strict fast-forward adopts the staged generations
+    main.sql("CALL graft.system.fast_forward('t', 'audit')")
+    assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 90)
+    assert(main.sql("SELECT min(id) FROM graft.t").as[Long].head() == 10L)
+    // the branch retired with the publish
+    assert(main.sql("CALL graft.system.branches('t')").count() == 0)
+    // the audit session (conf still set) falls through to main now
+    assert(audit.sql("SELECT count(*) FROM graft.t").as[Long].head() == 90)
+  }
+
+  test("a stale fork cannot publish; drop_branch releases its staging to GC") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("wap_conflict")
+    spark.range(50).select($"id")
+      .coalesce(1).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/t.avro")
+    val main = spark.newSession()
+    main.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    main.conf.set("spark.sql.catalog.graft.root", root)
+    val audit = spark.newSession()
+    audit.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    audit.conf.set("spark.sql.catalog.graft.root", root)
+    audit.conf.set("spark.graft.branch", "audit")
+    main.sql("CALL graft.system.create_branch('t', 'audit')")
+    audit.sql("DELETE FROM graft.t WHERE id = 7")
+    // an intervening MAIN commit moves past the fork point
+    main.sql("INSERT INTO graft.t VALUES (999)")
+    val e = intercept[Exception] {
+      main.sql("CALL graft.system.fast_forward('t', 'audit')")
+    }
+    assert(e.getMessage.contains("main is at"), e.getMessage)
+    // the branch is intact (re-stageable); discard it instead
+    assert(main.sql("CALL graft.system.branches('t')").count() == 1)
+    main.sql("CALL graft.system.drop_branch('t', 'audit')")
+    assert(main.sql("CALL graft.system.branches('t')").count() == 0)
+    // its staged post-images are unreferenced now — the orphan sweep
+    // may reap them; main history is untouched
+    main.sql("CALL graft.system.remove_orphans('t', 0L)")
+    assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 51)
+    assert(main.sql("SELECT count(*) FROM graft.t WHERE id = 7")
+      .as[Long].head() == 1)
+  }
 }
