@@ -524,7 +524,7 @@ private[sources] object AvroFleetTable {
   * and lapses to Unknown if any file fails, so a stale marker costs a
   * re-shuffle, never a mis-join. Any NON-clustered write into the
   * directory clears it (that write may interleave keys). */
-private[sources] object FleetLayout {
+private[graft] object FleetLayout {
   val FileName = "_layout.json"
 
   def write(fs: org.apache.hadoop.fs.FileSystem,

@@ -63,7 +63,8 @@ private[sources] object GraftProcedures {
   val Namespace = "system"
   private val names = Seq("snapshots", "expire_versions", "restore",
     "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags",
-    "create_branch", "fast_forward", "drop_branch", "branches")
+    "create_branch", "fast_forward", "drop_branch", "branches",
+    "set_layout")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -85,6 +86,7 @@ private[sources] object GraftProcedures {
       case "create_tag" => new CreateTag(dirFor)
       case "drop_tag" => new DropTag(dirFor)
       case "tags" => new Tags(dirFor)
+      case "set_layout" => new SetLayout(dirFor)
       case "create_branch" => new CreateBranch(dirFor)
       case "fast_forward" => new FastForward(dirFor)
       case "drop_branch" => new DropBranch(dirFor)
@@ -294,6 +296,71 @@ private[sources] object GraftProcedures {
       result(out, FleetManifest.tags(fs, p).map { case (n, v) =>
         new GenericInternalRow(Array[Any](str(n), v))
       }: _*)
+    }
+  }
+
+  /** `CALL graft.system.set_layout('events', 'region_id', 67108864)`
+    * — ESTABLISH the proven clustered layout from pure SQL (r17, the
+    * r16 verdict's #8): the current generation rewrites in place
+    * (same transactional swap as `rewrite_files`) through the
+    * clusterBy writer, which routes each task's rows into one
+    * container per distinct key value — every output file provably
+    * single-key by its sidecar min==max — and records the `_layout`
+    * marker, so optionless scans (including catalog SQL) pick the key
+    * up and `graft.a JOIN graft.b USING (key)` runs EXCHANGE-FREE
+    * without one line of Scala. The storage-partitioned-join earning
+    * path, previously Scala-only via FleetCompact.compactClustered. */
+  private final class SetLayout(dirFor: String => String)
+      extends Base("set_layout") {
+    override def description: String =
+      "re-cluster a fleet in place: one key value per file + layout " +
+        "marker — the SQL path to storage-partitioned joins"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("cluster_by", StringType),
+        param("target_file_bytes", LongType))
+    private val out = StructType(Seq(
+      StructField("rewritten_files", IntegerType, nullable = false),
+      StructField("added_files", IntegerType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val clusterBy = input.getUTF8String(1).toString
+      val targetBytes = input.getLong(2)
+      require(clusterBy.nonEmpty, "set_layout needs a cluster_by column")
+      require(targetBytes > 0, "target_file_bytes must be positive")
+      val s = SparkSession.active
+      val dir = requireFleet(dirFor, table)
+      val (p, fs) = fsFor(dir)
+      val current = FleetManifest.resolve(fs, p, None).getOrElse(
+        AvroFleetCommits.dataFileStatuses(fs, p))
+      if (current.isEmpty)
+        return result(out, new GenericInternalRow(Array[Any](0, 0,
+          FleetManifest.current(fs, p).map(_.version).getOrElse(0L))))
+      val names = current.map(_.getPath.getName)
+      val totalBytes = current.map(_.getLen).sum
+      val shards = math.max(1L,
+        (totalBytes + targetBytes - 1) / targetBytes).toInt
+      val df = s.read.format("graft-avro").load(dir)
+      require(df.schema.fieldNames.contains(clusterBy),
+        s"set_layout: no column '$clusterBy' in fleet '$table' " +
+          s"(schema: ${df.schema.fieldNames.mkString(", ")})")
+      // same mid-flight merge-on-read CAS posture as rewrite_files
+      val dvAtRead = FleetManifest.current(fs, p)
+        .map(_.dvs).getOrElse(Map.empty)
+      df.repartition(shards, col(clusterBy))
+        .write.format("graft-avro").mode("append")
+        .option("clusterBy", clusterBy)
+        .option("manifestSwapRemove", names.mkString(","))
+        .option("manifestRequireDvs", AvroFleetTable.renderRequireDvs(
+          names.map(n => n -> dvAtRead.get(n)).toMap))
+        .save(dir)
+      val committed = FleetManifest.current(fs, p).getOrElse(
+        throw new IllegalStateException(
+          s"set_layout: commit left no manifest at $dir"))
+      val oldNames = names.toSet
+      val added = committed.files.count(!oldNames(_))
+      result(out, new GenericInternalRow(Array[Any](
+        names.size, added, committed.version)))
     }
   }
 

@@ -736,4 +736,56 @@ class CatalogSpec extends SparkSpec {
     assert(main.sql("SELECT count(*) FROM graft.t WHERE id = 7")
       .as[Long].head() == 1)
   }
+
+  test("CALL set_layout re-clusters from pure SQL: the join earns SPJ") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cat_setlayout")
+    // both sides born UNclustered (plain repartition, no marker)
+    spark.range(256)
+      .select(($"id" % 8).as("shard"), $"id".as("a_val"))
+      .repartition(4).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/a.avro")
+    spark.range(8)
+      .select($"id".as("shard"), ($"id" * 100).as("b_val"))
+      .repartition(2).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/b.avro")
+    val s2 = catSession(root)
+    def join() = {
+      val j = s2.sql(
+        """SELECT /*+ MERGE(b) */ a.shard, a.a_val, b.b_val
+          |FROM graft.a a JOIN graft.b b ON a.shard = b.shard"""
+          .stripMargin)
+      j.collect()
+      j
+    }
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          exchanges(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          exchanges(r.child)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          1 + e.children.map(exchanges).sum
+        case other => other.children.map(exchanges).sum
+      })
+    assert(exchanges(join().queryExecution.executedPlan) > 0,
+      "unclustered fleets must shuffle")
+    // one SQL CALL per side re-clusters in place and writes the marker
+    s2.sql("CALL graft.system.set_layout('a', 'shard', 16777216)")
+    s2.sql("CALL graft.system.set_layout('b', 'shard', 16777216)")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("a", "b").foreach { t =>
+      assert(graft.sources.FleetLayout.read(fs,
+        new org.apache.hadoop.fs.Path(s"$root/$t.avro"))
+        .contains("shard"), s"set_layout must record the marker on $t")
+    }
+    val spj = join()
+    assert(spj.collect().length == 256)
+    assert(exchanges(spj.queryExecution.executedPlan) == 0,
+      s"SQL-reclustered fleets must SPJ-join exchange-free:\n" +
+        s"${spj.queryExecution.executedPlan}")
+  }
 }
