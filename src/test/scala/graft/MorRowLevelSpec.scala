@@ -197,8 +197,9 @@ class MorRowLevelSpec extends SparkSpec {
     // parent counts) — no position array anywhere on the driver
     val cnt = spark.read.format("graft-avro").load(fleet)
       .groupBy().count()
-    assert(cnt.queryExecution.executedPlan.toString
-      .contains("PushedAggregation: [COUNT(*)]"))
+    val cntPlan = cnt.queryExecution.executedPlan.toString
+    assert(cntPlan.contains("PushedAggregation(metadata): [COUNT(*)]") ||
+      cntPlan.contains("PushedAggregation: [COUNT(*)]"), cntPlan)
     assert(cnt.as[Long].head() == total - deleted)
     // remove_orphans must NOT reap chain parents (referenced
     // transitively through the live chain nodes)
