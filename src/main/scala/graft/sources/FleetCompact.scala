@@ -120,10 +120,10 @@ object FleetCompact {
         // write-audit-publish pass must survive main retention until
         // published or dropped
         val keptSnaps = kept.flatMap(v =>
-          FleetManifest.snapshotAt(fs, dirPath, v).toSeq) ++
+          FleetManifest.snapshotAtMain(fs, dirPath, v).toSeq) ++
           FleetManifest.branchSnapshots(fs, dirPath)
         val expiredSnaps = expired.flatMap(v =>
-          FleetManifest.snapshotAt(fs, dirPath, v).toSeq)
+          FleetManifest.snapshotAtMain(fs, dirPath, v).toSeq)
         val keptFiles = keptSnaps.flatMap(_.files).toSet
         val candidates = expiredSnaps.flatMap(_.files)
           .distinct.filterNot(keptFiles)

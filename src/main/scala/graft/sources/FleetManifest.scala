@@ -205,11 +205,20 @@ private[graft] object FleetManifest {
         try Some(readCached(fs, fs.getFileStatus(p)))
         catch { case _: java.io.FileNotFoundException => None }
       }
-    branchHit.orElse {
-      val p = vpath(dir, v)
-      try Some(readCached(fs, fs.getFileStatus(p)))
-      catch { case _: java.io.FileNotFoundException => None }
-    }
+    branchHit.orElse(snapshotAtMain(fs, dir, v))
+  }
+
+  /** MAIN-history-only version lookup — what RETENTION must resolve:
+    * a GC pass run from a session with `spark.graft.branch` set must
+    * never compute its reference sets from branch content at a
+    * number a stale fork shares with a since-advanced main (main
+    * version FILES are what it unlinks; branch references enter via
+    * [[branchSnapshots]] explicitly). */
+  def snapshotAtMain(fs: FileSystem, dir: Path, v: Long)
+      : Option[Snapshot] = {
+    val p = vpath(dir, v)
+    try Some(readCached(fs, fs.getFileStatus(p)))
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** The snapshot a reader of `versionAsOf` (None = current) sees —

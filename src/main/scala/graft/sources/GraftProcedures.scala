@@ -477,7 +477,7 @@ private[sources] object GraftProcedures {
       val (referenced, referencedDvs) =
         FleetManifest.withCommitLock(fs, p) {
           val snaps = FleetManifest.versions(fs, p).flatMap(v =>
-            FleetManifest.snapshotAt(fs, p, v).toSeq) ++
+            FleetManifest.snapshotAtMain(fs, p, v).toSeq) ++
             // a staged branch generation's files are LIVE — published
             // or dropped decides their fate, never the orphan sweep
             FleetManifest.branchSnapshots(fs, p)

@@ -725,6 +725,17 @@ class CatalogSpec extends SparkSpec {
       main.sql("CALL graft.system.fast_forward('t', 'audit')")
     }
     assert(e.getMessage.contains("main is at"), e.getMessage)
+    // retention run FROM THE BRANCH SESSION, with main advanced past
+    // the fork so version numbers overlap (main v2 ≠ branch v2): the
+    // reference sets must come from MAIN snapshots (branch refs enter
+    // via the explicit branch pin) — a branch-routed resolution here
+    // would unlink main v2's files
+    graft.sources.FleetCompact.expireVersions(audit, s"$root/t.avro",
+      keepLast = 1)
+    assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 51,
+      "retention under a branch session unlinked main's files")
+    assert(audit.sql("SELECT count(*) FROM graft.t").as[Long].head() == 49,
+      "retention reaped the staged branch generation")
     // the branch is intact (re-stageable); discard it instead
     assert(main.sql("CALL graft.system.branches('t')").count() == 1)
     main.sql("CALL graft.system.drop_branch('t', 'audit')")
