@@ -1283,15 +1283,53 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         case _ => None
       }
 
+    // caller-passed per-file vector instructions (`dvSpec`: the
+    // change-feed image reads, FleetMerge touched loads) address
+    // EXPLICIT file paths the manifest-derived handling below cannot
+    // see — FleetDv.forPath yields nothing for them — and a deltaOnly
+    // spec serves a position DIFFERENCE no tier can represent.
+    // Spec-carrying reads keep the row path, which applies each spec
+    // per task (r16 ADVICE).
+    if (dvSpecs.nonEmpty) return false
+
+    if (agg.groupByExpressions.nonEmpty) {
+      // GROUPED tier (partial pushdown): every task aggregates its
+      // split during the decode and emits one row per group — raw rows
+      // never enter Catalyst — and a file whose sidecar PROVES it holds
+      // a single group (every group column min==max, or all-null)
+      // answers from metadata without being opened. Spark's rewritten
+      // final aggregate merges the per-split partials (min-of-min /
+      // max-of-max / sum-of-count), so semantics are exact for any
+      // fleet; a group-PARTITIONED fleet (the common layout) hits the
+      // metadata path for every file. ABSORBED filters compose: Spark
+      // only attempts aggregate pushdown when no residual filter
+      // remains, and the grouped scan honors the pushed set — skip-
+      // proofs drop excluded files, `alwaysMatches` keeps the metadata
+      // tier only where the filter can't reject a row, and the decode
+      // tier evaluates the filter per record before aggregating (the
+      // ts-range-rollup shape: most files skip or resolve from
+      // sidecars, boundary files decode). DV-SOUND (r17): the planner
+      // forces vectored files onto the decode tier, which skips
+      // vectored positions per record, and only UNvectored files may
+      // resolve from their sidecar row — the tier survives
+      // merge-on-read fleets, decoding only the touched files.
+      val ordered = (c: String) => FleetStats.trackableType(
+        fullSchema(fullSchema.fieldIndex(c)).dataType)
+      val groupCols = agg.groupByExpressions.toSeq.map(colOf)
+      val aggColsOk = specs.flatten.forall {
+        case MetaAggSpec.MinCol(c) => ordered(c)
+        case MetaAggSpec.MaxCol(c) => ordered(c)
+        case _ => true
+      }
+      if (specs.forall(_.isDefined) && aggColsOk &&
+          groupCols.forall(_.exists(ordered))) {
+        groupAgg = Some((groupCols.flatten, specs.flatten))
+        return true
+      }
+      return false
+    }
+
     if (fleetHasDvs) {
-      // caller-passed per-file vector instructions (`dvSpec`: the
-      // change-feed image reads, FleetMerge touched loads) address
-      // EXPLICIT file paths the manifest-derived corrections below
-      // cannot see — FleetDv.forPath yields nothing for them — and a
-      // deltaOnly spec serves a position DIFFERENCE no constant can
-      // correct. Spec-carrying reads keep the row path, which applies
-      // each spec per task (r16 ADVICE).
-      if (dvSpecs.nonEmpty) return false
       val s = SparkSession.active
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         s.sessionState.newHadoopConf())
@@ -1365,39 +1403,6 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       dvCountAdjust = totalDeleted
       countStars = agg.aggregateExpressions.length
       return true
-    }
-
-    if (agg.groupByExpressions.nonEmpty) {
-      // GROUPED tier (partial pushdown): every task aggregates its
-      // split during the decode and emits one row per group — raw rows
-      // never enter Catalyst — and a file whose sidecar PROVES it holds
-      // a single group (every group column min==max, or all-null)
-      // answers from metadata without being opened. Spark's rewritten
-      // final aggregate merges the per-split partials (min-of-min /
-      // max-of-max / sum-of-count), so semantics are exact for any
-      // fleet; a group-PARTITIONED fleet (the common layout) hits the
-      // metadata path for every file. ABSORBED filters compose: Spark
-      // only attempts aggregate pushdown when no residual filter
-      // remains, and the grouped scan honors the pushed set — skip-
-      // proofs drop excluded files, `alwaysMatches` keeps the metadata
-      // tier only where the filter can't reject a row, and the decode
-      // tier evaluates the filter per record before aggregating (the
-      // ts-range-rollup shape: most files skip or resolve from
-      // sidecars, boundary files decode).
-      val ordered = (c: String) => FleetStats.trackableType(
-        fullSchema(fullSchema.fieldIndex(c)).dataType)
-      val groupCols = agg.groupByExpressions.toSeq.map(colOf)
-      val aggColsOk = specs.flatten.forall {
-        case MetaAggSpec.MinCol(c) => ordered(c)
-        case MetaAggSpec.MaxCol(c) => ordered(c)
-        case _ => true
-      }
-      if (specs.forall(_.isDefined) && aggColsOk &&
-          groupCols.forall(_.exists(ordered))) {
-        groupAgg = Some((groupCols.flatten, specs.flatten))
-        return true
-      }
-      return false
     }
 
     // the ungrouped tiers answer from sidecars / block headers alone —
@@ -2257,6 +2262,19 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // deletion-vector bindings: a VECTORED file's sidecar row is
+    // stale (counts/extrema include deleted rows), so such files are
+    // forced onto the decode tier, which aggregates exactly the live
+    // rows under the vector — the grouped pushdown survives
+    // merge-on-read fleets at the cost of decoding only the TOUCHED
+    // files. Skip-proofs stay sound (deletion only shrinks a file's
+    // value set, so neverMatches can't wrongly drop a live row).
+    val s = SparkSession.active
+    val dvByFull = FleetDv.forPath(s, path, versionAsOf)
+    val fs2 = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      s.sessionState.newHadoopConf())
+    def vectored(st: org.apache.hadoop.fs.FileStatus) =
+      dvByFull.contains(fs2.makeQualified(st.getPath).toString)
     // skip tier first: a file the filter provably can't match
     // contributes no partial row and is never scheduled
     val surviving = fleet.sortBy(_.getPath.toString).filterNot(st =>
@@ -2264,14 +2282,18 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
         fleetStats.get(st.getPath.toString).exists(ps =>
           filters.exists(FleetStats.neverMatches(_, ps))))
     val (meta, decode) = surviving.partition(st =>
-      fleetStats.get(st.getPath.toString).exists(ps =>
+      !vectored(st) && fleetStats.get(st.getPath.toString).exists(ps =>
         metaRow(ps).isDefined))
     val metaParts = meta.flatMap { st =>
       Option(metaRow(fleetStats(st.getPath.toString)).get) // null = empty
         .map(GroupMetaPartition)
     }
+    val byPath = decode.flatMap { st =>
+      dvByFull.get(fs2.makeQualified(st.getPath).toString)
+        .map(full => st.getPath.toString -> DvPartSpec(full))
+    }.toMap
     metaParts.toArray[InputPartition] ++
-      AvroFleetScan.planSplits(decode, maxFileBytes)
+      AvroFleetScan.planSplits(decode, maxFileBytes, byPath)
   }
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -2350,15 +2372,32 @@ private[sources] class AvroFleetGroupAggReaderFactory(
         datumReader.setExpected(effective)
         val byName = effective.getFields.asScala.toSeq
           .map(f => (f.name(), f.schema())).toMap
+        // the split's deletion vector (exclude mode — the planner
+        // forces vectored files onto this decode tier, never the
+        // stale sidecar row): aggregate exactly the LIVE rows, with
+        // the same previousSync-before-next position tracking as the
+        // row path (sampling after next() misattributes each block's
+        // last record — the FleetDvSpec split-stability contract)
+        val dv = part.dv match {
+          case Some(spec) => FleetDv.readPath(fs,
+            new org.apache.hadoop.fs.Path(spec.newDv))
+          case None => FleetDv.Deleted.empty
+        }
+        var curSync = Long.MinValue
+        var curRidx = -1L
         // insertion-ordered so partial-row order is deterministic
         val groups = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
         stream.sync(part.start)
         while (stream.hasNext && !stream.pastSync(part.end)) {
+          val ps = stream.previousSync()
           val rec = stream.next()
+          if (ps != curSync) { curSync = ps; curRidx = 0L }
+          else curRidx += 1L
           def v(c: String): Any = Avro.fromAvroValue(rec.get(c), byName(c))
           // absorbed filters gate the aggregation — same evaluator as
           // the row path, so tier choice can never change results
-          if (filters.isEmpty || filters.forall(FleetFilters.eval(_, v))) {
+          if (!dv.contains(curSync, curRidx) &&
+              (filters.isEmpty || filters.forall(FleetFilters.eval(_, v)))) {
           val key = groupCols.map(v)
           var buf = groups.get(key)
           if (buf == null) {

@@ -192,6 +192,47 @@ class FleetDvSpec extends SparkSpec {
     assert(bothRow.getLong(0) == 198L && bothRow.getLong(1) == 199L)
   }
 
+  test("grouped aggregate pushdown survives vectors: touched files decode, rest resolve") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("dv_groupagg") + "/t.avro"
+    // one file per group (clusterBy) — the layout whose sidecars
+    // single-group-prove every file
+    spark.range(400)
+      .select(($"id" % 4).as("k"), $"id".as("x"))
+      .repartition(4, $"k")
+      .write.format("graft-avro").option("clusterBy", "k")
+      .mode("overwrite").save(dir)
+    val (fs, p) = fsOf(dir)
+    // vector group 2's rows x=2 and x=6 (2 and 6 ≡ 2 mod 4), one the
+    // group minimum
+    val rows = spark.read.format("graft-avro").load(dir)
+      .select($"x", col("_file"), col("_sync"), col("_ridx")).collect()
+      .map(r => r.getLong(0) ->
+        (new org.apache.hadoop.fs.Path(r.getString(1)).getName,
+          r.getLong(2), r.getLong(3))).toMap
+    val victimFile = rows(2L)._1
+    assert(rows(6L)._1 == victimFile)
+    val dv = FleetDv.write(fs, p, victimFile,
+      FleetDv.Deleted.of(Seq(2L, 6L).map(id =>
+        (rows(id)._2, rows(id)._3))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(victimFile -> Some(dv)))
+    val agg = spark.read.format("graft-avro").load(dir)
+      .groupBy($"k").agg(count("*").as("cnt"), min($"x").as("mn"),
+        max($"x").as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation(grouped)"),
+      s"grouped pushdown must survive a vectored fleet:\n$plan")
+    val got = agg.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // group 2 decoded under its vector: 98 live rows, min moves 2 → 10
+    assert(got(2L) == (98L, 10L, 398L), s"${got(2L)}")
+    // untouched groups exact (metadata-resolved)
+    assert(got(0L) == (100L, 0L, 396L))
+    assert(got(1L) == (100L, 1L, 397L))
+    assert(got(3L) == (100L, 3L, 399L))
+  }
+
   test("a vectored clustered fleet still SPJ-joins exchange-free, rows hidden") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("dv_spj")
