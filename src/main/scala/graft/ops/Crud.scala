@@ -322,6 +322,25 @@ object Crud {
         |FROM graft.cust""".stripMargin)
   }
 
+  /** §2.A GROUPED aggregate pushdown on a VECTORED fleet (r17): after
+    * a scattered merge-on-read DELETE, `GROUP BY shard` still pushes —
+    * vectored files decode their live rows in-task (positions skipped
+    * per record), unvectored files resolve from their single-group
+    * sidecar row without being opened. The oracle recomputes the
+    * rollup from the mutated relation, so a stale sidecar leaking into
+    * a vectored group, or a vector applied to the wrong file,
+    * hash-mismatches. At 100 TB: the daily rollup over a
+    * redaction-scarred fleet decodes only the touched files. */
+  def qFleetAggMorGroup(s: SparkSession, dir: String): DataFrame = {
+    val s2 = stagedFleetSession(s, dir, "morgroup", clustered = true)
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 10 = 4")
+    s2.sql(
+      """SELECT shard, count(*) AS cnt, min(c_custkey) AS min_key,
+        |  max(c_custkey) AS max_key
+        |FROM graft.cust GROUP BY shard ORDER BY shard""".stripMargin)
+  }
+
   /** §1.1 WRITE-AUDIT-PUBLISH (r17, the r16 verdict's #6) — branches
     * as mutable refs over the manifest log: fork (`create_branch`),
     * stage a cleaning DELETE with `spark.graft.branch` set (commits
@@ -794,6 +813,7 @@ object Crud {
     "q_sql_delete_fleet_mor" -> qSqlDeleteFleetMor _,
     "q_fleet_agg_mor_minmax" -> qFleetAggMorMinmax _,
     "q_fleet_wap" -> qFleetWap _,
+    "q_fleet_agg_mor_group" -> qFleetAggMorGroup _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
     "q_sql_merge_fleet" -> qSqlMergeFleet _,
     "q_sql_timetravel" -> qSqlTimeTravel _,
@@ -980,6 +1000,11 @@ object Crud {
         |  max(c_name) AS max_name
         |FROM customer
         |WHERE NOT (c_custkey >= 300 AND c_custkey < 400)""".stripMargin,
+    "q_fleet_agg_mor_group" ->
+      """SELECT c_custkey % 8 AS shard, count(*) AS cnt,
+        |  min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM customer WHERE c_custkey % 10 <> 4
+        |GROUP BY 1 ORDER BY shard""".stripMargin,
     // WAP: the published relation, plus the count a MAIN reader saw
     // while the branch still held the staged delete (the whole table —
     // isolation is hash-pinned, not just asserted in a spec)

@@ -206,6 +206,7 @@ class ScaleSpec extends SparkSpec {
       "q_fleet_changes_stream" -> "runs a streaming query (the change-feed source IS the operator)",
       "q_fleet_changes_stream_keyed" -> "runs a streaming query (the per-batch keyed reconciliation IS the operator)",
       "q_fleet_agg_mor_minmax" -> "stages a fleet + merge-on-read DELETE (the vectored metadata tier IS the operator)",
+      "q_fleet_agg_mor_group" -> "stages a fleet + merge-on-read DELETE (the vectored grouped tier IS the operator)",
       "q_fleet_wap" -> "stages a fleet + branch + staged DELETE + fast_forward (the write-audit-publish loop IS the operator)",
       "q_fleet_mv_minmax" -> "stages a fleet + view + DELETE/INSERT (the extremum refresh IS the operator)",
       "q_fleet_mv" -> "stages a fleet + view build + verbs + incremental refresh (the maintenance IS the operator)",
