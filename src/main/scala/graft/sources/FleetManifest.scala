@@ -433,7 +433,10 @@ private[graft] object FleetManifest {
   def createTag(fs: FileSystem, dir: Path, name: String,
       version: Long): Unit = withCommitLock(fs, dir) {
     val p = tagPath(dir, name)
-    require(snapshotAt(fs, dir, version).isDefined,
+    // tags are MAIN refs: validate against main history only — under
+    // an active branch session a branch-routed lookup would let a tag
+    // pin a STAGED version number that drop_branch later dangles
+    require(snapshotAtMain(fs, dir, version).isDefined,
       s"create_tag: no manifest version $version at $dir (available: " +
         s"${versions(fs, dir).mkString(", ")})")
     fs.mkdirs(tagsDir(dir))
