@@ -153,7 +153,10 @@ private[sources] object GraftProcedures {
       val (p, fs) = fsFor(dir)
       val vs = FleetManifest.versions(fs, p)
       val rows = vs.map { v =>
-        val snap = FleetManifest.snapshotAt(fs, p, v)
+        // MAIN history by name: the listing iterates main versions, so
+        // a branch-routed lookup under spark.graft.branch would pair a
+        // main number with branch content when a stale fork overlaps
+        val snap = FleetManifest.snapshotAtMain(fs, p, v)
         val files = snap.map(_.files.size).getOrElse(0)
         val dvs = snap.map(_.dvs.size).getOrElse(0)
         // commit metadata surfaces as a compact JSON column (null
