@@ -348,6 +348,35 @@ class FleetDvSpec extends SparkSpec {
     assert(FleetDv.expandRefs(fs, p, Set(l1)) == Set(l1))
   }
 
+  test("a chain binding reads identically whole and split") {
+    import spark.implicits._
+    val dir = bigFleet("chain_split")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    // two leaves spanning several blocks, chained
+    val l1 = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(0L, 1L, 9999L).map(full)))
+    val l2 = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(5000L, 19999L).map(full)))
+    val chain = FleetDv.writeChain(fs, p, dataFile, Seq(l1, l2), 5L)
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(chain)))
+    val victims = Set(0L, 1L, 9999L, 5000L, 19999L)
+    val whole = spark.read.format("graft-avro").load(dir)
+      .select($"id").as[Long].collect().toSet
+    assert(whole.size == 20000 - 5 && victims.forall(!whole(_)))
+    // byte-range splits: every split resolves the same chain and
+    // skips exactly its own blocks' positions
+    val split = spark.read.format("graft-avro")
+      .option("maxFileBytes", 64 * 1024).load(dir)
+      .select($"id").as[Long].collect().toSet
+    assert(split == whole, "split read drifted under a chain binding")
+    // count fast path corrects from the chain header across splits
+    assert(spark.read.format("graft-avro")
+      .option("maxFileBytes", 64 * 1024).load(dir).count() == 20000 - 5)
+  }
+
   test("count(*) on a dvSpec read declines pushdown and applies the spec") {
     import spark.implicits._
     val dir = bigFleet("dvspec_count")

@@ -514,4 +514,36 @@ class MorRowLevelSpec extends SparkSpec {
       "an all-rows-match delete must drop files, not write vectors")
     assert(snap.files.size < before.size)
   }
+
+  test("a branch stages merge-on-read deletes; publish carries the bindings") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("wap_mor")
+    val fleet = s"$root/cust.avro"
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    s2.sql("CALL graft.system.create_branch('cust', 'redact')")
+    s2.conf.set("spark.graft.branch", "redact")
+    // the staged redaction lands as BRANCH-bound deletion vectors
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 7 = 3")
+    val staged = s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+    assert(staged < total)
+    // main: no vectors, no hidden rows
+    assert(spark.read.format("graft-avro").load(fleet).count() == total)
+    assert(manifest(fleet).dvs.isEmpty,
+      "a staged MOR delete must not bind vectors on MAIN")
+    // the orphan sweep must keep branch-referenced vector files
+    s2.conf.unset("spark.graft.branch")
+    s2.sql("CALL graft.system.remove_orphans('cust', 0L)")
+    s2.conf.set("spark.graft.branch", "redact")
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+      == staged, "remove_orphans reaped a branch-staged vector")
+    // publish: main adopts the vectored generation
+    s2.conf.unset("spark.graft.branch")
+    s2.sql("CALL graft.system.fast_forward('cust', 'redact')")
+    assert(manifest(fleet).dvs.nonEmpty,
+      "fast_forward must carry the staged vector bindings to main")
+    val published = s2.sql("SELECT c_custkey FROM graft.cust")
+      .as[Long].collect().toSet
+    assert(published.size.toLong == staged)
+    assert(published.forall(_ % 7 != 3))
+  }
 }
