@@ -799,4 +799,41 @@ class CatalogSpec extends SparkSpec {
       s"SQL-reclustered fleets must SPJ-join exchange-free:\n" +
         s"${spj.queryExecution.executedPlan}")
   }
+
+  test("two branches coexist; publishing one stales the other's fork") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("wap_two")
+    spark.range(60).select($"id")
+      .coalesce(1).write.format("graft-avro")
+      .mode("overwrite").save(s"$root/t.avro")
+    def sess(branch: Option[String]) = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.root", root)
+      branch.foreach(b => s2.conf.set("spark.graft.branch", b))
+      s2
+    }
+    val main = sess(None)
+    main.sql("CALL graft.system.create_branch('t', 'a')")
+    main.sql("CALL graft.system.create_branch('t', 'b')")
+    val sa = sess(Some("a"))
+    val sb = sess(Some("b"))
+    sa.sql("DELETE FROM graft.t WHERE id < 10")
+    sb.sql("DELETE FROM graft.t WHERE id >= 50")
+    // three isolated views of one fleet
+    assert(sa.sql("SELECT count(*) FROM graft.t").as[Long].head() == 50)
+    assert(sb.sql("SELECT count(*) FROM graft.t").as[Long].head() == 50)
+    assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 60)
+    assert(main.sql("CALL graft.system.branches('t')").count() == 2)
+    // publish A: main adopts its staging; B's fork base is now stale
+    main.sql("CALL graft.system.fast_forward('t', 'a')")
+    assert(main.sql("SELECT min(id) FROM graft.t").as[Long].head() == 10L)
+    val e = intercept[Exception] {
+      main.sql("CALL graft.system.fast_forward('t', 'b')")
+    }
+    assert(e.getMessage.contains("main is at"), e.getMessage)
+    main.sql("CALL graft.system.drop_branch('t', 'b')")
+    assert(main.sql("CALL graft.system.branches('t')").count() == 0)
+    assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 50)
+  }
 }
