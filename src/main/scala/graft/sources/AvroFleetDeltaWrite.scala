@@ -208,7 +208,18 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
               FleetDv.write(f, p, name, sources
                 .map(FleetDv.read(f, p, _))
                 .reduce(_ union _))
-            } else FleetDv.writeChain(f, p, name, sources, total)
+            } else {
+              // FLAT chain: an existing chain contributes its PARENT
+              // names, not itself — the binding stays one node + k
+              // leaves after any number of over-budget commits, so
+              // per-task resolution cost never compounds (name-only
+              // splice, still zero positions on the driver)
+              val parents = sources.flatMap { rel =>
+                val ps = FleetDv.chainParents(f, p, rel)
+                if (ps.isEmpty) Seq(rel) else ps
+              }
+              FleetDv.writeChain(f, p, name, parents, total)
+            }
           name -> Some(bound)
         }
       val requireDvs: Map[String, Option[String]] =

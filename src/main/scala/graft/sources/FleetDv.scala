@@ -390,6 +390,17 @@ private[graft] object FleetDv {
     }
   }
 
+  /** A chain node's immediate parent names (empty for leaves) — lets
+    * the merge-on-read committer keep chains FLAT: binding over an
+    * existing chain splices its parents instead of nesting, so a
+    * vector stays one node + k leaves after any number of over-budget
+    * commits (read cost never compounds with commit count). One tiny
+    * JSON read; never positions. */
+  def chainParents(fs: FileSystem, fleet: Path,
+      relName: String): Seq[String] =
+    if (!relName.endsWith(".dv.chain.json")) Seq.empty
+    else parseChain(readText(fs, new Path(fleet, relName)), relName)._2
+
   /** Expand a set of fleet-relative vector names to include every
     * chain PARENT, transitively — the reference set GC must treat as
     * live (deleting a leaf still referenced through a live chain node

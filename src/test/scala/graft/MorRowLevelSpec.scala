@@ -181,17 +181,29 @@ class MorRowLevelSpec extends SparkSpec {
     val total = spark.read.format("graft-avro").load(fleet).count()
     s2.sql("DELETE FROM graft.cust WHERE c_custkey % 5 = 0")
     s2.sql("DELETE FROM graft.cust WHERE c_custkey % 5 = 1")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 5 = 2")
     val snap = manifest(fleet)
     assert(snap.dvs.nonEmpty)
     assert(snap.dvs.values.exists(_.endsWith(".dv.chain.json")),
       s"a second over-budget delete must bind chain nodes: ${snap.dvs}")
+    // chains stay FLAT: a third over-budget commit splices the prior
+    // chain's parents instead of nesting — resolution cost is one
+    // node + k leaves at any commit count
+    val p2 = new org.apache.hadoop.fs.Path(fleet)
+    val fs2 = p2.getFileSystem(spark.sessionState.newHadoopConf())
+    snap.dvs.values.filter(_.endsWith(".dv.chain.json")).foreach { rel =>
+      val parents = graft.sources.FleetDv.chainParents(fs2, p2, rel)
+      assert(parents.nonEmpty &&
+        parents.forall(_.endsWith(".dv.bin")),
+        s"chain must reference leaves only (flat): $rel -> $parents")
+    }
     // reads union the chain in-task: remaining rows exact
     val remaining = s2.sql("SELECT c_custkey FROM graft.cust")
       .as[Long].collect().toSet
-    assert(remaining.forall(k => k % 5 != 0 && k % 5 != 1))
+    assert(remaining.forall(_ % 5 > 2))
     val deleted = spark.read.format("graft-avro")
       .option("versionAsOf", "1").load(fleet)
-      .filter($"c_custkey" % 5 === 0 || $"c_custkey" % 5 === 1).count()
+      .filter($"c_custkey" % 5 <= 2).count()
     assert(remaining.size.toLong == total - deleted)
     // the count(*) fast path corrects from chain HEADERS (summed
     // parent counts) — no position array anywhere on the driver
