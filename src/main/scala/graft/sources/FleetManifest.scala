@@ -381,13 +381,20 @@ private[graft] object FleetManifest {
         throw new IllegalArgumentException(
           s"fast_forward: no branch '$name' at $dir (branches: " +
             s"${branches(fs, dir).map(_._1).mkString(", ")})"))
-      val mainV = mainCurrent(fs, dir).map(_.version).getOrElse(0L)
-      if (mainV != base) throw new FleetCommitConflictException(
-        s"fast_forward '$name' at $dir: branch forked at v$base but " +
-          s"main is at v$mainV — a concurrent main commit landed; " +
-          "re-create the branch from the current generation and " +
-          "re-stage the work")
       val staged = branchVersionStatuses(fs, dir, name)
+      val head = staged.lastOption.map(_._1).getOrElse(base)
+      // main may sit anywhere in [base, head] — AT base on a clean
+      // publish, PAST it after a crashed partial publish being re-run
+      // (adoption below verifies each existing version is OURS, so a
+      // foreign commit at any of those numbers still conflicts). Past
+      // the staged head it is definitely a foreign commit.
+      val mainV = mainCurrent(fs, dir).map(_.version).getOrElse(0L)
+      if (mainV < base || mainV > head)
+        throw new FleetCommitConflictException(
+          s"fast_forward '$name' at $dir: branch forked at v$base " +
+            s"(staged through v$head) but main is at v$mainV — a " +
+            "concurrent main commit landed; re-create the branch " +
+            "from the current generation and re-stage the work")
       staged.foreach { case (v, st) =>
         val snap = readCached(fs, st)
         val dest = vpath(dir, v)
@@ -403,7 +410,6 @@ private[graft] object FleetManifest {
             s"fast_forward '$name' at $dir: lost the claim on v$v — " +
               "a concurrent main commit raced the publish")
       }
-      val head = staged.lastOption.map(_._1).getOrElse(base)
       fs.delete(branchRef(dir, name), false)
       fs.delete(branchVDir(dir, name), true)
       head

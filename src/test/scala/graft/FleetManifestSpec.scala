@@ -533,4 +533,58 @@ class FleetManifestSpec extends SparkSpec {
         s"manifest references unlinked file $n")
     }
   }
+
+  test("fast_forward re-runs idempotently across a crashed partial publish") {
+    import spark.implicits._
+    import graft.sources.{FleetManifest, FleetCommitConflictException}
+    val root = graft.util.Scratch.dir("ff_crash")
+    val dir = s"$root/t.avro"
+    spark.range(30).select($"id").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    FleetManifest.createBranch(fs, p, "stage")
+    val base = FleetManifest.branchBase(fs, p, "stage").get
+    // two staged branch commits
+    val sb = spark.newSession()
+    sb.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    sb.conf.set("spark.sql.catalog.graft.root", root)
+    sb.conf.set("spark.graft.branch", "stage")
+    sb.sql("DELETE FROM graft.t WHERE id < 5")
+    sb.sql("INSERT INTO graft.t VALUES (777)")
+    // SIMULATED CRASH mid-publish: the first staged version already
+    // adopted into main, the ref still present
+    val vFirst = base + 1
+    val branchFile = new org.apache.hadoop.fs.Path(p,
+      f"_manifest/branches/stage/v$vFirst%020d.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      fs.getFileStatus(branchFile), fs,
+      FleetManifest.versionFilePath(p, vFirst), false, false,
+      spark.sessionState.newHadoopConf())
+    assert(FleetManifest.mainCurrent(fs, p).get.version == vFirst)
+    // the re-run completes the publish instead of conflicting
+    val head = FleetManifest.fastForward(fs, p, "stage")
+    assert(head == base + 2)
+    val rows = spark.read.format("graft-avro").load(dir)
+      .select($"id").as[Long].collect().toSet
+    assert(rows == ((5L until 30L).toSet + 777L), s"$rows")
+    assert(FleetManifest.branches(fs, p).isEmpty)
+    // ...but a FOREIGN commit at an overlapping number still conflicts
+    FleetManifest.createBranch(fs, p, "stage2")
+    val sb2 = spark.newSession()
+    sb2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    sb2.conf.set("spark.sql.catalog.graft.root", root)
+    sb2.conf.set("spark.graft.branch", "stage2")
+    sb2.sql("DELETE FROM graft.t WHERE id = 7")
+    // a concurrent MAIN commit lands at the number the branch staged
+    val mainS = spark.newSession()
+    mainS.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    mainS.conf.set("spark.sql.catalog.graft.root", root)
+    mainS.sql("INSERT INTO graft.t VALUES (888)")
+    val e = intercept[FleetCommitConflictException] {
+      FleetManifest.fastForward(fs, p, "stage2")
+    }
+    assert(e.getMessage.contains("different content") ||
+      e.getMessage.contains("main is at"), e.getMessage)
+  }
 }
