@@ -333,6 +333,23 @@ private[sources] class AvroFleetCdcMicroBatchStream(
   private def fs = p.getFileSystem(conf.value)
 
   private def currentVersion(): Long = {
+    // the change feed tails MAIN generations (offsets are main version
+    // numbers); a session whose spark.graft.branch exists at this
+    // fleet reads the BRANCH through every batch surface, so silently
+    // feeding it main's changes would mix the two histories — fail
+    // with the remedy instead
+    try org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s => Option(s.conf.get("spark.graft.branch", null)))
+      .map(_.trim).filter(_.nonEmpty).foreach { b =>
+        if (FleetManifest.branchBase(fs, p, b).isDefined)
+          throw new IllegalStateException(
+            s"readChangeFeed: fleet at $path has an active branch " +
+              s"'$b' in this session (spark.graft.branch) — the " +
+              "change feed follows MAIN history only; unset the " +
+              "branch conf (or publish/drop the branch) to stream")
+      }
+    catch { case e: IllegalStateException => throw e
+            case scala.util.control.NonFatal(_) => () }
     val vs = FleetManifest.versions(fs, p)
     if (vs.isEmpty) throw new IllegalStateException(
       s"readChangeFeed: fleet at $path has no manifest history — " +

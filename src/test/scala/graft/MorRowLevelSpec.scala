@@ -558,4 +558,33 @@ class MorRowLevelSpec extends SparkSpec {
     assert(published.size.toLong == staged)
     assert(published.forall(_ % 7 != 3))
   }
+
+  test("readChangeFeed refuses a session with an active branch on the fleet") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("cdc_branch")
+    val fleet = s"$root/cust.avro"
+    s2.sql("CALL graft.system.create_branch('cust', 'wip')")
+    s2.conf.set("spark.graft.branch", "wip")
+    val q = s2.readStream.format("graft-avro")
+      .option("readChangeFeed", "true").load(fleet)
+      .writeStream.format("memory").queryName("cdc_branch_guard")
+      .option("checkpointLocation", graft.util.Scratch.dir("cdcbr_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("active branch") ||
+      Option(e.getCause).exists(_.getMessage.contains("active branch")),
+      e.getMessage)
+    // unset → the feed streams main as documented
+    s2.conf.unset("spark.graft.branch")
+    val q2 = s2.readStream.format("graft-avro")
+      .option("readChangeFeed", "true").load(fleet)
+      .writeStream.format("memory").queryName("cdc_branch_ok")
+      .option("checkpointLocation", graft.util.Scratch.dir("cdcbr_ckpt2"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(60000)
+  }
 }
