@@ -587,4 +587,43 @@ class MorRowLevelSpec extends SparkSpec {
       .start()
     q2.awaitTermination(60000)
   }
+
+  test("concurrent over-budget deletes contend on flat chains: none lost") {
+    import spark.implicits._
+    val (root, _) = freshFleet("chainrace")
+    val fleet = s"$root/cust.avro"
+    // budget 1: every contended merge takes the CHAIN path — the flat
+    // splice reads the current binding's parent NAMES inside the
+    // commit lock, so racing writers must neither lose a leaf nor nest
+    val residues = 0 until 6
+    val threads = residues.map { r =>
+      new Thread(() => {
+        val sx = spark.newSession()
+        sx.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+        sx.conf.set("spark.sql.catalog.graft.root", root)
+        sx.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+        sx.conf.set("spark.graft.dv.coalesceBudget", "1")
+        sx.sql(s"DELETE FROM graft.cust WHERE c_custkey % 12 = $r")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val left = spark.read.format("graft-avro").load(fleet)
+      .select($"c_custkey").as[Long].collect()
+    assert(left.forall(_ % 12 >= 6),
+      s"lost contended chain deletes: ${left.filter(_ % 12 < 6).take(5).toSeq}")
+    val expected = spark.read.format("graft-avro")
+      .option("versionAsOf", 1).load(fleet)
+      .filter($"c_custkey" % 12 >= 6).count()
+    assert(left.length.toLong == expected)
+    // every surviving chain binding is FLAT (leaves only)
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    manifest(fleet).dvs.values
+      .filter(_.endsWith(".dv.chain.json")).foreach { rel =>
+        val parents = graft.sources.FleetDv.chainParents(fs, p, rel)
+        assert(parents.forall(_.endsWith(".dv.bin")),
+          s"contended chain nested: $rel -> $parents")
+      }
+  }
 }
