@@ -588,7 +588,59 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
 
   override def truncate(): WriteBuilder = { truncateFleet = true; this }
 
-  override def build(): Write = new Write {
+  /** A plain APPEND into a fleet carrying a `_layout` marker ADOPTS
+    * the marker's cluster key (r17): the write routes one container
+    * per key value and re-records the marker, so `INSERT INTO
+    * graft.clustered` from pure SQL KEEPS the storage-partitioned
+    * layout instead of clearing it (the r14-r16 lapse: any optionless
+    * write fragmented the layout and the next join re-shuffled).
+    * Explicit `option("clusterBy")`, INSERT OVERWRITE (the new data
+    * may deliberately re-shape), swap writes (maintenance passes
+    * stage their own partitioning), and writes whose schema lacks the
+    * marker column all behave exactly as before. */
+  private lazy val adoptedClusterBy: Option[String] =
+    if (truncateFleet ||
+        info.options.containsKey("clusterBy") ||
+        info.options.containsKey("manifestSwapRemove")) None
+    else {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      try FleetLayout.read(p.getFileSystem(
+          SparkSession.active.sessionState.newHadoopConf()), p)
+        .filter { c =>
+          info.schema().fieldNames.contains(c) &&
+            FleetStats.trackableType(
+              info.schema()(info.schema().fieldIndex(c)).dataType)
+        }
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+    /** Adopted-key appends ask Spark for a CLUSTERED distribution on
+      * the key, so the INSERT shuffles by key (AQE-sized) and each
+      * task's rows collapse into ONE container per key instead of one
+      * per (task, key) — the layout survives without fragmenting.
+      * Explicit-clusterBy callers staged their own partitioning and
+      * get no new requirement (their plans are pinned by specs). */
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      adoptedClusterBy match {
+        case Some(c) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .identity(c)))
+        case None =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+      }
+
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
+
+    override def requiredNumPartitions(): Int = 0
     /** Native STREAMING sink (`df.writeStream.format("graft-avro")`,
       * append mode): epoch-keyed EXACTLY-ONCE — every task's final
       * name is `part-{pid}-e{epoch}.avro`, deterministic per
@@ -633,13 +685,15 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
       // join on the key run exchange-free (storage-partitioned join).
       // Validated at plan time: the column must exist and be a
       // stats-trackable scalar (the sidecar min==max IS the key proof).
+      // An optionless append into a marker-bearing fleet ADOPTS the
+      // marker's key (adoptedClusterBy — already schema/type-checked).
       val clusterIdx = Option(info.options.get("clusterBy")).map { c =>
         val i = info.schema().fieldIndex(c) // throws with a field list
         require(FleetStats.trackableType(info.schema()(i).dataType),
           s"clusterBy column '$c' has untrackable type " +
             s"${info.schema()(i).dataType.simpleString}")
         i
-      }
+      }.orElse(adoptedClusterBy.map(info.schema().fieldIndex))
       val codec = Option(info.options.get("codec")).getOrElse("")
       AvroFleetDataWriter.codecFor(codec) // plan-time validation
       // copy-on-write swap: a maintenance pass (FleetMerge) appends

@@ -838,4 +838,48 @@ class CatalogSpec extends SparkSpec {
     assert(main.sql("CALL graft.system.branches('t')").count() == 0)
     assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 50)
   }
+
+  test("INSERT INTO a clustered fleet adopts the layout: SPJ survives plain SQL writes") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cat_insert_layout")
+    def mk(name: String, rows: Long): Unit =
+      spark.range(rows).select(($"id" % 4).as("shard"),
+          ($"id" * 10).as(s"v_$name"))
+        .repartition(4, $"shard").write.format("graft-avro")
+        .option("clusterBy", "shard").mode("overwrite")
+        .save(s"$root/$name.avro")
+    mk("fa", 80)
+    mk("fb", 8)
+    val s2 = catSession(root)
+    // a PLAIN optionless INSERT previously cleared the marker and
+    // fragmented the layout; it now ADOPTS the key — files stay
+    // single-key and the marker survives
+    s2.sql("INSERT INTO graft.fa VALUES (0, 900), (1, 901), (2, 902)")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(graft.sources.FleetLayout.read(fs,
+      new org.apache.hadoop.fs.Path(s"$root/fa.avro")).contains("shard"),
+      "an adopted-layout INSERT must keep the marker")
+    val joined = s2.sql(
+      """SELECT /*+ MERGE(b) */ a.shard, a.v_fa, b.v_fb
+        |FROM graft.fa a JOIN graft.fb b ON a.shard = b.shard"""
+        .stripMargin)
+    val n = joined.collect().length
+    assert(n == (80 + 3) * 2, s"rows after insert: $n") // 2 fb rows/shard
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => exchanges(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          exchanges(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          exchanges(r.child)
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          1 + e.children.map(exchanges).sum
+        case other => other.children.map(exchanges).sum
+      })
+    assert(exchanges(joined.queryExecution.executedPlan) == 0,
+      s"the layout must survive a plain INSERT:\n" +
+        s"${joined.queryExecution.executedPlan}")
+  }
 }
