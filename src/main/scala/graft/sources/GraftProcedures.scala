@@ -64,7 +64,7 @@ private[sources] object GraftProcedures {
   private val names = Seq("snapshots", "expire_versions", "restore",
     "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags",
     "create_branch", "fast_forward", "drop_branch", "branches",
-    "set_layout")
+    "set_layout", "compact_vectors")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -87,6 +87,7 @@ private[sources] object GraftProcedures {
       case "drop_tag" => new DropTag(dirFor)
       case "tags" => new Tags(dirFor)
       case "set_layout" => new SetLayout(dirFor)
+      case "compact_vectors" => new CompactVectors(dirFor)
       case "create_branch" => new CreateBranch(dirFor)
       case "fast_forward" => new FastForward(dirFor)
       case "drop_branch" => new DropBranch(dirFor)
@@ -364,6 +365,61 @@ private[sources] object GraftProcedures {
       val added = committed.files.count(!oldNames(_))
       result(out, new GenericInternalRow(Array[Any](
         names.size, added, committed.version)))
+    }
+  }
+
+  /** `CALL graft.system.compact_vectors('events')` — flatten every
+    * CHAIN deletion-vector binding into one binary leaf, WITHOUT
+    * touching a data file: the cheap middle maintenance between "do
+    * nothing" (reads pay one node + k leaf opens per chained file)
+    * and `rewrite_files` (a full data rewrite). The merge runs as ONE
+    * Spark job — a task per chained file reads the chain and writes
+    * the leaf, so no position ever reaches the driver — and the
+    * rebinding is one manifest commit with the per-file
+    * compare-and-set every vector swap uses: a merge-on-read delete
+    * landing mid-pass conflicts loudly and retries, never vanishes.
+    * Superseded chains/parents stay referenced by old snapshots until
+    * retention; a conflict's orphaned new leaves fall to
+    * remove_orphans. */
+  private final class CompactVectors(dirFor: String => String)
+      extends Base("compact_vectors") {
+    override def description: String =
+      "flatten chain deletion-vector bindings into single leaves " +
+        "(no data-file rewrite)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("compacted_vectors", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val s = SparkSession.active
+      val dir = requireFleet(dirFor, table)
+      val (p, fs) = fsFor(dir)
+      val chained = FleetManifest.current(fs, p)
+        .map(_.dvs).getOrElse(Map.empty)
+        .filter(_._2.endsWith(".dv.chain.json")).toSeq.sortBy(_._1)
+      if (chained.isEmpty)
+        return result(out, new GenericInternalRow(Array[Any](0)))
+      val conf = new graft.util.SerializableHadoopConf(
+        s.sessionState.newHadoopConf())
+      val dirStr = fs.makeQualified(p).toString
+      // executor-side merge: positions live and die in the tasks
+      val rebound = s.sparkContext
+        .parallelize(chained, math.min(chained.size, 64))
+        .map { case (fileName, chainRel) =>
+          val tp = new Path(dirStr)
+          val tfs = tp.getFileSystem(conf.value)
+          val merged = FleetDv.read(tfs, tp, chainRel)
+          (fileName, chainRel, FleetDv.write(tfs, tp, fileName, merged))
+        }.collect()
+      FleetManifest.commit(fs, p,
+        identity,
+        bootstrap = Seq.empty,
+        dvUpdate = rebound.map { case (f, _, leaf) =>
+          f -> Option(leaf) }.toMap,
+        requireDvs = rebound.map { case (f, chain, _) =>
+          f -> Option(chain) }.toMap)
+      result(out, new GenericInternalRow(Array[Any](rebound.length)))
     }
   }
 

@@ -219,7 +219,21 @@ class MorRowLevelSpec extends SparkSpec {
     assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
       == total - deleted,
       "remove_orphans reaped a live chain parent")
-    // compaction materializes chains away with the rest of the vector
+    // compact_vectors flattens chains into single leaves WITHOUT
+    // touching a data file — the cheap middle maintenance
+    val files = dataSnapshot(fleet)
+    val nChains = manifest(fleet).dvs.values
+      .count(_.endsWith(".dv.chain.json"))
+    val compacted = s2.sql("CALL graft.system.compact_vectors('cust')")
+      .collect().head.getInt(0)
+    assert(compacted == nChains && compacted > 0)
+    assert(manifest(fleet).dvs.values.forall(_.endsWith(".dv.bin")),
+      s"chains must flatten to leaves: ${manifest(fleet).dvs}")
+    assert(dataSnapshot(fleet) == files,
+      "compact_vectors must not touch data files")
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+      == total - deleted)
+    // compaction materializes vectors away with the rest
     s2.sql("CALL graft.system.rewrite_files('cust', 16777216, '')")
     assert(manifest(fleet).dvs.isEmpty)
     assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
