@@ -373,9 +373,16 @@ private[graft] object FleetDv {
     if (name.endsWith(".dv.bin")) {
       val in = fs.open(p)
       val head = try {
+        // a single read() may legally return SHORT of the buffer even
+        // mid-file (HDFS/object-store streams) — loop to fill or EOF
         val buf = new Array[Byte](24) // magic + 2 varints at most
-        val n = in.read(buf)
-        java.util.Arrays.copyOf(buf, math.max(n, 0))
+        var off = 0
+        var n = 0
+        while (off < buf.length && n >= 0) {
+          n = in.read(buf, off, buf.length - off)
+          if (n > 0) off += n
+        }
+        java.util.Arrays.copyOf(buf, off)
       } finally in.close()
       if (head.length < 5 || !java.util.Arrays.equals(head.take(4), Magic))
         throw new java.io.IOException(
