@@ -127,6 +127,10 @@ private[graft] object FleetDv {
       var shift = 0
       var result = 0L
       while (true) {
+        // bounds-checked: a truncated vector surfaces as the standard
+        // malformed-vector IOException, not ArrayIndexOutOfBounds
+        if (pos >= bytes.length) throw new java.io.IOException(
+          "malformed deletion-vector varint: truncated input")
         val b = bytes(pos); pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
@@ -374,11 +378,14 @@ private[graft] object FleetDv {
       val in = fs.open(p)
       val head = try {
         // a single read() may legally return SHORT of the buffer even
-        // mid-file (HDFS/object-store streams) — loop to fill or EOF
+        // mid-file (HDFS/object-store streams) — loop to fill or EOF.
+        // read() == 0 is treated as EOF too: a stream that returns 0
+        // forever must not spin this loop (the partial header below
+        // then fails the magic/varint checks loudly)
         val buf = new Array[Byte](24) // magic + 2 varints at most
         var off = 0
-        var n = 0
-        while (off < buf.length && n >= 0) {
+        var n = 1
+        while (off < buf.length && n > 0) {
           n = in.read(buf, off, buf.length - off)
           if (n > 0) off += n
         }

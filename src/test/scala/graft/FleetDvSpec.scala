@@ -404,6 +404,37 @@ class FleetDvSpec extends SparkSpec {
       "the dvSpec vector must be applied to the counted rows")
   }
 
+  test("truncated binary vectors fail as malformed, never hang or AIOOBE") {
+    val root = graft.util.Scratch.dir("dv_trunc")
+    val (fs, p) = fsOf(root)
+    val d = FleetDv.Deleted.of((0L until 200L).map(i => (1000L * i, 0L)))
+    val rel = FleetDv.write(fs, p, "f.avro", d)
+    val full = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(p, rel))
+      try in.readAllBytes() finally in.close()
+    }
+    // cut inside the header varints AND inside the body: both must
+    // surface the standard malformed-vector IOException (the VarReader
+    // bounds check), not ArrayIndexOutOfBounds or an infinite loop
+    for (cut <- Seq(5, full.length / 2)) {
+      val cutP = new org.apache.hadoop.fs.Path(p, s"$rel.cut$cut.dv.bin")
+      val out = fs.create(cutP, true)
+      try out.write(full.take(cut)) finally out.close()
+      val e = intercept[java.io.IOException] {
+        FleetDv.readPath(fs, cutP)
+      }
+      assert(e.getMessage.contains("malformed"), s"cut=$cut: $e")
+    }
+    // header-only count read on a 4-byte (magic-only) fragment
+    val magicOnly = new org.apache.hadoop.fs.Path(p, "m.dv.bin")
+    val out = fs.create(magicOnly, true)
+    try out.write(full.take(4)) finally out.close()
+    val e = intercept[java.io.IOException] {
+      FleetDv.countAt(fs, magicOnly)
+    }
+    assert(e.getMessage.contains("malformed"), e.getMessage)
+  }
+
   test("change feed fails loudly when a retained file's vector shrinks") {
     val dir = bigFleet("shrink")
     val (fs, p) = fsOf(dir)
