@@ -315,6 +315,18 @@ object Crud {
     val s2 = stagedFleetSession(s, dir, "morminmax")
     s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
     s2.sql("DELETE FROM graft.cust WHERE c_custkey >= 300 AND c_custkey < 400")
+    // r18: a second DELETE vectors the MAX-ATTAINING file itself, with
+    // values strictly below the extremum — the binding's captured
+    // deleted-value stats (FleetManifest.DvMeta) PROVE the max row
+    // survived, so the metadata tier stands even here (pre-r18 any
+    // vector on an attaining file declined to the row path). The
+    // original max is untouched by both deletes, so the oracle can
+    // state the band relative to max(c_custkey).
+    val maxKey = s2.sql("SELECT max(c_custkey) FROM graft.cust")
+      .head.getLong(0)
+    s2.sql(s"""DELETE FROM graft.cust
+      |WHERE c_custkey >= ${maxKey - 20} AND c_custkey < ${maxKey - 10}"""
+      .stripMargin)
     s2.sql(
       """SELECT count(*) AS cnt, min(c_custkey) AS min_key,
         |  max(c_custkey) AS max_key, min(c_name) AS min_name,
@@ -999,7 +1011,10 @@ object Crud {
         |  max(c_custkey) AS max_key, min(c_name) AS min_name,
         |  max(c_name) AS max_name
         |FROM customer
-        |WHERE NOT (c_custkey >= 300 AND c_custkey < 400)""".stripMargin,
+        |WHERE NOT (c_custkey >= 300 AND c_custkey < 400)
+        |  AND NOT (c_custkey >= (SELECT max(c_custkey) FROM customer) - 20
+        |           AND c_custkey < (SELECT max(c_custkey) FROM customer) - 10)
+        |""".stripMargin,
     "q_fleet_agg_mor_group" ->
       """SELECT c_custkey % 8 AS shard, count(*) AS cnt,
         |  min(c_custkey) AS min_key, max(c_custkey) AS max_key

@@ -133,8 +133,21 @@ private[sources] class AvroFleetDeltaOperation(schema: StructType,
   * NAMES. */
 private[graft] case class AvroFleetDeltaCommitMessage(
     parts: Seq[(String, Option[FleetStats.PartStats])],
-    deletes: Seq[(String, String, Long)])
+    deletes: Seq[AvroFleetDeltaCommitMessage.PartialDv])
     extends WriterCommitMessage
+
+private[graft] object AvroFleetDeltaCommitMessage {
+  /** One task's partial vector for one touched file: the data file
+    * NAME, the fleet-relative partial vector name the task wrote, its
+    * position count, and — when the task captured them (bounded by
+    * `spark.graft.dv.statsCaptureLimit`) — per-column (min, max) of
+    * the DELETED rows' non-null values in sidecar carrier spelling.
+    * `stats = None` = not captured (over-limit); an absent column in a
+    * captured map = no non-null deleted value. Values are boxed
+    * primitives/Strings — Java-serializable by construction. */
+  final case class PartialDv(file: String, vector: String, count: Long,
+      stats: Option[Map[String, (Any, Any)]])
+}
 
 private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String)
@@ -146,25 +159,40 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
     (p.getFileSystem(conf), p)
   }
 
+  // set the INSTANT the manifest commit lands: from then on the
+  // snapshot may reference this job's files and partial vectors (a
+  // directly-bound single partial, a chain's parents), so abort() —
+  // which Spark calls if commit() throws ANYWHERE — must become a
+  // no-op: reaping .$jobTag- files after the commit would delete
+  // vectors/containers the committed generation references and fail
+  // every subsequent read (r17 ADVICE)
+  @volatile private var manifestCommitted = false
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
+    // deleted-value stats capture budget per (task, file): under it, a
+    // task re-decodes its deleted rows' tracked columns so the binding
+    // carries DvMeta stats and the MIN/MAX metadata tier survives the
+    // delete; over it, stats are skipped (a dense delete moves extrema
+    // anyway). 0 disables.
+    val statsLimit = SparkSession.active.conf
+      .get("spark.graft.dv.statsCaptureLimit", "8192").toLong
     new AvroFleetDeltaWriterFactory(schemaJson,
       schema.fields.map(_.name), schema.fields.map(_.dataType), dir,
-      jobTag, new SerializableHadoopConf(conf))
+      jobTag, new SerializableHadoopConf(conf), statsLimit)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (f, p) = fsp()
     val all = messages.collect { case m: AvroFleetDeltaCommitMessage => m }
     val parts = all.flatMap(_.parts).toSeq
-    // per touched file: the executor-written partial vectors' NAMES
-    // and counts — never positions (the r16 `weak`: driver memory was
-    // O(deleted rows); it is now O(touched files))
-    val deletes: Map[String, Seq[(String, Long)]] = all.toSeq
-      .flatMap(_.deletes)
-      .groupBy(_._1)
-      .map { case (name, es) => name -> es.map(e => (e._2, e._3)) }
+    // per touched file: the executor-written partial vectors' NAMES,
+    // counts, and optional deleted-value stats — never positions (the
+    // r16 `weak`: driver memory was O(deleted rows); it is now
+    // O(touched files))
+    val deletes: Map[String, Seq[AvroFleetDeltaCommitMessage.PartialDv]] =
+      all.toSeq.flatMap(_.deletes).groupBy(_.file)
     if (parts.isEmpty && deletes.isEmpty) return // matched nothing
     val stats = parts.collect { case (file, Some(ps)) =>
       new org.apache.hadoop.fs.Path(file).getName -> ps
@@ -191,20 +219,44 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
     // FleetCommitConflictException
     val coalesced = scala.collection.mutable.ArrayBuffer.empty[String]
     FleetManifest.withCommitLock(f, p) {
-      val curDvs = FleetManifest.current(f, p)
-        .map(_.dvs).getOrElse(Map.empty)
+      val curSnap = FleetManifest.current(f, p)
+      val curDvs = curSnap.map(_.dvs).getOrElse(Map.empty)
+      val curMeta = curSnap.map(_.dvMeta).getOrElse(Map.empty)
+      val dvMetaUpdate = Map.newBuilder[String, FleetManifest.DvMeta]
       val dvUpdate: Map[String, Option[String]] =
         deletes.map { case (name, partials) =>
           val existing = curDvs.get(name)
-          val total = existing.map(FleetDv.readCount(f, p, _))
-            .getOrElse(0L) + partials.map(_._2).sum
-          val sources = existing.toSeq ++ partials.map(_._1)
+          // the existing binding's count rides the manifest meta
+          // (r18) — only a legacy binding pays a header read
+          val existingCount = existing.map(rel =>
+            curMeta.get(name).map(_.count)
+              .getOrElse(FleetDv.readCount(f, p, rel))).getOrElse(0L)
+          val total = existingCount + partials.map(_.count).sum
+          // deleted-value stats merge col-wise (min of mins, max of
+          // maxes); ANY uncaptured source — an over-limit partial, a
+          // legacy/meta-less existing binding — makes the merged
+          // binding uncaptured (None): a partial stats map would
+          // falsely prove extrema live
+          val statsSources = partials.map(_.stats) ++
+            existing.map(_ => curMeta.get(name).flatMap(_.stats)).toSeq
+          val mergedStats: Option[Map[String, (Any, Any)]] =
+            if (statsSources.exists(_.isEmpty)) None
+            else Some(statsSources.flatten.flatMap(_.toSeq)
+              .groupBy(_._1).map { case (c, es) =>
+                val vs = es.map(_._2)
+                c -> (vs.map(_._1).reduce((a, b) =>
+                  if (FleetFilters.cmp(a, b) <= 0) a else b),
+                  vs.map(_._2).reduce((a, b) =>
+                    if (FleetFilters.cmp(a, b) >= 0) a else b))
+              })
+          dvMetaUpdate += name -> FleetManifest.DvMeta(total, mergedStats)
+          val sources = existing.toSeq ++ partials.map(_.vector)
           val bound =
             if (sources.size == 1) sources.head
             else if (total <= budget) {
               // bounded eager merge; the superseded partials become
               // this job's garbage, reaped right after the commit
-              coalesced ++= partials.map(_._1)
+              coalesced ++= partials.map(_.vector)
               FleetDv.write(f, p, name, sources
                 .map(FleetDv.read(f, p, _))
                 .reduce(_ union _))
@@ -230,13 +282,25 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
           .map(_.getPath.getName),
         requireInBase = deletes.keySet,
         dvUpdate = dvUpdate,
-        requireDvs = requireDvs)
+        requireDvs = requireDvs,
+        dvMetaUpdate = dvMetaUpdate.result())
+      manifestCommitted = true
     }
-    // superseded partials are referenced by NO snapshot (their merge
-    // replaced them before the only publication point) — reap now
-    coalesced.foreach(rel =>
-      f.delete(new org.apache.hadoop.fs.Path(p, rel), false))
-    f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
+    // POST-COMMIT housekeeping is best-effort by contract: the commit
+    // already published; throwing here would trigger abort() against a
+    // live generation (guarded above) and fail a job that succeeded
+    try {
+      // superseded partials are referenced by NO snapshot (their merge
+      // replaced them before the only publication point) — reap now
+      coalesced.foreach(rel =>
+        f.delete(new org.apache.hadoop.fs.Path(p, rel), false))
+      f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"post-commit cleanup at $dir failed (commit already " +
+            s"published; strays fall to remove_orphans): $e")
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -245,7 +309,9 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
     // names embed the job tag); a merged/chain vector written inside
     // commit() is published only by its manifest commit, so an
     // aborted job leaves at most unreferenced vector files for
-    // remove_orphans
+    // remove_orphans. ONCE the manifest commit landed, abort is a
+    // strict no-op — the generation references this job's files.
+    if (manifestCommitted) return
     val (f, p) = fsp()
     if (f.exists(p)) f.listStatus(p).foreach { st =>
       if (st.getPath.getName.contains(s"-$jobTag"))
@@ -261,13 +327,14 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
 
 private[graft] class AvroFleetDeltaWriterFactory(schemaJson: String,
     names: Array[String], types: Array[org.apache.spark.sql.types.DataType],
-    dir: String, jobTag: String, conf: SerializableHadoopConf)
+    dir: String, jobTag: String, conf: SerializableHadoopConf,
+    statsCaptureLimit: Long = 8192L)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new AvroFleetDeltaWriter(schemaJson, names, types, dir, partitionId,
-      taskId, jobTag, conf)
+      taskId, jobTag, conf, statsCaptureLimit)
 }
 
 /** One task: inserts stream through a lazily-created ordinary part
@@ -282,7 +349,7 @@ private[graft] class AvroFleetDeltaWriterFactory(schemaJson: String,
 private[graft] class AvroFleetDeltaWriter(schemaJson: String,
     names: Array[String], types: Array[org.apache.spark.sql.types.DataType],
     dir: String, pid: Int, taskId: Long, jobTag: String,
-    conf: SerializableHadoopConf)
+    conf: SerializableHadoopConf, statsCaptureLimit: Long = 8192L)
     extends DeltaWriter[InternalRow] {
 
   private var inserts: AvroFleetDataWriter = _
@@ -331,7 +398,8 @@ private[graft] class AvroFleetDeltaWriter(schemaJson: String,
       val rel = FleetDv.write(f, fleetP, name, d,
         tag = s"$jobTag-p$pid-t$taskId")
       wrotePartials += rel
-      (name, rel, d.count)
+      AvroFleetDeltaCommitMessage.PartialDv(name, rel, d.count,
+        FleetDv.captureStats(f, fleetP, file, d, statsCaptureLimit))
     }
     AvroFleetDeltaCommitMessage(partMsg, partials)
   }

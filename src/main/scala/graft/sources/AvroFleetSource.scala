@@ -1387,10 +1387,16 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       val s = SparkSession.active
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         s.sessionState.newHadoopConf())
-      val dvByFull = FleetDv.forPath(s, path, versionAsOf)
-      lazy val totalDeleted = dvByFull.valuesIterator
-        .map(dvp => FleetDv.countAt(fs, new org.apache.hadoop.fs.Path(dvp)))
-        .sum
+      val dvWithMeta = FleetDv.forPathWithMeta(s, path, versionAsOf)
+      val dvByFull = dvWithMeta.map { case (f, (dv, _)) => f -> dv }
+      // counts ride the manifest binding (r18): planning a COUNT(*) on
+      // a 100k-vectored-file fleet is zero vector-file I/O; only a
+      // LEGACY binding (pre-meta commit) pays its one header read
+      lazy val totalDeleted = dvWithMeta.valuesIterator.map {
+        case (_, Some(m)) => m.count
+        case (dvp, None) =>
+          FleetDv.countAt(fs, new org.apache.hadoop.fs.Path(dvp))
+      }.sum
       // DV-AWARE METADATA TIER (r17, the r16 verdict's #5): vectors
       // make sidecar numbers stale, but two shapes stay exactly
       // answerable without opening a file —
@@ -1424,6 +1430,24 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
           val withStats = fleet.zip(entries.flatten).map { case (st, e) =>
             (fs.makeQualified(st.getPath).toString, e)
           }
+          // a VECTORED attaining file still proves the extremum live
+          // when its binding's manifest meta captured the deleted
+          // values and they are STRICTLY interior — the delete
+          // provably removed no extremum-attaining row (r18: the tier
+          // stands through surgical merge-on-read deletes). Deleted
+          // max == extremum is the unknowable boundary: decline.
+          def vectorMissedExtremum(fp: String, c: String,
+              isMin: Boolean, ext: Any): Boolean =
+            dvWithMeta.get(fp).flatMap(_._2).flatMap(_.stats).exists {
+              st => st.get(c) match {
+                case None => true // no non-null deleted value of c
+                case Some((mn, mx)) =>
+                  val v = if (isMin) mn else mx
+                  FleetStats.comparable(v, ext) &&
+                    (if (isMin) FleetFilters.cmp(v, ext) > 0
+                     else FleetFilters.cmp(v, ext) < 0)
+              }
+            }
           def extremumSurvives(c: String, isMin: Boolean): Boolean = {
             val bounds = withStats.flatMap { case (fp, e) =>
               (if (isMin) e.cols(c).min else e.cols(c).max).map(fp -> _)
@@ -1433,7 +1457,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
               val ext = bounds.map(_._2).reduce((a, b) =>
                 if ((FleetFilters.cmp(a, b) <= 0) == isMin) a else b)
               bounds.exists { case (fp, v) =>
-                FleetFilters.cmp(v, ext) == 0 && !vectored(fp) }
+                FleetFilters.cmp(v, ext) == 0 && (!vectored(fp) ||
+                  vectorMissedExtremum(fp, c, isMin, ext)) }
             }
           }
           val minMaxOk = flat.forall {
@@ -1730,7 +1755,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   // read under the old binding while the CAS validates the new one,
   // and the swap would silently drop the delete
   private lazy val dvSnapshot
-      : Seq[(org.apache.hadoop.fs.Path, Map[String, String])] =
+      : Seq[(org.apache.hadoop.fs.Path, Option[FleetManifest.Snapshot])] =
     Avro.splitGlobs(path).toSeq.flatMap { g =>
       val gp = new org.apache.hadoop.fs.Path(g)
       val gfs = gp.getFileSystem(
@@ -1739,7 +1764,6 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
         .filter(_.isDirectory).map { d =>
           gfs.makeQualified(d.getPath) ->
             FleetManifest.snapshotFor(gfs, d.getPath, versionAsOf)
-              .map(_.dvs).getOrElse(Map.empty)
         }
     }
 
@@ -1749,8 +1773,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   // address explicit files whose vectors the CURRENT manifest no
   // longer names); empty on vector-less fleets, costing nothing
   private lazy val dvByPath: Map[String, DvPartSpec] = {
-    val fromManifest = dvSnapshot.flatMap { case (d, dvs) =>
-      dvs.map { case (n, rel) =>
+    val fromManifest = dvSnapshot.flatMap { case (d, snap) =>
+      snap.map(_.dvs).getOrElse(Map.empty).map { case (n, rel) =>
         new org.apache.hadoop.fs.Path(d, n).toString ->
           DvPartSpec(new org.apache.hadoop.fs.Path(d, rel).toString)
       }
@@ -1761,16 +1785,30 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     }
   }
 
-  // per-file DELETED counts (one tiny header read per vectored file,
-  // driver-side — never positions) — lets row-count math stay exact
-  // under vectors. Exclude-mode entries only: delta-only splits serve
-  // an unknown subset, so their presence drops count exactness instead
+  // per-file DELETED counts — lets row-count math stay exact under
+  // vectors. Manifest-carried meta serves them with zero vector I/O
+  // (r18); only legacy bindings and caller-passed dvSpec entries pay
+  // one tiny header read each. Exclude-mode entries only: delta-only
+  // splits serve an unknown subset, so their presence drops count
+  // exactness instead
   private lazy val dvCounts: Map[String, Long] = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
+    val metaCounts: Map[String, Long] = dvSnapshot.flatMap {
+      case (d, snap) => snap.toSeq.flatMap(_.dvMeta.map { case (n, m) =>
+        new org.apache.hadoop.fs.Path(d, n).toString -> m.count
+      })
+    }.toMap
     dvByPath.collect { case (f, spec) if !spec.deltaOnly =>
-      f -> FleetDv.countAt(fs,
-        new org.apache.hadoop.fs.Path(spec.newDv))
+      // a caller-passed dvSpec may bind a DIFFERENT vector than the
+      // manifest's (the CDC image reads) — its count must come from
+      // its own header, never the manifest meta
+      val specOverride =
+        dvSpecs.contains(new org.apache.hadoop.fs.Path(f).getName)
+      f -> (if (specOverride) FleetDv.countAt(fs,
+              new org.apache.hadoop.fs.Path(spec.newDv))
+            else metaCounts.getOrElse(f, FleetDv.countAt(fs,
+              new org.apache.hadoop.fs.Path(spec.newDv))))
     }
   }
 
@@ -1783,7 +1821,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
   // silently resurrecting (reported through onPlannedDvs; derived
   // from the SAME snapshot read as dvByPath)
   private lazy val dvRelByName: Map[String, String] =
-    dvSnapshot.flatMap(_._2.toSeq).toMap
+    dvSnapshot.flatMap(_._2.toSeq.flatMap(_.dvs.toSeq)).toMap
 
   /** Planning-time data skipping: when filters were pushed, every part
     * file whose recorded min/max/null profile PROVES a pushed conjunct
@@ -2674,6 +2712,19 @@ private[sources] class AvroFleetRowReader(part: AvroFilePartition,
       case None => FleetDv.Deleted.empty
     }
     dvDeltaOnly = part.dv.exists(_.deltaOnly)
+    // delta reads serve a LINEAGE DIFFERENCE (new minus old) and are
+    // exact only when old ⊆ new — vector lineage union-grows, so a
+    // violation means a concurrent restore/rebind produced a span the
+    // count-routed feed cannot represent; verified here IN-TASK (the
+    // task holds both vectors anyway) so no driver ever reads
+    // positions to prove it (r17 ADVICE: count growth alone is an
+    // unsound containment proxy)
+    if (dvDeltaOnly && !dvOld.subsetOf(dvNew))
+      throw new java.io.IOException(
+        s"deletion-vector lineage diverged for $file: the span's " +
+          "older vector is not contained in the newer one (concurrent " +
+          "restore/rebind) — the change feed cannot represent this " +
+          "range exactly; re-seed the consumer from a full scan")
     val datumReader =
       new org.apache.avro.generic.GenericDatumReader[
         org.apache.avro.generic.GenericRecord]()

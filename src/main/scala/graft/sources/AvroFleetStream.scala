@@ -431,29 +431,18 @@ private[sources] class AvroFleetCdcMicroBatchStream(
     }
     // deletion-vector awareness mirrors FleetCDC.changesOf: added
     // files read minus their `to` vector, removed files minus their
-    // `from` vector, and a RETAINED file whose vector grew streams
-    // exactly its newly-vectored rows as deletes (a merge-on-read
-    // DELETE is a generation like any other)
+    // `from` vector, a RETAINED file whose vector grew streams exactly
+    // its newly-vectored rows as deletes, and one whose vector SHRANK
+    // (a restore span) streams the no-longer-vectored rows as inserts;
+    // a position-identical rebind (compact_vectors) contributes
+    // nothing — count-routed from manifest meta, set-verified on equal
+    // counts, lineage-verified in-task (FleetCDC.routeDvChanges)
     val addedNames = (to -- from).toSeq
     val removedNames = (from -- to).toSeq
-    val grown = from.intersect(to)
-      .filter(n => dvFrom.get(n) != dvTo.get(n)).toSeq.sorted
-    grown.foreach { n =>
-      require(dvTo.contains(n),
-        s"readChangeFeed: file $n lost its deletion-vector binding " +
-          s"while staying in the fleet (v$v0..v$v1) — vector shrink " +
-          "is not a committed operation")
-      // mirror FleetCDC.diff's shrink guard: a restore rebinding to an
-      // older, smaller vector would make the deltaOnly read emit
-      // nothing while the resurrected rows never surface (r16 ADVICE)
-      val fromCount = dvFrom.get(n)
-        .map(FleetDv.readCount(f, p, _)).getOrElse(0L)
-      val toCount = FleetDv.readCount(f, p, dvTo(n))
-      require(toCount > fromCount,
-        s"readChangeFeed: file $n rebound from a $fromCount-row " +
-          s"deletion vector to a $toCount-row one (v$v0..v$v1) — a " +
-          "shrunk/rebound vector (restore?) resurrects rows the feed " +
-          "cannot represent; re-seed the consumer from a full scan")
+    val (grown, shrunk) = (fromS, toS) match {
+      case (Some(f0), Some(t0)) => FleetCDC.routeDvChanges(f, p, f0, t0,
+        from.intersect(to), s"readChangeFeed at $path v$v0..v$v1")
+      case _ => (Nil, Nil)
     }
     (side(addedNames, "insert",
       addedNames.flatMap(n => dvTo.get(n)
@@ -463,7 +452,10 @@ private[sources] class AvroFleetCdcMicroBatchStream(
           .map(rel => n -> DvPartSpec(dvPath(rel)))).toMap) ++
       side(grown, "delete",
         grown.map(n => n -> DvPartSpec(dvPath(dvTo(n)),
-          dvFrom.get(n).map(dvPath), deltaOnly = true)).toMap)).toArray
+          dvFrom.get(n).map(dvPath), deltaOnly = true)).toMap) ++
+      side(shrunk, "insert",
+        shrunk.map(n => n -> DvPartSpec(dvPath(dvFrom(n)),
+          dvTo.get(n).map(dvPath), deltaOnly = true)).toMap)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -41,16 +41,29 @@ object FleetCDC {
 
   /** The complete change surface between two committed versions:
     * added/removed file names, both sides' deletion-vector bindings,
-    * and `dvGrown` — files present in BOTH versions whose vector
-    * binding changed (a merge-on-read delete: the file is untouched,
-    * its newly-vectored positions are the span's deletes). Vector
-    * bindings only GROW for a retained file (the delta committer
-    * unions; the only unbinding paths retire the file) — a shrunk or
-    * dropped binding on a retained file would silently resurrect
-    * rows in the feed, so it fails loudly instead. */
+    * and the retained files whose binding CHANGED, routed by their
+    * manifest-carried counts (zero vector I/O on meta-bearing fleets):
+    *
+    *  - `dvGrown` (to-count > from-count) — a merge-on-read delete:
+    *    the newly-vectored positions are the span's DELETE images;
+    *  - `dvShrunk` (to-count < from-count) — a restore rebound the
+    *    file to an older, smaller vector (or unbound it): the
+    *    no-longer-vectored positions are visible again and surface as
+    *    the span's INSERT images — resurrection is a representable
+    *    change, not a failure (r17 ADVICE);
+    *  - equal counts — a position-identical rebind (compact_vectors'
+    *    flatten) contributes NOTHING; verified exactly by a driver
+    *    set-compare of the two vectors (only on maintenance-commit
+    *    spans), and an equal-size DIVERGENCE fails loudly.
+    *
+    * Count routing alone cannot prove containment, so both delta
+    * reads additionally VERIFY lineage in-task (old ⊆ new for grown,
+    * new ⊆ old for shrunk — [[FleetDv.Deleted.subsetOf]]) and fail
+    * loudly on a mixed rebind; re-seed the consumer from a full scan
+    * across such a span. */
   final case class FleetDiff(added: Seq[String], removed: Seq[String],
       dvFrom: Map[String, String], dvTo: Map[String, String],
-      dvGrown: Seq[String])
+      dvGrown: Seq[String], dvShrunk: Seq[String] = Nil)
 
   /** One manifest read per side — shared by [[changes]] and
     * [[FleetMV.refresh]] so a maintenance step computes the diff
@@ -69,35 +82,54 @@ object FleetCDC {
     val toS = snap(toVersion)
     val from = fromS.files.toSet
     val to = toS.files.toSet
-    val common = from.intersect(to)
-    val grown = common.filter(f =>
-      fromS.dvs.get(f) != toS.dvs.get(f)).toSeq.sorted
-    grown.foreach { f =>
-      require(toS.dvs.contains(f),
-        s"change feed at $dir v$fromVersion..v$toVersion: file $f " +
-          "lost its deletion-vector binding while staying in the " +
-          "fleet — vector shrink is not a committed operation and " +
-          "the feed cannot represent resurrected rows")
-      // a binding can also SHRINK while staying bound (CALL restore
-      // rebinding to an older, smaller vector): the deltaOnly read
-      // (new minus old) would emit nothing and the RESURRECTED rows
-      // (old minus new) would silently never surface. Vector lineage
-      // only union-GROWS for a retained file, so a non-increasing
-      // count across a changed binding is always a rebind-backwards —
-      // fail as loudly as the unbind case (r16 ADVICE). Two tiny
-      // header reads per grown file, driver-side, O(changed files).
-      val fromCount = fromS.dvs.get(f)
-        .map(FleetDv.readCount(fs, p, _)).getOrElse(0L)
-      val toCount = FleetDv.readCount(fs, p, toS.dvs(f))
-      require(toCount > fromCount,
-        s"change feed at $dir v$fromVersion..v$toVersion: file $f " +
-          s"rebound from a $fromCount-row deletion vector to a " +
-          s"$toCount-row one — a shrunk/rebound vector (restore?) " +
-          "resurrects rows the feed cannot represent; re-seed the " +
-          "consumer from a full scan across this range")
-    }
+    val (grown, shrunk) = routeDvChanges(fs, p, fromS, toS,
+      from.intersect(to), s"change feed at $dir v$fromVersion..v$toVersion")
     FleetDiff((to -- from).toSeq.sorted, (from -- to).toSeq.sorted,
-      fromS.dvs, toS.dvs, grown)
+      fromS.dvs, toS.dvs, grown, shrunk)
+  }
+
+  /** Route the retained files whose deletion-vector binding changed
+    * across a span into (grown, shrunk) by their binding COUNTS —
+    * manifest-carried meta makes this zero-I/O; only legacy bindings
+    * pay one header read each. Equal counts are decided exactly by a
+    * driver set-compare (a compact_vectors flatten is a no-op rebind
+    * and contributes nothing; an equal-size divergence fails loudly).
+    * Shared by the batch diff and the streaming change feed. */
+  private[sources] def routeDvChanges(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path, fromS: FleetManifest.Snapshot, toS: FleetManifest.Snapshot,
+      common: Set[String], at: String): (Seq[String], Seq[String]) = {
+    def cnt(s0: FleetManifest.Snapshot, n: String): Long =
+      s0.dvs.get(n).map { rel =>
+        s0.dvMeta.get(n).map(_.count)
+          .getOrElse(FleetDv.readCount(fs, p, rel))
+      }.getOrElse(0L)
+    val changed = common.filter(n =>
+      fromS.dvs.get(n) != toS.dvs.get(n)).toSeq.sorted
+    val grown = Seq.newBuilder[String]
+    val shrunk = Seq.newBuilder[String]
+    changed.foreach { n =>
+      val fc = cnt(fromS, n)
+      val tc = cnt(toS, n)
+      if (tc > fc) grown += n
+      else if (tc < fc) shrunk += n
+      else {
+        // equal counts ⇒ both sides bound (vectors are never empty).
+        // Exactly one legitimate producer: a position-identical rebind
+        // (compact_vectors flattening a chain) — decide by set
+        // equality, two vector reads, driver-side, only on
+        // maintenance-commit spans (r17 ADVICE)
+        val a = FleetDv.read(fs, p, fromS.dvs(n))
+        val b = FleetDv.read(fs, p, toS.dvs(n))
+        if (!(a.subsetOf(b) && b.subsetOf(a)))
+          throw new IllegalStateException(
+            s"$at: file $n rebound between two $tc-position deletion " +
+              "vectors with DIFFERENT position sets — a concurrent " +
+              "restore/rebind the feed cannot represent; re-seed the " +
+              "consumer from a full scan across this range")
+        // identical sets: a no-op rebind, excluded from the feed
+      }
+    }
+    (grown.result(), shrunk.result())
   }
 
   /** The (added, removed) file-name pair of [[diff]] — kept for
@@ -120,7 +152,8 @@ object FleetCDC {
   def changes(s: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long): DataFrame = {
     val d = diff(s, dir, fromVersion, toVersion)
-    changesOf(s, dir, d.added, d.removed, d.dvFrom, d.dvTo, d.dvGrown)
+    changesOf(s, dir, d.added, d.removed, d.dvFrom, d.dvTo, d.dvGrown,
+      d.dvShrunk)
   }
 
   /** ROW-IDENTITY net changes from `fromVersion` (exclusive) to
@@ -213,7 +246,8 @@ object FleetCDC {
       added: Seq[String], removed: Seq[String],
       dvFrom: Map[String, String] = Map.empty,
       dvTo: Map[String, String] = Map.empty,
-      dvGrown: Seq[String] = Nil): DataFrame = {
+      dvGrown: Seq[String] = Nil,
+      dvShrunk: Seq[String] = Nil): DataFrame = {
     // ONE table schema governs both sides — resolved from the whole
     // fleet (schema marker preferred, else the merge of every
     // generation's writer schema), then imposed on the per-file reads
@@ -252,6 +286,14 @@ object FleetCDC {
     val mor = side(dvGrown, "delete",
       dvGrown.map(n => n -> DvPartSpec(dvPath(dvTo(n)),
         dvFrom.get(n).map(dvPath), deltaOnly = true)).toMap)
-    ins.unionByName(del).unionByName(mor)
+    // restore resurrections: retained files whose vector SHRANK emit
+    // exactly the no-longer-vectored rows as inserts — the inverted
+    // delta read (from minus to), in-task, positions never on the
+    // driver; both delta orientations verify lineage containment in
+    // the reader and fail loudly on a divergent rebind
+    val res = side(dvShrunk, "insert",
+      dvShrunk.map(n => n -> DvPartSpec(dvPath(dvFrom(n)),
+        dvTo.get(n).map(dvPath), deltaOnly = true)).toMap)
+    ins.unionByName(del).unionByName(mor).unionByName(res)
   }
 }

@@ -125,9 +125,12 @@ object FleetMV {
     // vector-aware delta: a merge-on-read DELETE in the span (file
     // retained, vector grown) folds in as exactly its newly-vectored
     // rows — the O(changed rows) contract survives MOR sources
+    // resurrections (a restore span: dvShrunk) arrive as ordinary
+    // insert images and fold through the same signed netting
     val rawDelta = FleetCDC.changesOf(s, srcDir, d.added, d.removed,
-      d.dvFrom, d.dvTo, d.dvGrown)
-    val changedFiles = d.added.size + d.removed.size + d.dvGrown.size
+      d.dvFrom, d.dvTo, d.dvGrown, d.dvShrunk)
+    val changedFiles = d.added.size + d.removed.size + d.dvGrown.size +
+      d.dvShrunk.size
     val sign = when(col(FleetCDC.ChangeTypeCol) === "insert", lit(1L))
       .otherwise(lit(-1L))
     // deltaAgg: signed cnt/sum plus PER-SIDE extrema (the insert side

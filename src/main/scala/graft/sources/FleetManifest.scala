@@ -99,7 +99,38 @@ private[graft] object FleetManifest {
     * not a per-commit annotation. */
   final case class Snapshot(version: Long, files: Seq[String],
       props: Map[String, String] = Map.empty,
-      dvs: Map[String, String] = Map.empty)
+      dvs: Map[String, String] = Map.empty,
+      dvMeta: Map[String, DvMeta] = Map.empty)
+
+  /** Per-binding deletion-vector METADATA, carried in the manifest so
+    * planning never opens a vector file (r17 verdict #1: the plan-time
+    * `countAt` loop, the CDC/stream guards' header reads, and the MOR
+    * committer's `readCount` were each O(vectored files) serial GETs on
+    * an object store):
+    *
+    *  - `count` — the vector's exact deleted-row total (== its header
+    *    count; chains: the additive parent total). Makes COUNT(*)
+    *    correction, CDC change routing, and commit-time count math
+    *    zero-I/O.
+    *  - `stats` — per tracked column, (min, max) of the DELETED rows'
+    *    NON-NULL values, in the sidecar carrier spelling
+    *    ([[FleetStats.toJson]]); a column with no non-null deleted
+    *    value is ABSENT. `Some(stats)` means the writer captured
+    *    values for every tracked column (small surgical deletes —
+    *    bounded by `spark.graft.dv.statsCaptureLimit`); `None` means
+    *    unknown (legacy bindings, over-limit deletes). With stats, the
+    *    MIN/MAX metadata aggregate tier can STAND on a vectored fleet:
+    *    a file attaining the global extremum whose vector provably
+    *    deleted only strictly-interior values still holds a live
+    *    extremum row.
+    *
+    * Keyed by DATA FILE name (like `dvs`); entries follow their
+    * binding — a commit that swaps a binding without supplying fresh
+    * meta DROPS the stale entry (readers fall back to header reads),
+    * and a retired file drops both. Absent wholesale in pre-r18
+    * version files (legacy parse → empty map). */
+  final case class DvMeta(count: Long,
+      stats: Option[Map[String, (Any, Any)]] = None)
 
   private def mdir(dir: Path) = new Path(dir, DirName)
   private def vname(v: Long) = f"v$v%020d.json"
@@ -175,6 +206,18 @@ private[graft] object FleetManifest {
 
   private def invalidate(fs: FileSystem, p: Path): Unit =
     snapCache.remove(fs.makeQualified(p).toString)
+
+  /** Drop every cached snapshot under `dir` — BRANCH version files are
+    * the one place the (mtime, len) validation is insufficient:
+    * dropBranch/fastForward delete them, and a recreated branch of the
+    * same name can land a different v{N}.json at the same path with
+    * equal length within filesystem mtime granularity (1s on many
+    * stores), silently serving the dropped branch's snapshot. */
+  private def invalidatePrefix(fs: FileSystem, dir: Path): Unit = {
+    val prefix = fs.makeQualified(dir).toString + "/"
+    val it = snapCache.keySet.iterator
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
 
   /** STAGING/TEST hook: rewrite an already-committed version's
     * `commit.ts` property in place so a fixture's time-travel index
@@ -334,6 +377,7 @@ private[graft] object FleetManifest {
     withCommitLock(fs, dir) {
       val existed = fs.delete(branchRef(dir, name), false)
       fs.delete(branchVDir(dir, name), true)
+      invalidatePrefix(fs, branchVDir(dir, name))
       existed
     }
 
@@ -412,6 +456,7 @@ private[graft] object FleetManifest {
       }
       fs.delete(branchRef(dir, name), false)
       fs.delete(branchVDir(dir, name), true)
+      invalidatePrefix(fs, branchVDir(dir, name))
       head
     }
 
@@ -532,14 +577,36 @@ private[graft] object FleetManifest {
           }.toMap
           case _ => Map.empty[String, String]
         }
-        Snapshot(v, files, props, dvs)
+        val dvMeta = (obj \ "dvmeta") match {
+          case o: JObject => o.obj.collect {
+            case (k, m: JObject) =>
+              val count = m \ "count" match {
+                case JInt(n) => n.toLong
+                case other => throw new java.io.IOException(
+                  s"malformed manifest $p: dvmeta[$k].count = $other")
+              }
+              val stats = m \ "stats" match {
+                case so: JObject => Some(so.obj.map {
+                  case (c, cs: JObject) =>
+                    c -> (FleetStats.fromJson(cs \ "min"),
+                      FleetStats.fromJson(cs \ "max"))
+                  case (c, other) => throw new java.io.IOException(
+                    s"malformed manifest $p: dvmeta[$k].stats.$c = $other")
+                }.toMap)
+                case _ => None
+              }
+              k -> DvMeta(count, stats)
+          }.toMap
+          case _ => Map.empty[String, DvMeta]
+        }
+        Snapshot(v, files, props, dvs, dvMeta)
       case other => throw new java.io.IOException(
         s"malformed manifest $p: $other")
     }
   }
 
-  private def render(s: Snapshot): String =
-    JsonMethods.compact(JsonMethods.render(JObject(
+  private def render(s: Snapshot): String = {
+    val base = List[(String, org.json4s.JValue)](
       "version" -> JInt(s.version),
       "files" -> JArray(s.files.map(JString(_)).toList),
       "props" -> JObject(s.props.toList.map {
@@ -547,7 +614,23 @@ private[graft] object FleetManifest {
       }),
       "dvs" -> JObject(s.dvs.toList.sortBy(_._1).map {
         case (k, v) => k -> (JString(v): org.json4s.JValue)
-      }))))
+      }))
+    val meta =
+      if (s.dvMeta.isEmpty) Nil
+      else List[(String, org.json4s.JValue)](
+        "dvmeta" -> JObject(s.dvMeta.toList.sortBy(_._1).map {
+          case (k, m) =>
+            k -> (JObject(List[(String, org.json4s.JValue)](
+              "count" -> JInt(BigInt(m.count))) ++
+              m.stats.map(st => "stats" -> (JObject(st.toList.sortBy(_._1)
+                .map { case (c, (mn, mx)) =>
+                  c -> (JObject(
+                    "min" -> FleetStats.toJson(mn),
+                    "max" -> FleetStats.toJson(mx)): org.json4s.JValue)
+                }): org.json4s.JValue)).toList): org.json4s.JValue)
+        }))
+    JsonMethods.compact(JsonMethods.render(JObject(base ++ meta)))
+  }
 
   // serialize same-JVM commits per fleet dir (stripes, not a per-path
   // map — the FleetStats rationale: bounded memory, collisions only
@@ -621,7 +704,8 @@ private[graft] object FleetManifest {
       requireInBase: Set[String] = Set.empty,
       expectedVersion: Option[Long] = None,
       dvUpdate: Map[String, Option[String]] = Map.empty,
-      requireDvs: Map[String, Option[String]] = Map.empty): Snapshot = {
+      requireDvs: Map[String, Option[String]] = Map.empty,
+      dvMetaUpdate: Map[String, DvMeta] = Map.empty): Snapshot = {
     val key = fs.makeQualified(dir).toString
     commitStripes(math.floorMod(key.hashCode, commitStripes.length))
       .synchronized {
@@ -670,8 +754,16 @@ private[graft] object FleetManifest {
             ((baseDvs ++ dvUpdate.collect { case (f, Some(v)) => f -> v })
               -- dvUpdate.collect { case (f, None) => f })
               .filter { case (f, _) => nextFileSet(f) }
+          // meta follows its binding: inherited for untouched files,
+          // replaced when the committer supplied fresh meta, DROPPED
+          // for a rebind without meta (a stale count/stat on a swapped
+          // vector would be silently wrong — readers fall back to the
+          // vector header), and retired with the file
+          val baseMeta = cur.map(_.dvMeta).getOrElse(Map.empty)
+          val nextMeta = ((baseMeta -- dvUpdate.keys) ++ dvMetaUpdate)
+            .filter { case (f, _) => nextDvs.contains(f) }
           val next = Snapshot(cur.map(_.version + 1L).getOrElse(1L),
-            nextFiles, stamped, nextDvs)
+            nextFiles, stamped, nextDvs, nextMeta)
           // an active branch that EXISTS at this fleet routes the
           // claim into the branch's own version sequence (base
           // resolution above already read the branch head via

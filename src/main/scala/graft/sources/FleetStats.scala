@@ -281,7 +281,10 @@ private[graft] object FleetStats {
 
   // ---- sidecar IO ----------------------------------------------------
 
-  private def toJson(v: Any): JValue = v match {
+  /** Stat-value JSON codec, shared with the manifest's deletion-vector
+    * metadata ([[FleetManifest.DvMeta]]) so both speak the same carrier
+    * spellings and compare through the same [[FleetFilters.cmp]]. */
+  private[sources] def toJson(v: Any): JValue = v match {
     case s: String => JString(s)
     case b: java.lang.Boolean => JBool(b)
     case d: java.lang.Double => JDouble(d)
@@ -291,7 +294,7 @@ private[graft] object FleetStats {
       s"untracked stat value: ${other.getClass}")
   }
 
-  private def fromJson(j: JValue): Any = j match {
+  private[sources] def fromJson(j: JValue): Any = j match {
     case JString(s) => s
     case JBool(b) => Boolean.box(b)
     case JDouble(d) => Double.box(d)

@@ -236,7 +236,10 @@ private[sources] object GraftProcedures {
           target.files
         },
         bootstrap = Seq.empty,
-        dvUpdate = target.files.map(f => f -> target.dvs.get(f)).toMap)
+        dvUpdate = target.files.map(f => f -> target.dvs.get(f)).toMap,
+        // bindings restore WITH their metadata — the restored
+        // generation's counts/stats are v's, not the current one's
+        dvMetaUpdate = target.dvMeta)
       result(out, new GenericInternalRow(Array[Any](
         v, committed.version, committed.files.size)))
     }
@@ -395,11 +398,13 @@ private[sources] object GraftProcedures {
       val s = SparkSession.active
       val dir = requireFleet(dirFor, table)
       val (p, fs) = fsFor(dir)
-      val chained = FleetManifest.current(fs, p)
+      val curSnap = FleetManifest.current(fs, p)
+      val chained = curSnap
         .map(_.dvs).getOrElse(Map.empty)
         .filter(_._2.endsWith(".dv.chain.json")).toSeq.sortBy(_._1)
       if (chained.isEmpty)
         return result(out, new GenericInternalRow(Array[Any](0)))
+      val baseMeta = curSnap.map(_.dvMeta).getOrElse(Map.empty)
       val conf = new graft.util.SerializableHadoopConf(
         s.sessionState.newHadoopConf())
       val dirStr = fs.makeQualified(p).toString
@@ -410,15 +415,21 @@ private[sources] object GraftProcedures {
           val tp = new Path(dirStr)
           val tfs = tp.getFileSystem(conf.value)
           val merged = FleetDv.read(tfs, tp, chainRel)
-          (fileName, chainRel, FleetDv.write(tfs, tp, fileName, merged))
+          (fileName, chainRel, FleetDv.write(tfs, tp, fileName, merged),
+            merged.count)
         }.collect()
       FleetManifest.commit(fs, p,
         identity,
         bootstrap = Seq.empty,
-        dvUpdate = rebound.map { case (f, _, leaf) =>
+        dvUpdate = rebound.map { case (f, _, leaf, _) =>
           f -> Option(leaf) }.toMap,
-        requireDvs = rebound.map { case (f, chain, _) =>
-          f -> Option(chain) }.toMap)
+        requireDvs = rebound.map { case (f, chain, _, _) =>
+          f -> Option(chain) }.toMap,
+        // the flatten is a position-identical rebind: counts carry
+        // (exact from the merge), deleted-value stats inherit verbatim
+        dvMetaUpdate = rebound.map { case (f, _, _, cnt) =>
+          f -> FleetManifest.DvMeta(cnt,
+            baseMeta.get(f).flatMap(_.stats)) }.toMap)
       result(out, new GenericInternalRow(Array[Any](rebound.length)))
     }
   }

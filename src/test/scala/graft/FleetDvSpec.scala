@@ -435,7 +435,8 @@ class FleetDvSpec extends SparkSpec {
     assert(e.getMessage.contains("malformed"), e.getMessage)
   }
 
-  test("change feed fails loudly when a retained file's vector shrinks") {
+  test("change feed: vector growth streams deletes, a restore shrink streams resurrections") {
+    import spark.implicits._
     val dir = bigFleet("shrink")
     val (fs, p) = fsOf(dir)
     val full = positions(dir)
@@ -453,17 +454,173 @@ class FleetDvSpec extends SparkSpec {
     // growth reads fine: exactly the newly-vectored rows
     assert(graft.sources.FleetCDC
       .changes(spark, dir, vSmall, vBig).count() == 2)
-    // a restore-style rebind BACKWARDS (big → small binding): the
-    // span resurrects rows the feed cannot represent — loud failure,
-    // not a silent empty delta (r16 ADVICE)
+    // a restore-style rebind BACKWARDS (big → small binding, small is
+    // an ancestor of big): rows 2 and 3 became visible again — the
+    // feed REPRESENTS that as insert images now (r17 ADVICE), computed
+    // in-task by the inverted delta read
     FleetManifest.commit(fs, p, identity, Nil,
       dvUpdate = Map(dataFile -> Some(dvSmall)),
       requireDvs = Map(dataFile -> Some(dvBig)))
     val vRebound = FleetManifest.current(fs, p).get.version
-    val e = intercept[IllegalArgumentException] {
-      graft.sources.FleetCDC.changes(spark, dir, vBig, vRebound)
+    val res = graft.sources.FleetCDC.changes(spark, dir, vBig, vRebound)
+    val rows = res.select($"id", col(graft.sources.FleetCDC.ChangeTypeCol))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(rows == Set(2L -> "insert", 3L -> "insert"),
+      s"resurrection span must stream the re-visible rows: $rows")
+    // full unbind (a restore to the pre-vector generation's bindings):
+    // every vectored row resurrects
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> None),
+      requireDvs = Map(dataFile -> Some(dvSmall)))
+    val vUnbound = FleetManifest.current(fs, p).get.version
+    val res2 = graft.sources.FleetCDC.changes(spark, dir, vRebound, vUnbound)
+    val rows2 = res2.select($"id",
+      col(graft.sources.FleetCDC.ChangeTypeCol))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(rows2 == Set(1L -> "insert"), rows2.toString)
+  }
+
+  test("change feed is exactly empty across a position-identical rebind; divergence fails loudly") {
+    val dir = bigFleet("rebind")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    // chain binding, then a compact_vectors-style flatten to one leaf
+    // with the IDENTICAL position set and count
+    val l1 = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(10L))))
+    val l2 = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(11L))))
+    val chain = FleetDv.writeChain(fs, p, dataFile, Seq(l1, l2), 2L)
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(chain)))
+    val vChain = FleetManifest.current(fs, p).get.version
+    val flat = FleetDv.write(fs, p, dataFile,
+      FleetDv.read(fs, p, chain))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(flat)),
+      requireDvs = Map(dataFile -> Some(chain)))
+    val vFlat = FleetManifest.current(fs, p).get.version
+    // the maintenance commit contributes NOTHING to the feed — and
+    // does not fail it (the r17 shrink guard wedged consumers here)
+    assert(graft.sources.FleetCDC
+      .changes(spark, dir, vChain, vFlat).count() == 0)
+    // an EQUAL-SIZE rebind with a different position set is a
+    // divergence no endpoint diff can represent — loud failure
+    val other = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(12L), full(13L))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(other)),
+      requireDvs = Map(dataFile -> Some(flat)))
+    val vOther = FleetManifest.current(fs, p).get.version
+    val e = intercept[IllegalStateException] {
+      graft.sources.FleetCDC.changes(spark, dir, vFlat, vOther)
     }
-    assert(e.getMessage.contains("rebound"), e.getMessage)
+    assert(e.getMessage.contains("DIFFERENT position sets"), e.getMessage)
+  }
+
+  test("delta reads verify lineage containment in-task: a divergent 'growth' fails") {
+    val dir = bigFleet("diverge")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    val dvA = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(1L))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvA)))
+    val vA = FleetManifest.current(fs, p).get.version
+    // counts grow 1 → 2 but dvB does NOT contain dvA: count routing
+    // alone would silently misread this as a pure delete span — the
+    // reader's in-task subset check is the exactness backstop
+    val dvB = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(full(2L), full(3L))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvB)),
+      requireDvs = Map(dataFile -> Some(dvA)))
+    val vB = FleetManifest.current(fs, p).get.version
+    val e = intercept[org.apache.spark.SparkException] {
+      graft.sources.FleetCDC.changes(spark, dir, vA, vB).count()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage
+      else t.getMessage + "\n" + rootMsg(t.getCause)
+    assert(rootMsg(e).contains("lineage diverged"), rootMsg(e))
+  }
+
+  test("manifest DvMeta round-trips and follows its binding exactly") {
+    import graft.sources.FleetManifest.DvMeta
+    import spark.implicits._
+    val dir = bigFleet("meta")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    val dv1 = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(5L, 6L, 7L).map(full)))
+    val meta1 = DvMeta(3L, Some(Map(
+      "id" -> (Long.box(5L), Long.box(7L)),
+      "pad" -> ("x5", "x7"))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dv1)),
+      dvMetaUpdate = Map(dataFile -> meta1))
+    // round trip through the version-file JSON (cache-bypassing fresh
+    // read via snapshotAt of the committed version)
+    val v = FleetManifest.current(fs, p).get.version
+    assert(FleetManifest.snapshotAt(fs, p, v).get.dvMeta ==
+      Map(dataFile -> meta1), "DvMeta JSON round trip drifted")
+    // an ordinary append INHERITS meta with the binding
+    Seq((90001L, "new")).toDF("id", "pad").repartition(1)
+      .write.format("graft-avro").mode("append").save(dir)
+    assert(FleetManifest.current(fs, p).get.dvMeta ==
+      Map(dataFile -> meta1), "append dropped binding meta")
+    // a rebind WITHOUT fresh meta drops the stale entry
+    val dv2 = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(5L, 6L, 7L, 8L).map(full)))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dv2)),
+      requireDvs = Map(dataFile -> Some(dv1)))
+    assert(FleetManifest.current(fs, p).get.dvMeta.isEmpty,
+      "rebind without meta must drop the stale entry")
+    // retiring the file retires any meta with the binding
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dv2)),
+      dvMetaUpdate = Map(dataFile -> DvMeta(4L, None)))
+    FleetManifest.commit(fs, p, base => base.filterNot(_ == dataFile),
+      Nil, requireInBase = Set(dataFile))
+    val end = FleetManifest.current(fs, p).get
+    assert(end.dvs.isEmpty && end.dvMeta.isEmpty)
+  }
+
+  test("aggregate planning reads counts from manifest meta, never vector headers") {
+    import graft.sources.FleetManifest.DvMeta
+    import spark.implicits._
+    val dir = bigFleet("meta_count")
+    val (fs, p) = fsOf(dir)
+    val full = positions(dir)
+    val dataFile = FleetManifest.current(fs, p).get.files.head
+    // bind a 3-position vector but stamp meta count 5: the pushed
+    // COUNT(*) correction must reflect the META number — direct proof
+    // that planning performed ZERO vector-header reads (r17 verdict
+    // #1's done-criterion, assertable without instrumenting the FS)
+    val dv = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(1L, 2L, 3L).map(full)))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dv)),
+      dvMetaUpdate = Map(dataFile -> DvMeta(5L, None)))
+    val cnt = spark.read.format("graft-avro").load(dir).groupBy().count()
+    val plan = cnt.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation(metadata): [COUNT(*)]") ||
+      plan.contains("PushedAggregation: [COUNT(*)]"), plan)
+    assert(cnt.as[Long].head() == 20000 - 5,
+      "pushed count must be corrected by the manifest meta count " +
+        "(a header read would have said 3)")
+    // a LEGACY binding (no meta) still counts correctly via its header
+    val dvLegacy = FleetDv.write(fs, p, dataFile,
+      FleetDv.Deleted.of(Seq(1L, 2L).map(full)))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(dvLegacy)),
+      requireDvs = Map(dataFile -> Some(dv)))
+    assert(spark.read.format("graft-avro").load(dir)
+      .groupBy().count().as[Long].head() == 20000 - 2)
   }
 
   test("concurrent vector swap on one file: one winner, one loud conflict") {

@@ -240,6 +240,74 @@ class MorRowLevelSpec extends SparkSpec {
       == total - deleted)
   }
 
+  test("MOR DELETE stamps manifest DvMeta: exact counts + captured deleted-value stats") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("meta")
+    val fleet = s"$root/cust.avro"
+    val deleted = spark.read.format("graft-avro").load(fleet)
+      .filter($"c_custkey" % 17 === 3)
+    val perFile = deleted.groupBy(col("_file")).count().collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName ->
+        r.getLong(1)).toMap
+    val band = deleted.agg(min($"c_custkey"), max($"c_custkey")).head()
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 17 = 3")
+    val snap = manifest(fleet)
+    assert(snap.dvMeta.keySet == snap.dvs.keySet,
+      s"every binding carries meta: ${snap.dvMeta.keySet} vs ${snap.dvs.keySet}")
+    snap.dvMeta.foreach { case (f, m) =>
+      assert(m.count == perFile(f), s"$f: ${m.count} vs ${perFile(f)}")
+      val st = m.stats.getOrElse(fail(s"$f: stats not captured"))
+      // the captured per-file band is inside the global deleted band
+      val (mn, mx) = st("c_custkey")
+      assert(mn.asInstanceOf[Long] >= band.getLong(0) &&
+        mx.asInstanceOf[Long] <= band.getLong(1), s"$f: ($mn, $mx)")
+      assert(st.contains("c_name") && st.contains("c_acctbal"))
+    }
+    // a second delete MERGES meta: counts add, stats union col-wise
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 17 = 4")
+    val snap2 = manifest(fleet)
+    snap2.dvMeta.foreach { case (f, m) =>
+      assert(m.stats.isDefined, s"$f lost captured stats on merge")
+      assert(m.count >= perFile.getOrElse(f, 0L))
+    }
+    assert(snap2.dvMeta.values.map(_.count).sum ==
+      snap.dvMeta.values.map(_.count).sum +
+        spark.read.format("graft-avro")
+          .option("versionAsOf", snap.version).load(fleet)
+          .filter($"c_custkey" % 17 === 4).count())
+  }
+
+  test("min/max metadata tier STANDS through a surgical MOR delete; deleting the extremum declines") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("metastand")
+    val fleet = s"$root/cust.avro"
+    val keyRow = spark.read.format("graft-avro").load(fleet)
+      .agg(max($"c_custkey"), min($"c_custkey")).head
+    val maxKey = keyRow.getLong(0)
+    val minKey = keyRow.getLong(1)
+    // vector the MAX-ATTAINING file with values strictly below the
+    // extremum: the binding's captured stats prove the max row lives
+    s2.sql(s"""DELETE FROM graft.cust
+      |WHERE c_custkey >= ${maxKey - 5} AND c_custkey < $maxKey"""
+      .stripMargin)
+    val q1 = s2.sql(
+      "SELECT count(*) AS cnt, min(c_custkey) AS mn, max(c_custkey) AS mx " +
+        "FROM graft.cust")
+    val plan1 = q1.queryExecution.executedPlan.toString
+    assert(plan1.contains("PushedAggregation(metadata)"),
+      s"captured deleted-value stats must keep the tier standing:\n$plan1")
+    val r1 = q1.head()
+    assert(r1.getLong(2) == maxKey && r1.getLong(1) == minKey)
+    // now delete the extremum itself: the captured deleted max EQUALS
+    // the sidecar max — unprovable, tier declines, row path exact
+    s2.sql(s"DELETE FROM graft.cust WHERE c_custkey = $maxKey")
+    val q2 = s2.sql("SELECT max(c_custkey) AS mx FROM graft.cust")
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "a provably-deleted extremum must decline the tier")
+    assert(q2.head.getLong(0) == maxKey - 6)
+  }
+
   test("COW rewrite of a vectored file does not resurrect deleted rows") {
     import spark.implicits._
     val (root, s2) = freshFleet("cowmix")
