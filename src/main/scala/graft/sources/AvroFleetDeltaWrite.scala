@@ -98,13 +98,23 @@ private[sources] class AvroFleetDeltaOperation(schema: StructType,
     * mutation, and the split keeps the writer two-verbed. */
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
+  /** Under `spark.graft.isolation = serializable`: the fleet version
+    * this command's scan resolved, recorded at scan-planning time —
+    * the commit then requires the fleet to still be exactly there
+    * (write-skew protection; None under default snapshot isolation). */
+  @volatile private var scanVersion: Option[Long] = None
+
   /** The ordinary fleet scan: full pushdown legitimacy (the plan
     * above re-applies semantics at row level), metadata columns
     * available on demand. */
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
+      : ScanBuilder = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    scanVersion = FleetManifest.scanVersionIfSerializable(
+      p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
     new AvroFleetScanBuilder(schema, path, maxFileBytes,
       evolve = evolve, aliases = aliases)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
@@ -115,7 +125,7 @@ private[sources] class AvroFleetDeltaOperation(schema: StructType,
             .digest(info.queryId().getBytes("UTF-8"))
             .take(4).map(b => f"$b%02x").mkString
           new AvroFleetDeltaBatchWrite(schemaJson, info.schema(), path,
-            jobTag)
+            jobTag, () => scanVersion)
         }
       }
     }
@@ -150,7 +160,8 @@ private[graft] object AvroFleetDeltaCommitMessage {
 }
 
 private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
-    schema: StructType, dir: String, jobTag: String)
+    schema: StructType, dir: String, jobTag: String,
+    expectedVersion: () => Option[Long] = () => None)
     extends DeltaBatchWrite {
 
   private def fsp() = {
@@ -281,6 +292,11 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
         bootstrap = AvroFleetCommits.dataFileStatuses(f, p)
           .map(_.getPath.getName),
         requireInBase = deletes.keySet,
+        // serializable isolation: land only on the exact version the
+        // scan resolved — any intervening commit (even a disjoint
+        // append whose rows match this command's predicate: write
+        // skew) conflicts loudly and retries the whole transaction
+        expectedVersion = expectedVersion(),
         dvUpdate = dvUpdate,
         requireDvs = requireDvs,
         dvMetaUpdate = dvMetaUpdate.result())

@@ -66,6 +66,11 @@ private[sources] class AvroFleetRowLevelOperation(schema: StructType,
   @volatile private[sources] var replacedDvs
       : Map[String, Option[String]] = Map.empty
 
+  /** Under `spark.graft.isolation = serializable`: the fleet version
+    * the scan resolved, pinned at scan-planning time — the replace
+    * commit conflicts on ANY intervening commit (write skew closed). */
+  @volatile private var scanVersion: Option[Long] = None
+
   override def command(): RowLevelOperation.Command = cmd
 
   override def description(): String = s"graft-avro $cmd `$path`"
@@ -82,9 +87,13 @@ private[sources] class AvroFleetRowLevelOperation(schema: StructType,
       .column(AvroFleetTable.FileMetaCol))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
+      : ScanBuilder = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    scanVersion = FleetManifest.scanVersionIfSerializable(
+      p.getFileSystem(SparkSession.active.sessionState.newHadoopConf()), p)
     new AvroFleetRowLevelScanBuilder(schema, path, maxFileBytes, this,
       evolve, aliases)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
@@ -97,7 +106,8 @@ private[sources] class AvroFleetRowLevelOperation(schema: StructType,
             .digest(info.queryId().getBytes("UTF-8"))
             .take(4).map(b => f"$b%02x").mkString
           new AvroFleetReplaceBatchWrite(schemaJson, info.schema(), path,
-            jobTag, () => replacedFiles, () => replacedDvs)
+            jobTag, () => replacedFiles, () => replacedDvs,
+            () => scanVersion)
         }
       }
     }
@@ -157,7 +167,8 @@ private[sources] class AvroFleetReplaceBatchWrite(schemaJson: String,
     schema: StructType, dir: String, jobTag: String,
     replaced: () => Seq[String],
     replacedDvs: () => Map[String, Option[String]] =
-      () => Map.empty)
+      () => Map.empty,
+    scanVersion: () => Option[Long] = () => None)
     extends AvroFleetBatchWrite(schemaJson, schema, dir, jobTag,
       truncate = false) {
 
@@ -166,6 +177,9 @@ private[sources] class AvroFleetReplaceBatchWrite(schemaJson: String,
 
   override protected def manifestRequireDvs
       : Map[String, Option[String]] = replacedDvs()
+
+  override protected def manifestExpectedVersion: Option[Long] =
+    scanVersion()
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = SparkSession.active.sessionState.newHadoopConf()

@@ -746,6 +746,10 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
   protected def manifestRequireDvs: Map[String, Option[String]] =
     requireDvsOpt
 
+  /** Under serializable isolation the row-level replace write pins the
+    * exact version its scan resolved; plain writes carry None. */
+  protected def manifestExpectedVersion: Option[Long] = None
+
   private def fs(conf: org.apache.hadoop.conf.Configuration) =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
 
@@ -791,7 +795,8 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
       removeNames = manifestRemoveNames,
       reset = truncate,
       props = manifestProps,
-      requireDvs = manifestRequireDvs)
+      requireDvs = manifestRequireDvs,
+      expectedVersion = manifestExpectedVersion)
   }
 
   // roll back exactly THIS job's files (tag-matched finals + temps);
@@ -1095,7 +1100,8 @@ private[sources] object AvroFleetCommits {
       removeNames: Set[String] = Set.empty,
       reset: Boolean = false,
       props: Map[String, String] = Map.empty,
-      requireDvs: Map[String, Option[String]] = Map.empty): Unit = {
+      requireDvs: Map[String, Option[String]] = Map.empty,
+      expectedVersion: Option[Long] = None): Unit = {
     val stats = messages.collect {
       case AvroFleetCommitMessage(parts) =>
         parts.collect { case (file, Some(ps)) =>
@@ -1127,6 +1133,7 @@ private[sources] object AvroFleetCommits {
       bootstrap = rawDataFiles(f, p),
       props = props,
       requireInBase = if (reset) Set.empty else removeNames,
+      expectedVersion = expectedVersion,
       // deletion-vector compare-and-set: a copy-on-write rewrite
       // states the bindings it READ its inputs under (absence
       // included) — a merge-on-read delete landing mid-job would

@@ -638,6 +638,29 @@ private[graft] object FleetManifest {
   private val commitStripes = Array.fill(64)(new Object)
   private val linklessWarned = new java.util.concurrent.atomic.AtomicBoolean
 
+  /** SERIALIZABLE isolation opt-in (`spark.graft.isolation =
+    * snapshot | serializable`, default snapshot): under serializable a
+    * row-level command records the fleet version its SCAN resolved and
+    * its commit lands only if the fleet is still exactly there —
+    * ANY intervening commit (even a non-overlapping append) conflicts
+    * loudly. Closes snapshot isolation's write skew: "DELETE WHERE p"
+    * racing an INSERT of p-matching rows commits fine under snapshot
+    * (file-granular CAS sees no overlap) but the new rows silently
+    * survive the delete's intent; serializable makes that a retryable
+    * [[FleetCommitConflictException]] (the Delta Serializable level).
+    * Resolved per command at scan-planning time, branch-aware (a WAP
+    * session compares against its branch head). */
+  private[sources] def scanVersionIfSerializable(fs: FileSystem,
+      dir: Path): Option[Long] =
+    org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.graft.isolation", "snapshot") match {
+      case "snapshot" => None
+      case "serializable" =>
+        Some(current(fs, dir).map(_.version).getOrElse(0L))
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.isolation = '$other' (use snapshot | serializable)")
+    }
+
   /** Run `f` under the same per-directory stripe the commit protocol
     * uses — retention passes ([[FleetCompact.expireVersions]]) take
     * this so a concurrent restore/commit cannot interleave between

@@ -308,6 +308,53 @@ class MorRowLevelSpec extends SparkSpec {
     assert(q2.head.getLong(0) == maxKey - 6)
   }
 
+  test("serializable isolation conflicts on any mid-command commit; snapshot commits through") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("serial")
+    val fleet = s"$root/cust.avro"
+    // bump_once lands a FOREIGN manifest commit the first time a task
+    // evaluates it — i.e. strictly between this command's scan-version
+    // capture (planning) and its own commit (job end): the write-skew
+    // window. Snapshot isolation's file-granular CAS cannot see it
+    // (no binding, no file overlap); serializable must.
+    MorRowLevelSpec.armBump(fleet)
+    s2.udf.register("bump_once",
+      (_: Long) => { MorRowLevelSpec.bumpOnce(); true })
+    val before = s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+    s2.conf.set("spark.graft.isolation", "serializable")
+    val e = intercept[Exception] {
+      s2.sql("DELETE FROM graft.cust " +
+        "WHERE c_custkey % 17 = 3 AND bump_once(c_custkey)")
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage
+      else t.getMessage + "\n" + rootMsg(t.getCause)
+    assert(rootMsg(e).contains("expected version"), rootMsg(e))
+    assert(s2.sql("SELECT count(*) FROM graft.cust").as[Long].head()
+      == before, "a conflicted serializable DELETE must delete nothing")
+    // same interleave under the default snapshot isolation: commits
+    MorRowLevelSpec.armBump(fleet)
+    s2.conf.set("spark.graft.isolation", "snapshot")
+    s2.sql("DELETE FROM graft.cust " +
+      "WHERE c_custkey % 17 = 3 AND bump_once(c_custkey)")
+    assert(s2.sql("SELECT c_custkey FROM graft.cust").as[Long]
+      .collect().forall(_ % 17 != 3))
+    // COPY-ON-WRITE honors the same conf (the replace write pins the
+    // scan version): conflict under serializable, success after
+    s2.conf.set("spark.graft.rowLevelMode", "copy-on-write")
+    s2.conf.set("spark.graft.isolation", "serializable")
+    MorRowLevelSpec.armBump(fleet)
+    val e2 = intercept[Exception] {
+      s2.sql("UPDATE graft.cust SET c_acctbal = c_acctbal + 1.0 " +
+        "WHERE c_custkey % 17 = 4 AND bump_once(c_custkey)")
+    }
+    assert(rootMsg(e2).contains("expected version"), rootMsg(e2))
+    // uncontended serializable command: commits normally
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 17 = 5")
+    assert(s2.sql("SELECT c_custkey FROM graft.cust").as[Long]
+      .collect().forall(k => k % 17 != 3 && k % 17 != 5))
+  }
+
   test("COW rewrite of a vectored file does not resurrect deleted rows") {
     import spark.implicits._
     val (root, s2) = freshFleet("cowmix")
@@ -708,4 +755,22 @@ class MorRowLevelSpec extends SparkSpec {
           s"contended chain nested: $rel -> $parents")
       }
   }
+}
+
+/** Executor-reachable statics for the serializable-isolation spec: a
+  * once-only foreign manifest commit fired from inside a running
+  * command's task (local mode shares the JVM). */
+object MorRowLevelSpec {
+  private val target =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private val pending = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def armBump(fleet: String): Unit = { target.set(fleet); pending.set(true) }
+
+  def bumpOnce(): Unit =
+    if (pending.compareAndSet(true, false)) {
+      val p = new org.apache.hadoop.fs.Path(target.get)
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      graft.sources.FleetManifest.commit(fs, p, identity, Nil)
+    }
 }
