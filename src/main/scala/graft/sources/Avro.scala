@@ -445,11 +445,13 @@ object Avro {
 
   private[graft] def listFleet(s: SparkSession, glob: String,
       maxFileBytes: Long, enforceBound: Boolean = true,
-      versionAsOf: Option[Long] = None)
+      versionAsOf: Option[Long] = None,
+      branch: Option[String] = None)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val parts = splitGlobs(glob)
     require(parts.nonEmpty, s"no avro files match: $glob")
-    val all = parts.toSeq.flatMap(g => listOneGlob(s, g, versionAsOf))
+    val all = parts.toSeq
+      .flatMap(g => listOneGlob(s, g, versionAsOf, branch))
       .groupBy(_.getPath.toString).map(_._2.head).toSeq
     require(all.nonEmpty, s"no avro files match: $glob")
     if (enforceBound) all.foreach(requireIngestSized(_, maxFileBytes))
@@ -457,20 +459,22 @@ object Avro {
   }
 
   private def listOneGlob(s: SparkSession, glob: String,
-      versionAsOf: Option[Long] = None)
+      versionAsOf: Option[Long] = None,
+      branch: Option[String] = None)
       : Seq[org.apache.hadoop.fs.FileStatus] = {
     val p = new org.apache.hadoop.fs.Path(glob)
     val fs = p.getFileSystem(s.sessionState.newHadoopConf())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val files = matched.flatMap {
       // a TRANSACTIONAL fleet (committed `_manifest/`) resolves its
-      // file set from the current — or `versionAsOf` — snapshot: an
-      // in-flight append's task-committed files and a half-swapped
-      // copy-on-write generation are invisible until their one
-      // manifest commit lands. The `_SUCCESS` gate is superseded by
-      // the manifest (which only ever names job-committed files).
+      // file set from the current — or `versionAsOf` / per-read
+      // `branch` — snapshot: an in-flight append's task-committed
+      // files and a half-swapped copy-on-write generation are
+      // invisible until their one manifest commit lands. The
+      // `_SUCCESS` gate is superseded by the manifest (which only
+      // ever names job-committed files).
       case d if d.isDirectory =>
-        FleetManifest.resolve(fs, d.getPath, versionAsOf) match {
+        FleetManifest.resolve(fs, d.getPath, versionAsOf, branch) match {
           case Some(resolved) => resolved
           case None => listLegacyDir(fs, d)
         }

@@ -281,7 +281,36 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
                 val ps = FleetDv.chainParents(f, p, rel)
                 if (ps.isEmpty) Seq(rel) else ps
               }
-              FleetDv.writeChain(f, p, name, parents, total)
+              val maxWidth = try SparkSession.active.conf
+                .get("spark.graft.dv.maxChainWidth", "8").toInt
+              catch { case _: IllegalStateException => 8 }
+              if (parents.size <= maxWidth)
+                FleetDv.writeChain(f, p, name, parents, total)
+              else {
+                // AUTOMATIC chain maintenance (r18): past the width
+                // budget, inline the compact_vectors flatten for THIS
+                // file — one executor task unions the parents into one
+                // leaf, so read fan-out stays bounded without operator
+                // attention and positions still never reach the
+                // driver. This job's own partials are superseded by
+                // the leaf (reaped post-commit); prior-snapshot
+                // parents stay referenced by their versions until
+                // retention.
+                val sconf = new SerializableHadoopConf(
+                  SparkSession.active.sessionState.newHadoopConf())
+                val dirStr = f.makeQualified(p).toString
+                val parentList = parents
+                val leaf = SparkSession.active.sparkContext
+                  .parallelize(Seq(name), 1).map { n =>
+                    val tp = new org.apache.hadoop.fs.Path(dirStr)
+                    val tfs = tp.getFileSystem(sconf.value)
+                    FleetDv.write(tfs, tp, n, parentList
+                      .map(FleetDv.read(tfs, tp, _))
+                      .reduce(_ union _))
+                  }.collect().head
+                coalesced ++= partials.map(_.vector)
+                leaf
+              }
             }
           name -> Some(bound)
         }

@@ -221,7 +221,14 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         .map(_.toLong),
       aliases = aliases,
       cdc = cdc,
-      dvSpecs = AvroFleetTable.parseDvSpec(options.get("dvSpec")))
+      dvSpecs = AvroFleetTable.parseDvSpec(options.get("dvSpec")),
+      // per-read branch addressing (r18): `option("branch", name)` —
+      // the versionAsOf spelling for a write-audit-publish fork, so
+      // one job compares main vs branch with no session-conf flip.
+      // READ-only: writes keep the session-conf routing. Mutual
+      // exclusion with versionAsOf validates at resolution.
+      branch = Option(options.get("branch")).map(_.trim)
+        .filter(_.nonEmpty))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1197,7 +1204,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     startingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
     cdc: Boolean = false,
-    dvSpecs: Map[String, DvPartSpec] = Map.empty)
+    dvSpecs: Map[String, DvPartSpec] = Map.empty,
+    branch: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownFilters
     with SupportsPushDownAggregates with SupportsPushDownTopN {
@@ -1311,6 +1319,11 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (agg.aggregateExpressions.isEmpty || cdc) return false
+    // a per-read BRANCH scan keeps the row path: the aggregate tiers'
+    // sidecar/vector resolution speaks main/versionAsOf addressing,
+    // and branch reads are audit-shaped (validate staged work) —
+    // correctness over the last word in speed there
+    if (branch.isDefined) return false
     // every aggregate tier emits values in per-file carrier spelling
     // (sidecar stats, block counts, decode-time hashes) typed by a
     // SINGLE pinned schema; an evolved fleet mixes carriers across
@@ -1550,7 +1563,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         startingVersion = startingVersion,
         aliases = aliases,
         cdc = cdc,
-        dvSpecs = dvSpecs)
+        dvSpecs = dvSpecs,
+        branch = branch)
   }
 }
 
@@ -1695,7 +1709,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     startingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
     cdc: Boolean = false,
-    dvSpecs: Map[String, DvPartSpec] = Map.empty)
+    dvSpecs: Map[String, DvPartSpec] = Map.empty,
+    branch: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1729,7 +1744,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
           SparkSession.active.sessionState.newHadoopConf()),
         evolve = evolve,
         startingVersion = startingVersion,
-        aliases = aliases)
+        aliases = aliases,
+        branch = branch)
     else new AvroFleetMicroBatchStream(fullSchema, required.fieldNames, path,
       maxFileBytes, pushedFilters,
       new SerializableHadoopConf(
@@ -1740,12 +1756,14 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       maxFileAgeMs = maxFileAgeMs,
       ignoreMissingFiles = ignoreMissingFiles,
       startingVersion = startingVersion,
-      aliases = aliases)
+      aliases = aliases,
+      branch = branch)
 
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below
   private lazy val fleet = Avro.listFleet(SparkSession.active, path,
-    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf)
+    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf,
+    branch = branch)
 
   // per-file stats from the fleet's `_stats.json` sidecars (one small
   // driver-side read per directory; empty where no sidecar exists)
@@ -1770,7 +1788,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       Option(gfs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
         .filter(_.isDirectory).map { d =>
           gfs.makeQualified(d.getPath) ->
-            FleetManifest.snapshotFor(gfs, d.getPath, versionAsOf)
+            FleetManifest.snapshotFor(gfs, d.getPath, versionAsOf, branch)
         }
     }
 

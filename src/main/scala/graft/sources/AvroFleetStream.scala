@@ -84,7 +84,8 @@ private[graft] class AvroFleetMicroBatchStream(tableSchema: StructType,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
     startingVersion: Option[Long] = None,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    branch: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -105,7 +106,7 @@ private[graft] class AvroFleetMicroBatchStream(tableSchema: StructType,
     val f = fs
     if (!f.exists(p)) Seq.empty
     else {
-      val base = FleetManifest.resolve(f, p, None).getOrElse(
+      val base = FleetManifest.resolve(f, p, None, branch).getOrElse(
         AvroFleetCommits.dataFileStatuses(f, p))
       base.sortBy(st => (st.getModificationTime, st.getPath.toString))
         .map(st => st.getPath.toString -> st.getModificationTime)
@@ -134,7 +135,7 @@ private[graft] class AvroFleetMicroBatchStream(tableSchema: StructType,
     case Some(v) =>
       val p = new org.apache.hadoop.fs.Path(path)
       val f = fs
-      val snap = FleetManifest.snapshotAt(f, p, v).getOrElse(
+      val snap = FleetManifest.snapshotAtRef(f, p, v, branch).getOrElse(
         throw new IllegalArgumentException(
           s"startingVersion=$v: no such manifest version at $path " +
             s"(available: ${FleetManifest.versions(f, p).mkString(", ")})"))
@@ -177,7 +178,7 @@ private[graft] class AvroFleetMicroBatchStream(tableSchema: StructType,
       else {
         val fleetP = new org.apache.hadoop.fs.Path(path)
         val f = fs
-        val bound = FleetManifest.current(f, fleetP)
+        val bound = FleetManifest.snapshotFor(f, fleetP, None, branch)
           .map(_.dvs).getOrElse(Map.empty)
         if (bound.isEmpty) Map.empty
         else admitted.flatMap { case (ap, _) =>
@@ -326,18 +327,30 @@ private[sources] class AvroFleetCdcMicroBatchStream(
     conf: SerializableHadoopConf,
     evolve: Boolean = false,
     startingVersion: Option[Long] = None,
-    aliases: Map[String, Seq[String]] = Map.empty)
+    aliases: Map[String, Seq[String]] = Map.empty,
+    branch: Option[String] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def p = new org.apache.hadoop.fs.Path(path)
   private def fs = p.getFileSystem(conf.value)
 
   private def currentVersion(): Long = {
-    // the change feed tails MAIN generations (offsets are main version
-    // numbers); a session whose spark.graft.branch exists at this
-    // fleet reads the BRANCH through every batch surface, so silently
-    // feeding it main's changes would mix the two histories — fail
-    // with the remedy instead
+    // an EXPLICIT `option("branch", b)` makes this a BRANCH-FOLLOWING
+    // feed (r18): offsets are the branch's own version sequence
+    // (numbering continues from the fork base, pre-fork numbers
+    // resolve to the shared main history). Without it the feed tails
+    // MAIN generations, and a session whose spark.graft.branch exists
+    // at this fleet fails loudly — silently feeding it main's changes
+    // would mix the two histories; the option IS the remedy.
+    branch match {
+      case Some(b) =>
+        return FleetManifest.branchHead(fs, p, b).map(_.version)
+          .getOrElse(throw new IllegalStateException(
+            s"readChangeFeed: no branch '$b' at $path (published or " +
+              "dropped?) — a branch feed ends with its branch; resume " +
+              "the MAIN feed from the publish version instead"))
+      case None =>
+    }
     try org.apache.spark.sql.SparkSession.getActiveSession
       .flatMap(s => Option(s.conf.get("spark.graft.branch", null)))
       .map(_.trim).filter(_.nonEmpty).foreach { b =>
@@ -346,7 +359,9 @@ private[sources] class AvroFleetCdcMicroBatchStream(
             s"readChangeFeed: fleet at $path has an active branch " +
               s"'$b' in this session (spark.graft.branch) — the " +
               "change feed follows MAIN history only; unset the " +
-              "branch conf (or publish/drop the branch) to stream")
+              "branch conf (or publish/drop the branch), or follow " +
+              "the branch explicitly with option(\"branch\", \"" + b +
+              "\")")
       }
     catch { case e: IllegalStateException => throw e
             case scala.util.control.NonFatal(_) => () }
@@ -364,7 +379,7 @@ private[sources] class AvroFleetCdcMicroBatchStream(
 
   override def initialOffset(): Offset = startingVersion match {
     case Some(v) =>
-      if (v > 0 && FleetManifest.snapshotAt(fs, p, v).isEmpty)
+      if (v > 0 && FleetManifest.snapshotAtRef(fs, p, v, branch).isEmpty)
         throw new IllegalArgumentException(
           s"startingVersion=$v: no such manifest version at $path " +
             s"(available: ${FleetManifest.versions(fs, p).mkString(", ")})")
@@ -392,7 +407,7 @@ private[sources] class AvroFleetCdcMicroBatchStream(
     if (v1 <= v0) return Array.empty
     def snapAt(v: Long): Option[FleetManifest.Snapshot] =
       if (v == 0L) None
-      else Some(FleetManifest.snapshotAt(fs, p, v).getOrElse(
+      else Some(FleetManifest.snapshotAtRef(fs, p, v, branch).getOrElse(
         throw new IllegalStateException(
           s"readChangeFeed: manifest version $v at $path was expired " +
             "by retention while the stream was down — the change range " +

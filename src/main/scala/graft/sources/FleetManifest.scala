@@ -266,12 +266,30 @@ private[graft] object FleetManifest {
 
   /** The snapshot a reader of `versionAsOf` (None = current) sees —
     * the selection rule [[resolve]] applies, without the
-    * file-statusing. */
+    * file-statusing. `branch` — the PER-READ spelling
+    * (`option("branch", name)`, r18): resolve that branch's HEAD
+    * explicitly, overriding the session conf; the branch must exist at
+    * `dir` (an explicit option deserves a loud miss, unlike the
+    * session conf's opt-in fall-through). Mutually exclusive with
+    * `versionAsOf` — a branch has its own version sequence. */
   def snapshotFor(fs: FileSystem, dir: Path,
-      versionAsOf: Option[Long]): Option[Snapshot] = versionAsOf match {
-    case Some(v) => snapshotAt(fs, dir, v)
-    case None => current(fs, dir)
-  }
+      versionAsOf: Option[Long],
+      branch: Option[String] = None): Option[Snapshot] =
+    (versionAsOf, branch) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        s"versionAsOf and branch are mutually exclusive at $dir — a " +
+          "branch has its own version sequence")
+      case (_, Some(b)) => Some(requireBranchHead(fs, dir, b))
+      case (Some(v), None) => snapshotAt(fs, dir, v)
+      case (None, None) => current(fs, dir)
+    }
+
+  private def requireBranchHead(fs: FileSystem, dir: Path,
+      b: String): Snapshot =
+    branchHead(fs, dir, b).getOrElse(
+      throw new IllegalArgumentException(
+        s"branch: no branch '$b' at $dir (branches: " +
+          s"${branches(fs, dir).map(_._1).mkString(", ")})"))
 
   // ---- BRANCHES: named MUTABLE refs — write-audit-publish ----------
   //
@@ -341,15 +359,35 @@ private[graft] object FleetManifest {
   }
 
   /** The branch head: its newest own commit, else the fork-point main
-    * snapshot (a fresh branch reads exactly what main read at fork). */
+    * snapshot (a fresh branch reads exactly what main read at fork).
+    * The fallback resolves MAIN history explicitly: pre-fork numbers
+    * are shared main versions by the strict-ff invariant, and a
+    * session whose `spark.graft.branch` names a DIFFERENT branch must
+    * not have that branch's vdir probed for this one's base. */
   def branchHead(fs: FileSystem, dir: Path, name: String)
       : Option[Snapshot] =
     branchBase(fs, dir, name).flatMap { base =>
       branchVersionStatuses(fs, dir, name).lastOption
         .map { case (_, st) => readCached(fs, st) }
         .orElse(if (base == 0L) Some(Snapshot(0L, Seq.empty))
-                else snapshotAt(fs, dir, base))
+                else snapshotAtMain(fs, dir, base))
     }
+
+  /** Version lookup under an EXPLICIT branch: numbers past the fork
+    * resolve to the branch's own commits, pre-fork numbers to the
+    * shared main history — the per-read twin of the session-conf
+    * routing in [[snapshotAt]], for the branch-following change feed. */
+  def snapshotAtRef(fs: FileSystem, dir: Path, v: Long,
+      branch: Option[String]): Option[Snapshot] = branch match {
+    case None => snapshotAt(fs, dir, v)
+    case Some(b) =>
+      val hit = branchBase(fs, dir, b).filter(_ < v).flatMap { _ =>
+        val p = new Path(branchVDir(dir, b), vname(v))
+        try Some(readCached(fs, fs.getFileStatus(p)))
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      hit.orElse(snapshotAtMain(fs, dir, v))
+  }
 
   /** Fork a branch at the current main version. Fails if the name
     * exists (drop or publish first). */
@@ -396,6 +434,24 @@ private[graft] object FleetManifest {
         (name, base, head)
       }.sortBy(_._1)
   }
+
+  /** A branch's LAST-ACTIVITY instant: its newest own commit's stamped
+    * `commit.ts` (file mtime fallback), else — a fork with no commits
+    * yet — its ref file's mtime. The per-branch retention clock
+    * ([[GraftProcedures]] `expire_branches`): an abandoned long-lived
+    * fork pins every generation it references like a tag, so without
+    * an age-out it can pin a petabyte forever. None when no such
+    * branch exists. */
+  def branchLastActivity(fs: FileSystem, dir: Path,
+      name: String): Option[Long] =
+    branchBase(fs, dir, name).map { _ =>
+      branchVersionStatuses(fs, dir, name).lastOption.map {
+        case (_, st) =>
+          readCached(fs, st).props.get(CommitTsProp)
+            .flatMap(_.toLongOption).getOrElse(st.getModificationTime)
+      }.getOrElse(
+        fs.getFileStatus(branchRef(dir, name)).getModificationTime)
+    }
 
   /** Every branch version's snapshot — the references GC must pin. */
   def branchSnapshots(fs: FileSystem, dir: Path): Seq[Snapshot] = {
@@ -872,10 +928,15 @@ private[graft] object FleetManifest {
     * HARD error — it means a retained generation was GC'd or
     * externally deleted, and silently dropping it would be silent row
     * loss (upstream Spark's ignoreMissingFiles=false posture). */
-  def resolve(fs: FileSystem, dir: Path, versionAsOf: Option[Long])
+  def resolve(fs: FileSystem, dir: Path, versionAsOf: Option[Long],
+      branch: Option[String] = None)
       : Option[Seq[FileStatus]] = {
-    val snap = versionAsOf match {
-      case Some(v) =>
+    val snap = (versionAsOf, branch) match {
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        s"versionAsOf and branch are mutually exclusive at $dir — a " +
+          "branch has its own version sequence")
+      case (_, Some(b)) => Some(requireBranchHead(fs, dir, b))
+      case (Some(v), None) =>
         val avail = versions(fs, dir)
         if (avail.isEmpty)
           throw new IllegalArgumentException(
@@ -885,7 +946,7 @@ private[graft] object FleetManifest {
           throw new IllegalArgumentException(
             s"versionAsOf=$v: no such manifest version at $dir " +
               s"(available: ${avail.mkString(", ")})")))
-      case None => current(fs, dir)
+      case (None, None) => current(fs, dir)
     }
     snap.map { sn =>
       // one listing serves every lookup; manifest names absent from it

@@ -64,7 +64,7 @@ private[sources] object GraftProcedures {
   private val names = Seq("snapshots", "expire_versions", "restore",
     "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags",
     "create_branch", "fast_forward", "drop_branch", "branches",
-    "set_layout", "compact_vectors")
+    "expire_branches", "set_layout", "compact_vectors")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -89,6 +89,7 @@ private[sources] object GraftProcedures {
       case "set_layout" => new SetLayout(dirFor)
       case "compact_vectors" => new CompactVectors(dirFor)
       case "create_branch" => new CreateBranch(dirFor)
+      case "expire_branches" => new ExpireBranches(dirFor)
       case "fast_forward" => new FastForward(dirFor)
       case "drop_branch" => new DropBranch(dirFor)
       case "branches" => new Branches(dirFor)
@@ -481,6 +482,48 @@ private[sources] object GraftProcedures {
       val (p, fs) = fsFor(requireFleet(dirFor, table))
       result(out, new GenericInternalRow(Array[Any](
         FleetManifest.fastForward(fs, p, name))))
+    }
+  }
+
+  /** `CALL graft.system.expire_branches('events', 604800000)` —
+    * PER-BRANCH retention (r18, the r17 verdict's #7): drop every
+    * branch whose last activity (newest staged commit's `commit.ts`,
+    * else the fork ref's mtime) is older than `older_than_ms`.
+    * Branches pin every generation they reference like tags —
+    * expire_versions and remove_orphans treat staged files as LIVE —
+    * so an abandoned long-lived fork would otherwise pin a petabyte
+    * forever; ageing it out here releases its staging to the normal
+    * orphan sweep while main history stays untouched (dropBranch
+    * deletes refs and branch version files only, never data). Active
+    * forks stay: any staged commit inside the window resets the
+    * clock. */
+  private final class ExpireBranches(dirFor: String => String)
+      extends Base("expire_branches") {
+    override def description: String =
+      "drop branches idle longer than older_than_ms; their staging " +
+        "falls to remove_orphans"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("older_than_ms", LongType))
+    private val out = StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("head_version", LongType, nullable = false),
+      StructField("idle_ms", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val olderThan = input.getLong(1)
+      require(olderThan >= 0, "older_than_ms must be >= 0")
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      val now = System.currentTimeMillis()
+      val dropped = FleetManifest.branches(fs, p).flatMap {
+        case (name, _, head) =>
+          FleetManifest.branchLastActivity(fs, p, name)
+            .map(now - _).filter(_ > olderThan).map { idle =>
+              FleetManifest.dropBranch(fs, p, name)
+              new GenericInternalRow(
+                Array[Any](str(name), head, idle)): InternalRow
+            }
+      }
+      result(out, dropped: _*)
     }
   }
 

@@ -704,6 +704,55 @@ class CatalogSpec extends SparkSpec {
     assert(audit.sql("SELECT count(*) FROM graft.t").as[Long].head() == 90)
   }
 
+  test("option(\"branch\") addresses a fork per-read: main vs branch in one job, no conf flip") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("branch_read")
+    val fleet = s"$root/t.avro"
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartition(2).write.format("graft-avro")
+      .mode("overwrite").save(fleet)
+    val main = spark.newSession()
+    main.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    main.conf.set("spark.sql.catalog.graft.root", root)
+    val audit = spark.newSession()
+    audit.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    audit.conf.set("spark.sql.catalog.graft.root", root)
+    audit.conf.set("spark.graft.branch", "audit")
+    main.sql("CALL graft.system.create_branch('t', 'audit')")
+    audit.sql("DELETE FROM graft.t WHERE id < 10")
+    // ONE session, ONE job: the anti-join of main against the branch
+    // is exactly the staged delete — no spark.graft.branch flip, no
+    // second session (the r17 audit recipe needed both)
+    val mainDf = spark.read.format("graft-avro").load(fleet)
+    val branchDf = spark.read.format("graft-avro")
+      .option("branch", "audit").load(fleet)
+    assert(branchDf.count() == 90 && mainDf.count() == 100)
+    val staged = mainDf.join(branchDf, Seq("id"), "left_anti")
+      .select($"id").as[Long].collect().toSet
+    assert(staged == (0L until 10L).toSet, staged.toString)
+    // a fresh fork with no own commits reads the fork-point state
+    main.sql("CALL graft.system.create_branch('t', 'empty')")
+    assert(spark.read.format("graft-avro").option("branch", "empty")
+      .load(fleet).count() == 100)
+    // loud misses: unknown branch, and branch × versionAsOf
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").option("branch", "nope")
+        .load(fleet).count()
+    }
+    assert(e1.getMessage.contains("no branch 'nope'"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-avro").option("branch", "audit")
+        .option("versionAsOf", 1).load(fleet).count()
+    }
+    assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
+    // an aggregate over a branch read stays exact (row path — the
+    // metadata tiers speak main addressing and decline)
+    assert(spark.read.format("graft-avro").option("branch", "audit")
+      .load(fleet).agg(min($"id")).as[Long].head() == 10L)
+    main.sql("CALL graft.system.drop_branch('t', 'empty')")
+    main.sql("CALL graft.system.drop_branch('t', 'audit')")
+  }
+
   test("a stale fork cannot publish; drop_branch releases its staging to GC") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("wap_conflict")
@@ -747,6 +796,44 @@ class CatalogSpec extends SparkSpec {
     assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 51)
     assert(main.sql("SELECT count(*) FROM graft.t WHERE id = 7")
       .as[Long].head() == 1)
+  }
+
+  test("expire_branches ages out an abandoned fork; its staging sweeps, main untouched") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("branch_retention")
+    val fleet = s"$root/t.avro"
+    spark.range(20).select($"id").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(fleet)
+    def sess(branch: Option[String]): org.apache.spark.sql.SparkSession = {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      s2.conf.set("spark.sql.catalog.graft.root", root)
+      branch.foreach(s2.conf.set("spark.graft.branch", _))
+      s2
+    }
+    val main = sess(None)
+    main.sql("CALL graft.system.create_branch('t', 'stale')")
+    sess(Some("stale")).sql("INSERT INTO graft.t VALUES (777)")
+    Thread.sleep(2000) // the stale fork goes idle
+    main.sql("CALL graft.system.create_branch('t', 'fresh')")
+    sess(Some("fresh")).sql("INSERT INTO graft.t VALUES (888)")
+    // ONLY the idle fork expires; any staged commit inside the window
+    // keeps a branch alive
+    val dropped = main.sql("CALL graft.system.expire_branches('t', 1000)")
+      .collect().map(_.getString(0)).toSeq
+    assert(dropped == Seq("stale"), dropped.toString)
+    assert(main.sql("CALL graft.system.branches('t')")
+      .collect().map(_.getString(0)).toSeq == Seq("fresh"))
+    // the dropped fork's staging is unreferenced now — sweepable —
+    // while main history and the live fork are untouched
+    main.sql("CALL graft.system.remove_orphans('t', 0L)")
+    assert(main.sql("SELECT count(*) FROM graft.t").as[Long].head() == 20)
+    assert(spark.read.format("graft-avro").option("branch", "fresh")
+      .load(fleet).count() == 21)
+    assert(spark.read.format("graft-avro").option("branch", "fresh")
+      .load(fleet).filter($"id" === 888).count() == 1,
+      "the live fork's staged file must survive the sweep")
+    main.sql("CALL graft.system.drop_branch('t', 'fresh')")
   }
 
   test("CALL set_layout re-clusters from pure SQL: the join earns SPJ") {

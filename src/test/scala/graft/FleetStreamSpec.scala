@@ -382,6 +382,61 @@ class FleetStreamSpec extends SparkSpec {
         _.contains("expired by retention"))), e.toString)
   }
 
+  test("a branch-following change feed streams staged commits; the session-conf guard stays") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("fleet_cdc_branch")
+    val dir = s"$root/t.avro"
+    writeGen(dir, 0, 30)                                       // main v1
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FleetManifest.createBranch(fs, p, "audit")
+    s2.conf.set("spark.graft.branch", "audit")
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.t WHERE id < 5")                 // branch v2
+
+    def drainBranch(ck: String): Seq[(String, Long)] = {
+      val got = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("branch", "audit")
+        .option("startingVersion", "1") // the fork base
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("_change_type", "id").collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSeq.sortBy(x => (x._1, x._2))
+    }
+    // replay from the fork base: the staged MOR delete streams as the
+    // branch's own generation — a MAIN feed at these offsets has
+    // nothing (main is still at v1)
+    assert(drainBranch(s"$root/ck_b") ==
+      (0L until 5L).map(("delete", _)))
+    // the explicit option works from a session whose conf also names
+    // the branch (the guard asks for exactly this spelling)
+    val e = intercept[Exception] {
+      val q = s2.readStream.format("graft-avro")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ck_guard")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(t => Option(t.getMessage).exists(
+      _.contains("follows MAIN history"))), e.toString)
+  }
+
   test("an MV maintained from the change stream matches FleetMV.refresh") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("fleet_cdc_mv")

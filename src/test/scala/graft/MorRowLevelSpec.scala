@@ -240,6 +240,43 @@ class MorRowLevelSpec extends SparkSpec {
       == total - deleted)
   }
 
+  test("chain width self-bounds: past maxChainWidth the commit inlines a flatten") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("chainwidth")
+    val fleet = s"$root/cust.avro"
+    // every commit over-budget (chains), width budget 2: the THIRD
+    // over-budget commit on a file would splice a 3-parent chain —
+    // instead it must flatten to one leaf, executor-side, and keep
+    // reads exact with zero data-file rewrites
+    s2.conf.set("spark.graft.dv.coalesceBudget", "1")
+    s2.conf.set("spark.graft.dv.maxChainWidth", "2")
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    val before = dataSnapshot(fleet)
+    val mods = Seq(0, 1, 2, 3, 4)
+    mods.foreach(m =>
+      s2.sql(s"DELETE FROM graft.cust WHERE c_custkey % 7 = $m"))
+    val p2 = new org.apache.hadoop.fs.Path(fleet)
+    val fs2 = p2.getFileSystem(spark.sessionState.newHadoopConf())
+    manifest(fleet).dvs.values.foreach { rel =>
+      val parents = graft.sources.FleetDv.chainParents(fs2, p2, rel)
+      assert(parents.size <= 2,
+        s"chain width must stay under the bound: $rel -> $parents")
+      assert(parents.forall(_.endsWith(".dv.bin")), parents.toString)
+    }
+    assert(dataSnapshot(fleet) == before,
+      "width maintenance must never rewrite a data file")
+    val remaining = s2.sql("SELECT c_custkey FROM graft.cust")
+      .as[Long].collect().toSet
+    assert(remaining.forall(_ % 7 > 4))
+    val deleted = spark.read.format("graft-avro")
+      .option("versionAsOf", "1").load(fleet)
+      .filter($"c_custkey" % 7 <= 4).count()
+    assert(remaining.size.toLong == total - deleted)
+    // count fast path stays exact through the self-flattened bindings
+    assert(spark.read.format("graft-avro").load(fleet).count() ==
+      total - deleted)
+  }
+
   test("MOR DELETE stamps manifest DvMeta: exact counts + captured deleted-value stats") {
     import spark.implicits._
     val (root, s2) = freshFleet("meta")
