@@ -667,31 +667,30 @@ object Crud {
     s2.sql(
       """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
         |WHERE c_custkey % 100 = 7""".stripMargin)                // v3
-    val out = s"$root/cdck_batches"
+    val out = s"$root/cdck_net.avro"
     val ckpt = s"$root/cdck_ckpt"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
     Seq(out, ckpt).foreach(d =>
       fs.delete(new org.apache.hadoop.fs.Path(d), true))
+    // r18: the DECLARATIVE spelling — `option("cdcKeyCols", ...)`
+    // reconciles per micro-batch INSIDE the source (the V1 fallback
+    // path; FleetStreamSpec pins parity with the foreachBatch +
+    // reconcileKeyed recipe it replaces), so a PLAIN writeStream sink
+    // consumes net per-key changes directly
     val q = s2.readStream.format("graft-avro")
       .option("readChangeFeed", "true")
+      .option("cdcKeyCols", "c_custkey")
       .option("startingVersion", "1")
       .load(s"$root/cust.avro")
-      .writeStream
-      .foreachBatch { (b: DataFrame, batchId: Long) =>
-        graft.sources.FleetCDC.reconcileKeyed(b, Seq("c_custkey"))
-          .write.format("graft-avro").option("codec", "deflate-1")
-          .mode("overwrite").save(s"$out/batch_$batchId.avro")
-        ()
-      }
+      .writeStream.format("graft-avro")
+      .option("path", out)
+      .option("codec", "deflate-1")
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val batchDirs = fs.listStatus(new org.apache.hadoop.fs.Path(out))
-      .filter(_.isDirectory).map(_.getPath.toString).sorted
-    batchDirs.map(p => s.read.format("graft-avro").load(p))
-      .reduce(_ unionByName _)
+    s.read.format("graft-avro").load(out)
       .orderBy($"c_custkey", $"_change_type")
   }
 

@@ -38,9 +38,56 @@ import graft.util.SerializableHadoopConf
   * filesystem from a serialized session Hadoop conf carried by the
   * reader factory — never a bare default `Configuration`.
   */
-class AvroFleetSource extends TableProvider with DataSourceRegister {
+class AvroFleetSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-avro"
+
+  // ---- V1 StreamSourceProvider: the KEYED change feed only ---------
+  //
+  // `readChangeFeed` + `cdcKeyCols` needs a per-batch JOIN (net-change
+  // reconciliation) that no DSv2 scan can express; the table drops
+  // MICRO_BATCH_READ for that option combination and the analyzer's
+  // documented fallback routes the stream through this V1 Source
+  // (FileStreamSource's API). Every other read keeps the V2 path.
+
+  private def keyedCdcCols(options: CaseInsensitiveStringMap)
+      : Seq[String] =
+    Option(options.get("cdcKeyCols")).map(_.split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    // called EAGERLY for every stream (the analyzer materializes the
+    // V1 fallback relation before choosing V2) — must answer for all
+    // of them; only createSource (an actually-chosen V1 path) enforces
+    // the keyed-feed-only contract
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val base = inferSchema(opts)
+    // net-change rows join across files, so per-field nullability is
+    // the join's, not the writers' — declare the relaxed schema
+    if (cdcOf(opts) && keyedCdcCols(opts).nonEmpty)
+      (shortName(), StructType(base.fields.map(_.copy(nullable = true))))
+    else (shortName(), base)
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val keys = keyedCdcCols(opts)
+    require(cdcOf(opts) && keys.nonEmpty,
+      "the graft-avro V1 stream serves only readChangeFeed=true + " +
+        "cdcKeyCols")
+    new AvroFleetCdcKeyedSource(sqlContext, pathOf(opts), keys,
+      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      Option(opts.get("startingVersion")).map(_.toLong),
+      Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty))
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 
@@ -124,7 +171,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister {
     new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
       evolveOf(opts) || marker.isDefined,
       aliases = marker.map(_.aliases).getOrElse(Map.empty),
-      cdc = cdcOf(opts))
+      cdc = cdcOf(opts),
+      cdcKeyed = cdcOf(opts) && keyedCdcCols(opts).nonEmpty)
   }
 }
 
@@ -132,7 +180,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     maxFileBytes: Long, evolve: Boolean = false,
     versionAsOf: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
-    cdc: Boolean = false)
+    cdc: Boolean = false,
+    cdcKeyed: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -143,7 +192,14 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    if (cdc)
+    if (cdc && cdcKeyed)
+      // KEYED change feed: per-batch reconciliation is a JOIN no scan
+      // can express — declare NO stream capability so the analyzer's
+      // documented fallback routes to the provider's V1 Source
+      // (AvroFleetCdcKeyedSource), which returns the reconciled
+      // DataFrame per micro-batch
+      java.util.EnumSet.noneOf(classOf[TableCapability])
+    else if (cdc)
       // the change feed is a STREAMING read surface only — batch
       // version ranges are FleetCDC.changes/changesKeyed
       java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)

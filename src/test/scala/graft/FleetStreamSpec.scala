@@ -742,4 +742,74 @@ class FleetStreamSpec extends SparkSpec {
       s"net keyed stream must carry ONLY the changed keys: $got")
     assert(seen.size == 6, s"4997 survivors must net out: ${seen.size}")
   }
+
+  test("option(cdcKeyCols) reconciles in-source: recipe parity on a plain sink, exact resume") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cdc_keyed_opt")
+    val dir = s"$root/t.avro"
+    spark.range(5000).select($"id", ($"id" * 3).as("v"))
+      .coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    // same history as the foreachBatch recipe test: a 3-row COW update
+    // rewriting the whole 5000-row container
+    graft.sources.FleetMerge.mergeCow(spark, dir, "id",
+      Seq(7L, 19L, 4999L).toDF("q"),
+      t => t.withColumn("v",
+        when($"id".isin(7L, 19L, 4999L), $"v" + 1000000L)
+          .otherwise($"v")),
+      retainOld = true)                                          // v2
+    // the NET rows arrive already reconciled — the sink does nothing
+    // but collect (no reconcileKeyed anywhere in user code)
+    def drain(ck: String): Set[(Long, Long, String)] = {
+      val seen = scala.collection.mutable.Set.empty[(Long, Long, String)]
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("cdcKeyCols", "id")
+        .option("startingVersion", "1")
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= b.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2))) }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      seen.synchronized(seen.toSet)
+    }
+    // a genuinely PLAIN sink works too: one memory-sink drain on its
+    // own checkpoint proves no foreachBatch is required at all
+    val plainQ = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("cdcKeyCols", "id")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdck_plain")
+      .option("checkpointLocation", s"$root/ckpt_plain")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    plainQ.awaitTermination(60000)
+    val plain = spark.table("cdck_plain").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val got = drain(s"$root/ckpt")
+    assert(plain == got, s"plain sink drifted from foreachBatch: $plain")
+    val expect = Seq(7L, 19L, 4999L).flatMap(k => Seq(
+      (k, k * 3, "update_preimage"),
+      (k, k * 3 + 1000000L, "update_postimage"))).toSet
+    assert(got == expect,
+      s"in-source reconciliation must match the recipe exactly: $got")
+    // exact resume on the SAME checkpoint: nothing re-streams, and a
+    // fresh commit drains as its own net batch (a MOR delete this
+    // time — the grown-vector direction flows through too)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.t WHERE id = 42")                  // v3
+    val got2 = drain(s"$root/ckpt")
+    assert(got2 == Set((42L, 126L, "delete")),
+      s"resume must stream only the new commit's net changes: $got2")
+  }
 }
