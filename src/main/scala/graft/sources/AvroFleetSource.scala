@@ -2408,7 +2408,8 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
     * for every conjunct — the stats row may only stand in for the file
     * when the filter provably rejects none of its rows (files the
     * filter provably rejects entirely were already skip-dropped). */
-  private def metaRow(ps: FleetStats.PartStats): Option[Array[Any]] = {
+  private def metaRow(ps: FleetStats.PartStats,
+      dv: Option[FleetManifest.DvMeta] = None): Option[Array[Any]] = {
     if (ps.rows == 0L) return Some(null) // no rows → no partial at all
     val singleGroup = groupCols.forall(c => ps.cols.get(c).exists(cs =>
       (cs.nulls == 0L && cs.min.isDefined && cs.max.isDefined &&
@@ -2423,9 +2424,42 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
     val filterTotal =
       filters.forall(FleetStats.alwaysMatches(_, ps))
     if (!singleGroup || !covered || !filterTotal) return None
+    // a VECTORED file (manifest-carried DvMeta, r18): the live rows
+    // are a subset of one group, so the group VALUE stands; COUNT(*)
+    // corrects exactly by the binding count (`alwaysMatches` covers
+    // deleted rows too); MIN/MAX stand when the captured deleted
+    // values are provably strictly interior to the file's sidecar
+    // extremum (an absent captured column = no non-null deleted value
+    // — the strongest proof); COUNT(col) (deleted null profile
+    // unknown), a fully-vectored file, and uncaptured stats where an
+    // extremum needs them all fall back to the decode tier, which
+    // skips positions per record.
+    val deleted = dv.map(_.count).getOrElse(0L)
+    if (deleted >= ps.rows) return None // fully vectored: decode (0 rows)
+    def extremumStands(c: String, isMin: Boolean): Boolean =
+      dv.isEmpty || {
+        val ext = (if (isMin) ps.cols(c).min else ps.cols(c).max).orNull
+        ext == null || dv.exists(_.stats.exists { st =>
+          st.get(c) match {
+            case None => true
+            case Some((dmn, dmx)) =>
+              val v = if (isMin) dmn else dmx
+              FleetStats.comparable(v, ext) &&
+                (if (isMin) FleetFilters.cmp(v, ext) > 0
+                 else FleetFilters.cmp(v, ext) < 0)
+          }
+        })
+      }
+    val sound = specs.forall {
+      case CountStar => true
+      case CountCol(_) => dv.isEmpty
+      case MinCol(c) => extremumStands(c, isMin = true)
+      case MaxCol(c) => extremumStands(c, isMin = false)
+    }
+    if (!sound) return None
     val out = readSchema()
     Some((groupCols.map(c => ps.cols(c).min.orNull) ++ specs.map {
-      case CountStar => Long.box(ps.rows)
+      case CountStar => Long.box(ps.rows - deleted)
       case CountCol(c) => Long.box(ps.rows - ps.cols(c).nulls)
       case MinCol(c) => ps.cols(c).min.orNull
       case MaxCol(c) => ps.cols(c).max.orNull
@@ -2435,35 +2469,41 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    // deletion-vector bindings: a VECTORED file's sidecar row is
-    // stale (counts/extrema include deleted rows), so such files are
-    // forced onto the decode tier, which aggregates exactly the live
-    // rows under the vector — the grouped pushdown survives
-    // merge-on-read fleets at the cost of decoding only the TOUCHED
-    // files. Skip-proofs stay sound (deletion only shrinks a file's
-    // value set, so neverMatches can't wrongly drop a live row).
+    // deletion-vector bindings: a meta-bearing vectored file still
+    // resolves from its sidecar row — COUNT(*) corrected by the
+    // binding count, MIN/MAX proven live by the captured deleted-value
+    // stats (r18; metaRow). Bindings the meta cannot prove sound —
+    // legacy (no meta), uncaptured stats under a MIN/MAX, COUNT(col) —
+    // decode exactly those files, which aggregate live rows under the
+    // vector per record. Skip-proofs stay sound (deletion only shrinks
+    // a file's value set, so neverMatches can't wrongly drop a live
+    // row).
     val s = SparkSession.active
-    val dvByFull = FleetDv.forPath(s, path, versionAsOf)
+    val dvWithMeta = FleetDv.forPathWithMeta(s, path, versionAsOf)
     val fs2 = new org.apache.hadoop.fs.Path(path).getFileSystem(
       s.sessionState.newHadoopConf())
-    def vectored(st: org.apache.hadoop.fs.FileStatus) =
-      dvByFull.contains(fs2.makeQualified(st.getPath).toString)
+    def binding(st: org.apache.hadoop.fs.FileStatus) =
+      dvWithMeta.get(fs2.makeQualified(st.getPath).toString)
+    def provenRow(st: org.apache.hadoop.fs.FileStatus)
+        : Option[Array[Any]] =
+      binding(st) match {
+        case Some((_, None)) => None // legacy binding: decode
+        case b => fleetStats.get(st.getPath.toString)
+          .flatMap(ps => metaRow(ps, b.flatMap(_._2)))
+      }
     // skip tier first: a file the filter provably can't match
     // contributes no partial row and is never scheduled
     val surviving = fleet.sortBy(_.getPath.toString).filterNot(st =>
       filters.nonEmpty &&
         fleetStats.get(st.getPath.toString).exists(ps =>
           filters.exists(FleetStats.neverMatches(_, ps))))
-    val (meta, decode) = surviving.partition(st =>
-      !vectored(st) && fleetStats.get(st.getPath.toString).exists(ps =>
-        metaRow(ps).isDefined))
+    val (meta, decode) = surviving.partition(st => provenRow(st).isDefined)
     val metaParts = meta.flatMap { st =>
-      Option(metaRow(fleetStats(st.getPath.toString)).get) // null = empty
-        .map(GroupMetaPartition)
+      Option(provenRow(st).get).map(GroupMetaPartition) // null = empty
     }
     val byPath = decode.flatMap { st =>
-      dvByFull.get(fs2.makeQualified(st.getPath).toString)
-        .map(full => st.getPath.toString -> DvPartSpec(full))
+      binding(st)
+        .map { case (full, _) => st.getPath.toString -> DvPartSpec(full) }
     }.toMap
     metaParts.toArray[InputPartition] ++
       AvroFleetScan.planSplits(decode, maxFileBytes, byPath)

@@ -233,6 +233,66 @@ class FleetDvSpec extends SparkSpec {
     assert(got(3L) == (100L, 3L, 399L))
   }
 
+  test("grouped tier keeps meta-bearing vectored files zero-decode; unprovable extrema decode") {
+    import graft.sources.FleetManifest.DvMeta
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("dv_groupmeta") + "/t.avro"
+    spark.range(400)
+      .select(($"id" % 4).as("k"), $"id".as("x"))
+      .repartition(4, $"k")
+      .write.format("graft-avro").option("clusterBy", "k")
+      .mode("overwrite").save(dir)
+    val (fs, p) = fsOf(dir)
+    val rows = spark.read.format("graft-avro").load(dir)
+      .select($"x", col("_file"), col("_sync"), col("_ridx")).collect()
+      .map(r => r.getLong(0) ->
+        (new org.apache.hadoop.fs.Path(r.getString(1)).getName,
+          r.getLong(2), r.getLong(3))).toMap
+    // group 2's file: vector rows x=10 and x=14 (interior — group min
+    // is 2, max is 398) and stamp meta with captured INTERIOR stats
+    // but a count of 3 ≠ the vector's 2: the grouped COUNT reflecting
+    // the META number is direct proof the file resolved from the
+    // sidecar row, zero decode (a decode would say 98)
+    val victimFile = rows(10L)._1
+    assert(rows(14L)._1 == victimFile)
+    val dv = FleetDv.write(fs, p, victimFile,
+      FleetDv.Deleted.of(Seq(10L, 14L).map(id =>
+        (rows(id)._2, rows(id)._3))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(victimFile -> Some(dv)),
+      dvMetaUpdate = Map(victimFile -> DvMeta(3L, Some(Map(
+        "k" -> (Long.box(2L), Long.box(2L)),
+        "x" -> (Long.box(10L), Long.box(14L)))))))
+    val agg = spark.read.format("graft-avro").load(dir)
+      .groupBy($"k").agg(count("*").as("cnt"), min($"x").as("mn"),
+        max($"x").as("mx"))
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation(grouped)"))
+    val got = agg.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(2L) == (97L, 2L, 398L),
+      s"vectored group must resolve from META (count 100-3): ${got(2L)}")
+    assert(got(0L) == (100L, 0L, 396L) && got(3L) == (100L, 3L, 399L))
+    // same binding but the captured stats now ATTAIN the group min —
+    // the extremum proof fails and exactly this file decodes (exact
+    // values from the real 2-position vector)
+    val dv2 = FleetDv.write(fs, p, victimFile,
+      FleetDv.Deleted.of(Seq(2L, 6L).map(id =>
+        (rows(id)._2, rows(id)._3))))
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(victimFile -> Some(dv2)),
+      requireDvs = Map(victimFile -> Some(dv)),
+      dvMetaUpdate = Map(victimFile -> DvMeta(2L, Some(Map(
+        "k" -> (Long.box(2L), Long.box(2L)),
+        "x" -> (Long.box(2L), Long.box(6L)))))))
+    val agg2 = spark.read.format("graft-avro").load(dir)
+      .groupBy($"k").agg(count("*").as("cnt"), min($"x").as("mn"))
+    val got2 = agg2.collect().map(r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got2(2L) == (98L, 10L),
+      s"attained extremum must decode exactly: ${got2(2L)}")
+  }
+
   test("a vectored clustered fleet still SPJ-joins exchange-free, rows hidden") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("dv_spj")
