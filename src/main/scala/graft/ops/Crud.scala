@@ -382,6 +382,52 @@ object Crud {
       .withColumn("main_rows_while_staged", lit(mainWhileStaged))
   }
 
+  /** §1.1 PER-READ BRANCH ADDRESSING (r18, the r17 verdict's #3) —
+    * `option("branch", name)`: a staged cleaning DELETE lands on the
+    * fork, then ONE session compares main against the branch head in
+    * ONE job (no `spark.graft.branch` flip, no second session — the
+    * r17 audit recipe needed both). The output is the full MAIN
+    * relation with an `in_branch` flag from the branch-side join, so
+    * the oracle hash pins BOTH surfaces at once: a branch read leaking
+    * main rows (or vice versa) flips flags and mismatches. At 100 TB
+    * this is the write-audit-publish validation query itself: "what
+    * exactly did the staged pass remove?" as one anti-joined scan. */
+  def qFleetBranchRead(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "branchread")
+    s2.sql("CALL graft.system.create_branch('cust', 'audit')")
+    s2.conf.set("spark.graft.branch", "audit")
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 11 = 2")
+    s2.conf.unset("spark.graft.branch")
+    val root = s2.conf.get("spark.sql.catalog.graft.root")
+    val fleet = s"$root/cust.avro"
+    val mainDf = s2.read.format("graft-avro").load(fleet)
+    val branchKeys = s2.read.format("graft-avro")
+      .option("branch", "audit").load(fleet)
+      .select($"c_custkey").withColumn("_hit", lit(1L))
+    mainDf.join(branchKeys, Seq("c_custkey"), "left")
+      .select($"c_custkey", $"c_name",
+        round($"c_acctbal", 4).as("c_acctbal"),
+        coalesce($"_hit", lit(0L)).as("in_branch"))
+      .orderBy($"c_custkey")
+  }
+
+  /** §1.1 SERIALIZABLE isolation end-to-end (r18, the r17 verdict's
+    * #2): a merge-on-read DELETE under `spark.graft.isolation =
+    * serializable` — the commit pins the scan's fleet version, so ANY
+    * concurrent commit would conflict loudly (write-skew protection;
+    * MorRowLevelSpec interleaves the conflict); this row pins the
+    * UNCONTENDED path's values against the oracle, proving the mode
+    * costs nothing when nothing races. */
+  def qSqlDeleteSerializable(s: SparkSession, dir: String): DataFrame = {
+    val s2 = stagedFleetSession(s, dir, "serial")
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.conf.set("spark.graft.isolation", "serializable")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 9 = 1")
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+  }
+
   /** §1.1 METADATA-ONLY SQL DELETE — the zero-rewrite regime: the
     * fleet is staged `clusterBy(shard)` (shard = c_custkey % 8, one
     * shard value per file, sidecar min==max), so `DELETE ... WHERE
@@ -824,6 +870,8 @@ object Crud {
     "q_sql_delete_fleet_mor" -> qSqlDeleteFleetMor _,
     "q_fleet_agg_mor_minmax" -> qFleetAggMorMinmax _,
     "q_fleet_wap" -> qFleetWap _,
+    "q_fleet_branch_read" -> qFleetBranchRead _,
+    "q_sql_delete_serializable" -> qSqlDeleteSerializable _,
     "q_fleet_agg_mor_group" -> qFleetAggMorGroup _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
     "q_sql_merge_fleet" -> qSqlMergeFleet _,
@@ -1026,6 +1074,17 @@ object Crud {
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
         |  (SELECT count(*) FROM customer) AS main_rows_while_staged
         |FROM customer WHERE c_custkey % 11 <> 2
+        |ORDER BY c_custkey""".stripMargin,
+    // per-read branch compare: main relation flagged by branch
+    // membership — the staged DELETE removed exactly custkey % 11 = 2
+    "q_fleet_branch_read" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+        |  CAST(CASE WHEN c_custkey % 11 = 2 THEN 0 ELSE 1 END AS BIGINT)
+        |    AS in_branch
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_sql_delete_serializable" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM customer WHERE c_custkey % 9 <> 1
         |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,
