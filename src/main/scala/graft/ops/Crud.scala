@@ -328,7 +328,8 @@ object Crud {
       |WHERE c_custkey >= ${maxKey - 20} AND c_custkey < ${maxKey - 10}"""
       .stripMargin)
     s2.sql(
-      """SELECT count(*) AS cnt, min(c_custkey) AS min_key,
+      """SELECT count(*) AS cnt, count(c_acctbal) AS cnt_bal,
+        |  min(c_custkey) AS min_key,
         |  max(c_custkey) AS max_key, min(c_name) AS min_name,
         |  max(c_name) AS max_name
         |FROM graft.cust""".stripMargin)
@@ -1054,7 +1055,8 @@ object Crud {
         |FROM customer WHERE c_custkey % 13 <> 5
         |ORDER BY c_custkey""".stripMargin,
     "q_fleet_agg_mor_minmax" ->
-      """SELECT count(*) AS cnt, min(c_custkey) AS min_key,
+      """SELECT count(*) AS cnt, count(c_acctbal) AS cnt_bal,
+        |  min(c_custkey) AS min_key,
         |  max(c_custkey) AS max_key, min(c_name) AS min_name,
         |  max(c_name) AS max_name
         |FROM customer

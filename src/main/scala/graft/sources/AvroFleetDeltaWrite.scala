@@ -150,13 +150,13 @@ private[graft] object AvroFleetDeltaCommitMessage {
   /** One task's partial vector for one touched file: the data file
     * NAME, the fleet-relative partial vector name the task wrote, its
     * position count, and — when the task captured them (bounded by
-    * `spark.graft.dv.statsCaptureLimit`) — per-column (min, max) of
-    * the DELETED rows' non-null values in sidecar carrier spelling.
-    * `stats = None` = not captured (over-limit); an absent column in a
-    * captured map = no non-null deleted value. Values are boxed
-    * primitives/Strings — Java-serializable by construction. */
+    * `spark.graft.dv.statsCaptureLimit`) — per-column (min, max,
+    * non-null count) of the DELETED rows' values in sidecar carrier
+    * spelling. `stats = None` = not captured (over-limit); an absent
+    * column in a captured map = no non-null deleted value. Values are
+    * boxed primitives/Strings — Java-serializable by construction. */
   final case class PartialDv(file: String, vector: String, count: Long,
-      stats: Option[Map[String, (Any, Any)]])
+      stats: Option[Map[String, FleetManifest.DvColStat]])
 }
 
 private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
@@ -250,15 +250,17 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
           // falsely prove extrema live
           val statsSources = partials.map(_.stats) ++
             existing.map(_ => curMeta.get(name).flatMap(_.stats)).toSeq
-          val mergedStats: Option[Map[String, (Any, Any)]] =
+          val mergedStats: Option[Map[String, FleetManifest.DvColStat]] =
             if (statsSources.exists(_.isEmpty)) None
             else Some(statsSources.flatten.flatMap(_.toSeq)
               .groupBy(_._1).map { case (c, es) =>
                 val vs = es.map(_._2)
-                c -> (vs.map(_._1).reduce((a, b) =>
-                  if (FleetFilters.cmp(a, b) <= 0) a else b),
-                  vs.map(_._2).reduce((a, b) =>
-                    if (FleetFilters.cmp(a, b) >= 0) a else b))
+                c -> FleetManifest.DvColStat(
+                  vs.map(_.min).reduce((a, b) =>
+                    if (FleetFilters.cmp(a, b) <= 0) a else b),
+                  vs.map(_.max).reduce((a, b) =>
+                    if (FleetFilters.cmp(a, b) >= 0) a else b),
+                  vs.map(_.nonNull).sum)
               })
           dvMetaUpdate += name -> FleetManifest.DvMeta(total, mergedStats)
           val sources = existing.toSeq ++ partials.map(_.vector)

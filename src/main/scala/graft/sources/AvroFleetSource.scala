@@ -1280,6 +1280,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   private var countStars: Int = 0
   private var dvCountAdjust: Long = 0L
   private var metaCountAdjust: Long = 0L
+  private var metaCountColAdjust: Map[String, Long] = Map.empty
   private var topN: Option[(Seq[TopNOrder], Int)] = None
 
   // does the resolved snapshot (or a caller-passed dvSpec) bind any
@@ -1485,17 +1486,24 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       //    touches every attaining file could have removed the
       //    extremum itself, so the tier declines (the row path, which
       //    applies vectors per task, answers).
-      // COUNT(col) stays undecidable (the deleted rows' null profile
-      // is unknown) and declines the tier.
+      // COUNT(col) corrects by the bindings' captured per-column
+      // non-null deleted counts (r18) — decidable exactly when EVERY
+      // vectored binding carries captured stats; otherwise it declines
+      // (the deleted rows' null profile is unknown).
+      val flatAll = specs.flatten
+      val countColsWanted = flatAll.collect {
+        case MetaAggSpec.CountCol(c) => c }.distinct
+      val countColsOk = countColsWanted.isEmpty ||
+        dvWithMeta.valuesIterator.forall(_._2.exists(_.stats.isDefined))
       if (agg.groupByExpressions.isEmpty && pushed.isEmpty &&
-          specs.forall(_.isDefined) &&
-          !specs.flatten.exists(_.isInstanceOf[MetaAggSpec.CountCol])) {
+          specs.forall(_.isDefined) && countColsOk) {
         val flat = specs.flatten
         val fleet = Avro.listFleet(s, path, maxFileBytes,
           enforceBound = false, versionAsOf = versionAsOf)
         val stats = FleetStats.forFleet(fs, fleet)
         val entries = fleet.map(f => stats.get(f.getPath.toString))
         val cols = flat.collect {
+          case MetaAggSpec.CountCol(c) => c
           case MetaAggSpec.MinCol(c) => c
           case MetaAggSpec.MaxCol(c) => c
         }.distinct
@@ -1517,8 +1525,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
             dvWithMeta.get(fp).flatMap(_._2).flatMap(_.stats).exists {
               st => st.get(c) match {
                 case None => true // no non-null deleted value of c
-                case Some((mn, mx)) =>
-                  val v = if (isMin) mn else mx
+                case Some(cs) =>
+                  val v = if (isMin) cs.min else cs.max
                   FleetStats.comparable(v, ext) &&
                     (if (isMin) FleetFilters.cmp(v, ext) > 0
                      else FleetFilters.cmp(v, ext) < 0)
@@ -1545,6 +1553,16 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
           if (minMaxOk) {
             metaAgg = Some((flat, entries.flatten))
             metaCountAdjust = totalDeleted
+            // per-column COUNT(col) correction: total deleted NON-NULL
+            // values of c across every binding's captured stats (an
+            // absent column = 0 — no non-null value was deleted)
+            metaCountColAdjust = countColsWanted.map { c =>
+              c -> dvWithMeta.valuesIterator.map {
+                case (_, Some(m)) => m.stats
+                  .flatMap(_.get(c)).map(_.nonNull).getOrElse(0L)
+                case _ => 0L
+              }.sum
+            }.toMap
             return true
           }
         }
@@ -1604,7 +1622,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         specs, pushed, versionAsOf = versionAsOf)
     case (_, Some((specs, entries))) =>
       new AvroFleetMetaAggScan(fullSchema, path, specs, entries,
-        countAdjust = metaCountAdjust)
+        countAdjust = metaCountAdjust,
+        countColAdjust = metaCountColAdjust)
     case _ if countStars > 0 =>
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars,
         versionAsOf = versionAsOf, dvAdjust = dvCountAdjust)
@@ -1646,7 +1665,9 @@ private[sources] object MetaAggSpec {
 private[sources] class AvroFleetMetaAggScan(tableSchema: StructType,
     path: String, specs: Seq[MetaAggSpec],
     entries: Seq[FleetStats.PartStats],
-    countAdjust: Long = 0L) extends Scan with Batch {
+    countAdjust: Long = 0L,
+    countColAdjust: Map[String, Long] = Map.empty)
+    extends Scan with Batch {
 
   import MetaAggSpec._
 
@@ -1680,7 +1701,12 @@ private[sources] class AvroFleetMetaAggScan(tableSchema: StructType,
     // a distinct existing row — so the sidecar total corrects exactly
     case CountStar => Long.box(entries.map(_.rows).sum - countAdjust)
     case CountCol(c) =>
-      Long.box(entries.map(e => e.rows - e.cols(c).nulls).sum)
+      // countColAdjust: on a vectored fleet, the deleted NON-NULL
+      // values of c (from the bindings' captured stats) — each a
+      // distinct existing non-null row, so the sidecar total corrects
+      // exactly (r18)
+      Long.box(entries.map(e => e.rows - e.cols(c).nulls).sum -
+        countColAdjust.getOrElse(c, 0L))
     case MinCol(c) =>
       entries.flatMap(_.cols(c).min)
         .reduceOption((a, b) => if (FleetFilters.cmp(a, b) <= 0) a else b)
@@ -2442,17 +2468,21 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
         ext == null || dv.exists(_.stats.exists { st =>
           st.get(c) match {
             case None => true
-            case Some((dmn, dmx)) =>
-              val v = if (isMin) dmn else dmx
+            case Some(cs) =>
+              val v = if (isMin) cs.min else cs.max
               FleetStats.comparable(v, ext) &&
                 (if (isMin) FleetFilters.cmp(v, ext) > 0
                  else FleetFilters.cmp(v, ext) < 0)
           }
         })
       }
+    // deleted NON-NULL count of c, from captured stats (absent column
+    // = 0): the exact COUNT(col) correction for a vectored file
+    def deletedNonNull(c: String): Long =
+      dv.flatMap(_.stats).flatMap(_.get(c)).map(_.nonNull).getOrElse(0L)
     val sound = specs.forall {
       case CountStar => true
-      case CountCol(_) => dv.isEmpty
+      case CountCol(_) => dv.isEmpty || dv.exists(_.stats.isDefined)
       case MinCol(c) => extremumStands(c, isMin = true)
       case MaxCol(c) => extremumStands(c, isMin = false)
     }
@@ -2460,7 +2490,8 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
     val out = readSchema()
     Some((groupCols.map(c => ps.cols(c).min.orNull) ++ specs.map {
       case CountStar => Long.box(ps.rows - deleted)
-      case CountCol(c) => Long.box(ps.rows - ps.cols(c).nulls)
+      case CountCol(c) =>
+        Long.box(ps.rows - ps.cols(c).nulls - deletedNonNull(c))
       case MinCol(c) => ps.cols(c).min.orNull
       case MaxCol(c) => ps.cols(c).max.orNull
     }).zipWithIndex.map { case (v, i) =>

@@ -427,9 +427,10 @@ private[graft] object FleetDv {
     }
   }
 
-  /** Per-column (min, max) of the DELETED rows' non-null values — the
-    * deleted-value stats a merge-on-read task captures alongside its
-    * partial vector so the manifest binding can carry them
+  /** Per-column (min, max, count) of the DELETED rows' non-null
+    * values — the deleted-value stats a merge-on-read task captures
+    * alongside its partial vector so the manifest binding can carry
+    * them
     * ([[FleetManifest.DvMeta]]) and the MIN/MAX metadata aggregate
     * tier can STAND on a vectored fleet (r18). EXECUTOR-side, bounded:
     * the task re-decodes exactly the deleted positions' blocks of the
@@ -448,7 +449,8 @@ private[graft] object FleetDv {
     * the map — the strongest proof: this vector deleted nothing
     * comparable. */
   def captureStats(fs: FileSystem, fleet: Path, file: String,
-      d: Deleted, limit: Long): Option[Map[String, (Any, Any)]] = {
+      d: Deleted, limit: Long)
+      : Option[Map[String, FleetManifest.DvColStat]] = {
     if (limit <= 0 || d.count > limit || d.isEmpty) return None
     def normalize(v: Any): Any = v match {
       case null => null
@@ -485,6 +487,7 @@ private[graft] object FleetDv {
           .map(f => f.name() -> f.schema()).toSeq
         val mins = scala.collection.mutable.HashMap.empty[String, Any]
         val maxs = scala.collection.mutable.HashMap.empty[String, Any]
+        val nns = scala.collection.mutable.HashMap.empty[String, Long]
         var complete = true
         d.positions.toSeq.sortBy(_._1).foreach { case (sync, ords) =>
           stream.seek(sync)
@@ -503,6 +506,7 @@ private[graft] object FleetDv {
                     mins(c) = v
                   if (!maxs.get(c).exists(FleetFilters.cmp(_, v) >= 0))
                     maxs(c) = v
+                  nns(c) = nns.getOrElse(c, 0L) + 1L
                 }
               }
               wi += 1
@@ -514,8 +518,8 @@ private[graft] object FleetDv {
           if (wi < ords.length) complete = false
         }
         if (!complete) None
-        else Some(mins.keysIterator.map(c => c -> (mins(c), maxs(c)))
-          .toMap)
+        else Some(mins.keysIterator.map(c =>
+          c -> FleetManifest.DvColStat(mins(c), maxs(c), nns(c))).toMap)
       } finally stream.close()
     } catch { case scala.util.control.NonFatal(_) => None }
   }

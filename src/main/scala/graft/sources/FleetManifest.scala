@@ -112,17 +112,18 @@ private[graft] object FleetManifest {
     *    count; chains: the additive parent total). Makes COUNT(*)
     *    correction, CDC change routing, and commit-time count math
     *    zero-I/O.
-    *  - `stats` — per tracked column, (min, max) of the DELETED rows'
-    *    NON-NULL values, in the sidecar carrier spelling
-    *    ([[FleetStats.toJson]]); a column with no non-null deleted
-    *    value is ABSENT. `Some(stats)` means the writer captured
-    *    values for every tracked column (small surgical deletes —
-    *    bounded by `spark.graft.dv.statsCaptureLimit`); `None` means
-    *    unknown (legacy bindings, over-limit deletes). With stats, the
-    *    MIN/MAX metadata aggregate tier can STAND on a vectored fleet:
-    *    a file attaining the global extremum whose vector provably
-    *    deleted only strictly-interior values still holds a live
-    *    extremum row.
+    *  - `stats` — per tracked column, the DELETED rows' non-null
+    *    profile ([[DvColStat]]: min, max, non-null count) in the
+    *    sidecar carrier spelling ([[FleetStats.toJson]]); a column
+    *    with no non-null deleted value is ABSENT. `Some(stats)` means
+    *    the writer captured values for every tracked column (small
+    *    surgical deletes — bounded by
+    *    `spark.graft.dv.statsCaptureLimit`); `None` means unknown
+    *    (legacy bindings, over-limit deletes). With stats, the
+    *    MIN/MAX metadata aggregate tier STANDS on a vectored fleet
+    *    when the deleted values are strictly interior, and COUNT(col)
+    *    corrects exactly by the deleted non-null count — the full
+    *    aggregate matrix stays zero-task through surgical deletes.
     *
     * Keyed by DATA FILE name (like `dvs`); entries follow their
     * binding — a commit that swaps a binding without supplying fresh
@@ -130,7 +131,12 @@ private[graft] object FleetManifest {
     * and a retired file drops both. Absent wholesale in pre-r18
     * version files (legacy parse → empty map). */
   final case class DvMeta(count: Long,
-      stats: Option[Map[String, (Any, Any)]] = None)
+      stats: Option[Map[String, DvColStat]] = None)
+
+  /** One column's deleted-row profile inside a [[DvMeta]]: (min, max)
+    * of the non-null deleted values and their exact count. Present
+    * only when at least one non-null value was deleted (nonNull ≥ 1). */
+  final case class DvColStat(min: Any, max: Any, nonNull: Long)
 
   private def mdir(dir: Path) = new Path(dir, DirName)
   private def vname(v: Long) = f"v$v%020d.json"
@@ -642,13 +648,22 @@ private[graft] object FleetManifest {
                   s"malformed manifest $p: dvmeta[$k].count = $other")
               }
               val stats = m \ "stats" match {
-                case so: JObject => Some(so.obj.map {
-                  case (c, cs: JObject) =>
-                    c -> (FleetStats.fromJson(cs \ "min"),
-                      FleetStats.fromJson(cs \ "max"))
-                  case (c, other) => throw new java.io.IOException(
-                    s"malformed manifest $p: dvmeta[$k].stats.$c = $other")
-                }.toMap)
+                case so: JObject =>
+                  val cols = so.obj.map {
+                    case (c, cs: JObject) =>
+                      val nn = cs \ "nn" match {
+                        case JInt(n) => n.toLong
+                        case _ => -1L // pre-nn shape: uncapture below
+                      }
+                      c -> DvColStat(FleetStats.fromJson(cs \ "min"),
+                        FleetStats.fromJson(cs \ "max"), nn)
+                    case (c, other) => throw new java.io.IOException(
+                      s"malformed manifest $p: dvmeta[$k].stats.$c = $other")
+                  }.toMap
+                  // a shape without exact non-null counts cannot serve
+                  // COUNT(col) — treat the whole capture as unknown
+                  if (cols.valuesIterator.exists(_.nonNull < 0L)) None
+                  else Some(cols)
                 case _ => None
               }
               k -> DvMeta(count, stats)
@@ -679,10 +694,11 @@ private[graft] object FleetManifest {
             k -> (JObject(List[(String, org.json4s.JValue)](
               "count" -> JInt(BigInt(m.count))) ++
               m.stats.map(st => "stats" -> (JObject(st.toList.sortBy(_._1)
-                .map { case (c, (mn, mx)) =>
+                .map { case (c, cs) =>
                   c -> (JObject(
-                    "min" -> FleetStats.toJson(mn),
-                    "max" -> FleetStats.toJson(mx)): org.json4s.JValue)
+                    "min" -> FleetStats.toJson(cs.min),
+                    "max" -> FleetStats.toJson(cs.max),
+                    "nn" -> JInt(BigInt(cs.nonNull))): org.json4s.JValue)
                 }): org.json4s.JValue)).toList): org.json4s.JValue)
         }))
     JsonMethods.compact(JsonMethods.render(JObject(base ++ meta)))

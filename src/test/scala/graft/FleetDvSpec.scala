@@ -261,18 +261,23 @@ class FleetDvSpec extends SparkSpec {
     FleetManifest.commit(fs, p, identity, Nil,
       dvUpdate = Map(victimFile -> Some(dv)),
       dvMetaUpdate = Map(victimFile -> DvMeta(3L, Some(Map(
-        "k" -> (Long.box(2L), Long.box(2L)),
-        "x" -> (Long.box(10L), Long.box(14L)))))))
+        "k" -> graft.sources.FleetManifest.DvColStat(
+          Long.box(2L), Long.box(2L), 3L),
+        "x" -> graft.sources.FleetManifest.DvColStat(
+          Long.box(10L), Long.box(14L), 3L))))))
     val agg = spark.read.format("graft-avro").load(dir)
       .groupBy($"k").agg(count("*").as("cnt"), min($"x").as("mn"),
-        max($"x").as("mx"))
+        max($"x").as("mx"), count($"x").as("cx"))
     assert(agg.queryExecution.executedPlan.toString
       .contains("PushedAggregation(grouped)"))
-    val got = agg.collect().map(r =>
-      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    assert(got(2L) == (97L, 2L, 398L),
+    val got = agg.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // COUNT(x) corrects by the stamped non-null deleted count too —
+    // both counts reflecting META numbers proves zero decode
+    assert(got(2L) == (97L, 2L, 398L, 97L),
       s"vectored group must resolve from META (count 100-3): ${got(2L)}")
-    assert(got(0L) == (100L, 0L, 396L) && got(3L) == (100L, 3L, 399L))
+    assert(got(0L) == (100L, 0L, 396L, 100L) &&
+      got(3L) == (100L, 3L, 399L, 100L))
     // same binding but the captured stats now ATTAIN the group min —
     // the extremum proof fails and exactly this file decodes (exact
     // values from the real 2-position vector)
@@ -283,8 +288,10 @@ class FleetDvSpec extends SparkSpec {
       dvUpdate = Map(victimFile -> Some(dv2)),
       requireDvs = Map(victimFile -> Some(dv)),
       dvMetaUpdate = Map(victimFile -> DvMeta(2L, Some(Map(
-        "k" -> (Long.box(2L), Long.box(2L)),
-        "x" -> (Long.box(2L), Long.box(6L)))))))
+        "k" -> graft.sources.FleetManifest.DvColStat(
+          Long.box(2L), Long.box(2L), 2L),
+        "x" -> graft.sources.FleetManifest.DvColStat(
+          Long.box(2L), Long.box(6L), 2L))))))
     val agg2 = spark.read.format("graft-avro").load(dir)
       .groupBy($"k").agg(count("*").as("cnt"), min($"x").as("mn"))
     val got2 = agg2.collect().map(r =>
@@ -617,8 +624,9 @@ class FleetDvSpec extends SparkSpec {
     val dv1 = FleetDv.write(fs, p, dataFile,
       FleetDv.Deleted.of(Seq(5L, 6L, 7L).map(full)))
     val meta1 = DvMeta(3L, Some(Map(
-      "id" -> (Long.box(5L), Long.box(7L)),
-      "pad" -> ("x5", "x7"))))
+      "id" -> graft.sources.FleetManifest.DvColStat(
+        Long.box(5L), Long.box(7L), 3L),
+      "pad" -> graft.sources.FleetManifest.DvColStat("x5", "x7", 3L))))
     FleetManifest.commit(fs, p, identity, Nil,
       dvUpdate = Map(dataFile -> Some(dv1)),
       dvMetaUpdate = Map(dataFile -> meta1))

@@ -295,9 +295,11 @@ class MorRowLevelSpec extends SparkSpec {
       assert(m.count == perFile(f), s"$f: ${m.count} vs ${perFile(f)}")
       val st = m.stats.getOrElse(fail(s"$f: stats not captured"))
       // the captured per-file band is inside the global deleted band
-      val (mn, mx) = st("c_custkey")
-      assert(mn.asInstanceOf[Long] >= band.getLong(0) &&
-        mx.asInstanceOf[Long] <= band.getLong(1), s"$f: ($mn, $mx)")
+      val cs = st("c_custkey")
+      assert(cs.min.asInstanceOf[Long] >= band.getLong(0) &&
+        cs.max.asInstanceOf[Long] <= band.getLong(1), s"$f: $cs")
+      assert(cs.nonNull == m.count,
+        s"$f: non-null custkey count must equal positions: $cs")
       assert(st.contains("c_name") && st.contains("c_acctbal"))
     }
     // a second delete MERGES meta: counts add, stats union col-wise
@@ -335,6 +337,13 @@ class MorRowLevelSpec extends SparkSpec {
       s"captured deleted-value stats must keep the tier standing:\n$plan1")
     val r1 = q1.head()
     assert(r1.getLong(2) == maxKey && r1.getLong(1) == minKey)
+    // COUNT(col) stands too (r18): corrected by the bindings' captured
+    // non-null deleted counts — zero tasks, exact value
+    val q1c = s2.sql("SELECT count(c_acctbal) AS cb FROM graft.cust")
+    assert(q1c.queryExecution.executedPlan.toString
+      .contains("PushedAggregation(metadata): [COUNT(c_acctbal)]"),
+      q1c.queryExecution.executedPlan.toString)
+    assert(q1c.head.getLong(0) == r1.getLong(0))
     // now delete the extremum itself: the captured deleted max EQUALS
     // the sidecar max — unprovable, tier declines, row path exact
     s2.sql(s"DELETE FROM graft.cust WHERE c_custkey = $maxKey")
