@@ -383,6 +383,23 @@ object Crud {
       .withColumn("main_rows_while_staged", lit(mainWhileStaged))
   }
 
+  /** §2.A TARGETED VECTOR MATERIALIZATION (r18) — `CALL
+    * graft.system.purge_vectors`: after a scattered merge-on-read
+    * DELETE vectors part of the staging, the purge rewrites ONLY the
+    * vectored containers minus their vectors (one manifest swap,
+    * bindings CAS'd and retired), leaving every unvectored file
+    * byte-identical — the 0.1%-of-the-fleet alternative to a full
+    * `rewrite_files` after a redaction pass (MorRowLevelSpec pins the
+    * untouched bytes and the re-armed metadata tier). Oracle: the
+    * surviving relation read back through the dense generation. */
+  def qFleetPurgeVectors(s: SparkSession, dir: String): DataFrame = {
+    val s2 = stagedFleetSession(s, dir, "purge")
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey >= 200 AND c_custkey < 260")
+    s2.sql("CALL graft.system.purge_vectors('cust', 16777216)")
+    s2.sql("SELECT * FROM graft.cust ORDER BY c_custkey")
+  }
+
   /** §1.1 PER-READ BRANCH ADDRESSING (r18, the r17 verdict's #3) —
     * `option("branch", name)`: a staged cleaning DELETE lands on the
     * fork, then ONE session compares main against the branch head in
@@ -872,6 +889,7 @@ object Crud {
     "q_fleet_agg_mor_minmax" -> qFleetAggMorMinmax _,
     "q_fleet_wap" -> qFleetWap _,
     "q_fleet_branch_read" -> qFleetBranchRead _,
+    "q_fleet_purge_vectors" -> qFleetPurgeVectors _,
     "q_sql_delete_serializable" -> qSqlDeleteSerializable _,
     "q_fleet_agg_mor_group" -> qFleetAggMorGroup _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
@@ -1087,6 +1105,11 @@ object Crud {
     "q_sql_delete_serializable" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |FROM customer WHERE c_custkey % 9 <> 1
+        |ORDER BY c_custkey""".stripMargin,
+    "q_fleet_purge_vectors" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM customer
+        |WHERE NOT (c_custkey >= 200 AND c_custkey < 260)
         |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,

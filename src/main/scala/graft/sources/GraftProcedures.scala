@@ -64,7 +64,7 @@ private[sources] object GraftProcedures {
   private val names = Seq("snapshots", "expire_versions", "restore",
     "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags",
     "create_branch", "fast_forward", "drop_branch", "branches",
-    "expire_branches", "set_layout", "compact_vectors")
+    "expire_branches", "set_layout", "compact_vectors", "purge_vectors")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -88,6 +88,7 @@ private[sources] object GraftProcedures {
       case "tags" => new Tags(dirFor)
       case "set_layout" => new SetLayout(dirFor)
       case "compact_vectors" => new CompactVectors(dirFor)
+      case "purge_vectors" => new PurgeVectors(dirFor)
       case "create_branch" => new CreateBranch(dirFor)
       case "expire_branches" => new ExpireBranches(dirFor)
       case "fast_forward" => new FastForward(dirFor)
@@ -432,6 +433,86 @@ private[sources] object GraftProcedures {
           f -> FleetManifest.DvMeta(cnt,
             baseMeta.get(f).flatMap(_.stats)) }.toMap)
       result(out, new GenericInternalRow(Array[Any](rebound.length)))
+    }
+  }
+
+  /** `CALL graft.system.purge_vectors('events', 64 * 1024 * 1024)` —
+    * materialize deletion vectors into dense files by rewriting ONLY
+    * the VECTORED containers (Iceberg's rewrite-position-deletes /
+    * Delta's PURGE): each vectored file reads minus its vector (the
+    * explicit-path dvSpec load — normal distributed scan) and lands
+    * as ~target-sized dense files in ONE manifest swap; every
+    * UNVECTORED file stays byte-identical and unread. The swap
+    * compare-and-sets the bindings it read (a racing merge-on-read
+    * delete conflicts loudly, never vanishes) and retires them with
+    * the replaced files, so the metadata fast paths warm back up for
+    * exactly the touched slice. At 100 TB: after a redaction pass
+    * vectored 0.1% of files, this rewrites 0.1% of the fleet —
+    * `rewrite_files` would rewrite it all. A fleet whose layout
+    * marker names a cluster key keeps it (vectored files re-route by
+    * key). */
+  private final class PurgeVectors(dirFor: String => String)
+      extends Base("purge_vectors") {
+    override def description: String =
+      "rewrite ONLY vector-bound files minus their vectors — dense " +
+        "files back, untouched files stay byte-identical"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType),
+        param("target_file_bytes", LongType))
+    private val out = StructType(Seq(
+      StructField("purged_files", IntegerType, nullable = false),
+      StructField("added_files", IntegerType, nullable = false),
+      StructField("new_version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val targetBytes = input.getLong(1)
+      require(targetBytes > 0, "target_file_bytes must be positive")
+      val s = SparkSession.active
+      val dir = requireFleet(dirFor, table)
+      val (p, fs) = fsFor(dir)
+      val snap = FleetManifest.current(fs, p)
+      val dvs = snap.map(_.dvs).getOrElse(Map.empty)
+      val curVersion = snap.map(_.version).getOrElse(0L)
+      if (dvs.isEmpty)
+        return result(out, new GenericInternalRow(Array[Any](0, 0,
+          curVersion)))
+      val names = dvs.keys.toSeq.sorted
+      val statuses = names.map(n =>
+        fs.getFileStatus(new Path(p, n)))
+      val shards = math.max(1L,
+        (statuses.map(_.getLen).sum + targetBytes - 1) / targetBytes)
+        .toInt
+      // the vectored files, minus their vectors, via the explicit-path
+      // dvSpec load — the same per-file instruction the change feed's
+      // image reads use; the fleet's declared schema applies (the
+      // marker resolves from the enclosing directory)
+      val specs = names.map(n => n -> DvPartSpec(
+        fs.makeQualified(new Path(p, dvs(n))).toString)).toMap
+      val df = s.read.format("graft-avro")
+        .option("mergeSchema", "true")
+        .option("dvSpec", AvroFleetTable.renderDvSpec(specs))
+        .load(names.map(n => s"$dir/$n").mkString(","))
+      val layout = FleetLayout.read(fs, p)
+        .filter(df.schema.fieldNames.contains)
+      val shaped = layout match {
+        case Some(c) => df.repartition(shards, col(c))
+        case None => df.repartition(shards)
+      }
+      val w = shaped.write.format("graft-avro").mode("append")
+        .option("manifestSwapRemove", names.mkString(","))
+        .option("manifestRequireDvs", AvroFleetTable.renderRequireDvs(
+          names.map(n => n -> Option(dvs(n))).toMap))
+      (layout match {
+        case Some(c) => w.option("clusterBy", c)
+        case None => w
+      }).save(dir)
+      val committed = FleetManifest.current(fs, p).getOrElse(
+        throw new IllegalStateException(
+          s"purge_vectors: commit left no manifest at $dir"))
+      val oldNames = names.toSet
+      result(out, new GenericInternalRow(Array[Any](
+        names.size, committed.files.count(!oldNames(_)),
+        committed.version)))
     }
   }
 

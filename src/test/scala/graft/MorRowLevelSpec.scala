@@ -555,6 +555,46 @@ class MorRowLevelSpec extends SparkSpec {
     assert(got == want, "MV drifted from a cold recompute after MOR delete")
   }
 
+  test("purge_vectors rewrites ONLY vectored files; the rest stay byte-identical") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("purge")
+    val fleet = s"$root/cust.avro"
+    val total = spark.read.format("graft-avro").load(fleet).count()
+    // vector a mid-range band: extent pruning binds vectors on the
+    // band's files only, the other range files stay unvectored
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey >= 40 AND c_custkey < 60")
+    val snap = manifest(fleet)
+    assert(snap.dvs.nonEmpty)
+    val vectored = snap.dvs.keySet
+    val untouched = snap.files.filterNot(vectored).toSet
+    assert(untouched.nonEmpty, "expected unvectored files to spare")
+    val before = dataSnapshot(fleet)
+    val r = s2.sql("CALL graft.system.purge_vectors('cust', 16777216)")
+      .head()
+    assert(r.getInt(0) == vectored.size, r.toString)
+    val after = manifest(fleet)
+    assert(after.dvs.isEmpty && after.dvMeta.isEmpty,
+      s"purge must retire every binding: ${after.dvs}")
+    assert(vectored.forall(n => !after.files.contains(n)),
+      "purged originals must retire from the generation")
+    untouched.foreach { n =>
+      assert(dataSnapshot(fleet).get(n) == before.get(n),
+        s"unvectored $n must stay byte-identical") }
+    val remaining = s2.sql("SELECT c_custkey FROM graft.cust")
+      .as[Long].collect().toSet
+    assert(remaining.forall(k => k < 40 || k >= 60))
+    assert(remaining.size.toLong == total - 20)
+    // dense again: the plain metadata fast path is back, uncorrected
+    val cnt = spark.read.format("graft-avro").load(fleet).groupBy().count()
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "purged fleet must re-arm the tier")
+    assert(cnt.as[Long].head() == total - 20)
+    // the retired generation still time-travels until retention
+    assert(spark.read.format("graft-avro")
+      .option("versionAsOf", snap.version).load(fleet)
+      .count() == total - 20)
+  }
+
   test("rewrite_files materializes vectors; retention then GCs them") {
     import spark.implicits._
     val (root, s2) = freshFleet("compact")
