@@ -149,6 +149,7 @@ private[sources] object GraftProcedures {
       StructField("version", LongType, nullable = false),
       StructField("files", IntegerType, nullable = false),
       StructField("deletion_vectors", IntegerType, nullable = false),
+      StructField("deleted_rows", LongType, nullable = true),
       StructField("is_current", BooleanType, nullable = false),
       StructField("props", StringType, nullable = true)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
@@ -162,6 +163,15 @@ private[sources] object GraftProcedures {
         val snap = FleetManifest.snapshotAtMain(fs, p, v)
         val files = snap.map(_.files.size).getOrElse(0)
         val dvs = snap.map(_.dvs.size).getOrElse(0)
+        // vectored-row total straight from the manifest meta — zero
+        // vector I/O; NULL when some binding predates meta (a header
+        // read here would reintroduce the O(vectored files) tax this
+        // column exists to audit)
+        val deletedRows: Any = snap.map { sn =>
+          if (sn.dvs.keySet.forall(sn.dvMeta.contains))
+            sn.dvMeta.values.map(_.count).sum
+          else null
+        }.getOrElse(0L)
         // commit metadata surfaces as a compact JSON column (null
         // when the generation carried none) — e.g. FleetMV's
         // mv.sourceVersion stamp is auditable straight from SQL
@@ -173,7 +183,7 @@ private[sources] object GraftProcedures {
                   k -> (org.json4s.JString(vv): org.json4s.JValue)
               }))))
         }.orNull
-        new GenericInternalRow(Array[Any](v, files, dvs,
+        new GenericInternalRow(Array[Any](v, files, dvs, deletedRows,
           vs.lastOption.contains(v), props)): InternalRow
       }
       result(out, rows: _*)

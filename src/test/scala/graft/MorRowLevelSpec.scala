@@ -555,6 +555,54 @@ class MorRowLevelSpec extends SparkSpec {
     assert(got == want, "MV drifted from a cold recompute after MOR delete")
   }
 
+  test("MV refresh and the change feed span compact_vectors and purge commits exactly") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("mv_maint")
+    val fleet = s"$root/cust.avro"
+    val view = s"$root/view.avro"
+    graft.sources.FleetMV.create(spark, fleet, view,
+      keys = Seq("c_name"), sumCols = Seq("c_acctbal"))
+    // over-budget deletes bind a chain, compact_vectors rebinds it to
+    // an IDENTICAL leaf, another delete lands, then purge_vectors
+    // rewrites the vectored files: the refresh span covers a no-op
+    // rebind AND a swap — the r17 shrink guard WEDGED consumers on the
+    // first and the endpoint diff must stay exact through both
+    s2.conf.set("spark.graft.dv.coalesceBudget", "1")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 23 = 1")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 23 = 2")
+    s2.sql("CALL graft.system.compact_vectors('cust')")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 23 = 3")
+    s2.sql("CALL graft.system.purge_vectors('cust', 16777216)")
+    val r = graft.sources.FleetMV.refresh(spark, fleet, view,
+      keys = Seq("c_name"), sumCols = Seq("c_acctbal"))
+    assert(r.changedFiles > 0)
+    val got = spark.read.format("graft-avro").load(view)
+      .select($"c_name", $"cnt", round($"sum_c_acctbal", 2).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val want = spark.read.format("graft-avro").load(fleet)
+      .groupBy($"c_name")
+      .agg(count(lit(1)).as("cnt"), round(sum($"c_acctbal"), 2).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == want,
+      "MV drifted across compact_vectors/purge maintenance commits")
+    // the batch feed across the same full span nets to the deletes
+    // only — maintenance commits contribute nothing
+    val p2 = new org.apache.hadoop.fs.Path(fleet)
+    val fs2 = p2.getFileSystem(spark.sessionState.newHadoopConf())
+    val head = graft.sources.FleetManifest.current(fs2, p2).get.version
+    val keyed = graft.sources.FleetCDC.changesKeyed(
+      spark, fleet, 1L, head, Seq("c_custkey"))
+    val byType = keyed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedDeletes = spark.read.format("graft-avro")
+      .option("versionAsOf", "1").load(fleet)
+      .filter($"c_custkey" % 23 >= 1 && $"c_custkey" % 23 <= 3).count()
+    assert(byType == Map("delete" -> expectedDeletes),
+      s"span must net to exactly the deletes: $byType")
+  }
+
   test("purge_vectors rewrites ONLY vectored files; the rest stay byte-identical") {
     import spark.implicits._
     val (root, s2) = freshFleet("purge")
