@@ -36,19 +36,88 @@ import org.apache.spark.sql.types.StructType
   * compatible with [[FleetCdcOffset]]; a fresh checkpoint starts at
   * the CURRENT version, `startingVersion` replays history, and an
   * expired pending range fails loudly exactly like the file-granular
-  * feed (same snapshot resolution underneath). */
+  * feed (same snapshot resolution underneath).
+  *
+  * ADMISSION CONTROL (`option("maxVersionsPerTrigger", k)`, r19): by
+  * default `getOffset` jumps to the current version, so a consumer
+  * down for 10k commits nets its ENTIRE backlog in one micro-batch
+  * (one giant diff + keyed shuffle). With the cap, each trigger steps
+  * at most k versions past the stream's own high-water mark, draining
+  * the backlog across bounded batches; each batch is still a NET
+  * endpoint diff over its own span, so per-batch netting semantics
+  * are unchanged. The high-water mark is DURABLE under the source's
+  * checkpoint-scoped `metadataPath` (the V1 createSource contract —
+  * FileStreamSource's seen-log home): a rate-limited `getOffset` must
+  * never step BEHIND progress the engine already committed, and after
+  * a restart the engine may ask for an offset before any `getBatch`
+  * call reveals that progress. The marker is a monotonic floor only —
+  * batch RANGES always come from the engine's own offset log. */
 private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
     path: String, keyCols: Seq[String], declaredSchema: StructType,
-    startingVersion: Option[Long], branch: Option[String])
-    extends V1Source {
+    startingVersion: Option[Long], branch: Option[String],
+    metadataPath: String = "",
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends V1Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
 
   require(keyCols.nonEmpty, "cdcKeyCols needs at least one column")
+  require(maxVersionsPerTrigger.forall(_ > 0L),
+    s"maxVersionsPerTrigger must be positive (got " +
+      s"${maxVersionsPerTrigger.getOrElse(0L)})")
 
   private def p = new Path(path)
   private def fs = p.getFileSystem(
     sqlContext.sparkSession.sessionState.newHadoopConf())
 
   override def schema: StructType = declaredSchema
+
+  // ---- durable high-water (rate-limited mode only) ------------------
+
+  private def highWaterPath: Option[Path] =
+    if (metadataPath.isEmpty || maxVersionsPerTrigger.isEmpty) None
+    else Some(new Path(metadataPath, "graft-cdc-highwater"))
+
+  private def metaFs(hp: Path) = hp.getFileSystem(
+    sqlContext.sparkSession.sessionState.newHadoopConf())
+
+  private def readHighWater(): Option[Long] = highWaterPath.flatMap { hp =>
+    val f = metaFs(hp)
+    if (!f.exists(hp)) None
+    else {
+      val in = f.open(hp)
+      val text = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      text.trim.toLongOption.orElse(throw new java.io.IOException(
+        s"malformed keyed-feed high-water marker $hp: '$text'"))
+    }
+  }
+
+  private def writeHighWater(v: Long): Unit = highWaterPath.foreach { hp =>
+    val f = metaFs(hp)
+    f.mkdirs(hp.getParent)
+    val tmp = new Path(hp.getParent, s".${hp.getName}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    f.delete(hp, false)
+    if (!f.rename(tmp, hp)) { f.delete(tmp, false); () }
+  }
+
+  // the highest version this source has ever RETURNED or been shown —
+  // seeded once from the durable marker so a restart's first
+  // (rate-limited) getOffset cannot regress below committed progress
+  private lazy val seededHighWater: Long = readHighWater().getOrElse(-1L)
+  @volatile private var highWater: Long = -1L
+
+  private def observe(v: Long): Unit =
+    if (v > highWater) synchronized {
+      if (v > highWater) {
+        highWater = v
+        if (maxVersionsPerTrigger.isDefined) writeHighWater(v)
+      }
+    }
 
   private def currentVersion(): Long = branch match {
     case Some(b) =>
@@ -70,15 +139,59 @@ private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
   private lazy val initialVersion: Long =
     startingVersion.getOrElse(currentVersion())
 
-  /** Latest available = the current manifest version. Under
-    * `Trigger.AvailableNow` the engine's V1 fallback snapshots this
-    * once and runs a single draining batch — exactly the per-version
-    * endpoint-diff semantics this feed wants (a version range nets in
-    * one diff regardless of batching). */
+  // the UNCAPPED drain target snapshotted at query start under
+  // Trigger.AvailableNow. The source implements
+  // SupportsTriggerAvailableNow ITSELF (the engine checks it before
+  // falling back to AvailableNowSourceWrapper): the wrapper snapshots
+  // ONE `getOffset` — a capped source would drain exactly k versions
+  // per RUN and terminate "complete" mid-backlog — whereas here the
+  // engine keeps stepping bounded latestOffset batches until the
+  // prepared target.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(currentVersion())
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  /** Latest available = the current manifest version, stepped at most
+    * `maxVersionsPerTrigger` past the stream's high-water mark when
+    * the cap is set — the engine's admission-control path calls this
+    * (a V1 Source implementing [[SupportsAdmissionControl]] dispatches
+    * here, never through `getOffset`). Returns a [[SerializedOffset]]
+    * (a V1 `Offset`): the engine casts the available offset back to
+    * the V1 class when handing it to `getBatch`. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val startV = Option(start)
+      .map(o => FleetCdcOffset.fromJson(o.json).version).getOrElse(-1L)
+    val floor = math.max(startV, math.max(initialVersion,
+      math.max(highWater, seededHighWater)))
+    val cur = currentVersion()
+    val avail = math.max(floor, availableNowCap.fold(cur)(math.min(cur, _)))
+    val v = maxVersionsPerTrigger.fold(avail)(k =>
+      math.min(avail, floor + k))
+    observe(v)
+    org.apache.spark.sql.execution.streaming.runtime
+      .SerializedOffset(FleetCdcOffset(v).json())
+  }
+
+  /** The plain V1 `getOffset` — kept for completeness (the engine
+    * dispatches admission-controlled sources through
+    * `latestOffset(start, limit)` above), same capped stepping. */
   override def getOffset: Option[V1Offset] = {
-    val cur = math.max(currentVersion(), initialVersion)
+    val floor = math.max(initialVersion,
+      math.max(highWater, seededHighWater))
+    val cur = math.max(currentVersion(), floor)
+    val v = maxVersionsPerTrigger.fold(cur)(k =>
+      math.min(cur, floor + k))
+    observe(v)
     Some(org.apache.spark.sql.execution.streaming.runtime
-      .SerializedOffset(FleetCdcOffset(cur).json()))
+      .SerializedOffset(FleetCdcOffset(v).json()))
   }
 
   private def versionOf(o: V1Offset): Long =
@@ -88,6 +201,9 @@ private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
       : DataFrame = {
     val v0 = start.map(versionOf).getOrElse(initialVersion)
     val v1 = versionOf(end)
+    // engine-shown progress (a restart replaying its offset log)
+    // raises the rate-limit floor exactly like our own returns
+    observe(math.max(v0, v1))
     val s = sqlContext.sparkSession
     val net =
       if (v1 <= v0)

@@ -86,7 +86,10 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     new AvroFleetCdcKeyedSource(sqlContext, pathOf(opts), keys,
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       Option(opts.get("startingVersion")).map(_.toLong),
-      Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty))
+      Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
+      metadataPath = metadataPath,
+      maxVersionsPerTrigger =
+        Option(opts.get("maxVersionsPerTrigger")).map(_.toLong))
   }
 
   override def supportsExternalMetadata(): Boolean = true
@@ -225,6 +228,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       explicit.orElse(marker), clusterAuto = marker.isDefined,
       maxFilesPerTrigger =
         Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      maxVersionsPerTrigger =
+        Option(options.get("maxVersionsPerTrigger")).map(_.toLong),
       offsetInlineLimit =
         Option(options.get("offsetInlineLimit")).map(_.toInt)
           .getOrElse(1000),
@@ -1253,6 +1258,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     path: String, maxFileBytes: Long, evolve: Boolean = false,
     clusterBy: Option[String] = None, clusterAuto: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Long] = None,
     offsetInlineLimit: Int = 1000,
     versionAsOf: Option[Long] = None,
     maxFileAgeMs: Option[Long] = None,
@@ -1631,6 +1637,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
         pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto,
         maxFilesPerTrigger = maxFilesPerTrigger,
+        maxVersionsPerTrigger = maxVersionsPerTrigger,
         offsetInlineLimit = offsetInlineLimit,
         versionAsOf = versionAsOf,
         maxFileAgeMs = maxFileAgeMs,
@@ -1784,6 +1791,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     onPlannedDvs: Map[String, Option[String]] => Unit = null,
     clusterAuto: Boolean = false,
     maxFilesPerTrigger: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Long] = None,
     offsetInlineLimit: Int = 1000,
     versionAsOf: Option[Long] = None,
     maxFileAgeMs: Option[Long] = None,
@@ -1827,7 +1835,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
         evolve = evolve,
         startingVersion = startingVersion,
         aliases = aliases,
-        branch = branch)
+        branch = branch,
+        maxVersionsPerTrigger = maxVersionsPerTrigger)
     else new AvroFleetMicroBatchStream(fullSchema, required.fieldNames, path,
       maxFileBytes, pushedFilters,
       new SerializableHadoopConf(

@@ -328,8 +328,13 @@ private[sources] class AvroFleetCdcMicroBatchStream(
     evolve: Boolean = false,
     startingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
-    branch: Option[String] = None)
+    branch: Option[String] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  require(maxVersionsPerTrigger.forall(_ > 0L),
+    s"maxVersionsPerTrigger must be positive (got " +
+      s"${maxVersionsPerTrigger.getOrElse(0L)})")
 
   private def p = new org.apache.hadoop.fs.Path(path)
   private def fs = p.getFileSystem(conf.value)
@@ -393,11 +398,25 @@ private[sources] class AvroFleetCdcMicroBatchStream(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  // each trigger drains every pending generation (a version is the
-  // commit-sized unit of change; per-file admission caps don't apply)
+  // Without a cap, each trigger drains every pending generation (a
+  // version is the commit-sized unit of change; per-FILE admission
+  // caps don't apply). `option("maxVersionsPerTrigger", k)` bounds the
+  // per-batch span to k generations so a consumer that was down for
+  // 10k versions drains its backlog across ≥10k/k bounded micro-
+  // batches instead of one unbounded endpoint diff (each batch is
+  // still a NET diff over its own ≤k-version span — netting semantics
+  // per batch are unchanged, and exact checkpoint resume holds at any
+  // batch boundary because offsets stay plain manifest versions).
+  // Under AvailableNow the cap composes: the drain stops at the
+  // version snapshotted at query start, in bounded steps.
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = currentVersion()
-    FleetCdcOffset(availableNowCap.fold(cur)(math.min(cur, _)))
+    val avail = availableNowCap.fold(cur)(math.min(cur, _))
+    val bounded = maxVersionsPerTrigger.fold(avail)(k =>
+      math.min(avail, FleetCdcOffset.of(start).version + k))
+    // never step backwards: a start already past the bound (a branch
+    // rewind cannot happen; a stale availableNowCap can) stays put
+    FleetCdcOffset(math.max(bounded, FleetCdcOffset.of(start).version))
   }
 
   override def planInputPartitions(start: Offset, end: Offset)

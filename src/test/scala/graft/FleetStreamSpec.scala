@@ -812,4 +812,145 @@ class FleetStreamSpec extends SparkSpec {
     assert(got2 == Set((42L, 126L, "delete")),
       s"resume must stream only the new commit's net changes: $got2")
   }
+
+  test("maxVersionsPerTrigger: a file-granular backlog drains in bounded batches; exact mid-backlog crash resume") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cdc_admission")
+    val dir = s"$root/t.avro"
+    // backlog of 6 committed generations: 5 appends + one MOR delete
+    // spanning back into v1's rows (the dv-routing arc must survive
+    // span splitting)
+    writeGen(dir, 0, 10)    // v1
+    writeGen(dir, 10, 20)   // v2
+    writeGen(dir, 20, 30)   // v3
+    writeGen(dir, 30, 40)   // v4
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.t WHERE id IN (3, 17)")            // v5
+    writeGen(dir, 40, 50)   // v6
+
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // (batchId-order, rows) per batch; optionally fail the Nth batch
+    // this run processes — a crash mid-backlog
+    def drain(failAfter: Int): (Seq[Int], Option[Throwable]) = {
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "2")
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("_change_type", "id").collect()
+            .map(r => (r.getString(0), r.getLong(1)))
+          sizes.synchronized {
+            if (sizes.size >= failAfter)
+              throw new RuntimeException("synthetic mid-backlog crash")
+            sizes += rows.length
+            collected.synchronized { collected ++= rows }
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val err = try { q.awaitTermination(120000); None }
+      catch { case e: Throwable => Some(e) }
+      (sizes.toSeq, err)
+    }
+
+    // run 1 crashes after one committed batch — mid-backlog
+    val (run1, err1) = drain(failAfter = 1)
+    assert(err1.isDefined, "the synthetic crash must fail the query")
+    assert(run1.size == 1)
+    // run 2 on the SAME checkpoint drains the remainder
+    val (run2, err2) = drain(failAfter = Int.MaxValue)
+    assert(err2.isEmpty, s"resume failed: $err2")
+    // 6 versions / cap 2 = 3 spans minimum; the crashed batch replays
+    assert(run1.size + run2.size >= 3,
+      s"backlog must drain across bounded batches: $run1 then $run2")
+    // each batch spans ≤ 2 generations of ≤ 10 rows (+2 delete images)
+    assert((run1 ++ run2).forall(_ <= 22),
+      s"a batch exceeded its 2-version bound: ${run1 ++ run2}")
+    // exactness across the crash: every append streams exactly once as
+    // an insert; the MOR delete's images stream exactly once
+    val got = collected.synchronized(collected.toSeq)
+    val inserts = got.collect { case ("insert", id) => id }.sorted
+    val deletes = got.collect { case ("delete", id) => id }.sorted
+    assert(inserts == (0L until 50L),
+      s"inserts must cover the history exactly once: $inserts")
+    assert(deletes == Seq(3L, 17L),
+      s"the MOR delete images must stream exactly once: $deletes")
+  }
+
+  test("maxVersionsPerTrigger: the keyed feed steps its backlog in bounded batches; durable high-water survives a crash") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cdc_admission_keyed")
+    val dir = s"$root/t.avro"
+    writeGen(dir, 0, 10)    // v1
+    writeGen(dir, 10, 20)   // v2
+    writeGen(dir, 20, 30)   // v3
+    // a COW update inside the backlog: per-batch reconciliation must
+    // net it within its own span
+    graft.sources.FleetMerge.mergeCow(spark, dir, "id",
+      Seq(5L).toDF("q"),
+      t => t.withColumn("v",
+        when($"id" === 5L, lit("changed")).otherwise($"v")),
+      retainOld = true)     // v4
+    writeGen(dir, 30, 40)   // v5
+
+    val collected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    def drain(failAfter: Int): (Seq[Int], Option[Throwable]) = {
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("cdcKeyCols", "id")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = b.select("id", "v", "_change_type").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          sizes.synchronized {
+            if (sizes.size >= failAfter)
+              throw new RuntimeException("synthetic mid-backlog crash")
+            sizes += rows.length
+            collected.synchronized { collected ++= rows }
+          }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      val err = try { q.awaitTermination(120000); None }
+      catch { case e: Throwable => Some(e) }
+      (sizes.toSeq, err)
+    }
+
+    val (run1, err1) = drain(failAfter = 2)
+    assert(err1.isDefined && run1.size == 2)
+    val (run2, err2) = drain(failAfter = Int.MaxValue)
+    assert(err2.isEmpty, s"resume failed: $err2")
+    // 5 versions / cap 1 = 5 spans minimum (the crashed one replays)
+    assert(run1.size + run2.size >= 5,
+      s"the keyed backlog must step one version per batch: " +
+        s"$run1 then $run2")
+    // each batch nets ONE generation: ≤ 10 append rows or the COW
+    // update's 2 images (the 30-row rewritten container nets out)
+    assert((run1 ++ run2).forall(_ <= 10),
+      s"a keyed batch exceeded its one-version net: ${run1 ++ run2}")
+    val got = collected.synchronized(collected.toSeq)
+    val inserts = got.collect { case (id, _, "insert") => id }.sorted
+    assert(inserts == (0L until 40L),
+      s"keyed inserts must cover the history exactly once: $inserts")
+    assert(got.collect { case (id, v, "update_postimage") => (id, v) } ==
+      Seq((5L, "changed")),
+      s"the COW update must net to one post-image: $got")
+    assert(got.count(_._3 == "update_preimage") == 1)
+  }
 }
