@@ -149,14 +149,20 @@ private[graft] case class AvroFleetDeltaCommitMessage(
 private[graft] object AvroFleetDeltaCommitMessage {
   /** One task's partial vector for one touched file: the data file
     * NAME, the fleet-relative partial vector name the task wrote, its
-    * position count, and — when the task captured them (bounded by
-    * `spark.graft.dv.statsCaptureLimit`) — per-column (min, max,
+    * position count, and — unless capture is disabled
+    * (`spark.graft.dv.statsCaptureLimit` ≤ 0) — per-column (min, max,
     * non-null count) of the DELETED rows' values in sidecar carrier
-    * spelling. `stats = None` = not captured (over-limit); an absent
+    * spelling, streamed at any delete size (r19). `stats = None` =
+    * not captured (disabled, or a decode surprise); an absent
     * column in a captured map = no non-null deleted value. Values are
-    * boxed primitives/Strings — Java-serializable by construction. */
+    * boxed primitives/Strings — Java-serializable by construction.
+    * `fp` is the partial's position-set fingerprint
+    * ([[FleetDv.fingerprint]]) — XOR-combinable with the existing
+    * binding's manifest-carried fingerprint because partials are
+    * disjoint from it by the scan construction. */
   final case class PartialDv(file: String, vector: String, count: Long,
-      stats: Option[Map[String, FleetManifest.DvColStat]])
+      stats: Option[Map[String, FleetManifest.DvColStat]],
+      fp: Long)
 }
 
 private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
@@ -182,11 +188,14 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    // deleted-value stats capture budget per (task, file): under it, a
-    // task re-decodes its deleted rows' tracked columns so the binding
-    // carries DvMeta stats and the MIN/MAX metadata tier survives the
-    // delete; over it, stats are skipped (a dense delete moves extrema
-    // anyway). 0 disables.
+    // deleted-value stats capture switch: each task re-decodes its
+    // deleted rows' tracked columns STREAMINGLY (O(tracked columns)
+    // state, cost bounded by the scan that matched the rows) so the
+    // binding carries DvMeta stats and the MIN/MAX/COUNT(col) metadata
+    // tier survives the delete AT ANY SIZE (r19 — the former 8192-row
+    // cliff uncaptured exactly the big redaction passes that want the
+    // tier). ≤ 0 disables capture wholesale; any positive value
+    // enables it (the historical conf name is kept for compatibility).
     val statsLimit = SparkSession.active.conf
       .get("spark.graft.dv.statsCaptureLimit", "8192").toLong
     new AvroFleetDeltaWriterFactory(schemaJson,
@@ -262,7 +271,20 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
                     if (FleetFilters.cmp(a, b) >= 0) a else b),
                   vs.map(_.nonNull).sum)
               })
-          dvMetaUpdate += name -> FleetManifest.DvMeta(total, mergedStats)
+          // the fingerprint XOR-combines exactly where the count adds
+          // (disjoint partials); ANY fingerprint-less source — a
+          // legacy/meta-less existing binding — makes the merged
+          // fingerprint unknown (None): XORing against an unknown base
+          // would publish a wrong set digest
+          val mergedFp: Option[Long] = {
+            val existingFp = existing.map(_ =>
+              curMeta.get(name).flatMap(_.fp))
+            if (existingFp.exists(_.isEmpty)) None
+            else Some(partials.foldLeft(
+              existingFp.flatten.getOrElse(0L))(_ ^ _.fp))
+          }
+          dvMetaUpdate += name -> FleetManifest.DvMeta(total, mergedStats,
+            mergedFp)
           val sources = existing.toSeq ++ partials.map(_.vector)
           val bound =
             if (sources.size == 1) sources.head
@@ -446,7 +468,8 @@ private[graft] class AvroFleetDeltaWriter(schemaJson: String,
         tag = s"$jobTag-p$pid-t$taskId")
       wrotePartials += rel
       AvroFleetDeltaCommitMessage.PartialDv(name, rel, d.count,
-        FleetDv.captureStats(f, fleetP, file, d, statsCaptureLimit))
+        FleetDv.captureStats(f, fleetP, file, d, statsCaptureLimit),
+        FleetDv.fingerprint(d))
     }
     AvroFleetDeltaCommitMessage(partMsg, partials)
   }

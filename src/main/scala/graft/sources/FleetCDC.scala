@@ -115,12 +115,22 @@ object FleetCDC {
       else {
         // equal counts ⇒ both sides bound (vectors are never empty).
         // Exactly one legitimate producer: a position-identical rebind
-        // (compact_vectors flattening a chain) — decide by set
-        // equality, two vector reads, driver-side, only on
-        // maintenance-commit spans (r17 ADVICE)
-        val a = FleetDv.read(fs, p, fromS.dvs(n))
-        val b = FleetDv.read(fs, p, toS.dvs(n))
-        if (!(a.subsetOf(b) && b.subsetOf(a)))
+        // (compact_vectors flattening a chain). Decide by the
+        // manifest-carried position-set FINGERPRINTS when both sides
+        // have one — zero vector I/O (r19; identical sets always
+        // fingerprint equal, so divergence verdicts are exact) — and
+        // fall back to the driver set-compare (two vector reads) only
+        // for legacy fingerprint-less bindings (r17 ADVICE shape).
+        val identical =
+          (fromS.dvMeta.get(n).flatMap(_.fp),
+            toS.dvMeta.get(n).flatMap(_.fp)) match {
+            case (Some(fa), Some(fb)) => fa == fb
+            case _ =>
+              val a = FleetDv.read(fs, p, fromS.dvs(n))
+              val b = FleetDv.read(fs, p, toS.dvs(n))
+              a.subsetOf(b) && b.subsetOf(a)
+          }
+        if (!identical)
           throw new IllegalStateException(
             s"$at: file $n rebound between two $tc-position deletion " +
               "vectors with DIFFERENT position sets — a concurrent " +

@@ -116,6 +116,47 @@ private[graft] object FleetDv {
       })
   }
 
+  // ---- position-set fingerprint ------------------------------------
+
+  // splitmix64 finalizer — a full-avalanche 64-bit mix, so XORing the
+  // per-position hashes below yields a well-distributed set digest
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Deterministic, ORDER-INDEPENDENT fingerprint of a vector's
+    * position set: XOR of a mixed 64-bit hash per (sync, ordinal).
+    * Carried in the manifest binding ([[FleetManifest.DvMeta.fp]]) so
+    * the change feed decides a no-op rebind (equal count, equal set —
+    * compact_vectors' flatten) against a divergent rebind with ZERO
+    * vector I/O (r18 verdict #3; the equal-count arc was two full
+    * driver-side vector reads per rebound file).
+    *
+    * The XOR algebra mirrors the count's addition over DISJOINT
+    * vectors — a merge-on-read commit combines the existing binding's
+    * fingerprint with its partials' by XOR exactly where it adds
+    * their counts (partials only hold positions their scan saw live,
+    * which excludes everything already vectored). Identical sets
+    * always produce identical fingerprints, so a divergence verdict
+    * is exact; an equal verdict has the usual 2^-64 collision odds —
+    * the in-task `Deleted.subsetOf` lineage checks on the delta reads
+    * remain the exactness backstop for spans that stream rows. */
+  def fingerprint(d: Deleted): Long = {
+    var acc = 0L
+    d.positions.foreach { case (sync, ords) =>
+      val hs = mix64(sync)
+      var i = 0
+      while (i < ords.length) {
+        acc ^= mix64(hs ^ ords(i))
+        i += 1
+      }
+    }
+    acc
+  }
+
   private def dvDir(fleet: Path) = new Path(fleet, DirName)
 
   // ---- binary leaf codec -------------------------------------------
@@ -298,6 +339,15 @@ private[graft] object FleetDv {
 
   // ---- read paths --------------------------------------------------
 
+  /** Position reads performed by this JVM — test instrumentation: the
+    * fingerprint routing's whole point is that a no-op rebind span is
+    * decided with ZERO position reads, and a spec can only pin that
+    * with a counter (local mode shares the JVM with tasks, so in-task
+    * reads register too). Counts position-materializing reads only,
+    * never header/count/chain-JSON peeks. */
+  private[graft] val positionReads =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Read a vector by its manifest-stored relative name. Read/parse
     * failures PROPAGATE (the [[FleetSchemaMarker]] posture: silently
     * resurrecting deleted rows beats nothing — never the reverse). */
@@ -309,6 +359,7 @@ private[graft] object FleetDv {
     * (parents are fleet-relative; the fleet root is two levels above
     * any vector file by the `_dv/` layout contract). */
   def readPath(fs: FileSystem, p: Path): Deleted = {
+    positionReads.incrementAndGet()
     val name = p.getName
     if (name.endsWith(".dv.bin")) {
       val in = fs.open(p)
@@ -432,15 +483,20 @@ private[graft] object FleetDv {
     * alongside its partial vector so the manifest binding can carry
     * them
     * ([[FleetManifest.DvMeta]]) and the MIN/MAX metadata aggregate
-    * tier can STAND on a vectored fleet (r18). EXECUTOR-side, bounded:
-    * the task re-decodes exactly the deleted positions' blocks of the
-    * container it just scanned — `seek(sync)` per touched block, stop
-    * at the block's last wanted ordinal — so cost is O(deleted rows of
-    * this file), never O(file). Returns None (uncaptured) when the
-    * position count exceeds `limit` (dense deletes change extrema
-    * anyway), on any decode surprise, or when a non-finite float
-    * appears (the sidecar Collector's drop rule — such a file has no
-    * sidecar coverage for the column, so nothing is lost).
+    * tier can STAND on a vectored fleet (r18). EXECUTOR-side,
+    * streaming at ANY delete size (r19 — the 8192-position cliff
+    * declined capture on exactly the fleets that want the tier: big
+    * redaction passes): the task re-decodes exactly the deleted
+    * positions' blocks of the container it just scanned —
+    * `seek(sync)` per touched block, stop at the block's last wanted
+    * ordinal — folding each value into O(tracked columns) running
+    * (min, max, nonNull) state. Cost is O(deleted rows of this file),
+    * strictly under the scan that matched them; memory never depends
+    * on the position count. Returns None (uncaptured) only when
+    * `limit` ≤ 0 (the conf kill-switch), on any decode surprise, or
+    * when a non-finite float appears (the sidecar Collector's drop
+    * rule — such a file has no sidecar coverage for the column, so
+    * nothing is lost).
     *
     * Values are normalized to the sidecar's PARSED carrier spelling
     * (ints/temporals → Long, floats → Double, String, Boolean) so
@@ -451,7 +507,7 @@ private[graft] object FleetDv {
   def captureStats(fs: FileSystem, fleet: Path, file: String,
       d: Deleted, limit: Long)
       : Option[Map[String, FleetManifest.DvColStat]] = {
-    if (limit <= 0 || d.count > limit || d.isEmpty) return None
+    if (limit <= 0 || d.isEmpty) return None
     def normalize(v: Any): Any = v match {
       case null => null
       case i: java.lang.Integer => Long.box(i.longValue())

@@ -112,18 +112,26 @@ private[graft] object FleetManifest {
     *    count; chains: the additive parent total). Makes COUNT(*)
     *    correction, CDC change routing, and commit-time count math
     *    zero-I/O.
+    *  - `fp` — the position set's deterministic fingerprint
+    *    ([[FleetDv.fingerprint]]: XOR of mixed per-position hashes,
+    *    combinable over disjoint vectors exactly like the additive
+    *    count). Lets the change feed's equal-count rebind arc decide
+    *    no-op vs divergence with zero vector I/O (r19); absent on
+    *    legacy bindings — callers fall back to the driver
+    *    set-compare.
     *  - `stats` — per tracked column, the DELETED rows' non-null
     *    profile ([[DvColStat]]: min, max, non-null count) in the
     *    sidecar carrier spelling ([[FleetStats.toJson]]); a column
     *    with no non-null deleted value is ABSENT. `Some(stats)` means
-    *    the writer captured values for every tracked column (small
-    *    surgical deletes — bounded by
-    *    `spark.graft.dv.statsCaptureLimit`); `None` means unknown
-    *    (legacy bindings, over-limit deletes). With stats, the
-    *    MIN/MAX metadata aggregate tier STANDS on a vectored fleet
-    *    when the deleted values are strictly interior, and COUNT(col)
-    *    corrects exactly by the deleted non-null count — the full
-    *    aggregate matrix stays zero-task through surgical deletes.
+    *    the writer captured values for every tracked column —
+    *    streamed at ANY delete size since r19 (the conf
+    *    `spark.graft.dv.statsCaptureLimit` ≤ 0 disables); `None`
+    *    means unknown (legacy bindings, capture disabled). With
+    *    stats, the MIN/MAX metadata aggregate tier STANDS on a
+    *    vectored fleet when the deleted values are strictly interior,
+    *    and COUNT(col) corrects exactly by the deleted non-null count
+    *    — the full aggregate matrix stays zero-task through
+    *    merge-on-read deletes of any width.
     *
     * Keyed by DATA FILE name (like `dvs`); entries follow their
     * binding — a commit that swaps a binding without supplying fresh
@@ -131,7 +139,8 @@ private[graft] object FleetManifest {
     * and a retired file drops both. Absent wholesale in pre-r18
     * version files (legacy parse → empty map). */
   final case class DvMeta(count: Long,
-      stats: Option[Map[String, DvColStat]] = None)
+      stats: Option[Map[String, DvColStat]] = None,
+      fp: Option[Long] = None)
 
   /** One column's deleted-row profile inside a [[DvMeta]]: (min, max)
     * of the non-null deleted values and their exact count. Present
@@ -666,7 +675,11 @@ private[graft] object FleetManifest {
                   else Some(cols)
                 case _ => None
               }
-              k -> DvMeta(count, stats)
+              val fp = m \ "fp" match {
+                case JInt(n) => Some(n.toLong)
+                case _ => None // pre-r19 shape: no fingerprint
+              }
+              k -> DvMeta(count, stats, fp)
           }.toMap
           case _ => Map.empty[String, DvMeta]
         }
@@ -693,6 +706,8 @@ private[graft] object FleetManifest {
           case (k, m) =>
             k -> (JObject(List[(String, org.json4s.JValue)](
               "count" -> JInt(BigInt(m.count))) ++
+              m.fp.map(f =>
+                "fp" -> (JInt(BigInt(f)): org.json4s.JValue)) ++
               m.stats.map(st => "stats" -> (JObject(st.toList.sortBy(_._1)
                 .map { case (c, cs) =>
                   c -> (JObject(

@@ -428,20 +428,24 @@ private[sources] object GraftProcedures {
           val tfs = tp.getFileSystem(conf.value)
           val merged = FleetDv.read(tfs, tp, chainRel)
           (fileName, chainRel, FleetDv.write(tfs, tp, fileName, merged),
-            merged.count)
+            merged.count, FleetDv.fingerprint(merged))
         }.collect()
       FleetManifest.commit(fs, p,
         identity,
         bootstrap = Seq.empty,
-        dvUpdate = rebound.map { case (f, _, leaf, _) =>
+        dvUpdate = rebound.map { case (f, _, leaf, _, _) =>
           f -> Option(leaf) }.toMap,
-        requireDvs = rebound.map { case (f, chain, _, _) =>
+        requireDvs = rebound.map { case (f, chain, _, _, _) =>
           f -> Option(chain) }.toMap,
         // the flatten is a position-identical rebind: counts carry
-        // (exact from the merge), deleted-value stats inherit verbatim
-        dvMetaUpdate = rebound.map { case (f, _, _, cnt) =>
+        // (exact from the merge), deleted-value stats inherit
+        // verbatim, and the fingerprint is stamped FRESH from the
+        // merged positions the task already held — upgrading even a
+        // legacy fingerprint-less binding, so the change feed decides
+        // this span's no-op with zero vector I/O
+        dvMetaUpdate = rebound.map { case (f, _, _, cnt, fp) =>
           f -> FleetManifest.DvMeta(cnt,
-            baseMeta.get(f).flatMap(_.stats)) }.toMap)
+            baseMeta.get(f).flatMap(_.stats), Some(fp)) }.toMap)
       result(out, new GenericInternalRow(Array[Any](rebound.length)))
     }
   }

@@ -691,6 +691,61 @@ class FleetDvSpec extends SparkSpec {
       .groupBy().count().as[Long].head() == 20000 - 2)
   }
 
+  test("equal-count rebinds route by manifest fingerprints: no-op spans decide with zero vector reads; divergence stays loud") {
+    val dir = bigFleet("fp")
+    val (fs, p) = fsOf(dir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root",
+      new org.apache.hadoop.fs.Path(dir).getParent.toString)
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    // budget 1 → the second DELETE binds a CHAIN over (leaf, partial):
+    // the committer's fp must XOR-combine across exactly that arc
+    s2.conf.set("spark.graft.dv.coalesceBudget", "1")
+    s2.sql("DELETE FROM graft.t WHERE id IN (3, 4)")
+    s2.sql("DELETE FROM graft.t WHERE id IN (7, 8)")
+    val snap = FleetManifest.current(fs, p).get
+    val (dataFile, boundRel) = snap.dvs.head
+    assert(boundRel.endsWith(".dv.chain.json"), boundRel)
+    // the committer-stamped fp IS the bound set's true fingerprint
+    assert(snap.dvMeta(dataFile).fp.contains(
+      FleetDv.fingerprint(FleetDv.read(fs, p, boundRel))),
+      "XOR-combined commit fp drifted from the bound position set")
+    // compact_vectors: a position-identical rebind with a FRESH fp
+    s2.sql("CALL graft.system.compact_vectors('t')")
+    val after = FleetManifest.current(fs, p).get
+    assert(after.dvs(dataFile) != boundRel, "flatten must rebind")
+    assert(after.dvMeta(dataFile).fp == snap.dvMeta(dataFile).fp,
+      "an identical position set must fingerprint identically")
+    // the maintenance span routes as a no-op with ZERO position reads
+    val before = FleetDv.positionReads.get()
+    val d = graft.sources.FleetCDC.diff(spark, dir,
+      snap.version, after.version)
+    assert(d.dvGrown.isEmpty && d.dvShrunk.isEmpty)
+    assert(FleetDv.positionReads.get() == before,
+      "fingerprint routing must not read vector positions")
+    // equal-count DIVERGENCE with fps on both sides: loud, still zero
+    // vector reads (identical sets always fingerprint equal, so a
+    // fingerprint mismatch is an exact verdict)
+    val full = positions(dir)
+    val otherSet = FleetDv.Deleted.of(
+      Seq(100L, 101L, 102L, 103L).map(full))
+    val other = FleetDv.write(fs, p, dataFile, otherSet)
+    FleetManifest.commit(fs, p, identity, Nil,
+      dvUpdate = Map(dataFile -> Some(other)),
+      requireDvs = Map(dataFile -> Some(after.dvs(dataFile))),
+      dvMetaUpdate = Map(dataFile -> FleetManifest.DvMeta(4L, None,
+        Some(FleetDv.fingerprint(otherSet)))))
+    val vOther = FleetManifest.current(fs, p).get.version
+    val before2 = FleetDv.positionReads.get()
+    val e = intercept[IllegalStateException] {
+      graft.sources.FleetCDC.diff(spark, dir, after.version, vOther)
+    }
+    assert(e.getMessage.contains("DIFFERENT position sets"), e.getMessage)
+    assert(FleetDv.positionReads.get() == before2,
+      "fingerprint divergence must not read vector positions")
+  }
+
   test("concurrent vector swap on one file: one winner, one loud conflict") {
     val dir = bigFleet("cas")
     val (fs, p) = fsOf(dir)

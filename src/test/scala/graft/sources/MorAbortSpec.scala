@@ -37,7 +37,7 @@ class MorAbortSpec extends graft.SparkSpec {
       FleetDv.Deleted.of(Seq((pos.getLong(0), pos.getLong(1)))),
       tag = s"$jobTag-p0-t0")
     val msg = AvroFleetDeltaCommitMessage(Seq.empty,
-      Seq(AvroFleetDeltaCommitMessage.PartialDv(dataFile, rel, 1L, None)))
+      Seq(AvroFleetDeltaCommitMessage.PartialDv(dataFile, rel, 1L, None, 0L)))
     val bw = new AvroFleetDeltaBatchWrite(
       Avro.toAvroSchema(schema).toString, schema, dir, jobTag)
     bw.commit(Array(msg))
@@ -57,7 +57,7 @@ class MorAbortSpec extends graft.SparkSpec {
     val bw2 = new AvroFleetDeltaBatchWrite(
       Avro.toAvroSchema(schema).toString, schema, dir, "cafe0000")
     bw2.abort(Array(AvroFleetDeltaCommitMessage(Seq.empty,
-      Seq(AvroFleetDeltaCommitMessage.PartialDv(dataFile, rel2, 1L, None)))))
+      Seq(AvroFleetDeltaCommitMessage.PartialDv(dataFile, rel2, 1L, None, 0L)))))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(p, rel2)),
       "pre-commit abort must reap its own partials")
     assert(fs.exists(new org.apache.hadoop.fs.Path(p, rel)),
