@@ -354,6 +354,47 @@ class MorRowLevelSpec extends SparkSpec {
     assert(q2.head.getLong(0) == maxKey - 6)
   }
 
+  test("stats capture has no size cliff: a delete far wider than the conf still captures; 0 disables") {
+    import spark.implicits._
+    val (root, s2) = freshFleet("nocliff")
+    val fleet = s"$root/cust.avro"
+    // the conf is a kill-switch since r19 — a positive value captures
+    // at ANY delete size (the former cliff uncaptured exactly the big
+    // redactions that want the standing tier)
+    s2.conf.set("spark.graft.dv.statsCaptureLimit", "4")
+    val keyRow = spark.read.format("graft-avro").load(fleet)
+      .agg(min($"c_custkey"), max($"c_custkey")).head
+    val (minKey, maxKey) = (keyRow.getLong(0), keyRow.getLong(1))
+    // a strictly-interior band ~10× the conf value
+    s2.sql(s"""DELETE FROM graft.cust
+      |WHERE c_custkey > $minKey AND c_custkey <= ${minKey + 40}"""
+      .stripMargin)
+    val snap = manifest(fleet)
+    assert(snap.dvMeta.values.map(_.count).sum == 40L)
+    snap.dvMeta.foreach { case (f, m) =>
+      assert(m.stats.isDefined,
+        s"$f: a ${m.count}-row delete must capture despite the conf=4")
+      assert(m.fp.isDefined, s"$f: binding must carry a fingerprint")
+    }
+    // ... so the MIN/MAX metadata tier stands on the banded fleet
+    val q = s2.sql(
+      "SELECT min(c_custkey) AS mn, max(c_custkey) AS mx FROM graft.cust")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("PushedAggregation(metadata)"),
+      q.queryExecution.executedPlan.toString)
+    val r = q.head()
+    assert(r.getLong(0) == minKey && r.getLong(1) == maxKey)
+    // kill-switch: 0 disables capture wholesale (binding stays exact,
+    // honestly uncaptured)
+    val (root2, s3) = freshFleet("nocliff0")
+    s3.conf.set("spark.graft.dv.statsCaptureLimit", "0")
+    s3.sql("DELETE FROM graft.cust WHERE c_custkey = " + (minKey + 1))
+    val snap2 = manifest(s"$root2/cust.avro")
+    assert(snap2.dvMeta.nonEmpty &&
+      snap2.dvMeta.values.forall(_.stats.isEmpty),
+      s"conf=0 must disable capture: ${snap2.dvMeta}")
+  }
+
   test("serializable isolation conflicts on any mid-command commit; snapshot commits through") {
     import spark.implicits._
     val (root, s2) = freshFleet("serial")
