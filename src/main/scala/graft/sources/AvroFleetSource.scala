@@ -1294,7 +1294,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   // sidecar/block-header numbers include deleted rows)
   private lazy val fleetHasDvs: Boolean =
     dvSpecs.nonEmpty ||
-      FleetDv.forPath(SparkSession.active, path, versionAsOf).nonEmpty
+      FleetDv.forPath(SparkSession.active, path, versionAsOf,
+        branch).nonEmpty
 
   // Catalyst hands us the projected subset; empty projections (pure
   // count(*)) arrive as an empty struct — decode zero fields, keep rows
@@ -1382,11 +1383,12 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate._
     if (agg.aggregateExpressions.isEmpty || cdc) return false
-    // a per-read BRANCH scan keeps the row path: the aggregate tiers'
-    // sidecar/vector resolution speaks main/versionAsOf addressing,
-    // and branch reads are audit-shaped (validate staged work) —
-    // correctness over the last word in speed there
-    if (branch.isDefined) return false
+    // a per-read BRANCH scan gets the full tier treatment (r19 — the
+    // blanket decline was backwards: the branch surface exists for
+    // audit passes, which are COUNT/MIN/MAX-shaped): a branch HEAD is
+    // just a snapshot, so every tier below resolves its file list and
+    // vector bindings through `branch` (snapshotAtRef addressing) and
+    // its sidecar stats by file name exactly as on main
     // every aggregate tier emits values in per-file carrier spelling
     // (sidecar stats, block counts, decode-time hashes) typed by a
     // SINGLE pinned schema; an evolved fleet mixes carriers across
@@ -1470,7 +1472,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       val s = SparkSession.active
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         s.sessionState.newHadoopConf())
-      val dvWithMeta = FleetDv.forPathWithMeta(s, path, versionAsOf)
+      val dvWithMeta = FleetDv.forPathWithMeta(s, path, versionAsOf,
+        branch)
       val dvByFull = dvWithMeta.map { case (f, (dv, _)) => f -> dv }
       // counts ride the manifest binding (r18): planning a COUNT(*) on
       // a 100k-vectored-file fleet is zero vector-file I/O; only a
@@ -1505,7 +1508,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
           specs.forall(_.isDefined) && countColsOk) {
         val flat = specs.flatten
         val fleet = Avro.listFleet(s, path, maxFileBytes,
-          enforceBound = false, versionAsOf = versionAsOf)
+          enforceBound = false, versionAsOf = versionAsOf,
+          branch = branch)
         val stats = FleetStats.forFleet(fs, fleet)
         val entries = fleet.map(f => stats.get(f.getPath.toString))
         val cols = flat.collect {
@@ -1594,7 +1598,8 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
       val flat = specs.flatten
       val s = SparkSession.active
       val fleet = Avro.listFleet(s, path, maxFileBytes,
-        enforceBound = false, versionAsOf = versionAsOf)
+        enforceBound = false, versionAsOf = versionAsOf,
+        branch = branch)
       val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
         s.sessionState.newHadoopConf())
       val stats = FleetStats.forFleet(fs, fleet)
@@ -1625,14 +1630,15 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
   override def build(): Scan = (groupAgg, metaAgg) match {
     case (Some((gcols, specs)), _) =>
       new AvroFleetGroupAggScan(fullSchema, path, maxFileBytes, gcols,
-        specs, pushed, versionAsOf = versionAsOf)
+        specs, pushed, versionAsOf = versionAsOf, branch = branch)
     case (_, Some((specs, entries))) =>
       new AvroFleetMetaAggScan(fullSchema, path, specs, entries,
         countAdjust = metaCountAdjust,
         countColAdjust = metaCountColAdjust)
     case _ if countStars > 0 =>
       new AvroFleetCountScan(fullSchema, path, maxFileBytes, countStars,
-        versionAsOf = versionAsOf, dvAdjust = dvCountAdjust)
+        versionAsOf = versionAsOf, dvAdjust = dvCountAdjust,
+        branch = branch)
     case _ =>
       new AvroFleetScan(fullSchema, required, path, maxFileBytes, limit,
         pushed, topN, evolve, clusterBy, clusterAuto = clusterAuto,
@@ -2268,7 +2274,8 @@ private[sources] object AvroFleetScan {
 private[sources] class AvroFleetCountScan(tableSchema: StructType,
     path: String, maxFileBytes: Long, countStars: Int,
     versionAsOf: Option[Long] = None,
-    dvAdjust: Long = 0L)
+    dvAdjust: Long = 0L,
+    branch: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   // one LongType partial per pushed COUNT(*) (names are free — Spark
@@ -2283,7 +2290,8 @@ private[sources] class AvroFleetCountScan(tableSchema: StructType,
   override def toBatch: Batch = this
 
   private lazy val fleet = Avro.listFleet(SparkSession.active, path,
-    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf)
+    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf,
+    branch = branch)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): java.util.OptionalLong =
@@ -2396,7 +2404,8 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
     path: String, maxFileBytes: Long, groupCols: Seq[String],
     specs: Seq[MetaAggSpec],
     filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty,
-    versionAsOf: Option[Long] = None)
+    versionAsOf: Option[Long] = None,
+    branch: Option[String] = None)
     extends Scan with Batch with SupportsReportStatistics {
 
   import MetaAggSpec._
@@ -2428,7 +2437,8 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
   override def toBatch: Batch = this
 
   private lazy val fleet = Avro.listFleet(SparkSession.active, path,
-    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf)
+    maxFileBytes, enforceBound = false, versionAsOf = versionAsOf,
+    branch = branch)
 
   private lazy val fleetStats = {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
@@ -2519,7 +2529,8 @@ private[sources] class AvroFleetGroupAggScan(tableSchema: StructType,
     // a file's value set, so neverMatches can't wrongly drop a live
     // row).
     val s = SparkSession.active
-    val dvWithMeta = FleetDv.forPathWithMeta(s, path, versionAsOf)
+    val dvWithMeta = FleetDv.forPathWithMeta(s, path, versionAsOf,
+      branch)
     val fs2 = new org.apache.hadoop.fs.Path(path).getFileSystem(
       s.sessionState.newHadoopConf())
     def binding(st: org.apache.hadoop.fs.FileStatus) =

@@ -413,8 +413,9 @@ private[graft] object FleetDv {
     * snapshot. Explicit FILE paths contribute nothing — a surgical
     * per-file load (the CDC image reads) is a RAW read by design. */
   def forPath(s: org.apache.spark.sql.SparkSession, glob: String,
-      versionAsOf: Option[Long]): Map[String, String] =
-    forPathWithMeta(s, glob, versionAsOf)
+      versionAsOf: Option[Long],
+      branch: Option[String] = None): Map[String, String] =
+    forPathWithMeta(s, glob, versionAsOf, branch)
       .map { case (f, (dv, _)) => f -> dv }
 
   /** [[forPath]] plus each binding's manifest-carried metadata
@@ -423,14 +424,16 @@ private[graft] object FleetDv {
     * zero-I/O (no per-vector header read; r17 verdict #1). `None` meta
     * = a legacy binding; callers fall back to [[countAt]]. */
   def forPathWithMeta(s: org.apache.spark.sql.SparkSession, glob: String,
-      versionAsOf: Option[Long])
+      versionAsOf: Option[Long],
+      branch: Option[String] = None)
       : Map[String, (String, Option[FleetManifest.DvMeta])] =
     Avro.splitGlobs(glob).toSeq.flatMap { g =>
       val p = new Path(g)
       val fs = p.getFileSystem(s.sessionState.newHadoopConf())
       Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
         .filter(_.isDirectory).flatMap { d =>
-          FleetManifest.snapshotFor(fs, d.getPath, versionAsOf).toSeq
+          FleetManifest.snapshotFor(fs, d.getPath, versionAsOf, branch)
+            .toSeq
             .flatMap(snap => snap.dvs.toSeq.map { case (f, dvRel) =>
               fs.makeQualified(new Path(d.getPath, f)).toString ->
                 (fs.makeQualified(new Path(d.getPath, dvRel)).toString,

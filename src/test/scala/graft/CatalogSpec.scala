@@ -745,11 +745,61 @@ class CatalogSpec extends SparkSpec {
         .option("versionAsOf", 1).load(fleet).count()
     }
     assert(e2.getMessage.contains("mutually exclusive"), e2.getMessage)
-    // an aggregate over a branch read stays exact (row path — the
-    // metadata tiers speak main addressing and decline)
+    // an aggregate over a branch read stays exact — and since r19 it
+    // rides the metadata tier (a branch HEAD is just a snapshot)
     assert(spark.read.format("graft-avro").option("branch", "audit")
       .load(fleet).agg(min($"id")).as[Long].head() == 10L)
     main.sql("CALL graft.system.drop_branch('t', 'empty')")
+    main.sql("CALL graft.system.drop_branch('t', 'audit')")
+  }
+
+  test("aggregate tiers stand on branch reads: audit COUNT/MIN/MAX plan zero-task, vectored branches correct") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("branch_agg")
+    val fleet = s"$root/t.avro"
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartitionByRange(2, $"id").write.format("graft-avro")
+      .mode("overwrite").save(fleet)
+    val main = spark.newSession()
+    main.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    main.conf.set("spark.sql.catalog.graft.root", root)
+    val audit = spark.newSession()
+    audit.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    audit.conf.set("spark.sql.catalog.graft.root", root)
+    audit.conf.set("spark.graft.branch", "audit")
+    audit.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    main.sql("CALL graft.system.create_branch('t', 'audit')")
+    // stage a MOR delete on the branch: binding + DvMeta live ONLY in
+    // branch staging — the audit-shaped COUNT must correct from THEM
+    audit.sql("DELETE FROM graft.t WHERE id >= 40 AND id < 50")
+    val branchAgg = spark.read.format("graft-avro")
+      .option("branch", "audit").load(fleet)
+      .agg(count(lit(1)).as("cnt"), min($"id").as("mn"),
+        max($"id").as("mx"))
+    val plan = branchAgg.queryExecution.executedPlan.toString
+    // the metadata tier answers the audit pass driver-side: the
+    // deleted band is strictly interior, captured stats prove both
+    // extrema live, and the count corrects by the branch binding
+    assert(plan.contains("PushedAggregation(metadata)"),
+      s"branch aggregates must ride the metadata tier:\n$plan")
+    val r = branchAgg.head()
+    assert(r.getLong(0) == 90L && r.getLong(1) == 0L &&
+      r.getLong(2) == 99L, r.toString)
+    // main is untouched by the staged delete — and still tiered
+    val mainAgg = spark.read.format("graft-avro").load(fleet)
+      .agg(count(lit(1)).as("cnt"))
+    assert(mainAgg.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"), "main tier must not regress")
+    assert(mainAgg.head().getLong(0) == 100L)
+    // deleting a branch extremum declines the branch tier (the same
+    // stand/decline boundary as main), row path exact
+    audit.sql("DELETE FROM graft.t WHERE id = 99")
+    val q2 = spark.read.format("graft-avro")
+      .option("branch", "audit").load(fleet).agg(max($"id"))
+    assert(!q2.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "a provably-deleted branch extremum must decline")
+    assert(q2.as[Long].head() == 98L)
     main.sql("CALL graft.system.drop_branch('t', 'audit')")
   }
 
