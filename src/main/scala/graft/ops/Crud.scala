@@ -758,6 +758,50 @@ object Crud {
       .orderBy($"c_custkey", $"_change_type")
   }
 
+  /** §2.I STREAMING UPSERT SINK (r19, the r18 verdict's #2) —
+    * fleet→fleet replication with NO foreachBatch anywhere: the source
+    * fleet takes a merge-on-read DELETE and UPDATE, its keyed change
+    * feed replays the full history (`startingVersion = 0`) in BOUNDED
+    * steps (`maxVersionsPerTrigger = 1` — this row also pins the r19
+    * admission control end-to-end), and `option("cdcApplyKeyCols")`
+    * applies each micro-batch of net change images to a FRESH target
+    * fleet as one atomic MOR MERGE (deletes → vector positions,
+    * upserts → appended post-images). Output: the TARGET's relation —
+    * the oracle is the same mutations applied relationally, so the
+    * hash pins batch-MERGE parity of the whole replication loop. At
+    * 100 TB this is the CDC mirror: per-batch cost tracks changed
+    * rows, the target converges through restores, and a crashed
+    * consumer resumes exactly from manifest-version offsets. */
+  def qFleetReplicate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "replicate")
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 13 = 5")     // v2
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal + 100.0, 4)
+        |WHERE c_custkey % 17 = 3""".stripMargin)                 // v3
+    val root = s2.conf.get("spark.sql.catalog.graft.root")
+    val dst = s"$root/cust_replica.avro"
+    val ckpt = s"$root/replica_ckpt"
+    val q = s2.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("cdcKeyCols", "c_custkey")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(s"$root/cust.avro")
+      .writeStream.format("graft-avro")
+      .option("cdcApplyKeyCols", "c_custkey")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    q.awaitTermination()
+    s2.read.format("graft-avro").load(dst)
+      .select($"c_custkey", $"c_name",
+        round($"c_acctbal", 4).as("c_acctbal"))
+      .orderBy($"c_custkey")
+  }
+
   /** §2.A INCREMENTAL MATERIALIZED VIEW — `FleetMV` riding the change
     * feed: a per-shard count/sum rollup is built once, the base fleet
     * then takes a metadata DELETE and a COW UPDATE, and `refresh`
@@ -890,6 +934,7 @@ object Crud {
     "q_fleet_wap" -> qFleetWap _,
     "q_fleet_branch_read" -> qFleetBranchRead _,
     "q_fleet_purge_vectors" -> qFleetPurgeVectors _,
+    "q_fleet_replicate" -> qFleetReplicate _,
     "q_sql_delete_serializable" -> qSqlDeleteSerializable _,
     "q_fleet_agg_mor_group" -> qFleetAggMorGroup _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
@@ -1110,6 +1155,16 @@ object Crud {
       """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |FROM customer
         |WHERE NOT (c_custkey >= 200 AND c_custkey < 260)
+        |ORDER BY c_custkey""".stripMargin,
+    // streaming replication parity: the TARGET fleet after the keyed
+    // feed's full-history replay applies through the MOR MERGE sink ==
+    // the same mutations applied relationally
+    "q_fleet_replicate" ->
+      """SELECT c_custkey, c_name,
+        |  CASE WHEN c_custkey % 17 = 3
+        |       THEN round(round(c_acctbal, 4) + 100.0, 4)
+        |       ELSE round(c_acctbal, 4) END AS c_acctbal
+        |FROM customer WHERE c_custkey % 13 <> 5
         |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,

@@ -39,9 +39,41 @@ import graft.util.SerializableHadoopConf
   * reader factory — never a bare default `Configuration`.
   */
 class AvroFleetSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSourceProvider {
+    with org.apache.spark.sql.sources.StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-avro"
+
+  // ---- V1 StreamSinkProvider: the CDC-APPLY (upsert) sink only -----
+  //
+  // `writeStream.option("cdcApplyKeyCols", keys)` applies keyed change
+  // images as per-batch MERGEs — a join-shaped write no DSv2
+  // StreamingWrite can express; the table drops STREAMING_WRITE for
+  // that option and DataStreamWriter's documented fallback routes the
+  // query here (see AvroFleetCdcApplySink). Every other streaming
+  // write keeps the V2 epoch-keyed path.
+
+  private def applyKeyCols(options: CaseInsensitiveStringMap)
+      : Seq[String] =
+    Option(options.get("cdcApplyKeyCols")).map(_.split(",").toSeq
+      .map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    val keys = applyKeyCols(opts)
+    require(keys.nonEmpty,
+      "the graft-avro V1 sink serves only cdcApplyKeyCols mode (plain " +
+        "streaming appends use the native fleet sink)")
+    require(partitionColumns.isEmpty,
+      "cdcApplyKeyCols does not compose with partitionBy — the target " +
+        "fleet's layout is its own")
+    new AvroFleetCdcApplySink(sqlContext, pathOf(opts), keys,
+      parameters.get("checkpointLocation"))
+  }
 
   // ---- V1 StreamSourceProvider: the KEYED change feed only ---------
   //
@@ -151,6 +183,11 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // the CDC-apply sink's schema is its per-batch input, not the
+    // target's (which may not exist yet — a fresh replication target
+    // bootstraps from its first batch); the table resolved under this
+    // option only answers the STREAMING_WRITE capability probe
+    if (applyKeyCols(options).nonEmpty) return new StructType()
     val base = markerOf(pathOf(options)).map(_.schema).getOrElse {
       if (evolveOf(options))
         SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
@@ -170,6 +207,12 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    if (applyKeyCols(opts).nonEmpty)
+      // CDC-apply sink resolution: skip the marker/peek entirely (the
+      // target may not exist) — this table only declines the
+      // STREAMING_WRITE probe so the V1 sink fallback engages
+      return new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
+        cdcApply = true)
     val marker = markerOf(pathOf(opts))
     new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
       evolveOf(opts) || marker.isDefined,
@@ -184,7 +227,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
     versionAsOf: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
     cdc: Boolean = false,
-    cdcKeyed: Boolean = false)
+    cdcKeyed: Boolean = false,
+    cdcApply: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
@@ -195,7 +239,13 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
   override def schema(): StructType = tableSchema
 
   override def capabilities(): java.util.Set[TableCapability] =
-    if (cdc && cdcKeyed)
+    if (cdcApply)
+      // CDC-apply sink: the per-batch MERGE is a join-shaped write no
+      // StreamingWrite can express — decline STREAMING_WRITE so
+      // DataStreamWriter falls back to the provider's V1 sink
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE)
+    else if (cdc && cdcKeyed)
       // KEYED change feed: per-batch reconciliation is a JOIN no scan
       // can express — declare NO stream capability so the analyzer's
       // documented fallback routes to the provider's V1 Source

@@ -813,6 +813,78 @@ class FleetStreamSpec extends SparkSpec {
       s"resume must stream only the new commit's net changes: $got2")
   }
 
+  test("cdcApplyKeyCols sink: fleet-to-fleet replication converges across appends, updates, MOR deletes, and a restore") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cdc_apply")
+    val a = s"$root/a.avro"
+    val b = s"$root/b.avro"
+    spark.range(50).select($"id", ($"id" * 2).as("v"))
+      .coalesce(2).write.format("graft-avro").mode("overwrite").save(a)
+    val sA = spark.newSession()
+    sA.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    sA.conf.set("spark.sql.catalog.graft.root", root)
+    sA.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("cdcKeyCols", "id")
+        .option("startingVersion", "0")
+        .load(a)
+        .writeStream.format("graft-avro")
+        .option("cdcApplyKeyCols", "id")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start(b)
+      q.awaitTermination(120000)
+    }
+    def content(dir: String): Seq[(Long, Long)] =
+      spark.read.format("graft-avro").load(dir)
+        .select($"id", $"v").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    def versionOf(dir: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      graft.sources.FleetManifest
+        .current(p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+        .get.version
+    }
+
+    // bootstrap: a FRESH target materializes the initial snapshot
+    drain()
+    assert(content(b) == content(a), "bootstrap drifted")
+    // append + COW update (rewrites a whole container; the keyed feed
+    // nets it to 2 images, the sink upserts one post-image)
+    spark.range(50, 60).select($"id", ($"id" * 2).as("v"))
+      .coalesce(1).write.format("graft-avro").mode("append").save(a)
+    graft.sources.FleetMerge.mergeCow(spark, a, "id",
+      Seq(7L).toDF("q"),
+      t => t.withColumn("v",
+        when($"id" === 7L, lit(999L)).otherwise($"v")),
+      retainOld = true)
+    drain()
+    assert(content(b) == content(a), "append+update drifted")
+    assert(content(b).contains((7L, 999L)))
+    // MOR delete on A → delete images → vectored positions on B
+    val vPreDelete = versionOf(a)
+    sA.sql("DELETE FROM graft.a WHERE id IN (3, 55)")
+    drain()
+    assert(content(b) == content(a), "MOR delete drifted")
+    assert(!content(b).map(_._1).contains(3L))
+    // restore A to the pre-delete version: the feed streams the
+    // resurrected rows as INSERT images, the sink re-inserts them —
+    // the target follows the restore forward instead of wedging
+    sA.sql(s"CALL graft.system.restore('a', $vPreDelete)")
+    drain()
+    assert(content(b) == content(a), "restore resurrection drifted")
+    assert(content(b).map(_._1).contains(3L))
+    // an empty drain applies nothing: B's manifest version holds (the
+    // high-water marker also skips engine-replayed batch ids)
+    val vB = versionOf(b)
+    drain()
+    assert(versionOf(b) == vB,
+      "an empty drain must not commit to the target")
+  }
+
   test("maxVersionsPerTrigger: a file-granular backlog drains in bounded batches; exact mid-backlog crash resume") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("cdc_admission")
