@@ -337,6 +337,14 @@ private[graft] object FleetManifest {
       .map(_.trim).filter(_.nonEmpty)
     catch { case NonFatal(_) => None }
 
+  /** The session's active branch IF it exists at `dir` — the branch
+    * every read and commit of this session routes to at this fleet
+    * (fleets without the branch behave normally). Callers outside the
+    * manifest (the catalog's ALTER staging, marker resolution) share
+    * this one routing rule. */
+  def activeBranchAt(fs: FileSystem, dir: Path): Option[String] =
+    activeBranch.filter(b => branchBase(fs, dir, b).isDefined)
+
   private def branchesDir(dir: Path) = new Path(mdir(dir), "branches")
 
   private def branchRef(dir: Path, name: String) = {
@@ -525,6 +533,13 @@ private[graft] object FleetManifest {
             s"fast_forward '$name' at $dir: lost the claim on v$v — " +
               "a concurrent main commit raced the publish")
       }
+      // a schema evolution STAGED on the branch (FleetSchemaMarker
+      // .writeStaged) publishes with the versions it described — main
+      // readers resolve the evolved declared schema only from here on.
+      // Ordered after the adoption and before the ref deletion, so a
+      // crash at any point leaves a re-runnable publish (adoption is
+      // idempotent; the staged marker survives until the vdir delete).
+      FleetSchemaMarker.publishStaged(fs, dir, name)
       fs.delete(branchRef(dir, name), false)
       fs.delete(branchVDir(dir, name), true)
       invalidatePrefix(fs, branchVDir(dir, name))

@@ -171,8 +171,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           noSuchTable(ident)
         // an ALTERed fleet declares its schema in the _schema.json
         // marker (ADD/RENAME COLUMN are metadata-only; the files are
-        // immutable and resolve per generation through evolve decode)
-        val marker = FleetSchemaMarker.read(fs, p)
+        // immutable and resolve per generation through evolve decode).
+        // A branch session resolves the branch's STAGED marker first —
+        // a schema evolution staged on the fork is invisible to main
+        // until fast_forward publishes it (r19)
+        val marker = FleetSchemaMarker.resolve(fs, p,
+          FleetManifest.activeBranchAt(fs, p))
         val schema = marker.map(_.schema).getOrElse(Avro.toSparkSchema(
           Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
         new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
@@ -247,7 +251,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val p = hPath(dir)
     if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory)
       noSuchTable(ident)
-    val existing = FleetSchemaMarker.read(fs, p)
+    // under an active branch session the ALTER STAGES: it reads the
+    // branch's effective marker (staged-first) and writes the staged
+    // copy — main's marker, schema, and readers are untouched until
+    // fast_forward publishes the evolution with the staged versions
+    val branch = FleetManifest.activeBranchAt(fs, p)
+    val existing = FleetSchemaMarker.resolve(fs, p, branch)
     var schema = existing.map(_.schema).getOrElse(Avro.toSparkSchema(
       Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
     var aliases = existing.map(_.aliases)
@@ -338,8 +347,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "rewrite (FleetCompact)")
     }
     Avro.toAvroSchema(schema) // flat-schema/codec validation, loudly
-    FleetSchemaMarker.write(fs, p,
-      FleetSchemaMarker.Marker(schema, aliases, dropped))
+    val next = FleetSchemaMarker.Marker(schema, aliases, dropped)
+    branch match {
+      case Some(b) => FleetSchemaMarker.writeStaged(fs, p, b, next)
+      case None => FleetSchemaMarker.write(fs, p, next)
+    }
     new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
       evolve = true, aliases = aliases)
   }

@@ -48,7 +48,12 @@ private[graft] object FleetSchemaMarker {
       dropped: Seq[String] = Seq.empty)
 
   def write(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path, m: Marker): Unit = {
+      dir: org.apache.hadoop.fs.Path, m: Marker): Unit =
+    writeAt(fs, dir, new org.apache.hadoop.fs.Path(dir, FileName), m)
+
+  private def writeAt(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path, m: Marker): Unit = {
     val body = org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
         "schema" -> org.json4s.jackson.JsonMethods.parse(m.schema.json),
@@ -58,10 +63,11 @@ private[graft] object FleetSchemaMarker {
         }),
         "dropped" -> org.json4s.JArray(
           m.dropped.map(org.json4s.JString(_)).toList))))
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".$FileName.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+      s".${dest.getName}.tmp")
+    fs.mkdirs(dest.getParent)
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
-    val dest = new org.apache.hadoop.fs.Path(dir, FileName)
     // rename OVER the destination first (POSIX rename clobbers
     // atomically — no window with no marker at all); only a
     // filesystem that refuses an existing destination falls back to
@@ -72,9 +78,59 @@ private[graft] object FleetSchemaMarker {
     }
   }
 
+  // ---- branch-STAGED markers (write-audit-publish evolution, r19) --
+  //
+  // An ALTER under an active branch session must not change what MAIN
+  // readers resolve — the whole point of staging is that main is
+  // untouched until fast_forward. The staged marker lives INSIDE the
+  // branch's version directory (`_manifest/branches/<name>/_schema
+  // .json` — version listing ignores non-`v*.json` names, and
+  // drop_branch / expire_branches delete the directory recursively, so
+  // an abandoned staged evolution vanishes with its fork), and
+  // fast_forward publishes it to the fleet-root marker atomically
+  // with the version adoption it completes.
+
+  private def stagedPath(dir: org.apache.hadoop.fs.Path,
+      branch: String): org.apache.hadoop.fs.Path = {
+    val vdir = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(dir, "_manifest"), "branches"),
+      branch)
+    new org.apache.hadoop.fs.Path(vdir, FileName)
+  }
+
+  def writeStaged(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, branch: String,
+      m: Marker): Unit =
+    writeAt(fs, dir, stagedPath(dir, branch), m)
+
+  def readStaged(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      branch: String): Option[Marker] =
+    readPath(fs, stagedPath(dir, branch))
+
+  /** The marker a reader of `branch` (None = main) resolves: the
+    * branch's staged marker when one exists, else the fleet-root
+    * marker (a fork without staged evolution reads main's declared
+    * schema — fork-point inheritance). */
+  def resolve(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      branch: Option[String]): Option[Marker] =
+    branch.flatMap(readStaged(fs, dir, _)).orElse(read(fs, dir))
+
+  /** Publish a branch's staged marker to the fleet root (fast_forward
+    * body; no-op when the branch staged no evolution). The staged
+    * copy is left for the caller's recursive vdir delete. */
+  def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, branch: String): Unit =
+    readStaged(fs, dir, branch).foreach(write(fs, dir, _))
+
   def read(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path): Option[Marker] = {
-    val p = new org.apache.hadoop.fs.Path(dir, FileName)
+      dir: org.apache.hadoop.fs.Path): Option[Marker] =
+    readPath(fs, new org.apache.hadoop.fs.Path(dir, FileName))
+
+  private def readPath(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Marker] = {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)

@@ -803,6 +803,64 @@ class CatalogSpec extends SparkSpec {
     main.sql("CALL graft.system.drop_branch('t', 'audit')")
   }
 
+  test("schema evolution stages on a branch: main resolves it only after fast_forward; the feed spans the publish exactly") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("branch_evolve")
+    val fleet = s"$root/t.avro"
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartition(2).write.format("graft-avro")
+      .mode("overwrite").save(fleet)
+    val main = spark.newSession()
+    main.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    main.conf.set("spark.sql.catalog.graft.root", root)
+    val audit = spark.newSession()
+    audit.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    audit.conf.set("spark.sql.catalog.graft.root", root)
+    audit.conf.set("spark.graft.branch", "evolve")
+    main.sql("CALL graft.system.create_branch('t', 'evolve')")
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val vFork = graft.sources.FleetManifest.mainCurrent(fs, p).get.version
+    // ALTER under the branch session STAGES the marker; a write on the
+    // branch carries the evolved shape
+    audit.sql("ALTER TABLE graft.t ADD COLUMN note STRING")
+    audit.sql("INSERT INTO graft.t VALUES (200, 9, 'staged')")
+    assert(audit.table("graft.t").columns.toSeq ==
+      Seq("id", "v", "note"))
+    assert(audit.sql("SELECT note FROM graft.t WHERE id = 200")
+      .head.getString(0) == "staged")
+    // MAIN is untouched: schema, rows, and the root marker
+    assert(main.table("graft.t").columns.toSeq == Seq("id", "v"),
+      "a staged ALTER must not leak into main's declared schema")
+    assert(main.table("graft.t").count() == 100)
+    assert(graft.sources.FleetSchemaMarker.read(fs, p).isEmpty,
+      "the fleet-root marker must stay absent while staged")
+    // a per-read branch option resolves the STAGED schema in a plain
+    // session — the audit surface sees what it staged
+    val bdf = spark.read.format("graft-avro")
+      .option("branch", "evolve").load(fleet)
+    assert(bdf.columns.toSeq == Seq("id", "v", "note"))
+    assert(bdf.count() == 101)
+    // publish: the marker lands with the staged versions — main
+    // resolves the evolved schema, old generations null-fill
+    main.sql("CALL graft.system.fast_forward('t', 'evolve')")
+    val after = main.table("graft.t")
+    assert(after.columns.toSeq == Seq("id", "v", "note"))
+    assert(after.count() == 101)
+    assert(after.filter($"id" === 200).head.getString(2) == "staged")
+    assert(after.filter($"id" === 0).head.isNullAt(2),
+      "pre-evolution generations must null-fill the added column")
+    // the change feed across the publish span routes exactly: the
+    // staged INSERT arrives as insert images in the EVOLVED schema
+    val vHead = graft.sources.FleetManifest.mainCurrent(fs, p)
+      .get.version
+    val feed = graft.sources.FleetCDC
+      .changes(spark, fleet, vFork, vHead).collect()
+    assert(feed.length == 1 && feed.head.getLong(0) == 200L &&
+      feed.head.getString(2) == "staged" &&
+      feed.head.getString(3) == "insert", feed.mkString(", "))
+  }
+
   test("a stale fork cannot publish; drop_branch releases its staging to GC") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("wap_conflict")
