@@ -236,7 +236,15 @@ private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
         }
         FleetCDC.reconcileKeyed(
           FleetCDC.changesOf(s, path, (to -- from).toSeq.sorted,
-            (from -- to).toSeq.sorted, dvFrom, dvTo, grown, shrunk),
+            (from -- to).toSeq.sorted, dvFrom, dvTo, grown, shrunk,
+            // PIN the stream-definition schema: V1 sourceSchema
+            // resolves eagerly at definition, so a fleet evolved
+            // between definition and a later batch would otherwise
+            // emit a batch WIDER than the declared schema — pinned,
+            // every batch holds the declared shape (added columns
+            // prune at decode; a restart re-resolves and adopts them)
+            schemaOverride = Some(StructType(declaredSchema
+              .filterNot(_.name == FleetCDC.ChangeTypeCol)))),
           keyCols)
       }
     // V1 contract: the per-batch plan must carry isStreaming — see

@@ -100,9 +100,12 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     val base = inferSchema(opts)
     // net-change rows join across files, so per-field nullability is
     // the join's, not the writers' — declare the relaxed schema
-    if (cdcOf(opts) && keyedCdcCols(opts).nonEmpty)
-      (shortName(), StructType(base.fields.map(_.copy(nullable = true))))
-    else (shortName(), base)
+    val declared =
+      if (cdcOf(opts) && keyedCdcCols(opts).nonEmpty)
+        StructType(base.fields.map(_.copy(nullable = true)))
+      else base
+    AvroFleetSource.rememberSourceSchema(parameters, declared)
+    (shortName(), declared)
   }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
@@ -116,7 +119,15 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
       "the graft-avro V1 stream serves only readChangeFeed=true + " +
         "cdcKeyCols")
     new AvroFleetCdcKeyedSource(sqlContext, pathOf(opts), keys,
-      sourceSchema(sqlContext, schema, providerName, parameters)._2,
+      // the DEFINITION-time schema (sourceSchema resolved it eagerly
+      // at load(); DataSource.providingInstance() is a fresh provider
+      // per call, so the pin lives in the companion) — the engine
+      // validates batches against the definition's attributes, and a
+      // fleet evolved between definition and start must not make
+      // createSource declare a schema the definition never had. Fresh
+      // resolution only for a cold JVM, where the two coincide.
+      AvroFleetSource.definedSourceSchema(parameters).getOrElse(
+        sourceSchema(sqlContext, schema, providerName, parameters)._2),
       Option(opts.get("startingVersion")).map(_.toLong),
       Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
       metadataPath = metadataPath,
@@ -143,6 +154,10 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
   private def cdcOf(options: CaseInsensitiveStringMap): Boolean =
     options.getBoolean("readChangeFeed", false)
 
+  private def branchOf(options: CaseInsensitiveStringMap)
+      : Option[String] =
+    Option(options.get("branch")).map(_.trim).filter(_.nonEmpty)
+
   /** An `ALTER TABLE`d fleet carries its declared schema in the
     * `_schema.json` marker — prefer it over the header peek (ADD
     * COLUMN / RENAME COLUMN are metadata-only; files are immutable).
@@ -151,7 +166,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     * FIRST path's enclosing fleet directory, so an ALTERed fleet's
     * aliases and declared schema apply however its files are
     * addressed. */
-  private def markerOf(path: String): Option[FleetSchemaMarker.Marker] = {
+  private def markerOf(path: String,
+      branch: Option[String] = None): Option[FleetSchemaMarker.Marker] = {
     val p = new org.apache.hadoop.fs.Path(Avro.splitGlobs(path).head)
     val fs = p.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
@@ -173,7 +189,14 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
         else null
       if (dirP != null && fs.exists(dirP) &&
           fs.getFileStatus(dirP).isDirectory)
-        FleetSchemaMarker.read(fs, dirP)
+        // branch routing: an explicit option("branch") — or the
+        // session's active branch when it exists here — resolves the
+        // fork's STAGED marker first (a schema evolution staged on a
+        // branch is invisible to main until fast_forward, r19)
+        FleetSchemaMarker.resolve(fs, dirP,
+          branch.filter(b =>
+            FleetManifest.branchBase(fs, dirP, b).isDefined)
+            .orElse(FleetManifest.activeBranchAt(fs, dirP)))
       else None
     } catch {
       // a path component vanishing between the existence probe and
@@ -188,7 +211,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     // bootstraps from its first batch); the table resolved under this
     // option only answers the STREAMING_WRITE capability probe
     if (applyKeyCols(options).nonEmpty) return new StructType()
-    val base = markerOf(pathOf(options)).map(_.schema).getOrElse {
+    val base = markerOf(pathOf(options), branchOf(options))
+      .map(_.schema).getOrElse {
       if (evolveOf(options))
         SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
           pathOf(options), maxBytesOf(options)).map(Avro.toSparkSchema))
@@ -213,13 +237,42 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
       // STREAMING_WRITE probe so the V1 sink fallback engages
       return new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
         cdcApply = true)
-    val marker = markerOf(pathOf(opts))
+    val marker = markerOf(pathOf(opts), branchOf(opts))
     new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
       evolveOf(opts) || marker.isDefined,
       aliases = marker.map(_.aliases).getOrElse(Map.empty),
       cdc = cdcOf(opts),
       cdcKeyed = cdcOf(opts) && keyedCdcCols(opts).nonEmpty)
   }
+}
+
+private[sources] object AvroFleetSource {
+  // definition-time V1 sourceSchema pin (r19): the engine validates
+  // every batch against the STREAM DEFINITION's attributes (resolved
+  // eagerly at load()), while createSource runs at query START on a
+  // DIFFERENT provider instance (DataSource.providingInstance() is a
+  // fresh newInstance per call) — a fleet evolved in between would
+  // make a re-inferring createSource declare a schema the definition
+  // never had, and the first batch fails the engine's shape assert.
+  // Keyed by the case-normalized parameter map; bounded (streams are
+  // few, parameter sets fewer).
+  private val sourceSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      Map[String, String], StructType]()
+
+  private def normKey(parameters: Map[String, String])
+      : Map[String, String] =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  private[sources] def rememberSourceSchema(
+      parameters: Map[String, String], schema: StructType): Unit = {
+    if (sourceSchemaCache.size > 1024) sourceSchemaCache.clear()
+    sourceSchemaCache.put(normKey(parameters), schema)
+  }
+
+  private[sources] def definedSourceSchema(
+      parameters: Map[String, String]): Option[StructType] =
+    Option(sourceSchemaCache.get(normKey(parameters)))
 }
 
 private[sources] class AvroFleetTable(tableSchema: StructType, path: String,

@@ -251,21 +251,30 @@ object FleetCDC {
     joined.select(explode(rows).as("_r")).select(col("_r.*"))
   }
 
-  /** The diff read for an already-computed [[diff]] surface. */
+  /** The diff read for an already-computed [[diff]] surface.
+    * `schemaOverride` PINS the read schema instead of re-resolving it
+    * from the fleet — the streaming keyed source passes its
+    * stream-definition schema so a fleet evolved UNDER a running
+    * stream keeps emitting consistently-shaped batches (the
+    * FileStreamSource pinned-at-start posture) rather than a
+    * mis-shaped batch the sink's declared schema cannot hold; a
+    * restart re-resolves and picks the evolution up. */
   private[sources] def changesOf(s: SparkSession, dir: String,
       added: Seq[String], removed: Seq[String],
       dvFrom: Map[String, String] = Map.empty,
       dvTo: Map[String, String] = Map.empty,
       dvGrown: Seq[String] = Nil,
-      dvShrunk: Seq[String] = Nil): DataFrame = {
+      dvShrunk: Seq[String] = Nil,
+      schemaOverride: Option[org.apache.spark.sql.types.StructType] =
+        None): DataFrame = {
     // ONE table schema governs both sides — resolved from the whole
     // fleet (schema marker preferred, else the merge of every
     // generation's writer schema), then imposed on the per-file reads
     // so a schema-EVOLVED fleet diffs cleanly: pre-ALTER generations
     // null-fill added columns and answer renamed ones through the
     // alias chain, exactly as a full-fleet read would
-    val schema = s.read.format("graft-avro")
-      .option("mergeSchema", "true").load(dir).schema
+    val schema = schemaOverride.getOrElse(s.read.format("graft-avro")
+      .option("mergeSchema", "true").load(dir).schema)
     def dvPath(rel: String) = s"$dir/$rel"
     def side(files: Seq[String], tag: String,
         specs: Map[String, DvPartSpec]): DataFrame =

@@ -813,6 +813,54 @@ class FleetStreamSpec extends SparkSpec {
       s"resume must stream only the new commit's net changes: $got2")
   }
 
+  test("keyed feed pins its definition schema across a mid-stream evolution; a restart adopts it") {
+    val root = graft.util.Scratch.dir("cdc_keyed_evolve")
+    val dir = s"$root/t.avro"
+    writeGen(dir, 0, 20)
+    val sE = spark.newSession()
+    sE.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    sE.conf.set("spark.sql.catalog.graft.root", root)
+    // stream DEFINITION: the V1 sourceSchema resolves eagerly here
+    val defd = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("cdcKeyCols", "id")
+      .option("startingVersion", "0")
+      .load(dir)
+    assert(defd.schema.fieldNames.toSeq == Seq("id", "v", "_change_type"))
+    // the fleet evolves BETWEEN definition and the first batch — the
+    // known V1 eager-schema race (r18 verdict #8)
+    sE.sql("ALTER TABLE graft.t ADD COLUMN note STRING")
+    sE.sql("INSERT INTO graft.t VALUES (500, 'x', 'new')")
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+    val q = defd.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // every batch must hold the DECLARED shape — a wider batch
+        // would be mis-shaped against the sink's resolved schema
+        assert(b.schema.fieldNames.toSeq ==
+          Seq("id", "v", "_change_type"), b.schema.treeString)
+        got.synchronized { got ++= b.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2))) }
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val rows = got.synchronized(got.toSeq)
+    // the post-evolution row still streams — in the pinned shape
+    assert(rows.map(_._1).sorted == ((0L until 20L) :+ 500L),
+      s"pinned-schema batches must still carry every key: $rows")
+    assert(rows.forall(_._3 == "insert"))
+    assert(rows.find(_._1 == 500L).get._2 == "x")
+    // a RESTART (fresh definition) re-resolves and adopts the column
+    val redefined = spark.readStream.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("cdcKeyCols", "id")
+      .load(dir)
+    assert(redefined.schema.fieldNames.toSeq ==
+      Seq("id", "v", "note", "_change_type"))
+  }
+
   test("cdcApplyKeyCols sink: fleet-to-fleet replication converges across appends, updates, MOR deletes, and a restore") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("cdc_apply")
