@@ -167,7 +167,9 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     * aliases and declared schema apply however its files are
     * addressed. */
   private def markerOf(path: String,
-      branch: Option[String] = None): Option[FleetSchemaMarker.Marker] = {
+      branch: Option[String] = None,
+      versionAsOf: Option[String] = None)
+      : Option[FleetSchemaMarker.Marker] = {
     val p = new org.apache.hadoop.fs.Path(Avro.splitGlobs(path).head)
     val fs = p.getFileSystem(
       SparkSession.active.sessionState.newHadoopConf())
@@ -188,16 +190,22 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
         else if (isGlob) p.getParent
         else null
       if (dirP != null && fs.exists(dirP) &&
-          fs.getFileStatus(dirP).isDirectory)
+          fs.getFileStatus(dirP).isDirectory) {
         // branch routing: an explicit option("branch") — or the
         // session's active branch when it exists here — resolves the
         // fork's STAGED marker first (a schema evolution staged on a
-        // branch is invisible to main until fast_forward, r19)
-        FleetSchemaMarker.resolve(fs, dirP,
-          branch.filter(b =>
-            FleetManifest.branchBase(fs, dirP, b).isDefined)
-            .orElse(FleetManifest.activeBranchAt(fs, dirP)))
-      else None
+        // branch is invisible to main until fast_forward, r19); a
+        // versioned read resolves the schema stamped AS OF that
+        // generation (numbers directly, anything else as a tag —
+        // the option's documented spelling; an unresolvable tag
+        // defers to the scan builder's loud error)
+        val effBranch = branch.filter(b =>
+          FleetManifest.branchBase(fs, dirP, b).isDefined)
+          .orElse(FleetManifest.activeBranchAt(fs, dirP))
+        val effVersion = versionAsOf.flatMap(v =>
+          v.toLongOption.orElse(FleetManifest.tagVersion(fs, dirP, v)))
+        FleetSchemaMarker.resolveAt(fs, dirP, effBranch, effVersion)
+      } else None
     } catch {
       // a path component vanishing between the existence probe and
       // the status/read IS genuine absence, not a dropped marker
@@ -211,8 +219,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     // bootstraps from its first batch); the table resolved under this
     // option only answers the STREAMING_WRITE capability probe
     if (applyKeyCols(options).nonEmpty) return new StructType()
-    val base = markerOf(pathOf(options), branchOf(options))
-      .map(_.schema).getOrElse {
+    val base = markerOf(pathOf(options), branchOf(options),
+      Option(options.get("versionAsOf"))).map(_.schema).getOrElse {
       if (evolveOf(options))
         SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
           pathOf(options), maxBytesOf(options)).map(Avro.toSparkSchema))
@@ -237,7 +245,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
       // STREAMING_WRITE probe so the V1 sink fallback engages
       return new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
         cdcApply = true)
-    val marker = markerOf(pathOf(opts), branchOf(opts))
+    val marker = markerOf(pathOf(opts), branchOf(opts),
+      Option(opts.get("versionAsOf")))
     new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
       evolveOf(opts) || marker.isDefined,
       aliases = marker.map(_.aliases).getOrElse(Map.empty),
@@ -1285,8 +1294,13 @@ private[sources] object AvroFleetCommits {
     // contents wholesale — the ALTER-era schema marker describes the
     // pre-reset declared schema and must not shadow the new files'
     // writer schema (marker-clear rides the commit, not the job
-    // start, so a crashed overwrite leaves an ALTERed fleet intact)
+    // start, so a crashed overwrite leaves an ALTERed fleet intact);
+    // the inherited versioned-schema prop clears WITH it (the
+    // empty-string sentinel), so post-reset generations declare the
+    // new files' writer schema while pre-reset versions keep theirs
     if (reset) FleetSchemaMarker.clear(f, p)
+    val effProps =
+      if (reset) props + (FleetManifest.SchemaProp -> "") else props
     val added = messages.collect {
       case AvroFleetCommitMessage(parts) => parts.map { case (file, _) =>
         new org.apache.hadoop.fs.Path(file).getName
@@ -1302,7 +1316,7 @@ private[sources] object AvroFleetCommits {
         if (reset) added
         else base.filterNot(removeNames) ++ added,
       bootstrap = rawDataFiles(f, p),
-      props = props,
+      props = effProps,
       requireInBase = if (reset) Set.empty else removeNames,
       expectedVersion = expectedVersion,
       // deletion-vector compare-and-set: a copy-on-write rewrite

@@ -84,6 +84,19 @@ private[graft] object FleetManifest {
     * clock skew introduced by filesystem copies. */
   val CommitTsProp = "commit.ts"
 
+  /** Snapshot prop carrying the fleet's DECLARED SCHEMA as of the
+    * generation ([[FleetSchemaMarker]] JSON — schema + alias chains +
+    * dropped spellings). Stamped by ALTER TABLE's schema commit,
+    * INHERITED forward by [[commit]] (a data commit doesn't change
+    * the declared schema), cleared by the reset commits. Versioned
+    * reads resolve their marker from here — `VERSION AS OF` a
+    * pre-DROP generation shows the dropped column with its data, a
+    * mid-evolution version its intermediate shape. Versions predating
+    * the first stamped ALTER carry no prop and fall back to the
+    * fleet-root marker (the pre-r19 behavior, exact for never-altered
+    * fleets). */
+  val SchemaProp = "graft.schema"
+
   /** One committed generation: the complete set of data-file NAMES
     * (relative to the fleet directory) a reader of this version must
     * see, plus optional COMMIT METADATA — application properties that
@@ -869,10 +882,24 @@ private[graft] object FleetManifest {
                   .mkString(", ")} — a concurrent merge-on-read commit " +
                 "swapped the vector; re-read it, re-merge, re-commit")
           }
-          val stamped =
+          val stampedTs =
             if (props.contains(CommitTsProp)) props
             else props + (CommitTsProp ->
               System.currentTimeMillis().toString)
+          // the DECLARED-SCHEMA prop is INHERITED like the vector
+          // bindings (r19): once an ALTER stamps the schema as of its
+          // generation, every later commit carries it forward, so
+          // `VERSION AS OF v` resolves the schema THAT VERSION had in
+          // O(1) — no history walk. A caller states a new schema by
+          // supplying the prop; the empty-string sentinel CLEARS it
+          // (INSERT OVERWRITE/TRUNCATE replace the declared schema
+          // with the new files' writer schema).
+          val stamped = stampedTs.get(SchemaProp) match {
+            case Some("") => stampedTs - SchemaProp
+            case Some(_) => stampedTs
+            case None => cur.flatMap(_.props.get(SchemaProp))
+              .fold(stampedTs)(v => stampedTs + (SchemaProp -> v))
+          }
           val nextFiles = update(base).distinct
           val nextFileSet = nextFiles.toSet
           val nextDvs =

@@ -174,9 +174,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // immutable and resolve per generation through evolve decode).
         // A branch session resolves the branch's STAGED marker first —
         // a schema evolution staged on the fork is invisible to main
-        // until fast_forward publishes it (r19)
-        val marker = FleetSchemaMarker.resolve(fs, p,
-          FleetManifest.activeBranchAt(fs, p))
+        // until fast_forward publishes it — and a VERSIONED read
+        // resolves the schema stamped AS OF that generation (r19)
+        val marker = FleetSchemaMarker.resolveAt(fs, p,
+          FleetManifest.activeBranchAt(fs, p), versionAsOf)
         val schema = marker.map(_.schema).getOrElse(Avro.toSparkSchema(
           Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
         new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
@@ -352,6 +353,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Some(b) => FleetSchemaMarker.writeStaged(fs, p, b, next)
       case None => FleetSchemaMarker.write(fs, p, next)
     }
+    // a TRANSACTIONAL fleet also lands a SCHEMA COMMIT: a no-file-change
+    // generation whose SchemaProp is the new marker, inherited forward
+    // by every later commit — so `VERSION AS OF` resolves the declared
+    // schema as of any generation (a pre-DROP version shows the
+    // dropped column; a mid-evolution version its intermediate shape).
+    // Session-branch routing applies as for any commit: a staged ALTER
+    // versions on the branch and publishes with fast_forward. A
+    // manifest-less fleet stays marker-only (it has no versions to
+    // resolve against).
+    if (branch.isDefined || FleetManifest.versions(fs, p).nonEmpty)
+      FleetManifest.commit(fs, p, identity, bootstrap = Seq.empty,
+        props = Map(FleetManifest.SchemaProp ->
+          FleetSchemaMarker.toJsonString(next)))
     new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
       evolve = true, aliases = aliases)
   }

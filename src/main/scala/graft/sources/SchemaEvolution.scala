@@ -51,10 +51,11 @@ private[graft] object FleetSchemaMarker {
       dir: org.apache.hadoop.fs.Path, m: Marker): Unit =
     writeAt(fs, dir, new org.apache.hadoop.fs.Path(dir, FileName), m)
 
-  private def writeAt(fs: org.apache.hadoop.fs.FileSystem,
-      dir: org.apache.hadoop.fs.Path,
-      dest: org.apache.hadoop.fs.Path, m: Marker): Unit = {
-    val body = org.json4s.jackson.JsonMethods.compact(
+  /** The marker's canonical JSON body — the on-disk spelling AND the
+    * value of the manifest [[FleetManifest.SchemaProp]] (versioned
+    * declared schemas, r19). */
+  def toJsonString(m: Marker): String =
+    org.json4s.jackson.JsonMethods.compact(
       org.json4s.jackson.JsonMethods.render(org.json4s.JObject(
         "schema" -> org.json4s.jackson.JsonMethods.parse(m.schema.json),
         "aliases" -> org.json4s.JObject(m.aliases.toList.map {
@@ -63,6 +64,13 @@ private[graft] object FleetSchemaMarker {
         }),
         "dropped" -> org.json4s.JArray(
           m.dropped.map(org.json4s.JString(_)).toList))))
+
+  def fromJsonString(text: String): Marker = parseBody(text)
+
+  private def writeAt(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      dest: org.apache.hadoop.fs.Path, m: Marker): Unit = {
+    val body = toJsonString(m)
     val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
       s".${dest.getName}.tmp")
     fs.mkdirs(dest.getParent)
@@ -118,6 +126,27 @@ private[graft] object FleetSchemaMarker {
       branch: Option[String]): Option[Marker] =
     branch.flatMap(readStaged(fs, dir, _)).orElse(read(fs, dir))
 
+  /** VERSIONED resolution (r19): a `VERSION AS OF` / `TIMESTAMP AS
+    * OF` / branch-versioned read resolves the declared schema from
+    * the target snapshot's [[FleetManifest.SchemaProp]] — the schema
+    * THAT generation had (a pre-DROP version shows the dropped column
+    * with its data; a mid-evolution version its intermediate shape).
+    * A snapshot without the prop predates the first stamped ALTER (or
+    * the whole fleet predates stamping): fall back to [[resolve]] —
+    * exact for never-altered fleets, the documented pre-r19 behavior
+    * for legacy histories. */
+  def resolveAt(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path,
+      branch: Option[String],
+      version: Option[Long]): Option[Marker] =
+    version.flatMap { v =>
+      (branch match {
+        case Some(b) => FleetManifest.snapshotAtRef(fs, dir, v, Some(b))
+        case None => FleetManifest.snapshotAt(fs, dir, v)
+      }).flatMap(_.props.get(FleetManifest.SchemaProp))
+        .map(fromJsonString)
+    }.orElse(resolve(fs, dir, branch))
+
   /** Publish a branch's staged marker to the fleet root (fast_forward
     * body; no-op when the branch staged no evolution). The staged
     * copy is left for the caller's recursive vdir delete. */
@@ -136,6 +165,12 @@ private[graft] object FleetSchemaMarker {
       val in = fs.open(p)
       val text = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
+      Some(parseBody(text))
+    }
+  }
+
+  private def parseBody(text: String): Marker = {
+    {
       val obj = org.json4s.jackson.JsonMethods.parse(text)
       val schema = DataType.fromJson(
         org.json4s.jackson.JsonMethods.compact(
@@ -156,7 +191,7 @@ private[graft] object FleetSchemaMarker {
           vs.collect { case org.json4s.JString(v) => v }
         case _ => Seq.empty[String]
       }
-      Some(Marker(schema, aliases, dropped))
+      Marker(schema, aliases, dropped)
     }
   }
 

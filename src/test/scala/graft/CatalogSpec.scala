@@ -803,6 +803,49 @@ class CatalogSpec extends SparkSpec {
     main.sql("CALL graft.system.drop_branch('t', 'audit')")
   }
 
+  test("VERSION AS OF resolves the declared schema AS OF the generation; a dropped column resurfaces in history") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("schema_versions")
+    val fleet = s"$root/t.avro"
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartition(2).write.format("graft-avro")
+      .mode("overwrite").save(fleet)                              // v1
+    val main = spark.newSession()
+    main.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    main.conf.set("spark.sql.catalog.graft.root", root)
+    main.sql("ALTER TABLE graft.t ADD COLUMN note STRING")        // v2
+    main.sql("INSERT INTO graft.t VALUES (300, 5, 'x')")          // v3
+    main.sql("ALTER TABLE graft.t DROP COLUMN v")                 // v4
+    // current: the post-DROP shape
+    assert(main.table("graft.t").columns.toSeq == Seq("id", "note"))
+    // v3: the mid-evolution shape — the DROPPED column resurfaces
+    // with its data, the added column null-fills pre-ALTER files
+    val at3 = main.sql("SELECT * FROM graft.t VERSION AS OF 3")
+    assert(at3.columns.toSeq == Seq("id", "v", "note"),
+      s"v3 must resolve its own declared schema: ${at3.columns.toSeq}")
+    val r300 = at3.filter($"id" === 300).head
+    assert(r300.getLong(1) == 5L && r300.getString(2) == "x")
+    assert(at3.filter($"id" === 7).head.getLong(1) == 14L)
+    assert(at3.filter($"id" === 7).head.isNullAt(2))
+    // v2 (the ADD's own schema commit): same shape, no inserted row
+    val at2 = main.sql("SELECT * FROM graft.t VERSION AS OF 2")
+    assert(at2.columns.toSeq == Seq("id", "v", "note") &&
+      at2.count() == 100)
+    // the format() spelling resolves identically
+    val f3 = spark.read.format("graft-avro")
+      .option("versionAsOf", "3").load(fleet)
+    assert(f3.columns.toSeq == Seq("id", "v", "note"))
+    assert(f3.count() == 101)
+    // an INSERT OVERWRITE clears the declared schema going forward;
+    // pre-reset versions KEEP their stamped shapes
+    Seq((1L, "fresh")).toDF("id", "w")
+      .write.format("graft-avro").mode("overwrite").save(fleet)   // v5
+    assert(main.table("graft.t").columns.toSeq == Seq("id", "w"))
+    assert(main.sql("SELECT * FROM graft.t VERSION AS OF 3")
+      .columns.toSeq == Seq("id", "v", "note"),
+      "a reset must not rewrite history's declared schemas")
+  }
+
   test("schema evolution stages on a branch: main resolves it only after fast_forward; the feed spans the publish exactly") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("branch_evolve")

@@ -364,9 +364,10 @@ class FleetManifestSpec extends SparkSpec {
     s2.conf.set("spark.sql.catalog.graft.root", root)
     s2.sql("CREATE TABLE graft.e AS SELECT id, concat('a', id) AS v " +
       "FROM range(0, 20)")                                   // v1 + v2
-    s2.sql("ALTER TABLE graft.e ADD COLUMN note STRING")     // metadata only
+    s2.sql("ALTER TABLE graft.e ADD COLUMN note STRING")     // v3: the
+    // metadata-only DDL lands a SCHEMA COMMIT (r19 versioned schemas)
     s2.sql("INSERT INTO graft.e SELECT id, concat('b', id), " +
-      "concat('n', id) FROM range(20, 25)")                  // v3
+      "concat('n', id) FROM range(20, 25)")                  // v4
     val dir = s"$root/e.avro"
     // pre-ALTER generation on the DELETE side of a diff must null-fill
     // the added column instead of failing the union
@@ -374,8 +375,10 @@ class FleetManifestSpec extends SparkSpec {
     assert(d12.schema.fieldNames.contains("note"))
     assert(d12.where("_change_type = 'insert'").count() == 20)
     assert(d12.where("note IS NOT NULL").count() == 0)
-    val d23 = graft.sources.FleetCDC.changes(s2, dir, 2L, 3L)
-    assert(d23.where("_change_type = 'insert' AND note IS NOT NULL")
+    // the ALTER's schema commit changes NO file: its span is empty
+    assert(graft.sources.FleetCDC.changes(s2, dir, 2L, 3L).count() == 0)
+    val d34 = graft.sources.FleetCDC.changes(s2, dir, 3L, 4L)
+    assert(d34.where("_change_type = 'insert' AND note IS NOT NULL")
       .count() == 5)
   }
 
