@@ -63,7 +63,8 @@ import org.apache.spark.sql.functions.col
   * apply sinks onto different roots never collide. */
 private[sources] class AvroFleetCdcApplySink(sqlContext: SQLContext,
     path: String, keyCols: Seq[String],
-    checkpointLocation: Option[String]) extends V1Sink {
+    checkpointLocation: Option[String],
+    mergeSchema: Boolean = false) extends V1Sink {
 
   require(keyCols.nonEmpty, "cdcApplyKeyCols needs at least one column")
 
@@ -154,6 +155,30 @@ private[sources] class AvroFleetCdcApplySink(sqlContext: SQLContext,
       // merge-on-read on the CLONED session only: per-batch cost is
       // O(changed rows) — deletes are vector positions, never rewrites
       s.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+      // SOURCE evolved past the target (a restarted feed adopts new
+      // columns — the definition-pinned schema widens on restart):
+      // option("mergeSchema", "true") auto-evolves the target through
+      // the ordinary catalog ALTER (nullable ADD COLUMNs + the
+      // versioned schema commit), so replication follows the source's
+      // evolution; without it, fail loudly with the remedy instead of
+      // a MERGE analysis error deep in the engine
+      val targetCols = FleetSchemaMarker.resolve(f, p, None)
+        .map(_.schema).getOrElse(Avro.toSparkSchema(
+          Avro.peekSchema(s, path, Avro.MaxIngestFileBytes)))
+        .fieldNames.toSet
+      val added = images.schema.fields
+        .filter(fd => fd.name != ct && !targetCols(fd.name))
+      if (added.nonEmpty) {
+        require(mergeSchema,
+          s"cdcApplyKeyCols: the change feed carries column(s) the " +
+            s"target fleet lacks: ${added.map(_.name).mkString(", ")} " +
+            "— the source evolved. ALTER the target to match, or opt " +
+            "into automatic evolution with option(\"mergeSchema\", " +
+            "\"true\")")
+        val ddl = added.map(fd =>
+          s"`${fd.name}` ${fd.dataType.sql}").mkString(", ")
+        s.sql(s"ALTER TABLE $cat.`$tableName` ADD COLUMNS ($ddl)")
+      }
       val view = s"graft_cdc_apply_${tableName}_images"
       images.createOrReplaceTempView(view)
       val onClause = keyCols.map(k => s"t.`$k` <=> s.`$k`")

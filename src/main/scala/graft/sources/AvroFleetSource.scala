@@ -72,7 +72,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
       "cdcApplyKeyCols does not compose with partitionBy — the target " +
         "fleet's layout is its own")
     new AvroFleetCdcApplySink(sqlContext, pathOf(opts), keys,
-      parameters.get("checkpointLocation"))
+      parameters.get("checkpointLocation"),
+      mergeSchema = opts.getBoolean("mergeSchema", false))
   }
 
   // ---- V1 StreamSourceProvider: the KEYED change feed only ---------

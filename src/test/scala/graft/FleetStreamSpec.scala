@@ -933,6 +933,59 @@ class FleetStreamSpec extends SparkSpec {
       "an empty drain must not commit to the target")
   }
 
+  test("cdcApplyKeyCols sink: source schema evolution fails loudly, or auto-evolves the target under mergeSchema") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cdc_apply_evolve")
+    val a = s"$root/a.avro"
+    val b = s"$root/b.avro"
+    spark.range(20).select($"id", ($"id" * 2).as("v"))
+      .coalesce(1).write.format("graft-avro").mode("overwrite").save(a)
+    val sA = spark.newSession()
+    sA.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    sA.conf.set("spark.sql.catalog.graft.root", root)
+
+    def drain(mergeSchema: Boolean): Option[Throwable] = {
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("cdcKeyCols", "id")
+        .option("startingVersion", "0")
+        .load(a)
+        .writeStream.format("graft-avro")
+        .option("cdcApplyKeyCols", "id")
+        .option("mergeSchema", mergeSchema.toString)
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start(b)
+      try { q.awaitTermination(120000); None }
+      catch { case e: Throwable => Some(e) }
+    }
+    assert(drain(mergeSchema = false).isEmpty, "bootstrap must succeed")
+    // the SOURCE evolves; a restarted feed definition adopts the new
+    // column, so its images now carry a column the target lacks
+    sA.sql("ALTER TABLE graft.a ADD COLUMN note STRING")
+    sA.sql("INSERT INTO graft.a VALUES (500, 1000, 'hello')")
+    val err = drain(mergeSchema = false)
+    assert(err.isDefined, "a wider feed must not silently apply")
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(err.get).exists(m =>
+      m.contains("mergeSchema") && m.contains("note")),
+      s"error must name the missing column and the remedy: ${err.get}")
+    // opting in evolves the target through the ordinary catalog ALTER
+    // (nullable ADD COLUMN + versioned schema commit) and converges
+    assert(drain(mergeSchema = true).isEmpty,
+      "mergeSchema drain must succeed")
+    def content(dir: String): Seq[(Long, Long, String)] =
+      spark.read.format("graft-avro").load(dir)
+        .select($"id", $"v", $"note").collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getString(2)).getOrElse(""))).toSeq.sorted
+    assert(content(b) == content(a),
+      "target must converge including the evolved column")
+    assert(content(b).contains((500L, 1000L, "hello")))
+  }
+
   test("maxVersionsPerTrigger: a file-granular backlog drains in bounded batches; exact mid-backlog crash resume") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("cdc_admission")
