@@ -802,6 +802,42 @@ object Crud {
       .orderBy($"c_custkey")
   }
 
+  /** §2.A WRITER IDEMPOTENCE (r19) — the `txnAppId`/`txnVersion`
+    * token pair on a fleet batch write: an orchestrator that re-runs
+    * a job whose previous attempt already committed (driver death
+    * between manifest commit and the scheduler's ack — the classic
+    * retry hole) lands AT MOST ONCE. The manifest carries a per-appId
+    * ledger prop (`txn:<appId>` → max committed version), inherited
+    * across commits like the schema prop and checked inside the
+    * commit protocol's own retry loop, so the guarantee holds under
+    * concurrent committers; a skipped replay reaps its staged files.
+    * This row replays BOTH appends and pins that neither doubled:
+    * the oracle is each slice exactly once. At 100 TB this is what
+    * lets Airflow-style `retries: 3` be safe on ingest jobs. */
+  def qFleetIdempotentWrite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "txnwrite")
+    val root = s2.conf.get("spark.sql.catalog.graft.root")
+    val fleet = s"$root/cust.avro"
+    def slice(lo: Int, hi: Int): DataFrame = customer(s2, dir)
+      .filter($"c_custkey" >= lo && $"c_custkey" < hi)
+      .select(($"c_custkey" + 100000L).as("c_custkey"),
+        concat(lit("replay-"), $"c_name").as("c_name"),
+        r4($"c_acctbal").as("c_acctbal"))
+    def append(df: DataFrame, v: Long): Unit =
+      df.coalesce(1).write.format("graft-avro").mode("append")
+        .option("txnAppId", "ingest").option("txnVersion", v.toString)
+        .save(fleet)
+    append(slice(1, 50), 1L)
+    append(slice(1, 50), 1L)   // replay — the ledger skips it
+    append(slice(50, 80), 2L)
+    append(slice(50, 80), 2L)  // replay — skipped
+    s2.read.format("graft-avro").load(fleet)
+      .select($"c_custkey", $"c_name",
+        round($"c_acctbal", 4).as("c_acctbal"))
+      .orderBy($"c_custkey")
+  }
+
   /** §2.A INCREMENTAL MATERIALIZED VIEW — `FleetMV` riding the change
     * feed: a per-shard count/sum rollup is built once, the base fleet
     * then takes a metadata DELETE and a COW UPDATE, and `refresh`
@@ -935,6 +971,7 @@ object Crud {
     "q_fleet_branch_read" -> qFleetBranchRead _,
     "q_fleet_purge_vectors" -> qFleetPurgeVectors _,
     "q_fleet_replicate" -> qFleetReplicate _,
+    "q_fleet_idempotent_write" -> qFleetIdempotentWrite _,
     "q_sql_delete_serializable" -> qSqlDeleteSerializable _,
     "q_fleet_agg_mor_group" -> qFleetAggMorGroup _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
@@ -1165,6 +1202,20 @@ object Crud {
         |       THEN round(round(c_acctbal, 4) + 100.0, 4)
         |       ELSE round(c_acctbal, 4) END AS c_acctbal
         |FROM customer WHERE c_custkey % 13 <> 5
+        |ORDER BY c_custkey""".stripMargin,
+    // writer idempotence: both appends were replayed with the same
+    // txn token — each slice lands exactly once
+    "q_fleet_idempotent_write" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 'replay-' || c_name, c_acctbal
+        |  FROM customer WHERE c_custkey >= 1 AND c_custkey < 50
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 'replay-' || c_name, c_acctbal
+        |  FROM customer WHERE c_custkey >= 50 AND c_custkey < 80
+        |)
         |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,

@@ -900,8 +900,27 @@ private[sources] class AvroFleetWriteBuilder(info: LogicalWriteInfo,
         }.getOrElse(Map.empty[String, String])
       val requireDvs = AvroFleetTable.parseRequireDvs(
         info.options.get("manifestRequireDvs"))
+      // writer idempotence token (the public Delta-style txnAppId /
+      // txnVersion pair): an orchestrator-retried job whose previous
+      // attempt already committed lands AT MOST ONCE — the manifest
+      // ledger (`txn:<appId>` prop) decides inside the commit protocol
+      val txn = (Option(info.options.get("txnAppId")).filter(_.nonEmpty),
+          Option(info.options.get("txnVersion"))) match {
+        case (Some(app), Some(v)) =>
+          Some((app, v.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"txnVersion must be an integer (got '$v')"))))
+        case (Some(_), None) => throw new IllegalArgumentException(
+          "txnAppId requires txnVersion — the pair forms the writer-" +
+            "idempotence token")
+        case (None, Some(_)) => throw new IllegalArgumentException(
+          "txnVersion requires txnAppId — the pair forms the writer-" +
+            "idempotence token")
+        case _ => None
+      }
       new AvroFleetBatchWrite(schemaJson, info.schema(), dir, jobTag,
-        truncateFleet, clusterIdx, codec, swapRemove, props, requireDvs)
+        truncateFleet, clusterIdx, codec, swapRemove, props, requireDvs,
+        txn)
     }
   }
 }
@@ -911,7 +930,8 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     clusterIdx: Option[Int] = None, codec: String = "",
     swapRemoveNames: Set[String] = Set.empty,
     manifestProps: Map[String, String] = Map.empty,
-    requireDvsOpt: Map[String, Option[String]] = Map.empty)
+    requireDvsOpt: Map[String, Option[String]] = Map.empty,
+    txn: Option[(String, Long)] = None)
     extends BatchWrite {
 
   /** File NAMES the manifest commit atomically swaps out as this job's
@@ -968,16 +988,25 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     // layout marker between sidecar and _SUCCESS: a clustered commit
     // records its key (advisory — the scan re-proves from sidecars);
     // a plain commit CLEARS any marker (its files may interleave keys)
-    AvroFleetCommits.commitFleet(f, p, messages, between = () =>
-      clusterIdx match {
-        case Some(i) => FleetLayout.write(f, p, schema.fields(i).name)
-        case None => FleetLayout.clear(f, p)
-      },
+    val committed = AvroFleetCommits.commitFleet(f, p, messages,
+      between = () =>
+        clusterIdx match {
+          case Some(i) => FleetLayout.write(f, p, schema.fields(i).name)
+          case None => FleetLayout.clear(f, p)
+        },
       removeNames = manifestRemoveNames,
       reset = truncate,
       props = manifestProps,
       requireDvs = manifestRequireDvs,
-      expectedVersion = manifestExpectedVersion)
+      expectedVersion = manifestExpectedVersion,
+      txn = txn)
+    // idempotent replay (txn token already in the ledger): the job
+    // SUCCEEDS without publishing — reap exactly this job's staged
+    // files so the replay leaves no unreferenced finals behind
+    if (!committed && f.exists(p)) f.listStatus(p).foreach { st =>
+      if (st.getPath.getName.contains(s"-$jobTag"))
+        f.delete(st.getPath, false)
+    }
   }
 
   // roll back exactly THIS job's files (tag-matched finals + temps);
@@ -1274,6 +1303,16 @@ private[graft] object AvroFleetDataWriter {
   * list (TRUNCATE). `_SUCCESS` is still re-marked last for
   * manifest-unaware external consumers. */
 private[sources] object AvroFleetCommits {
+  /** Returns false when a writer-idempotence token (`txn`) found its
+    * (appId, version) already in the manifest ledger — the job is a
+    * REPLAY of a committed transaction; nothing was published and the
+    * caller reaps its own staged files. The pre-check runs under the
+    * commit lock before any side effect (same-JVM replays leave zero
+    * residue — no stats merge, no marker touch); the authoritative
+    * in-loop check inside [[FleetManifest.commit]] covers the
+    * cross-process race (a lost claim there may leave this job's
+    * already-merged sidecar stats behind for reaped files — dead
+    * entries the scan never resolves, swept with orphans). */
   def commitFleet(f: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path,
       messages: Array[WriterCommitMessage],
@@ -1282,7 +1321,27 @@ private[sources] object AvroFleetCommits {
       reset: Boolean = false,
       props: Map[String, String] = Map.empty,
       requireDvs: Map[String, Option[String]] = Map.empty,
-      expectedVersion: Option[Long] = None): Unit = {
+      expectedVersion: Option[Long] = None,
+      txn: Option[(String, Long)] = None): Boolean =
+    FleetManifest.withCommitLock(f, p) {
+      if (txn.exists { case (a, v) =>
+        FleetManifest.txnApplied(f, p, a, v) }) false
+      else
+        try { commitFleetBody(f, p, messages, between, removeNames,
+          reset, props, requireDvs, expectedVersion, txn); true }
+        catch { case _: FleetTxnAlreadyAppliedException => false }
+    }
+
+  private def commitFleetBody(f: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path,
+      messages: Array[WriterCommitMessage],
+      between: () => Unit,
+      removeNames: Set[String],
+      reset: Boolean,
+      props: Map[String, String],
+      requireDvs: Map[String, Option[String]],
+      expectedVersion: Option[Long],
+      txn: Option[(String, Long)]): Unit = {
     val stats = messages.collect {
       case AvroFleetCommitMessage(parts) =>
         parts.collect { case (file, Some(ps)) =>
@@ -1325,7 +1384,8 @@ private[sources] object AvroFleetCommits {
       // included) — a merge-on-read delete landing mid-job would
       // otherwise vanish with the swapped-out file while its rows
       // resurrect in the post-image
-      requireDvs = requireDvs)
+      requireDvs = requireDvs,
+      txn = txn)
     f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 

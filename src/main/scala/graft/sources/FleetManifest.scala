@@ -73,6 +73,14 @@ import org.json4s.jackson.JsonMethods
 class FleetCommitConflictException(msg: String)
     extends java.io.IOException(msg)
 
+/** Control signal, not an error: a commit carrying a writer-idempotence
+  * token ([[FleetManifest.TxnPropPrefix]]) found its (appId, version)
+  * already in the ledger — the transaction landed on an earlier
+  * attempt. The caller treats the job as SUCCEEDED and reaps its own
+  * staged files instead of publishing duplicates. */
+class FleetTxnAlreadyAppliedException(msg: String)
+    extends RuntimeException(msg)
+
 private[graft] object FleetManifest {
 
   val DirName = "_manifest"
@@ -96,6 +104,20 @@ private[graft] object FleetManifest {
     * fleet-root marker (the pre-r19 behavior, exact for never-altered
     * fleets). */
   val SchemaProp = "graft.schema"
+
+  /** Prefix of the WRITER-IDEMPOTENCE ledger props (r19): `txn:<appId>`
+    * → the highest `txnVersion` that application has committed into
+    * this fleet. A batch write carrying `option("txnAppId", ...)` +
+    * `option("txnVersion", N)` (the public Delta-style token pair)
+    * lands AT MOST ONCE per (appId, version): a replay — an
+    * orchestrator re-running a job whose driver died after the
+    * manifest commit — is detected inside the commit's own retry loop
+    * against the freshly-read base and SKIPS, so a retried append can
+    * never double its rows. Ledger props are INHERITED forward by
+    * [[commit]] exactly like [[SchemaProp]] (including across reset
+    * commits — an overwrite replay must still skip), one entry per
+    * appId, monotonically maxed. */
+  val TxnPropPrefix = "txn:"
 
   /** One committed generation: the complete set of data-file NAMES
     * (relative to the fleet directory) a reader of this version must
@@ -788,6 +810,17 @@ private[graft] object FleetManifest {
       .synchronized(f)
   }
 
+  /** True when the writer-idempotence ledger already holds (appId,
+    * ≥ version) — the cheap pre-check [[AvroFleetCommits.commitFleet]]
+    * runs under the commit lock BEFORE any side effect (sidecar-stats
+    * merge, layout-marker write, reset's schema-marker clear), so a
+    * same-JVM replay skips with zero residue. The authoritative check
+    * lives inside [[commit]]'s retry loop (exact across processes). */
+  private[sources] def txnApplied(fs: FileSystem, dir: Path,
+      appId: String, version: Long): Boolean =
+    current(fs, dir).flatMap(_.props.get(TxnPropPrefix + appId))
+      .flatMap(_.toLongOption).exists(_ >= version)
+
   /** The version file as a `java.nio` path when the filesystem is the
     * local one — the scheme where `rename` CLOBBERS and the read-back
     * protocol has a residual cross-process window. */
@@ -843,7 +876,8 @@ private[graft] object FleetManifest {
       expectedVersion: Option[Long] = None,
       dvUpdate: Map[String, Option[String]] = Map.empty,
       requireDvs: Map[String, Option[String]] = Map.empty,
-      dvMetaUpdate: Map[String, DvMeta] = Map.empty): Snapshot = {
+      dvMetaUpdate: Map[String, DvMeta] = Map.empty,
+      txn: Option[(String, Long)] = None): Snapshot = {
     val key = fs.makeQualified(dir).toString
     commitStripes(math.floorMod(key.hashCode, commitStripes.length))
       .synchronized {
@@ -851,6 +885,18 @@ private[graft] object FleetManifest {
         while (attempts < 64) {
           attempts += 1
           val cur = current(fs, dir)
+          // writer idempotence: the ledger check runs on EVERY attempt
+          // against the freshly-read base, so a lost claim can never
+          // slip a replayed transaction in behind the one that landed
+          txn.foreach { case (appId, txnV) =>
+            val applied = cur.flatMap(_.props.get(TxnPropPrefix + appId))
+              .flatMap(_.toLongOption)
+            if (applied.exists(_ >= txnV))
+              throw new FleetTxnAlreadyAppliedException(
+                s"transaction ($appId, $txnV) already committed at $dir " +
+                  s"(ledger holds ${applied.get}) — idempotent replay, " +
+                  "skipping")
+          }
           expectedVersion.foreach { ev =>
             val curV = cur.map(_.version).getOrElse(0L)
             if (curV != ev) throw new FleetCommitConflictException(
@@ -894,12 +940,20 @@ private[graft] object FleetManifest {
           // supplying the prop; the empty-string sentinel CLEARS it
           // (INSERT OVERWRITE/TRUNCATE replace the declared schema
           // with the new files' writer schema).
-          val stamped = stampedTs.get(SchemaProp) match {
+          val stampedSchema = stampedTs.get(SchemaProp) match {
             case Some("") => stampedTs - SchemaProp
             case Some(_) => stampedTs
             case None => cur.flatMap(_.props.get(SchemaProp))
               .fold(stampedTs)(v => stampedTs + (SchemaProp -> v))
           }
+          // the txn ledger is INHERITED like the schema prop (one
+          // entry per appId, maxed by the check above), and this
+          // commit's own token joins it — across resets too: an
+          // overwrite replay must still find its entry
+          val stamped = (cur.map(_.props).getOrElse(Map.empty)
+            .filter { case (k, _) => k.startsWith(TxnPropPrefix) } ++
+            stampedSchema) ++
+            txn.map { case (a, v) => (TxnPropPrefix + a) -> v.toString }
           val nextFiles = update(base).distinct
           val nextFileSet = nextFiles.toSet
           val nextDvs =

@@ -590,4 +590,71 @@ class FleetManifestSpec extends SparkSpec {
     assert(e.getMessage.contains("different content") ||
       e.getMessage.contains("main is at"), e.getMessage)
   }
+
+  test("writer idempotence: a txnAppId/txnVersion replay lands at most once") {
+    import spark.implicits._
+    import graft.sources.FleetManifest
+    val dir = stage("txn") // v1: 200 rows
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    def count() = spark.read.format("graft-avro").load(dir).count()
+    def version() = FleetManifest.current(fs, p).get.version
+    def nDataFiles() = fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".avro") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }
+    def write(lo: Long, hi: Long, app: String, v: Long,
+        mode: String = "append"): Unit =
+      spark.range(lo, hi, 1, 1).select($"id", ($"id" * 2).as("v"))
+        .write.format("graft-avro").mode(mode)
+        .option("txnAppId", app).option("txnVersion", v.toString)
+        .save(dir)
+
+    write(200, 210, "etl", 1)
+    assert(count() == 210 && version() == 2L)
+    val filesAfterV1 = nDataFiles()
+    // the REPLAY: an orchestrator re-runs the same logical job — the
+    // ledger skips it, the manifest version holds, and the replay's
+    // own staged files are reaped (no unreferenced finals left behind)
+    write(200, 210, "etl", 1)
+    assert(count() == 210, "a replayed append doubled its rows")
+    assert(version() == 2L, "a skipped replay must not commit")
+    assert(nDataFiles() == filesAfterV1,
+      "a skipped replay left staged files behind")
+    // the next version lands; a STALE replay after it still skips
+    // (the ledger is monotonically maxed, not last-writer)
+    write(210, 220, "etl", 2)
+    assert(count() == 220 && version() == 3L)
+    write(200, 210, "etl", 1)
+    assert(count() == 220 && version() == 3L)
+    // a different appId is an independent ledger entry
+    write(220, 230, "other", 1)
+    assert(count() == 230)
+    // the ledger INHERITS across a reset: an overwrite lands once...
+    write(0, 5, "etl", 3, mode = "overwrite")
+    assert(count() == 5)
+    spark.range(5, 8, 1, 1).select($"id", ($"id" * 2).as("v"))
+      .write.format("graft-avro").mode("append").save(dir)
+    assert(count() == 8)
+    // ...and its replay must NOT reset the fleet again
+    write(0, 5, "etl", 3, mode = "overwrite")
+    assert(count() == 8, "a replayed overwrite reset the fleet twice")
+    // half a token fails loudly at plan time
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("; ")
+    val e1 = intercept[Throwable] {
+      spark.range(1).select($"id", $"id".as("v"))
+        .write.format("graft-avro").mode("append")
+        .option("txnAppId", "etl").save(dir)
+    }
+    assert(messages(e1).contains("txnVersion"), messages(e1))
+    val e2 = intercept[Throwable] {
+      spark.range(1).select($"id", $"id".as("v"))
+        .write.format("graft-avro").mode("append")
+        .option("txnVersion", "9").save(dir)
+    }
+    assert(messages(e2).contains("txnAppId"), messages(e2))
+  }
 }
