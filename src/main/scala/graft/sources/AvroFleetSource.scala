@@ -129,7 +129,7 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
       // resolution only for a cold JVM, where the two coincide.
       AvroFleetSource.definedSourceSchema(parameters).getOrElse(
         sourceSchema(sqlContext, schema, providerName, parameters)._2),
-      Option(opts.get("startingVersion")).map(_.toLong),
+      AvroFleetTable.resolveStartingVersion(opts, pathOf(opts)),
       Option(opts.get("branch")).map(_.trim).filter(_.nonEmpty),
       metadataPath = metadataPath,
       maxVersionsPerTrigger =
@@ -391,8 +391,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         .map(AvroFleetTable.parseDurationMs),
       ignoreMissingFiles = Option(options.get("ignoreMissingFiles"))
         .map(_.toBoolean),
-      startingVersion = Option(options.get("startingVersion"))
-        .map(_.toLong),
+      startingVersion =
+        AvroFleetTable.resolveStartingVersion(options, path),
       aliases = aliases,
       cdc = cdc,
       dvSpecs = AvroFleetTable.parseDvSpec(options.get("dvSpec")),
@@ -692,6 +692,78 @@ private[sources] object AvroFleetTable {
       case "d" => n * 86400000L
       case other => throw new IllegalArgumentException(
         s"bad duration unit '$other' in '$spec' (ms, s, m, h, d)")
+    }
+  }
+
+  /** `startingTimestamp` value → epoch millis: a bare long, an
+    * ISO-8601 instant (`2026-08-15T12:00:00Z`), or a local-zone
+    * `yyyy-MM-dd HH:mm:ss[.fff]` (the JDBC timestamp spelling). */
+  private def parseStartingTs(raw: String): Long =
+    raw.toLongOption.getOrElse {
+      try java.time.Instant.parse(raw).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          try java.sql.Timestamp.valueOf(raw).getTime
+          catch {
+            case _: IllegalArgumentException =>
+              throw new IllegalArgumentException(
+                s"startingTimestamp: '$raw' is neither epoch millis, " +
+                  "an ISO-8601 instant, nor 'yyyy-MM-dd HH:mm:ss[.fff]'")
+          }
+      }
+    }
+
+  /** The exclusive version FLOOR a change feed / fleet stream starts
+    * after: `startingVersion` verbatim, or `startingTimestamp`
+    * resolved against the manifest's commit-time index — the floor is
+    * the newest version committed BEFORE the timestamp, so the first
+    * streamed change is the first commit AT or AFTER it (the
+    * TIMESTAMP AS OF index run in the opposite direction); a
+    * timestamp predating the first commit replays the full retained
+    * history, one past the newest commit streams only future ones.
+    * Mutually exclusive with each other and (for the timestamp
+    * spelling) with `branch` — a fork's staged commits carry their
+    * own times, so a time-based seek across the fork point would
+    * silently mix two clocks; seek a branch feed by version. */
+  def resolveStartingVersion(options: CaseInsensitiveStringMap,
+      path: String): Option[Long] = {
+    val sv = Option(options.get("startingVersion")).map(_.toLong)
+    val stRaw = Option(options.get("startingTimestamp")).map(_.trim)
+      .filter(_.nonEmpty)
+    if (sv.isDefined && stRaw.isDefined)
+      throw new IllegalArgumentException(
+        "startingVersion and startingTimestamp are mutually exclusive")
+    stRaw.fold(sv) { raw =>
+      if (Option(options.get("branch")).exists(_.trim.nonEmpty))
+        throw new IllegalArgumentException(
+          "startingTimestamp does not compose with a branch feed — a " +
+            "fork's staged commits carry their own commit times; seek " +
+            "a branch feed with startingVersion")
+      val ts = parseStartingTs(raw)
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val dirs = Avro.splitGlobs(path).toSeq.flatMap { g =>
+        val gp = new org.apache.hadoop.fs.Path(g)
+        val gfs = gp.getFileSystem(conf)
+        Option(gfs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isDirectory).map(_.getPath)
+      }
+      dirs match {
+        case Seq(d) =>
+          val pfs = d.getFileSystem(conf)
+          val withTimes = FleetManifest.versionsWithTimes(pfs, d)
+          require(withTimes.nonEmpty,
+            s"startingTimestamp: fleet at $d has no manifest history " +
+              "(only transactionally-committed fleets are versioned)")
+          Some(withTimes.filter(_._2 < ts).map(_._1).maxOption
+            .getOrElse(0L))
+        case Seq() => throw new IllegalArgumentException(
+          s"startingTimestamp: the load path matches no fleet " +
+            s"directory ($path)")
+        case many => throw new IllegalArgumentException(
+          s"startingTimestamp cannot address a multi-directory load " +
+            s"(${many.size} fleets match $path) — commit times differ " +
+            "per fleet; load each fleet separately")
+      }
     }
   }
 }

@@ -986,6 +986,61 @@ class FleetStreamSpec extends SparkSpec {
     assert(content(b).contains((500L, 1000L, "hello")))
   }
 
+  test("startingTimestamp seeds both change feeds from the commit-time index") {
+    val root = graft.util.Scratch.dir("cdc_start_ts")
+    val dir = s"$root/t.avro"
+    writeGen(dir, 0, 10)   // v1
+    writeGen(dir, 10, 20)  // v2
+    writeGen(dir, 20, 30)  // v3
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    graft.sources.FleetManifest.restampCommitTs(fs, p, 1L, 1000L)
+    graft.sources.FleetManifest.restampCommitTs(fs, p, 2L, 2000L)
+    graft.sources.FleetManifest.restampCommitTs(fs, p, 3L, 3000L)
+
+    var n = 0
+    def drainIds(opts: Map[String, String]): Seq[Long] = {
+      n += 1
+      val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var r = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load(dir).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= b.select("id").collect()
+            .map(_.getLong(0)) }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt$n")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      got.synchronized(got.toSeq.sorted)
+    }
+    // between v1 and v2: the first streamed commit is v2
+    assert(drainIds(Map("startingTimestamp" -> "1500")) == (10L until 30L))
+    // before the first commit: full retained history replays
+    assert(drainIds(Map("startingTimestamp" -> "500")) == (0L until 30L))
+    // past the newest commit: only future commits would stream
+    assert(drainIds(Map("startingTimestamp" -> "99999")).isEmpty)
+    // exactly AT a commit's time streams that commit (at-or-after)
+    assert(drainIds(Map("startingTimestamp" -> "3000")) == (20L until 30L))
+    // the keyed feed resolves the same floor
+    assert(drainIds(Map("startingTimestamp" -> "1500",
+      "cdcKeyCols" -> "id")) == (10L until 30L))
+    // mutual exclusion and garbage fail loudly
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("; ")
+    val e1 = intercept[Throwable] {
+      drainIds(Map("startingTimestamp" -> "1500",
+        "startingVersion" -> "1")) }
+    assert(messages(e1).contains("mutually exclusive"), messages(e1))
+    val e2 = intercept[Throwable] {
+      drainIds(Map("startingTimestamp" -> "not-a-time")) }
+    assert(messages(e2).contains("ISO-8601"), messages(e2))
+  }
+
   test("maxVersionsPerTrigger: a file-granular backlog drains in bounded batches; exact mid-backlog crash resume") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("cdc_admission")
