@@ -838,6 +838,48 @@ object Crud {
       .orderBy($"c_custkey")
   }
 
+  /** §2.A WRITE-TIME CHECK CONSTRAINT (r19) — `CALL add_check` then
+    * enforcement across write paths ([[graft.sources.FleetChecks]]):
+    * the constraint validates at ADD time against the existing rows,
+    * then a VIOLATING append fails whole (codegen'd per-row predicate
+    * inside the task write loop — no extra pass, no shuffle) and a
+    * passing append lands. The oracle is the base plus the passing
+    * slice exactly once: a silently-landed violating row or a
+    * silently-dropped passing one both break the hash. At 100 TB this
+    * is the ingest quality gate — bad batches fail loudly at the
+    * writer instead of poisoning downstream consumers. */
+  def qFleetCheckConstraint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "checkcon")
+    s2.sql("CALL graft.system.add_check('cust', 'key_positive', " +
+      "'c_custkey >= 0')").collect()
+    val root = s2.conf.get("spark.sql.catalog.graft.root")
+    val fleet = s"$root/cust.avro"
+    val bad = customer(s2, dir).filter($"c_custkey" < 40)
+      .select((-$"c_custkey" - 1L).as("c_custkey"), $"c_name",
+        r4($"c_acctbal").as("c_acctbal"))
+    val failed =
+      try {
+        bad.coalesce(1).write.format("graft-avro").mode("append")
+          .save(fleet)
+        false
+      } catch {
+        case e: Throwable => Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null)
+          .exists(t => Option(t.getMessage).exists(
+            _.contains("key_positive")))
+      }
+    require(failed, "CHECK constraint did not enforce on the append")
+    customer(s2, dir).filter($"c_custkey" < 40)
+      .select(($"c_custkey" + 200000L).as("c_custkey"), $"c_name",
+        r4($"c_acctbal").as("c_acctbal"))
+      .coalesce(1).write.format("graft-avro").mode("append").save(fleet)
+    s2.read.format("graft-avro").load(fleet)
+      .select($"c_custkey", $"c_name",
+        round($"c_acctbal", 4).as("c_acctbal"))
+      .orderBy($"c_custkey")
+  }
+
   /** §2.A INCREMENTAL MATERIALIZED VIEW — `FleetMV` riding the change
     * feed: a per-shard count/sum rollup is built once, the base fleet
     * then takes a metadata DELETE and a COW UPDATE, and `refresh`
@@ -972,6 +1014,7 @@ object Crud {
     "q_fleet_purge_vectors" -> qFleetPurgeVectors _,
     "q_fleet_replicate" -> qFleetReplicate _,
     "q_fleet_idempotent_write" -> qFleetIdempotentWrite _,
+    "q_fleet_check_constraint" -> qFleetCheckConstraint _,
     "q_sql_delete_serializable" -> qSqlDeleteSerializable _,
     "q_fleet_agg_mor_group" -> qFleetAggMorGroup _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
@@ -1215,6 +1258,17 @@ object Crud {
         |  UNION ALL
         |  SELECT c_custkey + 100000, 'replay-' || c_name, c_acctbal
         |  FROM customer WHERE c_custkey >= 50 AND c_custkey < 80
+        |)
+        |ORDER BY c_custkey""".stripMargin,
+    // CHECK constraint: the violating append failed whole, the
+    // passing slice landed exactly once
+    "q_fleet_check_constraint" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, c_name, c_acctbal
+        |  FROM customer WHERE c_custkey < 40
         |)
         |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->

@@ -198,9 +198,17 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
     // enables it (the historical conf name is kept for compatibility).
     val statsLimit = SparkSession.active.conf
       .get("spark.graft.dv.statsCaptureLimit", "8192").toLong
+    // CHECK constraints gate the merge-on-read INSERT post-images too
+    // (an SQL UPDATE re-inserting a violating image must fail exactly
+    // like a plain append); deletes are positions — nothing to check
+    val checks = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      FleetChecks.bind(SparkSession.active,
+        FleetChecks.read(p.getFileSystem(conf), p), schema)
+    }
     new AvroFleetDeltaWriterFactory(schemaJson,
       schema.fields.map(_.name), schema.fields.map(_.dataType), dir,
-      jobTag, new SerializableHadoopConf(conf), statsLimit)
+      jobTag, new SerializableHadoopConf(conf), statsLimit, checks)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -397,13 +405,14 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
 private[graft] class AvroFleetDeltaWriterFactory(schemaJson: String,
     names: Array[String], types: Array[org.apache.spark.sql.types.DataType],
     dir: String, jobTag: String, conf: SerializableHadoopConf,
-    statsCaptureLimit: Long = 8192L)
+    statsCaptureLimit: Long = 8192L,
+    checks: Seq[FleetChecks.Bound] = Seq.empty)
     extends DeltaWriterFactory {
 
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
     new AvroFleetDeltaWriter(schemaJson, names, types, dir, partitionId,
-      taskId, jobTag, conf, statsCaptureLimit)
+      taskId, jobTag, conf, statsCaptureLimit, checks)
 }
 
 /** One task: inserts stream through a lazily-created ordinary part
@@ -418,8 +427,18 @@ private[graft] class AvroFleetDeltaWriterFactory(schemaJson: String,
 private[graft] class AvroFleetDeltaWriter(schemaJson: String,
     names: Array[String], types: Array[org.apache.spark.sql.types.DataType],
     dir: String, pid: Int, taskId: Long, jobTag: String,
-    conf: SerializableHadoopConf, statsCaptureLimit: Long = 8192L)
+    conf: SerializableHadoopConf, statsCaptureLimit: Long = 8192L,
+    checks: Seq[FleetChecks.Bound] = Seq.empty)
     extends DeltaWriter[InternalRow] {
+
+  // CHECK predicates compiled once per task; evaluated on every
+  // INSERT post-image (deletes are positions — nothing to check)
+  private lazy val checkPreds = checks.map { c =>
+    val pr = org.apache.spark.sql.catalyst.expressions.Predicate
+      .create(c.violation)
+    pr.initialize(pid)
+    pr
+  }.toArray
 
   private var inserts: AvroFleetDataWriter = _
   private val deletes = scala.collection.mutable.HashMap
@@ -448,7 +467,15 @@ private[graft] class AvroFleetDeltaWriter(schemaJson: String,
       "updates are represented as delete + insert " +
         "(representUpdateAsDeleteAndInsert)")
 
-  override def insert(row: InternalRow): Unit = insertWriter().write(row)
+  override def insert(row: InternalRow): Unit = {
+    var i = 0
+    while (i < checkPreds.length) {
+      if (checkPreds(i).eval(row))
+        FleetChecks.violationError(checks(i), row, names, types)
+      i += 1
+    }
+    insertWriter().write(row)
+  }
 
   override def commit(): WriterCommitMessage = {
     val partMsg = if (inserts == null) Seq.empty

@@ -1044,9 +1044,18 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     // files only; the old files become unreferenced (raw-listing
     // external consumers see both until remove_orphans passes).
     f.mkdirs(p)
-    new AvroFleetWriterFactory(schemaJson, schema.fields.map(_.name),
-      schema.fields.map(_.dataType), dir, jobTag,
-      new SerializableHadoopConf(conf), clusterIdx, codec)
+    val base = new AvroFleetWriterFactory(schemaJson,
+      schema.fields.map(_.name), schema.fields.map(_.dataType), dir,
+      jobTag, new SerializableHadoopConf(conf), clusterIdx, codec)
+    // CHECK constraints bind on the driver (loud before any task
+    // launches) and evaluate per row inside the task write loop —
+    // every batch path enforces: plain/clustered appends, overwrite,
+    // and the copy-on-write row-level post-images that subclass this
+    val checks = FleetChecks.read(f, p)
+    if (checks.isEmpty) base
+    else new CheckedWriterFactory(base,
+      FleetChecks.bind(SparkSession.active, checks, schema),
+      schema.fields.map(_.name), schema.fields.map(_.dataType))
   }
 
   // sidecar first, marker LAST: the tasks' per-file min/max/null

@@ -664,14 +664,22 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
     val d = dir
     val c = codec
     val lin = lineage
+    // CHECK constraints gate the streaming sink too — bound on the
+    // driver per factory creation, evaluated per row in the epoch task
+    val checks = FleetChecks.bind(SparkSession.active,
+      FleetChecks.read(f, new org.apache.hadoop.fs.Path(dir)), schema)
     new org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long)
           : org.apache.spark.sql.connector.write.DataWriter[
-            org.apache.spark.sql.catalyst.InternalRow] =
-        new AvroFleetDataWriter(sj, names, types, d, partitionId,
-          taskId, s"$lin-e$epochId", conf, c, strictExisting = true)
+            org.apache.spark.sql.catalyst.InternalRow] = {
+        val w = new AvroFleetDataWriter(sj, names, types, d,
+          partitionId, taskId, s"$lin-e$epochId", conf, c,
+          strictExisting = true)
+        if (checks.isEmpty) w
+        else new CheckedDataWriter(w, checks, names, types, partitionId)
+      }
     }
   }
 

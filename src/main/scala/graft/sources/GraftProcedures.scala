@@ -64,7 +64,8 @@ private[sources] object GraftProcedures {
   private val names = Seq("snapshots", "expire_versions", "restore",
     "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags",
     "create_branch", "fast_forward", "drop_branch", "branches",
-    "expire_branches", "set_layout", "compact_vectors", "purge_vectors")
+    "expire_branches", "set_layout", "compact_vectors", "purge_vectors",
+    "add_check", "drop_check", "checks")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -94,6 +95,9 @@ private[sources] object GraftProcedures {
       case "fast_forward" => new FastForward(dirFor)
       case "drop_branch" => new DropBranch(dirFor)
       case "branches" => new Branches(dirFor)
+      case "add_check" => new AddCheck(dirFor)
+      case "drop_check" => new DropCheck(dirFor)
+      case "checks" => new Checks(dirFor)
       case other => throw new UnsupportedOperationException(
         s"no such graft procedure '$other' " +
           s"(available: ${names.mkString(", ")})")
@@ -263,6 +267,91 @@ private[sources] object GraftProcedures {
     * vectors) until the tag drops. The reproducible-training-snapshot
     * primitive: a run records the tag, not a raw number a retention
     * policy may outlive. */
+  /** Write-time CHECK constraints ([[FleetChecks]]): `add_check`
+    * validates the expression against the fleet's schema AND scans
+    * the existing rows once (a constraint never lands on violating
+    * data — every generation of a checked fleet satisfies its
+    * checks), then every subsequent write path enforces per row. */
+  private final class AddCheck(dirFor: String => String)
+      extends Base("add_check") {
+    override def description: String =
+      "add a write-time CHECK constraint (validates existing rows)"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType),
+        param("expr", StringType))
+    private val out = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expr", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val expr = input.getUTF8String(2).toString
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"check name '$name' must be [A-Za-z0-9_]+")
+      val dir = requireFleet(dirFor, table)
+      val (p, fs) = fsFor(dir)
+      val existing = FleetChecks.read(fs, p)
+      require(!existing.contains(name),
+        s"check '$name' already exists on '$table' " +
+          s"(${existing(name)}) — drop_check it first")
+      val s = SparkSession.active
+      val df = s.read.format("graft-avro").load(dir)
+      // loud schema/analysis validation before any scan
+      FleetChecks.bind(s, Map(name -> expr), df.schema)
+      // ANSI CHECK: a row violates only when the expression is FALSE
+      val bad = df.filter(s"NOT coalesce(($expr), true)").count()
+      require(bad == 0L,
+        s"cannot add check '$name' to '$table': $bad existing row(s) " +
+          s"violate ($expr) — fix the data first (the constraint " +
+          "guarantee is that every committed generation satisfies it)")
+      FleetChecks.write(fs, p, existing + (name -> expr))
+      result(out, new GenericInternalRow(Array[Any](str(name),
+        str(expr))))
+    }
+  }
+
+  private final class DropCheck(dirFor: String => String)
+      extends Base("drop_check") {
+    override def description: String =
+      "drop a write-time CHECK constraint"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("name", StringType))
+    private val out = StructType(Seq(
+      StructField("dropped", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val (p, fs) = fsFor(requireFleet(dirFor, table))
+      val existing = FleetChecks.read(fs, p)
+      require(existing.contains(name),
+        s"no check '$name' on '$table' (checks: " +
+          s"${existing.keys.toSeq.sorted.mkString(", ")})")
+      FleetChecks.write(fs, p, existing - name)
+      result(out, new GenericInternalRow(Array[Any](true)))
+    }
+  }
+
+  private final class Checks(dirFor: String => String)
+      extends Base("checks") {
+    override def description: String =
+      "list a fleet's write-time CHECK constraints"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+    private val out = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expr", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (p, fs) = fsFor(requireFleet(dirFor,
+        input.getUTF8String(0).toString))
+      val rows = FleetChecks.read(fs, p).toSeq.sortBy(_._1).map {
+        case (n, e) =>
+          new GenericInternalRow(Array[Any](str(n), str(e)))
+      }
+      result(out, rows: _*)
+    }
+  }
+
   private final class CreateTag(dirFor: String => String)
       extends Base("create_tag") {
     override def description: String =
