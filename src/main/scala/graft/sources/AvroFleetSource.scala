@@ -1044,6 +1044,25 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     // files only; the old files become unreferenced (raw-listing
     // external consumers see both until remove_orphans passes).
     f.mkdirs(p)
+    // idempotent-replay FAST PATH (advisory; the authoritative check
+    // is inside the commit protocol): a token already in the ledger
+    // means every task can skip its data write entirely — a replayed
+    // 100 TB append costs zero I/O instead of staging the whole job's
+    // files only for commit to reap them. The ledger is monotonic, so
+    // "applied" can never flip back between planning and commit.
+    txn.foreach { case (a, v) =>
+      if (FleetManifest.txnApplied(f, p, a, v))
+        return new DataWriterFactory {
+          override def createWriter(partitionId: Int, taskId: Long)
+              : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+            override def write(row: InternalRow): Unit = ()
+            override def commit(): WriterCommitMessage =
+              AvroFleetCommitMessage(Seq.empty)
+            override def abort(): Unit = ()
+            override def close(): Unit = ()
+          }
+        }
+    }
     val base = new AvroFleetWriterFactory(schemaJson,
       schema.fields.map(_.name), schema.fields.map(_.dataType), dir,
       jobTag, new SerializableHadoopConf(conf), clusterIdx, codec)
