@@ -1667,12 +1667,21 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     // just a snapshot, so every tier below resolves its file list and
     // vector bindings through `branch` (snapshotAtRef addressing) and
     // its sidecar stats by file name exactly as on main
-    // every aggregate tier emits values in per-file carrier spelling
-    // (sidecar stats, block counts, decode-time hashes) typed by a
-    // SINGLE pinned schema; an evolved fleet mixes carriers across
-    // generations, so aggregates stay with Spark over the row path —
-    // which already null-fills and widens per file
-    if (evolve) return false
+    // COLUMN-dependent tiers emit values in per-file carrier spelling
+    // (sidecar stats, decode-time hashes) typed by a SINGLE pinned
+    // schema; an evolved fleet mixes carriers across generations, so
+    // those stay with Spark over the row path — which already
+    // null-fills and widens per file. COUNT(*) is the exception
+    // (refined r19): sidecar row counts and OCF block headers count
+    // RECORDS regardless of writer schema, so an unfiltered ungrouped
+    // count keeps its zero-task/O(headers) tier on an evolved fleet —
+    // the audit query every just-evolved table gets.
+    if (evolve) {
+      val countStarOnly = agg.groupByExpressions.isEmpty &&
+        agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+        pushed.isEmpty
+      if (!countStarOnly) return false
+    }
     // DELETION VECTORS make the metadata tiers stale: sidecar
     // min/max/null counts and block-header counts include deleted
     // rows. The ONE aggregate whose staleness is exactly correctable

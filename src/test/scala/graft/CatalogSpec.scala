@@ -803,6 +803,36 @@ class CatalogSpec extends SparkSpec {
     main.sql("CALL graft.system.drop_branch('t', 'audit')")
   }
 
+  test("COUNT(*) keeps its metadata tier on an evolved fleet; column tiers still decline") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("evolve_count")
+    val fleet = s"$root/t.avro"
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartitionByRange(2, $"id").write.format("graft-avro")
+      .mode("overwrite").save(fleet)
+    val main = spark.newSession()
+    main.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    main.conf.set("spark.sql.catalog.graft.root", root)
+    main.sql("ALTER TABLE graft.t ADD COLUMN note STRING")
+    main.sql("INSERT INTO graft.t VALUES (500, 7, 'x')")
+    // COUNT(*) is column-independent: sidecar/block counts are exact
+    // regardless of writer schema, so the tier stands post-ALTER —
+    // the audit query every just-evolved table gets
+    val cnt = main.sql("SELECT count(*) AS cnt FROM graft.t")
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      s"evolved COUNT(*) must keep its tier:\n${cnt.queryExecution
+        .executedPlan}")
+    assert(cnt.as[Long].head() == 101L)
+    // column-dependent tiers stay declined (carriers vary per
+    // generation; the row path null-fills and widens per file)
+    val mn = main.sql("SELECT min(v) AS mn FROM graft.t")
+    assert(!mn.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"),
+      "a column aggregate on an evolved fleet must take the row path")
+    assert(mn.as[Long].head() == 0L)
+  }
+
   test("VERSION AS OF resolves the declared schema AS OF the generation; a dropped column resurfaces in history") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("schema_versions")
