@@ -803,6 +803,29 @@ class CatalogSpec extends SparkSpec {
     main.sql("CALL graft.system.drop_branch('t', 'audit')")
   }
 
+  test("CALL files audits the current generation with zero data I/O") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("files_proc")
+    val fleet = s"$root/t.avro"
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartitionByRange(2, $"id").write.format("graft-avro")
+      .mode("overwrite").save(fleet)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.t WHERE id >= 10 AND id < 20")
+    val rows = s2.sql("CALL graft.system.files('t')").collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(rows.forall(_.getLong(1) > 0L), "bytes must be real")
+    assert(rows.map(_.getLong(2)).sum == 100L,
+      "sidecar rows must sum to the written total")
+    val vectored = rows.filter(!_.isNullAt(3))
+    assert(vectored.length == 1, "exactly one file took the delete")
+    assert(vectored.head.getLong(4) == 10L,
+      "deleted_rows must be the exact manifest-meta count")
+  }
+
   test("COUNT(*) keeps its metadata tier on an evolved fleet; column tiers still decline") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("evolve_count")
