@@ -657,4 +657,52 @@ class FleetManifestSpec extends SparkSpec {
     }
     assert(messages(e2).contains("txnAppId"), messages(e2))
   }
+
+  test("racing writers with the SAME txn token: exactly one lands") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val dir = stage("txnrace")
+    // 6 concurrent jobs all claiming (racer, 1) with DIFFERENT
+    // power-of-two sizes — whichever lands, the ledger admits exactly
+    // one, so the delta must be a single power of two (any sum of two
+    // or more distinct powers is not one)
+    val pool = Executors.newFixedThreadPool(6)
+    val start = new CountDownLatch(1)
+    val results = (0 to 5).map(1 << _).map { n =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        override def call(): Boolean = {
+          start.await()
+          try {
+            spark.range(1000L * n, 1000L * n + n, 1, 1)
+              .select($"id", ($"id" * 2).as("v"))
+              .write.format("graft-avro").mode("append")
+              .option("txnAppId", "racer").option("txnVersion", "1")
+              .save(dir)
+            true
+          } catch { case _: Throwable => false }
+        }
+      })
+    }
+    start.countDown()
+    val landedFlags = results.map(_.get())
+    pool.shutdown()
+    val total = spark.read.format("graft-avro").load(dir).count()
+    val delta = total - 200L
+    assert(Set(1L, 2L, 4L, 8L, 16L, 32L).contains(delta),
+      s"exactly one racer's slice must land (got delta $delta)")
+    // every job reported success (a skipped replay is a success, not
+    // an error — the transaction IS committed)
+    assert(landedFlags.forall(identity), landedFlags.toString)
+    // and nothing staged by the losers survives on disk
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val snapFiles = graft.sources.FleetManifest.current(fs, p)
+      .get.files.toSet
+    val onDisk = fs.listStatus(p).filter(st => st.isFile &&
+      st.getPath.getName.endsWith(".avro") &&
+      !st.getPath.getName.startsWith("_") &&
+      !st.getPath.getName.startsWith(".")).map(_.getPath.getName).toSet
+    assert(onDisk == snapFiles,
+      s"losers left staged files: ${(onDisk -- snapFiles).toSeq.sorted}")
+  }
 }
