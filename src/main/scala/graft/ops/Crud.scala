@@ -880,6 +880,26 @@ object Crud {
       .orderBy($"c_custkey")
   }
 
+  /** §2.A ZERO-COPY CLONE (r19) — `CALL clone`: an independent
+    * hard-linked copy of the current generation (O(files) metadata
+    * ops, zero bytes on a local filesystem; safe because committed
+    * fleet files are immutable). This row pins BOTH carry and
+    * independence: the source takes a merge-on-read DELETE first (the
+    * clone must carry the vector binding + manifest meta), then the
+    * source mutates AGAIN after cloning (the clone must not move).
+    * Oracle: the source as of the clone instant. */
+  def qFleetClone(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val s2 = stagedFleetSession(s, dir, "clonerow")
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 11 = 7")
+    s2.sql("CALL graft.system.clone('cust', 'cust_clone')").collect()
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey < 100")
+    s2.sql(
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM graft.cust_clone ORDER BY c_custkey""".stripMargin)
+  }
+
   /** §2.A INCREMENTAL MATERIALIZED VIEW — `FleetMV` riding the change
     * feed: a per-shard count/sum rollup is built once, the base fleet
     * then takes a metadata DELETE and a COW UPDATE, and `refresh`
@@ -1015,6 +1035,7 @@ object Crud {
     "q_fleet_replicate" -> qFleetReplicate _,
     "q_fleet_idempotent_write" -> qFleetIdempotentWrite _,
     "q_fleet_check_constraint" -> qFleetCheckConstraint _,
+    "q_fleet_clone" -> qFleetClone _,
     "q_sql_delete_serializable" -> qSqlDeleteSerializable _,
     "q_fleet_agg_mor_group" -> qFleetAggMorGroup _,
     "q_sql_update_fleet" -> qSqlUpdateFleet _,
@@ -1270,6 +1291,12 @@ object Crud {
         |  SELECT c_custkey + 200000, c_name, c_acctbal
         |  FROM customer WHERE c_custkey < 40
         |)
+        |ORDER BY c_custkey""".stripMargin,
+    // clone: the source as of the clone instant — the vectored delete
+    // carries, the post-clone source delete does not
+    "q_fleet_clone" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |FROM customer WHERE c_custkey % 11 <> 7
         |ORDER BY c_custkey""".stripMargin,
     "q_sql_update_fleet" ->
       """SELECT c_custkey, c_name,

@@ -200,12 +200,15 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
       .get("spark.graft.dv.statsCaptureLimit", "8192").toLong
     // CHECK constraints gate the merge-on-read INSERT post-images too
     // (an SQL UPDATE re-inserting a violating image must fail exactly
-    // like a plain append); deletes are positions — nothing to check
-    val checks = {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      FleetChecks.bind(SparkSession.active,
-        FleetChecks.read(p.getFileSystem(conf), p), schema)
-    }
+    // like a plain append); a pure DELETE's write schema is EMPTY —
+    // positions only, nothing to check, nothing to bind against
+    val checks =
+      if (schema.isEmpty) Seq.empty[FleetChecks.Bound]
+      else {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        FleetChecks.bind(SparkSession.active,
+          FleetChecks.read(p.getFileSystem(conf), p), schema)
+      }
     new AvroFleetDeltaWriterFactory(schemaJson,
       schema.fields.map(_.name), schema.fields.map(_.dataType), dir,
       jobTag, new SerializableHadoopConf(conf), statsLimit, checks)

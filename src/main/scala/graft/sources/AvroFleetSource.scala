@@ -71,6 +71,13 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     require(partitionColumns.isEmpty,
       "cdcApplyKeyCols does not compose with partitionBy — the target " +
         "fleet's layout is its own")
+    // the MERGE addresses the target's MAIN head; silently accepting a
+    // branch option would apply the feed somewhere other than asked
+    require(!opts.containsKey("branch") ||
+      opts.get("branch").trim.isEmpty,
+      "cdcApplyKeyCols applies to the target's MAIN head; " +
+        "option(\"branch\") on the sink is not supported — silently " +
+        "accepting it would apply the feed somewhere other than asked")
     new AvroFleetCdcApplySink(sqlContext, pathOf(opts), keys,
       parameters.get("checkpointLocation"),
       mergeSchema = opts.getBoolean("mergeSchema", false))

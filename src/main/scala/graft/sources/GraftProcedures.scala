@@ -65,7 +65,7 @@ private[sources] object GraftProcedures {
     "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags",
     "create_branch", "fast_forward", "drop_branch", "branches",
     "expire_branches", "set_layout", "compact_vectors", "purge_vectors",
-    "add_check", "drop_check", "checks", "files")
+    "add_check", "drop_check", "checks", "files", "clone")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -96,6 +96,7 @@ private[sources] object GraftProcedures {
       case "drop_branch" => new DropBranch(dirFor)
       case "branches" => new Branches(dirFor)
       case "files" => new Files(dirFor)
+      case "clone" => new Clone(dirFor)
       case "add_check" => new AddCheck(dirFor)
       case "drop_check" => new DropCheck(dirFor)
       case "checks" => new Checks(dirFor)
@@ -268,6 +269,95 @@ private[sources] object GraftProcedures {
     * vectors) until the tag drops. The reproducible-training-snapshot
     * primitive: a run records the tag, not a raw number a retention
     * policy may outlive. */
+  /** `CALL clone(src, dst)` — an INDEPENDENT copy of the source's
+    * CURRENT generation whose history starts fresh at v1. On a local
+    * filesystem every data file, bound deletion vector, and sidecar
+    * is HARD-LINKED (O(files) metadata ops, zero bytes copied — the
+    * dev/test sandbox of a production fleet costs nothing; linked
+    * content is safe to share because committed fleet files are
+    * immutable: every mutation path writes NEW files and retires old
+    * names); filesystems without link(2) fall back to a copy (at
+    * object-store scale that is the store's server-side copy).
+    * Vector bindings and their manifest meta carry into the clone's
+    * v1 snapshot, as do the declared-schema marker, layout marker,
+    * and CHECK constraints. Tags, branches, and retained history do
+    * NOT clone — the clone is one generation, not a mirror (use the
+    * change feed for mirrors). */
+  private final class Clone(dirFor: String => String)
+      extends Base("clone") {
+    override def description: String =
+      "independent zero-copy (hard-linked) clone of the current generation"
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType), param("target", StringType))
+    private val out = StructType(Seq(
+      StructField("target", StringType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("linked", org.apache.spark.sql.types.BooleanType,
+        nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = requireFleet(dirFor, input.getUTF8String(0).toString)
+      val dstName = input.getUTF8String(1).toString
+      val dst = dirFor(dstName)
+      val (sp, fs) = fsFor(src)
+      val dp = new Path(dst)
+      require(!fs.exists(dp),
+        s"clone target '$dstName' already exists at $dst")
+      val snap = FleetManifest.current(fs, sp)
+      val names = snap.map(_.files).getOrElse(
+        AvroFleetCommits.dataFileStatuses(fs, sp)
+          .map(_.getPath.getName))
+      val vectors = snap.map(_.dvs.values.toSeq).getOrElse(Seq.empty)
+      val markers = Seq("_stats.json", FleetSchemaMarker.FileName,
+        FleetLayout.FileName, FleetChecks.FileName)
+        .filter(m => fs.exists(new Path(sp, m)))
+      fs.mkdirs(dp)
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      // one link/copy primitive for every relative name — hard link
+      // when the scheme supports it (immutable content, zero bytes),
+      // copy otherwise; `linked` in the result row says which ran
+      var linked = true
+      def bring(rel: String): Unit = {
+        val from = new Path(sp, rel)
+        val to = new Path(dp, rel)
+        fs.mkdirs(to.getParent)
+        val asNio = (p: Path) => {
+          val u = fs.makeQualified(p).toUri
+          if (u.getScheme == "file")
+            Some(java.nio.file.Paths.get(u.getPath))
+          else None
+        }
+        (asNio(from), asNio(to)) match {
+          case (Some(f), Some(t)) =>
+            try { java.nio.file.Files.createLink(t, f); () }
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                linked = false
+                org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to,
+                  false, conf); ()
+            }
+          case _ =>
+            linked = false
+            org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to,
+              false, conf); ()
+        }
+      }
+      (names ++ vectors ++ markers).foreach(bring)
+      // the clone's v1: the linked names under the source's bindings
+      // and meta; the declared-schema prop carries so VERSION AS OF 1
+      // of the clone resolves the schema the source had now
+      FleetManifest.commit(fs, dp, _ => names, bootstrap = names,
+        props = snap.flatMap(_.props.get(FleetManifest.SchemaProp))
+          .map(v => Map(FleetManifest.SchemaProp -> v))
+          .getOrElse(Map.empty),
+        dvUpdate = snap.map(_.dvs.map { case (k, v) =>
+          k -> Option(v) }).getOrElse(Map.empty),
+        dvMetaUpdate = snap.map(_.dvMeta).getOrElse(Map.empty))
+      fs.create(new Path(dp, "_SUCCESS"), true).close()
+      result(out, new GenericInternalRow(Array[Any](str(dstName),
+        names.size, linked)))
+    }
+  }
+
   /** Per-file audit of the CURRENT generation — name, bytes, sidecar
     * row count, vector binding, exact vectored-row count — all from
     * the manifest, one listing, and the stats sidecar: ZERO data-file

@@ -803,6 +803,54 @@ class CatalogSpec extends SparkSpec {
     main.sql("CALL graft.system.drop_branch('t', 'audit')")
   }
 
+  test("CALL clone: independent hard-linked copy carrying vectors, schema, and checks") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("clone_proc")
+    val fleet = s"$root/t.avro"
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartitionByRange(2, $"id").write.format("graft-avro")
+      .mode("overwrite").save(fleet)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    // a vectored source: the clone must carry binding + meta
+    s2.sql("DELETE FROM graft.t WHERE id >= 10 AND id < 20")
+    s2.sql("CALL graft.system.add_check('t', 'nonneg', 'id >= 0')")
+      .collect()
+    val r = s2.sql("CALL graft.system.clone('t', 'u')").head
+    assert(r.getString(0) == "u" && r.getBoolean(2),
+      s"local clone must hard-link: $r")
+    def ids(t: String) = s2.sql(s"SELECT id FROM graft.$t")
+      .as[Long].collect().sorted.toSeq
+    assert(ids("u") == ids("t"), "clone must equal the source")
+    assert(!ids("u").contains(15L), "the vector must carry")
+    // the clone's COUNT stays on the metadata tier (dvMeta carried)
+    val cnt = s2.sql("SELECT count(*) AS c FROM graft.u")
+    assert(cnt.as[Long].head() == 90L)
+    // INDEPENDENCE: mutate each side; the other must not move
+    s2.sql("DELETE FROM graft.u WHERE id = 0")
+    assert(ids("t").contains(0L), "clone mutation leaked to source")
+    s2.sql("DELETE FROM graft.t WHERE id = 99")
+    assert(ids("u").contains(99L), "source mutation leaked to clone")
+    // checks carried: a violating write to the clone fails
+    val e = intercept[Throwable] {
+      Seq((-5L, 1L)).toDF("id", "v")
+        .write.format("graft-avro").mode("append").save(s"$root/u.avro")
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("nonneg"))))
+    // an existing target refuses
+    val e2 = intercept[Throwable] {
+      s2.sql("CALL graft.system.clone('t', 'u')").collect()
+    }
+    assert(Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(
+        _.contains("already exists"))))
+  }
+
   test("CALL files audits the current generation with zero data I/O") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("files_proc")
