@@ -212,6 +212,9 @@ class ScaleSpec extends SparkSpec {
       "q_sql_delete_serializable" -> "stages a fleet + serializable MOR DELETE (the pinned-version commit IS the operator)",
       "q_fleet_purge_vectors" -> "stages a fleet + MOR DELETE + CALL purge_vectors (the targeted rewrite IS the operator)",
       "q_fleet_replicate" -> "stages a fleet + MOR mutations + runs the keyed-feed replication stream (the apply sink IS the operator)",
+      "q_fleet_idempotent_write" -> "stages a fleet + token-replayed appends (the at-most-once commit IS the operator)",
+      "q_fleet_check_constraint" -> "stages a fleet + add_check + a failing and a passing append (the write gate IS the operator)",
+      "q_fleet_clone" -> "stages a fleet + MOR DELETE + CALL clone + post-clone mutation (the zero-copy clone IS the operator)",
       "q_fleet_mv_minmax" -> "stages a fleet + view + DELETE/INSERT (the extremum refresh IS the operator)",
       "q_fleet_mv" -> "stages a fleet + view build + verbs + incremental refresh (the maintenance IS the operator)",
       "q_fleet_rewrite" -> "stages a fleet + CALL rewrite_files (the in-place compaction IS the operator)",
