@@ -306,7 +306,11 @@ private[sources] object GraftProcedures {
       val names = snap.map(_.files).getOrElse(
         AvroFleetCommits.dataFileStatuses(fs, sp)
           .map(_.getPath.getName))
-      val vectors = snap.map(_.dvs.values.toSeq).getOrElse(Seq.empty)
+      // chain bindings reference parent vectors INSIDE their JSON —
+      // expand transitively or the clone's chained reads would tear
+      val vectors = snap.map(s =>
+        FleetDv.expandRefs(fs, sp, s.dvs.values.toSet).toSeq.sorted)
+        .getOrElse(Seq.empty)
       val markers = Seq("_stats.json", FleetSchemaMarker.FileName,
         FleetLayout.FileName, FleetChecks.FileName)
         .filter(m => fs.exists(new Path(sp, m)))

@@ -849,6 +849,16 @@ class CatalogSpec extends SparkSpec {
       .takeWhile(_ != null)
       .exists(t => Option(t.getMessage).exists(
         _.contains("already exists"))))
+    // CHAINED bindings: a chain node references its parent vectors
+    // inside the JSON — they must travel with the clone or its reads
+    // would tear
+    s2.conf.set("spark.graft.dv.coalesceBudget", "1")
+    s2.sql("DELETE FROM graft.t WHERE id IN (30, 31)")
+    s2.sql("DELETE FROM graft.t WHERE id IN (32, 33)")
+    s2.sql("CALL graft.system.clone('t', 'w')").collect()
+    assert(ids("w") == ids("t"),
+      "a chained clone must read identically to its source")
+    assert(!ids("w").exists(Set(30L, 31L, 32L, 33L)))
   }
 
   test("CALL files audits the current generation with zero data I/O") {
