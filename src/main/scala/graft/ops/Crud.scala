@@ -617,6 +617,38 @@ object Crud {
       .orderBy($"_change_type", $"c_custkey")
   }
 
+  /** §2.A DECLARATIVE BATCH CHANGE RANGE (r19) — the audit spelling
+    * "what changed between v1 and v3" from plain `spark.read`:
+    * `readChangeFeed` + `startingVersion` + `endingVersion`, planned
+    * as EXACTLY the partitions the streaming feed plans for the same
+    * span (one shared implementation). The staging adds a v4 DELETE
+    * the bounded range must EXCLUDE — an unbounded read (the default
+    * `endingVersion` = head) would leak shard 6's delete images into
+    * the hash. Oracle: identical to `q_fleet_changes` (the
+    * programmatic twin over v1..v3). */
+  def qFleetChangesRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = true),
+      "changes_range")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql("DELETE FROM graft.cust WHERE shard = 3")   // v2
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
+        |WHERE shard = 5""".stripMargin)               // v3
+    s2.sql("DELETE FROM graft.cust WHERE shard = 6")   // v4 — excluded
+    s2.read.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .option("endingVersion", "3")
+      .load(s"$root/cust.avro")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"shard",
+        $"_change_type")
+      .orderBy($"_change_type", $"c_custkey")
+  }
+
   /** §2.A ROW-IDENTITY CHANGE FEED — `FleetCDC.changesKeyed` on the
     * hard staging the file-granular feed avoids: an UNCLUSTERED
     * (range-partitioned) fleet where a scattered UPDATE rewrites
@@ -1014,6 +1046,7 @@ object Crud {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_restore" -> qSqlRestore _,
     "q_fleet_changes" -> qFleetChanges _,
+    "q_fleet_changes_range" -> qFleetChangesRange _,
     "q_fleet_changes_keyed" -> qFleetChangesKeyed _,
     "q_fleet_changes_stream" -> qFleetChangesStream _,
     "q_fleet_changes_stream_keyed" -> qFleetChangesStreamKeyed _,
@@ -1048,6 +1081,21 @@ object Crud {
 
   val oracleSql: Map[String, String] = Map(
     "q_fleet_changes" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+        |    c_custkey % 8 AS shard
+        |  FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal, shard,
+        |  'delete' AS _change_type
+        |FROM base WHERE shard IN (3, 5)
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal * 2.0, 4), shard,
+        |  'insert'
+        |FROM base WHERE shard = 5
+        |ORDER BY _change_type, c_custkey""".stripMargin,
+    // the declarative bounded range v1..v3 == the programmatic twin;
+    // the staged v4 delete must NOT appear
+    "q_fleet_changes_range" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
         |    c_custkey % 8 AS shard

@@ -323,9 +323,14 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
       // DataFrame per micro-batch
       java.util.EnumSet.noneOf(classOf[TableCapability])
     else if (cdc)
-      // the change feed is a STREAMING read surface only — batch
-      // version ranges are FleetCDC.changes/changesKeyed
-      java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+      // the change feed streams, and (r19) reads as a BOUNDED BATCH
+      // RANGE: option("startingVersion"/"startingTimestamp") +
+      // option("endingVersion"/"endingTimestamp") — the declarative
+      // spelling of FleetCDC.changes ("what changed between v5 and
+      // v9" from plain spark.read/SQL). Keyed netting stays
+      // stream-only (a per-range JOIN is FleetCDC.changesKeyed).
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.MICRO_BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
@@ -400,6 +405,14 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         .map(_.toBoolean),
       startingVersion =
         AvroFleetTable.resolveStartingVersion(options, path),
+      endingVersion = {
+        val ev = AvroFleetTable.resolveEndingVersion(options, path)
+        require(ev.isEmpty || cdc,
+          "endingVersion/endingTimestamp bound a readChangeFeed " +
+            "range; a plain fleet read has no version range — use " +
+            "versionAsOf to read one generation")
+        ev
+      },
       aliases = aliases,
       cdc = cdc,
       dvSpecs = AvroFleetTable.parseDvSpec(options.get("dvSpec")),
@@ -771,6 +784,39 @@ private[sources] object AvroFleetTable {
             s"(${many.size} fleets match $path) — commit times differ " +
             "per fleet; load each fleet separately")
       }
+    }
+  }
+
+  /** The inclusive version CEILING of a batch change-feed range:
+    * `endingVersion` verbatim, or `endingTimestamp` resolved to the
+    * newest version committed AT or BEFORE the timestamp (the
+    * TIMESTAMP AS OF direction). Same exclusions as the start
+    * spelling. */
+  def resolveEndingVersion(options: CaseInsensitiveStringMap,
+      path: String): Option[Long] = {
+    val ev = Option(options.get("endingVersion")).map(_.toLong)
+    val etRaw = Option(options.get("endingTimestamp")).map(_.trim)
+      .filter(_.nonEmpty)
+    if (ev.isDefined && etRaw.isDefined)
+      throw new IllegalArgumentException(
+        "endingVersion and endingTimestamp are mutually exclusive")
+    etRaw.fold(ev) { raw =>
+      if (Option(options.get("branch")).exists(_.trim.nonEmpty))
+        throw new IllegalArgumentException(
+          "endingTimestamp does not compose with a branch feed — seek " +
+            "a branch range with endingVersion")
+      val ts = parseStartingTs(raw)
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(conf)
+      val withTimes = FleetManifest.versionsWithTimes(fs, p)
+      require(withTimes.nonEmpty,
+        s"endingTimestamp: fleet at $path has no manifest history")
+      Some(withTimes.filter(_._2 <= ts).map(_._1).maxOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"endingTimestamp '$raw' predates the first commit at $path " +
+            s"(${java.time.Instant.ofEpochMilli(withTimes.head._2)}) " +
+            "— the range is empty")))
     }
   }
 }
@@ -1549,6 +1595,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
     startingVersion: Option[Long] = None,
+    endingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
     cdc: Boolean = false,
     dvSpecs: Map[String, DvPartSpec] = Map.empty,
@@ -1943,6 +1990,7 @@ private[sources] class AvroFleetScanBuilder(fullSchema: StructType,
         maxFileAgeMs = maxFileAgeMs,
         ignoreMissingFiles = ignoreMissingFiles,
         startingVersion = startingVersion,
+        endingVersion = endingVersion,
         aliases = aliases,
         cdc = cdc,
         dvSpecs = dvSpecs,
@@ -2097,6 +2145,7 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     maxFileAgeMs: Option[Long] = None,
     ignoreMissingFiles: Option[Boolean] = None,
     startingVersion: Option[Long] = None,
+    endingVersion: Option[Long] = None,
     aliases: Map[String, Seq[String]] = Map.empty,
     cdc: Boolean = false,
     dvSpecs: Map[String, DvPartSpec] = Map.empty,
@@ -2125,7 +2174,11 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     * Column pruning and pushed row filters carry over from this
     * (already-pruned) scan. */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(endingVersion.isEmpty,
+      "endingVersion/endingTimestamp bound a BATCH change-feed range " +
+        "(spark.read); a stream is unbounded — stop it, or drain to " +
+        "now with Trigger.AvailableNow")
     if (cdc)
       new AvroFleetCdcMicroBatchStream(
         StructType(fullSchema.filterNot(_.name == FleetCDC.ChangeTypeCol)),
@@ -2149,6 +2202,54 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
       startingVersion = startingVersion,
       aliases = aliases,
       branch = branch)
+  }
+
+  /** BATCH change-feed range (r19): `spark.read` + `readChangeFeed` +
+    * `startingVersion`/`startingTimestamp` (+ optional
+    * `endingVersion`/`endingTimestamp`, default = the current head) —
+    * the declarative spelling of [[FleetCDC.changes]], planned as
+    * EXACTLY the partitions the streaming feed would plan for the
+    * same span (one shared implementation — the semantics cannot
+    * drift). Expired ranges, vanished files, and divergent rebinds
+    * fail loudly through the shared path. */
+  private def cdcBatchPartitions(): Array[InputPartition] = {
+    val from = startingVersion.getOrElse(throw new
+        IllegalArgumentException(
+      "a batch readChangeFeed needs a range start — " +
+        "option(\"startingVersion\", v) (0 replays the full retained " +
+        "history) or option(\"startingTimestamp\", ...); for the " +
+        "current STATE read the fleet without readChangeFeed"))
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val f = p0.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    val cur = branch match {
+      case Some(b) => FleetManifest.branchHead(f, p0, b).map(_.version)
+        .getOrElse(throw new IllegalArgumentException(
+          s"readChangeFeed: no branch '$b' at $path"))
+      case None =>
+        val vs = FleetManifest.versions(f, p0)
+        require(vs.nonEmpty,
+          s"readChangeFeed: fleet at $path has no manifest history — " +
+            "only transactionally-committed fleets have a change feed")
+        vs.last
+    }
+    val to = endingVersion.getOrElse(cur)
+    if (endingVersion.exists(_ > cur))
+      throw new IllegalArgumentException(
+        s"endingVersion=${endingVersion.get}: fleet at $path is at " +
+          s"v$cur — the range end does not exist yet")
+    require(to >= from,
+      s"readChangeFeed range is inverted: startingVersion=$from > " +
+        s"endingVersion=$to")
+    new AvroFleetCdcMicroBatchStream(
+      StructType(fullSchema.filterNot(_.name == FleetCDC.ChangeTypeCol)),
+      required.fieldNames, path, maxFileBytes, pushedFilters,
+      new SerializableHadoopConf(
+        SparkSession.active.sessionState.newHadoopConf()),
+      evolve = evolve, startingVersion = startingVersion,
+      aliases = aliases, branch = branch)
+      .planInputPartitions(FleetCdcOffset(from), FleetCdcOffset(to))
+  }
 
   // one driver-side listing shared by stats + partition planning;
   // oversized files are not rejected here — they are SPLIT below
@@ -2491,7 +2592,8 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
     }
 
   override def planInputPartitions(): Array[InputPartition] =
-    clusterGroups match {
+    if (cdc) cdcBatchPartitions()
+    else clusterGroups match {
       case Some(groups) =>
         // grouped mode: one partition per key holding ALL of the key's
         // splits. Runtime-filter/topN file pruning is bypassed — it
@@ -2525,6 +2627,19 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val s = SparkSession.active
+    if (cdc) {
+      // batch change-feed range: the stream's own reader pairing —
+      // `_change_type` synthesized per partition over the pruned read
+      val dataSchema = StructType(
+        fullSchema.filterNot(_.name == FleetCDC.ChangeTypeCol))
+      return new FleetCdcReaderFactory(
+        new AvroFleetReaderFactory(dataSchema,
+          required.fieldNames.filterNot(_ == FleetCDC.ChangeTypeCol),
+          None, pushedFilters,
+          new SerializableHadoopConf(s.sessionState.newHadoopConf()),
+          evolve = evolve, aliases = aliases),
+        required.fieldNames, dataSchema)
+    }
     // a row-level-operation scan uses pushed filters ONLY to skip
     // whole files: its consumer (ReplaceData) must receive EVERY row
     // of every surviving group so survivors can be rewritten — a file

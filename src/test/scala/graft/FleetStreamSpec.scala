@@ -986,6 +986,61 @@ class FleetStreamSpec extends SparkSpec {
     assert(content(b).contains((500L, 1000L, "hello")))
   }
 
+  test("batch change-feed range: bounded spark.read spans; loud edges") {
+    val root = graft.util.Scratch.dir("cdc_batch_range")
+    val dir = s"$root/t.avro"
+    writeGen(dir, 0, 10)   // v1
+    writeGen(dir, 10, 20)  // v2
+    writeGen(dir, 20, 30)  // v3
+    def rangeIds(opts: (String, String)*): Seq[Long] = {
+      var r = spark.read.format("graft-avro")
+        .option("readChangeFeed", "true")
+      opts.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(rangeIds("startingVersion" -> "0",
+      "endingVersion" -> "1") == (0L until 10L))
+    assert(rangeIds("startingVersion" -> "1",
+      "endingVersion" -> "2") == (10L until 20L))
+    // default end = the current head
+    assert(rangeIds("startingVersion" -> "1") == (10L until 30L))
+    // an empty span is an empty result, not an error
+    assert(rangeIds("startingVersion" -> "2",
+      "endingVersion" -> "2").isEmpty)
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("; ")
+    val e1 = intercept[Throwable] { rangeIds() }
+    assert(messages(e1).contains("needs a range start"), messages(e1))
+    val e2 = intercept[Throwable] { rangeIds(
+      "startingVersion" -> "2", "endingVersion" -> "1") }
+    assert(messages(e2).contains("inverted"), messages(e2))
+    val e3 = intercept[Throwable] { rangeIds(
+      "startingVersion" -> "1", "endingVersion" -> "99") }
+    assert(messages(e3).contains("does not exist yet"), messages(e3))
+    // endingVersion without readChangeFeed is a plain read — loud
+    val e4 = intercept[Throwable] {
+      spark.read.format("graft-avro").option("endingVersion", "2")
+        .load(dir).collect()
+    }
+    assert(messages(e4).contains("readChangeFeed"), messages(e4))
+    // a STREAM cannot be bounded by endingVersion
+    val e5 = intercept[Throwable] {
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("endingVersion", "2")
+        .load(dir)
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ckpt_e5")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    assert(messages(e5).contains("BATCH change-feed range"),
+      messages(e5))
+  }
+
   test("startingTimestamp seeds both change feeds from the commit-time index") {
     val root = graft.util.Scratch.dir("cdc_start_ts")
     val dir = s"$root/t.avro"
