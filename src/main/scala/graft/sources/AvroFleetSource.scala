@@ -369,6 +369,8 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
         // silently misread the others — so it fails with the explicit
         // remedy instead (r16 ADVICE).
         Option(options.get("versionAsOf")).map { v =>
+          require(!options.containsKey("timestampAsOf"),
+            "versionAsOf and timestampAsOf are mutually exclusive")
           v.toLongOption.getOrElse {
             val conf = SparkSession.active.sessionState.newHadoopConf()
             val dirs = Avro.splitGlobs(path).toSeq.flatMap { g =>
@@ -398,6 +400,46 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
                     "per fleet; load each fleet with its tag separately")
             }
           }
+        }.orElse {
+          // option("timestampAsOf", ...) — the DataFrame spelling of
+          // SQL TIMESTAMP AS OF (r19): newest generation committed at
+          // or before the timestamp, via the same commit-time index
+          Option(options.get("timestampAsOf")).map(_.trim)
+            .filter(_.nonEmpty).map { raw =>
+              require(!options.containsKey("versionAsOf"),
+                "versionAsOf and timestampAsOf are mutually exclusive")
+              val conf =
+                SparkSession.active.sessionState.newHadoopConf()
+              val dirs = Avro.splitGlobs(path).toSeq.flatMap { g =>
+                val gp = new org.apache.hadoop.fs.Path(g)
+                val gfs = gp.getFileSystem(conf)
+                Option(gfs.globStatus(gp)).map(_.toSeq)
+                  .getOrElse(Seq.empty)
+                  .filter(_.isDirectory).map(_.getPath)
+              }
+              dirs match {
+                case Seq(d) =>
+                  val pfs = d.getFileSystem(conf)
+                  val ts = AvroFleetTable.parseTsOption("timestampAsOf", raw)
+                  val withTimes =
+                    FleetManifest.versionsWithTimes(pfs, d)
+                  require(withTimes.nonEmpty,
+                    s"timestampAsOf: fleet at $d has no manifest " +
+                      "history")
+                  withTimes.filter(_._2 <= ts).map(_._1).maxOption
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"timestampAsOf '$raw' predates the first " +
+                        s"commit at $d (${java.time.Instant
+                          .ofEpochMilli(withTimes.head._2)})"))
+                case Seq() => throw new IllegalArgumentException(
+                  s"timestampAsOf: the load path matches no fleet " +
+                    s"directory ($path)")
+                case many => throw new IllegalArgumentException(
+                  s"timestampAsOf cannot address a multi-directory " +
+                    s"load (${many.size} fleets match $path) — commit " +
+                    "times differ per fleet; load each separately")
+              }
+            }
         }.orElse(versionAsOf),
       maxFileAgeMs = Option(options.get("maxFileAge"))
         .map(AvroFleetTable.parseDurationMs),
@@ -715,10 +757,10 @@ private[sources] object AvroFleetTable {
     }
   }
 
-  /** `startingTimestamp` value → epoch millis: a bare long, an
+  /** A timestamp option value → epoch millis: a bare long, an
     * ISO-8601 instant (`2026-08-15T12:00:00Z`), or a local-zone
     * `yyyy-MM-dd HH:mm:ss[.fff]` (the JDBC timestamp spelling). */
-  private def parseStartingTs(raw: String): Long =
+  private[sources] def parseTsOption(opt: String, raw: String): Long =
     raw.toLongOption.getOrElse {
       try java.time.Instant.parse(raw).toEpochMilli
       catch {
@@ -727,7 +769,7 @@ private[sources] object AvroFleetTable {
           catch {
             case _: IllegalArgumentException =>
               throw new IllegalArgumentException(
-                s"startingTimestamp: '$raw' is neither epoch millis, " +
+                s"$opt: '$raw' is neither epoch millis, " +
                   "an ISO-8601 instant, nor 'yyyy-MM-dd HH:mm:ss[.fff]'")
           }
       }
@@ -759,7 +801,7 @@ private[sources] object AvroFleetTable {
           "startingTimestamp does not compose with a branch feed — a " +
             "fork's staged commits carry their own commit times; seek " +
             "a branch feed with startingVersion")
-      val ts = parseStartingTs(raw)
+      val ts = parseTsOption("startingTimestamp", raw)
       val conf = SparkSession.active.sessionState.newHadoopConf()
       val dirs = Avro.splitGlobs(path).toSeq.flatMap { g =>
         val gp = new org.apache.hadoop.fs.Path(g)
@@ -805,7 +847,7 @@ private[sources] object AvroFleetTable {
         throw new IllegalArgumentException(
           "endingTimestamp does not compose with a branch feed — seek " +
             "a branch range with endingVersion")
-      val ts = parseStartingTs(raw)
+      val ts = parseTsOption("endingTimestamp", raw)
       val conf = SparkSession.active.sessionState.newHadoopConf()
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(conf)

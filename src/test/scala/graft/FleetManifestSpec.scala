@@ -658,6 +658,34 @@ class FleetManifestSpec extends SparkSpec {
     assert(messages(e2).contains("txnAppId"), messages(e2))
   }
 
+  test("option(timestampAsOf): the DataFrame spelling of TIMESTAMP AS OF") {
+    import spark.implicits._
+    import graft.sources.FleetManifest
+    val dir = stage("ts_asof") // v1: 200 rows
+    val fs = fsOf(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    spark.range(200, 210, 1, 1).select($"id", ($"id" * 2).as("v"))
+      .write.format("graft-avro").mode("append").save(dir) // v2
+    FleetManifest.restampCommitTs(fs, p, 1L, 1000L)
+    FleetManifest.restampCommitTs(fs, p, 2L, 2000L)
+    def cnt(ts: String): Long = spark.read.format("graft-avro")
+      .option("timestampAsOf", ts).load(dir).count()
+    assert(cnt("1500") == 200L, "between commits binds the older one")
+    assert(cnt("2000") == 210L, "at-or-before includes the boundary")
+    assert(cnt("1970-01-01T00:00:02Z") == 210L, "ISO instant spelling")
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("; ")
+    val e1 = intercept[Throwable] { cnt("500") }
+    assert(messages(e1).contains("predates the first commit"),
+      messages(e1))
+    val e2 = intercept[Throwable] {
+      spark.read.format("graft-avro").option("timestampAsOf", "1500")
+        .option("versionAsOf", "1").load(dir).count()
+    }
+    assert(messages(e2).contains("mutually exclusive"), messages(e2))
+  }
+
   test("racing writers with the SAME txn token: exactly one lands") {
     import spark.implicits._
     import java.util.concurrent.{CountDownLatch, Executors}
