@@ -925,6 +925,12 @@ object Crud {
     val s2 = stagedFleetSession(s, dir, "clonerow")
     s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
     s2.sql("DELETE FROM graft.cust WHERE c_custkey % 11 = 7")
+    // rerun hygiene (Bench runs each query thrice in one process):
+    // the staged SOURCE resets per run, the clone target must too
+    val cloneDir = new org.apache.hadoop.fs.Path(
+      s2.conf.get("spark.sql.catalog.graft.root") + "/cust_clone.avro")
+    cloneDir.getFileSystem(s2.sessionState.newHadoopConf())
+      .delete(cloneDir, true)
     s2.sql("CALL graft.system.clone('cust', 'cust_clone')").collect()
     s2.sql("DELETE FROM graft.cust WHERE c_custkey < 100")
     s2.sql(
