@@ -2269,6 +2269,19 @@ private[sources] class AvroFleetScan(fullSchema: StructType,
         .getOrElse(throw new IllegalArgumentException(
           s"readChangeFeed: no branch '$b' at $path"))
       case None =>
+        // the same loud guard the streaming feed applies: a session
+        // whose spark.graft.branch exists at this fleet must not
+        // silently audit MAIN's history — the option is the remedy
+        Option(SparkSession.active.conf.get("spark.graft.branch", null))
+          .map(_.trim).filter(_.nonEmpty).foreach { b =>
+            if (FleetManifest.branchBase(f, p0, b).isDefined)
+              throw new IllegalStateException(
+                s"readChangeFeed: fleet at $path has an active branch " +
+                  s"'$b' in this session (spark.graft.branch) — the " +
+                  "range reads MAIN history only; unset the branch " +
+                  "conf, or address the branch explicitly with " +
+                  "option(\"branch\", \"" + b + "\")")
+          }
         val vs = FleetManifest.versions(f, p0)
         require(vs.nonEmpty,
           s"readChangeFeed: fleet at $path has no manifest history — " +

@@ -1039,6 +1039,24 @@ class FleetStreamSpec extends SparkSpec {
     }
     assert(messages(e5).contains("BATCH change-feed range"),
       messages(e5))
+    // the branch-session guard matches the streaming feed's: an
+    // active branch at this fleet must not silently audit MAIN
+    val sB = spark.newSession()
+    sB.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    sB.conf.set("spark.sql.catalog.graft.root", root)
+    sB.sql("CALL graft.system.create_branch('t', 'wip')")
+    sB.conf.set("spark.graft.branch", "wip")
+    val e6 = intercept[Throwable] {
+      sB.read.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0").load(dir).collect()
+    }
+    assert(messages(e6).contains("spark.graft.branch"), messages(e6))
+    // the explicit option IS the remedy
+    assert(sB.read.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0").option("branch", "wip")
+      .load(dir).count() == 30L)
   }
 
   test("startingTimestamp seeds both change feeds from the commit-time index") {
