@@ -679,6 +679,40 @@ object Crud {
       .orderBy($"c_custkey", $"_change_type")
   }
 
+  /** §2.A DECLARATIVE KEYED BATCH RANGE (r19) — `spark.read` +
+    * `readChangeFeed` + `cdcKeyCols` + a version range: net PER-KEY
+    * changes from plain DataFrame code, completing the declarative
+    * matrix ({file-granular, keyed} × {batch, stream}). Served by the
+    * provider's V1 relation through DataFrameReader's documented
+    * fallback (the keyed table declares no BATCH_READ — netting is a
+    * JOIN no scan expresses), sharing the one `changesKeyed`
+    * implementation with the programmatic API. Staging mirrors
+    * `q_fleet_changes_keyed` and adds a v4 DELETE the
+    * `endingVersion = 3` bound must EXCLUDE; the oracle is the keyed
+    * twin's, so a leaked v4 image or a netting drift hash-fails. */
+  def qFleetChangesRangeKeyed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = cloneFleet(s, goldenDir(s, dir, clustered = false),
+      "changes_range_keyed")
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey <= 50")        // v2
+    s2.sql(
+      """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
+        |WHERE c_custkey % 100 = 7""".stripMargin)                // v3
+    s2.sql("DELETE FROM graft.cust WHERE c_custkey % 100 = 13")   // v4
+    s2.read.format("graft-avro")
+      .option("readChangeFeed", "true")
+      .option("cdcKeyCols", "c_custkey")
+      .option("startingVersion", "1")
+      .option("endingVersion", "3")
+      .load(s"$root/cust.avro")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"_change_type")
+      .orderBy($"c_custkey", $"_change_type")
+  }
+
   /** §2.A STREAMING CHANGE FEED — the change feed as a structured-
     * streaming SOURCE (`readStream.option("readChangeFeed", "true")`,
     * [[graft.sources.AvroFleetCdcMicroBatchStream]]): offsets are
@@ -1054,6 +1088,7 @@ object Crud {
     "q_fleet_changes" -> qFleetChanges _,
     "q_fleet_changes_range" -> qFleetChangesRange _,
     "q_fleet_changes_keyed" -> qFleetChangesKeyed _,
+    "q_fleet_changes_range_keyed" -> qFleetChangesRangeKeyed _,
     "q_fleet_changes_stream" -> qFleetChangesStream _,
     "q_fleet_changes_stream_keyed" -> qFleetChangesStreamKeyed _,
     "q_fleet_mv" -> qFleetMv _,
@@ -1128,6 +1163,23 @@ object Crud {
         |FROM base WHERE shard = 5
         |ORDER BY _change_type, c_custkey""".stripMargin,
     "q_fleet_changes_keyed" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
+        |  FROM customer)
+        |SELECT c_custkey, c_name, c_acctbal,
+        |  'delete' AS _change_type
+        |FROM base WHERE c_custkey <= 50
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_acctbal, 'update_preimage'
+        |FROM base WHERE c_custkey > 50 AND c_custkey % 100 = 7
+        |UNION ALL
+        |SELECT c_custkey, c_name, round(c_acctbal * 2.0, 4),
+        |  'update_postimage'
+        |FROM base WHERE c_custkey > 50 AND c_custkey % 100 = 7
+        |ORDER BY c_custkey, _change_type""".stripMargin,
+    // the declarative keyed range over the same staging, bounded at
+    // v3 — the staged v4 delete must NOT appear
+    "q_fleet_changes_range_keyed" ->
       """WITH base AS (
         |  SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal
         |  FROM customer)

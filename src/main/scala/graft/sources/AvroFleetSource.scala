@@ -40,9 +40,79 @@ import graft.util.SerializableHadoopConf
   */
 class AvroFleetSource extends TableProvider with DataSourceRegister
     with org.apache.spark.sql.sources.StreamSourceProvider
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider {
 
   override def shortName(): String = "graft-avro"
+
+  // ---- V1 RelationProvider: KEYED batch change ranges only ---------
+  //
+  // `spark.read` + `readChangeFeed` + `cdcKeyCols` nets a bounded
+  // version range per key — a JOIN no DSv2 scan can express, so the
+  // keyed table declares no BATCH_READ and DataFrameReader's
+  // documented fallback (loadV2Source yields None) resolves this V1
+  // relation instead: the same escape hatch the keyed STREAM uses,
+  // batch-side. Completes the declarative matrix — {file-granular,
+  // keyed} × {batch, stream} — with one netting implementation
+  // (FleetCDC.changesKeyed) shared with the programmatic API.
+  override def createRelation(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation = {
+    val opts = new CaseInsensitiveStringMap(
+      scala.jdk.CollectionConverters.MapHasAsJava(parameters).asJava)
+    require(cdcOf(opts) && keyedCdcCols(opts).nonEmpty,
+      "the graft-avro V1 relation serves only readChangeFeed + " +
+        "cdcKeyCols batch ranges (plain reads use the V2 table)")
+    require(Option(opts.get("branch")).forall(_.trim.isEmpty),
+      "a keyed batch range addresses MAIN history — net a branch's " +
+        "changes by following the branch feed (option(\"branch\") on " +
+        "readStream) or FleetCDC.changesKeyed over branch snapshots")
+    val keys = keyedCdcCols(opts)
+    val path = pathOf(opts)
+    val from = AvroFleetTable.resolveStartingVersion(opts, path)
+      .getOrElse(throw new IllegalArgumentException(
+        "a batch readChangeFeed needs a range start — " +
+          "option(\"startingVersion\", v) (0 replays the full " +
+          "retained history) or option(\"startingTimestamp\", ...)"))
+    val p0 = new org.apache.hadoop.fs.Path(path)
+    val f = p0.getFileSystem(
+      sqlContext.sparkSession.sessionState.newHadoopConf())
+    Option(sqlContext.sparkSession.conf.get("spark.graft.branch", null))
+      .map(_.trim).filter(_.nonEmpty).foreach { b =>
+        if (FleetManifest.branchBase(f, p0, b).isDefined)
+          throw new IllegalStateException(
+            s"readChangeFeed: fleet at $path has an active branch " +
+              s"'$b' in this session (spark.graft.branch) — the keyed " +
+              "range reads MAIN history only; unset the branch conf")
+      }
+    val vs = FleetManifest.versions(f, p0)
+    require(vs.nonEmpty,
+      s"readChangeFeed: fleet at $path has no manifest history — " +
+        "only transactionally-committed fleets have a change feed")
+    val cur = vs.last
+    val ending = AvroFleetTable.resolveEndingVersion(opts, path)
+    if (ending.exists(_ > cur))
+      throw new IllegalArgumentException(
+        s"endingVersion=${ending.get}: fleet at $path is at v$cur — " +
+          "the range end does not exist yet")
+    val to = ending.getOrElse(cur)
+    require(to >= from,
+      s"readChangeFeed range is inverted: startingVersion=$from > " +
+        s"endingVersion=$to")
+    val net = FleetCDC.changesKeyed(sqlContext.sparkSession, path,
+      from, to, keys)
+    val sqlc = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+      override def sqlContext: org.apache.spark.sql.SQLContext = sqlc
+      override def schema: StructType = net.schema
+      override def buildScan()
+          : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = net.rdd
+      override def toString: String =
+        s"GraftKeyedChangeRange[$path v$from..v$to keys=${keys
+          .mkString(",")}]"
+    }
+  }
 
   // ---- V1 StreamSinkProvider: the CDC-APPLY (upsert) sink only -----
   //

@@ -1059,6 +1059,49 @@ class FleetStreamSpec extends SparkSpec {
       .load(dir).count() == 30L)
   }
 
+  test("keyed batch change range: spark.read + cdcKeyCols nets per key") {
+    val root = graft.util.Scratch.dir("cdc_batch_keyed")
+    val dir = s"$root/t.avro"
+    writeGen(dir, 0, 10)   // v1
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.conf.set("spark.graft.rowLevelMode", "merge-on-read")
+    s2.sql("DELETE FROM graft.t WHERE id IN (3, 7)")  // v2
+    writeGen(dir, 10, 15)  // v3
+    def net(from: Long, to: Option[Long]): Seq[(Long, String)] = {
+      var r = spark.read.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("cdcKeyCols", "id")
+        .option("startingVersion", from.toString)
+      to.foreach(v => r = r.option("endingVersion", v.toString))
+      r.load(dir).select("id", "_change_type").collect()
+        .map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    }
+    // v1..v2: ONLY the two deletes — the MOR delete's vectored file
+    // is not a rewrite; no survivor images leak through the netting
+    assert(net(1L, Some(2L)) ==
+      Seq((3L, "delete"), (7L, "delete")))
+    // v1..head adds the v3 inserts
+    assert(net(1L, None) == (Seq((3L, "delete"), (7L, "delete")) ++
+      (10L until 15L).map(_ -> "insert")).sortBy(x => (x._1, x._2)))
+    // parity with the programmatic twin
+    val prog = graft.sources.FleetCDC.changesKeyed(spark, dir, 1L, 3L,
+      Seq("id")).select("id", "_change_type").collect()
+      .map(x => (x.getLong(0), x.getString(1))).sorted.toSeq
+    assert(net(1L, Some(3L)) == prog)
+    // a missing start is loud through the V1 relation too
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("; ")
+    val e = intercept[Throwable] {
+      spark.read.format("graft-avro")
+        .option("readChangeFeed", "true").option("cdcKeyCols", "id")
+        .load(dir).collect()
+    }
+    assert(messages(e).contains("needs a range start"), messages(e))
+  }
+
   test("startingTimestamp seeds both change feeds from the commit-time index") {
     val root = graft.util.Scratch.dir("cdc_start_ts")
     val dir = s"$root/t.avro"

@@ -214,6 +214,7 @@ class ScaleSpec extends SparkSpec {
       "q_fleet_replicate" -> "stages a fleet + MOR mutations + runs the keyed-feed replication stream (the apply sink IS the operator)",
       "q_fleet_idempotent_write" -> "stages a fleet + token-replayed appends (the at-most-once commit IS the operator)",
       "q_fleet_changes_range" -> "stages a fleet + verbs, then reads the bounded version range (the staged history IS the operator)",
+      "q_fleet_changes_range_keyed" -> "stages a fleet + verbs, then nets the bounded range per key (the staged history IS the operator)",
       "q_fleet_check_constraint" -> "stages a fleet + add_check + a failing and a passing append (the write gate IS the operator)",
       "q_fleet_clone" -> "stages a fleet + MOR DELETE + CALL clone + post-clone mutation (the zero-copy clone IS the operator)",
       "q_fleet_mv_minmax" -> "stages a fleet + view + DELETE/INSERT (the extremum refresh IS the operator)",
