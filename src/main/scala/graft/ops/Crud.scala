@@ -621,7 +621,12 @@ object Crud {
     * "what changed between v1 and v3" from plain `spark.read`:
     * `readChangeFeed` + `startingVersion` + `endingVersion`, planned
     * as EXACTLY the partitions the streaming feed plans for the same
-    * span (one shared implementation). The staging adds a v4 DELETE
+    * span (one shared implementation). NOTE `startingVersion` is an
+    * EXCLUSIVE floor here — the range is the endpoint diff
+    * snapshot(start)→snapshot(end), consistent with this repo's
+    * streaming convention but OPPOSITE to Delta Lake's inclusive
+    * batch-CDF `startingVersion` (README options table calls this
+    * out; Delta migrants pass N-1). The staging adds a v4 DELETE
     * the bounded range must EXCLUDE — an unbounded read (the default
     * `endingVersion` = head) would leak shard 6's delete images into
     * the hash. Oracle: identical to `q_fleet_changes` (the

@@ -179,7 +179,14 @@ private[sources] class AvroFleetCdcApplySink(sqlContext: SQLContext,
           s"`${fd.name}` ${fd.dataType.sql}").mkString(", ")
         s.sql(s"ALTER TABLE $cat.`$tableName` ADD COLUMNS ($ddl)")
       }
-      val view = s"graft_cdc_apply_${tableName}_images"
+      // the view name must be a valid SQL identifier whatever the
+      // fleet directory is called (`my-table.avro` would break both
+      // createOrReplaceTempView and the MERGE text) — hash the name
+      // with the same MD5 scheme as the catalog name above
+      val view = "graft_cdc_apply_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(tableName.getBytes("UTF-8")).take(4)
+          .map(b => f"$b%02x").mkString + "_images"
       images.createOrReplaceTempView(view)
       val onClause = keyCols.map(k => s"t.`$k` <=> s.`$k`")
         .mkString(" AND ")

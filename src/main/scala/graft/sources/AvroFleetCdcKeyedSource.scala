@@ -80,10 +80,17 @@ private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
     if (metadataPath.isEmpty || maxVersionsPerTrigger.isEmpty) None
     else Some(new Path(metadataPath, "graft-cdc-highwater"))
 
+  // the stream's DEFINITION-time start version, durable (see
+  // initialVersion below): a V1 source replaying batch 0 after a
+  // restart is handed start=None and must re-derive the SAME floor
+  private def initialPath: Option[Path] =
+    if (metadataPath.isEmpty) None
+    else Some(new Path(metadataPath, "graft-cdc-initial"))
+
   private def metaFs(hp: Path) = hp.getFileSystem(
     sqlContext.sparkSession.sessionState.newHadoopConf())
 
-  private def readHighWater(): Option[Long] = highWaterPath.flatMap { hp =>
+  private def readMarker(hp: Path): Option[Long] = {
     val f = metaFs(hp)
     if (!f.exists(hp)) None
     else {
@@ -91,11 +98,11 @@ private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
       val text = try new String(in.readAllBytes(), "UTF-8")
         finally in.close()
       text.trim.toLongOption.orElse(throw new java.io.IOException(
-        s"malformed keyed-feed high-water marker $hp: '$text'"))
+        s"malformed keyed-feed marker $hp: '$text'"))
     }
   }
 
-  private def writeHighWater(v: Long): Unit = highWaterPath.foreach { hp =>
+  private def writeMarker(hp: Path, v: Long): Unit = {
     val f = metaFs(hp)
     f.mkdirs(hp.getParent)
     val tmp = new Path(hp.getParent, s".${hp.getName}.tmp")
@@ -104,6 +111,12 @@ private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
     f.delete(hp, false)
     if (!f.rename(tmp, hp)) { f.delete(tmp, false); () }
   }
+
+  private def readHighWater(): Option[Long] =
+    highWaterPath.flatMap(readMarker)
+
+  private def writeHighWater(v: Long): Unit =
+    highWaterPath.foreach(writeMarker(_, v))
 
   // the highest version this source has ever RETURNED or been shown —
   // seeded once from the durable marker so a restart's first
@@ -135,9 +148,26 @@ private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
 
   // a fresh checkpoint starts at the CURRENT version (only future
   // commits stream) unless startingVersion replays history — resolved
-  // once so repeated offset calls cannot slide the start forward
-  private lazy val initialVersion: Long =
-    startingVersion.getOrElse(currentVersion())
+  // once PER CHECKPOINT, not per instance: the resolution is made
+  // DURABLE under metadataPath the first time it happens (r20). A V1
+  // source cannot rely on the engine to persist its initial offset
+  // (only batch ENDS live in the offset log, and a replayed batch 0
+  // arrives with start=None); without the marker, a restart's fresh
+  // instance would re-resolve "current version" to the RESTART-time
+  // head — a replayed batch 0 would diff the wrong (possibly
+  // backwards) range and silently drop the span's changes, and the
+  // inflated value would poison the rate-limit floor into one
+  // unbounded catch-up batch (r19 ADVICE).
+  private lazy val initialVersion: Long = startingVersion.getOrElse {
+    initialPath match {
+      case None => currentVersion()
+      case Some(ip) => readMarker(ip).getOrElse {
+        val v = currentVersion()
+        writeMarker(ip, v)
+        v
+      }
+    }
+  }
 
   // the UNCAPPED drain target snapshotted at query start under
   // Trigger.AvailableNow. The source implements
@@ -169,8 +199,18 @@ private[sources] class AvroFleetCdcKeyedSource(sqlContext: SQLContext,
       : org.apache.spark.sql.connector.read.streaming.Offset = {
     val startV = Option(start)
       .map(o => FleetCdcOffset.fromJson(o.json).version).getOrElse(-1L)
-    val floor = math.max(startV, math.max(initialVersion,
-      math.max(highWater, seededHighWater)))
+    // initialVersion participates ONLY on a fresh checkpoint (no
+    // engine-committed start). On a RESTART without startingVersion the
+    // lazy initialVersion re-resolves to the restart-time head; letting
+    // it into the floor would jump the offset from the committed start
+    // to head in one unbounded batch — exactly the down-consumer
+    // catch-up the cap exists to bound. With a committed start, the
+    // floor is the committed progress plus the durable high-water.
+    val floor =
+      if (startV >= 0L)
+        math.max(startV, math.max(highWater, seededHighWater))
+      else math.max(initialVersion,
+        math.max(highWater, seededHighWater))
     val cur = currentVersion()
     val avail = math.max(floor, availableNowCap.fold(cur)(math.min(cur, _)))
     val v = maxVersionsPerTrigger.fold(avail)(k =>

@@ -150,7 +150,8 @@ private[graft] object AvroFleetDeltaCommitMessage {
   /** One task's partial vector for one touched file: the data file
     * NAME, the fleet-relative partial vector name the task wrote, its
     * position count, and — unless capture is disabled
-    * (`spark.graft.dv.statsCaptureLimit` ≤ 0) — per-column (min, max,
+    * (`spark.graft.dv.statsCapture` false, or an explicit
+    * `statsCaptureLimit` cap exceeded) — per-column (min, max,
     * non-null count) of the DELETED rows' values in sidecar carrier
     * spelling, streamed at any delete size (r19). `stats = None` =
     * not captured (disabled, or a decode surprise); an absent
@@ -188,16 +189,27 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    // deleted-value stats capture switch: each task re-decodes its
-    // deleted rows' tracked columns STREAMINGLY (O(tracked columns)
-    // state, cost bounded by the scan that matched the rows) so the
-    // binding carries DvMeta stats and the MIN/MAX/COUNT(col) metadata
-    // tier survives the delete AT ANY SIZE (r19 — the former 8192-row
-    // cliff uncaptured exactly the big redaction passes that want the
-    // tier). ≤ 0 disables capture wholesale; any positive value
-    // enables it (the historical conf name is kept for compatibility).
-    val statsLimit = SparkSession.active.conf
-      .get("spark.graft.dv.statsCaptureLimit", "8192").toLong
+    // deleted-value stats capture: each task re-decodes its deleted
+    // rows' tracked columns STREAMINGLY (O(tracked columns) state,
+    // cost bounded by the scan that matched the rows) so the binding
+    // carries DvMeta stats and the MIN/MAX/COUNT(col) metadata tier
+    // survives the delete. DEFAULT: capture at any size (r19 — a
+    // default cliff uncaptured exactly the big redaction passes that
+    // want the tier). Two confs, each honest (r19 ADVICE — the old
+    // name must not silently change meaning):
+    //   spark.graft.dv.statsCapture       boolean on/off (default on)
+    //   spark.graft.dv.statsCaptureLimit  when EXPLICITLY set, its
+    //     original per-(task,file) semantics: positive N caps the
+    //     re-decode at N deleted positions per file (larger deletes
+    //     stay honestly uncaptured), ≤ 0 disables — a deployment that
+    //     set it to bound re-decode cost keeps that bound.
+    val captureOn = SparkSession.active.conf
+      .get("spark.graft.dv.statsCapture", "true").toBoolean
+    val statsLimit =
+      if (!captureOn) 0L
+      else SparkSession.active.conf
+        .getOption("spark.graft.dv.statsCaptureLimit")
+        .map(_.toLong).getOrElse(Long.MaxValue)
     // CHECK constraints gate the merge-on-read INSERT post-images too
     // (an SQL UPDATE re-inserting a violating image must fail exactly
     // like a plain append); a pure DELETE's write schema is EMPTY —
@@ -408,7 +420,7 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
 private[graft] class AvroFleetDeltaWriterFactory(schemaJson: String,
     names: Array[String], types: Array[org.apache.spark.sql.types.DataType],
     dir: String, jobTag: String, conf: SerializableHadoopConf,
-    statsCaptureLimit: Long = 8192L,
+    statsCaptureLimit: Long = Long.MaxValue,
     checks: Seq[FleetChecks.Bound] = Seq.empty)
     extends DeltaWriterFactory {
 
@@ -430,7 +442,7 @@ private[graft] class AvroFleetDeltaWriterFactory(schemaJson: String,
 private[graft] class AvroFleetDeltaWriter(schemaJson: String,
     names: Array[String], types: Array[org.apache.spark.sql.types.DataType],
     dir: String, pid: Int, taskId: Long, jobTag: String,
-    conf: SerializableHadoopConf, statsCaptureLimit: Long = 8192L,
+    conf: SerializableHadoopConf, statsCaptureLimit: Long = Long.MaxValue,
     checks: Seq[FleetChecks.Bound] = Seq.empty)
     extends DeltaWriter[InternalRow] {
 

@@ -246,7 +246,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     * addressed. */
   private def markerOf(path: String,
       branch: Option[String] = None,
-      versionAsOf: Option[String] = None)
+      versionAsOf: Option[String] = None,
+      timestampAsOf: Option[String] = None)
       : Option[FleetSchemaMarker.Marker] = {
     val p = new org.apache.hadoop.fs.Path(Avro.splitGlobs(path).head)
     val fs = p.getFileSystem(
@@ -280,8 +281,21 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
         val effBranch = branch.filter(b =>
           FleetManifest.branchBase(fs, dirP, b).isDefined)
           .orElse(FleetManifest.activeBranchAt(fs, dirP))
+        // timestampAsOf resolves to a version HERE too (same
+        // commit-time index the scan builder uses), so both AS OF
+        // spellings see the generation-stamped declared schema — a
+        // timestamp read of a pre-ALTER generation must not show the
+        // post-ALTER marker. Resolution failures (unparseable,
+        // predates history) defer to the scan builder's loud errors.
         val effVersion = versionAsOf.flatMap(v =>
           v.toLongOption.orElse(FleetManifest.tagVersion(fs, dirP, v)))
+          .orElse(timestampAsOf.flatMap { raw =>
+            try {
+              val ts = AvroFleetTable.parseTsOption("timestampAsOf", raw)
+              FleetManifest.versionsWithTimes(fs, dirP)
+                .filter(_._2 <= ts).map(_._1).maxOption
+            } catch { case _: IllegalArgumentException => None }
+          })
         FleetSchemaMarker.resolveAt(fs, dirP, effBranch, effVersion)
       } else None
     } catch {
@@ -298,7 +312,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     // option only answers the STREAMING_WRITE capability probe
     if (applyKeyCols(options).nonEmpty) return new StructType()
     val base = markerOf(pathOf(options), branchOf(options),
-      Option(options.get("versionAsOf"))).map(_.schema).getOrElse {
+      Option(options.get("versionAsOf")),
+      Option(options.get("timestampAsOf"))).map(_.schema).getOrElse {
       if (evolveOf(options))
         SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
           pathOf(options), maxBytesOf(options)).map(Avro.toSparkSchema))
@@ -324,7 +339,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
       return new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
         cdcApply = true)
     val marker = markerOf(pathOf(opts), branchOf(opts),
-      Option(opts.get("versionAsOf")))
+      Option(opts.get("versionAsOf")),
+      Option(opts.get("timestampAsOf")))
     new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
       evolveOf(opts) || marker.isDefined,
       aliases = marker.map(_.aliases).getOrElse(Map.empty),

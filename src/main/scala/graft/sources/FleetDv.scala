@@ -496,7 +496,8 @@ private[graft] object FleetDv {
     * (min, max, nonNull) state. Cost is O(deleted rows of this file),
     * strictly under the scan that matched them; memory never depends
     * on the position count. Returns None (uncaptured) only when
-    * `limit` ≤ 0 (the conf kill-switch), on any decode surprise, or
+    * `limit` ≤ 0 (capture off), the file's deleted-position count
+    * exceeds an explicitly-configured cap, on any decode surprise, or
     * when a non-finite float appears (the sidecar Collector's drop
     * rule — such a file has no sidecar coverage for the column, so
     * nothing is lost).
@@ -511,6 +512,12 @@ private[graft] object FleetDv {
       d: Deleted, limit: Long)
       : Option[Map[String, FleetManifest.DvColStat]] = {
     if (limit <= 0 || d.isEmpty) return None
+    // an explicitly-configured statsCaptureLimit is a per-(task,file)
+    // position cap (its original meaning): past it, decline capture —
+    // the binding stays exact, honestly uncaptured. The unset default
+    // arrives here as Long.MaxValue (capture at any size).
+    if (d.positions.valuesIterator.map(_.length.toLong).sum > limit)
+      return None
     def normalize(v: Any): Any = v match {
       case null => null
       case i: java.lang.Integer => Long.box(i.longValue())

@@ -160,7 +160,8 @@ private[graft] object FleetManifest {
     *    with no non-null deleted value is ABSENT. `Some(stats)` means
     *    the writer captured values for every tracked column —
     *    streamed at ANY delete size since r19 (the conf
-    *    `spark.graft.dv.statsCaptureLimit` ≤ 0 disables); `None`
+    *    `spark.graft.dv.statsCapture` false — or an explicit
+    *    `statsCaptureLimit` cap — disables); `None`
     *    means unknown (legacy bindings, capture disabled). With
     *    stats, the MIN/MAX metadata aggregate tier STANDS on a
     *    vectored fleet when the deleted values are strictly interior,

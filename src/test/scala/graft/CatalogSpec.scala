@@ -957,6 +957,60 @@ class CatalogSpec extends SparkSpec {
       "a reset must not rewrite history's declared schemas")
   }
 
+  test("option(timestampAsOf) resolves the declared schema AS OF the bound generation, like versionAsOf") {
+    // r19 ADVICE: getTable/inferSchema resolved only versionAsOf to
+    // the schema marker, so a timestamp read of a pre-ALTER
+    // generation showed the post-ALTER declared schema — both AS OF
+    // spellings must resolve the generation-stamped SchemaProp
+    import spark.implicits._
+    import graft.sources.FleetManifest
+    val root = graft.util.Scratch.dir("schema_ts_asof")
+    val fleet = s"$root/t.avro"
+    spark.range(100).select($"id", ($"id" * 2).as("v"))
+      .repartition(2).write.format("graft-avro")
+      .mode("overwrite").save(fleet)                              // v1
+    val main = spark.newSession()
+    main.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    main.conf.set("spark.sql.catalog.graft.root", root)
+    main.sql("ALTER TABLE graft.t ADD COLUMN note STRING")        // v2
+    main.sql("INSERT INTO graft.t VALUES (300, 5, 'x')")          // v3
+    main.sql("ALTER TABLE graft.t DROP COLUMN v")                 // v4
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    FleetManifest.restampCommitTs(fs, p, 1L, 1000L)
+    FleetManifest.restampCommitTs(fs, p, 2L, 2000L)
+    FleetManifest.restampCommitTs(fs, p, 3L, 3000L)
+    FleetManifest.restampCommitTs(fs, p, 4L, 4000L)
+    def at(ts: String) = spark.read.format("graft-avro")
+      .option("timestampAsOf", ts).load(fleet)
+    // current head: the post-DROP shape
+    assert(at("4000").columns.toSeq == Seq("id", "note"))
+    // a timestamp bound to the stamped mid-evolution generation must
+    // show ITS declared shape — the dropped column resurfaces with
+    // data (the bug read the CURRENT marker here: id, note)
+    val mid = at("3500")
+    assert(mid.columns.toSeq == Seq("id", "v", "note"),
+      s"pre-DROP timestamp must resolve the stamped schema: " +
+        s"${mid.columns.toSeq}")
+    assert(mid.filter($"id" === 300).head.getLong(1) == 5L)
+    assert(mid.count() == 101)
+    // both AS OF spellings resolve identically, generation by
+    // generation (v2's stamp, and the pre-stamp fallback at v1)
+    for ((ts, v) <- Seq(("2500", "2"), ("1500", "1"))) {
+      val byV = spark.read.format("graft-avro")
+        .option("versionAsOf", v).load(fleet)
+      assert(at(ts).columns.toSeq == byV.columns.toSeq,
+        s"ts=$ts vs versionAsOf=$v: ${at(ts).columns.toSeq} != " +
+          s"${byV.columns.toSeq}")
+      assert(at(ts).count() == byV.count())
+    }
+    // parity with the SQL spelling on the same fleet
+    assert(main.sql(
+      "SELECT * FROM graft.t TIMESTAMP AS OF " +
+        "timestamp_millis(3500)").columns.toSeq ==
+      mid.columns.toSeq)
+  }
+
   test("schema evolution stages on a branch: main resolves it only after fast_forward; the feed spans the publish exactly") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("branch_evolve")

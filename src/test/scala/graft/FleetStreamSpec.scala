@@ -933,6 +933,39 @@ class FleetStreamSpec extends SparkSpec {
       "an empty drain must not commit to the target")
   }
 
+  test("cdcApplyKeyCols sink: a dashed target fleet name still MERGEs (view name sanitized)") {
+    // r19 ADVICE: the MERGE temp-view name was built from the raw
+    // fleet name — `my-table.avro` produced an invalid identifier and
+    // failed deep in the sink. The view name is now hashed.
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("cdc_apply_dash")
+    val a = s"$root/src.avro"
+    val b = s"$root/my-table.avro"
+    spark.range(20).select($"id", ($"id" * 2).as("v"))
+      .coalesce(1).write.format("graft-avro").mode("overwrite").save(a)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("cdcKeyCols", "id")
+        .option("startingVersion", "0")
+        .load(a)
+        .writeStream.format("graft-avro")
+        .option("cdcApplyKeyCols", "id")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start(b)
+      q.awaitTermination(120000)
+    }
+    drain() // bootstrap (no MERGE yet — fresh target)
+    // a second generation forces the MERGE path against the dashed name
+    spark.range(20, 25).select($"id", ($"id" * 2).as("v"))
+      .coalesce(1).write.format("graft-avro").mode("append").save(a)
+    drain()
+    val got = spark.read.format("graft-avro").load(b)
+      .select($"id").as[Long].collect().toSet
+    assert(got == (0L until 25L).toSet, s"replication drifted: $got")
+  }
+
   test("cdcApplyKeyCols sink: source schema evolution fails loudly, or auto-evolves the target under mergeSchema") {
     import spark.implicits._
     val root = graft.util.Scratch.dir("cdc_apply_evolve")
@@ -1296,5 +1329,52 @@ class FleetStreamSpec extends SparkSpec {
       Seq((5L, "changed")),
       s"the COW update must net to one post-image: $got")
     assert(got.count(_._3 == "update_preimage") == 1)
+  }
+
+  test("maxVersionsPerTrigger bounds a restart catch-up even without startingVersion") {
+    // r19 ADVICE (medium): a stream DEFINED without startingVersion
+    // re-resolves its lazy initialVersion to the RESTART-time head; if
+    // that enters the rate-limit floor, the first post-restart batch
+    // jumps from the committed offset to head unbounded — exactly the
+    // down-consumer catch-up the cap advertises bounding. The floor
+    // must use initialVersion only on a FRESH checkpoint.
+    val root = graft.util.Scratch.dir("cdc_admission_restart")
+    val dir = s"$root/t.avro"
+    writeGen(dir, 0, 10)    // v1 — the stream starts at this head
+    def drain(): Seq[Int] = {
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val q = spark.readStream.format("graft-avro")
+        .option("readChangeFeed", "true")
+        .option("cdcKeyCols", "id")
+        // NO startingVersion: fresh checkpoint = current head
+        .option("maxVersionsPerTrigger", "1")
+        .load(dir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val n = b.count().toInt
+          sizes.synchronized { sizes += n }
+          ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      sizes.synchronized(sizes.toSeq)
+    }
+    val run1 = drain()
+    assert(run1.forall(_ == 0), s"nothing precedes the head: $run1")
+    // the consumer goes down; four generations land
+    writeGen(dir, 10, 20)   // v2
+    writeGen(dir, 20, 30)   // v3
+    writeGen(dir, 30, 40)   // v4
+    writeGen(dir, 40, 50)   // v5
+    val run2 = drain()
+    val nonEmpty = run2.filter(_ > 0)
+    assert(nonEmpty.size >= 4,
+      s"a 4-version backlog under cap=1 must drain in ≥4 bounded " +
+        s"batches, not one unbounded catch-up: $run2")
+    assert(nonEmpty.forall(_ <= 10),
+      s"each batch must net at most one generation (10 rows): $run2")
+    assert(nonEmpty.sum == 40, s"the backlog must drain exactly: $run2")
   }
 }

@@ -354,18 +354,18 @@ class MorRowLevelSpec extends SparkSpec {
     assert(q2.head.getLong(0) == maxKey - 6)
   }
 
-  test("stats capture has no size cliff: a delete far wider than the conf still captures; 0 disables") {
+  test("stats capture: unlimited by default; explicit limit is an honest per-file cap; statsCapture=false disables") {
     import spark.implicits._
+    // DEFAULT (no conf set): capture at ANY delete size — a default
+    // cliff uncaptured exactly the big redactions that want the
+    // standing tier (r19); r20 keeps the old conf NAME meaning what it
+    // always did (a per-(task,file) cap) instead of silently becoming
+    // a switch (r19 ADVICE).
     val (root, s2) = freshFleet("nocliff")
     val fleet = s"$root/cust.avro"
-    // the conf is a kill-switch since r19 — a positive value captures
-    // at ANY delete size (the former cliff uncaptured exactly the big
-    // redactions that want the standing tier)
-    s2.conf.set("spark.graft.dv.statsCaptureLimit", "4")
     val keyRow = spark.read.format("graft-avro").load(fleet)
       .agg(min($"c_custkey"), max($"c_custkey")).head
     val (minKey, maxKey) = (keyRow.getLong(0), keyRow.getLong(1))
-    // a strictly-interior band ~10× the conf value
     s2.sql(s"""DELETE FROM graft.cust
       |WHERE c_custkey > $minKey AND c_custkey <= ${minKey + 40}"""
       .stripMargin)
@@ -373,7 +373,7 @@ class MorRowLevelSpec extends SparkSpec {
     assert(snap.dvMeta.values.map(_.count).sum == 40L)
     snap.dvMeta.foreach { case (f, m) =>
       assert(m.stats.isDefined,
-        s"$f: a ${m.count}-row delete must capture despite the conf=4")
+        s"$f: a ${m.count}-row delete must capture by default")
       assert(m.fp.isDefined, s"$f: binding must carry a fingerprint")
     }
     // ... so the MIN/MAX metadata tier stands on the banded fleet
@@ -384,15 +384,42 @@ class MorRowLevelSpec extends SparkSpec {
       q.queryExecution.executedPlan.toString)
     val r = q.head()
     assert(r.getLong(0) == minKey && r.getLong(1) == maxKey)
-    // kill-switch: 0 disables capture wholesale (binding stays exact,
-    // honestly uncaptured)
-    val (root2, s3) = freshFleet("nocliff0")
-    s3.conf.set("spark.graft.dv.statsCaptureLimit", "0")
-    s3.sql("DELETE FROM graft.cust WHERE c_custkey = " + (minKey + 1))
-    val snap2 = manifest(s"$root2/cust.avro")
+    // EXPLICIT limit: original cap semantics — a delete wider than
+    // the cap stays honestly uncaptured (the deployment asked to
+    // bound re-decode cost), a delete under it captures
+    val (root2, s3) = freshFleet("capped")
+    s3.conf.set("spark.graft.dv.statsCaptureLimit", "4")
+    s3.sql(s"""DELETE FROM graft.cust
+      |WHERE c_custkey > $minKey AND c_custkey <= ${minKey + 40}"""
+      .stripMargin)
+    val snapCap = manifest(s"$root2/cust.avro")
+    assert(snapCap.dvMeta.values.map(_.count).sum == 40L)
+    assert(snapCap.dvMeta.exists(_._2.count > 4L),
+      s"fixture must produce a file past the cap: ${snapCap.dvMeta}")
+    snapCap.dvMeta.foreach { case (f, m) =>
+      if (m.count > 4L) assert(m.stats.isEmpty,
+        s"$f: ${m.count} deleted positions must decline under cap=4")
+      else assert(m.stats.isDefined,
+        s"$f: ${m.count} ≤ cap must still capture")
+      assert(m.fp.isDefined, s"$f: binding exactness is cap-independent")
+    }
+    // kill-switch: the boolean conf disables capture wholesale
+    // (binding stays exact, honestly uncaptured); limit=0 keeps its
+    // historical disable meaning too
+    val (root3, s4) = freshFleet("nocap0")
+    s4.conf.set("spark.graft.dv.statsCapture", "false")
+    s4.sql("DELETE FROM graft.cust WHERE c_custkey = " + (minKey + 1))
+    val snap2 = manifest(s"$root3/cust.avro")
     assert(snap2.dvMeta.nonEmpty &&
       snap2.dvMeta.values.forall(_.stats.isEmpty),
-      s"conf=0 must disable capture: ${snap2.dvMeta}")
+      s"statsCapture=false must disable capture: ${snap2.dvMeta}")
+    val (root4, s5) = freshFleet("nocap1")
+    s5.conf.set("spark.graft.dv.statsCaptureLimit", "0")
+    s5.sql("DELETE FROM graft.cust WHERE c_custkey = " + (minKey + 1))
+    val snap3 = manifest(s"$root4/cust.avro")
+    assert(snap3.dvMeta.nonEmpty &&
+      snap3.dvMeta.values.forall(_.stats.isEmpty),
+      s"limit=0 must disable capture: ${snap3.dvMeta}")
   }
 
   test("serializable isolation conflicts on any mid-command commit; snapshot commits through") {
