@@ -186,6 +186,8 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
   // every subsequent read (r17 ADVICE)
   @volatile private var manifestCommitted = false
 
+  @volatile private var plannedChecks: Option[Map[String, String]] = None
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
@@ -218,8 +220,13 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
       if (schema.isEmpty) Seq.empty[FleetChecks.Bound]
       else {
         val p = new org.apache.hadoop.fs.Path(dir)
-        FleetChecks.bind(SparkSession.active,
-          FleetChecks.read(p.getFileSystem(conf), p), schema)
+        val raw = FleetChecks.read(p.getFileSystem(conf), p)
+        // recorded for the commit's requireChecks compare-and-set: a
+        // check landing between plan and commit conflicts loudly. A
+        // pure DELETE (empty write schema) carries None — removing
+        // rows cannot violate a row constraint.
+        plannedChecks = Some(raw)
+        FleetChecks.bind(SparkSession.active, raw, schema)
       }
     new AvroFleetDeltaWriterFactory(schemaJson,
       schema.fields.map(_.name), schema.fields.map(_.dataType), dir,
@@ -375,7 +382,8 @@ private[sources] class AvroFleetDeltaBatchWrite(schemaJson: String,
         expectedVersion = expectedVersion(),
         dvUpdate = dvUpdate,
         requireDvs = requireDvs,
-        dvMetaUpdate = dvMetaUpdate.result())
+        dvMetaUpdate = dvMetaUpdate.result(),
+        requireChecks = plannedChecks)
       manifestCommitted = true
     }
     // POST-COMMIT housekeeping is best-effort by contract: the commit

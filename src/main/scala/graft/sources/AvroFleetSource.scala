@@ -1204,6 +1204,11 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     * exact version its scan resolved; plain writes carry None. */
   protected def manifestExpectedVersion: Option[Long] = None
 
+  /** The CHECK-constraint set this job's tasks enforced, resolved at
+    * plan time — the commit's compare-and-set payload (None only on
+    * the idempotent-replay fast path, which writes nothing). */
+  @volatile protected var plannedChecks: Option[Map[String, String]] = None
+
   private def fs(conf: org.apache.hadoop.conf.Configuration) =
     new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
 
@@ -1250,8 +1255,12 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
     // CHECK constraints bind on the driver (loud before any task
     // launches) and evaluate per row inside the task write loop —
     // every batch path enforces: plain/clustered appends, overwrite,
-    // and the copy-on-write row-level post-images that subclass this
+    // and the copy-on-write row-level post-images that subclass this.
+    // The resolved set (empty included) is recorded for the commit's
+    // requireChecks compare-and-set: a constraint landing between
+    // this plan and the commit conflicts loudly (r20).
     val checks = FleetChecks.read(f, p)
+    plannedChecks = Some(checks)
     if (checks.isEmpty) base
     else new CheckedWriterFactory(base,
       FleetChecks.bind(SparkSession.active, checks, schema),
@@ -1280,7 +1289,8 @@ private[sources] class AvroFleetBatchWrite(schemaJson: String,
       props = manifestProps,
       requireDvs = manifestRequireDvs,
       expectedVersion = manifestExpectedVersion,
-      txn = txn)
+      txn = txn,
+      requireChecks = plannedChecks)
     // idempotent replay (txn token already in the ledger): the job
     // SUCCEEDS without publishing — reap exactly this job's staged
     // files so the replay leaves no unreferenced finals behind
@@ -1603,13 +1613,15 @@ private[sources] object AvroFleetCommits {
       props: Map[String, String] = Map.empty,
       requireDvs: Map[String, Option[String]] = Map.empty,
       expectedVersion: Option[Long] = None,
-      txn: Option[(String, Long)] = None): Boolean =
+      txn: Option[(String, Long)] = None,
+      requireChecks: Option[Map[String, String]] = None): Boolean =
     FleetManifest.withCommitLock(f, p) {
       if (txn.exists { case (a, v) =>
         FleetManifest.txnApplied(f, p, a, v) }) false
       else
         try { commitFleetBody(f, p, messages, between, removeNames,
-          reset, props, requireDvs, expectedVersion, txn); true }
+          reset, props, requireDvs, expectedVersion, txn,
+          requireChecks); true }
         catch { case _: FleetTxnAlreadyAppliedException => false }
     }
 
@@ -1622,7 +1634,8 @@ private[sources] object AvroFleetCommits {
       props: Map[String, String],
       requireDvs: Map[String, Option[String]],
       expectedVersion: Option[Long],
-      txn: Option[(String, Long)]): Unit = {
+      txn: Option[(String, Long)],
+      requireChecks: Option[Map[String, String]]): Unit = {
     val stats = messages.collect {
       case AvroFleetCommitMessage(parts) =>
         parts.collect { case (file, Some(ps)) =>
@@ -1666,7 +1679,8 @@ private[sources] object AvroFleetCommits {
       // otherwise vanish with the swapped-out file while its rows
       // resurrect in the post-image
       requireDvs = requireDvs,
-      txn = txn)
+      txn = txn,
+      requireChecks = requireChecks)
     f.create(new org.apache.hadoop.fs.Path(p, "_SUCCESS"), true).close()
   }
 

@@ -643,6 +643,7 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
   // make a new query skip its own epochs.
   @volatile private var legacyEpochsOurs = false
   @volatile private var priorOwnerRead = false
+  @volatile private var plannedChecks: Option[Map[String, String]] = None
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
@@ -665,9 +666,13 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
     val c = codec
     val lin = lineage
     // CHECK constraints gate the streaming sink too — bound on the
-    // driver per factory creation, evaluated per row in the epoch task
-    val checks = FleetChecks.bind(SparkSession.active,
-      FleetChecks.read(f, new org.apache.hadoop.fs.Path(dir)), schema)
+    // driver per factory creation, evaluated per row in the epoch task.
+    // The resolved set rides every epoch commit's requireChecks
+    // compare-and-set: a constraint added mid-stream fails the NEXT
+    // epoch loudly (restarting the query adopts the new set).
+    val rawChecks = FleetChecks.read(f, new org.apache.hadoop.fs.Path(dir))
+    plannedChecks = Some(rawChecks)
+    val checks = FleetChecks.bind(SparkSession.active, rawChecks, schema)
     new org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
@@ -727,7 +732,8 @@ private[sources] class AvroFleetStreamingWrite(schemaJson: String,
           !committed(n) && !inManifest(n))
         f.delete(st.getPath, false)
     }
-    AvroFleetCommits.commitFleet(f, p, messages)
+    AvroFleetCommits.commitFleet(f, p, messages,
+      requireChecks = plannedChecks)
   }
 
   override def abort(epochId: Long,

@@ -39,14 +39,35 @@ import org.json4s.jackson.JsonMethods
   * UPDATE/MERGE re-insert through the swap write), merge-on-read
   * insert post-images, and the streaming sink.
   *
-  * Storage: `_checks.json` beside the fleet (`{"checks": {name:
-  * sqlExpr}}`) — advisory metadata like `_layout.json`, not part of
-  * the manifest (constraints gate FUTURE writes; readers and
-  * time-travel never consult them). */
+  * Storage (r20 — TRANSACTIONAL): checks are MANIFEST PROPERTIES
+  * (`check:<name>` → expr, [[FleetManifest.CheckPropPrefix]]),
+  * inherited forward by every commit like the txn ledger. That closes
+  * the r19 TOCTOU hole: `add_check` lands as a manifest commit under
+  * `expectedVersion` (its validation scan is serializable against
+  * concurrent writers), and every row-writing commit carries a
+  * `requireChecks` compare-and-set stating the set its tasks
+  * enforced — a constraint landing mid-write makes exactly one of the
+  * two lose loudly. Checks version with the fleet (AS OF shows each
+  * generation's check set), ride clones, and survive resets. Legacy
+  * pre-r20 `_checks.json` sidecars are honored read-side until the
+  * first add/drop migrates them into the manifest. */
 private[graft] object FleetChecks {
   val FileName = "_checks.json"
 
+  /** The ENFORCED check set for new writes at `dir`: the current
+    * manifest's `check:` props; a fleet whose manifest carries none
+    * falls back to the legacy sidecar (pre-r20). The returned map is
+    * also the writer's `requireChecks` compare-and-set payload. */
   def read(fs: FileSystem, dir: Path): Map[String, String] = {
+    val fromManifest = FleetManifest.current(fs, dir)
+      .map(s => FleetManifest.checksOf(s.props)).getOrElse(Map.empty)
+    if (fromManifest.nonEmpty) fromManifest else readSidecar(fs, dir)
+  }
+
+  /** The legacy sidecar (pre-r20 storage) — consulted only when the
+    * manifest carries no check props; deleted by the first add/drop
+    * that migrates its content. */
+  def readSidecar(fs: FileSystem, dir: Path): Map[String, String] = {
     val f = new Path(dir, FileName)
     if (!fs.exists(f)) Map.empty
     else {
@@ -63,7 +84,23 @@ private[graft] object FleetChecks {
     }
   }
 
-  def write(fs: FileSystem, dir: Path,
+  def clearSidecar(fs: FileSystem, dir: Path): Unit = {
+    fs.delete(new Path(dir, FileName), false); ()
+  }
+
+  /** Spell a full check set as manifest props (add/drop commits state
+    * the set in full so a legacy sidecar migrates on first touch);
+    * `dropped` rides as the empty-string sentinel that clears the
+    * inherited entry. */
+  def toProps(checks: Map[String, String],
+      dropped: Option[String] = None): Map[String, String] =
+    checks.map { case (k, v) =>
+      (FleetManifest.CheckPropPrefix + k) -> v } ++
+      dropped.map(n => (FleetManifest.CheckPropPrefix + n) -> "")
+
+  /** Write a LEGACY sidecar (pre-r20 storage spelling) — kept for
+    * migration tests; production add/drop commits to the manifest. */
+  private[graft] def writeSidecar(fs: FileSystem, dir: Path,
       checks: Map[String, String]): Unit = {
     val f = new Path(dir, FileName)
     if (checks.isEmpty) { fs.delete(f, false); () }

@@ -119,6 +119,29 @@ private[graft] object FleetManifest {
     * appId, monotonically maxed. */
   val TxnPropPrefix = "txn:"
 
+  /** Prefix of the CHECK-CONSTRAINT props (r20): `check:<name>` → the
+    * constraint's SQL expression. Checks are part of the MANIFEST
+    * state — not sidecar metadata — so the constraint set is
+    * versioned, serializable against concurrent writers (the
+    * [[commit]] `requireChecks` compare-and-set), inherited forward
+    * like the txn ledger (including across resets — a constraint is
+    * table metadata, INSERT OVERWRITE replaces data, not governance),
+    * cloned with the fleet, and visible AS OF any generation (a
+    * pre-`add_check` version carries no prop — history shows the
+    * check set each generation was committed under). `drop_check`
+    * clears an entry with the empty-string sentinel, exactly like
+    * [[SchemaProp]]. Legacy `_checks.json` sidecars are honored until
+    * the first add/drop migrates them into the manifest. */
+  val CheckPropPrefix = "check:"
+
+  /** The check-constraint set a snapshot's props carry (empty for
+    * pre-r20 / unchecked fleets). */
+  def checksOf(props: Map[String, String]): Map[String, String] =
+    props.collect {
+      case (k, v) if k.startsWith(CheckPropPrefix) && v.nonEmpty =>
+        k.stripPrefix(CheckPropPrefix) -> v
+    }
+
   /** One committed generation: the complete set of data-file NAMES
     * (relative to the fleet directory) a reader of this version must
     * see, plus optional COMMIT METADATA — application properties that
@@ -878,7 +901,8 @@ private[graft] object FleetManifest {
       dvUpdate: Map[String, Option[String]] = Map.empty,
       requireDvs: Map[String, Option[String]] = Map.empty,
       dvMetaUpdate: Map[String, DvMeta] = Map.empty,
-      txn: Option[(String, Long)] = None): Snapshot = {
+      txn: Option[(String, Long)] = None,
+      requireChecks: Option[Map[String, String]] = None): Snapshot = {
     val key = fs.makeQualified(dir).toString
     commitStripes(math.floorMod(key.hashCode, commitStripes.length))
       .synchronized {
@@ -917,6 +941,26 @@ private[graft] object FleetManifest {
                 "re-run the transaction (re-read, re-rewrite, re-commit)" +
                 " against the current generation")
           }
+          // CHECK-constraint compare-and-set (r20): the writer states
+          // the check set its tasks ENFORCED (resolved at plan time).
+          // A check present in the fresh base that the plan did not
+          // enforce — added or redefined since — may have admitted
+          // violating rows: conflict loudly; the re-run plans under
+          // the new set. A check DROPPED since cannot invalidate rows
+          // that already passed a superset, so drops never conflict
+          // (a long append must not die because an operator lifted an
+          // unrelated constraint mid-job).
+          requireChecks.foreach { planned =>
+            val curChecks = checksOf(cur.map(_.props).getOrElse(Map.empty))
+            val unseen = curChecks.filter { case (k, v) =>
+              !planned.get(k).contains(v) }
+            if (unseen.nonEmpty) throw new FleetCommitConflictException(
+              s"manifest commit at $dir was planned before CHECK " +
+                s"constraint(s) ${unseen.keys.toSeq.sorted.mkString(", ")} " +
+                "landed — the job's rows were not validated against " +
+                "them; re-run the write (it will plan under the " +
+                "current constraint set)")
+          }
           val baseDvs = cur.map(_.dvs).getOrElse(Map.empty)
           if (requireDvs.nonEmpty) {
             val mismatched = requireDvs.filter { case (f, expected) =>
@@ -947,14 +991,20 @@ private[graft] object FleetManifest {
             case None => cur.flatMap(_.props.get(SchemaProp))
               .fold(stampedTs)(v => stampedTs + (SchemaProp -> v))
           }
-          // the txn ledger is INHERITED like the schema prop (one
-          // entry per appId, maxed by the check above), and this
-          // commit's own token joins it — across resets too: an
-          // overwrite replay must still find its entry
-          val stamped = (cur.map(_.props).getOrElse(Map.empty)
-            .filter { case (k, _) => k.startsWith(TxnPropPrefix) } ++
+          // the txn ledger and CHECK constraints are INHERITED like
+          // the schema prop (txn: one entry per appId, maxed by the
+          // check above; check: table governance survives resets — an
+          // overwrite replaces data, not constraints), and this
+          // commit's own token joins the ledger. A caller-supplied
+          // check prop wins over the inherited one (add/drop commits);
+          // the empty-string sentinel DROPS the entry.
+          val stamped = ((cur.map(_.props).getOrElse(Map.empty)
+            .filter { case (k, _) => k.startsWith(TxnPropPrefix) ||
+              k.startsWith(CheckPropPrefix) } ++
             stampedSchema) ++
-            txn.map { case (a, v) => (TxnPropPrefix + a) -> v.toString }
+            txn.map { case (a, v) => (TxnPropPrefix + a) -> v.toString })
+            .filterNot { case (k, v) =>
+              k.startsWith(CheckPropPrefix) && v.isEmpty }
           val nextFiles = update(base).distinct
           val nextFileSet = nextFiles.toSet
           val nextDvs =

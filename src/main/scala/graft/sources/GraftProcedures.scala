@@ -348,11 +348,16 @@ private[sources] object GraftProcedures {
       (names ++ vectors ++ markers).foreach(bring)
       // the clone's v1: the linked names under the source's bindings
       // and meta; the declared-schema prop carries so VERSION AS OF 1
-      // of the clone resolves the schema the source had now
+      // of the clone resolves the schema the source had now, and the
+      // CHECK-constraint props carry so the clone enforces the
+      // source's governance from its first write (r20 — checks are
+      // manifest props; the sidecar link above covers legacy fleets)
       FleetManifest.commit(fs, dp, _ => names, bootstrap = names,
         props = snap.flatMap(_.props.get(FleetManifest.SchemaProp))
           .map(v => Map(FleetManifest.SchemaProp -> v))
-          .getOrElse(Map.empty),
+          .getOrElse(Map.empty) ++
+          snap.map(_.props.filter(_._1.startsWith(
+            FleetManifest.CheckPropPrefix))).getOrElse(Map.empty),
         dvUpdate = snap.map(_.dvs.map { case (k, v) =>
           k -> Option(v) }).getOrElse(Map.empty),
         dvMetaUpdate = snap.map(_.dvMeta).getOrElse(Map.empty))
@@ -410,7 +415,17 @@ private[sources] object GraftProcedures {
     * validates the expression against the fleet's schema AND scans
     * the existing rows once (a constraint never lands on violating
     * data — every generation of a checked fleet satisfies its
-    * checks), then every subsequent write path enforces per row. */
+    * checks), then every subsequent write path enforces per row.
+    *
+    * TRANSACTIONAL since r20: the constraint lands as a MANIFEST
+    * commit under `expectedVersion` pinned to the generation the
+    * validation scan read, so it serializes against concurrent
+    * writers — a data commit slipping between scan and constraint
+    * conflicts this commit, which re-validates against the new
+    * generation and retries; symmetrically a writer that PLANNED
+    * before the constraint landed fails its own commit's
+    * `requireChecks` compare-and-set. One of the two always loses
+    * loudly; no committed generation can violate a committed check. */
   private final class AddCheck(dirFor: String => String)
       extends Base("add_check") {
     override def description: String =
@@ -429,21 +444,52 @@ private[sources] object GraftProcedures {
         s"check name '$name' must be [A-Za-z0-9_]+")
       val dir = requireFleet(dirFor, table)
       val (p, fs) = fsFor(dir)
-      val existing = FleetChecks.read(fs, p)
-      require(!existing.contains(name),
-        s"check '$name' already exists on '$table' " +
-          s"(${existing(name)}) — drop_check it first")
       val s = SparkSession.active
-      val df = s.read.format("graft-avro").load(dir)
-      // loud schema/analysis validation before any scan
-      FleetChecks.bind(s, Map(name -> expr), df.schema)
-      // ANSI CHECK: a row violates only when the expression is FALSE
-      val bad = df.filter(s"NOT coalesce(($expr), true)").count()
-      require(bad == 0L,
-        s"cannot add check '$name' to '$table': $bad existing row(s) " +
-          s"violate ($expr) — fix the data first (the constraint " +
-          "guarantee is that every committed generation satisfies it)")
-      FleetChecks.write(fs, p, existing + (name -> expr))
+      var attempts = 0
+      var landed = false
+      while (!landed) {
+        attempts += 1
+        val snap = FleetManifest.current(fs, p)
+        val existing = FleetChecks.read(fs, p)
+        require(!existing.contains(name),
+          s"check '$name' already exists on '$table' " +
+            s"(${existing(name)}) — drop_check it first")
+        // the validation scan reads EXACTLY the generation the
+        // commit will land on (versionAsOf pin; a manifest-less
+        // legacy fleet reads its raw listing and the bootstrap
+        // commit's expectedVersion=0 catches any concurrent first
+        // commit)
+        val df = snap.fold(s.read.format("graft-avro").load(dir))(sn =>
+          s.read.format("graft-avro")
+            .option("versionAsOf", sn.version.toString).load(dir))
+        // loud schema/analysis validation before any scan
+        FleetChecks.bind(s, Map(name -> expr), df.schema)
+        // ANSI CHECK: a row violates only when the expression is FALSE
+        val bad = df.filter(s"NOT coalesce(($expr), true)").count()
+        require(bad == 0L,
+          s"cannot add check '$name' to '$table': $bad existing row(s) " +
+            s"violate ($expr) — fix the data first (the constraint " +
+            "guarantee is that every committed generation satisfies it)")
+        try {
+          FleetManifest.commit(fs, p,
+            update = identity,
+            bootstrap = AvroFleetCommits.dataFileStatuses(fs, p)
+              .map(_.getPath.getName),
+            // the FULL set rides the commit (a legacy sidecar's
+            // content migrates into the manifest on first touch)
+            props = FleetChecks.toProps(existing + (name -> expr)),
+            expectedVersion = Some(snap.map(_.version).getOrElse(0L)))
+          FleetChecks.clearSidecar(fs, p)
+          landed = true
+        } catch {
+          case e: FleetCommitConflictException =>
+            if (attempts >= 8) throw new IllegalStateException(
+              s"add_check('$table', '$name') lost $attempts validation " +
+                "races to concurrent commits — quiesce writers and " +
+                s"retry (${e.getMessage})")
+          // else: re-read, re-validate against the new generation
+        }
+      }
       result(out, new GenericInternalRow(Array[Any](str(name),
         str(expr))))
     }
@@ -466,7 +512,17 @@ private[sources] object GraftProcedures {
       require(existing.contains(name),
         s"no check '$name' on '$table' (checks: " +
           s"${existing.keys.toSeq.sorted.mkString(", ")})")
-      FleetChecks.write(fs, p, existing - name)
+      // a drop needs no validation scan and no version pin: the
+      // sentinel clears the inherited entry whatever base it lands on
+      // (writers never conflict on a drop — requireChecks only flags
+      // checks they did NOT enforce)
+      FleetManifest.commit(fs, p,
+        update = identity,
+        bootstrap = AvroFleetCommits.dataFileStatuses(fs, p)
+          .map(_.getPath.getName),
+        props = FleetChecks.toProps(existing - name,
+          dropped = Some(name)))
+      FleetChecks.clearSidecar(fs, p)
       result(out, new GenericInternalRow(Array[Any](true)))
     }
   }

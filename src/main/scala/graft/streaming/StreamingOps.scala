@@ -106,6 +106,110 @@ object StreamingOps {
       .transformWithState(new SpendProcessor, TimeMode.None(), OM.Update())
   }
 
+  /** One emission of the EVICTING spend graphs: running totals while a
+    * user is active; `closed = true` exactly once when the event-time
+    * gap expires — after which the user's state is GONE (a later event
+    * starts a fresh session). The timeout/eviction/late-data semantics
+    * are pinned by twin specs on BOTH custom-state APIs. */
+  case class SpendUpdate(user_id: Long, total: Double, n: Long,
+      closed: Boolean)
+
+  /** Per-user spend with EVENT-TIME idle eviction —
+    * `flatMapGroupsWithState` spelling: accumulate per batch, arm the
+    * timeout at (max seen event time + gap); when the WATERMARK passes
+    * it, the timed-out group fires once, emits its final total tagged
+    * closed, and clears its state. State is bounded by ACTIVE users,
+    * not ever-seen users — the property that matters at 100 TB of
+    * events. */
+  def spendWithEviction(s: SparkSession, events: Dataset[EventRow],
+      gapMinutes: Int = 30): Dataset[SpendUpdate] = {
+    import s.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, rows: Iterator[EventRow],
+            state: GroupState[UserSpend]) => {
+          if (state.hasTimedOut) {
+            val fin = state.get
+            state.remove()
+            Iterator(SpendUpdate(uid, fin.total, fin.n, closed = true))
+          } else {
+            val prev = state.getOption.getOrElse(UserSpend(uid, 0.0, 0L))
+            var total = prev.total
+            var n = prev.n
+            var maxTs = Long.MinValue
+            rows.foreach { e =>
+              total += e.value; n += 1
+              maxTs = math.max(maxTs, e.ts.getTime)
+            }
+            val next = UserSpend(uid, total, n)
+            state.update(next)
+            // event-time timeouts must sit at/after the watermark; a
+            // straggler batch arriving with the watermark already past
+            // its own gap evicts on the next trigger instead of
+            // failing the arm call
+            state.setTimeoutTimestamp(math.max(maxTs + gapMs,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator(SpendUpdate(uid, total, n, closed = false))
+          }
+        })
+  }
+
+  /** The [[spendWithEviction]] TWIN on the Spark 4 transformWithState
+    * API: the same accumulate / event-time-timer / evict contract via
+    * an explicit ValueState handle plus `registerTimer` +
+    * `handleExpiredTimer` (the StatefulProcessor spelling of
+    * `setTimeoutTimestamp` + `hasTimedOut`). Timers re-arm per batch:
+    * the previous timer is deleted so each user carries exactly one. */
+  class SpendEvictProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, EventRow, SpendUpdate] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode => OM, TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[UserSpend] = _
+    override def init(outputMode: OM, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserSpend]("spend",
+        Encoders.product[UserSpend],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timers: TimerValues): Iterator[SpendUpdate] = {
+      val prev = Option(state.get()).getOrElse(UserSpend(key, 0.0, 0L))
+      var total = prev.total
+      var n = prev.n
+      var maxTs = Long.MinValue
+      rows.foreach { e =>
+        total += e.value; n += 1
+        maxTs = math.max(maxTs, e.ts.getTime)
+      }
+      state.update(UserSpend(key, total, n))
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(math.max(maxTs + gapMs,
+        timers.getCurrentWatermarkInMs() + 1L))
+      Iterator(SpendUpdate(key, total, n, closed = false))
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SpendUpdate] = {
+      val fin = Option(state.get()).getOrElse(UserSpend(key, 0.0, 0L))
+      state.clear()
+      Iterator(SpendUpdate(key, fin.total, fin.n, closed = true))
+    }
+  }
+
+  def spendWithEvictionTws(s: SparkSession, events: Dataset[EventRow],
+      gapMinutes: Int = 30): Dataset[SpendUpdate] = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode}
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SpendEvictProcessor(gapMinutes * 60000L),
+        TimeMode.EventTime(), OM.Update())
+  }
+
   /** Stream–stream interval join: each click attributed to the same
     * user's impression it followed within 10 minutes. Both sides carry
     * watermarks AND the join condition bounds event time on both sides,

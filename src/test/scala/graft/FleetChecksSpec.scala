@@ -134,6 +134,142 @@ class FleetChecksSpec extends SparkSpec {
     assert(got == Seq(999L, 888L))
   }
 
+  test("a writer that planned before add_check landed loses its commit loudly (requireChecks CAS)") {
+    import spark.implicits._
+    val (_, dir, s2) = stage("race_writer")
+    // land_check fires ONCE from inside the append's task — strictly
+    // between the write's plan-time check resolution (no checks) and
+    // its manifest commit: the r19 TOCTOU window. The constraint
+    // commit it lands is exactly add_check's (props-only, inherited
+    // forward); the writer's rows were never validated against it.
+    FleetChecksSpec.armConstraint(dir, "bal_floor", "bal >= 0")
+    spark.udf.register("land_check",
+      (_: Long) => { FleetChecksSpec.landOnce(); true })
+    def count() = spark.read.format("graft-avro").load(dir).count()
+    val e = intercept[Throwable] {
+      // spark.range (not a literal LocalRelation): the optimizer's
+      // ConvertToLocalRelation would otherwise fold the UDF at PLAN
+      // time, landing the constraint before the write resolves checks
+      spark.range(200, 201).select($"id",
+        when(expr("land_check(id)"), lit(-1L))
+          .otherwise(lit(-2L)).as("bal"))
+        .write.format("graft-avro").mode("append")
+        .save(dir)
+    }
+    assert(messages(e).contains("planned before CHECK constraint"),
+      messages(e))
+    assert(count() == 20,
+      "a commit that lost the constraint race landed rows")
+    // the constraint itself stands and now gates a re-run loudly at
+    // the task (the re-planned write enforces it)
+    val e2 = intercept[Throwable] {
+      Seq((200L, -1L)).toDF("id", "bal")
+        .write.format("graft-avro").mode("append").save(dir)
+    }
+    assert(messages(e2).contains("bal_floor"), messages(e2))
+    assert(count() == 20)
+    // and a VALID re-run commits through (drops never conflict; the
+    // re-plan adopted the constraint)
+    Seq((201L, 7L)).toDF("id", "bal")
+      .write.format("graft-avro").mode("append").save(dir)
+    assert(count() == 21)
+  }
+
+  test("add_check re-validates when a concurrent commit interleaves; violating rows make it refuse") {
+    import spark.implicits._
+    val (root, dir, s2) = stage("race_add")
+    // a violating container, staged in the fleet directory but NOT in
+    // the manifest — the once-firing UDF inside add_check's own
+    // validation scan commits it mid-validation, emulating a
+    // concurrent writer landing between the scan and the constraint
+    // commit. expectedVersion makes add_check lose, re-read, re-scan —
+    // and the re-scan finds the violating row: it must refuse.
+    val tmpFleet = s"$root/stagesrc.avro"
+    Seq((999L, -5L)).toDF("id", "bal").coalesce(1)
+      .write.format("graft-avro").mode("overwrite").save(tmpFleet)
+    val conf = spark.sessionState.newHadoopConf()
+    val tp = new org.apache.hadoop.fs.Path(tmpFleet)
+    val tfs = tp.getFileSystem(conf)
+    val srcFile = tfs.listStatus(tp).map(_.getPath)
+      .filter(q => q.getName.endsWith(".avro") &&
+        !q.getName.startsWith("_") && !q.getName.startsWith("."))
+      .head
+    val planted = new org.apache.hadoop.fs.Path(dir, "planted-neg.avro")
+    org.apache.hadoop.fs.FileUtil.copy(tfs, srcFile,
+      tfs, planted, false, conf)
+    FleetChecksSpec.armAppend(dir, "planted-neg.avro")
+    s2.udf.register("sneak_commit",
+      (_: Long) => { FleetChecksSpec.landOnce(); true })
+    val e = intercept[Throwable] {
+      s2.sql("CALL graft.system.add_check('t', 'bal_floor', " +
+        "'sneak_commit(bal) AND bal >= 0')").collect()
+    }
+    assert(messages(e).contains("existing row(s) violate"),
+      s"add_check must re-validate after losing the race: ${messages(e)}")
+    // no constraint landed — the fleet (with the racer's committed
+    // row) stays writable with negatives
+    assert(s2.sql("CALL graft.system.checks('t')").count() == 0)
+    Seq((300L, -1L)).toDF("id", "bal")
+      .write.format("graft-avro").mode("append").save(dir)
+  }
+
+  test("checks version with the manifest: AS OF shows each generation's set; clones and resets carry them; legacy sidecars migrate") {
+    import spark.implicits._
+    val (root, dir, s2) = stage("versioned")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val preV = graft.sources.FleetManifest.current(fs, p).get.version
+    s2.sql("CALL graft.system.add_check('t', 'bal_floor', 'bal >= 0')")
+      .collect()
+    // the constraint is a manifest commit: version bumped, prop set
+    val snap = graft.sources.FleetManifest.current(fs, p).get
+    assert(snap.version == preV + 1)
+    assert(graft.sources.FleetManifest.checksOf(snap.props) ==
+      Map("bal_floor" -> "bal >= 0"))
+    // history: the pre-add generation carries no check prop
+    val old = graft.sources.FleetManifest.snapshotAt(fs, p, preV).get
+    assert(graft.sources.FleetManifest.checksOf(old.props).isEmpty,
+      "a pre-add_check generation must show no constraint")
+    // a clone carries the constraint (manifest props ride the copy)
+    s2.sql("CALL graft.system.clone('t', 't2')").collect()
+    val e1 = intercept[Throwable] {
+      Seq((400L, -3L)).toDF("id", "bal")
+        .write.format("graft-avro").mode("append").save(s"$root/t2.avro")
+    }
+    assert(messages(e1).contains("bal_floor"), messages(e1))
+    // INSERT OVERWRITE replaces data, not governance: the check
+    // survives a reset commit
+    Seq((1L, 5L)).toDF("id", "bal")
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    val e2 = intercept[Throwable] {
+      Seq((2L, -5L)).toDF("id", "bal")
+        .write.format("graft-avro").mode("append").save(dir)
+    }
+    assert(messages(e2).contains("bal_floor"), messages(e2))
+    // LEGACY sidecar fleets enforce as before and migrate on first
+    // add/drop (sidecar deleted, content in the manifest)
+    val legacyDir = s"$root/legacy.avro"
+    spark.range(5).select($"id", ($"id" * 10).as("bal"))
+      .coalesce(1).write.format("graft-avro").mode("overwrite")
+      .save(legacyDir)
+    val lp = new org.apache.hadoop.fs.Path(legacyDir)
+    graft.sources.FleetChecks.writeSidecar(fs, lp,
+      Map("bal_floor" -> "bal >= 0"))
+    val e3 = intercept[Throwable] {
+      Seq((10L, -1L)).toDF("id", "bal")
+        .write.format("graft-avro").mode("append").save(legacyDir)
+    }
+    assert(messages(e3).contains("bal_floor"), messages(e3))
+    s2.sql("CALL graft.system.add_check('legacy', 'id_pos', 'id >= 0')")
+      .collect()
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(lp,
+      graft.sources.FleetChecks.FileName)),
+      "the first add_check must migrate the legacy sidecar away")
+    val migrated = graft.sources.FleetManifest.current(fs, lp).get
+    assert(graft.sources.FleetManifest.checksOf(migrated.props) ==
+      Map("bal_floor" -> "bal >= 0", "id_pos" -> "id >= 0"))
+  }
+
   test("the streaming sink enforces checks per epoch") {
     import spark.implicits._
     val (root, dir, s2) = stage("stream")
@@ -155,4 +291,47 @@ class FleetChecksSpec extends SparkSpec {
     assert(spark.read.format("graft-avro").load(dir).count() == 20,
       "a failed epoch landed rows")
   }
+}
+
+/** Once-firing hooks for the constraint-race specs: a task-side UDF
+  * lands a FOREIGN manifest commit exactly inside the window under
+  * test (same technique as [[MorRowLevelSpec]]'s bump_once). */
+object FleetChecksSpec {
+  private val target =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private val action =
+    new java.util.concurrent.atomic.AtomicReference[
+      org.apache.hadoop.fs.Path => Unit]()
+  private val pending = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Arm: the next landOnce commits `check:<name>` → expr (what
+    * add_check's commit publishes). */
+  def armConstraint(fleet: String, name: String, expr: String): Unit = {
+    target.set(fleet)
+    action.set { p =>
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      graft.sources.FleetManifest.commit(fs, p, identity, Nil,
+        props = Map(
+          (graft.sources.FleetManifest.CheckPropPrefix + name) -> expr))
+      ()
+    }
+    pending.set(true)
+  }
+
+  /** Arm: the next landOnce commits a pre-staged data file into the
+    * manifest (a concurrent append landing mid-validation). */
+  def armAppend(fleet: String, fileName: String): Unit = {
+    target.set(fleet)
+    action.set { p =>
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      graft.sources.FleetManifest.commit(fs, p,
+        base => base :+ fileName, Nil)
+      ()
+    }
+    pending.set(true)
+  }
+
+  def landOnce(): Unit =
+    if (pending.compareAndSet(true, false))
+      action.get()(new org.apache.hadoop.fs.Path(target.get))
 }

@@ -137,6 +137,74 @@ class StreamingSpec extends SparkSpec {
     assert(last == (10.0, 2L), s"got $last")
   }
 
+  private def evictionTwinCase(name: String,
+      graph: org.apache.spark.sql.Dataset[EventRow] =>
+        org.apache.spark.sql.Dataset[StreamingOps.SpendUpdate]): Unit = {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[EventRow]
+    // RocksDB provider explicitly on for both custom-state APIs
+    // (transformWithState requires it; the fMGWS twin runs the same
+    // store so the pair is comparable)
+    val q = startQuery(graph(in.toDS()).toDF(), name, OutputMode.Update())
+    def rows(): Seq[(Long, Double, Long, Boolean)] =
+      spark.table(name).collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Double]("total"), r.getAs[Long]("n"),
+        r.getAs[Boolean]("closed"))).toSeq
+    try {
+      // user 5 active at minutes 1-2; user 6 at minute 2
+      in.addData(EventRow(1, ts(1), 5, "buy", 10.0))
+      in.addData(EventRow(2, ts(2), 5, "buy", 2.5),
+        EventRow(3, ts(2), 6, "buy", 7.0))
+      q.processAllAvailable()
+      assert(rows().contains((5L, 12.5, 2L, false)))
+      assert(rows().contains((6L, 7.0, 1L, false)))
+      assert(!rows().exists(_._4), s"nothing evicts yet: ${rows()}")
+      // LATE DATA: watermark is ~minute -8 (max 2 - 10); a minute-1
+      // event is NOT late yet and folds in
+      in.addData(EventRow(4, ts(1), 6, "buy", 1.0))
+      q.processAllAvailable()
+      assert(rows().contains((6L, 8.0, 2L, false)))
+      // advance event time far past gap(30) + watermark(10): minute 50
+      // moves the watermark to 40 > 2 + 30 — both idle users EVICT
+      // with their final totals, exactly once
+      in.addData(EventRow(5, ts(50), 7, "buy", 1.0))
+      q.processAllAvailable()
+      // eviction fires when the ARMED timer is strictly below the new
+      // watermark; one more watermark advance guarantees the firing
+      // trigger ran after the move
+      in.addData(EventRow(6, ts(51), 7, "buy", 1.0))
+      q.processAllAvailable()
+      val closed = rows().filter(_._4)
+      assert(closed.toSet == Set((5L, 12.5, 2L, true), (6L, 8.0, 2L, true)),
+        s"idle users must evict once with final totals: ${rows()}")
+      // TIMEOUT CLEARED STATE: a post-eviction event starts FRESH
+      in.addData(EventRow(7, ts(52), 5, "buy", 3.0))
+      q.processAllAvailable()
+      assert(rows().contains((5L, 3.0, 1L, false)),
+        s"state must be gone after eviction: ${rows()}")
+      // WATERMARK-LATE DATA: minute 1 << watermark (≈42) — the engine
+      // drops it before the stateful operator; totals stand
+      val before = rows().size
+      in.addData(EventRow(8, ts(1), 5, "buy", 100.0))
+      q.processAllAvailable()
+      assert(rows().size == before,
+        s"a dropped late row must emit nothing: ${rows()}")
+      assert(!rows().exists(r => r._1 == 5L && r._2 > 100.0),
+        s"a watermark-late row must not fold into state: ${rows()}")
+    } finally q.stop()
+  }
+
+  test("fMGWS eviction twin: event-time timeout evicts idle users once; late data pinned") {
+    evictionTwinCase("spend_evict_fmgws",
+      ds => StreamingOps.spendWithEviction(spark, ds))
+  }
+
+  test("transformWithState eviction twin: registerTimer/handleExpiredTimer matches fMGWS") {
+    evictionTwinCase("spend_evict_tws",
+      ds => StreamingOps.spendWithEvictionTws(spark, ds))
+  }
+
   test("stream-stream interval join attributes clicks within the window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
