@@ -145,7 +145,7 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
-  test("ANN IVF recall@10 >= 0.8 vs brute-force top-k") {
+  test("ANN IVF recall@10 meets the named gate vs brute-force top-k") {
     val bf = LlmOps.qSimCosineTopk(spark, sfDir).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     val ivf = LlmOps.qSimAnnIvf(spark, sfDir).select("vec_id")
@@ -154,8 +154,40 @@ class OperatorSpec extends SparkSpec {
     // assigned to a non-probed cluster is the honest nprobe/k recall
     // trade (measured 9/10 at sf0.01, nprobe 2 of k=8 — the former
     // 10/10 was an artifact of raw-vector seed "centroids")
-    assert((bf & ivf).size >= 8,
-      s"IVF recall@10 below 0.8: got ${(bf & ivf).size}/10 ($ivf vs $bf)")
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= AnnRecallGates.IvfRecallAt10,
+      s"IVF recall@10 $recall below gate " +
+        s"${AnnRecallGates.IvfRecallAt10} ($ivf vs $bf)")
+  }
+
+  test("the recall gates have teeth: broken LSH geometry and scrambled IVF assignments fail them") {
+    import spark.implicits._
+    // LSH with a deliberately broken geometry (bucketLength 1/70th of
+    // the tuned value, foreign seed): neighbors hash to different
+    // narrow buckets, the candidate join starves, and the SAME recall
+    // measurement the positive spec gates on collapses below the gate
+    val exact = LlmOps.qSimKnnJoin(spark, sfDir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val broken = LlmOps.knnLshWith(spark, sfDir,
+      seed = 9999L, bucketLength = 0.01)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lshRecall = (exact & broken).size.toDouble / exact.size
+    assert(lshRecall < AnnRecallGates.LshKnnRecall,
+      s"broken-geometry LSH still passed the gate ($lshRecall) — " +
+        "the gate does not discriminate")
+    // IVF with SCRAMBLED list assignments (hash-random cluster ids
+    // under the true centroids): probing the 'nearest' clusters reads
+    // arbitrary vectors — recall@10 falls under the gate
+    val (seeds, lists) = LlmOps.buildIvfIndex(spark, sfDir)
+    val scrambled = lists.withColumn("cluster_id",
+      pmod(xxhash64($"vec_id"), lit(8)).cast("long"))
+    val bf = LlmOps.qSimCosineTopk(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = LlmOps.probeIvf(spark, sfDir, seeds, scrambled)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivfRecall = (bf & got).size.toDouble / bf.size
+    assert(ivfRecall < AnnRecallGates.IvfRecallAt10,
+      s"scrambled IVF assignments still passed the gate ($ivfRecall)")
   }
 
   test("approx percentile tracks exact within one quantity step") {
@@ -272,7 +304,8 @@ class OperatorSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty)
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"LSH knn recall too low: $recall")
+    assert(recall >= AnnRecallGates.LshKnnRecall,
+      s"LSH knn recall $recall below gate ${AnnRecallGates.LshKnnRecall}")
   }
 
   test("pii redaction leaves nothing matchable and counts every injection") {
