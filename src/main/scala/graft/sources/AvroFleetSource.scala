@@ -305,6 +305,18 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     }
   }
 
+  /** The session pin's version for this load, as the string spelling
+    * [[markerOf]] resolves — so a pinned read's DECLARED SCHEMA is the
+    * pinned generation's, matching the data the scan serves. Explicit
+    * AS-OF options and change-feed reads bypass (same rule as the
+    * scan builder's pin injection). */
+  private def pinnedVersionString(options: CaseInsensitiveStringMap)
+      : Option[String] =
+    if (cdcOf(options) || options.containsKey("branch") ||
+        options.containsKey("timestampAsOf")) None
+    else FleetPin.versionForLoad(SparkSession.active, pathOf(options))
+      .map(_.toString)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     // the CDC-apply sink's schema is its per-batch input, not the
     // target's (which may not exist yet — a fresh replication target
@@ -312,7 +324,8 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
     // option only answers the STREAMING_WRITE capability probe
     if (applyKeyCols(options).nonEmpty) return new StructType()
     val base = markerOf(pathOf(options), branchOf(options),
-      Option(options.get("versionAsOf")),
+      Option(options.get("versionAsOf")).orElse(
+        pinnedVersionString(options)),
       Option(options.get("timestampAsOf"))).map(_.schema).getOrElse {
       if (evolveOf(options))
         SchemaEvolution.merge(Avro.peekAllSchemas(SparkSession.active,
@@ -339,7 +352,7 @@ class AvroFleetSource extends TableProvider with DataSourceRegister
       return new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
         cdcApply = true)
     val marker = markerOf(pathOf(opts), branchOf(opts),
-      Option(opts.get("versionAsOf")),
+      Option(opts.get("versionAsOf")).orElse(pinnedVersionString(opts)),
       Option(opts.get("timestampAsOf")))
     new AvroFleetTable(schema, pathOf(opts), maxBytesOf(opts),
       evolveOf(opts) || marker.isDefined,
@@ -526,7 +539,14 @@ private[sources] class AvroFleetTable(tableSchema: StructType, path: String,
                     "times differ per fleet; load each separately")
               }
             }
-        }.orElse(versionAsOf),
+        }.orElse(versionAsOf).orElse {
+          // session snapshot pin ([[FleetPin]]): a pinned fleet reads
+          // its captured version. EXPLICIT addressing — versionAsOf /
+          // timestampAsOf / branch — and the change feed override the
+          // pin (they name their own snapshot).
+          if (cdc || options.containsKey("branch")) None
+          else FleetPin.versionForLoad(SparkSession.active, path)
+        },
       maxFileAgeMs = Option(options.get("maxFileAge"))
         .map(AvroFleetTable.parseDurationMs),
       ignoreMissingFiles = Option(options.get("ignoreMissingFiles"))

@@ -904,6 +904,19 @@ private[graft] object FleetManifest {
       txn: Option[(String, Long)] = None,
       requireChecks: Option[Map[String, String]] = None): Snapshot = {
     val key = fs.makeQualified(dir).toString
+    // a PINNED session is a read cut ([[FleetPin]]): committing to a
+    // fleet inside the pin vector would mean this session planned its
+    // write against the pinned — possibly stale — snapshot; fail at
+    // the one chokepoint every write path shares. Fleets OUTSIDE the
+    // vector (e.g. a fresh output fleet) commit normally.
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+      if (FleetPin.vector(s).contains(key))
+        throw new IllegalStateException(
+          s"this session holds a snapshot pin covering $dir " +
+            s"(CALL graft.system.pin) — a pinned session is a " +
+            "consistent READ cut; CALL graft.system.unpin() to " +
+            "write to pinned fleets, or write from another session")
+    }
     commitStripes(math.floorMod(key.hashCode, commitStripes.length))
       .synchronized {
         var attempts = 0
@@ -1143,5 +1156,99 @@ private[graft] object FleetManifest {
           })
       }
     }
+  }
+}
+
+/** CROSS-FLEET SNAPSHOT PIN (r20, the r19 verdict's #5): a session-
+  * level version VECTOR — one captured manifest version per fleet —
+  * so a multi-table query (a replication check, a train-set build)
+  * reads every fleet at one consistent cut, immune to commits landing
+  * between its scans.
+  *
+  * {{{
+  * CALL graft.system.pin()      -- capture: every fleet at its head
+  * ... multi-table reads ...    -- all resolve the captured versions
+  * CALL graft.system.unpin()
+  * }}}
+  *
+  * Semantics:
+  *  - The vector rides the SESSION conf (`spark.graft.pin`, a JSON
+  *    object of qualified fleet dir → version) — per-session like the
+  *    branch conf, nothing global.
+  *  - EXPLICIT addressing wins: `VERSION AS OF` / `TIMESTAMP AS OF` /
+  *    `option("versionAsOf"/"timestampAsOf"/"branch")` override the
+  *    pin for that read (a pinned session can still audit history).
+  *  - Change-feed reads are untouched (they address version ranges
+  *    explicitly).
+  *  - A pinned session is a READ cut: a manifest COMMIT to a pinned
+  *    fleet from the same session fails loudly ([[FleetManifest
+  *    .commit]]) — a write planned against the pinned (possibly
+  *    stale) snapshot could silently resurrect rows. Writes to
+  *    fleets OUTSIDE the vector (e.g. the train-set OUTPUT fleet,
+  *    created after the pin) commit normally — exactly the
+  *    read-pinned-inputs / write-fresh-output shape.
+  *  - Fleets created after the pin are not in the vector and read
+  *    current (they did not exist at the cut). */
+private[graft] object FleetPin {
+  val Conf = "spark.graft.pin"
+
+  def vector(s: org.apache.spark.sql.SparkSession): Map[String, Long] =
+    s.conf.getOption(Conf).filter(_.nonEmpty).map { j =>
+      org.json4s.jackson.JsonMethods.parse(j) match {
+        case o: org.json4s.JObject => o.obj.collect {
+          case (k, org.json4s.JString(v)) => k -> v.toLong
+        }.toMap
+        case other => throw new IllegalArgumentException(
+          s"$Conf must be a JSON object of {fleetDir: version}: $other")
+      }
+    }.getOrElse(Map.empty)
+
+  def render(vec: Map[String, Long]): String =
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JObject(vec.toList.sortBy(_._1).map { case (k, v) =>
+          k -> org.json4s.JString(v.toString) })))
+
+  /** The pinned version for one fleet directory, if the active
+    * session carries a pin naming it. */
+  def versionFor(s: org.apache.spark.sql.SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] = {
+    val vec = vector(s)
+    if (vec.isEmpty) None
+    else vec.get(fs.makeQualified(dir).toString)
+  }
+
+  /** Pin resolution for a LOAD-PATH read ([[AvroFleetTable
+    * .newScanBuilder]]): resolve the load string's fleet directories;
+    * a single pinned directory yields its version, a multi-directory
+    * load containing ANY pinned fleet fails loudly (one versionAsOf
+    * cannot address two fleets' different pinned versions). */
+  def versionForLoad(s: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] = {
+    val vec = vector(s)
+    if (vec.isEmpty) return None
+    val conf = s.sessionState.newHadoopConf()
+    val dirs = Avro.splitGlobs(path).toSeq.flatMap { g =>
+      val gp = new org.apache.hadoop.fs.Path(g)
+      val gfs = gp.getFileSystem(conf)
+      val hits = Option(gfs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isDirectory).map(st => gfs.makeQualified(st.getPath))
+      // a per-file load resolves through its enclosing fleet directory
+      if (hits.isEmpty) {
+        val p0 = gfs.makeQualified(gp)
+        if (gfs.exists(p0) && gfs.getFileStatus(p0).isFile)
+          Seq(p0.getParent)
+        else Seq.empty
+      } else hits
+    }.distinct
+    val pinned = dirs.filter(d => vec.contains(d.toString))
+    if (pinned.isEmpty) None
+    else if (dirs.size == 1) vec.get(dirs.head.toString)
+    else throw new IllegalArgumentException(
+      s"a pinned fleet cannot be read through a multi-directory load " +
+        s"(${dirs.size} directories match $path; pinned: " +
+        s"${pinned.mkString(", ")}) — the pin holds different versions " +
+        "per fleet; load each fleet separately")
   }
 }

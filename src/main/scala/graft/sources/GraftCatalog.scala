@@ -175,14 +175,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // A branch session resolves the branch's STAGED marker first —
         // a schema evolution staged on the fork is invisible to main
         // until fast_forward publishes it — and a VERSIONED read
-        // resolves the schema stamped AS OF that generation (r19)
+        // resolves the schema stamped AS OF that generation (r19).
+        // A session SNAPSHOT PIN (r20, [[FleetPin]]) resolves the
+        // captured version unless explicit AS-OF addressing wins.
+        val effVersion = versionAsOf.orElse(
+          FleetPin.versionFor(spark, fs, p))
         val marker = FleetSchemaMarker.resolveAt(fs, p,
-          FleetManifest.activeBranchAt(fs, p), versionAsOf)
+          FleetManifest.activeBranchAt(fs, p), effVersion)
         val schema = marker.map(_.schema).getOrElse(Avro.toSparkSchema(
           Avro.peekSchema(spark, dir, Avro.MaxIngestFileBytes)))
         new AvroFleetTable(schema, dir, Avro.MaxIngestFileBytes,
           evolve = marker.isDefined,
-          versionAsOf = versionAsOf,
+          versionAsOf = effVersion,
           aliases = marker.map(_.aliases).getOrElse(Map.empty))
       case Seq(wb) =>
         require(versionAsOf.isEmpty,

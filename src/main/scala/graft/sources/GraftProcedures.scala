@@ -65,7 +65,8 @@ private[sources] object GraftProcedures {
     "rewrite_files", "remove_orphans", "create_tag", "drop_tag", "tags",
     "create_branch", "fast_forward", "drop_branch", "branches",
     "expire_branches", "set_layout", "compact_vectors", "purge_vectors",
-    "add_check", "drop_check", "checks", "files", "clone")
+    "add_check", "drop_check", "checks", "files", "clone",
+    "pin", "unpin")
 
   def list(): Array[Identifier] =
     names.map(n => Identifier.of(Array(Namespace), n)).toArray
@@ -97,6 +98,8 @@ private[sources] object GraftProcedures {
       case "branches" => new Branches(dirFor)
       case "files" => new Files(dirFor)
       case "clone" => new Clone(dirFor)
+      case "pin" => new Pin(dirFor)
+      case "unpin" => new Unpin(dirFor)
       case "add_check" => new AddCheck(dirFor)
       case "drop_check" => new DropCheck(dirFor)
       case "checks" => new Checks(dirFor)
@@ -544,6 +547,54 @@ private[sources] object GraftProcedures {
           new GenericInternalRow(Array[Any](str(n), str(e)))
       }
       result(out, rows: _*)
+    }
+  }
+
+  /** `CALL pin()` / `CALL unpin()` — the cross-fleet SNAPSHOT PIN
+    * ([[FleetPin]], r20): capture every manifest-bearing fleet under
+    * the catalog root at its CURRENT version into the session's pin
+    * vector; until unpin, multi-table reads in this session resolve
+    * that consistent cut (explicit AS-OF / branch / change-feed reads
+    * override per read), and commits to pinned fleets fail loudly. */
+  private final class Pin(dirFor: String => String) extends Base("pin") {
+    override def description: String =
+      "capture a session-wide consistent read cut (one version per fleet)"
+    override def parameters(): Array[ProcedureParameter] = Array.empty
+    private val out = StructType(Seq(
+      StructField("table", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val root = new Path(dirFor("pin_probe")).getParent
+      val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+      val fleets = fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          fs.exists(new Path(st.getPath, FleetManifest.DirName)))
+        .sortBy(_.getPath.getName)
+      val entries = fleets.flatMap { st =>
+        FleetManifest.current(fs, st.getPath).map(sn =>
+          (st.getPath.getName.stripSuffix(".avro"),
+            fs.makeQualified(st.getPath).toString, sn.version))
+      }
+      s.conf.set(FleetPin.Conf, FleetPin.render(
+        entries.map(e => e._2 -> e._3).toMap))
+      result(out, entries.map(e => new GenericInternalRow(
+        Array[Any](str(e._1), e._3))): _*)
+    }
+  }
+
+  private final class Unpin(dirFor: String => String)
+      extends Base("unpin") {
+    override def description: String =
+      "drop the session's snapshot pin (reads resolve current again)"
+    override def parameters(): Array[ProcedureParameter] = Array.empty
+    private val out = StructType(Seq(
+      StructField("unpinned", BooleanType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val s = SparkSession.active
+      val had = s.conf.getOption(FleetPin.Conf).exists(_.nonEmpty)
+      s.conf.unset(FleetPin.Conf)
+      result(out, new GenericInternalRow(Array[Any](had)))
     }
   }
 

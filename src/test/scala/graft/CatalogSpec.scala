@@ -957,6 +957,63 @@ class CatalogSpec extends SparkSpec {
       "a reset must not rewrite history's declared schemas")
   }
 
+  test("snapshot pin: one consistent multi-fleet cut; concurrent commits invisible; pinned writes refuse; unpin restores") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("pin_root")
+    spark.range(10).select($"id", ($"id" * 2).as("v"))
+      .coalesce(1).write.format("graft-avro").mode("overwrite")
+      .save(s"$root/a.avro")
+    spark.range(10).select($"id", ($"id" * 3).as("w"))
+      .coalesce(1).write.format("graft-avro").mode("overwrite")
+      .save(s"$root/b.avro")
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    val vec = s2.sql("CALL graft.system.pin()").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vec == Map("a" -> 1L, "b" -> 1L), s"pin vector: $vec")
+    // ANOTHER session commits to both fleets AFTER the pin
+    spark.range(10, 20).select($"id", ($"id" * 2).as("v"))
+      .coalesce(1).write.format("graft-avro").mode("append")
+      .save(s"$root/a.avro")
+    spark.range(10, 20).select($"id", ($"id" * 3).as("w"))
+      .coalesce(1).write.format("graft-avro").mode("append")
+      .save(s"$root/b.avro")
+    // the pinned session still reads the CUT — catalog and path
+    // spellings alike, joins consistent across both fleets
+    assert(s2.table("graft.a").count() == 10,
+      "a commit after the pin leaked into a pinned catalog read")
+    assert(s2.read.format("graft-avro").load(s"$root/a.avro")
+      .count() == 10, "…or into a pinned path read")
+    assert(s2.sql(
+      """SELECT count(*) AS n FROM graft.a x
+        |JOIN graft.b y ON x.id = y.id""".stripMargin)
+      .head.getLong(0) == 10L)
+    // explicit AS-OF addressing overrides the pin per read
+    assert(s2.sql("SELECT * FROM graft.a VERSION AS OF 2").count() == 20)
+    // a write to a PINNED fleet refuses loudly (the pin is a read cut)
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("; ")
+    val e = intercept[Throwable] {
+      s2.sql("INSERT INTO graft.a VALUES (100, 200)")
+    }
+    assert(messages(e).contains("snapshot pin"), messages(e))
+    assert(spark.read.format("graft-avro").load(s"$root/a.avro")
+      .count() == 20, "the refused insert must land nothing")
+    // a fleet OUTSIDE the vector (created after the pin) writes fine —
+    // the read-pinned-inputs / write-fresh-output shape
+    s2.table("graft.a").write.format("graft-avro")
+      .mode("overwrite").save(s"$root/out.avro")
+    assert(spark.read.format("graft-avro").load(s"$root/out.avro")
+      .count() == 10)
+    // unpin: reads resolve current again, writes flow
+    s2.sql("CALL graft.system.unpin()").collect()
+    assert(s2.table("graft.a").count() == 20)
+    s2.sql("INSERT INTO graft.a VALUES (100, 200)")
+    assert(s2.table("graft.a").count() == 21)
+  }
+
   test("option(timestampAsOf) resolves the declared schema AS OF the bound generation, like versionAsOf") {
     // r19 ADVICE: getTable/inferSchema resolved only versionAsOf to
     // the schema marker, so a timestamp read of a pre-ALTER
