@@ -38,6 +38,37 @@ object Relational {
     * header + schema inference; the oracle checks the roundtripped
     * values against the parquet original. Region is a 5-row dimension —
     * the coalesce(1) is a fixture convenience, not a scan pattern. */
+  /** §2.A COLUMNAR FLEET — the parquet data-file tier over the same
+    * transactional manifest ([[graft.sources.ParquetFleet]], r20): the
+    * query stages customer as a committed parquet fleet, lands a
+    * MERGE-ON-READ delete as `_metadata.row_index` vectors (data files
+    * byte-identical), and reads the survivors through the VECTORIZED
+    * parquet scan + DV anti-join; `v1_rows` proves the pre-delete
+    * generation still time-travels. The oracle replays the surviving
+    * set (and the v1 count) from the base table — a leaked deleted
+    * row, a lost survivor, or broken time travel hash-mismatches. At
+    * 100 TB this tier is the scan-optimized data plane: ScanTierBench
+    * measures 2.5–3.6× over avro-OCF on scan-bound shapes (SURVEY §8). */
+  def qScanParquetFleet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_q")
+    val fleet = s"$root/cust.parquet"
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    graft.sources.ParquetFleet.overwrite(
+      customer(s, dir).select($"c_custkey", $"c_name",
+        round($"c_acctbal", 4).as("c_acctbal"))
+        .repartitionByRange(4, $"c_custkey"), fleet)         // v1
+    graft.sources.ParquetFleet.delete(s, fleet,
+      $"c_custkey" % 7 === 3)                                // v2 (MOR)
+    val v1 = graft.sources.ParquetFleet.read(s, fleet, Some(1L))
+      .agg(count(lit(1)).as("v1_rows"))
+    graft.sources.ParquetFleet.read(s, fleet)
+      .crossJoin(broadcast(v1))
+      .orderBy($"c_custkey")
+  }
+
   def qScanCsv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = scratch("csv_region")
@@ -954,6 +985,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> qScanParquet _,
+    "q_scan_parquet_fleet" -> qScanParquetFleet _,
     "q_scan_csv" -> qScanCsv _,
     "q_scan_orc" -> qScanOrc _,
     "q_scan_jsonl" -> qScanJsonl _,
@@ -1003,6 +1035,11 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q_scan_parquet" ->
       "SELECT * FROM nation ORDER BY n_nationkey",
+    "q_scan_parquet_fleet" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal,
+        |  (SELECT count(*) FROM customer) AS v1_rows
+        |FROM customer WHERE c_custkey % 7 <> 3
+        |ORDER BY c_custkey""".stripMargin,
     "q_scan_csv" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,

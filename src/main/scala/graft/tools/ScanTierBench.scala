@@ -36,7 +36,16 @@ object ScanTierBench {
     import spark.implicits._
 
     val root = graft.util.Scratch.dir("scan_tier_bench")
-    val base = graft.util.Tables.lineitem(spark, sfDir)
+    // identical logical schema both sides (the avro sink takes flat
+    // primitives; NTZ timestamps cast to TIMESTAMP for parity)
+    val base0 = graft.util.Tables.lineitem(spark, sfDir)
+    val base = base0.select(base0.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col(f.name).cast("timestamp").as(f.name)
+        case _ => col(f.name)
+      }
+    }.toSeq: _*)
     val wide = (0 until replicas).map(i =>
       base.withColumn("l_orderkey",
         $"l_orderkey" + lit(i.toLong * 100000000L))).reduce(_ union _)
@@ -54,7 +63,8 @@ object ScanTierBench {
         df.groupBy($"l_returnflag", $"l_linestatus")
           .agg(sum($"l_quantity"), sum($"l_extendedprice"),
             avg($"l_discount"), avg($"l_tax"),
-            count(lit(1)), max($"l_shipdate"), min($"l_commitdate"))),
+            count(lit(1)), max($"l_shipdate"), min($"l_shipdate"),
+            sum($"l_partkey"), sum($"l_suppkey"))),
       "narrow_sum" -> ((df: org.apache.spark.sql.DataFrame) =>
         df.agg(sum($"l_quantity"), sum($"l_extendedprice"))),
       "filtered" -> ((df: org.apache.spark.sql.DataFrame) =>
