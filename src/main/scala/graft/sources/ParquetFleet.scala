@@ -170,5 +170,41 @@ private[graft] object ParquetFleet {
     ()
   }
 
+  /** COMPACTION — the `rewrite_files` analog: materialize the bound
+    * deletion vectors into DENSE files. Reads the current MOR view,
+    * rewrites it as fresh part files, and swaps generations in ONE
+    * commit (every old data file out, the dense set in — retired
+    * files drop their bindings with them; prior versions keep reading
+    * until retention). `requireInBase` + the binding compare-and-set
+    * make a concurrent writer or MOR delete conflict loudly instead
+    * of losing rows/deletes under the swap. No-op on a vector-less
+    * fleet. */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val (fs, p) = fsp(s, dir)
+    val snap = resolve(s, dir, None)
+    if (snap.dvs.isEmpty) return
+    val t = tag()
+    val staging = new Path(p, s".staging-$t")
+    read(s, dir).write.parquet(staging.toString)
+    val parts = fs.listStatus(staging).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val names = parts.zipWithIndex.map { case (st, i) =>
+      val n = f"part-$i%05d-$t.parquet"
+      if (!fs.rename(st.getPath, new Path(p, n)))
+        throw new java.io.IOException(
+          s"cannot stage ${st.getPath} as $n in $dir")
+      n
+    }
+    val oldFiles = snap.files.toSet
+    FleetManifest.commit(fs, p,
+      update = base => base.filterNot(oldFiles) ++ names,
+      bootstrap = Seq.empty,
+      requireInBase = oldFiles,
+      requireDvs = snap.files.map(f => f -> snap.dvs.get(f)).toMap)
+    fs.delete(staging, true)
+    ()
+  }
+
   val DvDir = "_dv_parquet"
 }

@@ -99,6 +99,45 @@ class ParquetFleetSpec extends SparkSpec {
     assert(e.getMessage.contains("vector"), e.getMessage)
   }
 
+  test("compact materializes vectors into dense files; history keeps serving; stale compactions conflict") {
+    import spark.implicits._
+    val dir = stage("compact")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    ParquetFleet.delete(spark, dir, $"id" % 7 === 3)      // v2 (MOR)
+    val snapMor = manifest(dir)
+    assert(snapMor.dvs.nonEmpty)
+    val expected = (0L until 100L).filter(_ % 7 != 3).toSet
+    ParquetFleet.compact(spark, dir)                      // v3 (dense)
+    val snap = manifest(dir)
+    assert(snap.version == 3L && snap.dvs.isEmpty,
+      s"compaction must retire every binding: $snap")
+    assert(snap.files.toSet.intersect(snapMor.files.toSet).isEmpty,
+      "compaction must swap out every vectored generation file")
+    assert(ParquetFleet.read(spark, dir).select($"id")
+      .as[Long].collect().toSet == expected)
+    // the dense read carries NO anti-join (pure vectorized scan)
+    val q = ParquetFleet.read(spark, dir)
+    q.collect()
+    assert(!q.queryExecution.executedPlan.toString.toLowerCase
+      .contains("leftanti"), "a dense fleet must read join-free")
+    // prior generations still time-travel (files stay until retention)
+    assert(ParquetFleet.read(spark, dir, Some(1L)).count() == 100)
+    assert(ParquetFleet.read(spark, dir, Some(2L)).select($"id")
+      .as[Long].collect().toSet == expected)
+    // a vector-less compact is a no-op commit-wise
+    ParquetFleet.compact(spark, dir)
+    assert(manifest(dir).version == 3L)
+    // a compaction planned against a superseded generation conflicts
+    // loudly (requireInBase: its inputs were swapped away)
+    val e = intercept[graft.sources.FleetCommitConflictException] {
+      graft.sources.FleetManifest.commit(fs, p,
+        update = identity, bootstrap = Seq.empty,
+        requireInBase = snapMor.files.toSet)
+    }
+    assert(e.getMessage.contains("no longer in"), e.getMessage)
+  }
+
   test("vectorized reads: parquet scan with pushdown survives the DV anti-join") {
     import spark.implicits._
     val dir = stage("plan")
