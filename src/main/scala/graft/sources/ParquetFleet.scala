@@ -55,6 +55,21 @@ private[graft] object ParquetFleet {
   private def write(df: DataFrame, dir: String, reset: Boolean): Unit = {
     val s = df.sparkSession
     val (fs, p) = fsp(s, dir)
+    // appends must match the fleet's schema exactly: parquet reads
+    // take the first footer's schema, so a silently-divergent append
+    // would DROP the new columns (or null the old) on every read —
+    // loud beats silent (overwrite replaces the schema wholesale)
+    if (!reset) FleetManifest.current(fs, p)
+      .filter(_.files.nonEmpty).foreach { cur =>
+        val existing = s.read.parquet(s"$dir/${cur.files.head}").schema
+        val shape = (st: org.apache.spark.sql.types.StructType) =>
+          st.fields.map(f => (f.name, f.dataType)).toSeq
+        require(shape(df.schema) == shape(existing),
+          s"parquet fleet append schema mismatch at $dir: fleet has " +
+            s"${existing.simpleString}, append carries " +
+            s"${df.schema.simpleString} — align the columns or " +
+            "overwrite to replace the schema")
+      }
     fs.mkdirs(p)
     val t = tag()
     val staging = new Path(p, s".staging-$t")

@@ -1007,6 +1007,13 @@ class CatalogSpec extends SparkSpec {
       .mode("overwrite").save(s"$root/out.avro")
     assert(spark.read.format("graft-avro").load(s"$root/out.avro")
       .count() == 10)
+    // a multi-directory load touching a pinned fleet is LOUD (one
+    // versionAsOf cannot carry two fleets' pinned versions)
+    val eMulti = intercept[Throwable] {
+      s2.read.format("graft-avro").load(s"$root/*.avro").count()
+    }
+    assert(messages(eMulti).contains("multi-directory"),
+      messages(eMulti))
     // unpin: reads resolve current again, writes flow
     s2.sql("CALL graft.system.unpin()").collect()
     assert(s2.table("graft.a").count() == 20)

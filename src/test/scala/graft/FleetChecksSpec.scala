@@ -175,6 +175,27 @@ class FleetChecksSpec extends SparkSpec {
     assert(count() == 21)
   }
 
+  test("a DROP landing mid-write never conflicts the writer (rows passed a superset)") {
+    import spark.implicits._
+    val (_, dir, s2) = stage("race_drop")
+    s2.sql("CALL graft.system.add_check('t', 'bal_floor', 'bal >= 0')")
+      .collect()
+    // drop_once fires from inside the (valid) append's task — the
+    // writer planned WITH bal_floor, enforced it per row, and commits
+    // against a base whose check set SHRANK: requireChecks only flags
+    // checks the plan did NOT enforce, so the commit lands
+    FleetChecksSpec.armDrop(dir, "bal_floor")
+    spark.udf.register("drop_once",
+      (_: Long) => { FleetChecksSpec.landOnce(); true })
+    spark.range(500, 501).select($"id",
+      when(expr("drop_once(id)"), lit(7L)).otherwise(lit(8L)).as("bal"))
+      .write.format("graft-avro").mode("append").save(dir)
+    val got = spark.read.format("graft-avro").load(dir)
+      .filter($"id" === 500L).count()
+    assert(got == 1L, "a drop mid-write must not conflict a valid append")
+    assert(s2.sql("CALL graft.system.checks('t')").count() == 0)
+  }
+
   test("add_check re-validates when a concurrent commit interleaves; violating rows make it refuse") {
     import spark.implicits._
     val (root, dir, s2) = stage("race_add")
@@ -313,6 +334,20 @@ object FleetChecksSpec {
       graft.sources.FleetManifest.commit(fs, p, identity, Nil,
         props = Map(
           (graft.sources.FleetManifest.CheckPropPrefix + name) -> expr))
+      ()
+    }
+    pending.set(true)
+  }
+
+  /** Arm: the next landOnce commits a check DROP (the sentinel
+    * spelling drop_check publishes). */
+  def armDrop(fleet: String, name: String): Unit = {
+    target.set(fleet)
+    action.set { p =>
+      val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      graft.sources.FleetManifest.commit(fs, p, identity, Nil,
+        props = Map(
+          (graft.sources.FleetManifest.CheckPropPrefix + name) -> ""))
       ()
     }
     pending.set(true)

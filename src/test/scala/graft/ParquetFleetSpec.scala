@@ -47,6 +47,22 @@ class ParquetFleetSpec extends SparkSpec {
     assert(ParquetFleet.read(spark, dir, Some(2L)).count() == 120)
   }
 
+  test("append refuses a divergent schema loudly; overwrite replaces it") {
+    import spark.implicits._
+    val dir = stage("schema")
+    val e = intercept[IllegalArgumentException] {
+      ParquetFleet.append(
+        spark.range(3).select($"id", lit("x").as("note")), dir)
+    }
+    assert(e.getMessage.contains("schema mismatch"), e.getMessage)
+    assert(ParquetFleet.read(spark, dir).count() == 100,
+      "a refused append must land nothing")
+    ParquetFleet.overwrite(
+      spark.range(3).select($"id", lit("x").as("note")), dir)
+    assert(ParquetFleet.read(spark, dir).columns.toSeq ==
+      Seq("id", "note"))
+  }
+
   test("MOR delete: zero data files touched, row-index vectors bound, exact rows, history travels") {
     import spark.implicits._
     val dir = stage("mor")
