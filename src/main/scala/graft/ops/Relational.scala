@@ -69,6 +69,37 @@ object Relational {
       .orderBy($"c_custkey")
   }
 
+  /** §2.A COLUMNAR FLEET FILE SKIPPING (r20): every `ParquetFleet`
+    * commit captures footer-derived min/max/null-count stats (zero
+    * data reads — [[graft.sources.ParquetFleetStats]]) into the same
+    * `_stats.json` sidecar the avro tier proves skips from; `scan`
+    * prunes the range-clustered file list through
+    * `FleetStats.neverMatches` BEFORE the vectorized read. The query
+    * stages orders range-clustered on o_orderkey, lands a MOR delete,
+    * and scans a selective range+prefix predicate — the pruned path
+    * must still apply the deletion vectors of the surviving files and
+    * re-apply the full predicate, so a wrong skip proof, a dropped
+    * DV, or a lost survivor all hash-mismatch. At 100 TB the point is
+    * the files NOT read: a key-range predicate over a clustered fleet
+    * touches its files and no others, proven from the sidecar alone. */
+  def qScanParquetFleetSkip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_skip_q")
+    val fleet = s"$root/orders.parquet"
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    graft.sources.ParquetFleet.overwrite(
+      orders(s, dir).select($"o_orderkey", $"o_custkey",
+        r4($"o_totalprice").as("o_totalprice"), $"o_orderpriority")
+        .repartitionByRange(8, $"o_orderkey"), fleet)        // v1
+    graft.sources.ParquetFleet.delete(s, fleet,
+      $"o_orderkey" % 10 === 7)                              // v2 (MOR)
+    graft.sources.ParquetFleet.scan(s, fleet,
+      $"o_orderkey" <= 6000L && $"o_orderpriority".startsWith("1"))
+      .orderBy($"o_orderkey")
+  }
+
   def qScanCsv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = scratch("csv_region")
@@ -986,6 +1017,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> qScanParquet _,
     "q_scan_parquet_fleet" -> qScanParquetFleet _,
+    "q_scan_parquet_fleet_skip" -> qScanParquetFleetSkip _,
     "q_scan_csv" -> qScanCsv _,
     "q_scan_orc" -> qScanOrc _,
     "q_scan_jsonl" -> qScanJsonl _,
@@ -1040,6 +1072,13 @@ object Relational {
         |  (SELECT count(*) FROM customer) AS v1_rows
         |FROM customer WHERE c_custkey % 7 <> 3
         |ORDER BY c_custkey""".stripMargin,
+    "q_scan_parquet_fleet_skip" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey <= 6000 AND o_orderpriority LIKE '1%'
+        |  AND o_orderkey % 10 <> 7
+        |ORDER BY o_orderkey""".stripMargin,
     "q_scan_csv" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,

@@ -30,14 +30,28 @@ import org.apache.spark.sql.functions._
   *    surgical-delete regime.
   *  - TIME TRAVEL for free: `read(…, versionAsOf)` resolves any
   *    retained generation with its as-of bindings.
+  *  - FILE SKIPPING from FOOTER stats: every commit captures each new
+  *    file's parquet-footer min/max/null-counts into the same
+  *    `_stats.json` sidecar the avro tier uses
+  *    ([[ParquetFleetStats]] — zero data reads, the Iceberg design),
+  *    and [[scan]] prunes the snapshot's file list through the shared
+  *    [[FleetStats.neverMatches]] proofs BEFORE the vectorized read —
+  *    at 100 TB a selective predicate touches the files it must and
+  *    no others, without opening a single pruned footer. Stats are
+  *    version-independent (files are immutable and never renamed), so
+  *    time-travel scans prune too; deletes only shrink a file, so DV
+  *    commits never invalidate a bound.
   *
   * PROTOTYPE scope (deliberate): a library-level API (`append` /
-  * `overwrite` / `delete` / `read`), not a second DSv2 format — the
-  * avro tier keeps the full surface (streams, CDC, SQL row-level,
-  * checks, branches); this tier is the scan-optimized data plane a
-  * 100 TB analytics fleet would migrate its cold columnar data onto.
-  * Each delete writes per-file vectors via ONE distributed
-  * `partitionBy(file)` job (positions never collect to the driver). */
+  * `overwrite` / `delete` / `read` / `scan`), not a second DSv2
+  * format — the avro tier keeps the full surface (streams, CDC, SQL
+  * row-level, checks, branches); this tier is the scan-optimized data
+  * plane a 100 TB analytics fleet would migrate its cold columnar
+  * data onto. Each delete writes per-file vectors via ONE distributed
+  * `partitionBy(file)` job (positions never collect to the driver),
+  * reads only the stats-surviving candidate files, and rewrites ONLY
+  * the touched files' vectors — disjoint-file deletes commute under
+  * the manifest's per-file compare-and-set. */
 private[graft] object ParquetFleet {
 
   private def fsp(s: SparkSession, dir: String) = {
@@ -84,6 +98,10 @@ private[graft] object ParquetFleet {
           s"cannot stage ${st.getPath} as $n in $dir")
       n
     }
+    // footer stats land BEFORE the manifest commit: a committed
+    // generation always has its entries (a crash between strands
+    // files + stats together, invisible either way)
+    ParquetFleetStats.capture(s, dir, names)
     FleetManifest.commit(fs, p,
       update = base => if (reset) names else base ++ names,
       bootstrap = Seq.empty,
@@ -118,14 +136,23 @@ private[graft] object ParquetFleet {
     val snap = resolve(s, dir, versionAsOf)
     require(snap.files.nonEmpty,
       s"parquet fleet at $dir v${snap.version} holds no files")
-    val paths = snap.files.sorted.map(n => s"$dir/$n")
+    readFiles(s, dir, snap, snap.files.sorted)
+  }
+
+  /** Vectorized read of `files` (⊆ the snapshot) with the snapshot's
+    * deletion vectors applied — only the vectors bound to files in the
+    * subset are joined in. */
+  private def readFiles(s: SparkSession, dir: String,
+      snap: FleetManifest.Snapshot, files: Seq[String]): DataFrame = {
+    val paths = files.map(n => s"$dir/$n")
     val base = s.read.parquet(paths: _*)
-    if (snap.dvs.isEmpty) base
+    val dvs = snap.dvs.view.filterKeys(files.toSet).toMap
+    if (dvs.isEmpty) base
     else {
       val withMeta = base
         .withColumn("__file", col("_metadata.file_name"))
         .withColumn("__ridx", col("_metadata.row_index"))
-      val dels = snap.dvs.toSeq.sorted.map { case (f, vec) =>
+      val dels = dvs.toSeq.sorted.map { case (f, vec) =>
         s.read.parquet(s"$dir/$vec")
           .select(lit(f).as("__file"), col("ridx").as("__ridx"))
       }.reduce(_ union _)
@@ -134,6 +161,52 @@ private[graft] object ParquetFleet {
       withMeta.join(dels, Seq("__file", "__ridx"), "left_anti")
         .drop("__file", "__ridx")
     }
+  }
+
+  /** The snapshot's files split by the sidecar skip proofs under
+    * `pred`: (survivors, pruned). Files without a usable sidecar entry
+    * always survive (advisory stats). */
+  private[graft] def pruneFiles(s: SparkSession, dir: String,
+      snap: FleetManifest.Snapshot, pred: Column)
+      : (Seq[String], Seq[String]) = {
+    // the exact Filter translation Spark's own scans push (best-effort:
+    // an untranslatable conjunct proves nothing; the caller re-applies
+    // the full predicate, so a missing translation costs a read, never
+    // a row). Resolution needs the fleet schema — one driver-side
+    // footer read of the first file
+    val schema = s.read.parquet(s"$dir/${snap.files.head}").schema
+    val filters = org.apache.spark.sql.GraftPushdownShim
+      .pushableFilters(s, schema, pred)
+    if (filters.isEmpty) return (snap.files.sorted, Seq.empty)
+    val (fs, p) = fsp(s, dir)
+    val stats = FleetStats.read(fs, p)
+    snap.files.sorted.partition { n =>
+      stats.get(n).forall(st =>
+        !filters.exists(f => FleetStats.neverMatches(f, st)))
+    }
+  }
+
+  /** The PRUNED scan: resolve the snapshot, drop every file whose
+    * footer-derived sidecar stats PROVE the predicate matches none of
+    * its rows ([[FleetStats.neverMatches]] — min/max bounds,
+    * null-count proofs, prefix ranges, the same algebra the avro tier
+    * pushes), vector-read only the survivors, re-apply the full
+    * predicate. At 100 TB with range-clustered files this is the
+    * difference between touching TBs and touching the handful of
+    * files a selective query names — before a single data byte or
+    * pruned footer is read. */
+  def scan(s: SparkSession, dir: String, pred: Column,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = resolve(s, dir, versionAsOf)
+    require(snap.files.nonEmpty,
+      s"parquet fleet at $dir v${snap.version} holds no files")
+    val (keep, _) = pruneFiles(s, dir, snap, pred)
+    if (keep.isEmpty) {
+      // all files proven non-matching: empty result, fleet schema
+      val schema = s.read.parquet(s"$dir/${snap.files.head}").schema
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    } else readFiles(s, dir, snap, keep).filter(pred)
   }
 
   /** MERGE-ON-READ delete: matched rows' (file, row-index) identities
@@ -145,8 +218,12 @@ private[graft] object ParquetFleet {
   def delete(s: SparkSession, dir: String, condition: Column): Unit = {
     val (fs, p) = fsp(s, dir)
     val snap = resolve(s, dir, None)
-    val paths = snap.files.sorted.map(n => s"$dir/$n")
-    val withMeta = s.read.parquet(paths: _*)
+    // stats-pruned candidates: a file whose sidecar PROVES the
+    // condition matches no row holds no hits — a surgical delete at
+    // 100 TB scans the files it might touch, not the fleet
+    val (cands, _) = pruneFiles(s, dir, snap, condition)
+    if (cands.isEmpty) return
+    val withMeta = s.read.parquet(cands.map(n => s"$dir/$n"): _*)
       .withColumn("__file", col("_metadata.file_name"))
       .withColumn("__ridx", col("_metadata.row_index"))
     // the condition applies to LIVE rows only (already-deleted rows
@@ -154,35 +231,46 @@ private[graft] object ParquetFleet {
     // but the union below must not duplicate ordinals)
     val hits = withMeta.filter(condition)
       .select(col("__file"), col("__ridx"))
-    val existing = snap.dvs.toSeq.sorted.map { case (f, vec) =>
-      s.read.parquet(s"$dir/$vec")
-        .select(lit(f).as("__file"), col("ridx").as("__ridx"))
-    }
-    val all = (existing :+ hits).reduce(_ union _).distinct()
-    if (all.isEmpty) return
-    val t = tag()
-    val gen = s"$DvDir/gen-$t"
-    all.select(col("__file"), col("__ridx").as("ridx"))
-      .repartition(col("__file"))
-      .write.partitionBy("__file").parquet(s"$dir/$gen")
-    // one binding per touched file: the partition directory IS the
-    // vector (readable alone); untouched files keep their binding
-    val touched = fs.listStatus(new Path(p, gen)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(_.startsWith("__file="))
-      .map(d => java.net.URLDecoder.decode(
-        d.stripPrefix("__file="), "UTF-8") -> s"$gen/$d")
-    if (touched.isEmpty) { fs.delete(new Path(p, gen), true); return }
-    FleetManifest.commit(fs, p,
-      update = identity,
-      bootstrap = Seq.empty,
-      dvUpdate = touched.map { case (f, v) => f -> Option(v) }.toMap,
-      // CAS: the bindings this delete READ (absence included) — a
-      // racing MOR delete that swapped a vector conflicts loudly
-      requireDvs = touched.map { case (f, _) =>
-        f -> snap.dvs.get(f) }.toMap)
-    ()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1 (over the persisted hits): the touched-file list,
+      // O(touched files) driver rows. Only TOUCHED files' vectors are
+      // re-derived and re-bound — untouched files keep their bindings
+      // verbatim, so per-delete cost tracks THIS delete (not every
+      // delete ever) and file-disjoint deletes commute under the
+      // per-file compare-and-set
+      val touchedFiles = hits.select("__file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      if (touchedFiles.isEmpty) return
+      val existing = touchedFiles.flatMap(f => snap.dvs.get(f).map(vec =>
+        s.read.parquet(s"$dir/$vec")
+          .select(lit(f).as("__file"), col("ridx").as("__ridx"))))
+      val all = (existing :+ hits).reduce(_ union _).distinct()
+      val t = tag()
+      val gen = s"$DvDir/gen-$t"
+      all.select(col("__file"), col("__ridx").as("ridx"))
+        .repartition(col("__file"))
+        .write.partitionBy("__file").parquet(s"$dir/$gen")
+      // one binding per touched file: the partition directory IS the
+      // vector (readable alone); untouched files keep their binding
+      val touched = fs.listStatus(new Path(p, gen)).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filter(_.startsWith("__file="))
+        .map(d => java.net.URLDecoder.decode(
+          d.stripPrefix("__file="), "UTF-8") -> s"$gen/$d")
+      if (touched.isEmpty) { fs.delete(new Path(p, gen), true); return }
+      FleetManifest.commit(fs, p,
+        update = identity,
+        bootstrap = Seq.empty,
+        dvUpdate = touched.map { case (f, v) => f -> Option(v) }.toMap,
+        // CAS: the bindings this delete READ (absence included) — a
+        // racing MOR delete that swapped a touched file's vector
+        // conflicts loudly
+        requireDvs = touched.map { case (f, _) =>
+          f -> snap.dvs.get(f) }.toMap)
+      ()
+    } finally { hits.unpersist(); () }
   }
 
   /** COMPACTION — the `rewrite_files` analog: materialize the bound
@@ -212,6 +300,10 @@ private[graft] object ParquetFleet {
       n
     }
     val oldFiles = snap.files.toSet
+    // fresh dense files get fresh footer stats; retired names' stale
+    // sidecar entries are unreachable (names are never reused) and
+    // still serve retained-version time travel
+    ParquetFleetStats.capture(s, dir, names)
     FleetManifest.commit(fs, p,
       update = base => base.filterNot(oldFiles) ++ names,
       bootstrap = Seq.empty,

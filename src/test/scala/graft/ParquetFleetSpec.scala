@@ -171,4 +171,167 @@ class ParquetFleetSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("leftanti"),
       s"expected the DV anti-join:\n$plan")
   }
+
+  // ---- footer stats + file skipping (r20) ---------------------------
+
+  private def sidecar(dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    graft.sources.FleetStats.read(
+      p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  test("every commit captures footer stats: zero data reads, exact bounds and null counts") {
+    import spark.implicits._
+    val dir = stage("stats")
+    val snap = manifest(dir)
+    val stats = sidecar(dir)
+    assert(snap.files.forall(stats.contains),
+      s"missing sidecar entries: ${snap.files.filterNot(stats.contains)}")
+    assert(stats.view.filterKeys(snap.files.toSet)
+      .values.map(_.rows).sum == 100)
+    // per-file id bounds are true Longs, disjoint under range clustering
+    val bounds = snap.files.sorted.map { f =>
+      val cs = stats(f).cols("id")
+      assert(cs.nulls == 0)
+      (cs.min.get.asInstanceOf[Long], cs.max.get.asInstanceOf[Long])
+    }
+    assert(bounds.map(_._1).min == 0L && bounds.map(_._2).max == 99L)
+    val sorted = bounds.sortBy(_._1)
+    assert(sorted.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi < lo
+      case _ => true
+    }, s"range clustering should give disjoint file bounds: $sorted")
+    // appends capture too
+    ParquetFleet.append(
+      spark.range(100, 120).select($"id", ($"id" * 2).as("v")), dir)
+    val stats2 = sidecar(dir)
+    assert(manifest(dir).files.forall(stats2.contains))
+  }
+
+  test("scan prunes files through the sidecar proofs and equals the unpruned filter") {
+    import spark.implicits._
+    val dir = stage("skip")
+    val snap = manifest(dir)
+    // range predicate: only the first of four range-clustered files
+    // can hold ids <= 10
+    val pred = $"id" <= 10L
+    val (kept, pruned) = ParquetFleet.pruneFiles(spark, dir, snap, pred)
+    assert(kept.size == 1 && pruned.size == 3,
+      s"expected 3 of 4 files pruned: kept=$kept pruned=$pruned")
+    assert(ParquetFleet.scan(spark, dir, pred).select($"id")
+      .as[Long].collect().toSet == (0L to 10L).toSet)
+    // equality point-lookup prunes on min/max alone
+    val (k2, p2) = ParquetFleet.pruneFiles(spark, dir, snap, $"id" === 99L)
+    assert(k2.size == 1 && p2.size == 3, s"kept=$k2")
+    // an untranslatable predicate proves nothing and stays correct
+    val (k3, p3) =
+      ParquetFleet.pruneFiles(spark, dir, snap, $"id" % 7 === 3)
+    assert(k3.size == 4 && p3.isEmpty)
+    assert(ParquetFleet.scan(spark, dir, $"id" % 7 === 3).count() ==
+      (0L until 100L).count(_ % 7 == 3))
+    // a predicate no file can match returns empty with the schema
+    val none = ParquetFleet.scan(spark, dir, $"id" === -1L)
+    assert(none.columns.toSeq == Seq("id", "v") && none.count() == 0)
+  }
+
+  test("pruned scans still apply deletion vectors; deletes themselves prune and touch only hit files") {
+    import spark.implicits._
+    val dir = stage("skipmor")
+    // surgical delete inside the first file's range: the candidate
+    // pruning means only file 1 was even scanned; its vector binds
+    ParquetFleet.delete(spark, dir, $"id" === 5L)
+    val snap2 = manifest(dir)
+    assert(snap2.dvs.size == 1, s"one touched file, one binding: $snap2")
+    val boundFile = snap2.dvs.keys.head
+    // a second, file-disjoint delete must leave the first binding
+    // VERBATIM (only touched files' vectors are re-derived)
+    ParquetFleet.delete(spark, dir, $"id" === 95L)
+    val snap3 = manifest(dir)
+    assert(snap3.dvs.size == 2)
+    assert(snap3.dvs(boundFile) == snap2.dvs(boundFile),
+      "an untouched file's vector binding must not be rewritten")
+    // the PRUNED scan over the deleted range excludes the deleted row
+    assert(ParquetFleet.scan(spark, dir, $"id" <= 10L).select($"id")
+      .as[Long].collect().toSet == (0L to 10L).toSet - 5L)
+    // time-travel scans prune too (stats are version-independent)
+    assert(ParquetFleet.scan(spark, dir, $"id" <= 10L, Some(1L))
+      .count() == 11)
+  }
+
+  test("stats are advisory: a lost sidecar disables pruning, never correctness") {
+    import spark.implicits._
+    val dir = stage("advisory")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_stats.json"), false)
+    val snap = manifest(dir)
+    val (kept, pruned) =
+      ParquetFleet.pruneFiles(spark, dir, snap, $"id" <= 10L)
+    assert(kept.size == 4 && pruned.isEmpty,
+      "without stats every file must survive")
+    assert(ParquetFleet.scan(spark, dir, $"id" <= 10L).count() == 11)
+  }
+
+  test("temporal, string, and null-count proofs ride the footer carriers") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_carriers")
+    val dir = s"$root/t.parquet"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    try ParquetFleet.overwrite(
+      spark.range(100).select(
+        $"id",
+        concat(lit("k"), lpad($"id".cast("string"), 3, "0")).as("c"),
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          $"id".cast("int")).as("d"),
+        timestamp_seconds(lit(1700000000L) + $"id" * 3600).as("ts"),
+        when($"id" >= 25, $"id").as("maybe"))
+        .repartitionByRange(4, $"id"), dir)
+    finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+    val snap = manifest(dir)
+    def prunedCount(pred: org.apache.spark.sql.Column): Int =
+      ParquetFleet.pruneFiles(spark, dir, snap, pred)._2.size
+    // string prefix + equality (byte order == code-point order)
+    assert(prunedCount($"c".startsWith("k00")) == 3)
+    assert(prunedCount($"c" === "k042") == 3)
+    // DATE epoch-day carrier
+    assert(prunedCount($"d" < lit(java.sql.Date.valueOf("2024-01-11"))) == 3)
+    // TIMESTAMP epoch-µs carrier (µs-typed parquet stats)
+    assert(prunedCount(
+      $"ts" <= lit(new java.sql.Timestamp(1700000000L * 1000 +
+        10L * 3600 * 1000))) == 3)
+    // null-count proofs: file 1 (ids 0..24) is all-null in `maybe`
+    assert(prunedCount($"maybe".isNotNull) == 1)
+    assert(prunedCount($"maybe".isNull) == 3)
+    // and every pruned scan equals its unpruned twin
+    for (pred <- Seq($"c".startsWith("k00"), $"c" === "k042",
+        $"d" < lit(java.sql.Date.valueOf("2024-01-11")),
+        $"maybe".isNotNull, $"maybe".isNull)) {
+      val got = ParquetFleet.scan(spark, dir, pred)
+        .select($"id").as[Long].collect().toSet
+      val want = ParquetFleet.read(spark, dir).filter(pred)
+        .select($"id").as[Long].collect().toSet
+      assert(got == want, s"pruned scan diverged for $pred")
+    }
+  }
+
+  test("compact refreshes stats for the dense files") {
+    import spark.implicits._
+    val dir = stage("compactstats")
+    ParquetFleet.delete(spark, dir, $"id" % 7 === 3)
+    ParquetFleet.compact(spark, dir)
+    val snap = manifest(dir)
+    val stats = sidecar(dir)
+    assert(snap.files.forall(stats.contains),
+      "dense files must carry fresh footer stats")
+    assert(stats.view.filterKeys(snap.files.toSet)
+      .values.map(_.rows).sum == (0L until 100L).count(_ % 7 != 3))
+    // pruning works on the compacted generation
+    assert(ParquetFleet.scan(spark, dir, $"id" <= 10L).count() ==
+      (0L to 10L).count(_ % 7 != 3))
+  }
 }
