@@ -209,6 +209,66 @@ private[graft] object ParquetFleet {
     } else readFiles(s, dir, snap, keep).filter(pred)
   }
 
+  /** TIMESTAMP addressing, in parity with the avro tier's two AS OF
+    * spellings: resolve `raw` (any spelling the fleet options accept —
+    * ISO instant/date-time/date or epoch millis) to the LATEST version
+    * committed at-or-before it, through the same commit-time index
+    * (`FleetManifest.versionsWithTimes`). Compose with `read`/`scan`:
+    * `read(s, dir, Some(versionAtTimestamp(s, dir, ts)))`. */
+  def versionAtTimestamp(s: SparkSession, dir: String, raw: String): Long = {
+    val (fs, p) = fsp(s, dir)
+    val withTimes = FleetManifest.versionsWithTimes(fs, p)
+    require(withTimes.nonEmpty, s"no parquet fleet at $dir (no manifest)")
+    val ts = AvroFleetTable.parseTsOption("timestampAsOf", raw)
+    withTimes.filter(_._2 <= ts).map(_._1).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"timestampAsOf '$raw' predates the first commit at $dir " +
+          s"(${java.time.Instant.ofEpochMilli(withTimes.head._2)})"))
+  }
+
+  /** METADATA-TIER COUNT(*): the snapshot's row count from sidecar
+    * footer stats minus its deletion vectors' cardinalities — NO data
+    * file is opened when every file has a sidecar entry (a missing
+    * entry falls back to that one file's footer; vector cardinalities
+    * are footer row counts of the small vector files). Exact by
+    * construction: sidecar rows are the parquet footer's row count,
+    * and a vector holds DISTINCT in-file ordinals (deduped at write).
+    * The 100 TB posture: `SELECT count(*)` on a petabyte fleet is a
+    * sidecar read plus O(bound files) small-footer reads — the
+    * parquet-tier analog of the avro tier's zero-task COUNT pushdown.
+    * Falls back to the full vectored read only if metadata is
+    * unreadable (advisory-stats posture: never wrong, at worst slow). */
+  def count(s: SparkSession, dir: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val snap = resolve(s, dir, versionAsOf)
+    val (fs, p) = fsp(s, dir)
+    try {
+      val hconf = s.sessionState.newHadoopConf()
+      val stats = FleetStats.read(fs, p)
+      val live = snap.files.map { n =>
+        stats.get(n).map(_.rows).getOrElse(
+          ParquetFleetStats.fileStats(hconf, new Path(p, n))
+            .map(_._2.rows)
+            .getOrElse(throw new java.io.IOException(
+              s"unreadable footer: $n")))
+      }.sum
+      val deleted = snap.dvs.values.map { vec =>
+        val vdir = new Path(p, vec)
+        fs.listStatus(vdir).toSeq
+          .filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+          .map(st => ParquetFleetStats.fileStats(hconf, st.getPath)
+            .map(_._2.rows)
+            .getOrElse(throw new java.io.IOException(
+              s"unreadable vector footer: ${st.getPath}")))
+          .sum
+      }.sum
+      live - deleted
+    } catch { case scala.util.control.NonFatal(_) =>
+      readFiles(s, dir, snap, snap.files.sorted).count()
+    }
+  }
+
   /** MERGE-ON-READ delete: matched rows' (file, row-index) identities
     * land as per-file parquet vectors — data files stay byte-identical,
     * cost tracks the matched rows, history time-travels. One
@@ -281,14 +341,35 @@ private[graft] object ParquetFleet {
     * until retention). `requireInBase` + the binding compare-and-set
     * make a concurrent writer or MOR delete conflict loudly instead
     * of losing rows/deletes under the swap. No-op on a vector-less
-    * fleet. */
-  def compact(s: SparkSession, dir: String): Unit = {
+    * fleet unless `clusterBy` asks for a re-layout.
+    *
+    * `clusterBy` RANGE-CLUSTERS the dense files on the given columns
+    * (range repartition + in-partition sort — the layout the footer
+    * stats skip best: disjoint per-file bounds make `scan`'s pruning
+    * proofs surgical). The maintenance story at 100 TB: ingest appends
+    * land in arrival order; a periodic clustered compaction restores
+    * skip-effective layout, the zorder analog for the columnar tier.
+    * Without `numFiles`, AQE right-sizes the shuffle into
+    * target-sized files (the cluster default); pass it to pin an
+    * exact file count. */
+  def compact(s: SparkSession, dir: String,
+      clusterBy: Seq[Column] = Nil,
+      numFiles: Option[Int] = None): Unit = {
     val (fs, p) = fsp(s, dir)
     val snap = resolve(s, dir, None)
-    if (snap.dvs.isEmpty) return
+    if (snap.dvs.isEmpty && clusterBy.isEmpty) return
     val t = tag()
     val staging = new Path(p, s".staging-$t")
-    read(s, dir).write.parquet(staging.toString)
+    val view = read(s, dir)
+    val arranged =
+      if (clusterBy.isEmpty) view
+      else numFiles match {
+        case Some(n) => view.repartitionByRange(n, clusterBy: _*)
+          .sortWithinPartitions(clusterBy: _*)
+        case None => view.repartitionByRange(clusterBy: _*)
+          .sortWithinPartitions(clusterBy: _*)
+      }
+    arranged.write.parquet(staging.toString)
     val parts = fs.listStatus(staging).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
       .sortBy(_.getPath.getName)

@@ -319,6 +319,101 @@ class ParquetFleetSpec extends SparkSpec {
     }
   }
 
+  test("metadata-tier count: sidecar rows minus vector cardinalities, no data file opened") {
+    import spark.implicits._
+    val dir = stage("metacount")
+    assert(ParquetFleet.count(spark, dir) == 100L)
+    // MOR delete: count reflects the vectors without reading data
+    ParquetFleet.delete(spark, dir, $"id" % 7 === 3)
+    val expected = (0L until 100L).count(_ % 7 != 3).toLong
+    assert(ParquetFleet.count(spark, dir) == expected)
+    assert(ParquetFleet.count(spark, dir, Some(1L)) == 100L,
+      "time-travel counts resolve the as-of snapshot")
+    // idempotent re-delete must not double-count ordinals
+    ParquetFleet.delete(spark, dir, $"id" % 7 === 3)
+    assert(ParquetFleet.count(spark, dir) == expected)
+    // the PROOF that no data file is opened on the sidecar path:
+    // truncate every data file on a vector-less clone — count still
+    // answers from the sidecar alone
+    val dir2 = stage("metacount2")
+    val p2 = new org.apache.hadoop.fs.Path(dir2)
+    val fs2 = p2.getFileSystem(spark.sessionState.newHadoopConf())
+    manifest(dir2).files.foreach { n =>
+      val out = fs2.create(new org.apache.hadoop.fs.Path(p2, n), true)
+      out.close()
+    }
+    assert(ParquetFleet.count(spark, dir2) == 100L,
+      "sidecar-tier count must not open data files")
+    // and with the sidecar gone, the footer fallback is still exact
+    val dir3 = stage("metacount3")
+    val p3 = new org.apache.hadoop.fs.Path(dir3)
+    val fs3 = p3.getFileSystem(spark.sessionState.newHadoopConf())
+    fs3.delete(new org.apache.hadoop.fs.Path(p3, "_stats.json"), false)
+    assert(ParquetFleet.count(spark, dir3) == 100L)
+  }
+
+  test("timestamp addressing resolves through the commit-time index") {
+    import spark.implicits._
+    val dir = stage("tsaddr")
+    ParquetFleet.append(
+      spark.range(100, 120).select($"id", ($"id" * 2).as("v")), dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val times = graft.sources.FleetManifest.versionsWithTimes(fs, p)
+    assert(times.map(_._1).toSet == Set(1L, 2L))
+    // at-or-before each commit's own time resolves that version (ties
+    // between same-millisecond commits resolve to the newest — the
+    // AS OF convention)
+    val atV1 = ParquetFleet.versionAtTimestamp(spark, dir,
+      times.find(_._1 == 1L).get._2.toString)
+    assert(atV1 == 1L || times.groupBy(_._2).exists(_._2.size > 1))
+    assert(ParquetFleet.versionAtTimestamp(spark, dir,
+      (times.map(_._2).max + 60000).toString) == 2L)
+    val e = intercept[IllegalArgumentException] {
+      ParquetFleet.versionAtTimestamp(spark, dir,
+        (times.map(_._2).min - 60000).toString)
+    }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    assert(ParquetFleet.read(spark, dir,
+      Some(ParquetFleet.versionAtTimestamp(spark, dir,
+        (times.map(_._2).max + 60000).toString))).count() == 120)
+  }
+
+  test("clustered compaction restores skip-effective layout") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_cluster")
+    val dir = s"$root/t.parquet"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    // arrival-order layout: hash repartition spreads every id range
+    // over every file, so nothing can prune
+    ParquetFleet.overwrite(
+      spark.range(100).select($"id", ($"id" * 2).as("v"))
+        .repartition(4, $"id"), dir)
+    val before = ParquetFleet.pruneFiles(spark, dir, manifest(dir),
+      $"id" <= 10L)
+    // hash layout: MOST files span the full range (an occasional
+    // lucky file may still prune — the assertion below is the strict
+    // improvement, not an absolute zero here)
+    assert(before._1.size >= 3,
+      s"hash layout should leave most files unprunable: $before")
+    // a clustered compaction (no vectors — layout is the point);
+    // numFiles pins the count on this tiny fixture (AQE would
+    // right-size it into one file)
+    ParquetFleet.compact(spark, dir, clusterBy = Seq($"id"),
+      numFiles = Some(4))
+    assert(manifest(dir).version == 2L)
+    val after = ParquetFleet.pruneFiles(spark, dir, manifest(dir),
+      $"id" <= 10L)
+    assert(after._2.size > before._2.size &&
+      after._1.size < before._1.size,
+      s"clustered layout must prune strictly more: $before -> $after")
+    assert(ParquetFleet.scan(spark, dir, $"id" <= 10L).select($"id")
+      .as[Long].collect().toSet == (0L to 10L).toSet)
+    assert(ParquetFleet.count(spark, dir) == 100L)
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")
