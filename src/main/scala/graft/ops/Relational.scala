@@ -100,6 +100,37 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** §2.A COLUMNAR FLEET METADATA TIERS (r20): `count` answers from
+    * sidecar rows minus vector cardinalities (no data file opened on
+    * the clean path), `minMax` from sidecar bounds for DV-free files
+    * with a re-scan of only the DV-bound ones, and the v1 count rides
+    * time travel. The staged delete is SURGICAL (first file's key
+    * range only) so the extremum answers genuinely split across both
+    * tiers: min comes from the re-scanned dirty file (its sidecar
+    * bound — key 1 — is deleted, so a sidecar-only answer would be
+    * WRONG), max from a clean file's sidecar. A broken vector
+    * cardinality, a stale bound, or broken time travel all
+    * hash-mismatch against the oracle's replay. */
+  def qScanParquetFleetMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_meta_q")
+    val fleet = s"$root/cust.parquet"
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    graft.sources.ParquetFleet.overwrite(
+      customer(s, dir).select($"c_custkey")
+        .repartitionByRange(6, $"c_custkey"), fleet)         // v1
+    graft.sources.ParquetFleet.delete(s, fleet,
+      $"c_custkey" <= 5L)                                    // v2 (MOR)
+    val live = graft.sources.ParquetFleet.count(s, fleet)
+    val (mn, mx) = graft.sources.ParquetFleet.minMax(s, fleet, "c_custkey")
+    val v1 = graft.sources.ParquetFleet.count(s, fleet, Some(1L))
+    Seq((live, mn.get.asInstanceOf[java.lang.Long].longValue(),
+      mx.get.asInstanceOf[java.lang.Long].longValue(), v1))
+      .toDF("live_rows", "min_key", "max_key", "v1_rows")
+  }
+
   def qScanCsv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = scratch("csv_region")
@@ -1018,6 +1049,7 @@ object Relational {
     "q_scan_parquet" -> qScanParquet _,
     "q_scan_parquet_fleet" -> qScanParquetFleet _,
     "q_scan_parquet_fleet_skip" -> qScanParquetFleetSkip _,
+    "q_scan_parquet_fleet_meta" -> qScanParquetFleetMeta _,
     "q_scan_csv" -> qScanCsv _,
     "q_scan_orc" -> qScanOrc _,
     "q_scan_jsonl" -> qScanJsonl _,
@@ -1079,6 +1111,13 @@ object Relational {
         |WHERE o_orderkey <= 6000 AND o_orderpriority LIKE '1%'
         |  AND o_orderkey % 10 <> 7
         |ORDER BY o_orderkey""".stripMargin,
+    "q_scan_parquet_fleet_meta" ->
+      """SELECT
+        |  CAST(count(*) AS BIGINT) AS live_rows,
+        |  CAST(min(c_custkey) AS BIGINT) AS min_key,
+        |  CAST(max(c_custkey) AS BIGINT) AS max_key,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS v1_rows
+        |FROM customer WHERE c_custkey > 5""".stripMargin,
     "q_scan_csv" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,

@@ -143,7 +143,13 @@ object FleetCompact {
           fs.delete(FleetManifest.versionFilePath(dirPath, v), false)
         }
         val deleted = (candidates ++ dvCandidates).filter { n =>
-          fs.delete(new Path(dirPath, n), false)
+          val t = new Path(dirPath, n)
+          // a columnar-tier deletion vector is a DIRECTORY (one
+          // parquet partition per binding), wholly owned by its
+          // binding — it GCs recursively; plain files (avro tier
+          // data/vectors) keep the non-recursive guard
+          if (fs.isDirectory(t)) fs.delete(t, true)
+          else fs.delete(t, false)
         }
         ExpireResult(expired, deleted)
       }

@@ -397,6 +397,27 @@ private[graft] object FleetStats {
     }
   }
 
+  /** Remove `names`' entries from the sidecar (retention GC: an
+    * expired generation's deleted files must not accumulate advisory
+    * entries forever). Same stripe lock + temp-rename atomicity as
+    * [[write]]; a no-op when nothing matches. */
+  def drop(fs: FileSystem, dir: Path, names: Set[String]): Unit = {
+    if (names.isEmpty) return
+    val key = fs.makeQualified(dir).toString
+    writeLockStripes(math.floorMod(key.hashCode, writeLockStripes.length))
+      .synchronized {
+      val existing = read(fs, dir)
+      val kept = existing -- names
+      if (kept.size == existing.size) return
+      val tmp = new Path(dir, s".$FileName.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(render(kept).getBytes("UTF-8")) finally out.close()
+      val dest = new Path(dir, FileName)
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+    }
+  }
+
   /** Existing sidecar entries of one fleet directory; empty on any
     * problem (advisory data — never fail a read over it). */
   def read(fs: FileSystem, dir: Path): Map[String, PartStats] = {

@@ -394,5 +394,148 @@ private[graft] object ParquetFleet {
     ()
   }
 
+  /** SNAPSHOT RETENTION for the columnar tier — the same precise GC
+    * the avro tier runs ([[FleetCompact.expireVersions]]: keep the
+    * newest `keepLast` versions plus anything tagged/branched, drop
+    * expired version files first, then every data file and deletion-
+    * vector directory only expired generations referenced — crash
+    * between the two leaves harmless orphans, never a readable version
+    * with missing files). On top of the shared pass this tier also
+    * drops the deleted files' advisory sidecar entries (bounded
+    * `_stats.json`) and sweeps vector generation dirs left empty. */
+  def expire(s: SparkSession, dir: String, keepLast: Int)
+      : FleetCompact.ExpireResult = {
+    val r = FleetCompact.expireVersions(s, dir, keepLast)
+    val (fs, p) = fsp(s, dir)
+    FleetStats.drop(fs, p, r.deletedFiles.toSet)
+    val dvRoot = new Path(p, DvDir)
+    // a generation dir whose partition dirs all GC'd holds only write
+    // markers (_SUCCESS) — sweep it whole; one with any live partition
+    // stays, markers included
+    if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
+      if (st.isDirectory &&
+          !fs.listStatus(st.getPath).exists(c =>
+            c.isDirectory && c.getPath.getName.startsWith("__file=")))
+        fs.delete(st.getPath, true)
+    }
+    r
+  }
+
+  /** ORPHAN SWEEP: delete data files, staging leftovers, and vector
+    * partitions NO retained generation (main or branch) references,
+    * older than `graceMs` — the crashed-job debris a 100 TB fleet
+    * accumulates (a task-committed part whose manifest commit never
+    * landed, a `.staging-*` dir from a killed writer, a vector
+    * generation from a conflicted delete). The grace guard keeps an
+    * in-flight job's just-staged files safe: only strays strictly
+    * older than (now − grace) qualify. Returns the deleted paths
+    * (fleet-relative). */
+  def removeOrphans(s: SparkSession, dir: String, graceMs: Long)
+      : Seq[String] = {
+    require(graceMs >= 0, "graceMs must be >= 0")
+    val (fs, p) = fsp(s, dir)
+    val cutoff = System.currentTimeMillis() - graceMs
+    val (referenced, referencedDvs) =
+      FleetManifest.withCommitLock(fs, p) {
+        val snaps = FleetManifest.versions(fs, p).flatMap(v =>
+          FleetManifest.snapshotAtMain(fs, p, v).toSeq) ++
+          FleetManifest.branchSnapshots(fs, p)
+        (snaps.flatMap(_.files).toSet,
+          snaps.flatMap(_.dvs.values).toSet)
+      }
+    val dataGone = fs.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      val straysFile = st.isFile && n.endsWith(".parquet") &&
+        !referenced(n) && st.getModificationTime < cutoff
+      val straysStaging = st.isDirectory && n.startsWith(".staging-") &&
+        st.getModificationTime < cutoff
+      if (straysFile && fs.delete(st.getPath, false)) Some(n)
+      else if (straysStaging && fs.delete(st.getPath, true)) Some(n)
+      else None
+    }
+    val dvRoot = new Path(p, DvDir)
+    val dvGone =
+      if (!fs.exists(dvRoot)) Seq.empty
+      else fs.listStatus(dvRoot).toSeq.filter(_.isDirectory)
+        .flatMap { gen =>
+          val genRel = s"$DvDir/${gen.getPath.getName}"
+          val gone = fs.listStatus(gen.getPath).toSeq
+            .filter(_.isDirectory).flatMap { part =>
+              val rel = s"$genRel/${part.getPath.getName}"
+              if (!referencedDvs(rel) &&
+                  part.getModificationTime < cutoff &&
+                  fs.delete(part.getPath, true)) Some(rel)
+              else None
+            }
+          // a gen dir with no live partition left holds only write
+          // markers — sweep it, but never a fresh one (an in-flight
+          // delete may still be writing its partitions into it)
+          if (gen.getModificationTime < cutoff &&
+              !fs.listStatus(gen.getPath).exists(c =>
+                c.isDirectory && c.getPath.getName.startsWith("__file=")))
+            fs.delete(gen.getPath, true)
+          gone
+        }
+    // strayed data files may have advisory sidecar entries too
+    FleetStats.drop(fs, p, dataGone.toSet)
+    dataGone ++ dvGone
+  }
+
+  /** METADATA-TIER global MIN/MAX of one column: files WITHOUT a
+    * deletion vector answer from their sidecar bounds (no read at
+    * all); files WITH a vector re-scan — a deleted row may have BEEN
+    * the extremum, so their bounds are outer, not exact — as do files
+    * missing a usable sidecar entry. At 100 TB: MIN/MAX over a
+    * petabyte fleet reads exactly the DV-bound files, usually a
+    * surgical-delete handful. Returns the bounds in the sidecar's
+    * carrier spelling (integrals as Long, floats as Double, temporals
+    * as their epoch-µs/epoch-day longs, String/Boolean as-is);
+    * `(None, None)` means every row of the column is NULL (SQL MIN/MAX
+    * semantics — nulls are ignored). */
+  def minMax(s: SparkSession, dir: String, colName: String,
+      versionAsOf: Option[Long] = None): (Option[Any], Option[Any]) = {
+    val snap = resolve(s, dir, versionAsOf)
+    val (fs, p) = fsp(s, dir)
+    val stats = FleetStats.read(fs, p)
+    // proven = DV-free AND a sidecar entry carrying THIS column (an
+    // entry without it means the column's stats were dropped — NaN,
+    // unsound type — so that file re-scans; an all-null column is a
+    // present entry with absent bounds and contributes nothing, the
+    // SQL null semantics)
+    val (proven, scanFiles) = snap.files.sorted.partition { n =>
+      !snap.dvs.contains(n) && stats.get(n).exists(_.cols.contains(colName))
+    }
+    val sidecarBounds = proven.flatMap(n => stats(n).cols.get(colName))
+      .flatMap(cs => cs.min.zip(cs.max))
+    // scanned extrema normalize to the sidecar's carrier spelling so
+    // callers see ONE type family regardless of which tier answered
+    def carrier(v: Any): Any = v match {
+      case t: java.sql.Timestamp =>
+        Long.box(FleetFilters.temporalLong(t).get)
+      case d: java.sql.Date => Long.box(FleetFilters.temporalLong(d).get)
+      case i: java.time.Instant =>
+        Long.box(FleetFilters.temporalLong(i).get)
+      case ld: java.time.LocalDate =>
+        Long.box(FleetFilters.temporalLong(ld).get)
+      case f: java.lang.Float => Double.box(f.doubleValue())
+      case n: java.lang.Integer => Long.box(n.longValue())
+      case n: java.lang.Short => Long.box(n.longValue())
+      case n: java.lang.Byte => Long.box(n.longValue())
+      case other => other
+    }
+    val scanned: Option[(Any, Any)] =
+      if (scanFiles.isEmpty) None
+      else {
+        val row = readFiles(s, dir, snap, scanFiles)
+          .agg(min(col(colName)), max(col(colName))).head()
+        if (row.isNullAt(0)) None
+        else Some((carrier(row.get(0)), carrier(row.get(1))))
+      }
+    val mins = sidecarBounds.map(_._1) ++ scanned.map(_._1)
+    val maxs = sidecarBounds.map(_._2) ++ scanned.map(_._2)
+    (mins.reduceOption((a, b) => if (FleetFilters.cmp(a, b) <= 0) a else b),
+      maxs.reduceOption((a, b) => if (FleetFilters.cmp(a, b) >= 0) a else b))
+  }
+
   val DvDir = "_dv_parquet"
 }

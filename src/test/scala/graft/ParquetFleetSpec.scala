@@ -414,6 +414,123 @@ class ParquetFleetSpec extends SparkSpec {
     assert(ParquetFleet.count(spark, dir) == 100L)
   }
 
+  test("expire retires old generations, GCs vector directories and sidecar entries") {
+    import spark.implicits._
+    val dir = stage("expire")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val v1Files = manifest(dir).files.toSet
+    ParquetFleet.delete(spark, dir, $"id" % 7 === 3)      // v2 (vectors)
+    val v2 = manifest(dir)
+    assert(v2.dvs.nonEmpty)
+    ParquetFleet.compact(spark, dir)                      // v3 (dense)
+    val expected = (0L until 100L).count(_ % 7 != 3).toLong
+    val r = ParquetFleet.expire(spark, dir, keepLast = 1)
+    assert(r.expiredVersions == Seq(1L, 2L), r.toString)
+    // every v1/v2-only data file is gone; the dense set remains
+    assert(v1Files.forall(n =>
+      !fs.exists(new org.apache.hadoop.fs.Path(p, n))),
+      "expired generations' data files must be unlinked")
+    // vector directories GC'd recursively; empty gen dirs swept
+    val dvRoot = new org.apache.hadoop.fs.Path(p, ParquetFleet.DvDir)
+    assert(!fs.exists(dvRoot) || fs.listStatus(dvRoot).isEmpty,
+      "expired deletion-vector directories must be unlinked")
+    // sidecar entries for deleted files dropped; current files keep theirs
+    val stats = sidecar(dir)
+    assert(stats.keySet == manifest(dir).files.toSet,
+      s"sidecar must hold exactly the live files: ${stats.keySet}")
+    // the current generation still reads, counts, and prunes
+    assert(ParquetFleet.read(spark, dir).count() == expected)
+    assert(ParquetFleet.count(spark, dir) == expected)
+    // expired versions fail loudly
+    intercept[IllegalArgumentException] {
+      ParquetFleet.read(spark, dir, Some(1L)).count()
+    }
+  }
+
+  test("removeOrphans sweeps strays under the grace guard, never live files") {
+    import spark.implicits._
+    val dir = stage("orphans")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    ParquetFleet.delete(spark, dir, $"id" === 5L)
+    def plant(rel: String, asDir: Boolean): org.apache.hadoop.fs.Path = {
+      val t = new org.apache.hadoop.fs.Path(p, rel)
+      if (asDir) {
+        fs.mkdirs(t)
+        val f = fs.create(new org.apache.hadoop.fs.Path(t, "x.parquet"))
+        f.close()
+      } else { val f = fs.create(t); f.close() }
+      fs.setTimes(t, 1000L, -1)  // ancient mtime: clears any grace
+      t
+    }
+    val strayPart = plant("part-99999-deadbeef.parquet", asDir = false)
+    val strayStaging = plant(".staging-deadbeef", asDir = true)
+    val strayVec = plant(
+      s"${ParquetFleet.DvDir}/gen-deadbeef/__file=ghost.parquet",
+      asDir = true)
+    val gone = ParquetFleet.removeOrphans(spark, dir, graceMs = 60000)
+    assert(gone.size == 3, s"expected exactly the three strays: $gone")
+    assert(!fs.exists(strayPart) && !fs.exists(strayStaging) &&
+      !fs.exists(strayVec))
+    // live data files, the live vector, and the sidecar are untouched
+    val expected = (0L until 100L).filter(_ != 5L).toSet
+    assert(ParquetFleet.read(spark, dir).select($"id")
+      .as[Long].collect().toSet == expected)
+    assert(ParquetFleet.count(spark, dir) == expected.size.toLong)
+    // a fresh stray inside the grace window survives
+    val fresh = plant("part-88888-deadbeef.parquet", asDir = false)
+    fs.setTimes(fresh, System.currentTimeMillis(), -1)
+    assert(ParquetFleet.removeOrphans(spark, dir, graceMs = 3600000L)
+      .isEmpty)
+    assert(fs.exists(fresh))
+  }
+
+  test("metadata min/max: sidecar bounds for clean files, re-scan only DV-bound files") {
+    import spark.implicits._
+    val dir = stage("minmax")
+    assert(ParquetFleet.minMax(spark, dir, "id") ==
+      (Some(0L), Some(99L)))
+    // proof the clean path reads no data: truncate every data file on
+    // a DV-free twin — bounds still answer
+    val dir2 = stage("minmax2")
+    val p2 = new org.apache.hadoop.fs.Path(dir2)
+    val fs2 = p2.getFileSystem(spark.sessionState.newHadoopConf())
+    manifest(dir2).files.foreach { n =>
+      fs2.create(new org.apache.hadoop.fs.Path(p2, n), true).close()
+    }
+    assert(ParquetFleet.minMax(spark, dir2, "id") ==
+      (Some(0L), Some(99L)))
+    // deleting the global max forces the DV-bound file to re-scan —
+    // a sidecar-only answer would be WRONG here (99 is gone)
+    ParquetFleet.delete(spark, dir, $"id" === 99L)
+    assert(ParquetFleet.minMax(spark, dir, "id") ==
+      (Some(0L), Some(98L)))
+    assert(ParquetFleet.minMax(spark, dir, "v") ==
+      (Some(0L), Some(196L)))
+    // time travel: the pre-delete snapshot still answers 99 (clean
+    // files at v1 — pure sidecar)
+    assert(ParquetFleet.minMax(spark, dir, "id", Some(1L)) ==
+      (Some(0L), Some(99L)))
+    // null semantics: a column that is NULL everywhere is (None, None)
+    val dir3 = {
+      val root = graft.util.Scratch.dir("pqfleet_minmax3")
+      val d = s"$root/t.parquet"
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true)
+      ParquetFleet.overwrite(
+        spark.range(50).select($"id",
+          when($"id" >= 25, $"id").as("maybe"),
+          lit(null).cast("long").as("void"))
+          .repartitionByRange(2, $"id"), d)
+      d
+    }
+    assert(ParquetFleet.minMax(spark, dir3, "maybe") ==
+      (Some(25L), Some(49L)))
+    assert(ParquetFleet.minMax(spark, dir3, "void") == (None, None))
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")

@@ -176,6 +176,7 @@ class ScaleSpec extends SparkSpec {
       "q_sink_partitioned" -> "the partitioned write IS the operator",
       "q_scan_parquet_fleet" -> "stages a parquet fleet + MOR delete (the columnar tier commit IS the operator)",
       "q_scan_parquet_fleet_skip" -> "stages a parquet fleet + MOR delete (the footer-stats pruned scan IS the operator)",
+      "q_scan_parquet_fleet_meta" -> "stages a parquet fleet + MOR delete (the metadata count/minMax tiers ARE the operator)",
       // two-phase by design: pair generation materializes to scratch
       // parquet ONCE per JVM (AQE on) so the AQE-off 8-round unroll
       // iterates over a flat scan instead of a tree-expanded subtree
