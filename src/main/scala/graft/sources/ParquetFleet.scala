@@ -62,28 +62,92 @@ private[graft] object ParquetFleet {
   private def tag(): String = java.util.UUID.randomUUID().toString
     .replace("-", "").take(8)
 
+  /** The snapshot's DECLARED schema: the generation-stamped
+    * [[FleetManifest.SchemaProp]] marker when one exists (evolution
+    * commits stamp it; it inherits forward and is versioned, so AS OF
+    * reads see the as-of declaration — the avro tier's exact
+    * machinery), else the first data file's footer schema (a
+    * never-evolved fleet: every file agrees by the append guard). */
+  private def declaredSchema(s: SparkSession, dir: String,
+      snap: FleetManifest.Snapshot)
+      : org.apache.spark.sql.types.StructType =
+    snap.props.get(FleetManifest.SchemaProp).filter(_.nonEmpty)
+      .flatMap(t => scala.util.Try(
+        FleetSchemaMarker.fromJsonString(t).schema).toOption)
+      .getOrElse(s.read.parquet(s"$dir/${snap.files.head}").schema)
+
   /** Stage `df` as parquet part files inside the fleet directory under
     * job-tagged final names, then publish them as one manifest commit
     * (append or reset). The stage-then-commit shape matches the avro
-    * tier: files are invisible until the commit lands. */
-  private def write(df: DataFrame, dir: String, reset: Boolean): Unit = {
+    * tier: files are invisible until the commit lands.
+    *
+    * `txn` = the writer-idempotence token pair (appId, version): the
+    * write lands AT MOST ONCE per token against the manifest's
+    * inherited ledger ([[FleetManifest.TxnPropPrefix]]). A known
+    * replay is a PLANNING-TIME no-op (no staging job runs); the
+    * racing case — the ledger entry landing between our pre-check and
+    * commit — is caught inside the commit's own retry loop, and the
+    * just-staged files are unlinked before returning. Returns true
+    * iff this call's commit landed. */
+  private def write(df: DataFrame, dir: String, reset: Boolean,
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Boolean = {
+    import org.apache.spark.sql.types.StructType
     val s = df.sparkSession
     val (fs, p) = fsp(s, dir)
-    // appends must match the fleet's schema exactly: parquet reads
-    // take the first footer's schema, so a silently-divergent append
-    // would DROP the new columns (or null the old) on every read —
-    // loud beats silent (overwrite replaces the schema wholesale)
+    if (txn.exists { case (a, v) => FleetManifest.txnApplied(fs, p, a, v) })
+      return false
+    // DEFAULT appends must match the fleet's DECLARED schema exactly —
+    // a silently-divergent append would drop or null columns on every
+    // read, loud beats silent. `mergeSchema` opts into EVOLUTION:
+    // common columns must type-match (never silent coercion), NEW
+    // columns join the declared schema (old files null-fill them on
+    // read), OMITTED columns null-fill for the new files — and the
+    // evolved declaration commits as the generation-stamped
+    // SchemaProp marker, versioned + inherited exactly like the avro
+    // tier's, so AS OF reads see the as-of declaration.
+    var schemaProp = Map.empty[String, String]
     if (!reset) FleetManifest.current(fs, p)
       .filter(_.files.nonEmpty).foreach { cur =>
-        val existing = s.read.parquet(s"$dir/${cur.files.head}").schema
-        val shape = (st: org.apache.spark.sql.types.StructType) =>
+        val existing = declaredSchema(s, dir, cur)
+        val shape = (st: StructType) =>
           st.fields.map(f => (f.name, f.dataType)).toSeq
-        require(shape(df.schema) == shape(existing),
-          s"parquet fleet append schema mismatch at $dir: fleet has " +
-            s"${existing.simpleString}, append carries " +
-            s"${df.schema.simpleString} — align the columns or " +
-            "overwrite to replace the schema")
+        if (shape(df.schema) != shape(existing)) {
+          require(mergeSchema,
+            s"parquet fleet append schema mismatch at $dir: fleet has " +
+              s"${existing.simpleString}, append carries " +
+              s"${df.schema.simpleString} — align the columns, append " +
+              "with mergeSchema = true to evolve, or overwrite to " +
+              "replace the schema")
+          val exTypes = existing.fields
+            .map(f => f.name -> f.dataType).toMap
+          df.schema.fields.foreach(f => exTypes.get(f.name).foreach(t =>
+            require(t == f.dataType,
+              s"parquet fleet append type conflict on '${f.name}' at " +
+                s"$dir: fleet declares $t, append carries " +
+                s"${f.dataType} — evolution never coerces")))
+          val fresh = df.schema.fields
+            .filter(f => !exTypes.contains(f.name))
+            .map(_.copy(nullable = true))
+          // every pre-existing field turns nullable: evolved appends
+          // may omit it, and read-side null-fill must be declared
+          val declared = StructType(
+            existing.fields.map(_.copy(nullable = true)) ++ fresh)
+          if (shape(declared) != shape(existing) ||
+              existing.fields.exists(!_.nullable))
+            schemaProp = Map(FleetManifest.SchemaProp ->
+              FleetSchemaMarker.toJsonString(
+                FleetSchemaMarker.Marker(declared, Map.empty)))
+        }
       }
+    if (reset)
+      // the reset declaration REPLACES any inherited marker (the
+      // pre-evolution "" sentinel cleared it; stamping the actual
+      // schema serves versioned AS OF resolution the same way and
+      // keeps overwrite-then-append evolution exact)
+      schemaProp = Map(FleetManifest.SchemaProp ->
+        FleetSchemaMarker.toJsonString(
+          FleetSchemaMarker.Marker(df.schema, Map.empty)))
     fs.mkdirs(p)
     val t = tag()
     val staging = new Path(p, s".staging-$t")
@@ -102,19 +166,59 @@ private[graft] object ParquetFleet {
     // generation always has its entries (a crash between strands
     // files + stats together, invisible either way)
     ParquetFleetStats.capture(s, dir, names)
-    FleetManifest.commit(fs, p,
-      update = base => if (reset) names else base ++ names,
-      bootstrap = Seq.empty,
-      props = if (reset) Map(FleetManifest.SchemaProp -> "") else Map.empty)
+    val landed =
+      try {
+        FleetManifest.commit(fs, p,
+          update = base => if (reset) names else base ++ names,
+          bootstrap = Seq.empty,
+          props = schemaProp,
+          txn = txn)
+        true
+      } catch {
+        case _: FleetTxnAlreadyAppliedException =>
+          // the token landed between pre-check and commit (a racing
+          // replay): unlink this call's staged-but-unreferenced files
+          // and their advisory entries — zero residue
+          names.foreach(n => fs.delete(new Path(p, n), false))
+          FleetStats.drop(fs, p, names.toSet)
+          false
+      }
     fs.delete(staging, true)
-    ()
+    landed
   }
 
-  def append(df: DataFrame, dir: String): Unit =
-    write(df, dir, reset = false)
+  /** Append `df` as one committed generation. With `txn` =
+    * (appId, version), the append lands AT MOST ONCE per token — the
+    * Delta-style writer-idempotence pair over the manifest's inherited
+    * ledger; returns true iff this call committed (false = idempotent
+    * replay, skipped). `mergeSchema = true` opts into SCHEMA
+    * EVOLUTION: new columns join the declared schema (old files
+    * null-fill on read), omitted columns null-fill for the new files,
+    * type conflicts stay loud. */
+  def append(df: DataFrame, dir: String,
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Boolean =
+    write(df, dir, reset = false, txn, mergeSchema)
 
-  def overwrite(df: DataFrame, dir: String): Unit =
-    write(df, dir, reset = true)
+  def overwrite(df: DataFrame, dir: String,
+      txn: Option[(String, Long)] = None): Boolean =
+    write(df, dir, reset = true, txn)
+
+  /** EXACTLY-ONCE STREAMING APPEND into the columnar tier — the
+    * `foreachBatch` body:
+    * {{{
+    * ds.writeStream.foreachBatch(ParquetFleet.streamingAppend(dir, appId))
+    *   .option("checkpointLocation", ...).start()
+    * }}}
+    * Structured Streaming replays a micro-batch whose driver died
+    * after the sink ran but before the checkpoint advanced; the
+    * (appId, batchId) token makes the replayed `addBatch` a
+    * planning-time NO-OP against the ledger, so a restarted stream
+    * can never double a batch's rows — the columnar twin of the avro
+    * tier's native streaming sink. */
+  def streamingAppend(dir: String, appId: String)
+      : (DataFrame, Long) => Unit =
+    (df, batchId) => { append(df, dir, txn = Some((appId, batchId))); () }
 
   private def resolve(s: SparkSession, dir: String,
       versionAsOf: Option[Long]): FleetManifest.Snapshot = {
@@ -145,7 +249,11 @@ private[graft] object ParquetFleet {
   private def readFiles(s: SparkSession, dir: String,
       snap: FleetManifest.Snapshot, files: Seq[String]): DataFrame = {
     val paths = files.map(n => s"$dir/$n")
-    val base = s.read.parquet(paths: _*)
+    // the DECLARED schema drives the read: files predating an evolved
+    // column null-fill it, files written without an omitted column
+    // null-fill too — and an AS OF snapshot carries its own marker
+    val base = s.read.schema(declaredSchema(s, dir, snap))
+      .parquet(paths: _*)
     val dvs = snap.dvs.view.filterKeys(files.toSet).toMap
     if (dvs.isEmpty) base
     else {
@@ -172,11 +280,11 @@ private[graft] object ParquetFleet {
     // the exact Filter translation Spark's own scans push (best-effort:
     // an untranslatable conjunct proves nothing; the caller re-applies
     // the full predicate, so a missing translation costs a read, never
-    // a row). Resolution needs the fleet schema — one driver-side
-    // footer read of the first file
-    val schema = s.read.parquet(s"$dir/${snap.files.head}").schema
+    // a row). Resolution runs against the DECLARED schema, so evolved
+    // columns resolve too — a file predating the column has no sidecar
+    // entry for it and never proves a skip (null-fill is conservative)
     val filters = org.apache.spark.sql.GraftPushdownShim
-      .pushableFilters(s, schema, pred)
+      .pushableFilters(s, declaredSchema(s, dir, snap), pred)
     if (filters.isEmpty) return (snap.files.sorted, Seq.empty)
     val (fs, p) = fsp(s, dir)
     val stats = FleetStats.read(fs, p)
@@ -201,12 +309,11 @@ private[graft] object ParquetFleet {
     require(snap.files.nonEmpty,
       s"parquet fleet at $dir v${snap.version} holds no files")
     val (keep, _) = pruneFiles(s, dir, snap, pred)
-    if (keep.isEmpty) {
-      // all files proven non-matching: empty result, fleet schema
-      val schema = s.read.parquet(s"$dir/${snap.files.head}").schema
+    if (keep.isEmpty)
+      // all files proven non-matching: empty result, declared schema
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
-    } else readFiles(s, dir, snap, keep).filter(pred)
+        declaredSchema(s, dir, snap))
+    else readFiles(s, dir, snap, keep).filter(pred)
   }
 
   /** TIMESTAMP addressing, in parity with the avro tier's two AS OF
@@ -283,7 +390,8 @@ private[graft] object ParquetFleet {
     // 100 TB scans the files it might touch, not the fleet
     val (cands, _) = pruneFiles(s, dir, snap, condition)
     if (cands.isEmpty) return
-    val withMeta = s.read.parquet(cands.map(n => s"$dir/$n"): _*)
+    val withMeta = s.read.schema(declaredSchema(s, dir, snap))
+      .parquet(cands.map(n => s"$dir/$n"): _*)
       .withColumn("__file", col("_metadata.file_name"))
       .withColumn("__ridx", col("_metadata.row_index"))
     // the condition applies to LIVE rows only (already-deleted rows

@@ -531,6 +531,132 @@ class ParquetFleetSpec extends SparkSpec {
     assert(ParquetFleet.minMax(spark, dir3, "void") == (None, None))
   }
 
+  test("writer-idempotence tokens make appends and overwrites at-most-once") {
+    import spark.implicits._
+    val dir = stage("txn")
+    def files() = manifest(dir).files.size
+    val extra = spark.range(100, 120).select($"id", ($"id" * 2).as("v"))
+    assert(ParquetFleet.append(extra, dir, txn = Some(("loader", 1L))))
+    assert(manifest(dir).version == 2L &&
+      ParquetFleet.count(spark, dir) == 120L)
+    val nFiles = files()
+    // replay: planning-time NO-OP — no commit, no rows, no residue
+    assert(!ParquetFleet.append(extra, dir, txn = Some(("loader", 1L))))
+    assert(manifest(dir).version == 2L &&
+      ParquetFleet.count(spark, dir) == 120L && files() == nFiles)
+    // the ledger is a monotone max: an older token skips too
+    assert(!ParquetFleet.append(extra, dir, txn = Some(("loader", 0L))))
+    // the next token lands; a different appId is an independent ledger
+    assert(ParquetFleet.append(
+      spark.range(120, 125).select($"id", ($"id" * 2).as("v")),
+      dir, txn = Some(("loader", 2L))))
+    assert(ParquetFleet.append(
+      spark.range(125, 130).select($"id", ($"id" * 2).as("v")),
+      dir, txn = Some(("other", 1L))))
+    assert(ParquetFleet.count(spark, dir) == 130L)
+    // the ledger survives a token OVERWRITE (reset inherits it), so
+    // an overwrite replay skips instead of double-resetting
+    assert(ParquetFleet.overwrite(
+      spark.range(7).select($"id", ($"id" * 2).as("v")),
+      dir, txn = Some(("loader", 3L))))
+    assert(!ParquetFleet.overwrite(
+      spark.range(7).select($"id", ($"id" * 2).as("v")),
+      dir, txn = Some(("loader", 3L))))
+    assert(ParquetFleet.count(spark, dir) == 7L)
+    // untokened writes stay unconditional
+    assert(ParquetFleet.append(
+      spark.range(7, 9).select($"id", ($"id" * 2).as("v")), dir))
+    assert(ParquetFleet.count(spark, dir) == 9L)
+  }
+
+  test("streamingAppend is exactly-once across micro-batch replays and a real stream") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_stream")
+    val dir = s"$root/t.parquet"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val sink = ParquetFleet.streamingAppend(dir, "streamA")
+    sink(spark.range(10).select($"id"), 0L)
+    sink(spark.range(10, 25).select($"id"), 1L)
+    // the engine replays batch 1 after a crash-before-checkpoint
+    sink(spark.range(10, 25).select($"id"), 1L)
+    assert(ParquetFleet.count(spark, dir) == 25L,
+      "a replayed micro-batch must not double its rows")
+    // and through a REAL foreachBatch stream
+    val fs2dir = s"$root/t2.parquet"
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    val q = in.toDS().toDF("id").writeStream
+      .option("checkpointLocation", s"$root/ckpt")
+      .foreachBatch(ParquetFleet.streamingAppend(fs2dir, "streamB"))
+      .start()
+    try {
+      in.addData(1L, 2L, 3L)
+      q.processAllAvailable()
+      in.addData(4L, 5L)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ParquetFleet.count(spark, fs2dir) == 5L)
+    assert(ParquetFleet.read(spark, fs2dir).select($"id")
+      .as[Long].collect().toSet == (1L to 5L).toSet)
+  }
+
+  test("schema evolution: mergeSchema adds columns, null-fills omissions, never coerces") {
+    import spark.implicits._
+    val dir = stage("evolve")                              // v1: (id, v)
+    // a NEW column joins the declared schema; old rows null-fill
+    assert(ParquetFleet.append(
+      spark.range(100, 110).select($"id", ($"id" * 2).as("v"),
+        concat(lit("n"), $"id".cast("string")).as("note")),
+      dir, mergeSchema = true))                            // v2
+    val evolved = ParquetFleet.read(spark, dir)
+    assert(evolved.columns.toSeq == Seq("id", "v", "note"))
+    assert(evolved.filter($"note".isNotNull).count() == 10)
+    assert(evolved.filter($"id" < 100 && $"note".isNull).count() == 100)
+    // an OMITTED column null-fills for the new rows
+    assert(ParquetFleet.append(
+      spark.range(110, 115).select($"id"), dir, mergeSchema = true)) // v3
+    val omitted = ParquetFleet.read(spark, dir)
+    assert(omitted.filter($"id" >= 110 && $"v".isNull &&
+      $"note".isNull).count() == 5)
+    assert(ParquetFleet.count(spark, dir) == 115L)
+    // the STRICT default still refuses divergence loudly
+    val e1 = intercept[IllegalArgumentException] {
+      ParquetFleet.append(
+        spark.range(3).select($"id", lit("x").as("other")), dir)
+    }
+    assert(e1.getMessage.contains("mergeSchema"), e1.getMessage)
+    // a TYPE conflict is loud even under evolution
+    val e2 = intercept[IllegalArgumentException] {
+      ParquetFleet.append(
+        spark.range(3).select($"id", $"id".cast("int").as("v")),
+        dir, mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("type conflict"), e2.getMessage)
+    // AS OF reads resolve the as-of declaration: v1 shows two columns
+    assert(ParquetFleet.read(spark, dir, Some(1L)).columns.toSeq ==
+      Seq("id", "v"))
+    // pruning + scan on the evolved column: pre-evolution files have
+    // no sidecar entry for `note`, so they never prove a skip — and
+    // the full predicate re-applies over their null-fill
+    assert(ParquetFleet.scan(spark, dir, $"note" === "n105")
+      .select($"id").as[Long].collect().toSeq == Seq(105L))
+    assert(ParquetFleet.scan(spark, dir, $"note".isNull).count() == 105)
+    // metadata minMax over the evolved column re-scans only the files
+    // that might hold it
+    assert(ParquetFleet.minMax(spark, dir, "note") ==
+      (Some("n100"), Some("n109")))
+    // MOR delete against an evolved predicate, then compact: the
+    // dense generation materializes the full declared schema
+    ParquetFleet.delete(spark, dir, $"note" === "n100")
+    ParquetFleet.compact(spark, dir)
+    val dense = ParquetFleet.read(spark, dir)
+    assert(dense.columns.toSeq == Seq("id", "v", "note"))
+    assert(dense.count() == 114 &&
+      dense.filter($"note" === "n100").count() == 0)
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")
