@@ -131,6 +131,34 @@ object Relational {
       .toDF("live_rows", "min_key", "max_key", "v1_rows")
   }
 
+  /** §2.A COLUMNAR FLEET CHANGE FEED (r20): the manifest-diff CDC
+    * read on the parquet tier ([[graft.sources.ParquetFleet.changes]])
+    * — net across the range: v2's appended files surface as
+    * `to`-visible INSERTS (rows the in-range MOR delete removed never
+    * appear), and the delete's vector delta on RETAINED v1 files
+    * surfaces as row-exact DELETE images. A leaked deleted row, a
+    * missed vector delta, or a phantom image hash-mismatches against
+    * the oracle's replay of both sides. */
+  def qFleetParquetChanges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_cdc_q")
+    val fleet = s"$root/cust.parquet"
+    val p = new org.apache.hadoop.fs.Path(fleet)
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    val base = customer(s, dir).select($"c_custkey")
+    graft.sources.ParquetFleet.overwrite(
+      base.filter($"c_custkey" % 3 === 0)
+        .repartitionByRange(3, $"c_custkey"), fleet)         // v1
+    graft.sources.ParquetFleet.append(
+      base.filter($"c_custkey" % 3 =!= 0)
+        .repartitionByRange(3, $"c_custkey"), fleet)         // v2
+    graft.sources.ParquetFleet.delete(s, fleet,
+      $"c_custkey" % 9 === 0 || $"c_custkey" % 9 === 4)      // v3 (MOR)
+    graft.sources.ParquetFleet.changes(s, fleet, 1L, 3L)
+      .orderBy($"_change_type", $"c_custkey")
+  }
+
   def qScanCsv(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val out = scratch("csv_region")
@@ -1050,6 +1078,7 @@ object Relational {
     "q_scan_parquet_fleet" -> qScanParquetFleet _,
     "q_scan_parquet_fleet_skip" -> qScanParquetFleetSkip _,
     "q_scan_parquet_fleet_meta" -> qScanParquetFleetMeta _,
+    "q_fleet_parquet_changes" -> qFleetParquetChanges _,
     "q_scan_csv" -> qScanCsv _,
     "q_scan_orc" -> qScanOrc _,
     "q_scan_jsonl" -> qScanJsonl _,
@@ -1118,6 +1147,14 @@ object Relational {
         |  CAST(max(c_custkey) AS BIGINT) AS max_key,
         |  (SELECT CAST(count(*) AS BIGINT) FROM customer) AS v1_rows
         |FROM customer WHERE c_custkey > 5""".stripMargin,
+    "q_fleet_parquet_changes" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, 'insert' AS _change_type FROM customer
+        |  WHERE c_custkey % 3 <> 0 AND c_custkey % 9 <> 4
+        |  UNION ALL
+        |  SELECT c_custkey, 'delete' AS _change_type FROM customer
+        |  WHERE c_custkey % 3 = 0 AND c_custkey % 9 = 0
+        |) ORDER BY _change_type, c_custkey""".stripMargin,
     "q_scan_csv" ->
       """SELECT CAST(r_regionkey AS INTEGER) AS r_regionkey, r_name
         |FROM region ORDER BY r_regionkey""".stripMargin,

@@ -247,13 +247,20 @@ private[graft] object ParquetFleet {
     * deletion vectors applied — only the vectors bound to files in the
     * subset are joined in. */
   private def readFiles(s: SparkSession, dir: String,
-      snap: FleetManifest.Snapshot, files: Seq[String]): DataFrame = {
-    val paths = files.map(n => s"$dir/$n")
+      snap: FleetManifest.Snapshot, files: Seq[String]): DataFrame =
     // the DECLARED schema drives the read: files predating an evolved
     // column null-fill it, files written without an omitted column
     // null-fill too — and an AS OF snapshot carries its own marker
-    val base = s.read.schema(declaredSchema(s, dir, snap))
-      .parquet(paths: _*)
+    readFilesAs(s, dir, snap, files, declaredSchema(s, dir, snap))
+
+  /** [[readFiles]] with a PINNED read schema — the change feed reads
+    * the `from` side's files in the `to` declaration so both sides of
+    * one feed union shape-consistently across an evolution. */
+  private def readFilesAs(s: SparkSession, dir: String,
+      snap: FleetManifest.Snapshot, files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val paths = files.map(n => s"$dir/$n")
+    val base = s.read.schema(schema).parquet(paths: _*)
     val dvs = snap.dvs.view.filterKeys(files.toSet).toMap
     if (dvs.isEmpty) base
     else {
@@ -314,6 +321,96 @@ private[graft] object ParquetFleet {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         declaredSchema(s, dir, snap))
     else readFiles(s, dir, snap, keep).filter(pred)
+  }
+
+  /** CHANGE DATA FEED for the columnar tier — [[FleetCDC]]'s exact
+    * manifest-diff contract at the same file granularity, NET across
+    * `(fromVersion, toVersion]` by construction of the endpoint diff:
+    *
+    *  - files only in `to` → their `to`-visible rows are INSERTS
+    *    (appends; the post-image of a compaction/rewrite);
+    *  - files only in `from` → their `from`-visible rows are DELETES
+    *    (the pre-image of a rewrite — survivors appear on both sides
+    *    with equal images and [[FleetCDC.reconcileKeyed]] nets them
+    *    to no-ops, the exact downstream-MERGE shape);
+    *  - retained files whose VECTOR BINDING changed → both vector
+    *    sides are read and anti-joined in BOTH directions: newly
+    *    vectored ordinals are the span's DELETES, no-longer-vectored
+    *    ordinals its INSERTS (a restore's resurrection is a
+    *    representable change). Grown, shrunk, equal-rebind, and mixed
+    *    rebinds all route through this one plan — no count heuristic,
+    *    because columnar vectors are directly readable parquet.
+    *
+    * Images are emitted in the `to` declaration (evolution-aware:
+    * pre-evolution images null-fill evolved columns). Scale: the
+    * driver holds O(changed files) names; the reads touch the changed
+    * files and their vectors, never the fleet. Both generations must
+    * still be retained — an expired `from` fails loudly. */
+  def changes(s: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes need fromVersion < toVersion " +
+        s"(got $fromVersion, $toVersion)")
+    val (fs, p) = fsp(s, dir)
+    def snapAt(v: Long) = FleetManifest.snapshotAt(fs, p, v).getOrElse(
+      throw new IllegalArgumentException(
+        s"no manifest version $v at $dir (available: " +
+          s"${FleetManifest.versions(fs, p).mkString(", ")})"))
+    val fromSnap = snapAt(fromVersion)
+    val toSnap = snapAt(toVersion)
+    val declared = declaredSchema(s, dir, toSnap)
+    val fromSet = fromSnap.files.toSet
+    val toSet = toSnap.files.toSet
+    val added = toSnap.files.filterNot(fromSet).sorted
+    val removed = fromSnap.files.filterNot(toSet).sorted
+    val touched = toSnap.files.filter(n => fromSet(n) &&
+      fromSnap.dvs.get(n) != toSnap.dvs.get(n)).sorted
+    def tagged(df: DataFrame, t: String) =
+      df.select(col("*"), lit(t).as(FleetCDC.ChangeTypeCol))
+    val parts = Seq.newBuilder[DataFrame]
+    if (added.nonEmpty)
+      parts += tagged(readFilesAs(s, dir, toSnap, added, declared),
+        "insert")
+    if (removed.nonEmpty)
+      parts += tagged(readFilesAs(s, dir, fromSnap, removed, declared),
+        "delete")
+    if (touched.nonEmpty) {
+      val withMeta = s.read.schema(declared)
+        .parquet(touched.map(n => s"$dir/$n"): _*)
+        .withColumn("__file", col("_metadata.file_name"))
+        .withColumn("__ridx", col("_metadata.row_index"))
+      def ords(dvs: Map[String, String]): Option[DataFrame] = {
+        val vecs = touched.flatMap(n => dvs.get(n).map(v =>
+          s.read.parquet(s"$dir/$v")
+            .select(lit(n).as("__file"), col("ridx").as("__ridx"))))
+        vecs.reduceOption(_ union _)
+      }
+      val fromOrds = ords(fromSnap.dvs)
+      val toOrds = ords(toSnap.dvs)
+      val keys = Seq("__file", "__ridx")
+      val newlyDeleted = (fromOrds, toOrds) match {
+        case (None, t) => t
+        case (Some(f), Some(t)) => Some(t.join(f, keys, "left_anti"))
+        case (_, None) => None
+      }
+      val resurrected = (fromOrds, toOrds) match {
+        case (f, None) => f
+        case (Some(f), Some(t)) => Some(f.join(t, keys, "left_anti"))
+        case (None, _) => None
+      }
+      newlyDeleted.foreach(d => parts += tagged(
+        withMeta.join(d, keys, "left_semi").drop("__file", "__ridx"),
+        "delete"))
+      resurrected.foreach(r => parts += tagged(
+        withMeta.join(r, keys, "left_semi").drop("__file", "__ridx"),
+        "insert"))
+    }
+    parts.result().reduceOption(_ unionByName _).getOrElse(
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(declared.fields :+
+          org.apache.spark.sql.types.StructField(
+            FleetCDC.ChangeTypeCol,
+            org.apache.spark.sql.types.StringType, nullable = false))))
   }
 
   /** TIMESTAMP addressing, in parity with the avro tier's two AS OF

@@ -657,6 +657,67 @@ class ParquetFleetSpec extends SparkSpec {
       dense.filter($"note" === "n100").count() == 0)
   }
 
+  test("change feed: appends, vector deltas, rebind no-ops, resurrection, rewrite netting") {
+    import spark.implicits._
+    val dir = stage("cdc")                                 // v1: 0..99
+    ParquetFleet.append(
+      spark.range(100, 120).select($"id", ($"id" * 2).as("v")), dir) // v2
+    ParquetFleet.delete(spark, dir, $"id" % 10 === 3)      // v3 (MOR)
+    def feed(a: Long, b: Long) =
+      ParquetFleet.changes(spark, dir, a, b)
+        .select($"id", $"_change_type").as[(Long, String)]
+        .collect().toSet
+    // append span: pure inserts
+    assert(feed(1L, 2L) == (100L until 120L).map(_ -> "insert").toSet)
+    // delete span: row-exact delete images from the vector delta
+    assert(feed(2L, 3L) ==
+      (0L until 120L).filter(_ % 10 == 3).map(_ -> "delete").toSet)
+    // NET range: appended rows arrive to-visible (in-range deletes of
+    // them never appear); v1 rows' deletes surface
+    assert(feed(1L, 3L) ==
+      ((100L until 120L).filterNot(_ % 10 == 3).map(_ -> "insert") ++
+        (0L until 100L).filter(_ % 10 == 3).map(_ -> "delete")).toSet)
+    // an idempotent re-delete commits an ORDINAL-IDENTICAL rebind:
+    // the feed across it is EMPTY (equal sets anti-join to nothing)
+    ParquetFleet.delete(spark, dir, $"id" % 10 === 3)      // v4
+    assert(manifest(dir).version == 4L)
+    assert(feed(3L, 4L).isEmpty,
+      "an ordinal-identical rebind must contribute no changes")
+    // RESURRECTION: unbind one file's vector (the restore shape) —
+    // its no-longer-vectored ordinals surface as inserts
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val snap4 = manifest(dir)
+    val (unboundFile, vec) = snap4.dvs.toSeq.minBy(_._1)
+    graft.sources.FleetManifest.commit(fs, p,
+      update = identity, bootstrap = Seq.empty,
+      dvUpdate = Map(unboundFile -> None),
+      requireDvs = Map(unboundFile -> Some(vec)))          // v5
+    val resurrected = feed(4L, 5L)
+    assert(resurrected.nonEmpty && resurrected.forall(_._2 == "insert"),
+      s"an unbound vector must surface as inserts: $resurrected")
+    assert(resurrected.map(_._1) ==
+      spark.read.parquet(s"$dir/$unboundFile")
+        .filter($"id" % 10 === 3).select($"id").as[Long].collect().toSet)
+    // a COMPACTION is a file rewrite: pre+post images that a keyed
+    // reconciliation nets to EXACTLY the resurrection-free no-op set
+    ParquetFleet.compact(spark, dir)                       // v6
+    val raw = ParquetFleet.changes(spark, dir, 5L, 6L)
+    assert(raw.filter($"_change_type" === "insert").count() > 0 &&
+      raw.filter($"_change_type" === "delete").count() > 0)
+    assert(graft.sources.FleetCDC.reconcileKeyed(raw, Seq("id"))
+      .count() == 0,
+      "a compaction must net to zero keyed changes")
+    // EVOLUTION-AWARE images: evolve, then feed a span crossing it —
+    // images carry the to-declaration with null-filled old columns
+    ParquetFleet.append(
+      spark.range(200, 205).select($"id", ($"id" * 2).as("v"),
+        lit("x").as("note")), dir, mergeSchema = true)     // v7
+    val evolved = ParquetFleet.changes(spark, dir, 5L, 7L)
+    assert(evolved.columns.toSeq == Seq("id", "v", "note", "_change_type"))
+    assert(evolved.filter($"note".isNotNull).count() == 5)
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")

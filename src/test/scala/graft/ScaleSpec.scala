@@ -177,6 +177,7 @@ class ScaleSpec extends SparkSpec {
       "q_scan_parquet_fleet" -> "stages a parquet fleet + MOR delete (the columnar tier commit IS the operator)",
       "q_scan_parquet_fleet_skip" -> "stages a parquet fleet + MOR delete (the footer-stats pruned scan IS the operator)",
       "q_scan_parquet_fleet_meta" -> "stages a parquet fleet + MOR delete (the metadata count/minMax tiers ARE the operator)",
+      "q_fleet_parquet_changes" -> "stages a parquet fleet + append + MOR delete (the manifest-diff feed IS the operator)",
       // two-phase by design: pair generation materializes to scratch
       // parquet ONCE per JVM (AQE on) so the AQE-off 8-round unroll
       // iterates over a flat scan instead of a tree-expanded subtree
