@@ -718,6 +718,48 @@ class ParquetFleetSpec extends SparkSpec {
     assert(evolved.filter($"note".isNotNull).count() == 5)
   }
 
+  test("concurrent appends all land; compaction commutes with a racing append") {
+    import spark.implicits._
+    val dir = stage("race2")
+    // four appenders race the commit lock: every one must land (the
+    // retry loop merges base ++ names against the fresh base)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val appenders = (0 until 4).map { i =>
+      new Thread(() =>
+        try ParquetFleet.append(
+          spark.range(1000L + i * 10, 1010L + i * 10)
+            .select($"id", ($"id" * 2).as("v")), dir)
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    appenders.foreach(_.start()); appenders.foreach(_.join())
+    assert(errs.isEmpty, s"appends must never conflict: ${errs.peek()}")
+    assert(manifest(dir).version == 5L &&
+      ParquetFleet.count(spark, dir) == 140L)
+    // a compaction racing one more append: both land, nothing lost —
+    // compact swaps ITS inputs (requireInBase on the files it read),
+    // the append's fresh file survives the swap via the re-read base
+    ParquetFleet.delete(spark, dir, $"id" === 0L)
+    val compactor = new Thread(() =>
+      try ParquetFleet.compact(spark, dir)
+      catch { case t: Throwable => errs.add(t); () })
+    val appender = new Thread(() =>
+      try ParquetFleet.append(
+        spark.range(2000L, 2005L).select($"id", ($"id" * 2).as("v")), dir)
+      catch {
+        case _: graft.sources.FleetCommitConflictException => ()
+        case t: Throwable => errs.add(t); ()
+      })
+    compactor.start(); appender.start()
+    compactor.join(); appender.join()
+    assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
+    val got = ParquetFleet.read(spark, dir).select($"id")
+      .as[Long].collect().toSet
+    val expectedCore = ((1L until 100L) ++ (1000L until 1040L)).toSet
+    assert(got == expectedCore ++ (2000L until 2005L) || got == expectedCore,
+      s"a racing compaction must never lose rows or deletes: " +
+        s"${(got -- expectedCore).toSeq.sorted}")
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")
