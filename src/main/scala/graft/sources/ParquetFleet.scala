@@ -267,15 +267,34 @@ private[graft] object ParquetFleet {
       val withMeta = base
         .withColumn("__file", col("_metadata.file_name"))
         .withColumn("__ridx", col("_metadata.row_index"))
-      val dels = dvs.toSeq.sorted.map { case (f, vec) =>
-        s.read.parquet(s"$dir/$vec")
-          .select(lit(f).as("__file"), col("ridx").as("__ridx"))
-      }.reduce(_ union _)
       // left-anti on (file, ordinal): the delete side is O(deleted
       // rows); AQE broadcasts it when small (the surgical regime)
-      withMeta.join(dels, Seq("__file", "__ridx"), "left_anti")
+      withMeta.join(dvRows(s, dir, dvs), Seq("__file", "__ridx"),
+        "left_anti")
         .drop("__file", "__ridx")
     }
+  }
+
+  /** The (file, ordinal) rows of a binding set, as ONE scan per
+    * deletion-vector GENERATION rather than one per bound file: a
+    * generation's vectors were written by one `partitionBy(__file)`
+    * job into one directory, so partition DISCOVERY recovers the
+    * `__file` column and an `isin` over the bound partitions prunes
+    * to exactly the bindings that are current. At 100 TB this is the
+    * difference between O(delete commits) scan nodes and O(bound
+    * files) — a fleet with 100k surgically-deleted files would
+    * otherwise blow the planner on every MOR read. */
+  private def dvRows(s: SparkSession, dir: String,
+      dvs: Map[String, String]): DataFrame = {
+    val byGen = dvs.toSeq.groupBy { case (_, vec) =>
+      vec.substring(0, vec.lastIndexOf('/')) }
+    byGen.toSeq.sortBy(_._1).map { case (gen, binds) =>
+      val bound = binds.map(_._1).sorted
+      s.read.parquet(s"$dir/$gen")
+        .filter(col("__file").isin(bound: _*))
+        .select(col("__file").cast("string").as("__file"),
+          col("ridx").as("__ridx"))
+    }.reduce(_ union _)
   }
 
   /** The snapshot's files split by the sidecar skip proofs under
@@ -380,10 +399,8 @@ private[graft] object ParquetFleet {
         .withColumn("__file", col("_metadata.file_name"))
         .withColumn("__ridx", col("_metadata.row_index"))
       def ords(dvs: Map[String, String]): Option[DataFrame] = {
-        val vecs = touched.flatMap(n => dvs.get(n).map(v =>
-          s.read.parquet(s"$dir/$v")
-            .select(lit(n).as("__file"), col("ridx").as("__ridx"))))
-        vecs.reduceOption(_ union _)
+        val bound = dvs.view.filterKeys(touched.toSet).toMap
+        if (bound.isEmpty) None else Some(dvRows(s, dir, bound))
       }
       val fromOrds = ords(fromSnap.dvs)
       val toOrds = ords(toSnap.dvs)
@@ -507,10 +524,12 @@ private[graft] object ParquetFleet {
       val touchedFiles = hits.select("__file").distinct()
         .collect().map(_.getString(0)).toSeq.sorted
       if (touchedFiles.isEmpty) return
-      val existing = touchedFiles.flatMap(f => snap.dvs.get(f).map(vec =>
-        s.read.parquet(s"$dir/$vec")
-          .select(lit(f).as("__file"), col("ridx").as("__ridx"))))
-      val all = (existing :+ hits).reduce(_ union _).distinct()
+      val existingMap = touchedFiles
+        .flatMap(f => snap.dvs.get(f).map(f -> _)).toMap
+      val existing =
+        if (existingMap.isEmpty) None
+        else Some(dvRows(s, dir, existingMap))
+      val all = (existing.toSeq :+ hits).reduce(_ union _).distinct()
       val t = tag()
       val gen = s"$DvDir/gen-$t"
       all.select(col("__file"), col("__ridx").as("ridx"))
