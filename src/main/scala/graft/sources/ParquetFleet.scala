@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** COLUMNAR (Parquet) DATA-FILE TIER for transactional fleets — the
-  * r19 verdict's #2 prototype, driven by a measured gap
+  * r19 verdict's #2, driven by a measured gap
   * ([[graft.tools.ScanTierBench]] at 6M-row lineitem, local[32], warm
   * min-of-3: wide 8-col agg 2.5×, narrow 2-col sum 3.4×, filtered scan
   * 3.6× FASTER on Spark's vectorized parquet reader than on the
@@ -42,16 +42,24 @@ import org.apache.spark.sql.functions._
   *    time-travel scans prune too; deletes only shrink a file, so DV
   *    commits never invalidate a bound.
   *
-  * PROTOTYPE scope (deliberate): a library-level API (`append` /
-  * `overwrite` / `delete` / `read` / `scan`), not a second DSv2
-  * format — the avro tier keeps the full surface (streams, CDC, SQL
-  * row-level, checks, branches); this tier is the scan-optimized data
-  * plane a 100 TB analytics fleet would migrate its cold columnar
-  * data onto. Each delete writes per-file vectors via ONE distributed
-  * `partitionBy(file)` job (positions never collect to the driver),
-  * reads only the stats-surviving candidate files, and rewrites ONLY
-  * the touched files' vectors — disjoint-file deletes commute under
-  * the manifest's per-file compare-and-set. */
+  * SCOPE (deliberate): a LIBRARY-LEVEL data plane, not a second DSv2
+  * format — the avro tier keeps the SQL/catalog surface (row-level
+  * SQL, checks, branches, WAP); this tier is the scan-optimized plane
+  * a 100 TB analytics fleet migrates its cold columnar data onto, and
+  * it is operable end-to-end: writer-idempotence tokens + exactly-once
+  * `foreachBatch` streaming ingestion ([[streamingAppend]]),
+  * `mergeSchema` evolution with versioned declared schemas, metadata
+  * tiers ([[count]], [[minMax]]), a row-exact change data feed
+  * ([[changes]], composing with [[FleetCDC.reconcileKeyed]]),
+  * clustered compaction, snapshot retention ([[expire]]) and orphan
+  * sweeping ([[removeOrphans]]), and both AS OF spellings
+  * ([[versionAtTimestamp]]). Each delete writes per-file vectors via
+  * ONE distributed `partitionBy(file)` job (positions never collect
+  * to the driver), reads only the stats-surviving candidate files,
+  * and rewrites ONLY the touched files' vectors — disjoint-file
+  * deletes commute under the manifest's per-file compare-and-set —
+  * while every DV-consuming plan reads O(generations) vector scans,
+  * not O(bound files) ([[dvRows]]). */
 private[graft] object ParquetFleet {
 
   private def fsp(s: SparkSession, dir: String) = {
