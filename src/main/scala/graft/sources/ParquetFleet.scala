@@ -438,6 +438,31 @@ private[graft] object ParquetFleet {
             org.apache.spark.sql.types.StringType, nullable = false))))
   }
 
+  /** TIER MIGRATION: materialize an avro fleet's CURRENT snapshot
+    * (merge-on-read view, declared schema, branch-free main) as a
+    * committed parquet fleet — the "migrate cold columnar data onto
+    * the scan-optimized plane" move this tier exists for. One
+    * distributed read → one staged overwrite commit; `clusterBy`
+    * range-clusters the target so footer-stats skipping is effective
+    * from file one (otherwise the source's layout carries over).
+    * The source fleet is untouched; cutover is the caller's rename/
+    * catalog step. Returns the target's committed version (1L for a
+    * fresh target). */
+  def importFromAvroFleet(s: SparkSession, avroDir: String,
+      parquetDir: String, clusterBy: Seq[Column] = Nil,
+      numFiles: Option[Int] = None): Long = {
+    val src = s.read.format("graft-avro").load(avroDir)
+    val arranged = (clusterBy, numFiles) match {
+      case (Nil, _) => src
+      case (cs, Some(n)) =>
+        src.repartitionByRange(n, cs: _*).sortWithinPartitions(cs: _*)
+      case (cs, None) =>
+        src.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+    }
+    overwrite(arranged, parquetDir)
+    resolve(s, parquetDir, None).version
+  }
+
   /** TIMESTAMP addressing, in parity with the avro tier's two AS OF
     * spellings: resolve `raw` (any spelling the fleet options accept —
     * ISO instant/date-time/date or epoch millis) to the LATEST version

@@ -760,6 +760,35 @@ class ParquetFleetSpec extends SparkSpec {
         s"${(got -- expectedCore).toSeq.sorted}")
   }
 
+  test("importFromAvroFleet migrates the MOR view onto the columnar tier, clustered") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_migrate")
+    val avroDir = s"$root/mig.avro"
+    val pqDir = s"$root/dst.parquet"
+    // an avro fleet with a merge-on-read DELETE: the migration must
+    // carry the VISIBLE rows, not the raw files
+    spark.range(200).select($"id", ($"id" * 3).as("v"))
+      .write.format("graft-avro").mode("overwrite").save(avroDir)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    s2.conf.set("spark.sql.catalog.graft.root", root)
+    s2.sql("DELETE FROM graft.mig WHERE id % 11 = 7")
+    val v = ParquetFleet.importFromAvroFleet(spark, avroDir, pqDir,
+      clusterBy = Seq($"id"), numFiles = Some(4))
+    assert(v == 1L)
+    val expected = (0L until 200L).filterNot(_ % 11 == 7).toSet
+    assert(ParquetFleet.read(spark, pqDir).select($"id")
+      .as[Long].collect().toSet == expected)
+    assert(ParquetFleet.count(spark, pqDir) == expected.size.toLong)
+    // clustering made the target skip-effective immediately
+    val (kept, pruned) = ParquetFleet.pruneFiles(spark, pqDir,
+      manifest(pqDir), $"id" <= 20L)
+    assert(pruned.size >= 2, s"expected a mostly-pruned scan: $pruned")
+    // the source fleet is untouched
+    assert(spark.read.format("graft-avro").load(avroDir).count() ==
+      expected.size.toLong)
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")
