@@ -789,6 +789,56 @@ class ParquetFleetSpec extends SparkSpec {
       expected.size.toLong)
   }
 
+  test("NaN and infinity poison their column's footer stats, never a skip proof") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("pqfleet_nan")
+    val dir = s"$root/t.parquet"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    // file 1 (ids 0..49): clean doubles; file 2 (ids 50..99): one NaN
+    // and one +Inf hide among ordinary values
+    ParquetFleet.overwrite(
+      spark.range(100).select($"id",
+        when($"id" === 60, lit(Double.NaN))
+          .when($"id" === 70, lit(Double.PositiveInfinity))
+          .otherwise($"id".cast("double") / 10.0).as("x"))
+        .repartitionByRange(2, $"id"), dir)
+    val snap = manifest(dir)
+    val stats = sidecar(dir)
+    val byMin = snap.files.sorted
+    // the clean file carries sound double bounds; the poisoned file
+    // must NOT carry x-stats (parquet drops NaN-tainted min/max, and
+    // the capture drops non-finite bounds) — either way, no proof
+    assert(stats(byMin.head).cols.contains("x"),
+      "the clean file must keep its double bounds")
+    assert(!stats(byMin(1)).cols.contains("x"),
+      s"the NaN/Inf file must drop its x stats: ${stats(byMin(1)).cols}")
+    // a range predicate on x must never prune the poisoned file: its
+    // rows include x values the absent/dropped stats cannot bound
+    val (kept, _) = ParquetFleet.pruneFiles(spark, dir, snap,
+      $"x" > lit(100.0))
+    // Spark's SQL ordering puts NaN ABOVE every double, so both the
+    // NaN and the +Inf row match — the exact rows a NaN-tainted
+    // footer bound would have skipped
+    val expect = ParquetFleet.read(spark, dir).filter($"x" > 100.0)
+      .select($"id").as[Long].collect().toSet
+    assert(expect == Set(60L, 70L), s"non-finite rows must match: $expect")
+    assert(ParquetFleet.scan(spark, dir, $"x" > lit(100.0))
+      .select($"id").as[Long].collect().toSet == expect,
+      "the pruned scan must keep the non-finite rows reachable")
+    // and the clean half still prunes on its sound column
+    assert(ParquetFleet.pruneFiles(spark, dir, snap,
+      $"id" <= 10L)._2.nonEmpty)
+    // minMax on the poisoned column re-scans rather than trusting a
+    // dropped bound; the scan-side extremum carries the non-finite
+    // values under Spark's SQL ordering (NaN largest) — honest scan
+    // semantics, never a stats artifact
+    val (_, mx) = ParquetFleet.minMax(spark, dir, "x")
+    assert(mx.exists { case d: java.lang.Double => d.isNaN || d.isInfinite
+      case _ => false }, s"max must come from the re-scan: $mx")
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")
