@@ -232,6 +232,14 @@ class ParquetFleetSpec extends SparkSpec {
     // a predicate no file can match returns empty with the schema
     val none = ParquetFleet.scan(spark, dir, $"id" === -1L)
     assert(none.columns.toSeq == Seq("id", "v") && none.count() == 0)
+    // the OR algebra: both edge ranges survive, the middle prunes
+    // (a disjunction skips a file only when EVERY branch proves)
+    val (k4, p4) = ParquetFleet.pruneFiles(spark, dir, snap,
+      $"id" <= 10L || $"id" >= 95L)
+    assert(k4.size == 2 && p4.size == 2, s"kept=$k4 pruned=$p4")
+    assert(ParquetFleet.scan(spark, dir, $"id" <= 10L || $"id" >= 95L)
+      .select($"id").as[Long].collect().toSet ==
+      ((0L to 10L) ++ (95L to 99L)).toSet)
   }
 
   test("pruned scans still apply deletion vectors; deletes themselves prune and touch only hit files") {
