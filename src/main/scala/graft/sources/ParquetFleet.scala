@@ -438,6 +438,37 @@ private[graft] object ParquetFleet {
             org.apache.spark.sql.types.StringType, nullable = false))))
   }
 
+  /** NAMED REFS on the columnar tier — the manifest's own immutable
+    * tags (shared machinery, shared retention semantics: a tagged
+    * generation and its files/vectors survive [[expire]] regardless
+    * of keepLast, exactly what a training-data RELEASE cut needs —
+    * "tag the dataset, retention keeps it, readers address it by
+    * name"). `createTag` with no version pins the CURRENT generation;
+    * re-pointing requires an explicit `dropTag` (tags are immutable). */
+  def createTag(s: SparkSession, dir: String, name: String,
+      version: Option[Long] = None): Long = {
+    val (fs, p) = fsp(s, dir)
+    val v = version.getOrElse(resolve(s, dir, None).version)
+    FleetManifest.createTag(fs, p, name, v)
+    v
+  }
+
+  def dropTag(s: SparkSession, dir: String, name: String): Boolean = {
+    val (fs, p) = fsp(s, dir)
+    FleetManifest.dropTag(fs, p, name)
+  }
+
+  /** The version a tag pins, loudly absent otherwise — compose with
+    * `read`/`scan`/`count`/`minMax`: `read(s, dir,
+    * Some(versionOfTag(s, dir, "release-7")))`. */
+  def versionOfTag(s: SparkSession, dir: String, name: String): Long = {
+    val (fs, p) = fsp(s, dir)
+    FleetManifest.tagVersion(fs, p, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no tag '$name' at $dir (tags: ${
+          FleetManifest.tags(fs, p).map(_._1).sorted.mkString(", ")})"))
+  }
+
   /** TIER MIGRATION: materialize an avro fleet's CURRENT snapshot
     * (merge-on-read view, declared schema, branch-free main) as a
     * committed parquet fleet — the "migrate cold columnar data onto

@@ -847,6 +847,37 @@ class ParquetFleetSpec extends SparkSpec {
       case _ => false }, s"max must come from the re-scan: $mx")
   }
 
+  test("tags pin a release cut by name and survive retention") {
+    import spark.implicits._
+    val dir = stage("tags")                                // v1: 0..99
+    assert(ParquetFleet.createTag(spark, dir, "release-1") == 1L)
+    ParquetFleet.delete(spark, dir, $"id" % 7 === 3)       // v2
+    ParquetFleet.compact(spark, dir)                       // v3
+    // address the cut by name, full content preserved
+    assert(ParquetFleet.read(spark, dir,
+      Some(ParquetFleet.versionOfTag(spark, dir, "release-1")))
+      .count() == 100)
+    // retention keeps the TAGGED generation's files even past keepLast
+    val r = ParquetFleet.expire(spark, dir, keepLast = 1)
+    assert(r.expiredVersions == Seq(2L), r.toString)
+    assert(ParquetFleet.read(spark, dir,
+      Some(ParquetFleet.versionOfTag(spark, dir, "release-1")))
+      .select($"id").as[Long].collect().toSet ==
+      (0L until 100L).toSet,
+      "a tagged release cut must survive retention intact")
+    assert(ParquetFleet.count(spark, dir) ==
+      (0L until 100L).count(_ % 7 != 3).toLong)
+    // tags are immutable; re-pointing needs an explicit drop
+    intercept[IllegalArgumentException] {
+      ParquetFleet.createTag(spark, dir, "release-1")
+    }
+    assert(ParquetFleet.dropTag(spark, dir, "release-1"))
+    assert(ParquetFleet.createTag(spark, dir, "release-1") == 3L)
+    intercept[IllegalArgumentException] {
+      ParquetFleet.versionOfTag(spark, dir, "release-0")
+    }
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")
