@@ -878,6 +878,41 @@ class ParquetFleetSpec extends SparkSpec {
     }
   }
 
+  test("many surgical deletes: exact reads, vector scans bounded by live generations") {
+    import spark.implicits._
+    val dir = stage("manydel")
+    // 12 surgical deletes, each its own commit + vector generation;
+    // every rebind moves a file's binding to its NEWEST generation,
+    // so the LIVE generation count is bounded by the touched files
+    val victims = (0 until 12).map(i => i * 8 + 1L)
+    victims.foreach(v =>
+      ParquetFleet.delete(spark, dir, $"id" === v))
+    assert(manifest(dir).version == 13L)
+    val expected = (0L until 100L).toSet -- victims
+    val q = ParquetFleet.read(spark, dir)
+    assert(q.select($"id").as[Long].collect().toSet == expected)
+    assert(ParquetFleet.count(spark, dir) == expected.size.toLong)
+    // the MOR plan reads ONE scan per LIVE vector generation (≤ the
+    // 4 data files), never one per delete commit — the [[dvRows]]
+    // grouping the 100k-surgical-deletes posture stands on
+    val liveGens = manifest(dir).dvs.values
+      .map(v => v.substring(0, v.lastIndexOf('/'))).toSet
+    assert(liveGens.size <= 4, s"bindings span $liveGens")
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(plan).size
+    assert(scans <= 1 + liveGens.size,
+      s"expected ≤ ${1 + liveGens.size} scans, plan has $scans:\n" +
+        plan.linesIterator.filter(_.contains("Location:")).mkString("\n"))
+    // the net change feed carries exactly the victims
+    assert(ParquetFleet.changes(spark, dir, 1L, 13L)
+      .select($"id", $"_change_type").as[(Long, String)]
+      .collect().toSet == victims.map(_ -> "delete").toSet)
+    // compaction collapses the whole history into a dense generation
+    ParquetFleet.compact(spark, dir)
+    assert(manifest(dir).dvs.isEmpty &&
+      ParquetFleet.read(spark, dir).count() == expected.size.toLong)
+  }
+
   test("compact refreshes stats for the dense files") {
     import spark.implicits._
     val dir = stage("compactstats")
