@@ -43,4 +43,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Throughput collector for the batch mains: G1 (the JDK 17 default)
+  // optimizes pause time, which nothing here needs — ConfBench A/B at
+  // sf0.1 measured ParallelGC 8-20% faster warm across agg/window/
+  // dedup/text shapes (OPTIMIZATION_r21.md §global). Overridable: any
+  // -XX flag in GRAFT_JAVA_OPTS is appended later and wins.
+  "-XX:+UseParallelGC",
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty))

@@ -426,8 +426,13 @@ object LlmOps {
     import s.implicits._
     val hot = boilerplateGrams(s, docs, n, minDf).select($"gram")
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val words = docs.select($"doc_id",
-      posexplode(split(lower($"text"), " ")).as(Seq("pos", "w0")))
+    // same repartition-before-explode shape as Shingles.tok: the
+    // window forces a doc_id exchange either way — shuffle the narrow
+    // text rows, not the exploded word rows, and keep the explode off
+    // the (possibly single-split) scan task
+    val words = docs.select($"doc_id", $"text").repartition($"doc_id")
+      .select($"doc_id",
+        posexplode(split(lower($"text"), " ")).as(Seq("pos", "w0")))
     val withGram = (1 until n).foldLeft(words) { (df, i) =>
       df.withColumn(s"w$i", lead($"w0", i).over(w))
     }

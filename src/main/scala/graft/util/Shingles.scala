@@ -22,8 +22,19 @@ object Shingles {
       includeShort: Boolean = true): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
-    val words = docs.select($"doc_id",
-      posexplode(split(lower($"text"), " ")).as(Seq("pos", "w0")))
+    // Repartition the narrow (doc_id, text) rows BEFORE the explode:
+    // the per-doc window below forces a hashpartitioning(doc_id)
+    // exchange either way, so moving it ahead of `posexplode` shuffles
+    // the text ONCE instead of its ~n×-larger word rows (guide §2.3
+    // "project before the exchange") — and the explode + window then
+    // run at full cluster width even when the scan side has fewer
+    // splits than cores (the single-file fixture serialized the whole
+    // tokenization into ONE scan task before this; guide §2.5 input
+    // skew). Exchange count is unchanged: Generate preserves its
+    // child's partitioning, so the window reuses this shuffle.
+    val words = docs.select($"doc_id", $"text").repartition($"doc_id")
+      .select($"doc_id",
+        posexplode(split(lower($"text"), " ")).as(Seq("pos", "w0")))
     val lead2 = (1 until n).foldLeft(words) { (df, i) =>
       df.withColumn(s"w$i", lead($"w0", i).over(w))
     }
