@@ -748,7 +748,9 @@ object Crud {
     // not no-op against yesterday's offsets); Hadoop FS delete — a
     // java.io delete leaves .crc ghosts the commit log trips over
     val out = s"$root/cdc_batches"
-    val ckpt = s"$root/cdc_ckpt"
+    // RAM-backed when available: a fresh-per-invocation AvailableNow
+    // drain's offset/commit logs are pure scratch (Scratch.ephemeralDir)
+    val ckpt = graft.util.Scratch.ephemeralDir("cdc_ckpt")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
     Seq(out, ckpt).foreach(d =>
@@ -803,7 +805,7 @@ object Crud {
       """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
         |WHERE c_custkey % 100 = 7""".stripMargin)                // v3
     val out = s"$root/cdck_net.avro"
-    val ckpt = s"$root/cdck_ckpt"
+    val ckpt = graft.util.Scratch.ephemeralDir("cdck_ckpt")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
     Seq(out, ckpt).foreach(d =>

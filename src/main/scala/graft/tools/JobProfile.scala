@@ -70,6 +70,13 @@ object JobProfile {
             }.getOrElse(st.head)
             val key = top.getClassName + "." + top.getMethodName
             frames.merge(key, 1, (a, b) => a + b)
+            // deep attribution for shell forks: record WHO invoked it
+            if (top.getClassName.endsWith("util.Shell")) {
+              val chain = st.iterator.map(f =>
+                f.getClassName.split('.').last + "." + f.getMethodName)
+                .filterNot(_.startsWith("Shell")).take(6).mkString(" <- ")
+              frames.merge("SHELLCALL: " + chain, 1, (a, b) => a + b)
+            }
           }
         }
         Thread.sleep(50)

@@ -43,5 +43,11 @@ object GraftSession {
     // the fingerprint-store ingest, the bucketed fact join — re-sorts
     // the pre-sorted side per query.
     .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // file:// with an in-process chmod: without the Hadoop native lib
+    // every local file create forks a `chmod` process (profiled at a
+    // fork per staged file across the fleet verbs) — see
+    // [[NioLocalFileSystem]]. Same checksummed semantics.
+    .config("spark.hadoop.fs.file.impl",
+      "graft.util.NioLocalFileSystem")
     .config("spark.ui.enabled", "false")
 }

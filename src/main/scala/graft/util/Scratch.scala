@@ -27,6 +27,24 @@ object Scratch {
     p.toString
   }
 
+  /** Like [[dir]], but preferring the RAM-backed `/dev/shm` when it is
+    * writable — for bounded-replay checkpoints and other scratch whose
+    * lifetime is one query invocation (the offset/commit logs and
+    * state-store deltas of an AvailableNow drain are pure scratch; the
+    * durable-checkpoint posture stays exercised by the restart specs,
+    * which checkpoint to real disk). Falls back to java.io.tmpdir. */
+  def ephemeralDir(name: String): String = {
+    val shm = Paths.get("/dev/shm")
+    val base =
+      if (Files.isWritable(shm)) shm.toString
+      else System.getProperty("java.io.tmpdir", "/tmp")
+    val p = Paths.get(base, s"graft_${name}_${ProcessHandle.current().pid()}")
+    if (hooked.add(p.toString))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try deleteRecursively(p) catch { case _: Throwable => () }))
+    p.toString
+  }
+
   /** Best-effort recursive delete (files before parents). */
   def deleteRecursively(p: Path): Unit = {
     if (!Files.exists(p)) return
