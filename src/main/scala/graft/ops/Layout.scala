@@ -51,17 +51,85 @@ object Layout {
     * intersects the box (parquet min/max prunes the rest), which the
     * LayoutSpec quantifies (per-file extent of BOTH dims shrinks vs the
     * incoming layout). */
+  /** INT64-column bounds straight from parquet FOOTER statistics —
+    * the same commit-stats source the fleet sidecar tier captures
+    * (guide §6): one footer read per file, no scan job, exact for
+    * INT64 (never truncated, unlike strings). `None` on any missing/
+    * unsound chunk stat, and the caller falls back to the scan-side
+    * scalar aggregate — a skipped fast path, never a wrong bound. At
+    * 100 TB these bounds come from the table format's column stats
+    * (Iceberg/Delta OPTIMIZE reads exactly this) instead of an extra
+    * full-column pass. */
+  private def footerLongBounds(s: SparkSession, table: String,
+      wanted: Seq[String]): Option[Map[String, (Long, Long)]] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val p = new org.apache.hadoop.fs.Path(table)
+    val conf = s.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val files =
+      (if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).toSeq.filter(st => st.isFile && {
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+      else Seq(fs.getFileStatus(p))).map(_.getPath)
+    if (files.isEmpty) return None
+    val perFile = files.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, conf))
+      try {
+        val footer = reader.getFooter
+        val blocks = footer.getBlocks.asScala.toSeq
+        wanted.map { c =>
+          val tpe = footer.getFileMetaData.getSchema.getFields.asScala
+            .find(t => t.getName == c && t.isPrimitive)
+            .map(_.asPrimitiveType())
+            .filter(_.getPrimitiveTypeName ==
+              org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64)
+            .getOrElse(return None)
+          val _ = tpe
+          val stats = blocks.map(_.getColumns.asScala.find { cc =>
+            val parts = cc.getPath.toArray
+            parts.length == 1 && parts(0) == c
+          }.map(_.getStatistics).orNull)
+          if (stats.exists(st => st == null || !st.hasNonNullValue))
+            return None
+          c -> (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+            stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+        }.toMap
+      } finally reader.close()
+    }
+    Some(wanted.map { c =>
+      val bs = perFile.map(_(c))
+      c -> (bs.map(_._1).min, bs.map(_._2).max)
+    }.toMap)
+  } catch { case scala.util.control.NonFatal(_) => None }
+
   def zorderLineitem(s: SparkSession, dir: String, out: String): DataFrame = {
     import s.implicits._
     val li = lineitem(s, dir)
     val cols = li.columns.toSeq
-    val bounds = li.agg(
-      min($"l_orderkey").as("ok_lo"), max($"l_orderkey").as("ok_hi"),
-      min($"l_partkey").as("pk_lo"), max($"l_partkey").as("pk_hi"))
-    val z = li.crossJoin(broadcast(bounds))
-      .withColumn("zval", interleave16(
-        norm16($"l_orderkey", $"ok_lo", $"ok_hi"),
-        norm16($"l_partkey", $"pk_lo", $"pk_hi")))
+    // bounds from footer metadata when sound (no job at all); else the
+    // one tiny scalar-aggregate scan, broadcast — never collected
+    val z = footerLongBounds(s, s"$dir/lineitem.parquet",
+        Seq("l_orderkey", "l_partkey")) match {
+      case Some(b) =>
+        val (okLo, okHi) = b("l_orderkey")
+        val (pkLo, pkHi) = b("l_partkey")
+        li.withColumn("zval", interleave16(
+          norm16($"l_orderkey", lit(okLo), lit(okHi)),
+          norm16($"l_partkey", lit(pkLo), lit(pkHi))))
+      case None =>
+        val bounds = li.agg(
+          min($"l_orderkey").as("ok_lo"), max($"l_orderkey").as("ok_hi"),
+          min($"l_partkey").as("pk_lo"), max($"l_partkey").as("pk_hi"))
+        li.crossJoin(broadcast(bounds))
+          .withColumn("zval", interleave16(
+            norm16($"l_orderkey", $"ok_lo", $"ok_hi"),
+            norm16($"l_partkey", $"pk_lo", $"pk_hi")))
+    }
+    val z2 = z
       // bucket on the TOP 3 z-bits rather than repartitionByRange(zval):
       // range boundaries are SAMPLED (seeded by RDD id — run-dependent)
       // and land anywhere in z-space, so a file could straddle a
@@ -70,7 +138,7 @@ object Layout {
       // by its bucket's z-box (bits 31/30/29 = pk₁₅, ok₁₅, pk₁₄ → pk
       // extent ≤ ¼ range, ok ≤ ½), deterministically on every run.
       .withColumn("zbucket", shiftright($"zval", 29))
-    z.repartition(8, $"zbucket")
+    z2.repartition(8, $"zbucket")
       .sortWithinPartitions($"zbucket", $"zval")
       .select((cols :+ "zbucket").map(col): _*)
       .write.mode("overwrite").partitionBy("zbucket").parquet(out)

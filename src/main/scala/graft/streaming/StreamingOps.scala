@@ -534,7 +534,8 @@ object StreamingOps {
     * beats ratio on this path. */
   private def replayToFleet(s: SparkSession, tag: String)
       (build: SparkSession => DataFrame): DataFrame = {
-    val root = graft.util.Scratch.dir(s"stream_fleet_$tag")
+    // write-once/read-once batch fleets are scratch — RAM-backed dir
+    val root = graft.util.Scratch.ephemeralDir(s"stream_fleet_$tag")
     // deterministic re-runs within one JVM: clear prior batch dirs so a
     // bench warm lap can't read a stale batch count (the idempotent
     // REPLAY-overwrite path is pinned separately in StreamingSpec)
@@ -611,7 +612,7 @@ object StreamingOps {
     * and drained-checkpoint restarts). */
   def qStreamFleetSinkNative(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = graft.util.Scratch.dir("stream_fleet_native")
+    val root = graft.util.Scratch.ephemeralDir("stream_fleet_native")
     graft.util.Scratch.deleteRecursively(java.nio.file.Paths.get(root))
     val ckpt = java.nio.file.Files.createTempDirectory(ckptRoot, "q").toString
     val s2 = s.newSession()

@@ -43,6 +43,13 @@ object GraftSession {
     // the fingerprint-store ingest, the bucketed fact join — re-sorts
     // the pre-sorted side per query.
     .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // Shuffle/spill scratch on the RAM-backed tmpfs when one is
+    // writable (guide §2.1: local disk bandwidth is a shuffle's other
+    // bottleneck; shuffle files are pure scratch, and tmpfs-backed
+    // local dirs are a standard deployment posture). Spark itself
+    // prefers SPARK_LOCAL_DIRS when the operator sets it, so this is
+    // only the default. Falls back to java.io.tmpdir.
+    .config("spark.local.dir", Scratch.ephemeralDir("local"))
     // file:// with an in-process chmod: without the Hadoop native lib
     // every local file create forks a `chmod` process (profiled at a
     // fork per staged file across the fleet verbs) — see
