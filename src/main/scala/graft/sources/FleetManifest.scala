@@ -902,7 +902,8 @@ private[graft] object FleetManifest {
       requireDvs: Map[String, Option[String]] = Map.empty,
       dvMetaUpdate: Map[String, DvMeta] = Map.empty,
       txn: Option[(String, Long)] = None,
-      requireChecks: Option[Map[String, String]] = None): Snapshot = {
+      requireChecks: Option[Map[String, String]] = None,
+      requireSchema: Option[Option[String]] = None): Snapshot = {
     val key = fs.makeQualified(dir).toString
     // a PINNED session is a read cut ([[FleetPin]]): committing to a
     // fleet inside the pin vector would mean this session planned its
@@ -973,6 +974,25 @@ private[graft] object FleetManifest {
                 "landed — the job's rows were not validated against " +
                 "them; re-run the write (it will plan under the " +
                 "current constraint set)")
+          }
+          // DECLARED-SCHEMA compare-and-set (r21, ADVICE r20 #1): the
+          // writer states the SchemaProp marker its validation (and
+          // any evolution merge) was computed AGAINST. A marker that
+          // changed since — a concurrent evolution or overwrite/reset
+          // — may have declared columns this writer's merged
+          // declaration would silently drop, or re-shaped the fleet
+          // its staged files no longer match: conflict loudly; the
+          // caller re-validates against the current declaration and
+          // re-commits.
+          requireSchema.foreach { observed =>
+            val curMarker = cur.flatMap(_.props.get(SchemaProp))
+              .filter(_.nonEmpty)
+            if (curMarker != observed)
+              throw new FleetCommitConflictException(
+                s"manifest commit at $dir was planned under a declared " +
+                  "schema that has since changed — a concurrent schema " +
+                  "evolution or overwrite landed; re-validate the " +
+                  "append against the current declaration and re-commit")
           }
           val baseDvs = cur.map(_.dvs).getOrElse(Map.empty)
           if (requireDvs.nonEmpty) {

@@ -114,10 +114,19 @@ private[graft] object ParquetFleet {
     // evolved declaration commits as the generation-stamped
     // SchemaProp marker, versioned + inherited exactly like the avro
     // tier's, so AS OF reads see the as-of declaration.
-    var schemaProp = Map.empty[String, String]
-    if (!reset) FleetManifest.current(fs, p)
-      .filter(_.files.nonEmpty).foreach { cur =>
-        val existing = declaredSchema(s, dir, cur)
+    // Validation + evolved-declaration computation, re-runnable: the
+    // schema compare-and-set below (requireSchema, ADVICE r20 #1) can
+    // send us back here after a concurrent evolution/reset lands, and
+    // the re-run must merge against the RACER's declaration (its new
+    // column must survive into ours) or fail loudly if the staged
+    // shape no longer fits. Returns (observed marker, props).
+    def validateSchema(): (Option[String], Map[String, String]) = {
+      var schemaProp = Map.empty[String, String]
+      val cur = FleetManifest.current(fs, p)
+      val observed = cur.flatMap(_.props.get(FleetManifest.SchemaProp))
+        .filter(_.nonEmpty)
+      if (!reset) cur.filter(_.files.nonEmpty).foreach { snap =>
+        val existing = declaredSchema(s, dir, snap)
         val shape = (st: StructType) =>
           st.fields.map(f => (f.name, f.dataType)).toSeq
         if (shape(df.schema) != shape(existing)) {
@@ -148,6 +157,9 @@ private[graft] object ParquetFleet {
                 FleetSchemaMarker.Marker(declared, Map.empty)))
         }
       }
+      (observed, schemaProp)
+    }
+    var (observedSchema, schemaProp) = validateSchema()
     if (reset)
       // the reset declaration REPLACES any inherited marker (the
       // pre-evolution "" sentinel cleared it; stamping the actual
@@ -174,21 +186,48 @@ private[graft] object ParquetFleet {
     // generation always has its entries (a crash between strands
     // files + stats together, invisible either way)
     ParquetFleetStats.capture(s, dir, names)
+    // zero-residue unlink of this call's staged files (lost races)
+    def unstage(): Unit = {
+      names.foreach(n => fs.delete(new Path(p, n), false))
+      FleetStats.drop(fs, p, names.toSet)
+    }
     val landed =
       try {
-        FleetManifest.commit(fs, p,
-          update = base => if (reset) names else base ++ names,
-          bootstrap = Seq.empty,
-          props = schemaProp,
-          txn = txn)
+        // schema CAS retry loop: a concurrent evolution/reset between
+        // our validation and the commit conflicts loudly inside
+        // commit (requireSchema); re-validate against the NEW
+        // declaration — merging ITS columns into ours, or failing
+        // loudly if the staged shape no longer fits (the staged files
+        // are unlinked first, zero residue) — and re-commit.
+        var done = false
+        var attempts = 0
+        while (!done) {
+          attempts += 1
+          try {
+            FleetManifest.commit(fs, p,
+              update = base => if (reset) names else base ++ names,
+              bootstrap = Seq.empty,
+              props = schemaProp,
+              txn = txn,
+              requireSchema = if (reset) None else Some(observedSchema))
+            done = true
+          } catch {
+            case e: FleetCommitConflictException =>
+              if (attempts >= 16) throw e
+              val re =
+                try validateSchema()
+                catch { case v: Throwable => unstage(); throw v }
+              observedSchema = re._1
+              schemaProp = re._2
+          }
+        }
         true
       } catch {
         case _: FleetTxnAlreadyAppliedException =>
           // the token landed between pre-check and commit (a racing
           // replay): unlink this call's staged-but-unreferenced files
           // and their advisory entries — zero residue
-          names.foreach(n => fs.delete(new Path(p, n), false))
-          FleetStats.drop(fs, p, names.toSet)
+          unstage()
           false
       }
     fs.delete(staging, true)
@@ -549,7 +588,15 @@ private[graft] object ParquetFleet {
           .sum
       }.sum
       live - deleted
-    } catch { case scala.util.control.NonFatal(_) =>
+    } catch { case scala.util.control.NonFatal(e) =>
+      // observable degradation (r21, ADVICE r20 #3): at 100 TB the
+      // metadata tier is the ONLY thing making COUNT cheap — a
+      // transient footer/listing failure silently turning it into a
+      // full fleet scan must be diagnosable
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"parquet fleet count at $dir v${snap.version}: metadata tier " +
+          s"unreadable (${e.getClass.getSimpleName}: ${e.getMessage}) " +
+          "— falling back to a full vectorized scan", e)
       readFiles(s, dir, snap, snap.files.sorted).count()
     }
   }
@@ -698,13 +745,26 @@ private[graft] object ParquetFleet {
     FleetStats.drop(fs, p, r.deletedFiles.toSet)
     val dvRoot = new Path(p, DvDir)
     // a generation dir whose partition dirs all GC'd holds only write
-    // markers (_SUCCESS) — sweep it whole; one with any live partition
-    // stays, markers included
+    // markers (_SUCCESS) — sweep it; one with any live partition
+    // stays, markers included. Race guard (r21, ADVICE r20 #2): a
+    // CONCURRENT MOR delete's generation dir holds a `_temporary`
+    // SUBDIRECTORY (its in-flight shuffle write) and no `__file=`
+    // children yet — the old recursive sweep deleted it mid-job. Now
+    // any subdirectory blocks the sweep, marker FILES are unlinked
+    // individually, and the dir itself is removed NON-recursively, so
+    // a partition promoted between our listing and the rmdir makes
+    // the rmdir fail harmlessly instead of deleting just-promoted
+    // vectors.
     if (fs.exists(dvRoot)) fs.listStatus(dvRoot).foreach { st =>
-      if (st.isDirectory &&
-          !fs.listStatus(st.getPath).exists(c =>
-            c.isDirectory && c.getPath.getName.startsWith("__file=")))
-        fs.delete(st.getPath, true)
+      if (st.isDirectory) {
+        val kids = fs.listStatus(st.getPath)
+        if (!kids.exists(_.isDirectory)) {
+          kids.foreach(k => fs.delete(k.getPath, false))
+          try fs.delete(st.getPath, false)
+          catch { case _: java.io.IOException => () }
+          ()
+        }
+      }
     }
     r
   }

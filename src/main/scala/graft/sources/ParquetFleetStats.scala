@@ -168,6 +168,17 @@ private[graft] object ParquetFleetStats {
         Some { case b: java.lang.Boolean => Some(b); case _ => None }
       case (BINARY,
           _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+        // UNTRUNCATED-STATS DEPENDENCY (documented per ADVICE r20 #4):
+        // `minMax()` reports these carriers as ACHIEVED values, which
+        // holds only because every file in a fleet is written by this
+        // tier's own commit path (Spark's parquet writer, which does
+        // not truncate CHUNK statistics by default — only the column
+        // index is length-capped). If a writer ever sets
+        // `parquet.statistics.truncate.length`, a truncated string max
+        // remains a SOUND skip bound (truncation only widens the
+        // interval upward) but would no longer be a value any row
+        // holds; revisit minMax's string answers before admitting
+        // foreign-written files.
         Some {
           case b: org.apache.parquet.io.api.Binary =>
             Some(b.toStringUsingUTF8)

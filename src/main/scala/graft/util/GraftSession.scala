@@ -43,6 +43,16 @@ object GraftSession {
     // the fingerprint-store ingest, the bucketed fact join — re-sorts
     // the pre-sorted side per query.
     .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // Let AQE size the partitions of CACHED plans too (default off
+    // upstream): the registry's shared caches (tokDistinct, the LSH
+    // banded frame, tfidf's tf) otherwise materialize at the full
+    // shuffle width, so every consumer stage scans 32+ near-empty
+    // cache partitions — measured 45% off q_dedup_embcos_lsh / 47%
+    // off q_text_fingerprint warm, −19% across the cached dedup/text
+    // family (ConfBench A/B, OPTIMIZATION_r21.md §G7). Scale-adaptive
+    // by construction: partition count derives from cached bytes.
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+      "true")
     // Shuffle/spill scratch on the RAM-backed tmpfs when one is
     // writable (guide §2.1: local disk bandwidth is a shuffle's other
     // bottleneck; shuffle files are pure scratch, and tmpfs-backed

@@ -928,4 +928,95 @@ class ParquetFleetSpec extends SparkSpec {
     assert(ParquetFleet.scan(spark, dir, $"id" <= 10L).count() ==
       (0L to 10L).count(_ % 7 != 3))
   }
+
+  test("schema CAS: an evolution landing mid-append conflicts, re-merges, keeps BOTH columns") {
+    import spark.implicits._
+    val dir = stage("schema_cas")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // the racer's commit: the SchemaProp marker a concurrent
+    // mergeSchema append would stamp — declared (id, v, zz)
+    ParquetFleetSpec.armEvolution(dir,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField("zz",
+          org.apache.spark.sql.types.LongType, nullable = true))))
+    spark.udf.register("evolve_once",
+      (id: Long) => { ParquetFleetSpec.landOnce(); id * 10 })
+    // victim: a mergeSchema append adding column w, whose STAGING job
+    // (spark.range defeats ConvertToLocalRelation's plan-time fold)
+    // fires the racer strictly between the append's schema validation
+    // and its manifest commit — the r20-ADVICE TOCTOU window
+    ParquetFleet.append(
+      spark.range(100, 110).select($"id", ($"id" * 2).as("v"),
+        org.apache.spark.sql.functions.expr("evolve_once(id)").as("w")),
+      dir, mergeSchema = true)
+    // without the CAS the last writer's marker silently dropped zz;
+    // with it the append re-validated and merged: all four columns
+    val got = ParquetFleet.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "v", "zz", "w"),
+      got.columns.mkString(","))
+    assert(got.count() == 110)
+    assert(got.filter($"zz".isNotNull).count() == 0,
+      "no file carries zz yet — declared-only column null-fills")
+    assert(got.filter($"w".isNotNull).count() == 10,
+      "the appended rows carry w; pre-evolution rows null-fill it")
+  }
+
+  test("expire's generation sweep skips an in-flight delete's _temporary dir") {
+    import spark.implicits._
+    val dir = stage("expire_grace")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    ParquetFleet.append(
+      spark.range(100, 120).select($"id", ($"id" * 2).as("v")), dir)
+    val dvRoot = new org.apache.hadoop.fs.Path(p, ParquetFleet.DvDir)
+    // a racing MOR delete mid-shuffle-write: its generation dir holds
+    // only the job's _temporary subtree (no __file= partitions yet)
+    val inflight = new org.apache.hadoop.fs.Path(dvRoot, "gen-inflight")
+    val tmpChild = new org.apache.hadoop.fs.Path(inflight,
+      "_temporary/0/task/part-00000.parquet")
+    fs.mkdirs(tmpChild.getParent)
+    fs.create(tmpChild, true).close()
+    // and a legitimately-dead generation dir: only marker FILES
+    val dead = new org.apache.hadoop.fs.Path(dvRoot, "gen-dead")
+    fs.mkdirs(dead)
+    fs.create(new org.apache.hadoop.fs.Path(dead, "_SUCCESS"), true).close()
+    ParquetFleet.expire(spark, dir, keepLast = 1)
+    assert(fs.exists(inflight) && fs.exists(tmpChild),
+      "an in-flight delete's generation dir must survive the sweep")
+    assert(!fs.exists(dead),
+      "a marker-only generation dir must still be swept")
+  }
+}
+
+/** Once-firing hook for the schema-CAS race spec: a task-side UDF
+  * lands a foreign SchemaProp commit exactly inside the append's
+  * validate→commit window (the FleetChecksSpec technique). */
+object ParquetFleetSpec {
+  private val target =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private val marker =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+  private val pending =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def armEvolution(fleet: String,
+      declared: org.apache.spark.sql.types.StructType): Unit = {
+    target.set(fleet)
+    marker.set(graft.sources.FleetSchemaMarker.toJsonString(
+      graft.sources.FleetSchemaMarker.Marker(declared, Map.empty)))
+    pending.set(true)
+  }
+
+  def landOnce(): Unit = {
+    if (!pending.compareAndSet(true, false)) return
+    val p = new org.apache.hadoop.fs.Path(target.get())
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    graft.sources.FleetManifest.commit(fs, p, identity, Nil,
+      props = Map(graft.sources.FleetManifest.SchemaProp -> marker.get()))
+    ()
+  }
 }
