@@ -750,7 +750,7 @@ object Crud {
     val out = s"$root/cdc_batches"
     // RAM-backed when available: a fresh-per-invocation AvailableNow
     // drain's offset/commit logs are pure scratch (Scratch.ephemeralDir)
-    val ckpt = graft.util.Scratch.ephemeralDir("cdc_ckpt")
+    val ckpt = graft.util.Scratch.ephemeralDir("cdc_ckpt", unique = true)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
     Seq(out, ckpt).foreach(d =>
@@ -805,7 +805,7 @@ object Crud {
       """UPDATE graft.cust SET c_acctbal = round(c_acctbal * 2.0, 4)
         |WHERE c_custkey % 100 = 7""".stripMargin)                // v3
     val out = s"$root/cdck_net.avro"
-    val ckpt = graft.util.Scratch.ephemeralDir("cdck_ckpt")
+    val ckpt = graft.util.Scratch.ephemeralDir("cdck_ckpt", unique = true)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(s.sessionState.newHadoopConf())
     Seq(out, ckpt).foreach(d =>

@@ -69,11 +69,20 @@ object Layout {
     val conf = s.sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
     val files =
-      (if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq.filter(st => st.isFile && {
+      (if (fs.getFileStatus(p).isDirectory) {
+        val listed = fs.listStatus(p).toSeq.filter { st =>
           val n = st.getPath.getName
           !n.startsWith("_") && !n.startsWith(".")
-        })
+        }
+        // a layout mixing top-level data files with partition subdirs
+        // would compute bounds from the top-level files ONLY — narrower
+        // than what the scan reads, so norm16 would emit out-of-range
+        // values and a WRONG z-order (ADVICE r21). Any visible subdir
+        // alongside data files forfeits the fast path; the scan-side
+        // aggregate fallback is always sound.
+        if (listed.exists(_.isDirectory)) return None
+        listed.filter(_.isFile)
+      }
       else Seq(fs.getFileStatus(p))).map(_.getPath)
     if (files.isEmpty) return None
     val perFile = files.map { f =>

@@ -191,6 +191,9 @@ private[graft] object ParquetFleet {
       names.foreach(n => fs.delete(new Path(p, n), false))
       FleetStats.drop(fs, p, names.toSet)
     }
+    // the .staging dir is empty once the parts rename out — delete it
+    // on EVERY exit (a throw used to leak it, contradicting the
+    // zero-residue contract; ADVICE r21)
     val landed =
       try {
         // schema CAS retry loop: a concurrent evolution/reset between
@@ -213,7 +216,10 @@ private[graft] object ParquetFleet {
             done = true
           } catch {
             case e: FleetCommitConflictException =>
-              if (attempts >= 16) throw e
+              // attempt exhaustion abandons the append: unlink the
+              // staged-but-never-referenced files + their advisory
+              // stats first (ADVICE r21 — they leaked before)
+              if (attempts >= 16) { unstage(); throw e }
               val re =
                 try validateSchema()
                 catch { case v: Throwable => unstage(); throw v }
@@ -229,8 +235,7 @@ private[graft] object ParquetFleet {
           // and their advisory entries — zero residue
           unstage()
           false
-      }
-    fs.delete(staging, true)
+      } finally fs.delete(staging, true)
     landed
   }
 

@@ -27,23 +27,48 @@ object Scratch {
     p.toString
   }
 
+  /** Floor of usable `/dev/shm` bytes below which [[ephemeralDir]]
+    * falls back to disk (default 4 GiB, `graft.scratch.shmMinBytes`
+    * overrides — the fallback spec pins the behavior). Containers
+    * commonly cap tmpfs at 64 MB: shuffle spill exists precisely
+    * because memory ran out, and spilling INTO a tiny RAM-backed mount
+    * converts disk pressure into ENOSPC/OOM under exactly the
+    * conditions spilling must handle (r21 verdict #2 / ADVICE). */
+  private def shmMinBytes: Long =
+    System.getProperty("graft.scratch.shmMinBytes", "")
+      .toLongOption.getOrElse(4L << 30)
+
   /** Like [[dir]], but preferring the RAM-backed `/dev/shm` when it is
-    * writable — for bounded-replay checkpoints and other scratch whose
-    * lifetime is one query invocation (the offset/commit logs and
-    * state-store deltas of an AvailableNow drain are pure scratch; the
-    * durable-checkpoint posture stays exercised by the restart specs,
-    * which checkpoint to real disk). Falls back to java.io.tmpdir. */
-  def ephemeralDir(name: String): String = {
+    * writable AND has capacity headroom (see [[shmMinBytes]]) — for
+    * bounded-replay checkpoints and other scratch whose lifetime is one
+    * query invocation (the offset/commit logs and state-store deltas of
+    * an AvailableNow drain are pure scratch; the durable-checkpoint
+    * posture stays exercised by the restart specs, which checkpoint to
+    * real disk). Falls back to java.io.tmpdir. `SPARK_LOCAL_DIRS`
+    * still overrides the shuffle-scratch use (Spark prefers it over
+    * spark.local.dir).
+    *
+    * `unique = true` appends a per-invocation token: checkpoint dirs
+    * handed to concurrent same-name invocations in one JVM (parallel
+    * suites, two sessions draining the same query shape) must not
+    * share offset logs — each caller deletes-then-writes its own. */
+  def ephemeralDir(name: String, unique: Boolean = false): String = {
     val shm = Paths.get("/dev/shm")
     val base =
-      if (Files.isWritable(shm)) shm.toString
+      if (Files.isWritable(shm) &&
+          (try shm.toFile.getUsableSpace >= shmMinBytes
+           catch { case _: Throwable => false })) shm.toString
       else System.getProperty("java.io.tmpdir", "/tmp")
-    val p = Paths.get(base, s"graft_${name}_${ProcessHandle.current().pid()}")
+    val suffix = if (unique) s"_${invocation.incrementAndGet()}" else ""
+    val p = Paths.get(base,
+      s"graft_${name}_${ProcessHandle.current().pid()}$suffix")
     if (hooked.add(p.toString))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         try deleteRecursively(p) catch { case _: Throwable => () }))
     p.toString
   }
+
+  private val invocation = new java.util.concurrent.atomic.AtomicLong
 
   /** Best-effort recursive delete (files before parents). */
   def deleteRecursively(p: Path): Unit = {

@@ -71,79 +71,99 @@ class ScaleSpec extends SparkSpec {
 
   test("dedup family stays near-linear on a synthetic corpus ~300x the bench scale") {
     import spark.implicits._
-    // 1.5M synthetic docs (~300x the sf0.1 documents table, ~3000x the
-    // sf0.001 fixture the other tests use), generated distributed and
-    // never collected. The point is the CANARY, not the assertions: an
-    // all-pairs join, an unbounded window, or a hot-key candidate
-    // blowup reintroduced into jaccardPairs / fingerprints / packBins
-    // turns this from ~a minute into hours — the sf0.1 bench can't see
-    // that class of regression, this test bounds it.
-    val n = 1500000L
-    // mostly-unique 8-word texts; every 1000th doc duplicates its
-    // neighbor so the near-dup output is non-empty (a silently-empty
-    // candidate stage would otherwise pass a pure wall-clock check)
-    val base = when($"doc_id" % 1000 === 1, $"doc_id" - 1)
-      .otherwise($"doc_id")
-    val words = (0 until 8).map(j => concat(lit("w"), hex(base * 8 + j)))
-    val docs = spark.range(n).select($"id".as("doc_id"))
-      .withColumn("text", concat_ws(" ", words: _*))
-      .withColumn("lang", concat(lit("l"), ($"doc_id" % 4).cast("string")))
-    val t0 = System.nanoTime()
-    val pairs = ops.LlmOps.jaccardPairs(spark, docs, 3, 0.9, 0.001).count()
-    assert(pairs == n / 1000,
-      s"expected ${n / 1000} planted duplicate pairs, got $pairs")
-    // component resolution over the planted pairs: every component is
-    // one (i, i+1) duplicate pair, so exactly 2 nodes per cluster and
-    // the even id is canonical; the in-plan guard doubles as the
-    // convergence assert
-    val clusters = ops.LlmOps.clustersFromPairs(
-      ops.LlmOps.jaccardPairs(spark, docs, 3, 0.9, 0.001)
-        .select($"a_id", $"b_id"), rounds = 8)
-      .agg(count(lit(1)).as("rows"),
-        sum(when($"cluster_size" === 2, 0L).otherwise(1L)).as("bad_size"),
-        sum(when($"cluster_id" % 1000 === 0, 0L).otherwise(1L)).as("bad_min"))
-      .head()
-    assert(clusters.getLong(0) == 2 * n / 1000 &&
-      clusters.getLong(1) == 0 && clusters.getLong(2) == 0,
-      s"cluster canary mismatch: $clusters")
-    // boilerplate list + strip at corpus scale: each planted pair's 6
-    // 3-grams reach df=2, so minDf=2 lists exactly 6·(n/1000) grams and
-    // the strip removes all 8 words of BOTH pair members, nothing else
-    val boiler = ops.LlmOps.boilerplateGrams(spark, docs, 3, 2).count()
-    assert(boiler == 6 * n / 1000,
-      s"expected ${6 * n / 1000} hot grams, got $boiler")
-    val stripped = ops.LlmOps.stripBoilerplate(spark, docs, 3, 2)
-      .agg(count(lit(1)).as("rows"), sum($"n_stripped").as("tot"),
-        sum(when($"text_clean" === "", 1L).otherwise(0L)).as("empty"))
-      .head()
-    assert(stripped.getLong(0) == n && stripped.getLong(1) == 16 * n / 1000 &&
-      stripped.getLong(2) == 2 * n / 1000,
-      s"strip canary mismatch: $stripped")
-    // verbatim-overlap pairs at corpus scale: the planted duplicates
-    // share all 6 of their 3-grams (df=2, inside the 2..10 cap); every
-    // other gram is unique (df=1, dropped) — exactly n/1000 pairs, all
-    // with n_shared=6. Guards the bounded collect+explode pair shape
-    // (a regression to an uncapped expansion or a skew-prone self-join
-    // shows up in the wall-clock bound below)
-    val sub = ops.LlmOps.substringPairs(spark, docs, 3)
-      .agg(count(lit(1)).as("rows"),
-        sum(when($"n_shared" === 6, 0L).otherwise(1L)).as("bad"))
-      .head()
-    assert(sub.getLong(0) == n / 1000 && sub.getLong(1) == 0,
-      s"substring canary mismatch: $sub")
-    val fps = ops.DedupAdvanced.fingerprintsOf(spark, docs).count()
-    assert(fps == n, s"fingerprint per doc: expected $n, got $fps")
-    val toks = docs.select($"doc_id", $"lang", lit(8L).as("n_tokens"))
-    val binned = ops.TrainPrep.packBins(spark, toks,
-      capacity = 2048L, shardSize = 100000L).count()
-    assert(binned == n, s"packBins row-preserving: expected $n, got $binned")
-    val elapsed = (System.nanoTime() - t0) / 1e9
-    // ~60s on local[4] when linear; an O(n^2) plan would take hours
-    assert(elapsed < 300.0,
-      f"dedup canary took $elapsed%.0fs — a superlinear plan regression")
-    // these ops cache shared subtrees sized for query scale, not 1.5M
-    // docs — release them so later suites aren't memory-squeezed
-    graft.util.Caches.clear(spark)
+    // Two-scale SLOPE canary (r22, was a single-run wall-clock bound):
+    // the same op set runs at 150k docs and at 1.5M docs (~300x the
+    // sf0.1 documents table), generated distributed and never
+    // collected. An all-pairs join, an unbounded window, or a hot-key
+    // candidate blowup reintroduced into jaccardPairs / fingerprints /
+    // packBins makes the large run ~100x the small one instead of
+    // ~10x — the sf0.1 bench can't see that class of regression. The
+    // RATIO is asserted, not wall-clock: both runs share whatever CPU
+    // steal/host contention the box has (the old 300s absolute bound
+    // failed on a VM measuring ±50% same-code variance while the plan
+    // was linear — it conflated environment slowness with plan shape).
+    def run(n: Long): Double = {
+      require(n % 1000 == 0, "planted-duplicate math needs 1000 | n")
+      // mostly-unique 8-word texts; every 1000th doc duplicates its
+      // neighbor so the near-dup output is non-empty (a silently-empty
+      // candidate stage would otherwise pass a pure slope check)
+      val base = when($"doc_id" % 1000 === 1, $"doc_id" - 1)
+        .otherwise($"doc_id")
+      val words = (0 until 8).map(j => concat(lit("w"), hex(base * 8 + j)))
+      val docs = spark.range(n).select($"id".as("doc_id"))
+        .withColumn("text", concat_ws(" ", words: _*))
+        .withColumn("lang", concat(lit("l"), ($"doc_id" % 4).cast("string")))
+      val t0 = System.nanoTime()
+      val pairs = ops.LlmOps.jaccardPairs(spark, docs, 3, 0.9, 0.001).count()
+      assert(pairs == n / 1000,
+        s"expected ${n / 1000} planted duplicate pairs, got $pairs")
+      // component resolution over the planted pairs: every component is
+      // one (i, i+1) duplicate pair, so exactly 2 nodes per cluster and
+      // the even id is canonical; the in-plan guard doubles as the
+      // convergence assert
+      val clusters = ops.LlmOps.clustersFromPairs(
+        ops.LlmOps.jaccardPairs(spark, docs, 3, 0.9, 0.001)
+          .select($"a_id", $"b_id"), rounds = 8)
+        .agg(count(lit(1)).as("rows"),
+          sum(when($"cluster_size" === 2, 0L).otherwise(1L)).as("bad_size"),
+          sum(when($"cluster_id" % 1000 === 0, 0L).otherwise(1L)).as("bad_min"))
+        .head()
+      assert(clusters.getLong(0) == 2 * n / 1000 &&
+        clusters.getLong(1) == 0 && clusters.getLong(2) == 0,
+        s"cluster canary mismatch at n=$n: $clusters")
+      // boilerplate list + strip at corpus scale: each planted pair's 6
+      // 3-grams reach df=2, so minDf=2 lists exactly 6·(n/1000) grams
+      // and the strip removes all 8 words of BOTH pair members, nothing
+      // else
+      val boiler = ops.LlmOps.boilerplateGrams(spark, docs, 3, 2).count()
+      assert(boiler == 6 * n / 1000,
+        s"expected ${6 * n / 1000} hot grams, got $boiler")
+      val stripped = ops.LlmOps.stripBoilerplate(spark, docs, 3, 2)
+        .agg(count(lit(1)).as("rows"), sum($"n_stripped").as("tot"),
+          sum(when($"text_clean" === "", 1L).otherwise(0L)).as("empty"))
+        .head()
+      assert(stripped.getLong(0) == n &&
+        stripped.getLong(1) == 16 * n / 1000 &&
+        stripped.getLong(2) == 2 * n / 1000,
+        s"strip canary mismatch at n=$n: $stripped")
+      // verbatim-overlap pairs at corpus scale: the planted duplicates
+      // share all 6 of their 3-grams (df=2, inside the 2..10 cap);
+      // every other gram is unique (df=1, dropped) — exactly n/1000
+      // pairs, all with n_shared=6. Guards the bounded collect+explode
+      // pair shape (a regression to an uncapped expansion or a
+      // skew-prone self-join shows up in the slope bound below)
+      val sub = ops.LlmOps.substringPairs(spark, docs, 3)
+        .agg(count(lit(1)).as("rows"),
+          sum(when($"n_shared" === 6, 0L).otherwise(1L)).as("bad"))
+        .head()
+      assert(sub.getLong(0) == n / 1000 && sub.getLong(1) == 0,
+        s"substring canary mismatch at n=$n: $sub")
+      val fps = ops.DedupAdvanced.fingerprintsOf(spark, docs).count()
+      assert(fps == n, s"fingerprint per doc: expected $n, got $fps")
+      val toks = docs.select($"doc_id", $"lang", lit(8L).as("n_tokens"))
+      val binned = ops.TrainPrep.packBins(spark, toks,
+        capacity = 2048L, shardSize = 100000L).count()
+      assert(binned == n, s"packBins row-preserving: expected $n, got $binned")
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // the ops cache shared subtrees sized per corpus — release them
+      // so the two runs are shaped identically (and later suites
+      // aren't memory-squeezed)
+      graft.util.Caches.clear(spark)
+      elapsed
+    }
+    val tSmall = run(150000L)
+    val tLarge = run(1500000L)
+    val slope = tLarge / math.max(tSmall, 0.001)
+    info(f"dedup canary: 150k docs in $tSmall%.1fs, 1.5M in " +
+      f"$tLarge%.1fs — slope $slope%.1fx for 10x the data")
+    // linear ⇒ ~10x (less when fixed overhead pads the small run);
+    // O(n²) ⇒ ~100x. 35 = 3.5x linear slack: generous against the
+    // measured ±50% per-run noise pulling the two runs apart, still
+    // a 3x margin below the quadratic signature this test exists to
+    // catch (and a quadratic large run is also absolutely enormous)
+    assert(slope < 35.0,
+      f"dedup family slope $slope%.1fx over a 10x corpus growth " +
+        f"($tSmall%.1fs -> $tLarge%.1fs) — a superlinear plan regression")
   }
 
   test("plan construction launches zero Spark jobs across the registry") {
