@@ -66,5 +66,11 @@ object GraftSession {
     // [[NioLocalFileSystem]]. Same checksummed semantics.
     .config("spark.hadoop.fs.file.impl",
       "graft.util.NioLocalFileSystem")
+    // the FileContext twin (r22): the streaming checkpoint manager
+    // prefers FileContext, whose default local binding still forked a
+    // chmod per created file and a readlink per getFileLinkStatus —
+    // see [[NioLocalFs]]. Same nio fast paths for that API.
+    .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+      "graft.util.NioLocalFs")
     .config("spark.ui.enabled", "false")
 }
