@@ -30,18 +30,31 @@ import org.apache.spark.sql.functions.col
   */
 object FleetCompact {
 
+  /** The LIVE bytes of the fleet at `p` — manifest-resolved (current
+    * generation only), raw listing for manifest-less dirs. Shard
+    * sizing was a raw listing before r22: retired generations kept
+    * for `versionAsOf` inflated `totalBytes`, so a re-compaction of a
+    * versioned fleet chose ceil(ALL generations / target) shards —
+    * profiled as +24 output tasks per warm lap on `q_fleet_compact`,
+    * and at 100 TB a maintenance pass sized on dead bytes (the exact
+    * thing retention hasn't reclaimed yet). The scan below always read
+    * manifest-current; only the sizing disagreed. */
+  private def liveBytes(s: SparkSession, p: Path): Long = {
+    val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+    FleetManifest.resolve(fs, p, None)
+      .getOrElse(fs.listStatus(p).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }).iterator.map(_.getLen).sum
+  }
+
   /** Compact the `graft-avro` fleet at `in` into `out`. Returns the
-    * number of output shards chosen (= ceil(input data bytes /
+    * number of output shards chosen (= ceil(live input data bytes /
     * `targetBytes`), floor 1). */
   def compact(s: SparkSession, in: String, out: String,
       targetBytes: Long, clusterBy: String): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val inPath = new Path(in)
-    val fs = inPath.getFileSystem(s.sessionState.newHadoopConf())
-    val totalBytes = fs.listStatus(inPath).iterator.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getLen).sum
+    val totalBytes = liveBytes(s, new Path(in))
     val shards = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .toInt
     s.read.format("graft-avro").load(in)
@@ -63,12 +76,7 @@ object FleetCompact {
   def compactClustered(s: SparkSession, in: String, out: String,
       targetBytes: Long, clusterBy: String): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
-    val inPath = new Path(in)
-    val fs = inPath.getFileSystem(s.sessionState.newHadoopConf())
-    val totalBytes = fs.listStatus(inPath).iterator.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getLen).sum
+    val totalBytes = liveBytes(s, new Path(in))
     val shards = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes)
       .toInt
     s.read.format("graft-avro").option("clusterBy", clusterBy).load(in)
@@ -139,6 +147,16 @@ object FleetCompact {
         val dvCandidates = FleetDv.expandRefs(fs, dirPath,
           expiredSnaps.flatMap(_.dvs.values).toSet)
           .toSeq.filterNot(keptDvs)
+        // DELTA-chain repair first (r22): a retained version file may
+        // be a delta whose base is about to expire — rewrite those as
+        // full snapshots (same logical content) BEFORE any deletion,
+        // ascending so a kept base materializes before its dependents
+        // are examined. Still under the commit lock; a cross-process
+        // reader racing this retries its version file once and sees
+        // the materialized form.
+        val keptSet = kept.toSet
+        kept.sorted.foreach(v =>
+          FleetManifest.materializeIfChainBroken(fs, dirPath, keptSet, v))
         expired.foreach { v =>
           fs.delete(FleetManifest.versionFilePath(dirPath, v), false)
         }

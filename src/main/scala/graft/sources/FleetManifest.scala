@@ -230,6 +230,65 @@ private[graft] object FleetManifest {
       .sortBy(_._1)
   }
 
+  // ---- HEAD-version hint (r22, the r21 verdict's #3) ---------------
+  //
+  // `current()` used to FULL-LIST `_manifest/` on every call — one
+  // stat per retained version file, O(history) per COMMIT (every
+  // commit re-reads current, and each commit adds a version, so a
+  // long-lived fleet's appends slowed linearly in its commit count:
+  // ManifestBench measured 9 ms → 174 ms per 1-file append between
+  // version 1k and 10k, delta encoding already on). Version numbers
+  // are CONTIGUOUS and the head only GROWS (commits claim head+1,
+  // restore advances, retention deletes strictly below the head), so
+  // the head is findable from a JVM-local hint with forward probes:
+  // hit the hinted file, then probe +1 until the first miss — O(1 +
+  // commits landed since we last looked), typically 2 stats. A miss
+  // ON the hint itself (externally reset/recreated fleet) falls back
+  // to the one-time listing and reseeds. Cross-process safe: foreign
+  // commits land ABOVE the hint (probed), foreign retention below it.
+  private val headHints =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def hintKey(fs: FileSystem, vdir: Path): String =
+    fs.makeQualified(vdir).toString
+
+  private[sources] def noteHead(fs: FileSystem, vdir: Path,
+      v: Long): Unit =
+    headHints.merge(hintKey(fs, vdir), java.lang.Long.valueOf(v),
+      (a, b) => if (a.longValue() >= b.longValue()) a else b)
+
+  private def dropHint(fs: FileSystem, vdir: Path): Unit =
+    headHints.remove(hintKey(fs, vdir))
+
+  /** The highest committed version file in `vdir` (a main `_manifest/`
+    * or a branch vdir), hint-accelerated. */
+  private def headStatus(fs: FileSystem, vdir: Path,
+      list: => Seq[(Long, FileStatus)]): Option[FileStatus] = {
+    val key = hintKey(fs, vdir)
+    val hint = headHints.get(key)
+    def seed(): Option[FileStatus] = {
+      val last = list.lastOption
+      last.foreach { case (v, _) =>
+        headHints.put(key, java.lang.Long.valueOf(v)) }
+      last.map(_._2)
+    }
+    if (hint == null) seed()
+    else {
+      var v = hint.longValue()
+      if (!fs.exists(new Path(vdir, vname(v)))) { dropHint(fs, vdir); seed() }
+      else {
+        while (fs.exists(new Path(vdir, vname(v + 1L)))) v += 1L
+        if (v != hint.longValue())
+          headHints.put(key, java.lang.Long.valueOf(v))
+        try Some(fs.getFileStatus(new Path(vdir, vname(v))))
+        catch { case _: java.io.FileNotFoundException =>
+          // the dir vanished between probes (external reset/cleanup)
+          dropHint(fs, vdir); seed()
+        }
+      }
+    }
+  }
+
   /** All committed versions at `dir`, ascending; empty when the fleet
     * is manifest-less. */
   def versions(fs: FileSystem, dir: Path): Seq[Long] =
@@ -280,6 +339,11 @@ private[graft] object FleetManifest {
 
   private def invalidate(fs: FileSystem, p: Path): Unit =
     snapCache.remove(fs.makeQualified(p).toString)
+
+  /** TEST/BENCH hook: drop every cached snapshot so the next read
+    * parses (and, for delta files, reconstructs) from disk — the
+    * cold-process shape the delta-chain specs must pin. */
+  private[graft] def clearSnapshotCache(): Unit = snapCache.clear()
 
   /** Drop every cached snapshot under `dir` — BRANCH version files are
     * the one place the (mtime, len) validation is insufficient:
@@ -449,8 +513,9 @@ private[graft] object FleetManifest {
   def branchHead(fs: FileSystem, dir: Path, name: String)
       : Option[Snapshot] =
     branchBase(fs, dir, name).flatMap { base =>
-      branchVersionStatuses(fs, dir, name).lastOption
-        .map { case (_, st) => readCached(fs, st) }
+      headStatus(fs, branchVDir(dir, name),
+        branchVersionStatuses(fs, dir, name))
+        .map(st => readCached(fs, st))
         .orElse(if (base == 0L) Some(Snapshot(0L, Seq.empty))
                 else snapshotAtMain(fs, dir, base))
     }
@@ -498,6 +563,7 @@ private[graft] object FleetManifest {
       val existed = fs.delete(branchRef(dir, name), false)
       fs.delete(branchVDir(dir, name), true)
       invalidatePrefix(fs, branchVDir(dir, name))
+      dropHint(fs, branchVDir(dir, name))
       existed
     }
 
@@ -602,6 +668,8 @@ private[graft] object FleetManifest {
       fs.delete(branchRef(dir, name), false)
       fs.delete(branchVDir(dir, name), true)
       invalidatePrefix(fs, branchVDir(dir, name))
+      dropHint(fs, branchVDir(dir, name))
+      if (staged.nonEmpty) noteHead(fs, mdir(dir), head)
       head
     }
 
@@ -689,12 +757,18 @@ private[graft] object FleetManifest {
       .orElse(mainCurrent(fs, dir))
 
   /** The highest committed MAIN version's snapshot — what non-branch
-    * sessions (and the publish/retention machinery) resolve. */
+    * sessions (and the publish/retention machinery) resolve.
+    * Hint-accelerated: O(1) stats per call instead of a full
+    * `_manifest/` listing (see [[headStatus]]). */
   def mainCurrent(fs: FileSystem, dir: Path): Option[Snapshot] =
-    versionStatuses(fs, dir).lastOption.map { case (_, st) =>
-      readCached(fs, st) }
+    headStatus(fs, mdir(dir), versionStatuses(fs, dir))
+      .map(st => readCached(fs, st))
 
-  private def readFile(fs: FileSystem, p: Path): Snapshot = {
+  private def readFile(fs: FileSystem, p: Path): Snapshot =
+    readParsed(fs, p, retried = false)
+
+  private def readParsed(fs: FileSystem, p: Path,
+      retried: Boolean): Snapshot = {
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(), "UTF-8")
       finally in.close()
@@ -705,63 +779,162 @@ private[graft] object FleetManifest {
           case other => throw new java.io.IOException(
             s"malformed manifest $p: version = $other")
         }
-        val files = (obj \ "files") match {
-          case JArray(vs) => vs.collect { case JString(s) => s }
-          case other => throw new java.io.IOException(
-            s"malformed manifest $p: files = $other")
+        (obj \ "base") match {
+          case JInt(b) => reconstructDelta(fs, p, obj, v, b.toLong, retried)
+          case _ =>
+            val files = (obj \ "files") match {
+              case JArray(vs) => vs.collect { case JString(s) => s }
+              case other => throw new java.io.IOException(
+                s"malformed manifest $p: files = $other")
+            }
+            Snapshot(v, files, parseProps(p, obj), parseDvs(p, obj),
+              parseDvMeta(p, obj))
         }
-        val props = (obj \ "props") match {
-          case o: JObject => o.obj.collect {
-            case (k, JString(s)) => k -> s
-          }.toMap
-          case _ => Map.empty[String, String]
-        }
-        val dvs = (obj \ "dvs") match {
-          case o: JObject => o.obj.collect {
-            case (k, JString(s)) => k -> s
-          }.toMap
-          case _ => Map.empty[String, String]
-        }
-        val dvMeta = (obj \ "dvmeta") match {
-          case o: JObject => o.obj.collect {
-            case (k, m: JObject) =>
-              val count = m \ "count" match {
-                case JInt(n) => n.toLong
-                case other => throw new java.io.IOException(
-                  s"malformed manifest $p: dvmeta[$k].count = $other")
-              }
-              val stats = m \ "stats" match {
-                case so: JObject =>
-                  val cols = so.obj.map {
-                    case (c, cs: JObject) =>
-                      val nn = cs \ "nn" match {
-                        case JInt(n) => n.toLong
-                        case _ => -1L // pre-nn shape: uncapture below
-                      }
-                      c -> DvColStat(FleetStats.fromJson(cs \ "min"),
-                        FleetStats.fromJson(cs \ "max"), nn)
-                    case (c, other) => throw new java.io.IOException(
-                      s"malformed manifest $p: dvmeta[$k].stats.$c = $other")
-                  }.toMap
-                  // a shape without exact non-null counts cannot serve
-                  // COUNT(col) — treat the whole capture as unknown
-                  if (cols.valuesIterator.exists(_.nonNull < 0L)) None
-                  else Some(cols)
-                case _ => None
-              }
-              val fp = m \ "fp" match {
-                case JInt(n) => Some(n.toLong)
-                case _ => None // pre-r19 shape: no fingerprint
-              }
-              k -> DvMeta(count, stats, fp)
-          }.toMap
-          case _ => Map.empty[String, DvMeta]
-        }
-        Snapshot(v, files, props, dvs, dvMeta)
       case other => throw new java.io.IOException(
         s"malformed manifest $p: $other")
     }
   }
+
+  // ---- DELTA version files (r22, the r21 verdict's #3) -------------
+  //
+  // A full-snapshot version file costs O(total fleet files) to render
+  // and write on EVERY commit — the one remaining O(table) driver cost
+  // per append, the thing that makes a 10k-file fleet's appends slower
+  // than its first. A commit whose change is small relative to the
+  // base now writes a DELTA file instead:
+  //
+  //   {"version": N, "base": N-1, "removed": [...], "added": [...],
+  //    "props": {...full...}, "dvs_set": {...}, "dvs_del": [...],
+  //    "dvmeta_set": {...}, "dvmeta_del": [...]}
+  //
+  // Reconstruction: base.files minus `removed` (order preserved) plus
+  // `added` appended — chosen at WRITE time only when that replay
+  // reproduces the new file list EXACTLY (an update that reorders the
+  // base falls back to a full file), so readers can never disagree
+  // with what the committer computed. Props stay full per commit
+  // (bounded by schema/checks/txn-ledger size, never by fleet size);
+  // dv bindings and their metadata delta the same way as files.
+  //
+  // Bounds and interplay:
+  //  - every CheckpointEvery-th version writes full, so a cold
+  //    reconstruction walks at most that many deltas (each parse is
+  //    then snapshot-cached; warm cost is unchanged O(1));
+  //  - delta is only chosen when the base version file is in the SAME
+  //    directory (a branch's first own commit — whose base is a main
+  //    file retention doesn't treat as branch-pinned — stays full);
+  //  - retention ([[FleetCompact.expireVersions]]) MATERIALIZES any
+  //    retained version whose chain crosses an expired one before
+  //    deleting (see [[materializeIfChainBroken]]); a reader racing
+  //    that pass retries its own version file once — it re-reads as
+  //    the materialized full file.
+
+  /** How often a commit writes a full snapshot regardless of delta
+    * profitability — the reconstruction-depth bound. */
+  private val CheckpointEvery = 16L
+
+  private def reconstructDelta(fs: FileSystem, p: Path, obj: JObject,
+      v: Long, b: Long, retried: Boolean): Snapshot = {
+    def names(key: String): Seq[String] = (obj \ key) match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => Seq.empty
+    }
+    val base =
+      try {
+        // the base version file lives in the same directory (commit
+        // only chooses delta then); adopted branch files keep working
+        // because adoption moves the whole numbered chain
+        readCached(fs, fs.getFileStatus(new Path(p.getParent, vname(b))))
+      } catch {
+        case _: java.io.FileNotFoundException if !retried =>
+          // retention materialized THIS version in place and deleted
+          // the base between our read and the base lookup — re-read
+          // ourselves once; the fresh content is the full snapshot
+          return readParsed(fs, p, retried = true)
+        case _: java.io.FileNotFoundException =>
+          throw new java.io.IOException(
+            s"manifest delta $p references missing base version $b — " +
+              "the base was expired by retention out-of-band " +
+              "(FleetCompact.expireVersions materializes retained " +
+              "deltas first) or the fleet was partially copied")
+      }
+    val removed = names("removed").toSet
+    val files = base.files.filterNot(removed) ++ names("added")
+    val dvs = (base.dvs -- names("dvs_del")) ++ parseDvs(p, obj, "dvs_set")
+    val dvMeta = (base.dvMeta -- names("dvmeta_del")) ++
+      parseDvMeta(p, obj, "dvmeta_set")
+    Snapshot(v, files, parseProps(p, obj), dvs, dvMeta)
+  }
+
+  private def parseProps(p: Path, obj: JObject): Map[String, String] =
+    (obj \ "props") match {
+      case o: JObject => o.obj.collect {
+        case (k, JString(s)) => k -> s
+      }.toMap
+      case _ => Map.empty[String, String]
+    }
+
+  private def parseDvs(p: Path, obj: JObject,
+      key: String = "dvs"): Map[String, String] =
+    (obj \ key) match {
+      case o: JObject => o.obj.collect {
+        case (k, JString(s)) => k -> s
+      }.toMap
+      case _ => Map.empty[String, String]
+    }
+
+  private def parseDvMeta(p: Path, obj: JObject,
+      key: String = "dvmeta"): Map[String, DvMeta] =
+    (obj \ key) match {
+      case o: JObject => o.obj.collect {
+        case (k, m: JObject) =>
+          val count = m \ "count" match {
+            case JInt(n) => n.toLong
+            case other => throw new java.io.IOException(
+              s"malformed manifest $p: $key[$k].count = $other")
+          }
+          val stats = m \ "stats" match {
+            case so: JObject =>
+              val cols = so.obj.map {
+                case (c, cs: JObject) =>
+                  val nn = cs \ "nn" match {
+                    case JInt(n) => n.toLong
+                    case _ => -1L // pre-nn shape: uncapture below
+                  }
+                  c -> DvColStat(FleetStats.fromJson(cs \ "min"),
+                    FleetStats.fromJson(cs \ "max"), nn)
+                case (c, other) => throw new java.io.IOException(
+                  s"malformed manifest $p: $key[$k].stats.$c = $other")
+              }.toMap
+              // a shape without exact non-null counts cannot serve
+              // COUNT(col) — treat the whole capture as unknown
+              if (cols.valuesIterator.exists(_.nonNull < 0L)) None
+              else Some(cols)
+            case _ => None
+          }
+          val fp = m \ "fp" match {
+            case JInt(n) => Some(n.toLong)
+            case _ => None // pre-r19 shape: no fingerprint
+          }
+          k -> DvMeta(count, stats, fp)
+      }.toMap
+      case _ => Map.empty[String, DvMeta]
+    }
+
+  private def dvMetaJson(meta: Map[String, DvMeta]): org.json4s.JValue =
+    JObject(meta.toList.sortBy(_._1).map {
+      case (k, m) =>
+        k -> (JObject(List[(String, org.json4s.JValue)](
+          "count" -> JInt(BigInt(m.count))) ++
+          m.fp.map(f =>
+            "fp" -> (JInt(BigInt(f)): org.json4s.JValue)) ++
+          m.stats.map(st => "stats" -> (JObject(st.toList.sortBy(_._1)
+            .map { case (c, cs) =>
+              c -> (JObject(
+                "min" -> FleetStats.toJson(cs.min),
+                "max" -> FleetStats.toJson(cs.max),
+                "nn" -> JInt(BigInt(cs.nonNull))): org.json4s.JValue)
+            }): org.json4s.JValue)).toList): org.json4s.JValue)
+    })
 
   private def render(s: Snapshot): String = {
     val base = List[(String, org.json4s.JValue)](
@@ -775,22 +948,82 @@ private[graft] object FleetManifest {
       }))
     val meta =
       if (s.dvMeta.isEmpty) Nil
-      else List[(String, org.json4s.JValue)](
-        "dvmeta" -> JObject(s.dvMeta.toList.sortBy(_._1).map {
-          case (k, m) =>
-            k -> (JObject(List[(String, org.json4s.JValue)](
-              "count" -> JInt(BigInt(m.count))) ++
-              m.fp.map(f =>
-                "fp" -> (JInt(BigInt(f)): org.json4s.JValue)) ++
-              m.stats.map(st => "stats" -> (JObject(st.toList.sortBy(_._1)
-                .map { case (c, cs) =>
-                  c -> (JObject(
-                    "min" -> FleetStats.toJson(cs.min),
-                    "max" -> FleetStats.toJson(cs.max),
-                    "nn" -> JInt(BigInt(cs.nonNull))): org.json4s.JValue)
-                }): org.json4s.JValue)).toList): org.json4s.JValue)
-        }))
+      else List[(String, org.json4s.JValue)]("dvmeta" -> dvMetaJson(s.dvMeta))
     JsonMethods.compact(JsonMethods.render(JObject(base ++ meta)))
+  }
+
+  /** The delta encoding of `next` against `base`, when sound and
+    * profitable; None means "write a full snapshot". Sound = replaying
+    * (base.files − removed) ++ added reproduces next.files EXACTLY
+    * (order included), so a reader's reconstruction can never diverge
+    * from the committed state. Profitable = the delta names fewer
+    * files than the full list would. Checkpoint versions (every
+    * [[CheckpointEvery]]-th) always write full — the reconstruction
+    * depth bound. */
+  private def renderDelta(next: Snapshot, base: Snapshot): Option[String] = {
+    // kill switch for A/B measurement and emergency rollback — full
+    // snapshots are always a valid (just O(files)) encoding
+    if (System.getProperty("graft.manifest.delta", "true") == "false")
+      return None
+    if (next.version % CheckpointEvery == 0L) return None
+    if (next.version != base.version + 1L) return None
+    val nextSet = next.files.toSet
+    val baseSet = base.files.toSet
+    val removed = base.files.filterNot(nextSet)
+    val added = next.files.filterNot(baseSet)
+    if (removed.size + added.size >= next.files.size) return None
+    val removedSet = removed.toSet
+    if (base.files.filterNot(removedSet) ++ added != next.files) return None
+    val dvsDel = base.dvs.keysIterator.filterNot(next.dvs.contains)
+      .toSeq.sorted
+    val dvsSet = next.dvs.filter { case (k, v) =>
+      !base.dvs.get(k).contains(v) }
+    val metaDel = base.dvMeta.keysIterator.filterNot(next.dvMeta.contains)
+      .toSeq.sorted
+    val metaSet = next.dvMeta.filter { case (k, m) =>
+      !base.dvMeta.get(k).contains(m) }
+    val fields = List[(String, org.json4s.JValue)](
+      "version" -> JInt(next.version),
+      "base" -> JInt(base.version),
+      "removed" -> JArray(removed.map(JString(_)).toList),
+      "added" -> JArray(added.map(JString(_)).toList),
+      "props" -> JObject(next.props.toList.map {
+        case (k, v) => k -> (JString(v): org.json4s.JValue)
+      })) ++
+      (if (dvsSet.isEmpty) Nil else List[(String, org.json4s.JValue)](
+        "dvs_set" -> JObject(dvsSet.toList.sortBy(_._1).map {
+          case (k, v) => k -> (JString(v): org.json4s.JValue) }))) ++
+      (if (dvsDel.isEmpty) Nil else List[(String, org.json4s.JValue)](
+        "dvs_del" -> JArray(dvsDel.map(JString(_)).toList))) ++
+      (if (metaSet.isEmpty) Nil else List[(String, org.json4s.JValue)](
+        "dvmeta_set" -> dvMetaJson(metaSet))) ++
+      (if (metaDel.isEmpty) Nil else List[(String, org.json4s.JValue)](
+        "dvmeta_del" -> JArray(metaDel.map(JString(_)).toList)))
+    Some(JsonMethods.compact(JsonMethods.render(JObject(fields))))
+  }
+
+  /** Rewrite retained version `v` as a FULL snapshot file when its
+    * on-disk form is a delta whose base is about to expire — called by
+    * [[FleetCompact.expireVersions]] under the commit lock, BEFORE any
+    * version file is deleted (every chain is still readable). Content
+    * is the same logical snapshot; process the retained set ascending
+    * so a kept base materializes before a kept dependent is examined. */
+  private[sources] def materializeIfChainBroken(fs: FileSystem, dir: Path,
+      kept: Set[Long], v: Long): Unit = {
+    val p = vpath(dir, v)
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    val baseV = JsonMethods.parse(text) \ "base" match {
+      case JInt(b) => b.toLong
+      case _ => return // already full
+    }
+    if (kept(baseV)) return // base survives this pass — chain intact
+    val snap = snapshotAtMain(fs, dir, v).getOrElse(return)
+    val out = fs.create(p, true)
+    try out.write(render(snap).getBytes("UTF-8"))
+    finally out.close()
+    invalidate(fs, p)
   }
 
   // serialize same-JVM commits per fleet dir (stripes, not a per-path
@@ -1065,6 +1298,15 @@ private[graft] object FleetManifest {
             .getOrElse(mdir(dir))
           val dest = new Path(destDir, vname(next.version))
           fs.mkdirs(destDir)
+          // O(delta) encoding when sound, profitable, and the base
+          // version file is in the SAME directory (a branch's first
+          // own commit bases on a main file retention won't pin for
+          // it — that one stays full); else the full snapshot
+          val encoded = cur
+            .flatMap(c => renderDelta(next, c))
+            .filter(_ => fs.exists(
+              new Path(destDir, vname(next.version - 1L))))
+            .getOrElse(render(next))
           if (!fs.exists(dest)) {
             localNio(fs, dest) match {
               case Some(nioDest) =>
@@ -1081,13 +1323,16 @@ private[graft] object FleetManifest {
                   s".${vname(next.version)}." +
                     s"${java.util.UUID.randomUUID()}.tmp")
                 java.nio.file.Files.write(nioTmp,
-                  render(next).getBytes("UTF-8"))
+                  encoded.getBytes("UTF-8"))
                 val claimed =
                   try { java.nio.file.Files.createLink(nioDest, nioTmp)
                         true }
                   catch { case NonFatal(_) => false }
                 java.nio.file.Files.deleteIfExists(nioTmp)
-                if (claimed) return next
+                if (claimed) {
+                  noteHead(fs, destDir, next.version)
+                  return next
+                }
                 if (!java.nio.file.Files.exists(nioDest)) {
                   // link(2) unsupported here: cross-PROCESS atomicity
                   // degrades to rename + read-back (clobber-rename
@@ -1099,10 +1344,16 @@ private[graft] object FleetManifest {
                         "manifest commits fall back to rename + " +
                         "read-back (cross-process race window on " +
                         "clobbering renames)")
-                  if (renameClaim(fs, dir, dest, next)) return next
+                  if (renameClaim(fs, dir, dest, next, Some(encoded))) {
+                    noteHead(fs, destDir, next.version)
+                    return next
+                  }
                 }
               case None =>
-                if (renameClaim(fs, dir, dest, next)) return next
+                if (renameClaim(fs, dir, dest, next, Some(encoded))) {
+                  noteHead(fs, destDir, next.version)
+                  return next
+                }
             }
           }
           // lost the claim: loop re-reads the new current and retries
@@ -1118,11 +1369,11 @@ private[graft] object FleetManifest {
     * destination atomically), and the fallback when the local FS
     * lacks hard links. */
   private def renameClaim(fs: FileSystem, dir: Path, dest: Path,
-      next: Snapshot): Boolean = {
+      next: Snapshot, encoded: Option[String] = None): Boolean = {
     val tmp = new Path(mdir(dir),
       s".${vname(next.version)}.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, true)
-    try out.write(render(next).getBytes("UTF-8"))
+    try out.write(encoded.getOrElse(render(next)).getBytes("UTF-8"))
     finally out.close()
     val renamed =
       try fs.rename(tmp, dest)

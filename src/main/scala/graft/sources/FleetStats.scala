@@ -304,8 +304,8 @@ private[graft] object FleetStats {
     case other => throw new IllegalArgumentException(s"bad stat: $other")
   }
 
-  private def render(files: Map[String, PartStats]): String = {
-    val obj = JObject("files" -> JObject(files.toList.sortBy(_._1).map {
+  private def filesObj(files: Map[String, PartStats]): JObject =
+    JObject(files.toList.sortBy(_._1).map {
       case (name, ps) =>
         name -> JObject(
           "len" -> JLong(ps.len),
@@ -324,13 +324,17 @@ private[graft] object FleetStats {
                 "b64" -> JString(FleetBloom.encode(b))))
               c -> JObject(mm ++ base ++ bl: _*)
           }: _*))
-    }: _*))
-    JsonMethods.compact(JsonMethods.render(obj))
-  }
+    }: _*)
 
-  private def parse(text: String): Map[String, PartStats] = {
-    val JObject(top) = JsonMethods.parse(text): @unchecked
-    val files = top.toMap.getOrElse("files", JObject()) match {
+  private def render(files: Map[String, PartStats]): String =
+    JsonMethods.compact(JsonMethods.render(
+      JObject("files" -> filesObj(files))))
+
+  private def parse(text: String): Map[String, PartStats] =
+    parseFiles(JsonMethods.parse(text))
+
+  private def parseFiles(top: JValue): Map[String, PartStats] = {
+    val files = top \ "files" match {
       case JObject(fs) => fs
       case _ => Nil
     }
@@ -377,64 +381,165 @@ private[graft] object FleetStats {
   // scanning unskipped files.
   private val writeLockStripes = Array.fill(64)(new Object)
 
-  /** Merge `fresh` entries into any existing sidecar at `dir` and
-    * (re)write it — called from the job commit, BEFORE `_SUCCESS`.
-    * Written via temp + rename so a racing reader sees the old sidecar
-    * or none, never a torn one. */
+  // ---- DELTA SHARDS (r22, the r21 verdict's #3) --------------------
+  //
+  // The sidecar used to be ONE `_stats.json` rewritten read-merge-write
+  // on every commit — O(total fleet files) of JSON per append, the
+  // stats-plane twin of the full-snapshot manifest cost. Past
+  // [[ShardThreshold]] base entries, a commit now appends one SHARD
+  // under `_stats.d/` instead ({"files": {...fresh...}} or
+  // {"drop": [...]}), and every [[CompactAt]]-th shard folds the lot
+  // back into the base — per-commit cost O(commit's own files),
+  // amortized O(total/CompactAt). Readers merge base + shards in name
+  // order (a monotonic per-JVM sequence + uuid, so cross-process
+  // writers can't clobber each other and later entries win). Below the
+  // threshold — every test fixture and bench fleet — the single-file
+  // behavior is byte-identical to r21, including the documented
+  // "delete the sidecar to disable skipping" degrade path.
+
+  private val ShardDirName = "_stats.d"
+  private val ShardThreshold = 512
+  private val CompactAt = 16
+  private val shardSeq = new java.util.concurrent.atomic.AtomicLong
+
+  private def shardDir(dir: Path) = new Path(dir, ShardDirName)
+
+  private def listShards(fs: FileSystem, dir: Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val d = shardDir(dir)
+    try {
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".json") &&
+          !st.getPath.getName.startsWith("."))
+        .sortBy(_.getPath.getName)
+    } catch { case NonFatal(_) => Seq.empty }
+  }
+
+  private def writeAtomic(fs: FileSystem, dest: Path, text: String): Unit = {
+    val tmp = new Path(dest.getParent, s".${dest.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(text.getBytes("UTF-8")) finally out.close()
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+  }
+
+  private def writeShard(fs: FileSystem, dir: Path,
+      fresh: Map[String, PartStats], dropNames: Seq[String]): Unit = {
+    fs.mkdirs(shardDir(dir))
+    val name = f"s${System.currentTimeMillis()}%013d-" +
+      f"${shardSeq.incrementAndGet()}%06d-" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.json"
+    val fields = List[(String, JValue)]("files" -> filesObj(fresh)) ++
+      (if (dropNames.isEmpty) Nil
+       else List[(String, JValue)](
+         "drop" -> JArray(dropNames.sorted.map(JString(_)).toList)))
+    writeAtomic(fs, new Path(shardDir(dir), name),
+      JsonMethods.compact(JsonMethods.render(JObject(fields))))
+  }
+
+  /** Fold base + every shard into one fresh base file and remove the
+    * shards — under the stripe lock; a cross-process racer's shard
+    * landing mid-fold is left in place (not deleted unseen). */
+  private def compactShards(fs: FileSystem, dir: Path,
+      extra: Map[String, PartStats]): Unit = {
+    val shards = listShards(fs, dir)
+    val merged = read(fs, dir) ++ extra
+    writeAtomic(fs, new Path(dir, FileName), render(merged))
+    shards.foreach(st => fs.delete(st.getPath, false))
+  }
+
+  /** Merge `fresh` entries into the sidecar at `dir` — called from the
+    * job commit, BEFORE `_SUCCESS`. Single-file read-merge-rewrite
+    * below [[ShardThreshold]] entries; one O(fresh) shard append past
+    * it, folded every [[CompactAt]] shards. All writes temp + rename so
+    * a racing reader sees the old state or the new, never a torn one. */
   def write(fs: FileSystem, dir: Path,
       fresh: Map[String, PartStats]): Unit = {
     val key = fs.makeQualified(dir).toString
     writeLockStripes(math.floorMod(key.hashCode, writeLockStripes.length))
       .synchronized {
-      val existing = read(fs, dir)
-      val merged = existing ++ fresh
-      val tmp = new Path(dir, s".$FileName.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(render(merged).getBytes("UTF-8")) finally out.close()
-      val dest = new Path(dir, FileName)
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+      val shards = listShards(fs, dir)
+      if (shards.isEmpty) {
+        // the base parse runs only when no shards exist — once per
+        // CompactAt writes in steady shard mode, every write below
+        // the threshold (where the base is small by definition)
+        val existing = readBase(fs, dir)
+        if (existing.size <= ShardThreshold)
+          writeAtomic(fs, new Path(dir, FileName),
+            render(existing ++ fresh))
+        else writeShard(fs, dir, fresh, Seq.empty) // shard mode begins
+      }
+      else if (shards.size >= CompactAt) compactShards(fs, dir, fresh)
+      else writeShard(fs, dir, fresh, Seq.empty)
     }
   }
 
   /** Remove `names`' entries from the sidecar (retention GC: an
     * expired generation's deleted files must not accumulate advisory
-    * entries forever). Same stripe lock + temp-rename atomicity as
-    * [[write]]; a no-op when nothing matches. */
+    * entries forever). Same stripe lock + atomicity as [[write]]; a
+    * no-op when nothing matches. In shard mode the removal is a DROP
+    * shard (applied by readers in order, folded at compaction). */
   def drop(fs: FileSystem, dir: Path, names: Set[String]): Unit = {
     if (names.isEmpty) return
     val key = fs.makeQualified(dir).toString
     writeLockStripes(math.floorMod(key.hashCode, writeLockStripes.length))
       .synchronized {
-      val existing = read(fs, dir)
-      val kept = existing -- names
-      if (kept.size == existing.size) return
-      val tmp = new Path(dir, s".$FileName.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(render(kept).getBytes("UTF-8")) finally out.close()
-      val dest = new Path(dir, FileName)
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); () }
+      val shards = listShards(fs, dir)
+      if (shards.isEmpty) {
+        val existing = readBase(fs, dir)
+        val kept = existing -- names
+        if (kept.size == existing.size) return
+        writeAtomic(fs, new Path(dir, FileName), render(kept))
+      } else {
+        val merged = read(fs, dir)
+        val hit = names.filter(merged.contains)
+        if (hit.isEmpty) return
+        if (shards.size >= CompactAt) compactShards(fs, dir, Map.empty)
+        writeShard(fs, dir, Map.empty, hit.toSeq)
+      }
     }
   }
 
-  /** Existing sidecar entries of one fleet directory; empty on any
-    * problem (advisory data — never fail a read over it). */
-  def read(fs: FileSystem, dir: Path): Map[String, PartStats] = {
+  /** The base `_stats.json` alone; empty on any problem. */
+  private def readBase(fs: FileSystem, dir: Path): Map[String, PartStats] = {
     val p = new Path(dir, FileName)
     try {
       if (!fs.exists(p)) Map.empty
-      else {
-        val in = fs.open(p)
-        val text = try {
-          val bytes = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](8192)
-          var n = in.read(buf)
-          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-          bytes.toString("UTF-8")
-        } finally in.close()
-        parse(text)
+      else parse(readText(fs, p))
+    } catch { case NonFatal(_) => Map.empty }
+  }
+
+  private def readText(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+  }
+
+  /** Existing sidecar entries of one fleet directory — base plus any
+    * delta shards in name order; empty on any problem (advisory data —
+    * never fail a read over it; one unreadable shard degrades to
+    * "those entries absent", never to an error). */
+  def read(fs: FileSystem, dir: Path): Map[String, PartStats] = {
+    try {
+      var acc = readBase(fs, dir)
+      listShards(fs, dir).foreach { st =>
+        try {
+          val top = JsonMethods.parse(readText(fs, st.getPath))
+          acc = acc ++ parseFiles(top)
+          top \ "drop" match {
+            case JArray(vs) =>
+              acc = acc -- vs.collect { case JString(s) => s }
+            case _ => ()
+          }
+        } catch { case NonFatal(_) => () }
       }
+      acc
     } catch { case NonFatal(_) => Map.empty }
   }
 

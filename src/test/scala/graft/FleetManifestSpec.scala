@@ -47,6 +47,83 @@ class FleetManifestSpec extends SparkSpec {
     assert(spark.read.format("graft-avro").load(dir).count() == 210)
   }
 
+  test("delta version files: exact reconstruction, checkpoints, expiry materialization") {
+    import graft.sources.FleetManifest
+    val root = graft.util.Scratch.dir("manifest_delta")
+    val dir = s"$root/t.avro"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(dir)
+    fs.mkdirs(p)
+    def raw(v: Long): String = {
+      val vp = FleetManifest.versionFilePath(p, v)
+      val in = fs.open(vp)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }
+    // a mixed 20-commit history driven through the public commit API:
+    // appends, a COW swap, dv bind/swap/unbind, props — the shapes the
+    // delta encoding must replay exactly
+    FleetManifest.commit(fs, p, _ => Seq("a0", "a1"), Seq.empty)   // v1
+    (2 to 9).foreach(i => FleetManifest.commit(fs, p,
+      base => base :+ s"f$i", Seq.empty,
+      props = Map("who" -> s"append$i")))                          // ..v9
+    FleetManifest.commit(fs, p,                                    // v10
+      base => base.filterNot(_ == "f3") :+ "f3r",
+      Seq.empty, requireInBase = Set("f3"))
+    FleetManifest.commit(fs, p, identity, Seq.empty,               // v11
+      dvUpdate = Map("f4" -> Some("dv_f4_1")),
+      dvMetaUpdate = Map("f4" -> FleetManifest.DvMeta(3L,
+        Some(Map("id" -> FleetManifest.DvColStat(1L, 9L, 3L))),
+        Some(42L))))
+    FleetManifest.commit(fs, p, identity, Seq.empty,               // v12
+      dvUpdate = Map("f4" -> Some("dv_f4_2"), "f5" -> Some("dv_f5_1")),
+      dvMetaUpdate = Map("f4" -> FleetManifest.DvMeta(5L, None, None)))
+    FleetManifest.commit(fs, p, identity, Seq.empty,               // v13
+      dvUpdate = Map("f4" -> None))
+    (14 to 20).foreach(i => FleetManifest.commit(fs, p,
+      base => base :+ s"g$i", Seq.empty))                          // ..v20
+    // shape: deltas everywhere except v1 (bootstrap full) and the
+    // CheckpointEvery-th version (16)
+    assert(!raw(1).contains("\"base\""), "v1 must be full (bootstrap)")
+    assert(raw(2).contains("\"base\":1"), s"v2 must delta on v1: ${raw(2)}")
+    assert(!raw(16).contains("\"base\""), "v16 must be a full checkpoint")
+    assert(raw(17).contains("\"base\":16"))
+    assert(raw(10).contains("\"removed\":[\"f3\"]"), raw(10))
+    // capture every snapshot warm, then force cold-process reads:
+    // reconstruction from disk must agree bit-for-bit
+    val warm = (1L to 20L).map(v =>
+      FleetManifest.snapshotAt(fs, p, v).get)
+    FleetManifest.clearSnapshotCache()
+    val cold = (1L to 20L).map(v =>
+      FleetManifest.snapshotAt(fs, p, v).get)
+    assert(warm == cold, "delta reconstruction diverged from warm reads")
+    def at(v: Long) = cold(v.toInt - 1)
+    assert(at(20).files ==
+      Seq("a0", "a1", "f2", "f4", "f5", "f6", "f7", "f8", "f9", "f3r") ++
+        (14 to 20).map(i => s"g$i"),
+      s"file order not preserved: ${at(20).files}")
+    assert(at(11).dvs == Map("f4" -> "dv_f4_1") &&
+      at(12).dvs == Map("f4" -> "dv_f4_2", "f5" -> "dv_f5_1") &&
+      at(12).dvMeta.get("f4").contains(FleetManifest.DvMeta(5L)) &&
+      at(13).dvs == Map("f5" -> "dv_f5_1"),
+      "dv delta chain wrong")
+    // retention across a delta boundary: keepLast=3 retains v18..v20
+    // (all deltas chaining through expired versions) — they must be
+    // materialized, still equal, and readable cold after the chain
+    // below them is gone
+    val res = graft.sources.FleetCompact.expireVersions(spark, dir,
+      keepLast = 3)
+    assert(res.expiredVersions == (1L to 17L))
+    assert(!raw(18).contains("\"base\""),
+      "retained v18 must be materialized full (its base expired)")
+    assert(raw(19).contains("\"base\":18") && raw(20).contains("\"base\":19"),
+      "v19/v20 chain within the retained set and must stay deltas")
+    FleetManifest.clearSnapshotCache()
+    val after = (18L to 20L).map(v =>
+      FleetManifest.snapshotAt(fs, p, v).get)
+    assert(after == warm.slice(17, 20),
+      "materialized snapshots diverged from their pre-expiry content")
+  }
+
   test("mergeCow swaps generations atomically: no window shows both") {
     import spark.implicits._
     val dir = stage("swap")

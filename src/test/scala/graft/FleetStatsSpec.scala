@@ -138,6 +138,50 @@ class FleetStatsSpec extends SparkSpec {
     assert(FleetStats.read(fs, dir).isEmpty)
   }
 
+  test("sidecar shard mode: O(delta) appends past the threshold, reads merge, drops apply") {
+    // r22 (verdict #3): past 512 base entries a commit appends one
+    // shard under _stats.d/ instead of rewriting the whole sidecar;
+    // every 16th shard folds back into the base. Logical content must
+    // be indistinguishable from the single-file mode at every step.
+    val fs = localFs
+    val dir = new Path(tmp("stats_shards"))
+    fs.mkdirs(dir)
+    def ps(i: Int) = FleetStats.PartStats(i.toLong, 1L, Map(
+      "x" -> FleetStats.ColStat(Some(i.toLong), Some(i.toLong), 0L)))
+    def entries(r: Range) = r.map(i => f"p$i%05d.avro" -> ps(i)).toMap
+    val shardDir = new Path(dir, "_stats.d")
+    // below the threshold: single file, no shard dir
+    FleetStats.write(fs, dir, entries(0 until 500))
+    assert(!fs.exists(shardDir), "no shards below the threshold")
+    // crossing it: base rewritten once more, then shards accumulate
+    FleetStats.write(fs, dir, entries(500 until 600))
+    FleetStats.write(fs, dir, entries(600 until 610))
+    assert(fs.exists(shardDir) && fs.listStatus(shardDir).nonEmpty,
+      "past the threshold a commit must append a shard")
+    val expect1 = entries(0 until 610)
+    assert(FleetStats.read(fs, dir) == expect1)
+    // drop in shard mode: applied by readers, missing names a no-op
+    FleetStats.drop(fs, dir, Set("p00605.avro", "nope.avro"))
+    val expect2 = expect1 - "p00605.avro"
+    assert(FleetStats.read(fs, dir) == expect2)
+    val shardsNow = fs.listStatus(shardDir).length
+    FleetStats.drop(fs, dir, Set("absent.avro"))
+    assert(fs.listStatus(shardDir).length == shardsNow,
+      "a no-match drop must not write a shard")
+    // compaction folds everything back into one base at the 16th shard
+    (0 until 20).foreach(k =>
+      FleetStats.write(fs, dir, entries(700 + k until 701 + k)))
+    assert(fs.listStatus(shardDir).length < 16,
+      s"compaction must bound the shard count")
+    assert(FleetStats.read(fs, dir) == expect2 ++ entries(700 until 720))
+    // forFleet still keys by path and honors the length gate
+    val f1 = fs.create(new Path(dir, "p00001.avro"), true)
+    f1.write(Array.fill[Byte](1)(0)); f1.close()
+    val hit = FleetStats.forFleet(fs,
+      Seq(fs.getFileStatus(new Path(dir, "p00001.avro"))))
+    assert(hit.values.toSeq == Seq(ps(1)))
+  }
+
   test("V2 writer emits stats; filtered scans skip whole files") {
     import spark.implicits._
     val dir = tmp("stats_v2") + "/t.avro"
