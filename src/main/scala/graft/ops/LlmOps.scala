@@ -548,7 +548,18 @@ object LlmOps {
           .bitwiseAND(lit((1L << bandBits) - 1))): _*))
         .as(Seq("band", "bandv")))
       .cache()
-    val cand = banded.as("a")
+    // the banding join EXPLODES (output ≈ Σ bucket² >> input) but AQE
+    // sizes exchanges by INPUT bytes, so the cached frame's right-sized
+    // (tiny → 1-partition) layout runs the whole candidate explosion +
+    // partial distinct in ONE task (profiled: a 1.3 s single-task job
+    // per warm invocation). Spread the STREAM side across the cores
+    // explicitly before the join — an explicit width pins the exchange
+    // against AQE coalescing, and (band, bandv) keys spread the
+    // buckets. The broadcast side stays as-is. Scale-adaptive: width
+    // follows the cluster's parallelism, not a constant.
+    val spread = banded.repartition(
+      s.sparkContext.defaultParallelism, col("band"), col("bandv"))
+    val cand = spread.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bandv") === col("b.bandv") &&
           col("a.vec_id") < col("b.vec_id"))
